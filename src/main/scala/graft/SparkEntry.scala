@@ -1,13 +1,146 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §5
+  * (correctness protocol). Every implemented operator has a
+  * `queries` entry; SQL-expressible ones also carry a DuckDB oracle
+  * in `oracleSql` with identical column names/rounding.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Analytics.pricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.2 SQL analytics
+    "q1_pricing_summary" -> (Analytics.pricingSummary _),
+    "q3_top_unshipped"   -> (Analytics.topUnshipped _),
+    "q5_region_revenue"  -> (Analytics.regionRevenue _),
+    "q_count_by_type"    -> (Analytics.countByType _),
+    "q_union_counts"     -> (Analytics.unionCounts _),
+    "q_per_day_type"     -> (Analytics.perDayType _),
+    "q_pivot_per_day"    -> (Analytics.pivotPerDay _),
+    "q_anomaly_filter"   -> (Analytics.anomalyFilter _),
+    "q_json_extract"     -> (Analytics.jsonExtract _),
+    "q_semi_join"        -> (Analytics.semiJoin _),
+    "q_anti_join"        -> (Analytics.antiJoin _),
+    "q_window_running"   -> (Analytics.windowRunning _),
+    "q_topk_per_group"   -> (Analytics.topkPerGroup _),
+    "q_rollup"           -> (Analytics.rollupAgg _),
+    "q_distinct_count"   -> (Analytics.distinctCount _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 4) AS sum_qty,
+        | round(sum(l_extendedprice), 4) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_unshipped" ->
+      """SELECT o_orderkey,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev,
+        | o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate  > TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY rev DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY rev DESC, n_name""".stripMargin,
+    "q_count_by_type" ->
+      """SELECT event_type, count(*) AS ride_count
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_union_counts" ->
+      """SELECT * FROM (
+        | SELECT 'orders' AS src, count(*) AS n FROM orders
+        | UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        | UNION ALL SELECT 'events', count(*) FROM events
+        |) ORDER BY src""".stripMargin,
+    "q_per_day_type" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        | event_type, count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_pivot_per_day" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        | count(*) FILTER (WHERE event_type = 'click')    AS click,
+        | count(*) FILTER (WHERE event_type = 'error')    AS error,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+        | count(*) FILTER (WHERE event_type = 'view')     AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_anomaly_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2001-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_json_extract" ->
+      """SELECT k % 10 AS k_bucket, count(*) AS n,
+        | round(avg(value), 4) AS avg_value
+        |FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |             value
+        |      FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_window_running" ->
+      """SELECT event_id, user_id,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value,
+        | row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |FROM events ORDER BY user_id, rn""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT event_type, event_id, value, rk FROM (
+        | SELECT event_type, event_id, value,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value DESC, event_id) AS rk
+        | FROM events)
+        |WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        | coalesce(l_linestatus, 'ALL') AS status,
+        | round(sum(l_extendedprice), 4) AS rev, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "q_distinct_count" ->
+      """SELECT count(DISTINCT user_id) AS users,
+        | count(DISTINCT event_type) AS types
+        |FROM events""".stripMargin,
+  )
 }

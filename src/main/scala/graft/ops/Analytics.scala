@@ -1,0 +1,195 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch SQL-analytics surface — the capabilities the reference
+  * exercises through Athena in
+  * doc/DataDiscoveryAndConversation/DataDiscoveryAndConversation.rst
+  * (per-source counts, UNION ALL, group-by-type, date_trunc
+  * time-series, anomaly filters, day×type pivots) plus the core
+  * relational operators any engine replacing it needs (multi-way
+  * joins, semi/anti joins, windows, rollup, distinct).
+  *
+  * All aggregates over doubles are rounded to 4 decimals so results
+  * are engine-portable (oracle parity without ulp drift); orderings
+  * carry unique tiebreakers so output is fully deterministic.
+  */
+object Analytics {
+
+  private def revenue: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  /** TPC-H Q1-style pricing summary: single-pass multi-aggregate with
+    * map-side partial aggregation; the shipdate filter is pushed to
+    * the parquet scan. */
+  def pricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(revenue), 4).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q3-style: mktsegment-filtered customer (broadcast) ⋈
+    * orders ⋈ lineitem, revenue top-10. Customer side is filtered
+    * before the join so the broadcast stays small at scale. */
+  def topUnshipped(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li   = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(revenue), 4).as("rev"))
+      .select(col("o_orderkey"), col("rev"), col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("rev").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style star join: region→nation→(customer,supplier)
+    * dims broadcast, orders⋈lineitem as the fact spine. */
+  def regionRevenue(s: SparkSession, d: String): DataFrame = {
+    val r  = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n  = Tables.nation(s, d)
+    val c  = Tables.customer(s, d)
+    val su = Tables.supplier(s, d)
+    val o  = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+    val li = Tables.lineitem(s, d)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su),
+        col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(revenue), 4).as("rev"))
+      .orderBy(col("rev").desc, col("n_name"))
+  }
+
+  /** Per-type counts — the reference's first discovery query
+    * (DataDiscoveryAndConversation.rst "group by type"). */
+  def countByType(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("ride_count"))
+      .orderBy(col("event_type"))
+
+  /** UNION ALL of per-source counts — mirrors the reference's
+    * yellow/green/fhv count union (DataDiscoveryAndConversation). */
+  def unionCounts(s: SparkSession, d: String): DataFrame = {
+    def one(name: String): DataFrame =
+      Tables.load(s, d, name).agg(count(lit(1)).as("n"))
+        .select(lit(name).as("src"), col("n"))
+    one("orders").union(one("lineitem")).union(one("events"))
+      .orderBy(col("src"))
+  }
+
+  /** date_trunc('day') × type time series — reference cell 24. */
+  def perDayType(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("day"), col("event_type"))
+
+  /** day × event_type pivot matrix (reference cell 31 pivot_table).
+    * Pivot values are declared so the plan needs no extra pass to
+    * discover them; counts null-fill to 0 like the pandas pivot. */
+  val eventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+  def pivotPerDay(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0, eventTypes)
+      .orderBy(col("day"))
+
+  /** Out-of-range timestamp detection — the reference hunts rides
+    * with pickup in 2088 (DataDiscoveryAndConversation cell 30). */
+  def anomalyFilter(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("2001-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** JSON field extraction from the events.props payload column. */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+              col("value"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("k_bucket"))
+
+  /** Customers with ≥1 open order — EXISTS as a left-semi join (no
+    * row duplication, orders side never materialized in output). */
+  def semiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Customers with no urgent-priority order — NOT EXISTS as left-anti. */
+  def antiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Per-user running sum + row_number. Frame is ROWS-based with a
+    * unique (ts, event_id) ordering so results are deterministic. */
+  def windowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 4)
+          .as("running_value"),
+        row_number().over(w).as("rn"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  /** Top-3 events by value per type via ranked window. */
+  def topkPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), col("value"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= 3)
+      .orderBy(col("event_type"), col("rk"))
+  }
+
+  /** Hierarchical aggregate: ROLLUP(returnflag, linestatus) in one
+    * shuffle (Spark expands grouping sets map-side). */
+  def rollupAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 4).as("rev"),
+           count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("rev"), col("n"))
+      .orderBy(col("flag"), col("status"))
+
+  /** Exact distinct counts (the oracle-checked half; the HLL
+    * approx_count_distinct variant is spec-tested — see
+    * AnalyticsSpec — since its value is estimator-specific). */
+  def distinctCount(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .agg(countDistinct(col("user_id")).as("users"),
+           countDistinct(col("event_type")).as("types"))
+}
