@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.etl.Mapping
 import graft.ops._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §5
@@ -32,6 +34,45 @@ object SparkEntry {
     "q_topk_per_group"   -> (Analytics.topkPerGroup _),
     "q_rollup"           -> (Analytics.rollupAgg _),
     "q_distinct_count"   -> (Analytics.distinctCount _),
+    // §2.1 ETL operators
+    "etl_apply_mapping" -> ((s, d) =>
+      Mapping.applyMapping(Tables.orders(s, d), Seq(
+        ("o_orderkey", "orderkey", "string"),
+        ("o_custkey", "custkey", "long"),
+        ("o_orderdate", "order_date", "timestamp"),
+        ("o_totalprice", "total", "double")))
+        .orderBy(col("custkey"), col("orderkey"))),
+    "etl_resolve_choice" -> ((s, d) =>
+      Mapping.resolveChoice(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+        Seq(("n_chars", "n_chars_int", "int"), ("lang", "lang_long", "bigint")))
+        .orderBy(col("doc_id"))),
+    "etl_drop_null_fields" -> ((s, d) =>
+      Mapping.dropNullFields(
+        Mapping.resolveChoice(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+          Seq(("n_chars", "n_chars_int", "int"), ("lang", "lang_long", "bigint"))))
+        .orderBy(col("doc_id"))),
+    "etl_canonicalize" -> ((s, d) =>
+      Mapping.canonicalize(Seq(
+        "orders"   -> Tables.orders(s, d).select(col("o_orderdate").as("event_ts")),
+        "lineitem" -> Tables.lineitem(s, d).select(col("l_shipdate").as("event_ts")),
+        "events"   -> Tables.events(s, d).select(col("ts").as("event_ts"))))
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n"),
+             min(col("event_ts")).as("first_ts"),
+             max(col("event_ts")).as("last_ts"))
+        .orderBy(col("src"))),
+    "etl_dedup_rows" -> ((s, d) =>
+      Mapping.dedupRows(Tables.lineitem(s, d), Seq("l_suppkey", "l_returnflag"))
+        .orderBy(col("l_suppkey"), col("l_returnflag"))),
+    // §2.3 time series + forecast
+    "ts_resample_daily" -> (TimeSeriesOps.resampleDaily _),
+    "ts_pivot_wide"     -> (TimeSeriesOps.pivotWide _),
+    "ts_train_test"     -> ((s, d) => TimeSeriesOps.trainTestSplit(s, d)),
+    "ts_deepar_export"  -> (TimeSeriesOps.deeparExport _),
+    "forecast_snaive"   -> ((s, d) => Forecast.seasonalNaive(s, d)),
+    "forecast_eval"     -> (Forecast.evaluate _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -142,5 +183,98 @@ object SparkEntry {
       """SELECT count(DISTINCT user_id) AS users,
         | count(DISTINCT event_type) AS types
         |FROM events""".stripMargin,
+    "etl_apply_mapping" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS orderkey, o_custkey AS custkey,
+        | o_orderdate AS order_date, o_totalprice AS total
+        |FROM orders ORDER BY custkey, orderkey""".stripMargin,
+    "etl_resolve_choice" ->
+      """SELECT doc_id, CAST(n_chars AS INTEGER) AS n_chars_int,
+        | TRY_CAST(lang AS BIGINT) AS lang_long
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "etl_drop_null_fields" ->
+      """SELECT doc_id, CAST(n_chars AS INTEGER) AS n_chars_int
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "etl_canonicalize" ->
+      """SELECT src, count(*) AS n, min(event_ts) AS first_ts,
+        | max(event_ts) AS last_ts
+        |FROM (
+        | SELECT 'orders' AS src, o_orderdate AS event_ts FROM orders
+        | UNION ALL SELECT 'lineitem', l_shipdate FROM lineitem
+        | UNION ALL SELECT 'events', ts FROM events)
+        |GROUP BY src ORDER BY src""".stripMargin,
+    "etl_dedup_rows" ->
+      """SELECT DISTINCT l_suppkey, l_returnflag
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
+    "ts_resample_daily" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |         count(*) AS cnt
+        |  FROM orders GROUP BY 1),
+        |spine AS (
+        |  SELECT unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day
+        |  FROM daily)
+        |SELECT s.day AS day, coalesce(d.cnt, 0) AS cnt
+        |FROM spine s LEFT JOIN daily d ON s.day = d.day ORDER BY day""".stripMargin,
+    "ts_pivot_wide" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        | count(*) FILTER (WHERE event_type = 'error')    AS error,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+        | count(*) FILTER (WHERE event_type IN ('click', 'view')) AS browse
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ts_train_test" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1)
+        |SELECT day, cnt,
+        | CASE WHEN day > (SELECT max(day) FROM daily) - INTERVAL 14 DAY
+        |      THEN 'test' ELSE 'train' END AS split
+        |FROM daily ORDER BY day""".stripMargin,
+    "forecast_snaive" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT max(day) AS mx FROM daily),
+        |l AS (SELECT daily.*, lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY day) AS lagp
+        |      FROM daily),
+        |train AS (
+        |  SELECT l.event_type, cnt - lagp AS resid FROM l, mx
+        |  WHERE day <= mx - INTERVAL 7 DAY AND lagp IS NOT NULL),
+        |qs AS (
+        |  SELECT event_type, quantile_cont(resid, 0.1) AS q10,
+        |         quantile_cont(resid, 0.5) AS q50, quantile_cont(resid, 0.9) AS q90
+        |  FROM train GROUP BY event_type)
+        |SELECT l.event_type AS event_type, day, cnt AS actual,
+        |  round(lagp + q50, 4) AS pred, round(lagp + q10, 4) AS lo,
+        |  round(lagp + q90, 4) AS hi
+        |FROM l, mx, qs
+        |WHERE day > mx - INTERVAL 7 DAY AND qs.event_type = l.event_type
+        |ORDER BY event_type, day""".stripMargin,
+    "forecast_eval" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT max(day) AS mx FROM daily),
+        |l AS (SELECT daily.*, lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY day) AS lagp
+        |      FROM daily),
+        |train AS (
+        |  SELECT l.event_type, cnt - lagp AS resid FROM l, mx
+        |  WHERE day <= mx - INTERVAL 7 DAY AND lagp IS NOT NULL),
+        |qs AS (
+        |  SELECT event_type, quantile_cont(resid, 0.1) AS q10,
+        |         quantile_cont(resid, 0.5) AS q50, quantile_cont(resid, 0.9) AS q90
+        |  FROM train GROUP BY event_type),
+        |f AS (
+        |  SELECT l.event_type AS event_type, cnt AS actual,
+        |    round(lagp + q50, 4) AS pred, round(lagp + q10, 4) AS lo,
+        |    round(lagp + q90, 4) AS hi
+        |  FROM l, mx, qs
+        |  WHERE day > mx - INTERVAL 7 DAY AND qs.event_type = l.event_type)
+        |SELECT event_type, round(avg(abs(actual - pred)), 4) AS mae,
+        | round(avg(CASE WHEN actual >= lo AND actual <= hi
+        |           THEN 1.0 ELSE 0.0 END), 4) AS coverage
+        |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

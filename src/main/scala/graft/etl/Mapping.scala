@@ -1,0 +1,56 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ETL-normalization operators — the capabilities of the reference's
+  * Glue DynamicFrame pipeline (etl/2019reinvent_green.py:29-53:
+  * ApplyMapping → ResolveChoice → DropNullFields → lit-tag → sink),
+  * re-expressed as pure DataFrame transforms so Catalyst sees
+  * through them (casts/renames collapse into the scan projection).
+  */
+object Mapping {
+
+  /** ApplyMapping: (source column, target name, target type) triples,
+    * applied as a single projection — column pruning reaches the
+    * scan, unlike the row-wise DynamicFrame mapper it replaces. */
+  def applyMapping(df: DataFrame, mappings: Seq[(String, String, String)]): DataFrame =
+    df.select(mappings.map { case (src, dst, dt) =>
+      col(src).cast(dt).as(dst)
+    }: _*)
+
+  /** ResolveChoice ("cast:type" semantics): values that cannot be
+    * cast become null instead of failing the job (Spark 4 runs ANSI
+    * mode, so the lenient behavior must be opted into via try_cast). */
+  def resolveChoice(df: DataFrame, casts: Seq[(String, String, String)]): DataFrame = {
+    val resolved = casts.map { case (src, dst, dt) =>
+      expr(s"try_cast($src AS $dt)").as(dst)
+    }
+    val untouched = df.columns.filterNot(c => casts.exists(_._1 == c)).map(col)
+    df.select(untouched.toIndexedSeq ++ resolved: _*)
+  }
+
+  /** DropNullFields: drop columns whose values are ALL null. One
+    * distributed aggregate pass computes every column's non-null
+    * count; only the single summary row reaches the driver. */
+  def dropNullFields(df: DataFrame): DataFrame = {
+    val counts = df.select(df.columns.toIndexedSeq.map(c =>
+      count(col(c)).as(c)): _*).first()
+    val keep = df.columns.zipWithIndex.collect {
+      case (c, i) if counts.getLong(i) > 0 => col(c)
+    }
+    df.select(keep.toIndexedSeq: _*)
+  }
+
+  /** Canonicalize: align heterogeneous sources onto one schema and
+    * tag each row with its origin (the reference's lit("green") /
+    * lit("yellow") / lit("fhv") union, 2019reinvent_green.py:44). */
+  def canonicalize(sources: Seq[(String, DataFrame)]): DataFrame =
+    sources.map { case (tag, df) =>
+      df.withColumn("src", lit(tag)).select(col("src"), col("event_ts"))
+    }.reduce(_.union(_))
+
+  /** Exact duplicate-row removal (DISTINCT on the projection). */
+  def dedupRows(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(col): _*).distinct()
+}

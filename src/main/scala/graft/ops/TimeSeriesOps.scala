@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series feature engineering — the reference's resample /
+  * pivot / split pipeline (GluePySparkMLFeatureEngineering.ipynb
+  * cells 10-20), re-expressed fully distributed: the reference pulls
+  * min/max epoch to the driver and builds a `spark.range` reference
+  * frame; here the spine comes from `sequence()` + `explode` inside
+  * the plan, so the same code runs with millions of series and no
+  * driver round-trip.
+  */
+object TimeSeriesOps {
+
+  /** Daily gap-filled resample of orders counts (reference cell 10:
+    * epoch-truncate → reference range → left join → zero-fill). */
+  def resampleDaily(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = daily
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy(col("day"))
+  }
+
+  /** Wide day × type matrix with a combined column — mirrors the
+    * notebook's pivot + `full_fhv = fhv + fhvhv` combine + drop
+    * (GluePySparkMLFeatureEngineering cells 14, 40): here
+    * browse = click + view. */
+  def pivotWide(s: SparkSession, d: String): DataFrame =
+    Analytics.pivotPerDay(s, d)
+      .withColumn("browse", col("click") + col("view"))
+      .select(col("day"), col("error"), col("purchase"), col("signup"), col("browse"))
+      .orderBy(col("day"))
+
+  /** Time-based train/test split: last `testDays` days are 'test'
+    * (reference cell 20: end_training = index[-n_weeks*14]). The max
+    * bound joins in as a broadcast single-row frame. */
+  def trainTestSplit(s: SparkSession, d: String, testDays: Int = 14): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val mx = daily.agg(max(col("day")).as("mx"))
+    daily.crossJoin(broadcast(mx))
+      .select(col("day"), col("cnt"),
+        when(col("day") > col("mx") - expr(s"interval $testDays day"), "test")
+          .otherwise("train").as("split"))
+      .orderBy(col("day"))
+  }
+
+  /** DeepAR-style dataset export: one row per series with
+    * {start, target[], json} — the reference's series_to_jsonline
+    * (GluePySparkMLFeatureEngineering cell 45), built with an
+    * order-preserving sorted collect per group instead of a driver
+    * loop over pandas columns. */
+  def deeparExport(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("event_type"))
+      .agg(
+        date_format(min(col("day")), "yyyy-MM-dd HH:mm:ss").as("start"),
+        transform(array_sort(collect_list(struct(col("day"), col("cnt")))),
+          x => x.getField("cnt")).as("target"))
+      .withColumn("json", to_json(struct(col("start"), col("target"))))
+      .orderBy(col("event_type"))
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.etl.Mapping
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class EtlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("applyMapping renames and casts in one projection") {
+    val out = Mapping.applyMapping(Tables.orders(spark, sf), Seq(
+      ("o_orderkey", "orderkey", "string"),
+      ("o_totalprice", "total", "double")))
+    assert(out.schema === StructType(Seq(
+      StructField("orderkey", StringType),
+      StructField("total", DoubleType))))
+    assert(out.count() === Tables.orders(spark, sf).count())
+  }
+
+  test("resolveChoice nulls out uncastable values instead of failing") {
+    val df = Seq(("1", "ok"), ("x", "bad"), ("3", "ok")).toDF("v", "tag")
+    val out = Mapping.resolveChoice(df, Seq(("v", "v_long", "bigint")))
+    val got = out.select("v_long").collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.toSet === Set(Some(1L), None, Some(3L)))
+  }
+
+  test("dropNullFields drops only all-null columns") {
+    val df = Seq((1, Option.empty[String], "a"), (2, None, "b"))
+      .toDF("id", "allnull", "kept")
+    val out = Mapping.dropNullFields(df)
+    assert(out.columns.toSeq === Seq("id", "kept"))
+  }
+
+  test("canonicalize unions sources with origin tags") {
+    val a = Seq(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+      .toDF("event_ts")
+    val b = Seq(java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))
+      .toDF("event_ts")
+    val out = Mapping.canonicalize(Seq("a" -> a, "b" -> b))
+    assert(out.columns.toSeq === Seq("src", "event_ts"))
+    assert(out.select("src").as[String].collect().sorted.toSeq === Seq("a", "b"))
+  }
+
+  test("dedupRows removes exact duplicates on the projection") {
+    val df = Seq((1, "x"), (1, "x"), (2, "y")).toDF("k", "v")
+    assert(Mapping.dedupRows(df, Seq("k", "v")).count() === 2)
+  }
+}
