@@ -73,6 +73,21 @@ object SparkEntry {
     "ts_deepar_export"  -> (TimeSeriesOps.deeparExport _),
     "forecast_snaive"   -> ((s, d) => Forecast.seasonalNaive(s, d)),
     "forecast_eval"     -> (Forecast.evaluate _),
+    // §2.4 deduplication
+    "dedup_exact"         -> (DedupOps.exact _),
+    "dedup_minhash"       -> ((s, d) => DedupOps.minhashLsh(s, d)),
+    "dedup_simhash"       -> ((s, d) => DedupOps.simhashPairs(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccard(s, d)),
+    "dedup_embedding"     -> ((s, d) => DedupOps.embeddingPairs(s, d, threshold = 0.45)),
+    // §2.5 similarity search
+    "ann_bruteforce_topk" -> ((s, d) => SimilarityOps.bruteForceTopK(s, d)),
+    "ann_lsh_topk"        -> ((s, d) => SimilarityOps.lshTopK(s, d)),
+    "ann_ivf_topk"        -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
+    // §2.6 text analysis
+    "text_tokens"      -> (TextOps.tokenCounts _),
+    "text_quality"     -> (TextOps.qualityScores _),
+    "text_langid"      -> (TextOps.langId _),
+    "text_fingerprint" -> ((s, d) => TextOps.fingerprints(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -276,5 +291,66 @@ object SparkEntry {
         | round(avg(CASE WHEN actual >= lo AND actual <= hi
         |           THEN 1.0 ELSE 0.0 END), 4) AS coverage
         |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    // dedup_minhash shares the exact-Jaccard oracle: LSH banding at
+    // 16x4 has ~6e-4 miss probability per J≥0.8 pair and candidates
+    // are exact-verified, so its output equals the exact algorithm's
+    // on this corpus (asserted in DedupSpec and at sf0.01).
+    "dedup_minhash" ->
+      """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+        |             FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+        |  FROM tok WHERE len(t) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2,
+        |  round(common * 1.0 / (x.n + y.n - common), 4) AS jaccard
+        |FROM pairs JOIN sz x ON x.doc_id = id1 JOIN sz y ON y.doc_id = id2
+        |WHERE common * 1.0 / (x.n + y.n - common) >= 0.8
+        |ORDER BY id1, id2""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+        |             FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+        |  FROM tok WHERE len(t) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2,
+        |  round(common * 1.0 / (x.n + y.n - common), 4) AS jaccard
+        |FROM pairs JOIN sz x ON x.doc_id = id1 JOIN sz y ON y.doc_id = id2
+        |WHERE common * 1.0 / (x.n + y.n - common) >= 0.8
+        |ORDER BY id1, id2""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        | len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+        | len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\s]')) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id, len, n_tokens, stopword_ratio, punct_ratio,
+        | CASE WHEN len >= 100 AND stopword_ratio >= 0.01
+        |      THEN 'good' ELSE 'low' END AS quality_flag
+        |FROM (
+        |  SELECT doc_id, length(text) AS len,
+        |   len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |   round(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |     x -> list_contains(['the','a','and','of','to','in','is'], x)))
+        |     * 1.0 / len(string_split_regex(trim(text), '\s+')), 4)
+        |     AS stopword_ratio,
+        |   round(len(regexp_extract_all(text, '[.,;:!?]')) * 1.0
+        |     / length(text), 4) AS punct_ratio
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,111 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * token counting, quality scoring, language ID, and winnowing
+  * fingerprints. Everything is built from codegen'd higher-order
+  * column functions (`split`/`filter`/`transform`/`slice`) — no UDFs
+  * — so the whole stage stays in generated code and scales linearly
+  * with corpus size.
+  */
+object TextOps {
+
+  private[ops] def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Whitespace tokens plus a BPE-ish regex segmentation count
+    * (letter runs | single digits | punctuation marks). */
+  def tokenCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(toks(col("text"))).as("ws_tokens"),
+      regexp_count(col("text"), lit("[a-z]+|[0-9]|[^a-z0-9\\s]")).as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** Quality scores: length, token count, stopword ratio, punctuation
+    * ratio, and a categorical flag — the classic cheap pre-filters
+    * applied before expensive pipeline stages. */
+  def qualityScores(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val stopArr = typedLit(stopwords)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).as("len"),
+      size(t).as("n_tokens"),
+      round(size(filter(t, x => array_contains(stopArr, x)))
+        .cast("double") / size(t), 4).as("stopword_ratio"),
+      round(regexp_count(col("text"), lit("[.,;:!?]")).cast("double") /
+        length(col("text")), 4).as("punct_ratio"))
+      .withColumn("quality_flag",
+        when(col("len") >= 100 && col("stopword_ratio") >= 0.01, "good")
+          .otherwise("low"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language profiles: minimal public stopword seeds per language.
+    * (The synthetic corpus shares one vocabulary across its declared
+    * langs, so accuracy there is undefined; LangIdSpec exercises the
+    * operator on real multilingual sentences.) */
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "zu", "den", "nicht", "von"),
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "was"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "fr" -> Seq("le", "les", "de", "et", "un", "est", "pour", "que", "dans", "ce"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "这", "中"))
+
+  /** Stopword-profile language ID: score(lang) = fraction of tokens
+    * in that language's profile; argmax with deterministic
+    * alphabetical tiebreak, 'und' when nothing matches. */
+  def langId(s: SparkSession, d: String): DataFrame =
+    langIdOn(Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text")))
+
+  /** Same scoring over any (doc_id, lang, text) frame. */
+  def langIdOn(docs: DataFrame): DataFrame = {
+    val t = toks(lower(col("text")))
+    val scored = langProfiles.foldLeft(docs) {
+      case (df, (lang, words)) =>
+        df.withColumn(s"score_$lang",
+          round(size(filter(t, x => array_contains(typedLit(words), x)))
+            .cast("double") / greatest(size(t), lit(1)), 4))
+    }
+    val best = langProfiles.map { case (lang, _) =>
+      struct(col(s"score_$lang").as("score"), lit(lang).as("lang"))
+    }
+    // greatest over (score, lang) structs: max score wins; equal
+    // scores break deterministically to the lexicographically
+    // largest lang (struct comparison falls through to field 2).
+    scored.withColumn("best", greatest(best: _*))
+      .select(col("doc_id"), col("lang").as("declared_lang"),
+        when(col("best.score") > 0, col("best.lang")).otherwise("und")
+          .as("pred_lang"),
+        col("best.score").as("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Winnowing fingerprint (Schleimer et al., SIGMOD'03): hash every
+    * k-token shingle, take the minimum hash of each sliding window of
+    * w shingles, dedupe — a compact, position-robust signature. */
+  def fingerprints(s: SparkSession, d: String,
+                   k: Int = 3, w: Int = 4): DataFrame = {
+    val t = toks(col("text"))
+    val n = size(t)
+    val starts = when(n >= k, sequence(lit(1), n - (k - 1)))
+      .otherwise(array().cast("array<int>"))
+    val hashes = transform(starts, i => xxhash64(concat_ws(" ", slice(t, i, lit(k)))))
+    val nh = size(hashes)
+    val winStarts = when(nh >= w, sequence(lit(1), nh - (w - 1)))
+      .otherwise(when(nh > 0, array(lit(1))).otherwise(array().cast("array<int>")))
+    val fp = array_sort(array_distinct(
+      transform(winStarts, i => array_min(slice(hashes, i, least(lit(w), nh))))))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      fp.as("fingerprint"),
+      size(fp).as("fp_size"),
+      element_at(fp, 1).as("fp_min"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.ops.SimilarityOps
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine column function matches a hand-computed value") {
+    val df = Seq((Array(1.0f, 0.0f, 1.0f), Array(1.0f, 1.0f, 0.0f)))
+      .toDF("a", "b")
+    val got = df.select(SimilarityOps.cosine(col("a"), col("b"))).first().getDouble(0)
+    assert(math.abs(got - 0.5) < 1e-9)
+  }
+
+  test("brute force top-k: k results per query, descending, no self-match") {
+    val out = SimilarityOps.bruteForceTopK(spark, sf, k = 5, nQueries = 5).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size === 5)
+    byQ.values.foreach { rows =>
+      assert(rows.length === 5)
+      val cos = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cos.sameElements(cos.sortBy(-_: Double)))
+      rows.foreach(r => assert(r.getLong(1) !== r.getLong(0)))
+    }
+  }
+
+  test("LSH top-k results are a subset-ranking of brute force candidates") {
+    val lsh = SimilarityOps.lshTopK(spark, sf, k = 3, nQueries = 5).collect()
+    // approximate: each returned neighbor's cosine must equal the exact
+    // cosine (we only skip candidates, never mis-score them)
+    val bf = SimilarityOps.bruteForceTopK(spark, sf, k = 1000, nQueries = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(bf(key) === r.getDouble(2))
+    }
+  }
+
+  test("IVF top-k returns ranked neighbors per query") {
+    val out = SimilarityOps.ivfTopK(spark, sf, k = 3, nQueries = 5).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).values.foreach { rows =>
+      val ranks = rows.map(_.getInt(3)).sorted
+      assert(ranks.toSeq === (1 to rows.length))
+    }
+  }
+}
