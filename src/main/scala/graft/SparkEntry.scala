@@ -88,6 +88,11 @@ object SparkEntry {
     "text_quality"     -> (TextOps.qualityScores _),
     "text_langid"      -> (TextOps.langId _),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprints(s, d)),
+    // §2.7 multimodal
+    "mm_extract" -> (MultimodalOps.extractFeatures _),
+    // §2.8 streaming (batch faces; streaming faces spec-tested)
+    "stream_window_counts" -> (graft.streaming.EventStreams.windowCountsBatch _),
+    "stream_sessionize"    -> (graft.streaming.EventStreams.sessionizeBatch _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -352,5 +357,25 @@ object SparkEntry {
         |     / length(text), 4) AS punct_ratio
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "stream_window_counts" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
+        | count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |   CASE WHEN lag(ts) OVER w IS NULL
+        |          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |        THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | min(ts) AS start_ts, max(ts) AS end_ts
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

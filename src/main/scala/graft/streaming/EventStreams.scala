@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming surface over the events table. Each operator has two
+  * faces with identical semantics:
+  *  - a batch face (used by the correctness oracle), and
+  *  - a Structured Streaming face (readStream → transform →
+  *    writeStream), spec-driven via the memory sink.
+  * The batch face IS the streaming computation — same expressions —
+  * so correctness checked on one transfers to the other.
+  */
+object EventStreams {
+
+  // ---- tumbling-window aggregate --------------------------------------
+
+  /** Batch face: tumbling 1-hour windows of count + value sum. */
+  def windowCountsBatch(s: SparkSession, d: String): DataFrame =
+    windowCounts(Tables.events(s, d))
+
+  /** The shared transform: window() works identically on batch and
+    * streaming frames. */
+  def windowCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"),
+        col("total_value"))
+      .orderBy(col("ws"), col("event_type"))
+
+  /** Streaming face: a parquet directory source (files appear over
+    * time in production; the spec stages a static copy) with an
+    * event-time watermark bounding aggregate state. */
+  def windowCountsStream(s: SparkSession, sourceDir: String,
+                         schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.readStream.schema(schema).parquet(sourceDir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"),
+        col("total_value"))
+
+  // ---- sessionization --------------------------------------------------
+
+  val sessionGapSec: Long = 1800L
+
+  /** Batch face: session = maximal run of per-user events with gaps
+    * ≤ 30 min, assigned via lag + running sum of session-breaks —
+    * two window passes, one shuffle on user_id. */
+  def sessionizeBatch(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prevTs = lag(col("ts"), 1).over(w)
+    val isNew = when(prevTs.isNull ||
+      (unix_micros(col("ts")) - unix_micros(prevTs)) > sessionGapSec * 1000000L, 1L)
+      .otherwise(0L)
+    Tables.events(s, d)
+      .withColumn("new_sess", isNew)
+      .withColumn("session_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  // Streaming face: arbitrary stateful processing. State is the
+  // last-seen timestamp + running session counter per user.
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+  case class SessionState(lastTsMicros: Long, sessionId: Long)
+  case class SessionRow(user_id: Long, session_id: Long, n_events: Long,
+                        start_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp)
+
+  /** flatMapGroupsWithState sessionizer. Within a micro-batch the
+    * group's events arrive unordered — sort, then fold with the
+    * carried state so sessions continue across micro-batches. */
+  def sessionizeStream(events: Dataset[SessionEvent]): Dataset[SessionRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId, it, state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, SessionEvent)]
+          sorted.foreach { e =>
+            val tsMicros = e.ts.getTime * 1000L
+            val sid =
+              if (st.lastTsMicros == Long.MinValue ||
+                  tsMicros - st.lastTsMicros > sessionGapSec * 1000000L)
+                st.sessionId + 1
+              else st.sessionId
+            st = SessionState(tsMicros, sid)
+            out += ((sid, e))
+          }
+          state.update(st)
+          out.groupBy(_._1).iterator.map { case (sid, evts) =>
+            val ts = evts.map(_._2.ts)
+            SessionRow(userId, sid, evts.size.toLong,
+              ts.minBy(_.getTime), ts.maxBy(_.getTime))
+          }
+      }
+  }
+}

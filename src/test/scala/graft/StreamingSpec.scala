@@ -1,0 +1,60 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming windowed counts equal the batch face (memory sink)") {
+    val staged = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val events = Tables.events(spark, sf)
+    events.write.mode("overwrite").parquet(staged)
+    val q = EventStreams.windowCountsStream(spark, staged, events.schema)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("wc_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("wc_out")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val batch = EventStreams.windowCountsBatch(spark, sf)
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionizer matches the batch sessionizer") {
+    import spark.implicits._
+    val eventsDs = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[EventStreams.SessionEvent]
+
+    // Drive the stateful operator through a real streaming query over
+    // the same rows (single micro-batch via the in-memory source).
+    implicit val sqlCtx = spark.sqlContext
+    val memStream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.SessionEvent]
+    memStream.addData(eventsDs.collect().toIndexedSeq)
+    val q = EventStreams.sessionizeStream(memStream.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sess_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = EventStreams.sessionizeBatch(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("batch sessionize: session event counts sum to total events") {
+    val sess = EventStreams.sessionizeBatch(spark, sf)
+    val total = sess.agg(sum("n_events")).first().getLong(0)
+    assert(total === Tables.events(spark, sf).count())
+  }
+}
