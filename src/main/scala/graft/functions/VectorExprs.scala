@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Vector kernels as native Catalyst expressions. Spark's
+  * higher-order functions (`zip_with`/`aggregate`) evaluate lambdas
+  * interpreted, one virtual call per element; these compile to a
+  * single static JVM call over the unsafe array data, so cosine
+  * scoring stays inside whole-stage codegen — the difference between
+  * an ANN scan being CPU-bound on boxed iteration vs on FMA. */
+object VectorKernels {
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i); val y = b.getFloat(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i) * b.getFloat(i); i += 1 }
+    s
+  }
+}
+
+abstract class FloatVecBinary extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, array<float>), got $other")
+    }
+  protected def kernel: String
+  override protected def nullSafeEval(a: Any, b: Any): Any = eval0(a, b)
+  protected def eval0(a: Any, b: Any): Double
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.$kernel($a, $b)")
+}
+
+case class CosineSim(left: Expression, right: Expression) extends FloatVecBinary {
+  override protected def kernel: String = "cosine"
+  override protected def eval0(a: Any, b: Any): Double =
+    VectorKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(l, r)
+  override def prettyName: String = "cosine_sim"
+}
+
+case class DotProduct(left: Expression, right: Expression) extends FloatVecBinary {
+  override protected def kernel: String = "dot"
+  override protected def eval0(a: Any, b: Any): Double =
+    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(l, r)
+  override def prettyName: String = "dot_product"
+}
+
+object VectorExprs {
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def dotProduct(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

