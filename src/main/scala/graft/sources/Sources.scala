@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Sources and sinks — the reference's I/O surface re-expressed:
+  * headered CSV in (2019reinvent_green.py:19-23 reads
+  * format="csv", withHeader), normalized parquet out with source
+  * partitioning (2019reinvent_green.py:53 writes parquet; partition
+  * columns make the downstream scans prunable, which the reference
+  * approximates with per-source S3 prefixes).
+  */
+object Sources {
+
+  /** Headered CSV with explicit schema (production path: schema is
+    * declared, not inferred, so ingest does not pay a discovery pass
+    * and type drift fails fast). */
+  def readCsv(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.option("header", "true").schema(schema).csv(path)
+
+  /** Headered CSV with schema inference — the "crawler" convenience
+    * path for discovery work (costs one extra pass over the data). */
+  def readCsvInferred(s: SparkSession, path: String): DataFrame =
+    s.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** Partitioned parquet sink. Partition columns become directory
+    * keys so downstream readers get partition pruning for free;
+    * maxRecordsPerFile bounds file sizes at scale. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String],
+                       maxRecordsPerFile: Long = 5000000L): Unit =
+    df.write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Read back a partitioned dataset; filters on partition columns
+    * prune directories before any file is opened. */
+  def readPartitioned(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.etl.Mapping
+import graft.sources.Sources
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SourcesSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-io").toString
+
+  test("CSV source: header + schema roundtrip matches the parquet original") {
+    val dir = tmp()
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    orders.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = Sources.readCsv(spark, dir, orders.schema)
+    assert(back.count() === orders.count())
+    val a = orders.orderBy("o_orderkey").collect().map(_.toString)
+    val b = back.orderBy("o_orderkey").collect().map(_.toString)
+    assert(a.sameElements(b))
+  }
+
+  test("CSV inference discovers workable types") {
+    val dir = tmp()
+    Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val inferred = Sources.readCsvInferred(spark, dir)
+    assert(inferred.schema("o_orderkey").dataType.typeName === "integer" ||
+           inferred.schema("o_orderkey").dataType.typeName === "long")
+    assert(inferred.schema("o_totalprice").dataType.typeName === "double")
+  }
+
+  test("reference ETL pipeline shape: csv -> applyMapping -> tagged parquet") {
+    val dir = tmp()
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("ts").cast("string").as("event_time"),
+        col("user_id"), col("event_type"))
+      .write.mode("overwrite").option("header", "true").csv(s"$dir/raw")
+    val raw = Sources.readCsvInferred(spark, s"$dir/raw")
+    val mapped = Mapping.applyMapping(raw, Seq(
+      ("event_id", "event_id", "long"),
+      ("event_time", "event_ts", "timestamp"),
+      ("user_id", "user_id", "long")))
+      .withColumn("type", lit("events"))
+    Sources.writePartitioned(mapped, s"$dir/canonical", Seq("type"))
+    val back = Sources.readPartitioned(spark, s"$dir/canonical")
+    assert(back.count() === Tables.events(spark, sf).count())
+    assert(back.schema("event_ts").dataType.typeName.startsWith("timestamp"))
+  }
+
+  test("partitioned sink: partition filter prunes the file scan") {
+    val dir = tmp()
+    Sources.writePartitioned(
+      Tables.events(spark, sf).withColumn("day", to_date(col("ts"))),
+      dir, Seq("event_type"))
+    val pruned = Sources.readPartitioned(spark, dir)
+      .filter(col("event_type") === "click")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() ===
+      Tables.events(spark, sf).filter(col("event_type") === "click").count())
+    // partition pruning shows up as a pushed partition filter in the scan
+    assert(plan.contains("PartitionFilters") || plan.contains("partitionFilters"))
+  }
+
+  test("GraftExtensions: SQL functions resolve in an extended session") {
+    // getOrCreate() would silently reuse the suite session and skip the
+    // extensions, so build a genuinely fresh session (this is the
+    // suite's final test; later suites lazily create their own).
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = s2.sql(
+        """SELECT simhash64(array('a','b')) AS sh,
+          |  cosine_sim(array(cast(1.0 as float), cast(0.0 as float)),
+          |             array(cast(1.0 as float), cast(0.0 as float))) AS cs,
+          |  dot_product(array(cast(2.0 as float)), array(cast(3.0 as float))) AS dp
+          |""".stripMargin).first()
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
+      assert(math.abs(r.getDouble(2) - 6.0) < 1e-9)
+    } finally { /* shared-JVM session: leave running for other suites */ }
+  }
+}
