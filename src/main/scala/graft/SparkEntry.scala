@@ -90,6 +90,9 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextOps.fingerprints(s, d)),
     // §2.7 multimodal
     "mm_extract" -> (MultimodalOps.extractFeatures _),
+    // §2.10 MLlib pipelines
+    "ml_cluster"  -> ((s, d) => MlOps.cluster(s, d)),
+    "ml_classify" -> (MlOps.classify _),
     // §2.8 streaming (batch faces; streaming faces spec-tested)
     "stream_window_counts" -> (graft.streaming.EventStreams.windowCountsBatch _),
     "stream_sessionize"    -> (graft.streaming.EventStreams.sessionizeBatch _),

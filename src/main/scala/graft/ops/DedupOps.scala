@@ -24,21 +24,28 @@ object DedupOps {
 
   // ---- shared text shingling ------------------------------------------
 
-  /** (doc_id, h): distinct xxhash64 of each k-token shingle. */
-  private[ops] def shingleHashes(docs: DataFrame, k: Int = 3): DataFrame = {
+  /** (doc_id, hs, n): each doc's distinct k-token shingle hashes as a
+    * sorted array — computed entirely inside the scan projection (no
+    * shuffle), and the base for signatures, prefixes, and
+    * verification alike. */
+  private[ops] def docShingleSets(docs: DataFrame, k: Int = 3): DataFrame = {
     val t = TextOps.toks(col("text"))
     val n = size(t)
     val starts = when(n >= k, sequence(lit(1), n - (k - 1)))
       .otherwise(array().cast("array<int>"))
     val shingles = transform(starts, i => concat_ws(" ", slice(t, i, lit(k))))
     docs.select(col("doc_id"),
-        explode(array_distinct(transform(shingles, s => xxhash64(s)))).as("h"))
+        array_sort(array_distinct(transform(shingles, s => xxhash64(s)))).as("hs"))
+      .withColumn("n", size(col("hs")))
   }
 
-  /** Exact Jaccard for a set of candidate pairs, via each side's
-    * distinct shingle-hash set (array_intersect on sorted sets). */
-  private def verifyJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val sets = sh.groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
+  /** (doc_id, h): exploded distinct shingle hashes. */
+  private[ops] def shingleHashes(docs: DataFrame, k: Int = 3): DataFrame =
+    docShingleSets(docs, k).select(col("doc_id"), explode(col("hs")).as("h"))
+
+  /** Exact Jaccard for candidate pairs, joining each side's already
+    * materialized sorted shingle-set array (array_intersect). */
+  private def verifyJaccard(pairs: DataFrame, sets: DataFrame): DataFrame = {
     pairs
       .join(sets.select(col("doc_id").as("id1"), col("hs").as("hs1")), "id1")
       .join(sets.select(col("doc_id").as("id2"), col("hs").as("hs2")), "id2")
@@ -79,20 +86,24 @@ object DedupOps {
                  threshold: Double = 0.8,
                  numPerm: Int = 64, bands: Int = 16): DataFrame = {
     val rows = numPerm / bands
-    val sh = shingleHashes(Tables.documents(s, d))
+    // reused by signature build AND exact verification — materialize once
+    val sets = docShingleSets(Tables.documents(s, d)).cache()
+    val sh = sets.select(col("doc_id"), explode(col("hs")).as("h"))
     val sig = minhashSignatures(sh, numPerm)
     val bandSigs = (0 until bands).map { b =>
       xxhash64((lit(b) +: (b * rows until (b + 1) * rows).map(j => col(s"mh$j"))): _*)
     }
+    // both sides of the candidate self-join read this — cache so the
+    // 64-aggregate signature pass runs once, not twice
     val banded = sig.select(col("doc_id"),
-      posexplode(array(bandSigs: _*)).as(Seq("band", "bsig")))
+      posexplode(array(bandSigs: _*)).as(Seq("band", "bsig"))).cache()
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-    verifyJaccard(cand, sh)
+    verifyJaccard(cand, sets)
       .filter(col("jaccard") >= threshold)
       .orderBy(col("id1"), col("id2"))
   }
@@ -111,7 +122,7 @@ object DedupOps {
     val chunks = (0 until 8).map(i =>
       shiftright(col("sig"), i * 8).bitwiseAND(lit(0xFFL)))
     val chunked = sigs.select(col("doc_id"), col("sig"),
-      posexplode(array(chunks: _*)).as(Seq("chunk_idx", "chunk_val")))
+      posexplode(array(chunks: _*)).as(Seq("chunk_idx", "chunk_val"))).cache()
     chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
@@ -126,25 +137,20 @@ object DedupOps {
 
   // ---- exact n-gram Jaccard -------------------------------------------
 
-  /** Exact all-pairs n-gram Jaccard ≥ threshold with PPJoin-style
-    * prefix filtering (Xiao et al., WWW'08): shingles are globally
-    * ordered rarest-first (document frequency, then hash); a pair at
-    * Jaccard ≥ t must collide inside each side's first
-    * |d| - ⌈t·|d|⌉ + 1 shingles, so only those prefix postings are
-    * self-joined, plus a length filter (t·max ≤ min) before exact
-    * set verification. Cost follows *prefix* posting lists — a small
-    * slice of the inverted index — instead of every shared shingle. */
+  /** Exact all-pairs n-gram Jaccard ≥ threshold with prefix filtering
+    * (PPJoin family, Xiao et al., WWW'08): under ANY fixed global
+    * shingle order, a pair at Jaccard ≥ t must collide inside each
+    * side's first |d| - ⌈t·|d|⌉ + 1 shingles. Using hash order as
+    * the global order makes the prefix a `slice` of the already
+    * sorted per-doc shingle array — zero extra shuffles — and only
+    * those prefix postings are self-joined, with a length filter
+    * (t·max ≤ min) ahead of exact set verification. */
   def ngramJaccard(s: SparkSession, d: String, threshold: Double = 0.8): DataFrame = {
-    val sh = shingleHashes(Tables.documents(s, d))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val docFreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
-    val prefix = sh.join(docFreq, "h")
-      .withColumn("pos", row_number().over(w))
-      .join(sizes, "doc_id")
-      .filter(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col("doc_id"), col("h"), col("n"))
+    // one scan-side pass feeds prefix build and verification alike
+    val sets = docShingleSets(Tables.documents(s, d)).cache()
+    val prefixLen = (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")
+    val prefix = sets.select(col("doc_id"), col("n"),
+      explode(slice(col("hs"), lit(1), greatest(prefixLen, lit(0)))).as("h"))
     val cand = prefix.as("a")
       .join(prefix.as("b"), col("a.h") === col("b.h") &&
         col("a.doc_id") < col("b.doc_id") &&
@@ -152,7 +158,7 @@ object DedupOps {
           ceil(lit(threshold) * greatest(col("a.n"), col("b.n"))))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-    verifyJaccard(cand, sh)
+    verifyJaccard(cand, sets)
       .filter(col("jaccard") >= threshold)
       .orderBy(col("id1"), col("id2"))
   }
@@ -166,7 +172,7 @@ object DedupOps {
                      threshold: Double = 0.95, nBits: Int = 4): DataFrame = {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val bucketed = emb.withColumn("bucket",
-      SimilarityOps.lshBucket(col("embedding"), nBits))
+      SimilarityOps.lshBucket(col("embedding"), nBits)).cache()
     val cand = bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
