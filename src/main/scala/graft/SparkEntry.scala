@@ -360,6 +360,46 @@ object SparkEntry {
         |     / length(text), 4) AS punct_ratio
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "ann_bruteforce_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |           FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q_id, e.vec_id AS vec_id,
+        |    round(list_cosine_similarity(q_emb, e.embedding), 4) AS cosine
+        |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY cosine DESC, vec_id) AS rank FROM scored)
+        |SELECT q_id, vec_id, cosine, rank FROM r
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, lang AS declared_lang,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |sc AS (SELECT doc_id, declared_lang,
+        |  round(len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','ein','zu','den','nicht','von'], x))) * 1.0 / greatest(len(toks), 1), 4) AS s_de,
+        |  round(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','that','it','was'], x))) * 1.0 / greatest(len(toks), 1), 4) AS s_en,
+        |  round(len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','un','es','se','no'], x))) * 1.0 / greatest(len(toks), 1), 4) AS s_es,
+        |  round(len(list_filter(toks, x -> list_contains(['le','les','de','et','un','est','pour','que','dans','ce'], x))) * 1.0 / greatest(len(toks), 1), 4) AS s_fr,
+        |  round(len(list_filter(toks, x -> list_contains(['的','是','了','在','我','有','和','不','这','中'], x))) * 1.0 / greatest(len(toks), 1), 4) AS s_zh
+        |  FROM t)
+        |SELECT doc_id, declared_lang,
+        |  CASE WHEN s_zh >= s_fr AND s_zh >= s_es AND s_zh >= s_en AND s_zh >= s_de AND s_zh > 0 THEN 'zh'
+        |       WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de AND s_fr > 0 THEN 'fr'
+        |       WHEN s_es >= s_en AND s_es >= s_de AND s_es > 0 THEN 'es'
+        |       WHEN s_en >= s_de AND s_en > 0 THEN 'en'
+        |       WHEN s_de > 0 THEN 'de'
+        |       ELSE 'und' END AS pred_lang,
+        |  greatest(s_de, s_en, s_es, s_fr, s_zh) AS score
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "ts_deepar_export" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    event_type, count(*) AS cnt FROM events GROUP BY 1, 2),
+        |agg AS (SELECT event_type,
+        |    strftime(min(day), '%Y-%m-%d %H:%M:%S') AS start,
+        |    list(cnt ORDER BY day) AS target FROM daily GROUP BY event_type)
+        |SELECT event_type, start, target,
+        |  to_json(struct_pack(start := start, target := target))::VARCHAR AS json
+        |FROM agg ORDER BY event_type""".stripMargin,
     "stream_window_counts" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
         | count(*) AS n, round(sum(value), 4) AS total_value
