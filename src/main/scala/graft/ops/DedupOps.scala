@@ -110,10 +110,13 @@ object DedupOps {
 
   // ---- SimHash ---------------------------------------------------------
 
-  /** Near-dup pairs by SimHash hamming distance ≤ maxHamming.
-    * Banding: 8 chunks of 8 bits — any pair within hamming 7 shares
-    * at least one chunk (pigeonhole), so recall is exact for the
-    * default. At larger corpus scale, widen chunks (4×16) to keep
+  /** Candidate near-dup pairs by SimHash hamming distance ≤
+    * maxHamming. Banding: 8 chunks of 8 bits — any pair within
+    * hamming 7 shares at least one chunk (pigeonhole), so recall is
+    * exact for the default. SimHash scores token-*distribution*
+    * similarity, so on narrow-vocabulary corpora it is a recall-
+    * oriented candidate generator (feed survivors to an exact
+    * verifier); at larger corpus scale, widen chunks (4×16) to keep
     * per-bucket fanout bounded. */
   def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 7): DataFrame = {
     val t = TextOps.toks(col("text"))

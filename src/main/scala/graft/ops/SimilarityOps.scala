@@ -87,24 +87,27 @@ object SimilarityOps {
     * (first nCells vectors) refined by one mean-update pass — a
     * k-means-lite fit done entirely with joins and aggregates; the
     * centroid table stays small and is broadcast everywhere. Queries
-    * probe their single nearest cell. */
+    * probe their nProbe nearest cells (multi-probe recovers most of
+    * the recall single-probe IVF loses at cell boundaries). */
   def ivfTopK(s: SparkSession, d: String,
-              k: Int = 5, nQueries: Int = 10, nCells: Int = 8): DataFrame = {
+              k: Int = 5, nQueries: Int = 10, nCells: Int = 8,
+              nProbe: Int = 2): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val seeds = emb.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
 
-    def nearestCell(df: DataFrame, vecCol: String, cents: DataFrame): DataFrame = {
+    def nearestCells(df: DataFrame, vecCol: String, cents: DataFrame,
+                     probes: Int): DataFrame = {
       val scored = df.crossJoin(broadcast(cents))
         .withColumn("sim", cosine(col(vecCol), col("c_emb")))
       val w = Window.partitionBy(col(df.columns.head))
         .orderBy(col("sim").desc, col("cell"))
       scored.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") === 1).drop("rnk", "sim", "c_emb")
+        .filter(col("rnk") <= probes).drop("rnk", "sim", "c_emb")
     }
 
     // one refinement pass: assign to seeds, recompute cell means
-    val assigned = nearestCell(emb, "embedding", seeds)
+    val assigned = nearestCells(emb, "embedding", seeds, 1)
     val dims = (0 until dim).map(i =>
       avg(element_at(col("embedding"), i + 1)).as(s"m$i"))
     val centroids = assigned.groupBy(col("cell"))
@@ -112,8 +115,8 @@ object SimilarityOps {
       .select(col("cell"), array((0 until dim).map(i => col(s"m$i")): _*)
         .cast("array<float>").as("c_emb"))
 
-    val cells = nearestCell(emb, "embedding", centroids)
-    val qCells = nearestCell(queries(s, d, nQueries), "q_emb", centroids)
+    val cells = nearestCells(emb, "embedding", centroids, 1)
+    val qCells = nearestCells(queries(s, d, nQueries), "q_emb", centroids, nProbe)
 
     val scored = cells.join(broadcast(qCells), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))

