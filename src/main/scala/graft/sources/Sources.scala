@@ -40,4 +40,18 @@ object Sources {
     * prune directories before any file is opened. */
   def readPartitioned(s: SparkSession, path: String): DataFrame =
     s.read.parquet(path)
+
+  /** Bucketed + sorted table: rows are hash-bucketed on the join key
+    * at write time, so equi-joins and aggregations between tables
+    * bucketed the same way need no shuffle at read time — the
+    * pre-partitioning strategy for fact-fact joins at scale. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    bucketCol: String, numBuckets: Int = 8): Unit =
+    df.write
+      .mode("overwrite")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
 }
