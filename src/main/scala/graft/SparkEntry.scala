@@ -397,20 +397,27 @@ object SparkEntry {
         |agg AS (SELECT event_type,
         |    strftime(min(day), '%Y-%m-%d %H:%M:%S') AS start,
         |    list(cnt ORDER BY day) AS target FROM daily GROUP BY event_type)
-        |SELECT event_type, start, target,
+        |SELECT event_type, start,
         |  to_json(struct_pack(start := start, target := target))::VARCHAR AS json
         |FROM agg ORDER BY event_type""".stripMargin,
     "stream_window_counts" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
         | count(*) AS n, round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // NOTE: events.parquet is TIMESTAMP(NANOS); Spark truncates to
+    // micros (Tables.events), so the oracle must truncate too BEFORE
+    // the gap predicate — a ns-preserving DuckDB would otherwise emit
+    // ns-precision start_ts/end_ts and different session splits.
     "stream_sessionize" ->
-      """WITH g AS (
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP_US) AS ts, event_id
+        |  FROM events),
+        |g AS (
         |  SELECT user_id, ts, event_id,
         |   CASE WHEN lag(ts) OVER w IS NULL
         |          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
         |        THEN 1 ELSE 0 END AS new_sess
-        |  FROM events
+        |  FROM ev
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
         |  SELECT user_id, ts,

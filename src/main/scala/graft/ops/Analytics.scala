@@ -37,9 +37,10 @@ object Analytics {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
-  /** TPC-H Q3-style: mktsegment-filtered customer (broadcast) ⋈
-    * orders ⋈ lineitem, revenue top-10. Customer side is filtered
-    * before the join so the broadcast stays small at scale. */
+  /** TPC-H Q3-style: mktsegment-filtered customer ⋈ orders ⋈
+    * lineitem, revenue top-10. customer grows with scale factor, so
+    * no forced broadcast — AQE picks broadcast when the filtered side
+    * fits and degrades to a shuffle join when it doesn't. */
   def topUnshipped(s: SparkSession, d: String): DataFrame = {
     val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
     val ord  = Tables.orders(s, d)
@@ -47,7 +48,7 @@ object Analytics {
     val li   = Tables.lineitem(s, d)
       .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(round(sum(revenue), 4).as("rev"))
       .select(col("o_orderkey"), col("rev"), col("o_orderdate"), col("o_orderpriority"))
@@ -55,8 +56,11 @@ object Analytics {
       .limit(10)
   }
 
-  /** TPC-H Q5-style star join: region→nation→(customer,supplier)
-    * dims broadcast, orders⋈lineitem as the fact spine. */
+  /** TPC-H Q5-style star join: orders⋈lineitem as the fact spine.
+    * Only the FIXED-size dims (nation: 25 rows, region: 5) carry
+    * broadcast hints; customer/supplier scale with SF, so their join
+    * strategy is left to AQE — broadcast while they fit, shuffle
+    * join past that, never an executor-OOM from a forced hint. */
   def regionRevenue(s: SparkSession, d: String): DataFrame = {
     val r  = Tables.region(s, d).filter(col("r_name") === "ASIA")
     val n  = Tables.nation(s, d)
@@ -67,8 +71,8 @@ object Analytics {
               col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
     val li = Tables.lineitem(s, d)
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(su),
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(su,
         col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))

@@ -61,6 +61,9 @@ object MultimodalOps {
       val decoder = FakeDecoder.open() // once per partition, like a real codec
       it.map(decoder.decode)
     }.toDF()
+      // feature vector surfaces as a JSON string (checker-portable);
+      // downstream consumers wanting the array use from_json
+      .withColumn("features", to_json(col("features")))
       .orderBy(col("doc_id"))
   }
 }

@@ -103,7 +103,9 @@ object TextOps {
       transform(winStarts, i => array_min(slice(hashes, i, least(lit(w), nh))))))
     Tables.documents(s, d).select(
       col("doc_id"),
-      fp.as("fingerprint"),
+      // JSON string, not a raw array: portable across result checkers
+      // and writers while keeping the full signature inspectable
+      to_json(fp).as("fingerprint"),
       size(fp).as("fp_size"),
       element_at(fp, 1).as("fp_min"))
       .orderBy(col("doc_id"))

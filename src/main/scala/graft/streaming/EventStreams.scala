@@ -88,7 +88,10 @@ object EventStreams {
           var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, SessionEvent)]
           sorted.foreach { e =>
-            val tsMicros = e.ts.getTime * 1000L
+            // full µs precision (getTime alone drops sub-ms nanos) so
+            // the gap predicate matches the batch face's unix_micros
+            val tsMicros =
+              Math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
             val sid =
               if (st.lastTsMicros == Long.MinValue ||
                   tsMicros - st.lastTsMicros > sessionGapSec * 1000000L)

@@ -13,7 +13,7 @@ class MultimodalSpec extends SparkSpec {
     rows.foreach { r =>
       assert(r.getInt(2) > 0)            // byte_len
       assert(r.getInt(3) % 16 === 0)     // width from stub decoder grid
-      assert(r.getSeq[Float](5).length === 8)
+      assert(r.getString(5).split(",").length === 8) // 8-dim JSON vector
     }
     // determinism: second run yields identical features
     val again = MultimodalOps.extractFeatures(spark, sf).collect()
