@@ -360,6 +360,21 @@ object SparkEntry {
         |     / length(text), 4) AS punct_ratio
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // Exact all-pairs cosine baseline; the LSH face (embeddingPairsLsh)
+    // is spec-verified on planted near-identical vectors instead.
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+        | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |   CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |   CAST(b.embedding AS DOUBLE[])), 4) >= 0.45
+        |ORDER BY id1, id2""".stripMargin,
+    // Deterministic fixed-seed LSH/IVF — replicated plane-for-plane in
+    // SQL by the generators in SimilarityOps (see the precision
+    // contract documented there).
+    "ann_lsh_topk" -> graft.ops.SimilarityOps.lshOracleSql(),
+    "ann_ivf_topk" -> graft.ops.SimilarityOps.ivfOracleSql(),
     "ann_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
         |           FROM embeddings WHERE vec_id < 10),

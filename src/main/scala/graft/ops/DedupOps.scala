@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import graft.functions.SimHash
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline, each a
@@ -13,14 +14,31 @@ import org.apache.spark.sql.functions._
   *    from equality joins on band signatures (never an all-pairs
   *    product), then exact-Jaccard verification touches candidates
   *    only. This is the 100 TB path: O(n·bands) shuffle rows.
-  *  - simhash: 64-bit signatures, 8×8-bit banding (pigeonhole
-  *    guarantees recall for hamming ≤ 7), bit_count verification.
+  *  - simhash: 64-bit signatures, 4×16-bit banding (pigeonhole
+  *    guarantees recall for hamming ≤ 3), bit_count verification.
   *  - exact n-gram Jaccard: inverted-index self-join — the exact
   *    baseline the probabilistic paths are measured against.
-  *  - embedding cosine: random-hyperplane LSH buckets, then exact
-  *    cosine within bucket.
+  *  - embedding cosine: an exact all-pairs face (the oracle-checked
+  *    baseline) and a multi-table random-hyperplane LSH face for the
+  *    high-similarity regime real dedup runs in.
+  *
+  * Every candidate-generating path takes a `maxBucket` cap: a
+  * duplicate-heavy key (boilerplate docs, a hot shingle) otherwise
+  * turns its bucket quadratic. The cap keeps the first `maxBucket`
+  * members per bucket in doc-id order — deterministic, and a no-op on
+  * corpora whose buckets stay below it.
   */
 object DedupOps {
+
+  /** Keep at most `cap` rows per bucket (deterministic: lowest ids
+    * win). The window shuffles on the same keys the candidate join
+    * uses, so the exchange is reused, not added. */
+  private def capBuckets(df: DataFrame, keys: Seq[String], idCol: String,
+                         cap: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap).drop("__rn")
+  }
 
   // ---- shared text shingling ------------------------------------------
 
@@ -84,10 +102,18 @@ object DedupOps {
     * J≈0.8+ are caught with prob ≥ 1-(1-0.8⁴)¹⁶ ≈ 0.9994). */
   def minhashLsh(s: SparkSession, d: String,
                  threshold: Double = 0.8,
-                 numPerm: Int = 64, bands: Int = 16): DataFrame = {
+                 numPerm: Int = 64, bands: Int = 16,
+                 maxBucket: Int = 1000): DataFrame =
+    minhashLshOn(Tables.documents(s, d), threshold, numPerm, bands, maxBucket)
+
+  /** Same over any (doc_id, text) frame. */
+  def minhashLshOn(docs: DataFrame,
+                   threshold: Double = 0.8,
+                   numPerm: Int = 64, bands: Int = 16,
+                   maxBucket: Int = 1000): DataFrame = {
     val rows = numPerm / bands
     // reused by signature build AND exact verification — materialize once
-    val sets = docShingleSets(Tables.documents(s, d)).cache()
+    val sets = docShingleSets(docs).cache()
     val sh = sets.select(col("doc_id"), explode(col("hs")).as("h"))
     val sig = minhashSignatures(sh, numPerm)
     val bandSigs = (0 until bands).map { b =>
@@ -95,8 +121,10 @@ object DedupOps {
     }
     // both sides of the candidate self-join read this — cache so the
     // 64-aggregate signature pass runs once, not twice
-    val banded = sig.select(col("doc_id"),
-      posexplode(array(bandSigs: _*)).as(Seq("band", "bsig"))).cache()
+    val banded = capBuckets(
+      sig.select(col("doc_id"),
+        posexplode(array(bandSigs: _*)).as(Seq("band", "bsig"))),
+      Seq("band", "bsig"), "doc_id", maxBucket).cache()
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
@@ -110,26 +138,51 @@ object DedupOps {
 
   // ---- SimHash ---------------------------------------------------------
 
-  /** Candidate near-dup pairs by SimHash hamming distance ≤
-    * maxHamming. Banding: 8 chunks of 8 bits — any pair within
-    * hamming 7 shares at least one chunk (pigeonhole), so recall is
-    * exact for the default. SimHash scores token-*distribution*
+  /** Near-dup pairs by SimHash hamming distance ≤ maxHamming, found
+    * by multi-index hashing (Norouzi et al., CVPR'12): the 64-bit
+    * signature splits into `bands` chunks of 64/bands bits, the index
+    * side posts each chunk value, and the probe side enumerates each
+    * chunk's 1-bit variants. By pigeonhole a pair within hamming
+    * 2·bands-1 has some chunk with ≤ 1 differing bit, so recall is
+    * EXACT for the default (4 chunks × 16 bits ⇒ hamming ≤ 7).
+    *
+    * The 16-bit chunks are what survives scale: 8-bit chunks have 256
+    * values, so at billions of docs every bucket holds ~n/256 docs
+    * and the self-join goes ~n²/256; 16-bit chunks spread over 65536
+    * values at the price of 17 probe keys per chunk, and `maxBucket`
+    * bounds adversarial residue. SimHash scores token-*distribution*
     * similarity, so on narrow-vocabulary corpora it is a recall-
     * oriented candidate generator (feed survivors to an exact
-    * verifier); at larger corpus scale, widen chunks (4×16) to keep
-    * per-bucket fanout bounded. */
-  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 7): DataFrame = {
+    * verifier). */
+  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 7,
+                   bands: Int = 4, maxBucket: Int = 1000): DataFrame =
+    simhashPairsOn(s, Tables.documents(s, d), maxHamming, bands, maxBucket)
+
+  /** Same over any (doc_id, text) frame. */
+  def simhashPairsOn(s: SparkSession, docs: DataFrame, maxHamming: Int = 7,
+                     bands: Int = 4, maxBucket: Int = 1000): DataFrame = {
+    require(64 % bands == 0 && bands >= 2, s"bands must divide 64, got $bands")
+    val chunkBits = 64 / bands
+    val mask = lit((1L << chunkBits) - 1)
     val t = TextOps.toks(col("text"))
-    val sigs = Tables.documents(s, d)
+    val sigs = docs
       .select(col("doc_id"), SimHash.simhash64(s, t).as("sig"))
-    val chunks = (0 until 8).map(i =>
-      shiftright(col("sig"), i * 8).bitwiseAND(lit(0xFFL)))
-    val chunked = sigs.select(col("doc_id"), col("sig"),
-      posexplode(array(chunks: _*)).as(Seq("chunk_idx", "chunk_val"))).cache()
-    chunked.as("a")
-      .join(chunked.as("b"),
+    val chunks = (0 until bands).map(i =>
+      shiftright(col("sig"), i * chunkBits).bitwiseAND(mask))
+    val index = capBuckets(
+      sigs.select(col("doc_id"), col("sig"),
+        posexplode(array(chunks: _*)).as(Seq("chunk_idx", "chunk_val"))),
+      Seq("chunk_idx", "chunk_val"), "doc_id", maxBucket).cache()
+    // probe = the chunk value itself plus its chunkBits 1-bit variants,
+    // unrolled as literals so the whole expansion stays in codegen
+    val variants = array((col("chunk_val") +: (0 until chunkBits).map(b =>
+      col("chunk_val").bitwiseXOR(lit(1L << b)))): _*)
+    val probe = index.select(col("doc_id"), col("sig"), col("chunk_idx"),
+      explode(variants).as("probe_val"))
+    probe.as("a")
+      .join(index.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
-        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.probe_val") === col("b.chunk_val") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
@@ -148,12 +201,25 @@ object DedupOps {
     * sorted per-doc shingle array — zero extra shuffles — and only
     * those prefix postings are self-joined, with a length filter
     * (t·max ≤ min) ahead of exact set verification. */
-  def ngramJaccard(s: SparkSession, d: String, threshold: Double = 0.8): DataFrame = {
+  def ngramJaccard(s: SparkSession, d: String, threshold: Double = 0.8,
+                   maxDf: Int = 0): DataFrame =
+    ngramJaccardOn(Tables.documents(s, d), threshold, maxDf)
+
+  /** Same over any (doc_id, text) frame. `maxDf` > 0 caps the posting
+    * list of a prefix shingle (deterministic lowest-ids-win) — the
+    * safety valve against a globally common shingle creating a hot
+    * quadratic key at corpus scale. 0 (the default) keeps the
+    * algorithm exact. */
+  def ngramJaccardOn(docs: DataFrame, threshold: Double = 0.8,
+                     maxDf: Int = 0): DataFrame = {
     // one scan-side pass feeds prefix build and verification alike
-    val sets = docShingleSets(Tables.documents(s, d)).cache()
+    val sets = docShingleSets(docs).cache()
     val prefixLen = (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")
-    val prefix = sets.select(col("doc_id"), col("n"),
+    val prefix0 = sets.select(col("doc_id"), col("n"),
       explode(slice(col("hs"), lit(1), greatest(prefixLen, lit(0)))).as("h"))
+    val prefix =
+      if (maxDf > 0) capBuckets(prefix0, Seq("h"), "doc_id", maxDf)
+      else prefix0
     val cand = prefix.as("a")
       .join(prefix.as("b"), col("a.h") === col("b.h") &&
         col("a.doc_id") < col("b.doc_id") &&
@@ -168,20 +234,63 @@ object DedupOps {
 
   // ---- embedding cosine ------------------------------------------------
 
-  /** Embedding near-dup pairs: random-hyperplane LSH buckets vectors
-    * (SimilarityOps.lshBucket), exact cosine verifies within buckets.
-    * nBits controls bucket granularity / recall. */
+  /** Exact embedding-cosine pairs ≥ threshold — the oracle-checked
+    * baseline face. All-pairs by definition (cosine at moderate
+    * thresholds admits no exact LSH shortcut: collision probability
+    * per hyperplane at cos≈0.45 is only ~0.65, so any bucketing that
+    * reaches recall 1 has degenerated to all-pairs anyway). The small
+    * side broadcasts, the codegen'd cosine kernel does the O(n²/2)
+    * scoring; for the high-similarity regime real dedup targets, use
+    * [[embeddingPairsLsh]]. */
   def embeddingPairs(s: SparkSession, d: String,
-                     threshold: Double = 0.95, nBits: Int = 4): DataFrame = {
+                     threshold: Double = 0.45): DataFrame = {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val bucketed = emb.withColumn("bucket",
-      SimilarityOps.lshBucket(col("embedding"), nBits)).cache()
+    emb.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+      .crossJoin(broadcast(
+        emb.select(col("vec_id").as("id2"), col("embedding").as("e2"))))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cosine", round(SimilarityOps.cosine(col("e1"), col("e2")), 4))
+      .filter(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), col("cosine"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Embedding near-dup pairs at scale: multi-table random-hyperplane
+    * LSH (OR-construction). Each of `nTables` independent tables
+    * buckets on `nBits` sign bits; a pair is a candidate if it
+    * collides in ANY table, and exact cosine verifies candidates.
+    * At the high-similarity thresholds dedup actually runs
+    * (cos ≥ 0.99 ⇒ per-bit collision ~0.97, per-table ~0.77,
+    * 4-table miss ~0.3%), recall is near-exact while candidate
+    * volume stays ~n·tables/2^bits — never all-pairs. */
+  def embeddingPairsLsh(s: SparkSession, d: String,
+                        threshold: Double = 0.9, nBits: Int = 8,
+                        nTables: Int = 4, maxBucket: Int = 1000): DataFrame =
+    embeddingPairsLshOn(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      threshold, nBits, nTables, maxBucket)
+
+  /** Same over any (vec_id, embedding) frame. */
+  def embeddingPairsLshOn(emb: DataFrame, threshold: Double = 0.9,
+                          nBits: Int = 8, nTables: Int = 4,
+                          maxBucket: Int = 1000): DataFrame = {
+    val tables = (0 until nTables).map { t =>
+      emb.select(col("vec_id"), lit(t).as("table"),
+        SimilarityOps.lshBucket(col("embedding"), nBits, seed = 42L + t)
+          .as("bucket"))
+    }.reduce(_.union(_))
+    val bucketed = capBuckets(tables, Seq("table", "bucket"), "vec_id",
+      maxBucket).cache()
     val cand = bucketed.as("a")
       .join(bucketed.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        col("a.embedding").as("e1"), col("b.embedding").as("e2"))
+        col("a.table") === col("b.table") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+      .distinct()
     cand
+      .join(emb.select(col("vec_id").as("id1"), col("embedding").as("e1")), "id1")
+      .join(emb.select(col("vec_id").as("id2"), col("embedding").as("e2")), "id2")
       .withColumn("cosine", round(SimilarityOps.cosine(col("e1"), col("e2")), 4))
       .filter(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), col("cosine"))

@@ -48,20 +48,23 @@ object SimilarityOps {
 
   private val dim = 64
 
+  /** Fixed-seed Gaussian hyperplanes — shared by the Spark bucket
+    * expression and the SQL oracle generator, so an external engine
+    * can replicate the exact bucketing from the same literals. */
+  private[graft] def lshPlanes(nBits: Int, seed: Long = 42L): Seq[Seq[Float]] = {
+    val rng = new java.util.Random(seed)
+    Seq.fill(nBits)(Seq.fill(dim)(rng.nextGaussian().toFloat))
+  }
+
   /** Deterministic random-hyperplane bucket id (nBits sign bits).
     * Planes are fixed-seed Gaussian literals baked into the plan; the
-    * per-row work is nBits compact zip_with/aggregate dot products
-    * instead of an unrolled nBits×dim expression tree, which keeps
-    * codegen small and fast. */
-  private[ops] def lshBucket(emb: Column, nBits: Int): Column = {
-    val rng = new java.util.Random(42)
-    val planes: Seq[Seq[Float]] =
-      Seq.fill(nBits)(Seq.fill(dim)(rng.nextGaussian().toFloat))
-    planes.zipWithIndex.map { case (p, i) =>
+    * per-row work is nBits compact dot products through the codegen'd
+    * DotProduct kernel, which keeps the generated code small and fast. */
+  private[ops] def lshBucket(emb: Column, nBits: Int, seed: Long = 42L): Column =
+    lshPlanes(nBits, seed).zipWithIndex.map { case (p, i) =>
       when(graft.functions.VectorExprs.dotProduct(emb, typedLit(p)) >= 0,
         lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
 
   /** LSH-bucketed approximate top-k: queries and corpus share the
     * bucket id; only same-bucket candidates are scored. Recall trades
@@ -88,18 +91,28 @@ object SimilarityOps {
     * k-means-lite fit done entirely with joins and aggregates; the
     * centroid table stays small and is broadcast everywhere. Queries
     * probe their nProbe nearest cells (multi-probe recovers most of
-    * the recall single-probe IVF loses at cell boundaries). */
+    * the recall single-probe IVF loses at cell boundaries).
+    *
+    * nCells defaults to ~√corpus (floor 8): cell population ~√n keeps
+    * both the probe fan-out and the per-cell scan sublinear as the
+    * corpus grows — a fixed cell count would collapse to
+    * scan-everything at 100× the data. Assignment similarity is
+    * rounded to 4dp with a cell-id tiebreak so the fit is bit-stable
+    * across engines and float-summation orders. */
   def ivfTopK(s: SparkSession, d: String,
-              k: Int = 5, nQueries: Int = 10, nCells: Int = 8,
+              k: Int = 5, nQueries: Int = 10, nCells: Int = 0,
               nProbe: Int = 2): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val seeds = emb.filter(col("vec_id") < nCells)
+    val cellCount =
+      if (nCells > 0) nCells
+      else math.max(8, math.sqrt(emb.count().toDouble).toInt)
+    val seeds = emb.filter(col("vec_id") < cellCount)
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
 
     def nearestCells(df: DataFrame, vecCol: String, cents: DataFrame,
                      probes: Int): DataFrame = {
       val scored = df.crossJoin(broadcast(cents))
-        .withColumn("sim", cosine(col(vecCol), col("c_emb")))
+        .withColumn("sim", round(cosine(col(vecCol), col("c_emb")), 4))
       val w = Window.partitionBy(col(df.columns.head))
         .orderBy(col("sim").desc, col("cell"))
       scored.withColumn("rnk", row_number().over(w))
@@ -127,5 +140,81 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  // ---- SQL oracle generators ------------------------------------------
+  //
+  // The LSH/IVF paths are deterministic (fixed-seed planes, seed-vector
+  // centroids), so an independent SQL engine can replicate them exactly.
+  // Precision contract: Spark's kernels read float elements and
+  // accumulate in double, so the oracles CAST FLOAT[] → DOUBLE[] —
+  // float→double is exact per element and both engines then sum the
+  // same doubles left-to-right, giving bit-identical dot products
+  // (sign-stable bucket bits). Plane literals are emitted as the exact
+  // double value of each float.
+
+  private def sqlVec(p: Seq[Float]): String =
+    p.map(_.toDouble.toString).mkString("CAST([", ", ", "] AS DOUBLE[])")
+
+  /** Bucket-id SQL for `vecExpr` under the same planes as lshBucket. */
+  private def bucketSql(vecExpr: String, nBits: Int, seed: Long): String =
+    lshPlanes(nBits, seed).zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(CAST($vecExpr AS DOUBLE[]), ${sqlVec(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** DuckDB replica of lshTopK. */
+  private[graft] def lshOracleSql(k: Int = 5, nQueries: Int = 10,
+                                  nBits: Int = 4): String =
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |    ${bucketSql("embedding", nBits, 42L)} AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket
+       |      FROM b WHERE vec_id < $nQueries),
+       |scored AS (
+       |  SELECT q_id, c.vec_id AS vec_id,
+       |    round(list_cosine_similarity(CAST(q_emb AS DOUBLE[]),
+       |      CAST(c.embedding AS DOUBLE[])), 4) AS cosine
+       |  FROM b c JOIN q USING (bucket) WHERE c.vec_id <> q.q_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cosine DESC, vec_id) AS rank FROM scored)
+       |SELECT q_id, vec_id, cosine, rank FROM r
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+
+  /** DuckDB replica of ivfTopK: same seed cells, one rounded-similarity
+    * assignment pass, float-cast centroid means, multi-probe search. */
+  private[graft] def ivfOracleSql(k: Int = 5, nQueries: Int = 10,
+                                  nProbe: Int = 2): String = {
+    val avgs = (1 to dim).map(i => s"avg(emb[$i])").mkString(", ")
+    s"""WITH nc AS (SELECT greatest(8, CAST(floor(sqrt(count(*))) AS BIGINT)) AS n
+       |            FROM embeddings),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |seeds AS (SELECT e.vec_id AS cell, e.emb AS c_emb
+       |          FROM e, nc WHERE e.vec_id < nc.n),
+       |a1 AS (SELECT vec_id, emb, cell,
+       |    round(list_cosine_similarity(emb, c_emb), 4) AS sim
+       |  FROM e CROSS JOIN seeds),
+       |a1r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY sim DESC, cell) AS rnk FROM a1),
+       |assigned AS (SELECT vec_id, emb, cell FROM a1r WHERE rnk = 1),
+       |cents AS (SELECT cell,
+       |    CAST(CAST([$avgs] AS FLOAT[]) AS DOUBLE[]) AS c_emb
+       |  FROM assigned GROUP BY cell),
+       |a2 AS (SELECT vec_id, emb, cell,
+       |    round(list_cosine_similarity(emb, c_emb), 4) AS sim
+       |  FROM e CROSS JOIN cents),
+       |a2r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY sim DESC, cell) AS rnk FROM a2),
+       |cells AS (SELECT vec_id, emb, cell FROM a2r WHERE rnk = 1),
+       |qc AS (SELECT vec_id AS q_id, emb AS q_emb, cell
+       |       FROM a2r WHERE rnk <= $nProbe AND vec_id < $nQueries),
+       |scored AS (
+       |  SELECT q_id, c.vec_id AS vec_id,
+       |    round(list_cosine_similarity(q_emb, c.emb), 4) AS cosine
+       |  FROM cells c JOIN qc USING (cell) WHERE c.vec_id <> qc.q_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cosine DESC, vec_id) AS rank FROM scored)
+       |SELECT q_id, vec_id, cosine, rank FROM r
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 }

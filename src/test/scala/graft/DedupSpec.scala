@@ -31,11 +31,60 @@ class DedupSpec extends SparkSpec {
     assert(planted.nonEmpty && planted.subsetOf(sim))
   }
 
+  test("simhash multi-index recall is banding-independent at radius 7") {
+    // 4×16 (1-bit probes ⇒ exact ≤ 7) and 8×8 (exact ≤ 15, filtered
+    // to 7) must produce identical pair sets — the banding is an
+    // index layout, not a semantics knob
+    val wide = DedupOps.simhashPairs(spark, sf, maxHamming = 7, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val narrow = DedupOps.simhashPairs(spark, sf, maxHamming = 7, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(wide === narrow && wide.nonEmpty)
+  }
+
   test("embedding pairs: output respects the threshold and ordering") {
     val out = DedupOps.embeddingPairs(spark, sf, threshold = 0.4).collect()
     out.foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
       assert(r.getDouble(2) >= 0.4)
     }
+  }
+
+  test("embedding LSH face: exact recall on planted near-identical vectors") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val base = (0 until 40).map(i =>
+      (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat)))
+    // ids 100+i are tiny perturbations of ids i — cosine ≈ 0.9999
+    val dups = (0 until 10).map { i =>
+      ((100 + i).toLong,
+        base(i)._2.map(x => x + 0.001f * rng.nextGaussian().toFloat))
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val out = DedupOps.embeddingPairsLshOn(emb, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 10).map(i => (i.toLong, (100 + i).toLong)).toSet
+    assert(out === expected)
+  }
+
+  test("bucket cap bounds a duplicate-heavy corpus deterministically") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i => (i,
+      "the same boilerplate text repeated for every single document in this corpus end"))
+      .toDF("doc_id", "text")
+    // 300 identical docs put every doc in one bucket per band; the cap
+    // keeps the 50 lowest ids, so pair count is C(50,2), not C(300,2)
+    val out = DedupOps.minhashLshOn(docs, maxBucket = 50).collect()
+    assert(out.length === 50 * 49 / 2)
+    assert(out.flatMap(r => Seq(r.getLong(0), r.getLong(1))).max < 50)
+    out.foreach(r => assert(r.getDouble(2) === 1.0))
+  }
+
+  test("bucket cap is a no-op on a corpus whose buckets stay below it") {
+    val capped = DedupOps.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = DedupOps.minhashLsh(spark, sf, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped === uncapped)
   }
 }
