@@ -16,7 +16,9 @@ object Bench {
       .groupBy("l_returnflag").count().collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // Materialize every row (collect) so final sorts/limits stay in
+      // the measured plan — count() lets Catalyst prune them away.
+      try { fn(spark, sfDir).collect() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -47,6 +47,17 @@ object SparkEntry {
         Tables.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
         Seq(("n_chars", "n_chars_int", "int"), ("lang", "lang_long", "bigint")))
         .orderBy(col("doc_id"))),
+    "etl_resolve_struct" -> ((s, d) => {
+      // mixed column: even doc_ids carry a numeric string, odd ones a
+      // language tag — the ambiguous-type shape make_struct resolves
+      val mixed = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, col("n_chars").cast("string"))
+          .otherwise(col("lang")).as("mixed"))
+      Mapping.resolveChoiceStruct(mixed, Seq("mixed" -> Seq("bigint", "string")))
+        .select(col("doc_id"), col("mixed.bigint").as("mixed_long"),
+          col("mixed.string").as("mixed_str"))
+        .orderBy(col("doc_id"))
+    }),
     "etl_drop_null_fields" -> ((s, d) =>
       Mapping.dropNullFields(
         Mapping.resolveChoice(
@@ -217,6 +228,15 @@ object SparkEntry {
     "etl_drop_null_fields" ->
       """SELECT doc_id, CAST(n_chars AS INTEGER) AS n_chars_int
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "etl_resolve_struct" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN CAST(n_chars AS VARCHAR)
+        |         ELSE lang END AS mixed
+        |  FROM documents)
+        |SELECT doc_id, TRY_CAST(mixed AS BIGINT) AS mixed_long,
+        |  CASE WHEN TRY_CAST(mixed AS BIGINT) IS NULL THEN mixed END AS mixed_str
+        |FROM m ORDER BY doc_id""".stripMargin,
     "etl_canonicalize" ->
       """SELECT src, count(*) AS n, min(event_ts) AS first_ts,
         | max(event_ts) AS last_ts

@@ -30,6 +30,30 @@ object Mapping {
     df.select(untouched.toIndexedSeq ++ resolved: _*)
   }
 
+  /** ResolveChoice ("make_struct" semantics): each listed column is
+    * replaced by a struct with one slot per candidate type, the value
+    * landing in the first slot whose parse succeeds and the remaining
+    * slots null — the reference's ambiguous-type resolution
+    * (ResolveChoice choice="make_struct", etl/2019reinvent_green.py:34),
+    * expressed as a pure projection so it still collapses into the
+    * scan. Slot names are the type names, mirroring DynamicFrame's
+    * choice-struct shape. */
+  def resolveChoiceStruct(df: DataFrame,
+                          choices: Seq[(String, Seq[String])]): DataFrame = {
+    val resolved = choices.map { case (src, types) =>
+      val slots = types.zipWithIndex.map { case (dt, i) =>
+        val tried = expr(s"try_cast(`$src` AS $dt)")
+        val firstMatch = types.take(i).foldLeft(tried.isNotNull) {
+          (cond, earlier) => cond && expr(s"try_cast(`$src` AS $earlier)").isNull
+        }
+        when(firstMatch, tried).as(dt)
+      }
+      struct(slots: _*).as(src)
+    }
+    val untouched = df.columns.filterNot(c => choices.exists(_._1 == c)).map(col)
+    df.select(untouched.toIndexedSeq ++ resolved: _*)
+  }
+
   /** DropNullFields: drop columns whose values are ALL null. One
     * distributed aggregate pass computes every column's non-null
     * count; only the single summary row reaches the driver. */

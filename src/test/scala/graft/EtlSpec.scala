@@ -25,6 +25,22 @@ class EtlSpec extends SparkSpec {
     assert(got.toSet === Set(Some(1L), None, Some(3L)))
   }
 
+  test("resolveChoiceStruct fills the first matching slot, nulls the rest") {
+    val df = Seq(("a", "42"), ("b", "abc"), ("c", "7.5")).toDF("id", "v")
+    val out = Mapping.resolveChoiceStruct(df,
+      Seq("v" -> Seq("bigint", "double", "string")))
+    assert(out.schema("v").dataType === StructType(Seq(
+      StructField("bigint", LongType),
+      StructField("double", DoubleType),
+      StructField("string", StringType))))
+    val got = out.select("id", "v.bigint", "v.double", "v.string").collect()
+      .map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(got("a") === ((Some(42L), None, None)))        // int wins first
+    assert(got("b") === ((None, None, Some("abc"))))      // only string parses
+    assert(got("c") === ((None, Some(7.5), None)))        // double beats string
+  }
+
   test("dropNullFields drops only all-null columns") {
     val df = Seq((1, Option.empty[String], "a"), (2, None, "b"))
       .toDF("id", "allnull", "kept")

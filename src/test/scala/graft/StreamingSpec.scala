@@ -57,4 +57,39 @@ class StreamingSpec extends SparkSpec {
     val total = sess.agg(sum("n_events")).first().getLong(0)
     assert(total === Tables.events(spark, sf).count())
   }
+
+  test("incremental ingest: bookmark semantics — new files only, idempotent") {
+    import graft.streaming.IncrementalIngest
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest")
+    val (src, sink, ckpt) = (s"$root/src", s"$root/sink", s"$root/ckpt")
+    val events = Tables.events(spark, sf)
+    val (batch1, batch2) = (
+      events.filter(col("event_id") % 2 === 0),
+      events.filter(col("event_id") % 2 =!= 0))
+
+    // run 1: only batch1's files exist
+    batch1.write.mode("append").parquet(src)
+    IncrementalIngest.ingestOnce(spark, src, events.schema, sink, ckpt,
+      Seq("event_type"))
+    val sunk1 = spark.read.parquet(sink).count()
+    assert(sunk1 === batch1.count())
+
+    // run 2: nothing new — the checkpoint bookmark makes it a no-op
+    IncrementalIngest.ingestOnce(spark, src, events.schema, sink, ckpt,
+      Seq("event_type"))
+    assert(spark.read.parquet(sink).count() === sunk1)
+
+    // run 3: batch2's files land; only their rows are appended (exactly once)
+    batch2.write.mode("append").parquet(src)
+    IncrementalIngest.ingestOnce(spark, src, events.schema, sink, ckpt,
+      Seq("event_type"))
+    val sunk3 = spark.read.parquet(sink)
+    assert(sunk3.count() === events.count())
+    // and the partitioned sink dedups nothing away: per-key parity
+    val got = sunk3.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = events.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
 }
