@@ -47,12 +47,18 @@ object DedupOps {
     * shuffle), and the base for signatures, prefixes, and
     * verification alike. */
   private[ops] def docShingleSets(docs: DataFrame, k: Int = 3): DataFrame = {
-    val t = TextOps.toks(col("text"))
-    val n = size(t)
+    // Materialize the token array BEFORE the shingle transform: a
+    // lambda body re-evaluates every subtree per element, so slicing
+    // `split(text)` directly would re-split the document once per
+    // shingle (O(tokens²) per doc). Referencing the bound column keeps
+    // it O(tokens). CollapseProject leaves the staging projection
+    // alone because `t` is non-cheap and referenced more than once.
+    val tokenized = docs.select(col("doc_id"), TextOps.toks(col("text")).as("t"))
+    val n = size(col("t"))
     val starts = when(n >= k, sequence(lit(1), n - (k - 1)))
       .otherwise(array().cast("array<int>"))
-    val shingles = transform(starts, i => concat_ws(" ", slice(t, i, lit(k))))
-    docs.select(col("doc_id"),
+    val shingles = transform(starts, i => concat_ws(" ", slice(col("t"), i, lit(k))))
+    tokenized.select(col("doc_id"),
         array_sort(array_distinct(transform(shingles, s => xxhash64(s)))).as("hs"))
       .withColumn("n", size(col("hs")))
   }

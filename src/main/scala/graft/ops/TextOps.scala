@@ -91,17 +91,25 @@ object TextOps {
     * w shingles, dedupe — a compact, position-robust signature. */
   def fingerprints(s: SparkSession, d: String,
                    k: Int = 3, w: Int = 4): DataFrame = {
-    val t = toks(col("text"))
-    val n = size(t)
+    // Stage tokens and shingle hashes as materialized columns: lambda
+    // bodies re-evaluate every subtree per element, so an inline
+    // `hashes` expression would re-hash the whole document once per
+    // sliding window (O(tokens³) per doc with the inline split).
+    // Bound column references keep the whole operator linear.
+    val n = size(col("t"))
     val starts = when(n >= k, sequence(lit(1), n - (k - 1)))
       .otherwise(array().cast("array<int>"))
-    val hashes = transform(starts, i => xxhash64(concat_ws(" ", slice(t, i, lit(k)))))
-    val nh = size(hashes)
+    val staged = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"),
+        transform(starts, i =>
+          xxhash64(concat_ws(" ", slice(col("t"), i, lit(k))))).as("hashes"))
+    val nh = size(col("hashes"))
     val winStarts = when(nh >= w, sequence(lit(1), nh - (w - 1)))
       .otherwise(when(nh > 0, array(lit(1))).otherwise(array().cast("array<int>")))
     val fp = array_sort(array_distinct(
-      transform(winStarts, i => array_min(slice(hashes, i, least(lit(w), nh))))))
-    Tables.documents(s, d).select(
+      transform(winStarts, i => array_min(slice(col("hashes"), i, least(lit(w), nh))))))
+    staged.select(
       col("doc_id"),
       // JSON string, not a raw array: portable across result checkers
       // and writers while keeping the full signature inspectable
