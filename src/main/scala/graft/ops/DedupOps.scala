@@ -251,7 +251,11 @@ object DedupOps {
   def embeddingPairs(s: SparkSession, d: String,
                      threshold: Double = 0.45): DataFrame = {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // spread the stream side across all cores before the quadratic
+    // scoring: a single parquet file otherwise leaves the nested-loop
+    // join running in ONE task
     emb.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+      .repartition(s.sparkContext.defaultParallelism)
       .crossJoin(broadcast(
         emb.select(col("vec_id").as("id2"), col("embedding").as("e2"))))
       .filter(col("id1") < col("id2"))
