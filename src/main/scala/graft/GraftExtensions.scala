@@ -28,5 +28,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a array<float>, b array<float>) - dot product"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("count_in_set"),
+      info("count_in_set",
+        "count_in_set(tokens array<string>, words array<string>) - tokens found in vocabulary (repeats counted); words must be a literal"),
+      (exprs: Seq[Expression]) => graft.functions.CountInSet(exprs.head, {
+        val arr = exprs(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+      })))
+    e.injectFunction((
+      FunctionIdentifier("winnow_fingerprint"),
+      info("winnow_fingerprint",
+        "winnow_fingerprint(tokens array<string>, k int, w int) - winnowing fingerprint of k-token shingles over w-windows; k and w must be literals"),
+      (exprs: Seq[Expression]) => graft.functions.WinnowFingerprint(exprs.head,
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
   }
 }

@@ -41,6 +41,18 @@ object Sources {
   def readPartitioned(s: SparkSession, path: String): DataFrame =
     s.read.parquet(path)
 
+  /** Persist a discovered dataset in the session catalog — the
+    * crawler→catalog step of the reference (a Glue crawler registers
+    * inferred schemas as tables other tools then query by name). The
+    * table is EXTERNAL (`LOCATION` points at the files in place, no
+    * copy) and registration is idempotent; with a shared metastore the
+    * same call makes the dataset queryable across sessions/teams. */
+  def registerTable(s: SparkSession, name: String, path: String,
+                    format: String = "parquet"): DataFrame = {
+    s.sql(s"CREATE TABLE IF NOT EXISTS `$name` USING $format LOCATION '$path'")
+    s.table(name)
+  }
+
   /** Bucketed + sorted table: rows are hash-bucketed on the join key
     * at write time, so equi-joins and aggregations between tables
     * bucketed the same way need no shuffle at read time — the

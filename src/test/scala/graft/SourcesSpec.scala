@@ -65,6 +65,20 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") || plan.contains("partitionFilters"))
   }
 
+  test("registerTable persists an external catalog table over files in place") {
+    val dir = tmp()
+    Tables.nation(spark, sf).write.mode("overwrite").parquet(s"$dir/nation")
+    Sources.registerTable(spark, "graft_nation", s"$dir/nation")
+    // registration is idempotent and the table is queryable by name
+    Sources.registerTable(spark, "graft_nation", s"$dir/nation")
+    assert(spark.sql("SELECT count(*) AS n FROM graft_nation").first().getLong(0)
+      === Tables.nation(spark, sf).count())
+    assert(spark.catalog.tableExists("graft_nation"))
+    // external: dropping the table leaves the files untouched
+    spark.sql("DROP TABLE graft_nation")
+    assert(spark.read.parquet(s"$dir/nation").count() > 0)
+  }
+
   test("GraftExtensions: SQL functions resolve in an extended session") {
     // getOrCreate() would silently reuse the suite session and skip the
     // extensions, so build a genuinely fresh session (this is the
@@ -82,10 +96,14 @@ class SourcesSpec extends SparkSpec {
         """SELECT simhash64(array('a','b')) AS sh,
           |  cosine_sim(array(cast(1.0 as float), cast(0.0 as float)),
           |             array(cast(1.0 as float), cast(0.0 as float))) AS cs,
-          |  dot_product(array(cast(2.0 as float)), array(cast(3.0 as float))) AS dp
+          |  dot_product(array(cast(2.0 as float)), array(cast(3.0 as float))) AS dp,
+          |  count_in_set(array('a','b','a','c'), array('a','c')) AS cis,
+          |  winnow_fingerprint(array('a','b','c','d','e','f'), 3, 4) AS wf
           |""".stripMargin).first()
       assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
       assert(math.abs(r.getDouble(2) - 6.0) < 1e-9)
+      assert(r.getInt(3) === 3)
+      assert(r.getSeq[Long](4).nonEmpty)
     } finally { /* shared-JVM session: leave running for other suites */ }
   }
 }
