@@ -58,6 +58,32 @@ class StreamingSpec extends SparkSpec {
     assert(total === Tables.events(spark, sf).count())
   }
 
+  test("streaming dedup keeps first arrival per distinct text across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case object T { val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00") }
+    def ts(m: Int) = new java.sql.Timestamp(T.base.getTime + m * 60000L)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = graft.streaming.DedupStreams
+      .dedupStream(mem.toDF().toDF("doc_id", "ts", "text"))
+      .select("doc_id", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      // batch 1: two distinct texts, one in-batch duplicate
+      mem.addData((1L, ts(0), "alpha"), (2L, ts(1), "alpha"), (3L, ts(2), "beta"))
+      q.processAllAvailable()
+      // batch 2: cross-batch duplicate of alpha + one new text
+      mem.addData((4L, ts(3), "alpha"), (5L, ts(4), "gamma"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out.values.toSet === Set("alpha", "beta", "gamma"))
+      assert(out.keySet === Set(1L, 3L, 5L)) // first arrival wins, state spans batches
+    } finally q.stop()
+  }
+
   test("incremental ingest: bookmark semantics — new files only, idempotent") {
     import graft.streaming.IncrementalIngest
     val root = java.nio.file.Files.createTempDirectory("graft-ingest")
