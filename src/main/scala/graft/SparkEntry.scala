@@ -34,6 +34,7 @@ object SparkEntry {
     "q_topk_per_group"   -> (Analytics.topkPerGroup _),
     "q_rollup"           -> (Analytics.rollupAgg _),
     "q_distinct_count"   -> (Analytics.distinctCount _),
+    "q_percentiles"      -> (Analytics.percentiles _),
     // §2.1 ETL operators
     "etl_apply_mapping" -> ((s, d) =>
       Mapping.applyMapping(Tables.orders(s, d), Seq(
@@ -217,6 +218,14 @@ object SparkEntry {
       """SELECT count(DISTINCT user_id) AS users,
         | count(DISTINCT event_type) AS types
         |FROM events""".stripMargin,
+    // Spark's exact `percentile` and DuckDB's quantile_cont share the
+    // same definition: sort, index p·(n-1), linear interpolation.
+    "q_percentiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.95), 4) AS p95,
+        | round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "etl_apply_mapping" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS orderkey, o_custkey AS custkey,
         | o_orderdate AS order_date, o_totalprice AS total

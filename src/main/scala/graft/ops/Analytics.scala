@@ -196,4 +196,17 @@ object Analytics {
     Tables.events(s, d)
       .agg(countDistinct(col("user_id")).as("users"),
            countDistinct(col("event_type")).as("types"))
+
+  /** Per-type exact interpolated percentiles. Exact `percentile` is a
+    * per-group sort — right for dashboard-sized groups; at 100 TB with
+    * huge groups switch to `percentile_approx` (t-digest sketch,
+    * mergeable map-side) and accept the estimator error. */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy(col("event_type"))
 }
