@@ -83,6 +83,15 @@ object SparkEntry {
     "ts_pivot_wide"     -> (TimeSeriesOps.pivotWide _),
     "ts_train_test"     -> ((s, d) => TimeSeriesOps.trainTestSplit(s, d)),
     "ts_deepar_export"  -> (TimeSeriesOps.deeparExport _),
+    "ts_asof_join" -> ((s, d) => {
+      // each event enriched with the user's most recent order total
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+      val ord = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"))
+        .agg(round(max(col("o_totalprice")), 4).as("last_total"))
+      TimeSeriesOps.asofJoin(ev, ord, "user_id", "ts")
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
     "forecast_snaive"   -> ((s, d) => Forecast.seasonalNaive(s, d)),
     "forecast_eval"     -> (Forecast.evaluate _),
     // §2.4 deduplication
@@ -444,6 +453,17 @@ object SparkEntry {
         |SELECT event_type, start,
         |  to_json(struct_pack(start := start, target := target))::VARCHAR AS json
         |FROM agg ORDER BY event_type""".stripMargin,
+    // events.ts truncated to µs in the CTE (see stream_sessionize note)
+    "ts_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP_US) AS ts
+        |            FROM events),
+        |ord AS (SELECT o_custkey AS user_id, o_orderdate AS ts,
+        |        round(max(o_totalprice), 4) AS last_total
+        |        FROM orders GROUP BY 1, 2)
+        |SELECT ev.event_id, ev.user_id, ev.ts AS ts, ord.last_total
+        |FROM ev ASOF LEFT JOIN ord
+        |  ON ev.user_id = ord.user_id AND ev.ts >= ord.ts
+        |ORDER BY ev.user_id, ev.ts, ev.event_id""".stripMargin,
     "stream_window_counts" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
         | count(*) AS n, round(sum(value), 4) AS total_value

@@ -54,6 +54,40 @@ object TimeSeriesOps {
       .orderBy(col("day"))
   }
 
+  /** As-of join: enrich every left row with the most recent right row
+    * (per `key`, by `ts`) at or before the left timestamp — the
+    * trade→quote / event→dimension-state primitive Spark has no
+    * native operator for. Implemented as a tagged union + ONE ordered
+    * window per key: a single shuffle on the key, no range-condition
+    * row explosion, scales to any key cardinality. Right rows sort
+    * before left rows at equal timestamps, so a right row exactly at
+    * the left ts is visible (ASOF's inclusive `>=`). For deterministic
+    * results the right side should be unique per (key, ts) —
+    * pre-aggregate if it isn't. */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               key: String, ts: String): DataFrame = {
+    val rPayload = right.columns.filterNot(c => c == key || c == ts).toSeq
+    val lCols = left.columns.toSeq
+    val lU = left.select(
+      lCols.map(col) ++
+        rPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) :+
+        lit(1).as("__is_left"): _*)
+    val rU = right.select(
+      lCols.map(c =>
+        if (c == key || c == ts) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rPayload.map(c => col(c).as(s"__r_$c")) :+
+        lit(0).as("__is_left"): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__is_left"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = rPayload.foldLeft(lU.unionByName(rU)) { (df, c) =>
+      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__is_left") === 1)
+      .select(lCols.map(col) ++ rPayload.map(c => col(s"__r_$c").as(c)): _*)
+  }
+
   /** DeepAR-style dataset export: one row per series with
     * {start, target[], json} — the reference's series_to_jsonline
     * (GluePySparkMLFeatureEngineering cell 45), built with an

@@ -41,6 +41,29 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin picks the latest right row at or before each left ts") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val quotes = Seq(
+      (1L, t("2024-01-02 00:00:00"), 10.0),
+      (1L, t("2024-01-04 00:00:00"), 20.0),
+      (2L, t("2024-01-04 00:00:00"), 30.0)).toDF("k", "ts", "v")
+    val trades = Seq(
+      (1L, t("2024-01-01 00:00:00"), "before-any"),
+      (1L, t("2024-01-04 00:00:00"), "tie-inclusive"),
+      (1L, t("2024-01-05 00:00:00"), "after-last"),
+      (2L, t("2024-01-03 00:00:00"), "no-quote-yet"),
+      (3L, t("2024-01-03 00:00:00"), "unknown-key")).toDF("k", "ts", "tag")
+    val got = TimeSeriesOps.asofJoin(trades, quotes, "k", "ts").collect()
+      .map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(got === Map(
+      "before-any" -> None,           // no right row yet
+      "tie-inclusive" -> Some(20.0),  // right row AT left ts is visible
+      "after-last" -> Some(20.0),     // carries forward
+      "no-quote-yet" -> None,
+      "unknown-key" -> None))
+  }
+
   test("seasonalNaive forecasts the holdout horizon with ordered bounds") {
     val f = Forecast.seasonalNaive(spark, sf).collect()
     assert(f.nonEmpty)
