@@ -83,6 +83,18 @@ object SparkEntry {
     "ts_pivot_wide"     -> (TimeSeriesOps.pivotWide _),
     "ts_train_test"     -> ((s, d) => TimeSeriesOps.trainTestSplit(s, d)),
     "ts_deepar_export"  -> (TimeSeriesOps.deeparExport _),
+    "ts_range_join" -> ((s, d) => {
+      // events within ±5 min of the 10 highest-value events — a
+      // key-less window join, bucketized so it never goes cartesian
+      val ev = Tables.events(s, d).select(col("event_id"), col("ts"), col("value"))
+      val anchors = ev.orderBy(col("value").desc, col("event_id")).limit(10)
+        .select(col("event_id").as("anchor_id"), col("ts").as("anchor_ts"))
+      TimeSeriesOps.rangeJoinBucketed(anchors, "anchor_ts",
+          ev.select(col("event_id").as("near_id"), col("ts")), "ts",
+          beforeSec = 300L, afterSec = 300L)
+        .select(col("anchor_id"), col("near_id"))
+        .orderBy(col("anchor_id"), col("near_id"))
+    }),
     "ts_asof_join" -> ((s, d) => {
       // each event enriched with the user's most recent order total
       val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
@@ -454,6 +466,16 @@ object SparkEntry {
         |  to_json(struct_pack(start := start, target := target))::VARCHAR AS json
         |FROM agg ORDER BY event_type""".stripMargin,
     // events.ts truncated to µs in the CTE (see stream_sessionize note)
+    "ts_range_join" ->
+      """WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP_US) AS ts, value
+        |            FROM events),
+        |anchors AS (SELECT event_id AS anchor_id, ts AS anchor_ts
+        |            FROM ev ORDER BY value DESC, event_id LIMIT 10)
+        |SELECT anchor_id, e.event_id AS near_id
+        |FROM anchors a JOIN ev e
+        |  ON e.ts >= a.anchor_ts - INTERVAL 5 MINUTE
+        | AND e.ts <= a.anchor_ts + INTERVAL 5 MINUTE
+        |ORDER BY anchor_id, near_id""".stripMargin,
     "ts_asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP_US) AS ts
         |            FROM events),

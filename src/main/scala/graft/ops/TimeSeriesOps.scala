@@ -88,6 +88,34 @@ object TimeSeriesOps {
       .select(lCols.map(col) ++ rPayload.map(c => col(s"__r_$c").as(c)): _*)
   }
 
+  /** Key-less range join: pair every left row with the right rows
+    * whose timestamp lies in [left.ts - before, left.ts + after]
+    * (bounds inclusive, seconds). With no equi key a naive range join
+    * is a cartesian product; bucketing time into `bucketSec`-wide
+    * cells, exploding each left window over the cells it covers, and
+    * equi-joining on the cell id keeps candidate volume at
+    * |windows| × density instead of |L| × |R|. Each right row lives in
+    * exactly one cell, so no dedup pass is needed. */
+  def rangeJoinBucketed(left: DataFrame, lTs: String,
+                        right: DataFrame, rTs: String,
+                        beforeSec: Long, afterSec: Long,
+                        bucketSec: Long = 600L): DataFrame = {
+    val bucketUs = bucketSec * 1000000L
+    val lo = unix_micros(col(lTs)) - beforeSec * 1000000L
+    val hi = unix_micros(col(lTs)) + afterSec * 1000000L
+    val lb = left
+      .withColumn("__lo", lo).withColumn("__hi", hi)
+      .withColumn("__cell",
+        explode(sequence(floor(col("__lo") / bucketUs).cast("long"),
+          floor(col("__hi") / bucketUs).cast("long"))))
+    val rb = right
+      .withColumn("__rts", unix_micros(col(rTs)))
+      .withColumn("__cell", floor(col("__rts") / bucketUs).cast("long"))
+    lb.join(rb, Seq("__cell"))
+      .filter(col("__rts") >= col("__lo") && col("__rts") <= col("__hi"))
+      .drop("__cell", "__lo", "__hi", "__rts")
+  }
+
   /** DeepAR-style dataset export: one row per series with
     * {start, target[], json} — the reference's series_to_jsonline
     * (GluePySparkMLFeatureEngineering cell 45), built with an

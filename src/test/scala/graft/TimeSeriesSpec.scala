@@ -64,6 +64,23 @@ class TimeSeriesSpec extends SparkSpec {
       "unknown-key" -> None))
   }
 
+  test("rangeJoinBucketed equals a naive range join on inclusive bounds") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val anchors = Seq((1L, t("2024-01-01 10:00:00")), (2L, t("2024-01-01 23:58:00")))
+      .toDF("aid", "ats")
+    val points = (0 until 48).map(h =>
+      (100L + h, new java.sql.Timestamp(
+        t("2024-01-01 00:00:00").getTime + h * 1800000L))).toDF("pid", "pts")
+    val got = TimeSeriesOps
+      .rangeJoinBucketed(anchors, "ats", points, "pts", 3600L, 3600L, 600L)
+      .select("aid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = anchors.crossJoin(points)
+      .filter(abs(unix_micros(col("pts")) - unix_micros(col("ats"))) <= 3600L * 1000000L)
+      .select("aid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === naive && got.nonEmpty)
+  }
+
   test("seasonalNaive forecasts the holdout horizon with ordered bounds") {
     val f = Forecast.seasonalNaive(spark, sf).collect()
     assert(f.nonEmpty)
