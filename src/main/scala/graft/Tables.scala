@@ -34,4 +34,17 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Ensure a frame has enough partitions to occupy every core before
+    * an expensive per-row stage. A small corpus arrives as ONE file =
+    * one split, which would serialize shingling/decoding across a
+    * 32-core executor; at cluster scale inputs are many files and this
+    * is a no-op (the partition count already meets the target). */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // inputFiles is a metadata probe (no RDD materialization): with at
+    // least as many files as cores the scan parallelizes on its own
+    val files = try df.inputFiles.length catch { case _: Throwable => 0 }
+    if (files >= target) df else df.repartition(target)
+  }
 }

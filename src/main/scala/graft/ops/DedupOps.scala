@@ -53,7 +53,10 @@ object DedupOps {
     // shingle (O(tokens²) per doc). Referencing the bound column keeps
     // it O(tokens). CollapseProject leaves the staging projection
     // alone because `t` is non-cheap and referenced more than once.
-    val tokenized = docs.select(col("doc_id"), TextOps.toks(col("text")).as("t"))
+    // spread(): shingling is the expensive stage — use every core even
+    // when the corpus arrives as a single file.
+    val tokenized = Tables.spread(docs)
+      .select(col("doc_id"), TextOps.toks(col("text")).as("t"))
     val n = size(col("t"))
     val starts = when(n >= k, sequence(lit(1), n - (k - 1)))
       .otherwise(array().cast("array<int>"))
@@ -171,7 +174,7 @@ object DedupOps {
     val chunkBits = 64 / bands
     val mask = lit((1L << chunkBits) - 1)
     val t = TextOps.toks(col("text"))
-    val sigs = docs
+    val sigs = Tables.spread(docs)
       .select(col("doc_id"), SimHash.simhash64(s, t).as("sig"))
     val chunks = (0 until bands).map(i =>
       shiftright(col("sig"), i * chunkBits).bitwiseAND(mask))

@@ -53,9 +53,11 @@ object MultimodalOps {
     * scale this is the parquet binary column written by ingestion. */
   def extractFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ds = Tables.documents(s, d)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"),
-        col("source"))
+    // spread() before decode: codecs are CPU-bound and a single-file
+    // corpus would otherwise decode on one core
+    val ds = Tables.spread(Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"),
+          col("source")))
       .as[MmRecord]
     ds.mapPartitions { it =>
       val decoder = FakeDecoder.open() // once per partition, like a real codec

@@ -33,7 +33,7 @@ object TextOps {
     * stopword count goes through the codegen'd CountInSet kernel. */
   def qualityScores(s: SparkSession, d: String): DataFrame = {
     val t = col("__t")
-    Tables.documents(s, d)
+    graft.Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"), col("text"), toks(col("text")).as("__t"))
       .select(
         col("doc_id"),
@@ -72,7 +72,7 @@ object TextOps {
     * lambda — ~5× less per-row work with five profiles. */
   def langIdOn(docs: DataFrame): DataFrame = {
     val t = col("__t")
-    val staged = docs.select(col("doc_id"), col("lang"),
+    val staged = graft.Tables.spread(docs).select(col("doc_id"), col("lang"),
       toks(lower(col("text"))).as("__t"))
     val scored = langProfiles.foldLeft(staged) {
       case (df, (lang, words)) =>
@@ -104,7 +104,7 @@ object TextOps {
   def fingerprints(s: SparkSession, d: String,
                    k: Int = 3, w: Int = 4): DataFrame = {
     val fp = col("__fp")
-    Tables.documents(s, d)
+    graft.Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"),
         graft.functions.TextExprs.winnowFingerprint(toks(col("text")), k, w)
           .as("__fp"))
