@@ -224,16 +224,29 @@ object DedupOps {
     // one scan-side pass feeds prefix build and verification alike
     val sets = docShingleSets(docs).cache()
     val prefixLen = (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")
+    // posexplode keeps each posting's position in the sorted set: the
+    // PPJoin positional filter needs it below
     val prefix0 = sets.select(col("doc_id"), col("n"),
-      explode(slice(col("hs"), lit(1), greatest(prefixLen, lit(0)))).as("h"))
+      posexplode(slice(col("hs"), lit(1), greatest(prefixLen, lit(0))))
+        .as(Seq("p", "h")))
     val prefix =
       if (maxDf > 0) capBuckets(prefix0, Seq("h"), "doc_id", maxDf)
       else prefix0
+    // overlap required for J ≥ t: common ≥ t·(na+nb)/(1+t); a shared
+    // shingle at 0-based sorted positions (pa, pb) bounds the overlap
+    // by min(na-pa, nb-pb) — common shingles can only come from the
+    // suffixes starting at the shared element — and a true pair always
+    // collides on its FIRST shared prefix shingle where the bound
+    // holds, so the filter is exact: it only prunes postings that
+    // cannot witness the threshold.
+    val minOverlap =
+      ceil(lit(threshold) / (1 + threshold) * (col("a.n") + col("b.n")))
     val cand = prefix.as("a")
       .join(prefix.as("b"), col("a.h") === col("b.h") &&
         col("a.doc_id") < col("b.doc_id") &&
         least(col("a.n"), col("b.n")) >=
-          ceil(lit(threshold) * greatest(col("a.n"), col("b.n"))))
+          ceil(lit(threshold) * greatest(col("a.n"), col("b.n"))) &&
+        least(col("a.n") - col("a.p"), col("b.n") - col("b.p")) >= minOverlap)
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
     verifyJaccard(cand, sets)

@@ -64,6 +64,34 @@ class TimeSeriesSpec extends SparkSpec {
       "unknown-key" -> None))
   }
 
+  test("asofJoin equals a naive cross-join reference on random data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    def randTs() = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+        rng.nextInt(10 * 86400) * 1000L)
+    val left = (0 until 200).map(i => (i.toLong, rng.nextInt(8).toLong, randTs()))
+      .toDF("lid", "k", "ts")
+    // right unique per (k, ts) — the documented determinism requirement
+    val right = (0 until 150).map(i => (rng.nextInt(8).toLong, randTs(), i.toDouble))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      .toDF("k", "ts", "v")
+    val got = TimeSeriesOps.asofJoin(left, right, "k", "ts")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    // naive: for each left row the max-ts right row with ts <= left.ts
+    val naive = left.as("l").crossJoin(right.as("r"))
+      .filter(col("l.k") === col("r.k") && col("r.ts") <= col("l.ts"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lid"))
+          .orderBy(col("r.ts").desc)))
+      .filter(col("rk") === 1)
+      .select(col("lid"), col("v")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    left.select("lid").collect().map(_.getLong(0)).foreach { lid =>
+      assert(got(lid) === naive.getOrElse(lid, None), s"lid=$lid")
+    }
+  }
+
   test("rangeJoinBucketed equals a naive range join on inclusive bounds") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
