@@ -102,7 +102,9 @@ object SimilarityOps {
   def ivfTopK(s: SparkSession, d: String,
               k: Int = 5, nQueries: Int = 10, nCells: Int = 0,
               nProbe: Int = 2): DataFrame = {
-    val emb = Tables.embeddings(s, d)
+    // scanned four times (cell-count fit, two assignment passes, the
+    // query subset) — cache once
+    val emb = Tables.embeddings(s, d).cache()
     val cellCount =
       if (nCells > 0) nCells
       else math.max(8, math.sqrt(emb.count().toDouble).toInt)
