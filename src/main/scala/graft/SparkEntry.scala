@@ -507,8 +507,12 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
         |  SELECT user_id, ts,
-        |   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |   -- DuckDB's windowed integer sum returns HUGEINT, which the
+        |   -- driver's pandas conversion renders as float64 ("1.0" vs
+        |   -- Spark's int64 "1") — cast back to BIGINT so dtypes agree.
+        |   CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |     AS session_id
         |  FROM g)
         |SELECT user_id, session_id, count(*) AS n_events,
         | min(ts) AS start_ts, max(ts) AS end_ts

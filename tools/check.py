@@ -6,26 +6,56 @@ Usage: python3 tools/check.py <verify_out_dir> <sf_dir>
 
 Reads each <name>/ parquet result dumped by graft.Verify, runs the
 matching oracle SQL from oracle_sql.json in DuckDB over the sf dir's
-parquet tables, and compares row count, column names, and values
-(sorted columns, sorted rows, floats rounded)."""
-import sys, json, glob, math
+parquet tables, and compares row count, column names, dtypes, and
+values (sorted columns, sorted rows, floats rounded).
+
+IMPORTANT: both sides are compared through pandas DataFrames (`.df()`),
+NOT `fetchall()`. The driver's checker converts DuckDB results to
+pandas, and that conversion layer has bitten twice: ns-precision
+timestamps (round 1) and HUGEINT windowed sums rendering as float64
+("1.0" vs Spark's "1", round 2). `fetchall()` yields native Python
+ints and can never see either class of bug, so this gate must go
+through the same pandas layer the driver uses — including a
+dtype-KIND parity assertion (int vs float vs datetime vs object),
+so a HUGEINT→float64 oracle column fails here before it fails in
+the driver. Width differences (int32 vs int64, float32 vs float64)
+are normalized first — they stringify identically and the driver's
+value compare tolerates them (7 green r2 rows have them)."""
+import sys, json, glob
 import duckdb
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
+
+def canon(df):
+    """(sorted cols, sorted stringified rows, dtype kinds in col order).
+
+    Integer widths → int64 and float widths → float64 before
+    stringifying, so np.float32 values round like Python floats and
+    int32/int64 render the same; the *kind* (i/f/M/b/O) must match,
+    because a kind flip is exactly the conversion-layer bug class
+    ("1.0" vs "1") that the driver's string compare trips on."""
+    df = df[sorted(df.columns)].copy()
+    kinds = []
+    for c in df.columns:
+        k = df[c].dtype.kind
+        if k in "iu":
+            df[c] = df[c].astype("int64")
+            k = "i"
+        elif k == "f":
+            df[c] = df[c].astype("float64")
+        kinds.append(k)
+    rows = []
+    for r in df.itertuples(index=False):
         vals = []
-        for i in order:
-            v = r[i]
+        for v in r:
             if isinstance(v, float):
                 v = round(v, 4)
                 if v == -0.0:
                     v = 0.0
             vals.append(str(v))
-        out.append(tuple(vals))
-    out.sort()
-    return [cols[i] for i in order], out
+        rows.append(tuple(vals))
+    rows.sort()
+    return list(df.columns), rows, kinds
+
 
 def main(outdir, sfdir):
     con = duckdb.connect()
@@ -36,18 +66,20 @@ def main(outdir, sfdir):
     n_pass = n_fail = n_rows_only = 0
     for d in sorted(glob.glob(f"{outdir}/*/")):
         name = d.rstrip("/").split("/")[-1]
-        got = con.execute(f"SELECT * FROM read_parquet('{d}/*.parquet')")
-        got_rows, got_cols = got.fetchall(), [c[0] for c in got.description]
+        got_df = con.execute(f"SELECT * FROM read_parquet('{d}/*.parquet')").df()
         if name not in oracle:
-            print(f"  rows-only  {name:28s} rows={len(got_rows)}")
+            print(f"  rows-only  {name:28s} rows={len(got_df)}")
             n_rows_only += 1
             continue
-        exp = con.execute(oracle[name])
-        exp_rows, exp_cols = exp.fetchall(), [c[0] for c in exp.description]
-        gc, gr = canon(got_rows, got_cols)
-        ec, er = canon(exp_rows, exp_cols)
+        exp_df = con.execute(oracle[name]).df()
+        gc, gr, gt = canon(got_df)
+        ec, er, et = canon(exp_df)
         if gc != ec:
             print(f"  FAIL cols  {name}: got {gc} want {ec}")
+            n_fail += 1
+        elif gt != et:
+            bad = [(c, a, b) for c, a, b in zip(gc, gt, et) if a != b]
+            print(f"  FAIL dkind {name}: (col, spark, oracle) diffs: {bad}")
             n_fail += 1
         elif gr != er:
             bad = [(a, b) for a, b in zip(gr, er) if a != b][:3]
@@ -58,6 +90,7 @@ def main(outdir, sfdir):
             n_pass += 1
     print(f"pass={n_pass} fail={n_fail} rows_only={n_rows_only}")
     return 1 if n_fail else 0
+
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))
