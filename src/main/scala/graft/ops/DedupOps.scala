@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   *    from equality joins on band signatures (never an all-pairs
   *    product), then exact-Jaccard verification touches candidates
   *    only. This is the 100 TB path: O(n·bands) shuffle rows.
-  *  - simhash: 64-bit signatures, 4×16-bit banding (pigeonhole
-  *    guarantees recall for hamming ≤ 3), bit_count verification.
+  *  - simhash: 64-bit signatures, multi-index 4×16-bit chunks with
+  *    1-bit probe enumeration (pigeonhole guarantees recall for
+  *    hamming ≤ 2·bands-1 = 7), hamming + exact-Jaccard verification.
   *  - exact n-gram Jaccard: inverted-index self-join — the exact
   *    baseline the probabilistic paths are measured against.
   *  - embedding cosine: an exact all-pairs face (the oracle-checked
@@ -25,19 +26,43 @@ import org.apache.spark.sql.functions._
   * Every candidate-generating path takes a `maxBucket` cap: a
   * duplicate-heavy key (boilerplate docs, a hot shingle) otherwise
   * turns its bucket quadratic. The cap keeps the first `maxBucket`
-  * members per bucket in doc-id order — deterministic, and a no-op on
-  * corpora whose buckets stay below it.
+  * members per bucket in doc-id order (deterministic, a no-op on
+  * corpora whose buckets stay below it) — and every capped-out row
+  * still emits one candidate pair against the bucket's
+  * representative (its minimum id), so the most-duplicated documents
+  * stay connected to their cluster at linear cost instead of
+  * silently vanishing from the pair set.
   */
 object DedupOps {
 
-  /** Keep at most `cap` rows per bucket (deterministic: lowest ids
-    * win). The window shuffles on the same keys the candidate join
-    * uses, so the exchange is reused, not added. */
-  private def capBuckets(df: DataFrame, keys: Seq[String], idCol: String,
-                         cap: Int): DataFrame = {
+  /** `ceil` with a guard against floating-point overshoot: when the
+    * exact product (e.g. t·(na+nb)/(1+t)) is an integer m, double
+    * rounding can land at m+1e-16 and ceil would return m+1 — one
+    * stricter than the true bound, pruning genuine boundary pairs at
+    * J exactly = threshold. Subtracting 1e-9 (far above double error
+    * for any realistic shingle count, far below 1 ulp of the integer
+    * lattice) biases the bound recall-safe: at worst one extra
+    * candidate survives to exact verification. */
+  private def ceilSafe(x: Column): Column = ceil(x - lit(1e-9))
+
+  /** Cap buckets at `cap` rows (deterministic: lowest ids win) and
+    * return the overflow as representative pairs: each capped-out row
+    * becomes one (bucket-min id, capped id) candidate, preserving
+    * cluster membership at linear cost — a hot bucket contributes
+    * O(cap²) join pairs + O(size) representative pairs, never
+    * O(size²). The window shuffles on the same keys the candidate
+    * join uses, so the exchange is reused, not added. */
+  private def capBucketsRep(df: DataFrame, keys: Seq[String], idCol: String,
+                            cap: Int): (DataFrame, DataFrame) = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= cap).drop("__rn")
+    val ranked = df.withColumn("__rn", row_number().over(w))
+      // default frame = rows up to CURRENT ROW, so first = bucket min id
+      .withColumn("__rep", first(col(idCol)).over(w))
+    val kept = ranked.filter(col("__rn") <= cap).drop("__rn", "__rep")
+    // id order inside the window makes rep strictly < the capped id
+    val overflow = ranked.filter(col("__rn") > cap)
+      .select(col("__rep").as("id1"), col(idCol).as("id2")).distinct()
+    (kept, overflow)
   }
 
   // ---- shared text shingling ------------------------------------------
@@ -71,15 +96,18 @@ object DedupOps {
     docShingleSets(docs, k).select(col("doc_id"), explode(col("hs")).as("h"))
 
   /** Exact Jaccard for candidate pairs, joining each side's already
-    * materialized sorted shingle-set array (array_intersect). */
+    * materialized sorted shingle-set array (array_intersect). Keeps
+    * every column the pair frame carried (e.g. simhash's hamming) and
+    * appends `jaccard`. */
   private def verifyJaccard(pairs: DataFrame, sets: DataFrame): DataFrame = {
+    val keep = pairs.columns.map(col).toSeq
     pairs
       .join(sets.select(col("doc_id").as("id1"), col("hs").as("hs1")), "id1")
       .join(sets.select(col("doc_id").as("id2"), col("hs").as("hs2")), "id2")
       .withColumn("common", size(array_intersect(col("hs1"), col("hs2"))))
       .withColumn("jaccard", round(col("common").cast("double") /
         (size(col("hs1")) + size(col("hs2")) - col("common")), 4))
-      .select(col("id1"), col("id2"), col("jaccard"))
+      .select(keep :+ col("jaccard"): _*)
   }
 
   // ---- exact -----------------------------------------------------------
@@ -130,15 +158,17 @@ object DedupOps {
     }
     // both sides of the candidate self-join read this — cache so the
     // 64-aggregate signature pass runs once, not twice
-    val banded = capBuckets(
+    val (banded0, overflow) = capBucketsRep(
       sig.select(col("doc_id"),
         posexplode(array(bandSigs: _*)).as(Seq("band", "bsig"))),
-      Seq("band", "bsig"), "doc_id", maxBucket).cache()
+      Seq("band", "bsig"), "doc_id", maxBucket)
+    val banded = banded0.cache()
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .union(overflow)
       .distinct()
     verifyJaccard(cand, sets)
       .filter(col("jaccard") >= threshold)
@@ -160,43 +190,64 @@ object DedupOps {
     * and the self-join goes ~n²/256; 16-bit chunks spread over 65536
     * values at the price of 17 probe keys per chunk, and `maxBucket`
     * bounds adversarial residue. SimHash scores token-*distribution*
-    * similarity, so on narrow-vocabulary corpora it is a recall-
-    * oriented candidate generator (feed survivors to an exact
-    * verifier). */
+    * similarity — on narrow-vocabulary corpora the hamming ball is a
+    * recall-oriented candidate generator whose volume grows with the
+    * corpus, so the operator composes the exact-Jaccard verifier over
+    * the survivors and emits verified (id1, id2, hamming, jaccard)
+    * pairs, the same complete-dedup contract as minhash/ngram. */
   def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 7,
-                   bands: Int = 4, maxBucket: Int = 1000): DataFrame =
-    simhashPairsOn(s, Tables.documents(s, d), maxHamming, bands, maxBucket)
+                   bands: Int = 4, maxBucket: Int = 1000,
+                   threshold: Double = 0.8): DataFrame =
+    simhashPairsOn(s, Tables.documents(s, d), maxHamming, bands, maxBucket,
+      threshold)
 
   /** Same over any (doc_id, text) frame. */
   def simhashPairsOn(s: SparkSession, docs: DataFrame, maxHamming: Int = 7,
-                     bands: Int = 4, maxBucket: Int = 1000): DataFrame = {
+                     bands: Int = 4, maxBucket: Int = 1000,
+                     threshold: Double = 0.8): DataFrame = {
     require(64 % bands == 0 && bands >= 2, s"bands must divide 64, got $bands")
+    require(maxHamming <= 2 * bands - 1,
+      s"multi-index with 1-bit probes is exact only to hamming 2*bands-1 = " +
+        s"${2 * bands - 1}; maxHamming=$maxHamming would silently lose recall")
     val chunkBits = 64 / bands
     val mask = lit((1L << chunkBits) - 1)
     val t = TextOps.toks(col("text"))
+    // cached: the index derives from it and the hamming computation
+    // joins back to it twice
     val sigs = Tables.spread(docs)
-      .select(col("doc_id"), SimHash.simhash64(s, t).as("sig"))
+      .select(col("doc_id"), SimHash.simhash64(s, t).as("sig")).cache()
+    // shingle sets for the exact-Jaccard verification of survivors
+    val sets = docShingleSets(docs).cache()
     val chunks = (0 until bands).map(i =>
       shiftright(col("sig"), i * chunkBits).bitwiseAND(mask))
-    val index = capBuckets(
+    val (index0, overflow) = capBucketsRep(
       sigs.select(col("doc_id"), col("sig"),
         posexplode(array(chunks: _*)).as(Seq("chunk_idx", "chunk_val"))),
-      Seq("chunk_idx", "chunk_val"), "doc_id", maxBucket).cache()
+      Seq("chunk_idx", "chunk_val"), "doc_id", maxBucket)
+    val index = index0.cache()
     // probe = the chunk value itself plus its chunkBits 1-bit variants,
     // unrolled as literals so the whole expansion stays in codegen
     val variants = array((col("chunk_val") +: (0 until chunkBits).map(b =>
       col("chunk_val").bitwiseXOR(lit(1L << b)))): _*)
-    val probe = index.select(col("doc_id"), col("sig"), col("chunk_idx"),
+    val probe = index.select(col("doc_id"), col("chunk_idx"),
       explode(variants).as("probe_val"))
-    probe.as("a")
+    val cand = probe.as("a")
       .join(index.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
         col("a.probe_val") === col("b.chunk_val") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .union(overflow)
       .distinct()
+    val withHamming = cand
+      .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
+      .join(sigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
+      .withColumn("hamming",
+        bit_count(col("sig1").bitwiseXOR(col("sig2"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming"))
+    verifyJaccard(withHamming, sets)
+      .filter(col("jaccard") >= threshold)
       .orderBy(col("id1"), col("id2"))
   }
 
@@ -223,15 +274,21 @@ object DedupOps {
                      maxDf: Int = 0): DataFrame = {
     // one scan-side pass feeds prefix build and verification alike
     val sets = docShingleSets(docs).cache()
-    val prefixLen = (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")
+    // every ceil of a threshold product goes through ceilSafe: an FP
+    // overshoot here shortens the prefix / raises a bound and silently
+    // prunes genuine J == threshold pairs (the shipped defaults happen
+    // to undershoot, but exactness must not depend on the threshold)
+    val prefixLen =
+      (col("n") - ceilSafe(lit(threshold) * col("n")) + 1).cast("int")
     // posexplode keeps each posting's position in the sorted set: the
     // PPJoin positional filter needs it below
     val prefix0 = sets.select(col("doc_id"), col("n"),
       posexplode(slice(col("hs"), lit(1), greatest(prefixLen, lit(0))))
         .as(Seq("p", "h")))
-    val prefix =
-      if (maxDf > 0) capBuckets(prefix0, Seq("h"), "doc_id", maxDf)
-      else prefix0
+    val (prefix, overflow) =
+      if (maxDf > 0) capBucketsRep(prefix0, Seq("h"), "doc_id", maxDf)
+      else (prefix0, docs.sparkSession.emptyDataFrame
+        .select(lit(0L).as("id1"), lit(0L).as("id2")).limit(0))
     // overlap required for J ≥ t: common ≥ t·(na+nb)/(1+t); a shared
     // shingle at 0-based sorted positions (pa, pb) bounds the overlap
     // by min(na-pa, nb-pb) — common shingles can only come from the
@@ -240,14 +297,15 @@ object DedupOps {
     // holds, so the filter is exact: it only prunes postings that
     // cannot witness the threshold.
     val minOverlap =
-      ceil(lit(threshold) / (1 + threshold) * (col("a.n") + col("b.n")))
+      ceilSafe(lit(threshold) / (1 + threshold) * (col("a.n") + col("b.n")))
     val cand = prefix.as("a")
       .join(prefix.as("b"), col("a.h") === col("b.h") &&
         col("a.doc_id") < col("b.doc_id") &&
         least(col("a.n"), col("b.n")) >=
-          ceil(lit(threshold) * greatest(col("a.n"), col("b.n"))) &&
+          ceilSafe(lit(threshold) * greatest(col("a.n"), col("b.n"))) &&
         least(col("a.n") - col("a.p"), col("b.n") - col("b.p")) >= minOverlap)
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .union(overflow)
       .distinct()
     verifyJaccard(cand, sets)
       .filter(col("jaccard") >= threshold)
@@ -305,14 +363,16 @@ object DedupOps {
         SimilarityOps.lshBucket(col("embedding"), nBits, seed = 42L + t)
           .as("bucket"))
     }.reduce(_.union(_))
-    val bucketed = capBuckets(tables, Seq("table", "bucket"), "vec_id",
-      maxBucket).cache()
+    val (bucketed0, overflow) = capBucketsRep(tables,
+      Seq("table", "bucket"), "vec_id", maxBucket)
+    val bucketed = bucketed0.cache()
     val cand = bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.table") === col("b.table") &&
         col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+      .union(overflow)
       .distinct()
     cand
       .join(emb.select(col("vec_id").as("id1"), col("embedding").as("e1")), "id1")

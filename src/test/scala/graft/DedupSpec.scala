@@ -22,13 +22,25 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty)  // the corpus has planted near-dups
   }
 
-  test("simhash pairs: near-dup docs land within hamming distance") {
-    val sim = DedupOps.simhashPairs(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  test("simhash pairs: verified near-dups, schema (id1,id2,hamming,jaccard)") {
+    val rows = DedupOps.simhashPairs(spark, sf, threshold = 0.8).collect()
+    val sim = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every emitted pair is exact-verified at the threshold
+    rows.foreach { r =>
+      assert(r.getInt(2) <= 7)
+      assert(r.getDouble(3) >= 0.8)
+    }
     val planted = DedupOps.ngramJaccard(spark, sf, threshold = 0.95).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // ~99%-similar docs must collide in simhash space
+    // ~99%-similar docs collide in simhash space AND survive the
+    // exact-Jaccard verifier, so the planted pairs must all be present
     assert(planted.nonEmpty && planted.subsetOf(sim))
+  }
+
+  test("simhash rejects a maxHamming beyond the probe-exact radius") {
+    intercept[IllegalArgumentException] {
+      DedupOps.simhashPairs(spark, sf, maxHamming = 8, bands = 4)
+    }
   }
 
   test("simhash multi-index recall is banding-independent at radius 7") {
@@ -67,16 +79,22 @@ class DedupSpec extends SparkSpec {
     assert(out === expected)
   }
 
-  test("bucket cap bounds a duplicate-heavy corpus deterministically") {
+  test("bucket cap bounds a duplicate-heavy corpus without losing members") {
     import spark.implicits._
     val docs = (0L until 300L).map(i => (i,
       "the same boilerplate text repeated for every single document in this corpus end"))
       .toDF("doc_id", "text")
     // 300 identical docs put every doc in one bucket per band; the cap
-    // keeps the 50 lowest ids, so pair count is C(50,2), not C(300,2)
+    // keeps the 50 lowest ids fully paired — C(50,2), not C(300,2) —
+    // and every capped-out doc still pairs with the bucket's
+    // representative (id 0), so no document vanishes from the cluster
     val out = DedupOps.minhashLshOn(docs, maxBucket = 50).collect()
-    assert(out.length === 50 * 49 / 2)
-    assert(out.flatMap(r => Seq(r.getLong(0), r.getLong(1))).max < 50)
+    assert(out.length === 50 * 49 / 2 + 250)
+    val members =
+      out.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(members === (0L until 300L).toSet)
+    // capped-out docs appear only via the representative
+    out.filter(r => r.getLong(1) >= 50).foreach(r => assert(r.getLong(0) === 0L))
     out.foreach(r => assert(r.getDouble(2) === 1.0))
   }
 
