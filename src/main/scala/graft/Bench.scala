@@ -10,21 +10,54 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the JVM/codegen/IO paths so the first timed query is not
-    // charged for session bring-up.
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .groupBy("l_returnflag").count().collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // Materialize every row (collect) so final sorts/limits stay in
-      // the measured plan — count() lets Catalyst prune them away.
-      try { fn(spark, sfDir).collect() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Warm the JVM/codegen/IO paths AND the common execution machinery
+    // (scan, hash agg, broadcast join, window, sort) so the first
+    // timed queries aren't charged for engine bring-up — measured at
+    // ~2s of one-time JIT otherwise landing on whichever query runs
+    // first. Generic plans only: no timed query's plan is pre-run.
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      li.groupBy("l_returnflag").count().collect()
+      li.select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("l_suppkey")).orderBy(col("l_extendedprice"))))
+        .join(broadcast(spark.read.parquet(s"$sfDir/nation.parquet")),
+          col("l_suppkey") % 25 === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(sum(col("l_extendedprice")).as("s"))
+        .orderBy(col("s").desc).limit(5).collect()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Fixed name order: JIT warmth and storage state then can't shift
+    // between runs just because Map iteration order changed.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Operators cache() intermediates and a returned plan can't
+      // unpersist them; without clearing, storage accumulates across
+      // all ~50 queries and later queries pay earlier queries'
+      // evictions — each query must be timed from a cold cache.
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      // noop-write runs the FULL plan (final sorts/limits included —
+      // count() would let Catalyst prune them) without collect()'s
+      // driver deserialization, which at larger SF distorts the
+      // timing and can OOM the driver on wide results.
+      val ok =
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(
+            s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
+    }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // A failing query must surface as a failure, never as a ~0s
+    // "improvement" to the total.
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

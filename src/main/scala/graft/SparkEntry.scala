@@ -35,6 +35,11 @@ object SparkEntry {
     "q_rollup"           -> (Analytics.rollupAgg _),
     "q_distinct_count"   -> (Analytics.distinctCount _),
     "q_percentiles"      -> (Analytics.percentiles _),
+    // sketch variants — the aggregates that actually run at 100 TB
+    // (estimator-specific values ⇒ rows-only; tolerance-spec'd in
+    // AnalyticsSpec against the exact versions)
+    "q_distinct_approx"   -> ((s, d) => Analytics.distinctCountApprox(s, d)),
+    "q_percentiles_approx" -> ((s, d) => Analytics.percentilesApprox(s, d)),
     // §2.1 ETL operators
     "etl_apply_mapping" -> ((s, d) =>
       Mapping.applyMapping(Tables.orders(s, d), Seq(
@@ -112,6 +117,11 @@ object SparkEntry {
     "dedup_simhash"       -> ((s, d) => DedupOps.simhashPairs(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccard(s, d)),
     "dedup_embedding"     -> ((s, d) => DedupOps.embeddingPairs(s, d, threshold = 0.45)),
+    // the scale path: multi-table hyperplane LSH instead of all-pairs;
+    // fixed-seed planes make it exactly SQL-replicable, so unusually
+    // for ANN-style ops it carries a full oracle
+    "dedup_embedding_lsh" -> ((s, d) =>
+      DedupOps.embeddingPairsLsh(s, d, threshold = 0.45, nBits = 4, nTables = 4)),
     // §2.5 similarity search
     "ann_bruteforce_topk" -> ((s, d) => SimilarityOps.bruteForceTopK(s, d)),
     "ann_lsh_topk"        -> ((s, d) => SimilarityOps.lshTopK(s, d)),
@@ -129,6 +139,7 @@ object SparkEntry {
     // §2.8 streaming (batch faces; streaming faces spec-tested)
     "stream_window_counts" -> (graft.streaming.EventStreams.windowCountsBatch _),
     "stream_sessionize"    -> (graft.streaming.EventStreams.sessionizeBatch _),
+    "stream_dedup"         -> (graft.streaming.DedupStreams.dedupBatch _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -423,6 +434,7 @@ object SparkEntry {
     // Deterministic fixed-seed LSH/IVF — replicated plane-for-plane in
     // SQL by the generators in SimilarityOps (see the precision
     // contract documented there).
+    "dedup_embedding_lsh" -> graft.ops.SimilarityOps.embeddingLshOracleSql(),
     "ann_lsh_topk" -> graft.ops.SimilarityOps.lshOracleSql(),
     "ann_ivf_topk" -> graft.ops.SimilarityOps.ivfOracleSql(),
     "ann_bruteforce_topk" ->
@@ -490,6 +502,18 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
         | count(*) AS n, round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // events.ts truncated to µs in the CTE (see stream_sessionize note)
+    "stream_dedup" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP_US) AS ts
+        |  FROM events),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) AS rn
+        |  FROM ev)
+        |SELECT user_id, event_type, event_id, ts AS first_ts
+        |FROM r WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
     // NOTE: events.parquet is TIMESTAMP(NANOS); Spark truncates to
     // micros (Tables.events), so the oracle must truncate too BEFORE
     // the gap predicate — a ns-preserving DuckDB would otherwise emit

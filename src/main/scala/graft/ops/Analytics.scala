@@ -197,6 +197,32 @@ object Analytics {
       .agg(countDistinct(col("user_id")).as("users"),
            countDistinct(col("event_type")).as("types"))
 
+  /** HLL++ approximate distinct counts — the shape that survives
+    * 100 TB: the sketch is fixed-size and mergeable, so the aggregate
+    * stays map-side-combinable with no exact-distinct row expansion.
+    * Estimator-specific values ⇒ no cross-engine oracle; the spec
+    * asserts the rsd tolerance against the exact counts instead. */
+  def distinctCountApprox(s: SparkSession, d: String,
+                          rsd: Double = 0.02): DataFrame =
+    Tables.events(s, d)
+      .agg(approx_count_distinct(col("user_id"), rsd).as("users_approx"),
+           approx_count_distinct(col("event_type"), rsd).as("types_approx"))
+
+  /** Per-type approximate percentiles (Greenwald-Khanna quantile
+    * sketch via percentile_approx) — bounded-memory, mergeable, the
+    * 100 TB replacement for the exact per-group sort. Spec-checked
+    * against the exact interpolated percentiles at a rank-error
+    * tolerance; no cross-engine oracle (sketch-specific values). */
+  def percentilesApprox(s: SparkSession, d: String,
+                        accuracy: Int = 10000): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr(s"percentile_approx(value, 0.5, $accuracy)"), 4).as("p50"),
+        round(expr(s"percentile_approx(value, 0.95, $accuracy)"), 4).as("p95"),
+        round(expr(s"percentile_approx(value, 0.99, $accuracy)"), 4).as("p99"))
+      .orderBy(col("event_type"))
+
   /** Per-type exact interpolated percentiles. Exact `percentile` is a
     * per-group sort — right for dashboard-sized groups; at 100 TB with
     * huge groups switch to `percentile_approx` (t-digest sketch,

@@ -42,8 +42,11 @@ object DedupOps {
     * J exactly = threshold. Subtracting 1e-9 (far above double error
     * for any realistic shingle count, far below 1 ulp of the integer
     * lattice) biases the bound recall-safe: at worst one extra
-    * candidate survives to exact verification. */
-  private def ceilSafe(x: Column): Column = ceil(x - lit(1e-9))
+    * candidate survives to exact verification. The slack scales with
+    * the operand (x·1e-12 ≫ x·2⁻⁵² = 1 ulp) so the guard holds for
+    * arbitrarily large shingle counts, not just while x·2⁻⁵² stays
+    * below a fixed epsilon. */
+  private def ceilSafe(x: Column): Column = ceil(x - x * lit(1e-12) - lit(1e-9))
 
   /** Cap buckets at `cap` rows (deterministic: lowest ids win) and
     * return the overflow as representative pairs: each capped-out row
@@ -55,9 +58,15 @@ object DedupOps {
   private def capBucketsRep(df: DataFrame, keys: Seq[String], idCol: String,
                             cap: Int): (DataFrame, DataFrame) = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol))
+    // Cached HERE so kept and overflow share one materialization of
+    // the upstream pipeline (signature aggregation / bucketing): both
+    // returned frames are consumed downstream, and without the cache
+    // whichever side the caller didn't cache re-runs the whole
+    // expensive input plan a second time.
     val ranked = df.withColumn("__rn", row_number().over(w))
       // default frame = rows up to CURRENT ROW, so first = bucket min id
       .withColumn("__rep", first(col(idCol)).over(w))
+      .cache()
     val kept = ranked.filter(col("__rn") <= cap).drop("__rn", "__rep")
     // id order inside the window makes rep strictly < the capped id
     val overflow = ranked.filter(col("__rn") > cap)
@@ -156,13 +165,13 @@ object DedupOps {
     val bandSigs = (0 until bands).map { b =>
       xxhash64((lit(b) +: (b * rows until (b + 1) * rows).map(j => col(s"mh$j"))): _*)
     }
-    // both sides of the candidate self-join read this — cache so the
-    // 64-aggregate signature pass runs once, not twice
-    val (banded0, overflow) = capBucketsRep(
+    // capBucketsRep caches the ranked frame, so the 64-aggregate
+    // signature pass runs once and both self-join sides (and the
+    // overflow frame) read the cached copy
+    val (banded, overflow) = capBucketsRep(
       sig.select(col("doc_id"),
         posexplode(array(bandSigs: _*)).as(Seq("band", "bsig"))),
       Seq("band", "bsig"), "doc_id", maxBucket)
-    val banded = banded0.cache()
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
@@ -220,25 +229,39 @@ object DedupOps {
     val sets = docShingleSets(docs).cache()
     val chunks = (0 until bands).map(i =>
       shiftright(col("sig"), i * chunkBits).bitwiseAND(mask))
-    val (index0, overflow) = capBucketsRep(
+    // capBucketsRep caches the ranked frame: the SimHash aggregation
+    // pipeline materializes once for the index, probes, and overflow
+    val (index, overflow) = capBucketsRep(
       sigs.select(col("doc_id"), col("sig"),
         posexplode(array(chunks: _*)).as(Seq("chunk_idx", "chunk_val"))),
       Seq("chunk_idx", "chunk_val"), "doc_id", maxBucket)
-    val index = index0.cache()
-    // probe = the chunk value itself plus its chunkBits 1-bit variants,
-    // unrolled as literals so the whole expansion stays in codegen
-    val variants = array((col("chunk_val") +: (0 until chunkBits).map(b =>
-      col("chunk_val").bitwiseXOR(lit(1L << b)))): _*)
-    val probe = index.select(col("doc_id"), col("chunk_idx"),
-      explode(variants).as("probe_val"))
-    val cand = probe.as("a")
+    // A chunk pair within hamming 1 is either EQUAL (covered by the
+    // plain index self-join below) or differs in exactly one bit b —
+    // and then exactly one side holds bit b = 0, whose UPWARD flip
+    // (0→1, i.e. the variant > chunk_val) equals the other side's
+    // exact chunk value. Probing upward flips only — against exact
+    // index values, from both sides, XOR-symmetry covering the
+    // direction — halves probe volume (~chunkBits/2 variants/chunk
+    // instead of chunkBits+1) with identical recall.
+    val flips = (0 until chunkBits).map(b =>
+      col("chunk_val").bitwiseXOR(lit(1L << b)))
+    val probeUp = index.select(col("doc_id"), col("chunk_idx"),
+      explode(filter(array(flips: _*), v => v > col("chunk_val")))
+        .as("probe_val"))
+    val candEq = index.as("a")
+      .join(index.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+    val candUp = probeUp.as("a")
       .join(index.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
         col("a.probe_val") === col("b.chunk_val") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .union(overflow)
-      .distinct()
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id2"))
+    val cand = candEq.union(candUp).union(overflow).distinct()
     val withHamming = cand
       .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
       .join(sigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
@@ -285,10 +308,13 @@ object DedupOps {
     val prefix0 = sets.select(col("doc_id"), col("n"),
       posexplode(slice(col("hs"), lit(1), greatest(prefixLen, lit(0))))
         .as(Seq("p", "h")))
+    // maxDf=0: derive the empty overflow frame from the data so the
+    // id1/id2 types always match doc_id's type — a hardcoded lit(0L)
+    // would silently widen the union's columns for non-long ids
     val (prefix, overflow) =
       if (maxDf > 0) capBucketsRep(prefix0, Seq("h"), "doc_id", maxDf)
-      else (prefix0, docs.sparkSession.emptyDataFrame
-        .select(lit(0L).as("id1"), lit(0L).as("id2")).limit(0))
+      else (prefix0, prefix0
+        .select(col("doc_id").as("id1"), col("doc_id").as("id2")).limit(0))
     // overlap required for J ≥ t: common ≥ t·(na+nb)/(1+t); a shared
     // shingle at 0-based sorted positions (pa, pb) bounds the overlap
     // by min(na-pa, nb-pb) — common shingles can only come from the
@@ -363,9 +389,10 @@ object DedupOps {
         SimilarityOps.lshBucket(col("embedding"), nBits, seed = 42L + t)
           .as("bucket"))
     }.reduce(_.union(_))
-    val (bucketed0, overflow) = capBucketsRep(tables,
+    // capBucketsRep caches the ranked frame — both self-join sides and
+    // the overflow read one materialization of the bucketing pipeline
+    val (bucketed, overflow) = capBucketsRep(tables,
       Seq("table", "bucket"), "vec_id", maxBucket)
-    val bucketed = bucketed0.cache()
     val cand = bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.table") === col("b.table") &&

@@ -111,27 +111,47 @@ object SimilarityOps {
     val seeds = emb.filter(col("vec_id") < cellCount)
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
 
-    def nearestCells(df: DataFrame, vecCol: String, cents: DataFrame,
-                     probes: Int): DataFrame = {
-      val scored = df.crossJoin(broadcast(cents))
-        .withColumn("sim", round(cosine(col(vecCol), col("c_emb")), 4))
-      val w = Window.partitionBy(col(df.columns.head))
-        .orderBy(col("sim").desc, col("cell"))
-      scored.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= probes).drop("rnk", "sim", "c_emb")
-    }
+    // Single-probe argmax as a map-side-combinable aggregate: the
+    // shuffle carries ONE narrow row per vector instead of the full
+    // |vectors|×|cells| scored frame (embeddings included) through a
+    // window exchange — the difference between an O(n·cells) and an
+    // O(n) exchange, which is what the fit's two corpus-wide
+    // assignment passes are made of. Tiebreak matches the oracle's
+    // ranking exactly: max sim, then lowest cell.
+    def assign1(cents: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(cents))
+        .withColumn("sim", round(cosine(col("embedding"), col("c_emb")), 4))
+        .groupBy(col("vec_id"))
+        .agg(first(col("embedding")).as("embedding"),
+          max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"))
 
-    // one refinement pass: assign to seeds, recompute cell means
-    val assigned = nearestCells(emb, "embedding", seeds, 1)
-    val dims = (0 until dim).map(i =>
-      avg(element_at(col("embedding"), i + 1)).as(s"m$i"))
-    val centroids = assigned.groupBy(col("cell"))
-      .agg(dims.head, dims.tail: _*)
-      .select(col("cell"), array((0 until dim).map(i => col(s"m$i")): _*)
+    // one refinement pass: assign to seeds, recompute cell means.
+    // Element-wise means via posexplode + per-(cell, pos) avg instead
+    // of 64 parallel avg(element_at) aggregates: this shape compiles
+    // small (the wide-agg codegen class was measured at over a second
+    // of Janino per run) and shuffles narrow (cell, pos, partial-avg)
+    // rows with map-side combine — same O(n·dim) work, same means.
+    val centroids = assign1(seeds)
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), transform(col("pm"), x => x.getField("m"))
         .cast("array<float>").as("c_emb"))
 
-    val cells = nearestCells(emb, "embedding", centroids, 1)
-    val qCells = nearestCells(queries(s, d, nQueries), "q_emb", centroids, nProbe)
+    val cells = assign1(centroids)
+    // query cells come from the SAME scored frame the corpus pass
+    // reads (restricted to the query ids, ranked to nProbe) — exactly
+    // the oracle's a2r CTE, and one whole plan subtree fewer than an
+    // independent query-side assignment.
+    val w2 = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cell"))
+    val qCells = emb.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", round(cosine(col("embedding"), col("c_emb")), 4))
+      .withColumn("rnk", row_number().over(w2))
+      .filter(col("rnk") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cell"))
 
     val scored = cells.join(broadcast(qCells), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -182,6 +202,34 @@ object SimilarityOps {
        |        ORDER BY cosine DESC, vec_id) AS rank FROM scored)
        |SELECT q_id, vec_id, cosine, rank FROM r
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+
+  /** DuckDB replica of DedupOps.embeddingPairsLsh: the same fixed-seed
+    * hyperplanes per table (seed 42+t), OR-construction across tables,
+    * distinct candidate pairs, exact cosine ≥ threshold. Valid while
+    * no bucket exceeds the Spark side's maxBucket cap (true at the
+    * test SFs by a wide margin), since the cap is a no-op then. */
+  private[graft] def embeddingLshOracleSql(threshold: Double = 0.45,
+                                           nBits: Int = 4,
+                                           nTables: Int = 4): String = {
+    val tables = (0 until nTables).map(t =>
+      s"SELECT vec_id, $t AS tbl, ${bucketSql("embedding", nBits, 42L + t)} AS bucket FROM embeddings")
+      .mkString("\n  UNION ALL ")
+    s"""WITH b AS (
+       |  $tables),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+       |  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket
+       |   AND a.vec_id < c.vec_id)
+       |SELECT id1, id2,
+       |  round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+       |    CAST(y.embedding AS DOUBLE[])), 4) AS cosine
+       |FROM cand
+       |JOIN embeddings x ON x.vec_id = id1
+       |JOIN embeddings y ON y.vec_id = id2
+       |WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+       |    CAST(y.embedding AS DOUBLE[])), 4) >= $threshold
+       |ORDER BY id1, id2""".stripMargin
+  }
 
   /** DuckDB replica of ivfTopK: same seed cells, one rounded-similarity
     * assignment pass, float-cast centroid means, multi-probe search. */

@@ -68,6 +68,17 @@ object TimeSeriesOps {
                key: String, ts: String): DataFrame = {
     val rPayload = right.columns.filterNot(c => c == key || c == ts).toSeq
     val lCols = left.columns.toSeq
+    // a right payload name already present on the left would emit two
+    // identically-named output columns; a left column matching an
+    // internal tag would corrupt the union — fail loud instead
+    val clash = rPayload.intersect(lCols)
+    require(clash.isEmpty,
+      s"asofJoin: right payload column(s) ${clash.mkString(", ")} collide " +
+        "with left columns — rename one side before joining")
+    val tagged = lCols.filter(c => c == "__is_left" || c.startsWith("__r_"))
+    require(tagged.isEmpty,
+      s"asofJoin: left column(s) ${tagged.mkString(", ")} collide with " +
+        "internal tag columns (__is_left, __r_*)")
     val lU = left.select(
       lCols.map(col) ++
         rPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) :+

@@ -1,6 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Streaming face of exact deduplication: drop content-duplicate
@@ -23,4 +25,22 @@ object DedupStreams {
       .withColumn("text_hash", sha2(col(textCol), 256))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("text_hash")
+
+  /** Batch face for the oracle gate: the first arrival — by event
+    * time, event_id tiebreak — of each (user_id, event_type) key over
+    * the events table. This is what the streaming dedup computes when
+    * the stream is replayed in event-time order; expressing the
+    * "first" deterministically (min over the time order, not
+    * dropDuplicates' arbitrary partition order) is what makes it
+    * cross-engine checkable. One shuffle on the dedup key. */
+  def dedupBatch(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").as("first_ts"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
 }

@@ -46,10 +46,15 @@ class DedupSpec extends SparkSpec {
   test("simhash multi-index recall is banding-independent at radius 7") {
     // 4×16 (1-bit probes ⇒ exact ≤ 7) and 8×8 (exact ≤ 15, filtered
     // to 7) must produce identical pair sets — the banding is an
-    // index layout, not a semantics knob
-    val wide = DedupOps.simhashPairs(spark, sf, maxHamming = 7, bands = 4)
+    // index layout, not a semantics knob. maxBucket pinned to ∞: 8-bit
+    // chunks have only 256 values and engage the cap far earlier than
+    // 16-bit chunks, and once a cap engages, capped-out pairs connect
+    // only via representatives and the sets may legitimately diverge.
+    val wide = DedupOps.simhashPairs(spark, sf, maxHamming = 7, bands = 4,
+        maxBucket = Int.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    val narrow = DedupOps.simhashPairs(spark, sf, maxHamming = 7, bands = 8)
+    val narrow = DedupOps.simhashPairs(spark, sf, maxHamming = 7, bands = 8,
+        maxBucket = Int.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(wide === narrow && wide.nonEmpty)
   }

@@ -84,6 +84,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_dedup batch face: one first-arrival row per key, min event time") {
+    val out = graft.streaming.DedupStreams.dedupBatch(spark, sf)
+    val ev = Tables.events(spark, sf)
+    // exactly one row per distinct (user_id, event_type)
+    assert(out.count() ===
+      ev.select("user_id", "event_type").distinct().count())
+    // and each row carries that key's earliest event time
+    val mins = ev.groupBy("user_id", "event_type")
+      .agg(min("ts").as("mn")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getTimestamp(2)).toMap
+    out.collect().foreach { r =>
+      assert(r.getTimestamp(3) === mins((r.getLong(0), r.getString(1))))
+    }
+  }
+
   test("incremental ingest: bookmark semantics — new files only, idempotent") {
     import graft.streaming.IncrementalIngest
     val root = java.nio.file.Files.createTempDirectory("graft-ingest")

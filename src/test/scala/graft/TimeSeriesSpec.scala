@@ -64,6 +64,18 @@ class TimeSeriesSpec extends SparkSpec {
       "unknown-key" -> None))
   }
 
+  test("asofJoin rejects right payload names that collide with left columns") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, t("2024-01-01 00:00:00"), 1.0)).toDF("k", "ts", "v")
+    val right = Seq((1L, t("2024-01-01 00:00:00"), 2.0)).toDF("k", "ts", "v")
+    // without the guard this silently emitted two columns named "v"
+    val e = intercept[IllegalArgumentException] {
+      TimeSeriesOps.asofJoin(left, right, "k", "ts")
+    }
+    assert(e.getMessage.contains("v"))
+  }
+
   test("asofJoin equals a naive cross-join reference on random data") {
     import spark.implicits._
     val rng = new scala.util.Random(11)
