@@ -116,6 +116,15 @@ object SparkEntry {
     "dedup_minhash"       -> ((s, d) => DedupOps.minhashLsh(s, d)),
     "dedup_simhash"       -> ((s, d) => DedupOps.simhashPairs(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccard(s, d)),
+    // train/eval decontamination: even doc_ids play the training
+    // corpus, odd ones the held-out benchmark — a SQL-expressible
+    // split so the cross-corpus contract gets a full oracle
+    "dedup_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.decontaminate(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0))
+    }),
     "dedup_embedding"     -> ((s, d) => DedupOps.embeddingPairs(s, d, threshold = 0.45)),
     // the scale path: multi-table hyperplane LSH instead of all-pairs;
     // fixed-seed planes make it exactly SQL-replicable, so unusually
@@ -401,6 +410,28 @@ object SparkEntry {
         |FROM pairs JOIN sz x ON x.doc_id = id1 JOIN sz y ON y.doc_id = id2
         |WHERE common * 1.0 / (x.n + y.n - common) >= 0.8
         |ORDER BY id1, id2""".stripMargin,
+    // Same exact-Jaccard contract as dedup_minhash (banding misses are
+    // ~6e-4 per J≥0.8 pair and candidates are exact-verified), across
+    // the even/odd corpus split.
+    "dedup_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+        |             FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+        |  FROM tok WHERE len(t) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_id, b.doc_id AS ref_id, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |  GROUP BY 1, 2)
+        |SELECT pairs.doc_id AS doc_id, ref_id,
+        |  round(common * 1.0 / (x.n + y.n - common), 4) AS jaccard
+        |FROM pairs JOIN sz x ON x.doc_id = pairs.doc_id
+        |           JOIN sz y ON y.doc_id = ref_id
+        |WHERE common * 1.0 / (x.n + y.n - common) >= 0.8
+        |ORDER BY doc_id, ref_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         | len(string_split_regex(trim(text), '\s+')) AS ws_tokens,

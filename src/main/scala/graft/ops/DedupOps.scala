@@ -80,7 +80,13 @@ object DedupOps {
     * sorted array — computed entirely inside the scan projection (no
     * shuffle), and the base for signatures, prefixes, and
     * verification alike. */
-  private[ops] def docShingleSets(docs: DataFrame, k: Int = 3): DataFrame = {
+  private[ops] def docShingleSets(docs: DataFrame, k: Int = 3): DataFrame =
+    docShingleSetsCarry(docs, k, Nil)
+
+  /** docShingleSets carrying extra per-doc columns through the scan
+    * projection (e.g. a corpus-side tag) — same single-pass shape. */
+  private[ops] def docShingleSetsCarry(docs: DataFrame, k: Int,
+                                       carry: Seq[String]): DataFrame = {
     // Materialize the token array BEFORE the shingle transform: a
     // lambda body re-evaluates every subtree per element, so slicing
     // `split(text)` directly would re-split the document once per
@@ -89,14 +95,15 @@ object DedupOps {
     // alone because `t` is non-cheap and referenced more than once.
     // spread(): shingling is the expensive stage — use every core even
     // when the corpus arrives as a single file.
+    val keyCols = (Seq("doc_id") ++ carry).map(col)
     val tokenized = Tables.spread(docs)
-      .select(col("doc_id"), TextOps.toks(col("text")).as("t"))
+      .select(keyCols :+ TextOps.toks(col("text")).as("t"): _*)
     val n = size(col("t"))
     val starts = when(n >= k, sequence(lit(1), n - (k - 1)))
       .otherwise(array().cast("array<int>"))
     val shingles = transform(starts, i => concat_ws(" ", slice(col("t"), i, lit(k))))
-    tokenized.select(col("doc_id"),
-        array_sort(array_distinct(transform(shingles, s => xxhash64(s)))).as("hs"))
+    tokenized.select(keyCols :+
+        array_sort(array_distinct(transform(shingles, s => xxhash64(s)))).as("hs"): _*)
       .withColumn("n", size(col("hs")))
   }
 
@@ -137,10 +144,13 @@ object DedupOps {
     * realized as xxhash64(shingleHash, permIndex); the signature is
     * numPerm parallel min-aggregates over one (doc_id, h) pass —
     * map-side partial aggregation, no row blowup. */
-  private def minhashSignatures(sh: DataFrame, numPerm: Int): DataFrame = {
+  private def minhashSignatures(sh: DataFrame, numPerm: Int,
+                                carry: Seq[String] = Nil): DataFrame = {
     val aggs = (0 until numPerm).map(j =>
       min(xxhash64(col("h"), lit(j))).as(s"mh$j"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    // carry columns are functionally dependent on doc_id; grouping on
+    // them too threads them through without an extra join
+    sh.groupBy((Seq("doc_id") ++ carry).map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Candidate pairs whose exact Jaccard ≥ threshold, surfaced by
@@ -182,6 +192,70 @@ object DedupOps {
     verifyJaccard(cand, sets)
       .filter(col("jaccard") >= threshold)
       .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Cross-corpus contamination check — the train/eval
+    * decontamination primitive of an LLM training pipeline: flag
+    * every `corpus` document whose n-gram Jaccard with ANY
+    * `reference` document reaches `threshold`. Candidates come from
+    * a banded-MinHash equality join BETWEEN the two corpora (each
+    * side computes signatures independently; the join is on
+    * (band, bandSig) — never a cross product), then exact Jaccard
+    * verifies candidates, so the output contract matches
+    * [[minhashLshOn]]: verified (doc_id, ref_id, jaccard) pairs.
+    *
+    * Bucket caps are per-side: the corpus side's capped-out rows
+    * still emit one candidate against the reference bucket's minimum
+    * id (linear, same representative idea as [[capBucketsRep]]), and
+    * the reference side keeps its bucket minimum among the kept rows
+    * — so a corpus document colliding with a hot reference bucket is
+    * still flagged, while no bucket ever goes quadratic. */
+  def decontaminate(corpus: DataFrame, reference: DataFrame,
+                    threshold: Double = 0.8,
+                    numPerm: Int = 64, bands: Int = 16,
+                    maxBucket: Int = 1000): DataFrame = {
+    val rows = numPerm / bands
+    // ONE shared pipeline over the side-tagged union: every document
+    // is shingled, signed, and band-ranked exactly once (doc ids must
+    // be disjoint across the two corpora — they key the verify join).
+    val tagged = corpus.select(col("doc_id"), col("text"), lit(0).as("__ref"))
+      .unionByName(reference.select(col("doc_id"), col("text"), lit(1).as("__ref")))
+    val sets = docShingleSetsCarry(tagged, 3, Seq("__ref")).cache()
+    val sig = minhashSignatures(
+      sets.select(col("doc_id"), col("__ref"), explode(col("hs")).as("h")),
+      numPerm, carry = Seq("__ref"))
+    val bandSigs = (0 until bands).map { b =>
+      xxhash64((lit(b) +: (b * rows until (b + 1) * rows)
+        .map(j => col(s"mh$j"))): _*)
+    }
+    // caps are per (bucket, side): the corpus cap must not depend on
+    // how many reference docs share the bucket and vice versa
+    val w = Window.partitionBy(col("band"), col("bsig"), col("__ref"))
+      .orderBy(col("doc_id"))
+    val ranked = sig.select(col("doc_id"), col("__ref"),
+        posexplode(array(bandSigs: _*)).as(Seq("band", "bsig")))
+      .withColumn("__rn", row_number().over(w)).cache()
+    val kept = ranked.filter(col("__rn") <= maxBucket)
+    val cKept = kept.filter(col("__ref") === 0)
+    val rKept = kept.filter(col("__ref") === 1)
+    val rMin = rKept.groupBy(col("band"), col("bsig"))
+      .agg(min(col("doc_id")).as("ref_id"))
+    val candJoin = cKept.as("a")
+      .join(rKept.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+    // capped-out corpus rows still candidate against the reference
+    // bucket's minimum id — linear, mirrors capBucketsRep's
+    // representative contract across corpora
+    val candOverflow = ranked
+      .filter(col("__ref") === 0 && col("__rn") > maxBucket)
+      .join(rMin, Seq("band", "bsig"))
+      .select(col("doc_id").as("id1"), col("ref_id").as("id2"))
+    val cand = candJoin.union(candOverflow).distinct()
+    verifyJaccard(cand, sets.drop("__ref"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1").as("doc_id"), col("id2").as("ref_id"), col("jaccard"))
+      .orderBy(col("doc_id"), col("ref_id"))
   }
 
   // ---- SimHash ---------------------------------------------------------

@@ -41,6 +41,40 @@ object Sources {
   def readPartitioned(s: SparkSession, path: String): DataFrame =
     s.read.parquet(path)
 
+  /** JSON-Lines source with declared schema — the interchange format
+    * document corpora actually ship in. Schema declared, not
+    * inferred: corrupt lines land in the permissive-mode corrupt
+    * record column instead of failing the scan or silently flipping
+    * column types at 100 TB. */
+  def readJsonl(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+
+  /** JSON-Lines source with schema inference (discovery path; costs
+    * an extra pass). */
+  def readJsonlInferred(s: SparkSession, path: String): DataFrame =
+    s.read.json(path)
+
+  /** JSON-Lines sink, one JSON object per line, optionally
+    * partitioned — the dataset-export face ([[graft.ops.TimeSeriesOps
+    * .deeparExport]] produces the same shape row-wise). */
+  def writeJsonl(df: DataFrame, path: String,
+                 partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .json(path)
+  }
+
+  /** ORC face of the partitioned sink/source pair — same pruning
+    * contract as parquet, for stacks standardized on ORC. */
+  def writeOrc(df: DataFrame, path: String,
+               partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .orc(path)
+  }
+
+  def readOrc(s: SparkSession, path: String): DataFrame = s.read.orc(path)
+
   /** Persist a discovered dataset in the session catalog — the
     * crawler→catalog step of the reference (a Glue crawler registers
     * inferred schemas as tables other tools then query by name). The

@@ -59,6 +59,23 @@ class DedupSpec extends SparkSpec {
     assert(wide === narrow && wide.nonEmpty)
   }
 
+  test("decontaminate flags exactly the cross-corpus near-dup pairs") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val out = DedupOps.decontaminate(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // ground truth: the opposite-parity subset of the exact all-pairs
+    // n-gram Jaccard output, re-oriented as (corpus doc, reference doc)
+    val expected = DedupOps.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a % 2 != b % 2 }
+      .map { case (a, b, j) => if (a % 2 == 0) (a, b, j) else (b, a, j) }.toSet
+    assert(out === expected)
+    assert(out.nonEmpty)
+  }
+
   test("embedding pairs: output respects the threshold and ordering") {
     val out = DedupOps.embeddingPairs(spark, sf, threshold = 0.4).collect()
     out.foreach { r =>

@@ -79,6 +79,44 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/nation").count() > 0)
   }
 
+  test("JSONL roundtrip: declared schema, corrupt lines don't kill the scan") {
+    val dir = tmp()
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "n_chars", "text")
+    Sources.writeJsonl(docs, s"$dir/docs", Seq("lang"))
+    val back = Sources.readJsonl(spark, s"$dir/docs", docs.schema)
+    assert(back.count() === docs.count())
+    // value-level parity (jsonl partitioned by lang restores the column)
+    val a = docs.orderBy("doc_id").collect().map(_.toString)
+    val b = back.select("doc_id", "lang", "n_chars", "text")
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(a.sameElements(b))
+    // a corrupt line yields a null-field row, not a failed scan
+    val corrupt = s"$dir/corrupt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(corrupt))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$corrupt/part-0.json"),
+      """{"doc_id": 1, "lang": "en", "n_chars": 5, "text": "hello"}
+        |not json at all
+        |""".stripMargin)
+    val parsed = Sources.readJsonl(spark, corrupt, docs.schema)
+    assert(parsed.count() === 2)
+    assert(parsed.filter(col("doc_id").isNull).count() === 1)
+  }
+
+  test("ORC faces: partitioned roundtrip with pruning, same as parquet") {
+    val dir = tmp()
+    Sources.writeOrc(
+      Tables.events(spark, sf).withColumn("day", to_date(col("ts"))),
+      dir, Seq("event_type"))
+    val pruned = Sources.readOrc(spark, dir)
+      .filter(col("event_type") === "click")
+    assert(pruned.count() ===
+      Tables.events(spark, sf).filter(col("event_type") === "click").count())
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("partitionFilters"))
+  }
+
   test("GraftExtensions: SQL functions resolve in an extended session") {
     // getOrCreate() would silently reuse the suite session and skip the
     // extensions, so build a genuinely fresh session (this is the
