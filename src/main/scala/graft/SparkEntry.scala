@@ -140,6 +140,7 @@ object SparkEntry {
     "text_quality"     -> (TextOps.qualityScores _),
     "text_langid"      -> (TextOps.langId _),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprints(s, d)),
+    "text_tfidf"       -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     // §2.7 multimodal
     "mm_extract" -> (MultimodalOps.extractFeatures _),
     // §2.10 MLlib pipelines
@@ -479,6 +480,24 @@ object SparkEntry {
         |        ORDER BY cosine DESC, vec_id) AS rank FROM scored)
         |SELECT q_id, vec_id, cosine, rank FROM r
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // Spark ln == DuckDB ln on the same doubles; scores round to 4dp
+    // BEFORE ranking (term tiebreak) so rankings are engine-stable.
+    "text_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tf.term AS term,
+        |    round(tf * (ln((n_docs + 1) / (df + 1)) + 1), 4) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY tfidf DESC, term) AS rank FROM scored)
+        |SELECT doc_id, term, tfidf, rank FROM r WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
     "text_langid" ->
       """WITH t AS (SELECT doc_id, lang AS declared_lang,
         |    string_split_regex(trim(lower(text)), '\s+') AS toks

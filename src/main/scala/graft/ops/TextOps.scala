@@ -94,6 +94,39 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document top-k TF-IDF terms — the classic salient-term
+    * extraction over a corpus. Fully distributed: term frequencies
+    * are one map-side-combinable shuffle on (doc, term), document
+    * frequencies reuse that frame (already distinct per doc) with a
+    * second narrow shuffle on term, the corpus size joins in as a
+    * broadcast single-row frame, and the per-doc top-k is a ranked
+    * window on the doc key. idf is the smoothed
+    * ln((N+1)/(df+1)) + 1; scores are rounded to 4dp BEFORE ranking
+    * with a term tiebreak, so rankings are stable across engines and
+    * float-summation orders. */
+  def tfidfTopTerms(s: SparkSession, d: String, k: Int = 3): DataFrame =
+    tfidfTopTermsOn(Tables.documents(s, d), k)
+
+  /** Same over any (doc_id, text) frame. */
+  def tfidfTopTermsOn(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = graft.Tables.spread(docs)
+      .select(col("doc_id"), explode(toks(lower(col("text")))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * (log((col("n_docs") + 1) / (col("df") + 1)) + 1), 4))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** Winnowing fingerprint (Schleimer et al., SIGMOD'03): hash every
     * k-token shingle, take the minimum hash of each sliding window of
     * w shingles, dedupe — a compact, position-robust signature. The

@@ -15,6 +15,25 @@ class TextOpsSpec extends SparkSpec {
     assert(row.getInt(1) === text.trim.split("\\s+").length)
   }
 
+  test("tfidf top terms: k rows per doc, ranks ordered, idf favors rare terms") {
+    val out = TextOps.tfidfTopTerms(spark, sf, k = 3).collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc.size === Tables.documents(spark, sf).count())
+    byDoc.values.foreach { rows =>
+      assert(rows.map(_.getInt(3)).sorted.sameElements(1 to rows.length))
+      // scores are non-increasing with rank
+      val scores = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // controlled corpus: at equal tf, a doc-unique term must out-rank
+    // a term shared by every document
+    val tiny = Seq((1L, "common rare1"), (2L, "common rare2"))
+      .toDF("doc_id", "text")
+    val top = TextOps.tfidfTopTermsOn(tiny, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top === Map(1L -> "rare1", 2L -> "rare2"))
+  }
+
   test("quality scores: ratios are in [0,1] and flag is consistent") {
     val rows = TextOps.qualityScores(spark, sf).collect()
     rows.foreach { r =>
