@@ -1,0 +1,85 @@
+package graft
+
+import graft.ops.{Analytics, DedupOps, SimilarityOps, TextOps, TimeSeriesOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Plan-shape audits: the properties that decide whether a query
+  * survives a 100× scale-up — filter pushdown into the scan, column
+  * pruning, broadcast joins for dimension tables, and the absence of
+  * cartesian products — asserted on the EXECUTED plan (post-AQE), so
+  * a regression in any of them fails loudly instead of surfacing as
+  * a mystery slowdown at scale.
+  */
+class PlanSpec extends SparkSpec {
+
+  /** Run the frame, then return the final adaptive plan's string. */
+  private def executedPlan(df: DataFrame): String = {
+    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("anomaly filter is pushed down into the parquet scan") {
+    val plan = executedPlan(Analytics.anomalyFilter(spark, sf))
+    // the predicate must reach the source, not run post-scan only
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThanOrEqual(l_shipdate"), plan)
+  }
+
+  test("token counting prunes the scan to the referenced columns") {
+    val plan = executedPlan(TextOps.tokenCounts(spark, sf))
+    // documents carries lang/n_chars/text; only doc_id+text may be read
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema:"))
+      .getOrElse(fail(s"no ReadSchema in plan:\n$plan"))
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"))
+  }
+
+  test("star join q5 broadcasts its dimension sides") {
+    val plan = executedPlan(Analytics.regionRevenue(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("key-less range join never plans a cartesian product") {
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("ts"), col("value"))
+    val anchors = ev.orderBy(col("value").desc, col("event_id")).limit(10)
+      .select(col("event_id").as("anchor_id"), col("ts").as("anchor_ts"))
+    val plan = executedPlan(TimeSeriesOps.rangeJoinBucketed(
+      anchors, "anchor_ts", ev.select(col("event_id").as("near_id"), col("ts")),
+      "ts", 300L, 300L))
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("brute-force ANN broadcasts the query side, not the corpus") {
+    val plan = executedPlan(SimilarityOps.bruteForceTopK(spark, sf))
+    // the corpus×queries product must be a broadcast nested loop with
+    // the (tiny) query set as the broadcast side
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("LSH embedding dedup joins on buckets — no product, no broadcast of the corpus") {
+    val plan = executedPlan(DedupOps.embeddingPairsLsh(spark, sf,
+      threshold = 0.45, nBits = 4, nTables = 4))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("asofJoin plans exactly one shuffle over the unioned input") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val ord = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"))
+      .agg(round(max(col("o_totalprice")), 4).as("last_total"))
+    val joined = TimeSeriesOps.asofJoin(ev, ord, "user_id", "ts")
+    joined.write.format("noop").mode("overwrite").save()
+    val plan = joined.queryExecution.executedPlan.toString
+    // the window runs on ONE hashpartitioning(user_id) exchange; the
+    // only other exchange is the right side's pre-aggregation — a
+    // range-join row explosion or per-payload re-shuffle would add more
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <=2 shuffles, got $exchanges:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
