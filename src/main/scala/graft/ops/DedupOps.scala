@@ -107,6 +107,34 @@ object DedupOps {
       .withColumn("n", size(col("hs")))
   }
 
+  /** Column expression: sorted distinct xxhash64 k-token shingle
+    * hashes of a STAGED token-array column (stage the array first —
+    * lambda bodies re-evaluate their subtrees per element). Per-row,
+    * no shuffle: this is what lets the streaming faces compute
+    * signatures without a stateful aggregation. */
+  private[graft] def shingleHashesExpr(t: Column, k: Int = 3): Column = {
+    val n = size(t)
+    val starts = when(n >= k, sequence(lit(1), n - (k - 1)))
+      .otherwise(array().cast("array<int>"))
+    array_sort(array_distinct(
+      transform(starts, i => xxhash64(concat_ws(" ", slice(t, i, lit(k)))))))
+  }
+
+  /** Per-row MinHash band signatures from a STAGED shingle-hash array
+    * column: mh_j = min over the array of xxhash64(h, j), banded as in
+    * [[minhashLshOn]] — identical values to the aggregation path, but
+    * computed inside the row projection (streaming-compatible, zero
+    * shuffle). */
+  private[graft] def bandSigsExpr(hs: Column, numPerm: Int,
+                                  bands: Int): Seq[Column] = {
+    val rows = numPerm / bands
+    val mh = (0 until numPerm).map(j =>
+      array_min(transform(hs, h => xxhash64(h, lit(j)))))
+    (0 until bands).map { b =>
+      xxhash64((lit(b) +: (b * rows until (b + 1) * rows).map(mh)): _*)
+    }
+  }
+
   /** (doc_id, h): exploded distinct shingle hashes. */
   private[ops] def shingleHashes(docs: DataFrame, k: Int = 3): DataFrame =
     docShingleSets(docs, k).select(col("doc_id"), explode(col("hs")).as("h"))

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  private[ops] def toks(c: Column): Column = split(trim(c), "\\s+")
+  private[graft] def toks(c: Column): Column = split(trim(c), "\\s+")
 
   /** Whitespace tokens plus a BPE-ish regex segmentation count
     * (letter runs | single digits | punctuation marks). */

@@ -26,6 +26,60 @@ object DedupStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Static reference index for streaming decontamination: the
+    * reference corpus's banded MinHash signatures plus its shingle
+    * sets — built once in batch (in production: written to parquet and
+    * broadcast/loaded by the streaming job). Returns
+    * (bandIndex(band, bsig, ref_id), refSets(ref_id, ref_hs, ref_n)). */
+  def referenceIndex(reference: DataFrame, numPerm: Int = 64,
+                     bands: Int = 16): (DataFrame, DataFrame) = {
+    val staged = Tables.spread(reference)
+      .select(col("doc_id"), graft.ops.TextOps.toks(col("text")).as("__t"))
+      .select(col("doc_id"),
+        graft.ops.DedupOps.shingleHashesExpr(col("__t")).as("hs"))
+    val sets = staged.select(col("doc_id").as("ref_id"),
+      col("hs").as("ref_hs"), size(col("hs")).as("ref_n"))
+    val bandIndex = staged.select(col("doc_id").as("ref_id"),
+      posexplode(array(
+        graft.ops.DedupOps.bandSigsExpr(col("hs"), numPerm, bands): _*))
+        .as(Seq("band", "bsig")))
+    (bandIndex, sets)
+  }
+
+  /** Streaming decontamination: flag documents arriving on a stream
+    * whose n-gram Jaccard with any document of a STATIC reference
+    * corpus reaches `threshold` — the online face of
+    * [[graft.ops.DedupOps.decontaminate]]. Everything per-document is
+    * a row-local projection (shingles, MinHash bands — no stateful
+    * aggregation), candidates come from stream-static equi joins on
+    * (band, bandSig) against the prebuilt index, exact Jaccard
+    * verifies in the row, and the only state is the
+    * watermark-bounded dedup of band-collision duplicates. Append
+    * mode throughout; state never grows with corpus size. */
+  def decontaminateStream(docs: DataFrame,
+                          bandIndex: DataFrame, refSets: DataFrame,
+                          threshold: Double = 0.8,
+                          numPerm: Int = 64, bands: Int = 16,
+                          watermark: String = "1 hour"): DataFrame = {
+    val staged = docs
+      .withColumn("__t", graft.ops.TextOps.toks(col("text")))
+      .withColumn("hs", graft.ops.DedupOps.shingleHashesExpr(col("__t")))
+      .withWatermark("ts", watermark)
+    val banded = staged.select(col("doc_id"), col("ts"), col("hs"),
+      posexplode(array(
+        graft.ops.DedupOps.bandSigsExpr(col("hs"), numPerm, bands): _*))
+        .as(Seq("band", "bsig")))
+    banded
+      .join(bandIndex, Seq("band", "bsig"))
+      .join(refSets, Seq("ref_id"))
+      .withColumn("common", size(array_intersect(col("hs"), col("ref_hs"))))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (size(col("hs")) + col("ref_n") - col("common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("ts"), col("ref_id"), col("jaccard"))
+      .dropDuplicatesWithinWatermark("doc_id", "ref_id")
+  }
+
   /** Batch face for the oracle gate: the first arrival — by event
     * time, event_id tiebreak — of each (user_id, event_type) key over
     * the events table. This is what the streaming dedup computes when

@@ -84,6 +84,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination flags the same pairs as the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val reference = docs.filter(col("doc_id") % 2 =!= 0)
+    val (bandIndex, refSets) =
+      graft.streaming.DedupStreams.referenceIndex(reference)
+    // stage the corpus as a stream with synthetic event times
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = corpus.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), new java.sql.Timestamp(base + r.getLong(0)),
+        r.getString(1)))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    mem.addData(rows.toIndexedSeq)
+    val q = graft.streaming.DedupStreams
+      .decontaminateStream(mem.toDF().toDF("doc_id", "ts", "text"),
+        bandIndex, refSets)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("decon_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("decon_out").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+      val batch = graft.ops.DedupOps.decontaminate(corpus, reference)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream_dedup batch face: one first-arrival row per key, min event time") {
     val out = graft.streaming.DedupStreams.dedupBatch(spark, sf)
     val ev = Tables.events(spark, sf)
