@@ -125,6 +125,10 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 =!= 0))
     }),
+    // pairs → clusters: connected components over the verified
+    // near-dup graph; cluster id = the canonical keep document
+    "dedup_clusters" -> ((s, d) =>
+      DedupOps.connectedComponents(DedupOps.minhashLsh(s, d))),
     "dedup_embedding"     -> ((s, d) => DedupOps.embeddingPairs(s, d, threshold = 0.45)),
     // the scale path: multi-table hyperplane LSH instead of all-pairs;
     // fixed-seed planes make it exactly SQL-replicable, so unusually
@@ -411,6 +415,32 @@ object SparkEntry {
         |FROM pairs JOIN sz x ON x.doc_id = id1 JOIN sz y ON y.doc_id = id2
         |WHERE common * 1.0 / (x.n + y.n - common) >= 0.8
         |ORDER BY id1, id2""".stripMargin,
+    // Transitive closure over the same exact-Jaccard pair set the
+    // dedup_minhash oracle derives; cluster id = component minimum.
+    "dedup_clusters" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+        |             FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+        |  FROM tok WHERE len(t) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |cnt AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p0 AS (
+        |  SELECT id1, id2 FROM cnt
+        |  JOIN sz x ON x.doc_id = id1 JOIN sz y ON y.doc_id = id2
+        |  WHERE common * 1.0 / (x.n + y.n - common) >= 0.8),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM p0
+        |          UNION ALL SELECT id2, id1 FROM p0),
+        |walk(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a)
+        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |FROM walk GROUP BY a ORDER BY doc_id""".stripMargin,
     // Same exact-Jaccard contract as dedup_minhash (banding misses are
     // ~6e-4 per J≥0.8 pair and candidates are exact-verified), across
     // the even/odd corpus split.

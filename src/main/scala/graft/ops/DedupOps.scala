@@ -286,6 +286,46 @@ object DedupOps {
       .orderBy(col("doc_id"), col("ref_id"))
   }
 
+  /** Connected components over a near-dup pair graph — the step that
+    * turns verified pairs into dedup CLUSTERS (cluster id = minimum
+    * member id, the canonical "keep" document). Iterative min-label
+    * propagation: each round every node takes the minimum of its own
+    * label and its neighbors' labels, until a fixpoint — the standard
+    * distributed CC shape (Pregel-style), converging in O(component
+    * diameter) rounds, which for near-dup clusters (dense, small) is
+    * a handful. Each round is one equi-join + one map-side-combinable
+    * min aggregate; the driver only checks the converged flag.
+    * Only documents appearing in ≥1 pair get a row (singletons are
+    * not clusters). */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      // min over {own label} ∪ {neighbor labels}
+      val next = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
+        .join(labels, Seq("id"))
+        .select(col("id"), least(col("nmin"), col("label")).as("label"))
+        // truncate lineage each round: without this the plan doubles
+        // per iteration and optimization time, not data, dominates
+        .localCheckpoint(true)
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- SimHash ---------------------------------------------------------
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxHamming, found

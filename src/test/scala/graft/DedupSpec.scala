@@ -59,6 +59,18 @@ class DedupSpec extends SparkSpec {
     assert(wide === narrow && wide.nonEmpty)
   }
 
+  test("connected components resolve chains and merges to component minima") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter forces >1 propagation round), a
+    // 2-clique, and a merge of {5,20,21,22} through edge (5,20)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (20L, 21L), (21L, 22L), (5L, 20L)).toDF("id1", "id2")
+    val got = DedupOps.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      20L -> 1L, 21L -> 1L, 22L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("decontaminate flags exactly the cross-corpus near-dup pairs") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf)
