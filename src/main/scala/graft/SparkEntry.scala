@@ -145,6 +145,14 @@ object SparkEntry {
     "text_langid"      -> (TextOps.langId _),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprints(s, d)),
     "text_tfidf"       -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
+    // composed end-to-end curation: quality gate → exact dedup →
+    // decontamination vs the odd-parity reference corpus
+    "curate_corpus" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      CurateOps.curate(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0))
+    }),
     // §2.7 multimodal
     "mm_extract" -> (MultimodalOps.extractFeatures _),
     // §2.10 MLlib pipelines
@@ -415,6 +423,40 @@ object SparkEntry {
         |FROM pairs JOIN sz x ON x.doc_id = id1 JOIN sz y ON y.doc_id = id2
         |WHERE common * 1.0 / (x.n + y.n - common) >= 0.8
         |ORDER BY id1, id2""".stripMargin,
+    // The composed pipeline, stage for stage: the quality predicate is
+    // text_quality's, the dedup keep-set is dedup_exact's, and the
+    // contamination set is dedup_decontaminate's exact-Jaccard face.
+    "curate_corpus" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk, text
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |good AS (
+        |  SELECT doc_id, text FROM tok0
+        |  WHERE length(text) >= 100
+        |    AND round(len(list_filter(tk,
+        |      x -> list_contains(['the','a','and','of','to','in','is'], x)))
+        |      * 1.0 / len(tk), 4) >= 0.01),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY text),
+        |tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+        |        FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+        |  FROM tok WHERE len(t) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |cnt AS (
+        |  SELECT a.doc_id AS doc_id, b.doc_id AS ref_id, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |  WHERE a.doc_id IN (SELECT doc_id FROM keep) AND b.doc_id % 2 = 1
+        |  GROUP BY 1, 2),
+        |cont AS (
+        |  SELECT DISTINCT cnt.doc_id
+        |  FROM cnt JOIN sz x ON x.doc_id = cnt.doc_id
+        |           JOIN sz y ON y.doc_id = ref_id
+        |  WHERE common * 1.0 / (x.n + y.n - common) >= 0.8)
+        |SELECT doc_id FROM keep
+        |WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+        |ORDER BY doc_id""".stripMargin,
     // Transitive closure over the same exact-Jaccard pair set the
     // dedup_minhash oracle derives; cluster id = component minimum.
     "dedup_clusters" ->

@@ -31,9 +31,13 @@ object TextOps {
     * applied before expensive pipeline stages. Tokens are staged as a
     * column (split once per row, not once per expression) and the
     * stopword count goes through the codegen'd CountInSet kernel. */
-  def qualityScores(s: SparkSession, d: String): DataFrame = {
+  def qualityScores(s: SparkSession, d: String): DataFrame =
+    qualityScoresOn(Tables.documents(s, d))
+
+  /** Same over any (doc_id, text) frame. */
+  def qualityScoresOn(docs: DataFrame): DataFrame = {
     val t = col("__t")
-    graft.Tables.spread(Tables.documents(s, d))
+    graft.Tables.spread(docs)
       .select(col("doc_id"), col("text"), toks(col("text")).as("__t"))
       .select(
         col("doc_id"),
