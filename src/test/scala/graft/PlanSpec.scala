@@ -66,6 +66,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("cross-corpus decontamination joins on band signatures — no product") {
+    val docs = Tables.documents(spark, sf)
+    val plan = executedPlan(DedupOps.decontaminate(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0)))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("curate pipeline stays product-free end to end") {
+    val docs = Tables.documents(spark, sf)
+    val plan = executedPlan(graft.ops.CurateOps.curate(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0)))
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("asofJoin plans exactly one shuffle over the unioned input") {
     val ev = Tables.events(spark, sf)
       .select(col("event_id"), col("user_id"), col("ts"))
