@@ -75,6 +75,15 @@ object Sources {
 
   def readOrc(s: SparkSession, path: String): DataFrame = s.read.orc(path)
 
+  /** Schema-evolved parquet read: a long-lived dataset accretes
+    * columns over the years; mergeSchema reconciles every file's
+    * footer into the union schema (old files surface the new columns
+    * as null). Costs a footer pass over all files — use for
+    * discovery/backfill reads, not the hot path (declare the target
+    * schema there instead). */
+  def readEvolved(s: SparkSession, path: String): DataFrame =
+    s.read.option("mergeSchema", "true").parquet(path)
+
   /** Persist a discovered dataset in the session catalog — the
     * crawler→catalog step of the reference (a Glue crawler registers
     * inferred schemas as tables other tools then query by name). The

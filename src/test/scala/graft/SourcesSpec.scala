@@ -117,6 +117,21 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") || plan.contains("partitionFilters"))
   }
 
+  test("schema evolution: mergeSchema reconciles old and new file footers") {
+    val dir = tmp()
+    // v1 files: (event_id, user_id); later files add `score`
+    Tables.events(spark, sf).select("event_id", "user_id")
+      .limit(100).write.mode("append").parquet(dir)
+    Tables.events(spark, sf).select(col("event_id"), col("user_id"),
+        col("value").as("score"))
+      .limit(50).write.mode("append").parquet(dir)
+    val merged = Sources.readEvolved(spark, dir)
+    assert(merged.columns.toSet === Set("event_id", "user_id", "score"))
+    assert(merged.count() === 150)
+    // old files surface the new column as null
+    assert(merged.filter(col("score").isNull).count() === 100)
+  }
+
   test("GraftExtensions: SQL functions resolve in an extended session") {
     // getOrCreate() would silently reuse the suite session and skip the
     // extensions, so build a genuinely fresh session (this is the
