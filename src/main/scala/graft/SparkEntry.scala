@@ -145,6 +145,10 @@ object SparkEntry {
     "text_langid"      -> (TextOps.langId _),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprints(s, d)),
     "text_tfidf"       -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
+    // the synthetic corpus is PII-free, so at these SFs this is a
+    // verified pass-through (counts 0, redacted == text); RedactSpec
+    // plants every PII category and checks the placeholders
+    "text_redact"      -> (TextOps.redact _),
     // composed end-to-end curation: quality gate → exact dedup →
     // decontamination vs the odd-parity reference corpus
     "curate_corpus" -> ((s, d) => {
@@ -552,6 +556,17 @@ object SparkEntry {
         |        ORDER BY cosine DESC, vec_id) AS rank FROM scored)
         |SELECT q_id, vec_id, cosine, rank FROM r
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // Generated from the same pattern table the operator folds over
+    // (Java regex and RE2 agree on this subset); counts on the
+    // original text, replacements applied in the same fixed order.
+    "text_redact" -> {
+      val ps = graft.ops.TextOps.redactPatterns
+      val countCols = ps.map { case (n, p, _) =>
+        s"len(regexp_extract_all(text, '$p')) AS n_$n" }.mkString(",\n  ")
+      val red = ps.foldLeft("text") { case (e, (_, p, t)) =>
+        s"regexp_replace($e, '$p', '$t', 'g')" }
+      s"SELECT doc_id,\n  $countCols,\n  $red AS redacted\nFROM documents ORDER BY doc_id"
+    },
     // Spark ln == DuckDB ln on the same doubles; scores round to 4dp
     // BEFORE ranking (term tiebreak) so rankings are engine-stable.
     "text_tfidf" ->

@@ -304,6 +304,14 @@ object DedupOps {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
+    // convergence via the label-sum invariant: propagation only ever
+    // DECREASES labels, so the (exact, decimal) sum is strictly
+    // monotone until the fixpoint — one cheap aggregate per round
+    // instead of a change-detection join
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).first()
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
       // min over {own label} ∪ {neighbor labels}
@@ -315,10 +323,9 @@ object DedupOps {
         // truncate lineage each round: without this the plan doubles
         // per iteration and optimization time, not data, dominates
         .localCheckpoint(true)
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
     }
     edges.unpersist()

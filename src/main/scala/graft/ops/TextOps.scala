@@ -98,6 +98,39 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  // Redaction patterns, shared verbatim by the SQL oracle: Java regex
+  // and RE2 agree on this subset (no backrefs, no lookaround).
+  private[graft] val redactPatterns: Seq[(String, String, String)] = Seq(
+    ("urls",   "https?://[^\\s]+",                              "<URL>"),
+    ("emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ips",    "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b",                "<IP>"),
+    ("digits", "\\d{6,}",                                       "<NUM>"))
+
+  /** PII scrub — the pre-training redaction pass: URLs, emails, IPv4
+    * addresses, and long digit runs (phone/account numbers) replaced
+    * by typed placeholders, with per-category match counts for
+    * auditability. A pure regexp chain inside the row projection
+    * (codegen'd, no shuffle); patterns apply in a fixed order so
+    * overlapping matches resolve deterministically. */
+  def redact(s: SparkSession, d: String): DataFrame =
+    redactOn(Tables.documents(s, d))
+
+  /** Same over any (doc_id, text) frame. */
+  def redactOn(docs: DataFrame): DataFrame = {
+    val counted = redactPatterns.foldLeft(graft.Tables.spread(docs)) {
+      case (df, (name, pat, _)) =>
+        df.withColumn(s"n_$name", regexp_count(col("text"), lit(pat)))
+    }
+    val redacted = redactPatterns.foldLeft(col("text")) {
+      case (c, (_, pat, token)) => regexp_replace(c, pat, token)
+    }
+    counted
+      .select((col("doc_id") +:
+        redactPatterns.map { case (name, _, _) => col(s"n_$name") }) :+
+        redacted.as("redacted"): _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document top-k TF-IDF terms — the classic salient-term
     * extraction over a corpus. Fully distributed: term frequencies
     * are one map-side-combinable shuffle on (doc, term), document
