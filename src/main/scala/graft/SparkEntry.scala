@@ -40,6 +40,9 @@ object SparkEntry {
     // AnalyticsSpec against the exact versions)
     "q_distinct_approx"   -> ((s, d) => Analytics.distinctCountApprox(s, d)),
     "q_percentiles_approx" -> ((s, d) => Analytics.percentilesApprox(s, d)),
+    "q_histogram"  -> ((s, d) => Analytics.histogram(s, d)),
+    "etl_profile"  -> ((s, d) => Analytics.profile(
+      Tables.orders(s, d), Seq("o_custkey", "o_orderstatus", "o_totalprice"))),
     // §2.1 ETL operators
     "etl_apply_mapping" -> ((s, d) =>
       Mapping.applyMapping(Tables.orders(s, d), Seq(
@@ -149,6 +152,7 @@ object SparkEntry {
     // verified pass-through (counts 0, redacted == text); RedactSpec
     // plants every PII category and checks the placeholders
     "text_redact"      -> (TextOps.redact _),
+    "text_repetition"  -> (TextOps.repetitionScores _),
     // composed end-to-end curation: quality gate → exact dedup →
     // decontamination vs the odd-parity reference corpus
     "curate_corpus" -> ((s, d) => {
@@ -284,6 +288,31 @@ object SparkEntry {
         | round(quantile_cont(value, 0.95), 4) AS p95,
         | round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Same explicit arithmetic binning as the operator — IEEE
+    // subtract/multiply/divide/floor are bit-identical across engines.
+    "q_histogram" ->
+      """WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+        |SELECT event_type,
+        | CAST(least(floor((value - lo) * 10 / (hi - lo)), 9) AS BIGINT) + 1
+        |   AS bin,
+        | count(*) AS n
+        |FROM events, b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // DuckDB integer sums widen to HUGEINT (pandas float64) — cast back
+    "etl_profile" ->
+      """SELECT * FROM (
+        | SELECT 'o_custkey' AS "column", count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nulls,
+        |  count(DISTINCT o_custkey) AS n_distinct FROM orders
+        | UNION ALL
+        | SELECT 'o_orderstatus', count(*),
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_orderstatus) FROM orders
+        | UNION ALL
+        | SELECT 'o_totalprice', count(*),
+        |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_totalprice) FROM orders)
+        |ORDER BY "column"""".stripMargin,
     "etl_apply_mapping" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS orderkey, o_custkey AS custkey,
         | o_orderdate AS order_date, o_totalprice AS total
@@ -567,6 +596,20 @@ object SparkEntry {
         s"regexp_replace($e, '$p', '$t', 'g')" }
       s"SELECT doc_id,\n  $countCols,\n  $red AS redacted\nFROM documents ORDER BY doc_id"
     },
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |           FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> concat_ws(' ', t[i], t[i+1]))) AS bg
+        |  FROM t WHERE len(t) >= 2),
+        |c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+        |a AS (SELECT doc_id, sum(c) AS total, count(*) AS n_distinct,
+        |        max(c) AS top
+        |      FROM c GROUP BY 1)
+        |SELECT doc_id,
+        | round(1 - n_distinct * 1.0 / total, 4) AS dup_2gram_frac,
+        | round(top * 1.0 / total, 4) AS top_2gram_frac
+        |FROM a ORDER BY doc_id""".stripMargin,
     // Spark ln == DuckDB ln on the same doubles; scores round to 4dp
     // BEFORE ranking (term tiebreak) so rankings are engine-stable.
     "text_tfidf" ->

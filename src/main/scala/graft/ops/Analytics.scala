@@ -197,6 +197,45 @@ object Analytics {
       .agg(countDistinct(col("user_id")).as("users"),
            countDistinct(col("event_type")).as("types"))
 
+  /** Fixed-width value histogram per event type — the profiling
+    * primitive behind any distribution dashboard. Bounds come from a
+    * broadcast single-row min/max aggregate (no driver round-trip).
+    * Binning is explicit arithmetic — (value−lo)·n/(hi−lo), floored
+    * and capped — because IEEE subtract/multiply/divide/floor are
+    * bit-identical across engines (width_bucket is not universally
+    * available and its edge semantics vary). */
+  def histogram(s: SparkSession, d: String, nBins: Int = 10): DataFrame = {
+    val ev = Tables.events(s, d)
+    val bounds = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val bin = least(
+      floor((col("value") - col("lo")) * nBins / (col("hi") - col("lo"))),
+      lit((nBins - 1).toLong)) + 1
+    ev.crossJoin(broadcast(bounds))
+      .select(col("event_type"), bin.as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
+  /** Single-pass column profile — the crawler's "discover stats" step:
+    * row count, null count, and exact distinct count per column, one
+    * scan for all columns (the metrics stack into long format after
+    * the aggregate, not via per-column scans). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c => Seq(
+      count(lit(1)).as(s"__n_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+      countDistinct(col(c)).as(s"__dist_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // stack takes a FLAT argument list; consecutive args form rows
+    val stacked = cols.map { c =>
+      s"'$c', __n_$c, __null_$c, __dist_$c" }.mkString(", ")
+    one.selectExpr(
+        s"stack(${cols.length}, $stacked) AS (column, n_rows, n_nulls, n_distinct)")
+      .orderBy(col("column"))
+  }
+
   /** HLL++ approximate distinct counts — the shape that survives
     * 100 TB: the sketch is fixed-size and mergeable, so the aggregate
     * stays map-side-combinable with no exact-distinct row expansion.

@@ -164,6 +164,36 @@ object TextOps {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Repetition-based quality signals (the Gopher-rule family):
+    * duplicate-bigram fraction (1 − distinct/total) and top-bigram
+    * fraction (most frequent bigram's share) — the cheap detectors
+    * for boilerplate and looping text. One map-side-combinable
+    * shuffle on (doc, bigram), then a per-doc aggregate; documents
+    * with fewer than two tokens have no bigrams and are omitted. */
+  def repetitionScores(s: SparkSession, d: String): DataFrame =
+    repetitionScoresOn(Tables.documents(s, d))
+
+  /** Same over any (doc_id, text) frame. */
+  def repetitionScoresOn(docs: DataFrame): DataFrame = {
+    val staged = graft.Tables.spread(docs)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+    val starts = when(size(col("t")) >= 2, sequence(lit(1), size(col("t")) - 1))
+      .otherwise(array().cast("array<int>"))
+    val bigrams = transform(starts, i => concat_ws(" ", slice(col("t"), i, lit(2))))
+    staged
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("total"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top"))
+      .select(col("doc_id"),
+        round(lit(1) - col("n_distinct").cast("double") / col("total"), 4)
+          .as("dup_2gram_frac"),
+        round(col("top").cast("double") / col("total"), 4)
+          .as("top_2gram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Winnowing fingerprint (Schleimer et al., SIGMOD'03): hash every
     * k-token shingle, take the minimum hash of each sliding window of
     * w shingles, dedupe — a compact, position-robust signature. The

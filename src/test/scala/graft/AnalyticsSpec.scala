@@ -74,6 +74,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05)
   }
 
+  test("histogram bins partition the data: counts sum to the row total") {
+    val out = Analytics.histogram(spark, sf).collect()
+    assert(out.map(_.getLong(2)).sum === Tables.events(spark, sf).count())
+    out.foreach(r => assert(r.getLong(1) >= 1 && r.getLong(1) <= 10))
+  }
+
+  test("profile reports exact per-column stats in one pass") {
+    val orders = Tables.orders(spark, sf)
+    val out = Analytics.profile(orders, Seq("o_custkey", "o_orderstatus"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val n = orders.count()
+    assert(out("o_custkey") ===
+      ((n, 0L, orders.select("o_custkey").distinct().count())))
+    assert(out("o_orderstatus") ===
+      ((n, 0L, orders.select("o_orderstatus").distinct().count())))
+  }
+
   test("q_distinct_approx entry tracks the exact counts within rsd tolerance") {
     val exact = Analytics.distinctCount(spark, sf).first()
     val approx = Analytics.distinctCountApprox(spark, sf).first()

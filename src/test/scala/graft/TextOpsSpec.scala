@@ -34,6 +34,17 @@ class TextOpsSpec extends SparkSpec {
     assert(top === Map(1L -> "rare1", 2L -> "rare2"))
   }
 
+  test("repetition scores: a looping doc maxes out, a unique doc floors") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"),          // one distinct bigram
+      (2L, "w1 w2 w3 w4 w5 w6")                  // all bigrams distinct
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionScoresOn(docs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L) === ((0.75, 1.0)))   // 4 bigrams, 1 distinct
+    assert(out(2L) === ((0.0, 0.2)))    // 5 bigrams, all distinct
+  }
+
   test("quality scores: ratios are in [0,1] and flag is consistent") {
     val rows = TextOps.qualityScores(spark, sf).collect()
     rows.foreach { r =>
