@@ -41,6 +41,19 @@ object SparkEntry {
     "q_distinct_approx"   -> ((s, d) => Analytics.distinctCountApprox(s, d)),
     "q_percentiles_approx" -> ((s, d) => Analytics.percentilesApprox(s, d)),
     "q_histogram"  -> ((s, d) => Analytics.histogram(s, d)),
+    // the skew path as a first-class query: salted equi-join (hot keys
+    // spread over 8 reducers) feeding a per-segment aggregate — the
+    // result contract is exactly the plain join's
+    "q_salted_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val dim = ev.select(col("user_id")).distinct()
+        .withColumn("segment", concat(lit("seg_"), col("user_id") % 3))
+      SkewOps.saltedJoin(ev, dim, "user_id", uniqueCol = "event_id",
+          saltFactor = 8)
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+        .orderBy(col("segment"))
+    }),
     "etl_profile"  -> ((s, d) => Analytics.profile(
       Tables.orders(s, d), Seq("o_custkey", "o_orderstatus", "o_totalprice"))),
     // §2.1 ETL operators
@@ -297,6 +310,16 @@ object SparkEntry {
         |   AS bin,
         | count(*) AS n
         |FROM events, b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // The salted join's contract IS the plain join — the oracle needs
+    // no salt concept at all.
+    "q_salted_join" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT user_id,
+        |    'seg_' || CAST(user_id % 3 AS VARCHAR) AS segment
+        |  FROM events)
+        |SELECT segment, count(*) AS n, round(sum(value), 4) AS total_value
+        |FROM events e JOIN dim USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // DuckDB integer sums widen to HUGEINT (pandas float64) — cast back
     "etl_profile" ->
       """SELECT * FROM (
