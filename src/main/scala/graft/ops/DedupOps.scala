@@ -309,7 +309,9 @@ object DedupOps {
     // monotone until the fixpoint — one cheap aggregate per round
     // instead of a change-detection join
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).first()
+      // coalesce: sum over an empty frame is null (empty pair input)
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).first()
         .getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false

@@ -71,6 +71,12 @@ class DedupSpec extends SparkSpec {
       20L -> 1L, 21L -> 1L, 22L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components on an empty pair set converge to no rows") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(DedupOps.connectedComponents(empty).collect().isEmpty)
+  }
+
   test("decontaminate flags exactly the cross-corpus near-dup pairs") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf)
