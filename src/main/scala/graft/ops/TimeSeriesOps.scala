@@ -54,18 +54,26 @@ object TimeSeriesOps {
       .orderBy(col("day"))
   }
 
-  /** As-of join: enrich every left row with the most recent right row
-    * (per `key`, by `ts`) at or before the left timestamp — the
-    * trade→quote / event→dimension-state primitive Spark has no
-    * native operator for. Implemented as a tagged union + ONE ordered
-    * window per key: a single shuffle on the key, no range-condition
-    * row explosion, scales to any key cardinality. Right rows sort
-    * before left rows at equal timestamps, so a right row exactly at
-    * the left ts is visible (ASOF's inclusive `>=`). For deterministic
-    * results the right side should be unique per (key, ts) —
-    * pre-aggregate if it isn't. */
+  /** As-of join: enrich every left row with the nearest right row
+    * (per `key`, by `ts`) at or before the left timestamp
+    * (`direction = "backward"`, the default) or at or after it
+    * (`"forward"`) — the trade→quote / event→dimension-state
+    * primitive Spark has no native operator for. Implemented as a
+    * tagged union + ONE ordered window per key: a single shuffle on
+    * the key, no range-condition row explosion, scales to any key
+    * cardinality. Right rows sort before left rows at equal
+    * timestamps, so a right row exactly at the left ts is visible
+    * (ASOF's inclusive match). `toleranceSec` bounds staleness: a
+    * match farther than that from the left timestamp nulls out, the
+    * same contract as pandas merge_asof's tolerance. For
+    * deterministic results the right side should be unique per
+    * (key, ts) — pre-aggregate if it isn't. */
   def asofJoin(left: DataFrame, right: DataFrame,
-               key: String, ts: String): DataFrame = {
+               key: String, ts: String,
+               direction: String = "backward",
+               toleranceSec: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asofJoin: direction must be backward|forward, got $direction")
     val rPayload = right.columns.filterNot(c => c == key || c == ts).toSeq
     val lCols = left.columns.toSeq
     // a right payload name already present on the left would emit two
@@ -79,24 +87,44 @@ object TimeSeriesOps {
     require(tagged.isEmpty,
       s"asofJoin: left column(s) ${tagged.mkString(", ")} collide with " +
         "internal tag columns (__is_left, __r_*)")
+    // the right row's own timestamp travels as an extra carried column
+    // so the tolerance predicate can see the match's age
+    val carried = rPayload :+ ts
     val lU = left.select(
       lCols.map(col) ++
-        rPayload.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) :+
+        carried.map(c => lit(null).cast(right.schema(c).dataType)
+          .as(s"__r_$c")) :+
         lit(1).as("__is_left"): _*)
     val rU = right.select(
       lCols.map(c =>
         if (c == key || c == ts) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rPayload.map(c => col(c).as(s"__r_$c")) :+
+        carried.map(c => col(c).as(s"__r_$c")) :+
         lit(0).as("__is_left"): _*)
-    val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("__is_left"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = rPayload.foldLeft(lU.unionByName(rU)) { (df, c) =>
+    // forward = the same traversal over reversed time; at equal ts the
+    // right row still sorts first, keeping the inclusive match
+    val ordered =
+      if (direction == "backward") Window.partitionBy(col(key))
+        .orderBy(col(ts), col("__is_left"))
+      else Window.partitionBy(col(key))
+        .orderBy(col(ts).desc, col("__is_left"))
+    val w = ordered.rowsBetween(Window.unboundedPreceding, 0)
+    val filled = carried.foldLeft(lU.unionByName(rU)) { (df, c) =>
       df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
     }
+    val fresh = toleranceSec match {
+      case None => lit(true)
+      case Some(t) =>
+        val age =
+          if (direction == "backward")
+            unix_micros(col(ts)) - unix_micros(col(s"__r_$ts"))
+          else unix_micros(col(s"__r_$ts")) - unix_micros(col(ts))
+        col(s"__r_$ts").isNotNull && age <= t * 1000000L
+    }
     filled.filter(col("__is_left") === 1)
-      .select(lCols.map(col) ++ rPayload.map(c => col(s"__r_$c").as(c)): _*)
+      .select(lCols.map(col) ++
+        rPayload.map(c => when(fresh, col(s"__r_$c")).otherwise(lit(null))
+          .as(c)): _*)
   }
 
   /** Key-less range join: pair every left row with the right rows

@@ -64,6 +64,41 @@ class TimeSeriesSpec extends SparkSpec {
       "unknown-key" -> None))
   }
 
+  test("asofJoin forward direction picks the next right row at or after") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val quotes = Seq(
+      (1L, t("2024-01-02 00:00:00"), 10.0),
+      (1L, t("2024-01-04 00:00:00"), 20.0)).toDF("k", "ts", "v")
+    val trades = Seq(
+      (1L, t("2024-01-01 00:00:00"), "before-first"),
+      (1L, t("2024-01-02 00:00:00"), "tie-inclusive"),
+      (1L, t("2024-01-03 00:00:00"), "between"),
+      (1L, t("2024-01-05 00:00:00"), "after-last")).toDF("k", "ts", "tag")
+    val got = TimeSeriesOps.asofJoin(trades, quotes, "k", "ts",
+        direction = "forward").collect()
+      .map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(got === Map(
+      "before-first" -> Some(10.0),
+      "tie-inclusive" -> Some(10.0),  // right row AT left ts is visible
+      "between" -> Some(20.0),
+      "after-last" -> None))
+  }
+
+  test("asofJoin tolerance nulls out stale matches") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val quotes = Seq((1L, t("2024-01-01 00:00:00"), 10.0)).toDF("k", "ts", "v")
+    val trades = Seq(
+      (1L, t("2024-01-01 12:00:00"), "fresh"),   // 12h old quote
+      (1L, t("2024-01-03 00:00:00"), "stale")    // 2d old quote
+    ).toDF("k", "ts", "tag")
+    val got = TimeSeriesOps.asofJoin(trades, quotes, "k", "ts",
+        toleranceSec = Some(86400L)).collect()
+      .map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(got === Map("fresh" -> Some(10.0), "stale" -> None))
+  }
+
   test("asofJoin rejects right payload names that collide with left columns") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
