@@ -38,6 +38,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
       })))
     e.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count",
+        "sorted_intersect_count(a array<bigint>, b array<bigint>) - common-element count of two sorted distinct arrays (one merge pass)"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.SortedIntersectCount(exprs(0), exprs(1))))
+    e.injectFunction((
       FunctionIdentifier("winnow_fingerprint"),
       info("winnow_fingerprint",
         "winnow_fingerprint(tokens array<string>, k int, w int) - winnowing fingerprint of k-token shingles over w-windows; k and w must be literals"),

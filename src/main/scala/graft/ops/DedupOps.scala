@@ -148,7 +148,12 @@ object DedupOps {
     pairs
       .join(sets.select(col("doc_id").as("id1"), col("hs").as("hs1")), "id1")
       .join(sets.select(col("doc_id").as("id2"), col("hs").as("hs2")), "id2")
-      .withColumn("common", size(array_intersect(col("hs1"), col("hs2"))))
+      // shingle arrays are sorted+distinct by construction, so the
+      // overlap is one allocation-free merge (vs array_intersect's
+      // per-row hash set + output array) — this runs on EVERY
+      // candidate pair of every near-dup operator
+      .withColumn("common",
+        graft.functions.SetExprs.sortedIntersectCount(col("hs1"), col("hs2")))
       .withColumn("jaccard", round(col("common").cast("double") /
         (size(col("hs1")) + size(col("hs2")) - col("common")), 4))
       .select(keep :+ col("jaccard"): _*)

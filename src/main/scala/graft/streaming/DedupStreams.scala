@@ -72,7 +72,8 @@ object DedupStreams {
     banded
       .join(bandIndex, Seq("band", "bsig"))
       .join(refSets, Seq("ref_id"))
-      .withColumn("common", size(array_intersect(col("hs"), col("ref_hs"))))
+      .withColumn("common",
+        graft.functions.SetExprs.sortedIntersectCount(col("hs"), col("ref_hs")))
       .withColumn("jaccard", round(col("common").cast("double") /
         (size(col("hs")) + col("ref_n") - col("common")), 4))
       .filter(col("jaccard") >= threshold)

@@ -151,12 +151,15 @@ class SourcesSpec extends SparkSpec {
           |             array(cast(1.0 as float), cast(0.0 as float))) AS cs,
           |  dot_product(array(cast(2.0 as float)), array(cast(3.0 as float))) AS dp,
           |  count_in_set(array('a','b','a','c'), array('a','c')) AS cis,
-          |  winnow_fingerprint(array('a','b','c','d','e','f'), 3, 4) AS wf
+          |  winnow_fingerprint(array('a','b','c','d','e','f'), 3, 4) AS wf,
+          |  sorted_intersect_count(array(1L, 3L, 5L, 9L),
+          |                         array(2L, 3L, 5L, 8L, 9L)) AS sic
           |""".stripMargin).first()
       assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
       assert(math.abs(r.getDouble(2) - 6.0) < 1e-9)
       assert(r.getInt(3) === 3)
       assert(r.getSeq[Long](4).nonEmpty)
+      assert(r.getInt(5) === 3)
     } finally { /* shared-JVM session: leave running for other suites */ }
   }
 }
