@@ -53,11 +53,13 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // A failing query must surface as a failure, never as a ~0s
-    // "improvement" to the total.
+    // "improvement" to the total: the total sums OK queries only, and
+    // any non-empty failed list marks the whole total non-comparable.
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val okCount = results.count(_._3)
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":$okCount,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -302,12 +302,14 @@ object SparkEntry {
         | round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Same explicit arithmetic binning as the operator — IEEE
-    // subtract/multiply/divide/floor are bit-identical across engines.
+    // subtract/multiply/divide/floor are bit-identical across engines;
+    // the hi = lo (constant column) case pins bin 1 on both sides.
     "q_histogram" ->
       """WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
         |SELECT event_type,
-        | CAST(least(floor((value - lo) * 10 / (hi - lo)), 9) AS BIGINT) + 1
-        |   AS bin,
+        | CASE WHEN hi = lo THEN 1
+        |      ELSE CAST(least(floor((value - lo) * 10 / (hi - lo)), 9)
+        |             AS BIGINT) + 1 END AS bin,
         | count(*) AS n
         |FROM events, b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // The salted join's contract IS the plain join — the oracle needs

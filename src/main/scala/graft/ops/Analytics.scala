@@ -207,9 +207,11 @@ object Analytics {
   def histogram(s: SparkSession, d: String, nBins: Int = 10): DataFrame = {
     val ev = Tables.events(s, d)
     val bounds = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
-    val bin = least(
+    // hi == lo (constant column) guard: the division is NaN and
+    // engines disagree on NaN ordering inside least — pin bin 1
+    val bin = when(col("hi") === col("lo"), lit(1L)).otherwise(least(
       floor((col("value") - col("lo")) * nBins / (col("hi") - col("lo"))),
-      lit((nBins - 1).toLong)) + 1
+      lit((nBins - 1).toLong)) + 1)
     ev.crossJoin(broadcast(bounds))
       .select(col("event_type"), bin.as("bin"))
       .groupBy(col("event_type"), col("bin"))

@@ -120,20 +120,27 @@ object DedupOps {
       transform(starts, i => xxhash64(concat_ws(" ", slice(t, i, lit(k)))))))
   }
 
+  /** The banding step shared by every MinHash face: band b's
+    * signature is xxhash64 over (b, its slice of minhash values).
+    * `mh` abstracts where minhash j comes from — an aggregated column
+    * (batch) or a per-row array_min expression (streaming) — so the
+    * batch and streaming paths cannot drift apart. */
+  private def bandCols(numPerm: Int, bands: Int, mh: Int => Column): Seq[Column] = {
+    val rows = numPerm / bands
+    (0 until bands).map { b =>
+      xxhash64((lit(b) +: (b * rows until (b + 1) * rows).map(mh)): _*)
+    }
+  }
+
   /** Per-row MinHash band signatures from a STAGED shingle-hash array
     * column: mh_j = min over the array of xxhash64(h, j), banded as in
     * [[minhashLshOn]] — identical values to the aggregation path, but
     * computed inside the row projection (streaming-compatible, zero
     * shuffle). */
   private[graft] def bandSigsExpr(hs: Column, numPerm: Int,
-                                  bands: Int): Seq[Column] = {
-    val rows = numPerm / bands
-    val mh = (0 until numPerm).map(j =>
-      array_min(transform(hs, h => xxhash64(h, lit(j)))))
-    (0 until bands).map { b =>
-      xxhash64((lit(b) +: (b * rows until (b + 1) * rows).map(mh)): _*)
-    }
-  }
+                                  bands: Int): Seq[Column] =
+    bandCols(numPerm, bands,
+      j => array_min(transform(hs, h => xxhash64(h, lit(j)))))
 
   /** (doc_id, h): exploded distinct shingle hashes. */
   private[ops] def shingleHashes(docs: DataFrame, k: Int = 3): DataFrame =
@@ -200,14 +207,11 @@ object DedupOps {
                    threshold: Double = 0.8,
                    numPerm: Int = 64, bands: Int = 16,
                    maxBucket: Int = 1000): DataFrame = {
-    val rows = numPerm / bands
     // reused by signature build AND exact verification — materialize once
     val sets = docShingleSets(docs).cache()
     val sh = sets.select(col("doc_id"), explode(col("hs")).as("h"))
     val sig = minhashSignatures(sh, numPerm)
-    val bandSigs = (0 until bands).map { b =>
-      xxhash64((lit(b) +: (b * rows until (b + 1) * rows).map(j => col(s"mh$j"))): _*)
-    }
+    val bandSigs = bandCols(numPerm, bands, j => col(s"mh$j"))
     // capBucketsRep caches the ranked frame, so the 64-aggregate
     // signature pass runs once and both self-join sides (and the
     // overflow frame) read the cached copy
@@ -247,7 +251,6 @@ object DedupOps {
                     threshold: Double = 0.8,
                     numPerm: Int = 64, bands: Int = 16,
                     maxBucket: Int = 1000): DataFrame = {
-    val rows = numPerm / bands
     // ONE shared pipeline over the side-tagged union: every document
     // is shingled, signed, and band-ranked exactly once (doc ids must
     // be disjoint across the two corpora — they key the verify join).
@@ -257,10 +260,7 @@ object DedupOps {
     val sig = minhashSignatures(
       sets.select(col("doc_id"), col("__ref"), explode(col("hs")).as("h")),
       numPerm, carry = Seq("__ref"))
-    val bandSigs = (0 until bands).map { b =>
-      xxhash64((lit(b) +: (b * rows until (b + 1) * rows)
-        .map(j => col(s"mh$j"))): _*)
-    }
+    val bandSigs = bandCols(numPerm, bands, j => col(s"mh$j"))
     // caps are per (bucket, side): the corpus cap must not depend on
     // how many reference docs share the bucket and vice versa
     val w = Window.partitionBy(col("band"), col("bsig"), col("__ref"))
@@ -273,18 +273,29 @@ object DedupOps {
     val rKept = kept.filter(col("__ref") === 1)
     val rMin = rKept.groupBy(col("band"), col("bsig"))
       .agg(min(col("doc_id")).as("ref_id"))
+    val cMin = cKept.groupBy(col("band"), col("bsig"))
+      .agg(min(col("doc_id")).as("corpus_id"))
     val candJoin = cKept.as("a")
       .join(rKept.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-    // capped-out corpus rows still candidate against the reference
-    // bucket's minimum id — linear, mirrors capBucketsRep's
-    // representative contract across corpora
-    val candOverflow = ranked
+    // representative pairs for BOTH overflow directions, linear each
+    // way (mirrors capBucketsRep's contract across corpora):
+    //  - a capped-out corpus row still candidates against the
+    //    reference bucket's minimum id, and
+    //  - a capped-out REFERENCE row still candidates against the
+    //    corpus bucket's minimum id — without this, a corpus doc
+    //    whose only near-dup ranks past the cap in every colliding
+    //    band would silently never be flagged.
+    val candOverflowC = ranked
       .filter(col("__ref") === 0 && col("__rn") > maxBucket)
       .join(rMin, Seq("band", "bsig"))
       .select(col("doc_id").as("id1"), col("ref_id").as("id2"))
-    val cand = candJoin.union(candOverflow).distinct()
+    val candOverflowR = ranked
+      .filter(col("__ref") === 1 && col("__rn") > maxBucket)
+      .join(cMin, Seq("band", "bsig"))
+      .select(col("corpus_id").as("id1"), col("doc_id").as("id2"))
+    val cand = candJoin.union(candOverflowC).union(candOverflowR).distinct()
     verifyJaccard(cand, sets.drop("__ref"))
       .filter(col("jaccard") >= threshold)
       .select(col("id1").as("doc_id"), col("id2").as("ref_id"), col("jaccard"))
@@ -333,6 +344,10 @@ object DedupOps {
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
+      // `next` is already eagerly materialized; the previous round's
+      // checkpoint blocks are dead — free them so storage stays
+      // constant in the iteration count, not linear
+      labels.unpersist()
       labels = next
     }
     edges.unpersist()

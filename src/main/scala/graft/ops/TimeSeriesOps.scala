@@ -83,23 +83,27 @@ object TimeSeriesOps {
     require(clash.isEmpty,
       s"asofJoin: right payload column(s) ${clash.mkString(", ")} collide " +
         "with left columns — rename one side before joining")
-    val tagged = lCols.filter(c => c == "__is_left" || c.startsWith("__r_"))
+    val tagged = lCols.filter(c => c == "__is_left" || c.startsWith("__r"))
     require(tagged.isEmpty,
       s"asofJoin: left column(s) ${tagged.mkString(", ")} collide with " +
-        "internal tag columns (__is_left, __r_*)")
-    // the right row's own timestamp travels as an extra carried column
-    // so the tolerance predicate can see the match's age
+        "internal tag columns (__is_left, __r)")
+    // The matched right row travels as ONE struct (payloads + its own
+    // ts for the tolerance predicate): filling per-column with
+    // ignoreNulls would let a NULL payload value fall through to an
+    // OLDER right row than the one the timestamp came from — the
+    // match must be atomic. One struct also means one window pass
+    // instead of one per payload column.
     val carried = rPayload :+ ts
+    val rStructType = org.apache.spark.sql.types.StructType(
+      carried.map(c => right.schema(c)))
     val lU = left.select(
-      lCols.map(col) ++
-        carried.map(c => lit(null).cast(right.schema(c).dataType)
-          .as(s"__r_$c")) :+
+      lCols.map(col) :+ lit(null).cast(rStructType).as("__r") :+
         lit(1).as("__is_left"): _*)
     val rU = right.select(
       lCols.map(c =>
         if (c == key || c == ts) col(c)
-        else lit(null).cast(left.schema(c).dataType).as(c)) ++
-        carried.map(c => col(c).as(s"__r_$c")) :+
+        else lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(carried.map(col): _*).as("__r") :+
         lit(0).as("__is_left"): _*)
     // forward = the same traversal over reversed time; at equal ts the
     // right row still sorts first, keeping the inclusive match
@@ -109,22 +113,21 @@ object TimeSeriesOps {
       else Window.partitionBy(col(key))
         .orderBy(col(ts).desc, col("__is_left"))
     val w = ordered.rowsBetween(Window.unboundedPreceding, 0)
-    val filled = carried.foldLeft(lU.unionByName(rU)) { (df, c) =>
-      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    val filled = lU.unionByName(rU)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+    val matchTs = col("__r").getField(ts)
     val fresh = toleranceSec match {
       case None => lit(true)
       case Some(t) =>
         val age =
-          if (direction == "backward")
-            unix_micros(col(ts)) - unix_micros(col(s"__r_$ts"))
-          else unix_micros(col(s"__r_$ts")) - unix_micros(col(ts))
-        col(s"__r_$ts").isNotNull && age <= t * 1000000L
+          if (direction == "backward") unix_micros(col(ts)) - unix_micros(matchTs)
+          else unix_micros(matchTs) - unix_micros(col(ts))
+        matchTs.isNotNull && age <= t * 1000000L
     }
     filled.filter(col("__is_left") === 1)
       .select(lCols.map(col) ++
-        rPayload.map(c => when(fresh, col(s"__r_$c")).otherwise(lit(null))
-          .as(c)): _*)
+        rPayload.map(c => when(fresh, col("__r").getField(c))
+          .otherwise(lit(null)).as(c)): _*)
   }
 
   /** Key-less range join: pair every left row with the right rows

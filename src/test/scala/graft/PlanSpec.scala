@@ -13,10 +13,18 @@ import org.apache.spark.sql.functions._
   */
 class PlanSpec extends SparkSpec {
 
-  /** Run the frame, then return the final adaptive plan's string. */
+  /** Run the frame THROUGH ITS OWN QueryExecution (collect, not a
+    * separate write command, which would plan and execute a different
+    * QueryExecution and leave this one un-executed), then return the
+    * final adaptive plan — after execution the AdaptiveSparkPlan
+    * string shows the runtime-reoptimized plan, which is the one
+    * these properties must hold on. */
   private def executedPlan(df: DataFrame): String = {
-    df.write.format("noop").mode("overwrite").save()
-    df.queryExecution.executedPlan.toString
+    df.collect()
+    // AdaptiveSparkPlan prints "== Final Plan ==" followed by
+    // "== Initial Plan ==" — keep only the final section so operator
+    // counts aren't doubled by the initial copy
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
   }
 
   test("anomaly filter is pushed down into the parquet scan") {
@@ -89,14 +97,17 @@ class PlanSpec extends SparkSpec {
     val ord = Tables.orders(spark, sf)
       .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"))
       .agg(round(max(col("o_totalprice")), 4).as("last_total"))
-    val joined = TimeSeriesOps.asofJoin(ev, ord, "user_id", "ts")
-    joined.write.format("noop").mode("overwrite").save()
-    val plan = joined.queryExecution.executedPlan.toString
-    // the window runs on ONE hashpartitioning(user_id) exchange; the
-    // only other exchange is the right side's pre-aggregation — a
-    // range-join row explosion or per-payload re-shuffle would add more
+    val plan = executedPlan(TimeSeriesOps.asofJoin(ev, ord, "user_id", "ts"))
+    // the fill runs in ONE window operator (the struct carry means
+    // payload count never multiplies window passes) over ONE
+    // hashpartitioning exchange; the only other exchange is the right
+    // side's pre-aggregation — a range-join row explosion or
+    // per-payload re-shuffle would add more of either
+    val windows = "\\bWindow\\b".r.findAllIn(plan).size
+    assert(windows === 1, s"expected exactly 1 Window operator, got $windows:\n$plan")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges <= 2, s"expected <=2 shuffles, got $exchanges:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 }
