@@ -101,6 +101,8 @@ object SparkEntry {
         .orderBy(col("l_suppkey"), col("l_returnflag"))),
     // §2.3 time series + forecast
     "ts_resample_daily" -> (TimeSeriesOps.resampleDaily _),
+    "ts_rolling"        -> ((s, d) => TimeSeriesOps.rollingFeatures(s, d)),
+    "ts_lag_features"   -> ((s, d) => TimeSeriesOps.lagFeatures(s, d)),
     "ts_pivot_wide"     -> (TimeSeriesOps.pivotWide _),
     "ts_train_test"     -> ((s, d) => TimeSeriesOps.trainTestSplit(s, d)),
     "ts_deepar_export"  -> (TimeSeriesOps.deeparExport _),
@@ -379,6 +381,34 @@ object SparkEntry {
         |  FROM daily)
         |SELECT s.day AS day, coalesce(d.cnt, 0) AS cnt
         |FROM spine s LEFT JOIN daily d ON s.day = d.day ORDER BY day""".stripMargin,
+    // Spark stddev_samp and DuckDB stddev_samp share the sample
+    // variance definition; 4dp rounding absorbs accumulation-order
+    // noise at these magnitudes.
+    "ts_rolling" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, cnt,
+        | round(avg(cnt) OVER w, 4) AS roll_mean,
+        | round(coalesce(stddev_samp(cnt) OVER w, 0.0), 4) AS roll_std
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
+    "ts_lag_features" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, cnt,
+        | lag(cnt, 1) OVER w AS prev_cnt,
+        | cnt - lag(cnt, 1) OVER w AS delta,
+        | round((cnt - lag(cnt, 1) OVER w) * 100.0 / lag(cnt, 1) OVER w, 4)
+        |   AS pct_change
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        |ORDER BY event_type, day""".stripMargin,
     "ts_pivot_wide" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
         | count(*) FILTER (WHERE event_type = 'error')    AS error,

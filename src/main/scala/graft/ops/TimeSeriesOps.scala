@@ -130,6 +130,40 @@ object TimeSeriesOps {
           .otherwise(lit(null)).as(c)): _*)
   }
 
+  /** Rolling-window features per series: the 7-day trailing mean and
+    * sample stddev of daily event counts — the smoothing features a
+    * forecasting pipeline derives before training. One shuffle on the
+    * series key; the rolling frame is rows-based over the gapless
+    * daily aggregate. */
+  def rollingFeatures(s: SparkSession, d: String, windowDays: Int = 7): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-(windowDays - 1), 0)
+    daily
+      .withColumn("roll_mean", round(avg(col("cnt")).over(w), 4))
+      .withColumn("roll_std",
+        round(coalesce(stddev_samp(col("cnt")).over(w), lit(0.0)), 4))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Lag/delta features per series: previous-day count, day-over-day
+    * delta, and percent change — the residual features the reference's
+    * seasonal-naive forecast builds on. Same single shuffle shape. */
+  def lagFeatures(s: SparkSession, d: String, lag_ : Int = 1): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("prev_cnt", lag(col("cnt"), lag_).over(w))
+      .withColumn("delta", col("cnt") - col("prev_cnt"))
+      .withColumn("pct_change",
+        round((col("cnt") - col("prev_cnt")) * 100.0 / col("prev_cnt"), 4))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Key-less range join: pair every left row with the right rows
     * whose timestamp lies in [left.ts - before, left.ts + after]
     * (bounds inclusive, seconds). With no equi key a naive range join

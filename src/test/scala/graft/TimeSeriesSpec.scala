@@ -64,6 +64,21 @@ class TimeSeriesSpec extends SparkSpec {
       "unknown-key" -> None))
   }
 
+  test("rolling/lag features: warmup rows behave (std 0, null lag)") {
+    val roll = TimeSeriesOps.rollingFeatures(spark, sf).collect()
+    val firstPerType = roll.groupBy(_.getString(0)).values.map(
+      _.minBy(_.getTimestamp(1).getTime))
+    firstPerType.foreach { r =>
+      assert(r.getDouble(3) === r.getLong(2).toDouble) // mean of 1 = cnt
+      assert(r.getDouble(4) === 0.0)                   // std of 1 row
+    }
+    val lagf = TimeSeriesOps.lagFeatures(spark, sf).collect()
+    lagf.groupBy(_.getString(0)).values.foreach { rows =>
+      val first = rows.minBy(_.getTimestamp(1).getTime)
+      assert(first.isNullAt(3) && first.isNullAt(4) && first.isNullAt(5))
+    }
+  }
+
   test("asofJoin forward direction picks the next right row at or after") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
