@@ -391,13 +391,18 @@ object DedupOps {
         s"${2 * bands - 1}; maxHamming=$maxHamming would silently lose recall")
     val chunkBits = 64 / bands
     val mask = lit((1L << chunkBits) - 1)
-    val t = TextOps.toks(col("text"))
-    // cached: the index derives from it and the hamming computation
-    // joins back to it twice
-    val sigs = Tables.spread(docs)
-      .select(col("doc_id"), SimHash.simhash64(s, t).as("sig")).cache()
-    // shingle sets for the exact-Jaccard verification of survivors
-    val sets = docShingleSets(docs).cache()
+    // ONE scan/tokenize pass feeds both the SimHash signatures and the
+    // shingle sets the exact-Jaccard verifier needs — staged and
+    // cached together instead of two independent corpus scans
+    val staged = Tables.spread(docs)
+      .select(col("doc_id"), TextOps.toks(col("text")).as("__t"))
+      .select(col("doc_id"),
+        SimHash.simhash64(s, col("__t")).as("sig"),
+        shingleHashesExpr(col("__t")).as("hs"))
+      .withColumn("n", size(col("hs")))
+      .cache()
+    val sigs = staged.select(col("doc_id"), col("sig"))
+    val sets = staged.select(col("doc_id"), col("hs"), col("n"))
     val chunks = (0 until bands).map(i =>
       shiftright(col("sig"), i * chunkBits).bitwiseAND(mask))
     // capBucketsRep caches the ranked frame: the SimHash aggregation
