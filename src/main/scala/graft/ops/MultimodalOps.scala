@@ -12,6 +12,64 @@ case class MmRecord(doc_id: Long, payload: Array[Byte], source: String)
 case class MmFeatures(doc_id: Long, source: String, byte_len: Int,
                       width: Int, height: Int, features: Array[Float])
 
+/** Decoded audio features per WAV payload. */
+case class WavFeatures(doc_id: Long, sample_rate: Int, channels: Int,
+                       bits_per_sample: Int, n_frames: Long,
+                       duration_ms: Double, rms: Double)
+
+/** A REAL decoder for the one media family that needs no codec
+  * library: RIFF/WAVE PCM. Little-endian header walk over the chunk
+  * list, then one pass over the sample frames for RMS energy — the
+  * kind of feature extraction an audio-curation pipeline runs to
+  * drop silent or clipped clips. Malformed payloads return None
+  * (dropped, never a task failure). */
+object WavCodec {
+  def decode(id: Long, b: Array[Byte]): Option[WavFeatures] = {
+    if (b.length < 44) return None
+    def le32(o: Int): Int =
+      (b(o) & 0xFF) | (b(o + 1) & 0xFF) << 8 |
+        (b(o + 2) & 0xFF) << 16 | (b(o + 3) & 0xFF) << 24
+    def le16(o: Int): Int = (b(o) & 0xFF) | (b(o + 1) & 0xFF) << 8
+    if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F') return None
+    if (b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    var off = 12
+    var fmtOff = -1
+    var dataOff = -1
+    var dataLen = 0
+    while (off + 8 <= b.length && (fmtOff < 0 || dataOff < 0)) {
+      val tag = new String(b, off, 4, "US-ASCII")
+      val sz = le32(off + 4)
+      if (sz < 0) return None
+      if (tag == "fmt ") fmtOff = off + 8
+      else if (tag == "data") { dataOff = off + 8; dataLen = sz }
+      off += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    if (fmtOff < 0 || dataOff < 0 || fmtOff + 16 > b.length) return None
+    val fmt = le16(fmtOff)
+    val channels = le16(fmtOff + 2)
+    val rate = le32(fmtOff + 4)
+    val bits = le16(fmtOff + 14)
+    if (fmt != 1 || (bits != 8 && bits != 16) || channels <= 0 || rate <= 0)
+      return None
+    val bytesPerFrame = channels * bits / 8
+    val avail = math.max(0, math.min(dataLen, b.length - dataOff))
+    val nFrames = avail / bytesPerFrame
+    var sumSq = 0.0
+    var i = 0
+    val nSamples = nFrames * channels
+    while (i < nSamples) {
+      val v =
+        if (bits == 16) le16(dataOff + i * 2).toShort / 32768.0
+        else ((b(dataOff + i) & 0xFF) - 128) / 128.0
+      sumSq += v * v
+      i += 1
+    }
+    val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
+    Some(WavFeatures(id, rate, channels, bits, nFrames,
+      nFrames * 1000.0 / rate, rms))
+  }
+}
+
 /** Multimodal-column plumbing: carry media as opaque `binary` with
   * typed metadata, decode + feature-extract per partition.
   *
@@ -67,5 +125,16 @@ object MultimodalOps {
       // downstream consumers wanting the array use from_json
       .withColumn("features", to_json(col("features")))
       .orderBy(col("doc_id"))
+  }
+
+  /** Genuinely decode WAV payloads (stateless pure-JVM parser, so a
+    * flatMap suffices — no per-partition resource to open); malformed
+    * rows drop instead of failing the stage. Same typed-Dataset shape
+    * as [[extractFeatures]]: swap the source column for a parquet
+    * binary column at scale. */
+  def decodeWav(ds: org.apache.spark.sql.Dataset[MmRecord]):
+      org.apache.spark.sql.Dataset[WavFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap(r => WavCodec.decode(r.doc_id, r.payload))
   }
 }

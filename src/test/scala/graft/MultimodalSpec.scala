@@ -1,8 +1,71 @@
 package graft
 
-import graft.ops.MultimodalOps
+import graft.ops.{MmRecord, MultimodalOps, WavCodec}
 
 class MultimodalSpec extends SparkSpec {
+
+  /** Build a minimal 16-bit PCM WAV in memory: 44-byte canonical
+    * header + interleaved little-endian samples. */
+  private def wavBytes(rate: Int, channels: Int,
+                       samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("decodeWav genuinely parses PCM headers and computes RMS") {
+    import spark.implicits._
+    // 1 second of a constant-amplitude square-ish signal: RMS is exact
+    val amp = 16384 // = 0.5 full scale
+    val mono = wavBytes(8000, 1,
+      Array.tabulate(8000)(i => (if (i % 2 == 0) amp else -amp).toShort))
+    val stereo = wavBytes(44100, 2, Array.fill(44100 * 2)(amp.toShort))
+    val junk = "not a wav at all".getBytes("US-ASCII")
+    val ds = Seq(
+      MmRecord(1L, mono, "audio"),
+      MmRecord(2L, stereo, "audio"),
+      MmRecord(3L, junk, "audio")).toDS()
+    val out = MultimodalOps.decodeWav(ds).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(out.keySet === Set(1L, 2L)) // junk dropped, not crashed
+    val m = out(1L)
+    assert(m.sample_rate === 8000 && m.channels === 1 &&
+      m.bits_per_sample === 16 && m.n_frames === 8000L)
+    assert(math.abs(m.duration_ms - 1000.0) < 1e-9)
+    assert(math.abs(m.rms - amp / 32768.0) < 1e-9)
+    val st = out(2L)
+    assert(st.channels === 2 && st.n_frames === 44100L)
+    assert(math.abs(st.rms - amp / 32768.0) < 1e-9)
+  }
+
+  test("WavCodec handles extra chunks and truncated data chunks") {
+    // a LIST chunk before fmt/data must be skipped, not break parsing
+    val base = wavBytes(16000, 1, Array.fill(100)(1000.toShort))
+    val withList = {
+      val list = java.nio.ByteBuffer.allocate(12)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      list.put("LIST".getBytes("US-ASCII")).putInt(4)
+        .put("INFO".getBytes("US-ASCII"))
+      val out = new Array[Byte](base.length + 12)
+      System.arraycopy(base, 0, out, 0, 12)
+      System.arraycopy(list.array(), 0, out, 12, 12)
+      System.arraycopy(base, 12, out, 24, base.length - 12)
+      out
+    }
+    val f = WavCodec.decode(7L, withList).get
+    assert(f.sample_rate === 16000 && f.n_frames === 100L)
+    // declared data length beyond the buffer: frames clamp to available
+    val truncated = base.dropRight(40)
+    assert(WavCodec.decode(8L, truncated).get.n_frames === 80L)
+  }
 
   test("extractFeatures: one row per document, deterministic features") {
     val out = MultimodalOps.extractFeatures(spark, sf)
