@@ -271,10 +271,14 @@ object DedupOps {
     val kept = ranked.filter(col("__rn") <= maxBucket)
     val cKept = kept.filter(col("__ref") === 0)
     val rKept = kept.filter(col("__ref") === 1)
-    val rMin = rKept.groupBy(col("band"), col("bsig"))
-      .agg(min(col("doc_id")).as("ref_id"))
-    val cMin = cKept.groupBy(col("band"), col("bsig"))
-      .agg(min(col("doc_id")).as("corpus_id"))
+    // per-(bucket, side) minimum id == the row the window ranked
+    // first: a filter on the cached ranked frame, not a groupBy —
+    // no aggregation shuffle, and the overflow joins below see a
+    // frame AQE can broadcast
+    val rMin = ranked.filter(col("__ref") === 1 && col("__rn") === 1)
+      .select(col("band"), col("bsig"), col("doc_id").as("ref_id"))
+    val cMin = ranked.filter(col("__ref") === 0 && col("__rn") === 1)
+      .select(col("band"), col("bsig"), col("doc_id").as("corpus_id"))
     val candJoin = cKept.as("a")
       .join(rKept.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig"))
@@ -314,12 +318,14 @@ object DedupOps {
     * Only documents appearing in ≥1 pair get a row (singletons are
     * not clusters). */
   def connectedComponents(pairs: DataFrame): DataFrame = {
+    // symmetric edge list, hash-partitioned on the join key ONCE and
+    // cached: every round's propagation join then reads co-located
+    // edge partitions instead of re-shuffling the (potentially huge)
+    // edge set per iteration
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .repartition(col("dst"))
       .cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
     // convergence via the label-sum invariant: propagation only ever
     // DECREASES labels, so the (exact, decimal) sum is strictly
     // monotone until the fixpoint — one cheap aggregate per round
@@ -329,22 +335,34 @@ object DedupOps {
       df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
           lit(0).cast("decimal(38,0)"))).first()
         .getDecimal(0)
+    // localCheckpoint LAZILY everywhere in the loop: the logical plan
+    // is truncated immediately (so plans stay round-constant), while
+    // the actual materialization rides the labelSum action — one
+    // Spark job per round total, not checkpoint-job + sum-job
+    var labels = edges.select(col("dst").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(false)
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
-      // min over {own label} ∪ {neighbor labels}
+      // min over {own label} ∪ {neighbor labels}: the union feeds the
+      // node's own label into the same min-aggregate the neighbor
+      // labels go through — one join + one agg per round, not
+      // join + agg + second join
       val next = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
-        .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
-        .join(labels, Seq("id"))
-        .select(col("id"), least(col("nmin"), col("label")).as("label"))
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .select(col("src").as("id"), col("label"))
+        .union(labels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
         // truncate lineage each round: without this the plan doubles
         // per iteration and optimization time, not data, dominates
-        .localCheckpoint(true)
+        .localCheckpoint(false)
+      // this one action computes the round, persists the checkpoint
+      // blocks, and folds the convergence statistic — nothing else runs
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
-      // `next` is already eagerly materialized; the previous round's
+      // `next` is materialized by the sum above; the previous round's
       // checkpoint blocks are dead — free them so storage stays
       // constant in the iteration count, not linear
       labels.unpersist()
