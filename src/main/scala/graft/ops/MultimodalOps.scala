@@ -32,17 +32,24 @@ object WavCodec {
     def le16(o: Int): Int = (b(o) & 0xFF) | (b(o + 1) & 0xFF) << 8
     if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F') return None
     if (b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
-    var off = 12
+    // the chunk walk advances a LONG offset: a huge-but-positive
+    // declared size (e.g. 0x7FFFFFF0 in a corrupt header) added to an
+    // Int offset wraps negative, the `off + 8 <= length` guard stays
+    // true, and the tag read throws — a task failure, violating the
+    // malformed-payloads-drop contract. With Long arithmetic the
+    // oversized chunk just walks past the end and the loop exits.
+    var off = 12L
     var fmtOff = -1
     var dataOff = -1
     var dataLen = 0
     while (off + 8 <= b.length && (fmtOff < 0 || dataOff < 0)) {
-      val tag = new String(b, off, 4, "US-ASCII")
-      val sz = le32(off + 4)
+      val o = off.toInt // off + 8 <= length, so this is exact
+      val tag = new String(b, o, 4, "US-ASCII")
+      val sz = le32(o + 4)
       if (sz < 0) return None
-      if (tag == "fmt ") fmtOff = off + 8
-      else if (tag == "data") { dataOff = off + 8; dataLen = sz }
-      off += 8 + sz + (sz & 1) // chunks are word-aligned
+      if (tag == "fmt ") fmtOff = o + 8
+      else if (tag == "data") { dataOff = o + 8; dataLen = sz }
+      off += 8L + sz + (sz & 1) // chunks are word-aligned
     }
     if (fmtOff < 0 || dataOff < 0 || fmtOff + 16 > b.length) return None
     val fmt = le16(fmtOff)

@@ -65,6 +65,19 @@ class MultimodalSpec extends SparkSpec {
     // declared data length beyond the buffer: frames clamp to available
     val truncated = base.dropRight(40)
     assert(WavCodec.decode(8L, truncated).get.n_frames === 80L)
+    // adversarial chunk size: a huge-but-positive declared size used
+    // to wrap the Int offset negative and throw out of the tag read —
+    // it must drop (None), never fail the task
+    val hugeChunk = {
+      val bb = java.nio.ByteBuffer.allocate(24)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(16)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("LIST".getBytes("US-ASCII")).putInt(0x7FFFFFF0)
+        .putInt(0) // filler so length ≥ 44 is irrelevant; keep it short
+      bb.array() ++ new Array[Byte](40)
+    }
+    assert(WavCodec.decode(9L, hugeChunk) === None)
   }
 
   test("extractFeatures: one row per document, deterministic features") {
