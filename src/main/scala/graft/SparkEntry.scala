@@ -56,6 +56,12 @@ object SparkEntry {
     }),
     "etl_profile"  -> ((s, d) => Analytics.profile(
       Tables.orders(s, d), Seq("o_custkey", "o_orderstatus", "o_totalprice"))),
+    // the 100 TB profiling face: HLL++ distinct sketches instead of
+    // the exact multi-distinct expansion; estimator-specific values ⇒
+    // rows-only (AnalyticsSpec asserts the rsd tolerance per column)
+    "etl_profile_approx" -> ((s, d) => Analytics.profile(
+      Tables.orders(s, d), Seq("o_custkey", "o_orderstatus", "o_totalprice"),
+      approx = true)),
     // §2.1 ETL operators
     "etl_apply_mapping" -> ((s, d) =>
       Mapping.applyMapping(Tables.orders(s, d), Seq(
@@ -163,10 +169,21 @@ object SparkEntry {
     "text_langid"      -> (TextOps.langId _),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprints(s, d)),
     "text_tfidf"       -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
-    // the synthetic corpus is PII-free, so at these SFs this is a
-    // verified pass-through (counts 0, redacted == text); RedactSpec
-    // plants every PII category and checks the placeholders
-    "text_redact"      -> (TextOps.redact _),
+    // the synthetic corpus is PII-free, so a plain pass over it would
+    // verify only a pass-through; the entry plants one deterministic
+    // instance of every PII category, derived from doc_id identically
+    // here and in the SQL oracle, so the cross-engine check covers
+    // nonzero counts AND placeholder substitution (RedactSpec
+    // additionally hand-checks each category in isolation)
+    "text_redact"      -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      TextOps.redactOn(Tables.documents(s, d).withColumn("text",
+        concat(col("text"),
+          lit(" mail-"), id, lit("@example.com"),
+          lit(" http://host.example/p/"), id,
+          lit(" 10.0."), (col("doc_id") % 200).cast("string"), lit(".7"),
+          lit(" acct 9900"), id, lit("77"))))
+    }),
     "text_repetition"  -> (TextOps.repetitionScores _),
     // composed end-to-end curation: quality gate → exact dedup →
     // decontamination vs the odd-parity reference corpus
@@ -643,13 +660,23 @@ object SparkEntry {
     // Generated from the same pattern table the operator folds over
     // (Java regex and RE2 agree on this subset); counts on the
     // original text, replacements applied in the same fixed order.
+    // The planted-PII suffix mirrors the Spark entry literal for
+    // literal so the oracle verifies real substitutions, not the
+    // pass-through the PII-free corpus would otherwise exercise.
     "text_redact" -> {
       val ps = graft.ops.TextOps.redactPatterns
       val countCols = ps.map { case (n, p, _) =>
         s"len(regexp_extract_all(text, '$p')) AS n_$n" }.mkString(",\n  ")
       val red = ps.foldLeft("text") { case (e, (_, p, t)) =>
         s"regexp_replace($e, '$p', '$t', 'g')" }
-      s"SELECT doc_id,\n  $countCols,\n  $red AS redacted\nFROM documents ORDER BY doc_id"
+      s"""WITH planted AS (SELECT doc_id,
+         |  concat(text, ' mail-', doc_id, '@example.com',
+         |         ' http://host.example/p/', doc_id,
+         |         ' 10.0.', doc_id % 200, '.7',
+         |         ' acct 9900', doc_id, '77') AS text
+         |  FROM documents)
+         |SELECT doc_id,\n  $countCols,\n  $red AS redacted
+         |FROM planted ORDER BY doc_id""".stripMargin
     },
     "text_repetition" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

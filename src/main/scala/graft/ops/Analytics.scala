@@ -220,14 +220,23 @@ object Analytics {
   }
 
   /** Single-pass column profile — the crawler's "discover stats" step:
-    * row count, null count, and exact distinct count per column, one
-    * scan for all columns (the metrics stack into long format after
-    * the aggregate, not via per-column scans). */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * row count, null count, and distinct count per column, one scan
+    * for all columns (the metrics stack into long format after the
+    * aggregate, not via per-column scans).
+    *
+    * `approx = true` swaps the exact distinct for HLL++
+    * (approx_count_distinct at `rsd`): exact multi-distinct expands
+    * the aggregate into one replicated pass per distinct column —
+    * the one piece of this surface that does NOT survive 100 TB
+    * column cardinalities — while the sketches are fixed-size,
+    * mergeable, and keep the whole profile map-side-combinable. */
+  def profile(df: DataFrame, cols: Seq[String], approx: Boolean = false,
+              rsd: Double = 0.02): DataFrame = {
     val aggs = cols.flatMap { c => Seq(
       count(lit(1)).as(s"__n_$c"),
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
-      countDistinct(col(c)).as(s"__dist_$c"))
+      (if (approx) approx_count_distinct(col(c), rsd)
+       else countDistinct(col(c))).as(s"__dist_$c"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     // stack takes a FLAT argument list; consecutive args form rows

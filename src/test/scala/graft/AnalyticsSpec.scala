@@ -92,6 +92,24 @@ class AnalyticsSpec extends SparkSpec {
       ((n, 0L, orders.select("o_orderstatus").distinct().count())))
   }
 
+  test("etl_profile_approx tracks the exact per-column profile within rsd") {
+    val orders = Tables.orders(spark, sf)
+    val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice")
+    def byCol(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val exact = byCol(Analytics.profile(orders, cols))
+    val approx = byCol(Analytics.profile(orders, cols, approx = true))
+    cols.foreach { c =>
+      // counts and null counts are not estimated — exactly equal
+      assert(approx(c)._1 === exact(c)._1)
+      assert(approx(c)._2 === exact(c)._2)
+      // rsd=0.02 ⇒ ±3σ = 6%; tiny-cardinality columns come out exact
+      assert(math.abs(approx(c)._3 - exact(c)._3).toDouble /
+        exact(c)._3 < 0.06, s"distinct estimate off for $c")
+    }
+  }
+
   test("q_distinct_approx entry tracks the exact counts within rsd tolerance") {
     val exact = Analytics.distinctCount(spark, sf).first()
     val approx = Analytics.distinctCountApprox(spark, sf).first()
