@@ -87,7 +87,11 @@ class StreamingSpec extends SparkSpec {
   test("streaming decontamination flags the same pairs as the batch operator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val docs = Tables.documents(spark, sf)
+    // deliberately the CORRECTNESS-gate scale (sf0.01, 500 docs), not
+    // the suite default: this replays the exact corpus and split the
+    // oracled dedup_decontaminate entry runs, so the streaming face
+    // cannot drift from the batch face at the scale the driver checks
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val corpus = docs.filter(col("doc_id") % 2 === 0)
     val reference = docs.filter(col("doc_id") % 2 =!= 0)
     val (bandIndex, refSets) =
