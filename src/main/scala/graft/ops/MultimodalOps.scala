@@ -17,6 +17,11 @@ case class WavFeatures(doc_id: Long, sample_rate: Int, channels: Int,
                        bits_per_sample: Int, n_frames: Long,
                        duration_ms: Double, rms: Double)
 
+/** Decoded image features per BMP payload. */
+case class BmpFeatures(doc_id: Long, width: Int, height: Int,
+                       bits_per_pixel: Int, n_pixels: Long,
+                       mean_r: Double, mean_g: Double, mean_b: Double)
+
 /** A REAL decoder for the one media family that needs no codec
   * library: RIFF/WAVE PCM. Little-endian header walk over the chunk
   * list, then one pass over the sample frames for RMS energy — the
@@ -74,6 +79,59 @@ object WavCodec {
     val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
     Some(WavFeatures(id, rate, channels, bits, nFrames,
       nFrames * 1000.0 / rate, rms))
+  }
+}
+
+/** The second codec-library-free REAL decoder: uncompressed 24-bit
+  * BMP (BITMAPINFOHEADER, BI_RGB). Header walk, then one pass over
+  * the padded pixel rows for per-channel means — the cheap signal an
+  * image-curation pipeline uses to drop blank/monochrome frames.
+  * Malformed payloads return None (dropped, never a task failure);
+  * every size field is treated as adversarial. */
+object BmpCodec {
+  def decode(id: Long, b: Array[Byte]): Option[BmpFeatures] = {
+    if (b.length < 54) return None
+    def le32(o: Int): Int =
+      (b(o) & 0xFF) | (b(o + 1) & 0xFF) << 8 |
+        (b(o + 2) & 0xFF) << 16 | (b(o + 3) & 0xFF) << 24
+    def le16(o: Int): Int = (b(o) & 0xFF) | (b(o + 1) & 0xFF) << 8
+    if (b(0) != 'B' || b(1) != 'M') return None
+    val dataOff = le32(10)
+    val dibSize = le32(14)
+    val width = le32(18)
+    val heightRaw = le32(22) // negative = top-down row order
+    val bpp = le16(28)
+    val compression = le32(30)
+    // BITMAPINFOHEADER or the larger V4/V5 variants; only uncompressed
+    // 24-bit — anything else needs a real codec library
+    if (dibSize < 40 || bpp != 24 || compression != 0) return None
+    val height = math.abs(heightRaw.toLong) // abs(Int.MinValue) is safe in Long
+    if (width <= 0 || height == 0 || height > Int.MaxValue) return None
+    if (dataOff < 54 || dataOff > b.length) return None
+    // rows pad to 4-byte boundaries; all arithmetic in Long — width
+    // is attacker-controlled and width*3 overflows Int at ~716M
+    val stride = (width.toLong * 3 + 3) / 4 * 4
+    // truncated payloads clamp to the complete rows present (the WAV
+    // decoder's frames-clamp contract); a zero-row payload is junk
+    val rows = math.min(height, (b.length - dataOff) / stride)
+    if (rows <= 0) return None
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var r = 0
+    while (r < rows) {
+      var base = dataOff + r * stride.toInt // stride*rows ≤ length, Int-safe
+      var x = 0
+      while (x < width) {
+        sb += b(base) & 0xFF
+        sg += b(base + 1) & 0xFF
+        sr += b(base + 2) & 0xFF
+        base += 3
+        x += 1
+      }
+      r += 1
+    }
+    val n = rows * width
+    Some(BmpFeatures(id, width, rows.toInt, bpp, n,
+      sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
   }
 }
 
@@ -143,5 +201,14 @@ object MultimodalOps {
       org.apache.spark.sql.Dataset[WavFeatures] = {
     import ds.sparkSession.implicits._
     ds.flatMap(r => WavCodec.decode(r.doc_id, r.payload))
+  }
+
+  /** Genuinely decode uncompressed 24-bit BMP payloads — same
+    * contract and shape as [[decodeWav]]: stateless pure-JVM parser,
+    * malformed rows drop instead of failing the stage. */
+  def decodeBmp(ds: org.apache.spark.sql.Dataset[MmRecord]):
+      org.apache.spark.sql.Dataset[BmpFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap(r => BmpCodec.decode(r.doc_id, r.payload))
   }
 }

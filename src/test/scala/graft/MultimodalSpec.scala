@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{MmRecord, MultimodalOps, WavCodec}
+import graft.ops.{BmpCodec, MmRecord, MultimodalOps, WavCodec}
 
 class MultimodalSpec extends SparkSpec {
 
@@ -78,6 +78,82 @@ class MultimodalSpec extends SparkSpec {
       bb.array() ++ new Array[Byte](40)
     }
     assert(WavCodec.decode(9L, hugeChunk) === None)
+  }
+
+  /** Build a minimal bottom-up 24-bit BI_RGB BMP: 14-byte file header
+    * + 40-byte BITMAPINFOHEADER + padded pixel rows, pixel = (r,g,b)
+    * from a function of (x, y in image coordinates, top-down). */
+  private def bmpBytes(w: Int, h: Int,
+                       px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val stride = (w * 3 + 3) / 4 * 4
+    val bb = java.nio.ByteBuffer.allocate(54 + stride * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + stride * h)
+      .putInt(0).putInt(54)
+      .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(stride * h).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    for (row <- 0 until h) {
+      val y = h - 1 - row // bottom-up storage
+      for (x <- 0 until w) {
+        val (r, g, b) = px(x, y)
+        bb.put(b.toByte).put(g.toByte).put(r.toByte)
+      }
+      bb.position(bb.position() + stride - w * 3) // row padding
+    }
+    bb.array()
+  }
+
+  test("decodeBmp genuinely parses 24-bit BMPs and computes channel means") {
+    import spark.implicits._
+    // 3x2 image with known per-channel means; w=3 forces row padding
+    val img = bmpBytes(3, 2, (x, y) => (10 * (x + 1), 100, 20 * y))
+    val junk = "BMnot really a bitmap".getBytes("US-ASCII") ++ new Array[Byte](60)
+    val ds = Seq(
+      MmRecord(1L, img, "image"),
+      MmRecord(2L, junk, "image")).toDS()
+    val out = MultimodalOps.decodeBmp(ds).collect().map(f => f.doc_id -> f).toMap
+    assert(out.keySet === Set(1L)) // junk dropped, not crashed
+    val f = out(1L)
+    assert(f.width === 3 && f.height === 2 && f.bits_per_pixel === 24 &&
+      f.n_pixels === 6L)
+    assert(math.abs(f.mean_r - 20.0) < 1e-9) // (10+20+30)/3
+    assert(math.abs(f.mean_g - 100.0) < 1e-9)
+    assert(math.abs(f.mean_b - 10.0) < 1e-9) // rows y=0,1 → (0+20)/2
+  }
+
+  test("BmpCodec clamps truncation and survives adversarial size fields") {
+    // truncated mid-row: only complete rows count
+    val img = bmpBytes(2, 3, (_, _) => (50, 60, 70))
+    val stride = 8 // (2*3+3)/4*4
+    val truncated = img.dropRight(stride + 2) // kills row 3 and part of row 2
+    assert(BmpCodec.decode(1L, truncated).get.height === 1)
+    // adversarial width: huge positive width*3 would overflow Int
+    val hugeWidth = img.clone()
+    val bb = java.nio.ByteBuffer.wrap(hugeWidth)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(18, 0x7FFFFFF0)
+    assert(BmpCodec.decode(2L, hugeWidth) === None)
+    // top-down negative height decodes with |height| clamped to data
+    val topDown = img.clone()
+    java.nio.ByteBuffer.wrap(topDown).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, -3)
+    assert(BmpCodec.decode(3L, topDown).get.height === 3)
+    // Int.MinValue height: abs() in Int would stay negative
+    val minH = img.clone()
+    java.nio.ByteBuffer.wrap(minH).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, Int.MinValue)
+    assert(BmpCodec.decode(4L, minH).isEmpty)
+    // data offset beyond the buffer
+    val badOff = img.clone()
+    java.nio.ByteBuffer.wrap(badOff).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(10, img.length + 100)
+    assert(BmpCodec.decode(5L, badOff) === None)
+    // 8-bit palette BMPs are out of scope → None, not garbage stats
+    val pal = img.clone()
+    java.nio.ByteBuffer.wrap(pal).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(28, 8.toShort)
+    assert(BmpCodec.decode(6L, pal) === None)
   }
 
   test("extractFeatures: one row per document, deterministic features") {
