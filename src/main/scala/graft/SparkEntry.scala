@@ -202,6 +202,10 @@ object SparkEntry {
     "stream_window_counts" -> (graft.streaming.EventStreams.windowCountsBatch _),
     "stream_sessionize"    -> (graft.streaming.EventStreams.sessionizeBatch _),
     "stream_dedup"         -> (graft.streaming.DedupStreams.dedupBatch _),
+    // within-stream NEAR-dup dedup: the oracled batch face of the
+    // stateful-LSH streaming operator (StreamingSpec replays this
+    // corpus through nearDedupStream and asserts set equality)
+    "stream_dedup_near"    -> (graft.streaming.DedupStreams.nearDedupBatch _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -776,6 +780,27 @@ object SparkEntry {
         |SELECT user_id, event_type, event_id, ts AS first_ts
         |FROM r WHERE rn = 1
         |ORDER BY user_id, event_type""".stripMargin,
+    // The exact-Jaccard pair set (same derivation as dedup_minhash;
+    // banding misses are ~6e-4 per J≥0.8 pair and candidates are
+    // exact-verified) reoriented to the stream contract: the later
+    // document of each pair (arrival = doc_id order) flags the earlier.
+    "stream_dedup_near" ->
+      """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+        |             FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+        |  FROM tok WHERE len(t) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id2 AS doc_id, id1 AS dup_of,
+        |  round(common * 1.0 / (x.n + y.n - common), 4) AS jaccard
+        |FROM pairs JOIN sz x ON x.doc_id = id1 JOIN sz y ON y.doc_id = id2
+        |WHERE common * 1.0 / (x.n + y.n - common) >= 0.8
+        |ORDER BY doc_id, dup_of""".stripMargin,
     // NOTE: events.parquet is TIMESTAMP(NANOS); Spark truncates to
     // micros (Tables.events), so the oracle must truncate too BEFORE
     // the gap predicate — a ns-preserving DuckDB would otherwise emit

@@ -4,6 +4,27 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One banded row of an arriving document: its LSH bucket key plus
+  * everything in-state verification needs (the shingle set for exact
+  * Jaccard, the full band-signature vector for exactly-once pair
+  * emission across buckets). */
+case class NearDupBandRow(band: Int, bsig: Long, doc_id: Long,
+                          ts: java.sql.Timestamp,
+                          hs: Array[Long], sigs: Array[Long])
+
+/** A bucket-state member: an earlier arrival still inside the
+  * dedup horizon. */
+case class NearDupMember(doc_id: Long, tsMillis: Long,
+                         hs: Array[Long], sigs: Array[Long])
+
+case class NearDupBucket(members: List[NearDupMember])
+
+/** An emitted flag: `doc_id` arrived and is a verified near-dup of
+  * the earlier `dup_of`. */
+case class NearDupHit(doc_id: Long, ts: java.sql.Timestamp,
+                      dup_of: Long, jaccard: Double)
 
 /** Streaming face of exact deduplication: drop content-duplicate
   * documents as they arrive. A 100 TB ingest never sees its corpus at
@@ -80,6 +101,137 @@ object DedupStreams {
       .select(col("doc_id"), col("ts"), col("ref_id"), col("jaccard"))
       .dropDuplicatesWithinWatermark("doc_id", "ref_id")
   }
+
+  // ---- streaming NEAR-dup dedup (stateful MinHash LSH) -----------------
+
+  /** Merge-intersect count over two sorted-distinct long arrays —
+    * the Scala twin of the codegen'd SetExprs.sortedIntersectCount
+    * the batch verifier uses. */
+  private def sortedIntersect(a: Array[Long], b: Array[Long]): Int = {
+    var (i, j, c) = (0, 0, 0)
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** Exact Jaccard rounded to 4dp HALF_UP — bit-identical to the
+    * batch path's `round(common/(n1+n2-common), 4)`. */
+  private def jaccard4(a: Array[Long], b: Array[Long]): Double = {
+    val c = sortedIntersect(a, b)
+    val j = c.toDouble / (a.length + b.length - c)
+    BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  /** First band index where the two signature vectors collide. A pair
+    * sharing several buckets would otherwise be emitted once per
+    * shared bucket by independent state functions that cannot see
+    * each other; emitting only from the FIRST colliding band — which
+    * each side can determine locally from the stored signature
+    * vectors — makes emission exactly-once with zero cross-key
+    * coordination. */
+  private def firstCollidingBand(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0
+    while (i < a.length && a(i) != b(i)) i += 1
+    i
+  }
+
+  /** Streaming NEAR-duplicate detection — the within-stream face of
+    * [[graft.ops.DedupOps.minhashLshOn]], and the shape a 100 TB
+    * ingest actually needs: flag each arriving document against the
+    * earlier arrivals it is a verified near-duplicate of, without
+    * ever seeing the corpus at rest.
+    *
+    * Per-document work is row-local (shingle hashes + banded MinHash
+    * signatures, the same expressions the batch path aggregates);
+    * state lives per (band, bandSig) bucket and holds at most
+    * `maxBucket` members (each: id, event time, shingle set,
+    * signature vector), expired by the event-time horizon both lazily
+    * on access and via timeouts, so the store is bounded by
+    * horizon × arrival rate, never corpus size. An arriving document
+    * verifies exact Jaccard against its bucket's members in-state and
+    * emits one flag per matched earlier document; cross-bucket
+    * duplicate emission is eliminated locally by the
+    * first-colliding-band rule rather than a second stateful dedup.
+    *
+    * Micro-batch determinism: each bucket processes its arrivals in
+    * (event time, doc_id) order, so a replay in event-time order
+    * reproduces the batch face exactly. Cap caveat (mirrors the batch
+    * cap): once a bucket is full, later members are verified against
+    * the stored ones but not stored, so a pair whose ONLY shared
+    * bucket capped out before both arrived is missed — the batch
+    * face's overflow-representative analogue. */
+  def nearDedupStream(docs: DataFrame, threshold: Double = 0.8,
+                      numPerm: Int = 64, bands: Int = 16,
+                      maxBucket: Int = 1000,
+                      horizon: java.time.Duration =
+                        java.time.Duration.ofHours(1)): DataFrame = {
+    require(maxBucket > 0 && !horizon.isZero && !horizon.isNegative)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val horizonMs = horizon.toMillis
+    val staged = docs
+      .withColumn("__t", graft.ops.TextOps.toks(col("text")))
+      .withColumn("hs", graft.ops.DedupOps.shingleHashesExpr(col("__t")))
+      .withColumn("sigs", array(
+        graft.ops.DedupOps.bandSigsExpr(col("hs"), numPerm, bands): _*))
+      .withWatermark("ts", s"$horizonMs milliseconds")
+    val banded = staged
+      .select(col("doc_id"), col("ts"), col("hs"), col("sigs"),
+        posexplode(col("sigs")).as(Seq("band", "bsig")))
+      .select(col("band"), col("bsig"), col("doc_id"), col("ts"),
+        col("hs"), col("sigs"))
+      .as[NearDupBandRow]
+
+    def onBucket(key: (Int, Long), rows: Iterator[NearDupBandRow],
+                 state: GroupState[NearDupBucket]): Iterator[NearDupHit] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val wm = state.getCurrentWatermarkMs()
+      // lazy expiry: members the watermark has passed can never be
+      // flagged against again — drop them before matching
+      var members = state.getOption.map(_.members).getOrElse(Nil)
+        .filter(_.tsMillis >= wm)
+      val out = List.newBuilder[NearDupHit]
+      rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
+        members.foreach { m =>
+          if (m.doc_id != r.doc_id &&
+              firstCollidingBand(m.sigs, r.sigs) == key._1) {
+            val j = jaccard4(m.hs, r.hs)
+            if (j >= threshold) out += NearDupHit(r.doc_id, r.ts, m.doc_id, j)
+          }
+        }
+        if (members.length < maxBucket)
+          members = members :+ NearDupMember(r.doc_id, r.ts.getTime, r.hs, r.sigs)
+      }
+      if (members.isEmpty) state.remove()
+      else {
+        state.update(NearDupBucket(members))
+        // clear the whole bucket once its newest member ages out
+        state.setTimeoutTimestamp(members.map(_.tsMillis).max + horizonMs)
+      }
+      out.result().iterator
+    }
+
+    banded.groupByKey(r => (r.band, r.bsig))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(onBucket)
+      .toDF()
+  }
+
+  /** Batch face of [[nearDedupStream]] for the oracle gate: replayed
+    * in event-time order with arrival order = doc_id order (what the
+    * spec and entry do), the stream flags the later document of every
+    * verified near-dup pair against the earlier one — i.e. exactly
+    * the minhash LSH pair set reoriented as (later, earlier). Shared
+    * machinery by construction; what the cross-engine oracle checks
+    * is that the STREAM's contract equals this frame (StreamingSpec
+    * replays the same corpus through the stateful operator). */
+  def nearDedupBatch(s: SparkSession, d: String): DataFrame =
+    graft.ops.DedupOps.minhashLsh(s, d)
+      .select(col("id2").as("doc_id"), col("id1").as("dup_of"), col("jaccard"))
+      .orderBy(col("doc_id"), col("dup_of"))
 
   /** Batch face for the oracle gate: the first arrival — by event
     * time, event_id tiebreak — of each (user_id, event_type) key over

@@ -120,6 +120,70 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup flags the batch pair set on the sf0.01 corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // correctness-gate scale again: the same corpus the oracled
+    // stream_dedup_near entry covers, replayed with arrival order =
+    // doc_id order (ts monotone in doc_id)
+    val d = "/root/testdata/sf0.01"
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), new java.sql.Timestamp(base + r.getLong(0)),
+        r.getString(1)))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    mem.addData(rows.toIndexedSeq)
+    val q = graft.streaming.DedupStreams
+      .nearDedupStream(mem.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("neardup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      // exactly-once: no pair may be emitted twice across buckets
+      assert(streamed.length === streamed.distinct.length)
+      val batch = graft.streaming.DedupStreams.nearDedupBatch(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(streamed.toSet === batch.toSet)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("near-dup stream state spans micro-batches and expires with the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    def ts(m: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + m * 60000L)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = graft.streaming.DedupStreams
+      .nearDedupStream(mem.toDF().toDF("doc_id", "ts", "text"),
+        horizon = java.time.Duration.ofMinutes(10))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_mb").start()
+    try {
+      mem.addData((1L, ts(0), text), (2L, ts(1), "completely unrelated words"))
+      q.processAllAvailable()
+      // batch 2: near-dup of doc 1 arrives in a LATER micro-batch —
+      // the flag must come from cross-batch bucket state
+      mem.addData((3L, ts(2), text))
+      q.processAllAvailable()
+      // batch 3: advance the watermark far past the horizon, then a
+      // duplicate of the (expired) doc 1 — no flag may be emitted
+      mem.addData((4L, ts(60), "watermark advancer"))
+      q.processAllAvailable()
+      mem.addData((5L, ts(61), text))
+      q.processAllAvailable()
+      val out = spark.table("neardup_mb").collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+      assert(out.toSet === Set((3L, 1L)))
+    } finally q.stop()
+  }
+
   test("stream_dedup batch face: one first-arrival row per key, min event time") {
     val out = graft.streaming.DedupStreams.dedupBatch(spark, sf)
     val ev = Tables.events(spark, sf)
