@@ -71,6 +71,52 @@ class DedupSpec extends SparkSpec {
       20L -> 1L, 21L -> 1L, 22L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components run ONE action per propagation round") {
+    import spark.implicits._
+    // a 3-edge chain plus a detached pair: min-label propagation
+    // needs 3 hop rounds + 1 confirming round on the chain
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id1", "id2")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // AQE materializes every shuffle stage as its own job (~4 per
+    // action), which would bury the one-action-per-round structure
+    // this test pins; without it one action = one job exactly
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val got = DedupOps.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        10L -> 10L, 11L -> 10L))
+      // the listener bus is async — poll until the count stabilizes
+      var (last, stable) = (-1, 0)
+      while (stable < 5) {
+        Thread.sleep(100)
+        val now = jobs.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+      // One ACTION per propagation round — the convergence sum
+      // materializes the lazy checkpoint in the same action. An
+      // action expands to ~2 jobs here (the broadcast-exchange
+      // subquery of the propagation join runs as its own job), so a
+      // 4-round graph measures 11 jobs; a regression to a separate
+      // checkpoint action per round (the round-4 shape, which
+      // doubled the loop's cost) measures ~19+ and must fail.
+      val rounds = 4 // 3 hops along the chain + 1 confirming round
+      assert(last <= 2 * rounds + 6,
+        s"connectedComponents ran $last jobs for a $rounds-round graph — " +
+          "expected ~2 per round (+ init and collect)")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("connected components on an empty pair set converge to no rows") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
