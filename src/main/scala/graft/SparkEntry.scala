@@ -109,6 +109,16 @@ object SparkEntry {
     "ts_resample_daily" -> (TimeSeriesOps.resampleDaily _),
     "ts_rolling"        -> ((s, d) => TimeSeriesOps.rollingFeatures(s, d)),
     "ts_lag_features"   -> ((s, d) => TimeSeriesOps.lagFeatures(s, d)),
+    // daily mean value per type with synthetic outage days planted
+    // (every day-of-month divisible by 5 removed, identically in the
+    // oracle) — the gap pattern the linear interpolation reconstructs
+    "ts_interpolate"    -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(round(avg(col("value")), 4).as("v"))
+        .filter(dayofmonth(col("day")) % 5 =!= 0)
+      TimeSeriesOps.interpolateOn(daily, "event_type", "day", "v")
+    }),
     "ts_pivot_wide"     -> (TimeSeriesOps.pivotWide _),
     "ts_train_test"     -> ((s, d) => TimeSeriesOps.trainTestSplit(s, d)),
     "ts_deepar_export"  -> (TimeSeriesOps.deeparExport _),
@@ -392,6 +402,40 @@ object SparkEntry {
     "etl_dedup_rows" ->
       """SELECT DISTINCT l_suppkey, l_returnflag
         |FROM lineitem ORDER BY 1, 2""".stripMargin,
+    // Evaluation order of the interpolation arithmetic mirrors the
+    // operator exactly (pv + (nv-pv)*(double(d1)/double(d2)), round
+    // 4dp) so IEEE results agree bit-for-bit across engines.
+    "ts_interpolate" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         round(avg(value), 4) AS v
+        |  FROM events GROUP BY 1, 2),
+        |gapped AS (SELECT * FROM daily WHERE date_part('day', day) % 5 <> 0),
+        |b AS (SELECT event_type, min(day) AS lo, max(day) AS hi
+        |      FROM gapped GROUP BY 1),
+        |spine AS (SELECT event_type,
+        |  unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b),
+        |j AS (SELECT s.event_type, s.day, g.v
+        |      FROM spine s LEFT JOIN gapped g
+        |        ON s.event_type = g.event_type AND s.day = g.day),
+        |wnd AS (SELECT *,
+        |  last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |    OVER w_b AS pd,
+        |  last_value(v IGNORE NULLS) OVER w_b AS pv,
+        |  first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |    OVER w_a AS nd,
+        |  first_value(v IGNORE NULLS) OVER w_a AS nv
+        |  FROM j
+        |  WINDOW w_b AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |  w_a AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, day,
+        |  round(coalesce(v, pv + (nv - pv) *
+        |    (CAST(datediff('day', pd, day) AS DOUBLE) /
+        |     CAST(datediff('day', pd, nd) AS DOUBLE))), 4) AS v,
+        |  v IS NULL AS interpolated
+        |FROM wnd ORDER BY event_type, day""".stripMargin,
     "ts_resample_daily" ->
       """WITH daily AS (
         |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,

@@ -29,6 +29,44 @@ object TimeSeriesOps {
       .orderBy(col("day"))
   }
 
+  /** Linear gap-fill interpolation over a daily per-series frame —
+    * the resample's missing-data companion (zero-fill is right for
+    * counts; a sensor/price level wants the line between its
+    * neighbors). Fully distributed: each series' day spine is built
+    * inside the plan (sequence + explode, bounds from a per-key
+    * aggregate), and the surrounding non-null neighbors come from
+    * ONE ordered window per key evaluated with two frames
+    * (last-before / first-after, ignoreNulls) — a single shuffle on
+    * the series key, no self-join, any key cardinality. Spine ends
+    * are the series' own min/max observed days, so every gap is
+    * interior and the interpolation is total. Emits an
+    * `interpolated` audit flag per row. */
+  def interpolateOn(df: DataFrame, key: String, day: String,
+                    value: String): DataFrame = {
+    val spine = df.groupBy(col(key))
+      .agg(min(col(day)).as("lo"), max(col(day)).as("hi"))
+      .select(col(key),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as(day))
+    val joined = spine.join(df, Seq(key, day), "left")
+    val w = Window.partitionBy(col(key)).orderBy(col(day))
+    val before = w.rowsBetween(Window.unboundedPreceding, -1)
+    val after = w.rowsBetween(1, Window.unboundedFollowing)
+    val pd = last(when(col(value).isNotNull, col(day)), ignoreNulls = true)
+      .over(before)
+    val pv = last(col(value), ignoreNulls = true).over(before)
+    val nd = first(when(col(value).isNotNull, col(day)), ignoreNulls = true)
+      .over(after)
+    val nv = first(col(value), ignoreNulls = true).over(after)
+    // evaluation order pinned (pv + (nv-pv) * (d1/d2)) so the IEEE
+    // result is bit-identical in the SQL oracle
+    val frac = datediff(col(day), pd).cast("double") /
+      datediff(nd, pd).cast("double")
+    joined.select(col(key), col(day),
+        round(coalesce(col(value), pv + (nv - pv) * frac), 4).as(value),
+        col(value).isNull.as("interpolated"))
+      .orderBy(col(key), col(day))
+  }
+
   /** Wide day × type matrix with a combined column — mirrors the
     * notebook's pivot + `full_fhv = fhv + fhvhv` combine + drop
     * (GluePySparkMLFeatureEngineering cells 14, 40): here

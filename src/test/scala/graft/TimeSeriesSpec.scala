@@ -171,6 +171,31 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got === naive && got.nonEmpty)
   }
 
+  test("interpolateOn fills interior gaps linearly and flags them") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val daily = Seq(
+      ("a", d("2024-01-01"), 10.0),
+      ("a", d("2024-01-02"), 20.0),
+      // days 3-4 missing: the 2→5 segment interpolates 30, 40
+      ("a", d("2024-01-05"), 50.0),
+      ("b", d("2024-01-01"), 1.0),
+      // day 2 missing on an uneven segment: 1 + (4-1)*(1/2) = 2.5
+      ("b", d("2024-01-03"), 4.0)).toDF("k", "day", "v")
+    val out = TimeSeriesOps.interpolateOn(daily, "k", "day", "v").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2),
+        r.getBoolean(3)))
+    assert(out.toSeq === Seq(
+      ("a", d("2024-01-01"), 10.0, false),
+      ("a", d("2024-01-02"), 20.0, false),
+      ("a", d("2024-01-03"), 30.0, true),
+      ("a", d("2024-01-04"), 40.0, true),
+      ("a", d("2024-01-05"), 50.0, false),
+      ("b", d("2024-01-01"), 1.0, false),
+      ("b", d("2024-01-02"), 2.5, true),
+      ("b", d("2024-01-03"), 4.0, false)))
+  }
+
   test("seasonalNaive forecasts the holdout horizon with ordered bounds") {
     val f = Forecast.seasonalNaive(spark, sf).collect()
     assert(f.nonEmpty)
