@@ -91,6 +91,27 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("interpolation runs ONE window pass and shuffles only on the series key") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val daily = Seq(("a", d("2024-01-01"), 1.0), ("a", d("2024-01-04"), 4.0),
+      ("b", d("2024-01-01"), 2.0)).toDF("k", "day", "v")
+    val plan = executedPlan(TimeSeriesOps.interpolateOn(daily, "k", "day", "v"))
+    // all four neighbor columns (two ignoreNulls frames) must land in
+    // ONE Window operator over one partitioning of the series key — a
+    // second Window would mean a second sort/scan of every series
+    val windows = "\\bWindow\\b".r.findAllIn(plan).size
+    assert(windows === 1, s"expected exactly 1 Window operator, got $windows:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("streaming near-dup batch face stays product-free") {
+    val plan = executedPlan(
+      graft.streaming.DedupStreams.nearDedupBatch(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("asofJoin plans exactly one shuffle over the unioned input") {
     val ev = Tables.events(spark, sf)
       .select(col("event_id"), col("user_id"), col("ts"))
