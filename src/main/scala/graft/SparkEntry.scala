@@ -179,6 +179,10 @@ object SparkEntry {
     "text_langid"      -> (TextOps.langId _),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprints(s, d)),
     "text_tfidf"       -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
+    "text_top_terms"   -> ((s, d) => TextOps.topTerms(s, d)),
+    // Misra-Gries sketch face: rows-only (estimates are merge-order-
+    // dependent within the n/capacity bound; TextOpsSpec pins it)
+    "text_top_terms_sketch" -> ((s, d) => TextOps.topTermsSketch(s, d)),
     // the synthetic corpus is PII-free, so a plain pass over it would
     // verify only a pass-through; the entry plants one deterministic
     // instance of every PII category, derived from doc_id identically
@@ -742,6 +746,12 @@ object SparkEntry {
         |FROM a ORDER BY doc_id""".stripMargin,
     // Spark ln == DuckDB ln on the same doubles; scores round to 4dp
     // BEFORE ranking (term tiebreak) so rankings are engine-stable.
+    "text_top_terms" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents)
+        |SELECT term, count(*) AS n FROM tok
+        |GROUP BY 1 ORDER BY n DESC, term LIMIT 20""".stripMargin,
     "text_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -164,6 +164,34 @@ object TextOps {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Exact corpus-level top-k terms — the vocabulary-profiling face
+    * the sketch below is measured against. Map-side-combinable count
+    * per term, TakeOrdered top-k; deterministic term tiebreak. */
+  def topTerms(s: SparkSession, d: String, k: Int = 20): DataFrame =
+    graft.Tables.spread(Tables.documents(s, d))
+      .select(explode(toks(lower(col("text")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(k)
+
+  /** Misra–Gries top-k terms — the 100 TB face: the exact groupBy's
+    * keyspace IS the problem at web-corpus vocabulary sizes, while
+    * this sketch holds `capacity` counters per partial aggregate and
+    * merges map-side. Estimates undercount by at most
+    * n_tokens/capacity (error-bound spec in TextOpsSpec); like every
+    * sketch entry this is rows-only, and estimates are
+    * merge-order-dependent within the bound. */
+  def topTermsSketch(s: SparkSession, d: String, k: Int = 10,
+                     capacity: Int = 64): DataFrame = {
+    val mg = udaf(new graft.functions.MisraGriesAgg(capacity))
+    graft.Tables.spread(Tables.documents(s, d))
+      .select(explode(toks(lower(col("text")))).as("term"))
+      .agg(mg(col("term")).as("sk"))
+      .select(explode(col("sk")).as(Seq("term", "est")))
+      .orderBy(col("est").desc, col("term"))
+      .limit(k)
+  }
+
   /** Repetition-based quality signals (the Gopher-rule family):
     * duplicate-bigram fraction (1 − distinct/total) and top-bigram
     * fraction (most frequent bigram's share) — the cheap detectors

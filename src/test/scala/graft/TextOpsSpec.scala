@@ -34,6 +34,29 @@ class TextOpsSpec extends SparkSpec {
     assert(top === Map(1L -> "rare1", 2L -> "rare2"))
   }
 
+  test("Misra-Gries sketch: undercounts within n/capacity, finds heavy hitters") {
+    val capacity = 64
+    val exact = TextOps.topTerms(spark, sf, k = Int.MaxValue >> 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nTokens = exact.values.sum
+    val bound = nTokens / capacity
+    val sketch = TextOps.topTermsSketch(spark, sf, k = Int.MaxValue >> 1,
+      capacity = capacity).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(sketch.nonEmpty && sketch.length <= capacity)
+    sketch.foreach { case (term, est) =>
+      val truth = exact.getOrElse(term, 0L)
+      assert(est <= truth, s"'$term' overcounted: est=$est true=$truth")
+      assert(truth - est <= bound,
+        s"'$term' undercounted past n/capacity: est=$est true=$truth bound=$bound")
+    }
+    // every item heavier than n/capacity is guaranteed present
+    val mustHave = exact.filter(_._2 > bound).keySet
+    val got = sketch.map(_._1).toSet
+    assert(mustHave.subsetOf(got),
+      s"missing guaranteed heavy hitters: ${mustHave -- got}")
+  }
+
   test("repetition scores: a looping doc maxes out, a unique doc floors") {
     val docs = Seq(
       (1L, "spam spam spam spam spam"),          // one distinct bigram
