@@ -54,6 +54,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
         .orderBy(col("segment"))
     }),
+    // deterministic consistent sampling/splitting: md5-bucket on the
+    // key, literal-identical predicate in the oracle — the
+    // reproducible, cross-table-consistent alternative to rand()
+    "etl_sample_hash" -> ((s, d) => SampleOps
+      .sampleByHash(Tables.documents(s, d).select(col("doc_id")), "doc_id", 64)
+      .orderBy(col("doc_id"))),
+    "etl_hash_split" -> ((s, d) => SampleOps
+      .hashSplit(Tables.documents(s, d).select(col("doc_id")), "doc_id")
+      .orderBy(col("doc_id"))),
     "etl_profile"  -> ((s, d) => Analytics.profile(
       Tables.orders(s, d), Seq("o_custkey", "o_orderstatus", "o_totalprice"))),
     // the 100 TB profiling face: HLL++ distinct sketches instead of
@@ -359,6 +368,20 @@ object SparkEntry {
         |SELECT segment, count(*) AS n, round(sum(value), 4) AS total_value
         |FROM events e JOIN dim USING (user_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The bucketing predicate is shared literally with SampleOps:
+    // first two hex chars of md5(key), lexicographic cut.
+    "etl_sample_hash" ->
+      """SELECT doc_id FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+        |ORDER BY doc_id""".stripMargin,
+    "etl_hash_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+        |         THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // DuckDB integer sums widen to HUGEINT (pandas float64) — cast back
     "etl_profile" ->
       """SELECT * FROM (
