@@ -65,6 +65,19 @@ object SparkEntry {
       .orderBy(col("doc_id"))),
     "etl_profile"  -> ((s, d) => Analytics.profile(
       Tables.orders(s, d), Seq("o_custkey", "o_orderstatus", "o_totalprice"))),
+    // publish-gate validation: named rules in one aggregate pass;
+    // null predicate results count as violations on both engines.
+    // Two rules intentionally bite on this corpus (ts window, value
+    // cap) so the oracle verifies real violation counts, not a
+    // pass-through; two hold, covering the passing side.
+    "etl_expectations" -> ((s, d) => Mapping.expectations(Tables.events(s, d),
+      Seq(
+        ("ts_in_range", col("ts") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-15 00:00:00").cast("timestamp")),
+        ("type_known", col("event_type")
+          .isin("click", "view", "purchase", "signup", "error")),
+        ("user_present", col("user_id").isNotNull),
+        ("value_in_range", col("value") >= 0 && col("value") <= 250)))),
     // the 100 TB profiling face: HLL++ distinct sketches instead of
     // the exact multi-distinct expansion; estimator-specific values ⇒
     // rows-only (AnalyticsSpec asserts the rsd tolerance per column)
@@ -368,6 +381,25 @@ object SparkEntry {
         |SELECT segment, count(*) AS n, round(sum(value), 4) AS total_value
         |FROM events e JOIN dim USING (user_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "etl_expectations" ->
+      """WITH ev AS (SELECT CAST(ts AS TIMESTAMP_US) AS ts, event_type,
+        |                   user_id, value FROM events),
+        |t AS (SELECT count(*) AS total FROM ev),
+        |v AS (
+        |  SELECT 'ts_in_range' AS rule, CAST(sum(CASE WHEN coalesce(
+        |    ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15',
+        |    false) THEN 0 ELSE 1 END) AS BIGINT) AS n_violations FROM ev
+        |  UNION ALL SELECT 'type_known', CAST(sum(CASE WHEN coalesce(
+        |    event_type IN ('click','view','purchase','signup','error'),
+        |    false) THEN 0 ELSE 1 END) AS BIGINT) FROM ev
+        |  UNION ALL SELECT 'user_present', CAST(sum(CASE
+        |    WHEN user_id IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) FROM ev
+        |  UNION ALL SELECT 'value_in_range', CAST(sum(CASE WHEN coalesce(
+        |    value >= 0 AND value <= 250, false) THEN 0 ELSE 1 END) AS BIGINT)
+        |    FROM ev)
+        |SELECT rule, n_violations,
+        |  round(n_violations * 1.0 / total, 4) AS violation_rate
+        |FROM v CROSS JOIN t ORDER BY rule""".stripMargin,
     // The bucketing predicate is shared literally with SampleOps:
     // first two hex chars of md5(key), lexicographic cut.
     "etl_sample_hash" ->

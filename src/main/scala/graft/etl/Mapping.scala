@@ -77,4 +77,29 @@ object Mapping {
   /** Exact duplicate-row removal (DISTINCT on the projection). */
   def dedupRows(df: DataFrame, cols: Seq[String]): DataFrame =
     df.select(cols.map(col): _*).distinct()
+
+  /** Data-quality expectations — the validation gate an ETL job runs
+    * before publishing a dataset: named boolean rules evaluated over
+    * every row in ONE aggregate pass (each rule a conditional count,
+    * map-side combinable — no per-rule scans, no driver loop),
+    * reported as (rule, n_violations, violation_rate). A row
+    * violates a rule when the predicate is NOT satisfied; null
+    * predicate results count as violations (an unknown is not a
+    * pass), which is what makes not-null rules expressible as plain
+    * predicates. */
+  def expectations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    val total = count(lit(1))
+    val aggs = rules.map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(name)
+    }
+    val one = df.agg(aggs.head, (aggs.tail :+ total.as("__total")): _*)
+    val stacked = rules.map { case (name, _) => s"'$name', `$name`" }
+      .mkString(", ")
+    one.selectExpr(s"stack(${rules.length}, $stacked) AS (rule, n_violations)",
+        "__total")
+      .select(col("rule"), col("n_violations"),
+        round(col("n_violations").cast("double") / col("__total"), 4)
+          .as("violation_rate"))
+      .orderBy(col("rule"))
+  }
 }

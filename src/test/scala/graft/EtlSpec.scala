@@ -62,4 +62,20 @@ class EtlSpec extends SparkSpec {
     val df = Seq((1, "x"), (1, "x"), (2, "y")).toDF("k", "v")
     assert(Mapping.dedupRows(df, Seq("k", "v")).count() === 2)
   }
+
+  test("expectations count violations per rule; null predicate = violation") {
+    val df = Seq(
+      (Some(5), Some("a")),   // passes both
+      (Some(-1), Some("a")),  // fails positive
+      (None, Some("b")),      // null value: fails positive (unknown != pass)
+      (Some(3), None)         // null key: fails key_present
+    ).toDF("v", "k")
+    val out = Mapping.expectations(df, Seq(
+        ("key_present", col("k").isNotNull),
+        ("positive", col("v") > 0)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out === Map(
+      "key_present" -> ((1L, 0.25)),
+      "positive" -> ((2L, 0.5))))
+  }
 }
