@@ -96,6 +96,36 @@ object Sources {
     s.table(name)
   }
 
+  /** Small-file compaction — the table-maintenance pass every
+    * long-lived ingest needs: streaming/incremental writers
+    * accumulate files far below the efficient scan size, and at
+    * 100 TB the resulting open/seek overhead and scheduler pressure
+    * (one task per tiny file) dominate scan cost. Sizes the output by
+    * BYTES (summed from the file listing — only the listing touches
+    * the driver, never data), targets `targetFileBytes` per output
+    * file, and rewrites to `outPath` via one round-robin
+    * repartition. Returns the output file count. Writing to a fresh
+    * path (swap-on-success) rather than in place keeps the source
+    * readable throughout — the overwrite-while-reading pattern
+    * corrupts a dataset if the job dies mid-write. */
+  def compact(s: SparkSession, inPath: String, outPath: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val path = new org.apache.hadoop.fs.Path(inPath)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(path, true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) bytes += f.getLen
+    }
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+      .min(Int.MaxValue).toInt
+    s.read.parquet(inPath).repartition(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+
   /** Bucketed + sorted table: rows are hash-bucketed on the join key
     * at write time, so equi-joins and aggregations between tables
     * bucketed the same way need no shuffle at read time — the

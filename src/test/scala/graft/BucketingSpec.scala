@@ -20,4 +20,27 @@ class BucketingSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ev_a")
     spark.sql("DROP TABLE IF EXISTS ev_b")
   }
+
+  test("compaction shrinks a fragmented dataset to byte-sized files, data intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val events = Tables.events(spark, sf).select("event_id", "user_id", "value")
+    // fragment: 40 tiny files, the post-streaming-ingest shape
+    events.repartition(40).write.mode("overwrite").parquet(s"$dir/frag")
+    def dataFiles(p: String) = new java.io.File(p).listFiles()
+      .filter(f => f.getName.startsWith("part-")).toSeq
+    assert(dataFiles(s"$dir/frag").length === 40)
+    val n = Sources.compact(spark, s"$dir/frag", s"$dir/compacted",
+      targetFileBytes = 1L << 30)
+    assert(n === 1 && dataFiles(s"$dir/compacted").length === 1)
+    // content unchanged
+    val before = events.collect().map(_.toString).sorted.toSeq
+    val after = spark.read.parquet(s"$dir/compacted").collect()
+      .map(_.toString).sorted.toSeq
+    assert(after === before)
+    // a small byte target yields proportionally more files
+    val bytes = dataFiles(s"$dir/compacted").map(_.length).sum
+    val n2 = Sources.compact(spark, s"$dir/compacted", s"$dir/recompacted",
+      targetFileBytes = math.max(1L, bytes / 4))
+    assert(n2 >= 3 && dataFiles(s"$dir/recompacted").length === n2)
+  }
 }
