@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.etl.Mapping
 import graft.ops._
+import scala.util.chaining._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §5
   * (correctness protocol). Every implemented operator has a
@@ -178,6 +179,14 @@ object SparkEntry {
     "dedup_decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       DedupOps.decontaminate(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0))
+    }),
+    // the tiny-reference production shape: broadcast index, corpus
+    // never shuffled — same verified-pair contract, same oracle
+    "dedup_decontaminate_bcast" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.decontaminateBroadcast(
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 =!= 0))
     }),
@@ -937,5 +946,9 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events,
         | min(ts) AS start_ts, max(ts) AS end_ts
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-  )
+  ).pipe { m =>
+    // the broadcast decontamination variant shares the symmetric
+    // operator's contract verbatim — one oracle, two plans
+    m + ("dedup_decontaminate_bcast" -> m("dedup_decontaminate"))
+  }
 }

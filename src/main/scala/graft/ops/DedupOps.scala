@@ -306,6 +306,56 @@ object DedupOps {
       .orderBy(col("doc_id"), col("ref_id"))
   }
 
+  /** Decontamination for the shape production actually runs: a TINY
+    * reference (eval benchmarks are megabytes) against an arbitrarily
+    * large corpus. [[decontaminate]] treats both sides symmetrically
+    * — one shared shuffled pipeline — which is right when the two
+    * corpora are comparable; here everything corpus-side stays
+    * row-local (shingles and band signatures in the scan projection,
+    * the streaming path's expressions — provably identical values to
+    * the aggregated signatures), and the reference's band index and
+    * shingle sets BROADCAST, so the entire check is map-side: zero
+    * shuffles of the corpus, no signature aggregation, no corpus
+    * exchange at any width. The only shuffles are reference-sized
+    * (the bucket-cap window) and output-sized (the final distinct
+    * over flagged pairs, which collapses multi-band collisions).
+    *
+    * The reference index caps hot buckets at `maxBucket` kept members
+    * (lowest ids, deterministic); with a tiny reference the cap never
+    * engages and the verified output equals [[decontaminate]]'s. */
+  def decontaminateBroadcast(corpus: DataFrame, reference: DataFrame,
+                             threshold: Double = 0.8,
+                             numPerm: Int = 64, bands: Int = 16,
+                             maxBucket: Int = 1000): DataFrame = {
+    def staged(df: DataFrame): DataFrame = graft.Tables.spread(df)
+      .select(col("doc_id"), TextOps.toks(col("text")).as("__t"))
+      .select(col("doc_id"), shingleHashesExpr(col("__t")).as("hs"))
+    val ref = staged(reference)
+    val refSets = ref.select(col("doc_id").as("ref_id"),
+      col("hs").as("ref_hs"), size(col("hs")).as("ref_n"))
+    val w = Window.partitionBy(col("band"), col("bsig")).orderBy(col("ref_id"))
+    val bandIndex = ref
+      .select(col("doc_id").as("ref_id"),
+        posexplode(array(bandSigsExpr(col("hs"), numPerm, bands): _*))
+          .as(Seq("band", "bsig")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBucket).drop("__rn")
+    val cor = staged(corpus).select(col("doc_id"), col("hs"),
+      posexplode(array(bandSigsExpr(col("hs"), numPerm, bands): _*))
+        .as(Seq("band", "bsig")))
+    cor
+      .join(broadcast(bandIndex), Seq("band", "bsig"))
+      .join(broadcast(refSets), Seq("ref_id"))
+      .withColumn("common",
+        graft.functions.SetExprs.sortedIntersectCount(col("hs"), col("ref_hs")))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (size(col("hs")) + col("ref_n") - col("common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("ref_id"), col("jaccard"))
+      .distinct()
+      .orderBy(col("doc_id"), col("ref_id"))
+  }
+
   /** Connected components over a near-dup pair graph — the step that
     * turns verified pairs into dedup CLUSTERS (cluster id = minimum
     * member id, the canonical "keep" document). Iterative min-label

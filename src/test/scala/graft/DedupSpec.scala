@@ -140,6 +140,19 @@ class DedupSpec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("broadcast decontamination equals the symmetric operator") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val reference = docs.filter(col("doc_id") % 2 =!= 0)
+    val bcast = DedupOps.decontaminateBroadcast(corpus, reference)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val symm = DedupOps.decontaminate(corpus, reference)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(bcast === symm)
+    assert(bcast.nonEmpty)
+  }
+
   test("embedding pairs: output respects the threshold and ordering") {
     val out = DedupOps.embeddingPairs(spark, sf, threshold = 0.4).collect()
     out.foreach { r =>

@@ -83,6 +83,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("broadcast decontamination never shuffles the corpus") {
+    val docs = Tables.documents(spark, sf)
+    val plan = executedPlan(graft.ops.DedupOps.decontaminateBroadcast(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0)))
+    // both candidate and verify joins must be broadcast — a sort-merge
+    // or shuffled-hash join here means the corpus went through an
+    // exchange, the thing this variant exists to avoid
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("curate pipeline stays product-free end to end") {
     val docs = Tables.documents(spark, sf)
     val plan = executedPlan(graft.ops.CurateOps.curate(
