@@ -156,7 +156,12 @@ object DedupStreams {
     * duplicate emission is eliminated locally by the
     * first-colliding-band rule rather than a second stateful dedup.
     *
-    * Micro-batch determinism: each bucket processes its arrivals in
+    * Pairs orient later-flags-earlier by (EVENT time, doc_id), not
+    * arrival order — an out-of-order arrival within the horizon still
+    * yields the batch contract's pair, emitted once by whichever side
+    * arrives second — and a redelivered doc still present in state is
+    * a no-op, so at-least-once upstream delivery does not duplicate
+    * flags. Each bucket processes its micro-batch arrivals in
     * (event time, doc_id) order, so a replay in event-time order
     * reproduces the batch face exactly. Cap caveat (mirrors the batch
     * cap): once a bucket is full, later members are verified against
@@ -195,15 +200,32 @@ object DedupStreams {
         .filter(_.tsMillis >= wm)
       val out = List.newBuilder[NearDupHit]
       rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
-        members.foreach { m =>
-          if (m.doc_id != r.doc_id &&
-              firstCollidingBand(m.sigs, r.sigs) == key._1) {
-            val j = jaccard4(m.hs, r.hs)
-            if (j >= threshold) out += NearDupHit(r.doc_id, r.ts, m.doc_id, j)
+        // a doc already in state is a redelivery (at-least-once
+        // upstream): its pairs were emitted when it first arrived —
+        // a no-op keeps emission exactly-once. (A redelivery of a
+        // capped-OUT doc is not detectable and may re-emit; caps and
+        // at-least-once sources compose at that cost.)
+        if (!members.exists(_.doc_id == r.doc_id)) {
+          members.foreach { m =>
+            if (firstCollidingBand(m.sigs, r.sigs) == key._1) {
+              val j = jaccard4(m.hs, r.hs)
+              if (j >= threshold) {
+                // orient later-flags-earlier by (event time, id), not
+                // by arrival: an out-of-order arrival inside the
+                // horizon then still yields the batch contract's
+                // pair, emitted once by whichever side arrives second
+                val rEarlier = r.ts.getTime < m.tsMillis ||
+                  (r.ts.getTime == m.tsMillis && r.doc_id < m.doc_id)
+                out += (if (rEarlier)
+                  NearDupHit(m.doc_id, new java.sql.Timestamp(m.tsMillis),
+                    r.doc_id, j)
+                else NearDupHit(r.doc_id, r.ts, m.doc_id, j))
+              }
+            }
           }
+          if (members.length < maxBucket)
+            members = members :+ NearDupMember(r.doc_id, r.ts.getTime, r.hs, r.sigs)
         }
-        if (members.length < maxBucket)
-          members = members :+ NearDupMember(r.doc_id, r.ts.getTime, r.hs, r.sigs)
       }
       if (members.isEmpty) state.remove()
       else {

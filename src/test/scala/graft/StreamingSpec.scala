@@ -174,13 +174,25 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       // batch 3: advance the watermark far past the horizon, then a
       // duplicate of the (expired) doc 1 — no flag may be emitted
+      // redelivery: doc 1 arrives AGAIN (at-least-once upstream) — a
+      // known member is a no-op, so no pair may be re-emitted
+      mem.addData((1L, ts(0), text))
+      q.processAllAvailable()
+      // out-of-order: doc 6's event time lands BETWEEN docs 1 and 3
+      // but it arrives after both — pairs must still orient
+      // later-flags-earlier by event time: (6,1) and (3,6)
+      mem.addData((6L, ts(1), text))
+      q.processAllAvailable()
+      // advance the watermark far past the horizon, then a duplicate
+      // of the (expired) doc 1 — no flag may be emitted
       mem.addData((4L, ts(60), "watermark advancer"))
       q.processAllAvailable()
       mem.addData((5L, ts(61), text))
       q.processAllAvailable()
       val out = spark.table("neardup_mb").collect()
         .map(r => (r.getLong(0), r.getLong(2)))
-      assert(out.toSet === Set((3L, 1L)))
+      assert(out.toSet === Set((3L, 1L), (6L, 1L), (3L, 6L)))
+      assert(out.length === 3) // exactly-once even under redelivery
     } finally q.stop()
   }
 
