@@ -88,17 +88,22 @@ object Mapping {
     * pass), which is what makes not-null rules expressible as plain
     * predicates. */
   def expectations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
-    val total = count(lit(1))
-    val aggs = rules.map { case (name, pred) =>
-      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(name)
+    // aggregates carry POSITIONAL aliases and rule names enter only
+    // as literals inside the typed struct/explode — never through a
+    // parsed SQL string (selectExpr/stack), where a quote, backtick,
+    // or a rule named like an internal alias would break or mislabel
+    val aggs = rules.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__v$i")
     }
-    val one = df.agg(aggs.head, (aggs.tail :+ total.as("__total")): _*)
-    val stacked = rules.map { case (name, _) => s"'$name', `$name`" }
-      .mkString(", ")
-    one.selectExpr(s"stack(${rules.length}, $stacked) AS (rule, n_violations)",
-        "__total")
-      .select(col("rule"), col("n_violations"),
-        round(col("n_violations").cast("double") / col("__total"), 4)
+    val one = df.agg(aggs.head, (aggs.tail :+ count(lit(1)).as("__total")): _*)
+    one.select(
+        explode(array(rules.zipWithIndex.map { case ((name, _), i) =>
+          struct(lit(name).as("rule"), col(s"__v$i").as("n_violations"))
+        }: _*)).as("r"),
+        col("__total"))
+      .select(col("r.rule").as("rule"),
+        col("r.n_violations").as("n_violations"),
+        round(col("r.n_violations").cast("double") / col("__total"), 4)
           .as("violation_rate"))
       .orderBy(col("rule"))
   }

@@ -316,30 +316,45 @@ object DedupOps {
     * the aggregated signatures), and the reference's band index and
     * shingle sets BROADCAST, so the entire check is map-side: zero
     * shuffles of the corpus, no signature aggregation, no corpus
-    * exchange at any width. The only shuffles are reference-sized
-    * (the bucket-cap window) and output-sized (the final distinct
-    * over flagged pairs, which collapses multi-band collisions).
+    * exchange at any width. The only shuffles are output-sized (the
+    * final distinct over flagged pairs, which collapses multi-band
+    * collisions) plus, if a finite cap is requested, one
+    * reference-sized ranking window.
     *
-    * The reference index caps hot buckets at `maxBucket` kept members
-    * (lowest ids, deterministic); with a tiny reference the cap never
-    * engages and the verified output equals [[decontaminate]]'s. */
+    * The cap default is UNCAPPED (the reference is tiny by this
+    * operator's contract, so no bucket needs protection), which makes
+    * the verified output exactly [[decontaminate]]'s. Opting into a
+    * finite `maxBucket` trades recall for hot-bucket protection
+    * HARDER than the symmetric operator does: capped-out reference
+    * rows are dropped with NO overflow-representative candidates
+    * (emitting them map-side would need the corpus bucket minimum,
+    * i.e. a corpus shuffle — the thing this variant exists to avoid),
+    * so a corpus doc whose only colliding reference docs rank past
+    * the cap in every shared band is silently not flagged. If the
+    * reference is big enough to overflow buckets, use
+    * [[decontaminate]]. */
   def decontaminateBroadcast(corpus: DataFrame, reference: DataFrame,
                              threshold: Double = 0.8,
                              numPerm: Int = 64, bands: Int = 16,
-                             maxBucket: Int = 1000): DataFrame = {
+                             maxBucket: Int = Int.MaxValue): DataFrame = {
     def staged(df: DataFrame): DataFrame = graft.Tables.spread(df)
       .select(col("doc_id"), TextOps.toks(col("text")).as("__t"))
       .select(col("doc_id"), shingleHashesExpr(col("__t")).as("hs"))
     val ref = staged(reference)
     val refSets = ref.select(col("doc_id").as("ref_id"),
       col("hs").as("ref_hs"), size(col("hs")).as("ref_n"))
-    val w = Window.partitionBy(col("band"), col("bsig")).orderBy(col("ref_id"))
-    val bandIndex = ref
-      .select(col("doc_id").as("ref_id"),
-        posexplode(array(bandSigsExpr(col("hs"), numPerm, bands): _*))
-          .as(Seq("band", "bsig")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= maxBucket).drop("__rn")
+    val bandIndex0 = ref.select(col("doc_id").as("ref_id"),
+      posexplode(array(bandSigsExpr(col("hs"), numPerm, bands): _*))
+        .as(Seq("band", "bsig")))
+    // uncapped (the default): no ranking window, the index is a pure
+    // projection of the reference scan
+    val bandIndex =
+      if (maxBucket == Int.MaxValue) bandIndex0
+      else {
+        val w = Window.partitionBy(col("band"), col("bsig")).orderBy(col("ref_id"))
+        bandIndex0.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= maxBucket).drop("__rn")
+      }
     val cor = staged(corpus).select(col("doc_id"), col("hs"),
       posexplode(array(bandSigsExpr(col("hs"), numPerm, bands): _*))
         .as(Seq("band", "bsig")))

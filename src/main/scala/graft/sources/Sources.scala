@@ -110,8 +110,15 @@ object Sources {
     * corrupts a dataset if the job dies mid-write. */
   def compact(s: SparkSession, inPath: String, outPath: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetFileBytes > 0, s"targetFileBytes must be > 0: $targetFileBytes")
     val path = new org.apache.hadoop.fs.Path(inPath)
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // the fresh-path guarantee must be enforced, not just documented:
+    // compacting a path onto itself IS the overwrite-while-reading
+    // corruption pattern
+    require(fs.makeQualified(path) != fs.makeQualified(
+        new org.apache.hadoop.fs.Path(outPath)),
+      s"compact must write to a fresh path, got inPath == outPath: $inPath")
     val it = fs.listFiles(path, true)
     var bytes = 0L
     while (it.hasNext) {

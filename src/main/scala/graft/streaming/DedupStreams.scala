@@ -118,10 +118,15 @@ object DedupStreams {
   }
 
   /** Exact Jaccard rounded to 4dp HALF_UP — bit-identical to the
-    * batch path's `round(common/(n1+n2-common), 4)`. */
+    * batch path's `round(common/(n1+n2-common), 4)`. Two empty sets
+    * are 0.0, not NaN: scala BigDecimal(NaN) THROWS, which inside
+    * the state function would be a task failure killing the whole
+    * streaming query. */
   private def jaccard4(a: Array[Long], b: Array[Long]): Double = {
     val c = sortedIntersect(a, b)
-    val j = c.toDouble / (a.length + b.length - c)
+    val denom = a.length + b.length - c
+    if (denom == 0) return 0.0
+    val j = c.toDouble / denom
     BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
@@ -163,11 +168,16 @@ object DedupStreams {
     * a no-op, so at-least-once upstream delivery does not duplicate
     * flags. Each bucket processes its micro-batch arrivals in
     * (event time, doc_id) order, so a replay in event-time order
-    * reproduces the batch face exactly. Cap caveat (mirrors the batch
-    * cap): once a bucket is full, later members are verified against
-    * the stored ones but not stored, so a pair whose ONLY shared
-    * bucket capped out before both arrived is missed — the batch
-    * face's overflow-representative analogue. */
+    * reproduces the batch face exactly. Cap caveat (STRICTER than the
+    * batch cap): once a bucket is full, later arrivals verify against
+    * the stored members but are not stored, and pair emission happens
+    * only in the pair's FIRST-colliding band — so a pair is missed
+    * whenever that first-colliding bucket failed to retain the
+    * earlier side, even if both docs co-reside in a later uncapped
+    * bucket. The batch face keeps such pairs connected via
+    * overflow-representative candidates; size `maxBucket` above the
+    * hottest expected bucket, and treat cap engagement as recall
+    * loss, not a soft degradation. */
   def nearDedupStream(docs: DataFrame, threshold: Double = 0.8,
                       numPerm: Int = 64, bands: Int = 16,
                       maxBucket: Int = 1000,
@@ -180,6 +190,15 @@ object DedupStreams {
     val staged = docs
       .withColumn("__t", graft.ops.TextOps.toks(col("text")))
       .withColumn("hs", graft.ops.DedupOps.shingleHashesExpr(col("__t")))
+      // a doc with < k tokens has no shingles; the batch face drops
+      // it before signatures (the explode of the empty set yields no
+      // rows), so it must not enter stream state either — all
+      // shingle-less docs share identical null-fed band signatures
+      // and would otherwise pile into one meaningless bucket. The
+      // filter sits DELIBERATELY above the watermark node (Catalyst
+      // would push it there anyway): dropped docs do not advance
+      // event time, deterministically.
+      .filter(size(col("hs")) >= 1)
       .withColumn("sigs", array(
         graft.ops.DedupOps.bandSigsExpr(col("hs"), numPerm, bands): _*))
       .withWatermark("ts", s"$horizonMs milliseconds")
@@ -195,9 +214,14 @@ object DedupStreams {
       if (state.hasTimedOut) { state.remove(); return Iterator.empty }
       val wm = state.getCurrentWatermarkMs()
       // lazy expiry: members the watermark has passed can never be
-      // flagged against again — drop them before matching
-      var members = state.getOption.map(_.members).getOrElse(Nil)
-        .filter(_.tsMillis >= wm)
+      // flagged against again — drop them before matching. The
+      // buffer+id-set pair keeps per-arrival work at one O(members)
+      // match scan: List :+ would copy the list per arrival (O(n²)
+      // bucket fill) and exists would rescan it per row.
+      val members = scala.collection.mutable.ArrayBuffer.from(
+        state.getOption.map(_.members).getOrElse(Nil)
+          .filter(_.tsMillis >= wm))
+      val memberIds = scala.collection.mutable.Set.from(members.map(_.doc_id))
       val out = List.newBuilder[NearDupHit]
       rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
         // a doc already in state is a redelivery (at-least-once
@@ -205,7 +229,7 @@ object DedupStreams {
         // a no-op keeps emission exactly-once. (A redelivery of a
         // capped-OUT doc is not detectable and may re-emit; caps and
         // at-least-once sources compose at that cost.)
-        if (!members.exists(_.doc_id == r.doc_id)) {
+        if (!memberIds.contains(r.doc_id)) {
           members.foreach { m =>
             if (firstCollidingBand(m.sigs, r.sigs) == key._1) {
               val j = jaccard4(m.hs, r.hs)
@@ -223,13 +247,15 @@ object DedupStreams {
               }
             }
           }
-          if (members.length < maxBucket)
-            members = members :+ NearDupMember(r.doc_id, r.ts.getTime, r.hs, r.sigs)
+          if (members.length < maxBucket) {
+            members += NearDupMember(r.doc_id, r.ts.getTime, r.hs, r.sigs)
+            memberIds += r.doc_id
+          }
         }
       }
       if (members.isEmpty) state.remove()
       else {
-        state.update(NearDupBucket(members))
+        state.update(NearDupBucket(members.toList))
         // clear the whole bucket once its newest member ages out
         state.setTimeoutTimestamp(members.map(_.tsMillis).max + horizonMs)
       }

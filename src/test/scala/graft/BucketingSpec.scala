@@ -42,5 +42,13 @@ class BucketingSpec extends SparkSpec {
     val n2 = Sources.compact(spark, s"$dir/compacted", s"$dir/recompacted",
       targetFileBytes = math.max(1L, bytes / 4))
     assert(n2 >= 3 && dataFiles(s"$dir/recompacted").length === n2)
+    // guarded misuse: in-place compaction (the overwrite-while-
+    // reading corruption pattern) and nonpositive targets must refuse
+    intercept[IllegalArgumentException] {
+      Sources.compact(spark, s"$dir/compacted", s"$dir/compacted")
+    }
+    intercept[IllegalArgumentException] {
+      Sources.compact(spark, s"$dir/compacted", s"$dir/x", targetFileBytes = 0)
+    }
   }
 }

@@ -77,5 +77,11 @@ class EtlSpec extends SparkSpec {
     assert(out === Map(
       "key_present" -> ((1L, 0.25)),
       "positive" -> ((2L, 0.5))))
+    // rule names are literals, not parsed SQL: quotes/backticks and
+    // internal-alias collisions must pass through untouched
+    val tricky = Mapping.expectations(df, Seq(
+        ("it's `quoted`", col("v") > 0), ("__total", col("k").isNotNull)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tricky === Map("it's `quoted`" -> 2L, "__total" -> 1L))
   }
 }

@@ -166,7 +166,11 @@ class StreamingSpec extends SparkSpec {
       .writeStream.outputMode("append")
       .format("memory").queryName("neardup_mb").start()
     try {
-      mem.addData((1L, ts(0), text), (2L, ts(1), "completely unrelated words"))
+      // docs 7/8 have < 3 tokens → no shingles: they must be dropped
+      // before state (shared null-fed signatures would bucket every
+      // shingle-less doc together and the 0/0 jaccard used to throw)
+      mem.addData((1L, ts(0), text), (2L, ts(1), "completely unrelated words"),
+        (7L, ts(0), "hi there"), (8L, ts(1), "ok bye"))
       q.processAllAvailable()
       // batch 2: near-dup of doc 1 arrives in a LATER micro-batch —
       // the flag must come from cross-batch bucket state
@@ -185,7 +189,9 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       // advance the watermark far past the horizon, then a duplicate
       // of the (expired) doc 1 — no flag may be emitted
-      mem.addData((4L, ts(60), "watermark advancer"))
+      // the advancer needs >= 3 tokens: shingle-less docs are dropped
+      // BEFORE the watermark node and advance nothing
+      mem.addData((4L, ts(60), "the watermark advancing document"))
       q.processAllAvailable()
       mem.addData((5L, ts(61), text))
       q.processAllAvailable()
