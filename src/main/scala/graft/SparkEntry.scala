@@ -211,6 +211,7 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextOps.fingerprints(s, d)),
     "text_tfidf"       -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     "text_top_terms"   -> ((s, d) => TextOps.topTerms(s, d)),
+    "text_chunk"       -> ((s, d) => TextOps.chunk(s, d)),
     // Misra-Gries sketch face: rows-only (estimates are merge-order-
     // dependent within the n/capacity bound; TextOpsSpec pins it)
     "text_top_terms_sketch" -> ((s, d) => TextOps.topTermsSketch(s, d)),
@@ -810,6 +811,17 @@ object SparkEntry {
         |FROM a ORDER BY doc_id""".stripMargin,
     // Spark ln == DuckDB ln on the same doubles; scores round to 4dp
     // BEFORE ranking (term tiebreak) so rankings are engine-stable.
+    // chunk/overlap literals mirror TextOps.chunk defaults (64/16 →
+    // stride 48); chunk_id = (start-1) integer-div stride
+    "text_chunk" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |             FROM documents),
+        |st AS (SELECT doc_id, t, len(t) AS n FROM tok),
+        |x AS (SELECT doc_id, t, n, unnest(range(1, n + 1, 48)) AS s FROM st)
+        |SELECT doc_id, CAST((s - 1) // 48 AS INT) AS chunk_id,
+        |  array_to_string(t[s : s + 63], ' ') AS chunk,
+        |  least(64, n - s + 1) AS n_tokens
+        |FROM x ORDER BY doc_id, chunk_id""".stripMargin,
     "text_top_terms" ->
       """WITH tok AS (
         |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term

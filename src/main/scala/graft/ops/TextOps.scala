@@ -192,6 +192,38 @@ object TextOps {
       .limit(k)
   }
 
+  /** Overlapping token-window chunking — the step that turns curated
+    * documents into training-sized pieces: each document explodes
+    * into windows of `chunkTokens` tokens advancing by
+    * `chunkTokens - overlap`, so consecutive chunks share `overlap`
+    * tokens of context. Entirely row-local (staged token array +
+    * sequence/slice/posexplode in the projection — no shuffle until
+    * the caller's sink), so it runs at scan speed on any corpus
+    * width. Chunk starts cover every token (the final windows may be
+    * shorter than `chunkTokens`); emitted columns are
+    * (doc_id, chunk_id, chunk, n_tokens). */
+  def chunk(s: SparkSession, d: String, chunkTokens: Int = 64,
+            overlap: Int = 16): DataFrame =
+    chunkOn(Tables.documents(s, d), chunkTokens, overlap)
+
+  /** Same over any (doc_id, text) frame. */
+  def chunkOn(docs: DataFrame, chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got $overlap/$chunkTokens")
+    val stride = chunkTokens - overlap
+    val staged = graft.Tables.spread(docs)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+    staged
+      .select(col("doc_id"), col("t"), col("n"),
+        posexplode(sequence(lit(1), col("n"), lit(stride)))
+          .as(Seq("chunk_id", "s")))
+      .select(col("doc_id"), col("chunk_id"),
+        concat_ws(" ", slice(col("t"), col("s"), lit(chunkTokens))).as("chunk"),
+        least(lit(chunkTokens), col("n") - col("s") + 1).as("n_tokens"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** Repetition-based quality signals (the Gopher-rule family):
     * duplicate-bigram fraction (1 − distinct/total) and top-bigram
     * fraction (most frequent bigram's share) — the cheap detectors

@@ -34,6 +34,32 @@ class TextOpsSpec extends SparkSpec {
     assert(top === Map(1L -> "rare1", 2L -> "rare2"))
   }
 
+  test("chunking: overlapping windows cover every token, tail clamps") {
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.chunkOn(docs, chunkTokens = 4, overlap = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    // doc 1: starts 1,3,5,7,9 (stride 2) — last two windows shorten
+    assert(out.filter(_._1 == 1L).toSeq === Seq(
+      (1L, 0, "t1 t2 t3 t4", 4),
+      (1L, 1, "t3 t4 t5 t6", 4),
+      (1L, 2, "t5 t6 t7 t8", 4),
+      (1L, 3, "t7 t8 t9 t10", 4),
+      (1L, 4, "t9 t10", 2)))
+    // doc 2 fits in one short chunk; the empty doc yields one empty
+    // chunk (split of "" is [""] — one empty token — in Spark and
+    // DuckDB alike, the shared convention every text op inherits)
+    assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0, "a b", 2)))
+    assert(out.filter(_._1 == 3L).toSeq === Seq((3L, 0, "", 1)))
+    // reassembly invariant: dropping each chunk's overlap prefix
+    // (after the first) reconstructs the document exactly
+    val rebuilt = out.filter(_._1 == 1L).sortBy(_._2).zipWithIndex.map {
+      case ((_, _, c, _), 0) => c
+      case ((_, _, c, _), _) => c.split(" ").drop(2).mkString(" ")
+    }.filter(_.nonEmpty).mkString(" ")
+    assert(rebuilt === (1 to 10).map(i => s"t$i").mkString(" "))
+  }
+
   test("Misra-Gries sketch: undercounts within n/capacity, finds heavy hitters") {
     val capacity = 64
     val exact = TextOps.topTerms(spark, sf, k = Int.MaxValue >> 1).collect()
