@@ -212,6 +212,7 @@ object SparkEntry {
     "text_tfidf"       -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     "text_top_terms"   -> ((s, d) => TextOps.topTerms(s, d)),
     "text_chunk"       -> ((s, d) => TextOps.chunk(s, d)),
+    "text_pack"        -> ((s, d) => TextOps.pack(s, d)),
     // Misra-Gries sketch face: rows-only (estimates are merge-order-
     // dependent within the n/capacity bound; TextOpsSpec pins it)
     "text_top_terms_sketch" -> ((s, d) => TextOps.topTermsSketch(s, d)),
@@ -811,6 +812,22 @@ object SparkEntry {
         |FROM a ORDER BY doc_id""".stripMargin,
     // Spark ln == DuckDB ln on the same doubles; scores round to 4dp
     // BEFORE ranking (term tiebreak) so rankings are engine-stable.
+    // ctxLen literal mirrors TextOps.pack's default (128); the
+    // oracle's single global cumsum window IS the thing the operator
+    // replaces with a distributed prefix sum — same values either way
+    "text_pack" ->
+      """WITH tok AS (SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS n FROM documents),
+        |c AS (SELECT doc_id, n, CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |  AS cum FROM tok),
+        |x AS (SELECT doc_id, n, cum,
+        |  unnest(range(cum // 128, (cum + n - 1) // 128 + 1)) AS ctx_id
+        |  FROM c)
+        |SELECT ctx_id, doc_id,
+        |  CAST(greatest(0, ctx_id * 128 - cum) AS INT) AS from_tok,
+        |  CAST(least(n, (ctx_id + 1) * 128 - cum) AS INT) AS to_tok
+        |FROM x ORDER BY ctx_id, doc_id""".stripMargin,
     // chunk/overlap literals mirror TextOps.chunk defaults (64/16 →
     // stride 48); chunk_id = (start-1) integer-div stride
     "text_chunk" ->

@@ -224,6 +224,57 @@ object TextOps {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Sequence packing — the concatenate-and-cut step GPT-style
+    * pretraining uses to fill fixed context windows: lay every
+    * document's tokens end to end in doc_id order and cut the stream
+    * every `ctxLen` tokens; each output row maps one document SPAN
+    * into one context, as (ctx_id, doc_id, from_tok inclusive,
+    * to_tok exclusive) — a doc longer than a window spans several
+    * contexts, and every window except the last is exactly full.
+    *
+    * The global token offset is a distributed PREFIX SUM, not a
+    * single global window (which would sort the corpus in ONE
+    * partition — the classic scale-killer): range-partition by
+    * doc_id, running-sum within each partition, then add each
+    * partition's broadcast cumulative offset. The only global window
+    * runs over one row per partition. */
+  def pack(s: SparkSession, d: String, ctxLen: Int = 128): DataFrame =
+    packOn(Tables.documents(s, d), ctxLen)
+
+  /** Same over any (doc_id, text) frame. */
+  def packOn(docs: DataFrame, ctxLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ctxLen > 0)
+    val sized = graft.Tables.spread(docs)
+      .select(col("doc_id"), size(toks(col("text"))).as("n"))
+    // partition-local exclusive running sums (range partitioning
+    // keeps doc_id order across partition boundaries)...
+    val parts = sized.repartitionByRange(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+    val local = parts
+      .withColumn("lcum", sum(col("n").cast("long")).over(wLocal) - col("n"))
+    // ...plus each partition's cumulative offset: one row per
+    // partition, so THIS window's single-partition sort is O(#parts)
+    val wOff = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("pid"))
+      .agg(sum(col("n").cast("long")).as("ptot"))
+      .withColumn("off", coalesce(sum(col("ptot")).over(wOff), lit(0L)))
+      .select(col("pid"), col("off"))
+    local.join(broadcast(offsets), "pid")
+      .withColumn("cum", col("lcum") + col("off"))
+      .select(col("doc_id"), col("n"), col("cum"),
+        explode(sequence(expr(s"cum div $ctxLen"),
+          expr(s"(cum + n - 1) div $ctxLen"))).as("ctx_id"))
+      .select(col("ctx_id"), col("doc_id"),
+        greatest(lit(0L), col("ctx_id") * ctxLen - col("cum"))
+          .cast("int").as("from_tok"),
+        least(col("n").cast("long"), (col("ctx_id") + 1) * ctxLen - col("cum"))
+          .cast("int").as("to_tok"))
+      .orderBy(col("ctx_id"), col("doc_id"))
+  }
+
   /** Repetition-based quality signals (the Gopher-rule family):
     * duplicate-bigram fraction (1 − distinct/total) and top-bigram
     * fraction (most frequent bigram's share) — the cheap detectors

@@ -60,6 +60,34 @@ class TextOpsSpec extends SparkSpec {
     assert(rebuilt === (1 to 10).map(i => s"t$i").mkString(" "))
   }
 
+  test("sequence packing fills every context exactly, spans long docs") {
+    val docs = Seq(
+      (1L, (1 to 3).map(i => s"a$i").mkString(" ")),  // 3 tokens
+      (2L, "b1 b2"),                                   // 2 tokens
+      (3L, (1 to 6).map(i => s"c$i").mkString(" "))    // 6 tokens
+    ).toDF("doc_id", "text")
+    val out = TextOps.packOn(docs, ctxLen = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    // stream: a1 a2 a3 | b1 | b2 c1 c2 c3 | c4 c5 c6 — cut every 4
+    assert(out.toSeq === Seq(
+      (0L, 1L, 0, 3), (0L, 2L, 0, 1),
+      (1L, 2L, 1, 2), (1L, 3L, 0, 3),
+      (2L, 3L, 3, 6)))
+    // invariants: spans per doc partition [0, n); every ctx except
+    // the last carries exactly ctxLen tokens
+    val perCtx = out.groupBy(_._1).view
+      .mapValues(_.map(s => s._4 - s._3).sum).toMap
+    assert(perCtx === Map(0L -> 4, 1L -> 4, 2L -> 3))
+    val perDoc = out.groupBy(_._2).view.mapValues(
+      _.sortBy(_._3).map(s => (s._3, s._4))).toMap
+    assert(perDoc(3L) === Seq((0, 3), (3, 6))) // contiguous spans
+    // scale shape: same result through the distributed prefix sum at
+    // any partitioning of the input
+    val repartitioned = TextOps.packOn(docs.repartition(7), 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(repartitioned.toSeq === out.toSeq)
+  }
+
   test("Misra-Gries sketch: undercounts within n/capacity, finds heavy hitters") {
     val capacity = 64
     val exact = TextOps.topTerms(spark, sf, k = Int.MaxValue >> 1).collect()
