@@ -253,6 +253,9 @@ object SparkEntry {
     // stateful-LSH streaming operator (StreamingSpec replays this
     // corpus through nearDedupStream and asserts set equality)
     "stream_dedup_near"    -> (graft.streaming.DedupStreams.nearDedupBatch _),
+    // windowed data-quality drift: etl_expectations' rules on the
+    // time axis, the live-ingest monitoring face (+ streaming spec)
+    "stream_expectations"  -> (graft.streaming.EventStreams.qualityMonitorBatch _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -915,6 +918,20 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
         | count(*) AS n, round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // window(ts, '1 hour').start == date_trunc('hour'); rule bodies
+    // mirror EventStreams.defaultQualityRules literally
+    "stream_expectations" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
+        | count(*) AS n_rows,
+        | CAST(sum(CASE WHEN coalesce(ts >= TIMESTAMP '2024-01-01'
+        |   AND ts < TIMESTAMP '2024-01-15', false)
+        |   THEN 0 ELSE 1 END) AS BIGINT) AS ts_in_range,
+        | CAST(sum(CASE WHEN coalesce(event_type IN
+        |   ('click','view','purchase','signup','error'), false)
+        |   THEN 0 ELSE 1 END) AS BIGINT) AS type_known,
+        | CAST(sum(CASE WHEN coalesce(value >= 0 AND value <= 250, false)
+        |   THEN 0 ELSE 1 END) AS BIGINT) AS value_in_range
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // events.ts truncated to µs in the CTE (see stream_sessionize note)
     "stream_dedup" ->
       """WITH ev AS (

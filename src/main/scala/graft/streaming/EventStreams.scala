@@ -44,6 +44,54 @@ object EventStreams {
       .select(col("window.start").as("ws"), col("event_type"), col("n"),
         col("total_value"))
 
+  // ---- windowed data-quality monitor ----------------------------------
+
+  /** The rule set the monitor entry and specs share — the same
+    * contract as the batch publish gate (etl_expectations): boolean
+    * predicates, null result = violation. */
+  def defaultQualityRules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    ("ts_in_range", col("ts") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+      col("ts") < lit("2024-01-15 00:00:00").cast("timestamp")),
+    ("type_known", col("event_type")
+      .isin("click", "view", "purchase", "signup", "error")),
+    ("value_in_range", col("value") >= 0 && col("value") <= 250))
+
+  /** Shared transform: per tumbling window, total rows plus each
+    * rule's violation count — Mapping.expectations' semantics on the
+    * time axis, which is how a live ingest watches its quality drift
+    * window by window instead of discovering it at publish time. One
+    * map-side-combinable conditional-count aggregate; wide output
+    * (one column per rule — long format would need a post-aggregate
+    * explode in the streaming plan for no benefit). Rule names
+    * become columns via Alias directly, never a parsed SQL string. */
+  def qualityMonitor(events: DataFrame,
+                     rules: Seq[(String, org.apache.spark.sql.Column)],
+                     win: String = "1 hour"): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: rules.map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(name)
+    }
+    events.groupBy(window(col("ts"), win))
+      .agg(aggs.head, aggs.tail: _*)
+      // rule columns ride along untouched — referencing them by name
+      // here would re-introduce identifier parsing of caller input
+      .withColumn("ws", col("window.start"))
+      .drop("window")
+      .orderBy(col("ws"))
+  }
+
+  /** Batch face for the oracle gate. */
+  def qualityMonitorBatch(s: SparkSession, d: String): DataFrame =
+    qualityMonitor(Tables.events(s, d), defaultQualityRules)
+
+  /** Streaming face: watermark-bounded windowed aggregate, append
+    * mode — the monitor emits a window's final counts once the
+    * watermark passes it. */
+  def qualityMonitorStream(s: SparkSession, sourceDir: String,
+                           schema: org.apache.spark.sql.types.StructType): DataFrame =
+    qualityMonitor(
+      s.readStream.schema(schema).parquet(sourceDir).withWatermark("ts", "2 hours"),
+      defaultQualityRules)
+
   // ---- sessionization --------------------------------------------------
 
   val sessionGapSec: Long = 1800L

@@ -26,6 +26,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quality monitor equals the batch face per window") {
+    val staged = java.nio.file.Files.createTempDirectory("graft-qmon").toString
+    val events = Tables.events(spark, sf)
+    events.write.mode("overwrite").parquet(staged)
+    val q = EventStreams.qualityMonitorStream(spark, staged, events.schema)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("qmon_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[java.sql.Timestamp]("ws"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("ts_in_range"), r.getAs[Long]("type_known"),
+          r.getAs[Long]("value_in_range"))
+      val streamed = spark.table("qmon_out").collect().map(key).toSet
+      val batch = EventStreams.qualityMonitorBatch(spark, sf).collect()
+        .map(key).toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer matches the batch sessionizer") {
     import spark.implicits._
     val eventsDs = Tables.events(spark, sf)
