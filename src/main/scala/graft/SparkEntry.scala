@@ -64,6 +64,15 @@ object SparkEntry {
     "etl_hash_split" -> ((s, d) => SampleOps
       .hashSplit(Tables.documents(s, d).select(col("doc_id")), "doc_id")
       .orderBy(col("doc_id"))),
+    // class-skew rebalancing: keep every error, a quarter of clicks,
+    // no views, half of everything else — deterministic per key
+    "etl_sample_stratified" -> ((s, d) => SampleOps
+      .sampleStratified(
+        Tables.events(s, d).select(col("event_id"), col("event_type")),
+        "event_id", "event_type",
+        Map("error" -> 256, "click" -> 64, "view" -> 0),
+        defaultBuckets = 128)
+      .orderBy(col("event_id"))),
     "etl_profile"  -> ((s, d) => Analytics.profile(
       Tables.orders(s, d), Seq("o_custkey", "o_orderstatus", "o_totalprice"))),
     // publish-gate validation: named rules in one aggregate pass;
@@ -420,6 +429,15 @@ object SparkEntry {
       """SELECT doc_id FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
         |ORDER BY doc_id""".stripMargin,
+    "etl_sample_stratified" ->
+      """SELECT event_id, event_type FROM events
+        |WHERE CASE event_type
+        |  WHEN 'error' THEN true
+        |  WHEN 'click' THEN
+        |    substring(md5(CAST(event_id AS VARCHAR)), 1, 2) < '40'
+        |  WHEN 'view' THEN false
+        |  ELSE substring(md5(CAST(event_id AS VARCHAR)), 1, 2) < '80' END
+        |ORDER BY event_id""".stripMargin,
     "etl_hash_split" ->
       """SELECT doc_id,
         |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'

@@ -38,6 +38,26 @@ object SampleOps {
     df.filter(below(bucket(col(key)), buckets))
   }
 
+  /** Stratified deterministic sampling: a per-class bucket quota
+    * (class → kept buckets of 256) over the same md5 bucketing —
+    * downsample the majority classes of a skewed corpus while
+    * keeping rare classes whole, reproducibly. Classes absent from
+    * `quotas` keep `defaultBuckets` (0 = drop). Row-local like the
+    * flat sample: one CASE over the class column, no shuffle. */
+  def sampleStratified(df: DataFrame, key: String, classCol: String,
+                       quotas: Map[String, Int],
+                       defaultBuckets: Int = 0): DataFrame = {
+    require((quotas.values ++ Seq(defaultBuckets)).forall(b => b >= 0 && b <= 256))
+    val b = bucket(col(key))
+    val cut = quotas.foldLeft(lit(f"$defaultBuckets%02x")) {
+      case (acc, (cls, n)) => when(col(classCol) === cls, lit(f"$n%02x")).otherwise(acc)
+    }
+    // 256 buckets ("100") needs the always-true face, same edge as
+    // `below`; comparing against a per-row cut column makes that a
+    // row-level condition rather than a plan-time branch
+    df.filter(b < cut || cut === lit("100"))
+  }
+
   /** Assign each row a leakage-safe split label by key hash:
     * buckets [0, train) → "train", [train, train+holdout) → "val",
     * the rest → "test". Defaults ≈ 80/10/10. */

@@ -26,6 +26,30 @@ class SampleSpec extends SparkSpec {
     assert(SampleOps.sampleByHash(docs, "doc_id", 256).count() === docs.count())
   }
 
+  test("stratified sampling honors per-class quotas deterministically") {
+    val events = Tables.events(spark, sf).select("event_id", "event_type")
+    val out = SampleOps.sampleStratified(events, "event_id", "event_type",
+      Map("error" -> 256, "click" -> 64, "view" -> 0), defaultBuckets = 128)
+    val got = out.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val all = events.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("error") === all("error"))       // 256 buckets = keep whole
+    assert(!got.contains("view"))               // 0 buckets = drop class
+    val clickFrac = got("click").toDouble / all("click")
+    assert(clickFrac > 0.10 && clickFrac < 0.40, s"click $clickFrac") // ~64/256
+    val sigFrac = got("signup").toDouble / all("signup")
+    assert(sigFrac > 0.35 && sigFrac < 0.65, s"signup $sigFrac")      // ~128/256
+    // per-key agreement with the flat sampler: same bucketing, so a
+    // kept click is exactly a click in the flat 64-bucket sample
+    val clicks = events.filter(col("event_type") === "click")
+    val flat = SampleOps.sampleByHash(clicks, "event_id", 64)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val strat = out.filter(col("event_type") === "click")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(strat === flat)
+  }
+
   test("hash split partitions every row once at ~80/10/10") {
     val docs = Tables.documents(spark, sf)
     val out = SampleOps.hashSplit(docs, "doc_id")
