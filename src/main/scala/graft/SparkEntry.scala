@@ -81,13 +81,8 @@ object SparkEntry {
     // cap) so the oracle verifies real violation counts, not a
     // pass-through; two hold, covering the passing side.
     "etl_expectations" -> ((s, d) => Mapping.expectations(Tables.events(s, d),
-      Seq(
-        ("ts_in_range", col("ts") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
-          col("ts") < lit("2024-01-15 00:00:00").cast("timestamp")),
-        ("type_known", col("event_type")
-          .isin("click", "view", "purchase", "signup", "error")),
-        ("user_present", col("user_id").isNotNull),
-        ("value_in_range", col("value") >= 0 && col("value") <= 250)))),
+      Mapping.eventQualityRules :+
+        (("user_present", col("user_id").isNotNull)))),
     // the 100 TB profiling face: HLL++ distinct sketches instead of
     // the exact multi-distinct expansion; estimator-specific values ⇒
     // rows-only (AnalyticsSpec asserts the rsd tolerance per column)

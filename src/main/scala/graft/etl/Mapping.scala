@@ -87,6 +87,17 @@ object Mapping {
     * predicate results count as violations (an unknown is not a
     * pass), which is what makes not-null rules expressible as plain
     * predicates. */
+  /** The events-table rule set shared by the batch publish gate
+    * (etl_expectations adds user_present) and the streaming monitor
+    * (stream_expectations) — ONE definition, so retuning a threshold
+    * cannot silently diverge the two faces. */
+  def eventQualityRules: Seq[(String, Column)] = Seq(
+    ("ts_in_range", col("ts") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
+      col("ts") < lit("2024-01-15 00:00:00").cast("timestamp")),
+    ("type_known", col("event_type")
+      .isin("click", "view", "purchase", "signup", "error")),
+    ("value_in_range", col("value") >= 0 && col("value") <= 250))
+
   def expectations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     // aggregates carry POSITIONAL aliases and rule names enter only
     // as literals inside the typed struct/explode — never through a

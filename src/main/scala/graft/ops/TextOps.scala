@@ -251,9 +251,15 @@ object TextOps {
     // keeps doc_id order across partition boundaries)...
     val parts = sized.repartitionByRange(col("doc_id"))
       .withColumn("pid", spark_partition_id())
+    // EXPLICIT rows frame: the default RANGE frame includes all
+    // doc_id TIES in each row's sum, so duplicate ids would
+    // double-book context positions; with a rows frame ties receive
+    // distinct exclusive prefixes in an arbitrary (but valid) order —
+    // for cross-engine determinism keep doc_id unique
     val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
-    val local = parts
-      .withColumn("lcum", sum(col("n").cast("long")).over(wLocal) - col("n"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parts.withColumn("lcum",
+      coalesce(sum(col("n").cast("long")).over(wLocal), lit(0L)))
     // ...plus each partition's cumulative offset: one row per
     // partition, so THIS window's single-partition sort is O(#parts)
     val wOff = Window.orderBy(col("pid"))

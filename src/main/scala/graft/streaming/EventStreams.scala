@@ -46,15 +46,10 @@ object EventStreams {
 
   // ---- windowed data-quality monitor ----------------------------------
 
-  /** The rule set the monitor entry and specs share — the same
-    * contract as the batch publish gate (etl_expectations): boolean
-    * predicates, null result = violation. */
-  def defaultQualityRules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
-    ("ts_in_range", col("ts") >= lit("2024-01-01 00:00:00").cast("timestamp") &&
-      col("ts") < lit("2024-01-15 00:00:00").cast("timestamp")),
-    ("type_known", col("event_type")
-      .isin("click", "view", "purchase", "signup", "error")),
-    ("value_in_range", col("value") >= 0 && col("value") <= 250))
+  /** The rule set the monitor entry and specs share — ONE definition
+    * with the batch publish gate, see [[graft.etl.Mapping.eventQualityRules]]. */
+  def defaultQualityRules: Seq[(String, org.apache.spark.sql.Column)] =
+    graft.etl.Mapping.eventQualityRules
 
   /** Shared transform: per tumbling window, total rows plus each
     * rule's violation count — Mapping.expectations' semantics on the
@@ -63,10 +58,17 @@ object EventStreams {
     * map-side-combinable conditional-count aggregate; wide output
     * (one column per rule — long format would need a post-aggregate
     * explode in the streaming plan for no benefit). Rule names
-    * become columns via Alias directly, never a parsed SQL string. */
+    * become columns via Alias directly, never a parsed SQL string.
+    * NO final sort: streaming append mode forbids it (sort only in
+    * complete mode), and the monitor's consumers key on `ws` anyway —
+    * the batch face adds the ordering for the oracle. */
   def qualityMonitor(events: DataFrame,
                      rules: Seq[(String, org.apache.spark.sql.Column)],
                      win: String = "1 hour"): DataFrame = {
+    val reserved = Set("ws", "window", "n_rows")
+    require(rules.map(_._1).distinct.length == rules.length &&
+        !rules.exists(r => reserved(r._1)),
+      s"rule names must be unique and none of $reserved")
     val aggs = count(lit(1)).as("n_rows") +: rules.map { case (name, pred) =>
       sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(name)
     }
@@ -76,16 +78,15 @@ object EventStreams {
       // here would re-introduce identifier parsing of caller input
       .withColumn("ws", col("window.start"))
       .drop("window")
-      .orderBy(col("ws"))
   }
 
-  /** Batch face for the oracle gate. */
+  /** Batch face for the oracle gate (ordered for the compare). */
   def qualityMonitorBatch(s: SparkSession, d: String): DataFrame =
-    qualityMonitor(Tables.events(s, d), defaultQualityRules)
+    qualityMonitor(Tables.events(s, d), defaultQualityRules).orderBy(col("ws"))
 
-  /** Streaming face: watermark-bounded windowed aggregate, append
-    * mode — the monitor emits a window's final counts once the
-    * watermark passes it. */
+  /** Streaming face: watermark-bounded windowed aggregate, valid in
+    * APPEND mode — a window's final counts emit once the watermark
+    * passes it, and state stays bounded by the watermark horizon. */
   def qualityMonitorStream(s: SparkSession, sourceDir: String,
                            schema: org.apache.spark.sql.types.StructType): DataFrame =
     qualityMonitor(

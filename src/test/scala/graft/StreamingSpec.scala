@@ -26,15 +26,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming quality monitor equals the batch face per window") {
-    val staged = java.nio.file.Files.createTempDirectory("graft-qmon").toString
+  test("streaming quality monitor emits batch-identical windows in APPEND mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
     val events = Tables.events(spark, sf)
-    events.write.mode("overwrite").parquet(staged)
-    val q = EventStreams.qualityMonitorStream(spark, staged, events.schema)
-      .writeStream.outputMode("complete")
+      .select("ts", "event_type", "value")
+    val rows = events.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String, Double)]
+    // append mode is the point: the monitor must be sortless and
+    // watermark-finalized, not a complete-mode snapshot whose state
+    // never expires on a live ingest
+    val q = EventStreams.qualityMonitor(
+        mem.toDF().toDF("ts", "event_type", "value")
+          .withWatermark("ts", "2 hours"),
+        EventStreams.defaultQualityRules)
+      .writeStream.outputMode("append")
       .format("memory").queryName("qmon_out")
       .start()
     try {
+      mem.addData(rows.toIndexedSeq)
+      q.processAllAvailable()
+      // a far-future advancer pushes the watermark past every real
+      // window so their final counts emit; its own window stays open
+      val advancer = new java.sql.Timestamp(
+        rows.map(_._1.getTime).max + 10L * 3600 * 1000)
+      mem.addData((advancer, "click", 1.0))
       q.processAllAvailable()
       def key(r: org.apache.spark.sql.Row) =
         (r.getAs[java.sql.Timestamp]("ws"), r.getAs[Long]("n_rows"),
