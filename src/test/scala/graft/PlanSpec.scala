@@ -126,6 +126,28 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("sequence packing never runs a partition-less window over the corpus") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"tok a b c d $i")).toDF("doc_id", "text")
+    val plan = executedPlan(TextOps.packOn(docs, ctxLen = 16))
+    // the naive formulation is ONE global cumsum window (empty
+    // partition spec ⇒ the whole corpus sorts in a single task); the
+    // distributed prefix sum must leave every windowspecdefinition
+    // with a partition column
+    // first argument of a windowspecdefinition is its first partition
+    // column, or — when the partition spec is empty — the ORDER
+    // column itself (doc_id ASC / pid ASC)
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(plan).map(_.group(1).trim).toSeq
+    assert(specs.nonEmpty, plan)
+    specs.foreach { first =>
+      assert(!first.startsWith("doc_id"),
+        s"corpus-wide partition-less window (spec head '$first') — the " +
+          s"cumsum went through one task:\n$plan")
+    }
+    assert(specs.exists(_.startsWith("pid")), specs.mkString(", "))
+  }
+
   test("asofJoin plans exactly one shuffle over the unioned input") {
     val ev = Tables.events(spark, sf)
       .select(col("event_id"), col("user_id"), col("ts"))
