@@ -1,15 +1,9 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.build(cpus)
     // Warm the JVM/codegen/IO paths AND the common execution machinery
     // (scan, hash agg, broadcast join, window, sort) so the first
     // timed queries aren't charged for engine bring-up — measured at
@@ -60,6 +54,12 @@ object Bench {
     val okCount = results.count(_._3)
     val total = results.collect { case (_, v, true) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","ok":$okCount,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // Compact headline LAST: the driver archives a bounded tail of
+    // stdout, and with ~75 queries the full line above can exceed it —
+    // round 5's artifact lost the total and the first 11 queries to
+    // exactly that truncation. Whatever gets cut, the final short line
+    // always survives a tail capture.
+    println(f"""{"metric":"summary","total_s":$total%.2f,"ok":$okCount,"n":${results.size},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -93,9 +93,14 @@ object Analytics {
   /** UNION ALL of per-source counts — mirrors the reference's
     * yellow/green/fhv count union (DataDiscoveryAndConversation). */
   def unionCounts(s: SparkSession, d: String): DataFrame = {
-    def one(name: String): DataFrame =
-      Tables.load(s, d, name).agg(count(lit(1)).as("n"))
-        .select(lit(name).as("src"), col("n"))
+    // events goes through Tables.events, not raw load: the nanos
+    // timestamp column makes a raw scan fail in a session that hasn't
+    // set the legacy conf, and this query must be self-contained (the
+    // count is identical either way — it never reads ts)
+    def one(name: String): DataFrame = {
+      val t = if (name == "events") Tables.events(s, d) else Tables.load(s, d, name)
+      t.agg(count(lit(1)).as("n")).select(lit(name).as("src"), col("n"))
+    }
     one("orders").union(one("lineitem")).union(one("events"))
       .orderBy(col("src"))
   }
