@@ -99,12 +99,17 @@ object Mapping {
     ("value_in_range", col("value") >= 0 && col("value") <= 250))
 
   def expectations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "expectations needs at least one rule")
     // aggregates carry POSITIONAL aliases and rule names enter only
     // as literals inside the typed struct/explode — never through a
     // parsed SQL string (selectExpr/stack), where a quote, backtick,
-    // or a rule named like an internal alias would break or mislabel
+    // or a rule named like an internal alias would break or mislabel.
+    // coalesce(sum, 0): on an EMPTY input frame sum is null, and a
+    // quality report of "null violations over null rows" is useless —
+    // the defined edge is 0 violations at rate 0.
     val aggs = rules.zipWithIndex.map { case ((_, pred), i) =>
-      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__v$i")
+      coalesce(sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)), lit(0L))
+        .as(s"__v$i")
     }
     val one = df.agg(aggs.head, (aggs.tail :+ count(lit(1)).as("__total")): _*)
     one.select(
@@ -114,7 +119,8 @@ object Mapping {
         col("__total"))
       .select(col("r.rule").as("rule"),
         col("r.n_violations").as("n_violations"),
-        round(col("r.n_violations").cast("double") / col("__total"), 4)
+        round(when(col("__total") === 0, lit(0.0))
+            .otherwise(col("r.n_violations").cast("double") / col("__total")), 4)
           .as("violation_rate"))
       .orderBy(col("rule"))
   }

@@ -211,12 +211,19 @@ object TextOps {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
       s"need 0 <= overlap < chunkTokens, got $overlap/$chunkTokens")
     val stride = chunkTokens - overlap
+    // coalesce: a NULL text would otherwise vanish (explode over null
+    // emits nothing) while "" yields one empty chunk — normalize so
+    // null and empty behave identically (one empty chunk, n_tokens 1)
     val staged = graft.Tables.spread(docs)
-      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), toks(coalesce(col("text"), lit(""))).as("t"))
       .withColumn("n", size(col("t")))
     staged
       .select(col("doc_id"), col("t"), col("n"),
-        posexplode(sequence(lit(1), col("n"), lit(stride)))
+        // greatest(n,1): sequence(1, 0) would throw on a 0-length
+        // token array; today toks never returns one (split of "" is
+        // [""]), but a chunker must not be one tokenizer change away
+        // from "Illegal sequence boundaries"
+        posexplode(sequence(lit(1), greatest(col("n"), lit(1)), lit(stride)))
           .as(Seq("chunk_id", "s")))
       .select(col("doc_id"), col("chunk_id"),
         concat_ws(" ", slice(col("t"), col("s"), lit(chunkTokens))).as("chunk"),
@@ -245,8 +252,14 @@ object TextOps {
   def packOn(docs: DataFrame, ctxLen: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(ctxLen > 0)
+    // coalesce for null-vs-empty consistency with chunkOn (a null
+    // text packs like an empty one: one "" token), and keep only
+    // n > 0 rows before the span explode — with a 0-token doc the
+    // span sequence's bounds could invert at a context boundary and
+    // sequence(a, b<a) silently generates a DESCENDING range
     val sized = graft.Tables.spread(docs)
-      .select(col("doc_id"), size(toks(col("text"))).as("n"))
+      .select(col("doc_id"), size(toks(coalesce(col("text"), lit("")))).as("n"))
+      .filter(col("n") > 0)
     // partition-local exclusive running sums (range partitioning
     // keeps doc_id order across partition boundaries)...
     val parts = sized.repartitionByRange(col("doc_id"))

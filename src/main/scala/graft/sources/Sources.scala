@@ -114,11 +114,21 @@ object Sources {
     val path = new org.apache.hadoop.fs.Path(inPath)
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
     // the fresh-path guarantee must be enforced, not just documented:
-    // compacting a path onto itself IS the overwrite-while-reading
-    // corruption pattern
-    require(fs.makeQualified(path) != fs.makeQualified(
-        new org.apache.hadoop.fs.Path(outPath)),
-      s"compact must write to a fresh path, got inPath == outPath: $inPath")
+    // compacting a path onto itself — or into a path NESTED under the
+    // tree being read (the recursive listing would sum the output's
+    // own files on a re-run, and readers of inPath would see the rows
+    // twice) — is the overwrite-while-reading corruption pattern
+    val qIn = fs.makeQualified(path)
+    val qOut = fs.makeQualified(new org.apache.hadoop.fs.Path(outPath))
+    def isAncestor(anc: org.apache.hadoop.fs.Path,
+                   p: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = p.getParent
+      while (cur != null) { if (cur == anc) return true; cur = cur.getParent }
+      false
+    }
+    require(qIn != qOut && !isAncestor(qIn, qOut) && !isAncestor(qOut, qIn),
+      s"compact must write to a fresh path outside the input tree, " +
+        s"got inPath=$qIn outPath=$qOut")
     val it = fs.listFiles(path, true)
     var bytes = 0L
     while (it.hasNext) {

@@ -47,6 +47,15 @@ class BucketingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sources.compact(spark, s"$dir/compacted", s"$dir/compacted")
     }
+    // output nested under the input tree is the same hazard in
+    // disguise (recursive listing would double-count on a re-run),
+    // in either direction
+    intercept[IllegalArgumentException] {
+      Sources.compact(spark, s"$dir/compacted", s"$dir/compacted/out")
+    }
+    intercept[IllegalArgumentException] {
+      Sources.compact(spark, s"$dir/compacted/part", s"$dir/compacted")
+    }
     intercept[IllegalArgumentException] {
       Sources.compact(spark, s"$dir/compacted", s"$dir/x", targetFileBytes = 0)
     }

@@ -84,4 +84,18 @@ class EtlSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(tricky === Map("it's `quoted`" -> 2L, "__total" -> 1L))
   }
+
+  test("expectations edges: empty rule list refuses, empty frame reports zeros") {
+    intercept[IllegalArgumentException] {
+      Mapping.expectations(Seq((1, "a")).toDF("v", "k"), Seq.empty)
+    }
+    // an empty input frame is a defined edge — 0 violations at rate
+    // 0.0 per rule, never null counts or a 0/0 rate
+    val empty = Seq.empty[(Option[Int], Option[String])].toDF("v", "k")
+    val out = Mapping.expectations(empty, Seq(
+        ("key_present", col("k").isNotNull), ("positive", col("v") > 0)))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out === Map(
+      "key_present" -> ((0L, 0.0)), "positive" -> ((0L, 0.0))))
+  }
 }

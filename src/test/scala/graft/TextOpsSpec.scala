@@ -51,6 +51,12 @@ class TextOpsSpec extends SparkSpec {
     // DuckDB alike, the shared convention every text op inherits)
     assert(out.filter(_._1 == 2L).toSeq === Seq((2L, 0, "a b", 2)))
     assert(out.filter(_._1 == 3L).toSeq === Seq((3L, 0, "", 1)))
+    // a NULL text behaves exactly like the empty string — one empty
+    // chunk — instead of the row silently vanishing from the output
+    val withNull = TextOps.chunkOn(
+        Seq((4L, null: String)).toDF("doc_id", "text"), 4, 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(withNull.toSeq === Seq((4L, 0, "", 1)))
     // reassembly invariant: dropping each chunk's overlap prefix
     // (after the first) reconstructs the document exactly
     val rebuilt = out.filter(_._1 == 1L).sortBy(_._2).zipWithIndex.map {
@@ -86,6 +92,11 @@ class TextOpsSpec extends SparkSpec {
     val repartitioned = TextOps.packOn(docs.repartition(7), 4).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
     assert(repartitioned.toSeq === out.toSeq)
+    // null text packs like empty text (one "" token), same as chunkOn
+    val withNull = TextOps.packOn(
+        Seq((1L, "x y z"), (2L, null: String)).toDF("doc_id", "text"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(withNull.toSeq === Seq((0L, 1L, 0, 3), (0L, 2L, 0, 1)))
   }
 
   test("Misra-Gries sketch: undercounts within n/capacity, finds heavy hitters") {
