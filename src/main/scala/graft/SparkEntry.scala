@@ -244,8 +244,11 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 =!= 0))
     }),
-    // §2.7 multimodal
-    "mm_extract" -> (MultimodalOps.extractFeatures _),
+    // §2.7 multimodal — REAL codec work: synthesize byte-level
+    // WAV/BMP payloads deterministically from doc_id, parse them with
+    // the header-walking decoders; features have closed forms so the
+    // whole decode path is DuckDB-oracled
+    "mm_extract" -> (MultimodalOps.extractReal _),
     // §2.10 MLlib pipelines
     "ml_cluster"  -> ((s, d) => MlOps.cluster(s, d)),
     "ml_classify" -> (MlOps.classify _),
@@ -978,6 +981,46 @@ object SparkEntry {
         |FROM pairs JOIN sz x ON x.doc_id = id1 JOIN sz y ON y.doc_id = id2
         |WHERE common * 1.0 / (x.n + y.n - common) >= 0.8
         |ORDER BY doc_id, dup_of""".stripMargin,
+    // mm_extract: the payloads are deterministic functions of doc_id
+    // (MmSynth), so the oracle recomputes every decoded feature with
+    // independent arithmetic — sample i of an even doc's WAV is
+    // (id*31+i*7)%256 at 8 kHz 8-bit mono over 64+id%64 frames; pixel
+    // (file row r, col x) of an odd doc's BMP carries channel bytes
+    // (id+5r+3x+{0,1,2})%256 over (4+id%13)×(3+id%7). Sample terms
+    // ((s-128)/128)^2 are exact k/16384 binary rationals, so the sums
+    // are order-independent and the 4dp-rounded features match
+    // bit-for-bit across engines.
+    "mm_extract" ->
+      """WITH wav_t AS (
+        |  SELECT doc_id, 64 + doc_id % 64 AS n,
+        |         unnest(range(0, 64 + doc_id % 64)) AS i
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |wav_v AS (
+        |  SELECT doc_id, n,
+        |         ((doc_id*31 + i*7) % 256 - 128.0) / 128 AS v
+        |  FROM wav_t),
+        |wav AS (
+        |  SELECT doc_id, 'wav' AS kind, 1 AS w, 8 AS h,
+        |         CAST(max(n) AS BIGINT) AS n,
+        |         round(sqrt(sum(v*v) / max(n)), 4) AS m1,
+        |         round(max(n) * 1000.0 / 8000, 4) AS m2,
+        |         CAST(0.0 AS DOUBLE) AS m3
+        |  FROM wav_v GROUP BY doc_id),
+        |bmp_r AS (
+        |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+        |         unnest(range(0, 3 + doc_id % 7)) AS r
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |bmp_px AS (
+        |  SELECT doc_id, w, h, r, unnest(range(0, w)) AS x FROM bmp_r),
+        |bmp AS (
+        |  SELECT doc_id, 'bmp' AS kind, max(w) AS w, max(h) AS h,
+        |         CAST(max(w) * max(h) AS BIGINT) AS n,
+        |         round(avg((doc_id + 5*r + 3*x + 2) % 256), 4) AS m1,
+        |         round(avg((doc_id + 5*r + 3*x + 1) % 256), 4) AS m2,
+        |         round(avg((doc_id + 5*r + 3*x) % 256), 4) AS m3
+        |  FROM bmp_px GROUP BY doc_id)
+        |SELECT * FROM wav UNION ALL SELECT * FROM bmp
+        |ORDER BY doc_id""".stripMargin,
     // NOTE: events.parquet is TIMESTAMP(NANOS); Spark truncates to
     // micros (Tables.events), so the oracle must truncate too BEFORE
     // the gap predicate — a ns-preserving DuckDB would otherwise emit

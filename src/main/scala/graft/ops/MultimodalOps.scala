@@ -135,6 +135,69 @@ object BmpCodec {
   }
 }
 
+/** Deterministic media synthesis: build REAL byte-level WAV and BMP
+  * payloads whose content is a pure function of `doc_id`, so the
+  * decoded features have a closed form an external engine can compute
+  * independently — which turns the multimodal extraction entry into a
+  * fully oracle-checkable query instead of a rows-only one. At scale
+  * the payloads come from a parquet binary column written by
+  * ingestion; synthesis stands in for that column, NOT for the
+  * decoders, which parse the bytes exactly as they would parse
+  * real-world files. */
+object MmSynth {
+  import java.nio.{ByteBuffer, ByteOrder}
+
+  /** 8-bit mono PCM RIFF/WAVE at 8 kHz, 64 + (id % 64) frames,
+    * sample i = (id*31 + i*7) mod 256. */
+  def wavBytes(id: Long): Array[Byte] = {
+    val n = 64 + (id % 64).toInt
+    val buf = ByteBuffer.allocate(44 + n).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1).putShort(1) // PCM, mono
+    buf.putInt(8000).putInt(8000) // sample rate, byte rate
+    buf.putShort(1).putShort(8) // block align, bits
+    buf.put("data".getBytes("US-ASCII")).putInt(n)
+    var i = 0
+    while (i < n) { buf.put(((id * 31 + i * 7) % 256).toByte); i += 1 }
+    buf.array()
+  }
+
+  /** 24-bit BI_RGB BMP, width 4 + (id % 13), height 3 + (id % 7),
+    * channel byte at (file row r, col x, channel c∈{0=B,1=G,2=R}) =
+    * (id + 5r + 3x + c) mod 256. The formula indexes FILE row order
+    * (the order the decoder walks), so whether the image is stored
+    * bottom-up is irrelevant to the per-channel means. */
+  def bmpBytes(id: Long): Array[Byte] = {
+    val w = 4 + (id % 13).toInt
+    val h = 3 + (id % 7).toInt
+    val stride = (w * 3 + 3) / 4 * 4
+    val dataLen = stride * h
+    val buf = ByteBuffer.allocate(54 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+    buf.putInt(0).putInt(54) // reserved, pixel data offset
+    buf.putInt(40).putInt(w).putInt(h) // BITMAPINFOHEADER
+    buf.putShort(1).putShort(24) // planes, bpp
+    buf.putInt(0).putInt(dataLen) // BI_RGB, image size
+    buf.putInt(2835).putInt(2835).putInt(0).putInt(0) // dpi, palette
+    var r = 0
+    while (r < h) {
+      val base = 54 + r * stride
+      var x = 0
+      while (x < w) {
+        val v = id + 5L * r + 3L * x
+        buf.put(base + x * 3, (v % 256).toByte)
+        buf.put(base + x * 3 + 1, ((v + 1) % 256).toByte)
+        buf.put(base + x * 3 + 2, ((v + 2) % 256).toByte)
+        x += 1
+      }
+      r += 1
+    }
+    buf.array()
+  }
+}
+
 /** Multimodal-column plumbing: carry media as opaque `binary` with
   * typed metadata, decode + feature-extract per partition.
   *
@@ -189,6 +252,42 @@ object MultimodalOps {
       // feature vector surfaces as a JSON string (checker-portable);
       // downstream consumers wanting the array use from_json
       .withColumn("features", to_json(col("features")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The registry's multimodal entry: REAL codec work end to end.
+    * Each document row materializes a byte-level media payload
+    * ([[MmSynth]]: even doc_id → WAV, odd → BMP) which the
+    * header-walking decoders then parse — the full decode path a
+    * production pipeline runs, minus only the parquet binary column
+    * the payloads would normally arrive in. Output unifies both
+    * families into one schema: (doc_id, kind, w, h, n, m1, m2, m3) =
+    * WAV (channels, bits, frames, rms, duration_ms, 0) / BMP (width,
+    * height, pixels, mean_r, mean_g, mean_b). Because synthesis is
+    * deterministic in doc_id, every value has a closed form and the
+    * whole entry is DuckDB-oracled — including the decoders, whose
+    * output must match the oracle's independent arithmetic.
+    *
+    * Scale shape: synth+decode are row-local in a flatMap (no
+    * shuffle until the caller's sink); spread() keeps a narrow
+    * single-file corpus from decoding on one core. */
+  def extractReal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables.spread(Tables.documents(s, d).select(col("doc_id")))
+      .as[Long]
+    ids.flatMap { id =>
+      if (id % 2 == 0)
+        WavCodec.decode(id, MmSynth.wavBytes(id)).map(f =>
+          (id, "wav", f.channels, f.bits_per_sample, f.n_frames,
+            f.rms, f.duration_ms, 0.0))
+      else
+        BmpCodec.decode(id, MmSynth.bmpBytes(id)).map(f =>
+          (id, "bmp", f.width, f.height, f.n_pixels,
+            f.mean_r, f.mean_g, f.mean_b))
+    }.toDF("doc_id", "kind", "w", "h", "n", "m1", "m2", "m3")
+      .select(col("doc_id"), col("kind"), col("w"), col("h"), col("n"),
+        round(col("m1"), 4).as("m1"), round(col("m2"), 4).as("m2"),
+        round(col("m3"), 4).as("m3"))
       .orderBy(col("doc_id"))
   }
 

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{BmpCodec, MmRecord, MultimodalOps, WavCodec}
+import graft.ops.{BmpCodec, MmRecord, MmSynth, MultimodalOps, WavCodec}
 
 class MultimodalSpec extends SparkSpec {
 
@@ -170,5 +170,46 @@ class MultimodalSpec extends SparkSpec {
     // determinism: second run yields identical features
     val again = MultimodalOps.extractFeatures(spark, sf).collect()
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
+  test("MmSynth payloads decode through the REAL codecs to closed forms") {
+    // WAV: id=6 → 64 + 6 = 70 frames of sample (6*31 + 7i) % 256;
+    // recompute rms independently of both codec and synthesis layout
+    val wf = WavCodec.decode(6L, MmSynth.wavBytes(6L)).get
+    assert((wf.sample_rate, wf.channels, wf.bits_per_sample, wf.n_frames)
+      === ((8000, 1, 8, 70L)))
+    val sumSq = (0 until 70).map { i =>
+      val v = ((6L * 31 + i * 7) % 256 - 128.0) / 128; v * v
+    }.sum
+    assert(wf.rms === math.sqrt(sumSq / 70))
+    assert(wf.duration_ms === 70 * 1000.0 / 8000)
+    // BMP: id=7 → 11×3 pixels with channel bytes (7 + 5r + 3x + c) % 256
+    val bf = BmpCodec.decode(7L, MmSynth.bmpBytes(7L)).get
+    assert((bf.width, bf.height, bf.n_pixels) === ((11, 3, 33L)))
+    val px = for (r <- 0 until 3; x <- 0 until 11) yield 7L + 5 * r + 3 * x
+    assert(bf.mean_b === px.map(_ % 256).sum.toDouble / 33)
+    assert(bf.mean_g === px.map(v => (v + 1) % 256).sum.toDouble / 33)
+    assert(bf.mean_r === px.map(v => (v + 2) % 256).sum.toDouble / 33)
+  }
+
+  test("extractReal covers every document with real decodes, both families") {
+    val out = MultimodalOps.extractReal(spark, sf)
+    assert(out.columns.toSeq === Seq(
+      "doc_id", "kind", "w", "h", "n", "m1", "m2", "m3"))
+    val rows = out.collect()
+    // every payload is well-formed, so NO row may drop to the
+    // malformed-payload path — coverage equals the corpus
+    assert(rows.length === Tables.documents(spark, sf).count())
+    val byKind = rows.groupBy(_.getString(1))
+    assert(byKind.keySet === Set("wav", "bmp"))
+    byKind("wav").foreach { r =>
+      assert(r.getInt(2) === 1 && r.getInt(3) === 8) // mono, 8-bit
+      assert(r.getLong(4) >= 64 && r.getLong(4) < 128)
+      assert(r.getDouble(5) > 0) // a varying waveform has nonzero rms
+    }
+    byKind("bmp").foreach { r =>
+      assert(r.getLong(4) === r.getInt(2).toLong * r.getInt(3))
+      assert(r.getDouble(5) >= 0 && r.getDouble(5) <= 255)
+    }
   }
 }
