@@ -143,6 +143,36 @@ object Sources {
     nFiles
   }
 
+  /** Sorted data layout — the read-side half of the 100 TB posture
+    * that partitioning and bucketing don't cover: cluster the rows so
+    * range/point predicates on the sort columns skip most of the data
+    * WITHOUT any engine-side index.
+    *
+    * `repartitionByRange` makes files globally disjoint on the sort
+    * key and `sortWithinPartitions` makes every parquet ROW GROUP's
+    * min/max stats a tight, monotone interval — so the reader's
+    * pushed predicate (parquet-mr row-group pruning against those
+    * stats) skips whole row groups, and at cluster scale whole files.
+    * On a random layout every row group spans the full value range
+    * and min/max pruning can never reject anything; sorting is what
+    * turns the stats parquet already writes into an effective skip
+    * index. LayoutSpec measures exactly this: same data, same filter,
+    * scanned-row counts orders of magnitude apart.
+    *
+    * `writerOptions` passes parquet knobs (e.g. `parquet.block.size`
+    * to size row groups = the skipping granularity). */
+  def writeSorted(df: DataFrame, path: String, sortCols: Seq[String],
+                  numFiles: Int = 0,
+                  writerOptions: Map[String, String] = Map.empty): Unit = {
+    require(sortCols.nonEmpty, "writeSorted needs at least one sort column")
+    val cols = sortCols.map(org.apache.spark.sql.functions.col)
+    val ranged =
+      if (numFiles > 0) df.repartitionByRange(numFiles, cols: _*)
+      else df.repartitionByRange(cols: _*)
+    ranged.sortWithinPartitions(cols: _*)
+      .write.mode("overwrite").options(writerOptions).parquet(path)
+  }
+
   /** Bucketed + sorted table: rows are hash-bucketed on the join key
     * at write time, so equi-joins and aggregations between tables
     * bucketed the same way need no shuffle at read time — the
