@@ -4,7 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 
 /** One banded row of an arriving document: its LSH bucket key plus
   * everything in-state verification needs (the shingle set for exact
@@ -35,7 +35,7 @@ case class NearDupHit(doc_id: Long, ts: java.sql.Timestamp,
   * corpus size. The batch face with identical semantics is
   * `DedupOps.exact` (same digest key).
   */
-object DedupStreams {
+object DedupStreams extends Serializable {
 
   /** Streaming exact dedup over any frame with (`ts`, `textCol`):
     * keeps the first arrival of each distinct text within the
@@ -143,6 +143,79 @@ object DedupStreams {
     i
   }
 
+  /** The per-bucket matching core SHARED by both streaming faces
+    * (flatMapGroupsWithState and transformWithState), so their
+    * contracts cannot drift: process one micro-batch's arrivals in
+    * (event time, doc_id) order against the bucket's live members,
+    * emit verified hits oriented later-flags-earlier, and admit new
+    * arrivals up to `maxBucket`. Mutates `members`/`memberIds` in
+    * place; a doc already present is a redelivery no-op. */
+  private def processBucket(band: Int, arrivals: Seq[NearDupBandRow],
+      members: scala.collection.mutable.ArrayBuffer[NearDupMember],
+      memberIds: scala.collection.mutable.Set[Long],
+      threshold: Double, maxBucket: Int): List[NearDupHit] = {
+    val out = List.newBuilder[NearDupHit]
+    arrivals.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
+      // a doc already in state is a redelivery (at-least-once
+      // upstream): its pairs were emitted when it first arrived —
+      // a no-op keeps emission exactly-once. (A redelivery of a
+      // capped-OUT doc is not detectable and may re-emit; caps and
+      // at-least-once sources compose at that cost.)
+      if (!memberIds.contains(r.doc_id)) {
+        members.foreach { m =>
+          if (firstCollidingBand(m.sigs, r.sigs) == band) {
+            val j = jaccard4(m.hs, r.hs)
+            if (j >= threshold) {
+              // orient later-flags-earlier by (event time, id), not
+              // by arrival: an out-of-order arrival inside the
+              // horizon then still yields the batch contract's
+              // pair, emitted once by whichever side arrives second
+              val rEarlier = r.ts.getTime < m.tsMillis ||
+                (r.ts.getTime == m.tsMillis && r.doc_id < m.doc_id)
+              out += (if (rEarlier)
+                NearDupHit(m.doc_id, new java.sql.Timestamp(m.tsMillis),
+                  r.doc_id, j)
+              else NearDupHit(r.doc_id, r.ts, m.doc_id, j))
+            }
+          }
+        }
+        if (members.length < maxBucket) {
+          members += NearDupMember(r.doc_id, r.ts.getTime, r.hs, r.sigs)
+          memberIds += r.doc_id
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Shared banding stage: row-local shingle hashes + banded MinHash
+    * signatures, watermarked, exploded to one row per (band, bsig). */
+  private def bandedRows(docs: DataFrame, numPerm: Int, bands: Int,
+                         horizonMs: Long): org.apache.spark.sql.Dataset[NearDupBandRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .withColumn("__t", graft.ops.TextOps.toks(col("text")))
+      .withColumn("hs", graft.ops.DedupOps.shingleHashesExpr(col("__t")))
+      // a doc with < k tokens has no shingles; the batch face drops
+      // it before signatures (the explode of the empty set yields no
+      // rows), so it must not enter stream state either — all
+      // shingle-less docs share identical null-fed band signatures
+      // and would otherwise pile into one meaningless bucket. The
+      // filter sits DELIBERATELY above the watermark node (Catalyst
+      // would push it there anyway): dropped docs do not advance
+      // event time, deterministically.
+      .filter(size(col("hs")) >= 1)
+      .withColumn("sigs", array(
+        graft.ops.DedupOps.bandSigsExpr(col("hs"), numPerm, bands): _*))
+      .withWatermark("ts", s"$horizonMs milliseconds")
+      .select(col("doc_id"), col("ts"), col("hs"), col("sigs"),
+        posexplode(col("sigs")).as(Seq("band", "bsig")))
+      .select(col("band"), col("bsig"), col("doc_id"), col("ts"),
+        col("hs"), col("sigs"))
+      .as[NearDupBandRow]
+  }
+
   /** Streaming NEAR-duplicate detection — the within-stream face of
     * [[graft.ops.DedupOps.minhashLshOn]], and the shape a 100 TB
     * ingest actually needs: flag each arriving document against the
@@ -187,27 +260,7 @@ object DedupStreams {
     val spark = docs.sparkSession
     import spark.implicits._
     val horizonMs = horizon.toMillis
-    val staged = docs
-      .withColumn("__t", graft.ops.TextOps.toks(col("text")))
-      .withColumn("hs", graft.ops.DedupOps.shingleHashesExpr(col("__t")))
-      // a doc with < k tokens has no shingles; the batch face drops
-      // it before signatures (the explode of the empty set yields no
-      // rows), so it must not enter stream state either — all
-      // shingle-less docs share identical null-fed band signatures
-      // and would otherwise pile into one meaningless bucket. The
-      // filter sits DELIBERATELY above the watermark node (Catalyst
-      // would push it there anyway): dropped docs do not advance
-      // event time, deterministically.
-      .filter(size(col("hs")) >= 1)
-      .withColumn("sigs", array(
-        graft.ops.DedupOps.bandSigsExpr(col("hs"), numPerm, bands): _*))
-      .withWatermark("ts", s"$horizonMs milliseconds")
-    val banded = staged
-      .select(col("doc_id"), col("ts"), col("hs"), col("sigs"),
-        posexplode(col("sigs")).as(Seq("band", "bsig")))
-      .select(col("band"), col("bsig"), col("doc_id"), col("ts"),
-        col("hs"), col("sigs"))
-      .as[NearDupBandRow]
+    val banded = bandedRows(docs, numPerm, bands, horizonMs)
 
     def onBucket(key: (Int, Long), rows: Iterator[NearDupBandRow],
                  state: GroupState[NearDupBucket]): Iterator[NearDupHit] = {
@@ -222,50 +275,105 @@ object DedupStreams {
         state.getOption.map(_.members).getOrElse(Nil)
           .filter(_.tsMillis >= wm))
       val memberIds = scala.collection.mutable.Set.from(members.map(_.doc_id))
-      val out = List.newBuilder[NearDupHit]
-      rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id)).foreach { r =>
-        // a doc already in state is a redelivery (at-least-once
-        // upstream): its pairs were emitted when it first arrived —
-        // a no-op keeps emission exactly-once. (A redelivery of a
-        // capped-OUT doc is not detectable and may re-emit; caps and
-        // at-least-once sources compose at that cost.)
-        if (!memberIds.contains(r.doc_id)) {
-          members.foreach { m =>
-            if (firstCollidingBand(m.sigs, r.sigs) == key._1) {
-              val j = jaccard4(m.hs, r.hs)
-              if (j >= threshold) {
-                // orient later-flags-earlier by (event time, id), not
-                // by arrival: an out-of-order arrival inside the
-                // horizon then still yields the batch contract's
-                // pair, emitted once by whichever side arrives second
-                val rEarlier = r.ts.getTime < m.tsMillis ||
-                  (r.ts.getTime == m.tsMillis && r.doc_id < m.doc_id)
-                out += (if (rEarlier)
-                  NearDupHit(m.doc_id, new java.sql.Timestamp(m.tsMillis),
-                    r.doc_id, j)
-                else NearDupHit(r.doc_id, r.ts, m.doc_id, j))
-              }
-            }
-          }
-          if (members.length < maxBucket) {
-            members += NearDupMember(r.doc_id, r.ts.getTime, r.hs, r.sigs)
-            memberIds += r.doc_id
-          }
-        }
-      }
+      val out = processBucket(key._1, rows.toSeq, members, memberIds,
+        threshold, maxBucket)
       if (members.isEmpty) state.remove()
       else {
         state.update(NearDupBucket(members.toList))
         // clear the whole bucket once its newest member ages out
         state.setTimeoutTimestamp(members.map(_.tsMillis).max + horizonMs)
       }
-      out.result().iterator
+      out.iterator
     }
 
     banded.groupByKey(r => (r.band, r.bsig))
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(onBucket)
       .toDF()
+  }
+
+  /** The same bucket state machine on Spark 4's arbitrary-state v2
+    * API ([[org.apache.spark.sql.streaming.StatefulProcessor]] via
+    * `transformWithState`): one ListState row per bucket member
+    * instead of one serialized blob per bucket. That is the 100 TB
+    * win over [[nearDedupStream]] — the state store appends a new
+    * member without rewriting the bucket (RocksDB merge), a hot
+    * bucket's update cost stays O(1) per arrival rather than
+    * O(members), and expiry prunes via timers per bucket. Matching
+    * semantics are [[processBucket]] — literally the same function
+    * the flatMapGroupsWithState face runs, so the two faces cannot
+    * drift; StreamingSpec replays the same corpus through both and
+    * asserts equality with the oracled batch face.
+    *
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`) — transformWithState does
+    * not run on the default HDFS-backed store. */
+  def nearDedupStreamTws(docs: DataFrame, threshold: Double = 0.8,
+                         numPerm: Int = 64, bands: Int = 16,
+                         maxBucket: Int = 1000,
+                         horizon: java.time.Duration =
+                           java.time.Duration.ofHours(1)): DataFrame = {
+    require(maxBucket > 0 && !horizon.isZero && !horizon.isNegative)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val horizonMs = horizon.toMillis
+    bandedRows(docs, numPerm, bands, horizonMs)
+      .groupByKey(r => (r.band, r.bsig))
+      .transformWithState(
+        new NearDupProcessor(threshold, maxBucket, horizonMs),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+  }
+
+  /** The arbitrary-state-v2 bucket state machine behind
+    * [[nearDedupStreamTws]]. State: one ListState row per live bucket
+    * member; timers: one per bucket at (newest member's event time +
+    * horizon), re-armed on every update, clearing the bucket when the
+    * watermark passes it. Members the watermark has already passed
+    * are additionally pruned lazily on access — same two-tier expiry
+    * as the GroupState face. */
+  private class NearDupProcessor(threshold: Double, maxBucket: Int,
+                                 horizonMs: Long)
+      extends StatefulProcessor[(Int, Long), NearDupBandRow, NearDupHit] {
+    @transient private var members: ListState[NearDupMember] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState[NearDupMember]("members",
+        org.apache.spark.sql.Encoders.product[NearDupMember], TTLConfig.NONE)
+
+    override def handleInputRows(key: (Int, Long),
+        rows: Iterator[NearDupBandRow],
+        timers: TimerValues): Iterator[NearDupHit] = {
+      val wm = timers.getCurrentWatermarkInMs()
+      val live = scala.collection.mutable.ArrayBuffer.from(
+        members.get().filter(_.tsMillis >= wm))
+      val ids = scala.collection.mutable.Set.from(live.map(_.doc_id))
+      val out = processBucket(key._1, rows.toSeq, live, ids,
+        threshold, maxBucket)
+      if (live.isEmpty) members.clear()
+      else {
+        // full rewrite here keeps put/get simple; the append-only
+        // fast path (appendValue for admitted members, lazy prune on
+        // read) applies when buckets run hot — correctness is
+        // identical, so start with the simpler shape
+        members.put(live.toArray)
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(live.map(_.tsMillis).max + horizonMs)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: (Int, Long), timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[NearDupHit] = {
+      // the timer was armed at newest-member + horizon: by firing
+      // time every member is past the horizon unless a later arrival
+      // re-armed it (which also replaced the timer) — prune what the
+      // watermark has passed, clear if nothing is left
+      val live = members.get().filter(_.tsMillis >= timers.getCurrentWatermarkInMs()).toArray
+      if (live.isEmpty) members.clear() else members.put(live)
+      Iterator.empty
+    }
   }
 
   /** Batch face of [[nearDedupStream]] for the oracle gate: replayed

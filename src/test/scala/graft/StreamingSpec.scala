@@ -160,12 +160,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming near-dup dedup flags the batch pair set on the sf0.01 corpus") {
+  /** transformWithState runs only on the RocksDB state store. */
+  private def withRocksDbStateStore[T](f: => T): T = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f
+    finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  /** Replay the sf0.01 corpus (arrival order = doc_id order, ts
+    * monotone in doc_id) through a streaming near-dup face and assert
+    * exactly-once emission of exactly the oracled batch pair set. */
+  private def nearDupMatchesBatch(
+      face: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      sink: String): Unit = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    // correctness-gate scale again: the same corpus the oracled
-    // stream_dedup_near entry covers, replayed with arrival order =
-    // doc_id order (ts monotone in doc_id)
     val d = "/root/testdata/sf0.01"
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
     val rows = Tables.documents(spark, d).select("doc_id", "text").collect()
@@ -175,13 +185,12 @@ class StreamingSpec extends SparkSpec {
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, java.sql.Timestamp, String)]
     mem.addData(rows.toIndexedSeq)
-    val q = graft.streaming.DedupStreams
-      .nearDedupStream(mem.toDF().toDF("doc_id", "ts", "text"))
+    val q = face(mem.toDF().toDF("doc_id", "ts", "text"))
       .writeStream.outputMode("append")
-      .format("memory").queryName("neardup_out").start()
+      .format("memory").queryName(sink).start()
     try {
       q.processAllAvailable()
-      val streamed = spark.table("neardup_out").collect()
+      val streamed = spark.table(sink).collect()
         .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
       // exactly-once: no pair may be emitted twice across buckets
       assert(streamed.length === streamed.distinct.length)
@@ -192,7 +201,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("near-dup stream state spans micro-batches and expires with the horizon") {
+  test("streaming near-dup dedup flags the batch pair set on the sf0.01 corpus") {
+    import spark.implicits._
+    nearDupMatchesBatch(
+      df => graft.streaming.DedupStreams.nearDedupStream(df), "neardup_out")
+  }
+
+  test("transformWithState near-dup face flags the same batch pair set") {
+    import spark.implicits._
+    withRocksDbStateStore {
+      nearDupMatchesBatch(
+        df => graft.streaming.DedupStreams.nearDedupStreamTws(df),
+        "neardup_tws_out")
+    }
+  }
+
+  /** The multi-batch scenario both faces must pass identically:
+    * cross-batch bucket state, redelivery no-op, out-of-order
+    * orientation, horizon expiry. */
+  private def nearDupMultiBatch(
+      face: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      sink: String): Unit = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val text = "the quick brown fox jumps over the lazy dog again and again"
@@ -200,11 +229,9 @@ class StreamingSpec extends SparkSpec {
       java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + m * 60000L)
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, java.sql.Timestamp, String)]
-    val q = graft.streaming.DedupStreams
-      .nearDedupStream(mem.toDF().toDF("doc_id", "ts", "text"),
-        horizon = java.time.Duration.ofMinutes(10))
+    val q = face(mem.toDF().toDF("doc_id", "ts", "text"))
       .writeStream.outputMode("append")
-      .format("memory").queryName("neardup_mb").start()
+      .format("memory").queryName(sink).start()
     try {
       // docs 7/8 have < 3 tokens → no shingles: they must be dropped
       // before state (shared null-fed signatures would bucket every
@@ -235,11 +262,25 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       mem.addData((5L, ts(61), text))
       q.processAllAvailable()
-      val out = spark.table("neardup_mb").collect()
+      val out = spark.table(sink).collect()
         .map(r => (r.getLong(0), r.getLong(2)))
       assert(out.toSet === Set((3L, 1L), (6L, 1L), (3L, 6L)))
       assert(out.length === 3) // exactly-once even under redelivery
     } finally q.stop()
+  }
+
+  test("near-dup stream state spans micro-batches and expires with the horizon") {
+    import spark.implicits._
+    nearDupMultiBatch(df => graft.streaming.DedupStreams.nearDedupStream(
+      df, horizon = java.time.Duration.ofMinutes(10)), "neardup_mb")
+  }
+
+  test("transformWithState near-dup: cross-batch state, expiry, redelivery") {
+    import spark.implicits._
+    withRocksDbStateStore {
+      nearDupMultiBatch(df => graft.streaming.DedupStreams.nearDedupStreamTws(
+        df, horizon = java.time.Duration.ofMinutes(10)), "neardup_tws_mb")
+    }
   }
 
   test("stream_dedup batch face: one first-arrival row per key, min event time") {
