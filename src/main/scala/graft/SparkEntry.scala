@@ -186,6 +186,10 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 =!= 0))
     }),
+    // asymmetric containment |A∩R|/|R|: the benchmark-contamination
+    // metric — catches short eval items pasted inside long training
+    // docs that symmetric Jaccard structurally misses
+    "dedup_containment" -> ((s, d) => DedupOps.containment(s, d)),
     // the tiny-reference production shape: broadcast index, corpus
     // never shuffled — same verified-pair contract, same oracle
     "dedup_decontaminate_bcast" -> ((s, d) => {
@@ -746,6 +750,27 @@ object SparkEntry {
         |FROM pairs JOIN sz x ON x.doc_id = pairs.doc_id
         |           JOIN sz y ON y.doc_id = ref_id
         |WHERE common * 1.0 / (x.n + y.n - common) >= 0.8
+        |ORDER BY doc_id, ref_id""".stripMargin,
+    // containment divides by the REFERENCE set size only — the oracle
+    // recomputes it from raw string shingles, filtering on the same
+    // unrounded IEEE ratio the Spark side filters on
+    "dedup_containment" ->
+      """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+        |             FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+        |  FROM tok WHERE len(t) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_id, b.doc_id AS ref_id, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |  GROUP BY 1, 2)
+        |SELECT pairs.doc_id AS doc_id, ref_id,
+        |  round(common * 1.0 / y.n, 4) AS containment
+        |FROM pairs JOIN sz y ON y.doc_id = ref_id
+        |WHERE common * 1.0 / y.n >= 0.6
         |ORDER BY doc_id, ref_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,

@@ -371,6 +371,82 @@ object DedupOps {
       .orderBy(col("doc_id"), col("ref_id"))
   }
 
+  /** Asymmetric n-gram CONTAINMENT decontamination: flag (corpus doc
+    * A, reference item R) whenever |shingles(A) ∩ shingles(R)| / |shingles(R)|
+    * ≥ `threshold`. This is the metric benchmark-contamination checks
+    * actually need: a short eval item pasted verbatim inside a long
+    * training document has containment ≈ 1 while its symmetric
+    * Jaccard ≈ |R|/|A| sits far below any near-dup threshold —
+    * [[decontaminate]] structurally cannot see it.
+    *
+    * Exactness with a one-sided prefix filter (the PPJoin argument
+    * adapted to containment): common ≥ ⌈t·|R|⌉ forces the pair's
+    * FIRST shared shingle — under the global sorted-hash order — to
+    * lie within R's first |R| − ⌈t·|R|⌉ + 1 shingles, so only that
+    * reference prefix is posted. The corpus side posts ALL its
+    * shingles: containment places no lower bound on |A|, so there is
+    * no corpus-side prefix — its posting list is the linear inverted
+    * index. At the first shared shingle (sorted positions pa, pr)
+    * every common shingle lies in both suffixes, giving the exact
+    * positional witness min(|A|−pa, |R|−pr) ≥ ⌈t·|R|⌉. Exact
+    * verification (one allocation-free sorted-merge per candidate)
+    * then decides.
+    *
+    * Scale: join volume is Σ_R prefix(R) × df(shingle) — reference
+    * prefixes against a linear corpus index, no corpus self-join.
+    * `maxDf` > 0 caps a shingle's corpus posting list (deterministic
+    * lowest-ids-win) as the hot-shingle safety valve; unlike the
+    * self-join operators there is no overflow-representative rescue
+    * across two tables, so a capped run is honestly APPROXIMATE
+    * (recall loss on pairs whose every shared prefix shingle is hot) —
+    * the default 0 keeps the operator exact. */
+  def containment(s: SparkSession, d: String, threshold: Double = 0.6,
+                  maxDf: Int = 0): DataFrame = {
+    val docs = Tables.documents(s, d)
+    containmentOn(docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0), threshold, maxDf)
+  }
+
+  /** Same over any (doc_id, text) corpus/reference frames. */
+  def containmentOn(corpus: DataFrame, reference: DataFrame,
+                    threshold: Double = 0.6, maxDf: Int = 0): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"containment threshold must be in (0, 1], got $threshold")
+    val cSets = docShingleSets(corpus).cache()
+    val rSets = docShingleSets(reference).cache()
+    val cPost0 = cSets.select(col("doc_id"), col("n").as("cn"),
+      posexplode(col("hs")).as(Seq("cp", "h")))
+    val cPost =
+      if (maxDf <= 0) cPost0
+      else {
+        val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+        cPost0.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= maxDf).drop("__rn")
+      }
+    val rPrefixLen =
+      (col("n") - ceilSafe(lit(threshold) * col("n")) + 1).cast("int")
+    val rPrefix = rSets.select(col("doc_id").as("ref_id"), col("n").as("rn"),
+      posexplode(slice(col("hs"), lit(1), greatest(rPrefixLen, lit(0))))
+        .as(Seq("rp", "h")))
+    val minCommon = ceilSafe(lit(threshold) * col("rn"))
+    val cand = cPost.join(rPrefix, "h")
+      .filter(least(col("cn") - col("cp"), col("rn") - col("rp")) >= minCommon)
+      .select(col("doc_id"), col("ref_id")).distinct()
+    cand
+      .join(cSets.select(col("doc_id"), col("hs").as("chs")), "doc_id")
+      .join(rSets.select(col("doc_id").as("ref_id"), col("hs").as("rhs"),
+        col("n").as("rn")), "ref_id")
+      .withColumn("__common",
+        graft.functions.SetExprs.sortedIntersectCount(col("chs"), col("rhs")))
+      // filter on the UNROUNDED ratio (same IEEE division the oracle
+      // applies), round only for the output column
+      .withColumn("__c", col("__common").cast("double") / col("rn"))
+      .filter(col("__c") >= threshold)
+      .select(col("doc_id"), col("ref_id"),
+        round(col("__c"), 4).as("containment"))
+      .orderBy(col("doc_id"), col("ref_id"))
+  }
+
   /** Connected components over a near-dup pair graph — the step that
     * turns verified pairs into dedup CLUSTERS (cluster id = minimum
     * member id, the canonical "keep" document). Iterative min-label

@@ -140,6 +140,55 @@ class DedupSpec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("containment catches a short eval item inside a long doc; Jaccard can't") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a 6-token eval item pasted verbatim into a 60-token training
+    // doc: containment = 1.0, Jaccard ≈ 4/56 — the planted case the
+    // asymmetric metric exists for
+    val evalItem = "the capital of france is paris"
+    val filler = (1 to 50).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (2L, s"$filler $evalItem pad1 pad2 pad3 pad4"),
+      (4L, filler)).toDF("doc_id", "text")
+    val reference = Seq(
+      (1L, evalItem),
+      (3L, "an unrelated benchmark question entirely")).toDF("doc_id", "text")
+    val out = DedupOps.containmentOn(corpus, reference, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq((2L, 1L, 1.0)))
+    // the symmetric operator misses it at any realistic threshold
+    assert(DedupOps.decontaminate(corpus, reference, threshold = 0.8).count() === 0)
+  }
+
+  test("containment prefix filter is exact vs the brute-force pair set") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val reference = docs.filter(col("doc_id") % 2 =!= 0)
+    val out = DedupOps.containmentOn(corpus, reference, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force: every cross pair's shingle sets intersected in
+    // driver code, no prefix/positional pruning involved
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[String]] =
+      df.collect().map { r =>
+        val t = r.getString(1).trim.split("\\s+").toSeq
+        r.getLong(0) -> t.sliding(3).filter(_.size == 3)
+          .map(_.mkString(" ")).toSet
+      }.toMap
+    val cs = sets(corpus.select("doc_id", "text"))
+    val rs = sets(reference.select("doc_id", "text"))
+    val brute = (for {
+      (cid, chs) <- cs; (rid, rhs) <- rs
+      if rhs.nonEmpty
+      c = (chs & rhs).size.toDouble / rhs.size
+      if c >= 0.6
+    } yield (cid, rid,
+      BigDecimal(c).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(out === brute)
+    assert(out.nonEmpty)
+  }
+
   test("broadcast decontamination equals the symmetric operator") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf)
