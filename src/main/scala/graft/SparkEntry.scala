@@ -34,6 +34,7 @@ object SparkEntry {
     "q_window_running"   -> (Analytics.windowRunning _),
     "q_topk_per_group"   -> (Analytics.topkPerGroup _),
     "q_rollup"           -> (Analytics.rollupAgg _),
+    "q_grouping_sets"    -> (Analytics.groupingSetsAgg _),
     "q_distinct_count"   -> (Analytics.distinctCount _),
     "q_percentiles"      -> (Analytics.percentiles _),
     // sketch variants — the aggregates that actually run at 100 TB
@@ -89,6 +90,14 @@ object SparkEntry {
     "etl_profile_approx" -> ((s, d) => Analytics.profile(
       Tables.orders(s, d), Seq("o_custkey", "o_orderstatus", "o_totalprice"),
       approx = true)),
+    // SCD2 dimension reconstruction from the events change log:
+    // per-user versions of event_type with validity intervals,
+    // no-op changes collapsed
+    "etl_scd2" -> ((s, d) => Mapping.scd2(
+      Tables.events(s, d).select(col("user_id"), col("event_type"),
+        col("ts"), col("event_id")),
+      keys = Seq("user_id"), attrs = Seq("event_type"),
+      ts = "ts", tie = Seq("event_id"))),
     // §2.1 ETL operators
     "etl_apply_mapping" -> ((s, d) =>
       Mapping.applyMapping(Tables.orders(s, d), Seq(
@@ -373,6 +382,36 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        | coalesce(l_linestatus, 'ALL') AS status,
+        | round(sum(l_extendedprice), 4) AS rev, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_linestatus), ())
+        |ORDER BY flag, status""".stripMargin,
+    // SCD2: both engines collapse no-op changes with a null-safe
+    // lag compare (first row kept explicitly) and derive validity
+    // intervals with lead over the surviving versions; events ts is
+    // nanos → truncate to micros before any windowing
+    "etl_scd2" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |              CAST(ts AS TIMESTAMP_US) AS ts, event_id
+        |            FROM events),
+        |chg AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    (row_number() OVER w = 1 OR
+        |     lag(event_type) OVER w IS DISTINCT FROM event_type) AS keep
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |kept AS (SELECT user_id, event_type, ts, event_id
+        |         FROM chg WHERE keep)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER w2 AS valid_to,
+        |  (lead(ts) OVER w2 IS NULL) AS is_current
+        |FROM kept
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, valid_from""".stripMargin,
     "q_distinct_count" ->
       """SELECT count(DISTINCT user_id) AS users,
         | count(DISTINCT event_type) AS types

@@ -87,6 +87,50 @@ object Mapping {
     * predicate results count as violations (an unknown is not a
     * pass), which is what makes not-null rules expressible as plain
     * predicates. */
+  /** SCD2 (slowly-changing-dimension type 2) reconstruction from a
+    * change log: per key, order the records, COLLAPSE consecutive
+    * records whose tracked attributes did not change (no-op writes —
+    * ubiquitous in CDC feeds — must not open spurious versions), and
+    * emit one row per surviving version with `valid_from` (its
+    * timestamp), `valid_to` (the next version's timestamp, exclusive;
+    * null while current) and `is_current`. The ETL step that turns an
+    * append-only event/CDC stream into the dimension table every
+    * as-of join downstream expects.
+    *
+    * Attribute comparison is NULL-SAFE (`<=>`): a null attribute
+    * equal to the previous null is "no change", and the key's first
+    * record always survives (lag is null, never null-safe-equal to a
+    * value... unless the value is itself null and so is the previous
+    * row's — which cannot happen for a first record since there is no
+    * previous row; `lag` over an absent row yields null and
+    * `null <=> null` would be true, so the first record is kept by an
+    * explicit row-number guard, not by the attribute comparison).
+    * `tie` columns break same-timestamp ordering deterministically.
+    *
+    * Scale: two windows over the SAME (key, order) partitioning — one
+    * shuffle, the second window reuses the sort. */
+  def scd2(df: DataFrame, keys: Seq[String], attrs: Seq[String],
+           ts: String, tie: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty && attrs.nonEmpty, "scd2 needs keys and attrs")
+    import org.apache.spark.sql.expressions.Window
+    val ord = col(ts) +: tie.map(col)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    val changed = attrs.map(a => !(col(a) <=> lag(col(a), 1).over(w)))
+      .reduce(_ || _)
+    val kept = df
+      .withColumn("__first", row_number().over(w) === 1)
+      .withColumn("__chg", col("__first") || changed)
+      .filter(col("__chg"))
+    val w2 = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    kept
+      .withColumn("valid_from", col(ts))
+      .withColumn("valid_to", lead(col(ts), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((keys ++ attrs).map(col) ++
+        Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
+      .orderBy(keys.map(col) :+ col("valid_from"): _*)
+  }
+
   /** The events-table rule set shared by the batch publish gate
     * (etl_expectations adds user_present) and the streaming monitor
     * (stream_expectations) — ONE definition, so retuning a threshold

@@ -194,6 +194,26 @@ object Analytics {
         col("rev"), col("n"))
       .orderBy(col("flag"), col("status"))
 
+  /** Arbitrary GROUPING SETS — the general form `rollup`/`cube`
+    * specialize: {(flag, status), (status), ()} computed in ONE
+    * shuffle (Spark expands the sets map-side; the naive alternative
+    * unions three separate aggregates and re-scans the fact table per
+    * set). The (status)-only set is precisely what rollup cannot
+    * express — the hierarchy inverted. */
+  def groupingSetsAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 4).as("rev"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("rev"), col("n"))
+      .orderBy(col("flag"), col("status"))
+
   /** Exact distinct counts (the oracle-checked half; the HLL
     * approx_count_distinct variant is spec-tested — see
     * AnalyticsSpec — since its value is estimator-specific). */

@@ -67,6 +67,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(grand.head.getAs[Long]("n") === Tables.lineitem(spark, sf).count())
   }
 
+  test("grouping sets: the status-only set rollup can't express is present") {
+    val rows = Analytics.groupingSetsAgg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+    val total = Tables.lineitem(spark, sf).count()
+    // grand total from the () set
+    assert(rows.collect { case ("ALL", "ALL", n) => n }.toSeq === Seq(total))
+    // the inverted-hierarchy set: per-status subtotals with flag=ALL,
+    // each equal to the sum of its (flag, status) leaves
+    val leaves = rows.filter(r => r._1 != "ALL" && r._2 != "ALL")
+    val statusOnly = rows.filter(r => r._1 == "ALL" && r._2 != "ALL")
+    assert(statusOnly.nonEmpty)
+    statusOnly.foreach { case (_, status, n) =>
+      assert(n === leaves.filter(_._2 == status).map(_._3).sum)
+    }
+    // and no flag-only subtotal exists — it is not one of the sets
+    assert(!rows.exists(r => r._1 != "ALL" && r._2 == "ALL"))
+  }
+
   test("approx distinct (HLL) is within 5% of exact") {
     val e = Tables.events(spark, sf)
     val exact  = e.agg(countDistinct(col("user_id"))).first().getLong(0)

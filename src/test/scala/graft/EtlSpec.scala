@@ -85,6 +85,40 @@ class EtlSpec extends SparkSpec {
     assert(tricky === Map("it's `quoted`" -> 2L, "__total" -> 1L))
   }
 
+  test("scd2: versions collapse no-op changes, intervals tile the timeline") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val log = Seq(
+      // user 1: gold → gold (no-op, collapses) → silver → gold
+      (1L, "gold", ts(0), 10L), (1L, "gold", ts(1), 11L),
+      (1L, "silver", ts(2), 12L), (1L, "gold", ts(3), 13L),
+      // user 2: null → null (no-op) → bronze: null-safe compare, and
+      // the FIRST record survives even with a null attribute
+      (2L, null, ts(0), 20L), (2L, null, ts(1), 21L),
+      (2L, "bronze", ts(2), 22L)
+    ).toDF("user_id", "tier", "ts", "change_id")
+    val out = Mapping.scd2(log, keys = Seq("user_id"), attrs = Seq("tier"),
+        ts = "ts", tie = Seq("change_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getBoolean(4)))
+    assert(out.toSeq === Seq(
+      (1L, "gold", ts(0), ts(2), false),
+      (1L, "silver", ts(2), ts(3), false),
+      (1L, "gold", ts(3), null, true),
+      (2L, null, ts(0), ts(2), false),
+      (2L, "bronze", ts(2), null, true)))
+    // interval invariant: per user, valid_to chains to the next
+    // valid_from and exactly one current row exists
+    out.groupBy(_._1).foreach { case (_, vs) =>
+      val sorted = vs.sortBy(_._3.getTime)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 === b._3)
+        case _ =>
+      }
+      assert(vs.count(_._5) === 1)
+      assert(vs.last._4 === null)
+    }
+  }
+
   test("expectations edges: empty rule list refuses, empty frame reports zeros") {
     intercept[IllegalArgumentException] {
       Mapping.expectations(Seq((1, "a")).toDF("v", "k"), Seq.empty)
