@@ -119,6 +119,39 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("containment joins the inverted index on shingle equality — no product") {
+    val docs = Tables.documents(spark, sf)
+    val plan = executedPlan(DedupOps.containmentOn(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0)))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("scd2 runs both windows on ONE exchange of the key partitioning") {
+    val plan = executedPlan(graft.etl.Mapping.scd2(
+      Tables.events(spark, sf).select(col("user_id"), col("event_type"),
+        col("ts"), col("event_id")),
+      keys = Seq("user_id"), attrs = Seq("event_type"),
+      ts = "ts", tie = Seq("event_id")))
+    // the change-collapse window and the validity-interval window
+    // share (key, order): a second hashpartitioning exchange on the
+    // key would mean the reuse regressed to a double shuffle
+    val keyExchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(plan).size
+    assert(keyExchanges === 1,
+      s"expected 1 user_id exchange, got $keyExchanges:\n$plan")
+  }
+
+  test("grouping sets expand map-side: one shuffle, no per-set re-scan") {
+    val plan = executedPlan(Analytics.groupingSetsAgg(spark, sf))
+    // one Expand over one scan feeding one aggregation exchange — the
+    // union-of-aggregates shape would show one scan+exchange per set
+    assert("\\bExpand\\b".r.findAllIn(plan).size === 1, plan)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans === 1, s"expected 1 scan, got $scans:\n$plan")
+  }
+
   test("streaming near-dup batch face stays product-free") {
     val plan = executedPlan(
       graft.streaming.DedupStreams.nearDedupBatch(spark, sf))
