@@ -98,6 +98,26 @@ object SparkEntry {
         col("ts"), col("event_id")),
       keys = Seq("user_id"), attrs = Seq("event_type"),
       ts = "ts", tie = Seq("event_id"))),
+    // MERGE/upsert: a deterministic CDC batch derived from orders —
+    // %5 keys update, %10 keys ALSO delete afterwards (last change
+    // wins), %7 keys re-enter as inserts in a shifted key space
+    "etl_apply_changes" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val upd = base.filter(col("o_orderkey") % 5 === 0).select(
+        col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") + 1000).as("o_totalprice"),
+        lit("U").as("op"), lit(1L).as("seq"))
+      val del = base.filter(col("o_orderkey") % 10 === 0).select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        lit("D").as("op"), lit(2L).as("seq"))
+      val ins = base.filter(col("o_orderkey") % 7 === 0).select(
+        (col("o_orderkey") + 1000000000L).as("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), lit("U").as("op"), lit(1L).as("seq"))
+      Mapping.applyChanges(base, upd.union(del).union(ins),
+        keys = Seq("o_orderkey"), ord = Seq("seq"))
+        .orderBy(col("o_orderkey"))
+    }),
     // §2.1 ETL operators
     "etl_apply_mapping" -> ((s, d) =>
       Mapping.applyMapping(Tables.orders(s, d), Seq(
@@ -390,6 +410,26 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         |                        (l_linestatus), ())
         |ORDER BY flag, status""".stripMargin,
+    "etl_apply_changes" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice,
+        |         'U' AS op, 1 AS seq FROM base WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice, 'D', 2
+        |  FROM base WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000000, o_custkey, o_totalprice, 'U', 1
+        |  FROM base WHERE o_orderkey % 7 = 0),
+        |latest AS (
+        |  SELECT * FROM changes
+        |  QUALIFY row_number() OVER (PARTITION BY o_orderkey
+        |                             ORDER BY seq DESC) = 1)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM base
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM latest WHERE op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
     // SCD2: both engines collapse no-op changes with a null-safe
     // lag compare (first row kept explicitly) and derive validity
     // intervals with lead over the surviving versions; events ts is

@@ -131,6 +131,34 @@ object Mapping {
       .orderBy(keys.map(col) :+ col("valid_from"): _*)
   }
 
+  /** MERGE/upsert — apply a CDC change batch to a snapshot without a
+    * table format: `changes` carries the base's columns plus an op
+    * column ('D' deletes the key; anything else upserts) and ordering
+    * columns; per key only the LATEST change (by `ord`, descending,
+    * row_number-deterministic) applies — a batch that both updates
+    * and then deletes a key must delete it. Keys untouched by any
+    * change pass through via an anti join.
+    *
+    * Scale: one window shuffle over the CHANGE BATCH (typically tiny
+    * vs the snapshot) + one anti join and one union on the base —
+    * with a small batch AQE broadcasts the anti join, so the snapshot
+    * is never shuffled; this is the no-table-format core of what
+    * Delta/Iceberg MERGE INTO executes. */
+  def applyChanges(base: DataFrame, changes: DataFrame, keys: Seq[String],
+                   opCol: String = "op", ord: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && ord.nonEmpty, "applyChanges needs keys and ord")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(ord.map(c => col(c).desc): _*)
+    val latest = changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val dataCols = base.columns.toSeq
+    val untouched = base.join(latest.select(keys.map(col): _*), keys, "left_anti")
+    val upserts = latest.filter(col(opCol) =!= "D")
+      .select(dataCols.map(col): _*)
+    untouched.union(upserts)
+  }
+
   /** The events-table rule set shared by the batch publish gate
     * (etl_expectations adds user_present) and the streaming monitor
     * (stream_expectations) — ONE definition, so retuning a threshold

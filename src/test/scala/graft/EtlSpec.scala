@@ -85,6 +85,21 @@ class EtlSpec extends SparkSpec {
     assert(tricky === Map("it's `quoted`" -> 2L, "__total" -> 1L))
   }
 
+  test("applyChanges: upsert/delete with last-change-wins per key") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (2L, "b2", "U", 1L),           // update
+      (3L, "c2", "U", 1L),           // update...
+      (3L, "ignored", "D", 2L),      // ...then delete: delete wins
+      (4L, "d", "U", 1L),            // insert
+      (4L, "d2", "U", 2L)            // two upserts: latest wins
+    ).toDF("k", "v", "op", "seq")
+    val out = Mapping.applyChanges(base, changes,
+        keys = Seq("k"), ord = Seq("seq"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "a", 2L -> "b2", 4L -> "d2"))
+  }
+
   test("scd2: versions collapse no-op changes, intervals tile the timeline") {
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
     val log = Seq(
