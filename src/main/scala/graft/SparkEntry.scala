@@ -269,6 +269,14 @@ object SparkEntry {
           lit(" acct 9900"), id, lit("77"))))
     }),
     "text_repetition"  -> (TextOps.repetitionScores _),
+    // intra-doc line dedup: the corpus has no newlines, so the entry
+    // PLANTS a boilerplate line (the doc's first 40 chars) twice after
+    // the body — mirrored in the oracle — making the dedup bite on
+    // every row instead of passing text through untouched
+    "text_dedup_lines" -> ((s, d) => TextOps.dedupLinesOn(
+      Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit("\n"), substring(col("text"), 1, 40),
+          lit("\n"), substring(col("text"), 1, 40)).as("text")))),
     // composed end-to-end curation: quality gate → exact dedup →
     // decontamination vs the odd-parity reference corpus
     "curate_corpus" -> ((s, d) => {
@@ -933,6 +941,20 @@ object SparkEntry {
         | round(1 - n_distinct * 1.0 / total, 4) AS dup_2gram_frac,
         | round(top * 1.0 / total, 4) AS top_2gram_frac
         |FROM a ORDER BY doc_id""".stripMargin,
+    // line dedup keeps FIRST occurrences in order: Spark's 0-based
+    // filter-lambda index vs DuckDB's 1-based, hence i+1 vs i against
+    // each engine's 1-based first-position function
+    "text_dedup_lines" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text || chr(10) || substr(text, 1, 40) || chr(10) ||
+        |         substr(text, 1, 40) AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted)
+        |SELECT doc_id, len(ls) AS n_lines,
+        |  len(list_filter(ls, (x, i) -> list_position(ls, x) = i)) AS n_kept,
+        |  array_to_string(list_filter(ls, (x, i) -> list_position(ls, x) = i),
+        |                  chr(10)) AS clean
+        |FROM l ORDER BY doc_id""".stripMargin,
     // Spark ln == DuckDB ln on the same doubles; scores round to 4dp
     // BEFORE ranking (term tiebreak) so rankings are engine-stable.
     // ctxLen literal mirrors TextOps.pack's default (128); the

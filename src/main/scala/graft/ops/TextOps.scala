@@ -324,6 +324,28 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** INTRA-document line dedup — the boilerplate-removal pass web
+    * curation runs before any cross-document dedup: nav bars, cookie
+    * banners, and footer text repeat as identical LINES inside one
+    * page, and removing repeats within the document is row-local
+    * (zero shuffle, scan speed at any corpus width). Keeps each
+    * line's FIRST occurrence, preserving order:
+    * `filter(lines, (l, i) -> array_position(lines, l) == i+1)` —
+    * O(lines²) per document in the worst case, which for real pages
+    * (tens of lines) is far cheaper than any shuffle-based
+    * alternative. Emits (doc_id, n_lines, n_kept, clean). */
+  def dedupLinesOn(docs: DataFrame): DataFrame = {
+    val staged = graft.Tables.spread(docs)
+      .select(col("doc_id"), split(col("text"), "\n").as("ls"))
+    val kept = filter(col("ls"),
+      (l, i) => array_position(col("ls"), l) === i + lit(1))
+    staged
+      .select(col("doc_id"), size(col("ls")).as("n_lines"), kept.as("__k"))
+      .select(col("doc_id"), col("n_lines"), size(col("__k")).as("n_kept"),
+        concat_ws("\n", col("__k")).as("clean"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Winnowing fingerprint (Schleimer et al., SIGMOD'03): hash every
     * k-token shingle, take the minimum hash of each sliding window of
     * w shingles, dedupe — a compact, position-robust signature. The

@@ -66,6 +66,19 @@ class TextOpsSpec extends SparkSpec {
     assert(rebuilt === (1 to 10).map(i => s"t$i").mkString(" "))
   }
 
+  test("line dedup keeps first occurrences in order, drops later repeats") {
+    val docs = Seq(
+      (1L, "nav bar\nreal content\nnav bar\nmore content\nnav bar"),
+      (2L, "only line"),
+      (3L, "a\na\na")).toDF("doc_id", "text")
+    val out = TextOps.dedupLinesOn(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      (1L, 5, 3, "nav bar\nreal content\nmore content"),
+      (2L, 1, 1, "only line"),
+      (3L, 3, 1, "a")))
+  }
+
   test("sequence packing fills every context exactly, spans long docs") {
     val docs = Seq(
       (1L, (1 to 3).map(i => s"a$i").mkString(" ")),  // 3 tokens
