@@ -239,6 +239,9 @@ object SparkEntry {
       DedupOps.embeddingPairsLsh(s, d, threshold = 0.45, nBits = 4, nTables = 4)),
     // §2.5 similarity search
     "ann_bruteforce_topk" -> ((s, d) => SimilarityOps.bruteForceTopK(s, d)),
+    // per-label centroids: float sums are order-dependent, so both
+    // engines sum in exact DECIMAL then divide/round in double once
+    "emb_centroids" -> ((s, d) => SimilarityOps.labelCentroids(s, d)),
     "ann_lsh_topk"        -> ((s, d) => SimilarityOps.lshTopK(s, d)),
     "ann_ivf_topk"        -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
     // §2.6 text analysis
@@ -895,6 +898,18 @@ object SparkEntry {
     "dedup_embedding_lsh" -> graft.ops.SimilarityOps.embeddingLshOracleSql(),
     "ann_lsh_topk" -> graft.ops.SimilarityOps.lshOracleSql(),
     "ann_ivf_topk" -> graft.ops.SimilarityOps.ivfOracleSql(),
+    // exact decimal sums make the partial-aggregation order (and the
+    // engine) irrelevant; one double division + round at the end
+    "emb_centroids" ->
+      """WITH x AS (
+        |  SELECT label, i - 1 AS pos, CAST(embedding[i] AS DECIMAL(20,10)) AS v
+        |  FROM embeddings,
+        |       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i))
+        |SELECT label, pos,
+        |  round(CAST(sum(v) AS DOUBLE) / count(*), 4) AS mean_v,
+        |  count(*) AS n
+        |FROM x GROUP BY label, pos
+        |ORDER BY label, pos""".stripMargin,
     "ann_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
         |           FROM embeddings WHERE vec_id < 10),

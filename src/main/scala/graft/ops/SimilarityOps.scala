@@ -30,6 +30,30 @@ object SimilarityOps {
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
+  /** Per-label embedding centroids — class prototypes / mean pooling:
+    * the building block behind prototype classifiers, IVF coarse
+    * quantizers, and per-class drift monitors. Long format
+    * (label, pos, mean_v, n): one explode + one map-side-combinable
+    * aggregate, shuffle rows = labels × dims regardless of corpus
+    * size.
+    *
+    * Determinism at scale: a float/double SUM across partitions is
+    * order-dependent, and partial-aggregate order is not — so a
+    * straight avg() could hash differently between runs (and between
+    * engines). Summing in DECIMAL(20,10) instead is exact and
+    * associative — any partial-aggregation order yields the same
+    * total — and only then does one double division + 4dp round
+    * happen, identically on both engines. */
+  def labelCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("v").cast("decimal(20,10)")).as("__s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        round(col("__s").cast("double") / col("n"), 4).as("mean_v"), col("n"))
+      .orderBy(col("label"), col("pos"))
+
   /** Exact top-k: broadcast the query set, score every corpus vector,
     * rank per query. */
   def bruteForceTopK(s: SparkSession, d: String,

@@ -13,6 +13,32 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got - 0.5) < 1e-9)
   }
 
+  test("label centroids: exact per-position means, partitioning-invariant") {
+    val out = SimilarityOps.labelCentroids(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    // driver-side reference for one label: sequential exact mean
+    val emb = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getInt(2) -> r.getSeq[Float](1))
+    val label = emb.head._1
+    val vecs = emb.filter(_._1 == label).map(_._2)
+    val dims = vecs.head.length
+    (0 until dims).foreach { p =>
+      // same arithmetic as the operator: exact decimal sum of the
+      // float values, one double division, HALF_UP 4dp
+      val s = vecs.map(v => BigDecimal(v(p).toDouble)
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP)).sum
+      val want = BigDecimal(s.toDouble / vecs.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (got, n) = out((label, p))
+      assert(n === vecs.length)
+      assert(got === want, s"label $label pos $p")
+    }
+    // every (label, pos) cell exists exactly once
+    val labels = emb.map(_._1).distinct
+    assert(out.size === labels.length * dims)
+  }
+
   test("brute force top-k: k results per query, descending, no self-match") {
     val out = SimilarityOps.bruteForceTopK(spark, sf, k = 5, nQueries = 5).collect()
     val byQ = out.groupBy(_.getLong(0))
