@@ -44,11 +44,14 @@ object GraftSession {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-    (requiredConfs ++ extraConfs).foreach { case (k, v) => b.config(k, v) }
+    val all = requiredConfs ++ extraConfs
+    all.foreach { case (k, v) => b.config(k, v) }
     val s = b.getOrCreate()
-    // getOrCreate can return a pre-existing session whose builder confs
-    // were ignored — re-apply the required set so the contract holds
-    configure(s)
+    // getOrCreate can return a pre-existing session whose builder
+    // confs were ignored — re-apply EVERYTHING requested (required
+    // and extra alike: dropping just the extras would silently lose
+    // e.g. Verify's UTC timezone in an embedding JVM)
+    all.foreach { case (k, v) => s.conf.set(k, v) }
     s.sparkContext.setLogLevel("WARN")
     s
   }

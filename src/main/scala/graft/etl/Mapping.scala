@@ -121,10 +121,9 @@ object Mapping {
       .withColumn("__first", row_number().over(w) === 1)
       .withColumn("__chg", col("__first") || changed)
       .filter(col("__chg"))
-    val w2 = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
     kept
       .withColumn("valid_from", col(ts))
-      .withColumn("valid_to", lead(col(ts), 1).over(w2))
+      .withColumn("valid_to", lead(col(ts), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
       .select((keys ++ attrs).map(col) ++
         Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
@@ -154,7 +153,10 @@ object Mapping {
       .filter(col("__rn") === 1)
     val dataCols = base.columns.toSeq
     val untouched = base.join(latest.select(keys.map(col): _*), keys, "left_anti")
-    val upserts = latest.filter(col(opCol) =!= "D")
+    // null-safe: a change row with a NULL op must upsert ("anything
+    // else upserts"), not null-kill the filter and silently DELETE
+    // the key (its key is already gone from `untouched`)
+    val upserts = latest.filter(!(col(opCol) <=> lit("D")))
       .select(dataCols.map(col): _*)
     untouched.union(upserts)
   }

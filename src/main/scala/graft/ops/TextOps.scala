@@ -335,8 +335,12 @@ object TextOps {
     * (tens of lines) is far cheaper than any shuffle-based
     * alternative. Emits (doc_id, n_lines, n_kept, clean). */
   def dedupLinesOn(docs: DataFrame): DataFrame = {
+    // null text behaves like the empty string (one empty line kept),
+    // matching chunkOn/packOn — split(null) would otherwise propagate
+    // NULL into legacy size() = -1 counts
     val staged = graft.Tables.spread(docs)
-      .select(col("doc_id"), split(col("text"), "\n").as("ls"))
+      .select(col("doc_id"),
+        split(coalesce(col("text"), lit("")), "\n").as("ls"))
     val kept = filter(col("ls"),
       (l, i) => array_position(col("ls"), l) === i + lit(1))
     staged

@@ -366,12 +366,12 @@ object DedupStreams extends Serializable {
 
     override def handleExpiredTimer(key: (Int, Long), timers: TimerValues,
         info: ExpiredTimerInfo): Iterator[NearDupHit] = {
-      // the timer was armed at newest-member + horizon: by firing
-      // time every member is past the horizon unless a later arrival
-      // re-armed it (which also replaced the timer) — prune what the
-      // watermark has passed, clear if nothing is left
-      val live = members.get().filter(_.tsMillis >= timers.getCurrentWatermarkInMs()).toArray
-      if (live.isEmpty) members.clear() else members.put(live)
+      // the single timer is deleted and re-armed at newest-member +
+      // horizon on every update, so at fire time the watermark has
+      // necessarily passed EVERY member — the whole bucket clears (no
+      // partial-prune branch exists on this path; lazy pruning in
+      // handleInputRows covers mid-horizon access)
+      members.clear()
       Iterator.empty
     }
   }

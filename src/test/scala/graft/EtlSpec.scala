@@ -98,6 +98,14 @@ class EtlSpec extends SparkSpec {
         keys = Seq("k"), ord = Seq("seq"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out === Map(1L -> "a", 2L -> "b2", 4L -> "d2"))
+    // a NULL op is "anything else" → upsert, never a silent delete
+    // (a null-killed filter would drop the key entirely: its key is
+    // already excluded from the untouched side by the anti join)
+    val nullOp = Seq((1L, "a2", null: String, 1L)).toDF("k", "v", "op", "seq")
+    val out2 = Mapping.applyChanges(base, nullOp,
+        keys = Seq("k"), ord = Seq("seq"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2 === Map(1L -> "a2", 2L -> "b", 3L -> "c"))
   }
 
   test("scd2: versions collapse no-op changes, intervals tile the timeline") {

@@ -77,6 +77,11 @@ class TextOpsSpec extends SparkSpec {
       (1L, 5, 3, "nav bar\nreal content\nmore content"),
       (2L, 1, 1, "only line"),
       (3L, 3, 1, "a")))
+    // null text = empty text (one empty line), same as chunkOn/packOn
+    val withNull = TextOps.dedupLinesOn(
+        Seq((4L, null: String)).toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(withNull.toSeq === Seq((4L, 1, 1, "")))
   }
 
   test("sequence packing fills every context exactly, spans long docs") {
