@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -170,6 +170,67 @@ object Sources {
       if (numFiles > 0) df.repartitionByRange(numFiles, cols: _*)
       else df.repartitionByRange(cols: _*)
     ranged.sortWithinPartitions(cols: _*)
+      .write.mode("overwrite").options(writerOptions).parquet(path)
+  }
+
+  /** Multi-column data skipping: Z-ORDER layout. A linear sort
+    * ([[writeSorted]]) gives tight row-group min/max on its LEADING
+    * column only — a predicate on any other clustered column still
+    * scans everything, because every row group spans that column's
+    * full range. Interleaving the bits of each column's normalized
+    * code into one z-value and sorting by THAT maps each row group to
+    * a compact cell of the multi-dimensional space, so min/max stats
+    * become selective for EVERY z-column at once (each column's range
+    * within a group shrinks ~K^(1/d) instead of not at all).
+    *
+    * Codes here are min/max-normalized `bitsPerCol`-bit integers from
+    * one broadcast stats aggregate — two passes total (stats + write),
+    * no extra shuffle beyond the range partition the write needs
+    * anyway. Min/max normalization is skew-sensitive; the production
+    * upgrade is rank/quantile codes (sample-based range ids, as table
+    * formats' OPTIMIZE implementations use) — same interleave, same
+    * layout machinery, one more sampling pass. The interleave itself
+    * is plain shift/or arithmetic, fully codegen'd.
+    *
+    * Numeric columns only (cast to double for normalization). */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+                    numFiles: Int = 0, bitsPerCol: Int = 16,
+                    writerOptions: Map[String, String] = Map.empty): Unit = {
+    require(zCols.size >= 2, "z-order needs at least 2 columns (use writeSorted for 1)")
+    require(bitsPerCol > 0 && zCols.size * bitsPerCol <= 63,
+      s"${zCols.size} cols × $bitsPerCol bits must fit a signed long")
+    val aggCols = zCols.flatMap(c =>
+      Seq(min(col(c)).cast("double").as(s"__lo_$c"),
+        max(col(c)).cast("double").as(s"__hi_$c")))
+    val stats = df.agg(aggCols.head, aggCols.tail: _*)
+    val maxCode = (1L << bitsPerCol) - 1
+    // per-column code: floor((v-lo)/(hi-lo) * maxCode), clamped; a
+    // constant column (hi == lo) codes to 0
+    def code(c: String): Column =
+      when(col(s"__hi_$c") === col(s"__lo_$c"), lit(0L))
+        .otherwise(least(lit(maxCode), greatest(lit(0L),
+          floor((col(c).cast("double") - col(s"__lo_$c")) * maxCode /
+            (col(s"__hi_$c") - col(s"__lo_$c"))).cast("long"))))
+    // interleave: bit i of column j lands at position i*d + j, so the
+    // HIGH bits of every column share the top of the z-value — the
+    // property that makes the curve locality-preserving
+    val d = zCols.size
+    val zExpr = (0 until bitsPerCol).foldLeft(lit(0L)) { (acc, i) =>
+      zCols.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(col(s"__code_$c"), i).bitwiseAND(lit(1L)),
+          i * d + j))
+      }
+    }
+    val coded = df.crossJoin(broadcast(stats))
+      .select(df.columns.map(col) ++
+        zCols.map(c => code(c).as(s"__code_$c")): _*)
+      .withColumn("__z", zExpr)
+    val ranged =
+      if (numFiles > 0) coded.repartitionByRange(numFiles, col("__z"))
+      else coded.repartitionByRange(col("__z"))
+    ranged.sortWithinPartitions(col("__z"))
+      .select(df.columns.map(col): _*)
       .write.mode("overwrite").options(writerOptions).parquet(path)
   }
 

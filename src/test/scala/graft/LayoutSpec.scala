@@ -74,4 +74,51 @@ class LayoutSpec extends SparkSpec {
       assert(sortedScanned >= sortedKeys.size)
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
+
+  test("z-order: BOTH clustered columns skip; linear sort only its leading one") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // 2-D uniform points whose two coordinates are independent of
+      // insertion order and of each other
+      val data = spark.range(200000).select(
+        col("id"),
+        pmod(xxhash64(col("id")), lit(100000L)).as("x"),
+        pmod(xxhash64(col("id"), lit(1)), lit(100000L)).as("y"))
+      val opts = Map(
+        "parquet.block.size" -> (64 * 1024).toString,
+        "parquet.page.size" -> (8 * 1024).toString)
+      Sources.writeSorted(data, s"$dir/linear", Seq("x"),
+        numFiles = 4, writerOptions = opts)
+      Sources.writeZOrdered(data, s"$dir/z", Seq("x", "y"),
+        numFiles = 4, writerOptions = opts)
+
+      // ~6% selectivity on each axis
+      def onY(path: String) = spark.read.parquet(path)
+        .filter(col("y") >= 50000L && col("y") < 56000L).select(col("id"))
+      def onX(path: String) = spark.read.parquet(path)
+        .filter(col("x") >= 50000L && col("x") < 56000L).select(col("id"))
+
+      val (linYKeys, linYScan) = runAndMeasure(onY(s"$dir/linear"))
+      val (zYKeys, zYScan) = runAndMeasure(onY(s"$dir/z"))
+      val (linXKeys, linXScan) = runAndMeasure(onX(s"$dir/linear"))
+      val (zXKeys, zXScan) = runAndMeasure(onX(s"$dir/z"))
+
+      // identical answers from identical data on every path
+      assert(zYKeys === linYKeys && zXKeys === linXKeys)
+      assert(zYKeys.nonEmpty && zXKeys.nonEmpty)
+      // x-sorted layout: y spans the full range in every row group —
+      // nothing skips on the non-leading column
+      assert(linYScan === 200000L, s"linear layout scanned $linYScan on y")
+      // z-order: each row group is a compact cell of (x, y) space, so
+      // the y predicate prunes groups too — at least 2x here, ~4-8x
+      // at this shape
+      assert(zYScan * 2 < linYScan,
+        s"z-order scanned $zYScan of $linYScan on the second column")
+      // and x skips on BOTH layouts (linear is best on its leading
+      // column; z still prunes substantially)
+      assert(linXScan * 4 < 200000L, s"linear scanned $linXScan on x")
+      assert(zXScan * 2 < 200000L, s"z-order scanned $zXScan on x")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
 }
