@@ -201,6 +201,10 @@ object SparkEntry {
     }),
     "forecast_snaive"   -> ((s, d) => Forecast.seasonalNaive(s, d)),
     "forecast_eval"     -> (Forecast.evaluate _),
+    // Holt-Winters: the per-series recursion replays EXACTLY in a
+    // DuckDB recursive CTE (identical IEEE expression order), so even
+    // this sequential classical model is hash-oracled
+    "forecast_hw"       -> ((s, d) => Forecast.holtWinters(s, d)),
     // §2.4 deduplication
     "dedup_exact"         -> (DedupOps.exact _),
     "dedup_minhash"       -> ((s, d) => DedupOps.minhashLsh(s, d)),
@@ -672,6 +676,44 @@ object SparkEntry {
         | CASE WHEN day > (SELECT max(day) FROM daily) - INTERVAL 14 DAY
         |      THEN 'test' ELSE 'train' END AS split
         |FROM daily ORDER BY day""".stripMargin,
+    // the recursion carries (level, trend, rotating seasonal LIST)
+    // through a recursive CTE; every arithmetic expression is written
+    // in the Scala implementation's exact order — including (1 - 0.3)
+    // kept as a subtraction, because the literal 0.7 is a DIFFERENT
+    // IEEE double — so the 4dp forecasts hash-match
+    "forecast_hw" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP_US)) AS day,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (
+        |  SELECT event_type, list(cnt ORDER BY day) AS ys, count(*) AS n
+        |  FROM daily GROUP BY 1),
+        |init AS (
+        |  SELECT event_type, ys, n,
+        |    list_avg(ys[1:7]) AS level,
+        |    (list_avg(ys[8:14]) - list_avg(ys[1:7])) / 7 AS trend,
+        |    list_transform(range(1, 8), i -> ys[i] - list_avg(ys[1:7])) AS seas,
+        |    7 AS t
+        |  FROM ser WHERE n >= 14),
+        |step AS (
+        |  SELECT event_type, ys, n, level, trend, seas, t FROM init
+        |  UNION ALL
+        |  SELECT event_type, ys, n,
+        |    0.3*(ys[t+1] - seas[(t % 7) + 1]) + (1 - 0.3)*(level + trend),
+        |    0.1*((0.3*(ys[t+1] - seas[(t % 7) + 1]) + (1 - 0.3)*(level + trend))
+        |         - level) + (1 - 0.1)*trend,
+        |    list_transform(seas, (x, i) -> CASE WHEN i = (t % 7) + 1
+        |      THEN 0.2*(ys[t+1] - (0.3*(ys[t+1] - seas[(t % 7) + 1])
+        |                           + (1 - 0.3)*(level + trend))) + (1 - 0.2)*x
+        |      ELSE x END),
+        |    t + 1
+        |  FROM step WHERE t < n),
+        |fin AS (SELECT * FROM step WHERE t = n)
+        |SELECT event_type, h,
+        |  round(level + h * trend + seas[((n + h - 1) % 7) + 1], 4) AS pred
+        |FROM fin, LATERAL (SELECT unnest(range(1, 8)) AS h)
+        |ORDER BY event_type, h""".stripMargin,
     "forecast_snaive" ->
       """WITH daily AS (
         |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,

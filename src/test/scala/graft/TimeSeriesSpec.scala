@@ -214,4 +214,37 @@ class TimeSeriesSpec extends SparkSpec {
       assert(cov >= 0 && cov <= 1)
     }
   }
+
+  test("holtWinters matches a driver-side replay of the same recursion") {
+    import org.apache.spark.sql.functions.{col, count, date_trunc, lit}
+    val out = Forecast.holtWinters(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val daily = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(1), r.getTimestamp(0).getTime, r.getLong(2)))
+    val types = daily.map(_._1).distinct.sorted
+    // horizon rows per series, for every series long enough
+    assert(out.keys.map(_._1).toSet === types.toSet)
+    assert(out.size === types.length * 7)
+    // independent sequential replay for one series
+    val t0 = types.head
+    val ys = daily.filter(_._1 == t0).sortBy(_._2).map(_._3.toDouble)
+    assert(ys.length >= 14)
+    var level = ys.take(7).sum / 7
+    var trend = (ys.slice(7, 14).sum / 7 - level) / 7
+    val seas = Array.tabulate(7)(i => ys(i) - level)
+    for (t <- 7 until ys.length) {
+      val y = ys(t); val sOld = seas(t % 7)
+      val nl = 0.3 * (y - sOld) + (1 - 0.3) * (level + trend)
+      trend = 0.1 * (nl - level) + (1 - 0.1) * trend
+      seas(t % 7) = 0.2 * (y - nl) + (1 - 0.2) * sOld
+      level = nl
+    }
+    (1 to 7).foreach { h =>
+      val want = BigDecimal(level + h * trend + seas((ys.length + h - 1) % 7))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out((t0, h)) === want, s"h=$h")
+    }
+  }
 }
