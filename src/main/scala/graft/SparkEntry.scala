@@ -164,6 +164,7 @@ object SparkEntry {
     // §2.3 time series + forecast
     "ts_resample_daily" -> (TimeSeriesOps.resampleDaily _),
     "ts_rolling"        -> ((s, d) => TimeSeriesOps.rollingFeatures(s, d)),
+    "ts_anomaly"        -> ((s, d) => TimeSeriesOps.anomalyZScore(s, d)),
     "ts_lag_features"   -> ((s, d) => TimeSeriesOps.lagFeatures(s, d)),
     // daily mean value per type with synthetic outage days planted
     // (every day-of-month divisible by 5 removed, identically in the
@@ -647,6 +648,29 @@ object SparkEntry {
         |FROM daily
         |WINDOW w AS (PARTITION BY event_type ORDER BY day
         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
+    // trailing-window z-score; both engines share the stddev_samp
+    // parity ts_rolling already relies on, the zero-variance window
+    // pins z = 0, and warm-up days (partial window) emit nothing
+    "ts_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |f AS (
+        |  SELECT event_type, day, cnt,
+        |    row_number() OVER wn AS n,
+        |    avg(cnt) OVER w AS mean,
+        |    coalesce(stddev_samp(cnt) OVER w, 0.0) AS sd
+        |  FROM daily
+        |  WINDOW wn AS (PARTITION BY event_type ORDER BY day),
+        |         w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, day, cnt,
+        |  round(CASE WHEN sd = 0 THEN 0.0 ELSE (cnt - mean) / sd END, 4) AS z,
+        |  (abs(CASE WHEN sd = 0 THEN 0.0 ELSE (cnt - mean) / sd END) >= 2.0)
+        |    AS is_anomaly
+        |FROM f WHERE n >= 7
         |ORDER BY event_type, day""".stripMargin,
     "ts_lag_features" ->
       """WITH daily AS (

@@ -186,6 +186,35 @@ object TimeSeriesOps {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Per-series anomaly detection: z-score of each day's count
+    * against its TRAILING window (the only window an online monitor
+    * has — a centered window would peek at the future). Days whose
+    * window isn't full yet emit no judgment (z needs a stable std),
+    * and a zero-variance window yields z = 0 rather than a NaN
+    * division. One shuffle on the series key, same partitioning as
+    * every other per-series feature — at scale this composes with
+    * them into a single window stage. */
+  def anomalyZScore(s: SparkSession, d: String, windowDays: Int = 7,
+                    threshold: Double = 2.0): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-(windowDays - 1), 0)
+    val wN = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val z = when(col("__sd") === 0, lit(0.0))
+      .otherwise((col("cnt") - col("__mean")) / col("__sd"))
+    daily
+      .withColumn("__n", row_number().over(wN))
+      .withColumn("__mean", avg(col("cnt")).over(w))
+      .withColumn("__sd", coalesce(stddev_samp(col("cnt")).over(w), lit(0.0)))
+      .filter(col("__n") >= windowDays)
+      .select(col("event_type"), col("day"), col("cnt"),
+        round(z, 4).as("z"),
+        (abs(z) >= threshold).as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Lag/delta features per series: previous-day count, day-over-day
     * delta, and percent change — the residual features the reference's
     * seasonal-naive forecast builds on. Same single shuffle shape. */

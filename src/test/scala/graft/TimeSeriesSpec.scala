@@ -215,6 +215,38 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("anomaly z-scores: planted spike flags, flat series never does") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Timestamp.valueOf(s"2024-01-$s 00:00:00")
+    // build a synthetic daily frame through the same shape the op
+    // aggregates to, via raw events: 9 quiet days then a 100x spike,
+    // and a perfectly flat series that must yield z = 0 (not NaN)
+    val events = (
+      (1 to 9).flatMap(i => Seq.fill(10)(("spiky", d(f"$i%02d")))) ++
+        Seq.fill(1000)(("spiky", d("10"))) ++
+        (1 to 10).flatMap(i => Seq.fill(5)(("flat", d(f"$i%02d"))))
+      ).toDF("event_type", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("graft-anom").toString
+    // route through the real operator by writing a tiny events table
+    // in the testdata's shape: ts stored as epoch-NANOS long (what
+    // Tables.events truncates back to micros)
+    events.withColumn("ts", unix_micros(col("ts")) * 1000)
+      .withColumn("event_id", monotonically_increasing_id())
+      .withColumn("user_id", lit(1L)).withColumn("value", lit(1.0))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = TimeSeriesOps.anomalyZScore(spark, dir).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(3), r.getBoolean(4)))
+    // warm-up: first 6 days of each series emit nothing
+    assert(out.count(_._1 == "spiky") === 4)
+    assert(out.count(_._1 == "flat") === 4)
+    // the spike day flags, its quiet predecessors don't
+    val spikeDay = out.filter(t => t._1 == "spiky" && t._2 == d("10"))
+    assert(spikeDay.length === 1 && spikeDay.head._4 && spikeDay.head._3 > 2)
+    assert(out.filter(t => t._1 == "spiky" && t._2 != d("10")).forall(!_._4))
+    // flat series: zero variance pins z = 0, never NaN, never a flag
+    assert(out.filter(_._1 == "flat").forall(t => t._3 === 0.0 && !t._4))
+  }
+
   test("holtWinters matches a driver-side replay of the same recursion") {
     import org.apache.spark.sql.functions.{col, count, date_trunc, lit}
     val out = Forecast.holtWinters(spark, sf).collect()
