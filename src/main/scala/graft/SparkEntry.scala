@@ -247,6 +247,10 @@ object SparkEntry {
     // per-label centroids: float sums are order-dependent, so both
     // engines sum in exact DECIMAL then divide/round in double once
     "emb_centroids" -> ((s, d) => SimilarityOps.labelCentroids(s, d)),
+    // PQ: 32x-compressed codes + ADC shortlist + exact rescore; the
+    // fit/encode/ADC pipeline is bit-stable (4dp + float-cast means +
+    // DECIMAL partial sums), so the whole tier is SQL-replicable
+    "ann_pq_topk" -> ((s, d) => SimilarityOps.pqTopK(s, d)),
     "ann_lsh_topk"        -> ((s, d) => SimilarityOps.lshTopK(s, d)),
     "ann_ivf_topk"        -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
     // §2.6 text analysis
@@ -964,6 +968,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> graft.ops.SimilarityOps.embeddingLshOracleSql(),
     "ann_lsh_topk" -> graft.ops.SimilarityOps.lshOracleSql(),
     "ann_ivf_topk" -> graft.ops.SimilarityOps.ivfOracleSql(),
+    "ann_pq_topk" -> graft.ops.SimilarityOps.pqOracleSql(),
     // exact decimal sums make the partial-aggregation order (and the
     // engine) irrelevant; one double division + round at the end
     "emb_centroids" ->

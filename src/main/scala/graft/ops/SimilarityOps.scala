@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
-  * Three tiers:
+  * Four tiers:
   *  - brute force: broadcast the (small) query set against the
   *    corpus — the exact baseline; corpus is never self-joined.
   *  - LSH: random-hyperplane buckets shared by queries and corpus —
@@ -15,6 +15,9 @@ import org.apache.spark.sql.functions._
   *  - IVF: one k-means-lite assignment pass builds centroid cells;
   *    queries probe their nearest cell(s) only. Two-stage top-k
   *    (cell-local then global) keeps the shuffle narrow.
+  *  - PQ: vectors compressed to per-subspace codes; queries rank by
+  *    ADC table lookups and exactly rescore only the short list —
+  *    the tier whose index still fits in memory at 100 TB.
   */
 object SimilarityOps {
 
@@ -188,6 +191,104 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Product quantization (PQ) — the memory-compression tier of ANN:
+    * each vector is stored as `m` small codes (here 8 × one-of-16 =
+    * 8 bytes) instead of `dim` floats (256 bytes), and queries rank
+    * candidates from a per-query distance TABLE (ADC: the approx dot
+    * product is the sum of m table lookups) before exactly rescoring
+    * only the short list. At 100 TB this is the difference between an
+    * index that fits in executor memory and one that doesn't — 32×
+    * compression here, and the scan side never touches raw vectors
+    * until the rescore join.
+    *
+    * Fit mirrors the IVF recipe one level down: per SUBSPACE, seed
+    * codewords from the first `nCodes` vectors' slices, one
+    * refinement pass (assign by 4dp-rounded squared L2 with lowest-
+    * code tiebreak → element-wise means cast to FLOAT), then encode.
+    * The 4dp rounding + float cast make the fit bit-stable across
+    * engines and summation orders — the same precision contract the
+    * IVF oracle relies on — so the whole pipeline (fit, codes, ADC,
+    * rescore) is exactly SQL-replicable. ADC partial scores are
+    * 4dp-rounded then summed as DECIMAL: exact and associative, so
+    * the candidate ranking cannot depend on partial-agg order. */
+  def pqTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 10,
+             m: Int = 8, nCodes: Int = 16, rerank: Int = 50): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    val emb = Tables.embeddings(s, d).cache()
+
+    // one row per (vector, subspace): the slice the codebook quantizes
+    def subvecs(df: DataFrame, idOut: String): DataFrame =
+      df.select(col("vec_id").as(idOut),
+          explode(sequence(lit(0), lit(m - 1))).as("j"),
+          col("embedding"))
+        .withColumn("sv", expr(s"slice(embedding, j * $sub + 1, $sub)"))
+        .drop("embedding")
+    val corpusSub = subvecs(emb, "vec_id").cache()
+
+    // 4dp-rounded squared L2 from the codegen'd dot kernel, written
+    // (a·a + c·c) − 2(a·c) so the oracle can mirror the exact IEEE
+    // evaluation order
+    def d2(a: Column, c: Column): Column =
+      round(graft.functions.VectorExprs.dotProduct(a, a) + graft.functions.VectorExprs.dotProduct(c, c)
+        - lit(2) * graft.functions.VectorExprs.dotProduct(a, c), 4)
+
+    // nearest codeword per (vector, subspace) — min_by keeps the
+    // shuffle at one narrow row per subvector (the IVF argmax shape)
+    def assign(codebook: DataFrame): DataFrame =
+      corpusSub.join(broadcast(codebook), "j")
+        .withColumn("__d2", d2(col("sv"), col("cw")))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(first(col("sv")).as("sv"),
+          min_by(col("code"), struct(col("__d2"), col("code"))).as("code"))
+
+    val seeds = corpusSub.filter(col("vec_id") < nCodes)
+      .select(col("j"), col("vec_id").cast("int").as("code"), col("sv").as("cw"))
+    // one refinement pass: element-wise member means per (subspace,
+    // code), cast to FLOAT so last-ulp summation-order noise cannot
+    // survive into the refined codebook
+    val refined = assign(seeds)
+      .select(col("j"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy(col("j"), col("code"), col("pos")).agg(avg(col("v")).as("mv"))
+      .groupBy(col("j"), col("code"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+      .select(col("j"), col("code"),
+        transform(col("pm"), x => x.getField("mv")).cast("array<float>").as("cw"))
+    val codes = assign(refined).select(col("vec_id"), col("j"), col("code"))
+
+    // ADC: per-query distance table (m × nCodes dot products), then
+    // the approx dot of every corpus vector is a sum of m lookups —
+    // DECIMAL so the sum is exact under any aggregation order
+    val dtable = subvecs(emb.filter(col("vec_id") < nQueries), "q_id")
+      .join(broadcast(refined), "j")
+      .select(col("q_id"), col("j"), col("code"),
+        round(graft.functions.VectorExprs.dotProduct(col("sv"), col("cw")), 4)
+          .cast("decimal(14,4)").as("qdot"))
+    val wA = Window.partitionBy(col("q_id"))
+      .orderBy(col("adot").desc, col("vec_id"))
+    val shortlist = codes.join(broadcast(dtable), Seq("j", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("qdot")).as("adot"))
+      .withColumn("__r", row_number().over(wA))
+      .filter(col("__r") <= rerank)
+      .select(col("q_id"), col("vec_id"))
+
+    // exact rescore of the short list only — output scores are true
+    // cosines, PQ decided only WHICH vectors got scored
+    val wK = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    shortlist
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   // ---- SQL oracle generators ------------------------------------------
   //
   // The LSH/IVF paths are deterministic (fixed-seed planes, seed-vector
@@ -257,6 +358,55 @@ object SimilarityOps {
 
   /** DuckDB replica of ivfTopK: same seed cells, one rounded-similarity
     * assignment pass, float-cast centroid means, multi-probe search. */
+  /** DuckDB replica of pqTopK — the whole pipeline (seed codebooks,
+    * refinement with FLOAT-cast means, encoding, DECIMAL ADC, exact
+    * rescore) step for step, same 4dp rounding and tiebreaks. */
+  private[graft] def pqOracleSql(k: Int = 5, nQueries: Int = 10,
+                                 m: Int = 8, nCodes: Int = 16,
+                                 rerank: Int = 50): String = {
+    val sub = dim / m
+    val avgs = (1 to sub).map(i => s"avg(sv[$i])").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |sv AS (SELECT vec_id, j, emb[j*$sub+1 : j*$sub+$sub] AS sv
+       |       FROM e, LATERAL (SELECT unnest(range(0, $m)) AS j)),
+       |seeds AS (SELECT j, CAST(vec_id AS INT) AS code, sv AS cw
+       |          FROM sv WHERE vec_id < $nCodes),
+       |a1 AS (SELECT s.vec_id, s.j, s.sv, c.code,
+       |    round(list_dot_product(s.sv, s.sv) + list_dot_product(c.cw, c.cw)
+       |          - 2 * list_dot_product(s.sv, c.cw), 4) AS d2
+       |  FROM sv s JOIN seeds c ON s.j = c.j),
+       |a1r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, j
+       |          ORDER BY d2, code) AS rnk FROM a1),
+       |m1 AS (SELECT vec_id, j, sv, code FROM a1r WHERE rnk = 1),
+       |cw AS (SELECT j, code,
+       |    CAST(CAST([$avgs] AS FLOAT[]) AS DOUBLE[]) AS cw
+       |  FROM m1 GROUP BY j, code),
+       |a2 AS (SELECT s.vec_id, s.j, c.code,
+       |    round(list_dot_product(s.sv, s.sv) + list_dot_product(c.cw, c.cw)
+       |          - 2 * list_dot_product(s.sv, c.cw), 4) AS d2
+       |  FROM sv s JOIN cw c ON s.j = c.j),
+       |a2r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, j
+       |          ORDER BY d2, code) AS rnk FROM a2),
+       |codes AS (SELECT vec_id, j, code FROM a2r WHERE rnk = 1),
+       |dt AS (SELECT q.vec_id AS q_id, q.j, c.code,
+       |    CAST(round(list_dot_product(q.sv, c.cw), 4) AS DECIMAL(14,4)) AS qdot
+       |  FROM sv q JOIN cw c ON q.j = c.j WHERE q.vec_id < $nQueries),
+       |ap AS (SELECT q_id, vec_id, sum(qdot) AS adot
+       |  FROM codes JOIN dt USING (j, code) WHERE vec_id <> q_id
+       |  GROUP BY 1, 2),
+       |apr AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |          ORDER BY adot DESC, vec_id) AS r FROM ap),
+       |cand AS (SELECT q_id, vec_id FROM apr WHERE r <= $rerank),
+       |resc AS (SELECT s.q_id, s.vec_id,
+       |    round(list_cosine_similarity(qe.emb, ce.emb), 4) AS cosine
+       |  FROM cand s JOIN e ce ON ce.vec_id = s.vec_id
+       |              JOIN e qe ON qe.vec_id = s.q_id),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cosine DESC, vec_id) AS rank FROM resc)
+       |SELECT q_id, vec_id, cosine, rank FROM rk
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
+
   private[graft] def ivfOracleSql(k: Int = 5, nQueries: Int = 10,
                                   nProbe: Int = 2): String = {
     val avgs = (1 to dim).map(i => s"avg(emb[$i])").mkString(", ")

@@ -39,6 +39,26 @@ class SimilaritySpec extends SparkSpec {
     assert(out.size === labels.length * dims)
   }
 
+  test("PQ top-k: exact rescored scores, shape, and recall vs brute force") {
+    val pq = SimilarityOps.pqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byQ = pq.groupBy(_._1)
+    assert(byQ.size === 10)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_._4).sorted.toSeq === (1 to 5))
+      // scores are TRUE cosines (rescored), so they rank descending
+      assert(rows.sortBy(_._4).map(_._3).toSeq ===
+        rows.map(_._3).sorted.reverse.toSeq)
+      assert(rows.forall(r => r._2 != r._1)) // no self-match
+    }
+    // the ADC shortlist must keep most true neighbors: measured 0.84
+    // at this SF with rerank=50, asserted with margin
+    val bf = SimilarityOps.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = pq.map(r => (r._1, r._2)).toSet
+    assert((bf & hits).size.toDouble / bf.size >= 0.7)
+  }
+
   test("brute force top-k: k results per query, descending, no self-match") {
     val out = SimilarityOps.bruteForceTopK(spark, sf, k = 5, nQueries = 5).collect()
     val byQ = out.groupBy(_.getLong(0))
