@@ -32,6 +32,15 @@ object SparkEntry {
     "q_semi_join"        -> (Analytics.semiJoin _),
     "q_anti_join"        -> (Analytics.antiJoin _),
     "q_window_running"   -> (Analytics.windowRunning _),
+    "q_rank_functions"   -> (Analytics.rankFunctions _),
+    "q_window_time_range" -> ((s, d) => Analytics.windowTimeRange(s, d)),
+    // melt = the inverse of the wide pivot: zero-shuffle map-side
+    // expansion, not a UNION of per-column re-scans
+    "etl_melt" -> ((s, d) => Mapping.melt(
+      graft.ops.TimeSeriesOps.pivotWide(s, d), ids = Seq("day"),
+      values = Seq("error", "purchase", "signup", "browse"),
+      varName = "event_type", valueName = "cnt")
+      .orderBy(col("day"), col("event_type"))),
     "q_topk_per_group"   -> (Analytics.topkPerGroup _),
     "q_rollup"           -> (Analytics.rollupAgg _),
     "q_grouping_sets"    -> (Analytics.groupingSetsAgg _),
@@ -415,6 +424,43 @@ object SparkEntry {
         |    ORDER BY value DESC, event_id) AS rk
         | FROM events)
         |WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
+    "q_rank_functions" ->
+      """SELECT event_type, event_id, value,
+        | ntile(4) OVER w AS quartile,
+        | round(percent_rank() OVER w, 4) AS pct_rank,
+        | round(cume_dist() OVER w, 4) AS cume
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_type, event_id""".stripMargin,
+    // trailing time-RANGE frame over exact epoch-second bounds; the
+    // sum runs over DECIMAL-quantized values so Spark's rebuilt
+    // sliding frames and DuckDB's segment trees cannot disagree on
+    // double association
+    "q_window_time_range" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP_US) AS ts,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP_US))) AS BIGINT) AS sec,
+        |    CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events)
+        |SELECT user_id, event_id, ts,
+        |  round(CAST(sum(v) OVER (PARTITION BY user_id ORDER BY sec
+        |    RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
+        |    AS trailing_value
+        |FROM ev ORDER BY user_id, event_id""".stripMargin,
+    "etl_melt" ->
+      """WITH wide AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |   count(*) FILTER (WHERE event_type = 'error')    AS error,
+        |   count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |   count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+        |   count(*) FILTER (WHERE event_type IN ('click', 'view')) AS browse
+        |  FROM events GROUP BY 1)
+        |SELECT day, event_type, cnt FROM (
+        |  SELECT day, 'error' AS event_type, error AS cnt FROM wide
+        |  UNION ALL SELECT day, 'purchase', purchase FROM wide
+        |  UNION ALL SELECT day, 'signup', signup FROM wide
+        |  UNION ALL SELECT day, 'browse', browse FROM wide)
+        |ORDER BY day, event_type""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         | coalesce(l_linestatus, 'ALL') AS status,

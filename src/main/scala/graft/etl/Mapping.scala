@@ -130,6 +130,17 @@ object Mapping {
       .orderBy(keys.map(col) :+ col("valid_from"): _*)
   }
 
+  /** Unpivot/melt — wide → long, the inverse of pivot and the
+    * normalization step every wide export (spreadsheet, sensor matrix,
+    * per-category columns) needs before joining or aggregating.
+    * Spark's native `unpivot` keeps this a zero-shuffle projection
+    * (each input row expands to |values| output rows map-side; no
+    * exchange, no UNION-of-scans re-reading the source per column). */
+  def melt(df: DataFrame, ids: Seq[String], values: Seq[String],
+           varName: String = "name", valueName: String = "value"): DataFrame =
+    df.unpivot(ids.map(col).toArray, values.map(col).toArray,
+      varName, valueName)
+
   /** MERGE/upsert — apply a CDC change batch to a snapshot without a
     * table format: `changes` carries the base's columns plus an op
     * column ('D' deletes the key; anything else upserts) and ordering

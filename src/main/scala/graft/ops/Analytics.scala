@@ -214,6 +214,44 @@ object Analytics {
         col("rev"), col("n"))
       .orderBy(col("flag"), col("status"))
 
+  /** The rank-function family in one window pass: quartile bucket
+    * (ntile), relative rank, and cumulative distribution per event
+    * within its type — the percentile-style labeling analytics
+    * dashboards put on every metric. One shuffle on the partition
+    * key; deterministic under value ties via the event_id tiebreak. */
+  def rankFunctions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), col("value"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cume"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
+  /** Time-RANGE window frame: each event's trailing-30-minute sum of
+    * `value` for its user — the "activity in the last N minutes"
+    * feature rows-frames cannot express (row counts ≠ time spans when
+    * events arrive unevenly). The frame orders on epoch seconds so
+    * the bound is an exact integer interval on both engines, and the
+    * sum runs over DECIMAL-quantized values: engines disagree on
+    * windowed-double association (Spark rebuilds sliding frames
+    * left-to-right, DuckDB uses segment trees), and an exact
+    * associative sum makes that implementation detail unobservable. */
+  def windowTimeRange(s: SparkSession, d: String,
+                      trailingSec: Long = 1800): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("__sec"))
+      .rangeBetween(-trailingSec, 0)
+    Tables.events(s, d)
+      .withColumn("__sec", col("ts").cast("long"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(sum(col("value").cast("decimal(18,6)")).over(w)
+          .cast("double"), 4).as("trailing_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Exact distinct counts (the oracle-checked half; the HLL
     * approx_count_distinct variant is spec-tested — see
     * AnalyticsSpec — since its value is estimator-specific). */

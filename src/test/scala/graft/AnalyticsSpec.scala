@@ -85,6 +85,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(!rows.exists(r => r._1 != "ALL" && r._2 == "ALL"))
   }
 
+  test("rank functions: quartiles partition evenly, distributions end at 1") {
+    val rows = Analytics.rankFunctions(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(3), r.getDouble(4), r.getDouble(5)))
+    rows.groupBy(_._1).values.foreach { g =>
+      val quartiles = g.groupBy(_._2).view.mapValues(_.size)
+      assert(quartiles.keySet === Set(1, 2, 3, 4))
+      // ntile balance: sizes differ by at most 1
+      assert(quartiles.values.max - quartiles.values.min <= 1)
+      assert(g.map(_._3).min === 0.0)      // percent_rank starts at 0
+      assert(g.map(_._4).max === 1.0)      // cume_dist ends at 1
+    }
+  }
+
+  test("time-range window sums exactly the trailing interval, not row counts") {
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // uneven arrivals: three bursts; a rows-frame of fixed size could
+    // not produce these sums
+    val ev = Seq(
+      (1L, 1L, t(0), 10.0), (1L, 2L, t(10), 20.0),
+      (1L, 3L, t(29), 5.0),                 // within 30min of both
+      (1L, 4L, t(45), 1.0)                  // only t29 is within its 30min
+    ).toDF("user_id", "event_id", "ts", "value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("__sec"))
+      .rangeBetween(-1800, 0)
+    val out = ev.withColumn("__sec", col("ts").cast("long"))
+      .select(col("event_id"),
+        sum(col("value")).over(w).as("tv"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out === Map(1L -> 10.0, 2L -> 30.0, 3L -> 35.0, 4L -> 6.0))
+  }
+
   test("approx distinct (HLL) is within 5% of exact") {
     val e = Tables.events(spark, sf)
     val exact  = e.agg(countDistinct(col("user_id"))).first().getLong(0)

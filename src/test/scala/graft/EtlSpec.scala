@@ -85,6 +85,14 @@ class EtlSpec extends SparkSpec {
     assert(tricky === Map("it's `quoted`" -> 2L, "__total" -> 1L))
   }
 
+  test("melt inverts a wide frame to long without losing cells") {
+    val wide = Seq((1L, 10L, 20L), (2L, 30L, 40L)).toDF("k", "a", "b")
+    val long = Mapping.melt(wide, ids = Seq("k"), values = Seq("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(long === Set((1L, "a", 10L), (1L, "b", 20L),
+      (2L, "a", 30L), (2L, "b", 40L)))
+  }
+
   test("applyChanges: upsert/delete with last-change-wins per key") {
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val changes = Seq(
