@@ -316,6 +316,19 @@ object SparkEntry {
     "ml_classify" -> (MlOps.classify _),
     // §2.8 streaming (batch faces; streaming faces spec-tested)
     "stream_window_counts" -> (graft.streaming.EventStreams.windowCountsBatch _),
+    "stream_sliding_counts" -> (graft.streaming.EventStreams.slidingCountsBatch _),
+    // referential integrity: parents filtered by a deterministic
+    // predicate PLANT real orphans in two relationships (the third
+    // stays clean, covering the passing side) — mirrored in the
+    // oracle so the gate provably bites
+    "etl_fk_check" -> ((s, d) => Mapping.fkCheck(Seq(
+      ("lineitem->orders", Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d).filter(col("o_orderkey") % 31 =!= 0), "o_orderkey"),
+      ("orders->customer", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey"),
+      ("lineitem->part", Tables.lineitem(s, d), "l_partkey",
+        Tables.part(s, d).filter(col("p_partkey") % 53 =!= 0), "p_partkey")))
+      .orderBy(col("relationship"))),
     "stream_sessionize"    -> (graft.streaming.EventStreams.sessionizeBatch _),
     "stream_dedup"         -> (graft.streaming.DedupStreams.dedupBatch _),
     // within-stream NEAR-dup dedup: the oracled batch face of the
@@ -1192,6 +1205,42 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
         | count(*) AS n, round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // each event lands in exactly window/slide = 2 overlapping
+    // 10-minute windows whose starts are its 5-minute floor and the
+    // one before; Spark's window() and time_bucket share the epoch
+    // alignment
+    "stream_sliding_counts" ->
+      """WITH ev AS (SELECT event_type, CAST(ts AS TIMESTAMP_US) AS ts
+        |            FROM events),
+        |x AS (
+        |  SELECT event_type,
+        |    time_bucket(INTERVAL '5 minutes', ts)
+        |      - k * INTERVAL '5 minutes' AS ws
+        |  FROM ev, LATERAL (SELECT unnest([0, 1]) AS k))
+        |SELECT ws, event_type, count(*) AS n
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "etl_fk_check" ->
+      """WITH r AS (
+        |  SELECT 'lineitem->orders' AS relationship,
+        |    (SELECT count(*) FROM lineitem) AS n_child,
+        |    (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+        |      AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+        |                             WHERE o_orderkey % 31 <> 0)) AS n_orphans
+        |  UNION ALL
+        |  SELECT 'orders->customer',
+        |    (SELECT count(*) FROM orders),
+        |    (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+        |      AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |  UNION ALL
+        |  SELECT 'lineitem->part',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem WHERE l_partkey IS NOT NULL
+        |      AND l_partkey NOT IN (SELECT p_partkey FROM part
+        |                            WHERE p_partkey % 53 <> 0)))
+        |SELECT relationship, n_child, n_orphans,
+        |  round(CASE WHEN n_child = 0 THEN 0.0
+        |        ELSE n_orphans * 1.0 / n_child END, 4) AS orphan_rate
+        |FROM r ORDER BY relationship""".stripMargin,
     // window(ts, '1 hour').start == date_trunc('hour'); rule bodies
     // mirror EventStreams.defaultQualityRules literally
     "stream_expectations" ->

@@ -130,6 +130,29 @@ object Mapping {
       .orderBy(keys.map(col) :+ col("valid_from"): _*)
   }
 
+  /** Referential-integrity validation — the relationship-level
+    * quality gate [[expectations]]' row-level rules can't express:
+    * per declared (child, fk) → (parent, pk) relationship, count the
+    * child rows whose non-null foreign key has no parent. Each
+    * relationship is one anti join (the parent side projects to its
+    * key column only, so AQE broadcasts every realistically-sized
+    * dimension) plus single-row aggregates; a NULL foreign key means
+    * "no parent", which is absence, not orphanhood. */
+  def fkCheck(rels: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(rels.nonEmpty, "fkCheck needs at least one relationship")
+    rels.map { case (name, child, fk, parent, pk) =>
+      val orphans = child.filter(col(fk).isNotNull)
+        .join(parent.select(col(pk)), col(fk) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans)
+        .select(lit(name).as("relationship"), col("n_child"), col("n_orphans"),
+          round(when(col("n_child") === 0, lit(0.0))
+            .otherwise(col("n_orphans").cast("double") / col("n_child")), 4)
+            .as("orphan_rate"))
+    }.reduce(_ union _)
+  }
+
   /** Unpivot/melt — wide → long, the inverse of pivot and the
     * normalization step every wide export (spreadsheet, sensor matrix,
     * per-category columns) needs before joining or aggregating.

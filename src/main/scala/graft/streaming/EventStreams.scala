@@ -44,6 +44,31 @@ object EventStreams {
       .select(col("window.start").as("ws"), col("event_type"), col("n"),
         col("total_value"))
 
+  // ---- sliding-window aggregate ---------------------------------------
+
+  /** Shared transform: SLIDING windows (each event lands in
+    * window/slide overlapping windows) — the smoothing shape
+    * dashboards want when tumbling windows are too jumpy. State cost
+    * scales with the overlap factor; the slide, not the window,
+    * decides the output cadence. */
+  def slidingCounts(events: DataFrame, win: String = "10 minutes",
+                    slide: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), win, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+
+  /** Batch face for the oracle gate. */
+  def slidingCountsBatch(s: SparkSession, d: String): DataFrame =
+    slidingCounts(Tables.events(s, d)).orderBy(col("ws"), col("event_type"))
+
+  /** Streaming face, watermark-bounded like the tumbling one. */
+  def slidingCountsStream(s: SparkSession, sourceDir: String,
+                          schema: org.apache.spark.sql.types.StructType): DataFrame =
+    slidingCounts(
+      s.readStream.schema(schema).parquet(sourceDir)
+        .withWatermark("ts", "2 hours"))
+
   // ---- windowed data-quality monitor ----------------------------------
 
   /** The rule set the monitor entry and specs share — ONE definition

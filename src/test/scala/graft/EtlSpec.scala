@@ -85,6 +85,16 @@ class EtlSpec extends SparkSpec {
     assert(tricky === Map("it's `quoted`" -> 2L, "__total" -> 1L))
   }
 
+  test("fkCheck counts orphans per relationship; null FKs are absence") {
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(9L), None).toDF("fk")
+    val out = Mapping.fkCheck(Seq(("c->p", child, "fk", parent, "pk")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // 4 child rows; one orphan (9); the null FK is not an orphan
+    assert(out.toSeq === Seq(("c->p", 4L, 1L, 0.25)))
+  }
+
   test("melt inverts a wide frame to long without losing cells") {
     val wide = Seq((1L, 10L, 20L), (2L, 30L, 40L)).toDF("k", "a", "b")
     val long = Mapping.melt(wide, ids = Seq("k"), values = Seq("a", "b"))

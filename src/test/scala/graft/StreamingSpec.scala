@@ -26,6 +26,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sliding counts equal the batch face, 2 windows per event") {
+    val staged = java.nio.file.Files.createTempDirectory("graft-slide").toString
+    val events = Tables.events(spark, sf)
+    events.write.mode("overwrite").parquet(staged)
+    val q = EventStreams.slidingCountsStream(spark, staged, events.schema)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("slide_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("slide_out")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val batch = EventStreams.slidingCountsBatch(spark, sf)
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+      // overlap invariant: summed window counts = 2x the event count
+      assert(batch.toSeq.map(_._3).sum === 2 * events.count())
+    } finally q.stop()
+  }
+
   test("streaming quality monitor emits batch-identical windows in APPEND mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
