@@ -298,6 +298,27 @@ object SparkEntry {
       Tables.documents(s, d).select(col("doc_id"),
         concat(col("text"), lit("\n"), substring(col("text"), 1, 40),
           lit("\n"), substring(col("text"), 1, 40)).as("text")))),
+    // URL canonicalization over PLANTED messy URLs: doc_id drives
+    // scheme case, port (incl. the https:443-on-http keep case),
+    // trailing slash, tracking params, and fragments — every rule
+    // provably fires; the oracle builds the identical raw strings
+    "text_url_canonical" -> ((s, d) => {
+      val id = col("doc_id")
+      val messy = concat(
+        when(id % 2 === 0, lit("HTTP")).otherwise(lit("https")),
+        lit("://ExAmple.COM"),
+        when(id % 3 === 0, lit(":80"))
+          .when(id % 3 === 1, lit(":443")).otherwise(lit(":8080")),
+        lit("/Products/"), (id % 7).cast("string"),
+        when(id % 2 === 0, lit("/")).otherwise(lit("")),
+        lit("?id="), id.cast("string"),
+        when(id % 4 === 0, lit("&utm_source=news&gclid=abc")).otherwise(lit("")),
+        when(id % 5 === 0, lit("#frag")).otherwise(lit("")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), messy.as("url"))
+        .withColumn("canonical", TextOps.canonicalUrl(col("url")))
+        .orderBy(col("doc_id"))
+    }),
     // composed end-to-end curation: quality gate → exact dedup →
     // decontamination vs the odd-parity reference corpus
     "curate_corpus" -> ((s, d) => {
@@ -1086,6 +1107,46 @@ object SparkEntry {
         | round(1 - n_distinct * 1.0 / total, 4) AS dup_2gram_frac,
         | round(top * 1.0 / total, 4) AS top_2gram_frac
         |FROM a ORDER BY doc_id""".stripMargin,
+    "text_url_canonical" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) ||
+        |    '://ExAmple.COM' ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN ':80'
+        |          WHEN doc_id % 3 = 1 THEN ':443' ELSE ':8080' END) ||
+        |    '/Products/' || (doc_id % 7) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+        |    '?id=' || doc_id ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '&utm_source=news&gclid=abc'
+        |          ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |p1 AS (SELECT doc_id, url,
+        |  regexp_replace(url, '#.*$', '') AS nf FROM planted),
+        |p2 AS (SELECT doc_id, url,
+        |  string_split(nf, '?')[1] AS pre,
+        |  coalesce(string_split(nf, '?')[2], '') AS query FROM p1),
+        |p3 AS (SELECT *,
+        |  lower(regexp_extract(pre, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_extract(pre, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)', 1) AS auth,
+        |  regexp_replace(regexp_replace(pre,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', ''), '/+$', '') AS path
+        |  FROM p2),
+        |p4 AS (SELECT *,
+        |  lower(regexp_replace(auth, ':[0-9]+$', '')) AS host,
+        |  regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+        |  array_to_string(list_filter(string_split(query, '&'),
+        |    p -> NOT regexp_matches(p, '^(utm_[A-Za-z_]+|gclid|fbclid)=')
+        |         AND p <> ''), '&') AS q2
+        |  FROM p3)
+        |SELECT doc_id, url,
+        |  scheme || '://' || host ||
+        |  (CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+        |             AND NOT (scheme = 'https' AND port = '443')
+        |        THEN ':' || port ELSE '' END) ||
+        |  path ||
+        |  (CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END) AS canonical
+        |FROM p4 ORDER BY doc_id""".stripMargin,
     // line dedup keeps FIRST occurrences in order: Spark's 0-based
     // filter-lambda index vs DuckDB's 1-based, hence i+1 vs i against
     // each engine's 1-based first-position function

@@ -350,6 +350,41 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** URL canonicalization — the normalize-before-dedup step of web
+    * curation: the same page arrives as `HTTP://Example.COM:80/a/`,
+    * `http://example.com/a?utm_source=x`, and `http://example.com/a#top`,
+    * and URL-keyed dedup/joins miss all of it until the key is
+    * canonical. Rules: lowercase scheme+host, drop default ports
+    * (http:80 / https:443), strip the fragment, strip trailing path
+    * slashes, and remove tracking parameters (utm_*, gclid, fbclid) —
+    * the query is SPLIT into parameters and filtered (parser-style),
+    * not regex-surgeried, so removal works at any parameter position
+    * without separator damage. Entirely row-local column expressions:
+    * scan speed at any width. */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val pre = split(noFrag, "\\?").getItem(0)
+    // try_element_at: a query-less URL splits to ONE part, and ANSI
+    // element_at throws on the missing index instead of returning null
+    val query = coalesce(try_element_at(split(noFrag, "\\?"), lit(2)), lit(""))
+    val scheme = lower(regexp_extract(pre, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = regexp_extract(pre, "^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)", 1)
+    val host = lower(regexp_replace(auth, ":\\d+$", ""))
+    val port = regexp_extract(auth, ":(\\d+)$", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val path = regexp_replace(
+      regexp_replace(pre, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", ""), "/+$", "")
+    val kept = filter(split(query, "&"),
+      p => !(p.rlike("^(utm_[A-Za-z_]+|gclid|fbclid)=") || p === ""))
+    val q2 = array_join(kept, "&")
+    concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(q2 =!= "", concat(lit("?"), q2)).otherwise(lit("")))
+  }
+
   /** Winnowing fingerprint (Schleimer et al., SIGMOD'03): hash every
     * k-token shingle, take the minimum hash of each sliding window of
     * w shingles, dedupe — a compact, position-robust signature. The

@@ -66,6 +66,29 @@ class TextOpsSpec extends SparkSpec {
     assert(rebuilt === (1 to 10).map(i => s"t$i").mkString(" "))
   }
 
+  test("URL canonicalization: every rule fires, non-defaults survive") {
+    val cases = Seq(
+      // scheme/host case, default port, trailing slash, fragment
+      "HTTP://Example.COM:80/A/Path/#top" -> "http://example.com/A/Path",
+      // https default port; tracking param in FIRST position
+      "https://Ex.com:443/p?utm_source=x&id=7" -> "https://ex.com/p?id=7",
+      // non-default port survives; tracking param in LAST position
+      "http://ex.com:8080/p?id=7&gclid=abc" -> "http://ex.com:8080/p?id=7",
+      // 443 on http is NOT a default — kept
+      "http://ex.com:443/p" -> "http://ex.com:443/p",
+      // all params tracking → no query at all; path case preserved
+      "https://ex.com/Dir?utm_a=1&fbclid=z" -> "https://ex.com/Dir",
+      // bare host, no path/query
+      "https://EX.com" -> "https://ex.com")
+    val df = cases.zipWithIndex.map { case ((u, _), i) => (i.toLong, u) }
+      .toDF("id", "url")
+    val got = df.select(col("id"), TextOps.canonicalUrl(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((u, want), i) =>
+      assert(got(i.toLong) === want, s"for $u")
+    }
+  }
+
   test("line dedup keeps first occurrences in order, drops later repeats") {
     val docs = Seq(
       (1L, "nav bar\nreal content\nnav bar\nmore content\nnav bar"),
