@@ -290,6 +290,7 @@ object SparkEntry {
           lit(" acct 9900"), id, lit("77"))))
     }),
     "text_repetition"  -> (TextOps.repetitionScores _),
+    "text_lm_score"    -> (TextOps.lmScore _),
     // intra-doc line dedup: the corpus has no newlines, so the entry
     // PLANTS a boilerplate line (the doc's first 40 chars) twice after
     // the body — mirrored in the oracle — making the dedup bite on
@@ -1107,6 +1108,22 @@ object SparkEntry {
         | round(1 - n_distinct * 1.0 / total, 4) AS dup_2gram_frac,
         | round(top * 1.0 / total, 4) AS top_2gram_frac
         |FROM a ORDER BY doc_id""".stripMargin,
+    // add-one unigram log-probs: (c+1)/(n+v) through the same IEEE
+    // division+ln on both engines, 10dp-rounded DECIMAL terms so the
+    // per-doc mean is aggregation-order independent
+    "text_lm_score" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+        |t AS (SELECT sum(c) AS n, count(*) AS v FROM c),
+        |lp AS (SELECT doc_id,
+        |    CAST(round(ln((c.c + 1) * 1.0 / (t.n + t.v)), 10)
+        |      AS DECIMAL(20,10)) AS lp
+        |  FROM tok JOIN c USING (tok), t)
+        |SELECT doc_id, count(*) AS n_toks,
+        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_logp
+        |FROM lp GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_url_canonical" ->
       """WITH planted AS (
         |  SELECT doc_id,

@@ -350,6 +350,40 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Unigram language-model score — the cheap proxy for the
+    * LM-perplexity filtering web curation runs (CCNet-style): train
+    * add-one-smoothed unigram probabilities on the corpus itself and
+    * score each document by its mean token log-probability; documents
+    * whose score sits far below the corpus mode are gibberish,
+    * boilerplate, or the wrong language. Two shuffles (vocabulary
+    * count, per-doc aggregate) + one token→count join whose output is
+    * probe-sized — no vocabulary broadcast needed, so the vocabulary
+    * can be arbitrarily large.
+    *
+    * Per-token log-probs are rounded to 10dp and summed as DECIMAL:
+    * exact and associative, so the per-doc mean cannot depend on
+    * aggregation order (the same contract as emb_centroids). */
+  def lmScore(s: SparkSession, d: String): DataFrame =
+    lmScoreOn(Tables.documents(s, d))
+
+  /** Same over any (doc_id, text) frame. */
+  def lmScoreOn(docs: DataFrame): DataFrame = {
+    val tok = graft.Tables.spread(docs)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    tok.join(counts, "tok")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        round(log((col("c") + 1).cast("double") / (col("n") + col("v"))), 10)
+          .cast("decimal(20,10)").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lp")).as("__s"), count(lit(1)).as("n_toks"))
+      .select(col("doc_id"), col("n_toks"),
+        round(col("__s").cast("double") / col("n_toks"), 4).as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** URL canonicalization — the normalize-before-dedup step of web
     * curation: the same page arrives as `HTTP://Example.COM:80/a/`,
     * `http://example.com/a?utm_source=x`, and `http://example.com/a#top`,

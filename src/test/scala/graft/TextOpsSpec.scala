@@ -66,6 +66,22 @@ class TextOpsSpec extends SparkSpec {
     assert(rebuilt === (1 to 10).map(i => s"t$i").mkString(" "))
   }
 
+  test("LM score ranks common-vocabulary text above gibberish") {
+    val docs = (
+      (1L to 20L).map(i => (i, "the cat sat on the mat")) :+
+        (99L, "zxqv wkjh pqrst uvxyz mnbv qwerty")
+      ).toDF("doc_id", "text")
+    val out = TextOps.lmScoreOn(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // every token of doc 99 is a hapax: its mean log-prob must sit
+    // strictly below every common-vocabulary doc's
+    val normals = (1L to 20L).map(out)
+    assert(normals.toSet.size === 1) // identical docs, identical score
+    assert(out(99L) < normals.head)
+    // all scores are log-probabilities: strictly negative
+    assert(out.values.forall(_ < 0))
+  }
+
   test("URL canonicalization: every rule fires, non-defaults survive") {
     val cases = Seq(
       // scheme/host case, default port, trailing slash, fragment
