@@ -1297,24 +1297,31 @@ object SparkEntry {
         |  FROM ev, LATERAL (SELECT unnest([0, 1]) AS k))
         |SELECT ws, event_type, count(*) AS n
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // each NOT IN subquery filters pk IS NOT NULL: one NULL parent
+    // key would make NOT IN three-valued-NULL for every row and
+    // silently zero the orphan count — the anti join the Spark side
+    // runs has no such trap, and the two must stay semantically equal
     "etl_fk_check" ->
       """WITH r AS (
         |  SELECT 'lineitem->orders' AS relationship,
         |    (SELECT count(*) FROM lineitem) AS n_child,
         |    (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
         |      AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
-        |                             WHERE o_orderkey % 31 <> 0)) AS n_orphans
+        |                             WHERE o_orderkey % 31 <> 0
+        |                               AND o_orderkey IS NOT NULL)) AS n_orphans
         |  UNION ALL
         |  SELECT 'orders->customer',
         |    (SELECT count(*) FROM orders),
         |    (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
-        |      AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |      AND o_custkey NOT IN (SELECT c_custkey FROM customer
+        |                            WHERE c_custkey IS NOT NULL))
         |  UNION ALL
         |  SELECT 'lineitem->part',
         |    (SELECT count(*) FROM lineitem),
         |    (SELECT count(*) FROM lineitem WHERE l_partkey IS NOT NULL
         |      AND l_partkey NOT IN (SELECT p_partkey FROM part
-        |                            WHERE p_partkey % 53 <> 0)))
+        |                            WHERE p_partkey % 53 <> 0
+        |                              AND p_partkey IS NOT NULL)))
         |SELECT relationship, n_child, n_orphans,
         |  round(CASE WHEN n_child = 0 THEN 0.0
         |        ELSE n_orphans * 1.0 / n_child END, 4) AS orphan_rate

@@ -356,8 +356,6 @@ object SimilarityOps {
        |ORDER BY id1, id2""".stripMargin
   }
 
-  /** DuckDB replica of ivfTopK: same seed cells, one rounded-similarity
-    * assignment pass, float-cast centroid means, multi-probe search. */
   /** DuckDB replica of pqTopK — the whole pipeline (seed codebooks,
     * refinement with FLOAT-cast means, encoding, DECIMAL ADC, exact
     * rescore) step for step, same 4dp rounding and tiebreaks. */
@@ -407,6 +405,8 @@ object SimilarityOps {
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 
+  /** DuckDB replica of ivfTopK: same seed cells, one rounded-similarity
+    * assignment pass, float-cast centroid means, multi-probe search. */
   private[graft] def ivfOracleSql(k: Int = 5, nQueries: Int = 10,
                                   nProbe: Int = 2): String = {
     val avgs = (1 to dim).map(i => s"avg(emb[$i])").mkString(", ")

@@ -368,8 +368,12 @@ object TextOps {
 
   /** Same over any (doc_id, text) frame. */
   def lmScoreOn(docs: DataFrame): DataFrame = {
+    // cached: tok feeds BOTH the vocabulary count and the join probe —
+    // without the cache the scan+split+explode (the expensive stage)
+    // runs once per subtree
     val tok = graft.Tables.spread(docs)
       .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .cache()
     val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val totals = counts.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
     tok.join(counts, "tok")

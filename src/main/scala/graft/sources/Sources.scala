@@ -199,15 +199,24 @@ object Sources {
     require(zCols.size >= 2, "z-order needs at least 2 columns (use writeSorted for 1)")
     require(bitsPerCol > 0 && zCols.size * bitsPerCol <= 63,
       s"${zCols.size} cols × $bitsPerCol bits must fit a signed long")
+    // stats over FINITE values only: max() ranks NaN above everything,
+    // so one NaN row would make hi = NaN and every row's code NaN→0 —
+    // silently degrading this column's clustering to nothing
+    def finite(c: String): Column = {
+      val v = col(c).cast("double")
+      when(!isnan(v), v)
+    }
     val aggCols = zCols.flatMap(c =>
-      Seq(min(col(c)).cast("double").as(s"__lo_$c"),
-        max(col(c)).cast("double").as(s"__hi_$c")))
+      Seq(min(finite(c)).as(s"__lo_$c"), max(finite(c)).as(s"__hi_$c")))
     val stats = df.agg(aggCols.head, aggCols.tail: _*)
     val maxCode = (1L << bitsPerCol) - 1
     // per-column code: floor((v-lo)/(hi-lo) * maxCode), clamped; a
-    // constant column (hi == lo) codes to 0
+    // constant column (hi == lo) codes to 0, and NULL/NaN values code
+    // to 0 EXPLICITLY (they cluster together at the curve's origin —
+    // defined behavior, not a collapsed layout)
     def code(c: String): Column =
-      when(col(s"__hi_$c") === col(s"__lo_$c"), lit(0L))
+      when(col(c).isNull || isnan(col(c).cast("double")) ||
+          col(s"__hi_$c") <=> col(s"__lo_$c"), lit(0L))
         .otherwise(least(lit(maxCode), greatest(lit(0L),
           floor((col(c).cast("double") - col(s"__lo_$c")) * maxCode /
             (col(s"__hi_$c") - col(s"__lo_$c"))).cast("long"))))

@@ -101,20 +101,22 @@ class AnalyticsSpec extends SparkSpec {
   test("time-range window sums exactly the trailing interval, not row counts") {
     import spark.implicits._
     def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
-    // uneven arrivals: three bursts; a rows-frame of fixed size could
-    // not produce these sums
+    // uneven arrivals: a rows-frame of fixed size could not produce
+    // these sums. Routed through the REAL operator via a tiny events
+    // table in the testdata shape (ts = epoch-nanos long), so a
+    // regression in the frame bound, the decimal quantization, or the
+    // __sec derivation fails HERE, not only at the oracle gate.
     val ev = Seq(
       (1L, 1L, t(0), 10.0), (1L, 2L, t(10), 20.0),
       (1L, 3L, t(29), 5.0),                 // within 30min of both
       (1L, 4L, t(45), 1.0)                  // only t29 is within its 30min
     ).toDF("user_id", "event_id", "ts", "value")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("__sec"))
-      .rangeBetween(-1800, 0)
-    val out = ev.withColumn("__sec", col("ts").cast("long"))
-      .select(col("event_id"),
-        sum(col("value")).over(w).as("tv"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-trange").toString
+    ev.withColumn("ts", unix_micros(col("ts")) * 1000)
+      .withColumn("event_type", lit("click"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Analytics.windowTimeRange(spark, dir).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
     assert(out === Map(1L -> 10.0, 2L -> 30.0, 3L -> 35.0, 4L -> 6.0))
   }
 
