@@ -119,6 +119,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("REGISTRY SWEEP: no entry ever plans a shuffle cartesian product") {
+    // The one plan shape with no excuse at any scale. Broadcast
+    // nested loops over single-row stats frames (histogram bounds,
+    // split thresholds, ANN query sets) are idiomatic and allowed;
+    // a CartesianProduct node means two distributed frames are being
+    // paired row-by-row through a full shuffle — if ANY entry's
+    // optimized plan contains one, something regressed.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      // optimized logical → physical via explain (no execution: the
+      // sweep audits every entry and stays fast)
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
   test("containment joins the inverted index on shingle equality — no product") {
     val docs = Tables.documents(spark, sf)
     val plan = executedPlan(DedupOps.containmentOn(
