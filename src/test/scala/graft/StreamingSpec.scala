@@ -303,6 +303,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming CDC apply maintains the snapshot the batch merge defines") {
+    import graft.streaming.ChangeStreams
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    val (snap, ckpt) = (s"$root/snap", s"$root/ckpt")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, Long)]
+    val q = ChangeStreams.applyChangesStream(
+      mem.toDF().toDF("k", "v", "op", "seq"), snap, ckpt,
+      keys = Seq("k"), ord = Seq("seq"), keepVersions = 2)
+    try {
+      // batch 0: pure inserts
+      mem.addData((1L, "a", "U", 1L), (2L, "b", "U", 1L))
+      q.processAllAvailable()
+      def state(): Map[Long, String] = ChangeStreams.readSnapshot(spark, snap)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(state() === Map(1L -> "a", 2L -> "b"))
+      // batch 1: update 2, delete 1, insert 3 — and an update-then-
+      // delete on 3 within the SAME batch must resolve to delete
+      mem.addData((2L, "b2", "U", 2L), (1L, "x", "D", 2L),
+        (3L, "c", "U", 2L), (3L, "c2", "D", 3L))
+      q.processAllAvailable()
+      assert(state() === Map(2L -> "b2"))
+      // batch 2: re-insert a deleted key
+      mem.addData((1L, "a2", "U", 4L))
+      q.processAllAvailable()
+      assert(state() === Map(1L -> "a2", 2L -> "b2"))
+      // retention: only the latest keepVersions=2 versions survive,
+      // and the older retained one is still readable (time travel)
+      val vs = ChangeStreams.versions(spark, snap)
+      assert(vs.length === 2 && vs === vs.sorted.reverse)
+      val prev = ChangeStreams.readSnapshot(spark, snap, version = vs(1))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(prev === Map(2L -> "b2"))
+    } finally q.stop()
+  }
+
   test("stream_dedup batch face: one first-arrival row per key, min event time") {
     val out = graft.streaming.DedupStreams.dedupBatch(spark, sf)
     val ev = Tables.events(spark, sf)
