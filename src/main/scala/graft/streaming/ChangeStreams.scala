@@ -67,20 +67,39 @@ object ChangeStreams {
                          checkpoint: String, keys: Seq[String],
                          opCol: String = "op", ord: Seq[String] = Seq("seq"),
                          keepVersions: Int = 3): StreamingQuery = {
-    require(keepVersions >= 1, "must retain at least the current version")
+    // >= 2: with a single retained version, the running stream's
+    // prune can delete the exact version a CONCURRENT reader's lazy
+    // DataFrame just selected, failing its first action — one version
+    // of headroom makes read-while-streaming safe
+    require(keepVersions >= 2,
+      "keepVersions must be >= 2 so concurrent readers always have headroom")
     val dataCols = changes.columns.filterNot(c => c == opCol || ord.contains(c)).toSeq
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val s = batch.sparkSession
         val vs = versions(s, snapshotDir)
-        // a retry of a batch whose version is already COMPLETE is a
-        // no-op — re-deriving it would read `batch=id` as the base
-        // while overwriting `batch=id`, the overwrite-while-reading
-        // corruption pattern. The base is always the newest complete
-        // version STRICTLY older than this batch.
-        if (!vs.contains(id)) {
-          val base = vs.find(_ < id) match {
+        // version ids ARE the checkpoint's batch ids — a mismatch
+        // between the two lineages must fail loudly, not silently
+        // corrupt the progression: a fresh checkpoint over an old
+        // snapshot restarts ids at 0 (each batch would merge into an
+        // EMPTY base and be pruned as "old" while readers keep
+        // serving the stale newest version), and a wiped snapshot
+        // under a kept checkpoint resumes mid-lineage with all prior
+        // state silently gone.
+        require(vs.isEmpty || id >= vs.head,
+          s"batch id $id is behind newest snapshot version ${vs.headOption}" +
+            s" — checkpoint and snapshotDir lineages do not match")
+        require(vs.nonEmpty || id == 0,
+          s"first observed batch id is $id but $snapshotDir has no versions" +
+            s" — the snapshot was deleted under a live checkpoint")
+        // two legitimate skips: a RETRY of the already-complete
+        // newest version (re-deriving it would read batch=id while
+        // overwriting it), and a replayed/empty epoch (a full
+        // snapshot-size write plus one retention slot of real
+        // history evicted, for a no-op)
+        if (!vs.contains(id) && !batch.isEmpty) {
+          val base = vs.headOption match {
             case Some(v) => s.read.parquet(s"$snapshotDir/batch=$v")
             case None => batch.select(dataCols.map(col): _*).limit(0)
           }
@@ -89,11 +108,13 @@ object ChangeStreams {
           val f = fs(s, snapshotDir)
           f.create(new org.apache.hadoop.fs.Path(
             s"$snapshotDir/$donePrefix$id"), true).close()
-          // prune strictly older versions beyond the retention AFTER
-          // the new version is complete
+          // prune beyond the retention AFTER the new version is
+          // complete — marker FIRST (un-publish), data second, so a
+          // crash between the deletes can never leave a published
+          // marker pointing at deleted data
           versions(s, snapshotDir).drop(keepVersions).foreach { old =>
-            f.delete(new org.apache.hadoop.fs.Path(s"$snapshotDir/batch=$old"), true)
             f.delete(new org.apache.hadoop.fs.Path(s"$snapshotDir/$donePrefix$old"), false)
+            f.delete(new org.apache.hadoop.fs.Path(s"$snapshotDir/batch=$old"), true)
           }
         }
         ()

@@ -126,13 +126,16 @@ class PlanSpec extends SparkSpec {
     // a CartesianProduct node means two distributed frames are being
     // paired row-by-row through a full shuffle — if ANY entry's
     // optimized plan contains one, something regressed.
+    // NOT free: planning is lazy for most entries, but some run real
+    // work while BUILDING their frame (MLlib fits, ANN fit counts)
+    // and several cache() intermediates — hence the clearCache below
+    // so the sweep's leftovers can't distort later tests
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      // optimized logical → physical via explain (no execution: the
-      // sweep audits every entry and stays fast)
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan.toString
       if (plan.contains("CartesianProduct")) Some(name) else None
     }
+    spark.catalog.clearCache()
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 

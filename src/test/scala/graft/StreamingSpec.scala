@@ -339,6 +339,30 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(prev === Map(2L -> "b2"))
     } finally q.stop()
+
+    // retention below 2 removes concurrent readers' headroom — refused
+    intercept[IllegalArgumentException] {
+      ChangeStreams.applyChangesStream(
+        mem.toDF().toDF("k", "v", "op", "seq"), snap, s"$root/ckpt1",
+        keys = Seq("k"), ord = Seq("seq"), keepVersions = 1)
+    }
+
+    // a FRESH checkpoint over the existing snapshot restarts batch
+    // ids at 0, behind the newest version — the lineage mismatch must
+    // fail the query loudly, never silently freeze the snapshot
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, Long)](
+        org.apache.spark.sql.Encoders.product[(Long, String, String, Long)],
+        spark.sqlContext)
+    val q2 = ChangeStreams.applyChangesStream(
+      mem2.toDF().toDF("k", "v", "op", "seq"), snap, s"$root/ckpt2",
+      keys = Seq("k"), ord = Seq("seq"))
+    try {
+      mem2.addData((9L, "z", "U", 9L))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+    } finally q2.stop()
   }
 
   test("stream_dedup batch face: one first-arrival row per key, min event time") {
