@@ -241,6 +241,16 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 =!= 0))
     }),
+    // the middle regime: reference band keys folded into a broadcast
+    // Bloom filter, probed by a codegen'd might_contain inside the
+    // corpus scan — non-candidates never reach the shuffle; exact
+    // verify makes FPs cost work, not correctness (same oracle)
+    "dedup_decontaminate_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.decontaminateBloom(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0))
+    }),
     // pairs → clusters: connected components over the verified
     // near-dup graph; cluster id = the canonical keep document
     "dedup_clusters" -> ((s, d) =>
@@ -328,6 +338,11 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 =!= 0))
     }),
+    // data-constrained training: keep the highest-quality documents
+    // until a global token budget is exhausted — the running total is
+    // text_pack's distributed prefix sum over the quality ranking
+    "curate_token_budget" -> ((s, d) =>
+      CurateOps.tokenBudget(Tables.documents(s, d), budgetTokens = 20000L)),
     // §2.7 multimodal — REAL codec work: synthesize byte-level
     // WAV/BMP payloads deterministically from doc_id, parse them with
     // the header-walking decoders; features have closed forms so the
@@ -944,6 +959,25 @@ object SparkEntry {
         |SELECT doc_id FROM keep
         |WHERE doc_id NOT IN (SELECT doc_id FROM cont)
         |ORDER BY doc_id""".stripMargin,
+    // The quality ranking is text_quality's stopword_ratio (4dp,
+    // hash-proven identical across engines) with a doc_id tiebreak;
+    // the running total casts back to BIGINT so DuckDB's HUGEINT
+    // window sum can't flip the dtype.
+    "curate_token_budget" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |   round(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |     x -> list_contains(['the','a','and','of','to','in','is'], x)))
+        |     * 1.0 / len(string_split_regex(trim(text), '\s+')), 4) AS score,
+        |   len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, score, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |   CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM q)
+        |SELECT doc_id, score, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 20000 ORDER BY cum_tokens""".stripMargin,
     // Transitive closure over the same exact-Jaccard pair set the
     // dedup_minhash oracle derives; cluster id = component minimum.
     "dedup_clusters" ->
@@ -1443,6 +1477,9 @@ object SparkEntry {
   ).pipe { m =>
     // the broadcast decontamination variant shares the symmetric
     // operator's contract verbatim — one oracle, two plans
-    m + ("dedup_decontaminate_bcast" -> m("dedup_decontaminate"))
+    m + ("dedup_decontaminate_bcast" -> m("dedup_decontaminate")) +
+      // ...and so does the Bloom-prefiltered variant: FPs are
+      // exact-verified away, so all three plans share one contract
+      ("dedup_decontaminate_bloom" -> m("dedup_decontaminate"))
   }
 }

@@ -371,6 +371,85 @@ object DedupOps {
       .orderBy(col("doc_id"), col("ref_id"))
   }
 
+  /** Decontamination for the MIDDLE reference regime — too big to
+    * broadcast its shingle SETS row-for-row (the
+    * [[decontaminateBroadcast]] contract) but whose band-signature
+    * BLOOM FILTER still fits in one broadcast. This is the
+    * runtime-filter shape engines inject automatically for selective
+    * joins (Spark's own InjectRuntimeFilter builds exactly a
+    * BloomFilterAggregate/BloomFilterMightContain pair), built here
+    * explicitly because the optimizer only injects it under join-size
+    * heuristics it cannot prove for this plan.
+    *
+    * Pipeline: corpus shingles and band signatures stay row-local in
+    * the scan projection (identical values to the aggregated path);
+    * the reference's band keys are folded into a fixed-size Bloom
+    * filter (one reference-sized aggregation, bits independent of row
+    * width), serialized into a LITERAL, and probed with Spark's
+    * codegen'd `BloomFilterMightContain` expression — so ~every
+    * non-candidate corpus row dies inside the scan stage, BEFORE the
+    * candidate shuffle. At 100 TB this is the difference between
+    * shuffling O(corpus·bands) band rows (the symmetric operator) and
+    * shuffling only the Bloom survivors: true collisions + an `fpp`
+    * fraction of false positives, both candidate-sized.
+    *
+    * False positives cost work, never correctness: every surviving
+    * pair is exact-Jaccard verified, so the output is identical to
+    * [[decontaminate]]'s (uncapped) — the operators share one oracle.
+    * The build-side `count()` is one scalar driver action on the
+    * cached reference (the same concession IVF's cell count makes).
+    */
+  def decontaminateBloom(corpus: DataFrame, reference: DataFrame,
+                         threshold: Double = 0.8,
+                         numPerm: Int = 64, bands: Int = 16,
+                         fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    def staged(df: DataFrame): DataFrame = Tables.spread(df)
+      .select(col("doc_id"), TextOps.toks(col("text")).as("__t"))
+      .select(col("doc_id"), shingleHashesExpr(col("__t")).as("hs"))
+    val ref = staged(reference).cache()
+    def bandKey: Column = xxhash64(col("band"), col("bsig"))
+    val refBands = ref.select(col("doc_id").as("ref_id"),
+      posexplode(array(bandSigsExpr(col("hs"), numPerm, bands): _*))
+        .as(Seq("band", "bsig")))
+    // posexplode of a fixed-size array: exactly bands keys per ref doc
+    val expected = math.max(1L, ref.count()) * bands
+    val bf = refBands.select(bandKey.as("k")).stat.bloomFilter("k", expected, fpp)
+    val bfBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    // the codegen'd probe: a pure row-local predicate, so Catalyst
+    // keeps it inside the corpus scan stage below the join
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bfBytes, BinaryType), ColumnBridge.expression(bandKey)))
+    val corBands = staged(corpus).select(col("doc_id"), col("hs"),
+      posexplode(array(bandSigsExpr(col("hs"), numPerm, bands): _*))
+        .as(Seq("band", "bsig")))
+      .filter(mightContain)
+    val refSets = ref.select(col("doc_id").as("ref_id"),
+      col("hs").as("ref_hs"), size(col("hs")).as("ref_n"))
+    corBands
+      .join(refBands, Seq("band", "bsig"))
+      // collapse multi-band collisions BEFORE the verify so each
+      // candidate pair pays for one sorted-intersect, not one per
+      // colliding band (rows with equal (doc_id, ref_id) carry equal
+      // hs, so which survives is value-irrelevant)
+      .select(col("doc_id"), col("ref_id"), col("hs"))
+      .dropDuplicates(Seq("doc_id", "ref_id"))
+      .join(refSets, Seq("ref_id"))
+      .withColumn("common",
+        graft.functions.SetExprs.sortedIntersectCount(col("hs"), col("ref_hs")))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (size(col("hs")) + col("ref_n") - col("common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("ref_id"), col("jaccard"))
+      .orderBy(col("doc_id"), col("ref_id"))
+  }
+
   /** Asymmetric n-gram CONTAINMENT decontamination: flag (corpus doc
     * A, reference item R) whenever |shingles(A) ∩ shingles(R)| / |shingles(R)|
     * ≥ `threshold`. This is the metric benchmark-contamination checks

@@ -25,4 +25,45 @@ class CurateSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(out === Seq(2L, 10L))
   }
+
+  test("tokenBudget keeps the greedy quality-ranked prefix, never a knapsack") {
+    // scores (stopword_ratio): rank order is d1 (2/6) > d2 (1/6) >
+    // d3 (1/7) > d4 (0); token counts 6, 6, 7, 4. Budget 15 fits
+    // d1 (cum 6) and d2 (cum 12); d3 would overflow (cum 19) and —
+    // prefix semantics — the SMALLER d4 behind it must not sneak in
+    // even though 12 + 4 ≤ 15.
+    val corpus = Seq(
+      1L -> "the fox is quick brown now",
+      2L -> "the dog runs fast every day",
+      3L -> "a cat sleeps near warm stones today",
+      4L -> "nothing matches here whatsoever"
+    ).toDF("doc_id", "text")
+    val out = CurateOps.tokenBudget(corpus, budgetTokens = 15L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 6L, 6L), (2L, 6L, 12L)))
+    // budget below the best doc's size keeps nothing; a huge budget
+    // keeps everything with an exact grand total
+    assert(CurateOps.tokenBudget(corpus, 5L).count() === 0)
+    val all = CurateOps.tokenBudget(corpus, 1000L).collect()
+    assert(all.length === 4 && all.last.getLong(3) === 23L)
+  }
+
+  test("tokenBudget's running sum never runs a partition-less corpus window") {
+    val docs = (1L to 200L).map(i => (i, s"the tok a b c d $i"))
+      .toDF("doc_id", "text")
+    val plan = CurateOps.tokenBudget(docs, budgetTokens = 500L)
+      .queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(plan).map(_.group(1).trim).toSeq
+    assert(specs.nonEmpty, plan)
+    // every window must carry a partition column; the only global
+    // window is the per-partition offset one (ordered by pid,
+    // O(#partitions) rows) — a spec headed by the corpus rank key
+    // means the cumsum sorted the corpus in one task
+    specs.foreach { first =>
+      assert(!first.startsWith("score") && !first.startsWith("doc_id"),
+        s"corpus-wide partition-less window (spec head '$first'):\n$plan")
+    }
+    assert(specs.exists(_.startsWith("pid")), specs.mkString(", "))
+  }
 }

@@ -202,6 +202,40 @@ class DedupSpec extends SparkSpec {
     assert(bcast.nonEmpty)
   }
 
+  test("bloom decontamination equals the symmetric operator, probe in plan") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val reference = docs.filter(col("doc_id") % 2 =!= 0)
+    val bloomDf = DedupOps.decontaminateBloom(corpus, reference)
+    val bloom = bloomDf
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val symm = DedupOps.decontaminate(corpus, reference)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(bloom === symm)
+    assert(bloom.nonEmpty)
+    // the codegen'd probe must survive optimization as a row-local
+    // filter — if it ever migrates above the candidate join (or gets
+    // constant-folded away) the pre-shuffle pruning is gone
+    val plan = bloomDf.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      "expected a might_contain Bloom probe in the executed plan")
+  }
+
+  test("bloom decontamination survives an absurd false-positive rate") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val reference = docs.filter(col("doc_id") % 2 =!= 0)
+    // fpp = 0.5: half of all non-candidate band rows leak through the
+    // filter — exact verification must still kill every one of them
+    val sloppy = DedupOps.decontaminateBloom(corpus, reference, fpp = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val symm = DedupOps.decontaminate(corpus, reference)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sloppy === symm)
+  }
+
   test("embedding pairs: output respects the threshold and ordering") {
     val out = DedupOps.embeddingPairs(spark, sf, threshold = 0.4).collect()
     out.foreach { r =>
