@@ -71,6 +71,15 @@ object SparkEntry {
     "etl_sample_hash" -> ((s, d) => SampleOps
       .sampleByHash(Tables.documents(s, d).select(col("doc_id")), "doc_id", 64)
       .orderBy(col("doc_id"))),
+    // dataset mixing toward a 6:3:1 target composition over three of
+    // the twenty sources (rest dropped): src0's allocation exceeds
+    // its count → keep-all clamp; the others keep a hash-bucket cut
+    // derived in pure BIGINT arithmetic (engine-portable, no floats)
+    "etl_mix_domains" -> ((s, d) => SampleOps
+      .mixDomains(Tables.documents(s, d), "doc_id", "source",
+        Map("src0" -> 6L, "src1" -> 3L, "src2" -> 1L), totalBudget = 60L)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))),
     "etl_hash_split" -> ((s, d) => SampleOps
       .hashSplit(Tables.documents(s, d).select(col("doc_id")), "doc_id")
       .orderBy(col("doc_id"))),
@@ -174,6 +183,9 @@ object SparkEntry {
     "ts_resample_daily" -> (TimeSeriesOps.resampleDaily _),
     "ts_rolling"        -> ((s, d) => TimeSeriesOps.rollingFeatures(s, d)),
     "ts_anomaly"        -> ((s, d) => TimeSeriesOps.anomalyZScore(s, d)),
+    // additive STL-lite: centered-window trend, integer-phase
+    // seasonal means over DECIMAL-quantized detrended values, resid
+    "ts_seasonal_decompose" -> ((s, d) => TimeSeriesOps.seasonalDecompose(s, d)),
     "ts_lag_features"   -> ((s, d) => TimeSeriesOps.lagFeatures(s, d)),
     // daily mean value per type with synthetic outage days planted
     // (every day-of-month divisible by 5 removed, identically in the
@@ -626,6 +638,22 @@ object SparkEntry {
       """SELECT doc_id FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
         |ORDER BY doc_id""".stripMargin,
+    // Mixture sizing replayed in pure BIGINT floor division (// in
+    // DuckDB = div in Spark on positives); the keep-all clamp
+    // compares numerically because printf('%02x', 256) is '100'.
+    "etl_mix_domains" ->
+      """WITH shares(source, share) AS (
+        |  VALUES ('src0', 6), ('src1', 3), ('src2', 1)),
+        |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |        FROM documents GROUP BY source),
+        |cut AS (SELECT cnt.source,
+        |  least(256, (256 * ((share * 60) // 10)) // n) AS buckets
+        |  FROM cnt JOIN shares USING (source))
+        |SELECT doc_id, source FROM documents JOIN cut USING (source)
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+        |        < printf('%02x', buckets)
+        |   OR buckets >= 256
+        |ORDER BY doc_id""".stripMargin,
     "etl_sample_stratified" ->
       """SELECT event_id, event_type FROM events
         |WHERE CASE event_type
@@ -771,6 +799,37 @@ object SparkEntry {
         |  (abs(CASE WHEN sd = 0 THEN 0.0 ELSE (cnt - mean) / sd END) >= 2.0)
         |    AS is_anomaly
         |FROM f WHERE n >= 7
+        |ORDER BY event_type, day""".stripMargin,
+    // Phase = epoch-day mod 7 (dow functions differ in origin across
+    // engines); the seasonal mean divides an exact DECIMAL(20,10) sum
+    // once, so partial-aggregation order can't move the 4th decimal.
+    "ts_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, day, cnt,
+        |    count(*) OVER w AS wn,
+        |    CAST(sum(cnt) OVER w AS DOUBLE) / 7 AS trend
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |det AS (
+        |  SELECT event_type, day, cnt, trend,
+        |    date_diff('day', DATE '1970-01-01', day) % 7 AS pos,
+        |    CAST(cnt - trend AS DECIMAL(20,10)) AS dv
+        |  FROM t WHERE wn = 7),
+        |seas AS (
+        |  SELECT event_type, pos,
+        |    CAST(sum(dv) AS DOUBLE) / count(*) AS seasonal
+        |  FROM det GROUP BY 1, 2)
+        |SELECT det.event_type AS event_type, day, cnt,
+        |  round(trend, 4) AS trend,
+        |  round(seasonal, 4) AS seasonal,
+        |  round(cnt - trend - seasonal, 4) AS resid
+        |FROM det JOIN seas
+        |  ON det.event_type = seas.event_type AND det.pos = seas.pos
         |ORDER BY event_type, day""".stripMargin,
     "ts_lag_features" ->
       """WITH daily AS (

@@ -58,6 +58,52 @@ object SampleOps {
     df.filter(b < cut || cut === lit("100"))
   }
 
+  /** Deterministic dataset MIXING: resample a multi-domain corpus
+    * toward a target composition — the "mixture weights" step of
+    * training-data assembly (N parts web, M parts wiki, ...), run as
+    * one deterministic pass instead of per-domain jobs.
+    *
+    * For each domain in `shares`, its token of the `totalBudget` is
+    * `budget·share/Σshares` rows; the kept fraction is realized as
+    * `min(256, 256·desired div count)` of the md5 key buckets —
+    * the same row-local, engine-portable predicate the flat sampler
+    * uses, so the SAME keys survive on every run and every engine.
+    * Domains absent from `shares` are dropped. All sizing arithmetic
+    * is BIGINT floor division (no float rates: a double keep-rate
+    * would round differently across engines). An over-allocated
+    * domain (desired ≥ count) keeps every row — budget is a target
+    * composition, not an exact row count; bucket granularity makes
+    * achieved counts approximate by ±count/256.
+    *
+    * Plan shape: one map-side-combinable count per domain (output =
+    * #domains rows), broadcast back, then a row-local filter — the
+    * corpus itself is never shuffled. */
+  def mixDomains(df: DataFrame, key: String, domainCol: String,
+                 shares: Map[String, Long], totalBudget: Long): DataFrame = {
+    require(shares.nonEmpty, "mixDomains needs at least one domain share")
+    require(shares.values.forall(_ > 0), s"shares must be positive: $shares")
+    require(totalBudget >= 0, s"totalBudget must be >= 0: $totalBudget")
+    val sumShares = shares.values.sum
+    val shareCol = shares.foldLeft(lit(null).cast("long")) {
+      case (acc, (dom, sh)) => when(col(domainCol) === dom, lit(sh)).otherwise(acc)
+    }
+    val cuts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__share", shareCol)
+      .filter(col("__share").isNotNull)
+      .withColumn("__desired",
+        expr(s"(__share * ${totalBudget}L) div ${sumShares}L"))
+      .withColumn("__buckets",
+        least(lit(256L), expr("(256 * __desired) div __n")))
+      .select(col(domainCol), col("__buckets"))
+    df.join(broadcast(cuts), domainCol)
+      // per-row hex cut, same lexicographic compare as `below`; the
+      // 256-bucket keep-all face compares numerically ("100" is
+      // 3 chars and sorts BELOW every 2-char bucket id)
+      .filter(bucket(col(key)) < format_string("%02x", col("__buckets")) ||
+        col("__buckets") >= 256)
+      .drop("__buckets")
+  }
+
   /** Assign each row a leakage-safe split label by key hash:
     * buckets [0, train) → "train", [train, train+holdout) → "val",
     * the rest → "test". Defaults ≈ 80/10/10. */

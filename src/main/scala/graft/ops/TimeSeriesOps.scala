@@ -215,6 +215,53 @@ object TimeSeriesOps {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Additive seasonal decomposition (STL-lite): y = trend + seasonal
+    * + resid, per series. Trend is the centered `period`-row moving
+    * average, emitted only where the full window exists (edges have
+    * no honest centered mean); seasonal is the per-(series, phase)
+    * mean of the detrended values, where phase = epoch-day mod
+    * `period` — pure integer arithmetic, engine-portable, unlike
+    * day-of-week functions whose 0/1 origin differs across engines;
+    * resid is the remainder.
+    *
+    * Determinism at scale: the trend divides an EXACT long window sum
+    * once; detrended values are quantized to DECIMAL(20,10) before
+    * the seasonal mean so the aggregation is order-independent
+    * (double partial sums would differ run to run at 1000 executors).
+    * One shuffle on the series key — the same partitioning every
+    * other per-series feature uses — plus a broadcast-sized phase
+    * join back. */
+  def seasonalDecompose(s: SparkSession, d: String,
+                        period: Int = 7): DataFrame =
+    seasonalDecomposeOn(
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt")),
+      period)
+
+  /** Same decomposition over any (event_type, day, cnt) daily frame. */
+  def seasonalDecomposeOn(daily: DataFrame, period: Int): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"period must be odd >= 3 for a centered window: $period")
+    val half = period / 2
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-half, half)
+    val detrended = daily
+      .withColumn("__wn", count(lit(1)).over(w))
+      .withColumn("__trend", sum(col("cnt")).over(w).cast("double") / period)
+      .filter(col("__wn") === period)
+      .withColumn("__pos", expr(s"datediff(day, DATE '1970-01-01') % $period"))
+      .withColumn("__det", (col("cnt") - col("__trend")).cast("decimal(20,10)"))
+    val seasonal = detrended.groupBy(col("event_type"), col("__pos"))
+      .agg((sum(col("__det")).cast("double") / count(lit(1))).as("__seasonal"))
+    detrended.join(broadcast(seasonal), Seq("event_type", "__pos"))
+      .select(col("event_type"), col("day"), col("cnt"),
+        round(col("__trend"), 4).as("trend"),
+        round(col("__seasonal"), 4).as("seasonal"),
+        round(col("cnt") - col("__trend") - col("__seasonal"), 4).as("resid"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Lag/delta features per series: previous-day count, day-over-day
     * delta, and percent change — the residual features the reference's
     * seasonal-naive forecast builds on. Same single shuffle shape. */

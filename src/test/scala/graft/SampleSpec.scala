@@ -50,6 +50,35 @@ class SampleSpec extends SparkSpec {
     assert(strat === flat)
   }
 
+  test("domain mixing realizes target shares with exact bucket arithmetic") {
+    import spark.implicits._
+    // 3 domains × 200 keys; shares a:2 b:1 (c unlisted → dropped),
+    // budget 450 of 600: desired a = 300 ≥ 200 → keep-all clamp;
+    // desired b = 150 → buckets = 256·150 div 200 = 192
+    val rows = for (dom <- Seq("a", "b", "c"); i <- 0 until 200)
+      yield (dom.hashCode.toLong * 1000 + i, dom)
+    val df = rows.toDF("id", "dom")
+    val out = SampleOps.mixDomains(df, "id", "dom",
+      Map("a" -> 2L, "b" -> 1L), totalBudget = 450L)
+      .select("id", "dom").collect().map(r => (r.getLong(0), r.getString(1)))
+    // driver-side replica of the predicate (the oracle's arithmetic)
+    def hexBucket(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(id.toString.getBytes("UTF-8"))
+        .take(1).map(b => f"${b & 0xff}%02x").mkString
+    }
+    val expected = rows.collect {
+      case (id, "a") => (id, "a") // keep-all
+      case (id, "b") if hexBucket(id) < f"${192}%02x" => (id, "b")
+    }
+    assert(out.toSet === expected.toSet)
+    assert(out.count(_._2 == "a") === 200)
+    assert(!out.exists(_._2 == "c"))
+    // the partial domain's achieved count sits near 200·192/256 = 150
+    val nb = out.count(_._2 == "b")
+    assert(math.abs(nb - 150) < 30, s"b kept $nb, expected ~150")
+  }
+
   test("hash split partitions every row once at ~80/10/10") {
     val docs = Tables.documents(spark, sf)
     val out = SampleOps.hashSplit(docs, "doc_id")

@@ -279,4 +279,48 @@ class TimeSeriesSpec extends SparkSpec {
       assert(out((t0, h)) === want, s"h=$h")
     }
   }
+
+  test("seasonal decomposition recovers a planted periodic signal exactly") {
+    import spark.implicits._
+    // y(t) = 100 + pattern[t mod 7], zero noise: every centered
+    // 7-window sums the whole pattern once, so trend ≡ 100 + mean,
+    // seasonal ≡ pattern − mean, resid ≡ 0 — closed form, no slack
+    val pattern = Seq(7L, -3L, 0L, 14L, -7L, -11L, 0L)
+    val mean = pattern.sum.toDouble / 7 // = 0.0 by construction
+    assert(mean === 0.0)
+    val days = (0 until 28).map { i =>
+      val day = java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2023, 1, 1).plusDays(i).atStartOfDay)
+      // phase key is epoch-day mod 7, NOT i mod 7 — recompute it
+      val phase = java.time.LocalDate.of(2023, 1, 1).plusDays(i).toEpochDay % 7
+      ("a", day, 100L + pattern(phase.toInt))
+    }
+    val out = TimeSeriesOps
+      .seasonalDecomposeOn(days.toDF("event_type", "day", "cnt"), period = 7)
+      .collect()
+    assert(out.length === 28 - 6) // 3 warm-up rows lost at each edge
+    out.foreach { r =>
+      val (cnt, trend, seasonal, resid) =
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(trend === 100.0, s"trend $trend")
+      assert(seasonal === (cnt - 100L).toDouble, s"seasonal $seasonal vs $cnt")
+      assert(resid === 0.0, s"resid $resid")
+    }
+  }
+
+  test("seasonal decomposition reconstructs y and keys seasonal by phase") {
+    val out = TimeSeriesOps.seasonalDecompose(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val recon = r.getDouble(3) + r.getDouble(4) + r.getDouble(5)
+      assert(math.abs(recon - r.getLong(2)) < 3e-4,
+        s"cnt=${r.getLong(2)} trend+seasonal+resid=$recon")
+    }
+    // seasonal must be a pure function of (series, epoch-day mod 7)
+    val byPhase = out.groupBy(r =>
+      (r.getString(0), r.getTimestamp(1).toLocalDateTime.toLocalDate.toEpochDay % 7))
+    byPhase.foreach { case (k, rows) =>
+      assert(rows.map(_.getDouble(4)).distinct.length === 1, s"phase $k")
+    }
+  }
 }
