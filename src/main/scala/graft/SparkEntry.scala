@@ -363,6 +363,10 @@ object SparkEntry {
     // §2.10 MLlib pipelines
     "ml_cluster"  -> ((s, d) => MlOps.cluster(s, d)),
     "ml_classify" -> (MlOps.classify _),
+    // the non-parametric classification baseline, fully
+    // SQL-expressible: every 10th vector held out, majority vote of
+    // its 5 nearest labeled neighbors, double-deterministic ties
+    "ml_knn_classify" -> ((s, d) => SimilarityOps.knnClassify(s, d)),
     // §2.8 streaming (batch faces; streaming faces spec-tested)
     "stream_window_counts" -> (graft.streaming.EventStreams.windowCountsBatch _),
     "stream_sliding_counts" -> (graft.streaming.EventStreams.slidingCountsBatch _),
@@ -1166,6 +1170,25 @@ object SparkEntry {
         |        ORDER BY cosine DESC, vec_id) AS rank FROM scored)
         |SELECT q_id, vec_id, cosine, rank FROM r
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // The whole classifier replayed relationally: neighbor ranking on
+    // (cosine 4dp desc, vec_id), vote on (count desc, label) — both
+    // tiebreaks total, so the argmax rows hash identically.
+    "ml_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+        |             label AS true_label
+        |           FROM embeddings WHERE vec_id % 10 = 0),
+        |scored AS (
+        |  SELECT q_id, true_label, e.vec_id AS vec_id, e.label AS label,
+        |    round(list_cosine_similarity(q_emb, e.embedding), 4) AS cosine
+        |  FROM embeddings e, q WHERE e.vec_id % 10 <> 0),
+        |top AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |          ORDER BY cosine DESC, vec_id) AS r FROM scored),
+        |votes AS (SELECT q_id, true_label, label, count(*) AS votes
+        |          FROM top WHERE r <= 5 GROUP BY 1, 2, 3),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        |           ORDER BY votes DESC, label) AS vr FROM votes)
+        |SELECT q_id, true_label, label AS pred_label, votes
+        |FROM best WHERE vr = 1 ORDER BY q_id""".stripMargin,
     // Generated from the same pattern table the operator folds over
     // (Java regex and RE2 agree on this subset); counts on the
     // original text, replacements applied in the same fixed order.

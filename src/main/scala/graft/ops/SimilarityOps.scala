@@ -57,6 +57,46 @@ object SimilarityOps {
         round(col("__s").cast("double") / col("n"), 4).as("mean_v"), col("n"))
       .orderBy(col("label"), col("pos"))
 
+  /** k-nearest-neighbor CLASSIFICATION over the embedding space —
+    * the non-parametric baseline every embedding-quality check runs:
+    * hold out every 10th vector, predict its label by majority vote
+    * of its k nearest labeled neighbors (cosine), report prediction
+    * beside truth. Fully SQL-expressible, so unlike the MLlib
+    * entries this classifier is cross-engine oracled end to end.
+    *
+    * Ties are deterministic twice over: neighbor rank breaks
+    * (cosine 4dp desc, vec_id asc); the vote breaks
+    * (count desc, label asc). This face scores brute-force (query
+    * set broadcast, corpus never self-joined — the exact baseline);
+    * at 100 TB swap the scorer for [[lshTopK]]/[[ivfTopK]] — the
+    * vote stage is identical on any (q_id, neighbor label) frame. */
+  def knnClassify(s: SparkSession, d: String, k: Int = 5): DataFrame =
+    knnClassifyOn(Tables.embeddings(s, d), k)
+
+  /** Same over any (vec_id, embedding, label) frame. */
+  def knnClassifyOn(emb: DataFrame, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("true_label"))
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val scored = corpus.crossJoin(broadcast(q))
+      .select(col("q_id"), col("true_label"), col("vec_id"), col("label"),
+        round(cosine(col("q_emb"), col("embedding")), 4).as("cosine"))
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val top = scored.withColumn("__r", row_number().over(wr))
+      .filter(col("__r") <= k)
+    val wv = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("label"))
+    top.groupBy(col("q_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("__vr", row_number().over(wv))
+      .filter(col("__vr") === 1)
+      .select(col("q_id"), col("true_label"),
+        col("label").as("pred_label"), col("votes"))
+      .orderBy(col("q_id"))
+  }
+
   /** Exact top-k: broadcast the query set, score every corpus vector,
     * rank per query. */
   def bruteForceTopK(s: SparkSession, d: String,

@@ -101,4 +101,35 @@ class SimilaritySpec extends SparkSpec {
     info(f"IVF recall@5 vs brute force: $recall%.2f")
     assert(recall > 0.0) // approximate by design; exactness is per-score
   }
+
+  test("knn classifier: planted clusters classify their held-out queries") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1f, 0f), 0), (2L, Array(0.95f, 0.05f), 0),
+      (3L, Array(0.9f, 0.1f), 0),
+      (11L, Array(0f, 1f), 1), (12L, Array(0.05f, 0.95f), 1),
+      (13L, Array(0.1f, 0.9f), 1),
+      (10L, Array(1f, 0.02f), 0), // held out (vec_id % 10 == 0)
+      (20L, Array(0.02f, 1f), 1)  // held out
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.knnClassifyOn(emb, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toList
+    // each query's 3 nearest neighbors are exactly its own cluster
+    assert(out === List((10L, 0, 0, 3L), (20L, 1, 1, 3L)))
+  }
+
+  test("knn vote ties break to the lowest label, rank ties to lowest id") {
+    import spark.implicits._
+    // all four corpus vectors have cosine 0.7071 to the query, so the
+    // neighbor ranking is pure vec_id order (1, 11, 21, 31); k = 2
+    // takes labels {0, 1} — a 1-1 vote that must resolve to label 0
+    val emb = Seq(
+      (1L, Array(1f, 0f), 0), (21L, Array(1f, 0f), 0),
+      (11L, Array(0f, 1f), 1), (31L, Array(0f, 1f), 1),
+      (10L, Array(1f, 1f), 9)
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.knnClassifyOn(emb, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toList
+    assert(out === List((10L, 9, 0, 1L)))
+  }
 }
