@@ -55,6 +55,16 @@ object SparkEntry {
     // the skew path as a first-class query: salted equi-join (hot keys
     // spread over 8 reducers) feeding a per-segment aggregate — the
     // result contract is exactly the plain join's
+    // the generic runtime-filter shape: urgent-order keys folded into
+    // a Bloom filter probed inside the lineitem scan, exact semi join
+    // over the survivors — contract identical to a plain semi join
+    "q_semi_join_bloom" -> ((s, d) =>
+      SkewOps.bloomSemiJoin(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber")),
+        Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey")),
+        "l_orderkey", "o_orderkey")
+      .orderBy(col("l_orderkey"), col("l_linenumber"))),
     "q_salted_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val dim = ev.select(col("user_id")).distinct()
@@ -370,6 +380,10 @@ object SparkEntry {
     // §2.8 streaming (batch faces; streaming faces spec-tested)
     "stream_window_counts" -> (graft.streaming.EventStreams.windowCountsBatch _),
     "stream_sliding_counts" -> (graft.streaming.EventStreams.slidingCountsBatch _),
+    // stream-static dimension lookup: LEFT join against the even half
+    // of the customer dim (odd users null-fill), dim broadcast so the
+    // per-micro-batch join never shuffles the stream
+    "stream_enrich" -> (graft.streaming.EventStreams.enrichBatch _),
     // referential integrity: parents filtered by a deterministic
     // predicate PLANT real orphans in two relationships (the third
     // stays clean, covering the passing side) — mirrored in the
@@ -638,6 +652,11 @@ object SparkEntry {
         |FROM v CROSS JOIN t ORDER BY rule""".stripMargin,
     // The bucketing predicate is shared literally with SampleOps:
     // first two hex chars of md5(key), lexicographic cut.
+    "q_semi_join_bloom" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "etl_sample_hash" ->
       """SELECT doc_id FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
@@ -1399,6 +1418,11 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
         | count(*) AS n, round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_enrich" ->
+      """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
+        |FROM events e LEFT JOIN customer c
+        |  ON e.user_id = c.c_custkey AND c.c_custkey % 2 = 0
+        |ORDER BY e.event_id""".stripMargin,
     // each event lands in exactly window/slide = 2 overlapping
     // 10-minute windows whose starts are its 5-minute floor and the
     // one before; Spark's window() and time_bucket share the epoch

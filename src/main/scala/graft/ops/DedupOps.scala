@@ -403,9 +403,6 @@ object DedupOps {
                          threshold: Double = 0.8,
                          numPerm: Int = 64, bands: Int = 16,
                          fpp: Double = 0.01): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    import org.apache.spark.sql.types.BinaryType
     def staged(df: DataFrame): DataFrame = Tables.spread(df)
       .select(col("doc_id"), TextOps.toks(col("text")).as("__t"))
       .select(col("doc_id"), shingleHashesExpr(col("__t")).as("hs"))
@@ -416,16 +413,10 @@ object DedupOps {
         .as(Seq("band", "bsig")))
     // posexplode of a fixed-size array: exactly bands keys per ref doc
     val expected = math.max(1L, ref.count()) * bands
-    val bf = refBands.select(bandKey.as("k")).stat.bloomFilter("k", expected, fpp)
-    val bfBytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      bos.toByteArray
-    }
     // the codegen'd probe: a pure row-local predicate, so Catalyst
     // keeps it inside the corpus scan stage below the join
-    val mightContain = ColumnBridge.column(BloomFilterMightContain(
-      Literal(bfBytes, BinaryType), ColumnBridge.expression(bandKey)))
+    val mightContain = graft.functions.BloomProbe.mightContain(
+      refBands.select(bandKey.as("k")), "k", expected, fpp, bandKey)
     val corBands = staged(corpus).select(col("doc_id"), col("hs"),
       posexplode(array(bandSigsExpr(col("hs"), numPerm, bands): _*))
         .as(Seq("band", "bsig")))

@@ -23,4 +23,27 @@ object SkewOps {
     val s = small.withColumn("__salt", explode(saltValues))
     l.join(s, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Bloom-filtered semi join — the generic runtime-filter shape for
+    * "huge fact, selective key set": fold the small side's keys into
+    * a fixed-size Bloom filter, probe it codegen'd INSIDE the large
+    * side's scan, then run the exact left_semi join over the
+    * survivors. The result is exactly the plain left_semi join's
+    * (false positives die in the exact join); the difference is that
+    * at 100 TB the fact side's shuffle carries only matching + fpp
+    * rows instead of every row — the dominant cost of a selective
+    * semi join is the probe-side exchange, and this removes it.
+    * Spark's own InjectRuntimeFilter does this when its heuristics
+    * prove selectivity; this operator is the explicit form for plans
+    * where they can't. One scalar `count()` sizes the filter bits
+    * (build-side-sized action, same concession the dedup Bloom face
+    * makes). */
+  def bloomSemiJoin(large: DataFrame, small: DataFrame, largeKey: String,
+                    smallKey: String, fpp: Double = 0.01): DataFrame = {
+    val keys = small.select(xxhash64(col(smallKey)).as("__k")).cache()
+    val probe = graft.functions.BloomProbe.mightContain(
+      keys, "__k", math.max(1L, keys.count()), fpp, xxhash64(col(largeKey)))
+    large.filter(probe)
+      .join(small, col(largeKey) === col(smallKey), "left_semi")
+  }
 }

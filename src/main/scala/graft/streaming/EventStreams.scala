@@ -69,6 +69,51 @@ object EventStreams {
       s.readStream.schema(schema).parquet(sourceDir)
         .withWatermark("ts", "2 hours"))
 
+  // ---- stream-static dimension enrichment -----------------------------
+
+  /** Shared transform: enrich events with a static dimension keyed by
+    * user — the stream-static JOIN, the lookup shape every live
+    * pipeline runs (attach segment/account/geo to each arriving
+    * event). LEFT join: an event with no dimension row passes through
+    * null-filled rather than silently dropping (losing fact rows to a
+    * stale dimension is the classic enrichment bug). The dimension is
+    * broadcast — per micro-batch the join is map-side, no stream-side
+    * shuffle, which is the only shape that holds at ingest rates
+    * (Structured Streaming re-reads the static side per batch, so a
+    * shuffled stream-static join would re-exchange the STREAM every
+    * batch). */
+  def enrich(events: DataFrame, dim: DataFrame,
+             key: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** Batch face for the oracle gate: segment lookup against the even
+    * half of the customer dimension (the odd half's absence makes the
+    * left join's null-fill face bite in the checked output). */
+  def enrichBatch(s: SparkSession, d: String): DataFrame =
+    enrich(
+      Tables.events(s, d).select(col("event_id"), col("user_id")),
+      customerDim(s, d))
+      .orderBy(col("event_id"))
+
+  /** The dimension both faces share. */
+  def customerDim(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))
+
+  /** Streaming face: same transform over a file stream; no watermark
+    * needed — the join is stateless (the static side is re-planned
+    * per micro-batch, which is also how dimension updates between
+    * batches become visible). */
+  def enrichStream(s: SparkSession, sourceDir: String,
+                   schema: org.apache.spark.sql.types.StructType,
+                   dim: DataFrame): DataFrame =
+    enrich(
+      s.readStream.schema(schema).parquet(sourceDir)
+        .select(col("event_id"), col("user_id")),
+      dim)
+
   // ---- windowed data-quality monitor ----------------------------------
 
   /** The rule set the monitor entry and specs share — ONE definition

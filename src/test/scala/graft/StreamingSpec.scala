@@ -26,6 +26,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming enrichment equals the batch face, left-join null-fill bites") {
+    val staged = java.nio.file.Files.createTempDirectory("graft-enrich").toString
+    val events = Tables.events(spark, sf)
+    events.write.mode("overwrite").parquet(staged)
+    val q = EventStreams.enrichStream(spark, staged, events.schema,
+        EventStreams.customerDim(spark, sf))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+          Option(r.getAs[String]("segment")))
+      val streamed = spark.table("enrich_out").collect().map(key).toSet
+      val batch = EventStreams.enrichBatch(spark, sf).collect().map(key).toSet
+      assert(streamed === batch)
+      // no fact rows lost to the dimension, and the null-fill face is
+      // real: odd users have no dim row
+      assert(streamed.size === events.count())
+      assert(streamed.exists(_._3.isEmpty))
+      assert(streamed.exists(_._3.nonEmpty))
+      streamed.foreach { case (_, uid, seg) =>
+        assert(seg.isEmpty === (uid % 2 != 0), s"user $uid segment $seg")
+      }
+    } finally q.stop()
+  }
+
   test("streaming sliding counts equal the batch face, 2 windows per event") {
     val staged = java.nio.file.Files.createTempDirectory("graft-slide").toString
     val events = Tables.events(spark, sf)
