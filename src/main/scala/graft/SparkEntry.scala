@@ -44,6 +44,7 @@ object SparkEntry {
     "q_topk_per_group"   -> (Analytics.topkPerGroup _),
     "q_rollup"           -> (Analytics.rollupAgg _),
     "q_grouping_sets"    -> (Analytics.groupingSetsAgg _),
+    "q_cube"             -> (Analytics.cubeAgg _),
     "q_distinct_count"   -> (Analytics.distinctCount _),
     "q_percentiles"      -> (Analytics.percentiles _),
     // sketch variants — the aggregates that actually run at 100 TB
@@ -196,6 +197,9 @@ object SparkEntry {
     // additive STL-lite: centered-window trend, integer-phase
     // seasonal means over DECIMAL-quantized detrended values, resid
     "ts_seasonal_decompose" -> ((s, d) => TimeSeriesOps.seasonalDecompose(s, d)),
+    // sustained level shifts (not spikes): two-window mean compare
+    // normalized by the pre-window spread, full windows only
+    "ts_changepoint" -> ((s, d) => TimeSeriesOps.changepoints(s, d)),
     "ts_lag_features"   -> ((s, d) => TimeSeriesOps.lagFeatures(s, d)),
     // daily mean value per type with synthetic outage days planted
     // (every day-of-month divisible by 5 removed, identically in the
@@ -541,6 +545,13 @@ object SparkEntry {
         |  UNION ALL SELECT day, 'signup', signup FROM wide
         |  UNION ALL SELECT day, 'browse', browse FROM wide)
         |ORDER BY day, event_type""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        | coalesce(l_linestatus, 'ALL') AS status,
+        | round(sum(l_extendedprice), 4) AS rev, count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         | coalesce(l_linestatus, 'ALL') AS status,
@@ -823,6 +834,30 @@ object SparkEntry {
         |    AS is_anomaly
         |FROM f WHERE n >= 7
         |ORDER BY event_type, day""".stripMargin,
+    "ts_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |f AS (
+        |  SELECT event_type, day, cnt,
+        |    count(*) OVER pre AS npre, count(*) OVER post AS npost,
+        |    avg(cnt) OVER pre AS pre_mean, avg(cnt) OVER post AS post_mean,
+        |    coalesce(stddev_samp(cnt) OVER pre, 0.0) AS sd
+        |  FROM daily
+        |  WINDOW pre AS (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING),
+        |         post AS (PARTITION BY event_type ORDER BY day
+        |                  ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)),
+        |g AS (
+        |  SELECT event_type, day, cnt, pre_mean, post_mean,
+        |    CASE WHEN sd = 0 THEN post_mean - pre_mean
+        |         ELSE (post_mean - pre_mean) / sd END AS score
+        |  FROM f WHERE npre = 7 AND npost = 7)
+        |SELECT event_type, day, cnt,
+        |  round(pre_mean, 4) AS pre_mean, round(post_mean, 4) AS post_mean,
+        |  round(score, 4) AS score, (abs(score) >= 3.0) AS is_change
+        |FROM g ORDER BY event_type, day""".stripMargin,
     // Phase = epoch-day mod 7 (dow functions differ in origin across
     // engines); the seasonal mean divides an exact DECIMAL(20,10) sum
     // once, so partial-aggregation order can't move the 4th decimal.

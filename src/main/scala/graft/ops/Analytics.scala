@@ -214,6 +214,21 @@ object Analytics {
         col("rev"), col("n"))
       .orderBy(col("flag"), col("status"))
 
+  /** CUBE(returnflag, linestatus): all four grouping sets in one
+    * shuffle — completes the rollup / grouping-sets / cube family.
+    * Distinguishing the (flag)-only set from rollup's output needs
+    * the per-column slice the other two never produce. */
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 4).as("rev"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("rev"), col("n"))
+      .orderBy(col("flag"), col("status"))
+
   /** The rank-function family in one window pass: quartile bucket
     * (ntile), relative rank, and cumulative distribution per event
     * within its type — the percentile-style labeling analytics

@@ -262,6 +262,54 @@ object TimeSeriesOps {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Per-series CHANGEPOINT detection — the offline two-window scan:
+    * at each day, compare the mean of the `w` days strictly BEFORE
+    * against the mean of the `w` days FROM here (the candidate new
+    * regime), normalized by the pre-window's spread. A genuine level
+    * shift scores |shift|/sd ≫ 1 exactly once — at the boundary —
+    * where single-point detectors ([[anomalyZScore]]) fire on spikes
+    * but stay silent on sustained shifts (the mean moves WITH the
+    * shift). Both windows must be full (edges have no honest
+    * two-sample compare); zero-variance pre-windows pin the score by
+    * the raw shift so a flat series that jumps still flags. Two rows
+    * frames on ONE (series, day) shuffle — composes with the other
+    * per-series features into a single window stage. */
+  def changepoints(s: SparkSession, d: String, w: Int = 7,
+                   minScore: Double = 3.0): DataFrame =
+    changepointsOn(
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt")),
+      w, minScore)
+
+  /** Same scan over any (event_type, day, cnt) daily frame. */
+  def changepointsOn(daily: DataFrame, w: Int,
+                     minScore: Double): DataFrame = {
+    require(w >= 2, s"window must be >= 2: $w")
+    val ord = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wPre = ord.rowsBetween(-w, -1)
+    val wPost = ord.rowsBetween(0, w - 1)
+    // sd = 0 (flat pre-window): an exactly-repeating series has no
+    // noise scale, so ANY nonzero shift is infinitely significant —
+    // score by the raw shift instead of 0/0
+    val score = when(col("__sd") === 0, col("__shift"))
+      .otherwise(col("__shift") / col("__sd"))
+    daily
+      .withColumn("__npre", count(lit(1)).over(wPre))
+      .withColumn("__npost", count(lit(1)).over(wPost))
+      .withColumn("__pre", avg(col("cnt")).over(wPre))
+      .withColumn("__post", avg(col("cnt")).over(wPost))
+      .withColumn("__sd", coalesce(stddev_samp(col("cnt")).over(wPre), lit(0.0)))
+      .withColumn("__shift", col("__post") - col("__pre"))
+      .filter(col("__npre") === w && col("__npost") === w)
+      .select(col("event_type"), col("day"), col("cnt"),
+        round(col("__pre"), 4).as("pre_mean"),
+        round(col("__post"), 4).as("post_mean"),
+        round(score, 4).as("score"),
+        (abs(score) >= minScore).as("is_change"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Lag/delta features per series: previous-day count, day-over-day
     * delta, and percent change — the residual features the reference's
     * seasonal-naive forecast builds on. Same single shuffle shape. */

@@ -67,6 +67,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(grand.head.getAs[Long]("n") === Tables.lineitem(spark, sf).count())
   }
 
+  test("cube emits all four grouping sets; each slice sums to the total") {
+    val rows = Analytics.cubeAgg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+    val total = Tables.lineitem(spark, sf).count()
+    // every slice family partitions the fact table
+    assert(rows.collect { case ("ALL", "ALL", n) => n }.toSeq === Seq(total))
+    assert(rows.collect { case (f, "ALL", n) if f != "ALL" => n }.sum === total)
+    assert(rows.collect { case ("ALL", st, n) if st != "ALL" => n }.sum === total)
+    assert(rows.collect { case (f, st, n) if f != "ALL" && st != "ALL" => n }
+      .sum === total)
+    // the flag-only slice is the set neither rollup nor the
+    // grouping-sets entry produces
+    assert(rows.exists { case (f, st, _) => f != "ALL" && st == "ALL" })
+  }
+
   test("grouping sets: the status-only set rollup can't express is present") {
     val rows = Analytics.groupingSetsAgg(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(3)))

@@ -280,6 +280,39 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("changepoints flag a planted level shift once, spikes never") {
+    import spark.implicits._
+    def day(i: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2023, 3, 1).plusDays(i).atStartOfDay)
+    // series "shift": 100±1 alternating for 14 days, then 200±1 — a
+    // sustained regime change; series "spike": 50±1 with one 58
+    // outlier — a ~14-sigma single-point anomaly (anomalyZScore's
+    // prey) whose 7-day mean moves only 8/7 ≈ 2σ, below the
+    // changepoint bar: the two detectors see disjoint events
+    val shift = (0 until 28).map(i =>
+      ("shift", day(i), if (i < 14) 100L + (i % 2) else 200L + (i % 2)))
+    val spike = (0 until 28).map(i =>
+      ("spike", day(i), if (i == 14) 58L else 50L + (i % 2)))
+    val outAll = TimeSeriesOps
+      .changepointsOn((shift ++ spike).toDF("event_type", "day", "cnt"),
+        w = 7, minScore = 3.0)
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getBoolean(6)))
+    // full-window trim: days 7..21 survive per series
+    assert(outAll.count(_._1 == "shift") === 15)
+    val flagged = outAll.filter(_._3).map(r => (r._1, r._2)).toSet
+    // the shift series flags around the boundary (pre/post windows
+    // straddling day 14) and nowhere else; the max-score day IS the
+    // boundary
+    assert(flagged.nonEmpty)
+    assert(flagged.forall { case (s2, t) =>
+      s2 == "shift" &&
+        math.abs(java.time.Duration.between(
+          day(14).toLocalDateTime, t.toLocalDateTime).toDays) <= 6
+    }, flagged.toString)
+    assert(!flagged.exists(_._1 == "spike"))
+  }
+
   test("seasonal decomposition recovers a planted periodic signal exactly") {
     import spark.implicits._
     // y(t) = 100 + pattern[t mod 7], zero noise: every centered
