@@ -84,6 +84,35 @@ object Sources {
   def readEvolved(s: SparkSession, path: String): DataFrame =
     s.read.option("mergeSchema", "true").parquet(path)
 
+  /** Schema drift audit — the check a long-lived ingest runs BEFORE
+    * trusting [[readEvolved]]'s silent union: what exactly changed
+    * between the schema we ingested yesterday and today's files?
+    * Returns one row per differing column: `added` (new column),
+    * `removed` (dropped — readers relying on it break), `retyped`
+    * (same name, different type — the dangerous one: mergeSchema
+    * REFUSES incompatible types at read time, so catching it at
+    * audit time is what keeps the pipeline's failure in the gate
+    * instead of 3 am). Name matching is case-sensitive like Spark's
+    * parquet resolution; top-level fields only — nested drift
+    * surfaces as a `retyped` struct column, which is the actionable
+    * signal (the fix is a declared schema either way). Pure driver
+    * metadata — no data is read. */
+  def schemaDiff(before: org.apache.spark.sql.types.StructType,
+                 after: org.apache.spark.sql.types.StructType): Seq[(String, String, String, String)] = {
+    val b = before.fields.map(f => f.name -> f).toMap
+    val a = after.fields.map(f => f.name -> f).toMap
+    val added = after.fields.filterNot(f => b.contains(f.name))
+      .map(f => (f.name, "added", "", f.dataType.simpleString))
+    val removed = before.fields.filterNot(f => a.contains(f.name))
+      .map(f => (f.name, "removed", f.dataType.simpleString, ""))
+    val retyped = before.fields.flatMap { f =>
+      a.get(f.name).filter(_.dataType != f.dataType)
+        .map(g => (f.name, "retyped",
+          f.dataType.simpleString, g.dataType.simpleString))
+    }
+    (added ++ removed ++ retyped).sortBy(r => (r._1, r._2)).toSeq
+  }
+
   /** Persist a discovered dataset in the session catalog — the
     * crawler→catalog step of the reference (a Glue crawler registers
     * inferred schemas as tables other tools then query by name). The

@@ -132,6 +132,27 @@ class SourcesSpec extends SparkSpec {
     assert(merged.filter(col("score").isNull).count() === 100)
   }
 
+  test("schemaDiff reports added, removed, and retyped columns exactly") {
+    import org.apache.spark.sql.types._
+    val before = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType), StructField("tag", StringType)))
+    val after = StructType(Seq(
+      StructField("id", LongType),            // unchanged → absent
+      StructField("name", StringType),        // unchanged → absent
+      StructField("score", StringType),       // retyped: the 3am one
+      StructField("geo", StringType)))        // added; tag removed
+    val diff = Sources.schemaDiff(before, after)
+    assert(diff === Seq(
+      ("geo", "added", "", "string"),
+      ("score", "retyped", "double", "string"),
+      ("tag", "removed", "string", "")))
+    // drift the audit flags as retyped is exactly what mergeSchema
+    // refuses at read time — catching it here keeps the failure in
+    // the gate
+    assert(Sources.schemaDiff(before, before).isEmpty)
+  }
+
   test("GraftExtensions: SQL functions resolve in an extended session") {
     // getOrCreate() would silently reuse the suite session and skip the
     // extensions, so build a genuinely fresh session (this is the
