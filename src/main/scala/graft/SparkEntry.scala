@@ -200,6 +200,9 @@ object SparkEntry {
     // sustained level shifts (not spikes): two-window mean compare
     // normalized by the pre-window spread, full windows only
     "ts_changepoint" -> ((s, d) => TimeSeriesOps.changepoints(s, d)),
+    // sample ACF at lags 1..7 — how a pipeline DETECTS the period it
+    // hands to decompose/forecast; DECIMAL-quantized product sums
+    "ts_acf" -> ((s, d) => TimeSeriesOps.acf(s, d)),
     "ts_lag_features"   -> ((s, d) => TimeSeriesOps.lagFeatures(s, d)),
     // daily mean value per type with synthetic outage days planted
     // (every day-of-month divisible by 5 removed, identically in the
@@ -388,6 +391,10 @@ object SparkEntry {
     // of the customer dim (odd users null-fill), dim broadcast so the
     // per-micro-batch join never shuffles the stream
     "stream_enrich" -> (graft.streaming.EventStreams.enrichBatch _),
+    // stream-stream attribution join: each click paired with the same
+    // user's views in the trailing 4 h — equi-key + event-time range,
+    // the condition shape that lets streaming bound both state sides
+    "stream_join" -> (graft.streaming.EventStreams.clickViewJoinBatch _),
     // referential integrity: parents filtered by a deterministic
     // predicate PLANT real orphans in two relationships (the third
     // stays clean, covering the passing side) — mirrored in the
@@ -834,6 +841,33 @@ object SparkEntry {
         |    AS is_anomaly
         |FROM f WHERE n >= 7
         |ORDER BY event_type, day""".stripMargin,
+    // Spark's lag(l) over the day order == the row at rn−l: the
+    // oracle replays it as a row-number self-join (DuckDB's lag
+    // offset must be constant, the lags come from an unnested range).
+    "ts_acf" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(sum(cnt) AS DOUBLE) / count(*) AS mu
+        |      FROM daily GROUP BY 1),
+        |r AS (SELECT d.event_type, day, cnt, mu,
+        |        row_number() OVER (PARTITION BY d.event_type ORDER BY day) AS rn
+        |      FROM daily d JOIN m USING (event_type)),
+        |p AS (SELECT a.event_type, k.lg, a.cnt, a.mu, b.cnt AS ylag
+        |      FROM r a
+        |      CROSS JOIN (SELECT unnest(range(1, 8)) AS lg) k
+        |      JOIN r b ON b.event_type = a.event_type AND b.rn = a.rn - k.lg),
+        |num AS (SELECT event_type, lg,
+        |          sum(CAST((cnt - mu) * (ylag - mu) AS DECIMAL(20,10))) AS nm
+        |        FROM p GROUP BY 1, 2),
+        |den AS (SELECT event_type,
+        |          sum(CAST((cnt - mu) * (cnt - mu) AS DECIMAL(20,10))) AS dn
+        |        FROM r GROUP BY 1)
+        |SELECT num.event_type AS event_type, CAST(lg AS INT) AS lag,
+        |  round(CAST(nm AS DOUBLE) / CAST(dn AS DOUBLE), 4) AS acf
+        |FROM num JOIN den USING (event_type)
+        |ORDER BY event_type, lag""".stripMargin,
     "ts_changepoint" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
@@ -1453,6 +1487,16 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
         | count(*) AS n, round(sum(value), 4) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP_US) AS ts,
+        |             event_type FROM events),
+        |c AS (SELECT * FROM e WHERE event_type = 'click'),
+        |v AS (SELECT * FROM e WHERE event_type = 'view')
+        |SELECT c.user_id AS user_id, c.event_id AS click_id,
+        |  c.ts AS click_ts, v.event_id AS view_id, v.ts AS view_ts
+        |FROM c JOIN v ON c.user_id = v.user_id
+        |  AND v.ts >= c.ts - INTERVAL 4 HOUR AND v.ts <= c.ts
+        |ORDER BY click_id, view_id""".stripMargin,
     "stream_enrich" ->
       """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
         |FROM events e LEFT JOIN customer c

@@ -310,6 +310,53 @@ object TimeSeriesOps {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Per-series AUTOCORRELATION function at lags 1..`maxLag` — the
+    * seasonality detector: a weekly series shows acf(7) ≫ acf(1..6),
+    * which is how a pipeline CHOOSES the period it hands to
+    * [[seasonalDecomposeOn]] or [[Forecast]] instead of assuming 7.
+    * acf(l) = Σ(y_t−μ)(y_{t−l}−μ) / Σ(y_t−μ)², row-based lags over
+    * the day order (standard sample ACF, denominator over the full
+    * series).
+    *
+    * Determinism: μ divides one exact long sum; every product is
+    * quantized to DECIMAL(20,10) before summing, so partial-agg order
+    * can't move the 4th decimal — same discipline as the centroid and
+    * decompose operators. One series-key shuffle for the lag window,
+    * one for the #series×#lags aggregate. */
+  def acf(s: SparkSession, d: String, maxLag: Int = 7): DataFrame =
+    acfOn(
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt")),
+      maxLag)
+
+  /** Same over any (event_type, day, cnt) daily frame. */
+  def acfOn(daily: DataFrame, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
+    val mu = daily.groupBy(col("event_type"))
+      .agg((sum(col("cnt")).cast("double") / count(lit(1))).as("mu"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val lagged = (1 to maxLag).foldLeft(daily) { (df, l) =>
+      df.withColumn(s"__lag$l", lag(col("cnt"), l).over(w))
+    }.join(broadcast(mu), "event_type")
+    val dev = col("cnt") - col("mu")
+    val pairs = lagged.select(col("event_type"), col("mu"), col("cnt"),
+        posexplode(array((1 to maxLag).map(l => col(s"__lag$l")): _*))
+          .as(Seq("__i", "__ylag")))
+      .filter(col("__ylag").isNotNull)
+      .withColumn("lag", col("__i") + 1)
+    val num = pairs.groupBy(col("event_type"), col("lag"))
+      .agg(sum((dev * (col("__ylag") - col("mu")))
+        .cast("decimal(20,10)")).as("__num"))
+    val den = lagged.groupBy(col("event_type"))
+      .agg(sum((dev * dev).cast("decimal(20,10)")).as("__den"))
+    num.join(broadcast(den), "event_type")
+      .select(col("event_type"), col("lag"),
+        round(col("__num").cast("double") / col("__den").cast("double"), 4)
+          .as("acf"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
   /** Lag/delta features per series: previous-day count, day-over-day
     * delta, and percent change — the residual features the reference's
     * seasonal-naive forecast builds on. Same single shuffle shape. */

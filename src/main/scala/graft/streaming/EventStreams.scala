@@ -114,6 +114,54 @@ object EventStreams {
         .select(col("event_id"), col("user_id")),
       dim)
 
+  // ---- stream-stream join ---------------------------------------------
+
+  /** Shared transform: attribute each click to the views that
+    * preceded it within `within` for the same user — the
+    * STREAM-STREAM inner join, the attribution shape (view→click,
+    * impression→purchase) that needs state on BOTH sides: either
+    * stream's row may arrive before its partner. The condition is an
+    * equi-key plus an event-time range, which is exactly what lets
+    * Structured Streaming bound that state: the range + watermark
+    * tell the engine when a buffered view can never match a future
+    * click and can be dropped. Keyed on user_id, so the state and
+    * the shuffle shard by user at any width. */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame,
+                    within: String = "4 hours"): DataFrame =
+    clicks.alias("c").join(views.alias("v"),
+      col("c.user_id") === col("v.user_id") &&
+        col("v.ts") >= col("c.ts") - expr(s"INTERVAL $within") &&
+        col("v.ts") <= col("c.ts"))
+      .select(col("c.user_id").as("user_id"),
+        col("c.event_id").as("click_id"), col("c.ts").as("click_ts"),
+        col("v.event_id").as("view_id"), col("v.ts").as("view_ts"))
+
+  /** Batch face for the oracle gate. */
+  def clickViewJoinBatch(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    clickViewJoin(
+      ev.filter(col("event_type") === "click").drop("event_type"),
+      ev.filter(col("event_type") === "view").drop("event_type"))
+      .orderBy(col("click_id"), col("view_id"))
+  }
+
+  /** Streaming face: two file streams over the same source, each
+    * watermarked — inner stream-stream joins require a watermark +
+    * time constraint to expire buffered rows; the watermark delay
+    * must cover the join range (a view stays joinable for `within`
+    * after its own event time, so the delay is range + reorder
+    * slack). */
+  def clickViewJoinStream(s: SparkSession, sourceDir: String,
+                          schema: org.apache.spark.sql.types.StructType,
+                          within: String = "4 hours"): DataFrame = {
+    def side(t: String) = s.readStream.schema(schema).parquet(sourceDir)
+      .filter(col("event_type") === t)
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withWatermark("ts", "5 hours")
+    clickViewJoin(side("click"), side("view"), within)
+  }
+
   // ---- windowed data-quality monitor ----------------------------------
 
   /** The rule set the monitor entry and specs share — ONE definition

@@ -54,6 +54,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join pairs equal the batch face's attribution set") {
+    val staged = java.nio.file.Files.createTempDirectory("graft-ssjoin").toString
+    val events = Tables.events(spark, sf)
+    events.write.mode("overwrite").parquet(staged)
+    val q = EventStreams.clickViewJoinStream(spark, staged, events.schema)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("click_id"), r.getAs[Long]("view_id"))
+      val streamed = spark.table("ssjoin_out").collect().map(key).toSet
+      val batch = EventStreams.clickViewJoinBatch(spark, sf).collect()
+      assert(streamed === batch.map(key).toSet)
+      assert(streamed.nonEmpty)
+      // the range is real: every pair's view precedes its click by
+      // at most the window
+      batch.foreach { r =>
+        val gap = r.getAs[java.sql.Timestamp]("click_ts").getTime -
+          r.getAs[java.sql.Timestamp]("view_ts").getTime
+        assert(gap >= 0 && gap <= 4L * 3600 * 1000, s"gap $gap ms")
+      }
+    } finally q.stop()
+  }
+
   test("streaming sliding counts equal the batch face, 2 windows per event") {
     val staged = java.nio.file.Files.createTempDirectory("graft-slide").toString
     val events = Tables.events(spark, sf)

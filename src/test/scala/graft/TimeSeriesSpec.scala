@@ -280,6 +280,27 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("acf peaks at the planted period and matches a driver replica") {
+    import spark.implicits._
+    def day(i: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2023, 5, 1).plusDays(i).atStartOfDay)
+    // period-3 impulse train: acf(3) must dominate acf(1), acf(2)
+    val ys = (0 until 12).map(i => if (i % 3 == 0) 10L else 0L)
+    val daily = ys.zipWithIndex.map { case (y, i) => ("a", day(i), y) }
+      .toDF("event_type", "day", "cnt")
+    val out = TimeSeriesOps.acfOn(daily, maxLag = 3).collect()
+      .map(r => r.getInt(1) -> r.getDouble(2)).toMap
+    // driver replica of the same formula
+    val mu = ys.sum.toDouble / ys.length
+    val den = ys.map(y => (y - mu) * (y - mu)).sum
+    def expected(l: Int) = BigDecimal(
+      (l until ys.length).map(t => (ys(t) - mu) * (ys(t - l) - mu)).sum / den)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (1 to 3).foreach(l => assert(out(l) === expected(l), s"lag $l"))
+    assert(out(3) > out(1) && out(3) > out(2))
+    assert(out(3) === 0.75) // closed form: 9 of 12 matched dev² terms
+  }
+
   test("changepoints flag a planted level shift once, spikes never") {
     import spark.implicits._
     def day(i: Int) = java.sql.Timestamp.valueOf(
