@@ -187,6 +187,13 @@ object SparkEntry {
              min(col("event_ts")).as("first_ts"),
              max(col("event_ts")).as("last_ts"))
         .orderBy(col("src"))),
+    // deterministic dense surrogate keys 0..n-1 in doc_id order via
+    // the distributed prefix sum — monotonically_increasing_id is
+    // neither dense nor run-stable; a global row_number sorts the
+    // table in one task
+    "etl_assign_ids" -> ((s, d) =>
+      Mapping.assignIds(Tables.documents(s, d).select(col("doc_id")), "doc_id")
+        .orderBy(col("doc_id"))),
     "etl_dedup_rows" -> ((s, d) =>
       Mapping.dedupRows(Tables.lineitem(s, d), Seq("l_suppkey", "l_returnflag"))
         .orderBy(col("l_suppkey"), col("l_returnflag"))),
@@ -675,6 +682,10 @@ object SparkEntry {
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
         |                     WHERE o_orderpriority = '1-URGENT')
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "etl_assign_ids" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS seq_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "etl_sample_hash" ->
       """SELECT doc_id FROM documents
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'

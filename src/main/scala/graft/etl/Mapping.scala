@@ -232,4 +232,35 @@ object Mapping {
           .as("violation_rate"))
       .orderBy(col("rule"))
   }
+
+  /** Deterministic dense id assignment: consecutive `seq_id` 0..n−1
+    * in `orderCol` order — the surrogate-key step neither built-in
+    * survives at scale honestly: `monotonically_increasing_id` is
+    * neither dense nor stable across runs (partition-layout-
+    * dependent), and `row_number()` over a partition-less window
+    * sorts the whole table in ONE task. This is the distributed
+    * prefix sum a third time (see TextOps.packOn): range-partition on
+    * the key, rank within each partition, add each partition's
+    * broadcast row-count offset — the only global window runs over
+    * one row per partition.
+    *
+    * `orderCol` must be unique for run-to-run determinism: range
+    * partitioning may split ties across partitions, so tied rows
+    * would get unique but arbitrary ids. */
+  def assignIds(df: DataFrame, orderCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parts = df.repartitionByRange(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+    val local = parts.withColumn("__rn", row_number().over(wLocal))
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn("seq_id", col("__off") + col("__rn") - 1)
+      .drop("__pid", "__rn", "__off")
+  }
 }

@@ -160,6 +160,40 @@ class EtlSpec extends SparkSpec {
     }
   }
 
+  test("assignIds: dense 0..n-1 in key order, invariant to input layout") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val keys = Seq(907L, 3L, 512L, 44L, 108L, 2L, 777L, 61L)
+    val df = keys.toDF("k")
+    def ids(in: org.apache.spark.sql.DataFrame) =
+      graft.etl.Mapping.assignIds(in, "k").collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[Long]("seq_id"))).toMap
+    val out = ids(df)
+    // dense rank order = sorted position
+    val expected = keys.sorted.zipWithIndex.map { case (k, i) => k -> i.toLong }.toMap
+    assert(out === expected)
+    // a different physical layout must not move a single id
+    assert(ids(df.repartition(7)) === expected)
+  }
+
+  test("assignIds never runs a partition-less window over the data") {
+    import spark.implicits._
+    val docs = (1L to 500L).map(i => i * 7 % 501).distinct.toDF("k")
+    val plan = graft.etl.Mapping.assignIds(docs, "k")
+      .queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\(([^,]*)".r
+      .findAllMatchIn(plan).map(_.group(1).trim).toSeq
+    assert(specs.nonEmpty, plan)
+    // a spec headed by the raw key means the whole table sorted in
+    // one task — the exact shape this operator exists to avoid; the
+    // only allowed global window is the per-partition offset one
+    specs.foreach { first =>
+      assert(!first.startsWith("k#") && !first.startsWith("k "),
+        s"table-wide partition-less window (spec head '$first'):\n$plan")
+    }
+    assert(specs.exists(_.startsWith("__pid")), specs.mkString(", "))
+  }
+
   test("expectations edges: empty rule list refuses, empty frame reports zeros") {
     intercept[IllegalArgumentException] {
       Mapping.expectations(Seq((1, "a")).toDF("v", "k"), Seq.empty)
