@@ -247,20 +247,11 @@ object Mapping {
     * `orderCol` must be unique for run-to-run determinism: range
     * partitioning may split ties across partitions, so tied rows
     * would get unique but arbitrary ids. */
-  def assignIds(df: DataFrame, orderCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val parts = df.repartitionByRange(col(orderCol))
-      .withColumn("__pid", spark_partition_id())
-    val wLocal = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
-    val local = parts.withColumn("__rn", row_number().over(wLocal))
-    val wOff = Window.orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy(col("__pid"))
-      .agg(count(lit(1)).as("__cnt"))
-      .withColumn("__off", coalesce(sum(col("__cnt")).over(wOff), lit(0L)))
-      .select(col("__pid"), col("__off"))
-    local.join(broadcast(offsets), "__pid")
-      .withColumn("seq_id", col("__off") + col("__rn") - 1)
-      .drop("__pid", "__rn", "__off")
-  }
+  def assignIds(df: DataFrame, orderCol: String): DataFrame =
+    // shared distributed prefix sum (see graft.ops.PrefixSum for the
+    // plan shape and the exchange-reuse correctness guard): the dense
+    // rank is the exclusive running count of 1s
+    graft.ops.PrefixSum.exclusive(df, Seq(col(orderCol)), lit(1L))
+      .withColumn("seq_id", col("__cum"))
+      .drop("__pid", "__cum")
 }

@@ -181,18 +181,27 @@ object Analytics {
       .orderBy(col("event_type"), col("rk"))
   }
 
-  /** Hierarchical aggregate: ROLLUP(returnflag, linestatus) in one
-    * shuffle (Spark expands grouping sets map-side). */
-  def rollupAgg(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .rollup(col("l_returnflag"), col("l_linestatus"))
+  /** The shared output contract of the rollup/grouping-sets/cube
+    * family: revenue + count per group, null grouping slots coalesced
+    * to the 'ALL' sentinel, totally ordered. One definition — a
+    * rounding or sentinel change cannot silently diverge the three
+    * entries (each still carries its own oracle string). */
+  private def flagStatusAgg(
+      grouped: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+    grouped
       .agg(round(sum(col("l_extendedprice")), 4).as("rev"),
-           count(lit(1)).as("n"))
+        count(lit(1)).as("n"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("status"),
         col("rev"), col("n"))
       .orderBy(col("flag"), col("status"))
+
+  /** Hierarchical aggregate: ROLLUP(returnflag, linestatus) in one
+    * shuffle (Spark expands grouping sets map-side). */
+  def rollupAgg(s: SparkSession, d: String): DataFrame =
+    flagStatusAgg(
+      Tables.lineitem(s, d).rollup(col("l_returnflag"), col("l_linestatus")))
 
   /** Arbitrary GROUPING SETS — the general form `rollup`/`cube`
     * specialize: {(flag, status), (status), ()} computed in ONE
@@ -201,33 +210,19 @@ object Analytics {
     * set). The (status)-only set is precisely what rollup cannot
     * express — the hierarchy inverted. */
   def groupingSetsAgg(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupingSets(
+    flagStatusAgg(
+      Tables.lineitem(s, d).groupingSets(
         Seq(Seq(col("l_returnflag"), col("l_linestatus")),
           Seq(col("l_linestatus")), Seq()),
-        col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum(col("l_extendedprice")), 4).as("rev"),
-        count(lit(1)).as("n"))
-      .select(
-        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
-        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
-        col("rev"), col("n"))
-      .orderBy(col("flag"), col("status"))
+        col("l_returnflag"), col("l_linestatus")))
 
   /** CUBE(returnflag, linestatus): all four grouping sets in one
     * shuffle — completes the rollup / grouping-sets / cube family.
     * Distinguishing the (flag)-only set from rollup's output needs
     * the per-column slice the other two never produce. */
   def cubeAgg(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum(col("l_extendedprice")), 4).as("rev"),
-        count(lit(1)).as("n"))
-      .select(
-        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
-        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
-        col("rev"), col("n"))
-      .orderBy(col("flag"), col("status"))
+    flagStatusAgg(
+      Tables.lineitem(s, d).cube(col("l_returnflag"), col("l_linestatus")))
 
   /** The rank-function family in one window pass: quartile bucket
     * (ntile), relative rank, and cumulative distribution per event

@@ -53,30 +53,15 @@ object CurateOps {
     * a prefix of the quality ranking, deterministic under the rounded
     * score's doc_id tiebreak). */
   def tokenBudget(corpus: DataFrame, budgetTokens: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(budgetTokens > 0, s"budgetTokens must be > 0: $budgetTokens")
     val scored = TextOps.qualityScoresOn(corpus.select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("stopword_ratio").as("score"),
         col("n_tokens").cast("long").as("n_tokens"))
     val rankKeys = Seq(col("score").desc, col("doc_id").asc)
-    val parts = scored.repartitionByRange(rankKeys: _*)
-      .withColumn("pid", spark_partition_id())
-    // rows frame, not the default RANGE frame: ties on the rounded
-    // score must each book their own exclusive prefix
-    val wLocal = Window.partitionBy(col("pid"))
-      .orderBy(rankKeys: _*)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val local = parts.withColumn("lcum",
-      coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
-    // one row per partition → this global window sorts O(#partitions)
-    val wOff = Window.orderBy(col("pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy(col("pid"))
-      .agg(sum(col("n_tokens")).as("ptot"))
-      .withColumn("off", coalesce(sum(col("ptot")).over(wOff), lit(0L)))
-      .select(col("pid"), col("off"))
-    local.join(broadcast(offsets), "pid")
-      .withColumn("cum_tokens", col("lcum") + col("off") + col("n_tokens"))
+    // shared distributed prefix sum (PrefixSum: plan shape +
+    // exchange-reuse guard); inclusive total = exclusive + own tokens
+    PrefixSum.exclusive(scored, rankKeys, col("n_tokens"))
+      .withColumn("cum_tokens", col("__cum") + col("n_tokens"))
       .filter(col("cum_tokens") <= budgetTokens)
       .select(col("doc_id"), col("score"), col("n_tokens"), col("cum_tokens"))
       // cum_tokens is strictly increasing along the rank order

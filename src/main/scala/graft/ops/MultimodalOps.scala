@@ -133,6 +133,73 @@ object BmpCodec {
     Some(BmpFeatures(id, width, rows.toInt, bpp, n,
       sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
   }
+
+  /** Nearest-neighbor RESIZE of an uncompressed 24-bit BMP, emitted
+    * as a new valid 24-bit BMP — the codec is CLOSED under it
+    * ([[decode]] parses the output), so resize stages chain with the
+    * feature pass like any image-curation pipeline. Same adversarial
+    * posture as decode — and the SAME truncation contract: every
+    * input size field is hostile, malformed payloads return None,
+    * truncated pixel arrays CLAMP to the complete rows present (so
+    * resize agrees with decode about which rows exist), and output
+    * dimensions are capped (4096²·3B ≈ 50 MB) so a hostile request
+    * can't allocate the executor away. Source pixels are sampled in STORED row
+    * order (`srcY·rows/outH`, `srcX·width/outW` — pure integer
+    * floors), which preserves orientation for both bottom-up and
+    * top-down inputs because the output header keeps a positive
+    * (bottom-up) height and readers of both agree on the stored-row
+    * interpretation this codec family uses. */
+  def resize(b: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
+    if (outW <= 0 || outH <= 0 || outW > 4096 || outH > 4096) return None
+    if (b.length < 54) return None
+    def le32(o: Int): Int =
+      (b(o) & 0xFF) | (b(o + 1) & 0xFF) << 8 |
+        (b(o + 2) & 0xFF) << 16 | (b(o + 3) & 0xFF) << 24
+    def le16(o: Int): Int = (b(o) & 0xFF) | (b(o + 1) & 0xFF) << 8
+    if (b(0) != 'B' || b(1) != 'M') return None
+    val dataOff = le32(10)
+    val dibSize = le32(14)
+    val width = le32(18)
+    val heightRaw = le32(22)
+    val bpp = le16(28)
+    val compression = le32(30)
+    if (dibSize < 40 || bpp != 24 || compression != 0) return None
+    val height = math.abs(heightRaw.toLong)
+    if (width <= 0 || height == 0 || height > Int.MaxValue) return None
+    if (dataOff < 54 || dataOff > b.length) return None
+    val srcStride = (width.toLong * 3 + 3) / 4 * 4
+    val rows = math.min(height, (b.length - dataOff) / srcStride)
+    if (rows <= 0) return None
+    val dstStride = (outW * 3 + 3) / 4 * 4
+    val out = new Array[Byte](54 + dstStride * outH)
+    def put16(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+    }
+    def put32(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+      out(o + 2) = (v >> 16).toByte; out(o + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    put32(2, out.length); put32(10, 54)
+    put32(14, 40); put32(18, outW); put32(22, outH)
+    put16(26, 1); put16(28, 24); put32(30, 0)
+    put32(34, dstStride * outH)
+    var y = 0
+    while (y < outH) {
+      val srcR = (y.toLong * rows / outH).toInt
+      val srcBase = dataOff + srcR * srcStride.toInt
+      val dstBase = 54 + y * dstStride
+      var x = 0
+      while (x < outW) {
+        val sx = srcBase + (x.toLong * width / outW).toInt * 3
+        val dx = dstBase + x * 3
+        out(dx) = b(sx); out(dx + 1) = b(sx + 1); out(dx + 2) = b(sx + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Some(out)
+  }
 }
 
 /** Deterministic media synthesis: build REAL byte-level WAV and BMP
@@ -309,5 +376,18 @@ object MultimodalOps {
       org.apache.spark.sql.Dataset[BmpFeatures] = {
     import ds.sparkSession.implicits._
     ds.flatMap(r => BmpCodec.decode(r.doc_id, r.payload))
+  }
+
+  /** Nearest-neighbor resize over a binary image column — the
+    * thumbnail/downsample stage of an image-curation pipeline, as a
+    * payload→payload transform so it CHAINS with [[decodeBmp]] (the
+    * codec is closed under resize): row-local, scan-speed, malformed
+    * payloads drop. */
+  def resizeBmp(ds: org.apache.spark.sql.Dataset[MmRecord],
+                outW: Int, outH: Int):
+      org.apache.spark.sql.Dataset[MmRecord] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap(r => BmpCodec.resize(r.payload, outW, outH)
+      .map(p => MmRecord(r.doc_id, p, r.source)))
   }
 }

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The distributed prefix sum shared by sequence packing
+  * (TextOps.packOn), token-budget curation (CurateOps.tokenBudget),
+  * and dense id assignment (Mapping.assignIds): a global running
+  * total in `keys` order WITHOUT the single-partition global window a
+  * naive cumsum plans (the whole table sorting in one task — the
+  * classic scale-killer). Range-partition on the keys,
+  * partition-local running sums, then one broadcast cumulative offset
+  * per partition; the only partition-less window runs over ONE row
+  * per partition.
+  *
+  * CORRECTNESS GUARD — why the ranged frame is cached: the result
+  * joins two plan branches (the rows and the per-partition offsets)
+  * that both descend from the range exchange, and `spark_partition_id`
+  * is evaluated independently in each physical instance. Range
+  * boundaries come from SAMPLING, seeded per physical exchange — with
+  * exchange reuse on (the default) the planner collapses the two
+  * branches onto one exchange, but with reuse disabled (or any rule
+  * that makes the branch plans non-identical) each branch would
+  * sample its OWN boundaries, a row could land in partition p on one
+  * side and p+1 on the other, and every offset downstream would be
+  * silently wrong. Caching pins one materialized partitioning that
+  * both branches read, making correctness independent of the
+  * exchange-reuse optimization. The cache is row-count-sized (keys +
+  * one long), freed by the caller's session cache policy.
+  */
+private[graft] object PrefixSum {
+
+  /** Appends `__cum` — the EXCLUSIVE running sum of `value` (cast to
+    * long) over `keys` order — plus the `__pid` staging column.
+    * Exclusive means the row's own value is not included: the first
+    * row in the global order gets 0. Callers derive their shape from
+    * it: inclusive = `__cum` + value; dense rank = `__cum` of
+    * value 1. Ties on `keys` each book their own slot (explicit rows
+    * frame) in an arbitrary but valid order — pass unique keys for
+    * cross-run determinism. */
+  def exclusive(df: DataFrame, keys: Seq[Column], value: Column): DataFrame = {
+    val parts = df.repartitionByRange(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .cache()
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(keys: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parts.withColumn("__lcum",
+      coalesce(sum(value.cast("long")).over(wLocal), lit(0L)))
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parts.groupBy(col("__pid"))
+      .agg(sum(value.cast("long")).as("__ptot"))
+      .withColumn("__off", coalesce(sum(col("__ptot")).over(wOff), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn("__cum", col("__lcum") + col("__off"))
+      .drop("__lcum", "__off")
+  }
+}

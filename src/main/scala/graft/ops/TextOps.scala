@@ -260,29 +260,13 @@ object TextOps {
     val sized = graft.Tables.spread(docs)
       .select(col("doc_id"), size(toks(coalesce(col("text"), lit("")))).as("n"))
       .filter(col("n") > 0)
-    // partition-local exclusive running sums (range partitioning
-    // keeps doc_id order across partition boundaries)...
-    val parts = sized.repartitionByRange(col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-    // EXPLICIT rows frame: the default RANGE frame includes all
-    // doc_id TIES in each row's sum, so duplicate ids would
-    // double-book context positions; with a rows frame ties receive
-    // distinct exclusive prefixes in an arbitrary (but valid) order —
-    // for cross-engine determinism keep doc_id unique
-    val wLocal = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val local = parts.withColumn("lcum",
-      coalesce(sum(col("n").cast("long")).over(wLocal), lit(0L)))
-    // ...plus each partition's cumulative offset: one row per
-    // partition, so THIS window's single-partition sort is O(#parts)
-    val wOff = Window.orderBy(col("pid"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy(col("pid"))
-      .agg(sum(col("n").cast("long")).as("ptot"))
-      .withColumn("off", coalesce(sum(col("ptot")).over(wOff), lit(0L)))
-      .select(col("pid"), col("off"))
-    local.join(broadcast(offsets), "pid")
-      .withColumn("cum", col("lcum") + col("off"))
+    // the shared distributed prefix sum (see PrefixSum for the plan
+    // shape and the exchange-reuse correctness guard); exclusive
+    // running total of token counts in doc_id order — duplicate ids
+    // would each book their own slot, keep doc_id unique for
+    // cross-engine determinism
+    PrefixSum.exclusive(sized, Seq(col("doc_id")), col("n"))
+      .withColumn("cum", col("__cum"))
       .select(col("doc_id"), col("n"), col("cum"),
         explode(sequence(expr(s"cum div $ctxLen"),
           expr(s"(cum + n - 1) div $ctxLen"))).as("ctx_id"))

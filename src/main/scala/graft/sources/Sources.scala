@@ -92,11 +92,13 @@ object Sources {
     * (same name, different type — the dangerous one: mergeSchema
     * REFUSES incompatible types at read time, so catching it at
     * audit time is what keeps the pipeline's failure in the gate
-    * instead of 3 am). Name matching is case-sensitive like Spark's
-    * parquet resolution; top-level fields only — nested drift
-    * surfaces as a `retyped` struct column, which is the actionable
-    * signal (the fix is a declared schema either way). Pure driver
-    * metadata — no data is read. */
+    * instead of 3 am), and `nullability` (required → nullable is the
+    * quiet one: the read succeeds, then a downstream NOT NULL
+    * assumption breaks on the first null). Name matching is
+    * case-sensitive like Spark's parquet resolution; top-level fields
+    * only — nested drift surfaces as a `retyped` struct column, which
+    * is the actionable signal (the fix is a declared schema either
+    * way). Pure driver metadata — no data is read. */
   def schemaDiff(before: org.apache.spark.sql.types.StructType,
                  after: org.apache.spark.sql.types.StructType): Seq[(String, String, String, String)] = {
     val b = before.fields.map(f => f.name -> f).toMap
@@ -110,7 +112,16 @@ object Sources {
         .map(g => (f.name, "retyped",
           f.dataType.simpleString, g.dataType.simpleString))
     }
-    (added ++ removed ++ retyped).sortBy(r => (r._1, r._2)).toSeq
+    def nl(nullable: Boolean) = if (nullable) "nullable" else "required"
+    // reported for same-type fields only: a retyped column's
+    // nullability is subsumed by the retype finding
+    val nullability = before.fields.flatMap { f =>
+      a.get(f.name)
+        .filter(g => g.dataType == f.dataType && g.nullable != f.nullable)
+        .map(g => (f.name, "nullability", nl(f.nullable), nl(g.nullable)))
+    }
+    (added ++ removed ++ retyped ++ nullability)
+      .sortBy(r => (r._1, r._2)).toSeq
   }
 
   /** Persist a discovered dataset in the session catalog — the

@@ -64,6 +64,6 @@ class CurateSpec extends SparkSpec {
       assert(!first.startsWith("score") && !first.startsWith("doc_id"),
         s"corpus-wide partition-less window (spec head '$first'):\n$plan")
     }
-    assert(specs.exists(_.startsWith("pid")), specs.mkString(", "))
+    assert(specs.exists(_.startsWith("__pid")), specs.mkString(", "))
   }
 }

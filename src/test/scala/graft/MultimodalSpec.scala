@@ -156,6 +156,46 @@ class MultimodalSpec extends SparkSpec {
     assert(BmpCodec.decode(6L, pal) === None)
   }
 
+  test("BmpCodec.resize: nearest-neighbor picks exact pixels, codec-closed") {
+    // 4x2: left half solid red, right half solid blue (stored-row
+    // coordinates; the px callback's y is flipped to bottom-up by
+    // the builder, symmetric here)
+    val img = bmpBytes(4, 2,
+      (x, _) => if (x < 2) (200, 0, 0) else (0, 0, 200))
+    // identity resize is pixel-exact: decoded features match
+    val same = BmpCodec.resize(img, 4, 2).flatMap(BmpCodec.decode(1L, _)).get
+    val orig = BmpCodec.decode(1L, img).get
+    assert(same.copy(doc_id = 1L) === orig)
+    // 2x1 downsample: srcX = x*4/2 ∈ {0, 2} → one red, one blue pixel
+    val small = BmpCodec.resize(img, 2, 1).flatMap(BmpCodec.decode(2L, _)).get
+    assert(small.width === 2 && small.height === 1 && small.n_pixels === 2L)
+    assert(math.abs(small.mean_r - 100.0) < 1e-9) // (200 + 0) / 2
+    assert(math.abs(small.mean_b - 100.0) < 1e-9)
+    assert(math.abs(small.mean_g - 0.0) < 1e-9)
+    // upsample is sampling too: 8x4 of the same image keeps the means
+    val big = BmpCodec.resize(img, 8, 4).flatMap(BmpCodec.decode(3L, _)).get
+    assert(big.width === 8 && big.height === 4)
+    assert(math.abs(big.mean_r - 100.0) < 1e-9)
+    // hostile inputs: junk bytes, zero/negative/absurd target dims
+    val junk = "BMgarbage".getBytes("US-ASCII") ++ new Array[Byte](60)
+    assert(BmpCodec.resize(junk, 2, 2).isEmpty)
+    assert(BmpCodec.resize(img, 0, 2).isEmpty)
+    assert(BmpCodec.resize(img, 2, -1).isEmpty)
+    assert(BmpCodec.resize(img, 100000, 2).isEmpty)
+  }
+
+  test("resizeBmp chains with decodeBmp; malformed payloads drop") {
+    import spark.implicits._
+    val img = bmpBytes(4, 4, (x, y) => (x * 10, y * 10, 128))
+    val junk = "BMnope".getBytes("US-ASCII") ++ new Array[Byte](80)
+    val ds = Seq(MmRecord(1L, img, "image"), MmRecord(2L, junk, "image")).toDS()
+    val out = MultimodalOps
+      .decodeBmp(MultimodalOps.resizeBmp(ds, 2, 2))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out.keySet === Set(1L))
+    assert(out(1L).width === 2 && out(1L).height === 2)
+  }
+
   test("extractFeatures: one row per document, deterministic features") {
     val out = MultimodalOps.extractFeatures(spark, sf)
     assert(out.columns.toSeq === Seq(

@@ -198,7 +198,7 @@ class PlanSpec extends SparkSpec {
         s"corpus-wide partition-less window (spec head '$first') — the " +
           s"cumsum went through one task:\n$plan")
     }
-    assert(specs.exists(_.startsWith("pid")), specs.mkString(", "))
+    assert(specs.exists(_.startsWith("__pid")), specs.mkString(", "))
   }
 
   test("asofJoin plans exactly one shuffle over the unioned input") {

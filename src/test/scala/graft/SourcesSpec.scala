@@ -135,16 +135,18 @@ class SourcesSpec extends SparkSpec {
   test("schemaDiff reports added, removed, and retyped columns exactly") {
     import org.apache.spark.sql.types._
     val before = StructType(Seq(
-      StructField("id", LongType), StructField("name", StringType),
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType),
       StructField("score", DoubleType), StructField("tag", StringType)))
     val after = StructType(Seq(
-      StructField("id", LongType),            // unchanged → absent
-      StructField("name", StringType),        // unchanged → absent
-      StructField("score", StringType),       // retyped: the 3am one
-      StructField("geo", StringType)))        // added; tag removed
+      StructField("id", LongType, nullable = true), // relaxed: quiet 3am
+      StructField("name", StringType),              // unchanged → absent
+      StructField("score", StringType),             // retyped: loud 3am
+      StructField("geo", StringType)))              // added; tag removed
     val diff = Sources.schemaDiff(before, after)
     assert(diff === Seq(
       ("geo", "added", "", "string"),
+      ("id", "nullability", "required", "nullable"),
       ("score", "retyped", "double", "string"),
       ("tag", "removed", "string", "")))
     // drift the audit flags as retyped is exactly what mergeSchema
