@@ -80,6 +80,66 @@ object WavCodec {
     Some(WavFeatures(id, rate, channels, bits, nFrames,
       nFrames * 1000.0 / rate, rms))
   }
+
+  /** CLIP extraction — the audio face of frame sampling: cut frames
+    * [fromMs, toMs) out of a PCM payload and emit a minimal valid
+    * RIFF/WAVE file, so the codec is CLOSED under it ([[decode]]
+    * parses the output) and clip stages chain with the feature pass
+    * exactly like [[BmpCodec.resize]] chains with the image pass.
+    * Same chunk-walk validation and truncation contract as decode:
+    * malformed payloads return None, the requested range clamps to
+    * the frames actually present (an out-of-range request yields the
+    * empty-but-valid clip, not a failure), and all offset arithmetic
+    * stays in Long because every size field is hostile. */
+  def clip(b: Array[Byte], fromMs: Long, toMs: Long): Option[Array[Byte]] = {
+    if (fromMs < 0 || toMs < fromMs) return None
+    if (b.length < 44) return None
+    def le32(o: Int): Int =
+      (b(o) & 0xFF) | (b(o + 1) & 0xFF) << 8 |
+        (b(o + 2) & 0xFF) << 16 | (b(o + 3) & 0xFF) << 24
+    def le16(o: Int): Int = (b(o) & 0xFF) | (b(o + 1) & 0xFF) << 8
+    if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F') return None
+    if (b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    var off = 12L
+    var fmtOff = -1
+    var dataOff = -1
+    var dataLen = 0
+    while (off + 8 <= b.length && (fmtOff < 0 || dataOff < 0)) {
+      val o = off.toInt
+      val tag = new String(b, o, 4, "US-ASCII")
+      val sz = le32(o + 4)
+      if (sz < 0) return None
+      if (tag == "fmt ") fmtOff = o + 8
+      else if (tag == "data") { dataOff = o + 8; dataLen = sz }
+      off += 8L + sz + (sz & 1)
+    }
+    if (fmtOff < 0 || dataOff < 0 || fmtOff + 16 > b.length) return None
+    val fmt = le16(fmtOff)
+    val channels = le16(fmtOff + 2)
+    val rate = le32(fmtOff + 4)
+    val bits = le16(fmtOff + 14)
+    if (fmt != 1 || (bits != 8 && bits != 16) || channels <= 0 || rate <= 0)
+      return None
+    val bytesPerFrame = channels * bits / 8
+    val avail = math.max(0, math.min(dataLen, b.length - dataOff))
+    val nFrames = (avail / bytesPerFrame).toLong
+    // ms→frame in Long; clamp the window to what exists
+    val fromF = math.min(nFrames, fromMs * rate / 1000)
+    val toF = math.min(nFrames, toMs * rate / 1000)
+    val outFrames = math.max(0L, toF - fromF)
+    val outBytes = (outFrames * bytesPerFrame).toInt
+    val out = java.nio.ByteBuffer.allocate(44 + outBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + outBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * bytesPerFrame).putShort(bytesPerFrame.toShort)
+      .putShort(bits.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(outBytes)
+    out.put(b, dataOff + (fromF * bytesPerFrame).toInt, outBytes)
+    Some(out.array())
+  }
 }
 
 /** The second codec-library-free REAL decoder: uncompressed 24-bit
@@ -376,6 +436,18 @@ object MultimodalOps {
       org.apache.spark.sql.Dataset[BmpFeatures] = {
     import ds.sparkSession.implicits._
     ds.flatMap(r => BmpCodec.decode(r.doc_id, r.payload))
+  }
+
+  /** Clip extraction over a binary audio column — payload→payload
+    * like [[resizeBmp]], so clip stages chain with [[decodeWav]]
+    * (the codec is closed under clipping): row-local, scan-speed,
+    * malformed payloads drop. */
+  def clipWav(ds: org.apache.spark.sql.Dataset[MmRecord],
+              fromMs: Long, toMs: Long):
+      org.apache.spark.sql.Dataset[MmRecord] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap(r => WavCodec.clip(r.payload, fromMs, toMs)
+      .map(p => MmRecord(r.doc_id, p, r.source)))
   }
 
   /** Nearest-neighbor resize over a binary image column — the

@@ -46,6 +46,40 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(st.rms - amp / 32768.0) < 1e-9)
   }
 
+  test("WavCodec.clip cuts exact frame ranges, codec-closed, clamps") {
+    val amp = 16384.toShort
+    // 1s at 8 kHz: first half amplitude amp, second half silent —
+    // clips from each half have exactly-known RMS
+    val samples = Array.tabulate(8000)(i => if (i < 4000) amp else 0.toShort)
+    val wav = wavBytes(8000, 1, samples)
+    // [0ms, 250ms) lies wholly in the loud half: RMS = amp/32768
+    val loud = WavCodec.clip(wav, 0, 250).flatMap(WavCodec.decode(1L, _)).get
+    assert(loud.n_frames === 2000L && loud.sample_rate === 8000)
+    assert(math.abs(loud.rms - amp / 32768.0) < 1e-9)
+    // [500ms, 750ms) wholly silent
+    val quiet = WavCodec.clip(wav, 500, 750).flatMap(WavCodec.decode(2L, _)).get
+    assert(quiet.n_frames === 2000L && math.abs(quiet.rms) < 1e-9)
+    // past-the-end request clamps to an empty-but-valid clip
+    val empty = WavCodec.clip(wav, 5000, 9000).flatMap(WavCodec.decode(3L, _)).get
+    assert(empty.n_frames === 0L && empty.rms === 0.0)
+    // hostile inputs drop
+    assert(WavCodec.clip("RIFFjunk".getBytes("US-ASCII"), 0, 100).isEmpty)
+    assert(WavCodec.clip(wav, -1, 100).isEmpty)
+    assert(WavCodec.clip(wav, 200, 100).isEmpty)
+  }
+
+  test("clipWav chains with decodeWav; malformed payloads drop") {
+    import spark.implicits._
+    val wav = wavBytes(8000, 1, Array.fill(8000)(1000.toShort))
+    val junk = "RIFFnope".getBytes("US-ASCII")
+    val ds = Seq(MmRecord(1L, wav, "audio"), MmRecord(2L, junk, "audio")).toDS()
+    val out = MultimodalOps
+      .decodeWav(MultimodalOps.clipWav(ds, 250, 500))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out.keySet === Set(1L))
+    assert(out(1L).n_frames === 2000L)
+  }
+
   test("WavCodec handles extra chunks and truncated data chunks") {
     // a LIST chunk before fmt/data must be skipped, not break parsing
     val base = wavBytes(16000, 1, Array.fill(100)(1000.toShort))
