@@ -56,6 +56,27 @@ object SparkEntry {
     // the skew path as a first-class query: salted equi-join (hot keys
     // spread over 8 reducers) feeding a per-segment aggregate — the
     // result contract is exactly the plain join's
+    // correlated scalar subqueries (customers above their nation's
+    // average balance), written in the correlated form so Catalyst's
+    // decorrelation is what runs — never one subquery per row; the
+    // filter cross-multiplies in exact DECIMAL so neither engine's
+    // division rounding decides a boundary row
+    "q_scalar_subquery" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      s.sql("""
+        SELECT c_custkey, c_acctbal,
+               round(CAST(nation_sum AS DOUBLE) / nation_n, 4) AS nation_avg
+        FROM (
+          SELECT c_custkey, c_acctbal,
+            (SELECT sum(CAST(c2.c_acctbal AS DECIMAL(20,10)))
+             FROM customer_v c2
+             WHERE c2.c_nationkey = c1.c_nationkey) AS nation_sum,
+            (SELECT count(*) FROM customer_v c3
+             WHERE c3.c_nationkey = c1.c_nationkey) AS nation_n
+          FROM customer_v c1)
+        WHERE CAST(c_acctbal AS DECIMAL(20,10)) * nation_n > nation_sum
+        ORDER BY c_custkey""")
+    }),
     // the generic runtime-filter shape: urgent-order keys folded into
     // a Bloom filter probed inside the lineitem scan, exact semi join
     // over the survivors — contract identical to a plain semi join
@@ -677,6 +698,22 @@ object SparkEntry {
         |FROM v CROSS JOIN t ORDER BY rule""".stripMargin,
     // The bucketing predicate is shared literally with SampleOps:
     // first two hex chars of md5(key), lexicographic cut.
+    // The SAME correlated SQL modulo the view name — DuckDB
+    // decorrelates it too, and the DECIMAL cross-multiplication makes
+    // the boundary comparison exact on both engines.
+    "q_scalar_subquery" ->
+      """SELECT c_custkey, c_acctbal,
+        |       round(CAST(nation_sum AS DOUBLE) / nation_n, 4) AS nation_avg
+        |FROM (
+        |  SELECT c_custkey, c_acctbal,
+        |    (SELECT sum(CAST(c2.c_acctbal AS DECIMAL(20,10)))
+        |     FROM customer c2
+        |     WHERE c2.c_nationkey = c1.c_nationkey) AS nation_sum,
+        |    (SELECT count(*) FROM customer c3
+        |     WHERE c3.c_nationkey = c1.c_nationkey) AS nation_n
+        |  FROM customer c1)
+        |WHERE CAST(c_acctbal AS DECIMAL(20,10)) * nation_n > nation_sum
+        |ORDER BY c_custkey""".stripMargin,
     "q_semi_join_bloom" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders

@@ -179,6 +179,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("correlated scalar subqueries decorrelate: no per-row subquery, no product") {
+    val plan = executedPlan(SparkEntry.queries("q_scalar_subquery")(spark, sf))
+    // Catalyst must rewrite both correlated scalars into aggregates
+    // joined back on the correlation key; a surviving Subquery node
+    // would mean per-outer-row execution
+    assert(!plan.contains("Subquery"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("sequence packing never runs a partition-less window over the corpus") {
     import spark.implicits._
     val docs = (1L to 200L).map(i => (i, s"tok a b c d $i")).toDF("doc_id", "text")
