@@ -42,6 +42,7 @@ object SparkEntry {
       varName = "event_type", valueName = "cnt")
       .orderBy(col("day"), col("event_type"))),
     "q_topk_per_group"   -> (Analytics.topkPerGroup _),
+    "q_set_ops"          -> (Analytics.setOps _),
     "q_rollup"           -> (Analytics.rollupAgg _),
     "q_grouping_sets"    -> (Analytics.groupingSetsAgg _),
     "q_cube"             -> (Analytics.cubeAgg _),
@@ -580,6 +581,18 @@ object SparkEntry {
         |  UNION ALL SELECT day, 'signup', signup FROM wide
         |  UNION ALL SELECT day, 'browse', browse FROM wide)
         |ORDER BY day, event_type""".stripMargin,
+    "q_set_ops" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP_US)) AS TIMESTAMP) AS day,
+        |    event_type FROM events),
+        |c AS (SELECT DISTINCT user_id, day FROM e WHERE event_type = 'click'),
+        |v AS (SELECT DISTINCT user_id, day FROM e WHERE event_type = 'view')
+        |SELECT 'both' AS segment, user_id, day
+        |FROM (SELECT * FROM c INTERSECT SELECT * FROM v)
+        |UNION ALL
+        |SELECT 'click_only' AS segment, user_id, day
+        |FROM (SELECT * FROM c EXCEPT SELECT * FROM v)
+        |ORDER BY segment, user_id, day""".stripMargin,
     "q_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         | coalesce(l_linestatus, 'ALL') AS status,

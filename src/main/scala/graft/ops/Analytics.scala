@@ -224,6 +224,27 @@ object Analytics {
     flagStatusAgg(
       Tables.lineitem(s, d).cube(col("l_returnflag"), col("l_linestatus")))
 
+  /** INTERSECT / EXCEPT set semantics at (user, day) grain — the two
+    * set operators the union entry doesn't cover, each a distinct
+    * physical shape (left-semi-distinct vs left-anti-distinct on the
+    * full row): days a user both clicked and viewed, and click-days
+    * with no view. One tagged output so both faces sit under one
+    * oracle. */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+        col("event_type"))
+    def days(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"), col("day")).distinct()
+    val clicks = days("click")
+    val views = days("view")
+    clicks.intersect(views)
+      .select(lit("both").as("segment"), col("user_id"), col("day"))
+      .unionByName(clicks.except(views)
+        .select(lit("click_only").as("segment"), col("user_id"), col("day")))
+      .orderBy(col("segment"), col("user_id"), col("day"))
+  }
+
   /** The rank-function family in one window pass: quartile bucket
     * (ntile), relative rank, and cumulative distribution per event
     * within its type — the percentile-style labeling analytics

@@ -67,6 +67,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(grand.head.getAs[Long]("n") === Tables.lineitem(spark, sf).count())
   }
 
+  test("set ops partition click-days into both/click_only, disjoint and exact") {
+    val rows = Analytics.setOps(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2)))
+    val both = rows.filter(_._1 == "both").map(r => (r._2, r._3)).toSet
+    val only = rows.filter(_._1 == "click_only").map(r => (r._2, r._3)).toSet
+    // the two segments partition the distinct click-days
+    assert((both & only).isEmpty)
+    val ev = Tables.events(spark, sf)
+    def days(t: String) = ev
+      .filter(col("event_type") === t)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    val clicks = days("click")
+    val views = days("view")
+    assert(both === (clicks & views))
+    assert(only === (clicks -- views))
+    assert(both.nonEmpty && only.nonEmpty)
+  }
+
   test("cube emits all four grouping sets; each slice sums to the total") {
     val rows = Analytics.cubeAgg(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(3)))
