@@ -29,7 +29,17 @@ case class BmpFeatures(doc_id: Long, width: Int, height: Int,
   * drop silent or clipped clips. Malformed payloads return None
   * (dropped, never a task failure). */
 object WavCodec {
-  def decode(id: Long, b: Array[Byte]): Option[WavFeatures] = {
+
+  /** The parsed-and-validated header both [[decode]] and [[clip]]
+    * walk to — ONE parser, so the two codepaths can never disagree
+    * about which payloads are valid (clip accepting what decode
+    * rejects would break the codec-closure invariant the specs
+    * pin). `nFrames` is already clamped to the frames actually
+    * present. */
+  private case class WavHeader(dataOff: Int, channels: Int, rate: Int,
+                               bits: Int, bytesPerFrame: Int, nFrames: Int)
+
+  private def parseHeader(b: Array[Byte]): Option[WavHeader] = {
     if (b.length < 44) return None
     def le32(o: Int): Int =
       (b(o) & 0xFF) | (b(o + 1) & 0xFF) << 8 |
@@ -65,21 +75,27 @@ object WavCodec {
       return None
     val bytesPerFrame = channels * bits / 8
     val avail = math.max(0, math.min(dataLen, b.length - dataOff))
-    val nFrames = avail / bytesPerFrame
-    var sumSq = 0.0
-    var i = 0
-    val nSamples = nFrames * channels
-    while (i < nSamples) {
-      val v =
-        if (bits == 16) le16(dataOff + i * 2).toShort / 32768.0
-        else ((b(dataOff + i) & 0xFF) - 128) / 128.0
-      sumSq += v * v
-      i += 1
-    }
-    val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
-    Some(WavFeatures(id, rate, channels, bits, nFrames,
-      nFrames * 1000.0 / rate, rms))
+    Some(WavHeader(dataOff, channels, rate, bits, bytesPerFrame,
+      avail / bytesPerFrame))
   }
+
+  def decode(id: Long, b: Array[Byte]): Option[WavFeatures] =
+    parseHeader(b).map { h =>
+      def le16(o: Int): Int = (b(o) & 0xFF) | (b(o + 1) & 0xFF) << 8
+      var sumSq = 0.0
+      var i = 0
+      val nSamples = h.nFrames * h.channels
+      while (i < nSamples) {
+        val v =
+          if (h.bits == 16) le16(h.dataOff + i * 2).toShort / 32768.0
+          else ((b(h.dataOff + i) & 0xFF) - 128) / 128.0
+        sumSq += v * v
+        i += 1
+      }
+      val rms = if (nSamples == 0) 0.0 else math.sqrt(sumSq / nSamples)
+      WavFeatures(id, h.rate, h.channels, h.bits, h.nFrames,
+        h.nFrames * 1000.0 / h.rate, rms)
+    }
 
   /** CLIP extraction — the audio face of frame sampling: cut frames
     * [fromMs, toMs) out of a PCM payload and emit a minimal valid
@@ -93,52 +109,38 @@ object WavCodec {
     * stays in Long because every size field is hostile. */
   def clip(b: Array[Byte], fromMs: Long, toMs: Long): Option[Array[Byte]] = {
     if (fromMs < 0 || toMs < fromMs) return None
-    if (b.length < 44) return None
-    def le32(o: Int): Int =
-      (b(o) & 0xFF) | (b(o + 1) & 0xFF) << 8 |
-        (b(o + 2) & 0xFF) << 16 | (b(o + 3) & 0xFF) << 24
-    def le16(o: Int): Int = (b(o) & 0xFF) | (b(o + 1) & 0xFF) << 8
-    if (b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F') return None
-    if (b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
-    var off = 12L
-    var fmtOff = -1
-    var dataOff = -1
-    var dataLen = 0
-    while (off + 8 <= b.length && (fmtOff < 0 || dataOff < 0)) {
-      val o = off.toInt
-      val tag = new String(b, o, 4, "US-ASCII")
-      val sz = le32(o + 4)
-      if (sz < 0) return None
-      if (tag == "fmt ") fmtOff = o + 8
-      else if (tag == "data") { dataOff = o + 8; dataLen = sz }
-      off += 8L + sz + (sz & 1)
+    parseHeader(b).flatMap { h =>
+      // the output header's blockAlign is a 16-bit field and byteRate
+      // a 32-bit one: a payload decode tolerates (it never reads
+      // them) can still be UNREPRESENTABLE as a standalone valid WAV
+      // — refuse rather than emit fields external parsers misread
+      if (h.bytesPerFrame > 0xFFFF ||
+          h.rate.toLong * h.bytesPerFrame > Int.MaxValue) None
+      else {
+        // ms→frame entirely in Long: clamp the ms request BEFORE the
+        // multiply (fromMs * rate overflows for astronomical
+        // requests, wrapping fromF negative → an out-of-bounds copy,
+        // a task failure; clamped, the huge request degrades to the
+        // documented empty-but-valid clip)
+        val nFrames = h.nFrames.toLong
+        val maxMs = Long.MaxValue / h.rate
+        val fromF = math.min(nFrames, math.min(fromMs, maxMs) * h.rate / 1000)
+        val toF = math.min(nFrames, math.min(toMs, maxMs) * h.rate / 1000)
+        val outFrames = math.max(0L, toF - fromF)
+        val outBytes = (outFrames * h.bytesPerFrame).toInt
+        val out = java.nio.ByteBuffer.allocate(44 + outBytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        out.put("RIFF".getBytes("US-ASCII")).putInt(36 + outBytes)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(h.channels.toShort).putInt(h.rate)
+          .putInt(h.rate * h.bytesPerFrame).putShort(h.bytesPerFrame.toShort)
+          .putShort(h.bits.toShort)
+          .put("data".getBytes("US-ASCII")).putInt(outBytes)
+        out.put(b, h.dataOff + (fromF * h.bytesPerFrame).toInt, outBytes)
+        Some(out.array())
+      }
     }
-    if (fmtOff < 0 || dataOff < 0 || fmtOff + 16 > b.length) return None
-    val fmt = le16(fmtOff)
-    val channels = le16(fmtOff + 2)
-    val rate = le32(fmtOff + 4)
-    val bits = le16(fmtOff + 14)
-    if (fmt != 1 || (bits != 8 && bits != 16) || channels <= 0 || rate <= 0)
-      return None
-    val bytesPerFrame = channels * bits / 8
-    val avail = math.max(0, math.min(dataLen, b.length - dataOff))
-    val nFrames = (avail / bytesPerFrame).toLong
-    // ms→frame in Long; clamp the window to what exists
-    val fromF = math.min(nFrames, fromMs * rate / 1000)
-    val toF = math.min(nFrames, toMs * rate / 1000)
-    val outFrames = math.max(0L, toF - fromF)
-    val outBytes = (outFrames * bytesPerFrame).toInt
-    val out = java.nio.ByteBuffer.allocate(44 + outBytes)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + outBytes)
-      .put("WAVE".getBytes("US-ASCII"))
-      .put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(1).putShort(channels.toShort).putInt(rate)
-      .putInt(rate * bytesPerFrame).putShort(bytesPerFrame.toShort)
-      .putShort(bits.toShort)
-      .put("data".getBytes("US-ASCII")).putInt(outBytes)
-    out.put(b, dataOff + (fromF * bytesPerFrame).toInt, outBytes)
-    Some(out.array())
   }
 }
 

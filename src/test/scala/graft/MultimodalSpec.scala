@@ -66,6 +66,15 @@ class MultimodalSpec extends SparkSpec {
     assert(WavCodec.clip("RIFFjunk".getBytes("US-ASCII"), 0, 100).isEmpty)
     assert(WavCodec.clip(wav, -1, 100).isEmpty)
     assert(WavCodec.clip(wav, 200, 100).isEmpty)
+    // astronomical ms requests clamp, never overflow ms*rate: a
+    // window wholly past the end is empty; an unbounded upper end
+    // yields the full clamped payload, not an empty clip
+    val far = WavCodec.clip(wav, Long.MaxValue / 2, Long.MaxValue / 2 + 100)
+      .flatMap(WavCodec.decode(4L, _)).get
+    assert(far.n_frames === 0L)
+    val full = WavCodec.clip(wav, 0, Long.MaxValue / 2)
+      .flatMap(WavCodec.decode(5L, _)).get
+    assert(full.n_frames === 8000L)
   }
 
   test("clipWav chains with decodeWav; malformed payloads drop") {
