@@ -413,6 +413,10 @@ object SparkEntry {
     // SQL-expressible: every 10th vector held out, majority vote of
     // its 5 nearest labeled neighbors, double-deterministic ties
     "ml_knn_classify" -> ((s, d) => SimilarityOps.knnClassify(s, d)),
+    // the classifier's scale tier as runnable code, not documentation:
+    // the SAME vote over an IVF shortlist (query side deliberately
+    // un-broadcast — it grows with the corpus; AQE decides the join)
+    "ml_knn_classify_ivf" -> ((s, d) => SimilarityOps.knnClassifyIvf(s, d)),
     // §2.8 streaming (batch faces; streaming faces spec-tested)
     "stream_window_counts" -> (graft.streaming.EventStreams.windowCountsBatch _),
     "stream_sliding_counts" -> (graft.streaming.EventStreams.slidingCountsBatch _),
@@ -1338,6 +1342,10 @@ object SparkEntry {
         |           ORDER BY votes DESC, label) AS vr FROM votes)
         |SELECT q_id, true_label, label AS pred_label, votes
         |FROM best WHERE vr = 1 ORDER BY q_id""".stripMargin,
+    // the scale tier replayed end to end: corpus-fit IVF cells →
+    // multi-probe shortlist → the SAME vote (generated beside the
+    // operator so fit parameters can't drift between engines)
+    "ml_knn_classify_ivf" -> SimilarityOps.knnIvfOracleSql(),
     // Generated from the same pattern table the operator folds over
     // (Java regex and RE2 agree on this subset); counts on the
     // original text, replacements applied in the same fixed order.

@@ -82,6 +82,17 @@ object SimilarityOps {
     val scored = corpus.crossJoin(broadcast(q))
       .select(col("q_id"), col("true_label"), col("vec_id"), col("label"),
         round(cosine(col("q_emb"), col("embedding")), 4).as("cosine"))
+    knnVote(scored, k)
+  }
+
+  /** The scorer-agnostic VOTE stage both classifier faces share: rank
+    * the scored candidates per query ((cosine desc, vec_id) — total),
+    * keep k, majority vote ((votes desc, label) — total). Any frame
+    * of (q_id, true_label, vec_id, label, cosine) works — brute
+    * force, LSH, IVF, or PQ shortlists all feed the same vote, which
+    * is what makes the classifier's scale path a scorer swap rather
+    * than a rewrite. */
+  private[graft] def knnVote(scored: DataFrame, k: Int): DataFrame = {
     val wr = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     val top = scored.withColumn("__r", row_number().over(wr))
@@ -95,6 +106,75 @@ object SimilarityOps {
       .select(col("q_id"), col("true_label"),
         col("label").as("pred_label"), col("votes"))
       .orderBy(col("q_id"))
+  }
+
+  /** The 100 TB face of the kNN classifier: [[knnVote]] over an IVF
+    * shortlist instead of the brute-force cross join. Same holdout
+    * (every 10th vector), same vote; the scorer builds corpus-fit
+    * IVF cells (seed = the first ~√corpus vectors by id, one
+    * mean-update refinement with FLOAT-cast means — the [[ivfTopK]]
+    * recipe) and each query only scores the corpus members of its
+    * `nProbe` nearest cells.
+    *
+    * Scale posture — the piece the brute-force face can't claim: the
+    * query side here is a CORPUS FRACTION (it grows with the data),
+    * so it is NOT broadcast; the candidate join is a plain equi-join
+    * on the cell id, which AQE broadcasts while the holdout is small
+    * and degrades to a shuffled hash join at scale. Per-query work is
+    * O(nProbe·√n) instead of O(n). */
+  def knnClassifyIvf(s: SparkSession, d: String,
+                     k: Int = 5, nProbe: Int = 2): DataFrame =
+    knnClassifyIvfOn(Tables.embeddings(s, d).cache(), k, nProbe)
+
+  /** Same over any (vec_id, embedding, label) frame. */
+  def knnClassifyIvfOn(emb: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val q = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("true_label"))
+    // ~√corpus cells (floor 8), like ivfTopK: one scalar count action
+    val cellCount = math.max(8, math.sqrt(corpus.count().toDouble).toInt)
+    // seeds = the cellCount lowest corpus ids — TakeOrdered (per-
+    // partition top-n then merge), never a global sort
+    val seeds = corpus.orderBy(col("vec_id")).limit(cellCount)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+
+    // argmax assignment as a map-side-combinable aggregate (one narrow
+    // row per vector through the exchange — see ivfTopK); label rides
+    // along for the vote stage
+    def assign(cents: DataFrame): DataFrame =
+      corpus.crossJoin(broadcast(cents))
+        .withColumn("sim", round(cosine(col("embedding"), col("c_emb")), 4))
+        .groupBy(col("vec_id"))
+        .agg(first(col("embedding")).as("embedding"),
+          first(col("label")).as("label"),
+          max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"))
+
+    val centroids = assign(seeds)
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), transform(col("pm"), x => x.getField("m"))
+        .cast("array<float>").as("c_emb"))
+
+    val cells = assign(centroids)
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("cell"))
+    val qCells = q.crossJoin(broadcast(centroids))
+      .withColumn("sim", round(cosine(col("q_emb"), col("c_emb")), 4))
+      .withColumn("__rnk", row_number().over(wq))
+      .filter(col("__rnk") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("true_label"), col("cell"))
+
+    // deliberately un-hinted: qCells scales with the corpus, so the
+    // broadcast decision belongs to AQE, not a hint (the brute-force
+    // face's broadcast-the-holdout shape is exactly what this tier
+    // replaces)
+    val scored = cells.join(qCells, Seq("cell"))
+      .select(col("q_id"), col("true_label"), col("vec_id"), col("label"),
+        round(cosine(col("q_emb"), col("embedding")), 4).as("cosine"))
+    knnVote(scored, k)
   }
 
   /** Exact top-k: broadcast the query set, score every corpus vector,
@@ -480,5 +560,55 @@ object SimilarityOps {
        |        ORDER BY cosine DESC, vec_id) AS rank FROM scored)
        |SELECT q_id, vec_id, cosine, rank FROM r
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** DuckDB replica of [[knnClassifyIvf]]: the ivfOracle recipe (seed
+    * cells from the lowest corpus ids, one FLOAT-cast mean refinement,
+    * 4dp assignment with lowest-cell tiebreak) restricted to the
+    * corpus split, multi-probe shortlist for the holdout, then the
+    * ml_knn_classify vote replayed over the shortlist. */
+  private[graft] def knnIvfOracleSql(k: Int = 5, nProbe: Int = 2): String = {
+    val avgs = (1 to dim).map(i => s"avg(emb[$i])").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+       |           FROM embeddings),
+       |c AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+       |q AS (SELECT vec_id AS q_id, label AS true_label, emb AS q_emb
+       |      FROM e WHERE vec_id % 10 = 0),
+       |nc AS (SELECT greatest(8, CAST(floor(sqrt(count(*))) AS BIGINT)) AS n
+       |       FROM c),
+       |cr AS (SELECT *, row_number() OVER (ORDER BY vec_id) AS rn FROM c),
+       |seeds AS (SELECT vec_id AS cell, emb AS c_emb FROM cr, nc WHERE rn <= n),
+       |a1 AS (SELECT c.vec_id, c.label, c.emb, s.cell,
+       |    round(list_cosine_similarity(c.emb, s.c_emb), 4) AS sim
+       |  FROM c CROSS JOIN seeds s),
+       |a1r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY sim DESC, cell) AS rnk FROM a1),
+       |asg AS (SELECT vec_id, label, emb, cell FROM a1r WHERE rnk = 1),
+       |cents AS (SELECT cell,
+       |    CAST(CAST([$avgs] AS FLOAT[]) AS DOUBLE[]) AS c_emb
+       |  FROM asg GROUP BY cell),
+       |a2 AS (SELECT c.vec_id, c.label, c.emb, ct.cell,
+       |    round(list_cosine_similarity(c.emb, ct.c_emb), 4) AS sim
+       |  FROM c CROSS JOIN cents ct),
+       |a2r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY sim DESC, cell) AS rnk FROM a2),
+       |cells AS (SELECT vec_id, label, emb, cell FROM a2r WHERE rnk = 1),
+       |qa AS (SELECT q.q_id, q.true_label, q.q_emb, ct.cell,
+       |    round(list_cosine_similarity(q.q_emb, ct.c_emb), 4) AS sim
+       |  FROM q CROSS JOIN cents ct),
+       |qar AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |          ORDER BY sim DESC, cell) AS rnk FROM qa),
+       |qc AS (SELECT q_id, true_label, q_emb, cell FROM qar WHERE rnk <= $nProbe),
+       |scored AS (SELECT qc.q_id, qc.true_label, cl.vec_id, cl.label,
+       |    round(list_cosine_similarity(qc.q_emb, cl.emb), 4) AS cosine
+       |  FROM cells cl JOIN qc USING (cell)),
+       |top AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |          ORDER BY cosine DESC, vec_id) AS r FROM scored),
+       |votes AS (SELECT q_id, true_label, label, count(*) AS votes
+       |          FROM top WHERE r <= $k GROUP BY 1, 2, 3),
+       |best AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |           ORDER BY votes DESC, label) AS vr FROM votes)
+       |SELECT q_id, true_label, label AS pred_label, votes
+       |FROM best WHERE vr = 1 ORDER BY q_id""".stripMargin
   }
 }
