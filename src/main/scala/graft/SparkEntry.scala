@@ -170,6 +170,12 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
     // §2.1 ETL operators
+    // the reference's WHOLE pipeline composed end to end: staged raw
+    // CSV sources → ApplyMapping → ResolveChoice → DropNullFields →
+    // type tag → partitioned parquet → readback → day×type pivot;
+    // the oracle recomputes from events directly, so a lossy stage
+    // anywhere in the chain breaks the hash
+    "etl_reference_e2e" -> (graft.etl.ReferencePipeline.run _),
     "etl_apply_mapping" -> ((s, d) =>
       Mapping.applyMapping(Tables.orders(s, d), Seq(
         ("o_orderkey", "orderkey", "string"),
@@ -797,6 +803,27 @@ object SparkEntry {
       """SELECT CAST(o_orderkey AS VARCHAR) AS orderkey, o_custkey AS custkey,
         | o_orderdate AS order_date, o_totalprice AS total
         |FROM orders ORDER BY custkey, orderkey""".stripMargin,
+    // recomputed STRAIGHT from events — the Spark side went through
+    // CSV staging, per-source ETL, and a partitioned parquet round
+    // trip, so hash equality here proves the whole chain lossless;
+    // the "n/a" plant (every 97th event) must null out of the sum
+    "etl_reference_e2e" ->
+      """WITH typed AS (
+        |  SELECT event_id, ts,
+        |    CASE WHEN event_type IN ('click', 'view') THEN 'clickview'
+        |         WHEN event_type IN ('purchase', 'signup') THEN 'txn'
+        |         ELSE 'err' END AS type,
+        |    CASE WHEN event_id % 97 = 0 THEN NULL
+        |         ELSE CAST(value AS DECIMAL(20,10)) END AS amount
+        |  FROM events)
+        |SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  count(*) FILTER (WHERE type = 'clickview') AS clickview,
+        |  count(*) FILTER (WHERE type = 'txn') AS txn,
+        |  count(*) FILTER (WHERE type = 'err') AS err,
+        |  round(CAST(sum(amount) AS DOUBLE), 4) AS amount_sum
+        |FROM typed
+        |WHERE ts < TIMESTAMP '2099-12-31'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "etl_resolve_choice" ->
       """SELECT doc_id, CAST(n_chars AS INTEGER) AS n_chars_int,
         | TRY_CAST(lang AS BIGINT) AS lang_long

@@ -148,6 +148,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("reference e2e readback pushes the anomaly filter into the scan") {
+    val plan = executedPlan(graft.etl.ReferencePipeline.run(spark, sf))
+    // the final pivot reads the curated PARQUET (not the staged CSV),
+    // and the notebook's timestamp gate must reach that scan — an
+    // unpushed filter here means the whole curated table streams
+    // through the filter operator at 100 TB
+    // the returned frame derives only from the parquet readback (the
+    // CSV staging is materialized before it), so every scan with
+    // pushable filters in this plan is a curated scan
+    val scanLines = plan.linesIterator.filter(_.contains("PushedFilters:")).toSeq
+    assert(scanLines.nonEmpty, s"no parquet scan with PushedFilters in:\n$plan")
+    scanLines.foreach { l =>
+      assert(l.contains("LessThan(ts"), s"ts bound not pushed: $l")
+    }
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("scd2 runs both windows on ONE exchange of the key partitioning") {
     val plan = executedPlan(graft.etl.Mapping.scd2(
       Tables.events(spark, sf).select(col("user_id"), col("event_type"),
