@@ -759,7 +759,9 @@ object SparkEntry {
         |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n
         |        FROM documents GROUP BY source),
         |cut AS (SELECT cnt.source,
-        |  least(256, (256 * ((share * 60) // 10)) // n) AS buckets
+        |  CASE WHEN (share * 60) // 10 > 0
+        |       THEN greatest(1, least(256, (256 * ((share * 60) // 10)) // n))
+        |       ELSE 0 END AS buckets
         |  FROM cnt JOIN shares USING (source))
         |SELECT doc_id, source FROM documents JOIN cut USING (source)
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)

@@ -51,7 +51,11 @@ object CurateOps {
     * partition, the classic scale-killer. Keep rule: a doc survives if
     * the running total INCLUDING it fits the budget (so the output is
     * a prefix of the quality ranking, deterministic under the rounded
-    * score's doc_id tiebreak). */
+    * score's doc_id tiebreak).
+    *
+    * Caching contract (PrefixSum): one row-count-sized cached
+    * intermediate per call, freed by `spark.catalog.clearCache()` —
+    * long-lived sessions composing many pipelines own that call. */
   def tokenBudget(corpus: DataFrame, budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be > 0: $budgetTokens")
     val scored = TextOps.qualityScoresOn(corpus.select(col("doc_id"), col("text")))

@@ -397,7 +397,14 @@ object DedupOps {
     * pair is exact-Jaccard verified, so the output is identical to
     * [[decontaminate]]'s (uncapped) — the operators share one oracle.
     * The build-side `count()` is one scalar driver action on the
-    * cached reference (the same concession IVF's cell count makes).
+    * cached reference (the same concession IVF's cell count makes);
+    * the filter build itself is LAZY (a scalar subquery in the plan —
+    * see BloomProbe, incl. the maxNumBits build-side ceiling that
+    * marks the hand-off to the shuffled [[decontaminate]] tier).
+    *
+    * Caching contract: the staged reference stays cached for the
+    * band/set joins and is freed by `spark.catalog.clearCache()` —
+    * long-lived sessions composing many pipelines own that call.
     */
   def decontaminateBloom(corpus: DataFrame, reference: DataFrame,
                          threshold: Double = 0.8,

@@ -205,12 +205,13 @@ object BmpCodec {
     * truncated pixel arrays CLAMP to the complete rows present (so
     * resize agrees with decode about which rows exist), and output
     * dimensions are capped (4096²·3B ≈ 50 MB) so a hostile request
-    * can't allocate the executor away. Source pixels are sampled in STORED row
-    * order (`srcY·rows/outH`, `srcX·width/outW` — pure integer
-    * floors), which preserves orientation for both bottom-up and
-    * top-down inputs because the output header keeps a positive
-    * (bottom-up) height and readers of both agree on the stored-row
-    * interpretation this codec family uses. */
+    * can't allocate the executor away. Source pixels are sampled in
+    * STORED row order (`srcY·rows/outH`, `srcX·width/outW` — pure
+    * integer floors), and the output header PRESERVES THE SIGN of the
+    * source height: a top-down (negative-height) input yields a
+    * top-down output, so any standards-conforming external reader
+    * renders the resize in the source's orientation — not just this
+    * codec family's orientation-agnostic decode. */
   def resize(b: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
     if (outW <= 0 || outH <= 0 || outW > 4096 || outH > 4096) return None
     if (b.length < 54) return None
@@ -243,7 +244,10 @@ object BmpCodec {
     }
     out(0) = 'B'; out(1) = 'M'
     put32(2, out.length); put32(10, 54)
-    put32(14, 40); put32(18, outW); put32(22, outH)
+    // stored row order is copied as-is, so the orientation FLAG must
+    // travel with it: keep the source's top-down/bottom-up sign
+    put32(14, 40); put32(18, outW)
+    put32(22, if (heightRaw < 0) -outH else outH)
     put16(26, 1); put16(28, 24); put32(30, 0)
     put32(34, dstStride * outH)
     var y = 0

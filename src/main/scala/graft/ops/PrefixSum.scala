@@ -27,7 +27,16 @@ import org.apache.spark.sql.functions._
   * silently wrong. Caching pins one materialized partitioning that
   * both branches read, making correctness independent of the
   * exchange-reuse optimization. The cache is row-count-sized (keys +
-  * one long), freed by the caller's session cache policy.
+  * one long) and deliberately NOT unpersisted here — the result plan
+  * still reads it lazily, so there is no safe unpersist point inside
+  * the operator.
+  *
+  * CACHING CONTRACT (restated on every public operator built on
+  * this): one cached intermediate per call survives until the session
+  * drops it. Long-lived sessions composing many pipelines should
+  * `spark.catalog.clearCache()` between pipelines (the bench/verify
+  * harnesses do exactly that); a single ETL job per session — the
+  * production shape — never notices.
   */
 private[graft] object PrefixSum {
 

@@ -73,7 +73,14 @@ object SampleOps {
     * would round differently across engines). An over-allocated
     * domain (desired ≥ count) keeps every row — budget is a target
     * composition, not an exact row count; bucket granularity makes
-    * achieved counts approximate by ±count/256.
+    * achieved counts approximate by ±count/256. A LISTED domain with
+    * a positive allocation always keeps ≥ 1 bucket (~count/256 rows):
+    * without the floor, `256·desired < count` — a small budget over a
+    * huge domain — would floor its cut to 0 buckets and silently
+    * erase the domain from the mixture, which is a composition error,
+    * not a granularity error. A domain whose allocation rounds to
+    * ZERO rows (`share·budget div Σshares = 0`) still drops — that is
+    * the caller asking for nothing, not granularity.
     *
     * Plan shape: one map-side-combinable count per domain (output =
     * #domains rows), broadcast back, then a row-local filter — the
@@ -93,7 +100,9 @@ object SampleOps {
       .withColumn("__desired",
         expr(s"(__share * ${totalBudget}L) div ${sumShares}L"))
       .withColumn("__buckets",
-        least(lit(256L), expr("(256 * __desired) div __n")))
+        when(col("__desired") > 0,
+          greatest(lit(1L), least(lit(256L), expr("(256 * __desired) div __n"))))
+          .otherwise(lit(0L)))
       .select(col(domainCol), col("__buckets"))
     df.join(broadcast(cuts), domainCol)
       // per-row hex cut, same lexicographic compare as `below`; the

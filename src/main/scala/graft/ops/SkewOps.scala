@@ -37,10 +37,13 @@ object SkewOps {
     * prove selectivity; this operator is the explicit form for plans
     * where they can't. One scalar `count()` sizes the filter bits
     * (build-side-sized action, same concession the dedup Bloom face
-    * makes). */
+    * makes); the filter BUILD itself is lazy — a scalar subquery in
+    * the returned plan (see BloomProbe), so nothing else runs or is
+    * cached at construction time, and BloomProbe.maxNumBits bounds
+    * the build side explicitly. */
   def bloomSemiJoin(large: DataFrame, small: DataFrame, largeKey: String,
                     smallKey: String, fpp: Double = 0.01): DataFrame = {
-    val keys = small.select(xxhash64(col(smallKey)).as("__k")).cache()
+    val keys = small.select(xxhash64(col(smallKey)).as("__k"))
     val probe = graft.functions.BloomProbe.mightContain(
       keys, "__k", math.max(1L, keys.count()), fpp, xxhash64(col(largeKey)))
     large.filter(probe)

@@ -244,7 +244,11 @@ object TextOps {
     * partition — the classic scale-killer): range-partition by
     * doc_id, running-sum within each partition, then add each
     * partition's broadcast cumulative offset. The only global window
-    * runs over one row per partition. */
+    * runs over one row per partition.
+    *
+    * Caching contract (PrefixSum): one row-count-sized cached
+    * intermediate per call, freed by `spark.catalog.clearCache()` —
+    * long-lived sessions composing many pipelines own that call. */
   def pack(s: SparkSession, d: String, ctxLen: Int = 128): DataFrame =
     packOn(Tables.documents(s, d), ctxLen)
 

@@ -227,6 +227,29 @@ class MultimodalSpec extends SparkSpec {
     assert(BmpCodec.resize(img, 100000, 2).isEmpty)
   }
 
+  test("resize preserves the top-down orientation flag of the source") {
+    // a top-down source stores row y=0 FIRST; resize copies stored
+    // order, so the output header must carry the negative height too —
+    // otherwise an external reader renders the result flipped
+    val img = bmpBytes(2, 2, (x, y) => (x * 100, y * 100, 0))
+    val topDown = img.clone()
+    java.nio.ByteBuffer.wrap(topDown).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, -2)
+    val out = BmpCodec.resize(topDown, 2, 2).get
+    val outH = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(22)
+    assert(outH === -2, "output header must stay top-down")
+    // identity resize of the flagged payload is still pixel-exact and
+    // the codec stays closed (decode reads |height|)
+    val d0 = BmpCodec.decode(1L, topDown).get
+    val d1 = BmpCodec.decode(1L, out).get
+    assert(d1 === d0.copy(doc_id = d0.doc_id))
+    // bottom-up sources keep a positive height
+    val outUp = BmpCodec.resize(img, 2, 2).get
+    assert(java.nio.ByteBuffer.wrap(outUp)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(22) === 2)
+  }
+
   test("resizeBmp chains with decodeBmp; malformed payloads drop") {
     import spark.implicits._
     val img = bmpBytes(4, 4, (x, y) => (x * 10, y * 10, 128))

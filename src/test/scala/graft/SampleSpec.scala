@@ -79,6 +79,29 @@ class SampleSpec extends SparkSpec {
     assert(math.abs(nb - 150) < 30, s"b kept $nb, expected ~150")
   }
 
+  test("domain mixing: a listed positive allocation never silently vanishes") {
+    import spark.implicits._
+    // 2000-row domain, budget allots it 2 rows: 256·2 div 2000 = 0
+    // buckets — without the ≥1 floor the whole domain would disappear
+    // from the mixture with no signal. The floor keeps one bucket
+    // (~count/256 rows); a zero-row allocation still drops.
+    val rows = (0 until 2000).map(i => (i.toLong, "big")) ++
+      (0 until 50).map(i => (100000L + i, "tiny"))
+    val df = rows.toDF("id", "dom")
+    val kept = SampleOps.mixDomains(df, "id", "dom",
+        Map("big" -> 1L, "tiny" -> 24L), totalBudget = 50L)
+      .select("id", "dom").collect().map(r => (r.getLong(0), r.getString(1)))
+    val nBig = kept.count(_._2 == "big")
+    assert(nBig > 0, "positive-share domain vanished from the mixture")
+    assert(nBig < 50, s"floor must keep ONE bucket, not the domain: $nBig")
+    // zero allocation (share·budget div Σshares = 0) is a real drop:
+    // the caller asked for nothing
+    val none = SampleOps.mixDomains(df, "id", "dom",
+        Map("big" -> 1L, "tiny" -> 99L), totalBudget = 50L)
+      .filter(col("dom") === "big").count()
+    assert(none === 0L)
+  }
+
   test("hash split partitions every row once at ~80/10/10") {
     val docs = Tables.documents(spark, sf)
     val out = SampleOps.hashSplit(docs, "doc_id")
