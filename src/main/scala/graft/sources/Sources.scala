@@ -223,43 +223,101 @@ object Sources {
     * become selective for EVERY z-column at once (each column's range
     * within a group shrinks ~K^(1/d) instead of not at all).
     *
-    * Codes here are min/max-normalized `bitsPerCol`-bit integers from
-    * one broadcast stats aggregate — two passes total (stats + write),
-    * no extra shuffle beyond the range partition the write needs
-    * anyway. Min/max normalization is skew-sensitive; the production
-    * upgrade is rank/quantile codes (sample-based range ids, as table
-    * formats' OPTIMIZE implementations use) — same interleave, same
-    * layout machinery, one more sampling pass. The interleave itself
-    * is plain shift/or arithmetic, fully codegen'd.
+    * Two code schemes, same interleave and layout machinery:
+    *  - `"rank"` (default): approx-QUANTILE range ids — one
+    *    approxQuantile sketch pass over the z columns, codes =
+    *    equal-POPULATION ranges, the scheme table formats' OPTIMIZE
+    *    implementations use. Skew-robust: a heavy-tailed column still
+    *    spreads its bulk across the full code space, because codes
+    *    follow the distribution, not the value range.
+    *  - `"minmax"`: min/max-normalized codes from one broadcast stats
+    *    aggregate — cheapest (no sketch), correct for roughly uniform
+    *    columns, but skew-SENSITIVE: one far outlier stretches the
+    *    value range until the bulk collapses into code 0 and that
+    *    column's clustering quietly degrades to nothing (LayoutSpec
+    *    measures exactly this degradation).
+    *
+    * Either way two passes total (stats/sketch + write), no extra
+    * shuffle beyond the range partition the write needs anyway; the
+    * interleave itself is plain shift/or arithmetic, fully codegen'd.
+    * `rankRelErr` bounds the quantile sketch error (finer costs more
+    * sketch memory; boundaries closer than the error collapse, which
+    * only coarsens codes, never corrupts them).
     *
     * Numeric columns only (cast to double for normalization). */
   def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
                     numFiles: Int = 0, bitsPerCol: Int = 16,
-                    writerOptions: Map[String, String] = Map.empty): Unit = {
+                    writerOptions: Map[String, String] = Map.empty,
+                    codeScheme: String = "rank",
+                    rankRelErr: Double = 0.001): Unit = {
     require(zCols.size >= 2, "z-order needs at least 2 columns (use writeSorted for 1)")
     require(bitsPerCol > 0 && zCols.size * bitsPerCol <= 63,
       s"${zCols.size} cols × $bitsPerCol bits must fit a signed long")
-    // stats over FINITE values only: max() ranks NaN above everything,
-    // so one NaN row would make hi = NaN and every row's code NaN→0 —
-    // silently degrading this column's clustering to nothing
-    def finite(c: String): Column = {
-      val v = col(c).cast("double")
-      when(!isnan(v), v)
-    }
-    val aggCols = zCols.flatMap(c =>
-      Seq(min(finite(c)).as(s"__lo_$c"), max(finite(c)).as(s"__hi_$c")))
-    val stats = df.agg(aggCols.head, aggCols.tail: _*)
+    require(Seq("rank", "minmax").contains(codeScheme),
+      s"codeScheme must be rank|minmax: $codeScheme")
     val maxCode = (1L << bitsPerCol) - 1
-    // per-column code: floor((v-lo)/(hi-lo) * maxCode), clamped; a
-    // constant column (hi == lo) codes to 0, and NULL/NaN values code
-    // to 0 EXPLICITLY (they cluster together at the curve's origin —
-    // defined behavior, not a collapsed layout)
-    def code(c: String): Column =
-      when(col(c).isNull || isnan(col(c).cast("double")) ||
-          col(s"__hi_$c") <=> col(s"__lo_$c"), lit(0L))
-        .otherwise(least(lit(maxCode), greatest(lit(0L),
-          floor((col(c).cast("double") - col(s"__lo_$c")) * maxCode /
-            (col(s"__hi_$c") - col(s"__lo_$c"))).cast("long"))))
+
+    val coded: DataFrame = codeScheme match {
+      case "minmax" =>
+        // stats over FINITE values only: max() ranks NaN above
+        // everything, so one NaN row would make hi = NaN and every
+        // row's code NaN→0 — silently degrading this column's
+        // clustering to nothing
+        def finite(c: String): Column = {
+          val v = col(c).cast("double")
+          when(!isnan(v), v)
+        }
+        val aggCols = zCols.flatMap(c =>
+          Seq(min(finite(c)).as(s"__lo_$c"), max(finite(c)).as(s"__hi_$c")))
+        val stats = df.agg(aggCols.head, aggCols.tail: _*)
+        // per-column code: floor((v-lo)/(hi-lo) * maxCode), clamped; a
+        // constant column (hi == lo) codes to 0, and NULL/NaN values
+        // code to 0 EXPLICITLY (they cluster together at the curve's
+        // origin — defined behavior, not a collapsed layout)
+        def code(c: String): Column =
+          when(col(c).isNull || isnan(col(c).cast("double")) ||
+              col(s"__hi_$c") <=> col(s"__lo_$c"), lit(0L))
+            .otherwise(least(lit(maxCode), greatest(lit(0L),
+              floor((col(c).cast("double") - col(s"__lo_$c")) * maxCode /
+                (col(s"__hi_$c") - col(s"__lo_$c"))).cast("long"))))
+        df.crossJoin(broadcast(stats))
+          .select(df.columns.map(col) ++
+            zCols.map(c => code(c).as(s"__code_$c")): _*)
+
+      case "rank" =>
+        require(bitsPerCol <= 16,
+          s"rank codes probe 2^bits quantiles — cap bitsPerCol at 16, got $bitsPerCol")
+        val nCodes = 1 << bitsPerCol
+        val probs = (1 until nCodes).map(_.toDouble / nCodes).toArray
+        // one sketch pass over all z columns (nulls and NaNs are
+        // excluded from the sketch; they code to 0 below, the same
+        // origin-clustering contract as minmax)
+        val dfd = df.select(zCols.map(c => col(c).cast("double").as(c)): _*)
+        val bounds = dfd.stat.approxQuantile(zCols.toArray, probs, rankRelErr)
+        val splitsArr = zCols.indices.map { i =>
+          val ds = bounds(i).distinct.sorted
+          val mids = if (ds.isEmpty) Array(0.0) else ds
+          (Double.NegativeInfinity +: mids :+ Double.PositiveInfinity).toArray
+        }.toArray
+        // null/NaN → -Inf so the binary search lands them in bucket 0
+        val safe = zCols.foldLeft(df) { (acc, c) =>
+          acc.withColumn(s"__v_$c",
+            when(col(c).isNull || isnan(col(c).cast("double")),
+              lit(Double.NegativeInfinity))
+              .otherwise(col(c).cast("double")))
+        }
+        // MLlib's Bucketizer = native binary search over the boundary
+        // array (O(bits) per row), the right tool for arbitrary splits
+        val buck = new org.apache.spark.ml.feature.Bucketizer()
+          .setInputCols(zCols.map(c => s"__v_$c").toArray)
+          .setOutputCols(zCols.map(c => s"__rk_$c").toArray)
+          .setSplitsArray(splitsArr)
+        buck.transform(safe)
+          .select(df.columns.map(col) ++
+            zCols.map(c => least(lit(maxCode),
+              col(s"__rk_$c").cast("long")).as(s"__code_$c")): _*)
+    }
+
     // interleave: bit i of column j lands at position i*d + j, so the
     // HIGH bits of every column share the top of the z-value — the
     // property that makes the curve locality-preserving
@@ -271,13 +329,10 @@ object Sources {
           i * d + j))
       }
     }
-    val coded = df.crossJoin(broadcast(stats))
-      .select(df.columns.map(col) ++
-        zCols.map(c => code(c).as(s"__code_$c")): _*)
-      .withColumn("__z", zExpr)
+    val z = coded.withColumn("__z", zExpr)
     val ranged =
-      if (numFiles > 0) coded.repartitionByRange(numFiles, col("__z"))
-      else coded.repartitionByRange(col("__z"))
+      if (numFiles > 0) z.repartitionByRange(numFiles, col("__z"))
+      else z.repartitionByRange(col("__z"))
     ranged.sortWithinPartitions(col("__z"))
       .select(df.columns.map(col): _*)
       .write.mode("overwrite").options(writerOptions).parquet(path)

@@ -121,4 +121,44 @@ class LayoutSpec extends SparkSpec {
       assert(zXScan * 2 < 200000L, s"z-order scanned $zXScan on x")
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
+
+  test("skewed column: min/max z-codes quietly degrade, rank codes hold") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zskew").toString
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // s is heavy-tailed: 99.5% of values in [0, 1000), 0.5% outliers
+      // around 10^12. Min/max normalization maps the BULK to code 0
+      // (the range is outlier-stretched 10^9×), so every row group
+      // spans the whole bulk and nothing skips on in-bulk predicates;
+      // rank codes follow the population, so the bulk still spreads
+      // over the full code space.
+      val data = spark.range(200000).select(
+        col("id"),
+        pmod(xxhash64(col("id")), lit(100000L)).as("x"),
+        when(pmod(xxhash64(col("id"), lit(7)), lit(200L)) === 0,
+          lit(1000000000000L) + pmod(xxhash64(col("id"), lit(8)), lit(1000L)))
+          .otherwise(pmod(xxhash64(col("id"), lit(9)), lit(1000L))).as("s"))
+      val opts = Map(
+        "parquet.block.size" -> (64 * 1024).toString,
+        "parquet.page.size" -> (8 * 1024).toString)
+      Sources.writeZOrdered(data, s"$dir/minmax", Seq("x", "s"),
+        numFiles = 4, writerOptions = opts, codeScheme = "minmax")
+      Sources.writeZOrdered(data, s"$dir/rank", Seq("x", "s"),
+        numFiles = 4, writerOptions = opts, codeScheme = "rank")
+
+      // ~10% of the bulk — the everyday predicate the outliers break
+      def onS(path: String) = spark.read.parquet(path)
+        .filter(col("s") >= 400L && col("s") < 500L).select(col("id"))
+
+      val (mmKeys, mmScan) = runAndMeasure(onS(s"$dir/minmax"))
+      val (rkKeys, rkScan) = runAndMeasure(onS(s"$dir/rank"))
+      assert(rkKeys === mmKeys)
+      assert(rkKeys.nonEmpty)
+      // min/max: the bulk all carries code 0 on s — row groups cannot
+      // reject an in-bulk range, the reader surfaces ~everything
+      assert(mmScan > 150000L, s"minmax unexpectedly skipped: $mmScan")
+      // rank codes keep skipping under the same skew
+      assert(rkScan * 2 < mmScan, s"rank scanned $rkScan of $mmScan")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
 }
