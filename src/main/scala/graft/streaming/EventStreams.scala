@@ -76,15 +76,37 @@ object EventStreams {
     * pipeline runs (attach segment/account/geo to each arriving
     * event). LEFT join: an event with no dimension row passes through
     * null-filled rather than silently dropping (losing fact rows to a
-    * stale dimension is the classic enrichment bug). The dimension is
-    * broadcast — per micro-batch the join is map-side, no stream-side
-    * shuffle, which is the only shape that holds at ingest rates
-    * (Structured Streaming re-reads the static side per batch, so a
-    * shuffled stream-static join would re-exchange the STREAM every
-    * batch). */
+    * stale dimension is the classic enrichment bug).
+    *
+    * DIMENSION-SIZE CONTRACT — `broadcastDim` picks between the two
+    * honest regimes; the hint is forced rather than left to AQE
+    * because streaming re-plans the static side every micro-batch and
+    * per-batch join-strategy flips are not a property a live pipeline
+    * wants:
+    *  - `true` (default): the dimension is broadcast, the per-batch
+    *    join is map-side and the STREAM never shuffles — the only
+    *    shape that holds at ingest rates, valid while the dimension
+    *    fits comfortably in executor memory (the working bound is a
+    *    few hundred MB serialized — the same order as
+    *    `spark.sql.autoBroadcastJoinThreshold` tuned up; the
+    *    broadcast re-ships per batch, so its cost also recurs with
+    *    the trigger cadence).
+    *  - `false`: a SHUFFLE_HASH equi-join (hash table built on the
+    *    dimension side) for the dimension that outgrows broadcast —
+    *    pinned, not left to size estimates, for the same
+    *    no-per-batch-flips reason as above. The stream side pays a
+    *    per-batch exchange; store the dimension BUCKETED on the key
+    *    ([[graft.sources.Sources.writeBucketed]]) and the dimension
+    *    side reads exchange-free each batch. Beyond that regime the
+    *    shape is a keyed state-store lookup (mapGroupsWithState over
+    *    a CDC feed of the dimension), which is a different operator,
+    *    not a flag.
+    */
   def enrich(events: DataFrame, dim: DataFrame,
-             key: String = "user_id"): DataFrame =
-    events.join(broadcast(dim), Seq(key), "left")
+             key: String = "user_id",
+             broadcastDim: Boolean = true): DataFrame =
+    if (broadcastDim) events.join(broadcast(dim), Seq(key), "left")
+    else events.join(dim.hint("shuffle_hash"), Seq(key), "left")
 
   /** Batch face for the oracle gate: segment lookup against the even
     * half of the customer dimension (the odd half's absence makes the
@@ -108,11 +130,12 @@ object EventStreams {
     * batches become visible). */
   def enrichStream(s: SparkSession, sourceDir: String,
                    schema: org.apache.spark.sql.types.StructType,
-                   dim: DataFrame): DataFrame =
+                   dim: DataFrame,
+                   broadcastDim: Boolean = true): DataFrame =
     enrich(
       s.readStream.schema(schema).parquet(sourceDir)
         .select(col("event_id"), col("user_id")),
-      dim)
+      dim, broadcastDim = broadcastDim)
 
   // ---- stream-stream join ---------------------------------------------
 

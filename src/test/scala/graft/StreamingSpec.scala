@@ -54,6 +54,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("non-broadcast enrichment (big-dimension regime) matches the " +
+      "broadcast face, streaming and batch") {
+    // the broadcastDim=false contract: same rows, different physical
+    // shape — the fallback for a dimension past the broadcast bound
+    val dim = EventStreams.customerDim(spark, sf)
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("user_id"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        Option(r.getAs[String]("segment")))
+    val bc = EventStreams.enrich(ev, dim).collect().map(key).toSet
+    val shuffled = EventStreams.enrich(ev, dim, broadcastDim = false)
+      .collect().map(key).toSet
+    assert(shuffled === bc)
+    // and the physical plans really differ: the default broadcasts,
+    // the fallback plans an equi-join that can shuffle/bucket the dim
+    val bcPlan = EventStreams.enrich(ev, dim)
+      .queryExecution.sparkPlan.toString
+    val shPlan = EventStreams.enrich(ev, dim, broadcastDim = false)
+      .queryExecution.sparkPlan.toString
+    assert(bcPlan.contains("BroadcastHashJoin"), bcPlan)
+    assert(shPlan.contains("ShuffledHashJoin") &&
+      !shPlan.contains("BroadcastHashJoin"), shPlan)
+    // the streaming face honors the flag end to end
+    val staged = java.nio.file.Files.createTempDirectory("graft-enrich2").toString
+    val events = Tables.events(spark, sf)
+    events.write.mode("overwrite").parquet(staged)
+    val q = EventStreams.enrichStream(spark, staged, events.schema, dim,
+        broadcastDim = false)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_nb_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_nb_out").collect().map(key).toSet
+      assert(streamed === bc)
+    } finally q.stop()
+  }
+
   test("stream-stream join pairs equal the batch face's attribution set") {
     val staged = java.nio.file.Files.createTempDirectory("graft-ssjoin").toString
     val events = Tables.events(spark, sf)
