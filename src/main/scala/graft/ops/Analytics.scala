@@ -367,10 +367,14 @@ object Analytics {
         round(expr(s"percentile_approx(value, 0.99, $accuracy)"), 4).as("p99"))
       .orderBy(col("event_type"))
 
-  /** Per-type exact interpolated percentiles. Exact `percentile` is a
-    * per-group sort — right for dashboard-sized groups; at 100 TB with
-    * huge groups switch to `percentile_approx` (t-digest sketch,
-    * mergeable map-side) and accept the estimator error. */
+  /** Per-type exact interpolated percentiles — the declared
+    * SMALL-GROUP face (like dedup_embedding's exact baseline): the
+    * plan aggregates partially (map-side partial_percentile buffers,
+    * one exchange on the group key — audited in BASELINE.md), but the
+    * buffer is a value→count map that grows with the group's distinct
+    * values, the honest cost of exactness. At 100 TB with huge groups
+    * switch to [[percentilesApprox]] (GK sketch: fixed-size mergeable
+    * buffers) and accept the spec-bounded rank error. */
   def percentiles(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"))
