@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dev harness: derive a FACTOR×-scale copy of an sf dir's heavy-block
+  * tables (documents, embeddings, events) for scaling measurements
+  * beyond the largest generated SF. The derivation is ISOMORPHIC, not
+  * a blind union — each copy preserves the original's within-copy
+  * structure exactly while staying dissimilar to every other copy, so
+  * per-query work scales like real data growth instead of picking up
+  * artificial cross-copy near-duplicates (which would grow candidate
+  * pairs quadratically in the copy factor and measure a different
+  * workload):
+  *  - documents: copy k rotates the lowercase alphabet by k
+  *    (`translate`), so token/char counts, within-copy shingle
+  *    structure, and near-dup pairs are IDENTICAL per copy, while
+  *    vocabularies across copies are disjoint — no cross-copy
+  *    candidates. doc_id offsets by 10M per copy.
+  *  - embeddings: copy k rotates each vector by k positions (norms
+  *    preserved, within-copy cosines identical; cross-copy cosines of
+  *    rotated random vectors ≈ 0). vec_id offsets by 1M per copy —
+  *    a multiple of 10, so the `% 10` holdout and `< nQueries` query
+  *    subsets keep their roles (queries stay fixed while the corpus
+  *    grows: the ANN workload shape).
+  *  - events: id/user offsets per copy, payload untouched (raw
+  *    TIMESTAMP(NANOS) column passed through as-is so Tables.events'
+  *    nanos handling still applies to the output).
+  *
+  * Usage: runMain graft.ScaleUp [srcSfDir] [outDir] [factor]
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "target/sfwork/sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    require(factor >= 1 && factor <= 26, s"factor must be 1..26: $factor")
+    val s = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val dim = 64
+
+    val docs = Tables.documents(s, src)
+    (0 until factor).map { k =>
+      val rot = alpha.drop(k % 26) + alpha.take(k % 26)
+      docs.select(
+        (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        translate(col("text"), alpha, rot).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = Tables.embeddings(s, src)
+    (0 until factor).map { k =>
+      val r = k % dim
+      val rotated =
+        if (r == 0) col("embedding")
+        else concat(expr(s"slice(embedding, ${r + 1}, ${dim - r})"),
+          expr(s"slice(embedding, 1, $r)"))
+      emb.select(
+        (col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+        rotated.cast("array<float>").as("embedding"),
+        col("label"))
+    }.reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // events: read RAW (ts stays the epoch-nanos long the files carry)
+    // so the output round-trips through Tables.events unchanged
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = s.read.parquet(s"$src/events.parquet")
+    (0 until factor).map { k =>
+      ev.select(
+        (col("event_id") + lit(k * 10000000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(k * 1000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    println(s"[scaleup] wrote $out at $factor x $src")
+    s.stop()
+  }
+}
