@@ -407,6 +407,23 @@ object SparkEntry {
     // text_pack's distributed prefix sum over the quality ranking
     "curate_token_budget" -> ((s, d) =>
       CurateOps.tokenBudget(Tables.documents(s, d), budgetTokens = 20000L)),
+    // web curation: canonicalize → first-doc-per-page → quality →
+    // exact dedup, over planted URLs where every 3 consecutive docs
+    // are the same page dressed in different tracking params / ports /
+    // fragments / trailing slashes — the canonical form has a CLOSED
+    // FORM, so the oracle verifies the real parser's output without
+    // replaying it
+    "curate_web" -> ((s, d) => {
+      val id = col("doc_id")
+      val messy = concat(
+        lit("HTTP://ExAmple.COM:80/p/"), expr("doc_id div 3").cast("string"),
+        when(id % 3 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=news"),
+        when(id % 5 === 0, lit("&gclid=x&utm_medium=m")).otherwise(lit("")),
+        when(id % 4 === 0, lit("#frag")).otherwise(lit("")))
+      CurateOps.curateWeb(Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), messy.as("url")))
+    }),
     // §2.7 multimodal — REAL codec work: synthesize byte-level
     // WAV/BMP payloads deterministically from doc_id, parse them with
     // the header-walking decoders; features have closed forms so the
@@ -1173,6 +1190,30 @@ object SparkEntry {
     // The composed pipeline, stage for stage: the quality predicate is
     // text_quality's, the dedup keep-set is dedup_exact's, and the
     // contamination set is dedup_decontaminate's exact-Jaccard face.
+    // the planted URL is built so canonicalization has a CLOSED FORM
+    // (scheme/host lowercase, :80 dropped, trailing slash + fragment
+    // stripped, every query param is tracking ⇒ the whole query goes):
+    // canonical = http://example.com/p/(doc_id div 3). The oracle
+    // derives it directly; the Spark side must get there through the
+    // real parser — a rule regression breaks the hash
+    "curate_web" ->
+      """WITH canon AS (
+        |  SELECT doc_id, text,
+        |    'http://example.com/p/' || CAST(doc_id // 3 AS VARCHAR) AS canonical
+        |  FROM documents),
+        |first AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY canonical),
+        |pages AS (SELECT c.* FROM canon c JOIN first USING (doc_id)),
+        |tk AS (SELECT doc_id, canonical, text,
+        |         string_split_regex(trim(text), '\s+') AS tk FROM pages),
+        |good AS (
+        |  SELECT doc_id, canonical, text FROM tk
+        |  WHERE length(text) >= 100
+        |    AND round(len(list_filter(tk,
+        |      x -> list_contains(['the','a','and','of','to','in','is'], x)))
+        |      * 1.0 / len(tk), 4) >= 0.01),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY text)
+        |SELECT g.doc_id, g.canonical FROM good g JOIN keep USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "curate_corpus" ->
       """WITH tok0 AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk, text

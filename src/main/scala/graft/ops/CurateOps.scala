@@ -38,6 +38,44 @@ object CurateOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Web-corpus curation — the CommonCrawl-shaped front half of the
+    * pipeline, composed as one lazy plan over a (doc_id, text, url)
+    * frame:
+    *
+    *   1. URL canonicalization (TextOps.canonicalUrl — row-local, so
+    *      it rides the scan),
+    *   2. URL dedup: keep the FIRST document (min doc_id) per
+    *      canonical page — the same page fetched as `...?utm_source=x`,
+    *      `...#frag`, `...:80/` collapses to one row. One
+    *      map-side-combinable min per canonical key + a semi join
+    *      back (the exact-dedup shape, narrower than a window),
+    *   3. quality gate (TextOps.qualityScores' exact predicate),
+    *   4. exact text dedup among the survivors (mirrors can serve the
+    *      same body under genuinely different canonical URLs).
+    *
+    * Output: surviving (doc_id, canonical). Every stage is a narrow
+    * projection or one keyed map-side-combinable shuffle — no windows,
+    * no products; [[curate]] is the back half (decontamination). */
+  def curateWeb(withUrls: DataFrame): DataFrame = {
+    val canon = withUrls.withColumn("canonical",
+      TextOps.canonicalUrl(col("url")))
+    val firstPerPage = canon
+      .groupBy(col("canonical")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val pages = canon.join(firstPerPage, Seq("doc_id"), "left_semi")
+    val good = pages.join(
+      TextOps.qualityScoresOn(pages.select(col("doc_id"), col("text")))
+        .filter(col("quality_flag") === "good").select(col("doc_id")),
+      "doc_id")
+    val keep = good
+      .groupBy(sha2(col("text"), 256).as("__h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    good.join(keep, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-budget selection — the data-constrained-training shape:
     * rank documents by quality and keep the best until a global token
     * budget is exhausted (a run that can afford B tokens wants the

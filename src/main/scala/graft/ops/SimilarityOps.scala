@@ -67,9 +67,11 @@ object SimilarityOps {
     * Ties are deterministic twice over: neighbor rank breaks
     * (cosine 4dp desc, vec_id asc); the vote breaks
     * (count desc, label asc). This face scores brute-force (query
-    * set broadcast, corpus never self-joined — the exact baseline);
-    * at 100 TB swap the scorer for [[lshTopK]]/[[ivfTopK]] — the
-    * vote stage is identical on any (q_id, neighbor label) frame. */
+    * set broadcast, corpus never self-joined — the exact baseline;
+    * both sides grow with the corpus, so this face is quadratic and
+    * measured as such in SCALING.md); the 100 TB face is
+    * [[knnClassifyIvf]] — the SAME [[knnVote]] over an IVF shortlist,
+    * oracled and measured at ~3× per 10× data. */
   def knnClassify(s: SparkSession, d: String, k: Int = 5): DataFrame =
     knnClassifyOn(Tables.embeddings(s, d), k)
 

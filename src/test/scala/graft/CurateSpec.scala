@@ -26,6 +26,31 @@ class CurateSpec extends SparkSpec {
     assert(out === Seq(2L, 10L))
   }
 
+  test("curateWeb: canonical-URL dedup, quality gate, and text dedup compose") {
+    val a = "the quick brown fox jumps over the lazy dog and runs to the " +
+      "river in the morning light while birds sing of summer days ahead"
+    val c = "completely different unique content about the mountains and " +
+      "rivers that no other document in this corpus shares with anything"
+    val corpus = Seq(
+      // same page dressed three ways: tracking param, fragment,
+      // trailing slash + default port — ONE survivor (min doc_id)
+      (1L, a, "http://site.com/a?utm_source=x"),
+      (2L, a + " v2", "HTTP://Site.COM/a#frag"),
+      (3L, a + " v3", "http://site.com:80/a/"),
+      // distinct page, same body as the page-1 winner → text dedup
+      (4L, a, "http://site.com/mirror"),
+      // distinct page failing the quality gate
+      (5L, "too short", "http://site.com/b"),
+      // distinct good page
+      (6L, c, "https://site.com/c")
+    ).toDF("doc_id", "text", "url")
+    val out = CurateOps.curateWeb(corpus)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toList
+    assert(out === List(
+      (1L, "http://site.com/a"),
+      (6L, "https://site.com/c")))
+  }
+
   test("tokenBudget keeps the greedy quality-ranked prefix, never a knapsack") {
     // scores (stopword_ratio): rank order is d1 (2/6) > d2 (1/6) >
     // d3 (1/7) > d4 (0); token counts 6, 6, 7, 4. Budget 15 fits
