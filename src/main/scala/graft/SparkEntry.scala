@@ -42,6 +42,13 @@ object SparkEntry {
       varName = "event_type", valueName = "cnt")
       .orderBy(col("day"), col("event_type"))),
     "q_topk_per_group"   -> (Analytics.topkPerGroup _),
+    // ordered-stage conversion: stage k = earliest qualifying event AT
+    // OR AFTER the user's stage-k-1 timestamp — out-of-order events
+    // never convert; per-stage min aggregates chained on the user key
+    "q_funnel" -> ((s, d) => Analytics.funnel(s, d)),
+    // day-N stickiness: cohort = first-ever event day, cells count
+    // distinct members active at each day offset
+    "q_cohort_retention" -> (Analytics.cohortRetention _),
     "q_set_ops"          -> (Analytics.setOps _),
     "q_rollup"           -> (Analytics.rollupAgg _),
     "q_grouping_sets"    -> (Analytics.groupingSetsAgg _),
@@ -527,6 +534,30 @@ object SparkEntry {
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
         | event_type, count(*) AS cnt
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t
+        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t
+        |       FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1)
+        |SELECT * FROM (
+        | SELECT 1 AS stage, 'view' AS event_type, count(*) AS n_users FROM s1
+        | UNION ALL SELECT 2, 'click', count(*) FROM s2
+        | UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        |ORDER BY stage""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH ev AS (SELECT user_id,
+        |              CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        |            FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+        |SELECT cohort_day,
+        |  date_diff('day', cohort_day, day) AS day_offset,
+        |  count(DISTINCT ev.user_id) AS active_users
+        |FROM ev JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_pivot_per_day" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
         | count(*) FILTER (WHERE event_type = 'click')    AS click,

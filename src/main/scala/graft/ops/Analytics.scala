@@ -124,6 +124,62 @@ object Analytics {
       .na.fill(0, eventTypes)
       .orderBy(col("day"))
 
+  /** Funnel analysis — the ordered-stage conversion count every
+    * product-analytics pipeline runs on an events table: of the users
+    * who VIEWED, how many then CLICKED (at or after their first
+    * view), and then PURCHASED (at or after that click)? Stage k is
+    * the earliest qualifying event at or after the user's stage-k−1
+    * timestamp, so out-of-order events never count (a purchase before
+    * any view is not a conversion).
+    *
+    * Shape: one map-side-combinable min per stage over the stage's
+    * OWN filtered scan, chained through user-keyed equi-joins — the
+    * user frame shrinks monotonically stage by stage, every join key
+    * is the high-cardinality user id, no windows, no self-join of the
+    * full table. Output: one row per stage with the surviving user
+    * count (conversion reads top-down). */
+  def funnel(s: SparkSession, d: String,
+             stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
+    funnelOn(Tables.events(s, d), stages)
+
+  /** Same over any (user_id, event_type, ts) frame. */
+  def funnelOn(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val ev = events.select(col("user_id"), col("event_type"), col("ts"))
+    // stage 1: first qualifying event per user
+    val first = ev.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("__t"))
+    val reached = stages.tail.scanLeft(first) { (prev, stage) =>
+      ev.filter(col("event_type") === stage)
+        .join(prev.select(col("user_id"), col("__t").as("__prev_t")), "user_id")
+        .filter(col("ts") >= col("__prev_t"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("__t"))
+    }
+    stages.zip(reached).zipWithIndex.map { case ((stage, users), i) =>
+      users.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage"), lit(stage).as("event_type"),
+          col("n_users"))
+    }.reduce(_ union _).orderBy(col("stage"))
+  }
+
+  /** Cohort retention — the day-N stickiness matrix: users cohorted
+    * by their FIRST-EVER event day, then each (cohort day, day
+    * offset) cell counts the distinct cohort members active that day.
+    * One min-per-user aggregate (map-side combinable), one user-keyed
+    * join back, one distinct-count aggregate on (cohort, offset,
+    * user) — shuffles keyed on the user id or the small cohort grid,
+    * never a window, never a self-join. */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   /** Out-of-range timestamp detection — the reference hunts rides
     * with pickup in 2088 (DataDiscoveryAndConversation cell 30). */
   def anomalyFilter(s: SparkSession, d: String): DataFrame =

@@ -161,6 +161,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05)
   }
 
+  test("funnel stages require IN-ORDER events; out-of-order never converts") {
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      // u1: full ordered funnel view→click→purchase
+      (1L, "view", t(1)), (1L, "click", t(2)), (1L, "purchase", t(3)),
+      // u2: purchase BEFORE the click — reaches click, never purchase
+      (2L, "view", t(1)), (2L, "purchase", t(2)), (2L, "click", t(3)),
+      // u3: click before any view — stops at view
+      (3L, "click", t(1)), (3L, "view", t(2)),
+      // u4: never views — in no stage
+      (4L, "click", t(1)), (4L, "purchase", t(2)),
+      // u5: click at the SAME instant as the view counts (>=)
+      (5L, "view", t(4)), (5L, "click", t(4))
+    ).toDF("user_id", "event_type", "ts")
+    val out = graft.ops.Analytics.funnelOn(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toList
+    assert(out === List(
+      (1, "view", 4L),      // u1, u2, u3, u5
+      (2, "click", 3L),     // u1, u2, u5
+      (3, "purchase", 1L))) // u1 only
+  }
+
   test("histogram bins partition the data: counts sum to the row total") {
     val out = Analytics.histogram(spark, sf).collect()
     assert(out.map(_.getLong(2)).sum === Tables.events(spark, sf).count())
