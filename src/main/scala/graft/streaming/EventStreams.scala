@@ -234,6 +234,56 @@ object EventStreams {
       s.readStream.schema(schema).parquet(sourceDir).withWatermark("ts", "2 hours"),
       defaultQualityRules)
 
+  // ---- streaming funnel ------------------------------------------------
+
+  case class FunnelEvent(user_id: Long, event_type: String,
+                         ts: java.sql.Timestamp, event_id: Long)
+  case class FunnelState(stage: Int, lastTsMicros: Long)
+  case class FunnelRow(user_id: Long, stage: Int, event_type: String,
+                       ts: java.sql.Timestamp)
+
+  /** Streaming face of [[graft.ops.Analytics.funnelOn]]: per-user
+    * stage state advanced by an in-order fold. The batch definition
+    * (stage k = EARLIEST qualifying event at or after the stage-k−1
+    * timestamp) is exactly what a greedy fold over the user's events
+    * in event-time order computes, so the state is two fields (stage
+    * index + its timestamp) — no buffered history. Within a
+    * micro-batch events arrive unordered → sort by (ts, stage rank,
+    * event_id); the stage rank in the tie-break mirrors the batch
+    * face's `>=`: a click at the SAME instant as the view converts,
+    * so same-timestamp events must fold funnel-order first. Emits one
+    * row per stage ADVANCE (append mode); conversion counts are a
+    * grouBy away. Late data beyond the source's delivery order is the
+    * documented caveat — reordered cross-batch arrivals can under-
+    * count conversions the batch face would find, the standard
+    * trade of per-event streaming funnels. */
+  def funnelStream(events: Dataset[FunnelEvent],
+                   stages: Seq[String] = Seq("view", "click", "purchase")): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId, it, state: GroupState[FunnelState]) =>
+          def micros(e: FunnelEvent): Long =
+            Math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
+          val sorted = it.toSeq.sortBy(e =>
+            (micros(e), stageIdx.getOrElse(e.event_type, Int.MaxValue), e.event_id))
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelRow]
+          sorted.foreach { e =>
+            if (st.stage < stages.length && e.event_type == stages(st.stage) &&
+                (st.stage == 0 || micros(e) >= st.lastTsMicros)) {
+              st = FunnelState(st.stage + 1, micros(e))
+              out += FunnelRow(userId, st.stage, e.event_type, e.ts)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   // ---- sessionization --------------------------------------------------
 
   val sessionGapSec: Long = 1800L

@@ -178,6 +178,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel advances per-user stages across micro-batches " +
+      "and matches the batch conversion counts") {
+    import graft.streaming.EventStreams.{FunnelEvent, funnelStream}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[FunnelEvent]
+    val q = funnelStream(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_mb").start()
+    try {
+      // batch 0: u1 views+clicks; u2 purchases (no view — ignored)
+      mem.addData(
+        FunnelEvent(1L, "view", t(1), 1L), FunnelEvent(1L, "click", t(2), 2L),
+        FunnelEvent(2L, "purchase", t(1), 3L))
+      q.processAllAvailable()
+      // batch 1: u1 purchases — stage state crossed the batch gap;
+      // u2 views (stage 1 starts late); same-instant view+click for
+      // u3 converts both (the >= edge, funnel-order tie-break)
+      mem.addData(
+        FunnelEvent(1L, "purchase", t(3), 4L),
+        FunnelEvent(2L, "view", t(4), 5L),
+        FunnelEvent(3L, "click", t(5), 6L), FunnelEvent(3L, "view", t(5), 7L))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_mb").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(rows === Set(
+        (1L, 1, "view"), (1L, 2, "click"), (1L, 3, "purchase"),
+        (2L, 1, "view"),
+        (3L, 1, "view"), (3L, 2, "click")))
+    } finally q.stop()
+
+    // corpus-level: single-pass replay equals the oracled batch face
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .as[FunnelEvent]
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[FunnelEvent]
+    val q2 = funnelStream(mem2.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_corpus").start()
+    try {
+      mem2.addData(ev.collect().toIndexedSeq: _*)
+      q2.processAllAvailable()
+      val streamed = spark.table("funnel_corpus").groupBy(col("stage"))
+        .agg(countDistinct(col("user_id")).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val batch = graft.ops.Analytics.funnel(spark, sf).collect()
+        .map(r => r.getInt(0) -> r.getLong(2)).toMap
+      assert(streamed === batch)
+    } finally q2.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer matches the batch sessionizer") {
     import spark.implicits._
     val eventsDs = Tables.events(spark, sf)
