@@ -436,6 +436,12 @@ object SparkEntry {
     // the header-walking decoders; features have closed forms so the
     // whole decode path is DuckDB-oracled
     "mm_extract" -> (MultimodalOps.extractReal _),
+    // the curation gate that chains the codec-closed transforms INTO
+    // decode: clip [2ms,6ms) → RMS gate for audio, 2×2 thumbnail →
+    // green-mean gate for images — promotes clip/resize from
+    // spec-tested to cross-engine oracled (probed samples have
+    // closed forms)
+    "mm_gate" -> ((s, d) => MultimodalOps.mediaGate(s, d)),
     // §2.10 MLlib pipelines
     "ml_cluster"  -> ((s, d) => MlOps.cluster(s, d)),
     "ml_classify" -> (MlOps.classify _),
@@ -1771,6 +1777,34 @@ object SparkEntry {
     // ((s-128)/128)^2 are exact k/16384 binary rationals, so the sums
     // are order-independent and the 4dp-rounded features match
     // bit-for-bit across engines.
+    // the clip probes frames [16, 48) (2ms·8kHz .. 6ms·8kHz) of the
+    // synth sequence; the 2×2 thumbnail samples file rows {0, h//2} ×
+    // cols {0, w//2} of the synth pixel formula — nearest-neighbor's
+    // exact picks. Gates compare the 4dp-rounded metric on BOTH sides.
+    "mm_gate" ->
+      """WITH wav_i AS (
+        |  SELECT doc_id, unnest(range(16, 48)) AS i
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |wav_v AS (
+        |  SELECT doc_id, ((doc_id*31 + i*7) % 256 - 128.0) / 128 AS v
+        |  FROM wav_i),
+        |wav AS (
+        |  SELECT doc_id, 'wav' AS kind,
+        |         round(sqrt(sum(v*v) / 32), 4) AS metric
+        |  FROM wav_v GROUP BY doc_id),
+        |bmp_d AS (
+        |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |bmp_r AS (SELECT doc_id, w, unnest([0, h // 2]) AS r FROM bmp_d),
+        |bmp_px AS (SELECT doc_id, r, unnest([0, w // 2]) AS x FROM bmp_r),
+        |bmp AS (
+        |  SELECT doc_id, 'bmp' AS kind,
+        |         round(avg((doc_id + 5*r + 3*x + 1) % 256), 4) AS metric
+        |  FROM bmp_px GROUP BY doc_id)
+        |SELECT * FROM (
+        |  SELECT * FROM wav WHERE metric >= 0.55
+        |  UNION ALL SELECT * FROM bmp WHERE metric >= 128.0)
+        |ORDER BY doc_id""".stripMargin,
     "mm_extract" ->
       """WITH wav_t AS (
         |  SELECT doc_id, 64 + doc_id % 64 AS n,

@@ -424,6 +424,45 @@ object MultimodalOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Media QUALITY GATE through the codec-closed transforms — the
+    * curation shape the clip/resize stages exist for: audio rows cut
+    * to a fixed probe window ([[WavCodec.clip]] [2 ms, 6 ms) = frames
+    * [16, 48) at 8 kHz, always present since every synth payload has
+    * ≥ 64 frames) and kept when the CLIP's RMS clears `minRms` (drop
+    * silent audio by probing a slice, not decoding the whole take);
+    * image rows downsampled to a 2×2 thumbnail ([[BmpCodec.resize]])
+    * and kept when the thumbnail's green-channel mean clears
+    * `minMeanG` (drop dark frames from a 4-pixel probe). Both
+    * transforms chain INTO decode on the transformed payload — this
+    * entry is what promotes the clip and resize codecs from
+    * spec-tested to cross-engine ORACLED, because the synth payloads
+    * give the probed samples closed forms.
+    *
+    * The gate compares the 4dp-ROUNDED metric (both engines round
+    * identically; an unrounded threshold could flip a boundary row on
+    * last-ulp float noise). Row-local flatMap end to end — no shuffle
+    * before the caller's sink. */
+  def mediaGate(s: SparkSession, d: String,
+                minRms: Double = 0.55, minMeanG: Double = 128.0): DataFrame = {
+    import s.implicits._
+    val ids = Tables.spread(Tables.documents(s, d).select(col("doc_id")))
+      .as[Long]
+    ids.flatMap { id =>
+      if (id % 2 == 0)
+        WavCodec.clip(MmSynth.wavBytes(id), 2L, 6L)
+          .flatMap(cb => WavCodec.decode(id, cb))
+          .map(f => (id, "wav", f.rms))
+      else
+        BmpCodec.resize(MmSynth.bmpBytes(id), 2, 2)
+          .flatMap(rb => BmpCodec.decode(id, rb))
+          .map(f => (id, "bmp", f.mean_g))
+    }.toDF("doc_id", "kind", "metric")
+      .select(col("doc_id"), col("kind"), round(col("metric"), 4).as("metric"))
+      .filter(when(col("kind") === "wav", col("metric") >= minRms)
+        .otherwise(col("metric") >= minMeanG))
+      .orderBy(col("doc_id"))
+  }
+
   /** Genuinely decode WAV payloads (stateless pure-JVM parser, so a
     * flatMap suffices — no per-partition resource to open); malformed
     * rows drop instead of failing the stage. Same typed-Dataset shape

@@ -250,6 +250,21 @@ class MultimodalSpec extends SparkSpec {
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(22) === 2)
   }
 
+  test("mediaGate filters BOTH families non-trivially through the " +
+      "clip→decode and resize→decode chains") {
+    val out = MultimodalOps.mediaGate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val total = Tables.documents(spark, sf).count()
+    val (wav, bmp) = out.partition(_._2 == "wav")
+    // both gates keep some and drop some — a gate that passes or
+    // drops everything isn't gating
+    assert(wav.nonEmpty && wav.length < total / 2)
+    assert(bmp.nonEmpty && bmp.length < total / 2)
+    // survivors actually clear their thresholds
+    assert(wav.forall(_._3 >= 0.55))
+    assert(bmp.forall(_._3 >= 128.0))
+  }
+
   test("resizeBmp chains with decodeBmp; malformed payloads drop") {
     import spark.implicits._
     val img = bmpBytes(4, 4, (x, y) => (x * 10, y * 10, 128))
