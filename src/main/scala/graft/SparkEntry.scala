@@ -380,6 +380,17 @@ object SparkEntry {
       Tables.documents(s, d).select(col("doc_id"),
         concat(col("text"), lit("\n"), substring(col("text"), 1, 40),
           lit("\n"), substring(col("text"), 1, 40)).as("text")))),
+    // CORPUS-WIDE line dedup (C4-style boilerplate removal): plants a
+    // per-source header line + a global footer line around each body,
+    // so only the first doc of each source keeps its header and only
+    // the corpus-first doc keeps the footer — intra-doc dedup would
+    // keep them all
+    "text_dedup_lines_global" -> ((s, d) => TextOps.dedupLinesGlobalOn(
+      Tables.documents(s, d).select(col("doc_id"), concat_ws("\n",
+        concat(lit("shared header for "), col("source")),
+        col("text"),
+        lit("standard legal footer applies to all documents"))
+        .as("text")))),
     // URL canonicalization over PLANTED messy URLs: doc_id drives
     // scheme case, port (incl. the https:443-on-http keep case),
     // trailing slash, tracking params, and fragments — every rule
@@ -1558,6 +1569,26 @@ object SparkEntry {
         |  array_to_string(list_filter(ls, (x, i) -> list_position(ls, x) = i),
         |                  chr(10)) AS clean
         |FROM l ORDER BY doc_id""".stripMargin,
+    // first occurrence = smallest (doc_id, idx) per distinct line —
+    // the oracle's row_number replica of the Spark side's min-struct
+    // aggregate; reassembly order-pinned by idx on both engines
+    "text_dedup_lines_global" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    'shared header for ' || source || chr(10) || text || chr(10) ||
+        |    'standard legal footer applies to all documents' AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted),
+        |lines AS (
+        |  SELECT doc_id, i - 1 AS idx, ls[i] AS line
+        |  FROM l, LATERAL (SELECT unnest(range(1, len(ls) + 1)) AS i)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY line
+        |        ORDER BY doc_id, idx) AS rn FROM lines),
+        |kept AS (SELECT doc_id, idx, line FROM r WHERE rn = 1)
+        |SELECT doc_id,
+        |  string_agg(line, chr(10) ORDER BY idx) AS clean,
+        |  count(*) AS n_kept
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Spark ln == DuckDB ln on the same doubles; scores round to 4dp
     // BEFORE ranking (term tiebreak) so rankings are engine-stable.
     // ctxLen literal mirrors TextOps.pack's default (128); the

@@ -338,6 +338,44 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** CORPUS-WIDE line dedup — the C4-style boilerplate removal
+    * [[dedupLinesOn]] (intra-document) can't do: a navigation header
+    * shared by every page of a site, or a legal footer shared by the
+    * whole crawl, survives intra-doc dedup on every page. Here each
+    * distinct line keeps ONLY its first occurrence across the corpus
+    * (first = smallest (doc_id, line index)); every document
+    * reassembles from its surviving lines in original order, and a
+    * document whose lines all lost drops.
+    *
+    * Scale shape: the first-occurrence owner per line is a map-side-
+    * combinable `min(struct(doc_id, idx))` aggregate keyed on the
+    * line — deliberately NOT a row_number window, whose per-line
+    * partitions put a billion-copy boilerplate line through one
+    * reducer; with the aggregate the hot line collapses map-side and
+    * the shuffle carries one row per (partition, line). Survivors
+    * come back via a semi join against the (one row per distinct
+    * line) owner frame, and reassembly is one doc_id-keyed aggregate
+    * (array_sort on the (idx, line) structs — no window). */
+  def dedupLinesGlobalOn(docs: DataFrame): DataFrame = {
+    val lines = graft.Tables.spread(docs)
+      .select(col("doc_id"),
+        posexplode(split(coalesce(col("text"), lit("")), "\n"))
+          .as(Seq("idx", "line")))
+    val owners = lines
+      .groupBy(col("line"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("__f"))
+      .select(col("line"), col("__f.doc_id").as("doc_id"),
+        col("__f.idx").as("idx"))
+    lines.join(owners, Seq("line", "doc_id", "idx"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("idx"), col("line")))),
+            x => x.getField("line")), "\n").as("clean"),
+        count(lit(1)).as("n_kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Unigram language-model score — the cheap proxy for the
     * LM-perplexity filtering web curation runs (CCNet-style): train
     * add-one-smoothed unigram probabilities on the corpus itself and

@@ -123,6 +123,27 @@ class TextOpsSpec extends SparkSpec {
     assert(withNull.toSeq === Seq((4L, 1, 1, "")))
   }
 
+  test("corpus-wide line dedup: first doc owns each shared line, " +
+      "all-lost docs drop") {
+    val docs = Seq(
+      (1L, "header\nbody one\nfooter"),
+      (2L, "header\nbody two\nfooter"),   // keeps only its body
+      (3L, "header\nfooter"),             // loses EVERYTHING → drops
+      (5L, "body five")).toDF("doc_id", "text")
+    val out = TextOps.dedupLinesGlobalOn(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      (1L, "header\nbody one\nfooter", 3L),
+      (2L, "body two", 1L),
+      (5L, "body five", 1L)))
+    // within ONE doc a repeated line also keeps only the first copy
+    // (the intra-doc face is subsumed), and order is by line index
+    val intra = TextOps.dedupLinesGlobalOn(
+        Seq((7L, "x\ny\nx")).toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(intra.toSeq === Seq((7L, "x\ny", 2L)))
+  }
+
   test("sequence packing fills every context exactly, spans long docs") {
     val docs = Seq(
       (1L, (1 to 3).map(i => s"a$i").mkString(" ")),  // 3 tokens
