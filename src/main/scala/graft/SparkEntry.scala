@@ -49,6 +49,9 @@ object SparkEntry {
     // day-N stickiness: cohort = first-ever event day, cells count
     // distinct members active at each day offset
     "q_cohort_retention" -> (Analytics.cohortRetention _),
+    // DAU + trailing-7-day WAU via a 7x support explode (equi-keyed,
+    // map-side-combinable — never a day-range nested loop)
+    "q_dau_wau" -> (Analytics.dauWau _),
     "q_set_ops"          -> (Analytics.setOps _),
     "q_rollup"           -> (Analytics.rollupAgg _),
     "q_grouping_sets"    -> (Analytics.groupingSetsAgg _),
@@ -575,6 +578,19 @@ object SparkEntry {
         |  count(DISTINCT ev.user_id) AS active_users
         |FROM ev JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT
+        |              CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |              user_id
+        |            FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        |support AS (
+        |  SELECT user_id, day + INTERVAL 1 DAY * off AS day
+        |  FROM ud, LATERAL (SELECT unnest(range(0, 7)) AS off)),
+        |wau AS (SELECT day, count(DISTINCT user_id) AS wau
+        |        FROM support GROUP BY 1)
+        |SELECT d.day AS day, dau, wau FROM dau d JOIN wau USING (day)
+        |ORDER BY day""".stripMargin,
     "q_pivot_per_day" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
         | count(*) FILTER (WHERE event_type = 'click')    AS click,

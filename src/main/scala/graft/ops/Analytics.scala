@@ -180,6 +180,35 @@ object Analytics {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** DAU/WAU — the engagement-stickiness pair: per event day, the
+    * distinct users active THAT day and in the trailing 7 days
+    * (inclusive). The trailing window is realized as a 7× SUPPORT
+    * EXPLODE (each user-day votes for the 7 window days it belongs
+    * to) feeding plain equi-keyed distinct aggregates — deliberately
+    * not a day-range join, which plans a nested-loop over the day
+    * grid and re-scans user-days per day; here everything is
+    * map-side-combinable and keyed on (day, user). Exact distinct is
+    * the declared face; at 100 TB swap countDistinct for
+    * approx_count_distinct over the SAME support frame (mergeable
+    * HLL, the q_distinct_approx trade). */
+  def dauWau(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val support = ud.select(col("user_id"),
+        explode(sequence(lit(0), lit(6))).as("off"), col("day"))
+      .select(col("user_id"),
+        expr("timestampadd(DAY, off, day)").as("day"))
+    val wau = support.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    // inner join trims the support tail (windows ending after the
+    // last event day) to exactly the observed days
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"))
+      .orderBy(col("day"))
+  }
+
   /** Out-of-range timestamp detection — the reference hunts rides
     * with pickup in 2088 (DataDiscoveryAndConversation cell 30). */
   def anomalyFilter(s: SparkSession, d: String): DataFrame =
