@@ -165,6 +165,24 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("corpus-wide line dedup aggregates ownership — no per-line window") {
+    import spark.implicits._
+    val docs = Seq((1L, "h\nb1\nf"), (2L, "h\nb2\nf"), (3L, "h\nf"))
+      .toDF("doc_id", "text")
+    val plan = executedPlan(TextOps.dedupLinesGlobalOn(docs))
+    // the first-occurrence owner must be the map-side-combinable
+    // min-struct aggregate: a Window partitioned by the line would
+    // funnel a billion-copy boilerplate line through one reducer
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("dau/wau support explode stays equi-keyed — no day-grid nested loop") {
+    val plan = executedPlan(Analytics.dauWau(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("scd2 runs both windows on ONE exchange of the key partitioning") {
     val plan = executedPlan(graft.etl.Mapping.scd2(
       Tables.events(spark, sf).select(col("user_id"), col("event_type"),
