@@ -329,6 +329,12 @@ object SparkEntry {
     // near-dup graph; cluster id = the canonical keep document
     "dedup_clusters" -> ((s, d) =>
       DedupOps.connectedComponents(DedupOps.minhashLsh(s, d))),
+    // keep-BEST per near-dup cluster (not min-id): highest quality
+    // survives, doc_id tiebreak — one max_by aggregate per cluster
+    "curate_canonical" -> ((s, d) =>
+      CurateOps.canonicalPerCluster(
+        DedupOps.connectedComponents(DedupOps.minhashLsh(s, d)),
+        Tables.documents(s, d))),
     "dedup_embedding"     -> ((s, d) => DedupOps.embeddingPairs(s, d, threshold = 0.45)),
     // the scale path: multi-table hyperplane LSH instead of all-pairs;
     // fixed-seed planes make it exactly SQL-replicable, so unusually
@@ -467,6 +473,9 @@ object SparkEntry {
     // the SAME vote over an IVF shortlist (query side deliberately
     // un-broadcast — it grows with the corpus; AQE decides the join)
     "ml_knn_classify_ivf" -> ((s, d) => SimilarityOps.knnClassifyIvf(s, d)),
+    // int8 scalar quantization with measured per-vector fidelity —
+    // the 4x compression tier between raw float32 and PQ's 32x
+    "emb_quantize_int8" -> (SimilarityOps.quantizeInt8 _),
     // §2.8 streaming (batch faces; streaming faces spec-tested)
     "stream_window_counts" -> (graft.streaming.EventStreams.windowCountsBatch _),
     "stream_sliding_counts" -> (graft.streaming.EventStreams.slidingCountsBatch _),
@@ -1354,6 +1363,47 @@ object SparkEntry {
         |  SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a)
         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
         |FROM walk GROUP BY a ORDER BY doc_id""".stripMargin,
+    // dedup_clusters' component closure + the quality ranking: keep =
+    // argmax stopword_ratio (4dp) per cluster, doc_id tiebreak
+    "curate_canonical" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+        |             FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+        |  FROM tok WHERE len(t) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |cnt AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p0 AS (
+        |  SELECT id1, id2 FROM cnt
+        |  JOIN sz x ON x.doc_id = id1 JOIN sz y ON y.doc_id = id2
+        |  WHERE common * 1.0 / (x.n + y.n - common) >= 0.8),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM p0
+        |          UNION ALL SELECT id2, id1 FROM p0),
+        |walk(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT w.a, e.b FROM walk w JOIN edges e ON w.b = e.a),
+        |c AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |      FROM walk GROUP BY a),
+        |tk2 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+        |        FROM documents),
+        |qual AS (SELECT doc_id,
+        |  round(len(list_filter(tk,
+        |    x -> list_contains(['the','a','and','of','to','in','is'], x)))
+        |    * 1.0 / len(tk), 4) AS q
+        |  FROM tk2),
+        |r AS (SELECT c.cluster_id, c.doc_id, q,
+        |        row_number() OVER (PARTITION BY cluster_id
+        |          ORDER BY q DESC, c.doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY cluster_id) AS n_members
+        |      FROM c JOIN qual USING (doc_id))
+        |SELECT cluster_id, doc_id AS keep_id, q,
+        |  CAST(n_members AS BIGINT) AS n_members
+        |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     // Same exact-Jaccard contract as dedup_minhash (banding misses are
     // ~6e-4 per J≥0.8 pair and candidates are exact-verified), across
     // the even/odd corpus split.
@@ -1446,6 +1496,24 @@ object SparkEntry {
         |  count(*) AS n
         |FROM x GROUP BY label, pos
         |ORDER BY label, pos""".stripMargin,
+    // quantize→dequantize→cosine replayed step for step: float→double
+    // casts are exact, the multiply/divide/round order matches the
+    // operator, and the dequant pins through a FLOAT cast on both
+    // engines before the double cosine
+    "emb_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, emb,
+        |        list_max(list_transform(emb, x -> abs(x))) AS scale
+        |      FROM e),
+        |q AS (SELECT vec_id, emb, scale,
+        |        CAST(CAST(list_transform(emb,
+        |          x -> round(x * 127.0 / scale) * scale / 127.0)
+        |          AS FLOAT[]) AS DOUBLE[]) AS dq
+        |      FROM s WHERE scale > 0)
+        |SELECT vec_id, round(scale, 4) AS scale,
+        |  round(list_cosine_similarity(emb, dq), 4) AS cosine_kept
+        |FROM q ORDER BY vec_id""".stripMargin,
     "ann_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
         |           FROM embeddings WHERE vec_id < 10),

@@ -38,6 +38,28 @@ object CurateOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Cluster-aware CANONICAL selection — the keep-best step after
+    * near-dup clustering: [[DedupOps.connectedComponents]] tells you
+    * which documents are the same content; this picks WHICH copy
+    * survives, by QUALITY (highest stopword_ratio, doc_id tiebreak)
+    * instead of the arbitrary min-id convention — near-dup families
+    * usually contain one clean copy and N mangled ones, and min-id
+    * keeps whichever got crawled first. One quality join + one
+    * map-side-combinable max_by per cluster; emits (cluster_id,
+    * keep_id, q, n_members) for the clustered docs (singletons keep
+    * themselves trivially and are not repeated here). */
+  def canonicalPerCluster(clusters: DataFrame, docs: DataFrame): DataFrame = {
+    val q = TextOps.qualityScoresOn(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("stopword_ratio").as("q"))
+    clusters.join(q, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        max_by(col("doc_id"), struct(col("q"), -col("doc_id"))).as("keep_id"),
+        max(col("q")).as("q"),
+        count(lit(1)).as("n_members"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Web-corpus curation — the CommonCrawl-shaped front half of the
     * pipeline, composed as one lazy plan over a (doc_id, text, url)
     * frame:

@@ -179,6 +179,35 @@ object SimilarityOps {
     knnVote(scored, k)
   }
 
+  /** INT8 scalar quantization — the 4× embedding-compression tier
+    * between raw float32 and [[pqTopK]]'s 32× codes: per vector,
+    * scale = max |v_i| and code_i = round(127·v_i/scale), so the
+    * vector stores as 64 bytes + one float. The entry emits each
+    * vector's measured FIDELITY — the cosine between the original
+    * and its dequantized self — which is the number an embedding
+    * pipeline checks before switching its index to int8 (typically
+    * ≥ 0.999 for unit-ish vectors; PQ trades far more). Row-local,
+    * zero shuffle; every step is double-IEEE-identical across
+    * engines (float→double exact, same multiply/divide/round order,
+    * dequant pinned through a FLOAT cast on both sides), so the
+    * whole quantize→dequantize→cosine pipeline is DuckDB-oracled.
+    * All-zero vectors have no scale and drop (consistently in both
+    * engines). */
+  def quantizeInt8(s: SparkSession, d: String): DataFrame = {
+    val scale = array_max(transform(col("embedding"), x => abs(x)))
+      .cast("double")
+    Tables.embeddings(s, d)
+      .withColumn("__scale", scale)
+      .filter(col("__scale") > 0)
+      .withColumn("__dq",
+        transform(col("embedding"),
+          x => round(x * lit(127.0) / col("__scale")) * col("__scale") / lit(127.0))
+          .cast("array<float>"))
+      .select(col("vec_id"), round(col("__scale"), 4).as("scale"),
+        round(cosine(col("embedding"), col("__dq")), 4).as("cosine_kept"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Exact top-k: broadcast the query set, score every corpus vector,
     * rank per query. */
   def bruteForceTopK(s: SparkSession, d: String,

@@ -51,6 +51,22 @@ class CurateSpec extends SparkSpec {
       (6L, "https://site.com/c")))
   }
 
+  test("canonicalPerCluster keeps the BEST copy, not the first-crawled") {
+    import org.apache.spark.sql.functions.col
+    val clusters = Seq((10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L))
+      .toDF("doc_id", "cluster_id")
+    val docs = Seq(
+      (10L, "zzz qqq xxx yyy www vvv uuu ttt sss rrr"),      // min id, 0 stopwords
+      (11L, "the cat sat on the mat and the dog is in a box"), // best quality
+      (12L, "the zzz qqq xxx yyy www vvv uuu ttt sss"),
+      (20L, "the only member of its own cluster is here"))
+      .toDF("doc_id", "text")
+    val out = CurateOps.canonicalPerCluster(clusters, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toList
+    // cluster 10: doc 11 wins on quality despite doc 10 being min-id
+    assert(out === List((10L, 11L, 3L), (20L, 20L, 1L)))
+  }
+
   test("tokenBudget keeps the greedy quality-ranked prefix, never a knapsack") {
     // scores (stopword_ratio): rank order is d1 (2/6) > d2 (1/6) >
     // d3 (1/7) > d4 (0); token counts 6, 6, 7, 4. Budget 15 fits

@@ -162,6 +162,19 @@ class SimilaritySpec extends SparkSpec {
     assert(agree >= 0.3, f"agreement $agree%.2f below 0.3")
   }
 
+  test("int8 quantization keeps near-unit fidelity on every vector") {
+    val out = SimilarityOps.quantizeInt8(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.length === Tables.embeddings(spark, sf).count())
+    out.foreach { case (id, scale, kept) =>
+      assert(scale > 0, s"vec $id")
+      // 127 levels per max-normalized axis loses well under 1% cosine
+      assert(kept >= 0.99 && kept <= 1.0, s"vec $id kept $kept")
+    }
+    val worst = out.map(_._3).min
+    info(f"worst per-vector cosine after int8: $worst%.4f")
+  }
+
   test("knn vote ties break to the lowest label, rank ties to lowest id") {
     import spark.implicits._
     // all four corpus vectors have cosine 0.7071 to the query, so the
