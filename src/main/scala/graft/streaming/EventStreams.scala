@@ -284,6 +284,61 @@ object EventStreams {
       }
   }
 
+  // ---- streaming anomaly monitor ----------------------------------------
+
+  case class DailyCount(event_type: String, day: java.sql.Timestamp, cnt: Long)
+  case class AnomalyState(seen: Long, recent: List[Long])
+  case class AnomalyRow(event_type: String, day: java.sql.Timestamp,
+                        cnt: Long, z: Double, is_anomaly: Boolean)
+
+  /** Streaming face of [[graft.ops.TimeSeriesOps.anomalyZScore]]: the
+    * live monitor that scores each FINALIZED day's count against the
+    * trailing `windowDays`-day window as soon as the day closes. In
+    * production the input is the watermark-finalized output of the
+    * daily windowed count (append mode emits each (type, day, cnt)
+    * exactly once); state per series is the last `windowDays − 1`
+    * counts plus a seen-counter — O(windowDays) longs, not history.
+    * Same contract as the batch face: warm-up days (fewer than
+    * `windowDays` observed) emit nothing, zero-variance windows pin
+    * z = 0, the window is ROW-based (calendar gaps don't widen it),
+    * and the trailing window never peeks at the future. Within a
+    * micro-batch days fold in event-time order; finalized days arrive
+    * monotonically per series because the upstream watermark is. */
+  def anomalyStream(daily: Dataset[DailyCount], windowDays: Int = 7,
+                    threshold: Double = 2.0): Dataset[AnomalyRow] = {
+    import daily.sparkSession.implicits._
+    daily
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomalyState, AnomalyRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (typ, it, state: GroupState[AnomalyState]) =>
+          val sorted = it.toSeq.sortBy(_.day.getTime)
+          var st = state.getOption.getOrElse(AnomalyState(0L, Nil))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyRow]
+          sorted.foreach { e =>
+            val win = (st.recent :+ e.cnt).takeRight(windowDays)
+            st = AnomalyState(st.seen + 1,
+              (st.recent :+ e.cnt).takeRight(windowDays - 1))
+            if (st.seen >= windowDays) {
+              // counts are integers ≤ 2^53: the double sums below are
+              // EXACT, so mean/variance match the batch face's window
+              // aggregates to rounding
+              val n = win.length
+              val mean = win.map(_.toDouble).sum / n
+              val m2 = win.map(c => { val d = c - mean; d * d }).sum
+              val sd = if (n > 1) math.sqrt(m2 / (n - 1)) else 0.0
+              val z = if (sd == 0) 0.0 else (e.cnt - mean) / sd
+              out += AnomalyRow(typ, e.day, e.cnt,
+                BigDecimal(z).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+                  .toDouble,
+                math.abs(z) >= threshold)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   // ---- sessionization --------------------------------------------------
 
   val sessionGapSec: Long = 1800L

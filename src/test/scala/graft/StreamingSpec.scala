@@ -232,6 +232,58 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming anomaly monitor matches the batch z-scores across batches") {
+    import graft.streaming.EventStreams.{DailyCount, anomalyStream}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def day(n: Int) = java.sql.Timestamp.valueOf(f"2024-01-$n%02d 00:00:00")
+    // planted series: 7 flat days (warm-up emits nothing until day 7,
+    // zero variance pins z = 0), then a spike across the batch gap
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DailyCount]
+    val q = anomalyStream(mem.toDS(), windowDays = 7, threshold = 2.0)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("anomaly_mb").start()
+    try {
+      mem.addData((1 to 7).map(i => DailyCount("a", day(i), 10L)): _*)
+      q.processAllAvailable()
+      val warm = spark.table("anomaly_mb").collect()
+        .map(r => (r.getTimestamp(1), r.getDouble(3), r.getBoolean(4)))
+      assert(warm.toSeq === Seq((day(7), 0.0, false))) // days 1-6 silent
+      // batch 2: the spike — state carried the 6 trailing flat days
+      mem.addData(DailyCount("a", day(8), 100L))
+      q.processAllAvailable()
+      val rows = spark.table("anomaly_mb").collect()
+        .map(r => (r.getTimestamp(1), r.getLong(2), r.getBoolean(4))).toSet
+      assert(rows.contains((day(8), 100L, true)), rows)
+    } finally q.stop()
+
+    // corpus replay (two batches split mid-month) equals the batch face
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[DailyCount].collect().sortBy(_.day.getTime)
+    val (b1, b2) = daily.partition(_.day.getTime <= day(7).getTime)
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DailyCount]
+    val q2 = anomalyStream(mem2.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("anomaly_corpus").start()
+    try {
+      mem2.addData(b1.toIndexedSeq: _*)
+      q2.processAllAvailable()
+      mem2.addData(b2.toIndexedSeq: _*)
+      q2.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3),
+          r.getBoolean(4))
+      val streamed = spark.table("anomaly_corpus").collect().map(key).toSet
+      val batch = graft.ops.TimeSeriesOps.anomalyZScore(spark, sf)
+        .collect().map(key).toSet
+      assert(streamed === batch)
+    } finally q2.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer matches the batch sessionizer") {
     import spark.implicits._
     val eventsDs = Tables.events(spark, sf)
