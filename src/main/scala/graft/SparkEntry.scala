@@ -64,6 +64,13 @@ object SparkEntry {
     "q_distinct_approx"   -> ((s, d) => Analytics.distinctCountApprox(s, d)),
     "q_percentiles_approx" -> ((s, d) => Analytics.percentilesApprox(s, d)),
     "q_histogram"  -> ((s, d) => Analytics.histogram(s, d)),
+    // the pre-join diagnostic: heaviest keys with share + skew ratio
+    // vs uniform — what decides between plain, salted, and broadcast
+    "q_skew_profile" -> ((s, d) =>
+      Analytics.skewProfile(Tables.events(s, d), col("user_id"))),
+    // per-series least-squares trend via the ANSI REGR_* aggregates —
+    // single-pass moment sums, the same plan shape as a SUM
+    "ml_linreg_trend" -> (Analytics.linregTrend _),
     // the skew path as a first-class query: salted equi-join (hot keys
     // spread over 8 reducers) feeding a per-segment aggregate — the
     // result contract is exactly the plain join's
@@ -780,6 +787,31 @@ object SparkEntry {
         |             AS BIGINT) + 1 END AS bin,
         | count(*) AS n
         |FROM events, b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Shares the operator's exact arithmetic: integer products stay
+    // exact in doubles, so one rounding each for share and skew.
+    "q_skew_profile" ->
+      """WITH c AS (SELECT user_id AS key, count(*) AS cnt
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, count(*) AS d FROM c)
+        |SELECT key, cnt, round(cnt * 1.0 / n, 4) AS share,
+        |  round(cnt * 1.0 * d / n, 4) AS skew
+        |FROM c, t ORDER BY cnt DESC, key LIMIT 20""".stripMargin,
+    // Both engines implement the ANSI REGR_* family over the same
+    // (x, y) pairs; inputs are exact integer-valued doubles.
+    "ml_linreg_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type, user_id % 10 AS cohort,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP_US)) AS day,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2, 3),
+        |xy AS (SELECT event_type, cohort,
+        |    CAST(date_diff('day', DATE '2024-01-01', day) AS DOUBLE) AS x,
+        |    CAST(cnt AS DOUBLE) AS y FROM daily)
+        |SELECT event_type, cohort, count(*) AS n_days,
+        |  round(regr_slope(y, x), 4) AS slope,
+        |  round(regr_intercept(y, x), 4) AS intercept,
+        |  round(regr_r2(y, x), 4) AS r2
+        |FROM xy GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // The salted join's contract IS the plain join — the oracle needs
     // no salt concept at all.
     "q_salted_join" ->

@@ -468,4 +468,53 @@ object Analytics {
         round(expr("percentile(value, 0.95)"), 4).as("p95"),
         round(expr("percentile(value, 0.99)"), 4).as("p99"))
       .orderBy(col("event_type"))
+
+  /** Key-distribution profile: the diagnostic you run BEFORE picking a
+    * join/aggregation strategy at scale. For the heaviest `topN` keys
+    * it reports absolute frequency, share of all rows, and the skew
+    * ratio versus a perfectly uniform key (share × distinct-key
+    * count): a key at `skew` ≈ 1 is average, a key at `skew` ≥ 100
+    * is the one that makes a plain shuffled join strangle one task —
+    * route it to [[SkewOps.saltedJoin]] or rely on AQE skew handling.
+    *
+    * Plan shape: one map-side-combinable count per key, a scalar
+    * (sum, count) reduction over the per-key counts, and a
+    * TakeOrdered for the top-N — no global sort, no second scan of
+    * the fact table; the profile costs one aggregation regardless of
+    * data size. */
+  def skewProfile(df: DataFrame, key: Column, topN: Int = 20): DataFrame = {
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("n"), count(lit(1)).as("d"))
+    counts.orderBy(col("cnt").desc, col("key")).limit(topN)
+      .crossJoin(broadcast(totals))
+      .select(col("key"), col("cnt"),
+        round(col("cnt").cast("double") / col("n"), 4).as("share"),
+        round(col("cnt").cast("double") * col("d") / col("n"), 4).as("skew"))
+      .orderBy(col("cnt").desc, col("key"))
+  }
+
+  /** Per-series least-squares trend: slope / intercept / R² of daily
+    * event counts against a day index, per (event_type, user cohort).
+    * This is the trend-feature step of the reference's feature
+    * engineering (GluePySparkMLFeatureEngineering.ipynb builds exactly
+    * such per-series summaries before DeepAR) expressed as the ANSI
+    * `REGR_*` aggregate family — single-pass, map-side-combinable
+    * moment sums, one exchange on the series key, no per-series sort
+    * and no iteration. At 100 TB this is the cheapest possible
+    * regression: the same plan shape as a SUM. */
+  def linregTrend(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"), (col("user_id") % 10).as("cohort"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("cohort"),
+        datediff(col("day"), to_date(lit("2024-01-01"))).cast("double").as("x"),
+        col("cnt").cast("double").as("y"))
+      .groupBy(col("event_type"), col("cohort"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        round(regr_slope(col("y"), col("x")), 4).as("slope"),
+        round(regr_intercept(col("y"), col("x")), 4).as("intercept"),
+        round(regr_r2(col("y"), col("x")), 4).as("r2"))
+      .orderBy(col("event_type"), col("cohort"))
 }

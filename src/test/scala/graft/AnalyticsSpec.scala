@@ -257,4 +257,47 @@ class AnalyticsSpec extends SparkSpec {
       }
     }
   }
+
+  test("skew profile: hand fixture yields exact share and skew ratios") {
+    import spark.implicits._
+    // 10 rows of key 1, 4 of key 2, 1 each of 3..8 → n=20, d=8
+    val df = (Seq.fill(10)(1) ++ Seq.fill(4)(2) ++ (3 to 8)).toDF("k")
+    val rows = Analytics.skewProfile(df, col("k"), topN = 3).collect()
+    assert(rows.map(_.getAs[Int]("key")).toSeq === Seq(1, 2, 3))
+    assert(rows.map(_.getAs[Long]("cnt")).toSeq === Seq(10L, 4L, 1L))
+    assert(rows.map(_.getAs[Double]("share")).toSeq === Seq(0.5, 0.2, 0.05))
+    // skew = share * d: 0.5*8, 0.2*8, 0.05*8
+    assert(rows.map(_.getAs[Double]("skew")).toSeq === Seq(4.0, 1.6, 0.4))
+  }
+
+  test("skew profile: top-N boundary is deterministic under count ties") {
+    import spark.implicits._
+    val df = (1 to 6).flatMap(k => Seq.fill(3)(k)).toDF("k") // all tied
+    val rows = Analytics.skewProfile(df, col("k"), topN = 4).collect()
+    assert(rows.map(_.getAs[Int]("key")).toSeq === Seq(1, 2, 3, 4))
+  }
+
+  test("linreg trend: full grid, R² in [0,1], slope finite") {
+    val rows = Analytics.linregTrend(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every (type, cohort) series spans multiple days
+    assert(rows.forall(_.getAs[Long]("n_days") > 1))
+    rows.foreach { r =>
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0, s"r2 out of range: $r2")
+      assert(!r.getAs[Double]("slope").isNaN)
+    }
+  }
+
+  test("linreg trend: a perfect line recovers slope, intercept, R²=1") {
+    import spark.implicits._
+    // y = 3x + 2 exactly, via the same REGR_ aggregates the op uses
+    val df = (0 to 9).map(x => (x.toDouble, 3.0 * x + 2.0)).toDF("x", "y")
+    val r = df.agg(
+      round(regr_slope(col("y"), col("x")), 4).as("s"),
+      round(regr_intercept(col("y"), col("x")), 4).as("i"),
+      round(regr_r2(col("y"), col("x")), 4).as("r2")).first()
+    assert(r.getDouble(0) === 3.0 && r.getDouble(1) === 2.0 &&
+      r.getDouble(2) === 1.0)
+  }
 }
