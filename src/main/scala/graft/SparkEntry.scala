@@ -246,6 +246,9 @@ object SparkEntry {
     "ts_resample_daily" -> (TimeSeriesOps.resampleDaily _),
     "ts_rolling"        -> ((s, d) => TimeSeriesOps.rollingFeatures(s, d)),
     "ts_anomaly"        -> ((s, d) => TimeSeriesOps.anomalyZScore(s, d)),
+    // per-series EWMA smoothing — sequential within a series, so a
+    // sorted per-series fold; parallelism = series count
+    "ts_ewma"           -> ((s, d) => TimeSeriesOps.ewma(s, d)),
     // additive STL-lite: centered-window trend, integer-phase
     // seasonal means over DECIMAL-quantized detrended values, resid
     "ts_seasonal_decompose" -> ((s, d) => TimeSeriesOps.seasonalDecompose(s, d)),
@@ -1033,6 +1036,31 @@ object SparkEntry {
         |FROM daily
         |WINDOW w AS (PARTITION BY event_type ORDER BY day
         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
+    // replays the identical EWMA recursion in a recursive CTE —
+    // arithmetic written term-for-term as the Scala fold, so the 4dp
+    // values match bit-for-bit (the forecast_hw contract)
+    "ts_ewma" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (
+        |  SELECT event_type, list(day ORDER BY day) AS ds,
+        |         list(cnt ORDER BY day) AS ys, count(*) AS n
+        |  FROM daily GROUP BY 1),
+        |step AS (
+        |  SELECT event_type, ds, ys, n, 1 AS t,
+        |         [CAST(ys[1] AS DOUBLE)] AS es
+        |  FROM ser
+        |  UNION ALL
+        |  SELECT event_type, ds, ys, n, t + 1,
+        |         list_append(es, 0.3 * ys[t+1] + (1 - 0.3) * es[t])
+        |  FROM step WHERE t < n),
+        |fin AS (SELECT * FROM step WHERE t = n)
+        |SELECT event_type, ds[i] AS day, ys[i] AS cnt,
+        |  round(es[i], 4) AS ewma
+        |FROM fin, LATERAL (SELECT unnest(range(1, n + 1)) AS i)
         |ORDER BY event_type, day""".stripMargin,
     // trailing-window z-score; both engines share the stddev_samp
     // parity ts_rolling already relies on, the zero-variance window

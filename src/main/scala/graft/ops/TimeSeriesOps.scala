@@ -215,6 +215,42 @@ object TimeSeriesOps {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Exponentially weighted moving average per series — the smoothing
+    * that weights recent observations most (the single-parameter
+    * sibling of [[graft.ops.Forecast.holtWinters]]): e₁ = y₁,
+    * eₜ = α·yₜ + (1−α)·eₜ₋₁. The recursion is inherently sequential
+    * WITHIN a series, so it runs as a sorted per-series fold
+    * (`flatMapGroups`, the Holt-Winters pattern) — one shuffle on the
+    * series key, and at 100 TB parallelism comes from series count
+    * (each group is one time series of bounded length), not from
+    * splitting a series.
+    *
+    * Cross-engine determinism: the oracle replays the SAME recursion
+    * in a DuckDB recursive CTE with the arithmetic written
+    * identically — `(1 - 0.3)` kept as a subtraction, counts promoted
+    * long→double (exact) — so the 4dp values match bit-for-bit. */
+  def ewma(s: SparkSession, d: String, alpha: Double = 0.3): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("day"), col("cnt"))
+      .as[(String, java.sql.Timestamp, Long)]
+    daily.groupByKey(_._1)
+      .flatMapGroups { (k: String, it: Iterator[(String, java.sql.Timestamp, Long)]) =>
+        val rows = it.toArray.sortBy(_._2.getTime)
+        var e = 0.0
+        rows.iterator.zipWithIndex.map { case ((_, day, y), i) =>
+          e = if (i == 0) y.toDouble else alpha * y + (1 - alpha) * e
+          (k, day, y, e)
+        }
+      }
+      .toDF("event_type", "day", "cnt", "ewma")
+      .select(col("event_type"), col("day"), col("cnt"),
+        round(col("ewma"), 4).as("ewma"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Additive seasonal decomposition (STL-lite): y = trend + seasonal
     * + resid, per series. Trend is the centered `period`-row moving
     * average, emitted only where the full window exists (edges have

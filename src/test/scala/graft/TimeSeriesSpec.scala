@@ -377,4 +377,28 @@ class TimeSeriesSpec extends SparkSpec {
       assert(rows.map(_.getDouble(4)).distinct.length === 1, s"phase $k")
     }
   }
+
+  test("ewma: one row per series-day, hand recursion reproduced") {
+    val out = TimeSeriesOps.ewma(spark, sf).collect()
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1))).count()
+    assert(out.length.toLong === daily)
+    // replay the recursion per series on the collected rows
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getTimestamp(1).getTime)
+      var e = 0.0
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val y = r.getLong(2)
+        e = if (i == 0) y.toDouble else 0.3 * y + (1 - 0.3) * e
+        assert(math.abs(r.getDouble(3) - e) < 5e-5,
+          s"${r.getString(0)} ${r.getTimestamp(1)}: ${r.getDouble(3)} vs $e")
+      }
+    }
+    // first day of each series smooths to itself
+    out.groupBy(_.getString(0)).foreach { case (k, rows) =>
+      val first = rows.minBy(_.getTimestamp(1).getTime)
+      assert(first.getDouble(3) === first.getLong(2).toDouble, s"series $k")
+    }
+  }
 }
