@@ -301,6 +301,13 @@ object SparkEntry {
     "forecast_hw"       -> ((s, d) => Forecast.holtWinters(s, d)),
     // §2.4 deduplication
     "dedup_exact"         -> (DedupOps.exact _),
+    // span-level duplication on the corpus as-is (the generator's
+    // near-dup docs share long word runs, so the signal is rich); the
+    // oracle replays the whole n-gram inverted index in DuckDB over
+    // the gram STRINGS — Spark's 64-bit gram hashing must agree with
+    // hash-free grouping or collisions/logic diverge
+    "dedup_substring" -> ((s, d) =>
+      DedupOps.substringDupStats(Tables.documents(s, d))),
     "dedup_minhash"       -> ((s, d) => DedupOps.minhashLsh(s, d)),
     "dedup_simhash"       -> ((s, d) => DedupOps.simhashPairs(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccard(s, d)),
@@ -1282,6 +1289,27 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    // full replay of the 10-gram inverted index over gram STRINGS
+    // (no hashing): dup = gram in ≥2 distinct docs, counted per
+    // position per doc — exactly the operator's semantics
+    "dedup_substring" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |g AS (SELECT doc_id, array_to_string(ws[i:i+9], ' ') AS gram
+        |      FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 8)) AS i)
+        |      WHERE len(ws) >= 10),
+        |dup AS (SELECT gram FROM g GROUP BY gram
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |d AS (SELECT doc_id, count(*) AS dup FROM g
+        |      JOIN dup USING (gram) GROUP BY 1)
+        |SELECT w.doc_id,
+        |  CAST(greatest(len(ws) - 9, 0) AS BIGINT) AS n_ngrams,
+        |  CAST(coalesce(dup, 0) AS BIGINT) AS dup_ngrams,
+        |  CASE WHEN len(ws) >= 10
+        |       THEN round(CAST(coalesce(dup, 0) AS DOUBLE)
+        |                  / (len(ws) - 9), 4)
+        |       ELSE 0.0 END AS dup_frac
+        |FROM w LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin,
     // dedup_minhash shares the exact-Jaccard oracle: LSH banding at
     // 16x4 has ~6e-4 miss probability per J≥0.8 pair and candidates
     // are exact-verified, so its output equals the exact algorithm's

@@ -821,4 +821,61 @@ object DedupOps {
       .select(col("id1"), col("id2"), col("cosine"))
       .orderBy(col("id1"), col("id2"))
   }
+
+  // ---- Span-level (substring) duplication ------------------------------
+
+  /** Per-document duplicated-SPAN statistics — the duplication that
+    * document-level measures (exact hash, MinHash Jaccard) cannot
+    * see: a boilerplate paragraph pasted into thousands of otherwise
+    * distinct pages. Training-data dedup removes or trims such spans
+    * rather than whole documents (the "exact substring" family of
+    * corpus dedup, done there with suffix arrays; the distributed
+    * form is this word n-gram inverted index).
+    *
+    * A span is duplicated when its word `n`-gram occurs in ≥ 2
+    * DISTINCT documents (a phrase repeated within one document is
+    * repetition — [[graft.ops.TextOps]]'s repetition score — not
+    * cross-document duplication). Output per document: total n-gram
+    * positions, duplicated positions, and their ratio — the trim/drop
+    * signal.
+    *
+    * Scale shape: n-grams are hashed to 64-bit BEFORE leaving the
+    * scan (xxhash64 over the joined words — shuffle rows stay
+    * narrow), then ONE aggregation keyed by gram hash finds shared
+    * grams, a semi join marks the duplicated positions, and one
+    * aggregation keyed by doc_id folds them per document. No
+    * all-pairs comparison anywhere; the gram key is uniformly
+    * distributed by construction, so the shuffle cannot skew. The
+    * dup-gram set scales with the corpus — the semi join is left
+    * un-hinted so AQE broadcasts it only when it measures small. */
+  def substringDupStats(docs: DataFrame, n: Int = 10): DataFrame = {
+    // one narrow (doc_id, words) projection feeds totals AND grams;
+    // cached because both subtrees re-run the scan+split otherwise
+    // (ownership: materialized by this operator's action, cleared by
+    // the session's cache lifecycle)
+    val base = Tables.spread(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n_ngrams",
+        greatest(size(col("ws")) - (n - 1), lit(0)).cast("long"))
+      .cache()
+    val grams = base.filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("ws")) - n),
+        i => xxhash64(concat_ws(" ", slice(col("ws"), i + 1, lit(n))))))
+        .as("g"))
+    val dupSet = grams.groupBy(col("g"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("g"))
+    val dupPerDoc = grams.join(dupSet, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup"))
+    base.select(col("doc_id"), col("n_ngrams"))
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("dup"), lit(0L)).as("dup_ngrams"))
+      .withColumn("dup_frac", when(col("n_ngrams") > 0,
+        round(col("dup_ngrams").cast("double") / col("n_ngrams"), 4))
+        .otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
 }

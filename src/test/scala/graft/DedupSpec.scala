@@ -287,4 +287,37 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(capped === uncapped)
   }
+
+  test("substring dup stats: cross-doc grams only, short docs emit 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y z p q"),   // grams: xyz yzp zpq — shares xyz with doc 2
+      (2L, "m n x y z"),   // grams: mnx nxy xyz
+      (3L, "u v w r s"),   // all grams unique
+      (4L, "r r r r"),     // rrr appears twice WITHIN one doc — not dup
+      (5L, "a b")          // too short for any 3-gram
+    ).toDF("doc_id", "text")
+    val out = DedupOps.substringDupStats(docs, n = 3).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) === ((3L, 1L, 0.3333)))
+    assert(out(2L) === ((3L, 1L, 0.3333)))
+    assert(out(3L) === ((3L, 0L, 0.0)))
+    assert(out(4L) === ((2L, 0L, 0.0))) // within-doc repeat ≠ duplication
+    assert(out(5L) === ((0L, 0L, 0.0)))
+  }
+
+  test("substring dup stats: a shared span is found at every position") {
+    import spark.implicits._
+    // the same 4-word span embedded in different contexts
+    val span = "s1 s2 s3 s4"
+    val docs = Seq(
+      (1L, s"a b $span c d"),
+      (2L, s"e $span f g h"),
+      (3L, "i j k l m n o p")).toDF("doc_id", "text")
+    val out = DedupOps.substringDupStats(docs, n = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // 3-grams fully inside the span: (s1 s2 s3), (s2 s3 s4) → 2 per carrier
+    assert(out(1L) === 2L && out(2L) === 2L && out(3L) === 0L)
+  }
 }
