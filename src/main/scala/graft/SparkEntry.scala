@@ -493,6 +493,9 @@ object SparkEntry {
     // int8 scalar quantization with measured per-vector fidelity —
     // the 4x compression tier between raw float32 and PQ's 32x
     "emb_quantize_int8" -> (SimilarityOps.quantizeInt8 _),
+    // JL random projection 64→8 — the dimensionality tier of the
+    // compression ladder; runs before the ANN tiers at scale
+    "emb_project_rp" -> ((s, d) => SimilarityOps.randomProject(s, d)),
     // §2.8 streaming (batch faces; streaming faces spec-tested)
     "stream_window_counts" -> (graft.streaming.EventStreams.windowCountsBatch _),
     "stream_sliding_counts" -> (graft.streaming.EventStreams.slidingCountsBatch _),
@@ -1571,6 +1574,7 @@ object SparkEntry {
     "dedup_embedding_lsh" -> graft.ops.SimilarityOps.embeddingLshOracleSql(),
     "ann_lsh_topk" -> graft.ops.SimilarityOps.lshOracleSql(),
     "ann_ivf_topk" -> graft.ops.SimilarityOps.ivfOracleSql(),
+    "emb_project_rp" -> graft.ops.SimilarityOps.rpOracleSql(),
     "ann_pq_topk" -> graft.ops.SimilarityOps.pqOracleSql(),
     // exact decimal sums make the partial-aggregation order (and the
     // engine) irrelevant; one double division + round at the end

@@ -208,6 +208,40 @@ object SimilarityOps {
       .orderBy(col("vec_id"))
   }
 
+  /** Johnson-Lindenstrauss random projection — the DIMENSIONALITY
+    * tier of the compression ladder ([[quantizeInt8]] shrinks the
+    * element type, this shrinks the element COUNT): project d=64 →
+    * `outDim` via fixed-seed Gaussian planes scaled by 1/√outDim, so
+    * inner products (hence distances) are preserved in expectation
+    * with error ~1/√outDim. At 100 TB this runs BEFORE the ANN
+    * tiers: an 8× narrower vector is 8× less shuffle/IO for every
+    * downstream join, centroid fit, and brute-force rescore, at a
+    * measured (spec'd) geometry cost. Row-local transform, zero
+    * shuffle, planes baked into the plan as literals — the identical
+    * dot-product determinism contract as [[lshBucket]], so the whole
+    * projection is DuckDB-oracled from the same plane literals. */
+  def randomProject(s: SparkSession, d: String,
+                    outDim: Int = 8, seed: Long = 7L): DataFrame = {
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val proj = array(lshPlanes(outDim, seed).map(p =>
+      round(graft.functions.VectorExprs.dotProduct(
+        col("embedding"), typedLit(p)) * lit(scale), 4)): _*)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), proj.as("proj"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB replica of [[randomProject]] — same plane literals, same
+    * multiply order, same 4dp rounding. */
+  private[graft] def rpOracleSql(outDim: Int = 8, seed: Long = 7L): String = {
+    val scale = (1.0 / math.sqrt(outDim.toDouble)).toString
+    val elems = lshPlanes(outDim, seed).map(p =>
+      s"round(list_dot_product(CAST(embedding AS DOUBLE[]), ${sqlVec(p)}) * $scale, 4)")
+      .mkString("[", ",\n    ", "]")
+    s"""SELECT vec_id, $elems AS proj
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+  }
+
   /** Exact top-k: broadcast the query set, score every corpus vector,
     * rank per query. */
   def bruteForceTopK(s: SparkSession, d: String,

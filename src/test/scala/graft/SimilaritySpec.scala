@@ -189,4 +189,28 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toList
     assert(out === List((10L, 9, 0, 1L)))
   }
+
+  test("random projection preserves pairwise cosine geometry (JL bound)") {
+    val emb = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val proj = SimilarityOps.randomProject(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(proj.size === emb.size)
+    assert(proj.values.forall(_.length === 8))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val ids = emb.keys.toArray.sorted
+    val pairs = ids.sliding(2, 2).collect { case Array(a, b) => (a, b) }.toArray
+    val errs = pairs.map { case (a, b) =>
+      math.abs(cos(emb(a), emb(b)) - cos(proj(a), proj(b))) }
+    // expected error ~1/sqrt(8) ≈ 0.35 per pair; the MEAN must sit
+    // well inside it or the planes/scale are wrong
+    val mean = errs.sum / errs.length
+    assert(mean < 0.4, s"mean cosine distortion $mean")
+    // and the projection must not collapse: projected norms positive
+    assert(proj.values.forall(p => p.map(x => x * x).sum > 0))
+  }
 }
