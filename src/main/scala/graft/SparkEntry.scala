@@ -301,6 +301,27 @@ object SparkEntry {
     "forecast_hw"       -> ((s, d) => Forecast.holtWinters(s, d)),
     // §2.4 deduplication
     "dedup_exact"         -> (DedupOps.exact _),
+    // blocked entity resolution over constructed names: word-word-id
+    // with a char-deleted variant planted for every 5th id; pairs =
+    // same first-char block, length-filter, levenshtein ≤ 2. Both the
+    // planted typos (dist 1) and the deterministic near-id collisions
+    // (dist 2) must surface
+    "dedup_fuzzy" -> ((s, d) => {
+      val w1 = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot")
+      val w2 = Seq("north", "south", "east", "west", "upper", "lower", "central")
+      val base = Tables.documents(s, d).select(col("doc_id").as("id"),
+        concat(
+          element_at(typedLit(w1), (col("doc_id") % 6).cast("int") + 1),
+          lit("-"),
+          element_at(typedLit(w2), (col("doc_id") % 7).cast("int") + 1),
+          lit("-"),
+          lpad(col("doc_id").cast("string"), 6, "0")).as("name"))
+      val dirty = base.filter(col("id") % 5 === 0)
+        .select((col("id") + 1000000L).as("id"),
+          concat(substring(col("name"), 1, 1),
+            substring(col("name"), 3, 1000000)).as("name"))
+      DedupOps.fuzzyPairsOn(base.union(dirty))
+    }),
     // span-level duplication on the corpus as-is (the generator's
     // near-dup docs share long word runs, so the signal is rich); the
     // oracle replays the whole n-gram inverted index in DuckDB over
@@ -1292,6 +1313,34 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    // identical name construction + blocking + length filter +
+    // levenshtein (same classic DP metric in both engines)
+    "dedup_fuzzy" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id,
+        |    (CASE doc_id % 6 WHEN 0 THEN 'alpha' WHEN 1 THEN 'bravo'
+        |       WHEN 2 THEN 'charlie' WHEN 3 THEN 'delta'
+        |       WHEN 4 THEN 'echo' ELSE 'foxtrot' END) || '-' ||
+        |    (CASE doc_id % 7 WHEN 0 THEN 'north' WHEN 1 THEN 'south'
+        |       WHEN 2 THEN 'east' WHEN 3 THEN 'west' WHEN 4 THEN 'upper'
+        |       WHEN 5 THEN 'lower' ELSE 'central' END) || '-' ||
+        |    lpad(CAST(doc_id AS VARCHAR), 6, '0') AS name
+        |  FROM documents),
+        |recs AS (
+        |  SELECT id, name FROM base
+        |  UNION ALL
+        |  SELECT id + 1000000, substr(name, 1, 1) || substr(name, 3)
+        |  FROM base WHERE id % 5 = 0),
+        |a AS (SELECT id AS id_a, name AS name_a,
+        |             substr(name, 1, 1) AS blk FROM recs),
+        |b AS (SELECT id AS id_b, name AS name_b,
+        |             substr(name, 1, 1) AS blk FROM recs)
+        |SELECT id_a, id_b, levenshtein(name_a, name_b) AS dist
+        |FROM a JOIN b USING (blk)
+        |WHERE id_a < id_b
+        |  AND abs(length(name_a) - length(name_b)) <= 2
+        |  AND levenshtein(name_a, name_b) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     // full replay of the 10-gram inverted index over gram STRINGS
     // (no hashing): dup = gram in ≥2 distinct docs, counted per
     // position per doc — exactly the operator's semantics

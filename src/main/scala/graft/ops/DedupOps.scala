@@ -822,6 +822,36 @@ object DedupOps {
       .orderBy(col("id1"), col("id2"))
   }
 
+  // ---- Blocked fuzzy matching (entity resolution) ----------------------
+
+  /** Fuzzy-duplicate pairs over short strings — the ENTITY-RESOLUTION
+    * face of dedup (names, titles, addresses), where duplicates are
+    * typos rather than shared shingles, so the n-gram/MinHash family
+    * misses them and edit distance is the right metric.
+    *
+    * Classic blocked shape: records meet only inside a BLOCK (here
+    * the first character — a stand-in for production blocking keys:
+    * phonetic codes, length bands, prefix tokens, usually several in
+    * parallel passes), then a cheap length filter (|len_a − len_b| ≤
+    * maxDist is a provable lower bound on edit distance) guards the
+    * O(len²) Levenshtein kernel. Never an all-pairs product: the
+    * block join is an equi-join Catalyst shuffles on the block key.
+    * A hot block (skewed first letter) is the [[graft.ops.SkewOps]]
+    * scenario — salt it or split the blocking key finer. */
+  def fuzzyPairsOn(recs: DataFrame, maxDist: Int = 2): DataFrame = {
+    val a = recs.select(col("id").as("id_a"), col("name").as("name_a"))
+      .withColumn("blk", substring(col("name_a"), 1, 1))
+    val b = recs.select(col("id").as("id_b"), col("name").as("name_b"))
+      .withColumn("blk", substring(col("name_b"), 1, 1))
+    a.join(b, "blk")
+      .filter(col("id_a") < col("id_b") &&
+        abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ---- Span-level (substring) duplication ------------------------------
 
   /** Per-document duplicated-SPAN statistics — the duplication that

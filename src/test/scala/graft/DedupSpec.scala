@@ -288,6 +288,28 @@ class DedupSpec extends SparkSpec {
     assert(capped === uncapped)
   }
 
+  test("fuzzy pairs: finds in-block typos, honest about block misses") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "jonathan-smith"),
+      (2L, "jonathan-smyth"),   // 1 substitution from 1 → pair
+      (3L, "jonatan-smith"),    // 1 deletion from 1 → pair
+      (4L, "xonathan-smith"),   // 1 sub BUT first char differs → other block
+      (5L, "miriam-jones"),
+      (6L, "miriam-jones-esq")  // same block, length differs by 4 → filtered
+    ).toDF("id", "name")
+    val out = DedupOps.fuzzyPairsOn(recs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out.contains((1L, 2L, 1)))
+    assert(out.contains((1L, 3L, 1)))
+    assert(out.contains((2L, 3L, 2)))   // smyth vs smith+del: dist 2
+    // the block boundary is the documented approximation: a first-char
+    // typo lands in another block and is NOT found by this single pass
+    assert(!out.exists(p => p._1 === 4L || p._2 === 4L))
+    // the length lower bound provably excludes dist > maxDist pairs
+    assert(!out.exists(p => p._1 === 5L || p._2 === 6L))
+  }
+
   test("substring dup stats: cross-doc grams only, short docs emit 0") {
     import spark.implicits._
     val docs = Seq(
