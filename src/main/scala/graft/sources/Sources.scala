@@ -75,6 +75,25 @@ object Sources {
 
   def readOrc(s: SparkSession, path: String): DataFrame = s.read.orc(path)
 
+  /** Raw-blob ingestion via Spark's `binaryFile` source — how media
+    * payloads (images/audio/video) ENTER the engine before the
+    * [[graft.ops.MultimodalOps]] codecs take over: one row per file
+    * with (path, modificationTime, length, content), read lazily and
+    * split across executors by file. `pathGlobFilter` prunes at the
+    * LISTING (a directory of mixed media never materializes the
+    * formats a job doesn't want), and `maxBytes` guards the executor
+    * heap against a rogue multi-GB object in a bucket of thumbnails —
+    * the file-level analogue of the codecs' hostile-dims drop: filter,
+    * don't throw. At 100 TB the source parallelizes by file count, so
+    * it pairs with [[compact]]-style small-file hygiene upstream. */
+  def readBinaryFiles(s: SparkSession, path: String,
+                      glob: String = "*",
+                      maxBytes: Long = 64L * 1024 * 1024): DataFrame =
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+      .filter(col("length") <= maxBytes)
+
   /** Schema-evolved parquet read: a long-lived dataset accretes
     * columns over the years; mergeSchema reconciles every file's
     * footer into the union schema (old files surface the new columns

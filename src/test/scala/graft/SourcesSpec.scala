@@ -117,6 +117,33 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") || plan.contains("partitionFilters"))
   }
 
+  test("binaryFile source: glob prunes at listing, codecs decode content") {
+    val dir = tmp()
+    val p = java.nio.file.Paths.get(dir)
+    // a mixed media directory: BMPs, WAVs, and an oversized blob
+    for (id <- 0L until 4L) {
+      java.nio.file.Files.write(p.resolve(s"img_$id.bmp"),
+        graft.ops.MmSynth.bmpBytes(id))
+      java.nio.file.Files.write(p.resolve(s"snd_$id.wav"),
+        graft.ops.MmSynth.wavBytes(id))
+    }
+    java.nio.file.Files.write(p.resolve("huge.bmp"), new Array[Byte](2048))
+    // glob filter: only BMPs enter the scan; size guard drops the blob
+    val bmps = Sources.readBinaryFiles(spark, dir, glob = "*.bmp",
+      maxBytes = 1024)
+    val rows = bmps.select("path", "content").collect()
+    assert(rows.length === 4)
+    assert(rows.forall(_.getString(0).endsWith(".bmp")))
+    // the ingested bytes ARE the codec's input: every payload decodes
+    rows.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("content")
+      assert(graft.ops.BmpCodec.decode(0L, bytes).isDefined)
+    }
+    // and the WAV face sees only WAVs
+    val wavs = Sources.readBinaryFiles(spark, dir, glob = "*.wav")
+    assert(wavs.count() === 4)
+  }
+
   test("schema evolution: mergeSchema reconciles old and new file footers") {
     val dir = tmp()
     // v1 files: (event_id, user_id); later files add `score`
