@@ -329,6 +329,10 @@ object SparkEntry {
     // hash-free grouping or collisions/logic diverge
     "dedup_substring" -> ((s, d) =>
       DedupOps.substringDupStats(Tables.documents(s, d))),
+    // the ACTION the span stats drive: cut every cross-doc duplicated
+    // 10-gram span out of the text, keep the original prose
+    "text_trim_dup_spans" -> ((s, d) =>
+      DedupOps.trimDupSpans(Tables.documents(s, d))),
     "dedup_minhash"       -> ((s, d) => DedupOps.minhashLsh(s, d)),
     "dedup_simhash"       -> ((s, d) => DedupOps.simhashPairs(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccard(s, d)),
@@ -1341,6 +1345,30 @@ object SparkEntry {
         |  AND abs(length(name_a) - length(name_b)) <= 2
         |  AND levenshtein(name_a, name_b) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+    // extends the dedup_substring replay: duplicated grams cover
+    // their n positions, kept words rebuild in position order
+    "text_trim_dup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |g AS (SELECT doc_id, i, array_to_string(ws[i:i+9], ' ') AS gram
+        |      FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 8)) AS i)
+        |      WHERE len(ws) >= 10),
+        |dup AS (SELECT gram FROM g GROUP BY gram
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, i + o AS wpos
+        |        FROM g JOIN dup USING (gram),
+        |             LATERAL (SELECT unnest(range(0, 10)) AS o)),
+        |words AS (SELECT doc_id, wpos, ws[wpos] AS word
+        |          FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1))
+        |                           AS wpos)),
+        |kept AS (SELECT doc_id, count(*) AS n_kept,
+        |                string_agg(word, ' ' ORDER BY wpos) AS text_trimmed
+        |         FROM words ANTI JOIN cov USING (doc_id, wpos)
+        |         GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(text_trimmed, '') AS text_trimmed
+        |FROM w LEFT JOIN kept USING (doc_id) ORDER BY doc_id""".stripMargin,
     // full replay of the 10-gram inverted index over gram STRINGS
     // (no hashing): dup = gram in ≥2 distinct docs, counted per
     // position per doc — exactly the operator's semantics

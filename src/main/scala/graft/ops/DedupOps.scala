@@ -879,24 +879,7 @@ object DedupOps {
     * dup-gram set scales with the corpus — the semi join is left
     * un-hinted so AQE broadcasts it only when it measures small. */
   def substringDupStats(docs: DataFrame, n: Int = 10): DataFrame = {
-    // one narrow (doc_id, words) projection feeds totals AND grams;
-    // cached because both subtrees re-run the scan+split otherwise
-    // (ownership: materialized by this operator's action, cleared by
-    // the session's cache lifecycle)
-    val base = Tables.spread(docs)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .withColumn("n_ngrams",
-        greatest(size(col("ws")) - (n - 1), lit(0)).cast("long"))
-      .cache()
-    val grams = base.filter(size(col("ws")) >= n)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(0), size(col("ws")) - n),
-        i => xxhash64(concat_ws(" ", slice(col("ws"), i + 1, lit(n))))))
-        .as("g"))
-    val dupSet = grams.groupBy(col("g"))
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
-      .select(col("g"))
+    val (base, grams, dupSet) = gramIndex(docs, n)
     val dupPerDoc = grams.join(dupSet, Seq("g"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("dup"))
     base.select(col("doc_id"), col("n_ngrams"))
@@ -906,6 +889,69 @@ object DedupOps {
       .withColumn("dup_frac", when(col("n_ngrams") > 0,
         round(col("dup_ngrams").cast("double") / col("n_ngrams"), 4))
         .otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared word-n-gram inverted index: (doc_id, ws, n_ngrams) base,
+    * positioned 64-bit gram stream, and the cross-doc duplicated gram
+    * set. `base` is cached — it feeds per-doc totals AND the gram
+    * explode (ownership: materialized by the caller's action, cleared
+    * by the session's cache lifecycle). */
+  private def gramIndex(docs: DataFrame, n: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val base = Tables.spread(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n_ngrams",
+        greatest(size(col("ws")) - (n - 1), lit(0)).cast("long"))
+      .cache()
+    val grams = base.filter(size(col("ws")) >= n)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("ws")) - n),
+        i => xxhash64(concat_ws(" ", slice(col("ws"), i + 1, lit(n))))))
+        .as(Seq("pos", "g")))
+    val dupSet = grams.groupBy(col("g"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("g"))
+    (base, grams, dupSet)
+  }
+
+  /** Span TRIMMING — the action [[substringDupStats]]'s signal
+    * drives: rebuild each document WITHOUT the words covered by any
+    * cross-document duplicated n-gram (the "exact substring dedup"
+    * transform of LLM corpus curation: the boilerplate paragraph is
+    * cut out of every page that carries it, the surrounding original
+    * prose survives). A word position is dropped when ≥ 1 duplicated
+    * gram covers it; a document with no duplicated grams passes
+    * through verbatim.
+    *
+    * Scale shape on top of the shared gram index: duplicated grams
+    * explode to their `n` covered positions (bounded ×n row growth on
+    * the DUPLICATED subset only), distinct per (doc, position), anti
+    * join against the positioned word stream, and one per-doc
+    * ordered rebuild (array_sort(collect_list(struct(pos, word)))) —
+    * the emb_centroids order-independence pattern, so the
+    * reconstruction cannot depend on aggregation order. */
+  def trimDupSpans(docs: DataFrame, n: Int = 10): DataFrame = {
+    val (base, grams, dupSet) = gramIndex(docs, n)
+    val covered = grams.join(dupSet, Seq("g"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("wpos"))
+      .distinct()
+    val words = base.select(col("doc_id"),
+      posexplode(col("ws")).as(Seq("wpos", "word")))
+    val kept = words.join(covered, Seq("doc_id", "wpos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_sort(collect_list(struct(col("wpos"), col("word")))).as("pw"))
+      .select(col("doc_id"), col("n_kept"),
+        concat_ws(" ", transform(col("pw"), x => x.getField("word")))
+          .as("text_trimmed"))
+    base.select(col("doc_id"), size(col("ws")).cast("long").as("n_words"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_trimmed"), lit("")).as("text_trimmed"))
       .orderBy(col("doc_id"))
   }
 }

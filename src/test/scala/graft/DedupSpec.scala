@@ -329,6 +329,25 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) === ((0L, 0L, 0.0)))
   }
 
+  test("trim dup spans: cuts exactly the shared span, keeps the prose") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b s1 s2 s3 s4 c d"),
+      (2L, "e s1 s2 s3 s4 f g h"),
+      (3L, "i j k l m n o p"),    // untouched
+      (4L, "s1 s2 s3 s4"),        // nothing but the span → empty
+      (5L, "s1 s2 s3 s4")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.trimDupSpans(docs, n = 3).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) === ((8L, 4L, "a b c d")))
+    assert(out(2L) === ((8L, 4L, "e f g h")))
+    assert(out(3L) === ((8L, 8L, "i j k l m n o p")))
+    assert(out(4L) === ((4L, 0L, "")))
+    assert(out(5L) === ((4L, 0L, "")))
+  }
+
   test("substring dup stats: a shared span is found at every position") {
     import spark.implicits._
     // the same 4-word span embedded in different contexts
