@@ -64,6 +64,9 @@ object SparkEntry {
     "q_distinct_approx"   -> ((s, d) => Analytics.distinctCountApprox(s, d)),
     "q_percentiles_approx" -> ((s, d) => Analytics.percentilesApprox(s, d)),
     "q_histogram"  -> ((s, d) => Analytics.histogram(s, d)),
+    // collocation mining: adjacent-pair PMI — the phrase detector /
+    // phrase-merge prep of tokenizer training
+    "text_collocations" -> ((s, d) => TextOps.collocations(s, d)),
     // the pre-join diagnostic: heaviest keys with share + skew ratio
     // vs uniform — what decides between plain, salted, and broadcast
     "q_skew_profile" -> ((s, d) =>
@@ -825,6 +828,24 @@ object SparkEntry {
         |             AS BIGINT) + 1 END AS bin,
         | count(*) AS n
         |FROM events, b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same tokenizer regex, same count tables, same division order
+    // inside the ln — PMI matches at 4dp
+    "text_collocations" ->
+      """WITH tok AS (SELECT string_split_regex(trim(text), '\s+') AS ws
+        |             FROM documents),
+        |uni AS (SELECT w, count(*) AS c
+        |        FROM (SELECT unnest(ws) AS w FROM tok) GROUP BY 1),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS nt FROM uni),
+        |nb AS (SELECT CAST(sum(len(ws) - 1) AS BIGINT) AS nb FROM tok),
+        |bi AS (SELECT ws[i] AS w1, ws[i+1] AS w2, count(*) AS c12
+        |       FROM tok, LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+        |       GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT w1, w2, c12,
+        |  round(ln((c12 * 1.0 / nb) /
+        |           ((u1.c * 1.0 / nt) * (u2.c * 1.0 / nt))), 4) AS pmi
+        |FROM bi JOIN uni u1 ON bi.w1 = u1.w
+        |        JOIN uni u2 ON bi.w2 = u2.w, t, nb
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
     // Shares the operator's exact arithmetic: integer products stay
     // exact in doubles, so one rounding each for share and skew.
     "q_skew_profile" ->

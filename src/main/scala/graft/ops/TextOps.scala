@@ -472,4 +472,54 @@ object TextOps {
         element_at(fp, 1).as("fp_min"))
       .orderBy(col("doc_id"))
   }
+
+  /** Collocation mining: the adjacent word pairs that stick together
+    * far more than chance — pointwise mutual information over corpus
+    * bigrams, PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ). The phrase
+    * detector of corpus analysis (a "new york"-style pair earns high
+    * PMI; "of the" earns none), and the phrase-merge prep step of
+    * tokenizer/embedding training pipelines.
+    *
+    * Scale shape: one scan explodes tokens (unigram counts) and
+    * adjacent pairs (bigram counts) — both aggregations are
+    * map-side-combinable on uniform keys; the bigram→unigram count
+    * joins probe a vocabulary-sized side that AQE broadcasts when it
+    * measures small (never hinted — vocabularies can be billions of
+    * keys at web scale, the text_lm_score posture). `minCount` kills
+    * the rare-pair PMI pathology (a pair seen once between two rare
+    * words scores absurdly high) BEFORE the joins, which also keeps
+    * the joined row count honest at scale. */
+  def collocations(s: SparkSession, d: String,
+                   topN: Int = 20, minCount: Int = 5): DataFrame =
+    collocationsOn(Tables.documents(s, d), topN, minCount)
+
+  /** Same over any (doc_id, text) frame. */
+  def collocationsOn(docs: DataFrame,
+                     topN: Int = 20, minCount: Int = 5): DataFrame = {
+    val tok = graft.Tables.spread(docs)
+      .select(col("doc_id"), toks(col("text")).as("ws"))
+      .cache()
+    val uni = tok.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum(col("c")).as("nt"))
+    // adjacent pairs: zip the token array with its own tail — row-local
+    val bi = tok.select(explode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        slice(col("ws"), lit(2), size(col("ws")) - 1))).as("p"))
+      .select(col("p.0").as("w1"), col("p.1").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val nBi = tok.select((size(col("ws")) - 1).cast("long").as("m"))
+      .agg(sum(col("m")).as("nb"))
+    val pmi = bi
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(nBi))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log((col("c12").cast("double") / col("nb")) /
+          ((col("c1").cast("double") / col("nt")) *
+           (col("c2").cast("double") / col("nt")))), 4).as("pmi"))
+    pmi.orderBy(col("pmi").desc, col("w1"), col("w2")).limit(topN)
+  }
 }

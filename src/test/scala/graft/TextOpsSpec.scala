@@ -295,4 +295,31 @@ class TextOpsSpec extends SparkSpec {
     assert(sigs(1L) === sigs(2L))
     assert(sigs(1L) !== sigs(3L))
   }
+
+  test("collocations: a glued pair out-scores a frequent independent pair") {
+    import spark.implicits._
+    // "aa bb" always adjacent (6×); "xx" and "yy" frequent but paired
+    // with everything; pad words are unique per doc
+    val docs = (0 until 6).map { i =>
+      (i.toLong, s"aa bb xx p$i yy q$i xx r$i yy s$i")
+    }.toDF("doc_id", "text")
+    val out = TextOps.collocationsOn(docs, topN = 10, minCount = 5).collect()
+    val byPair = out.map(r => (r.getString(0), r.getString(1)) ->
+      r.getDouble(3)).toMap
+    assert(byPair.contains(("aa", "bb")))
+    val top = out.head
+    assert((top.getString(0), top.getString(1)) === (("aa", "bb")))
+    assert(top.getDouble(3) > 0) // far above independence
+    // independent pairs either miss minCount or score strictly lower
+    byPair.filterNot(_._1 == ("aa", "bb")).values
+      .foreach(p => assert(p < byPair(("aa", "bb"))))
+  }
+
+  test("collocations: minCount gates rare pairs out before scoring") {
+    import spark.implicits._
+    val docs = Seq((1L, "one two three"), (2L, "four five six"))
+      .toDF("doc_id", "text")
+    assert(TextOps.collocationsOn(docs, topN = 10, minCount = 2)
+      .collect().isEmpty)
+  }
 }
