@@ -339,6 +339,44 @@ object EventStreams {
       }
   }
 
+  case class EwmaState(seen: Long, e: Double)
+  case class EwmaRow(event_type: String, day: java.sql.Timestamp,
+                     cnt: Long, ewma: Double)
+
+  /** Streaming face of [[graft.ops.TimeSeriesOps.ewma]]: the live
+    * smoother over watermark-finalized daily counts. EWMA is the
+    * ideal streaming statistic — the ENTIRE history folds into one
+    * double per series (e₁ = y₁, eₜ = α·yₜ + (1−α)·eₜ₋₁), so state is
+    * O(1) regardless of stream age, unlike the anomaly monitor's
+    * O(window) ring. The recursion is written term-for-term as the
+    * batch face's fold (`alpha * y + (1 - alpha) * e`), so replaying
+    * a corpus through this face reproduces the batch values at 4dp
+    * EXACTLY (spec'd). Within a micro-batch days fold in event-time
+    * order; finalized days arrive monotonically per series because
+    * the upstream watermark is. */
+  def ewmaStream(daily: Dataset[DailyCount],
+                 alpha: Double = 0.3): Dataset[EwmaRow] = {
+    import daily.sparkSession.implicits._
+    daily
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaState, EwmaRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (typ, it, state: GroupState[EwmaState]) =>
+          val sorted = it.toSeq.sortBy(_.day.getTime)
+          var st = state.getOption.getOrElse(EwmaState(0L, 0.0))
+          val out = sorted.map { d =>
+            val e = if (st.seen == 0L) d.cnt.toDouble
+                    else alpha * d.cnt + (1 - alpha) * st.e
+            st = EwmaState(st.seen + 1, e)
+            EwmaRow(typ, d.day, d.cnt,
+              BigDecimal(e).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   // ---- sessionization --------------------------------------------------
 
   val sessionGapSec: Long = 1800L

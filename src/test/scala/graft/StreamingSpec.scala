@@ -284,6 +284,55 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming EWMA carries one double of state and matches batch at 4dp") {
+    import graft.streaming.EventStreams.{DailyCount, ewmaStream}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def day(n: Int) = java.sql.Timestamp.valueOf(f"2024-01-$n%02d 00:00:00")
+    // planted: first value seeds e, later values smooth across the
+    // batch boundary (state = one double, no ring buffer)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DailyCount]
+    val q = ewmaStream(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ewma_mb").start()
+    try {
+      mem.addData(DailyCount("a", day(1), 10L), DailyCount("a", day(2), 20L))
+      q.processAllAvailable()
+      mem.addData(DailyCount("a", day(3), 30L)) // crosses the batch gap
+      q.processAllAvailable()
+      val got = spark.table("ewma_mb").collect()
+        .map(r => (r.getTimestamp(1), r.getDouble(3))).toMap
+      assert(got(day(1)) === 10.0)
+      assert(got(day(2)) === 13.0)   // 0.3·20 + 0.7·10
+      assert(got(day(3)) === 18.1)   // 0.3·30 + 0.7·13
+    } finally q.stop()
+
+    // corpus replay split across two batches equals the batch face
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[DailyCount].collect().sortBy(_.day.getTime)
+    val (b1, b2) = daily.partition(_.day.getTime <= day(15).getTime)
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DailyCount]
+    val q2 = ewmaStream(mem2.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ewma_corpus").start()
+    try {
+      mem2.addData(b1.toIndexedSeq: _*)
+      q2.processAllAvailable()
+      mem2.addData(b2.toIndexedSeq: _*)
+      q2.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))
+      val streamed = spark.table("ewma_corpus").collect().map(key).toSet
+      val batch = graft.ops.TimeSeriesOps.ewma(spark, sf)
+        .collect().map(key).toSet
+      assert(streamed === batch)
+    } finally q2.stop()
+  }
+
   test("flatMapGroupsWithState sessionizer matches the batch sessionizer") {
     import spark.implicits._
     val eventsDs = Tables.events(spark, sf)
