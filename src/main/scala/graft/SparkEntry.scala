@@ -136,6 +136,13 @@ object SparkEntry {
     "etl_hash_split" -> ((s, d) => SampleOps
       .hashSplit(Tables.documents(s, d).select(col("doc_id")), "doc_id")
       .orderBy(col("doc_id"))),
+    // quality-weighted sampling without replacement (A-ES exponential
+    // keys, md5-derived u) — longer docs win preferentially but not
+    // certainly; reproducible, so cross-engine checkable
+    "etl_sample_weighted" -> ((s, d) => SampleOps
+      .sampleWeighted(Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars")),
+        "doc_id", col("n_chars"), k = 100)),
     // class-skew rebalancing: keep every error, a quarter of clicks,
     // no views, half of everything else — deterministic per key
     "etl_sample_stratified" -> ((s, d) => SampleOps
@@ -966,6 +973,16 @@ object SparkEntry {
         |         THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same md5→uniform→pow construction; ranking on the ROUNDED key
+    // (id tiebreak) so libm-pow ulp drift can't flip a boundary row
+    "etl_sample_weighted" ->
+      """WITH s AS (SELECT doc_id, n_chars,
+        |    round(pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |                 ::BIGINT + 1) / 4294967297.0,
+        |              1.0 / n_chars), 4) AS samp_key
+        |  FROM documents)
+        |SELECT doc_id, n_chars, samp_key FROM s
+        |ORDER BY samp_key DESC, doc_id LIMIT 100""".stripMargin,
     // DuckDB integer sums widen to HUGEINT (pandas float64) — cast back
     "etl_profile" ->
       """SELECT * FROM (

@@ -125,4 +125,30 @@ object SampleOps {
         .when(below(b, train + holdout), "val")
         .otherwise("test"))
   }
+
+  /** Deterministic WEIGHTED sampling without replacement — the
+    * quality-weighted curation cut (sample high-quality documents
+    * preferentially, keep the long tail possible): Efraimidis-
+    * Spirakis exponential keys, `samp_key = u^(1/w)`, top-k by key.
+    * The classic construction uses `u = rand()`; here u derives from
+    * md5(key) (first 8 hex chars → uniform in (0, 1]) so the sample
+    * is REPRODUCIBLE — the same rows win on every run, cluster size,
+    * and engine, the same contract as [[sampleByHash]], and the
+    * reason the whole pipeline is cross-engine oracle-checkable.
+    *
+    * Ranking uses the 4dp-ROUNDED key with the id as tiebreaker, so
+    * sub-ulp `pow` differences between engines/libms cannot flip a
+    * boundary row (the repo-wide rounded-metric rule). Top-k is
+    * orderBy+limit = TakeOrdered: a k-row heap per partition, merged
+    * — no global sort at any scale. */
+  def sampleWeighted(df: DataFrame, key: String, weight: Column,
+                     k: Int): DataFrame = {
+    val v = conv(substring(md5(col(key).cast("string")), 1, 8), 16, 10)
+      .cast("double")
+    val u = (v + lit(1.0)) / lit(4294967297.0)
+    val sk = round(pow(u, lit(1.0) / weight.cast("double")), 4)
+    df.withColumn("samp_key", sk)
+      .orderBy(col("samp_key").desc, col(key))
+      .limit(k)
+  }
 }

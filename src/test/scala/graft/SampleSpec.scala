@@ -120,4 +120,22 @@ class SampleSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(trainIds === sampled)
   }
+
+  test("weighted sampling: heavy weights dominate, keys valid, reruns equal") {
+    import spark.implicits._
+    // ids 0-99 weight 1000, ids 100-199 weight 1
+    val df = (0L until 200L).map(i =>
+      (i, if (i < 100) 1000 else 1)).toDF("id", "w")
+    val got = SampleOps.sampleWeighted(df, "id", col("w"), k = 50).collect()
+    assert(got.length === 50)
+    // exponential keys: u^(1/1000) ≈ 1 for heavy rows, u^1 = u for
+    // light rows — the heavy class must dominate the top-k
+    val heavy = got.count(_.getLong(0) < 100L)
+    assert(heavy >= 45, s"only $heavy heavy rows in top-50")
+    assert(got.forall { r =>
+      val k = r.getDouble(2); k > 0.0 && k <= 1.0 })
+    // determinism: an identical second run returns identical rows
+    val again = SampleOps.sampleWeighted(df, "id", col("w"), k = 50).collect()
+    assert(got.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }
