@@ -64,6 +64,10 @@ object SparkEntry {
     "q_distinct_approx"   -> ((s, d) => Analytics.distinctCountApprox(s, d)),
     "q_percentiles_approx" -> ((s, d) => Analytics.percentilesApprox(s, d)),
     "q_histogram"  -> ((s, d) => Analytics.histogram(s, d)),
+    // full-outer reconciliation: both one-sided null shapes surface
+    "q_full_outer" -> (Analytics.fullOuterReconcile _),
+    // NTILE decile binning over a deterministic total order
+    "ml_feature_ntile" -> ((s, d) => Analytics.ntileBins(s, d)),
     // collocation mining: adjacent-pair PMI — the phrase detector /
     // phrase-merge prep of tokenizer training
     "text_collocations" -> ((s, d) => TextOps.collocations(s, d)),
@@ -835,6 +839,28 @@ object SparkEntry {
         |             AS BIGINT) + 1 END AS bin,
         | count(*) AS n
         |FROM events, b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // FULL JOIN ... USING coalesces the key in both engines; count
+    // and max are aggregation-order independent, so no float drift
+    // can cross the outer join
+    "q_full_outer" ->
+      """SELECT custkey, c_name, n_orders, max_price
+        |FROM (SELECT c_custkey AS custkey, c_name FROM customer
+        |      WHERE c_custkey % 2 = 0) c
+        |FULL JOIN (SELECT o_custkey AS custkey, count(*) AS n_orders,
+        |             round(max(o_totalprice), 4) AS max_price
+        |           FROM orders WHERE o_custkey % 3 = 0 GROUP BY 1) o
+        |USING (custkey)
+        |ORDER BY custkey""".stripMargin,
+    // NTILE over the identical (value, event_id) total order — bin
+    // boundaries are engine-independent given the same order
+    "ml_feature_ntile" ->
+      """WITH b AS (SELECT event_type, value,
+        |    ntile(10) OVER (PARTITION BY event_type
+        |                    ORDER BY value, event_id) AS decile
+        |  FROM events)
+        |SELECT event_type, decile, count(*) AS n,
+        |  round(min(value), 4) AS lo, round(max(value), 4) AS hi
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // same tokenizer regex, same count tables, same division order
     // inside the ln — PMI matches at 4dp
     "text_collocations" ->

@@ -469,6 +469,51 @@ object Analytics {
         round(expr("percentile(value, 0.99)"), 4).as("p99"))
       .orderBy(col("event_type"))
 
+  /** FULL OUTER reconciliation — the join the audit runs when neither
+    * side is authoritative: dimension rows with no facts AND facts
+    * with no dimension row must BOTH surface (a left join hides the
+    * latter, an inner join hides both). Here: the even-custkey half
+    * of the customer dim against per-customer aggregates over the
+    * div-by-3-custkey slice of orders (the slice this audit covers) —
+    * even customers outside the slice carry null aggregates, odd
+    * in-slice customers carry a null name; both shapes exist at every
+    * scale by construction. Aggregates are count/max (order-
+    * independent — no double-sum drift through the outer join).
+    * Plan: one shuffle each side on the join key, SortMergeJoin
+    * (full outer cannot broadcast); at scale this is the standard
+    * keyed reconciliation shape. */
+  def fullOuterReconcile(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("custkey"), col("c_name"))
+    val ords = Tables.orders(s, d)
+      .filter(col("o_custkey") % 3 === 0)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(max(col("o_totalprice")), 4).as("max_price"))
+    cust.join(ords, Seq("custkey"), "full_outer")
+      .select(col("custkey"), col("c_name"), col("n_orders"),
+        col("max_price"))
+      .orderBy(col("custkey"))
+  }
+
+  /** Quantile binning (NTILE deciles) — the feature-engineering
+    * discretization step: per event type, rank values into 10
+    * equal-count bins over a DETERMINISTIC total order (value, then
+    * event_id — ties must not depend on partitioning) and summarize
+    * each bin. One shuffle on the series key; the window and the
+    * summary aggregate share that partitioning. */
+  def ntileBins(s: SparkSession, d: String, bins: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("decile", ntile(bins).over(w))
+      .groupBy(col("event_type"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")), 4).as("lo"),
+        round(max(col("value")), 4).as("hi"))
+      .orderBy(col("event_type"), col("decile"))
+  }
+
   /** Key-distribution profile: the diagnostic you run BEFORE picking a
     * join/aggregation strategy at scale. For the heaviest `topN` keys
     * it reports absolute frequency, share of all rows, and the skew

@@ -258,6 +258,39 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("full outer reconciliation surfaces BOTH one-sided null shapes") {
+    val rows = Analytics.fullOuterReconcile(spark, sf).collect()
+    // even customers outside the order slice: null aggregates
+    assert(rows.exists(r => !r.isNullAt(1) && r.isNullAt(2)))
+    // odd in-slice customers: null dimension columns
+    assert(rows.exists(r => r.isNullAt(1) && !r.isNullAt(2)))
+    // and the matched core exists
+    assert(rows.exists(r => !r.isNullAt(1) && !r.isNullAt(2)))
+    // every in-slice order-bearing custkey appears exactly once
+    val orderKeys = Tables.orders(spark, sf)
+      .filter(col("o_custkey") % 3 === 0)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.count(!_.isNullAt(2)).toLong === orderKeys)
+  }
+
+  test("ntile bins: 10 near-equal bins per type, monotone boundaries") {
+    val rows = Analytics.ntileBins(spark, sf).collect()
+    val types = rows.map(_.getString(0)).distinct
+    types.foreach { t =>
+      val bins = rows.filter(_.getString(0) == t).sortBy(_.getInt(1))
+      assert(bins.map(_.getInt(1)).toSeq === (1 to 10))
+      val sizes = bins.map(_.getLong(2))
+      assert(sizes.max - sizes.min <= 1, s"$t sizes: ${sizes.toSeq}")
+      // bin boundaries are non-decreasing across deciles
+      val his = bins.map(_.getDouble(4))
+      val los = bins.map(_.getDouble(3))
+      assert(los.zip(his).forall { case (l, h) => l <= h })
+      assert(his.zip(his.tail).forall { case (a, b) => a <= b })
+    }
+    val total = rows.map(_.getLong(2)).sum
+    assert(total === Tables.events(spark, sf).count())
+  }
+
   test("skew profile: hand fixture yields exact share and skew ratios") {
     import spark.implicits._
     // 10 rows of key 1, 4 of key 2, 1 each of 3..8 → n=20, d=8
