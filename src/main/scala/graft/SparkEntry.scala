@@ -1158,7 +1158,7 @@ object SparkEntry {
         |  FROM step WHERE t < n),
         |fin AS (SELECT * FROM step WHERE t = n)
         |SELECT event_type, ds[i] AS day, ys[i] AS cnt,
-        |  round(es[i], 4) AS ewma
+        |  floor(es[i] * 10000.0 + 0.5) / 10000.0 AS ewma
         |FROM fin, LATERAL (SELECT unnest(range(1, n + 1)) AS i)
         |ORDER BY event_type, day""".stripMargin,
     // trailing-window z-score; both engines share the stddev_samp

@@ -228,7 +228,12 @@ object TimeSeriesOps {
     * Cross-engine determinism: the oracle replays the SAME recursion
     * in a DuckDB recursive CTE with the arithmetic written
     * identically — `(1 - 0.3)` kept as a subtraction, counts promoted
-    * long→double (exact) — so the 4dp values match bit-for-bit. */
+    * long→double (exact). The final 4dp quantization is the explicit
+    * `floor(x·10⁴ + 0.5)/10⁴` on BOTH sides, NOT each engine's
+    * round(): the recursion lands values exactly on rounding
+    * boundaries where Spark's decimal-string HALF_UP and DuckDB's
+    * float round disagree by one ulp — the explicit form is four IEEE
+    * ops and bit-identical by construction. */
   def ewma(s: SparkSession, d: String, alpha: Double = 0.3): DataFrame = {
     import s.implicits._
     val daily = Tables.events(s, d)
@@ -247,7 +252,8 @@ object TimeSeriesOps {
       }
       .toDF("event_type", "day", "cnt", "ewma")
       .select(col("event_type"), col("day"), col("cnt"),
-        round(col("ewma"), 4).as("ewma"))
+        (floor(col("ewma") * lit(10000.0) + lit(0.5)) / lit(10000.0))
+          .as("ewma"))
       .orderBy(col("event_type"), col("day"))
   }
 

@@ -368,9 +368,10 @@ object EventStreams {
             val e = if (st.seen == 0L) d.cnt.toDouble
                     else alpha * d.cnt + (1 - alpha) * st.e
             st = EwmaState(st.seen + 1, e)
+            // same explicit 4dp quantization as the batch face (floor
+            // arithmetic, not BigDecimal) so face equality is exact
             EwmaRow(typ, d.day, d.cnt,
-              BigDecimal(e).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-                .toDouble)
+              math.floor(e * 10000.0 + 0.5) / 10000.0)
           }
           state.update(st)
           out.iterator
