@@ -317,9 +317,11 @@ object SparkEntry {
     "dedup_exact"         -> (DedupOps.exact _),
     // blocked entity resolution over constructed names: word-word-id
     // with a char-deleted variant planted for every 5th id; pairs =
-    // same first-char block, length-filter, levenshtein ≤ 2. Both the
-    // planted typos (dist 1) and the deterministic near-id collisions
-    // (dist 2) must surface
+    // same (first char + last-3) block — both components survive the
+    // deletion noise model — length-filter, levenshtein ≤ 2. Planted
+    // typos (dist 1) and deterministic near-id collisions (dist 2)
+    // must surface. 8-digit id padding keeps names unique at derived
+    // 10x+ scales
     "dedup_fuzzy" -> ((s, d) => {
       val w1 = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot")
       val w2 = Seq("north", "south", "east", "west", "upper", "lower", "central")
@@ -329,12 +331,12 @@ object SparkEntry {
           lit("-"),
           element_at(typedLit(w2), (col("doc_id") % 7).cast("int") + 1),
           lit("-"),
-          lpad(col("doc_id").cast("string"), 6, "0")).as("name"))
+          lpad(col("doc_id").cast("string"), 8, "0")).as("name"))
       val dirty = base.filter(col("id") % 5 === 0)
-        .select((col("id") + 1000000L).as("id"),
+        .select((col("id") + 100000000L).as("id"),
           concat(substring(col("name"), 1, 1),
             substring(col("name"), 3, 1000000)).as("name"))
-      DedupOps.fuzzyPairsOn(base.union(dirty))
+      DedupOps.fuzzyPairsOn(base.union(dirty), maxDist = 2, blockSuffix = 3)
     }),
     // span-level duplication on the corpus as-is (the generator's
     // near-dup docs share long word runs, so the signal is rich); the
@@ -1381,8 +1383,8 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
-    // identical name construction + blocking + length filter +
-    // levenshtein (same classic DP metric in both engines)
+    // identical name construction + (first char + last-3) blocking +
+    // length filter + levenshtein (same classic DP metric in both)
     "dedup_fuzzy" ->
       """WITH base AS (
         |  SELECT doc_id AS id,
@@ -1392,17 +1394,17 @@ object SparkEntry {
         |    (CASE doc_id % 7 WHEN 0 THEN 'north' WHEN 1 THEN 'south'
         |       WHEN 2 THEN 'east' WHEN 3 THEN 'west' WHEN 4 THEN 'upper'
         |       WHEN 5 THEN 'lower' ELSE 'central' END) || '-' ||
-        |    lpad(CAST(doc_id AS VARCHAR), 6, '0') AS name
+        |    lpad(CAST(doc_id AS VARCHAR), 8, '0') AS name
         |  FROM documents),
         |recs AS (
         |  SELECT id, name FROM base
         |  UNION ALL
-        |  SELECT id + 1000000, substr(name, 1, 1) || substr(name, 3)
+        |  SELECT id + 100000000, substr(name, 1, 1) || substr(name, 3)
         |  FROM base WHERE id % 5 = 0),
         |a AS (SELECT id AS id_a, name AS name_a,
-        |             substr(name, 1, 1) AS blk FROM recs),
+        |             substr(name, 1, 1) || right(name, 3) AS blk FROM recs),
         |b AS (SELECT id AS id_b, name AS name_b,
-        |             substr(name, 1, 1) AS blk FROM recs)
+        |             substr(name, 1, 1) || right(name, 3) AS blk FROM recs)
         |SELECT id_a, id_b, levenshtein(name_a, name_b) AS dist
         |FROM a JOIN b USING (blk)
         |WHERE id_a < id_b

@@ -829,20 +829,34 @@ object DedupOps {
     * typos rather than shared shingles, so the n-gram/MinHash family
     * misses them and edit distance is the right metric.
     *
-    * Classic blocked shape: records meet only inside a BLOCK (here
-    * the first character — a stand-in for production blocking keys:
-    * phonetic codes, length bands, prefix tokens, usually several in
-    * parallel passes), then a cheap length filter (|len_a − len_b| ≤
-    * maxDist is a provable lower bound on edit distance) guards the
-    * O(len²) Levenshtein kernel. Never an all-pairs product: the
-    * block join is an equi-join Catalyst shuffles on the block key.
-    * A hot block (skewed first letter) is the [[graft.ops.SkewOps]]
-    * scenario — salt it or split the blocking key finer. */
-  def fuzzyPairsOn(recs: DataFrame, maxDist: Int = 2): DataFrame = {
+    * Classic blocked shape: records meet only inside a BLOCK, then a
+    * cheap length filter (|len_a − len_b| ≤ maxDist is a provable
+    * lower bound on edit distance) guards the O(len²) Levenshtein
+    * kernel. Never an all-pairs product: the block join is an
+    * equi-join Catalyst shuffles on the block key.
+    *
+    * THE BLOCKING KEY IS THE SCALE DIAL — a lesson this repo measured
+    * rather than assumed: with first-char-only blocks (6 distinct
+    * values) the block COUNT is constant, so block size grows
+    * linearly with the corpus and candidate pairs quadratically —
+    * 17 s at sf0.1 became 390 s at sf1. Appending `blockSuffix` tail
+    * characters (default 3) multiplies the block count by the suffix
+    * alphabet and collapses that to sub-linear candidate growth. The
+    * key must be one the NOISE MODEL preserves: a deletion anywhere
+    * past the first character keeps both the first char and (for the
+    * id-suffixed names here) the tail intact, exactly like production
+    * phonetic/prefix/suffix multi-pass keys are chosen per error
+    * model. A residual hot block is the [[graft.ops.SkewOps]]
+    * scenario — salt it or lengthen the suffix. */
+  def fuzzyPairsOn(recs: DataFrame, maxDist: Int = 2,
+                   blockSuffix: Int = 3): DataFrame = {
+    def blk(name: Column): Column =
+      if (blockSuffix <= 0) substring(name, 1, 1)
+      else concat(substring(name, 1, 1), right(name, lit(blockSuffix)))
     val a = recs.select(col("id").as("id_a"), col("name").as("name_a"))
-      .withColumn("blk", substring(col("name_a"), 1, 1))
+      .withColumn("blk", blk(col("name_a")))
     val b = recs.select(col("id").as("id_b"), col("name").as("name_b"))
-      .withColumn("blk", substring(col("name_b"), 1, 1))
+      .withColumn("blk", blk(col("name_b")))
     a.join(b, "blk")
       .filter(col("id_a") < col("id_b") &&
         abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)

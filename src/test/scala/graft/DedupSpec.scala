@@ -298,7 +298,7 @@ class DedupSpec extends SparkSpec {
       (5L, "miriam-jones"),
       (6L, "miriam-jones-esq")  // same block, length differs by 4 → filtered
     ).toDF("id", "name")
-    val out = DedupOps.fuzzyPairsOn(recs).collect()
+    val out = DedupOps.fuzzyPairsOn(recs, blockSuffix = 0).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(out.contains((1L, 2L, 1)))
     assert(out.contains((1L, 3L, 1)))
@@ -308,6 +308,24 @@ class DedupSpec extends SparkSpec {
     assert(!out.exists(p => p._1 === 4L || p._2 === 4L))
     // the length lower bound provably excludes dist > maxDist pairs
     assert(!out.exists(p => p._1 === 5L || p._2 === 6L))
+  }
+
+  test("fuzzy pairs: suffix blocking keeps deletion pairs, shrinks blocks") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "acme-corp-0001"),
+      (2L, "ame-corp-0001"),    // deletion at pos 3: first char + tail kept
+      (3L, "acme-corp-0002"),   // 1 sub IN the tail → other block, missed
+      (4L, "bcme-corp-0001")    // first-char sub → other block, missed
+    ).toDF("id", "name")
+    val out = DedupOps.fuzzyPairsOn(recs, blockSuffix = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out === Set((1L, 2L, 1)))
+    // same fixture, first-char-only blocks: the tail-sub pair surfaces
+    // (the recall/scale dial the scaladoc documents)
+    val loose = DedupOps.fuzzyPairsOn(recs, blockSuffix = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(loose.contains((1L, 3L, 1)))
   }
 
   test("substring dup stats: cross-doc grams only, short docs emit 0") {
