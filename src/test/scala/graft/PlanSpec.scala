@@ -271,4 +271,24 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("top-k entries plan TakeOrdered, never a global sort of all rows") {
+    // skew profile: top-N keys out of a counts frame; weighted sample:
+    // top-k of the whole corpus. Both MUST be per-partition heaps
+    // merged on the driver (TakeOrderedAndProject) — a global
+    // Sort+Limit materializes and sorts every row on one timeline and
+    // is exactly what dies first at 100 TB.
+    val skew = executedPlan(Analytics.skewProfile(
+      Tables.events(spark, sf), col("user_id")))
+    assert(skew.contains("TakeOrderedAndProject"), skew)
+    val weighted = executedPlan(graft.ops.SampleOps.sampleWeighted(
+      Tables.documents(spark, sf).select(col("doc_id"), col("n_chars")),
+      "doc_id", col("n_chars"), k = 50))
+    assert(weighted.contains("TakeOrderedAndProject"), weighted)
+    // and neither sorts the full input: the only Sort allowed is the
+    // final presentation sort AFTER the take (skew profile re-orders
+    // its ≤N rows; the weighted sample has none)
+    assert(!weighted.replaceAll("TakeOrderedAndProject[^\\n]*", "")
+      .contains("Sort "), weighted)
+  }
 }
