@@ -284,6 +284,22 @@ object SparkEntry {
       TimeSeriesOps.interpolateOn(daily, "event_type", "day", "v")
     }),
     "ts_pivot_wide"     -> (TimeSeriesOps.pivotWide _),
+    // feature-store point-in-time correctness: every 10th event joins
+    // the SCD2 state version valid AT ITS OWN timestamp — a plain dim
+    // join here would leak the future into training features
+    "ts_pit_join" -> ((s, d) => {
+      val dim = Mapping.scd2(
+        Tables.events(s, d).select(col("user_id"), col("event_type"),
+          col("ts"), col("event_id")),
+        keys = Seq("user_id"), attrs = Seq("event_type"),
+        ts = "ts", tie = Seq("event_id"))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("valid_from"), col("valid_to"))
+      val probe = Tables.events(s, d).filter(col("event_id") % 10 === 0)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      TimeSeriesOps.pitJoin(probe, dim, Seq("user_id"))
+        .orderBy(col("event_id"))
+    }),
     "ts_train_test"     -> ((s, d) => TimeSeriesOps.trainTestSplit(s, d)),
     "ts_deepar_export"  -> (TimeSeriesOps.deeparExport _),
     "ts_range_join" -> ((s, d) => {
@@ -800,6 +816,32 @@ object SparkEntry {
     // lag compare (first row kept explicitly) and derive validity
     // intervals with lead over the surviving versions; events ts is
     // nanos → truncate to micros before any windowing
+    // the scd2 CTE chain + the interval join; intervals partition
+    // time per user, so each probe matches at most one version
+    "ts_pit_join" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |              CAST(ts AS TIMESTAMP_US) AS ts, event_id
+        |            FROM events),
+        |chg AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    (row_number() OVER w = 1 OR
+        |     lag(event_type) OVER w IS DISTINCT FROM event_type) AS keep
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |kept AS (SELECT user_id, event_type, ts, event_id
+        |         FROM chg WHERE keep),
+        |dim AS (SELECT user_id, event_type AS state, ts AS valid_from,
+        |          lead(ts) OVER w2 AS valid_to
+        |        FROM kept
+        |        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |probe AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP_US) AS ts
+        |          FROM events WHERE event_id % 10 = 0)
+        |SELECT p.event_id, p.user_id, p.ts,
+        |       d.state, d.valid_from, d.valid_to
+        |FROM probe p LEFT JOIN dim d
+        |  ON p.user_id = d.user_id AND p.ts >= d.valid_from
+        |     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+        |ORDER BY event_id""".stripMargin,
     "etl_scd2" ->
       """WITH ev AS (SELECT user_id, event_type,
         |              CAST(ts AS TIMESTAMP_US) AS ts, event_id

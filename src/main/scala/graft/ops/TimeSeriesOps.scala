@@ -215,6 +215,36 @@ object TimeSeriesOps {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** POINT-IN-TIME join — the feature-store correctness primitive:
+    * each fact row joins the dimension VERSION that was valid at the
+    * fact's own timestamp (`valid_from ≤ ts < valid_to`, open-ended
+    * current version matches everything after its start). Training
+    * data built with a plain dim join leaks the future (every fact
+    * sees today's attributes); the PIT join is what makes offline
+    * features match what was known online.
+    *
+    * Plan shape: the version key(s) stay equi-join predicates, so
+    * Catalyst plans a keyed join (shuffle or broadcast per AQE) with
+    * the interval test as a join filter — per-key version lists are
+    * short, so the filter scans a handful of rows per match; never a
+    * cartesian. SCD2 intervals partition time per key, so each fact
+    * matches AT MOST one version; facts before the first version
+    * null-fill (left join), which is the honest answer, not a row
+    * drop. */
+  def pitJoin(facts: DataFrame, dim: DataFrame, keys: Seq[String],
+              factTs: String = "ts", from: String = "valid_from",
+              to: String = "valid_to"): DataFrame = {
+    val f = facts.as("f")
+    val dm = dim.as("d")
+    val cond = keys.map(k => col(s"f.$k") === col(s"d.$k")).reduce(_ && _) &&
+      col(s"f.$factTs") >= col(s"d.$from") &&
+      (col(s"d.$to").isNull || col(s"f.$factTs") < col(s"d.$to"))
+    val dimCols = dim.columns.filterNot(keys.contains)
+    f.join(dm, cond, "left")
+      .select(facts.columns.map(c => col(s"f.$c")) ++
+        dimCols.map(c => col(s"d.$c")): _*)
+  }
+
   /** Exponentially weighted moving average per series — the smoothing
     * that weights recent observations most (the single-parameter
     * sibling of [[graft.ops.Forecast.holtWinters]]): e₁ = y₁,

@@ -378,6 +378,32 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("pit join: each fact sees the version valid AT ITS time, once") {
+    import spark.implicits._
+    def t(n: Int) = java.sql.Timestamp.valueOf(f"2024-01-$n%02d 00:00:00")
+    val dim = Seq(
+      (1L, "A", t(1), Option(t(3))),
+      (1L, "B", t(3), Option.empty[java.sql.Timestamp]),
+      (2L, "C", t(2), Option.empty[java.sql.Timestamp])
+    ).toDF("user_id", "state", "valid_from", "valid_to")
+    val facts = Seq(
+      (10L, 1L, t(1)),  // boundary: version starts AT the fact → A
+      (11L, 1L, t(2)),  // inside [1,3) → A
+      (12L, 1L, t(3)),  // boundary: old closes, new opens → B
+      (13L, 1L, t(9)),  // open-ended current → B
+      (14L, 2L, t(1)),  // before user 2's first version → null
+      (15L, 3L, t(5))   // user with no versions at all → null
+    ).toDF("event_id", "user_id", "ts")
+    val out = TimeSeriesOps.pitJoin(facts, dim, Seq("user_id")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else r.getString(3))).toMap
+    assert(out === Map(10L -> "A", 11L -> "A", 12L -> "B", 13L -> "B",
+      14L -> null, 15L -> null))
+    // exactly one row per fact: the interval partition cannot fan out
+    assert(TimeSeriesOps.pitJoin(facts, dim, Seq("user_id")).count() ===
+      facts.count())
+  }
+
   test("ewma: one row per series-day, hand recursion reproduced") {
     val out = TimeSeriesOps.ewma(spark, sf).collect()
     val daily = Tables.events(spark, sf)
