@@ -68,6 +68,9 @@ object SparkEntry {
     "q_full_outer" -> (Analytics.fullOuterReconcile _),
     // NTILE decile binning over a deterministic total order
     "ml_feature_ntile" -> ((s, d) => Analytics.ntileBins(s, d)),
+    // per-series [p05,p95] clipping with rounded thresholds and
+    // DECIMAL-quantized means — robust feature prep
+    "ml_feature_winsorize" -> ((s, d) => Analytics.winsorize(s, d)),
     // collocation mining: adjacent-pair PMI — the phrase detector /
     // phrase-merge prep of tokenizer training
     "text_collocations" -> ((s, d) => TextOps.collocations(s, d)),
@@ -905,6 +908,26 @@ object SparkEntry {
         |SELECT event_type, decile, count(*) AS n,
         |  round(min(value), 4) AS lo, round(max(value), 4) AS hi
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // quantile_cont == Spark's exact percentile (q_percentiles
+    // parity); thresholds rounded BEFORE the comparison on both
+    // sides; DECIMAL-quantized sum → order-independent mean
+    "ml_feature_winsorize" ->
+      """WITH b AS (SELECT event_type,
+        |    round(quantile_cont(value, 0.05), 4) AS lo,
+        |    round(quantile_cont(value, 0.95), 4) AS hi
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT e.event_type, e.value, b.lo, b.hi,
+        |    least(greatest(e.value, b.lo), b.hi) AS clipped
+        |  FROM events e JOIN b USING (event_type))
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_lo,
+        |  CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_hi,
+        |  round(CAST(sum(CAST(round(clipped, 4) AS DECIMAL(20,10)))
+        |             AS DOUBLE) / count(*), 4) AS mean_clipped,
+        |  any_value(lo) AS lo, any_value(hi) AS hi
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     // same tokenizer regex, same count tables, same division order
     // inside the ln — PMI matches at 4dp
     "text_collocations" ->

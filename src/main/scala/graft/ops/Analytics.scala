@@ -514,6 +514,38 @@ object Analytics {
       .orderBy(col("event_type"), col("decile"))
   }
 
+  /** Winsorization — robust feature prep: clip each value into its
+    * series' [p05, p95] band so tail outliers stop dominating scale-
+    * sensitive downstream models. Thresholds are the exact
+    * interpolated percentiles ROUNDED to 4dp before use (the repo's
+    * rounded-metric rule: a raw interpolated threshold can differ
+    * between engines by an ulp, and a row comparing against it could
+    * flip sides); clipped values are quantized to DECIMAL before the
+    * mean so the per-series summary is aggregation-order independent
+    * (the emb_centroids contract). Plan: one percentile aggregation,
+    * a broadcast-sized threshold join back, row-local clipping, one
+    * summary aggregation — two shuffles on the series key total. */
+  def winsorize(s: SparkSession, d: String,
+                lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val bounds = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(round(expr(s"percentile(value, $lo)"), 4).as("lo"),
+        round(expr(s"percentile(value, $hi)"), 4).as("hi"))
+    Tables.events(s, d)
+      .join(broadcast(bounds), "event_type")
+      .withColumn("clipped", least(greatest(col("value"), col("lo")), col("hi")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        sum(round(col("clipped"), 4).cast("decimal(20,10)")).as("__s"),
+        first(col("lo")).as("lo"), first(col("hi")).as("hi"))
+      .select(col("event_type"), col("n"), col("n_clip_lo"), col("n_clip_hi"),
+        round(col("__s").cast("double") / col("n"), 4).as("mean_clipped"),
+        col("lo"), col("hi"))
+      .orderBy(col("event_type"))
+  }
+
   /** Key-distribution profile: the diagnostic you run BEFORE picking a
     * join/aggregation strategy at scale. For the heaviest `topN` keys
     * it reports absolute frequency, share of all rows, and the skew

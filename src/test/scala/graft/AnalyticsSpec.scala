@@ -291,6 +291,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(total === Tables.events(spark, sf).count())
   }
 
+  test("winsorize: ~10% clipped per series, clipped mean inside the band") {
+    val rows = Analytics.winsorize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, lo, hi) = (r.getLong(1), r.getDouble(5), r.getDouble(6))
+      val (cl, ch) = (r.getLong(2), r.getLong(3))
+      assert(lo < hi)
+      // ~5% on each tail (interpolated percentiles: at most a couple
+      // of rows off on small series)
+      assert(math.abs(cl - 0.05 * n) <= n * 0.02 + 2, s"lo clips $cl of $n")
+      assert(math.abs(ch - 0.05 * n) <= n * 0.02 + 2, s"hi clips $ch of $n")
+      val m = r.getDouble(4)
+      assert(m >= lo && m <= hi, s"mean $m outside [$lo, $hi]")
+    }
+  }
+
   test("skew profile: hand fixture yields exact share and skew ratios") {
     import spark.implicits._
     // 10 rows of key 1, 4 of key 2, 1 each of 3..8 → n=20, d=8
