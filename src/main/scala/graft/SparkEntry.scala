@@ -71,6 +71,13 @@ object SparkEntry {
     // per-series [p05,p95] clipping with rounded thresholds and
     // DECIMAL-quantized means — robust feature prep
     "ml_feature_winsorize" -> ((s, d) => Analytics.winsorize(s, d)),
+    // group-mean imputation over PLANTED nulls (every 7th event), fill
+    // is a reproducible 4dp constant per group, rows keep an audit flag
+    "etl_impute" -> ((s, d) => Mapping.imputeMean(
+      Tables.events(s, d).select(col("event_id"), col("event_type"),
+        when(col("event_id") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("value")),
+      "event_type", "value").orderBy(col("event_id"))),
     // collocation mining: adjacent-pair PMI — the phrase detector /
     // phrase-merge prep of tokenizer training
     "text_collocations" -> ((s, d) => TextOps.collocations(s, d)),
@@ -908,6 +915,21 @@ object SparkEntry {
         |SELECT event_type, decile, count(*) AS n,
         |  round(min(value), 4) AS lo, round(max(value), 4) AS hi
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // identical null plant, identical DECIMAL-quantized mean, same
+    // coalesce fill — the flag column proves WHICH rows were repaired
+    "etl_impute" ->
+      """WITH src AS (SELECT event_id, event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+        |  FROM events),
+        |m AS (SELECT event_type,
+        |    round(CAST(sum(CAST(round(value, 4) AS DECIMAL(20,10)))
+        |               AS DOUBLE) / count(value), 4) AS fill
+        |  FROM src WHERE value IS NOT NULL GROUP BY 1)
+        |SELECT event_id, event_type,
+        |  coalesce(value, fill) AS value,
+        |  (value IS NULL) AS was_imputed
+        |FROM src LEFT JOIN m USING (event_type)
+        |ORDER BY event_id""".stripMargin,
     // quantile_cont == Spark's exact percentile (q_percentiles
     // parity); thresholds rounded BEFORE the comparison on both
     // sides; DECIMAL-quantized sum → order-independent mean

@@ -206,6 +206,31 @@ object Mapping {
       .isin("click", "view", "purchase", "signup", "error")),
     ("value_in_range", col("value") >= 0 && col("value") <= 250))
 
+  /** Group-mean imputation — the missing-data repair step before
+    * feature extraction: nulls in `value` fill with their group's
+    * mean of the NON-null values, and every row carries a
+    * `was_imputed` flag so downstream consumers can weight or audit
+    * repaired rows (silent imputation is how data bugs hide). The
+    * mean quantizes each value to 4dp DECIMAL before summing
+    * (order-independent, the emb_centroids contract) and rounds to
+    * 4dp — the fill is a reproducible constant per group, not a
+    * float that drifts with partitioning. A group that is ALL null
+    * has no mean; its rows stay null (the honest answer — flag and
+    * route, don't invent data). One aggregation + a broadcast-sized
+    * fill join: group count is the cardinality of `key`, tiny
+    * relative to rows at any scale. */
+  def imputeMean(df: DataFrame, key: String, value: String): DataFrame = {
+    val means = df.filter(col(value).isNotNull)
+      .groupBy(col(key))
+      .agg((sum(round(col(value), 4).cast("decimal(20,10)")).cast("double") /
+        count(lit(1))).as("__m"))
+      .select(col(key), round(col("__m"), 4).as("__fill"))
+    df.join(broadcast(means), Seq(key), "left")
+      .withColumn("was_imputed", col(value).isNull)
+      .withColumn(value, coalesce(col(value), col("__fill")))
+      .drop("__fill")
+  }
+
   def expectations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "expectations needs at least one rule")
     // aggregates carry POSITIONAL aliases and rule names enter only

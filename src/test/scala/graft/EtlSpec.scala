@@ -232,4 +232,24 @@ class EtlSpec extends SparkSpec {
     assert(out === Map(
       "key_present" -> ((0L, 0.0)), "positive" -> ((0L, 0.0))))
   }
+
+  test("imputeMean: nulls fill with the group mean, all-null groups stay") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+      ("b", Some(10.0)),
+      ("c", None), ("c", None)  // no observed values at all
+    ).toDF("k", "value")
+    val out = Mapping.imputeMean(df, "k", "value").collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getDouble(1),
+        r.getBoolean(2)))
+    // group a's mean of (1, 3) = 2 fills its null; originals untouched
+    assert(out.count { case (k, v, imp) => k == "a" && v == 2.0 && imp } === 1)
+    assert(out.count { case (k, v, imp) => k == "a" && !imp } === 2)
+    assert(out.filter(_._1 == "b").toSeq === Seq(("b", 10.0, false)))
+    // honest null: a group with nothing observed cannot be repaired
+    assert(out.filter(_._1 == "c").forall { case (_, v, imp) =>
+      v == null && imp })
+  }
 }
