@@ -282,6 +282,9 @@ object SparkEntry {
     // sample ACF at lags 1..7 — how a pipeline DETECTS the period it
     // hands to decompose/forecast; DECIMAL-quantized product sums
     "ts_acf" -> ((s, d) => TimeSeriesOps.acf(s, d)),
+    // lead-lag discovery between series: Pearson at lag 0, shifted
+    // equi-join for lags 1..3 — the multi-series sibling of ts_acf
+    "ts_cross_corr" -> ((s, d) => TimeSeriesOps.crossCorr(s, d)),
     "ts_lag_features"   -> ((s, d) => TimeSeriesOps.lagFeatures(s, d)),
     // daily mean value per type with synthetic outage days planted
     // (every day-of-month divisible by 5 removed, identically in the
@@ -1300,6 +1303,37 @@ object SparkEntry {
         |  round(CAST(nm AS DOUBLE) / CAST(dn AS DOUBLE), 4) AS acf
         |FROM num JOIN den USING (event_type)
         |ORDER BY event_type, lag""".stripMargin,
+    // same mean/deviation/DECIMAL machinery as ts_acf, pair join on
+    // the shifted day index
+    "ts_cross_corr" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '2024-01-01',
+        |      date_trunc('day', CAST(ts AS TIMESTAMP_US))) AS dd,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(sum(cnt) AS DOUBLE) / count(*) AS mu
+        |      FROM daily GROUP BY 1),
+        |wm AS (SELECT d.event_type, dd, cnt - mu AS dev
+        |       FROM daily d JOIN m USING (event_type)),
+        |den AS (SELECT event_type,
+        |          sum(CAST(dev * dev AS DECIMAL(20,10))) AS dn
+        |        FROM wm GROUP BY 1),
+        |al AS (SELECT event_type AS ta, dd, dev AS da, k.lg AS lag
+        |       FROM wm CROSS JOIN (SELECT unnest(range(0, 4)) AS lg) k),
+        |num AS (SELECT ta, b.event_type AS tb, lag,
+        |          sum(CAST(da * b.dev AS DECIMAL(20,10))) AS nm
+        |        FROM al JOIN wm b
+        |          ON b.dd = al.dd + al.lag AND b.event_type <> al.ta
+        |        GROUP BY 1, 2, 3)
+        |SELECT ta, tb, CAST(lag AS INT) AS lag,
+        |  round(CAST(nm AS DOUBLE) /
+        |        sqrt(CAST(da2.dn AS DOUBLE) * CAST(db2.dn AS DOUBLE)), 4)
+        |    AS xcorr
+        |FROM num
+        |JOIN den da2 ON da2.event_type = num.ta
+        |JOIN den db2 ON db2.event_type = num.tb
+        |ORDER BY ta, tb, lag""".stripMargin,
     "ts_changepoint" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

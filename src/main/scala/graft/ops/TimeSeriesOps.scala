@@ -429,6 +429,59 @@ object TimeSeriesOps {
       .orderBy(col("event_type"), col("lag"))
   }
 
+  /** Cross-correlation between series — lead-lag discovery (does one
+    * event type's activity lead another's by l days?), the
+    * multi-series sibling of [[acfOn]]: for each ordered type pair
+    * (a, b) and lag l, r_l = Σ(a_t−ā)(b_{t+l}−b̄) / √(Σ(a−ā)²·Σ(b−b̄)²)
+    * with full-series means and denominators (the standard
+    * normalization; the overlap-only variant renormalizes per lag —
+    * same plan shape if ever needed). xcorr(a,b,0) is plain Pearson
+    * correlation of the two series.
+    *
+    * Determinism and scale: deviations quantize to DECIMAL before
+    * every sum (aggregation-order independent, the ts_acf contract);
+    * the pair join is an EQUI-join on the shifted day index (b.dd =
+    * a.dd + lag — Catalyst keys on the computed expression, never a
+    * range scan), and the lag explode multiplies only the small daily
+    * frame, not raw events. */
+  def crossCorr(s: SparkSession, d: String, maxLag: Int = 3): DataFrame =
+    crossCorrOn(Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"),
+        datediff(col("day"), to_date(lit("2024-01-01"))).as("dd"),
+        col("cnt")), maxLag)
+
+  /** Same over any (event_type, dd, cnt) day-indexed frame. */
+  def crossCorrOn(daily: DataFrame, maxLag: Int): DataFrame = {
+    val mu = daily.groupBy(col("event_type"))
+      .agg((sum(col("cnt")).cast("double") / count(lit(1))).as("mu"))
+    val wm = daily.join(broadcast(mu), "event_type")
+      .select(col("event_type"), col("dd"),
+        (col("cnt") - col("mu")).as("dev"))
+    val den = wm.groupBy(col("event_type"))
+      .agg(sum((col("dev") * col("dev")).cast("decimal(20,10)")).as("den"))
+    val aL = wm.select(col("event_type").as("ta"), col("dd"),
+        col("dev").as("da"),
+        explode(sequence(lit(0), lit(maxLag))).as("lag"))
+    val b = wm.select(col("event_type").as("tb"), col("dd").as("dd_b"),
+      col("dev").as("db"))
+    val num = aL.join(b,
+        col("dd_b") === col("dd") + col("lag") && col("ta") =!= col("tb"))
+      .groupBy(col("ta"), col("tb"), col("lag"))
+      .agg(sum((col("da") * col("db")).cast("decimal(20,10)")).as("num"))
+    num
+      .join(broadcast(den.select(col("event_type").as("ta"),
+        col("den").as("dena"))), "ta")
+      .join(broadcast(den.select(col("event_type").as("tb"),
+        col("den").as("denb"))), "tb")
+      .select(col("ta"), col("tb"), col("lag"),
+        round(col("num").cast("double") /
+          sqrt(col("dena").cast("double") * col("denb").cast("double")), 4)
+          .as("xcorr"))
+      .orderBy(col("ta"), col("tb"), col("lag"))
+  }
+
   /** Lag/delta features per series: previous-day count, day-over-day
     * delta, and percent change — the residual features the reference's
     * seasonal-naive forecast builds on. Same single shuffle shape. */

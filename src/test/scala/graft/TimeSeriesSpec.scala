@@ -378,6 +378,24 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("cross-correlation peaks at the planted lead-lag shift") {
+    import spark.implicits._
+    // series b IS series a shifted 2 days later: xcorr(a,b,2) must
+    // dominate every other lag of that pair
+    val base = (0 until 30).map(t => 10.0 + 8 * math.sin(t / 2.5))
+    val rows =
+      base.zipWithIndex.map { case (v, t) => ("a", t, v.round) } ++
+      base.zipWithIndex.map { case (v, t) => ("b", t + 2, v.round) }
+    val daily = rows.toDF("event_type", "dd", "cnt")
+    val out = TimeSeriesOps.crossCorrOn(daily, maxLag = 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+        r.getDouble(3)).toMap
+    val ab = (0 to 3).map(l => l -> out(("a", "b", l))).toMap
+    assert(ab(2) > 0.9, s"lag-2 xcorr ${ab(2)}")
+    assert((0 to 3).filter(_ != 2).forall(l => ab(l) < ab(2)),
+      s"lag profile $ab")
+  }
+
   test("pit join: each fact sees the version valid AT ITS time, once") {
     import spark.implicits._
     def t(n: Int) = java.sql.Timestamp.valueOf(f"2024-01-$n%02d 00:00:00")
