@@ -66,6 +66,10 @@ object SparkEntry {
     "q_histogram"  -> ((s, d) => Analytics.histogram(s, d)),
     // full-outer reconciliation: both one-sided null shapes surface
     "q_full_outer" -> (Analytics.fullOuterReconcile _),
+    // bias audit: is language independent of source? χ² + Cramér's V
+    // over the contingency cells (cell-cardinality work, one scan)
+    "q_chi2" -> ((s, d) => Analytics.chi2Independence(
+      Tables.documents(s, d), "lang", "source")),
     // NTILE decile binning over a deterministic total order
     "ml_feature_ntile" -> ((s, d) => Analytics.ntileBins(s, d)),
     // per-series [p05,p95] clipping with rounded thresholds and
@@ -896,6 +900,31 @@ object SparkEntry {
         |             AS BIGINT) + 1 END AS bin,
         | count(*) AS n
         |FROM events, b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // identical margins, double-cast-before-multiply expected counts,
+    // DECIMAL-quantized contributions
+    "q_chi2" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS o
+        |               FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS ra
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS cb
+        |       FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |          count(DISTINCT lang) AS r, count(DISTINCT source) AS c
+        |        FROM cells),
+        |grid AS (SELECT lang, source, ra, cb,
+        |           coalesce(o, 0) AS o
+        |         FROM rt CROSS JOIN ct LEFT JOIN cells USING (lang, source)),
+        |k AS (SELECT o, CAST(ra AS DOUBLE) * cb / n AS e, n, r, c
+        |      FROM grid, tot),
+        |agg AS (SELECT n, r, c,
+        |          sum(CAST((o - e) * (o - e) / e AS DECIMAL(20,10))) AS chi2s
+        |        FROM k GROUP BY 1, 2, 3)
+        |SELECT round(CAST(chi2s AS DOUBLE), 4) AS chi2,
+        |  (r - 1) * (c - 1) AS dof, n AS n_rows,
+        |  round(sqrt(CAST(chi2s AS DOUBLE) / n / least(r - 1, c - 1)), 4)
+        |    AS cramers_v
+        |FROM agg""".stripMargin,
     // FULL JOIN ... USING coalesces the key in both engines; count
     // and max are aggregation-order independent, so no float drift
     // can cross the outer join

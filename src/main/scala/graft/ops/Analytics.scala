@@ -514,6 +514,48 @@ object Analytics {
       .orderBy(col("event_type"), col("decile"))
   }
 
+  /** Chi-square independence test between two categorical columns —
+    * the statistical face of profiling: is language independent of
+    * source, or does one domain skew toward one language (a bias
+    * check a corpus audit runs before training)? χ² = Σ(o−e)²/e over
+    * the contingency cells with e = rowTotal·colTotal/N, plus
+    * Cramér's V (√(χ²/N/min(R−1,C−1))) so the effect size is
+    * comparable across table shapes.
+    *
+    * Exactness at scale: observed counts and margins are integers
+    * (exact in doubles well past any real cardinality); the row
+    * margin casts to double BEFORE multiplying the column margin so
+    * the product cannot overflow a long at 100 TB row counts;
+    * per-cell contributions quantize to DECIMAL before the final sum
+    * (order-independent, the repo contract). One count aggregation +
+    * two margin aggregations over the CELLS (cardinality R×C, not
+    * rows) — the raw table is scanned once. */
+  def chi2Independence(df: DataFrame, a: String, b: String): DataFrame = {
+    val cells = df.groupBy(col(a), col(b)).agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy(col(a)).agg(sum(col("o")).as("ra"))
+    val ct = cells.groupBy(col(b)).agg(sum(col("o")).as("cb"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      count_distinct(col(a)).as("r"), count_distinct(col(b)).as("c"))
+    val e = col("ra").cast("double") * col("cb") / col("n")
+    // the FULL R×C grid, not just observed cells: an empty cell still
+    // contributes (0−e)²/e = e — dropping zeros understates χ²
+    // (and breaks the diagonal-table V = 1 identity)
+    rt.crossJoin(ct)
+      .join(cells, Seq(a, b), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("__contrib",
+        (((col("o") - e) * (col("o") - e)) / e).cast("decimal(20,10)"))
+      .groupBy(col("n"), col("r"), col("c"))
+      .agg(sum(col("__contrib")).as("__chi2"))
+      .select(
+        round(col("__chi2").cast("double"), 4).as("chi2"),
+        ((col("r") - 1) * (col("c") - 1)).as("dof"),
+        col("n").as("n_rows"),
+        round(sqrt(col("__chi2").cast("double") / col("n") /
+          least(col("r") - 1, col("c") - 1)), 4).as("cramers_v"))
+  }
+
   /** Winsorization — robust feature prep: clip each value into its
     * series' [p05, p95] band so tail outliers stop dominating scale-
     * sensitive downstream models. Thresholds are the exact

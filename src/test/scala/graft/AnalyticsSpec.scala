@@ -291,6 +291,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(total === Tables.events(spark, sf).count())
   }
 
+  test("chi2: zero for independence, Cramér's V = 1 for a diagonal") {
+    import spark.implicits._
+    // perfectly independent: every (a, b) cell equally filled
+    val indep = (for { a <- Seq("x", "y"); b <- Seq("p", "q", "r");
+                       _ <- 1 to 5 } yield (a, b)).toDF("a", "b")
+    val ri = Analytics.chi2Independence(indep, "a", "b").first()
+    assert(ri.getDouble(0) === 0.0)
+    assert(ri.getLong(1) === 2L) // (2-1)*(3-1)
+    // perfectly dependent: b is a function of a (diagonal table)
+    val dep = (for { a <- Seq("x", "y", "z"); _ <- 1 to 7 }
+      yield (a, a.toUpperCase)).toDF("a", "b")
+    val rd = Analytics.chi2Independence(dep, "a", "b").first()
+    assert(rd.getDouble(3) === 1.0, s"cramers_v ${rd.getDouble(3)}")
+    assert(rd.getDouble(0) > 0.0)
+  }
+
   test("winsorize: ~10% clipped per series, clipped mean inside the band") {
     val rows = Analytics.winsorize(spark, sf).collect()
     assert(rows.nonEmpty)
