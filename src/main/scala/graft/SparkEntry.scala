@@ -70,6 +70,9 @@ object SparkEntry {
     // over the contingency cells (cell-cardinality work, one scan)
     "q_chi2" -> ((s, d) => Analytics.chi2Independence(
       Tables.documents(s, d), "lang", "source")),
+    // per-type adoption curve: first-seen fold + calendar-sized
+    // running sum (never a per-day cumulative count-distinct)
+    "q_user_growth" -> (Analytics.userGrowth _),
     // NTILE decile binning over a deterministic total order
     "ml_feature_ntile" -> ((s, d) => Analytics.ntileBins(s, d)),
     // per-series [p05,p95] clipping with rounded thresholds and
@@ -900,6 +903,19 @@ object SparkEntry {
         |             AS BIGINT) + 1 END AS bin,
         | count(*) AS n
         |FROM events, b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same first-seen fold; the window sum widens to HUGEINT in
+    // DuckDB — cast back
+    "q_user_growth" ->
+      """WITH fs AS (SELECT user_id, event_type,
+        |    min(CAST(date_trunc('day', CAST(ts AS TIMESTAMP_US))
+        |        AS TIMESTAMP)) AS day
+        |  FROM events GROUP BY 1, 2),
+        |pd AS (SELECT event_type, day, count(*) AS new_users
+        |       FROM fs GROUP BY 1, 2)
+        |SELECT event_type, day, new_users,
+        |  CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM pd ORDER BY event_type, day""".stripMargin,
     // identical margins, double-cast-before-multiply expected counts,
     // DECIMAL-quantized contributions
     "q_chi2" ->

@@ -514,6 +514,29 @@ object Analytics {
       .orderBy(col("event_type"), col("decile"))
   }
 
+  /** Adoption curve: per event type and day, how many users touch
+    * that type for the FIRST time, and the running total of users
+    * who have ever used it — the growth view a per-day cumulative
+    * `count(distinct)` would recompute quadratically. One
+    * aggregation finds each (user, type) first day (the heavy,
+    * data-sized step — map-side combinable), a second folds
+    * first-days into per-day adoption counts, and the running sum
+    * windows over the CALENDAR-sized per-type daily frame
+    * (partitioned by type, one row per day — bounded by time, not
+    * data). */
+  def userGrowth(s: SparkSession, d: String): DataFrame = {
+    val firstSeen = Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(date_trunc("day", col("ts"))).as("day"))
+    val perDay = firstSeen.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("new_users"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perDay
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Chi-square independence test between two categorical columns —
     * the statistical face of profiling: is language independent of
     * source, or does one domain skew toward one language (a bias

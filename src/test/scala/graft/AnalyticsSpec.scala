@@ -291,6 +291,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(total === Tables.events(spark, sf).count())
   }
 
+  test("user growth: cumulative adoption is monotone and lands on the " +
+       "distinct-user count per type") {
+    val rows = Analytics.userGrowth(spark, sf).collect()
+    val expected = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("u")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      val sorted = rs.sortBy(_.getTimestamp(1).getTime)
+      val cums = sorted.map(_.getLong(3))
+      assert(cums.zip(cums.tail).forall { case (a, b) => a < b })
+      assert(cums.last === expected(t), s"$t final ${cums.last}")
+      assert(sorted.map(_.getLong(2)).sum === cums.last)
+    }
+  }
+
   test("chi2: zero for independence, Cramér's V = 1 for a diagonal") {
     import spark.implicits._
     // perfectly independent: every (a, b) cell equally filled
