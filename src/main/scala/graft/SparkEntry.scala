@@ -88,6 +88,34 @@ object SparkEntry {
     // collocation mining: adjacent-pair PMI — the phrase detector /
     // phrase-merge prep of tokenizer training
     "text_collocations" -> ((s, d) => TextOps.collocations(s, d)),
+    // first-order user-journey transition matrix: one user-key window
+    // pass, then cell-cardinality normalization over a broadcast
+    "q_markov" -> (Analytics.markovTransitions _),
+    // Welch's t between two series from ONE conditional moment
+    // aggregation (exact DECIMAL sums; scalar derivation after)
+    "q_ttest" -> ((s, d) => Analytics.welchTTest(s, d)),
+    // first-digit law audit via fixed 4dp decimal rendering (float
+    // log-digit math is one ulp from flipping; strings aren't)
+    "q_benford" -> (Analytics.benfordDigits _),
+    // privacy gate: QI-tuple group sizes vs k — group-cardinality
+    // reduction after one map-side-combinable count
+    "q_kanonymity" -> ((s, d) => Analytics.kAnonymity(s, d)),
+    // one-row class-balance diagnostic: entropy / normalized / Gini
+    // with DECIMAL-quantized per-class terms
+    "q_entropy" -> ((s, d) =>
+      Analytics.typeEntropy(Tables.documents(s, d), col("lang"))),
+    // session-path mining: gap-split sessions and their first-3-type
+    // journeys — all three window passes ride one user-key shuffle
+    "q_session_paths" -> ((s, d) => Analytics.sessionPaths(s, d)),
+    // per-series z-score with rounded (mu, sigma) — broadcast stats
+    // join back, row-local standardization
+    "ml_feature_scale" -> (Analytics.featureScale _),
+    // BM25 top-k retrieval: query-sized term statistics, broadcast
+    // corpus scalars, DECIMAL-quantized contributions, TakeOrdered
+    "text_bm25" -> ((s, d) => TextOps.bm25(s, d)),
+    // fully-oracled multinomial NB language classifier — the model IS
+    // three aggregations; scoring joins through the term key
+    "ml_naive_bayes" -> ((s, d) => TextOps.naiveBayes(s, d)),
     // the pre-join diagnostic: heaviest keys with share + skew ratio
     // vs uniform — what decides between plain, salted, and broadcast
     "q_skew_profile" -> ((s, d) =>
@@ -1016,6 +1044,201 @@ object SparkEntry {
         |FROM bi JOIN uni u1 ON bi.w1 = u1.w
         |        JOIN uni u2 ON bi.w2 = u2.w, t, nb
         |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+    // same µs-truncated ordering with the event_id tiebreak, so both
+    // engines pair identical successors; totals recompute per source
+    "q_markov" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP_US) AS ts,
+        |             event_id, event_type FROM events),
+        |p AS (SELECT event_type AS from_type,
+        |        lead(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY ts, event_id) AS to_type
+        |      FROM e),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+        |      FROM c GROUP BY 1)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) / tot, 4) AS p
+        |FROM c JOIN t USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+    // identical exact DECIMAL moment sums over 4dp-quantized values;
+    // the scalar t/dof derivation repeats the same double op order
+    "q_ttest" ->
+      """WITH m AS (SELECT
+        |  count(*) FILTER (WHERE event_type = 'click') AS n_a,
+        |  sum(CAST(round(value, 4) AS DECIMAL(14,4)))
+        |    FILTER (WHERE event_type = 'click') AS sx_a,
+        |  sum(CAST(round(value, 4) AS DECIMAL(14,4)) *
+        |      CAST(round(value, 4) AS DECIMAL(14,4)))
+        |    FILTER (WHERE event_type = 'click') AS sxx_a,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_b,
+        |  sum(CAST(round(value, 4) AS DECIMAL(14,4)))
+        |    FILTER (WHERE event_type = 'purchase') AS sx_b,
+        |  sum(CAST(round(value, 4) AS DECIMAL(14,4)) *
+        |      CAST(round(value, 4) AS DECIMAL(14,4)))
+        |    FILTER (WHERE event_type = 'purchase') AS sxx_b
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |d AS (SELECT n_a, n_b,
+        |  CAST(sx_a AS DOUBLE) / n_a AS ma, CAST(sx_b AS DOUBLE) / n_b AS mb,
+        |  (CAST(sxx_a AS DOUBLE) -
+        |    CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE) / n_a) / (n_a - 1) / n_a
+        |    AS sea,
+        |  (CAST(sxx_b AS DOUBLE) -
+        |    CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE) / n_b) / (n_b - 1) / n_b
+        |    AS seb
+        |  FROM m)
+        |SELECT n_a, n_b, round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+        |  round((ma - mb) / sqrt(sea + seb), 4) AS t_stat,
+        |  round((sea + seb) * (sea + seb) /
+        |    (sea * sea / (n_a - 1) + seb * seb / (n_b - 1)), 4) AS dof
+        |FROM d""".stripMargin,
+    // the digit comes from the same fixed 4dp rendering in both
+    // engines — no float log10 digit math anywhere near a boundary
+    "q_benford" ->
+      """WITH v AS (SELECT printf('%.4f', value) AS s FROM events
+        |           WHERE value > 0),
+        |d0 AS (SELECT regexp_replace(s, '[0.]', '', 'g') AS t FROM v),
+        |dg AS (SELECT CAST(t[1] AS INT) AS digit FROM d0 WHERE len(t) > 0),
+        |c AS (SELECT digit, count(*) AS n FROM dg GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+        |SELECT digit, n, round(CAST(n AS DOUBLE) / tot, 4) AS share,
+        |  round(log10(1 + 1.0 / digit), 4) AS benford_p,
+        |  round(round(CAST(n AS DOUBLE) / tot, 4) -
+        |        round(log10(1 + 1.0 / digit), 4), 4) AS dev
+        |FROM c, tt ORDER BY digit""".stripMargin,
+    // group sizes over the identical QI tuple; day only partitions
+    // the grouping, it never crosses an engine boundary in the output
+    "q_kanonymity" ->
+      """WITH g AS (SELECT event_type,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP_US)) AS TIMESTAMP)
+        |      AS day,
+        |    user_id % 20 AS uid_bucket, count(*) AS sz
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT count(*) AS n_groups, CAST(sum(sz) AS BIGINT) AS n_rows,
+        |  min(sz) AS k_min,
+        |  CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS groups_below_k,
+        |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS rows_below_k,
+        |  round(CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE) /
+        |    sum(sz), 4) AS share_below_k
+        |FROM g""".stripMargin,
+    // per-class terms quantize to the same DECIMAL(20,10) before the
+    // sum — entropy parity does not depend on libm's last ulp
+    "q_entropy" ->
+      """WITH c AS (SELECT lang AS lbl, count(*) AS n FROM documents
+        |           GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot, count(*) AS k FROM c),
+        |q AS (SELECT k,
+        |  CAST(-(CAST(n AS DOUBLE) / tot) * ln(CAST(n AS DOUBLE) / tot)
+        |    AS DECIMAL(20,10)) AS h,
+        |  CAST((CAST(n AS DOUBLE) / tot) * (CAST(n AS DOUBLE) / tot)
+        |    AS DECIMAL(20,10)) AS g
+        |  FROM c, t),
+        |a AS (SELECT k, sum(h) AS hs, sum(g) AS gs FROM q GROUP BY 1)
+        |SELECT k AS n_classes, round(CAST(hs AS DOUBLE), 4) AS entropy,
+        |  CASE WHEN k > 1
+        |    THEN round(CAST(hs AS DOUBLE) / ln(CAST(k AS DOUBLE)), 4)
+        |    ELSE 0.0 END AS entropy_norm,
+        |  round(1 - CAST(gs AS DOUBLE), 4) AS gini
+        |FROM a""".stripMargin,
+    // exact µs epoch integers for the gap test; paths assemble via
+    // ORDER BY inside string_agg — the same (rank, type) order the
+    // Spark side gets from sorting collected structs
+    "q_session_paths" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP_US) AS ts,
+        |             event_id, event_type FROM events),
+        |f AS (SELECT *, epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |      FROM e),
+        |s AS (SELECT *, CAST(sum(CASE WHEN gap_us > 172800000000
+        |        THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        |        AS BIGINT) AS sess FROM f),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sess
+        |        ORDER BY ts, event_id) AS rin FROM s),
+        |p AS (SELECT user_id, sess,
+        |        string_agg(event_type, '>' ORDER BY rin) AS path
+        |      FROM r WHERE rin <= 3 GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    // identical DECIMAL moments, identical rounded (mu, sigma), then
+    // the same row-local double standardization
+    "ml_feature_scale" ->
+      """WITH st AS (SELECT event_type, count(*) AS n,
+        |    sum(CAST(round(value, 4) AS DECIMAL(14,4))) AS sx,
+        |    sum(CAST(round(value, 4) AS DECIMAL(14,4)) *
+        |        CAST(round(value, 4) AS DECIMAL(14,4))) AS sxx
+        |  FROM events GROUP BY 1),
+        |ms AS (SELECT event_type, round(CAST(sx AS DOUBLE) / n, 4) AS mu,
+        |    round(sqrt((CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)), 4)
+        |      AS sigma
+        |  FROM st)
+        |SELECT e.event_id, e.event_type,
+        |  round((round(e.value, 4) - mu) / sigma, 4) AS z
+        |FROM events e JOIN ms ON e.event_type = ms.event_type
+        |ORDER BY e.event_id""".stripMargin,
+    // literals mirror the Spark expression structure (1 - 0.75,
+    // 1.2 + 1) so both engines run the identical double op sequence
+    "text_bm25" ->
+      """WITH doc AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM doc),
+        |corpus AS (SELECT count(*) AS n_docs,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |       FROM (SELECT doc_id, unnest(ws) AS term FROM doc)
+        |       WHERE term IN ('spark', 'stream', 'vector') GROUP BY 1, 2),
+        |idf AS (SELECT term,
+        |    round(ln((n_docs - df + 0.5) / (df + 0.5) + 1), 6) AS idf
+        |  FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1), corpus),
+        |c AS (SELECT tf.doc_id,
+        |    CAST(round(idf * (tf * (1.2 + 1)) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6)
+        |      AS DECIMAL(20,10)) AS c
+        |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), corpus)
+        |SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 4) AS score
+        |FROM c GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // the full model replay: same split, same smoothed counts, 6dp
+    // log-probs as exact DECIMALs, same rounded-score argmax order
+    "ml_naive_bayes" ->
+      """WITH doc AS (SELECT doc_id, lang,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |tr AS (SELECT * FROM doc WHERE doc_id % 10 < 8),
+        |te AS (SELECT * FROM doc WHERE doc_id % 10 >= 8),
+        |ctk AS (SELECT lang, term, count(*) AS ctk
+        |        FROM (SELECT lang, unnest(ws) AS term FROM tr)
+        |        GROUP BY 1, 2),
+        |ctot AS (SELECT lang, CAST(sum(ctk) AS BIGINT) AS ct
+        |         FROM ctk GROUP BY 1),
+        |voc AS (SELECT DISTINCT term FROM ctk),
+        |vs AS (SELECT count(*) AS v FROM voc),
+        |pri AS (SELECT lang, count(*) AS nd FROM tr GROUP BY 1),
+        |prl AS (SELECT lang, round(ln(CAST(nd AS DOUBLE) /
+        |          (SELECT CAST(sum(nd) AS BIGINT) FROM pri)), 6)
+        |          AS prior_ln FROM pri),
+        |grid AS (SELECT voc.term, ctot.lang,
+        |    CAST(round(ln(CAST(coalesce(ctk.ctk, 0) + 1 AS DOUBLE) /
+        |      (ct + v)), 6) AS DECIMAL(12,6)) AS lp
+        |  FROM voc CROSS JOIN ctot
+        |  LEFT JOIN ctk ON ctk.term = voc.term AND ctk.lang = ctot.lang, vs),
+        |ttf AS (SELECT doc_id, lang AS true_lang, term, count(*) AS tf
+        |        FROM (SELECT doc_id, lang, unnest(ws) AS term FROM te)
+        |        GROUP BY 1, 2, 3),
+        |sc AS (SELECT ttf.doc_id, ttf.true_lang, grid.lang,
+        |         sum(ttf.tf * grid.lp) AS s
+        |       FROM ttf JOIN grid ON ttf.term = grid.term GROUP BY 1, 2, 3),
+        |fin AS (SELECT sc.doc_id, sc.true_lang, sc.lang,
+        |          round(CAST(s AS DOUBLE) + prior_ln, 4) AS score,
+        |          row_number() OVER (PARTITION BY sc.doc_id
+        |            ORDER BY round(CAST(s AS DOUBLE) + prior_ln, 4) DESC,
+        |              sc.lang) AS rk
+        |        FROM sc JOIN prl ON sc.lang = prl.lang)
+        |SELECT doc_id, true_lang, lang AS pred_lang, score
+        |FROM fin WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     // Shares the operator's exact arithmetic: integer products stay
     // exact in doubles, so one rounding each for share and skew.
     "q_skew_profile" ->

@@ -659,4 +659,222 @@ object Analytics {
         round(regr_intercept(col("y"), col("x")), 4).as("intercept"),
         round(regr_r2(col("y"), col("x")), 4).as("r2"))
       .orderBy(col("event_type"), col("cohort"))
+
+  /** First-order Markov transition matrix over each user's event
+    * stream — the user-journey model behind "what do users do after a
+    * click?". One window pass per user pairs each event with its
+    * successor (LEAD), then transition counts aggregate over the
+    * R×R type grid — cell-cardinality work after a single shuffle on
+    * the user key (the minimum the per-user ordering semantics
+    * allow). Probabilities normalize per source state; the totals
+    * side is R rows, so the normalizing join is a broadcast.
+    * Ordering ties break on event_id, and the oracle orders on the
+    * µs-truncated timestamp so both engines see the same sequence. */
+  def markovTransitions(s: SparkSession, d: String): DataFrame =
+    markovTransitionsOn(Tables.events(s, d))
+
+  /** Same over any (user_id, ts, event_id, event_type) frame. */
+  def markovTransitionsOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val cells = pairs
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+    cells.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("tot"), 4).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Welch's unequal-variance t-test between two series — the A/B
+    * significance check run before trusting a mean difference. All
+    * moments come from ONE conditional aggregation over a single scan
+    * (sum/sum-of-squares per side as exact DECIMALs over 4dp-quantized
+    * values, so the statistics are aggregation-order independent);
+    * mean/variance/t/Welch–Satterthwaite dof then derive in scalar
+    * double arithmetic, identical in any engine. Scalar output — the
+    * plan is the same shape as a SUM at any data size. */
+  def welchTTest(s: SparkSession, d: String,
+                 typeA: String = "click", typeB: String = "purchase"): DataFrame =
+    welchTTestOn(Tables.events(s, d), typeA, typeB)
+
+  /** Same over any (event_type, value) frame. */
+  def welchTTestOn(events: DataFrame, typeA: String, typeB: String): DataFrame = {
+    val x = round(col("value"), 4).cast("decimal(14,4)")
+    def side(t: String, tag: String) = Seq(
+      sum(when(col("event_type") === t, lit(1L)).otherwise(lit(0L))).as(s"n_$tag"),
+      sum(when(col("event_type") === t, x).otherwise(lit(null))).as(s"sx_$tag"),
+      sum(when(col("event_type") === t, x * x).otherwise(lit(null))).as(s"sxx_$tag"))
+    val aggs = side(typeA, "a") ++ side(typeB, "b")
+    val m = events
+      .filter(col("event_type").isin(typeA, typeB))
+      .agg(aggs.head, aggs.tail: _*)
+    def meanv(tag: String) =
+      col(s"sx_$tag").cast("double") / col(s"n_$tag")
+    def varv(tag: String) =
+      (col(s"sxx_$tag").cast("double") -
+        col(s"sx_$tag").cast("double") * col(s"sx_$tag").cast("double") / col(s"n_$tag")) /
+        (col(s"n_$tag") - 1)
+    val sea = varv("a") / col("n_a")
+    val seb = varv("b") / col("n_b")
+    m.select(
+      col("n_a"), col("n_b"),
+      round(meanv("a"), 4).as("mean_a"),
+      round(meanv("b"), 4).as("mean_b"),
+      round((meanv("a") - meanv("b")) / sqrt(sea + seb), 4).as("t_stat"),
+      round((sea + seb) * (sea + seb) /
+        (sea * sea / (col("n_a") - 1) + seb * seb / (col("n_b") - 1)), 4).as("dof"))
+  }
+
+  /** Benford first-significant-digit audit — the fraud/synthetic-data
+    * smell test: natural multi-scale magnitudes follow
+    * P(d) = log10(1+1/d), and a generator that doesn't is visible in
+    * one 9-row table. The leading digit is extracted from the value's
+    * fixed 4dp decimal rendering (format → strip zeros and the point
+    * → first char), which is engine-portable where float log10-based
+    * digit math is one ulp from flipping. Map-side-combinable count
+    * per digit, 9-row output: constant-size whatever the corpus. */
+  def benfordDigits(s: SparkSession, d: String): DataFrame =
+    benfordDigitsOn(Tables.events(s, d))
+
+  /** Same over any frame with a double `value` column. */
+  def benfordDigitsOn(events: DataFrame): DataFrame = {
+    val digit = substring(
+      regexp_replace(format_string("%.4f", col("value")), "[0.]", ""), 1, 1)
+    val counts = events
+      .filter(col("value") > 0)
+      .select(digit.cast("int").as("digit"))
+      .filter(col("digit").isNotNull)
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("tot"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share", round(col("n").cast("double") / col("tot"), 4))
+      .withColumn("benford_p",
+        round(log10(lit(1) + lit(1.0) / col("digit")), 4))
+      .select(col("digit"), col("n"), col("share"), col("benford_p"),
+        round(col("share") - col("benford_p"), 4).as("dev"))
+      .orderBy(col("digit"))
+  }
+
+  /** k-anonymity audit over a quasi-identifier tuple — the privacy
+    * gate a dataset passes before release: every row must share its
+    * (type, day, user-bucket) combination with at least k−1 others.
+    * One aggregation to group sizes (map-side combinable), one scalar
+    * reduction over the GROUPS (cardinality = distinct QI tuples, not
+    * rows) — a privacy audit at the cost of a count(*). */
+  def kAnonymity(s: SparkSession, d: String, k: Int = 5): DataFrame =
+    kAnonymityOn(Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        (col("user_id") % 20).as("uid_bucket"))
+      .agg(count(lit(1)).as("sz")), k)
+
+  /** Same over any pre-grouped (…, sz) QI-group-size frame. */
+  def kAnonymityOn(groups: DataFrame, k: Int): DataFrame = {
+    groups.agg(
+      count(lit(1)).as("n_groups"),
+      sum(col("sz")).as("n_rows"),
+      min(col("sz")).as("k_min"),
+      sum(when(col("sz") < k, 1L).otherwise(0L)).as("groups_below_k"),
+      sum(when(col("sz") < k, col("sz")).otherwise(0L)).as("rows_below_k"))
+      .select(col("n_groups"), col("n_rows"), col("k_min"),
+        col("groups_below_k"), col("rows_below_k"),
+        round(col("rows_below_k").cast("double") / col("n_rows"), 4)
+          .as("share_below_k"))
+  }
+
+  /** Shannon entropy / Gini impurity of the label distribution — the
+    * one-row class-balance diagnostic (a skewed event-type or language
+    * mix is the first thing to check before training on a corpus).
+    * Per-class probability terms quantize to DECIMAL before the final
+    * sum (order-independent); work after the count aggregation is
+    * class-cardinality, not row-cardinality. */
+  def typeEntropy(df: DataFrame, label: Column): DataFrame = {
+    val counts = df.groupBy(label.as("lbl")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("tot"), count(lit(1)).as("k"))
+    val p = col("n").cast("double") / col("tot")
+    counts.crossJoin(broadcast(tot))
+      .select(col("k"),
+        (-p * log(p)).cast("decimal(20,10)").as("__h"),
+        (p * p).cast("decimal(20,10)").as("__g"))
+      .groupBy(col("k")).agg(sum(col("__h")).as("__hs"), sum(col("__g")).as("__gs"))
+      .select(col("k").as("n_classes"),
+        round(col("__hs").cast("double"), 4).as("entropy"),
+        // a single class has no spread to normalize by: define 0
+        when(col("k") > 1,
+          round(col("__hs").cast("double") / log(col("k").cast("double")), 4))
+          .otherwise(lit(0.0)).as("entropy_norm"),
+        round(lit(1) - col("__gs").cast("double"), 4).as("gini"))
+  }
+
+  /** Top session paths — journey mining: split each user's stream
+    * into sessions at `gapMin`-minute silences, take each session's
+    * first `pathLen` event types as a path string, count paths. The
+    * gap test runs on exact µs epoch integers (no float seconds), the
+    * session id is a running sum over the SAME user window the gap
+    * flag used, and the in-session rank's (user, sess) window is
+    * satisfied by the user-hash partitioning already in place — one
+    * shuffle on the user key covers all three window passes, then one
+    * aggregation on (user, session) and a TakeOrdered top-N on path
+    * counts. Path strings assemble by sorting the collected (rank,
+    * type) structs, never relying on collect_list order. */
+  def sessionPaths(s: SparkSession, d: String, gapMin: Int = 2880,
+                   pathLen: Int = 3, topN: Int = 20): DataFrame =
+    sessionPathsOn(Tables.events(s, d), gapMin, pathLen, topN)
+
+  /** Same over any (user_id, ts, event_id, event_type) frame. */
+  def sessionPathsOn(events: DataFrame, gapMin: Int, pathLen: Int,
+                     topN: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("gap_us") > gapMin * 60L * 1000000L, 1L).otherwise(0L))
+      .withColumn("sess", sum(col("new_sess")).over(w))
+    val ranked = sess.withColumn("rin",
+      row_number().over(Window.partitionBy(col("user_id"), col("sess"))
+        .orderBy(col("ts"), col("event_id"))))
+      .filter(col("rin") <= pathLen)
+    ranked.groupBy(col("user_id"), col("sess"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rin"), col("event_type")))),
+          x => x("event_type")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topN)
+  }
+
+  /** Per-series z-score standardization — the scale-free feature most
+    * models want. Mean/std derive from exact DECIMAL moment sums over
+    * 4dp-quantized values (one aggregation, order-independent) and are
+    * ROUNDED before use — the repo's rounded-metric rule, so no
+    * boundary row can flip between engines; the standardized value is
+    * then a row-local projection after a broadcast join of the R-row
+    * stats side. Two scans, one narrow aggregation, zero wide
+    * shuffles of the fact table. */
+  def featureScale(s: SparkSession, d: String): DataFrame =
+    featureScaleOn(Tables.events(s, d))
+
+  /** Same over any (event_id, event_type, value) frame. */
+  def featureScaleOn(events: DataFrame): DataFrame = {
+    val x = round(col("value"), 4).cast("decimal(14,4)")
+    val stats = events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(x * x).as("sxx"))
+      .select(col("event_type"),
+        round(col("sx").cast("double") / col("n"), 4).as("mu"),
+        round(sqrt(
+          (col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double") / col("n")) /
+          (col("n") - 1)), 4).as("sigma"))
+    events
+      .join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"),
+        round((round(col("value"), 4) - col("mu")) / col("sigma"), 4).as("z"))
+      .orderBy(col("event_id"))
+  }
 }

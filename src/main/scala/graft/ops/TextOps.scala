@@ -522,4 +522,112 @@ object TextOps {
            (col("c2").cast("double") / col("nt")))), 4).as("pmi"))
     pmi.orderBy(col("pmi").desc, col("w1"), col("w2")).limit(topN)
   }
+
+  /** BM25 retrieval — score every document against a fixed query term
+    * set and return the top-k. The only per-row work is the doc-length
+    * projection; term statistics collapse to the QUERY's terms before
+    * anything joins (the tf frame filters to `terms` at the scan, so
+    * df/tf sides are query-sized, not vocabulary-sized), and the
+    * whole-corpus signals (N, avgdl) ride in as broadcast scalars.
+    * idf is rounded to 6dp and each per-term contribution quantizes
+    * to DECIMAL before the per-doc sum — scores are identical under
+    * any aggregation order and any engine's libm. Top-k is a
+    * TakeOrdered on (score desc, doc_id): no global sort. */
+  def bm25(s: SparkSession, d: String,
+           terms: Seq[String] = Seq("spark", "stream", "vector"),
+           k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25On(Tables.documents(s, d), terms, k, k1, b)
+
+  /** Same over any (doc_id, text) frame. */
+  def bm25On(corpus: DataFrame, terms: Seq[String], k: Int,
+             k1: Double, b: Double): DataFrame = {
+    val docs = graft.Tables.spread(corpus)
+      .select(col("doc_id"), toks(lower(col("text"))).as("ws"))
+    val dl = docs.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), explode(col("ws")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = df.crossJoin(broadcast(stats))
+      .select(col("term"),
+        round(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1), 6)
+          .as("idf"))
+    tf.join(broadcast(idf), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats.select(col("avgdl"))))
+      .withColumn("__c",
+        round(col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))), 6)
+          .cast("decimal(20,10)"))
+      .groupBy(col("doc_id")).agg(sum(col("__c")).as("__s"))
+      .select(col("doc_id"), round(col("__s").cast("double"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Multinomial naive Bayes language classifier, trained and scored
+    * entirely in the plan — the fully-oracle-checkable counterpart to
+    * the MLlib fit (ml_classify is rows-only; this entry's every
+    * number replays in ANSI SQL). Train split is a deterministic
+    * doc_id cut; the model is three aggregations (class priors, per-
+    * (class, term) counts, vocabulary size) — all map-side
+    * combinable. Scoring joins each test document's terms to the
+    * class-conditional log-probabilities THROUGH the term key (the
+    * grid is vocab×classes — linear in vocabulary, never in corpus)
+    * and sums tf-weighted contributions per (doc, class). Log
+    * probabilities round to 6dp and contributions quantize to
+    * DECIMAL, so scores are order- and libm-independent; out-of-
+    * vocabulary test terms drop (standard MNB practice, documented
+    * contract). The argmax is a ranked window per doc with a class-
+    * name tiebreak. */
+  def naiveBayes(s: SparkSession, d: String): DataFrame =
+    naiveBayesOn(Tables.documents(s, d))
+
+  /** Same over any (doc_id, lang, text) frame. */
+  def naiveBayesOn(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.spread(corpus)
+      .select(col("doc_id"), col("lang"), toks(lower(col("text"))).as("ws"))
+    val train = docs.filter(col("doc_id") % 10 < 8)
+    val test  = docs.filter(col("doc_id") % 10 >= 8)
+    val trainTerms = train.select(col("lang"), explode(col("ws")).as("term"))
+    val ctk = trainTerms.groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("ctk"))
+    val classTotals = ctk.groupBy(col("lang")).agg(sum(col("ctk")).as("ct"))
+    val vocab = ctk.select(col("term")).distinct()
+    val vocabSize = vocab.agg(count(lit(1)).as("v"))
+    val priors = train.groupBy(col("lang")).agg(count(lit(1)).as("nd"))
+    val priorLn = priors.crossJoin(broadcast(
+        priors.agg(sum(col("nd")).as("ndt"))))
+      .select(col("lang"),
+        round(log(col("nd").cast("double") / col("ndt")), 6).as("prior_ln"))
+    // complete (term, lang) grid so unseen-in-class terms still carry
+    // their smoothed mass — vocab×classes rows, linear in vocabulary
+    val grid = vocab.crossJoin(classTotals)
+      .join(ctk, Seq("term", "lang"), "left")
+      .crossJoin(broadcast(vocabSize))
+      .select(col("term"), col("lang"),
+        round(log((coalesce(col("ctk"), lit(0L)) + 1).cast("double") /
+          (col("ct") + col("v"))), 6).cast("decimal(12,6)").as("lp"))
+    val testTf = test.select(col("doc_id"), col("lang").as("true_lang"),
+        explode(col("ws")).as("term"))
+      .groupBy(col("doc_id"), col("true_lang"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = testTf.join(grid, "term")
+      .withColumn("__c", col("tf") * col("lp"))
+      .groupBy(col("doc_id"), col("true_lang"), col("lang"))
+      .agg(sum(col("__c")).as("__s"))
+      .join(broadcast(priorLn), "lang")
+      .select(col("doc_id"), col("true_lang"), col("lang"),
+        round(col("__s").cast("double") + col("prior_ln"), 4).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("lang"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("doc_id"), col("true_lang"), col("lang").as("pred_lang"),
+        col("score"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -381,4 +381,119 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getDouble(0) === 3.0 && r.getDouble(1) === 2.0 &&
       r.getDouble(2) === 1.0)
   }
+
+  test("markov: a deterministic chain yields exact transition probs, " +
+       "and sf totals account for every non-final event") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    // user 1 cycles a->b->a->b->a; user 2 always a->a->a
+    def ev(u: Long, i: Int, t: String) =
+      (u, new Timestamp(i * 1000L), i.toLong, t)
+    val fix = (Seq("a", "b", "a", "b", "a").zipWithIndex.map {
+        case (t, i) => ev(1, i, t) } ++
+      (0 to 3).map(i => ev(2, i, "a")))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val rows = Analytics.markovTransitionsOn(fix).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rows(("a", "b")) === ((2L, 0.4)))  // 2 of user-1's 4 a-exits + 3 a->a
+    assert(rows(("a", "a")) === ((3L, 0.6)))
+    assert(rows(("b", "a")) === ((2L, 1.0)))
+    assert(!rows.contains(("b", "b")))
+    // sf data: every event except each user's last contributes one pair
+    val sfRows = Analytics.markovTransitions(spark, sf).collect()
+    val nPairs = sfRows.map(_.getLong(2)).sum
+    val nEvents = Tables.events(spark, sf).count()
+    val nUsers = Tables.events(spark, sf)
+      .select(count_distinct(col("user_id"))).first().getLong(0)
+    assert(nPairs === nEvents - nUsers)
+    sfRows.groupBy(_.getString(0)).foreach { case (ft, rs) =>
+      val pSum = rs.map(_.getDouble(3)).sum
+      assert(math.abs(pSum - 1.0) < 0.001, s"$ft probs sum $pSum")
+    }
+  }
+
+  test("welch t: symmetric fixture gives t=0, dof=n-2; shifted fixture " +
+       "is significant") {
+    import spark.implicits._
+    val same = (1 to 50).flatMap(i =>
+      Seq(("click", i.toDouble), ("purchase", i.toDouble)))
+      .toDF("event_type", "value")
+    val r0 = Analytics.welchTTestOn(same, "click", "purchase").first()
+    assert(r0.getDouble(4) === 0.0)
+    assert(r0.getDouble(5) === 98.0) // equal variances: dof = n1+n2-2
+    val shifted = ((1 to 50).map(i => ("click", i.toDouble + 100)) ++
+      (1 to 50).map(i => ("purchase", i.toDouble)))
+      .toDF("event_type", "value")
+    val r1 = Analytics.welchTTestOn(shifted, "click", "purchase").first()
+    assert(r1.getDouble(4) > 30, s"t=${r1.getDouble(4)}")
+  }
+
+  test("benford: planted digits count exactly; sf shares sum to 1") {
+    import spark.implicits._
+    // 9 values with first digit 1, 1 with first digit 9, zero dropped
+    val fix = (Seq.fill(9)(123.45) ++ Seq(0.0942) ++ Seq(0.0))
+      .toDF("value")
+    val rows = Analytics.benfordDigitsOn(fix).collect()
+    val byDigit = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byDigit === Map(1 -> 9L, 9 -> 1L))
+    assert(rows.forall(r => r.getDouble(3) > 0))
+    val sfRows = Analytics.benfordDigits(spark, sf).collect()
+    assert(sfRows.map(_.getInt(0)).toSeq.sorted === (1 to 9))
+    assert(math.abs(sfRows.map(_.getDouble(2)).sum - 1.0) < 0.001)
+  }
+
+  test("k-anonymity: hand group sizes produce exact violation counts") {
+    import spark.implicits._
+    // groups of size 1, 2, 5, 12 with k=5: two groups below, 3 rows
+    val groups = Seq(1L, 2L, 5L, 12L).toDF("sz")
+    val r = Analytics.kAnonymityOn(groups, 5).first()
+    assert(r.getLong(0) === 4L && r.getLong(1) === 20L)
+    assert(r.getLong(2) === 1L)
+    assert(r.getLong(3) === 2L && r.getLong(4) === 3L)
+    assert(r.getDouble(5) === 0.15)
+  }
+
+  test("entropy: uniform labels hit ln(k) exactly; constant labels " +
+       "give zero entropy and zero gini") {
+    import spark.implicits._
+    val uniform = (1 to 40).map(i => s"c${i % 4}").toDF("lbl")
+    val ru = Analytics.typeEntropy(uniform, col("lbl")).first()
+    assert(ru.getLong(0) === 4L)
+    assert(ru.getDouble(2) === 1.0) // normalized entropy
+    assert(ru.getDouble(1) === math.rint(math.log(4) * 10000) / 10000)
+    val const = Seq.fill(10)("only").toDF("lbl")
+    val rc = Analytics.typeEntropy(const, col("lbl")).first()
+    assert(rc.getDouble(1) === 0.0 && rc.getDouble(3) === 0.0)
+  }
+
+  test("session paths: a silence longer than the gap splits the " +
+       "session; path order follows the event order") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    def ev(i: Int, offMin: Long, t: String) =
+      (1L, new Timestamp(offMin * 60000L), i.toLong, t)
+    // session 1: a,b,c,d (only first 3 kept); 3h silence; session 2: b,a
+    val fix = Seq(ev(0, 0, "a"), ev(1, 1, "b"), ev(2, 2, "c"), ev(3, 3, "d"),
+      ev(4, 200, "b"), ev(5, 201, "a"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val rows = Analytics.sessionPathsOn(fix, gapMin = 60, pathLen = 3,
+      topN = 10).collect()
+    val paths = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(paths === Map("a>b>c" -> 1L, "b>a" -> 1L))
+  }
+
+  test("feature scale: z-scores are zero-mean unit-ish per series and " +
+       "reproduce (value - mu) / sigma at the rounded stats") {
+    val rows = Analytics.featureScale(spark, sf).collect()
+    assert(rows.length === Tables.events(spark, sf).count())
+    val byType = rows.groupBy(_.getString(1))
+    byType.foreach { case (t, rs) =>
+      val zs = rs.map(_.getDouble(2))
+      val mean = zs.sum / zs.length
+      val sd = math.sqrt(zs.map(z => (z - mean) * (z - mean)).sum / (zs.length - 1))
+      assert(math.abs(mean) < 0.001, s"$t z-mean $mean")
+      assert(math.abs(sd - 1.0) < 0.01, s"$t z-sd $sd")
+    }
+  }
 }

@@ -322,4 +322,44 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.collocationsOn(docs, topN = 10, minCount = 2)
       .collect().isEmpty)
   }
+
+  test("bm25: length normalization ranks the short exact hit above " +
+       "the longer higher-tf doc; non-matching docs don't appear") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark filler"), // tf=2 but dl=3
+      (2L, "spark"),              // tf=1, dl=1 — length-normalized winner
+      (3L, "nothing relevant here")).toDF("doc_id", "text")
+    val rows = TextOps.bm25On(docs, Seq("spark"), k = 10,
+      k1 = 1.2, b = 0.75).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(2L, 1L))
+    assert(rows.forall(_.getDouble(1) > 0))
+    // sf entry: every returned doc actually contains a query term
+    val top = TextOps.bm25(spark, sf).collect()
+    assert(top.nonEmpty)
+    val hits = Tables.documents(spark, sf)
+      .filter(col("text").rlike("(?i)\\b(spark|stream|vector)\\b"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(top.forall(r => hits.contains(r.getLong(0))))
+  }
+
+  test("naive bayes: disjoint vocabularies classify perfectly; sf " +
+       "accuracy clears chance by 1.5x") {
+    import spark.implicits._
+    // train ids 0..7 (%10<8), test ids 8 and 9 — one per lang
+    val docs = ((0 to 7 by 2).map(i => (i.toLong, "aa", "x x x")) ++
+      (1 to 7 by 2).map(i => (i.toLong, "bb", "y y")) ++
+      Seq((8L, "aa", "x x"), (9L, "bb", "y")))
+      .toDF("doc_id", "lang", "text")
+    val out = TextOps.naiveBayesOn(docs).collect()
+    assert(out.length === 2)
+    out.foreach(r => assert(r.getString(1) === r.getString(2),
+      s"doc ${r.getLong(0)} true ${r.getString(1)} pred ${r.getString(2)}"))
+    // synthetic sf corpus: text only weakly encodes lang, but the
+    // classifier must still beat 5-class chance decisively
+    val sfOut = TextOps.naiveBayes(spark, sf).collect()
+    val acc = sfOut.count(r => r.getString(1) == r.getString(2)).toDouble /
+      sfOut.length
+    assert(acc >= 0.3, s"accuracy $acc")
+  }
 }
