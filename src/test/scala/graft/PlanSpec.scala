@@ -272,6 +272,36 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("session paths: all three windows ride one user-key exchange, " +
+       "top paths via TakeOrdered") {
+    val plan = executedPlan(Analytics.sessionPaths(spark, sf))
+    // gap flag, session id, and in-session rank all partition by the
+    // user key (the (user, sess) window is satisfied by the user-hash
+    // partitioning already in place — only a Sort is allowed); a
+    // second user_id exchange means the window reuse regressed
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(plan).size
+    assert(userExchanges === 1,
+      s"expected 1 user_id exchange, got $userExchanges:\n$plan")
+    // total shuffles: the user window + the path-count aggregation
+    // (the (user, sess) path aggregation rides the window partitioning)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 2, s"expected 2 shuffles, got $exchanges:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("bm25: term statistics collapse to the query terms before any " +
+       "join — the corpus never self-joins or broadcasts") {
+    val plan = executedPlan(TextOps.bm25(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the query-sized idf side must come in as a broadcast hash join
+    // on the term key (the single-row avgdl scalar rides the allowed
+    // broadcast nested loop); a shuffle join on term would mean the
+    // statistics stayed vocabulary-sized
+    assert(plan.contains("BroadcastHashJoin [term"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("top-k entries plan TakeOrdered, never a global sort of all rows") {
     // skew profile: top-N keys out of a counts frame; weighted sample:
     // top-k of the whole corpus. Both MUST be per-partition heaps
