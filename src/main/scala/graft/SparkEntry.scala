@@ -116,6 +116,18 @@ object SparkEntry {
     // fully-oracled multinomial NB language classifier — the model IS
     // three aggregations; scoring joins through the term key
     "ml_naive_bayes" -> ((s, d) => TextOps.naiveBayes(s, d)),
+    // PageRank over the order↔supplier bipartite graph: fixed lazy
+    // power iteration, one node-key shuffle per round, DECIMAL
+    // contributions + 10dp re-rounding for engine-identical ranks
+    "q_pagerank" -> ((s, d) => graft.ops.GraphOps.pageRank(s, d)),
+    // GDPR erasure dry run: two chained semi joins size the cascade
+    // (subjects → orders → line items), one audit row per table
+    "etl_erasure" -> ((s, d) => graft.etl.Mapping.erasureCascade(
+      Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+      Tables.customer(s, d).filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey")))),
+    // per-day p50/p90/p99/max latency bands — the SLO dashboard series
+    "ts_percentiles_daily" -> ((s, d) => TimeSeriesOps.dailyPercentiles(s, d)),
     // the pre-join diagnostic: heaviest keys with share + skew ratio
     // vs uniform — what decides between plain, salted, and broadcast
     "q_skew_profile" -> ((s, d) =>
@@ -1239,6 +1251,77 @@ object SparkEntry {
         |        FROM sc JOIN prl ON sc.lang = prl.lang)
         |SELECT doc_id, true_lang, lang AS pred_lang, score
         |FROM fin WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    // unrolled power iteration: DECIMAL(20,10) per-edge contributions
+    // and 10dp per-round re-rounding make every iterate bit-identical;
+    // CAST(0.85 AS DOUBLE) mirrors Spark's double literal arithmetic
+    "q_pagerank" ->
+      """WITH e1 AS (SELECT DISTINCT 'o' || l_orderkey AS src,
+        |              's' || l_suppkey AS dst FROM lineitem),
+        |e AS (SELECT src, dst FROM e1
+        |      UNION ALL SELECT dst, src FROM e1),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+        |ed AS (SELECT e.src, e.dst, deg.outdeg
+        |       FROM e JOIN deg ON e.src = deg.src),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |it0 AS (SELECT node, 10000000000 // n AS r FROM nodes, nn),
+        |it1 AS (SELECT ed.dst AS node,
+        |    1500000000 // n + (85 * sum(r // outdeg)) // 100 AS r
+        |  FROM ed JOIN it0 ON ed.src = it0.node, nn
+        |  GROUP BY ed.dst, n),
+        |it2 AS (SELECT ed.dst AS node,
+        |    1500000000 // n + (85 * sum(r // outdeg)) // 100 AS r
+        |  FROM ed JOIN it1 ON ed.src = it1.node, nn
+        |  GROUP BY ed.dst, n),
+        |it3 AS (SELECT ed.dst AS node,
+        |    1500000000 // n + (85 * sum(r // outdeg)) // 100 AS r
+        |  FROM ed JOIN it2 ON ed.src = it2.node, nn
+        |  GROUP BY ed.dst, n),
+        |it4 AS (SELECT ed.dst AS node,
+        |    1500000000 // n + (85 * sum(r // outdeg)) // 100 AS r
+        |  FROM ed JOIN it3 ON ed.src = it3.node, nn
+        |  GROUP BY ed.dst, n),
+        |it5 AS (SELECT ed.dst AS node,
+        |    1500000000 // n + (85 * sum(r // outdeg)) // 100 AS r
+        |  FROM ed JOIN it4 ON ed.src = it4.node, nn
+        |  GROUP BY ed.dst, n),
+        |q AS (SELECT node, (r * n + 500000) // 1000000 AS q FROM it5, nn)
+        |SELECT node, CAST(q AS DOUBLE) / 10000.0 AS rank_scaled
+        |FROM q ORDER BY rank_scaled DESC, node LIMIT 20""".stripMargin,
+    // pure counts through the same two-step key cascade
+    "etl_erasure" ->
+      """WITH del AS (SELECT c_custkey AS id FROM customer
+        |             WHERE c_custkey % 97 = 0),
+        |delo AS (SELECT o_orderkey FROM orders
+        |         WHERE o_custkey IN (SELECT id FROM del)),
+        |u AS (
+        |  SELECT 'customer' AS table_name, count(*) AS rows_total,
+        |    count(*) FILTER (WHERE c_custkey % 97 = 0) AS rows_erased
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'orders', count(*),
+        |    count(*) FILTER (WHERE o_custkey IN (SELECT id FROM del))
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem', count(*),
+        |    count(*) FILTER (WHERE l_orderkey IN
+        |      (SELECT o_orderkey FROM delo))
+        |  FROM lineitem)
+        |SELECT table_name, rows_total, rows_erased,
+        |  rows_total - rows_erased AS rows_kept,
+        |  round(CAST(rows_erased AS DOUBLE) / rows_total, 4) AS erased_share
+        |FROM u ORDER BY table_name""".stripMargin,
+    // quantile_cont shares Spark percentile's sort + p·(n−1) + linear
+    // interpolation definition (the q_percentiles precedent), per day
+    "ts_percentiles_daily" ->
+      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP_US))
+        |    AS TIMESTAMP) AS day,
+        |  count(*) AS n,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.99), 4) AS p99,
+        |  round(max(value), 4) AS max_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // Shares the operator's exact arithmetic: integer products stay
     // exact in doubles, so one rounding each for share and skew.
     "q_skew_profile" ->

@@ -283,4 +283,38 @@ object Mapping {
     graft.ops.PrefixSum.exclusive(df, Seq(col(orderCol)), lit(1L))
       .withColumn("seq_id", col("__cum"))
       .drop("__pid", "__cum")
+
+  /** GDPR erasure-cascade audit — the right-to-be-forgotten dry run:
+    * given a deletion list of subject keys, how many rows does each
+    * table in the referential chain lose (subjects → their orders →
+    * those orders' line items)? The cascade is two LEFT SEMI joins
+    * chained through the foreign keys — each table is scanned once,
+    * erased sets never materialize wider than their key columns, and
+    * the deletion list scales with the subject count so its joins are
+    * AQE-chosen (broadcast while it fits, shuffle past that — never a
+    * forced hint on an SF-scaling side). Output is one audit row per
+    * table: total, erased, kept, erased share. At 100 TB this is the
+    * plan you run BEFORE the delete job to size the rewrite. */
+  def erasureCascade(subjects: DataFrame, orders: DataFrame,
+                     lineitem: DataFrame, deleted: DataFrame): DataFrame = {
+    val del = deleted.select(col(deleted.columns.head).as("__id"))
+    val erasedSub = subjects.join(del,
+      subjects(subjects.columns.head) === del("__id"), "left_semi")
+    val erasedOrd = orders.join(del, orders("o_custkey") === del("__id"),
+      "left_semi")
+    val erasedLi = lineitem.join(erasedOrd.select(col("o_orderkey").as("__ok")),
+      lineitem("l_orderkey") === col("__ok"), "left_semi")
+    def stat(name: String, total: DataFrame, erased: DataFrame): DataFrame =
+      total.agg(count(lit(1)).as("rows_total"))
+        .crossJoin(erased.agg(count(lit(1)).as("rows_erased")))
+        .select(lit(name).as("table_name"), col("rows_total"),
+          col("rows_erased"),
+          (col("rows_total") - col("rows_erased")).as("rows_kept"),
+          round(col("rows_erased").cast("double") / col("rows_total"), 4)
+            .as("erased_share"))
+    stat("customer", subjects, erasedSub)
+      .union(stat("orders", orders, erasedOrd))
+      .union(stat("lineitem", lineitem, erasedLi))
+      .orderBy(col("table_name"))
+  }
 }

@@ -29,6 +29,25 @@ object TimeSeriesOps {
       .orderBy(col("day"))
   }
 
+  /** Per-day latency-band series — the SLO dashboard query (p50/p90/
+    * p99/max per day): one exact-percentile aggregation keyed on the
+    * day (map-side partial buffers, one exchange — the q_percentiles
+    * plan shape with the calendar as the group key, so output is
+    * calendar-sized and the per-group distinct-value buffer is
+    * day-bounded). The percentile definition (sort, p·(n−1) index,
+    * linear interpolation) is shared with DuckDB's quantile_cont;
+    * outputs round to 4dp. At 100 TB the same entry runs with
+    * percentile_approx — the declared q_percentiles_approx trade. */
+  def dailyPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"),
+        round(max(col("value")), 4).as("max_value"))
+      .orderBy(col("day"))
+
   /** Linear gap-fill interpolation over a daily per-series frame —
     * the resample's missing-data companion (zero-fill is right for
     * counts; a sensor/price level wants the line between its

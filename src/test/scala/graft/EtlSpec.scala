@@ -252,4 +252,23 @@ class EtlSpec extends SparkSpec {
     assert(out.filter(_._1 == "c").forall { case (_, v, imp) =>
       v == null && imp })
   }
+
+  test("erasure cascade: the fixture's two-hop delete counts exactly") {
+    import spark.implicits._
+    val subjects = (1L to 4L).toDF("c_custkey")
+    val deleted = Seq(2L).toDF("c_custkey")
+    // customer 2 owns orders 20, 21; customer 3 owns order 30
+    val orders = Seq((20L, 2L), (21L, 2L), (30L, 3L))
+      .toDF("o_orderkey", "o_custkey")
+    // order 20 → 2 items, 21 → 1, 30 → 2
+    val lineitem = Seq((20L, 1), (20L, 2), (21L, 1), (30L, 1), (30L, 2))
+      .toDF("l_orderkey", "l_linenumber")
+    val rows = graft.etl.Mapping
+      .erasureCascade(subjects, orders, lineitem, deleted).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows("customer") === ((4L, 1L, 3L, 0.25)))
+    assert(rows("orders") === ((3L, 2L, 1L, 0.6667)))
+    assert(rows("lineitem") === ((5L, 3L, 2L, 0.6)))
+  }
 }

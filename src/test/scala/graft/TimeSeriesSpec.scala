@@ -445,4 +445,16 @@ class TimeSeriesSpec extends SparkSpec {
       assert(first.getDouble(3) === first.getLong(2).toDouble, s"series $k")
     }
   }
+
+  test("daily percentile bands are ordered p50 ≤ p90 ≤ p99 ≤ max and " +
+       "cover every event") {
+    val rows = TimeSeriesOps.dailyPercentiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p90, p99, mx) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(p50 <= p90 && p90 <= p99 && p99 <= mx, r.toString)
+    }
+    assert(rows.map(_.getLong(1)).sum === Tables.events(spark, sf).count())
+  }
 }
