@@ -33,7 +33,10 @@ object GraphOps {
     * would do, with Catalyst free to pick broadcast vs shuffle per
     * round. No driver-side convergence loop (contrast
     * [[DedupOps.clusters]], where rounds are data-dependent): the
-    * plan is fully lazy and composes.
+    * round count is fixed, and the only driver action is the node
+    * count (the clusters/IVF scalar precedent) — it folds the
+    * teleport constant into each round as a literal instead of
+    * re-deriving an N subtree per round.
     *
     * FIXED-POINT INTEGER arithmetic: ranks live as BIGINTs in units
     * of 1e-10 (R = r·10^10), damping as the integer pair
@@ -51,11 +54,12 @@ object GraphOps {
     * still in integer math, ordered with a node tiebreak under a
     * TakeOrdered top-k.
     *
-    * 100 TB posture: the edge list re-derives from the scan each
-    * round (at production scale you'd persist it — documented, not
-    * forced: a cache() here would outlive the operator, the PrefixSum
-    * ownership lesson). Rounds are fixed and few; each is a narrow
-    * join+agg on the node key — no all-pairs anything.
+    * 100 TB posture: the symmetrized edge+degree frame materializes
+    * ONCE through a lazy localCheckpoint and every round reads that
+    * copy (without it Catalyst inlines the derivation per round —
+    * 104 scans in the unrolled tree; an explicit cache() measured
+    * 50% slower than even that). Rounds are fixed and few; each is a
+    * narrow join+agg on the node key — no all-pairs anything.
     */
   def pageRankOn(pairs: DataFrame, iters: Int, topN: Int,
                  dampingPct: Int = 85): DataFrame = {
@@ -65,28 +69,34 @@ object GraphOps {
     val edges = pairs.select(col("src"), col("dst"))
       .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val withDeg = edges.join(outdeg, "src")
-    val nodes = edges.select(col("src").as("node")).distinct()
-    // N rides in as a broadcast single-row frame — the whole operator
-    // stays lazy (no driver-side count at construction time, the
-    // lesson the Bloom build taught)
-    val nDf = nodes.agg(count(lit(1)).as("n"))
-    val init = nodes.crossJoin(broadcast(nDf))
-      .select(col("node"), expr("10000000000 div n").as("r"))
+    // each of the five rounds references the edge/degree frame and
+    // Catalyst would otherwise inline its whole derivation per round
+    // (measured: 104 parquet scans in the unrolled tree); a LAZY
+    // localCheckpoint truncates the lineage so every round reads the
+    // one materialized copy — the dedup_clusters pattern. Storage is
+    // one edge-width frame per call, freed with the RDD reference.
+    val withDeg = edges.join(outdeg, "src").localCheckpoint(false)
+    val nodes = withDeg.select(col("src").as("node")).distinct()
+      .localCheckpoint(false)
+    // node count as a driver scalar — the iterative-operator
+    // precedent (clusters' convergence sums, IVF's cell count): the
+    // teleport constant folds into the per-round expression as a
+    // literal instead of re-deriving an N subtree every round
+    val n = nodes.count()
+    val init = nodes.select(col("node"), lit(10000000000L / n).as("r"))
     val ranks = (1 to iters).foldLeft(init) { (prev, _) =>
       withDeg.join(prev.withColumnRenamed("node", "src"), "src")
         .withColumn("__c", expr("r div outdeg"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("__c")).as("__s"))
-        .crossJoin(broadcast(nDf))
         .select(col("node"),
-          expr(s"$teleport div n + ($dampingPct * __s) div 100").as("r"))
+          expr(s"${teleport / n} + ($dampingPct * __s) div 100").as("r"))
     }
     // N-scaled output, half-up at 4dp — still pure integer math
     // (q counts 1e-4 units), then one exact-integer-to-double cast
-    ranks.crossJoin(broadcast(nDf))
+    ranks
       .select(col("node"),
-        (expr("(r * n + 500000) div 1000000").cast("double") / 10000.0)
+        (expr(s"(r * $n + 500000) div 1000000").cast("double") / 10000.0)
           .as("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("node"))
       .limit(topN)
