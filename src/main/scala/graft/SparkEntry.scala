@@ -128,6 +128,9 @@ object SparkEntry {
         .select(col("c_custkey")))),
     // per-day p50/p90/p99/max latency bands — the SLO dashboard series
     "ts_percentiles_daily" -> ((s, d) => TimeSeriesOps.dailyPercentiles(s, d)),
+    // Lloyd's k-means in fixed-point integer arithmetic — the fully
+    // oracled counterpart to the MLlib ml_cluster fit
+    "ml_kmeans_plan" -> ((s, d) => MlOps.kmeansPlan(s, d)),
     // the pre-join diagnostic: heaviest keys with share + skew ratio
     // vs uniform — what decides between plain, salted, and broadcast
     "q_skew_profile" -> ((s, d) =>
@@ -1288,6 +1291,64 @@ object SparkEntry {
         |q AS (SELECT node, (r * n + 500000) // 1000000 AS q FROM it5, nn)
         |SELECT node, CAST(q AS DOUBLE) / 10000.0 AS rank_scaled
         |FROM q ORDER BY rank_scaled DESC, node LIMIT 20""".stripMargin,
+    // the whole Lloyd's loop unrolled: 1e-6-unit shifted integer
+    // coordinates, integer distances/argmins/means — every iterate is
+    // bit-identical to the Spark side's (the pageRank contract)
+    "ml_kmeans_plan" ->
+      """WITH dims AS (SELECT unnest(range(1, 65)) AS dim),
+        |v AS (SELECT vec_id, label, dim,
+        |    CAST(round(CAST(embedding[dim] AS DOUBLE) * 1000000, 0)
+        |      AS BIGINT) + 1000000 AS v6
+        |  FROM embeddings, dims),
+        |c0 AS (SELECT vec_id AS cluster, dim, v6 AS c6 FROM v
+        |       WHERE vec_id < 3),
+        |s1 AS (SELECT v.vec_id, c.cluster,
+        |         sum((v.v6 - c.c6) * (v.v6 - c.c6)) AS d2
+        |       FROM v JOIN c0 c ON v.dim = c.dim GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cluster FROM (SELECT *, row_number()
+        |         OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+        |         FROM s1) WHERE rk = 1),
+        |c1 AS (SELECT a.cluster, v.dim,
+        |         CAST(sum(v.v6) AS BIGINT) // count(*) AS c6
+        |       FROM v JOIN a1 a ON v.vec_id = a.vec_id GROUP BY 1, 2),
+        |s2 AS (SELECT v.vec_id, c.cluster,
+        |         sum((v.v6 - c.c6) * (v.v6 - c.c6)) AS d2
+        |       FROM v JOIN c1 c ON v.dim = c.dim GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cluster FROM (SELECT *, row_number()
+        |         OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+        |         FROM s2) WHERE rk = 1),
+        |c2 AS (SELECT a.cluster, v.dim,
+        |         CAST(sum(v.v6) AS BIGINT) // count(*) AS c6
+        |       FROM v JOIN a2 a ON v.vec_id = a.vec_id GROUP BY 1, 2),
+        |s3 AS (SELECT v.vec_id, c.cluster,
+        |         sum((v.v6 - c.c6) * (v.v6 - c.c6)) AS d2
+        |       FROM v JOIN c2 c ON v.dim = c.dim GROUP BY 1, 2),
+        |a3 AS (SELECT vec_id, cluster FROM (SELECT *, row_number()
+        |         OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+        |         FROM s3) WHERE rk = 1),
+        |c3 AS (SELECT a.cluster, v.dim,
+        |         CAST(sum(v.v6) AS BIGINT) // count(*) AS c6
+        |       FROM v JOIN a3 a ON v.vec_id = a.vec_id GROUP BY 1, 2),
+        |s4 AS (SELECT v.vec_id, c.cluster,
+        |         sum((v.v6 - c.c6) * (v.v6 - c.c6)) AS d2
+        |       FROM v JOIN c3 c ON v.dim = c.dim GROUP BY 1, 2),
+        |a4 AS (SELECT vec_id, cluster, d2 FROM (SELECT *, row_number()
+        |         OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+        |         FROM s4) WHERE rk = 1),
+        |sz AS (SELECT cluster, count(*) AS n,
+        |         CAST(sum(d2 // 1000000) AS BIGINT) // count(*) AS md6
+        |       FROM a4 GROUP BY 1),
+        |lab AS (SELECT a.cluster, e.label, count(*) AS c
+        |        FROM a4 a JOIN embeddings e ON a.vec_id = e.vec_id
+        |        GROUP BY 1, 2),
+        |maj AS (SELECT cluster, label AS majority_label
+        |        FROM (SELECT *, row_number() OVER (PARTITION BY cluster
+        |                ORDER BY c DESC, label) AS rk FROM lab)
+        |        WHERE rk = 1)
+        |SELECT sz.cluster, sz.n, CAST(md6 AS DOUBLE) / 1000000.0 AS mean_d2,
+        |  maj.majority_label
+        |FROM sz JOIN maj ON sz.cluster = maj.cluster
+        |ORDER BY sz.cluster""".stripMargin,
     // pure counts through the same two-step key cascade
     "etl_erasure" ->
       """WITH del AS (SELECT c_custkey AS id FROM customer

@@ -49,4 +49,82 @@ object MlOps {
         col("prediction").cast("int").as("predicted"))
       .orderBy(col("vec_id"))
   }
+
+  /** Lloyd's k-means trained and scored ENTIRELY in the plan — the
+    * fully-oracle-checkable counterpart to the MLlib fit above
+    * (ml_cluster is rows-only; every number here replays in ANSI
+    * SQL). Vectors explode to (vec_id, dim, value) and stay exploded
+    * throughout: assignment is a dim-key join + per-(vec, cluster)
+    * sum and an argmin window, the centroid update is one aggregation
+    * on (cluster, dim) — per round that is O(n·d·k) work through
+    * narrow shuffles, the same complexity any Lloyd's does, with no
+    * array rebuilds. A FIXED `iters` rounds (deterministic plan, no
+    * convergence loop); empty clusters drop (documented — both
+    * engines drop the same ones).
+    *
+    * FIXED-POINT INTEGER arithmetic (the [[GraphOps.pageRankOn]]
+    * contract): coordinates quantize once to 1e-6 units as BIGINTs —
+    * float-origin doubles have long shortest-representations, so the
+    * single round() cannot hit a Java-vs-C false tie — and are
+    * SHIFTED +1e6 so every value is positive (floor vs
+    * truncate-toward-zero integer division differ on negatives
+    * across engines; distances and means are shift-invariant).
+    * Distances, argmins (cluster-id tiebreak), centroid means, and
+    * inertia are then pure integer ops — bit-identical in any
+    * engine. Per-coordinate mean truncation is < 1e-6, far below the
+    * 4dp output. Output: per-cluster size, mean squared distance,
+    * majority label (count-desc, label tiebreak).
+    *
+    * The exploded frame rides a lazy localCheckpoint: every round
+    * references it, and inlining its derivation per round is the 104-
+    * scan pathology pageRank measured. Long-lived sessions own the
+    * storage via the RDD reference (PrefixSum ownership contract). */
+  def kmeansPlan(s: SparkSession, d: String, k: Int = 3,
+                 iters: Int = 3): DataFrame =
+    kmeansPlanOn(Tables.embeddings(s, d), k, iters)
+
+  /** Same over any (vec_id, label, embedding) frame. */
+  def kmeansPlanOn(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = graft.Tables.spread(emb)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "fval")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        (round(col("fval").cast("double") * 1000000, 0).cast("long") +
+          1000000L).as("v6"))
+      .localCheckpoint(false)
+    val c0 = v.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster"), col("dim"), col("v6").as("c6"))
+    def assign(cent: DataFrame): DataFrame = {
+      val d2 = v.join(cent, "dim")
+        .groupBy(col("vec_id"), col("cluster"))
+        .agg(sum((col("v6") - col("c6")) * (col("v6") - col("c6"))).as("d2"))
+      d2.withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("d2"), col("cluster"))))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("cluster"), col("d2"))
+    }
+    val cFinal = (1 to iters).foldLeft(c0) { (cent, _) =>
+      v.join(assign(cent).select("vec_id", "cluster"), "vec_id")
+        .groupBy(col("cluster"), col("dim"))
+        .agg(expr("sum(v6) div count(1)").as("c6"))
+    }
+    val af = assign(cFinal)
+    val sizes = af.groupBy(col("cluster")).agg(count(lit(1)).as("n"),
+      expr("sum(d2 div 1000000) div count(1)").as("__md6"))
+    val lab = af.select(col("vec_id"), col("cluster"))
+      .join(v.select(col("vec_id"), col("label")).distinct(), "vec_id")
+      .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("__c"))
+    val maj = lab.withColumn("rk", row_number().over(
+        Window.partitionBy(col("cluster"))
+          .orderBy(col("__c").desc, col("label"))))
+      .filter(col("rk") === 1)
+      .select(col("cluster"), col("label").as("majority_label"))
+    sizes.join(maj, "cluster")
+      .select(col("cluster"), col("n"),
+        (col("__md6").cast("double") / 1000000.0).as("mean_d2"),
+        col("majority_label"))
+      .orderBy(col("cluster"))
+  }
 }
