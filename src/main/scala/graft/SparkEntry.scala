@@ -131,6 +131,12 @@ object SparkEntry {
     // Lloyd's k-means in fixed-point integer arithmetic — the fully
     // oracled counterpart to the MLlib ml_cluster fit
     "ml_kmeans_plan" -> ((s, d) => MlOps.kmeansPlan(s, d)),
+    // Matryoshka truncation eval: recall@5 of 16/32-dim prefixes vs
+    // the full 64-dim top-k — is the 4x storage cut free?
+    "emb_mrl_recall" -> ((s, d) => SimilarityOps.mrlRecall(s, d)),
+    // sentence segmentation stats (RE2-safe split, planted sentence
+    // tails — the corpus itself carries no punctuation)
+    "text_sentences" -> ((s, d) => TextOps.sentenceStats(s, d)),
     // the pre-join diagnostic: heaviest keys with share + skew ratio
     // vs uniform — what decides between plain, salted, and broadcast
     "q_skew_profile" -> ((s, d) =>
@@ -1349,6 +1355,45 @@ object SparkEntry {
         |  maj.majority_label
         |FROM sz JOIN maj ON sz.cluster = maj.cluster
         |ORDER BY sz.cluster""".stripMargin,
+    // same per-tier ranking with the (cosine 4dp, vec_id) tiebreak;
+    // list slicing replicates the prefix truncation
+    "emb_mrl_recall" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |           FROM embeddings WHERE vec_id < 10),
+        |sc AS (SELECT d.dims, q.q_id, e.vec_id,
+        |    round(list_cosine_similarity(q.q_emb[1:d.dims],
+        |      e.embedding[1:d.dims]), 4) AS cos
+        |  FROM embeddings e, q,
+        |    (SELECT unnest([16, 32, 64]) AS dims) d
+        |  WHERE e.vec_id <> q.q_id),
+        |top AS (SELECT * FROM (SELECT *, row_number() OVER
+        |          (PARTITION BY dims, q_id ORDER BY cos DESC, vec_id)
+        |          AS rk FROM sc) WHERE rk <= 5),
+        |f AS (SELECT q_id, vec_id FROM top WHERE dims = 64)
+        |SELECT t.dims, t.q_id,
+        |  CAST(count(f.vec_id) AS DOUBLE) / 5 AS recall
+        |FROM top t LEFT JOIN f
+        |  ON t.q_id = f.q_id AND t.vec_id = f.vec_id
+        |WHERE t.dims <> 64
+        |GROUP BY t.dims, t.q_id ORDER BY t.dims, t.q_id""".stripMargin,
+    // identical planted tails, identical RE2-safe split-and-trim
+    "text_sentences" ->
+      """WITH t AS (SELECT doc_id,
+        |    text || '. planted tail one! tail two? ' ||
+        |    repeat('end. ', CAST(doc_id % 3 AS INT)) AS text
+        |  FROM documents),
+        |sp AS (SELECT doc_id,
+        |    list_filter(list_transform(
+        |      string_split_regex(text, '[.!?]+\s*'), x -> trim(x)),
+        |      x -> len(x) > 0) AS s
+        |  FROM t)
+        |SELECT doc_id, len(s) AS n_sentences,
+        |  CASE WHEN len(s) > 0 THEN round(CAST(list_sum(list_transform(s,
+        |      x -> len(string_split_regex(x, '\s+')))) AS DOUBLE)
+        |      / len(s), 4) ELSE 0.0 END AS avg_sentence_tokens,
+        |  coalesce(list_max(list_transform(s, x -> len(x))), 0)
+        |    AS max_sentence_chars
+        |FROM sp ORDER BY doc_id""".stripMargin,
     // pure counts through the same two-step key cascade
     "etl_erasure" ->
       """WITH del AS (SELECT c_custkey AS id FROM customer

@@ -258,6 +258,50 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Matryoshka-truncation recall — the evaluation behind shipping
+    * shortened embeddings (MRL-style): how much of the full-dimension
+    * top-k survives when vectors truncate to their first `t` dims
+    * (16 and 32 here)? One scored frame per tier over the SAME
+    * broadcast query set (the corpus is never self-joined — the
+    * bruteForceTopK posture), ranked per (tier, query) with the
+    * repo's (cosine 4dp desc, vec_id) tiebreak; recall@k counts
+    * tier-top rows that also appear in the 64-dim top via a left
+    * join, so a query with zero overlap still reports 0.0. Output is
+    * (dims, q_id, recall) — the table that tells you whether the 4×
+    * storage cut is free or costs retrieval quality. */
+  def mrlRecall(s: SparkSession, d: String, k: Int = 5,
+                nQueries: Int = 10,
+                tiers: Seq[Int] = Seq(16, 32)): DataFrame =
+    mrlRecallOn(Tables.embeddings(s, d), k, nQueries, tiers)
+
+  /** Same over any (vec_id, embedding) frame; queries are the first
+    * `nQueries` vec_ids. */
+  def mrlRecallOn(corpus: DataFrame, k: Int, nQueries: Int,
+                  tiers: Seq[Int]): DataFrame = {
+    val qs = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val full = Int.MaxValue // slice caps at the array length: full vector
+    val scoredAll = (tiers :+ full).map { t =>
+      corpus.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(lit(t).as("dims"), col("q_id"), col("vec_id"),
+          round(cosine(slice(col("q_emb"), 1, t),
+            slice(col("embedding"), 1, t)), 4).as("cos"))
+    }.reduce(_.union(_))
+    val w = Window.partitionBy(col("dims"), col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val top = scoredAll.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+    val fullTop = top.filter(col("dims") === full)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("__hit"))
+    top.filter(col("dims") =!= full)
+      .join(fullTop, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("dims"), col("q_id"))
+      .agg((sum(coalesce(col("__hit"), lit(0L))).cast("double") / k)
+        .as("recall"))
+      .orderBy(col("dims"), col("q_id"))
+  }
+
   private val dim = 64
 
   /** Fixed-seed Gaussian hyperplanes — shared by the Spark bucket

@@ -523,6 +523,42 @@ object TextOps {
     pmi.orderBy(col("pmi").desc, col("w1"), col("w2")).limit(topN)
   }
 
+  /** Per-document sentence statistics — segmentation is the unit the
+    * quality pipeline reasons in (too-long sentences flag boilerplate
+    * and OCR damage; the chunker wants sentence-aligned cuts). Split
+    * on terminal-punctuation runs with NO lookbehind (RE2-safe — the
+    * oracle engine has no lookaround), trim, drop empties; stats are
+    * row-local array math, zero shuffle, scan speed at any width.
+    * The synthetic corpus carries no punctuation, so the ENTRY plants
+    * a deterministic doc_id-driven sentence tail in both engines (the
+    * text_redact planting precedent) — the operator itself is
+    * general. */
+  def sentenceStats(s: SparkSession, d: String): DataFrame =
+    sentenceStatsOn(Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"),
+        lit(". planted tail one! tail two? "),
+        // 0-2 extra short sentences, varying by doc
+        expr("repeat('end. ', CAST(doc_id % 3 AS INT))")).as("text")))
+
+  /** Same over any (doc_id, text) frame. */
+  def sentenceStatsOn(docs: DataFrame): DataFrame = {
+    val sents = filter(
+      transform(split(col("text"), "[.!?]+\\s*"), x => trim(x)),
+      x => length(x) > 0)
+    graft.Tables.spread(docs)
+      .select(col("doc_id"), sents.as("__s"))
+      .select(col("doc_id"),
+        size(col("__s")).as("n_sentences"),
+        when(size(col("__s")) > 0, round(
+          aggregate(transform(col("__s"),
+            x => size(split(x, "\\s+")).cast("long")),
+            lit(0L), (a, x) => a + x).cast("double") / size(col("__s")), 4))
+          .otherwise(lit(0.0)).as("avg_sentence_tokens"),
+        coalesce(array_max(transform(col("__s"), x => length(x))), lit(0))
+          .as("max_sentence_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** BM25 retrieval — score every document against a fixed query term
     * set and return the top-k. The only per-row work is the doc-length
     * projection; term statistics collapse to the QUERY's terms before

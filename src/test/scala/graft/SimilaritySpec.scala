@@ -213,4 +213,24 @@ class SimilaritySpec extends SparkSpec {
     // and the projection must not collapse: projected norms positive
     assert(proj.values.forall(p => p.map(x => x * x).sum > 0))
   }
+
+  test("mrl recall: prefix-only signal makes truncation lossless; " +
+       "padded noise dims leave recall in [0, 1]") {
+    import spark.implicits._
+    // vectors whose dims beyond 4 are all zero: any prefix >= 4 dims
+    // ranks identically to the full vector, so recall@k must be 1.0
+    val rng = new scala.util.Random(7)
+    val emb = (0L until 30L).map { i =>
+      val head = Array.fill(4)(rng.nextFloat() - 0.5f)
+      (i, head ++ Array.fill(60)(0.0f))
+    }.toDF("vec_id", "embedding")
+    val rows = SimilarityOps.mrlRecallOn(emb, k = 5, nQueries = 5,
+      tiers = Seq(4, 16)).collect()
+    assert(rows.length === 10)
+    rows.foreach(r => assert(r.getDouble(2) === 1.0, r.toString))
+    // sf data: recalls are proper fractions of k
+    val sf01 = SimilarityOps.mrlRecall(spark, sf).collect()
+    assert(sf01.forall { r =>
+      val x = r.getDouble(2); x >= 0.0 && x <= 1.0 })
+  }
 }

@@ -362,4 +362,18 @@ class TextOpsSpec extends SparkSpec {
       sfOut.length
     assert(acc >= 0.3, s"accuracy $acc")
   }
+
+  test("sentence stats: hand fixture segments exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two. three four five! six"),
+      (2L, "no terminal punctuation here"),
+      (3L, "")).toDF("doc_id", "text")
+    val rows = TextOps.sentenceStatsOn(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getInt(3))))
+      .toMap
+    assert(rows(1L) === ((3, 2.0, 15))) // "three four five" = 15 chars
+    assert(rows(2L) === ((1, 4.0, 28)))
+    assert(rows(3L) === ((0, 0.0, 0)))
+  }
 }
