@@ -137,6 +137,12 @@ object SparkEntry {
     // sentence segmentation stats (RE2-safe split, planted sentence
     // tails — the corpus itself carries no punctuation)
     "text_sentences" -> ((s, d) => TextOps.sentenceStats(s, d)),
+    // nonparametric A/B: rank sums over distinct 4dp VALUES ride the
+    // shared PrefixSum — never a per-row global rank window
+    "q_mann_whitney" -> ((s, d) => Analytics.mannWhitney(s, d)),
+    // RAKE salient phrases: two explode+groupBy passes and one
+    // phrase-key join; top-N is a TakeOrdered
+    "text_rake" -> ((s, d) => TextOps.rake(s, d)),
     // the pre-join diagnostic: heaviest keys with share + skew ratio
     // vs uniform — what decides between plain, salted, and broadcast
     "q_skew_profile" -> ((s, d) =>
@@ -1394,6 +1400,55 @@ object SparkEntry {
         |  coalesce(list_max(list_transform(s, x -> len(x))), 0)
         |    AS max_sentence_chars
         |FROM sp ORDER BY doc_id""".stripMargin,
+    // half-rank integer units (2·rank̄ = 2·cum_below + n + 1) keep the
+    // rank sums exact; only the final z / r_rb derive in doubles
+    "q_mann_whitney" ->
+      """WITH f AS (SELECT round(value, 4) AS v,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |g AS (SELECT v, CAST(sum(ia) AS BIGINT) AS n1,
+        |    CAST(count(*) - sum(ia) AS BIGINT) AS n2, count(*) AS n
+        |  FROM f GROUP BY 1),
+        |c AS (SELECT *, coalesce(sum(n) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM g),
+        |a AS (SELECT
+        |    sum(CAST(n1 * (2 * cum + n + 1) AS DECIMAL(38,0))) AS r12,
+        |    CAST(sum(n1) AS BIGINT) AS na, CAST(sum(n2) AS BIGINT) AS nb,
+        |    sum(CAST(n * n * n - n AS DECIMAL(38,0))) AS t
+        |  FROM c),
+        |d AS (SELECT na, nb,
+        |    CAST(r12 AS DOUBLE) - na * (na + 1) AS u2,
+        |    CAST(na AS DOUBLE) + nb AS nd,
+        |    CAST(t AS DOUBLE) AS td
+        |  FROM a)
+        |SELECT na AS n_a, nb AS n_b, u2 / 2 AS u_a,
+        |  round((u2 - CAST(na AS DOUBLE) * nb) /
+        |    (2 * sqrt((CAST(na AS DOUBLE) * nb / 12) *
+        |      ((nd + 1) - td / (nd * (nd - 1))))), 4) AS z,
+        |  round(1 - u2 / (CAST(na AS DOUBLE) * nb), 4) AS r_rb
+        |FROM d""".stripMargin,
+    // identical RE2-safe split pattern shared verbatim with the
+    // operator; word scores round to 6dp, phrase sums ride DECIMAL
+    "text_rake" ->
+      """WITH ph0 AS (SELECT unnest(regexp_split_to_array(lower(text),
+        |    '[.,;:!?]+|\b(?:the|a|and|of|to|in|is)\b')) AS p0
+        |  FROM documents),
+        |ph AS (SELECT trim(p0) AS phrase FROM ph0
+        |       WHERE len(trim(p0)) > 0),
+        |wd AS (SELECT len(string_split_regex(phrase, '\s+')) AS plen,
+        |    unnest(string_split_regex(phrase, '\s+')) AS w FROM ph),
+        |ws AS (SELECT w,
+        |    round(CAST(sum(plen) AS DOUBLE) / count(*), 6) AS wscore
+        |  FROM wd GROUP BY 1),
+        |dp AS (SELECT phrase, count(*) AS n_occ FROM ph GROUP BY 1),
+        |pw AS (SELECT phrase, n_occ,
+        |    unnest(string_split_regex(phrase, '\s+')) AS w FROM dp),
+        |sc AS (SELECT phrase, n_occ,
+        |    sum(CAST(wscore AS DECIMAL(20,10))) AS s
+        |  FROM pw JOIN ws USING (w) GROUP BY 1, 2)
+        |SELECT phrase, n_occ, round(CAST(s AS DOUBLE), 4) AS score
+        |FROM sc ORDER BY score DESC, phrase LIMIT 20""".stripMargin,
     // pure counts through the same two-step key cascade
     "etl_erasure" ->
       """WITH del AS (SELECT c_custkey AS id FROM customer

@@ -730,6 +730,57 @@ object Analytics {
         (sea * sea / (col("n_a") - 1) + seb * seb / (col("n_b") - 1)), 4).as("dof"))
   }
 
+  /** Mann-Whitney U — the NONPARAMETRIC A/B test beside
+    * [[welchTTest]]: no normality assumption, rank-based, robust to
+    * the heavy tails that break a t-test. Rank sums come from the
+    * per-distinct-VALUE count frame, never per-row ranks: a global
+    * row rank is the single-partition window this repo structurally
+    * forbids, while distinct 4dp values ride the shared distributed
+    * [[PrefixSum]] (range partition → local sums → broadcast offsets;
+    * PrefixSum caching contract applies). Average ranks for ties are
+    * exact in HALF-RANK integer units (2·rank̄ = 2·cum_below + n + 1),
+    * tie correction Σ(n³−n) likewise integer; sums go through
+    * DECIMAL(38,0) so 100 TB row counts can't overflow; the
+    * z-statistic and rank-biserial effect size then derive in scalar
+    * double arithmetic from exact integers. One aggregation over
+    * distinct values + the prefix sum — the same exchange budget as a
+    * groupBy. */
+  def mannWhitney(s: SparkSession, d: String,
+                  typeA: String = "click",
+                  typeB: String = "purchase"): DataFrame =
+    mannWhitneyOn(Tables.events(s, d), typeA, typeB)
+
+  /** Same over any (event_type, value) frame. */
+  def mannWhitneyOn(events: DataFrame, typeA: String,
+                    typeB: String): DataFrame = {
+    val g = events.filter(col("event_type").isin(typeA, typeB))
+      .select(round(col("value"), 4).as("v"),
+        when(col("event_type") === typeA, 1L).otherwise(0L).as("ia"))
+      .groupBy(col("v"))
+      .agg(sum(col("ia")).as("n1"),
+        (count(lit(1)) - sum(col("ia"))).as("n2"),
+        count(lit(1)).as("n"))
+    val c = PrefixSum.exclusive(g, Seq(col("v")), col("n"))
+    val agg = c.agg(
+      sum((col("n1") * (lit(2) * col("__cum") + col("n") + 1))
+        .cast("decimal(38,0)")).as("r12"),
+      sum(col("n1")).as("na"), sum(col("n2")).as("nb"),
+      sum((col("n") * col("n") * col("n") - col("n"))
+        .cast("decimal(38,0)")).as("t"))
+    val nd = col("na").cast("double") + col("nb")
+    val u2 = col("r12").cast("double") - col("na") * (col("na") + 1)
+    val tie = col("t").cast("double") / (nd * (nd - 1))
+    val sigma = sqrt((col("na").cast("double") * col("nb") / 12) *
+      ((nd + 1) - tie))
+    agg.select(
+      col("na").as("n_a"), col("nb").as("n_b"),
+      (u2 / 2).as("u_a"),
+      round((u2 - col("na").cast("double") * col("nb")) / (lit(2) * sigma), 4)
+        .as("z"),
+      round(lit(1) - u2 / (col("na").cast("double") * col("nb")), 4)
+        .as("r_rb"))
+  }
+
   /** Benford first-significant-digit audit — the fraud/synthetic-data
     * smell test: natural multi-scale magnitudes follow
     * P(d) = log10(1+1/d), and a generator that doesn't is visible in

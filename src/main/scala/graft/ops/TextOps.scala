@@ -523,6 +523,49 @@ object TextOps {
     pmi.orderBy(col("pmi").desc, col("w1"), col("w2")).limit(topN)
   }
 
+  /** RAKE keyword extraction — corpus-level salient PHRASES (vs
+    * tf-idf's salient terms): candidate phrases are maximal runs
+    * between stopword/punctuation delimiters, word scores are
+    * degree/frequency over phrase co-occurrence, a phrase scores the
+    * sum of its words. Everything is two explode+groupBy passes on
+    * uniform keys (phrase occurrences, then words) and one
+    * phrase-key join — map-side-combinable counts, no window, no
+    * self-join; top-N is a TakeOrdered. Word scores round to 6dp and
+    * phrase sums quantize to DECIMAL (order- and engine-independent);
+    * the split pattern avoids lookaround (RE2-safe, shared verbatim
+    * with the oracle). */
+  def rake(s: SparkSession, d: String, topN: Int = 20): DataFrame =
+    rakeOn(Tables.documents(s, d), topN)
+
+  private val rakeSplit = "[.,;:!?]+|\\b(?:the|a|and|of|to|in|is)\\b"
+
+  /** Same over any (doc_id, text) frame. */
+  def rakeOn(docs: DataFrame, topN: Int): DataFrame = {
+    val ph = graft.Tables.spread(docs)
+      .select(explode(split(lower(col("text")), rakeSplit)).as("p0"))
+      .select(trim(col("p0")).as("phrase"))
+      .filter(length(col("phrase")) > 0)
+    val words = ph
+      .withColumn("ws", split(col("phrase"), "\\s+"))
+      .select(col("phrase"), size(col("ws")).as("plen"),
+        explode(col("ws")).as("w"))
+    val wscore = words.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("w"),
+        round(col("deg").cast("double") / col("freq"), 6).as("wscore"))
+    val distinctP = ph.groupBy(col("phrase")).agg(count(lit(1)).as("n_occ"))
+    distinctP
+      .select(col("phrase"), col("n_occ"),
+        explode(split(col("phrase"), "\\s+")).as("w"))
+      .join(wscore, "w")
+      .groupBy(col("phrase"), col("n_occ"))
+      .agg(sum(col("wscore").cast("decimal(20,10)")).as("__s"))
+      .select(col("phrase"), col("n_occ"),
+        round(col("__s").cast("double"), 4).as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(topN)
+  }
+
   /** Per-document sentence statistics — segmentation is the unit the
     * quality pipeline reasons in (too-long sentences flag boilerplate
     * and OCR damage; the chunker wants sentence-aligned cuts). Split

@@ -413,6 +413,34 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("mann-whitney: hand-ranked tie fixture matches the average-rank " +
+       "formula; identical samples give z=0; separation gives |r_rb|=1") {
+    import spark.implicits._
+    // A={1,2,3}, B={2,3,4}: ranks 1, 2.5, 2.5, 4.5, 4.5, 6 →
+    // R_A = 1+2.5+4.5 = 8, U_A = 8 − 3·4/2 = 2, r_rb = 1 − 4/9
+    val tied = (Seq(1.0, 2.0, 3.0).map(("click", _)) ++
+      Seq(2.0, 3.0, 4.0).map(("purchase", _)))
+      .toDF("event_type", "value")
+    val r = Analytics.mannWhitneyOn(tied, "click", "purchase").first()
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 3L)))
+    assert(r.getDouble(2) === 2.0)     // U_A exact under ties
+    assert(r.getDouble(3) < 0)         // A stochastically below B
+    assert(r.getDouble(4) === 0.5556)  // 1 − 2U/(n1·n2), 4dp
+    val same = (1 to 40).flatMap(i =>
+      Seq(("click", i.toDouble), ("purchase", i.toDouble)))
+      .toDF("event_type", "value")
+    val r0 = Analytics.mannWhitneyOn(same, "click", "purchase").first()
+    assert(r0.getDouble(2) === 800.0)  // U = n1·n2/2
+    assert(r0.getDouble(3) === 0.0)
+    assert(r0.getDouble(4) === 0.0)
+    val sep = ((1 to 30).map(i => ("click", i + 1000.0)) ++
+      (1 to 30).map(i => ("purchase", i.toDouble)))
+      .toDF("event_type", "value")
+    val r1 = Analytics.mannWhitneyOn(sep, "click", "purchase").first()
+    assert(r1.getDouble(2) === 900.0)  // complete dominance: U = n1·n2
+    assert(r1.getDouble(4) === -1.0)
+  }
+
   test("welch t: symmetric fixture gives t=0, dof=n-2; shifted fixture " +
        "is significant") {
     import spark.implicits._

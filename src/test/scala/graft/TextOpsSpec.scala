@@ -315,6 +315,34 @@ class TextOpsSpec extends SparkSpec {
       .foreach(p => assert(p < byPair(("aa", "bb"))))
   }
 
+  test("rake: stopwords delimit phrases and never appear in them; " +
+       "a glued phrase scores the sum of its word scores") {
+    import spark.implicits._
+    // "alpha beta" is always one phrase; each word appears only there
+    // → wscore(alpha) = wscore(beta) = deg/freq = 2, phrase score 4
+    val docs = (0 until 4).map(i =>
+      (i.toLong, s"alpha beta the gamma of delta u$i")).toDF("doc_id", "text")
+    val out = TextOps.rakeOn(docs, topN = 50).collect()
+    val byPhrase = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(2))).toMap
+    assert(byPhrase("alpha beta") === ((4L, 4.0)))
+    assert(byPhrase.contains("gamma") && byPhrase.contains("delta u0"))
+    assert(!byPhrase.keysIterator.exists(p =>
+      p.split("\\s+").exists(Set("the", "of", "a"))))
+    // the two-word run outranks every single-word phrase
+    assert(out.head.getString(0) === "alpha beta")
+  }
+
+  test("rake: punctuation delimits like a stopword; topN caps output") {
+    import spark.implicits._
+    val docs = Seq((1L, "one two. three four, five"))
+      .toDF("doc_id", "text")
+    val phrases = TextOps.rakeOn(docs, topN = 10).collect()
+      .map(_.getString(0)).toSet
+    assert(phrases === Set("one two", "three four", "five"))
+    assert(TextOps.rakeOn(docs, topN = 2).count() === 2L)
+  }
+
   test("collocations: minCount gates rare pairs out before scoring") {
     import spark.implicits._
     val docs = Seq((1L, "one two three"), (2L, "four five six"))
