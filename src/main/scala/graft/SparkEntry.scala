@@ -128,6 +128,23 @@ object SparkEntry {
         .select(col("c_custkey")))),
     // per-day p50/p90/p99/max latency bands — the SLO dashboard series
     "ts_percentiles_daily" -> ((s, d) => TimeSeriesOps.dailyPercentiles(s, d)),
+    // GDPR pseudonymization (erasure's keep-the-data sibling):
+    // deterministic sha2 tokens over customer+orders keys, then a
+    // per-nation join ON TOKENS — the output proves referential
+    // integrity survives the rewrite (counts match the raw-key join)
+    // and min-token sampling proves the token VALUES agree cross-engine
+    "etl_pseudonymize" -> ((s, d) => {
+      val cust = graft.etl.Mapping.pseudonymize(
+        Tables.customer(s, d), Seq("c_custkey"), "pepper")
+      val ord = graft.etl.Mapping.pseudonymize(
+        Tables.orders(s, d), Seq("o_custkey"), "pepper")
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(countDistinct(cust("c_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"),
+          min(cust("c_custkey")).as("sample_token"))
+        .orderBy(col("c_nationkey"))
+    }),
     // Lloyd's k-means in fixed-point integer arithmetic — the fully
     // oracled counterpart to the MLlib ml_cluster fit
     "ml_kmeans_plan" -> ((s, d) => MlOps.kmeansPlan(s, d)),
@@ -332,6 +349,13 @@ object SparkEntry {
     "ts_resample_daily" -> (TimeSeriesOps.resampleDaily _),
     "ts_rolling"        -> ((s, d) => TimeSeriesOps.rollingFeatures(s, d)),
     "ts_anomaly"        -> ((s, d) => TimeSeriesOps.anomalyZScore(s, d)),
+    // robust median/MAD outliers — the heavy-tail-safe sibling of the
+    // z-score monitor (mean/stddev are dragged by the outliers they
+    // hunt; the median isn't); thresholds rounded before the score
+    "ts_outlier_mad" -> ((s, d) => TimeSeriesOps.outlierMad(s, d)),
+    // calendar features on the daily series (dow/weekend/month/...):
+    // pure integer + engine-portable date arithmetic, row-local
+    "ts_calendar_features" -> ((s, d) => TimeSeriesOps.calendarFeatures(s, d)),
     // per-series EWMA smoothing — sequential within a series, so a
     // sorted per-series fold; parallelism = series count
     "ts_ewma"           -> ((s, d) => TimeSeriesOps.ewma(s, d)),
@@ -618,6 +642,12 @@ object SparkEntry {
     // SQL-expressible: every 10th vector held out, majority vote of
     // its 5 nearest labeled neighbors, double-deterministic ties
     "ml_knn_classify" -> ((s, d) => SimilarityOps.knnClassify(s, d)),
+    // per-class confusion-matrix metrics over the kNN predictions —
+    // the classification counterpart of forecast_eval; the class axis
+    // is the FULL union of true+predicted labels (a never-predicted
+    // class still gets its precision-0 row)
+    "ml_eval_classification" -> ((s, d) =>
+      MlOps.evalClassification(SimilarityOps.knnClassify(s, d))),
     // the classifier's scale tier as runnable code, not documentation:
     // the SAME vote over an IVF shortlist (query side deliberately
     // un-broadcast — it grows with the corpus; AQE decides the join)
@@ -664,6 +694,28 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** The kNN classifier's vote pipeline WITHOUT the final ORDER BY —
+    * shared verbatim by the ml_knn_classify oracle and (as a nested
+    * CTE) the ml_eval_classification oracle, so the two can't drift:
+    * the eval metrics are checked over exactly the prediction set the
+    * classifier entry checks. */
+  private val knnVoteOracleCore: String =
+    """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+      |             label AS true_label
+      |           FROM embeddings WHERE vec_id % 10 = 0),
+      |scored AS (
+      |  SELECT q_id, true_label, e.vec_id AS vec_id, e.label AS label,
+      |    round(list_cosine_similarity(q_emb, e.embedding), 4) AS cosine
+      |  FROM embeddings e, q WHERE e.vec_id % 10 <> 0),
+      |top AS (SELECT *, row_number() OVER (PARTITION BY q_id
+      |          ORDER BY cosine DESC, vec_id) AS r FROM scored),
+      |votes AS (SELECT q_id, true_label, label, count(*) AS votes
+      |          FROM top WHERE r <= 5 GROUP BY 1, 2, 3),
+      |best AS (SELECT *, row_number() OVER (PARTITION BY q_id
+      |           ORDER BY votes DESC, label) AS vr FROM votes)
+      |SELECT q_id, true_label, label AS pred_label, votes
+      |FROM best WHERE vr = 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1472,6 +1524,20 @@ object SparkEntry {
         |  rows_total - rows_erased AS rows_kept,
         |  round(CAST(rows_erased AS DOUBLE) / rows_total, 4) AS erased_share
         |FROM u ORDER BY table_name""".stripMargin,
+    // sha256 hex (lowercase) ≡ Spark sha2(…, 256); joining and
+    // min-sampling ON TOKENS proves both the preserved referential
+    // integrity and the cross-engine token equality
+    "etl_pseudonymize" ->
+      """WITH c AS (SELECT sha256('pepper:' || CAST(c_custkey AS VARCHAR))
+        |             AS tok, c_nationkey
+        |           FROM customer),
+        |o AS (SELECT sha256('pepper:' || CAST(o_custkey AS VARCHAR)) AS tok
+        |      FROM orders)
+        |SELECT c_nationkey,
+        |  CAST(count(DISTINCT c.tok) AS BIGINT) AS n_customers,
+        |  count(*) AS n_orders, min(c.tok) AS sample_token
+        |FROM c JOIN o ON c.tok = o.tok
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // quantile_cont shares Spark percentile's sort + p·(n−1) + linear
     // interpolation definition (the q_percentiles precedent), per day
     "ts_percentiles_daily" ->
@@ -1483,6 +1549,46 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.99), 4) AS p99,
         |  round(max(value), 4) AS max_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Shares quantile_cont ≡ Spark percentile interpolation; med and
+    // MAD round to 4dp BEFORE the score (rounded-metric rule), so the
+    // ratio divides identical doubles on both engines.
+    "ts_outlier_mad" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP_US))
+        |      AS TIMESTAMP) AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type, round(quantile_cont(cnt, 0.5), 4) AS med
+        |        FROM daily GROUP BY 1),
+        |dev AS (SELECT d.event_type, d.day, d.cnt, m.med,
+        |          abs(d.cnt - m.med) AS adev
+        |        FROM daily d JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, round(quantile_cont(adev, 0.5), 4) AS mad
+        |        FROM dev GROUP BY 1),
+        |z AS (SELECT v.event_type, v.day, v.cnt, v.med, a.mad,
+        |        round(CASE WHEN a.mad = 0 THEN 0.0
+        |              ELSE 0.6745 * (v.cnt - v.med) / a.mad END, 4) AS robust_z
+        |      FROM dev v JOIN mad a USING (event_type))
+        |SELECT event_type, day, cnt, med, mad, robust_z,
+        |  abs(robust_z) >= 3.5 AS is_outlier
+        |FROM z ORDER BY event_type, day""".stripMargin,
+    // dow from the epoch-day count ((ed + 3) mod 7, 0 = Monday) —
+    // dayofweek()'s origin varies by engine, an integer mod doesn't;
+    // the date functions used agree across engines by construction
+    "ts_calendar_features" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP_US))
+        |      AS TIMESTAMP) AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |f AS (SELECT event_type, day, cnt,
+        |        CAST((date_diff('day', DATE '1970-01-01',
+        |          CAST(day AS DATE)) + 3) % 7 AS INTEGER) AS dow
+        |      FROM daily)
+        |SELECT event_type, day, cnt, dow,
+        |  dow >= 5 AS is_weekend,
+        |  CAST(month(day) AS INTEGER) AS month,
+        |  CAST(day(CAST(day AS DATE)) AS INTEGER) AS dom,
+        |  CAST(day AS DATE) = last_day(CAST(day AS DATE)) AS is_month_end
+        |FROM f ORDER BY event_type, day""".stripMargin,
     // Shares the operator's exact arithmetic: integer products stay
     // exact in doubles, so one rounding each for share and skew.
     "q_skew_profile" ->
@@ -2396,22 +2502,37 @@ object SparkEntry {
     // The whole classifier replayed relationally: neighbor ranking on
     // (cosine 4dp desc, vec_id), vote on (count desc, label) — both
     // tiebreaks total, so the argmax rows hash identically.
-    "ml_knn_classify" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb,
-        |             label AS true_label
-        |           FROM embeddings WHERE vec_id % 10 = 0),
-        |scored AS (
-        |  SELECT q_id, true_label, e.vec_id AS vec_id, e.label AS label,
-        |    round(list_cosine_similarity(q_emb, e.embedding), 4) AS cosine
-        |  FROM embeddings e, q WHERE e.vec_id % 10 <> 0),
-        |top AS (SELECT *, row_number() OVER (PARTITION BY q_id
-        |          ORDER BY cosine DESC, vec_id) AS r FROM scored),
-        |votes AS (SELECT q_id, true_label, label, count(*) AS votes
-        |          FROM top WHERE r <= 5 GROUP BY 1, 2, 3),
-        |best AS (SELECT *, row_number() OVER (PARTITION BY q_id
-        |           ORDER BY votes DESC, label) AS vr FROM votes)
-        |SELECT q_id, true_label, label AS pred_label, votes
-        |FROM best WHERE vr = 1 ORDER BY q_id""".stripMargin,
+    "ml_knn_classify" -> (knnVoteOracleCore + " ORDER BY q_id"),
+    // metric derivation over the SAME vote pipeline (nested CTE of
+    // the shared core — the prediction set cannot drift between the
+    // classifier entry and its eval); sums cast to BIGINT so the
+    // driver's pandas layer keeps integer dtypes
+    "ml_eval_classification" ->
+      ("WITH preds AS (" + knnVoteOracleCore + "),\n" +
+        """t AS (SELECT true_label AS label,
+          |        CAST(count(*) AS BIGINT) AS n_true,
+          |        CAST(sum(CASE WHEN pred_label = true_label
+          |                 THEN 1 ELSE 0 END) AS BIGINT) AS tp
+          |      FROM preds GROUP BY 1),
+          |p AS (SELECT pred_label AS label,
+          |        CAST(count(*) AS BIGINT) AS n_pred
+          |      FROM preds GROUP BY 1),
+          |j AS (SELECT coalesce(t.label, p.label) AS label,
+          |        coalesce(n_true, 0) AS n_true,
+          |        coalesce(n_pred, 0) AS n_pred,
+          |        coalesce(tp, 0) AS tp
+          |      FROM t FULL OUTER JOIN p ON t.label = p.label),
+          |m AS (SELECT label, n_true, n_pred, tp,
+          |        CASE WHEN n_pred = 0 THEN 0.0
+          |             ELSE CAST(tp AS DOUBLE) / n_pred END AS pr,
+          |        CASE WHEN n_true = 0 THEN 0.0
+          |             ELSE CAST(tp AS DOUBLE) / n_true END AS rc
+          |      FROM j)
+          |SELECT label, n_true, n_pred, tp,
+          |  round(pr, 4) AS precision, round(rc, 4) AS recall,
+          |  round(CASE WHEN pr + rc = 0 THEN 0.0
+          |        ELSE 2.0 * pr * rc / (pr + rc) END, 4) AS f1
+          |FROM m ORDER BY label""".stripMargin),
     // the scale tier replayed end to end: corpus-fit IVF cells →
     // multi-probe shortlist → the SAME vote (generated beside the
     // operator so fit parameters can't drift between engines)

@@ -317,4 +317,23 @@ object Mapping {
       .union(stat("lineitem", lineitem, erasedLi))
       .orderBy(col("table_name"))
   }
+
+  /** GDPR pseudonymization — [[erasureCascade]]'s sibling for the
+    * keep-the-data case: identifying keys are replaced by
+    * deterministic sha2-256 tokens of pepper:key, so the SAME key
+    * pseudonymizes to the SAME token in every table and referential
+    * integrity survives (joins, groupBys, and FK checks all still
+    * work on tokens), while reversing a token requires the pepper.
+    * Row-local (a projection — rides the scan at any scale); the one
+    * property the rewrite DOES cost is layout: tokens hash-shuffle
+    * any sortedness/bucketing that existed on the raw key, so
+    * re-bucket ON THE TOKEN after pseudonymizing if downstream joins
+    * relied on co-location (token distribution is uniform — the
+    * re-bucketed layout is skew-free by construction). */
+  def pseudonymize(df: DataFrame, cols: Seq[String],
+                   pepper: String): DataFrame =
+    cols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c,
+        sha2(concat(lit(pepper + ":"), col(c).cast("string")), 256))
+    }
 }

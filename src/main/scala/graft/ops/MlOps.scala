@@ -127,4 +127,47 @@ object MlOps {
         col("majority_label"))
       .orderBy(col("cluster"))
   }
+
+  /** Classifier evaluation — per-class confusion-matrix metrics over
+    * any (true_label, pred_label) prediction frame: support (n_true),
+    * predicted count (n_pred), true positives, precision, recall, F1.
+    * The classification counterpart of forecast_eval: a pipeline that
+    * trains a classifier needs the eval operator next to it, and a
+    * per-class table (not one accuracy scalar) is what exposes the
+    * minority classes a training-data pipeline is about to starve.
+    *
+    * The class axis is the FULL union of true and predicted labels
+    * (the q_chi2 full-grid rule): a class the model never predicts
+    * still gets its row — with precision 0, not a missing row — and a
+    * hallucinated class (predicted, never true) surfaces with recall
+    * 0. Degenerate denominators define the metric as 0 rather than
+    * dividing (ANSI-safe). Plan: two map-side-combinable counts on
+    * the class key (class-cardinality exchanges, whatever the corpus
+    * size) + one full-outer join of two class-sized frames. Metrics
+    * derive from exact integers in IEEE doubles, rounded once at
+    * output — both engines divide the same integers. */
+  def evalClassification(preds: DataFrame,
+                         trueCol: String = "true_label",
+                         predCol: String = "pred_label"): DataFrame = {
+    val t = preds.groupBy(col(trueCol).as("label"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col(predCol) === col(trueCol), 1L).otherwise(0L)).as("tp"))
+    val p = preds.groupBy(col(predCol).as("label"))
+      .agg(count(lit(1)).as("n_pred"))
+    val prec = when(col("n_pred") === 0, lit(0.0))
+      .otherwise(col("tp").cast("double") / col("n_pred"))
+    val rec = when(col("n_true") === 0, lit(0.0))
+      .otherwise(col("tp").cast("double") / col("n_true"))
+    t.join(p, Seq("label"), "full_outer")
+      .select(col("label"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(col("label"), col("n_true"), col("n_pred"), col("tp"),
+        round(prec, 4).as("precision"),
+        round(rec, 4).as("recall"),
+        round(when(prec + rec === 0, lit(0.0))
+          .otherwise(lit(2.0) * prec * rec / (prec + rec)), 4).as("f1"))
+      .orderBy(col("label"))
+  }
 }

@@ -545,6 +545,75 @@ object TimeSeriesOps {
       .drop("__cell", "__lo", "__hi", "__rts")
   }
 
+  /** Robust per-series outlier detection via median/MAD — the
+    * heavy-tail-safe sibling of [[anomalyZScore]]: mean/stddev are
+    * themselves dragged by the outliers they're meant to find, while
+    * the median and the median absolute deviation have a 50%
+    * breakdown point. robust_z = 0.6745·(x − med)/MAD (the standard
+    * consistency constant makes it comparable to a z-score under
+    * normality); a zero-MAD series (over half the points identical)
+    * pins robust_z = 0 rather than NaN.
+    *
+    * Plan: two exact-percentile aggregations on the series key (the
+    * per-group buffer is day-bounded like [[dailyPercentiles]]) and
+    * one thresholds join back onto the daily frame — the thresholds
+    * side is series-cardinality-sized, so AQE broadcasts it and the
+    * daily frame never shuffles twice. med and MAD are ROUNDED to 4dp
+    * BEFORE the score (the repo's rounded-metric rule: raw
+    * interpolated percentiles can sit one ulp apart across engines
+    * and flip a boundary row). At 100 TB the same shape runs with
+    * percentile_approx — the declared q_percentiles_approx trade. */
+  def outlierMad(s: SparkSession, d: String, k: Double = 3.5): DataFrame =
+    outlierMadOn(
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt")),
+      k)
+
+  /** Same over any (event_type, day, cnt) daily frame. */
+  def outlierMadOn(daily: DataFrame, k: Double): DataFrame = {
+    val med = daily.groupBy(col("event_type"))
+      .agg(round(expr("percentile(cnt, 0.5)"), 4).as("med"))
+    val dev = daily.join(med, "event_type")
+      .withColumn("adev", abs(col("cnt") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(round(expr("percentile(adev, 0.5)"), 4).as("mad"))
+    val z = when(col("mad") === 0, lit(0.0))
+      .otherwise(lit(0.6745) * (col("cnt") - col("med")) / col("mad"))
+    dev.join(mad, "event_type")
+      .select(col("event_type"), col("day"), col("cnt"),
+        col("med"), col("mad"),
+        round(z, 4).as("robust_z"),
+        (abs(round(z, 4)) >= k).as("is_outlier"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Calendar feature derivation on the gap-filled daily series — the
+    * classic enrichment before a demand forecaster (the reference's
+    * taxi pipeline forecasts daily rides; day-of-week and month are
+    * the first features any such model earns). Every feature is
+    * derived with PURE INTEGER arithmetic or engine-portable date
+    * functions: dow comes from the epoch-day count ((ed + 3) mod 7,
+    * 0 = Monday — dayofweek()'s origin varies by engine/locale, an
+    * integer mod doesn't), month/day-of-month/last-day agree across
+    * engines by construction. Row-local over the resampled frame —
+    * zero additional shuffles at any scale. */
+  def calendarFeatures(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val ed = datediff(col("day"), to_date(lit("1970-01-01")))
+    val dow = (ed + 3) % 7
+    daily
+      .withColumn("dow", dow.cast("int"))
+      .withColumn("is_weekend", col("dow") >= 5)
+      .withColumn("month", month(col("day")))
+      .withColumn("dom", dayofmonth(col("day")))
+      .withColumn("is_month_end",
+        to_date(col("day")) === last_day(col("day")))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** DeepAR-style dataset export: one row per series with
     * {start, target[], json} — the reference's series_to_jsonline
     * (GluePySparkMLFeatureEngineering cell 45), built with an

@@ -271,4 +271,21 @@ class EtlSpec extends SparkSpec {
     assert(rows("orders") === ((3L, 2L, 1L, 0.6667)))
     assert(rows("lineitem") === ((5L, 3L, 2L, 0.6)))
   }
+
+  test("pseudonymize: tokens are sha2 hex, deterministic, and joins survive") {
+    val cust = Tables.customer(spark, sf)
+    val ord = Tables.orders(spark, sf)
+    val pc = Mapping.pseudonymize(cust, Seq("c_custkey"), "pepper")
+    val po = Mapping.pseudonymize(ord, Seq("o_custkey"), "pepper")
+    // token shape: 64 lowercase hex chars, never the raw key
+    val toks = pc.select(col("c_custkey")).limit(20).collect().map(_.getString(0))
+    assert(toks.forall(_.matches("[0-9a-f]{64}")))
+    // deterministic: same key → same token across frames and runs
+    val joinedTok = pc.join(po, pc("c_custkey") === po("o_custkey")).count()
+    val joinedRaw = cust.join(ord, cust("c_custkey") === ord("o_custkey")).count()
+    assert(joinedTok === joinedRaw) // referential integrity preserved
+    // different pepper → disjoint token space (no accidental linkage)
+    val other = Mapping.pseudonymize(cust, Seq("c_custkey"), "other")
+    assert(pc.join(other, pc("c_custkey") === other("c_custkey")).count() === 0)
+  }
 }

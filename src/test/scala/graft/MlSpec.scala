@@ -51,4 +51,27 @@ class MlSpec extends SparkSpec {
       Tables.embeddings(spark, sf).count())
     assert(rows.forall(_.getDouble(2) > 0))
   }
+
+  test("evalClassification: hand fixture incl. hallucinated + starved class") {
+    import spark.implicits._
+    // true classes {0, 1, 2}; class 3 is hallucinated (predicted, never
+    // true), class 2 is starved (true, never predicted)
+    val preds = Seq(
+      (0, 0), (0, 0), (0, 1),     // class 0: 3 true, 2 tp
+      (1, 1), (1, 3),             // class 1: 2 true, 1 tp
+      (2, 0), (2, 3)              // class 2: 2 true, 0 tp
+    ).toDF("true_label", "pred_label")
+    val out = MlOps.evalClassification(preds).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(out.keySet === Set(0, 1, 2, 3)) // full union of axes
+    // class 0: n_true=3 n_pred=3 tp=2 → p=r=0.6667, f1=0.6667
+    assert((out(0).getLong(1), out(0).getLong(2), out(0).getLong(3)) === ((3L, 3L, 2L)))
+    assert(out(0).getDouble(4) === 0.6667 && out(0).getDouble(5) === 0.6667)
+    // class 1: n_pred=2, tp=1 → p=0.5, r=0.5, f1=0.5
+    assert(out(1).getDouble(4) === 0.5 && out(1).getDouble(6) === 0.5)
+    // starved class 2: predicted never → precision 0 (not null), recall 0
+    assert((out(2).getLong(2), out(2).getDouble(4), out(2).getDouble(6)) === ((0L, 0.0, 0.0)))
+    // hallucinated class 3: n_true=0 → recall 0 row still present
+    assert((out(3).getLong(1), out(3).getLong(2), out(3).getDouble(5)) === ((0L, 2L, 0.0)))
+  }
 }

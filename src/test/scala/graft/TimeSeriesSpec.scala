@@ -457,4 +457,43 @@ class TimeSeriesSpec extends SparkSpec {
     }
     assert(rows.map(_.getLong(1)).sum === Tables.events(spark, sf).count())
   }
+
+  test("outlierMad flags a planted spike and a flat series scores zero") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def d(i: Int) = Timestamp.valueOf(f"2024-01-${i}%02d 00:00:00")
+    // series a: 9 days at 10 plus one 100x spike; series b: constant
+    val rows = (1 to 9).map(i => ("a", d(i), 10L)) ++
+      Seq(("a", d(10), 1000L)) ++
+      (1 to 10).map(i => ("b", d(i), 7L))
+    val daily = rows.toDF("event_type", "day", "cnt")
+    val out = TimeSeriesOps.outlierMadOn(daily, k = 3.5).collect()
+    val a = out.filter(_.getString(0) == "a")
+    // median 10, MAD 0? 9 of 10 values identical → mad = 0 — adjust:
+    // make series a vary a little so MAD is positive
+    val rows2 = (1 to 9).map(i => ("a", d(i), 8L + i)) ++
+      Seq(("a", d(10), 1000L))
+    val out2 = TimeSeriesOps
+      .outlierMadOn(rows2.toDF("event_type", "day", "cnt"), k = 3.5)
+      .collect()
+    val flagged = out2.filter(_.getBoolean(6)).map(_.getLong(2))
+    assert(flagged.toSeq === Seq(1000L)) // only the spike trips the gate
+    // the flat series: MAD = 0 → robust_z pinned to 0, nothing flagged
+    val b = out.filter(_.getString(0) == "b")
+    assert(b.forall(r => r.getDouble(5) == 0.0 && !r.getBoolean(6)))
+    assert(a.length === 10 && b.length === 10)
+  }
+
+  test("calendarFeatures integer dow matches known dates") {
+    val out = TimeSeriesOps.calendarFeatures(spark, sf).collect()
+    out.foreach { r =>
+      val day = r.getTimestamp(1).toLocalDateTime.toLocalDate
+      val expectDow = day.getDayOfWeek.getValue - 1 // java: MON=1 → 0
+      assert(r.getInt(3) === expectDow, s"dow mismatch at $day")
+      assert(r.getBoolean(4) === (expectDow >= 5))
+      assert(r.getInt(5) === day.getMonthValue)
+      assert(r.getInt(6) === day.getDayOfMonth)
+      assert(r.getBoolean(7) === (day.getDayOfMonth === day.lengthOfMonth))
+    }
+  }
 }
