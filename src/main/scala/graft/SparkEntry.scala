@@ -658,6 +658,10 @@ object SparkEntry {
     // JL random projection 64→8 — the dimensionality tier of the
     // compression ladder; runs before the ANN tiers at scale
     "emb_project_rp" -> ((s, d) => SimilarityOps.randomProject(s, d)),
+    // top principal component by fixed-point power iteration over an
+    // in-plan covariance grid — the variance-structure probe that
+    // decides the compression ladder; d²-row exchanges only
+    "emb_pca_power" -> ((s, d) => SimilarityOps.pcaPower(s, d)),
     // §2.8 streaming (batch faces; streaming faces spec-tested)
     "stream_window_counts" -> (graft.streaming.EventStreams.windowCountsBatch _),
     "stream_sliding_counts" -> (graft.streaming.EventStreams.slidingCountsBatch _),
@@ -2537,6 +2541,10 @@ object SparkEntry {
     // multi-probe shortlist → the SAME vote (generated beside the
     // operator so fit parameters can't drift between engines)
     "ml_knn_classify_ivf" -> SimilarityOps.knnIvfOracleSql(),
+    // generated beside the operator: same quantization, same integer
+    // covariance codes, same unrolled power rounds (HUGEINT stands in
+    // for DECIMAL(38,0); both engines' integer division truncates)
+    "emb_pca_power" -> SimilarityOps.pcaOracleSql(),
     // Generated from the same pattern table the operator folds over
     // (Java regex and RE2 agree on this subset); counts on the
     // original text, replacements applied in the same fixed order.

@@ -720,4 +720,125 @@ object SimilarityOps {
        |SELECT q_id, true_label, label AS pred_label, votes
        |FROM best WHERE vr = 1 ORDER BY q_id""".stripMargin
   }
+
+  /** Top principal component of the embedding space by power
+    * iteration over an IN-PLAN covariance grid — the variance-
+    * structure probe an embedding pipeline runs before deciding the
+    * compression ladder ([[randomProject]] / [[quantizeInt8]] /
+    * PQ): the dominant direction, its eigenvalue, and the explained-
+    * variance share tell you whether the space is isotropic (JL-safe,
+    * MRL-hostile) or has a fat axis worth aligning to. Third member
+    * of the fixed-point-iteration family (q_pagerank, ml_kmeans_plan).
+    *
+    * Plan shape: vectors quantize ONCE to shifted 1e-6-unit longs
+    * (the kmeans contract — the +1e6 shift keeps the per-dim mean
+    * division positive); centering subtracts a broadcast 64-long mean
+    * array; the covariance grid explodes each centered array twice
+    * ROW-LOCALLY — O(n·d²) compute but the exchange is d² rows after
+    * map-side partial aggregation, whatever the corpus size. Products
+    * ride DECIMAL(38,0) sums (exact, associative — aggregation order
+    * irrelevant at 1000 executors), then scale to 1e-8-unit BIGINT
+    * covariance codes. Each power round is a join against the d²-row
+    * grid (localCheckpoint'd once — the pageRank 104-scan lesson) +
+    * a max-|component| renormalization in pure integer division,
+    * which both engines truncate toward zero identically (verified,
+    * not assumed). The eigenvalue derives from the integer Rayleigh
+    * quotient; loadings normalize to max-component = ±1e6.
+    * Deterministic to the bit on both engines; doubles appear only in
+    * the final unit conversions. */
+  def pcaPower(s: SparkSession, d: String, iters: Int = 6): DataFrame =
+    pcaPowerOn(Tables.embeddings(s, d), iters)
+
+  /** Same over any (vec_id, embedding) frame. */
+  def pcaPowerOn(emb: DataFrame, iters: Int): DataFrame = {
+    val x = Tables.spread(emb).select(col("vec_id"),
+      transform(col("embedding"),
+        v => round(v.cast("double") * 1000000, 0).cast("long") + 1000000L)
+        .as("x6"))
+    val mu = x.select(posexplode(col("x6")).as(Seq("dim", "v6")))
+      .groupBy(col("dim")).agg(expr("sum(v6) div count(1)").as("mu6"))
+    val muArr = mu
+      .agg(array_sort(collect_list(struct(col("dim"), col("mu6")))).as("pm"))
+      .select(transform(col("pm"), p => p.getField("mu6")).as("mu6s"))
+    val cx = x.crossJoin(broadcast(muArr))
+      .select(col("vec_id"),
+        zip_with(col("x6"), col("mu6s"), (a, b) => a - b).as("dx"))
+    val cov = cx
+      .select(col("dx"), posexplode(col("dx")).as(Seq("i", "dxi")))
+      .select(col("i"), col("dxi"), posexplode(col("dx")).as(Seq("j", "dxj")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("dxi") * col("dxj")).cast("decimal(38,0)")).as("ss"),
+        count(lit(1)).as("n"))
+      .select(col("i"), col("j"), expr("ss div (n * 10000)").as("c8"))
+      .localCheckpoint(false)
+
+    def applyC(v: DataFrame): DataFrame =
+      cov.join(v, cov("j") === v("dim"))
+        .groupBy(col("i"))
+        .agg(sum(col("c8").cast("decimal(38,0)") * col("v6")).as("w"))
+    def renorm(w: DataFrame): DataFrame =
+      w.crossJoin(w.agg(max(abs(col("w"))).as("m")))
+        .select(col("i").as("dim"), expr("(w * 1000000) div m").as("v6"))
+
+    val v0 = cov.select(col("i").as("dim")).distinct()
+      .select(col("dim"), lit(1000000L).as("v6"))
+    val vf = (1 to iters).foldLeft(v0)((v, _) => renorm(applyC(v)))
+
+    val wf = applyC(vf)
+    val stats = wf.join(vf, wf("i") === vf("dim"))
+      .agg(sum(col("v6").cast("decimal(38,0)") * col("w")).as("num"),
+        sum((col("v6") * col("v6")).cast("decimal(38,0)")).as("den"))
+      .select(expr("num div den").as("lam8"))
+      .crossJoin(cov.filter(col("i") === col("j"))
+        .agg(sum(col("c8")).as("tr8")))
+    vf.crossJoin(stats)
+      .select(col("dim"),
+        (col("v6").cast("double") / 1000000.0).as("loading"),
+        (col("lam8").cast("double") / 100000000.0).as("eigval"),
+        round(col("lam8").cast("double") / col("tr8"), 4).as("ev_share"))
+      .orderBy(col("dim"))
+  }
+
+  /** DuckDB replay of [[pcaPowerOn]], generated beside the operator
+    * so the round count and every unit constant can't drift: the same
+    * quantization, the same integer covariance codes, the same
+    * unrolled renormalized power rounds, the same Rayleigh quotient.
+    * HUGEINT stands in for DECIMAL(38,0); both engines' integer
+    * division truncates toward zero. */
+  private[graft] def pcaOracleSql(iters: Int = 6): String = {
+    val rounds = (1 to iters).map { r =>
+      val prev = if (r == 1) "v0" else s"v${r - 1}"
+      s"""w$r AS (SELECT c.i, sum(CAST(c.c8 AS HUGEINT) * v.v6) AS w
+         |  FROM c JOIN $prev v ON c.j = v.dim GROUP BY 1),
+         |m$r AS (SELECT max(abs(w)) AS m FROM w$r),
+         |v$r AS (SELECT i AS dim, (w * 1000000) // m AS v6 FROM w$r, m$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    val last = s"v$iters"
+    s"""WITH dims AS (SELECT unnest(range(1, 65)) AS dim),
+       |x AS (SELECT vec_id, dim - 1 AS dim,
+       |    CAST(round(CAST(embedding[dim] AS DOUBLE) * 1000000, 0)
+       |      AS BIGINT) + 1000000 AS x6
+       |  FROM embeddings, dims),
+       |mu AS (SELECT dim, CAST(sum(x6) AS BIGINT) // count(*) AS mu6
+       |       FROM x GROUP BY 1),
+       |cx AS (SELECT vec_id, x.dim, x.x6 - mu.mu6 AS dx
+       |       FROM x JOIN mu ON x.dim = mu.dim),
+       |g AS (SELECT a.dim AS i, b.dim AS j,
+       |        sum(CAST(a.dx * b.dx AS HUGEINT)) AS ss, count(*) AS n
+       |      FROM cx a JOIN cx b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |c AS (SELECT i, j, CAST(ss // (n * 10000) AS BIGINT) AS c8 FROM g),
+       |v0 AS (SELECT DISTINCT i AS dim, CAST(1000000 AS HUGEINT) AS v6
+       |       FROM c),
+       |$rounds,
+       |wf AS (SELECT c.i, sum(CAST(c.c8 AS HUGEINT) * v.v6) AS w
+       |       FROM c JOIN $last v ON c.j = v.dim GROUP BY 1),
+       |st AS (SELECT sum(v.v6 * w.w) // sum(v.v6 * v.v6) AS lam8
+       |       FROM wf w JOIN $last v ON w.i = v.dim),
+       |tr AS (SELECT sum(CAST(c8 AS HUGEINT)) AS tr8 FROM c WHERE i = j)
+       |SELECT v.dim, CAST(v.v6 AS DOUBLE) / 1000000.0 AS loading,
+       |  CAST(lam8 AS DOUBLE) / 100000000.0 AS eigval,
+       |  round(CAST(lam8 AS DOUBLE) / CAST(tr8 AS DOUBLE), 4) AS ev_share
+       |FROM $last v, st, tr ORDER BY v.dim""".stripMargin
+  }
 }

@@ -233,4 +233,33 @@ class SimilaritySpec extends SparkSpec {
     assert(sf01.forall { r =>
       val x = r.getDouble(2); x >= 0.0 && x <= 1.0 })
   }
+
+  test("pcaPower recovers a planted dominant direction, deterministically") {
+    import spark.implicits._
+    // variance concentrated on dim 0 (spread ±0.8), light noise on the
+    // other dims (±0.02·k patterns) — the top component must align
+    // with e0: |loading(0)| = 1 (max-normalized) and the explained
+    // share must dominate
+    val emb = (0 until 40).map { i =>
+      val main = ((i % 9) - 4) * 0.2f
+      val noise = Array.tabulate(3)(k => (((i * (k + 3)) % 5) - 2) * 0.01f)
+      (i.toLong, Array(main) ++ noise)
+    }.toDF("vec_id", "embedding")
+    val out = SimilarityOps.pcaPowerOn(emb, iters = 6)
+      .collect()
+    assert(out.length === 4)
+    val loadings = out.map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(math.abs(loadings(0)) === 1.0) // dominant axis, max-normalized
+    (1 to 3).foreach(k => assert(math.abs(loadings(k)) < 0.1,
+      s"noise dim $k leaked: ${loadings(k)}"))
+    assert(out.head.getDouble(3) > 0.9) // explained-variance share
+    // eigenvalue ≈ variance of the main column (0.2-step grid)
+    val mainVals = (0 until 40).map(i => ((i % 9) - 4) * 0.2)
+    val mean = mainVals.sum / mainVals.size
+    val varMain = mainVals.map(v => (v - mean) * (v - mean)).sum / mainVals.size
+    assert(math.abs(out.head.getDouble(2) - varMain) < 0.01)
+    // bit-determinism: a second run reproduces every value exactly
+    val again = SimilarityOps.pcaPowerOn(emb, iters = 6).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }
