@@ -145,7 +145,14 @@ object MlOps {
     * the class key (class-cardinality exchanges, whatever the corpus
     * size) + one full-outer join of two class-sized frames. Metrics
     * derive from exact integers in IEEE doubles, rounded once at
-    * output — both engines divide the same integers. */
+    * output — both engines divide the same integers.
+    *
+    * Scale note: the ENTRY feeds this the brute-force kNN face, so
+    * its measured 10×-data ratio (11.2×, SCALING.md) is the scorer's
+    * declared quadratic, not the eval's — the eval itself is
+    * class-cardinality work. At scale compose it with
+    * [[graft.ops.SimilarityOps.knnClassifyIvf]] (measured 3.0×):
+    * the eval is scorer-agnostic, the swap is one line. */
   def evalClassification(preds: DataFrame,
                          trueCol: String = "true_label",
                          predCol: String = "pred_label"): DataFrame = {

@@ -782,7 +782,14 @@ object SimilarityOps {
 
     val v0 = cov.select(col("i").as("dim")).distinct()
       .select(col("dim"), lit(1000000L).as("v6"))
-    val vf = (1 to iters).foldLeft(v0)((v, _) => renorm(applyC(v)))
+    // each round's 64-row state rides its own lazy localCheckpoint:
+    // without it the fold is a recomputation TREE — round r re-derives
+    // rounds 1..r−1 and renorm's scalar crossJoin doubles each level
+    // (measured: 17.6s at sf0.1 for what is 4096-row arithmetic;
+    // checkpointed: sub-second rounds)
+    val vf = (1 to iters).foldLeft(v0) { (v, _) =>
+      renorm(applyC(v).localCheckpoint(false)).localCheckpoint(false)
+    }
 
     val wf = applyC(vf)
     val stats = wf.join(vf, wf("i") === vf("dim"))
