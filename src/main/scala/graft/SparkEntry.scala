@@ -128,6 +128,31 @@ object SparkEntry {
         .select(col("c_custkey")))),
     // per-day p50/p90/p99/max latency bands — the SLO dashboard series
     "ts_percentiles_daily" -> ((s, d) => TimeSeriesOps.dailyPercentiles(s, d)),
+    // nested-JSON flatten: planted array-of-structs payload parsed
+    // against a declared schema and exploded row-locally; the oracle
+    // rebuilds the planted values in CLOSED FORM (curate_web
+    // precedent), so hash equality proves the parse path lossless
+    "etl_json_flatten" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"),
+        concat(lit("{\"a\":"), col("event_id") % 7,
+          lit(",\"items\":[{\"sku\":\"s"), col("event_id") % 13,
+          lit("\",\"qty\":"), col("event_id") % 5,
+          lit("},{\"sku\":\"s"), col("event_id") % 11,
+          lit("\",\"qty\":"), col("event_id") % 3,
+          lit("}]}")).as("payload"))
+      graft.etl.Mapping.flattenJson(ev, "payload",
+        "a BIGINT, items ARRAY<STRUCT<sku: STRING, qty: BIGINT>>", "items")
+        .orderBy(col("event_id"), col("item_idx"))
+    }),
+    // generalize-then-suppress k-anonymity repair: the ladder is one
+    // map-side explode, the level choice adapts to data volume
+    "etl_generalize_k" -> ((s, d) => graft.etl.Mapping.generalizeK(
+      Tables.customer(s, d), "c_mktsegment", "c_acctbal",
+      k = 10L, maxSuppress = 0.2)),
+    // volume concentration across users: exact Gini + top-1%/10%
+    // shares from PrefixSum ranks — the inequality view of the key
+    // distribution beside q_skew_profile's heavy-hitter view
+    "q_gini" -> ((s, d) => Analytics.giniUsers(s, d)),
     // GDPR pseudonymization (erasure's keep-the-data sibling):
     // deterministic sha2 tokens over customer+orders keys, then a
     // per-nation join ON TOKENS — the output proves referential
@@ -1528,6 +1553,68 @@ object SparkEntry {
         |  rows_total - rows_erased AS rows_kept,
         |  round(CAST(rows_erased AS DOUBLE) / rows_total, 4) AS erased_share
         |FROM u ORDER BY table_name""".stripMargin,
+    // the planted payload has a closed form — the oracle rebuilds the
+    // flattened rows straight from event_id, never parsing JSON, so
+    // the compare proves Spark's parse+explode extracted exactly what
+    // was planted
+    "etl_json_flatten" ->
+      """SELECT event_id, event_id % 7 AS a, u.item_idx,
+        |  's' || CAST(CASE WHEN u.item_idx = 0 THEN event_id % 13
+        |              ELSE event_id % 11 END AS VARCHAR) AS sku,
+        |  CASE WHEN u.item_idx = 0 THEN event_id % 5
+        |       ELSE event_id % 3 END AS qty
+        |FROM events, (SELECT unnest([0, 1]) AS item_idx) u
+        |ORDER BY event_id, u.item_idx""".stripMargin,
+    // same ladder, same floor()+truncating-division buckets, same
+    // adaptive level choice
+    "etl_generalize_k" ->
+      """WITH base AS (SELECT c_mktsegment AS cat,
+        |    CAST(floor(c_acctbal) AS BIGINT) AS f FROM customer),
+        |lev AS (SELECT cat, u.level,
+        |    CASE u.level WHEN 0 THEN f WHEN 1 THEN (f // 100) * 100
+        |         WHEN 2 THEN (f // 1000) * 1000 ELSE 0 END AS bucket
+        |  FROM base, (SELECT unnest([0, 1, 2, 3]) AS level) u),
+        |classes AS (SELECT level, cat, bucket, count(*) AS class_size
+        |            FROM lev GROUP BY 1, 2, 3),
+        |ls AS (SELECT level,
+        |    CAST(sum(CASE WHEN class_size < 10 THEN class_size
+        |             ELSE 0 END) AS BIGINT) AS sup,
+        |    CAST(sum(class_size) AS BIGINT) AS tot
+        |  FROM classes GROUP BY 1),
+        |ch AS (SELECT min(level) AS chosen FROM ls
+        |       WHERE CAST(sup AS DOUBLE) / tot <= 0.2),
+        |cs AS (SELECT round(CAST(l.sup AS DOUBLE) / l.tot, 4)
+        |         AS suppressed_share, ch.chosen
+        |       FROM ls l, ch WHERE l.level = ch.chosen)
+        |SELECT c.level, c.cat, c.bucket, c.class_size, cs.suppressed_share
+        |FROM classes c, cs
+        |WHERE c.level = cs.chosen AND c.class_size >= 10
+        |ORDER BY c.cat, c.bucket""".stripMargin,
+    // rank-weighted Gini over per-user counts; ranks/conditional sums
+    // from exact integers, doubles only in the final divisions
+    "q_gini" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events
+        |           GROUP BY 1),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, user_id)
+        |        AS r FROM c),
+        |n AS (SELECT count(*) AS n_users FROM c),
+        |a AS (SELECT max(n_users) AS n_users,
+        |        CAST(sum(cnt) AS BIGINT) AS total,
+        |        sum(CAST(r * cnt AS HUGEINT)) AS rc,
+        |        CAST(sum(CASE WHEN r > n_users -
+        |          greatest(n_users // 100, 1) THEN cnt ELSE 0 END)
+        |          AS BIGINT) AS top1,
+        |        CAST(sum(CASE WHEN r > n_users -
+        |          greatest(n_users // 10, 1) THEN cnt ELSE 0 END)
+        |          AS BIGINT) AS top10
+        |      FROM r, n)
+        |SELECT n_users, total,
+        |  round((2.0 * CAST(rc AS DOUBLE) -
+        |    CAST(n_users + 1 AS DOUBLE) * total) /
+        |    (CAST(n_users AS DOUBLE) * total), 4) AS gini,
+        |  round(CAST(top1 AS DOUBLE) / total, 4) AS top1_share,
+        |  round(CAST(top10 AS DOUBLE) / total, 4) AS top10_share
+        |FROM a""".stripMargin,
     // sha256 hex (lowercase) ≡ Spark sha2(…, 256); joining and
     // min-sampling ON TOKENS proves both the preserved referential
     // integrity and the cross-engine token equality

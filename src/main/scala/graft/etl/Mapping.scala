@@ -336,4 +336,90 @@ object Mapping {
       acc.withColumn(c,
         sha2(concat(lit(pepper + ":"), col(c).cast("string")), 256))
     }
+
+  /** Nested-JSON flattening — the array face of the reference's
+    * ResolveChoice/struct handling (2019reinvent_green.py:33 resolves
+    * scalar ambiguity; real event payloads carry ARRAYS of structs,
+    * and training pipelines need them as flat rows): parse `jsonCol`
+    * against a declared DDL schema, lift the scalar fields, and
+    * posexplode `arrayField` into one output row per element with the
+    * element's struct fields flattened alongside an `item_idx`.
+    *
+    * Row-local end to end — parse, lift, and explode all ride the
+    * scan (zero shuffles at any scale); output volume is the true
+    * element count, the same growth any downstream shuffle would pay
+    * anyway. Malformed JSON parses to null (PERMISSIVE) and
+    * posexplode drops the row — the same corrupt-line posture as
+    * [[graft.sources.Sources.readJsonl]]. */
+  /** k-anonymity GENERALIZATION — the ACTION the q_kanonymity audit
+    * drives (the audit counts violating classes; this REPAIRS them):
+    * coarsen the numeric quasi-identifier up a fixed generalization
+    * ladder (unit → hundreds → thousands → suppressed) and pick the
+    * LOWEST level whose residual suppression — rows in classes still
+    * below k, which must be dropped — stays within `maxSuppress`.
+    * Generalize-then-suppress is the standard two-mechanism scheme:
+    * pure generalization overshoots (one straggler class forces the
+    * whole table coarse), pure suppression bleeds rows.
+    *
+    * Plan: the ladder is ONE map-side array-explode (the
+    * q_grouping_sets expansion pattern — 4 rows per input row, never
+    * 4 re-scans), one (level, cat, bucket) count, level stats and the
+    * level choice are class-cardinality work, and the output is the
+    * chosen level's surviving classes. Buckets derive from
+    * floor()+integer division only — both engines floor doubles and
+    * truncate integer quotients identically (verified), so the class
+    * grid is bit-equal cross-engine. Output rows carry the chosen
+    * level and its suppressed share; the choice ADAPTS to data volume
+    * (more rows ⇒ finer levels pass — visible across SFs). */
+  def generalizeK(df: DataFrame, catCol: String, numCol: String,
+                  k: Long, maxSuppress: Double): DataFrame = {
+    val base = df.select(col(catCol).as("cat"),
+      floor(col(numCol)).cast("long").as("f"))
+    val lev = base.select(col("cat"), explode(array(
+        struct(lit(0).as("level"), col("f").as("bucket")),
+        struct(lit(1).as("level"), (expr("f div 100") * 100).as("bucket")),
+        struct(lit(2).as("level"), (expr("f div 1000") * 1000).as("bucket")),
+        struct(lit(3).as("level"), lit(0L).as("bucket")))).as("lb"))
+      .select(col("cat"), col("lb.level").as("level"),
+        col("lb.bucket").as("bucket"))
+    val classes = lev.groupBy(col("level"), col("cat"), col("bucket"))
+      .agg(count(lit(1)).as("class_size"))
+    val levStats = classes.groupBy(col("level"))
+      .agg(sum(when(col("class_size") < k, col("class_size"))
+        .otherwise(0L)).as("sup"),
+        sum(col("class_size")).as("tot"))
+    val chosen = levStats
+      .filter(col("sup").cast("double") / col("tot") <= maxSuppress)
+      .agg(min(col("level")).as("chosen"))
+    val chosenStats = levStats.join(broadcast(chosen),
+        levStats("level") === col("chosen"))
+      .select(col("chosen"),
+        round(col("sup").cast("double") / col("tot"), 4)
+          .as("suppressed_share"))
+    classes.join(broadcast(chosenStats),
+        classes("level") === col("chosen"))
+      .filter(col("class_size") >= k)
+      .select(col("level"), col("cat"), col("bucket"), col("class_size"),
+        col("suppressed_share"))
+      .orderBy(col("cat"), col("bucket"))
+  }
+
+  def flattenJson(df: DataFrame, jsonCol: String, ddl: String,
+                  arrayField: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    val schema = StructType.fromDDL(ddl)
+    val elemFields = schema(arrayField).dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType].fieldNames.toSeq
+    val scalars = schema.fieldNames.toSeq.filter(_ != arrayField)
+    val keep = df.columns.toSeq.filter(_ != jsonCol)
+    val parsed = df.withColumn("__parsed", from_json(col(jsonCol), schema))
+    val exploded = parsed.select(
+      (keep.map(col) ++
+        scalars.map(f => col(s"__parsed.$f").as(f)) :+
+        posexplode(col(s"__parsed.$arrayField"))
+          .as(Seq("item_idx", "__item"))): _*)
+    exploded.select(
+      ((keep ++ scalars :+ "item_idx").map(col) ++
+        elemFields.map(f => col(s"__item.$f").as(f))): _*)
+  }
 }

@@ -928,4 +928,51 @@ object Analytics {
         round((round(col("value"), 4) - col("mu")) / col("sigma"), 4).as("z"))
       .orderBy(col("event_id"))
   }
+
+  /** Volume-concentration audit across users — the INEQUALITY view of
+    * the key distribution ([[skewProfile]] names the heaviest keys;
+    * this measures how unequal the whole distribution is): exact Gini
+    * coefficient over per-user event counts plus the share of all
+    * events contributed by the top 1% / 10% of users. The training-
+    * data relevance: a corpus whose volume concentrates in few
+    * sources/users is effectively much smaller than its row count —
+    * gini + top-shares are the one-row summary of that risk.
+    *
+    * Plan: one map-side-combinable count per user, then ascending
+    * ranks 1..n from the shared distributed [[PrefixSum]] (weight 1,
+    * (cnt, user_id) order — NEVER a partition-less rank window), one
+    * scalar user-count aggregate joined back, and ONE final
+    * aggregation deriving everything: Gini from the rank-weighted sum
+    * G = 2·Σr·c/(n·Σc) − (n+1)/n with Σr·c in DECIMAL(38,0) (exact at
+    * 100 TB row counts), top-k shares from conditional sums over the
+    * same ranks. Doubles appear only in the final divisions of exact
+    * integers — engine-identical. */
+  def giniUsers(s: SparkSession, d: String): DataFrame =
+    giniUsersOn(Tables.events(s, d), col("user_id"))
+
+  /** Same over any frame and key column. */
+  def giniUsersOn(df: DataFrame, key: Column): DataFrame = {
+    val counts = df.groupBy(key.as("k")).agg(count(lit(1)).as("cnt"))
+    val ranked = PrefixSum.exclusive(counts, Seq(col("cnt"), col("k")),
+        lit(1L))
+      .withColumn("r", col("__cum") + 1) // ascending rank 1..n
+    val n = counts.agg(count(lit(1)).as("n_users"))
+    val top = ranked.crossJoin(broadcast(n))
+    val agg = top.agg(
+      first(col("n_users")).as("n_users"),
+      sum(col("cnt")).as("total"),
+      sum((col("r") * col("cnt")).cast("decimal(38,0)")).as("rc"),
+      sum(when(col("r") > col("n_users") -
+        greatest(expr("n_users div 100"), lit(1L)), col("cnt"))
+        .otherwise(0L)).as("top1"),
+      sum(when(col("r") > col("n_users") -
+        greatest(expr("n_users div 10"), lit(1L)), col("cnt"))
+        .otherwise(0L)).as("top10"))
+    agg.select(col("n_users"), col("total"),
+      round((lit(2.0) * col("rc").cast("double") -
+        (col("n_users") + 1).cast("double") * col("total")) /
+        (col("n_users").cast("double") * col("total")), 4).as("gini"),
+      round(col("top1").cast("double") / col("total"), 4).as("top1_share"),
+      round(col("top10").cast("double") / col("total"), 4).as("top10_share"))
+  }
 }

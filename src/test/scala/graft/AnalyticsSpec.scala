@@ -524,4 +524,22 @@ class AnalyticsSpec extends SparkSpec {
       assert(math.abs(sd - 1.0) < 0.01, s"$t z-sd $sd")
     }
   }
+
+  test("giniUsers: uniform counts score 0, concentration raises it exactly") {
+    import spark.implicits._
+    import graft.ops.Analytics
+    // uniform: 4 users × 5 events → gini 0, top shares = their size
+    val uni = (0 until 4).flatMap(u => (0 until 5).map(i => (u.toLong, i)))
+      .toDF("user_id", "x")
+    val g0 = Analytics.giniUsersOn(uni, col("user_id")).collect().head
+    assert((g0.getLong(0), g0.getLong(1), g0.getDouble(2)) === ((4L, 20L, 0.0)))
+    // counts (1,1,1,17): hand Gini = 2·74/(4·20) − 5/4 = 0.6;
+    // top-1% (=1 user here) share = 17/20
+    val skew = Seq.fill(1)((1L, 0)) ++ Seq.fill(1)((2L, 0)) ++
+      Seq.fill(1)((3L, 0)) ++ Seq.fill(17)((4L, 0))
+    val g1 = Analytics.giniUsersOn(skew.toDF("user_id", "x"),
+      col("user_id")).collect().head
+    assert(g1.getDouble(2) === 0.6)
+    assert(g1.getDouble(3) === 0.85 && g1.getDouble(4) === 0.85)
+  }
 }

@@ -288,4 +288,41 @@ class EtlSpec extends SparkSpec {
     val other = Mapping.pseudonymize(cust, Seq("c_custkey"), "other")
     assert(pc.join(other, pc("c_custkey") === other("c_custkey")).count() === 0)
   }
+
+  test("flattenJson lifts scalars, explodes items, drops corrupt rows") {
+    val df = Seq(
+      (1L, """{"a":7,"items":[{"sku":"x","qty":2},{"sku":"y","qty":3}]}"""),
+      (2L, """{"a":8,"items":[{"sku":"z","qty":5}]}"""),
+      (3L, """not json at all""")
+    ).toDF("id", "payload")
+    val out = Mapping.flattenJson(df, "payload",
+      "a BIGINT, items ARRAY<STRUCT<sku: STRING, qty: BIGINT>>", "items")
+      .orderBy(col("id"), col("item_idx")).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+      r.getString(3), r.getLong(4))).toSeq === Seq(
+      (1L, 7L, 0, "x", 2L), (1L, 7L, 1, "y", 3L), (2L, 8L, 0, "z", 5L)))
+  }
+
+  test("generalizeK picks the lowest level within the suppression budget") {
+    // 30 rows: cat A values cluster in [0,100) tightly (10 distinct
+    // values × 3 each), so level 0 (unit buckets) suppresses all 30
+    // (every class size 3 < k=6) but level 1 (hundreds) puts all 30
+    // in one bucket — level 1 passes a 0.2 budget, level 0 doesn't
+    val rows = (0 until 30).map(i => ("A", (i % 10) * 10.0 + 0.5))
+    val out = Mapping.generalizeK(rows.toDF("cat", "bal"), "cat", "bal",
+      k = 6L, maxSuppress = 0.2).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getInt(0) === 1)) // level 1 chosen, not 0 or 2+
+    assert(out.map(_.getLong(3)).sum === 30L) // nothing suppressed at 1
+    assert(out.forall(_.getDouble(4) === 0.0))
+    // tighten the budget below level 1's reach: plant a straggler
+    // class that level 1 must suppress but a 0-budget rejects
+    val rows2 = rows ++ Seq(("B", 5000.0)) // lone B row: size 1 < k
+    val out2 = Mapping.generalizeK(rows2.toDF("cat", "bal"), "cat", "bal",
+      k = 6L, maxSuppress = 0.1).collect()
+    // level 1: sup = 1/31 ≈ 0.032 ≤ 0.1 → still level 1, B suppressed
+    assert(out2.forall(_.getInt(0) === 1))
+    assert(out2.map(_.getString(1)).distinct.toSeq === Seq("A"))
+    assert(out2.forall(r => math.abs(r.getDouble(4) - 0.0323) < 1e-9))
+  }
 }
