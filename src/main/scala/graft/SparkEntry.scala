@@ -687,6 +687,9 @@ object SparkEntry {
     // in-plan covariance grid — the variance-structure probe that
     // decides the compression ladder; d²-row exchanges only
     "emb_pca_power" -> ((s, d) => SimilarityOps.pcaPower(s, d)),
+    // the probe's ACTION: project every embedding onto the fitted top
+    // component — fit is grid-sized, apply is one narrow map
+    "emb_pca_project" -> ((s, d) => SimilarityOps.pcaProject(s, d)),
     // §2.8 streaming (batch faces; streaming faces spec-tested)
     "stream_window_counts" -> (graft.streaming.EventStreams.windowCountsBatch _),
     "stream_sliding_counts" -> (graft.streaming.EventStreams.slidingCountsBatch _),
@@ -2632,6 +2635,7 @@ object SparkEntry {
     // covariance codes, same unrolled power rounds (HUGEINT stands in
     // for DECIMAL(38,0); both engines' integer division truncates)
     "emb_pca_power" -> SimilarityOps.pcaOracleSql(),
+    "emb_pca_project" -> SimilarityOps.pcaProjectOracleSql(),
     // Generated from the same pattern table the operator folds over
     // (Java regex and RE2 agree on this subset); counts on the
     // original text, replacements applied in the same fixed order.

@@ -749,8 +749,12 @@ object SimilarityOps {
   def pcaPower(s: SparkSession, d: String, iters: Int = 6): DataFrame =
     pcaPowerOn(Tables.embeddings(s, d), iters)
 
-  /** Same over any (vec_id, embedding) frame. */
-  def pcaPowerOn(emb: DataFrame, iters: Int): DataFrame = {
+  /** The shared fit: returns (cx, cov, vf) — the centered exploded
+    * frame, the checkpointed covariance grid, and the converged
+    * component state. [[pcaPowerOn]] reports the component;
+    * [[pcaProjectOn]] applies it. */
+  private def pcaFit(emb: DataFrame, iters: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val x = Tables.spread(emb).select(col("vec_id"),
       transform(col("embedding"),
         v => round(v.cast("double") * 1000000, 0).cast("long") + 1000000L)
@@ -790,6 +794,16 @@ object SimilarityOps {
     val vf = (1 to iters).foldLeft(v0) { (v, _) =>
       renorm(applyC(v).localCheckpoint(false)).localCheckpoint(false)
     }
+    (cx, cov, vf)
+  }
+
+  /** Same over any (vec_id, embedding) frame. */
+  def pcaPowerOn(emb: DataFrame, iters: Int): DataFrame = {
+    val (_, cov, vf) = pcaFit(emb, iters)
+    def applyC(v: DataFrame): DataFrame =
+      cov.join(v, cov("j") === v("dim"))
+        .groupBy(col("i"))
+        .agg(sum(col("c8").cast("decimal(38,0)") * col("v6")).as("w"))
 
     val wf = applyC(vf)
     val stats = wf.join(vf, wf("i") === vf("dim"))
@@ -806,13 +820,43 @@ object SimilarityOps {
       .orderBy(col("dim"))
   }
 
+  /** The ACTION [[pcaPower]] informs: project every embedding onto
+    * the fitted top component — the "align to the fat axis before
+    * quantizing/bucketing" step, and the 1-D feature (novelty score,
+    * sort key for locality, stratification axis) the probe earns.
+    * Scoring is a PER-ROW integer dot product of the centered vector
+    * with the broadcast 64-long component (products ≤ 2e11, row sums
+    * ≤ 1.3e13 — long-safe regardless of corpus size; corpus-size
+    * independence is the point: the fit is grid-sized, the apply is
+    * one narrow map over the data). Same fixed-point contract as the
+    * fit; the score surfaces in natural units via one exact double
+    * division. */
+  def pcaProject(s: SparkSession, d: String, iters: Int = 6): DataFrame =
+    pcaProjectOn(Tables.embeddings(s, d), iters)
+
+  /** Same over any (vec_id, embedding) frame. */
+  def pcaProjectOn(emb: DataFrame, iters: Int): DataFrame = {
+    val (cx, _, vf) = pcaFit(emb, iters)
+    val vArr = vf
+      .agg(array_sort(collect_list(struct(col("dim"), col("v6")))).as("pv"))
+      .select(transform(col("pv"), p => p.getField("v6")).as("vs"))
+    cx.crossJoin(broadcast(vArr))
+      .select(col("vec_id"),
+        (aggregate(zip_with(col("dx"), col("vs"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).cast("double") / 1e12)
+          .as("pc1_score"))
+      .orderBy(col("vec_id"))
+  }
+
   /** DuckDB replay of [[pcaPowerOn]], generated beside the operator
     * so the round count and every unit constant can't drift: the same
     * quantization, the same integer covariance codes, the same
     * unrolled renormalized power rounds, the same Rayleigh quotient.
     * HUGEINT stands in for DECIMAL(38,0); both engines' integer
     * division truncates toward zero. */
-  private[graft] def pcaOracleSql(iters: Int = 6): String = {
+  /** Shared CTE chain (quantize → center → grid → power rounds) for
+    * both generated PCA oracles. */
+  private def pcaCoreCtes(iters: Int): String = {
     val rounds = (1 to iters).map { r =>
       val prev = if (r == 1) "v0" else s"v${r - 1}"
       s"""w$r AS (SELECT c.i, sum(CAST(c.c8 AS HUGEINT) * v.v6) AS w
@@ -821,7 +865,6 @@ object SimilarityOps {
          |v$r AS (SELECT i AS dim, (w * 1000000) // m AS v6 FROM w$r, m$r)"""
         .stripMargin
     }.mkString(",\n")
-    val last = s"v$iters"
     s"""WITH dims AS (SELECT unnest(range(1, 65)) AS dim),
        |x AS (SELECT vec_id, dim - 1 AS dim,
        |    CAST(round(CAST(embedding[dim] AS DOUBLE) * 1000000, 0)
@@ -837,15 +880,30 @@ object SimilarityOps {
        |c AS (SELECT i, j, CAST(ss // (n * 10000) AS BIGINT) AS c8 FROM g),
        |v0 AS (SELECT DISTINCT i AS dim, CAST(1000000 AS HUGEINT) AS v6
        |       FROM c),
-       |$rounds,
-       |wf AS (SELECT c.i, sum(CAST(c.c8 AS HUGEINT) * v.v6) AS w
-       |       FROM c JOIN $last v ON c.j = v.dim GROUP BY 1),
-       |st AS (SELECT sum(v.v6 * w.w) // sum(v.v6 * v.v6) AS lam8
-       |       FROM wf w JOIN $last v ON w.i = v.dim),
-       |tr AS (SELECT sum(CAST(c8 AS HUGEINT)) AS tr8 FROM c WHERE i = j)
-       |SELECT v.dim, CAST(v.v6 AS DOUBLE) / 1000000.0 AS loading,
-       |  CAST(lam8 AS DOUBLE) / 100000000.0 AS eigval,
-       |  round(CAST(lam8 AS DOUBLE) / CAST(tr8 AS DOUBLE), 4) AS ev_share
-       |FROM $last v, st, tr ORDER BY v.dim""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  private[graft] def pcaOracleSql(iters: Int = 6): String = {
+    val last = s"v$iters"
+    pcaCoreCtes(iters) + ",\n" +
+      s"""wf AS (SELECT c.i, sum(CAST(c.c8 AS HUGEINT) * v.v6) AS w
+         |       FROM c JOIN $last v ON c.j = v.dim GROUP BY 1),
+         |st AS (SELECT sum(v.v6 * w.w) // sum(v.v6 * v.v6) AS lam8
+         |       FROM wf w JOIN $last v ON w.i = v.dim),
+         |tr AS (SELECT sum(CAST(c8 AS HUGEINT)) AS tr8 FROM c WHERE i = j)
+         |SELECT v.dim, CAST(v.v6 AS DOUBLE) / 1000000.0 AS loading,
+         |  CAST(lam8 AS DOUBLE) / 100000000.0 AS eigval,
+         |  round(CAST(lam8 AS DOUBLE) / CAST(tr8 AS DOUBLE), 4) AS ev_share
+         |FROM $last v, st, tr ORDER BY v.dim""".stripMargin
+  }
+
+  /** DuckDB replay of [[pcaProjectOn]] — the same core CTEs plus the
+    * per-vector integer dot product with the converged component. */
+  private[graft] def pcaProjectOracleSql(iters: Int = 6): String =
+    pcaCoreCtes(iters) + "\n" +
+      s"""SELECT cx.vec_id,
+         |  CAST(sum(cx.dx * v.v6) AS DOUBLE) / 1000000000000.0
+         |    AS pc1_score
+         |FROM cx JOIN v$iters v ON cx.dim = v.dim
+         |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -261,5 +261,19 @@ class SimilaritySpec extends SparkSpec {
     // bit-determinism: a second run reproduces every value exactly
     val again = SimilarityOps.pcaPowerOn(emb, iters = 6).collect()
     assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+
+    // the ACTION: projecting the same corpus onto the fitted component
+    // reproduces the main-axis signal (|corr| ≈ 1 vs the planted
+    // column) with near-zero mean (centered projection)
+    val proj = SimilarityOps.pcaProjectOn(emb, iters = 6).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val mainCol = (0 until 40).map(i => i.toLong -> ((i % 9) - 4) * 0.2)
+    val xs = mainCol.map(_._2); val ys = mainCol.map(p => proj(p._1))
+    val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+    val corr = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum /
+      math.sqrt(xs.map(a => (a - mx) * (a - mx)).sum *
+        ys.map(b => (b - my) * (b - my)).sum)
+    assert(math.abs(corr) > 0.999, s"pc1 corr $corr")
+    assert(math.abs(my) < 0.01, s"projection mean $my")
   }
 }
