@@ -128,6 +128,30 @@ object SparkEntry {
         .select(col("c_custkey")))),
     // per-day p50/p90/p99/max latency bands — the SLO dashboard series
     "ts_percentiles_daily" -> ((s, d) => TimeSeriesOps.dailyPercentiles(s, d)),
+    // snapshot reconciliation with PLANTED drift: old = orders minus
+    // the %41 keys (→ added) plus negative-key ghosts (→ removed);
+    // new bumps %37 totalprice and flips %29 status (→ changed, with
+    // per-column counts) — both snapshots derive deterministically
+    // from the same table, mirrored in the oracle
+    "etl_diff_snapshots" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+      val oldSnap = base.filter(col("o_orderkey") % 41 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .union(base.filter(col("o_orderkey") % 43 === 0)
+          .select((-col("o_orderkey")).as("o_orderkey"),
+            col("o_totalprice"), col("o_orderstatus")))
+      val newSnap = base.select(col("o_orderkey"),
+        when(col("o_orderkey") % 37 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        when(col("o_orderkey") % 29 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"))
+      graft.etl.Mapping.diffSnapshots(oldSnap, newSnap, "o_orderkey",
+        Seq("o_totalprice", "o_orderstatus"))
+    }),
+    // conversion latency per funnel leg: exact integer-µs deltas
+    // floored to seconds, percentiles over frames that shrink with
+    // funnel depth
+    "q_funnel_latency" -> ((s, d) => Analytics.funnelLatency(s, d)),
     // nested-JSON flatten: planted array-of-structs payload parsed
     // against a declared schema and exploded row-locally; the oracle
     // rebuilds the planted values in CLOSED FORM (curate_web
@@ -1556,6 +1580,83 @@ object SparkEntry {
         |  rows_total - rows_erased AS rows_kept,
         |  round(CAST(rows_erased AS DOUBLE) / rows_total, 4) AS erased_share
         |FROM u ORDER BY table_name""".stripMargin,
+    // same planted drift, same null-safe IS DISTINCT FROM compares,
+    // same single conditional-sum aggregation stacked long
+    "etl_diff_snapshots" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+        |           FROM orders),
+        |old AS (SELECT o_orderkey AS k, o_totalprice AS tp,
+        |          o_orderstatus AS st
+        |        FROM o WHERE o_orderkey % 41 <> 0
+        |        UNION ALL
+        |        SELECT -o_orderkey, o_totalprice, o_orderstatus
+        |        FROM o WHERE o_orderkey % 43 = 0),
+        |nw AS (SELECT o_orderkey AS k,
+        |         CASE WHEN o_orderkey % 37 = 0 THEN o_totalprice + 1.0
+        |              ELSE o_totalprice END AS tp,
+        |         CASE WHEN o_orderkey % 29 = 0 THEN 'X'
+        |              ELSE o_orderstatus END AS st
+        |       FROM o),
+        |j AS (SELECT old.k AS ok, nw.k AS nk, old.tp AS otp,
+        |        nw.tp AS ntp, old.st AS ost, nw.st AS nst
+        |      FROM old FULL OUTER JOIN nw ON old.k = nw.k),
+        |a AS (SELECT
+        |  CAST(sum(CASE WHEN ok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS added,
+        |  CAST(sum(CASE WHEN nk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS removed,
+        |  CAST(sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL AND
+        |    (otp IS DISTINCT FROM ntp OR ost IS DISTINCT FROM nst)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+        |  CAST(sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL AND
+        |    otp IS NOT DISTINCT FROM ntp AND ost IS NOT DISTINCT FROM nst
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS unchanged,
+        |  CAST(sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL AND
+        |    otp IS DISTINCT FROM ntp THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS ch_tp,
+        |  CAST(sum(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL AND
+        |    ost IS DISTINCT FROM nst THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS ch_st
+        |  FROM j)
+        |SELECT * FROM (
+        | SELECT 'added' AS label, added AS n_rows FROM a
+        | UNION ALL SELECT 'removed', removed FROM a
+        | UNION ALL SELECT 'changed', changed FROM a
+        | UNION ALL SELECT 'unchanged', unchanged FROM a
+        | UNION ALL SELECT 'changed:o_totalprice', ch_tp FROM a
+        | UNION ALL SELECT 'changed:o_orderstatus', ch_st FROM a)
+        |ORDER BY label""".stripMargin,
+    // same stage chain as q_funnel; delays are exact epoch-µs
+    // differences floored to seconds (never datediff boundary counts)
+    "q_funnel_latency" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t
+        |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t
+        |       FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1),
+        |d1 AS (SELECT (epoch_us(CAST(s2.t AS TIMESTAMP_US)) -
+        |          epoch_us(CAST(s1.t AS TIMESTAMP_US))) // 1000000 AS dt
+        |       FROM s1 JOIN s2 ON s1.user_id = s2.user_id),
+        |d2 AS (SELECT (epoch_us(CAST(s3.t AS TIMESTAMP_US)) -
+        |          epoch_us(CAST(s2.t AS TIMESTAMP_US))) // 1000000 AS dt
+        |       FROM s2 JOIN s3 ON s2.user_id = s3.user_id),
+        |d3 AS (SELECT (epoch_us(CAST(s3.t AS TIMESTAMP_US)) -
+        |          epoch_us(CAST(s1.t AS TIMESTAMP_US))) // 1000000 AS dt
+        |       FROM s1 JOIN s3 ON s1.user_id = s3.user_id)
+        |SELECT * FROM (
+        | SELECT 'view->click' AS leg, count(*) AS n_users,
+        |   round(quantile_cont(dt, 0.5), 4) AS p50_s,
+        |   round(quantile_cont(dt, 0.9), 4) AS p90_s FROM d1
+        | UNION ALL SELECT 'click->purchase', count(*),
+        |   round(quantile_cont(dt, 0.5), 4),
+        |   round(quantile_cont(dt, 0.9), 4) FROM d2
+        | UNION ALL SELECT 'view->purchase', count(*),
+        |   round(quantile_cont(dt, 0.5), 4),
+        |   round(quantile_cont(dt, 0.9), 4) FROM d3)
+        |ORDER BY leg""".stripMargin,
     // the planted payload has a closed form — the oracle rebuilds the
     // flattened rows straight from event_id, never parsing JSON, so
     // the compare proves Spark's parse+explode extracted exactly what

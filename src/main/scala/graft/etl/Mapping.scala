@@ -337,6 +337,44 @@ object Mapping {
         sha2(concat(lit(pepper + ":"), col(c).cast("string")), 256))
     }
 
+  /** Snapshot reconciliation — the table-diff behind every pipeline
+    * regression test and backfill audit: classify each key of two
+    * snapshot frames as added / removed / changed / unchanged, plus a
+    * per-column changed count (which columns drifted tells you WHICH
+    * upstream change did it). One keyed FULL OUTER join (the
+    * q_full_outer shape — sort-merge, one shuffle per side at any
+    * scale), ONE aggregation of conditional sums, and a map-side
+    * struct-explode to stack the audit long — the whole diff costs
+    * what the join costs. Null-safe comparisons throughout (a column
+    * going null↔non-null IS a change; two nulls aren't). */
+  def diffSnapshots(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+                    cols: Seq[String]): DataFrame = {
+    val o = oldDf.select((keyCol +: cols).map(c => col(c).as("__o_" + c)): _*)
+    val n = newDf.select((keyCol +: cols).map(c => col(c).as("__n_" + c)): _*)
+    val ok = col("__o_" + keyCol)
+    val nk = col("__n_" + keyCol)
+    val j = o.join(n, ok === nk, "full_outer")
+    val changedCol =
+      (c: String) => !(col("__o_" + c) <=> col("__n_" + c))
+    val anyChanged = cols.map(changedCol).reduce(_ || _)
+    val both = ok.isNotNull && nk.isNotNull
+    val aggCols = Seq(
+      sum(when(ok.isNull, 1L).otherwise(0L)).as("added"),
+      sum(when(nk.isNull, 1L).otherwise(0L)).as("removed"),
+      sum(when(both && anyChanged, 1L).otherwise(0L)).as("changed"),
+      sum(when(both && !anyChanged, 1L).otherwise(0L)).as("unchanged")) ++
+      cols.map(c => sum(when(both && changedCol(c), 1L).otherwise(0L))
+        .as("__ch_" + c))
+    val one = j.agg(aggCols.head, aggCols.tail: _*)
+    val pairs = Seq("added", "removed", "changed", "unchanged")
+      .map(s => struct(lit(s).as("label"), col(s).as("n_rows"))) ++
+      cols.map(c => struct(lit(s"changed:$c").as("label"),
+        col("__ch_" + c).as("n_rows")))
+    one.select(explode(array(pairs: _*)).as("kv"))
+      .select(col("kv.label").as("label"), col("kv.n_rows").as("n_rows"))
+      .orderBy(col("label"))
+  }
+
   /** Nested-JSON flattening — the array face of the reference's
     * ResolveChoice/struct handling (2019reinvent_green.py:33 resolves
     * scalar ambiguity; real event payloads carry ARRAYS of structs,

@@ -145,21 +145,67 @@ object Analytics {
   /** Same over any (user_id, event_type, ts) frame. */
   def funnelOn(events: DataFrame, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    val ev = events.select(col("user_id"), col("event_type"), col("ts"))
-    // stage 1: first qualifying event per user
-    val first = ev.filter(col("event_type") === stages.head)
-      .groupBy(col("user_id")).agg(min(col("ts")).as("__t"))
-    val reached = stages.tail.scanLeft(first) { (prev, stage) =>
-      ev.filter(col("event_type") === stage)
-        .join(prev.select(col("user_id"), col("__t").as("__prev_t")), "user_id")
-        .filter(col("ts") >= col("__prev_t"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("__t"))
-    }
+    val reached = funnelStages(events, stages)
     stages.zip(reached).zipWithIndex.map { case ((stage, users), i) =>
       users.agg(count(lit(1)).as("n_users"))
         .select(lit(i + 1).as("stage"), lit(stage).as("event_type"),
           col("n_users"))
     }.reduce(_ union _).orderBy(col("stage"))
+  }
+
+  /** The chained per-user stage-arrival frames behind [[funnelOn]]
+    * and [[funnelLatencyOn]]: element k = users who reached stage k,
+    * with their earliest qualifying timestamp (stage k events count
+    * only AT OR AFTER the user's stage-k−1 time). */
+  private def funnelStages(events: DataFrame,
+                           stages: Seq[String]): Seq[DataFrame] = {
+    val ev = events.select(col("user_id"), col("event_type"), col("ts"))
+    // stage 1: first qualifying event per user
+    val first = ev.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("__t"))
+    stages.tail.scanLeft(first) { (prev, stage) =>
+      ev.filter(col("event_type") === stage)
+        .join(prev.select(col("user_id"), col("__t").as("__prev_t")), "user_id")
+        .filter(col("ts") >= col("__prev_t"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("__t"))
+    }
+  }
+
+  /** Conversion LATENCY — the question [[funnelOn]]'s counts don't
+    * answer: how long do converting users take? Per funnel leg
+    * (each consecutive stage pair + first→last), the converting-user
+    * count and exact p50/p90 of the stage-to-stage delay in whole
+    * seconds. Delays are exact integer µs differences floored to
+    * seconds (both engines truncate non-negative integer division
+    * identically; date-boundary-counting datediff functions disagree
+    * on sub-second timestamps and never enter). Each leg is a
+    * user-keyed join of two stage frames (stage j's users are a
+    * subset of stage i's by construction) + one percentile aggregate
+    * — the q_percentiles plan shape over frames that SHRINK with
+    * funnel depth. */
+  def funnelLatency(s: SparkSession, d: String,
+                    stages: Seq[String] = Seq("view", "click", "purchase"))
+      : DataFrame =
+    funnelLatencyOn(Tables.events(s, d), stages)
+
+  /** Same over any (user_id, event_type, ts) frame. */
+  def funnelLatencyOn(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, "latency needs at least two stages")
+    val st = funnelStages(events, stages)
+    val consecutive = stages.indices.init.map(i => (i, i + 1))
+    val legs = (consecutive :+ (0, stages.size - 1)).distinct
+    legs.map { case (i, j) =>
+      val a = st(i).select(col("user_id"), col("__t").as("__ta"))
+      val b = st(j).select(col("user_id"), col("__t").as("__tb"))
+      a.join(b, "user_id")
+        .select(expr("(unix_micros(__tb) - unix_micros(__ta)) div 1000000")
+          .as("dt"))
+        .agg(count(lit(1)).as("n_users"),
+          round(expr("percentile(dt, 0.5)"), 4).as("p50_s"),
+          round(expr("percentile(dt, 0.9)"), 4).as("p90_s"))
+        .select(lit(s"${stages(i)}->${stages(j)}").as("leg"),
+          col("n_users"), col("p50_s"), col("p90_s"))
+    }.reduce(_ union _).orderBy(col("leg"))
   }
 
   /** Cohort retention — the day-N stickiness matrix: users cohorted

@@ -525,6 +525,35 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("funnelLatency: hand deltas exact, out-of-order users never convert") {
+    import spark.implicits._
+    import graft.ops.Analytics
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: view @0s, click @+10s, purchase @+40s total
+      (1L, "view", t("2024-01-01 00:00:00")),
+      (1L, "click", t("2024-01-01 00:00:10")),
+      (1L, "purchase", t("2024-01-01 00:00:40")),
+      // user 2: view @0s, click @+20s, no purchase
+      (2L, "view", t("2024-01-01 00:00:00")),
+      (2L, "click", t("2024-01-01 00:00:20")),
+      // user 3: purchase BEFORE view — must not convert past view
+      (3L, "purchase", t("2024-01-01 00:00:00")),
+      (3L, "view", t("2024-01-01 00:01:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Analytics.funnelLatencyOn(ev,
+        Seq("view", "click", "purchase")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    // view→click: users 1 (10s) and 2 (20s) → p50 = 15
+    assert(out("view->click")._1 === 2L)
+    assert(out("view->click")._2 === Some(15.0))
+    // click→purchase and view→purchase: only user 1 (30s / 40s)
+    assert(out("click->purchase") === ((1L, Some(30.0), Some(30.0))))
+    assert(out("view->purchase") === ((1L, Some(40.0), Some(40.0))))
+  }
+
   test("giniUsers: uniform counts score 0, concentration raises it exactly") {
     import spark.implicits._
     import graft.ops.Analytics

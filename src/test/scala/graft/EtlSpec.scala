@@ -289,6 +289,28 @@ class EtlSpec extends SparkSpec {
     assert(pc.join(other, pc("c_custkey") === other("c_custkey")).count() === 0)
   }
 
+  test("diffSnapshots classifies keys and counts per-column drift null-safely") {
+    val oldDf = Seq[(Long, java.lang.Double, String)](
+      (1L, 10.0, "A"),   // unchanged
+      (2L, 20.0, "B"),   // price changes
+      (3L, 30.0, "C"),   // removed (absent from new)
+      (5L, null, "E"),   // null → null: unchanged
+      (6L, 60.0, "F")    // value → null: changed
+    ).toDF("k", "price", "status")
+    val newDf = Seq[(Long, java.lang.Double, String)](
+      (1L, 10.0, "A"),
+      (2L, 21.0, "B"),
+      (4L, 40.0, "D"),   // added
+      (5L, null, "E"),
+      (6L, null, "F")
+    ).toDF("k", "price", "status")
+    val out = Mapping.diffSnapshots(oldDf, newDf, "k",
+        Seq("price", "status")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("added" -> 1L, "removed" -> 1L, "changed" -> 2L,
+      "unchanged" -> 2L, "changed:price" -> 2L, "changed:status" -> 0L))
+  }
+
   test("flattenJson lifts scalars, explodes items, drops corrupt rows") {
     val df = Seq(
       (1L, """{"a":7,"items":[{"sku":"x","qty":2},{"sku":"y","qty":3}]}"""),
