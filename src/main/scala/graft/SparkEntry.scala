@@ -120,6 +120,31 @@ object SparkEntry {
     // power iteration, one node-key shuffle per round, DECIMAL
     // contributions + 10dp re-rounding for engine-identical ranks
     "q_pagerank" -> ((s, d) => graft.ops.GraphOps.pageRank(s, d)),
+    // triangle count + clustering coefficient via degree-ordered wedge
+    // enumeration (oriented out-degree ≤ O(√m) caps hub work); edges =
+    // part co-occurrence in orders, basket-capped
+    "graph_triangles" -> ((s, d) => graft.ops.GraphOps.triangles(s, d)),
+    // brand-pair support/confidence/lift over order baskets: bounded
+    // pair explode per basket, exact-integer lift, TakeOrdered top-k
+    "q_market_basket" -> ((s, d) => Analytics.marketBasket(s, d)),
+    // CUPED variance-reduced A/B readout: pre-period covariate fit
+    // (θ = cov/var over per-user means), md5 arms, rounded-metric
+    // adjustment, achieved variance reduction beside the means
+    "q_cuped" -> ((s, d) => Analytics.cuped(s, d)),
+    // order-independent XOR+SUM row-hash signature per table — the
+    // "did anything change" audit at the cost of a count(*)
+    "etl_table_checksum" -> ((s, d) => {
+      val o = Mapping.tableChecksum(Tables.orders(s, d), Seq(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"),
+        expr("unix_micros(o_orderdate) div 86400000000")), "orders")
+      val c = Mapping.tableChecksum(Tables.customer(s, d), Seq(
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment")), "customer")
+      val p = Mapping.tableChecksum(Tables.supplier(s, d), Seq(
+        col("s_suppkey"), col("s_name"), col("s_nationkey")), "supplier")
+      o.union(c).union(p).orderBy(col("tbl"))
+    }),
     // GDPR erasure dry run: two chained semi joins size the cascade
     // (subjects → orders → line items), one audit row per table
     "etl_erasure" -> ((s, d) => graft.etl.Mapping.erasureCascade(
@@ -1411,6 +1436,145 @@ object SparkEntry {
         |q AS (SELECT node, (r * n + 500000) // 1000000 AS q FROM it5, nn)
         |SELECT node, CAST(q AS DOUBLE) / 10000.0 AS rank_scaled
         |FROM q ORDER BY rank_scaled DESC, node LIMIT 20""".stripMargin,
+    // degree-ordered triangle enumeration replayed: orientation by
+    // (deg, node) row comparison, wedges per shared low endpoint,
+    // closing edge probed in stored orientation via EXISTS
+    "graph_triangles" ->
+      """WITH m AS (SELECT DISTINCT l_orderkey AS basket,
+        |             l_partkey AS item FROM lineitem),
+        |sz AS (SELECT basket, count(*) AS bsz FROM m GROUP BY 1),
+        |mm AS (SELECT m.basket, m.item FROM m JOIN sz USING (basket)
+        |       WHERE sz.bsz <= 16),
+        |e AS (SELECT DISTINCT x.item AS a, y.item AS b
+        |      FROM mm x JOIN mm y USING (basket) WHERE x.item < y.item),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |          SELECT a AS node FROM e
+        |          UNION ALL SELECT b AS node FROM e) GROUP BY 1),
+        |o AS (SELECT
+        |        CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+        |             THEN e.a ELSE e.b END AS lo,
+        |        CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+        |             THEN e.b ELSE e.a END AS hi,
+        |        CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+        |             THEN db.deg ELSE da.deg END AS dhi
+        |      FROM e JOIN deg da ON e.a = da.node
+        |             JOIN deg db ON e.b = db.node),
+        |w AS (SELECT e1.hi AS lo, e2.hi AS hi
+        |      FROM o e1 JOIN o e2 USING (lo)
+        |      WHERE (e1.dhi, e1.hi) < (e2.dhi, e2.hi)),
+        |tri AS (SELECT count(*) AS n_triangles FROM w
+        |        WHERE EXISTS (SELECT 1 FROM o
+        |                      WHERE o.lo = w.lo AND o.hi = w.hi)),
+        |st AS (SELECT count(*) AS n_nodes,
+        |         CAST(sum(deg) / 2 AS BIGINT) AS n_edges,
+        |         CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+        |       FROM deg)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  round(3.0 * n_triangles / n_wedges, 4) AS clustering_coeff
+        |FROM st, tri""".stripMargin,
+    // support/confidence/lift in exact integers before one double
+    // division; the pair explode and min-count gate replayed verbatim
+    "q_market_basket" ->
+      """WITH m AS (SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+        |           FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |sz AS (SELECT basket, count(*) AS bsz FROM m GROUP BY 1),
+        |mm AS (SELECT m.basket, m.item FROM m JOIN sz USING (basket)
+        |       WHERE sz.bsz <= 32),
+        |nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM mm),
+        |ic AS (SELECT item, count(*) AS n_item FROM mm GROUP BY 1),
+        |pc AS (SELECT x.item AS item_a, y.item AS item_b,
+        |         count(*) AS n_ab
+        |       FROM mm x JOIN mm y USING (basket)
+        |       WHERE x.item < y.item GROUP BY 1, 2
+        |       HAVING count(*) >= 50)
+        |SELECT item_a, item_b, n_ab,
+        |  round(CAST(n_ab AS DOUBLE) / n_baskets, 4) AS support,
+        |  round(CAST(n_ab AS DOUBLE) / a.n_item, 4) AS confidence,
+        |  round(CAST(n_ab * n_baskets AS DOUBLE) /
+        |    CAST(a.n_item * b.n_item AS DOUBLE), 4) AS lift
+        |FROM pc JOIN ic a ON pc.item_a = a.item
+        |        JOIN ic b ON pc.item_b = b.item, nb
+        |ORDER BY lift DESC, item_a, item_b LIMIT 20""".stripMargin,
+    // per-user pre/post means → θ fit → row-local adjustment, every
+    // mean/θ/x̄ rounded 4dp before reuse and every adjusted value
+    // re-quantized before summing (the rounded-metric rule)
+    "q_cuped" ->
+      """WITH mid AS (SELECT (min(epoch_us(CAST(ts AS TIMESTAMP_US)) // 86400000000) +
+        |    max(epoch_us(CAST(ts AS TIMESTAMP_US)) // 86400000000)) // 2 AS mid
+        |  FROM events),
+        |pu AS (SELECT user_id,
+        |    round(CAST(sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP_US)) // 86400000000
+        |        <= mid THEN CAST(round(value, 4) AS DECIMAL(14,4)) END) AS DOUBLE) /
+        |      sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP_US)) // 86400000000
+        |        <= mid THEN 1 ELSE 0 END), 4) AS x,
+        |    round(CAST(sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP_US)) // 86400000000
+        |        > mid THEN CAST(round(value, 4) AS DECIMAL(14,4)) END) AS DOUBLE) /
+        |      sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP_US)) // 86400000000
+        |        > mid THEN 1 ELSE 0 END), 4) AS y
+        |  FROM events, mid GROUP BY user_id, mid
+        |  HAVING x IS NOT NULL AND y IS NOT NULL),
+        |pud AS (SELECT user_id, CAST(x AS DECIMAL(14,4)) AS x,
+        |          CAST(y AS DECIMAL(14,4)) AS y FROM pu),
+        |fit AS (SELECT
+        |    round((sum(x*y) - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE)
+        |        / count(*)) /
+        |      (sum(x*x) - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)
+        |        / count(*)), 4) AS theta,
+        |    round(CAST(sum(x) AS DOUBLE) / count(*), 4) AS xbar
+        |  FROM pud),
+        |adj AS (SELECT user_id, y, theta,
+        |    CAST(round(CAST(y AS DOUBLE) - theta *
+        |      (CAST(x AS DOUBLE) - xbar), 4) AS DECIMAL(14,4)) AS y_adj,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
+        |      THEN 'a' ELSE 'b' END AS arm
+        |  FROM pud, fit),
+        |gl AS (SELECT round(1.0 -
+        |    (sum(y_adj*y_adj) - CAST(sum(y_adj) AS DOUBLE) *
+        |      CAST(sum(y_adj) AS DOUBLE) / count(*)) /
+        |    (sum(y*y) - CAST(sum(y) AS DOUBLE) *
+        |      CAST(sum(y) AS DOUBLE) / count(*)), 4) AS var_reduction
+        |  FROM adj)
+        |SELECT arm, count(*) AS n_users,
+        |  round(CAST(sum(y) AS DOUBLE) / count(*), 4) AS mean_post,
+        |  round(CAST(sum(y_adj) AS DOUBLE) / count(*), 4) AS mean_adj,
+        |  max(theta) AS theta, max(var_reduction) AS var_reduction
+        |FROM adj, gl GROUP BY arm, var_reduction ORDER BY arm""".stripMargin,
+    // row canon = null-sentineled '|' join → md5 → first 15 hex as a
+    // 60-bit int (list-comprehension polynomial — exact, no doubles);
+    // XOR + HUGEINT SUM signatures rendered as strings
+    "etl_table_checksum" ->
+      """WITH oh AS (SELECT list_sum([(strpos('0123456789abcdef', h[i]) - 1) *
+        |      (CAST(1 AS BIGINT) << (4*(15 - i))) for i in range(1, 16)]) AS hv
+        |    FROM (SELECT md5(concat_ws('|',
+        |        coalesce(CAST(o_orderkey AS VARCHAR), 'null'),
+        |        coalesce(CAST(o_custkey AS VARCHAR), 'null'),
+        |        coalesce(o_orderstatus, 'null'),
+        |        coalesce(o_orderpriority, 'null'),
+        |        coalesce(CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP_US))
+        |          // 86400000000 AS VARCHAR), 'null'))) AS h FROM orders)),
+        |ch AS (SELECT list_sum([(strpos('0123456789abcdef', h[i]) - 1) *
+        |      (CAST(1 AS BIGINT) << (4*(15 - i))) for i in range(1, 16)]) AS hv
+        |    FROM (SELECT md5(concat_ws('|',
+        |        coalesce(CAST(c_custkey AS VARCHAR), 'null'),
+        |        coalesce(c_name, 'null'),
+        |        coalesce(CAST(c_nationkey AS VARCHAR), 'null'),
+        |        coalesce(c_mktsegment, 'null'))) AS h FROM customer)),
+        |sh AS (SELECT list_sum([(strpos('0123456789abcdef', h[i]) - 1) *
+        |      (CAST(1 AS BIGINT) << (4*(15 - i))) for i in range(1, 16)]) AS hv
+        |    FROM (SELECT md5(concat_ws('|',
+        |        coalesce(CAST(s_suppkey AS VARCHAR), 'null'),
+        |        coalesce(s_name, 'null'),
+        |        coalesce(CAST(s_nationkey AS VARCHAR), 'null'))) AS h
+        |      FROM supplier))
+        |SELECT 'orders' AS tbl, count(*) AS n_rows, bit_xor(hv) AS xor_sig,
+        |  CAST(sum(CAST(hv AS HUGEINT)) AS VARCHAR) AS sum_sig FROM oh
+        |UNION ALL
+        |SELECT 'customer', count(*), bit_xor(hv),
+        |  CAST(sum(CAST(hv AS HUGEINT)) AS VARCHAR) FROM ch
+        |UNION ALL
+        |SELECT 'supplier', count(*), bit_xor(hv),
+        |  CAST(sum(CAST(hv AS HUGEINT)) AS VARCHAR) FROM sh
+        |ORDER BY tbl""".stripMargin,
     // the whole Lloyd's loop unrolled: 1e-6-unit shifted integer
     // coordinates, integer distances/argmins/means — every iterate is
     // bit-identical to the Spark side's (the pageRank contract)

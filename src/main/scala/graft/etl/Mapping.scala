@@ -460,4 +460,37 @@ object Mapping {
       ((keep ++ scalars :+ "item_idx").map(col) ++
         elemFields.map(f => col(s"__item.$f").as(f))): _*)
   }
+
+  /** Order-independent table fingerprint — the O(scan) sibling of
+    * [[diffSnapshots]]: where the diff names WHICH rows changed at
+    * the cost of a keyed join, the checksum answers "did ANYTHING
+    * change" for the cost of a count(*). Run it after a backfill, a
+    * migration, or a format conversion; equal signatures mean equal
+    * tables (up to hash collision), unequal signatures route to the
+    * diff for the row-level story.
+    *
+    * Each row renders its declared columns canonically
+    * (null-sentineled, '|'-joined — null vs empty string must not
+    * collide), hashes to md5, and the first 15 hex chars become a
+    * 60-bit BIGINT. Two aggregates make the signature: XOR (an
+    * abelian-group fold — any row order, any partitioning, any
+    * engine gives the same bits; a changed row flips its exact bit
+    * pattern out and the new one in) and a DECIMAL(38,0) SUM (which
+    * catches the XOR blind spot: a row duplicated an EVEN number of
+    * times XORs to a no-op, but sums don't cancel). Entirely
+    * map-side-combinable — the plan is a scan plus a one-row
+    * aggregate at any scale. Doubles are the caller's contract: pass
+    * them pre-quantized (a raw double renders differently across
+    * engines; epoch-int timestamps and DECIMAL-cast amounts don't). */
+  def tableChecksum(df: DataFrame, cols: Seq[Column], label: String): DataFrame = {
+    val canon = concat_ws("|",
+      cols.map(c => coalesce(c.cast("string"), lit("null"))): _*)
+    val h = conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
+    df.select(h.as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("xor_sig"),
+        sum(col("h").cast("decimal(38,0)")).as("sum_sig"))
+      .select(lit(label).as("tbl"), col("n_rows"), col("xor_sig"),
+        col("sum_sig").cast("string").as("sum_sig"))
+  }
 }

@@ -776,6 +776,94 @@ object Analytics {
         (sea * sea / (col("n_a") - 1) + seb * seb / (col("n_b") - 1)), 4).as("dof"))
   }
 
+  /** CUPED variance reduction — the industry-standard upgrade to the
+    * plain A/B compare ([[welchTTest]] decides significance; CUPED
+    * shrinks the variance that decision fights): each user's
+    * PRE-period mean is a covariate, θ = cov(x,y)/var(x) is fit
+    * across users, and the post-period metric is adjusted to
+    * y − θ·(x − x̄) — removing the between-user baseline variance
+    * that both arms share. Reported per deterministic md5 arm
+    * (the [[SampleOps]] bucketing, so assignment is reproducible and
+    * engine-portable), with the global θ and the achieved variance
+    * reduction beside the raw/adjusted means.
+    *
+    * Shape: the pre/post boundary is the exact integer midpoint of
+    * the epoch-day range (one scalar agg, broadcast); per-user
+    * pre/post means come from ONE conditional aggregation keyed on
+    * user (4dp DECIMAL sums — order-independent), θ's moments from
+    * one user-cardinality aggregate of exact decimals, and the
+    * adjusted metric is a row-local expression under broadcast
+    * scalars — three narrow aggregations total, nothing wide ever
+    * shuffles twice. θ and x̄ round to 4dp BEFORE the adjustment and
+    * each y_adj re-quantizes to DECIMAL before the final sums (the
+    * rounded-metric rule: identical doubles in, identical doubles
+    * out, regardless of aggregation order). */
+  def cuped(s: SparkSession, d: String): DataFrame =
+    cupedOn(Tables.events(s, d))
+
+  /** Same over any (user_id, ts, value) frame. */
+  def cupedOn(events: DataFrame): DataFrame = {
+    val ed = expr("unix_micros(ts) div 86400000000")
+    val v = round(col("value"), 4).cast("decimal(14,4)")
+    val mid = events.agg(
+      expr("(min(unix_micros(ts) div 86400000000) + " +
+        "max(unix_micros(ts) div 86400000000)) div 2").as("mid"))
+    val perUser = events
+      .crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(ed <= col("mid"), v)).as("sx"),
+        sum(when(ed <= col("mid"), lit(1L)).otherwise(lit(0L))).as("nx"),
+        sum(when(ed > col("mid"), v)).as("sy"),
+        sum(when(ed > col("mid"), lit(1L)).otherwise(lit(0L))).as("ny"))
+      .filter(col("nx") > 0 && col("ny") > 0)
+      .select(col("user_id"),
+        round(col("sx").cast("double") / col("nx"), 4)
+          .cast("decimal(14,4)").as("x"),
+        round(col("sy").cast("double") / col("ny"), 4)
+          .cast("decimal(14,4)").as("y"))
+      .localCheckpoint(false) // feeds the θ fit AND the adjusted pass
+    val fit = perUser.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+      .select(
+        round((col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double") / col("n")) /
+          (col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double") / col("n")),
+          4).as("theta"),
+        round(col("sx").cast("double") / col("n"), 4).as("xbar"))
+    val adj = perUser.crossJoin(broadcast(fit))
+      .select(col("user_id"), col("y"), col("theta"),
+        round(col("y").cast("double") -
+          col("theta") * (col("x").cast("double") - col("xbar")), 4)
+          .cast("decimal(14,4)").as("y_adj"),
+        when(substring(md5(col("user_id").cast("string")), 1, 2) < "80",
+          lit("a")).otherwise(lit("b")).as("arm"))
+    val global = adj.agg(
+      count(lit(1)).as("n"),
+      sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"),
+      sum(col("y_adj")).as("sa"), sum(col("y_adj") * col("y_adj")).as("saa"))
+      .select(round(lit(1.0) -
+        (col("saa").cast("double") -
+          col("sa").cast("double") * col("sa").cast("double") / col("n")) /
+        (col("syy").cast("double") -
+          col("sy").cast("double") * col("sy").cast("double") / col("n")),
+        4).as("var_reduction"))
+    adj.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("y")).as("sy"), sum(col("y_adj")).as("sa"),
+        first(col("theta")).as("theta"))
+      .crossJoin(broadcast(global))
+      .select(col("arm"), col("n_users"),
+        round(col("sy").cast("double") / col("n_users"), 4).as("mean_post"),
+        round(col("sa").cast("double") / col("n_users"), 4).as("mean_adj"),
+        col("theta"), col("var_reduction"))
+      .orderBy(col("arm"))
+  }
+
   /** Mann-Whitney U — the NONPARAMETRIC A/B test beside
     * [[welchTTest]]: no normality assumption, rank-based, robust to
     * the heavy tails that break a t-test. Rank sums come from the
@@ -1020,5 +1108,68 @@ object Analytics {
         (col("n_users").cast("double") * col("total")), 4).as("gini"),
       round(col("top1").cast("double") / col("total"), 4).as("top1_share"),
       round(col("top10").cast("double") / col("total"), 4).as("top10_share"))
+  }
+
+  /** Market-basket affinity mining: which brand PAIRS co-occur in the
+    * same order beyond what their individual popularity predicts —
+    * support, confidence, and lift for the top pairs. This is the
+    * co-occurrence signal behind "also bought" and behind
+    * domain-mixture diagnostics (two sources that always co-occur in
+    * a basket/page are one source in disguise).
+    *
+    * Baskets are distinct (order, brand) memberships (lineitem joined
+    * to part — an AQE-decided join, part is SF-scaling); the pair
+    * explode is a self-equi-join on the basket key with fanout
+    * C(brands-in-basket, 2), bounded by `maxBasket` (oversized
+    * baskets DROP — the [[GraphOps.trianglesOn]] cap posture; inert
+    * on ≤7-item reference baskets, load-bearing in the 100 TB
+    * contract). Pair counts aggregate on the pair key
+    * (brand-cardinality², map-side-combinable); per-brand basket
+    * counts and the total-basket scalar broadcast back, so nothing
+    * wide ever shuffles twice. lift = n_ab·N / (n_a·n_b) computed in
+    * exact integers before ONE double division; ordered by rounded
+    * lift with pair tiebreaks under a TakeOrdered top-k. */
+  def marketBasket(s: SparkSession, d: String, minCount: Long = 50,
+                   topN: Int = 20, maxBasket: Int = 32): DataFrame = {
+    val baskets = Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+    marketBasketOn(baskets, minCount, topN, maxBasket)
+  }
+
+  /** Same over any (basket, item) membership list. */
+  def marketBasketOn(pairs: DataFrame, minCount: Long, topN: Int,
+                     maxBasket: Int): DataFrame = {
+    val members = pairs.select(col("basket"), col("item")).distinct()
+    val sized = members
+      .withColumn("__bsz", count(lit(1)).over(
+        Window.partitionBy(col("basket"))))
+      .filter(col("__bsz") <= maxBasket)
+      .drop("__bsz")
+      .localCheckpoint(false) // feeds the pair join twice + item counts
+    val nBaskets = sized.select(col("basket")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val itemCounts = sized.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val pairCounts = sized.as("x").join(sized.as("y"), "basket")
+      .filter(col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    // item-count joins are left to AQE: the item vocabulary is a
+    // scaling axis in the generic face (brands here are 25 rows, but
+    // a part-keyed caller has millions) — the stream_enrich rule
+    pairCounts
+      .join(itemCounts.withColumnRenamed("item", "item_a")
+        .withColumnRenamed("n_item", "n_a"), "item_a")
+      .join(itemCounts.withColumnRenamed("item", "item_b")
+        .withColumnRenamed("n_item", "n_b"), "item_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("n_baskets"), 4).as("support"),
+        round(col("n_ab").cast("double") / col("n_a"), 4).as("confidence"),
+        round((col("n_ab") * col("n_baskets")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 4).as("lift"))
+      .orderBy(col("lift").desc, col("item_a"), col("item_b"))
+      .limit(topN)
   }
 }

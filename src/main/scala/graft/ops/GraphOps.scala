@@ -101,4 +101,95 @@ object GraphOps {
       .orderBy(col("rank_scaled").desc, col("node"))
       .limit(topN)
   }
+
+  /** Triangle count + global clustering coefficient over the part
+    * co-occurrence graph (parts appearing in the same order are
+    * connected) — the third face of the edge-list family:
+    * [[DedupOps.clusters]] partitions the graph, [[pageRankOn]] ranks
+    * its nodes, this measures how CLOSED its neighborhoods are (a
+    * co-occurrence graph with high closure has real community
+    * structure; one without is noise — the diagnostic before trusting
+    * clusters as segments).
+    *
+    * Edges derive from baskets: distinct (order, part), self-joined
+    * per order with `part1 < part2` — an equi-join whose fanout is
+    * C(basket, 2), bounded by `maxBasket` (oversized baskets are
+    * DROPPED with the bucket-cap posture: a hostile 10^5-item basket
+    * would otherwise contribute 10^10 pairs; reference baskets hold
+    * ≤ 7 items, so the cap is inert on this schema and exists for the
+    * 100 TB contract).
+    *
+    * Counting is DEGREE-ORDERED wedge enumeration (the standard
+    * distributed-triangle bound): every edge orients from its
+    * lower-(degree, node) endpoint — ties broken on node id, so the
+    * orientation is a strict total order and acyclic — wedges
+    * enumerate per shared LOW endpoint (each hub's wedge work is
+    * capped by its ORIENTED out-degree ≤ O(√m), never its raw degree
+    * — the reason a heavy hub doesn't go quadratic), and a final
+    * equi-join against the oriented edge set closes them. Each
+    * triangle is counted exactly once (its minimum-key vertex owns
+    * it). Work is O(Σ outdeg²) ≤ O(m^1.5) shuffle rows — never
+    * all-pairs; every join is an equi-join on node or edge keys.
+    * Output is one row: nodes, edges, wedge count Σ C(d,2),
+    * triangles, and the global clustering coefficient
+    * 3·triangles / wedges (4dp, exact-integer inputs). */
+  def triangles(s: SparkSession, d: String, maxBasket: Int = 16): DataFrame =
+    trianglesOn(Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")),
+      maxBasket)
+
+  /** Same over any (basket, item) membership list. */
+  def trianglesOn(pairs: DataFrame, maxBasket: Int): DataFrame = {
+    val members = pairs.select(col("basket"), col("item")).distinct()
+    val sized = members
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("basket"))))
+      .filter(col("__bsz") <= maxBasket)
+      .drop("__bsz")
+    // undirected edge set, canonical a < b; one equi-join on the
+    // basket key with per-key fanout ≤ C(maxBasket, 2)
+    val edges = sized.as("x").join(sized.as("y"), "basket")
+      .filter(col("x.item") < col("y.item"))
+      .select(col("x.item").as("a"), col("y.item").as("b"))
+      .distinct()
+      .localCheckpoint(false) // edges feed degrees, wedges, AND the
+                              // closing join — materialize once
+    val deg = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient each edge low→high by (deg, node); struct comparison is
+    // lexicographic in both engines (DuckDB: row comparison)
+    val oriented = edges
+      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("a")).otherwise(col("b")).as("lo"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("b")).otherwise(col("a")).as("hi"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("da")).otherwise(col("db")).as("dlo"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("db")).otherwise(col("da")).as("dhi"))
+      .localCheckpoint(false)
+    // wedges per shared low endpoint, canonicalized v < w by the SAME
+    // (deg, node) order so the closing edge is probed in its stored
+    // orientation
+    val wedges = oriented.as("e1").join(oriented.as("e2"), "lo")
+      .filter(struct(col("e1.dhi"), col("e1.hi")) <
+        struct(col("e2.dhi"), col("e2.hi")))
+      .select(col("e1.hi").as("lo"), col("e2.hi").as("hi"))
+    val tri = wedges.join(oriented.select(col("lo"), col("hi")), Seq("lo", "hi"),
+      "left_semi")
+    val triCount = tri.agg(count(lit(1)).as("n_triangles"))
+    val stats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      (sum(col("deg")) / 2).cast("long").as("n_edges"),
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    stats.crossJoin(triCount)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4)
+          .as("clustering_coeff"))
+  }
 }

@@ -414,6 +414,69 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram LM scoring with stupid backoff — the sequence-aware
+    * upgrade to [[lmScoreOn]]'s unigram filter: a doc full of common
+    * words in IMPLAUSIBLE order (shuffled text, keyword stuffing,
+    * template spam) scores high on unigrams but low here, because
+    * unseen transitions pay the backoff penalty
+    * ln(0.4) + ln(smoothed unigram). The model trains on the
+    * EVEN-doc_id half and scores every doc (a model trained on the
+    * scored corpus itself would see every bigram and the backoff
+    * path would be dead code — the real shape is an external
+    * reference LM, per CCNet), so `backoff_share` is a real signal:
+    * held-out docs with novel transitions back off more.
+    *
+    * Shape: bigrams are ROW-LOCAL (the token array zipped with its
+    * own tail — no window, no shuffle to form sequences); model
+    * counts and context totals are map-side-combinable aggregates on
+    * token keys; scoring is three LEFT equi-joins through
+    * (w1,w2)/w1/w2 whose model sides AQE sizes (never hinted — a
+    * web-scale vocabulary doesn't broadcast, the [[lmScoreOn]]
+    * posture). Per-term log-probs round to 10dp DECIMAL before the
+    * per-doc mean (aggregation-order independent); docs under two
+    * tokens have no transitions and drop (documented). */
+  def lmScoreBigram(s: SparkSession, d: String): DataFrame =
+    lmScoreBigramOn(Tables.documents(s, d))
+
+  /** Same over any (doc_id, text) frame. */
+  def lmScoreBigramOn(docs: DataFrame): DataFrame = {
+    val tok = graft.Tables.spread(docs)
+      .select(col("doc_id"), toks(col("text")).as("ws"))
+      .cache()
+    val train = tok.filter(col("doc_id") % 2 === 0)
+    val uni = train.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum(col("cu")).as("n"), count(lit(1)).as("v"))
+    def bigrams(df: DataFrame, keep: Column*) =
+      df.select((keep :+ explode(arrays_zip(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1))).as("p")): _*)
+        .select((keep :+ col("p.0").as("w1") :+ col("p.1").as("w2")): _*)
+    val model = bigrams(train)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val ctx = model.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val scored = bigrams(tok, col("doc_id"))
+      .join(model, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(uni.withColumnRenamed("w", "w2"), Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        round(when(col("c12").isNotNull,
+          log(col("c12").cast("double") / col("c1")))
+          .otherwise(log(lit(0.4)) +
+            log((coalesce(col("cu"), lit(0L)) + 1).cast("double") /
+              (col("n") + col("v")))), 10)
+          .cast("decimal(20,10)").as("lp"),
+        when(col("c12").isNull, lit(1L)).otherwise(lit(0L)).as("bo"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lp")).as("__s"), sum(col("bo")).as("__b"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("__s").cast("double") / col("n_bigrams"), 4).as("avg_logp"),
+        round(col("__b").cast("double") / col("n_bigrams"), 4).as("backoff_share"))
+      .orderBy(col("doc_id"))
+  }
+
   /** URL canonicalization — the normalize-before-dedup step of web
     * curation: the same page arrives as `HTTP://Example.COM:80/a/`,
     * `http://example.com/a?utm_source=x`, and `http://example.com/a#top`,

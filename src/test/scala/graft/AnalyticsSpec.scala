@@ -571,4 +571,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(g1.getDouble(2) === 0.6)
     assert(g1.getDouble(3) === 0.85 && g1.getDouble(4) === 0.85)
   }
+
+  test("marketBasket: hand lifts exact, lift ties break on item, " +
+       "duplicate memberships collapse") {
+    import spark.implicits._
+    // 4× {A,B}, 4× {C,D}, 1× {A,C}; B duplicated in basket 0 (must
+    // collapse to one membership). n=9, n_A=n_C=5, n_B=n_D=4.
+    val rows = (Seq((0L, "B")) ++
+      (0 until 4).flatMap(b => Seq((b.toLong, "A"), (b.toLong, "B"))) ++
+      (4 until 8).flatMap(b => Seq((b.toLong, "C"), (b.toLong, "D"))) ++
+      Seq((8L, "A"), (8L, "C"))).toDF("basket", "item")
+    val r = Analytics.marketBasketOn(rows, minCount = 1, topN = 10,
+      maxBasket = 32).collect()
+    assert(r.length === 3)
+    // lift(A,B) = 4·9/(5·4) = 1.8 = lift(C,D); tie breaks A before C
+    assert((r(0).getString(0), r(0).getString(1)) === (("A", "B")))
+    assert(r(0).getLong(2) === 4 && r(0).getDouble(5) === 1.8)
+    assert(r(0).getDouble(3) === 0.4444)           // support 4/9
+    assert(r(0).getDouble(4) === 0.8)              // confidence 4/5
+    assert((r(1).getString(0), r(1).getString(1)) === (("C", "D")))
+    // lift(A,C) = 9/25 = 0.36, support 1/9
+    assert(r(2).getDouble(5) === 0.36 && r(2).getLong(2) === 1)
+  }
 }

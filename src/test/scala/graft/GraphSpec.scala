@@ -38,4 +38,42 @@ class GraphSpec extends SparkSpec {
     assert(sups.map(_.getDouble(1)).min > ords.map(_.getDouble(1)).max)
     assert(sups.forall(_.getDouble(1) > 1.0)) // hubs above average
   }
+
+  test("triangles: hand graph counts exactly — K4 basket = 4 triangles, " +
+       "a pendant adds wedges but none, oversized baskets drop") {
+    import spark.implicits._
+    // basket 1 = {1,2,3,4} → K4: 6 edges, 4 triangles;
+    // basket 2 = {4,5} → pendant edge 4—5: wedges at 4, no triangle;
+    // basket 3 = 20 items → over the cap, contributes nothing
+    val pairs = (Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L), (2L, 4L), (2L, 5L)) ++
+      (100L to 119L).map(i => (3L, i))).toDF("basket", "item")
+    val r = GraphOps.trianglesOn(pairs, maxBasket = 16).collect().head
+    assert(r.getLong(0) === 5, s"nodes $r")      // {1,2,3,4,5}
+    assert(r.getLong(1) === 7, s"edges $r")      // K4's 6 + 4—5
+    // degrees: 1,2,3 → 3; 4 → 4; 5 → 1 ⇒ wedges = 3·3 + 6 + 0 = 15
+    assert(r.getLong(2) === 15, s"wedges $r")
+    assert(r.getLong(3) === 4, s"triangles $r")
+    assert(r.getDouble(4) === 0.8, s"coeff $r")  // 12/15
+  }
+
+  test("triangles: counting is orientation-exact — matches brute force " +
+       "on a random graph") {
+    import spark.implicits._
+    // deterministic pseudo-random memberships: 40 baskets × 4 items
+    // over 20 nodes
+    val pairs = (0 until 160).map { i =>
+      ((i / 4).toLong, (i * 7919L + i.toLong * i * 104729L) % 20)
+    }.toDF("basket", "item")
+    val r = GraphOps.trianglesOn(pairs, maxBasket = 16).collect().head
+    // brute force: enumerate all node triples over the edge set
+    val edges = pairs.as[(Long, Long)].collect().groupBy(_._1).values
+      .flatMap(m => m.map(_._2).distinct.sorted.combinations(2))
+      .map { case Seq(a, b) => (a, b) }.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val brute = nodes.combinations(3).count { case Seq(a, b, c) =>
+      edges((a, b)) && edges((b, c)) && edges((a, c))
+    }
+    assert(r.getLong(3) === brute.toLong, s"got $r, brute $brute")
+    assert(r.getLong(1) === edges.size.toLong)
+  }
 }
