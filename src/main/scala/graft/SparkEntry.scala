@@ -58,11 +58,12 @@ object SparkEntry {
     "q_cube"             -> (Analytics.cubeAgg _),
     "q_distinct_count"   -> (Analytics.distinctCount _),
     "q_percentiles"      -> (Analytics.percentiles _),
-    // sketch variants — the aggregates that actually run at 100 TB
-    // (estimator-specific values ⇒ rows-only; tolerance-spec'd in
-    // AnalyticsSpec against the exact versions)
-    "q_distinct_approx"   -> ((s, d) => Analytics.distinctCountApprox(s, d)),
-    "q_percentiles_approx" -> ((s, d) => Analytics.percentilesApprox(s, d)),
+    // sketch variants — the aggregates that actually run at 100 TB.
+    // The entries run the CHECKED faces: sketch beside exact, an
+    // in-plan tolerance verdict, oracle asserts verdict = TRUE — so
+    // the estimator-specific values are cross-engine-gated after all
+    "q_distinct_approx"   -> ((s, d) => Analytics.distinctCountChecked(s, d)),
+    "q_percentiles_approx" -> ((s, d) => Analytics.percentilesChecked(s, d)),
     "q_histogram"  -> ((s, d) => Analytics.histogram(s, d)),
     // full-outer reconciliation: both one-sided null shapes surface
     "q_full_outer" -> (Analytics.fullOuterReconcile _),
@@ -137,7 +138,8 @@ object SparkEntry {
       val o = Mapping.tableChecksum(Tables.orders(s, d), Seq(
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_orderpriority"),
-        expr("unix_micros(o_orderdate) div 86400000000")), "orders")
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")),
+        "orders")
       val c = Mapping.tableChecksum(Tables.customer(s, d), Seq(
         col("c_custkey"), col("c_name"), col("c_nationkey"),
         col("c_mktsegment")), "customer")
@@ -330,11 +332,11 @@ object SparkEntry {
       Mapping.eventQualityRules :+
         (("user_present", col("user_id").isNotNull)))),
     // the 100 TB profiling face: HLL++ distinct sketches instead of
-    // the exact multi-distinct expansion; estimator-specific values ⇒
-    // rows-only (AnalyticsSpec asserts the rsd tolerance per column)
-    "etl_profile_approx" -> ((s, d) => Analytics.profile(
-      Tables.orders(s, d), Seq("o_custkey", "o_orderstatus", "o_totalprice"),
-      approx = true)),
+    // the exact multi-distinct expansion; the entry runs the CHECKED
+    // face (sketch + exact + in-plan verdict) so the driver's oracle
+    // gates the sketch path too
+    "etl_profile_approx" -> ((s, d) => Analytics.profileChecked(
+      Tables.orders(s, d), Seq("o_custkey", "o_orderstatus", "o_totalprice"))),
     // SCD2 dimension reconstruction from the events change log:
     // per-user versions of event_type with validity intervals,
     // no-op changes collapsed
@@ -585,9 +587,11 @@ object SparkEntry {
     "dedup_embedding"     -> ((s, d) => DedupOps.embeddingPairs(s, d, threshold = 0.45)),
     // the scale path: multi-table hyperplane LSH instead of all-pairs;
     // fixed-seed planes make it exactly SQL-replicable, so unusually
-    // for ANN-style ops it carries a full oracle
+    // for ANN-style ops it carries a full oracle. Bit width is
+    // corpus-adaptive (occupancy-pinned) on BOTH engines: the oracle
+    // derives the same width from count(*) over prefix-stable planes
     "dedup_embedding_lsh" -> ((s, d) =>
-      DedupOps.embeddingPairsLsh(s, d, threshold = 0.45, nBits = 4, nTables = 4)),
+      DedupOps.embeddingPairsLsh(s, d, threshold = 0.45, nTables = 4)),
     // §2.5 similarity search
     "ann_bruteforce_topk" -> ((s, d) => SimilarityOps.bruteForceTopK(s, d)),
     // per-label centroids: float sums are order-dependent, so both
@@ -628,6 +632,9 @@ object SparkEntry {
     }),
     "text_repetition"  -> (TextOps.repetitionScores _),
     "text_lm_score"    -> (TextOps.lmScore _),
+    // bigram LM with stupid backoff, trained on the even-doc_id half:
+    // shuffled-word spam scores high on unigrams but backs off here
+    "text_lm_bigram"   -> (TextOps.lmScoreBigram _),
     // intra-doc line dedup: the corpus has no newlines, so the entry
     // PLANTS a boilerplate line (the doc's first 40 chars) twice after
     // the body — mirrored in the oracle — making the dedup bite on
@@ -1072,6 +1079,14 @@ object SparkEntry {
       """SELECT count(DISTINCT user_id) AS users,
         | count(DISTINCT event_type) AS types
         |FROM events""".stripMargin,
+    // checked sketch face: exact counts + literal TRUE verdicts — the
+    // Spark side computes the verdicts from the live HLL sketch, so a
+    // drift past 5·rsd flips a flag and the hash compare catches it
+    "q_distinct_approx" ->
+      """SELECT count(DISTINCT user_id) AS users_exact,
+        | count(DISTINCT event_type) AS types_exact,
+        | TRUE AS users_within_tol, TRUE AS types_within_tol
+        |FROM events""".stripMargin,
     // Spark's exact `percentile` and DuckDB's quantile_cont share the
     // same definition: sort, index p·(n-1), linear interpolation.
     "q_percentiles" ->
@@ -1079,6 +1094,16 @@ object SparkEntry {
         | round(quantile_cont(value, 0.5), 4) AS p50,
         | round(quantile_cont(value, 0.95), 4) AS p95,
         | round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // checked GK-sketch face: exact quantiles + TRUE verdicts; the
+    // Spark side brackets each sketch value between exact p ± 0.005
+    "q_percentiles_approx" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.95), 4) AS p95,
+        | round(quantile_cont(value, 0.99), 4) AS p99,
+        | TRUE AS p50_within_tol, TRUE AS p95_within_tol,
+        | TRUE AS p99_within_tol
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // Same explicit arithmetic binning as the operator — IEEE
     // subtract/multiply/divide/floor are bit-identical across engines;
@@ -1490,8 +1515,8 @@ object SparkEntry {
         |SELECT item_a, item_b, n_ab,
         |  round(CAST(n_ab AS DOUBLE) / n_baskets, 4) AS support,
         |  round(CAST(n_ab AS DOUBLE) / a.n_item, 4) AS confidence,
-        |  round(CAST(n_ab * n_baskets AS DOUBLE) /
-        |    CAST(a.n_item * b.n_item AS DOUBLE), 4) AS lift
+        |  round(CAST(n_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE) /
+        |    (CAST(a.n_item AS DOUBLE) * CAST(b.n_item AS DOUBLE)), 4) AS lift
         |FROM pc JOIN ic a ON pc.item_a = a.item
         |        JOIN ic b ON pc.item_b = b.item, nb
         |ORDER BY lift DESC, item_a, item_b LIMIT 20""".stripMargin,
@@ -1543,8 +1568,9 @@ object SparkEntry {
     // 60-bit int (list-comprehension polynomial — exact, no doubles);
     // XOR + HUGEINT SUM signatures rendered as strings
     "etl_table_checksum" ->
-      """WITH oh AS (SELECT list_sum([(strpos('0123456789abcdef', h[i]) - 1) *
-        |      (CAST(1 AS BIGINT) << (4*(15 - i))) for i in range(1, 16)]) AS hv
+      """WITH oh AS (SELECT CAST(list_sum([(strpos('0123456789abcdef', h[i]) - 1) *
+        |      (CAST(1 AS BIGINT) << (4*(15 - i))) for i in range(1, 16)])
+        |      AS BIGINT) AS hv
         |    FROM (SELECT md5(concat_ws('|',
         |        coalesce(CAST(o_orderkey AS VARCHAR), 'null'),
         |        coalesce(CAST(o_custkey AS VARCHAR), 'null'),
@@ -1552,15 +1578,17 @@ object SparkEntry {
         |        coalesce(o_orderpriority, 'null'),
         |        coalesce(CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP_US))
         |          // 86400000000 AS VARCHAR), 'null'))) AS h FROM orders)),
-        |ch AS (SELECT list_sum([(strpos('0123456789abcdef', h[i]) - 1) *
-        |      (CAST(1 AS BIGINT) << (4*(15 - i))) for i in range(1, 16)]) AS hv
+        |ch AS (SELECT CAST(list_sum([(strpos('0123456789abcdef', h[i]) - 1) *
+        |      (CAST(1 AS BIGINT) << (4*(15 - i))) for i in range(1, 16)])
+        |      AS BIGINT) AS hv
         |    FROM (SELECT md5(concat_ws('|',
         |        coalesce(CAST(c_custkey AS VARCHAR), 'null'),
         |        coalesce(c_name, 'null'),
         |        coalesce(CAST(c_nationkey AS VARCHAR), 'null'),
         |        coalesce(c_mktsegment, 'null'))) AS h FROM customer)),
-        |sh AS (SELECT list_sum([(strpos('0123456789abcdef', h[i]) - 1) *
-        |      (CAST(1 AS BIGINT) << (4*(15 - i))) for i in range(1, 16)]) AS hv
+        |sh AS (SELECT CAST(list_sum([(strpos('0123456789abcdef', h[i]) - 1) *
+        |      (CAST(1 AS BIGINT) << (4*(15 - i))) for i in range(1, 16)])
+        |      AS BIGINT) AS hv
         |    FROM (SELECT md5(concat_ws('|',
         |        coalesce(CAST(s_suppkey AS VARCHAR), 'null'),
         |        coalesce(s_name, 'null'),
@@ -2093,6 +2121,24 @@ object SparkEntry {
         | SELECT 'o_totalprice', count(*),
         |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |  count(DISTINCT o_totalprice) FROM orders)
+        |ORDER BY "column"""".stripMargin,
+    // checked HLL face: exact profile + TRUE verdicts per column; the
+    // Spark side carries the live sketch's tolerance verdict beside it
+    "etl_profile_approx" ->
+      """SELECT * FROM (
+        | SELECT 'o_custkey' AS "column", count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nulls,
+        |  count(DISTINCT o_custkey) AS n_distinct,
+        |  TRUE AS distinct_within_tol FROM orders
+        | UNION ALL
+        | SELECT 'o_orderstatus', count(*),
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_orderstatus), TRUE FROM orders
+        | UNION ALL
+        | SELECT 'o_totalprice', count(*),
+        |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_totalprice), TRUE FROM orders)
         |ORDER BY "column"""".stripMargin,
     "etl_apply_mapping" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS orderkey, o_custkey AS custkey,
@@ -2952,6 +2998,37 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_toks,
         |  round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_logp
         |FROM lp GROUP BY 1 ORDER BY 1""".stripMargin,
+    // bigram replica: positional token explode, pos+1 self-join for
+    // transitions, model/ctx/uni fit on the even half, seen path
+    // ln(c12/c1), unseen ln(0.4)+ln(smoothed unigram) — per-term
+    // 10dp DECIMAL rounding before the per-doc mean, like the Spark op
+    "text_lm_bigram" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |tp AS (SELECT doc_id, i AS pos, ws[i] AS w
+        |  FROM tok, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i)),
+        |bg AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |  FROM tp a JOIN tp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |uni AS (SELECT w, count(*) AS cu FROM tp
+        |  WHERE doc_id % 2 = 0 GROUP BY 1),
+        |tot AS (SELECT sum(cu) AS n, count(*) AS v FROM uni),
+        |model AS (SELECT w1, w2, count(*) AS c12 FROM bg
+        |  WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |ctx AS (SELECT w1, sum(c12) AS c1 FROM model GROUP BY 1),
+        |sc AS (SELECT bg.doc_id,
+        |    CAST(round(CASE WHEN model.c12 IS NOT NULL
+        |      THEN ln(CAST(model.c12 AS DOUBLE) / ctx.c1)
+        |      ELSE ln(0.4) +
+        |        ln((coalesce(uni.cu, 0) + 1) * 1.0 / (tot.n + tot.v)) END,
+        |      10) AS DECIMAL(20,10)) AS lp,
+        |    CASE WHEN model.c12 IS NULL THEN 1 ELSE 0 END AS bo
+        |  FROM bg LEFT JOIN model USING (w1, w2)
+        |          LEFT JOIN ctx USING (w1)
+        |          LEFT JOIN uni ON bg.w2 = uni.w, tot)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_logp,
+        |  round(CAST(sum(bo) AS DOUBLE) / count(*), 4) AS backoff_share
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_url_canonical" ->
       """WITH planted AS (
         |  SELECT doc_id,

@@ -472,6 +472,32 @@ object Analytics {
       .orderBy(col("column"))
   }
 
+  /** Driver-checkable face of the approx profiler: exact and HLL++
+    * distincts computed in the SAME single-pass aggregate, stacked to
+    * long format with the exact count plus an in-plan tolerance
+    * verdict (|sketch − exact| ≤ 5·rsd·exact, floor 1). The oracle
+    * replays the exact profile with literal TRUE flags, so sketch
+    * drift fails the cross-engine hash — [[distinctCountChecked]]'s
+    * contract applied per column. */
+  def profileChecked(df: DataFrame, cols: Seq[String],
+                     rsd: Double = 0.02): DataFrame = {
+    val aggs = cols.flatMap { c => Seq(
+      count(lit(1)).as(s"__n_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+      countDistinct(col(c)).as(s"__dist_$c"),
+      approx_count_distinct(col(c), rsd).as(s"__adist_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      s"'$c', __n_$c, __null_$c, __dist_$c, " +
+        s"CAST(abs(__adist_$c - __dist_$c) AS DOUBLE) <= " +
+        s"greatest(${5 * rsd} * __dist_$c, 1.0d)" }.mkString(", ")
+    one.selectExpr(
+        s"stack(${cols.length}, $stacked) AS " +
+          "(column, n_rows, n_nulls, n_distinct, distinct_within_tol)")
+      .orderBy(col("column"))
+  }
+
   /** HLL++ approximate distinct counts — the shape that survives
     * 100 TB: the sketch is fixed-size and mergeable, so the aggregate
     * stays map-side-combinable with no exact-distinct row expansion.
@@ -482,6 +508,29 @@ object Analytics {
     Tables.events(s, d)
       .agg(approx_count_distinct(col("user_id"), rsd).as("users_approx"),
            approx_count_distinct(col("event_type"), rsd).as("types_approx"))
+
+  /** Driver-checkable face of [[distinctCountApprox]]: sketch and
+    * exact distinct side by side, collapsed to the exact counts plus
+    * an IN-PLAN tolerance verdict (|approx − exact| ≤ 5·rsd·exact,
+    * absolute floor 1 for tiny cardinalities). The oracle emits the
+    * same exact counts with literal TRUE flags, so the cross-engine
+    * hash compare FAILS exactly when the sketch drifts out of
+    * tolerance — the emb_mrl_recall pattern, promoting the approx
+    * tier from rows-only to a real correctness gate. */
+  def distinctCountChecked(s: SparkSession, d: String,
+                           rsd: Double = 0.02): DataFrame =
+    Tables.events(s, d)
+      .agg(countDistinct(col("user_id")).as("users_exact"),
+           countDistinct(col("event_type")).as("types_exact"),
+           approx_count_distinct(col("user_id"), rsd).as("__ua"),
+           approx_count_distinct(col("event_type"), rsd).as("__ta"))
+      .select(col("users_exact"), col("types_exact"),
+        (abs(col("__ua") - col("users_exact")).cast("double") <=
+          greatest(lit(5 * rsd) * col("users_exact"), lit(1.0)))
+          .as("users_within_tol"),
+        (abs(col("__ta") - col("types_exact")).cast("double") <=
+          greatest(lit(5 * rsd) * col("types_exact"), lit(1.0)))
+          .as("types_within_tol"))
 
   /** Per-type approximate percentiles (Greenwald-Khanna quantile
     * sketch via percentile_approx) — bounded-memory, mergeable, the
@@ -496,6 +545,38 @@ object Analytics {
         round(expr(s"percentile_approx(value, 0.5, $accuracy)"), 4).as("p50"),
         round(expr(s"percentile_approx(value, 0.95, $accuracy)"), 4).as("p95"),
         round(expr(s"percentile_approx(value, 0.99, $accuracy)"), 4).as("p99"))
+      .orderBy(col("event_type"))
+
+  /** Driver-checkable face of [[percentilesApprox]]: GK guarantees
+    * RANK error (≤ 1/accuracy), not value error, so the in-plan
+    * verdict brackets each sketch quantile between the EXACT
+    * quantiles at p ± δ (δ = 0.005 ≫ the 1e-4 guarantee; p99's
+    * upper bracket is the max). Output = exact percentiles + the
+    * three verdicts; the oracle replays the exact side (quantile_cont
+    * ≡ Spark percentile interpolation) with literal TRUE flags, so
+    * a sketch outside its bracket breaks the cross-engine hash. */
+  def percentilesChecked(s: SparkSession, d: String,
+                         accuracy: Int = 10000,
+                         delta: Double = 0.005): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"),
+        expr(s"percentile_approx(value, 0.5, $accuracy)").as("__a50"),
+        expr(s"percentile_approx(value, 0.95, $accuracy)").as("__a95"),
+        expr(s"percentile_approx(value, 0.99, $accuracy)").as("__a99"),
+        expr(s"percentile(value, array(${0.5 - delta}, ${0.5 + delta}, " +
+          s"${0.95 - delta}, ${0.95 + delta}, ${0.99 - delta}))").as("__br"),
+        max(col("value")).as("__mx"))
+      .select(col("event_type"), col("p50"), col("p95"), col("p99"),
+        (col("__a50") >= element_at(col("__br"), 1) &&
+         col("__a50") <= element_at(col("__br"), 2)).as("p50_within_tol"),
+        (col("__a95") >= element_at(col("__br"), 3) &&
+         col("__a95") <= element_at(col("__br"), 4)).as("p95_within_tol"),
+        (col("__a99") >= element_at(col("__br"), 5) &&
+         col("__a99") <= col("__mx")).as("p99_within_tol"))
       .orderBy(col("event_type"))
 
   /** Per-type exact interpolated percentiles — the declared
@@ -1126,8 +1207,11 @@ object Analytics {
     * contract). Pair counts aggregate on the pair key
     * (brand-cardinality², map-side-combinable); per-brand basket
     * counts and the total-basket scalar broadcast back, so nothing
-    * wide ever shuffles twice. lift = n_ab·N / (n_a·n_b) computed in
-    * exact integers before ONE double division; ordered by rounded
+    * wide ever shuffles twice. lift = n_ab·N / (n_a·n_b) with every
+    * factor cast to double BEFORE the multiply — a Long product of
+    * two count aggregates overflows silently past 2^63 at corpus
+    * scale while DuckDB raises, an engine-parity trap; IEEE double
+    * multiply/divide is bit-identical on both. Ordered by rounded
     * lift with pair tiebreaks under a TakeOrdered top-k. */
   def marketBasket(s: SparkSession, d: String, minCount: Long = 50,
                    topN: Int = 20, maxBasket: Int = 32): DataFrame = {
@@ -1167,8 +1251,12 @@ object Analytics {
       .select(col("item_a"), col("item_b"), col("n_ab"),
         round(col("n_ab").cast("double") / col("n_baskets"), 4).as("support"),
         round(col("n_ab").cast("double") / col("n_a"), 4).as("confidence"),
-        round((col("n_ab") * col("n_baskets")).cast("double") /
-          (col("n_a") * col("n_b")).cast("double"), 4).as("lift"))
+        // cast-BEFORE-multiply: at 100 TB both factors can pass
+        // 2^31.5 and a Long product overflows silently (DuckDB's
+        // BIGINT multiply raises) — double multiply diverges never
+        round(col("n_ab").cast("double") * col("n_baskets").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 4)
+          .as("lift"))
       .orderBy(col("lift").desc, col("item_a"), col("item_b"))
       .limit(topN)
   }

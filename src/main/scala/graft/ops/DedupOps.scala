@@ -784,9 +784,16 @@ object DedupOps {
     * At the high-similarity thresholds dedup actually runs
     * (cos ≥ 0.99 ⇒ per-bit collision ~0.97, per-table ~0.77,
     * 4-table miss ~0.3%), recall is near-exact while candidate
-    * volume stays ~n·tables/2^bits — never all-pairs. */
+    * volume stays ~n·tables/2^bits — never all-pairs.
+    *
+    * `nBits <= 0` (the default) derives the bit width from the
+    * corpus size via [[SimilarityOps.adaptiveBits]] — fixed buckets
+    * mean bucket occupancy (hence candidate pairs per bucket) grows
+    * linearly with n, the one measured super-linear scaling in the
+    * r7 SCALING run. The count behind it is one metadata-cheap
+    * count(*) job, paid once before the bucketing plan is built. */
   def embeddingPairsLsh(s: SparkSession, d: String,
-                        threshold: Double = 0.9, nBits: Int = 8,
+                        threshold: Double = 0.9, nBits: Int = 0,
                         nTables: Int = 4, maxBucket: Int = 1000): DataFrame =
     embeddingPairsLshOn(
       Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
@@ -794,11 +801,13 @@ object DedupOps {
 
   /** Same over any (vec_id, embedding) frame. */
   def embeddingPairsLshOn(emb: DataFrame, threshold: Double = 0.9,
-                          nBits: Int = 8, nTables: Int = 4,
+                          nBits: Int = 0, nTables: Int = 4,
                           maxBucket: Int = 1000): DataFrame = {
+    val bits =
+      if (nBits > 0) nBits else SimilarityOps.adaptiveBits(emb.count())
     val tables = (0 until nTables).map { t =>
       emb.select(col("vec_id"), lit(t).as("table"),
-        SimilarityOps.lshBucket(col("embedding"), nBits, seed = 42L + t)
+        SimilarityOps.lshBucket(col("embedding"), bits, seed = 42L + t)
           .as("bucket"))
     }.reduce(_.union(_))
     // capBucketsRep caches the ranked frame — both self-join sides and

@@ -219,7 +219,10 @@ object SimilarityOps {
     * measured (spec'd) geometry cost. Row-local transform, zero
     * shuffle, planes baked into the plan as literals — the identical
     * dot-product determinism contract as [[lshBucket]], so the whole
-    * projection is DuckDB-oracled from the same plane literals. */
+    * projection is DuckDB-oracled from the same plane literals.
+    * Output is LONG format `(vec_id, pos, value)` — one row per
+    * projected coordinate — matching [[labelCentroids]]'s convention
+    * so the cross-engine compare never sees a nested array. */
   def randomProject(s: SparkSession, d: String,
                     outDim: Int = 8, seed: Long = 7L): DataFrame = {
     val scale = 1.0 / math.sqrt(outDim.toDouble)
@@ -227,19 +230,21 @@ object SimilarityOps {
       round(graft.functions.VectorExprs.dotProduct(
         col("embedding"), typedLit(p)) * lit(scale), 4)): _*)
     Tables.embeddings(s, d)
-      .select(col("vec_id"), proj.as("proj"))
-      .orderBy(col("vec_id"))
+      .select(col("vec_id"), posexplode(proj).as(Seq("pos", "value")))
+      .orderBy(col("vec_id"), col("pos"))
   }
 
   /** DuckDB replica of [[randomProject]] — same plane literals, same
-    * multiply order, same 4dp rounding. */
+    * multiply order, same 4dp rounding, same long output shape. */
   private[graft] def rpOracleSql(outDim: Int = 8, seed: Long = 7L): String = {
     val scale = (1.0 / math.sqrt(outDim.toDouble)).toString
     val elems = lshPlanes(outDim, seed).map(p =>
       s"round(list_dot_product(CAST(embedding AS DOUBLE[]), ${sqlVec(p)}) * $scale, 4)")
       .mkString("[", ",\n    ", "]")
-    s"""SELECT vec_id, $elems AS proj
-       |FROM embeddings ORDER BY vec_id""".stripMargin
+    s"""WITH p AS (SELECT vec_id, $elems AS proj FROM embeddings)
+       |SELECT vec_id, i - 1 AS pos, proj[i] AS value
+       |FROM p, LATERAL (SELECT unnest(range(1, ${outDim + 1})) AS i)
+       |ORDER BY vec_id, pos""".stripMargin
   }
 
   /** Exact top-k: broadcast the query set, score every corpus vector,
@@ -310,6 +315,25 @@ object SimilarityOps {
   private[graft] def lshPlanes(nBits: Int, seed: Long = 42L): Seq[Seq[Float]] = {
     val rng = new java.util.Random(seed)
     Seq.fill(nBits)(Seq.fill(dim)(rng.nextGaussian().toFloat))
+  }
+
+  /** Corpus-adaptive hyperplane count: the smallest `bits` with
+    * 2^bits ≥ n/targetOccupancy, clamped to [minBits, maxBits] — so
+    * mean bucket occupancy stays ~targetOccupancy as the corpus
+    * grows instead of buckets (hence candidate pairs) growing
+    * linearly with n. Fixed 16 buckets at 10× data measured 8.0×
+    * runtime (SCALING.md r7); occupancy-pinned bits restore ~linear
+    * candidate volume. Planes are PREFIX-STABLE (one sequential RNG
+    * per seed), so plane i is identical at every bits ≥ i+1 and the
+    * SQL oracle can embed maxBits planes and mask by a count-derived
+    * bit width. */
+  private[graft] def adaptiveBits(n: Long, targetOccupancy: Long = 32,
+                                  minBits: Int = 4, maxBits: Int = 16): Int = {
+    val cells = math.max(n / targetOccupancy, 2L)
+    // ceil(log2(cells)) in exact integer arithmetic — the oracle
+    // mirrors it as ceil(log2(greatest(count(*) // occ, 2)))
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(cells - 1)
+    math.min(maxBits, math.max(minBits, bits))
   }
 
   /** Deterministic random-hyperplane bucket id (nBits sign bits).
@@ -563,12 +587,24 @@ object SimilarityOps {
     * no bucket exceeds the Spark side's maxBucket cap (true at the
     * test SFs by a wide margin), since the cap is a no-op then. */
   private[graft] def embeddingLshOracleSql(threshold: Double = 0.45,
-                                           nBits: Int = 4,
-                                           nTables: Int = 4): String = {
+                                           nTables: Int = 4,
+                                           targetOccupancy: Long = 32,
+                                           minBits: Int = 4,
+                                           maxBits: Int = 16): String = {
+    // bit width derives from count(*) IN SQL (mirroring adaptiveBits
+    // exactly), and the prefix-stable planes let the statement embed
+    // maxBits plane literals per table and mask the unused high bits
+    def dynBucket(seed: Long): String =
+      lshPlanes(maxBits, seed).zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN $i < nb.bits AND list_dot_product(CAST(embedding AS DOUBLE[]), ${sqlVec(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
     val tables = (0 until nTables).map(t =>
-      s"SELECT vec_id, $t AS tbl, ${bucketSql("embedding", nBits, 42L + t)} AS bucket FROM embeddings")
+      s"SELECT vec_id, $t AS tbl, ${dynBucket(42L + t)} AS bucket FROM embeddings, nb")
       .mkString("\n  UNION ALL ")
-    s"""WITH b AS (
+    s"""WITH nb AS (SELECT CAST(greatest($minBits, least($maxBits,
+       |    ceil(log2(greatest(count(*) // $targetOccupancy, 2))))) AS INT)
+       |    AS bits FROM embeddings),
+       |b AS (
        |  $tables),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2

@@ -440,9 +440,13 @@ object TextOps {
 
   /** Same over any (doc_id, text) frame. */
   def lmScoreBigramOn(docs: DataFrame): DataFrame = {
+    // lazy localCheckpoint, not cache(): tok feeds the model fit AND
+    // the scoring pass, but a cache() pinned in the session manager
+    // outlives the query — checkpoint blocks are GC-reclaimed with
+    // the plan instead
     val tok = graft.Tables.spread(docs)
       .select(col("doc_id"), toks(col("text")).as("ws"))
-      .cache()
+      .localCheckpoint(false)
     val train = tok.filter(col("doc_id") % 2 === 0)
     val uni = train.select(explode(col("ws")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cu"))

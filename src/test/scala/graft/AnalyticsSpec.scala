@@ -258,6 +258,29 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("checked approx faces: exact columns equal the exact operators, " +
+       "every in-plan verdict true") {
+    val dc = Analytics.distinctCountChecked(spark, sf).first()
+    val de = Analytics.distinctCount(spark, sf).first()
+    assert(dc.getLong(0) === de.getLong(0) && dc.getLong(1) === de.getLong(1))
+    assert(dc.getBoolean(2) && dc.getBoolean(3), dc.toString)
+    val pe = Analytics.percentiles(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val pc = Analytics.percentilesChecked(spark, sf).collect()
+    assert(pc.length === pe.size)
+    pc.foreach { r =>
+      assert((r.getDouble(1), r.getDouble(2), r.getDouble(3)) ===
+        pe(r.getString(0)), r.toString)
+      assert(r.getBoolean(4) && r.getBoolean(5) && r.getBoolean(6), r.toString)
+    }
+    val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice")
+    val prof = Analytics.profileChecked(Tables.orders(spark, sf), cols)
+      .collect()
+    assert(prof.map(_.getString(0)).toSeq === cols.sorted)
+    prof.foreach(r => assert(r.getBoolean(4), r.toString))
+  }
+
   test("full outer reconciliation surfaces BOTH one-sided null shapes") {
     val rows = Analytics.fullOuterReconcile(spark, sf).collect()
     // even customers outside the order slice: null aggregates

@@ -261,6 +261,24 @@ class DedupSpec extends SparkSpec {
     assert(out === expected)
   }
 
+  test("adaptive LSH bits pin bucket occupancy across corpus scales") {
+    import graft.ops.SimilarityOps.adaptiveBits
+    // clamps: tiny corpora floor at 4 bits, huge ones cap at 16
+    assert(adaptiveBits(0) === 4)
+    assert(adaptiveBits(500) === 4)            // sf0.01: 500/32=15 → 4
+    assert(adaptiveBits(5000) === 8)           // sf0.1: 156 cells → 8
+    assert(adaptiveBits(50000) === 11)         // sf1: 1562 cells → 11
+    assert(adaptiveBits(Long.MaxValue) === 16)
+    // occupancy contract: 2^bits ≥ n/32 whenever inside the clamp band
+    for (n <- Seq(1000L, 3000L, 10000L, 100000L, 1000000L)) {
+      val b = adaptiveBits(n)
+      assert((1L << b) >= n / 32 || b === 16, s"n=$n bits=$b")
+      // and never more than 2× over — the next-lower width would
+      // break the occupancy bound (no over-sharding)
+      assert(b === 4 || (1L << (b - 1)) < n / 32, s"n=$n bits=$b")
+    }
+  }
+
   test("bucket cap bounds a duplicate-heavy corpus without losing members") {
     import spark.implicits._
     val docs = (0L until 300L).map(i => (i,

@@ -68,7 +68,7 @@ class GraphSpec extends SparkSpec {
     // brute force: enumerate all node triples over the edge set
     val edges = pairs.as[(Long, Long)].collect().groupBy(_._1).values
       .flatMap(m => m.map(_._2).distinct.sorted.combinations(2))
-      .map { case Seq(a, b) => (a, b) }.toSet
+      .map { case Array(a, b) => (a, b) }.toSet
     val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
     val brute = nodes.combinations(3).count { case Seq(a, b, c) =>
       edges((a, b)) && edges((b, c)) && edges((a, c))

@@ -194,8 +194,11 @@ class SimilaritySpec extends SparkSpec {
     val emb = Tables.embeddings(spark, sf).collect()
       .map(r => r.getLong(0) ->
         r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    // long format (vec_id, pos, value) → rebuild per-vector arrays
     val proj = SimilarityOps.randomProject(spark, sf).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (id, rs) => id -> rs.sortBy(_._2).map(_._3).toArray }
     assert(proj.size === emb.size)
     assert(proj.values.forall(_.length === 8))
     def cos(a: Array[Double], b: Array[Double]): Double = {
