@@ -932,9 +932,13 @@ object DedupOps {
         sequence(lit(0), size(col("ws")) - n),
         i => xxhash64(concat_ws(" ", slice(col("ws"), i + 1, lit(n))))))
         .as(Seq("pos", "g")))
+    // "≥ 2 distinct docs" ≡ min(doc_id) ≠ max(doc_id): two fixed-width
+    // aggregation buffers instead of count_distinct's partial-distinct
+    // expansion — the gram-key aggregate is the widest shuffle in both
+    // span operators, so its buffer shape is what scales
     val dupSet = grams.groupBy(col("g"))
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"))
+      .filter(col("d0") =!= col("d1"))
       .select(col("g"))
     (base, grams, dupSet)
   }
