@@ -24,13 +24,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects at
-    * scan time; read it as epoch-nanos long and truncate to micros —
-    * the same truncation DuckDB applies, so oracle parity holds. */
+  /** events.parquet has shipped with two physical types for `ts`:
+    * TIMESTAMP(NANOS) (reads as epoch-nanos long under the legacy
+    * conf) and plain TIMESTAMP_MICROS (reads as TIMESTAMP_NTZ).
+    * Adapt on the observed scan type rather than assuming either:
+    * nanos-long truncates to micros (the same truncation DuckDB
+    * applies), NTZ casts to session-zone TIMESTAMP (sessions run
+    * UTC, so wall-clock values — and oracle parity — are unchanged). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
