@@ -541,7 +541,10 @@ object SparkEntry {
     "text_trim_dup_spans" -> ((s, d) =>
       DedupOps.trimDupSpans(Tables.documents(s, d))),
     "dedup_minhash"       -> ((s, d) => DedupOps.minhashLsh(s, d)),
-    "dedup_simhash"       -> ((s, d) => DedupOps.simhashPairs(s, d)),
+    // checked face: 60-bit md5-prefix SimHash — the oracle re-derives
+    // the complete pair list (sigs, hamming, jaccard) cross-engine
+    "dedup_simhash"       -> ((s, d) =>
+      DedupOps.simhashPairsCheckedOn(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccard(s, d)),
     // train/eval decontamination: even doc_ids play the training
     // corpus, odd ones the held-out benchmark — a SQL-expressible
@@ -607,14 +610,19 @@ object SparkEntry {
     "text_tokens"      -> (TextOps.tokenCounts _),
     "text_quality"     -> (TextOps.qualityScores _),
     "text_langid"      -> (TextOps.langId _),
-    "text_fingerprint" -> ((s, d) => TextOps.fingerprints(s, d)),
+    // checked face: winnowing over a 60-bit md5-prefix hash both
+    // engines compute — the oracle replays every signature VALUE
+    "text_fingerprint" -> ((s, d) => TextOps.fingerprintsChecked(s, d)),
     "text_tfidf"       -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     "text_top_terms"   -> ((s, d) => TextOps.topTerms(s, d)),
     "text_chunk"       -> ((s, d) => TextOps.chunk(s, d)),
     "text_pack"        -> ((s, d) => TextOps.pack(s, d)),
     // Misra-Gries sketch face: rows-only (estimates are merge-order-
     // dependent within the n/capacity bound; TextOpsSpec pins it)
-    "text_top_terms_sketch" -> ((s, d) => TextOps.topTermsSketch(s, d)),
+    // checked face: exact top-k + in-plan Misra–Gries guarantee
+    // verdicts (presence / undercount / N-over-capacity bound) — the
+    // cross-engine hash gates the sketch through the flags
+    "text_top_terms_sketch" -> ((s, d) => TextOps.topTermsSketchChecked(s, d)),
     // the synthetic corpus is PII-free, so a plain pass over it would
     // verify only a pass-through; the entry plants one deterministic
     // instance of every PII category, derived from doc_id identically
@@ -717,8 +725,12 @@ object SparkEntry {
     // closed forms)
     "mm_gate" -> ((s, d) => MultimodalOps.mediaGate(s, d)),
     // §2.10 MLlib pipelines
-    "ml_cluster"  -> ((s, d) => MlOps.cluster(s, d)),
-    "ml_classify" -> (MlOps.classify _),
+    // checked faces: MLlib fits aren't replayable cross-engine, so
+    // the entries re-derive the scoring contract in-plan (argmin over
+    // fitted centroids / argmax over the probability vector) and the
+    // oracle asserts the per-row verdicts
+    "ml_cluster"  -> ((s, d) => MlOps.clusterChecked(s, d)),
+    "ml_classify" -> (MlOps.classifyChecked _),
     // the non-parametric classification baseline, fully
     // SQL-expressible: every 10th vector held out, majority vote of
     // its 5 nearest labeled neighbors, double-deterministic ties
@@ -2621,6 +2633,44 @@ object SparkEntry {
         |FROM pairs JOIN sz x ON x.doc_id = id1 JOIN sz y ON y.doc_id = id2
         |WHERE common * 1.0 / (x.n + y.n - common) >= 0.8
         |ORDER BY id1, id2""".stripMargin,
+    // complete cross-engine replay of the md5-60bit SimHash face:
+    // per-token bit votes → sign-thresholded signature → all-pairs
+    // hamming ≤ 7 (the oracle's shape for Spark's exact banded
+    // index) → exact string-shingle Jaccard ≥ 0.8
+    "dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |th AS (SELECT doc_id,
+        |    (('0x' || substr(md5(w), 1, 15))::UBIGINT)::BIGINT AS h
+        |  FROM tok),
+        |bc AS (SELECT doc_id, b,
+        |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+        |  FROM th CROSS JOIN range(60) r(b) GROUP BY 1, 2),
+        |sig AS (SELECT doc_id,
+        |    sum(CASE WHEN c > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sig
+        |  FROM bc GROUP BY 1),
+        |toks2 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+        |  FROM toks2 WHERE len(t) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.sig, b.sig)) <= 7),
+        |com AS (SELECT c.id1, c.id2, c.hamming, count(*) AS common
+        |  FROM cand c JOIN sh x ON x.doc_id = c.id1
+        |  JOIN sh y ON y.doc_id = c.id2 AND y.s = x.s
+        |  GROUP BY 1, 2, 3)
+        |SELECT c.id1, c.id2, c.hamming,
+        |  round(common * 1.0 / (sx.n + sy.n - common), 4) AS jaccard
+        |FROM com c JOIN sz sx ON sx.doc_id = c.id1
+        |JOIN sz sy ON sy.doc_id = c.id2
+        |WHERE common * 1.0 / (sx.n + sy.n - common) >= 0.8
+        |ORDER BY id1, id2""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t
         |             FROM documents),
@@ -2912,6 +2962,17 @@ object SparkEntry {
     // the shared core — the prediction set cannot drift between the
     // classifier entry and its eval); sums cast to BIGINT so the
     // driver's pandas layer keeps integer dtypes
+    // MLlib checked faces: the oracle replays what IS cross-engine —
+    // the row universe (and for classify, the deterministic split and
+    // the true labels) — and asserts every in-plan scoring verdict
+    "ml_cluster" ->
+      """SELECT vec_id, TRUE AS cluster_in_range,
+        |  TRUE AS assigned_is_argmin
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "ml_classify" ->
+      """SELECT vec_id, label, TRUE AS pred_in_domain,
+        |  TRUE AS prob_sums_one, TRUE AS pred_is_argmax
+        |FROM embeddings WHERE vec_id % 5 = 0 ORDER BY vec_id""".stripMargin,
     "ml_eval_classification" ->
       ("WITH preds AS (" + knnVoteOracleCore + "),\n" +
         """t AS (SELECT true_label AS label,
@@ -3138,6 +3199,37 @@ object SparkEntry {
         |  FROM documents)
         |SELECT term, count(*) AS n FROM tok
         |GROUP BY 1 ORDER BY n DESC, term LIMIT 20""".stripMargin,
+    // full value replay of the md5-60bit winnow: shingle → hash →
+    // sliding-window min → distinct+sort, element for element
+    "text_fingerprint" ->
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |             FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN len(t) >= 3 THEN
+        |    list_transform(range(1, len(t) - 1),
+        |      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+        |  ELSE [array_to_string(t, ' ')] END AS grams FROM tok),
+        |h AS (SELECT doc_id, list_transform(grams,
+        |  s -> (('0x' || substr(md5(s), 1, 15))::UBIGINT)::BIGINT) AS hs
+        |  FROM g),
+        |w AS (SELECT doc_id,
+        |  list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+        |    j -> list_min(hs[j:j+3])) AS wins FROM h),
+        |f AS (SELECT doc_id, list_sort(list_distinct(wins)) AS fp FROM w)
+        |SELECT doc_id, array_to_string(fp, ',') AS fingerprint,
+        |  len(fp) AS fp_size, fp[1] AS fp_min
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // exact top-k replays in SQL; the sketch-side verdicts must all
+    // come back TRUE for the Misra–Gries guarantees to hold
+    "text_top_terms_sketch" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents)
+        |SELECT term, count(*) AS n,
+        |  TRUE AS in_sketch_ok, TRUE AS est_lower_ok,
+        |  TRUE AS est_within_bound
+        |FROM tok
+        |GROUP BY term ORDER BY n DESC, term LIMIT 10""".stripMargin,
     "text_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -621,12 +621,6 @@ object DedupOps {
   def simhashPairsOn(s: SparkSession, docs: DataFrame, maxHamming: Int = 7,
                      bands: Int = 4, maxBucket: Int = 1000,
                      threshold: Double = 0.8): DataFrame = {
-    require(64 % bands == 0 && bands >= 2, s"bands must divide 64, got $bands")
-    require(maxHamming <= 2 * bands - 1,
-      s"multi-index with 1-bit probes is exact only to hamming 2*bands-1 = " +
-        s"${2 * bands - 1}; maxHamming=$maxHamming would silently lose recall")
-    val chunkBits = 64 / bands
-    val mask = lit((1L << chunkBits) - 1)
     // ONE scan/tokenize pass feeds both the SimHash signatures and the
     // shingle sets the exact-Jaccard verifier needs — staged and
     // cached together instead of two independent corpus scans
@@ -637,6 +631,69 @@ object DedupOps {
         shingleHashesExpr(col("__t")).as("hs"))
       .withColumn("n", size(col("hs")))
       .cache()
+    simhashCore(staged, 64, maxHamming, bands, maxBucket, threshold)
+  }
+
+  /** The CHECKED face of [[simhashPairsOn]] (the approx-tier gating
+    * pattern): the production signature hashes tokens with xxhash64,
+    * which no other engine computes — but SimHash is hash-agnostic,
+    * so this face derives each token's 60-bit hash from an md5
+    * prefix (`conv(substr(md5(tok),1,15),16,10)`; DuckDB:
+    * `('0x'||substr(md5(tok),1,15))::UBIGINT`) and builds the
+    * signature from builtin expressions only: per-token ±1 bit
+    * votes folded with `aggregate`/`zip_with` (row-local, no
+    * shuffle), sign-thresholded into a 60-bit BIGINT. Every
+    * downstream number — the multi-index candidate walk, hamming
+    * distances, exact-Jaccard verification — is then integer
+    * arithmetic both engines replay bit for bit, so the oracle
+    * re-derives the COMPLETE pair list (60 bits in 4 bands of 15
+    * keeps the pigeonhole exactness to hamming 2·bands-1 = 7; an
+    * all-pairs bit_count(xor) in SQL is the oracle's shape, the
+    * banded index is Spark's). Production callers keep the xxhash64
+    * kernel face. */
+  def simhashPairsCheckedOn(docs: DataFrame, maxHamming: Int = 7,
+                            bands: Int = 4, maxBucket: Int = 1000,
+                            threshold: Double = 0.8): DataFrame = {
+    val sigBits = 60
+    val tokHash = (tok: Column) =>
+      conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+    val voteArr = (tok: Column) => {
+      val hv = tokHash(tok)
+      array((0 until sigBits).map(b =>
+        when(shiftright(hv, b).bitwiseAND(lit(1L)) === 1L, lit(1L))
+          .otherwise(lit(-1L))): _*)
+    }
+    val bitCounts = aggregate(
+      col("__t"),
+      array_repeat(lit(0L), sigBits),
+      (acc, tok) => zip_with(acc, voteArr(tok), (x, y) => x + y))
+    val sigFromCounts = (0 until sigBits).map(b =>
+      when(element_at(col("__bc"), b + 1) > 0, lit(1L << b))
+        .otherwise(lit(0L))).reduce(_ + _)
+    val staged = Tables.spread(docs)
+      .select(col("doc_id"), TextOps.toks(col("text")).as("__t"))
+      .select(col("doc_id"), bitCounts.as("__bc"),
+        shingleHashesExpr(col("__t")).as("hs"))
+      .select(col("doc_id"), sigFromCounts.as("sig"), col("hs"))
+      .withColumn("n", size(col("hs")))
+      .cache()
+    simhashCore(staged, sigBits, maxHamming, bands, maxBucket, threshold)
+  }
+
+  /** Multi-index candidate walk + hamming filter + exact-Jaccard
+    * verification over a staged (doc_id, sig, hs, n) frame — shared
+    * by the xxhash64 production face and the md5 checked face so the
+    * banding mechanics cannot drift between them. */
+  private def simhashCore(staged: DataFrame, sigBits: Int, maxHamming: Int,
+                          bands: Int, maxBucket: Int,
+                          threshold: Double): DataFrame = {
+    require(sigBits % bands == 0 && bands >= 2,
+      s"bands must divide $sigBits, got $bands")
+    require(maxHamming <= 2 * bands - 1,
+      s"multi-index with 1-bit probes is exact only to hamming 2*bands-1 = " +
+        s"${2 * bands - 1}; maxHamming=$maxHamming would silently lose recall")
+    val chunkBits = sigBits / bands
+    val mask = lit((1L << chunkBits) - 1)
     val sigs = staged.select(col("doc_id"), col("sig"))
     val sets = staged.select(col("doc_id"), col("hs"), col("n"))
     val chunks = (0 until bands).map(i =>

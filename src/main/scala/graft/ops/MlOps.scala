@@ -5,7 +5,7 @@ import org.apache.spark.ml.Pipeline
 import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.StandardScaler
-import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -33,6 +33,42 @@ object MlOps {
       .orderBy(col("vec_id"))
   }
 
+  /** The CHECKED face of [[cluster]] (the approx-tier gating
+    * pattern): an MLlib fit's assignments are seed-deterministic in
+    * Spark but not replayable by another engine, so the entry
+    * re-derives each row's assignment IN THE PLAN from the fitted
+    * centroids — squared distance to every center via literal
+    * centroid arrays (k·d doubles, trivially broadcast inside the
+    * expression tree) — and emits per-row verdicts the oracle can
+    * assert: the predicted cluster is in [0, k) and its distance is
+    * the minimum over all centers (1e-9-relative tolerance: the
+    * recompute must not disagree with MLlib's float summation order
+    * on near-ties). A broken transform, a stale model, or a centroid
+    * mismatch flips a flag; the oracle is every vec_id + TRUE. */
+  def clusterChecked(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    val df = featurized(s, d).cache()
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").fit(df)
+    val centerDists = model.clusterCenters.map { c =>
+      val cLit = array(c.toArray.map(lit): _*)
+      aggregate(
+        zip_with(col("embedding").cast("array<double>"), cLit,
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    }
+    model.transform(df)
+      .select(col("vec_id"), col("prediction").cast("int").as("cluster"),
+        col("embedding"))
+      .withColumn("__d", array(centerDists: _*))
+      .select(
+        col("vec_id"),
+        (col("cluster") >= 0 && col("cluster") < k).as("cluster_in_range"),
+        (element_at(col("__d"), col("cluster") + 1) <=
+          array_min(col("__d")) * (1 + 1e-9) + 1e-12)
+          .as("assigned_is_argmin"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Scaler → logistic-regression Pipeline predicting the label
     * column; time-honored 80/20 split on a deterministic key. */
   def classify(s: SparkSession, d: String): DataFrame = {
@@ -47,6 +83,41 @@ object MlOps {
     model.transform(test)
       .select(col("vec_id"), col("label"),
         col("prediction").cast("int").as("predicted"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The CHECKED face of [[classify]]: fitted logistic weights are
+    * not replayable cross-engine, but the scoring CONTRACT is — per
+    * test row the probability vector must be a distribution (sums to
+    * 1), the prediction must index into it, and it must be the
+    * argmax of that vector. The entry emits the deterministic split
+    * keys and true labels (real data, not just flags) beside the
+    * three verdicts; the oracle replays the split arithmetic and
+    * labels from the embeddings table and asserts TRUE across the
+    * board. A softmax bug, a stage wiring slip, or a prediction/
+    * probability mismatch flips a flag on some row and breaks the
+    * cross-engine hash. */
+  def classifyChecked(s: SparkSession, d: String): DataFrame = {
+    val df = featurized(s, d).cache()
+    val train = df.filter(col("vec_id") % 5 =!= 0)
+    val test  = df.filter(col("vec_id") % 5 === 0)
+    val pipeline = new Pipeline().setStages(Array(
+      new StandardScaler().setInputCol("features").setOutputCol("scaled"),
+      new LogisticRegression().setFeaturesCol("scaled").setLabelCol("label")
+        .setMaxIter(20)))
+    val model = pipeline.fit(train)
+    model.transform(test)
+      .select(col("vec_id"), col("label"),
+        col("prediction").cast("int").as("__pred"),
+        vector_to_array(col("probability")).as("__p"))
+      .select(
+        col("vec_id"), col("label"),
+        (col("__pred") >= 0 && col("__pred") < size(col("__p")))
+          .as("pred_in_domain"),
+        (abs(aggregate(col("__p"), lit(0.0), (a, v) => a + v) - 1.0) < 1e-6)
+          .as("prob_sums_one"),
+        (element_at(col("__p"), col("__pred") + 1) >=
+          array_max(col("__p")) - 1e-9).as("pred_is_argmax"))
       .orderBy(col("vec_id"))
   }
 

@@ -192,6 +192,42 @@ object TextOps {
       .limit(k)
   }
 
+  /** The CHECKED face of [[topTermsSketch]] (the approx-tier gating
+    * pattern): one token explode feeds the Misra–Gries sketch AND the
+    * exact counts, and the entry itself asserts the sketch's
+    * guarantees against the exact answer per top-k term — presence
+    * (any term with n > N/capacity must hold a counter), undercount
+    * (est ≤ n), and the merge-safe error bound (n − est ≤
+    * N/capacity, Agarwal et al. PODS'12). Output rows are the EXACT
+    * top-k (deterministic) plus the three verdict flags, so the
+    * cross-engine hash gates the sketch: a broken update or merge
+    * flips a flag and the oracle (exact top-k + TRUE flags) catches
+    * it. Estimates themselves stay merge-order-dependent and are
+    * deliberately not emitted. */
+  def topTermsSketchChecked(s: SparkSession, d: String, k: Int = 10,
+                            capacity: Int = 64): DataFrame = {
+    val mg = udaf(new graft.functions.MisraGriesAgg(capacity))
+    val terms = graft.Tables.spread(Tables.documents(s, d))
+      .select(explode(toks(lower(col("text")))).as("term"))
+      .cache()
+    val sketch = terms.agg(mg(col("term")).as("sk"))
+      .select(explode(col("sk")).as(Seq("term", "est")))
+    val totals = terms.agg(count(lit(1)).as("__total"))
+    val exactTopK = terms.groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(k)
+    val bound = expr(s"__total div $capacity")
+    exactTopK
+      .join(sketch, Seq("term"), "left")
+      .crossJoin(broadcast(totals))
+      .select(
+        col("term"), col("n"),
+        (col("est").isNotNull || col("n") <= bound).as("in_sketch_ok"),
+        (col("est").isNull || col("est") <= col("n")).as("est_lower_ok"),
+        (col("est").isNull || col("n") - col("est") <= bound)
+          .as("est_within_bound"))
+      .orderBy(col("n").desc, col("term"))
+  }
+
   /** Overlapping token-window chunking — the step that turns curated
     * documents into training-sized pieces: each document explodes
     * into windows of `chunkTokens` tokens advancing by
@@ -514,6 +550,45 @@ object TextOps {
       when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
       path,
       when(q2 =!= "", concat(lit("?"), q2)).otherwise(lit("")))
+  }
+
+  /** The CHECKED face of [[fingerprints]]: winnowing is hash-
+    * agnostic, so swapping the kernel's xxhash64 (which no other
+    * engine computes) for a 60-bit md5 prefix — Spark
+    * `conv(substr(md5(g),1,15),16,10)`, DuckDB
+    * `('0x'||substr(md5(g),1,15))::ubigint` — makes EVERY
+    * fingerprint value replayable cross-engine: the oracle re-runs
+    * the full shingle → hash → sliding-window-min → distinct+sort
+    * pipeline in SQL and compares actual signatures, not just shapes.
+    * Built from row-local builtin expressions (sequence/slice/
+    * transform/array_min — no custom kernel, no shuffle), so the
+    * checked face also serves as an independent reimplementation of
+    * the winnow algorithm itself; 60 bits keeps the unsigned hex
+    * parse inside a signed BIGINT in both engines. Production
+    * callers keep the faster xxhash64 kernel face. */
+  def fingerprintsChecked(s: SparkSession, d: String,
+                          k: Int = 3, w: Int = 4): DataFrame = {
+    val t = toks(col("text"))
+    val gramAt = (i: Column) => concat_ws(" ", slice(t, i, lit(k)))
+    val grams = when(size(t) >= k,
+      transform(sequence(lit(1), size(t) - (k - 1)), i => gramAt(i)))
+      .otherwise(array(concat_ws(" ", t)))
+    val hs = transform(grams,
+      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+    val fpCol = {
+      val m = size(col("__h"))
+      val wins = transform(sequence(lit(1), greatest(m - (w - 1), lit(1))),
+        j => array_min(slice(col("__h"), j, lit(w))))
+      array_sort(array_distinct(wins))
+    }
+    graft.Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), hs.as("__h"))
+      .select(col("doc_id"), fpCol.as("__fp"))
+      .select(col("doc_id"),
+        array_join(col("__fp").cast("array<string>"), ",").as("fingerprint"),
+        size(col("__fp")).as("fp_size"),
+        element_at(col("__fp"), 1).as("fp_min"))
+      .orderBy(col("doc_id"))
   }
 
   /** Winnowing fingerprint (Schleimer et al., SIGMOD'03): hash every

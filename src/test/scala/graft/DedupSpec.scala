@@ -37,6 +37,21 @@ class DedupSpec extends SparkSpec {
     assert(planted.nonEmpty && planted.subsetOf(sim))
   }
 
+  test("checked simhash face: banded index agrees with brute-force " +
+       "hamming over the md5 signatures, planted pairs survive") {
+    val docs = Tables.documents(spark, sf)
+    val rows = DedupOps.simhashPairsCheckedOn(docs).collect()
+    rows.foreach { r =>
+      assert(r.getInt(2) <= 7)
+      assert(r.getDouble(3) >= 0.8)
+    }
+    // the 60-bit face must still catch the ~99%-similar planted dups
+    val planted = DedupOps.ngramJaccard(spark, sf, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.nonEmpty && planted.subsetOf(got))
+  }
+
   test("simhash rejects a maxHamming beyond the probe-exact radius") {
     intercept[IllegalArgumentException] {
       DedupOps.simhashPairs(spark, sf, maxHamming = 8, bands = 4)

@@ -24,6 +24,25 @@ class MlSpec extends SparkSpec {
     }
   }
 
+  test("checked cluster face: every row's verdicts hold") {
+    val rows = MlOps.clusterChecked(spark, sf).collect()
+    assert(rows.length === Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getBoolean(1), s"cluster out of range: $r")
+      assert(r.getBoolean(2), s"assignment is not the centroid argmin: $r")
+    }
+  }
+
+  test("checked classify face: distribution/argmax verdicts hold on the split") {
+    val rows = MlOps.classifyChecked(spark, sf).collect()
+    val n = Tables.embeddings(spark, sf).filter(col("vec_id") % 5 === 0).count()
+    assert(rows.length === n)
+    rows.foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4),
+        s"scoring contract violated: $r")
+    }
+  }
+
   test("in-plan kmeans separates two obvious blobs and reports their " +
        "true majority labels") {
     import spark.implicits._

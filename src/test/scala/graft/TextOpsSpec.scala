@@ -200,6 +200,42 @@ class TextOpsSpec extends SparkSpec {
       s"missing guaranteed heavy hitters: ${mustHave -- got}")
   }
 
+  test("checked sketch face: exact top-k rows with every verdict TRUE") {
+    val rows = TextOps.topTermsSketchChecked(spark, sf, k = 10).collect()
+    assert(rows.length === 10)
+    val exact = TextOps.topTerms(spark, sf, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq === exact.toSeq)
+    rows.foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4),
+        s"sketch guarantee violated on '${r.getString(0)}': $r")
+    }
+  }
+
+  test("checked fingerprint face matches a directly computed md5 winnow") {
+    val (k, w) = (3, 4)
+    val row = TextOps.fingerprintsChecked(spark, sf, k, w)
+      .filter(col("doc_id") === 1L).first()
+    val text = Tables.documents(spark, sf)
+      .filter(col("doc_id") === 1L).select("text").first().getString(0)
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val t = text.trim.split("\\s+")
+    val grams =
+      if (t.length >= k) t.sliding(k).map(_.mkString(" ")).toArray
+      else Array(t.mkString(" "))
+    val hs = grams.map(h60)
+    val wins = (0 until math.max(hs.length - (w - 1), 1))
+      .map(j => hs.slice(j, j + w).min)
+    val expected = wins.distinct.sorted
+    assert(row.getString(1) === expected.mkString(","))
+    assert(row.getInt(2) === expected.length)
+    assert(row.getLong(3) === expected.head)
+  }
+
   test("repetition scores: a looping doc maxes out, a unique doc floors") {
     val docs = Seq(
       (1L, "spam spam spam spam spam"),          // one distinct bigram
