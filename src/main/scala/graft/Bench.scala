@@ -21,6 +21,23 @@ object Bench {
           col("l_suppkey") % 25 === col("n_nationkey"))
         .groupBy(col("n_name")).agg(sum(col("l_extendedprice")).as("s"))
         .orderBy(col("s").desc).limit(5).collect()
+      // MLlib bring-up (BLAS init, optimizer/aggregator JIT): the
+      // first estimator fit in a JVM measured 6–15s above its steady
+      // state, a one-time cost that landed on whichever MLlib entry
+      // ran first and swamped its pin. Tiny fits on a 16-row frame
+      // warm the path; the timed entries' own models still fit on
+      // the real data.
+      import org.apache.spark.ml.classification.LogisticRegression
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val tiny = spark.range(16).select(col("id"),
+        array_to_vector(array((col("id") % 3).cast("double"),
+          (col("id") % 5).cast("double"))).as("features"),
+        (col("id") % 2).cast("int").as("label"))
+      new KMeans().setK(2).setSeed(1L).setMaxIter(2)
+        .setFeaturesCol("features").fit(tiny)
+      new LogisticRegression().setMaxIter(2).setFeaturesCol("features")
+        .setLabelCol("label").fit(tiny)
     }
     // Fixed name order: JIT warmth and storage state then can't shift
     // between runs just because Map iteration order changed.
