@@ -125,6 +125,13 @@ object SparkEntry {
     // enumeration (oriented out-degree ≤ O(√m) caps hub work); edges =
     // part co-occurrence in orders, basket-capped
     "graph_triangles" -> ((s, d) => graft.ops.GraphOps.triangles(s, d)),
+    // the exact count's scale tier: DOULION edge sampling on a
+    // deterministic md5 coin — sampling replays in the oracle, so
+    // the estimate itself is value-checked cross-engine
+    "graph_triangles_sampled" -> ((s, d) =>
+      graft.ops.GraphOps.trianglesSampledOn(
+        Tables.lineitem(s, d).select(col("l_orderkey").as("basket"),
+          col("l_partkey").as("item")), 16, 300)),
     // brand-pair support/confidence/lift over order baskets: bounded
     // pair explode per basket, exact-integer lift, TakeOrdered top-k
     "q_market_basket" -> ((s, d) => Analytics.marketBasket(s, d)),
@@ -1508,6 +1515,44 @@ object SparkEntry {
         |       FROM deg)
         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
         |  round(3.0 * n_triangles / n_wedges, 4) AS clustering_coeff
+        |FROM st, tri""".stripMargin,
+    // the sampled tier replays the WHOLE pipeline — md5 coin, kept
+    // edge set, degree orientation, wedge closure, and the integer
+    // 1/p^3 scale-up — so the estimate value-matches cross-engine
+    "graph_triangles_sampled" ->
+      """WITH m AS (SELECT DISTINCT l_orderkey AS basket,
+        |             l_partkey AS item FROM lineitem),
+        |sz AS (SELECT basket, count(*) AS bsz FROM m GROUP BY 1),
+        |mm AS (SELECT m.basket, m.item FROM m JOIN sz USING (basket)
+        |       WHERE sz.bsz <= 16),
+        |e0 AS (SELECT DISTINCT x.item AS a, y.item AS b
+        |       FROM mm x JOIN mm y USING (basket) WHERE x.item < y.item),
+        |e AS (SELECT a, b FROM e0
+        |      WHERE ('0x' || substr(md5(a || '_' || b), 1, 15))::UBIGINT
+        |              % 1000 < 300),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |          SELECT a AS node FROM e
+        |          UNION ALL SELECT b AS node FROM e) GROUP BY 1),
+        |o AS (SELECT
+        |        CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+        |             THEN e.a ELSE e.b END AS lo,
+        |        CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+        |             THEN e.b ELSE e.a END AS hi,
+        |        CASE WHEN (da.deg, e.a) < (db.deg, e.b)
+        |             THEN db.deg ELSE da.deg END AS dhi
+        |      FROM e JOIN deg da ON e.a = da.node
+        |             JOIN deg db ON e.b = db.node),
+        |w AS (SELECT e1.hi AS lo, e2.hi AS hi
+        |      FROM o e1 JOIN o e2 USING (lo)
+        |      WHERE (e1.dhi, e1.hi) < (e2.dhi, e2.hi)),
+        |tri AS (SELECT count(*) AS n_triangles FROM w
+        |        WHERE EXISTS (SELECT 1 FROM o
+        |                      WHERE o.lo = w.lo AND o.hi = w.hi)),
+        |st AS (SELECT CAST(sum(deg) / 2 AS BIGINT) AS n_edges FROM deg)
+        |SELECT n_edges AS n_edges_kept,
+        |  n_triangles AS n_triangles_sampled,
+        |  CAST(n_triangles * 1000000000 // 27000000 AS BIGINT)
+        |    AS est_triangles
         |FROM st, tri""".stripMargin,
     // support/confidence/lift in exact integers before one double
     // division; the pair explode and min-count gate replayed verbatim

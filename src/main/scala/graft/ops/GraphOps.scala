@@ -139,7 +139,43 @@ object GraphOps {
       maxBasket)
 
   /** Same over any (basket, item) membership list. */
-  def trianglesOn(pairs: DataFrame, maxBasket: Int): DataFrame = {
+  def trianglesOn(pairs: DataFrame, maxBasket: Int): DataFrame =
+    triangleCore(basketEdges(pairs, maxBasket)
+      .localCheckpoint(false)) // edges feed degrees, wedges, AND the
+                               // closing join — materialize once
+
+  /** The SCALE TIER of [[trianglesOn]] — the exact count's wedge join
+    * is O(m^1.5) and is the registry's single heaviest query, the
+    * shape that hurts first at corpus scale. DOULION edge sampling
+    * (Tsourakakis et al., KDD'09): keep each edge with probability
+    * p = permille/1000, count triangles on the sparsified graph,
+    * estimate = count/p³ (unbiased; wedge work drops to ~p^1.5 of
+    * the exact face's). The coin is a DETERMINISTIC md5-prefix hash
+    * of the canonical edge key — not `rand()` — so the estimate is
+    * reproducible run to run AND the entire computation (sampling
+    * included) replays in the DuckDB oracle: this tier is fully
+    * value-oracled, no tolerance band needed. The division scales by
+    * exact integer arithmetic (tri·10⁹ div permille³), so both
+    * engines produce the identical estimate. */
+  def trianglesSampledOn(pairs: DataFrame, maxBasket: Int,
+                         permille: Int): DataFrame = {
+    require(permille >= 1 && permille <= 1000,
+      s"permille must be in [1,1000]: $permille")
+    val keep = conv(substring(md5(concat(col("a").cast("string"), lit("_"),
+      col("b").cast("string"))), 1, 15), 16, 10).cast("long") % 1000
+    val kept = basketEdges(pairs, maxBasket)
+      .filter(keep < permille)
+      .localCheckpoint(false)
+    val p3 = permille.toLong * permille * permille
+    triangleCore(kept).select(
+      col("n_edges").as("n_edges_kept"),
+      col("n_triangles").as("n_triangles_sampled"),
+      expr(s"(n_triangles * 1000000000L) div ${p3}L").as("est_triangles"))
+  }
+
+  /** Canonical (a < b) undirected edge set from basket co-membership,
+    * shared by the exact and sampled triangle faces. */
+  private def basketEdges(pairs: DataFrame, maxBasket: Int): DataFrame = {
     val members = pairs.select(col("basket"), col("item")).distinct()
     val sized = members
       .withColumn("__bsz", count(lit(1)).over(
@@ -148,12 +184,15 @@ object GraphOps {
       .drop("__bsz")
     // undirected edge set, canonical a < b; one equi-join on the
     // basket key with per-key fanout ≤ C(maxBasket, 2)
-    val edges = sized.as("x").join(sized.as("y"), "basket")
+    sized.as("x").join(sized.as("y"), "basket")
       .filter(col("x.item") < col("y.item"))
       .select(col("x.item").as("a"), col("y.item").as("b"))
       .distinct()
-      .localCheckpoint(false) // edges feed degrees, wedges, AND the
-                              // closing join — materialize once
+  }
+
+  /** Degree-oriented wedge count over a materialized canonical edge
+    * set — the counting core shared by both triangle faces. */
+  private def triangleCore(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("a").as("node"))
       .union(edges.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))

@@ -56,6 +56,28 @@ class GraphSpec extends SparkSpec {
     assert(r.getDouble(4) === 0.8, s"coeff $r")  // 12/15
   }
 
+  test("sampled triangles: permille=1000 degenerates to the exact face, " +
+       "the md5 coin is deterministic, and the estimate lands near truth") {
+    import spark.implicits._
+    val pairs = (0 until 400).map { i =>
+      ((i / 4).toLong, (i * 7919L + i.toLong * i * 104729L) % 40)
+    }.toDF("basket", "item")
+    val exact = GraphOps.trianglesOn(pairs, maxBasket = 16).collect().head
+    val full = GraphOps.trianglesSampledOn(pairs, maxBasket = 16,
+      permille = 1000).collect().head
+    assert(full.getLong(0) === exact.getLong(1), s"edges $full vs $exact")
+    assert(full.getLong(1) === exact.getLong(3), s"tris $full vs $exact")
+    assert(full.getLong(2) === exact.getLong(3), s"estimate $full")
+    val s1 = GraphOps.trianglesSampledOn(pairs, 16, 300).collect().head
+    val s2 = GraphOps.trianglesSampledOn(pairs, 16, 300).collect().head
+    assert(s1.toString === s2.toString, "hash coin must be deterministic")
+    // a dense-enough graph at p=0.3: the unbiased estimate should land
+    // within a loose band of truth (variance bound, not a tight check)
+    val truth = exact.getLong(3)
+    assert(s1.getLong(2) >= 0 && s1.getLong(2) <= truth * 5,
+      s"estimate wildly off: ${s1.getLong(2)} vs $truth")
+  }
+
   test("triangles: counting is orientation-exact — matches brute force " +
        "on a random graph") {
     import spark.implicits._
