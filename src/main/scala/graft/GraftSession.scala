@@ -25,7 +25,13 @@ object GraftSession {
   val requiredConfs: Map[String, String] = Map(
     // TIMESTAMP(NANOS) parquet columns read as epoch-nanos long;
     // Tables.events truncates to micros (same truncation DuckDB applies)
-    "spark.sql.legacy.parquet.nanosAsLong" -> "true")
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // the engine's declared determinism contract (SURVEY §5) is
+    // session TZ = UTC everywhere; before this lived here, only
+    // Verify and the specs pinned it — a Bench or embedding session
+    // on a non-UTC JVM would shift every NTZ→timestamp cast and
+    // date_trunc by the host offset
+    "spark.sql.session.timeZone" -> "UTC")
 
   /** Apply [[requiredConfs]] to an existing session (all are
     * runtime-settable SQL confs). Idempotent. */
