@@ -54,9 +54,9 @@ object GraftSession {
     all.foreach { case (k, v) => b.config(k, v) }
     val s = b.getOrCreate()
     // getOrCreate can return a pre-existing session whose builder
-    // confs were ignored — re-apply EVERYTHING requested (required
-    // and extra alike: dropping just the extras would silently lose
-    // e.g. Verify's UTC timezone in an embedding JVM)
+    // confs were ignored — re-apply EVERYTHING requested, required
+    // and caller extras alike, so an embedding JVM's stale session
+    // can't silently drop them
     all.foreach { case (k, v) => s.conf.set(k, v) }
     s.sparkContext.setLogLevel("WARN")
     s

@@ -2676,7 +2676,7 @@ object SparkEntry {
         |SELECT id1, id2,
         |  round(common * 1.0 / (x.n + y.n - common), 4) AS jaccard
         |FROM pairs JOIN sz x ON x.doc_id = id1 JOIN sz y ON y.doc_id = id2
-        |WHERE common * 1.0 / (x.n + y.n - common) >= 0.8
+        |WHERE round(common * 1.0 / (x.n + y.n - common), 4) >= 0.8
         |ORDER BY id1, id2""".stripMargin,
     // complete cross-engine replay of the md5-60bit SimHash face:
     // per-token bit votes → sign-thresholded signature → all-pairs
@@ -2714,7 +2714,7 @@ object SparkEntry {
         |  round(common * 1.0 / (sx.n + sy.n - common), 4) AS jaccard
         |FROM com c JOIN sz sx ON sx.doc_id = c.id1
         |JOIN sz sy ON sy.doc_id = c.id2
-        |WHERE common * 1.0 / (sx.n + sy.n - common) >= 0.8
+        |WHERE round(common * 1.0 / (sx.n + sy.n - common), 4) >= 0.8
         |ORDER BY id1, id2""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t
@@ -2731,7 +2731,7 @@ object SparkEntry {
         |SELECT id1, id2,
         |  round(common * 1.0 / (x.n + y.n - common), 4) AS jaccard
         |FROM pairs JOIN sz x ON x.doc_id = id1 JOIN sz y ON y.doc_id = id2
-        |WHERE common * 1.0 / (x.n + y.n - common) >= 0.8
+        |WHERE round(common * 1.0 / (x.n + y.n - common), 4) >= 0.8
         |ORDER BY id1, id2""".stripMargin,
     // The composed pipeline, stage for stage: the quality predicate is
     // text_quality's, the dedup keep-set is dedup_exact's, and the
@@ -2787,7 +2787,7 @@ object SparkEntry {
         |  SELECT DISTINCT cnt.doc_id
         |  FROM cnt JOIN sz x ON x.doc_id = cnt.doc_id
         |           JOIN sz y ON y.doc_id = ref_id
-        |  WHERE common * 1.0 / (x.n + y.n - common) >= 0.8)
+        |  WHERE round(common * 1.0 / (x.n + y.n - common), 4) >= 0.8)
         |SELECT doc_id FROM keep
         |WHERE doc_id NOT IN (SELECT doc_id FROM cont)
         |ORDER BY doc_id""".stripMargin,
@@ -2827,7 +2827,7 @@ object SparkEntry {
         |p0 AS (
         |  SELECT id1, id2 FROM cnt
         |  JOIN sz x ON x.doc_id = id1 JOIN sz y ON y.doc_id = id2
-        |  WHERE common * 1.0 / (x.n + y.n - common) >= 0.8),
+        |  WHERE round(common * 1.0 / (x.n + y.n - common), 4) >= 0.8),
         |edges AS (SELECT id1 AS a, id2 AS b FROM p0
         |          UNION ALL SELECT id2, id1 FROM p0),
         |walk(a, b) AS (
@@ -2853,7 +2853,7 @@ object SparkEntry {
         |p0 AS (
         |  SELECT id1, id2 FROM cnt
         |  JOIN sz x ON x.doc_id = id1 JOIN sz y ON y.doc_id = id2
-        |  WHERE common * 1.0 / (x.n + y.n - common) >= 0.8),
+        |  WHERE round(common * 1.0 / (x.n + y.n - common), 4) >= 0.8),
         |edges AS (SELECT id1 AS a, id2 AS b FROM p0
         |          UNION ALL SELECT id2, id1 FROM p0),
         |walk(a, b) AS (
@@ -2897,7 +2897,7 @@ object SparkEntry {
         |  round(common * 1.0 / (x.n + y.n - common), 4) AS jaccard
         |FROM pairs JOIN sz x ON x.doc_id = pairs.doc_id
         |           JOIN sz y ON y.doc_id = ref_id
-        |WHERE common * 1.0 / (x.n + y.n - common) >= 0.8
+        |WHERE round(common * 1.0 / (x.n + y.n - common), 4) >= 0.8
         |ORDER BY doc_id, ref_id""".stripMargin,
     // containment divides by the REFERENCE set size only — the oracle
     // recomputes it from raw string shingles, filtering on the same
@@ -3448,7 +3448,7 @@ object SparkEntry {
         |SELECT id2 AS doc_id, id1 AS dup_of,
         |  round(common * 1.0 / (x.n + y.n - common), 4) AS jaccard
         |FROM pairs JOIN sz x ON x.doc_id = id1 JOIN sz y ON y.doc_id = id2
-        |WHERE common * 1.0 / (x.n + y.n - common) >= 0.8
+        |WHERE round(common * 1.0 / (x.n + y.n - common), 4) >= 0.8
         |ORDER BY doc_id, dup_of""".stripMargin,
     // mm_extract: the payloads are deterministic functions of doc_id
     // (MmSynth), so the oracle recomputes every decoded feature with

@@ -649,10 +649,17 @@ object DedupOps {
     * re-derives the COMPLETE pair list (60 bits in 4 bands of 15
     * keeps the pigeonhole exactness to hamming 2·bands-1 = 7; an
     * all-pairs bit_count(xor) in SQL is the oracle's shape, the
-    * banded index is Spark's). Production callers keep the xxhash64
-    * kernel face. */
+    * banded index is Spark's). The default maxBucket is UNCAPPED
+    * here, unlike the production face: the oracle's all-pairs scan
+    * has no cap, so a band bucket overflowing the cap (a mass-dup
+    * cluster larger than maxBucket) would drop capped-out pairs on
+    * the Spark side only and fail verification against a correct
+    * engine — exactly the completeness the checked face exists to
+    * prove. Production callers keep the capped xxhash64 kernel face,
+    * whose cap is a recall trade documented there, not a parity
+    * contract. */
   def simhashPairsCheckedOn(docs: DataFrame, maxHamming: Int = 7,
-                            bands: Int = 4, maxBucket: Int = 1000,
+                            bands: Int = 4, maxBucket: Int = Int.MaxValue,
                             threshold: Double = 0.8): DataFrame = {
     val sigBits = 60
     val tokHash = (tok: Column) =>

@@ -41,10 +41,16 @@ object MlOps {
     * centroid arrays (k·d doubles, trivially broadcast inside the
     * expression tree) — and emits per-row verdicts the oracle can
     * assert: the predicted cluster is in [0, k) and its distance is
-    * the minimum over all centers (1e-9-relative tolerance: the
-    * recompute must not disagree with MLlib's float summation order
-    * on near-ties). A broken transform, a stale model, or a centroid
-    * mismatch flips a flag; the oracle is every vec_id + TRUE. */
+    * the minimum over all centers. Tolerance is 1e-6 RELATIVE
+    * because that is MLlib's own documented distance precision:
+    * findClosest goes through fastSquaredDistance's norm-cached
+    * ||a||²+||b||²−2ab form, which guarantees only ~1e-6 relative
+    * accuracy — on a vector near-equidistant to two centroids MLlib
+    * may legitimately pick the center whose exactly-recomputed
+    * distance is up to that much above the true argmin, and a
+    * tighter verdict would flag a correct model. A genuinely wrong
+    * assignment is off by far more. The oracle is every vec_id +
+    * TRUE. */
   def clusterChecked(s: SparkSession, d: String, k: Int = 8): DataFrame = {
     val df = featurized(s, d).cache()
     val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
@@ -64,7 +70,7 @@ object MlOps {
         col("vec_id"),
         (col("cluster") >= 0 && col("cluster") < k).as("cluster_in_range"),
         (element_at(col("__d"), col("cluster") + 1) <=
-          array_min(col("__d")) * (1 + 1e-9) + 1e-12)
+          array_min(col("__d")) * (1 + 1e-6) + 1e-12)
           .as("assigned_is_argmin"))
       .orderBy(col("vec_id"))
   }
