@@ -77,6 +77,16 @@ object Bench {
     // exactly that truncation. Whatever gets cut, the final short line
     // always survives a tail capture.
     println(f"""{"metric":"summary","total_s":$total%.2f,"ok":$okCount,"n":${results.size},"failed":$failed,"sf":"$sfDir"}""")
+    // The stdout tail a harness archives truncates the full per-query
+    // line (and sbt's own epilogue is the true last line, so a
+    // parse-the-last-line consumer gets nothing) — ALSO durably write
+    // the complete metric line next to the build so the full
+    // per-query table survives any stdout capture window.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      s"""{"metric":"total","value":$total,"unit":"sec","ok":$okCount,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""" + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e") }
     spark.stop()
   }
 }
