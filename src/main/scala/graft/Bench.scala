@@ -82,11 +82,18 @@ object Bench {
     // parse-the-last-line consumer gets nothing) — ALSO durably write
     // the complete metric line next to the build so the full
     // per-query table survives any stdout capture window.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","ok":$okCount,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""" + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_LOCAL.json write failed: $e") }
+    // Anchor to an explicit root so the file lands in the repo even
+    // when the JVM's working directory is not the build root:
+    // -Dgraft.bench.dir wins, then user.dir (sbt runs from the root).
+    val benchDir = java.nio.file.Paths.get(
+      sys.props.getOrElse("graft.bench.dir", sys.props("user.dir")))
+    val benchPath = benchDir.resolve("BENCH_LOCAL.json").toAbsolutePath
+    try {
+      java.nio.file.Files.writeString(benchPath,
+        s"""{"metric":"total","value":$total,"unit":"sec","ok":$okCount,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""" + "\n")
+      System.err.println(s"[bench] wrote $benchPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] $benchPath write failed: $e") }
     spark.stop()
   }
 }

@@ -8,16 +8,17 @@ import org.apache.spark.sql.SparkSession
   * set in one place instead of as side effects of whichever loader
   * happens to run first.
   *
-  * Why this exists: `events.parquet` carries TIMESTAMP(NANOS), which
-  * Spark 4 rejects at scan time unless the legacy nanos-as-long conf
-  * is on. [[Tables.events]] sets it defensively, but a query that
-  * counts `events` without reading `ts` used to depend on ANOTHER
-  * query having run first in the same session — an order dependence a
-  * fresh-session user hits on their very first query. Bootstrapping
-  * the conf at session build (and keeping the defensive set in the
-  * loader) makes every registry entry self-contained; IsolationSpec
-  * runs each entry against deliberately-reset conf state to keep it
-  * that way.
+  * Why this exists: `events.parquet` has shipped carrying
+  * TIMESTAMP(NANOS), which Spark 4 rejects at scan time unless the
+  * legacy nanos-as-long conf is on. A query that counted `events`
+  * without reading `ts` used to depend on ANOTHER query having run
+  * first in the same session — an order dependence a fresh-session
+  * user hits on their very first query. Bootstrapping the conf at
+  * session build makes every registry entry self-contained
+  * ([[Tables.events]] keeps only a fail-then-set fallback for
+  * caller-built sessions, engaged when the nanos scan actually
+  * rejects); IsolationSpec runs each entry against
+  * deliberately-reset conf state to keep it that way.
   */
 object GraftSession {
 

@@ -52,6 +52,10 @@ object SparkEntry {
     // DAU + trailing-7-day WAU via a 7x support explode (equi-keyed,
     // map-side-combinable — never a day-range nested loop)
     "q_dau_wau" -> (Analytics.dauWau _),
+    // the declared 100 TB face: HLL over the same support explode,
+    // checked in-plan against the exact pair (q_distinct_approx
+    // pattern — oracle asserts the tolerance verdicts are TRUE)
+    "q_dau_wau_approx" -> ((s, d) => Analytics.dauWauChecked(s, d)),
     "q_set_ops"          -> (Analytics.setOps _),
     "q_rollup"           -> (Analytics.rollupAgg _),
     "q_grouping_sets"    -> (Analytics.groupingSetsAgg _),
@@ -511,6 +515,10 @@ object SparkEntry {
     // DuckDB recursive CTE (identical IEEE expression order), so even
     // this sequential classical model is hash-oracled
     "forecast_hw"       -> ((s, d) => Forecast.holtWinters(s, d)),
+    // AR(2) by closed-form least squares: REGR-style moment sums +
+    // Cramer solve as column arithmetic, horizon recursion unrolled
+    // in-plan; the oracle replays the identical IEEE expression trees
+    "forecast_ar"       -> ((s, d) => Forecast.arForecast(s, d)),
     // §2.4 deduplication
     "dedup_exact"         -> (DedupOps.exact _),
     // blocked entity resolution over constructed names: word-word-id
@@ -910,6 +918,25 @@ object SparkEntry {
         |wau AS (SELECT day, count(DISTINCT user_id) AS wau
         |        FROM support GROUP BY 1)
         |SELECT d.day AS day, dau, wau FROM dau d JOIN wau USING (day)
+        |ORDER BY day""".stripMargin,
+    // checked sketch face: exact DAU/WAU + literal TRUE verdicts —
+    // the Spark side computes the verdicts from the live HLL beside
+    // the exact distinct, so per-day drift past 5·rsd flips a flag
+    // and the hash compare catches it
+    "q_dau_wau_approx" ->
+      """WITH ud AS (SELECT DISTINCT
+        |              CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |              user_id
+        |            FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        |support AS (
+        |  SELECT user_id, day + INTERVAL 1 DAY * off AS day
+        |  FROM ud, LATERAL (SELECT unnest(range(0, 7)) AS off)),
+        |wau AS (SELECT day, count(DISTINCT user_id) AS wau
+        |        FROM support GROUP BY 1)
+        |SELECT d.day AS day, dau, wau,
+        |  TRUE AS dau_within_tol, TRUE AS wau_within_tol
+        |FROM dau d JOIN wau USING (day)
         |ORDER BY day""".stripMargin,
     "q_pivot_per_day" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
@@ -1551,8 +1578,9 @@ object SparkEntry {
         |st AS (SELECT CAST(sum(deg) / 2 AS BIGINT) AS n_edges FROM deg)
         |SELECT n_edges AS n_edges_kept,
         |  n_triangles AS n_triangles_sampled,
-        |  CAST(n_triangles * 1000000000 // 27000000 AS BIGINT)
-        |    AS est_triangles
+        |  CAST(n_triangles // 27000000 * 1000000000
+        |       + (n_triangles % 27000000) * 1000000000 // 27000000
+        |       AS BIGINT) AS est_triangles
         |FROM st, tri""".stripMargin,
     // support/confidence/lift in exact integers before one double
     // division; the pair explode and min-count gate replayed verbatim
@@ -2535,6 +2563,57 @@ object SparkEntry {
         |  round(level + h * trend + seas[((n + h - 1) % 7) + 1], 4) AS pred
         |FROM fin, LATERAL (SELECT unnest(range(1, 8)) AS h)
         |ORDER BY event_type, h""".stripMargin,
+    // AR(2): moment sums are integer-valued doubles (exact,
+    // order-independent), the Cramer formulas below repeat the Spark
+    // expression strings character for character, and the recursive
+    // CTE replays the unrolled forecast recursion — bit-identical 4dp
+    "forecast_ar" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT max(day) AS mx FROM daily),
+        |l AS (SELECT daily.*,
+        |        lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+        |        lag(cnt, 2) OVER (PARTITION BY event_type ORDER BY day) AS l2
+        |      FROM daily),
+        |train AS (
+        |  SELECT event_type, day, CAST(cnt AS DOUBLE) AS y,
+        |         CAST(l1 AS DOUBLE) AS x1, CAST(l2 AS DOUBLE) AS x2
+        |  FROM l, mx WHERE day <= mx - INTERVAL 7 DAY AND l2 IS NOT NULL),
+        |sums AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(y) AS sy, sum(x1) AS s1, sum(x2) AS s2,
+        |    sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
+        |    sum(x1 * y) AS s1y, sum(x2 * y) AS s2y,
+        |    arg_max(y, day) AS y0, arg_max(x1, day) AS ym1,
+        |    max(day) AS tday
+        |  FROM train GROUP BY 1),
+        |cf AS (
+        |  SELECT *,
+        |    n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)
+        |      AS det
+        |  FROM sums),
+        |c2 AS (
+        |  SELECT event_type, tday, y0, ym1,
+        |    (sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y)) / det AS c0,
+        |    (n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2)) / det AS a1,
+        |    (n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2)) / det AS a2
+        |  FROM cf WHERE n >= 4 AND det <> 0),
+        |f AS (
+        |  SELECT event_type, tday, c0, a1, a2, 0 AS h, y0 AS p1, ym1 AS p2
+        |  FROM c2
+        |  UNION ALL
+        |  SELECT event_type, tday, c0, a1, a2, h + 1,
+        |         c0 + a1 * p1 + a2 * p2, p1
+        |  FROM f WHERE h < 7)
+        |SELECT f.event_type AS event_type,
+        |  tday + INTERVAL 1 DAY * h AS day,
+        |  cnt AS actual, round(p1, 4) AS pred
+        |FROM f JOIN daily ON daily.event_type = f.event_type
+        |              AND daily.day = tday + INTERVAL 1 DAY * h
+        |WHERE h >= 1
+        |ORDER BY event_type, day""".stripMargin,
     "forecast_snaive" ->
       """WITH daily AS (
         |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,

@@ -32,13 +32,32 @@ object Tables {
     * applies), NTZ casts to session-zone TIMESTAMP (sessions run
     * UTC, so wall-clock values — and oracle parity — are unchanged). */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = load(s, d, "events")
+    // No up-front conf mutation: a loader that silently flips a
+    // session-wide read conf is a trap for other nanos-parquet reads
+    // in the same session. GraftSession.build sets the legacy conf at
+    // session construction; this fallback engages ONLY if a
+    // caller-built session scans TIMESTAMP(NANOS) data without it
+    // (schema inference throws "Illegal Parquet type ... NANOS"), and
+    // the set is then required for the scan itself, not scoped away.
+    val df =
+      try load(s, d, "events")
+      catch {
+        case e: Throwable if String.valueOf(e.getMessage).contains("NANOS") =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          load(s, d, "events")
+      }
+    import org.apache.spark.sql.types._
     df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType => // TIMESTAMP(NANOS) under the legacy conf
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ =>
+      case TimestampNTZType => // TIMESTAMP_MICROS, no zone: sessions
+        // run UTC, so the cast keeps wall-clock values (oracle parity)
         df.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampType => df
+      case other => // fail LOUDLY on the next testdata regeneration
+        // rather than coercing an unknown physical type to nulls
+        throw new IllegalStateException(
+          s"events.ts: unexpected scan type $other — adapt Tables.events")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

@@ -255,6 +255,45 @@ object Analytics {
       .orderBy(col("day"))
   }
 
+  /** Driver-checkable face of [[dauWau]]'s 100 TB variant: the
+    * trailing-window distinct is where exact dedup hurts at scale
+    * (every user-day materializes 7 support rows into an exact
+    * per-day distinct), so the declared scale face swaps
+    * countDistinct for approx_count_distinct over the SAME support
+    * explode — fixed-size mergeable HLL, map-side-combinable, no
+    * distinct row expansion. This entry runs sketch beside exact and
+    * collapses to the exact pair plus per-day tolerance verdicts
+    * (|approx − exact| ≤ 5·rsd·exact, floor 1); the oracle replays
+    * the exact side with literal TRUE flags, so sketch drift past
+    * tolerance breaks the cross-engine hash (the q_distinct_approx
+    * pattern). Single-distinct + HLL in one aggregate stays on the
+    * object-hash path — no multi-distinct Expand rewrite fires. */
+  def dauWauChecked(s: SparkSession, d: String,
+                    rsd: Double = 0.02): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val dau = ud.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"),
+           approx_count_distinct(col("user_id"), rsd).as("__da"))
+    val support = ud.select(col("user_id"),
+        explode(sequence(lit(0), lit(6))).as("off"), col("day"))
+      .select(col("user_id"),
+        expr("timestampadd(DAY, off, day)").as("day"))
+    val wau = support.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau"),
+           approx_count_distinct(col("user_id"), rsd).as("__wa"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        (abs(col("__da") - col("dau")).cast("double") <=
+          greatest(lit(5 * rsd) * col("dau"), lit(1.0)))
+          .as("dau_within_tol"),
+        (abs(col("__wa") - col("wau")).cast("double") <=
+          greatest(lit(5 * rsd) * col("wau"), lit(1.0)))
+          .as("wau_within_tol"))
+      .orderBy(col("day"))
+  }
+
   /** Out-of-range timestamp detection — the reference hunts rides
     * with pickup in 2088 (DataDiscoveryAndConversation cell 30). */
   def anomalyFilter(s: SparkSession, d: String): DataFrame =

@@ -57,6 +57,15 @@ object DedupOps {
     * join uses, so the exchange is reused, not added. */
   private def capBucketsRep(df: DataFrame, keys: Seq[String], idCol: String,
                             cap: Int): (DataFrame, DataFrame) = {
+    if (cap == Int.MaxValue) {
+      // cap can never fire: skip the per-bucket rank window (a full
+      // extra shuffle on the bucket keys) entirely — kept is the input
+      // (cached: callers consume it multiple times), overflow is empty
+      val kept = df.cache()
+      val overflow = df.limit(0)
+        .select(col(idCol).as("id1"), col(idCol).as("id2"))
+      return (kept, overflow)
+    }
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(idCol))
     // Cached HERE so kept and overflow share one materialization of
     // the upstream pipeline (signature aggregation / bucketing): both

@@ -106,6 +106,100 @@ object Forecast {
       .orderBy(col("event_type"), col("h"))
   }
 
+  // Cramer's rule for the AR(2) normal equations — the 3×3 symmetric
+  // system [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]]·[c0,a1,a2] =
+  // [sy,s1y,s2y]. The formula strings are SQL both engines parse, and
+  // the oracle repeats them CHARACTER FOR CHARACTER: every operand is
+  // an integer-valued double (exact, order-independent sums), so
+  // keeping the expression trees identical makes the IEEE results —
+  // and thus the forecasts — bit-identical cross-engine.
+  private val arDet =
+    "n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)"
+  private val arDet0 =
+    "sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y)"
+  private val arDet1 =
+    "n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2)"
+  private val arDet2 =
+    "n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2)"
+
+  /** Per-series AR(2) forecaster — the autoregressive step past
+    * seasonal-naive/Holt-Winters toward the reference's neural
+    * forecaster (DeepAR conditions on lagged targets;
+    * GluePySparkMLFeatureEngineering cell 52): y_t fit as
+    * c0 + a1·y_{t−1} + a2·y_{t−2} per series by least squares.
+    *
+    * The fit is the cheapest distributed shape a regression can
+    * take: lags come from one keyed window pass, the normal-equation
+    * moments are plain map-side-combinable SUMs (the REGR_* moment
+    * recipe, ml_linreg_trend's plan with two features), and the 3×3
+    * solve is closed-form Cramer arithmetic ON COLUMNS — no
+    * iteration, no driver state, one shuffle on the series key. The
+    * `horizon` recursive forecasts unroll as nested column
+    * expressions (p_h = c0 + a1·p_{h−1} + a2·p_{h−2}); the oracle
+    * replays the same recursion in a recursive CTE, and every
+    * arithmetic node matches the Spark tree, so values match at 4dp
+    * bit-for-bit (the forecast_hw contract). Series whose train
+    * moments are degenerate (det = 0, e.g. constant) drop out rather
+    * than divide by zero — identically in both engines.
+    *
+    * Output: (event_type, day, actual, pred) over the holdout days,
+    * the [[seasonalNaive]] shape minus the quantile band (an AR point
+    * model has no residual-quantile interval by construction). */
+  def arForecast(s: SparkSession, d: String, horizon: Int = 7): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val lagged = daily
+      .withColumn("l1", lag(col("cnt"), 1).over(w))
+      .withColumn("l2", lag(col("cnt"), 2).over(w))
+    val mx = daily.agg(max(col("day")).as("mx"))
+    val train = lagged.crossJoin(broadcast(mx))
+      .filter(col("day") <= col("mx") - expr(s"interval $horizon day") &&
+              col("l2").isNotNull)
+      .select(col("event_type"), col("day"),
+        col("cnt").cast("double").as("y"),
+        col("l1").cast("double").as("x1"),
+        col("l2").cast("double").as("x2"))
+    val sums = train.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("y")).as("sy"),
+      sum(col("x1")).as("s1"),
+      sum(col("x2")).as("s2"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("x1") * col("y")).as("s1y"),
+      sum(col("x2") * col("y")).as("s2y"),
+      // forecast anchors: the last two train values (days are unique
+      // per series, so max_by is unambiguous)
+      max_by(col("y"), col("day")).as("y0"),
+      max_by(col("x1"), col("day")).as("ym1"),
+      max(col("day")).as("tday"))
+    val coef = sums
+      .withColumn("det", expr(arDet))
+      .filter(col("n") >= 4 && col("det") =!= 0.0)
+      .withColumn("c0", expr(arDet0) / col("det"))
+      .withColumn("a1", expr(arDet1) / col("det"))
+      .withColumn("a2", expr(arDet2) / col("det"))
+    // unroll the recursive point forecasts into column expressions
+    var p1 = col("y0"); var p2 = col("ym1")
+    val preds = (1 to horizon).map { _ =>
+      val p = col("c0") + col("a1") * p1 + col("a2") * p2
+      p2 = p1; p1 = p
+      p
+    }
+    coef.select(col("event_type"), col("tday"),
+        posexplode(array(preds: _*)).as(Seq("h0", "pred")))
+      .select(col("event_type"),
+        expr("timestampadd(DAY, h0 + 1, tday)").as("day"),
+        round(col("pred"), 4).as("pred"))
+      .join(daily.select(col("event_type"), col("day"),
+        col("cnt").as("actual")), Seq("event_type", "day"))
+      .select(col("event_type"), col("day"), col("actual"), col("pred"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Forecast evaluation: per-series MAE and interval coverage —
     * the capability of TestingForecastResults.ipynb's quantile
     * plots, as a metric table. */

@@ -155,7 +155,8 @@ object GraphOps {
     * reproducible run to run AND the entire computation (sampling
     * included) replays in the DuckDB oracle: this tier is fully
     * value-oracled, no tolerance band needed. The division scales by
-    * exact integer arithmetic (tri·10⁹ div permille³), so both
+    * exact integer arithmetic (quotient split so tri·10⁹ never
+    * materializes as a single Long product), so both
     * engines produce the identical estimate. */
   def trianglesSampledOn(pairs: DataFrame, maxBasket: Int,
                          permille: Int): DataFrame = {
@@ -170,7 +171,12 @@ object GraphOps {
     triangleCore(kept).select(
       col("n_edges").as("n_edges_kept"),
       col("n_triangles").as("n_triangles_sampled"),
-      expr(s"(n_triangles * 1000000000L) div ${p3}L").as("est_triangles"))
+      // overflow-safe 1/p^3 scale-up: split the quotient so no
+      // intermediate exceeds ~1e18 even at corpus-scale triangle
+      // counts (tri*1e9 alone wraps past ~9.2e9 triangles)
+      expr(s"(n_triangles div ${p3}L) * 1000000000L + " +
+        s"((n_triangles % ${p3}L) * 1000000000L) div ${p3}L")
+        .as("est_triangles"))
   }
 
   /** Canonical (a < b) undirected edge set from basket co-membership,

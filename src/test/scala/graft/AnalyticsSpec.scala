@@ -258,6 +258,17 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_dau_wau_approx: exact pair matches dauWau, every verdict true") {
+    val exact = Analytics.dauWau(spark, sf).collect()
+      .map(r => r.get(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val checked = Analytics.dauWauChecked(spark, sf).collect()
+    assert(checked.length === exact.size)
+    checked.foreach { r =>
+      assert((r.getLong(1), r.getLong(2)) === exact(r.get(0)), r.toString)
+      assert(r.getBoolean(3) && r.getBoolean(4), r.toString)
+    }
+  }
+
   test("checked approx faces: exact columns equal the exact operators, " +
        "every in-plan verdict true") {
     val dc = Analytics.distinctCountChecked(spark, sf).first()

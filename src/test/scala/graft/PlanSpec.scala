@@ -183,6 +183,13 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("dau/wau checked face keeps the equi-keyed shape with HLL beside " +
+       "the exact distinct") {
+    val plan = executedPlan(Analytics.dauWauChecked(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("scd2 runs both windows on ONE exchange of the key partitioning") {
     val plan = executedPlan(graft.etl.Mapping.scd2(
       Tables.events(spark, sf).select(col("user_id"), col("event_type"),

@@ -92,6 +92,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("state-store enrichment (huge-dimension regime) matches the batch " +
+      "face and never replans the dimension per batch") {
+    val dim = EventStreams.customerDim(spark, sf)
+    val staged = java.nio.file.Files.createTempDirectory("graft-enrich3").toString
+    val events = Tables.events(spark, sf)
+    // split the facts across two batches: batch 2 arriving AFTER the
+    // seed proves state persists rather than being rebuilt per batch
+    val half1 = events.filter(col("event_id") % 2 === 0)
+    val half2 = events.filter(col("event_id") % 2 =!= 0)
+    half1.write.mode("overwrite").parquet(staged)
+    val stream = EventStreams.enrichStateStream(spark, staged, events.schema, dim)
+    // the physical shape IS the contract of this regime: a stateful
+    // keyed operator, no join operator re-planning the dim each batch
+    val plan = stream.queryExecution.analyzed.toString
+    assert(plan.contains("FlatMapGroupsWithState"), plan)
+    assert(!plan.toLowerCase.contains("join"), plan)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_ss_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      half2.write.mode("append").parquet(staged)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+          Option(r.getAs[String]("segment")))
+      val streamed = spark.table("enrich_ss_out").collect().map(key).toSet
+      val batch = EventStreams.enrichBatch(spark, sf).collect().map(key).toSet
+      assert(streamed === batch)
+      // both batches enriched — including keys whose only events came
+      // in batch 2, which only state (not a per-batch dim scan) serves
+      val b2 = half2.select(col("event_id")).collect().map(_.getLong(0)).toSet
+      assert(streamed.exists(t => b2(t._1) && t._3.nonEmpty))
+      // and the query really ran state: the progress reports a
+      // stateful operator with keys in the store
+      val st = q.lastProgress.stateOperators
+      assert(st.nonEmpty && st.exists(_.numRowsTotal > 0),
+        q.lastProgress.toString)
+    } finally q.stop()
+  }
+
   test("stream-stream join pairs equal the batch face's attribution set") {
     val staged = java.nio.file.Files.createTempDirectory("graft-ssjoin").toString
     val events = Tables.events(spark, sf)

@@ -215,6 +215,33 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("arForecast nails a planted 3-cycle that seasonal-naive misreads") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Timestamp.valueOf(s"2024-01-$s 00:00:00")
+    // y cycles 10,20,30 with period 3: AR(2) represents it EXACTLY
+    // (y_t = 60 − y_{t−1} − y_{t−2}), while seasonal-naive's
+    // hardcoded lag-7 sees the phase shifted by 7 mod 3 = 1 every
+    // day and lands off by 30 on one day in three
+    val events = (1 to 21).flatMap { i =>
+      Seq.fill(Seq(10, 20, 30)((i - 1) % 3))(("cyc", d(f"$i%02d")))
+    }.toDF("event_type", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ar").toString
+    events.withColumn("ts", unix_micros(col("ts")) * 1000)
+      .withColumn("event_id", monotonically_increasing_id())
+      .withColumn("user_id", lit(1L)).withColumn("value", lit(1.0))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ar = Forecast.arForecast(spark, dir).collect()
+    assert(ar.length === 7) // days 15..21
+    ar.foreach(r => assert(math.abs(r.getDouble(3) - r.getLong(2)) < 1e-6,
+      r.toString))
+    // the forecast_eval comparison row: AR's MAE strictly beats snaive
+    val maeAr = ar.map(r => math.abs(r.getDouble(3) - r.getLong(2))).sum / 7
+    val sn = Forecast.seasonalNaive(spark, dir).collect()
+    assert(sn.length === 7)
+    val maeSn = sn.map(r => math.abs(r.getDouble(3) - r.getLong(2))).sum / 7
+    assert(maeAr < maeSn && maeSn > 5.0, s"maeAr=$maeAr maeSn=$maeSn")
+  }
+
   test("anomaly z-scores: planted spike flags, flat series never does") {
     import spark.implicits._
     def d(s: String) = java.sql.Timestamp.valueOf(s"2024-01-$s 00:00:00")
