@@ -2,8 +2,10 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Dev harness: derive a FACTOR×-scale copy of an sf dir's heavy-block
-  * tables (documents, embeddings, events) for scaling measurements
+/** Dev harness: derive a FACTOR×-scale copy of an sf dir — the
+  * LLM-pipeline heavy block (documents, embeddings, events) AND the
+  * TPC-H block (lineitem/orders/customer/supplier/part offset per
+  * copy; nation/region SF-invariant) — for scaling measurements
   * beyond the largest generated SF. The derivation is ISOMORPHIC, not
   * a blind union — each copy preserves the original's within-copy
   * structure exactly while staying dissimilar to every other copy, so
@@ -63,9 +65,9 @@ object ScaleUp {
     }.reduce(_ union _)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    // events: read RAW (ts keeps the files' physical type) so the
-    // output round-trips through Tables.events unchanged
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // events: read RAW (ts keeps the files' physical type; the session
+    // builder already set the legacy nanos conf) so the output
+    // round-trips through Tables.events unchanged
     val ev = s.read.parquet(s"$src/events.parquet")
     (0 until factor).map { k =>
       ev.select(
@@ -75,6 +77,65 @@ object ScaleUp {
         col("event_type"), col("value"), col("props"))
     }.reduce(_ union _)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    // TPC-H heavy block: the facts and every linearly-scaling dim get
+    // per-copy key offsets (copies are disjoint key ranges, exactly
+    // how a larger TPC-H SF grows), so join fanout, basket sizes, and
+    // graph degrees stay per-copy-identical instead of superlinearly
+    // inflating; nation/region are SF-invariant in TPC-H and pass
+    // through unchanged. Offsets are decimal-round (1e6/1e5/1e4 ≫ the
+    // sf0.1 max keys), so modulus-based subsets (`% 97` erasure
+    // subjects, `% 10` holdouts) keep selecting the same fraction of
+    // every copy. With all ten tables present the output dir is a
+    // complete sf dir: Bench/BenchOne run against it directly.
+    val okOff = 1000000L; val pkOff = 100000L
+    val skOff = 10000L; val ckOff = 100000L
+    def copies(table: String)(f: Int => org.apache.spark.sql.DataFrame): Unit =
+      (0 until factor).map(f).reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+
+    val li = s.read.parquet(s"$src/lineitem.parquet")
+    copies("lineitem") { k =>
+      li.select(
+        (col("l_orderkey") + lit(k * okOff)).as("l_orderkey"),
+        (col("l_partkey") + lit(k * pkOff)).as("l_partkey"),
+        (col("l_suppkey") + lit(k * skOff)).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+    }
+    val ord = s.read.parquet(s"$src/orders.parquet")
+    copies("orders") { k =>
+      ord.select(
+        (col("o_orderkey") + lit(k * okOff)).as("o_orderkey"),
+        (col("o_custkey") + lit(k * ckOff)).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    }
+    val cust = s.read.parquet(s"$src/customer.parquet")
+    copies("customer") { k =>
+      cust.select(
+        (col("c_custkey") + lit(k * ckOff)).as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"),
+        col("c_mktsegment"))
+    }
+    val supp = s.read.parquet(s"$src/supplier.parquet")
+    copies("supplier") { k =>
+      supp.select(
+        (col("s_suppkey") + lit(k * skOff)).as("s_suppkey"),
+        col("s_name"), col("s_nationkey"), col("s_acctbal"))
+    }
+    val prt = s.read.parquet(s"$src/part.parquet")
+    copies("part") { k =>
+      prt.select(
+        (col("p_partkey") + lit(k * pkOff)).as("p_partkey"),
+        col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+        col("p_retailprice"))
+    }
+    Seq("nation", "region").foreach { t =>
+      s.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
 
     println(s"[scaleup] wrote $out at $factor x $src")
     s.stop()

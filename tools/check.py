@@ -60,8 +60,14 @@ def canon(df):
 def main(outdir, sfdir):
     con = duckdb.connect()
     tables = "region nation customer supplier part orders lineitem events documents embeddings".split()
+    import os
     for t in tables:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+        # driver testdata ships single files; ScaleUp-derived sf dirs
+        # are Spark-written DIRECTORIES of part files — glob those
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = n_rows_only = 0
     for d in sorted(glob.glob(f"{outdir}/*/")):
