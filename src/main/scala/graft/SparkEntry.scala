@@ -93,6 +93,10 @@ object SparkEntry {
     // collocation mining: adjacent-pair PMI — the phrase detector /
     // phrase-merge prep of tokenizer training
     "text_collocations" -> ((s, d) => TextOps.collocations(s, d)),
+    // BPE-style merge training: 3 rounds of corpus-wide top-pair
+    // fuse-and-rewrite, each a map-side-combinable pair count + 1-row
+    // broadcast + row-local replace; fully oracled (unrolled rounds)
+    "text_bpe_merges" -> ((s, d) => TextOps.bpeMerges(s, d)),
     // first-order user-journey transition matrix: one user-key window
     // pass, then cell-cardinality normalization over a broadcast
     "q_markov" -> (Analytics.markovTransitions _),
@@ -739,6 +743,10 @@ object SparkEntry {
     // spec-tested to cross-engine oracled (probed samples have
     // closed forms)
     "mm_gate" -> ((s, d) => MultimodalOps.mediaGate(s, d)),
+    // perceptual image near-dup: brightness-shifted re-encodes (bytes
+    // differ, exact dedup blind) collide on the integer-threshold
+    // aHash; row-local synth+hash, one hash-key count + equi-join
+    "dedup_image_phash" -> ((s, d) => MultimodalOps.phashNearDup(s, d)),
     // §2.10 MLlib pipelines
     // checked faces: MLlib fits aren't replayable cross-engine, so
     // the entries re-derive the scoring contract in-plan (argmin over
@@ -1275,6 +1283,74 @@ object SparkEntry {
         |FROM bi JOIN uni u1 ON bi.w1 = u1.w
         |        JOIN uni u2 ON bi.w2 = u2.w, t, nb
         |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+    // text_bpe_merges: the 3 training rounds unrolled (the
+    // ml_kmeans_plan pattern). Merge application = the SAME
+    // double-replace on the same chr(31)-delimited string — both
+    // engines' replace() scan left-to-right non-overlapping, so the
+    // rewrite is bit-identical by construction
+    "text_bpe_merges" ->
+      """WITH s0 AS (
+        |  SELECT doc_id, chr(31) ||
+        |    array_to_string(string_split_regex(trim(text), '\s+'), chr(31))
+        |    || chr(31) AS s
+        |  FROM documents),
+        |p1 AS (
+        |  SELECT ws[i] || ' ' || ws[i+1] AS pair, count(*) AS cnt
+        |  FROM (SELECT list_filter(string_split(s, chr(31)), x -> x <> '')
+        |          AS ws FROM s0),
+        |       LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+        |  GROUP BY 1),
+        |t1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+        |s1 AS (
+        |  SELECT doc_id, replace(replace(s,
+        |    chr(31) || replace(pair, ' ', chr(31)) || chr(31),
+        |    chr(31) || replace(pair, ' ', '_') || chr(31)),
+        |    chr(31) || replace(pair, ' ', chr(31)) || chr(31),
+        |    chr(31) || replace(pair, ' ', '_') || chr(31)) AS s
+        |  FROM s0, t1),
+        |p2 AS (
+        |  SELECT ws[i] || ' ' || ws[i+1] AS pair, count(*) AS cnt
+        |  FROM (SELECT list_filter(string_split(s, chr(31)), x -> x <> '')
+        |          AS ws FROM s1),
+        |       LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+        |  GROUP BY 1),
+        |t2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+        |s2 AS (
+        |  SELECT doc_id, replace(replace(s,
+        |    chr(31) || replace(pair, ' ', chr(31)) || chr(31),
+        |    chr(31) || replace(pair, ' ', '_') || chr(31)),
+        |    chr(31) || replace(pair, ' ', chr(31)) || chr(31),
+        |    chr(31) || replace(pair, ' ', '_') || chr(31)) AS s
+        |  FROM s1, t2),
+        |p3 AS (
+        |  SELECT ws[i] || ' ' || ws[i+1] AS pair, count(*) AS cnt
+        |  FROM (SELECT list_filter(string_split(s, chr(31)), x -> x <> '')
+        |          AS ws FROM s2),
+        |       LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+        |  GROUP BY 1),
+        |t3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1),
+        |s3 AS (
+        |  SELECT doc_id, replace(replace(s,
+        |    chr(31) || replace(pair, ' ', chr(31)) || chr(31),
+        |    chr(31) || replace(pair, ' ', '_') || chr(31)),
+        |    chr(31) || replace(pair, ' ', chr(31)) || chr(31),
+        |    chr(31) || replace(pair, ' ', '_') || chr(31)) AS s
+        |  FROM s2, t3),
+        |v AS (
+        |  SELECT w AS item, count(*) AS cnt
+        |  FROM (SELECT list_filter(string_split(s, chr(31)), x -> x <> '')
+        |          AS ws FROM s3),
+        |       LATERAL (SELECT unnest(ws) AS w)
+        |  GROUP BY 1 ORDER BY cnt DESC, item LIMIT 10)
+        |SELECT kind, rnd, item, cnt FROM (
+        |  SELECT 'merge' AS kind, CAST(1 AS BIGINT) AS rnd,
+        |         replace(pair, ' ', '_') AS item, cnt FROM t1
+        |  UNION ALL SELECT 'merge', CAST(2 AS BIGINT),
+        |         replace(pair, ' ', '_'), cnt FROM t2
+        |  UNION ALL SELECT 'merge', CAST(3 AS BIGINT),
+        |         replace(pair, ' ', '_'), cnt FROM t3
+        |  UNION ALL SELECT 'token', CAST(0 AS BIGINT), item, cnt FROM v)
+        |ORDER BY kind, rnd, cnt DESC, item""".stripMargin,
     // same µs-truncated ordering with the event_id tiebreak, so both
     // engines pair identical successors; totals recompute per source
     "q_markov" ->
@@ -3566,6 +3642,34 @@ object SparkEntry {
         |  SELECT * FROM wav WHERE metric >= 0.55
         |  UNION ALL SELECT * FROM bmp WHERE metric >= 128.0)
         |ORDER BY doc_id""".stripMargin,
+    // dedup_image_phash: the whole pipeline — synth, the codec's
+    // nearest-neighbor sampling (y*h//4, x*w//4, the resize floor
+    // arithmetic), and the exact-integer mean threshold (v*16 > Σv) —
+    // replays in closed form; the aHash bits must match the real
+    // header-walking kernel bit for bit
+    "dedup_image_phash" ->
+      """WITH g AS (
+        |  SELECT y, x FROM (SELECT unnest(range(0, 4)) AS y),
+        |                   (SELECT unnest(range(0, 4)) AS x)),
+        |px AS (
+        |  SELECT d.doc_id, g.y, g.x,
+        |    ((((d.doc_id - d.doc_id % 5) % 1048573) * 2654435761
+        |      + ((g.y * (3 + (d.doc_id - d.doc_id % 5) % 7)) // 4) * 40503
+        |      + ((g.x * (4 + (d.doc_id - d.doc_id % 5) % 13)) // 4) * 9973)
+        |     % 251) + d.doc_id % 5 AS v
+        |  FROM documents d, g),
+        |ss AS (SELECT doc_id, sum(v) AS sv FROM px GROUP BY 1),
+        |h AS (
+        |  SELECT px.doc_id,
+        |    CAST(sum(CASE WHEN v * 16 > sv
+        |                  THEN CAST(1 AS BIGINT) << CAST(y * 4 + x AS INTEGER)
+        |                  ELSE 0 END) AS BIGINT) AS phash
+        |  FROM px JOIN ss ON px.doc_id = ss.doc_id GROUP BY 1),
+        |f AS (SELECT phash, count(*) AS n_docs FROM h
+        |      GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT f.phash, f.n_docs, h.doc_id
+        |FROM f JOIN h ON f.phash = h.phash
+        |ORDER BY f.phash, h.doc_id""".stripMargin,
     "mm_extract" ->
       """WITH wav_t AS (
         |  SELECT doc_id, 64 + doc_id % 64 AS n,

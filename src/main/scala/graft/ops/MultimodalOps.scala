@@ -212,6 +212,68 @@ object BmpCodec {
     * top-down output, so any standards-conforming external reader
     * renders the resize in the source's orientation — not just this
     * codec family's orientation-agnostic decode. */
+  /** Brightness-invariant average hash (aHash) of an uncompressed
+    * 24-bit BMP — the perceptual signature behind image NEAR-dup
+    * detection: re-encodes of the same image that differ byte-for-byte
+    * (a global brightness shift, here; metadata churn, quantization in
+    * the wild) still collide. The green channel is sampled at a
+    * `tw`×`th` nearest-neighbor grid (the SAME floor arithmetic as
+    * [[resize]]: `y·rows/th`, `x·width/tw` — so the hash equals
+    * "resize then threshold"), and bit (y·tw+x) is set when the sample
+    * clears the thumbnail mean. The threshold compares in EXACT
+    * integers — `v·(tw·th) > Σ samples` — so there is no float mean to
+    * drift cross-engine, and a uniform brightness shift +c moves both
+    * sides by `c·(tw·th)`: the hash is invariant by construction, not
+    * by approximation.
+    *
+    * Same adversarial posture as [[decode]]/[[resize]]: hostile size
+    * fields → None, truncated payloads clamp to complete rows,
+    * `tw·th` capped at 64 bits. */
+  def ahash(b: Array[Byte], tw: Int, th: Int): Option[Long] = {
+    if (tw <= 0 || th <= 0 || tw * th > 64) return None
+    if (b.length < 54) return None
+    def le32(o: Int): Int =
+      (b(o) & 0xFF) | (b(o + 1) & 0xFF) << 8 |
+        (b(o + 2) & 0xFF) << 16 | (b(o + 3) & 0xFF) << 24
+    def le16(o: Int): Int = (b(o) & 0xFF) | (b(o + 1) & 0xFF) << 8
+    if (b(0) != 'B' || b(1) != 'M') return None
+    val dataOff = le32(10)
+    val dibSize = le32(14)
+    val width = le32(18)
+    val heightRaw = le32(22)
+    val bpp = le16(28)
+    val compression = le32(30)
+    if (dibSize < 40 || bpp != 24 || compression != 0) return None
+    val height = math.abs(heightRaw.toLong)
+    if (width <= 0 || height == 0 || height > Int.MaxValue) return None
+    if (dataOff < 54 || dataOff > b.length) return None
+    val stride = (width.toLong * 3 + 3) / 4 * 4
+    val rows = math.min(height, (b.length - dataOff) / stride)
+    if (rows <= 0) return None
+    val n = tw * th
+    val v = new Array[Int](n)
+    var sum = 0L
+    var y = 0
+    while (y < th) {
+      val srcBase = dataOff + (y.toLong * rows / th).toInt * stride.toInt
+      var x = 0
+      while (x < tw) {
+        val g = b(srcBase + (x.toLong * width / tw).toInt * 3 + 1) & 0xFF
+        v(y * tw + x) = g
+        sum += g
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < n) {
+      if (v(i).toLong * n > sum) hash |= 1L << i
+      i += 1
+    }
+    Some(hash)
+  }
+
   def resize(b: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
     if (outW <= 0 || outH <= 0 || outW > 4096 || outH > 4096) return None
     if (b.length < 54) return None
@@ -323,6 +385,50 @@ object MmSynth {
         buf.put(base + x * 3, (v % 256).toByte)
         buf.put(base + x * 3 + 1, ((v + 1) % 256).toByte)
         buf.put(base + x * 3 + 2, ((v + 2) % 256).toByte)
+        x += 1
+      }
+      r += 1
+    }
+    buf.array()
+  }
+
+  /** Planted NEAR-dup image family: ids in the same group of `grp`
+    * (base = id − id mod grp) render the SAME pseudo-random grayscale
+    * image shifted by a per-member global brightness offset (id mod
+    * grp) — so the payload BYTES differ member to member (exact/byte
+    * dedup is blind to them) while [[BmpCodec.ahash]]'s
+    * mean-threshold bits are provably identical. Pixel luminance =
+    * `((base mod 1048573)·2654435761 + r·40503 + x·9973) mod 251`
+    * (pure BIGINT arithmetic with bounded operands — replayable in
+    * any engine, overflow-free at any id) plus the jitter; the mod-251
+    * range caps raw values at 250, so jitter ≤ grp−1 ≤ 5 can never
+    * wrap a byte and break the brightness-shift invariance.
+    * Dimensions are keyed on the BASE (w = 4 + base mod 13,
+    * h = 3 + base mod 7) so family members stay sample-aligned. */
+  def bmpNearBytes(id: Long, grp: Int = 5): Array[Byte] = {
+    val base = id - id % grp
+    val jitter = (id % grp).toInt
+    val w = 4 + (base % 13).toInt
+    val h = 3 + (base % 7).toInt
+    val stride = (w * 3 + 3) / 4 * 4
+    val dataLen = stride * h
+    val buf = ByteBuffer.allocate(54 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+    buf.putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h)
+    buf.putShort(1).putShort(24)
+    buf.putInt(0).putInt(dataLen)
+    buf.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var r = 0
+    while (r < h) {
+      val rowBase = 54 + r * stride
+      var x = 0
+      while (x < w) {
+        val v = (((base % 1048573L) * 2654435761L + r * 40503L + x * 9973L)
+          % 251L).toInt + jitter
+        buf.put(rowBase + x * 3, v.toByte)
+        buf.put(rowBase + x * 3 + 1, v.toByte)
+        buf.put(rowBase + x * 3 + 2, v.toByte)
         x += 1
       }
       r += 1
@@ -461,6 +567,41 @@ object MultimodalOps {
       .filter(when(col("kind") === "wav", col("metric") >= minRms)
         .otherwise(col("metric") >= minMeanG))
       .orderBy(col("doc_id"))
+  }
+
+  /** Perceptual image near-dup detection — the multimodal face of the
+    * dedup family: re-encoded images whose BYTES differ (here, a
+    * global brightness shift per family member; in the wild,
+    * quantization / metadata churn) collide on a brightness-invariant
+    * average hash ([[BmpCodec.ahash]], 4×4 green grid, exact-integer
+    * mean threshold), which byte-level exact dedup ([[graft.ops.DedupOps]])
+    * is structurally blind to. Each document materializes a planted
+    * near-dup BMP ([[MmSynth.bmpNearBytes]]: groups of `grp` ids share
+    * an image up to brightness), the REAL header-walking hash kernel
+    * signs it, and hashes with ≥ 2 carriers surface as near-dup
+    * families with their members.
+    *
+    * Scale shape: synth + hash are row-local in a flatMap (zero
+    * shuffle), then ONE map-side-combinable count on the 64-bit hash
+    * key and one hash-keyed equi-join back (AQE-sized — the family
+    * frame is a corpus fraction, never force-broadcast). Exact-groupBy
+    * dedup cost on a fixed-width key — the dedup_exact posture, at any
+    * corpus size. Because synthesis and sampling arithmetic are pure
+    * closed-form integers, the WHOLE pipeline — codec included — is
+    * DuckDB-oracled (the mm_extract precedent). */
+  def phashNearDup(s: SparkSession, d: String, grp: Int = 5): DataFrame = {
+    import s.implicits._
+    val ids = Tables.spread(Tables.documents(s, d).select(col("doc_id")))
+      .as[Long]
+    val hashed = ids.flatMap { id =>
+      BmpCodec.ahash(MmSynth.bmpNearBytes(id, grp), 4, 4).map(hv => (id, hv))
+    }.toDF("doc_id", "phash")
+    val fams = hashed.groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    hashed.join(fams, Seq("phash"))
+      .select(col("phash"), col("n_docs"), col("doc_id"))
+      .orderBy(col("phash"), col("doc_id"))
   }
 
   /** Genuinely decode WAV payloads (stateless pure-JVM parser, so a

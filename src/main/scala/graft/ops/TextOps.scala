@@ -851,4 +851,82 @@ object TextOps {
         col("score"))
       .orderBy(col("doc_id"))
   }
+
+  /** Distributed BPE-style merge training — the tokenizer-training
+    * step of an LLM data pipeline (Sennrich et al. 2016's pair-merge
+    * loop, at word granularity): each round counts every ADJACENT
+    * token pair corpus-wide, picks the most frequent pair
+    * (deterministic lexicographic tiebreak), and rewrites the corpus
+    * with the pair fused into one symbol (`a b` → `a_b`); fused
+    * symbols participate in later rounds, so multi-word merges
+    * compose exactly as BPE's do. Output = the learned merge table
+    * (round, fused symbol, pair count) + the top-`topTokens` symbol
+    * frequencies of the final corpus.
+    *
+    * Execution shape per round — nothing leaves the cluster:
+    * pair counts are one map-side-combinable aggregation over a
+    * row-local `zip_with` of the token array against its own tail
+    * (the text_lm_bigram pattern — no window, no sequence shuffle);
+    * the winning pair is a 1-row TakeOrdered broadcast back onto a
+    * row-local string rewrite. `rounds` scans of the corpus total,
+    * with a lazy localCheckpoint per round so the plan does not
+    * re-derive earlier rounds (the ml_kmeans_plan lesson).
+    *
+    * Merge application = greedy left-to-right non-overlapping, the
+    * BPE standard. The corpus rides as one ``-delimited string
+    * per doc and the rewrite is TWO `replace` passes: a replacement
+    * consumes the boundary delimiter an immediately-following
+    * occurrence needs, but such missed occurrences are provably
+    * isolated (each needs its own preceding match), so the second
+    * pass reaches the fixpoint. Both engines' `replace` scan
+    * left-to-right non-overlapping, making the rewrite — and thus
+    * the whole training loop — bit-identical cross-engine.
+    */
+  def bpeMerges(s: SparkSession, d: String, rounds: Int = 3,
+                topTokens: Int = 10): DataFrame =
+    bpeMergesOn(Tables.documents(s, d), rounds, topTokens)
+
+  /** Same over any (doc_id, text) frame. */
+  def bpeMergesOn(docs: DataFrame, rounds: Int, topTokens: Int): DataFrame = {
+    val us = ""
+    def tokensOf(sc: Column): Column = filter(split(sc, us), t => t =!= "")
+    def pairCounts(corpus: DataFrame): DataFrame = {
+      val t = col("__t")
+      corpus
+        .select(tokensOf(col("s")).as("__t"))
+        .select(explode(zip_with(
+          slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+          slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+    }
+    var corpus = Tables.spread(docs)
+      .select(col("doc_id"),
+        concat(lit(us), array_join(toks(col("text")), us), lit(us)).as("s"))
+      .localCheckpoint(false)
+    var merges: DataFrame = null
+    for (r <- 1 to rounds) {
+      val top = pairCounts(corpus)
+        .orderBy(col("cnt").desc, col("pair").asc).limit(1)
+        .select(col("pair"), col("cnt"))
+      val row = top.select(lit(r).cast("long").as("rnd"),
+        regexp_replace(col("pair"), " ", "_").as("item"), col("cnt"))
+      merges = if (merges == null) row else merges.unionByName(row)
+      val search = concat(lit(us), regexp_replace(col("pair"), " ", us), lit(us))
+      val repl = concat(lit(us), regexp_replace(col("pair"), " ", "_"), lit(us))
+      corpus = corpus.crossJoin(broadcast(top))
+        .select(col("doc_id"),
+          replace(replace(col("s"), search, repl), search, repl).as("s"))
+        .localCheckpoint(false)
+    }
+    val vocab = corpus
+      .select(explode(tokensOf(col("s"))).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("item").asc).limit(topTokens)
+      .select(lit("token").as("kind"), lit(0L).as("rnd"), col("item"),
+        col("cnt"))
+    merges.select(lit("merge").as("kind"), col("rnd"), col("item"), col("cnt"))
+      .unionByName(vocab)
+      .orderBy(col("kind"), col("rnd"), col("cnt").desc, col("item"))
+  }
 }

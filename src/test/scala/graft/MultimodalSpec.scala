@@ -333,4 +333,61 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getDouble(5) >= 0 && r.getDouble(5) <= 255)
     }
   }
+
+  /** Minimal hand-built 24-bit BMP with the given green-channel
+    * values on one row (B = R = 0). */
+  private def bmpRow(greens: Array[Int]): Array[Byte] = {
+    val w = greens.length
+    val stride = (w * 3 + 3) / 4 * 4
+    val bb = java.nio.ByteBuffer.allocate(54 + stride)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + stride)
+      .putInt(0).putInt(54).putInt(40).putInt(w).putInt(1)
+      .putShort(1).putShort(24).putInt(0).putInt(stride)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    greens.zipWithIndex.foreach { case (g, x) =>
+      bb.put(54 + x * 3 + 1, g.toByte)
+    }
+    bb.array()
+  }
+
+  test("ahash: hand-computed bits, integer mean threshold") {
+    // greens 10, 200 on a 2×1 grid: sum=210, n=2 → bit0: 20>210 no;
+    // bit1: 400>210 yes → hash = 0b10 = 2
+    assert(BmpCodec.ahash(bmpRow(Array(10, 200)), 2, 1) === Some(2L))
+    // all-equal samples: v·n == sum is NOT strictly greater → hash 0
+    assert(BmpCodec.ahash(bmpRow(Array(7, 7, 7, 7)), 4, 1) === Some(0L))
+    // hostile inputs drop instead of throwing
+    assert(BmpCodec.ahash("junk".getBytes, 4, 4) === None)
+    assert(BmpCodec.ahash(bmpRow(Array(1, 2)), 9, 9) === None) // >64 bits
+    assert(BmpCodec.ahash(bmpRow(Array(1, 2)), 0, 4) === None)
+  }
+
+  test("ahash is exactly invariant under a global brightness shift") {
+    // same family (base 40): members differ ONLY by the +jitter
+    // brightness term, and the integer threshold (v·n > Σv) moves
+    // both sides equally — bit-identical hashes, though the payload
+    // BYTES differ (exact dedup would treat them as distinct docs)
+    val fam = (40L to 44L).map(id => MmSynth.bmpNearBytes(id, 5))
+    assert(fam.sliding(2).forall(p => !p.head.sameElements(p.last)))
+    val hashes = fam.map(b => BmpCodec.ahash(b, 4, 4).get)
+    assert(hashes.distinct.size === 1)
+    // distinct families (different base images) separate
+    val bases = (0L until 100L by 5).map(id =>
+      BmpCodec.ahash(MmSynth.bmpNearBytes(id, 5), 4, 4).get)
+    assert(bases.distinct.size >= 18) // 20 families, few 16-bit collisions
+  }
+
+  test("phashNearDup surfaces whole planted families, never singletons") {
+    val out = MultimodalOps.phashNearDup(spark, sf).collect()
+    assert(out.nonEmpty)
+    // every surfaced bucket really has n_docs members, all ≥ 2
+    val byHash = out.groupBy(_.getLong(0))
+    byHash.values.foreach { rows =>
+      assert(rows.length === rows.head.getLong(1) && rows.length >= 2)
+    }
+    // planted ids 40..44 land in ONE bucket together
+    val fam = out.filter(r => r.getLong(2) >= 40 && r.getLong(2) <= 44)
+    assert(fam.length === 5 && fam.map(_.getLong(0)).distinct.length === 1)
+  }
 }

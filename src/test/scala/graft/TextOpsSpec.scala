@@ -440,4 +440,41 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(2L) === ((1, 4.0, 28)))
     assert(rows(3L) === ((0, 0.0, 0)))
   }
+
+  test("bpe merges: greedy left-to-right fixpoint, hand-traced rounds") {
+    import spark.implicits._
+    // "a b a b a b c": round 1 top pair (a,b)×3 merges ALL three
+    // occurrences — the middle one shares boundary delimiters with
+    // both neighbors, so it is exactly the case the second replace
+    // pass exists for. Round 2: (a_b,a_b)×2 → greedy keeps the first,
+    // leaving [a_b_a_b, a_b, c]. Round 3: both remaining pairs count
+    // 1; the lexicographic tiebreak picks "a_b c" (' ' < '_').
+    val docs = Seq((1L, "a b a b a b c")).toDF("doc_id", "text")
+    val rows = TextOps.bpeMergesOn(docs, rounds = 3, topTokens = 10)
+      .collect()
+    val merges = rows.filter(_.getString(0) == "merge")
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq === Seq((1L, "a_b", 3L), (2L, "a_b_a_b", 2L),
+      (3L, "a_b_c", 1L)))
+    val toks = rows.filter(_.getString(0) == "token")
+      .map(r => r.getString(2) -> r.getLong(3)).toMap
+    assert(toks === Map("a_b_a_b" -> 1L, "a_b_c" -> 1L))
+  }
+
+  test("bpe merges: fused symbols compose across docs and rounds") {
+    import spark.implicits._
+    // pair counts aggregate CORPUS-wide (3 docs), and round 2 merges
+    // a round-1 fusion with a plain token — the composition BPE needs
+    val docs = Seq(
+      (1L, "x y z"), (2L, "x y z"), (3L, "x y q")).toDF("doc_id", "text")
+    val rows = TextOps.bpeMergesOn(docs, rounds = 2, topTokens = 5)
+      .collect()
+    val merges = rows.filter(_.getString(0) == "merge")
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq === Seq((1L, "x_y", 3L), (2L, "x_y_z", 2L)))
+    val toks = rows.filter(_.getString(0) == "token")
+      .map(r => r.getString(2) -> r.getLong(3)).toMap
+    // doc 3 keeps its un-fused tail: x_y + q survive as tokens
+    assert(toks === Map("x_y_z" -> 2L, "x_y" -> 1L, "q" -> 1L))
+  }
 }
