@@ -523,6 +523,10 @@ object SparkEntry {
     // Cramer solve as column arithmetic, horizon recursion unrolled
     // in-plan; the oracle replays the identical IEEE expression trees
     "forecast_ar"       -> ((s, d) => Forecast.arForecast(s, d)),
+    // theta decomposition (M3's winning family): least-squares trend
+    // line averaged with an SES-flattened θ=2 line; fit + recursion
+    // replayed node-for-node in the oracle (the forecast_hw contract)
+    "forecast_theta"    -> ((s, d) => Forecast.thetaForecast(s, d)),
     // §2.4 deduplication
     "dedup_exact"         -> (DedupOps.exact _),
     // blocked entity resolution over constructed names: word-word-id
@@ -2689,6 +2693,54 @@ object SparkEntry {
         |FROM f JOIN daily ON daily.event_type = f.event_type
         |              AND daily.day = tday + INTERVAL 1 DAY * h
         |WHERE h >= 1
+        |ORDER BY event_type, day""".stripMargin,
+    // theta-lite: linear fit from exact integer-valued moment sums
+    // (expression trees repeated character for character), SES over
+    // the θ=2 line as a recursive CTE with (1 - 0.3) kept as a
+    // subtraction — bit-identical 4dp (the forecast_hw contract)
+    "forecast_theta" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT max(day) AS mx FROM daily),
+        |train AS (
+        |  SELECT event_type, day, CAST(cnt AS DOUBLE) AS y,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) - 1
+        |         AS DOUBLE) AS t
+        |  FROM daily, mx WHERE day <= mx - INTERVAL 7 DAY),
+        |sums AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(t) AS st, sum(y) AS sy, sum(t * t) AS stt, sum(t * y) AS sty,
+        |    max(day) AS tday
+        |  FROM train GROUP BY 1),
+        |bb AS (
+        |  SELECT event_type, n, tday, st, sy,
+        |    (n * sty - st * sy) / (n * stt - st * st) AS b
+        |  FROM sums WHERE n >= 2 AND (n * stt - st * st) <> 0),
+        |ab AS (SELECT event_type, n, tday, b, (sy - b * st) / n AS a FROM bb),
+        |z AS (
+        |  SELECT tr.event_type, tr.t, 2 * tr.y - (ab.a + ab.b * tr.t) AS z,
+        |         ab.a, ab.b, ab.n, ab.tday
+        |  FROM train tr JOIN ab ON tr.event_type = ab.event_type),
+        |ses AS (
+        |  SELECT event_type, t, z AS e, a, b, n, tday FROM z WHERE t = 0
+        |  UNION ALL
+        |  SELECT z.event_type, z.t, 0.3 * z.z + (1 - 0.3) * ses.e,
+        |         z.a, z.b, z.n, z.tday
+        |  FROM z JOIN ses ON z.event_type = ses.event_type
+        |                 AND z.t = ses.t + 1),
+        |fin AS (SELECT * FROM ses WHERE t = n - 1),
+        |f AS (SELECT event_type, tday, a, b, n, e,
+        |             unnest(range(1, 8)) AS h
+        |      FROM fin),
+        |p AS (SELECT event_type, tday + INTERVAL 1 DAY * h AS day,
+        |        round(0.5 * (a + b * (n - 1 + h)) + 0.5 * e, 4) AS pred
+        |      FROM f)
+        |SELECT p.event_type AS event_type, p.day AS day,
+        |       d.cnt AS actual, p.pred AS pred
+        |FROM p JOIN daily d ON d.event_type = p.event_type
+        |                   AND d.day = p.day
         |ORDER BY event_type, day""".stripMargin,
     "forecast_snaive" ->
       """WITH daily AS (

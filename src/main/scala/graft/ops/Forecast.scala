@@ -200,6 +200,89 @@ object Forecast {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Theta-lite forecaster per series — the trend-capable classical
+    * model beside [[seasonalNaive]] (pure seasonality), [[holtWinters]]
+    * (level/trend/season smoothing) and [[arForecast]] (lag
+    * conditioning): the theta decomposition (Assimakopoulos &
+    * Nikolopoulos 2000; M3's winning family) splits the series into
+    * the θ=0 line (the least-squares trend, extrapolated exactly) and
+    * the θ=2 line z_t = 2·y_t − (a + b·t) (double local curvature,
+    * flattened by simple exponential smoothing), and averages the two
+    * forecasts — trend persistence from the fit, level adaptivity
+    * from the SES.
+    *
+    * Distributed shape = the family's established split: the holdout
+    * filter and daily aggregation stay in-plan; the per-series work
+    * (exact linear fit from four moment sums + the inherently
+    * sequential SES recursion) runs in `flatMapGroups` — one task per
+    * series, O(1) state, series count = parallelism (the
+    * [[holtWinters]] execution pattern). Cross-engine determinism by
+    * the forecast_hw contract: the oracle replays fit and recursion
+    * with every arithmetic node written identically (incl. `(1 − α)`
+    * kept as a subtraction), so 4dp forecasts match bit-for-bit.
+    *
+    * Output: (event_type, day, actual, pred) over the holdout days —
+    * the [[arForecast]] shape. */
+  def thetaForecast(s: SparkSession, d: String, horizon: Int = 7,
+                    alpha: Double = 0.3): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val mx = daily.agg(max(col("day")).as("mx"))
+    val train = daily.crossJoin(broadcast(mx))
+      .filter(col("day") <= col("mx") - expr(s"interval $horizon day"))
+      .select(col("event_type"), col("day"), col("cnt"))
+      .as[(String, java.sql.Timestamp, Long)]
+    val fc = train.groupByKey(_._1).flatMapGroups {
+      (k: String, it: Iterator[(String, java.sql.Timestamp, Long)]) =>
+        val rows = it.toArray.sortBy(_._2.getTime)
+        val ys = rows.map(_._3.toDouble)
+        val n = ys.length
+        if (n < 2) Iterator.empty
+        else {
+          // linear-fit moments: t and y are integer-valued, so the
+          // sums are EXACT doubles — aggregation-order independent
+          var st = 0.0; var sy = 0.0; var stt = 0.0; var sty = 0.0
+          var t = 0
+          while (t < n) {
+            val ti = t.toDouble
+            st += ti; sy += ys(t); stt += ti * ti; sty += ti * ys(t)
+            t += 1
+          }
+          val nn = n.toDouble
+          val den = nn * stt - st * st // > 0 for n ≥ 2 distinct days
+          if (den == 0.0) Iterator.empty
+          else {
+            val b = (nn * sty - st * sy) / den
+            val a = (sy - b * st) / nn
+            // SES over the θ=2 line, e_0 = z_0 — sequential per series
+            var e = 0.0
+            var first = true
+            var t2 = 0
+            while (t2 < n) {
+              val z = 2.0 * ys(t2) - (a + b * t2)
+              e = if (first) { first = false; z }
+                  else alpha * z + (1.0 - alpha) * e
+              t2 += 1
+            }
+            val tday = rows.last._2
+            (1 to horizon).iterator.map { h =>
+              (k, tday, h,
+                0.5 * (a + b * (n - 1 + h)) + 0.5 * e)
+            }
+          }
+        }
+    }.toDF("event_type", "tday", "h", "pred")
+    fc.select(col("event_type"),
+        expr("timestampadd(DAY, h, tday)").as("day"),
+        round(col("pred"), 4).as("pred"))
+      .join(daily.select(col("event_type"), col("day"),
+        col("cnt").as("actual")), Seq("event_type", "day"))
+      .select(col("event_type"), col("day"), col("actual"), col("pred"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Forecast evaluation: per-series MAE and interval coverage —
     * the capability of TestingForecastResults.ipynb's quantile
     * plots, as a metric table. */

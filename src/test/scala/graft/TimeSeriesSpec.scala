@@ -242,6 +242,53 @@ class TimeSeriesSpec extends SparkSpec {
     assert(maeAr < maeSn && maeSn > 5.0, s"maeAr=$maeAr maeSn=$maeSn")
   }
 
+  test("thetaForecast: exact fit on a ramp, b/2 damped drift, replay match") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Timestamp.valueOf(s"2024-01-$s 00:00:00")
+    // y = 10 + 5·t: the least-squares fit recovers a = 10, b = 5
+    // EXACTLY (integer-valued moments, exactly representable
+    // quotients), and the theta signature is visible in closed form —
+    // consecutive horizon steps differ by exactly b/2 = 2.5 (the
+    // Hyndman-Billah equivalence: theta ≡ SES with drift b/2, the
+    // deliberate trend damping that won M3)
+    val events = (1 to 21).flatMap { i =>
+      Seq.fill(10 + 5 * (i - 1))(("ramp", d(f"$i%02d")))
+    }.toDF("event_type", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("graft-theta").toString
+    events.withColumn("ts", unix_micros(col("ts")) * 1000)
+      .withColumn("event_id", monotonically_increasing_id())
+      .withColumn("user_id", lit(1L)).withColumn("value", lit(1.0))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val th = Forecast.thetaForecast(spark, dir).collect()
+      .sortBy(_.getTimestamp(1).getTime)
+    assert(th.length === 7) // days 15..21
+    val preds = th.map(_.getDouble(3))
+    preds.sliding(2).foreach(p => assert(math.abs(p(1) - p(0) - 2.5) < 1e-3))
+    // driver-side replay of the same fit + SES recursion (14 train
+    // days, t = 0..13) — the spec's independent sequential reference
+    val ys = (1 to 14).map(i => (10 + 5 * (i - 1)).toDouble)
+    val n = ys.length
+    var (st, sy, stt, sty) = (0.0, 0.0, 0.0, 0.0)
+    ys.indices.foreach { t =>
+      st += t; sy += ys(t); stt += t.toDouble * t; sty += t * ys(t)
+    }
+    val den = n * stt - st * st
+    val b = (n * sty - st * sy) / den
+    val a = (sy - b * st) / n
+    assert(a === 10.0 && b === 5.0)
+    var e = 0.0; var first = true
+    ys.indices.foreach { t =>
+      val z = 2.0 * ys(t) - (a + b * t)
+      e = if (first) { first = false; z } else 0.3 * z + (1.0 - 0.3) * e
+    }
+    th.zipWithIndex.foreach { case (r, i) =>
+      val h = i + 1
+      val want = BigDecimal(0.5 * (a + b * (n - 1 + h)) + 0.5 * e)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) === want, s"h=$h")
+    }
+  }
+
   test("anomaly z-scores: planted spike flags, flat series never does") {
     import spark.implicits._
     def d(s: String) = java.sql.Timestamp.valueOf(s"2024-01-$s 00:00:00")
