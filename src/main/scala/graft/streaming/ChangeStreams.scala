@@ -31,9 +31,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * trade documented here rather than hidden. */
 object ChangeStreams {
 
-  private val donePrefix = "_done_"
+  private[graft] val donePrefix = "_done_"
 
-  private def fs(s: SparkSession, dir: String) =
+  private[graft] def fs(s: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
 

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import graft.functions.MisraGriesAgg
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming heavy-hitter profiling — the live face of
+  * `text_top_terms_sketch`: a Misra-Gries summary of everything the
+  * stream has carried so far, continuously published as a tiny
+  * versioned table. The batch face answers "what dominates the
+  * corpus"; this one answers it for a feed that never ends (the
+  * vocabulary/user-id/url-host profile a 100 TB ingest keeps warm),
+  * with bounded state no matter how long the stream runs.
+  *
+  * Per micro-batch: ONE mergeable [[MisraGriesAgg]] pass over the
+  * batch (map-side partials, capacity-sized result), then the
+  * Agarwal et al. PODS'12 merge against the previous published
+  * summary — pointwise sum, subtract the (capacity+1)-th largest
+  * count, drop non-positives. Both merge inputs are CAPACITY-sized,
+  * so the merge costs O(capacity·log capacity) regardless of stream
+  * age or batch size; the single-partition rank window is
+  * summary-sized by construction, never data-sized. The usual MG
+  * guarantee survives composition (that is the point of the
+  * mergeable construction): after any prefix of batches with n total
+  * arrivals, every estimate UNDERCOUNTS by at most n/capacity, and
+  * any item with true count > n/capacity is present.
+  *
+  * Publication shares [[ChangeStreams]]'s exactly-once contract:
+  * immutable `batch=<id>` version dirs + `_done_<id>` markers (a
+  * retried complete batch is a no-op), lineage-mismatch guards, and
+  * marker-first pruning beyond `keepVersions`. Read the live summary
+  * with [[ChangeStreams.readSnapshot]].
+  */
+object SketchStreams {
+
+  /** Start the continuous heavy-hitter fold. `terms` is a STREAMING
+    * frame with one string column `term`. */
+  def topkStream(terms: DataFrame, sketchDir: String, checkpoint: String,
+                 capacity: Int = 64, keepVersions: Int = 3): StreamingQuery = {
+    require(keepVersions >= 2,
+      "keepVersions must be >= 2 so concurrent readers always have headroom")
+    val mg = udaf(new MisraGriesAgg(capacity))
+    terms.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        val vs = ChangeStreams.versions(s, sketchDir)
+        // same lineage guards as the CDC stream: version ids ARE the
+        // checkpoint's batch ids, and a mismatch must fail loudly
+        require(vs.isEmpty || id >= vs.head,
+          s"batch id $id is behind newest sketch version ${vs.headOption}" +
+            s" — checkpoint and sketchDir lineages do not match")
+        require(vs.nonEmpty || id == 0,
+          s"first observed batch id is $id but $sketchDir has no versions" +
+            s" — the sketch store was deleted under a live checkpoint")
+        if (!vs.contains(id) && !batch.isEmpty) {
+          val part = batch.agg(mg(col("term")).as("sk"))
+            .select(explode(col("sk")).as(Seq("term", "est")))
+          val base = vs.headOption match {
+            case Some(v) => s.read.parquet(s"$sketchDir/batch=$v")
+            case None => part.limit(0)
+          }
+          // Agarwal merge over two capacity-bounded summaries
+          val summed = base.unionByName(part)
+            .groupBy(col("term")).agg(sum(col("est")).as("est"))
+          val w = Window.orderBy(col("est").desc, col("term"))
+          val ranked = summed.withColumn("__rk", row_number().over(w))
+          val sub = ranked.filter(col("__rk") === capacity + 1)
+            .select(col("est").as("__sub"))
+          val next = ranked.join(broadcast(sub), lit(true), "left")
+            .select(col("term"),
+              (col("est") - coalesce(col("__sub"), lit(0L))).as("est"))
+            .filter(col("est") > 0)
+          next.write.mode("overwrite").parquet(s"$sketchDir/batch=$id")
+          val f = ChangeStreams.fs(s, sketchDir)
+          f.create(new org.apache.hadoop.fs.Path(
+            s"$sketchDir/${ChangeStreams.donePrefix}$id"), true).close()
+          ChangeStreams.versions(s, sketchDir).drop(keepVersions).foreach {
+            old =>
+              f.delete(new org.apache.hadoop.fs.Path(
+                s"$sketchDir/${ChangeStreams.donePrefix}$old"), false)
+              f.delete(new org.apache.hadoop.fs.Path(
+                s"$sketchDir/batch=$old"), true)
+          }
+        }
+        ()
+      }
+      .start()
+  }
+}

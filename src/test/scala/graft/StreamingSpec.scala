@@ -653,6 +653,55 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming MG sketch keeps heavy hitters with the merged bound") {
+    import graft.streaming.{ChangeStreams, SketchStreams}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-mgs").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val q = SketchStreams.topkStream(
+      mem.toDF().toDF("term"), s"$root/sk", s"$root/ckpt",
+      capacity = 8, keepVersions = 2)
+    try {
+      // three batches whose term frequencies are known exactly; the
+      // heavy terms recur ACROSS batches, so their mass must survive
+      // the per-batch summarize + cross-batch merge
+      val mk = (spec: Seq[(String, Int)]) =>
+        spec.flatMap { case (t, n) => Seq.fill(n)(t) }
+      val b0 = mk(Seq("hot" -> 40, "warm" -> 20, "a" -> 2, "b" -> 2,
+        "c" -> 2, "d" -> 2, "e" -> 2, "f" -> 2, "g" -> 2, "h" -> 2))
+      val b1 = mk(Seq("hot" -> 35, "warm" -> 25, "i" -> 3, "j" -> 3,
+        "k" -> 3, "m" -> 3))
+      val b2 = mk(Seq("hot" -> 25, "warm" -> 15, "n" -> 4, "p" -> 4))
+      val truth = (b0 ++ b1 ++ b2).groupBy(identity).view.mapValues(_.size)
+      val n = (b0 ++ b1 ++ b2).size
+      mem.addData(b0); q.processAllAvailable()
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      val sk = ChangeStreams.readSnapshot(spark, s"$root/sk")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // bounded state: never more than capacity counters
+      assert(sk.size <= 8)
+      val bound = n / 8
+      // the mergeable-summaries contract across the whole stream:
+      // estimates undercount by at most n/capacity, and anything
+      // heavier than the bound is PRESENT
+      sk.foreach { case (t, est) =>
+        assert(est <= truth(t), s"$t overcounts")
+        assert(truth(t) - est <= bound, s"$t beyond bound")
+      }
+      truth.filter(_._2 > bound).foreach { case (t, _) =>
+        assert(sk.contains(t), s"heavy $t missing")
+      }
+      // the dominant terms' ordering survives summarization
+      assert(sk("hot") > sk("warm"))
+      // retention: keepVersions honored, newest first
+      val vs = ChangeStreams.versions(spark, s"$root/sk")
+      assert(vs.length === 2 && vs === vs.sorted.reverse)
+    } finally q.stop()
+  }
+
   test("stream_dedup batch face: one first-arrival row per key, min event time") {
     val out = graft.streaming.DedupStreams.dedupBatch(spark, sf)
     val ev = Tables.events(spark, sf)
