@@ -751,6 +751,10 @@ object SparkEntry {
     // differ, exact dedup blind) collide on the integer-threshold
     // aHash; row-local synth+hash, one hash-key count + equi-join
     "dedup_image_phash" -> ((s, d) => MultimodalOps.phashNearDup(s, d)),
+    // its WAV sibling: volume-changed takes (every byte differs)
+    // collide on the gain-invariant energy-envelope fingerprint
+    // (integer energy-ratio quantization — c² cancels exactly)
+    "dedup_audio_fp" -> ((s, d) => MultimodalOps.audioFpNearDup(s, d)),
     // §2.10 MLlib pipelines
     // checked faces: MLlib fits aren't replayable cross-engine, so
     // the entries re-derive the scoring contract in-plan (argmin over
@@ -3722,6 +3726,37 @@ object SparkEntry {
         |SELECT f.phash, f.n_docs, h.doc_id
         |FROM f JOIN h ON f.phash = h.phash
         |ORDER BY f.phash, h.doc_id""".stripMargin,
+    // dedup_audio_fp: synth waveform, window energies, and the
+    // gain-cancelling integer ratio quantization all replay in closed
+    // form — the envelope fingerprint must match the real
+    // header-walking kernel exactly, volume factor included
+    "dedup_audio_fp" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id - doc_id % 5 AS base, 1 + doc_id % 5 AS c,
+        |         (64 + (doc_id - doc_id % 5) % 64) // 16 AS w_cnt
+        |  FROM documents),
+        |ei AS (
+        |  SELECT doc_id, c, w_cnt, i // 16 AS w,
+        |    (((base % 1048573) * 2654435761 + i * 40503) % 41 - 20) AS s
+        |  FROM d, LATERAL (SELECT unnest(range(0, w_cnt * 16)) AS i)),
+        |ew AS (
+        |  SELECT doc_id, w_cnt, w, sum((c * s) * (c * s)) AS e
+        |  FROM ei GROUP BY 1, 2, 3),
+        |tt AS (SELECT doc_id, sum(e) AS t FROM ew GROUP BY 1),
+        |qq AS (
+        |  SELECT ew.doc_id, ew.w_cnt, ew.w,
+        |    CASE WHEN t = 0 THEN 0 ELSE (e * 8) // t END AS q
+        |  FROM ew JOIN tt ON ew.doc_id = tt.doc_id),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(max(w_cnt) * 100000000 +
+        |      sum(q * CAST(round(power(9, w)) AS BIGINT)) AS BIGINT) AS fp
+        |  FROM qq GROUP BY 1),
+        |f AS (SELECT fp, count(*) AS n_docs FROM h
+        |      GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT f.fp, f.n_docs, h.doc_id
+        |FROM f JOIN h ON f.fp = h.fp
+        |ORDER BY f.fp, h.doc_id""".stripMargin,
     "mm_extract" ->
       """WITH wav_t AS (
         |  SELECT doc_id, 64 + doc_id % 64 AS n,

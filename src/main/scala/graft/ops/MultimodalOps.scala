@@ -107,6 +107,54 @@ object WavCodec {
     * the frames actually present (an out-of-range request yields the
     * empty-but-valid clip, not a failure), and all offset arithmetic
     * stays in Long because every size field is hostile. */
+  /** Volume-invariant energy-envelope fingerprint of an 8-bit mono
+    * PCM WAV — the audio face of perceptual near-dup detection
+    * (BmpCodec.ahash's sibling): re-encodes of the same take at a
+    * different VOLUME differ in every payload byte, but the SHAPE of
+    * the energy envelope is unchanged. Per complete `win`-frame
+    * window, energy E_w = Σ(v−128)² in exact integers; each window
+    * quantizes to q_w = ⌊8·E_w / ΣE⌋ — an integer floor of a RATIO,
+    * so a uniform gain c (E_w → c²·E_w) cancels exactly: invariance
+    * by construction, like the aHash mean threshold. The fingerprint
+    * packs the profile base-9 with the window count:
+    * `W·10^8 + Σ q_w·9^w`. All-silent payloads (ΣE = 0) pin q = 0.
+    *
+    * Same hostile posture as [[decode]]: malformed/foreign payloads
+    * (non-PCM, non-8-bit, non-mono — the documented contract of this
+    * kernel) return None, truncated payloads clamp to complete
+    * frames, zero complete windows is junk. */
+  def envHash(b: Array[Byte], win: Int = 16): Option[Long] = {
+    if (win <= 0) return None
+    if (b.length < 44) return None
+    parseHeader(b).flatMap { h =>
+      if (h.bits != 8 || h.channels != 1) None
+      else {
+        val w = h.nFrames / win // nFrames already clamped to present
+        if (w <= 0 || w > 8) None
+        else {
+          val e = new Array[Long](w)
+          var i = 0
+          while (i < w * win) {
+            val s = (b(h.dataOff + i) & 0xFF) - 128
+            e(i / win) += s.toLong * s
+            i += 1
+          }
+          val total = e.sum
+          var hash = w.toLong * 100000000L
+          var p9 = 1L
+          var j = 0
+          while (j < w) {
+            val q = if (total == 0) 0L else e(j) * 8 / total
+            hash += q * p9
+            p9 *= 9
+            j += 1
+          }
+          Some(hash)
+        }
+      }
+    }
+  }
+
   def clip(b: Array[Byte], fromMs: Long, toMs: Long): Option[Array[Byte]] = {
     if (fromMs < 0 || toMs < fromMs) return None
     parseHeader(b).flatMap { h =>
@@ -392,6 +440,38 @@ object MmSynth {
     buf.array()
   }
 
+  /** Planted NEAR-dup audio family — [[bmpNearBytes]]'s WAV sibling:
+    * ids in the same group of `grp` render the SAME pseudo-random
+    * waveform at a per-member VOLUME c = 1 + (id mod grp), so payload
+    * bytes differ member to member while [[WavCodec.envHash]]'s
+    * energy-ratio quantization cancels the gain exactly (E_w → c²E_w
+    * uniformly). Centered sample s ∈ [−20, 20] from
+    * `((base mod 1048573)·2654435761 + i·40503) mod 41 − 20` (bounded
+    * BIGINT arithmetic — engine-replayable, overflow-free); stored
+    * byte = 128 + c·s ∈ [28, 228], never clipped, so the scaling is
+    * EXACT in the payload. Frame count 64 + base mod 64 is keyed on
+    * the BASE so family members stay window-aligned. */
+  def wavNearBytes(id: Long, grp: Int = 5): Array[Byte] = {
+    val base = id - id % grp
+    val c = 1 + (id % grp).toInt
+    val n = 64 + (base % 64).toInt
+    val buf = ByteBuffer.allocate(44 + n).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1).putShort(1)
+    buf.putInt(8000).putInt(8000)
+    buf.putShort(1).putShort(8)
+    buf.put("data".getBytes("US-ASCII")).putInt(n)
+    var i = 0
+    while (i < n) {
+      val s = (((base % 1048573L) * 2654435761L + i * 40503L) % 41L).toInt - 20
+      buf.put((128 + c * s).toByte)
+      i += 1
+    }
+    buf.array()
+  }
+
   /** Planted NEAR-dup image family: ids in the same group of `grp`
     * (base = id − id mod grp) render the SAME pseudo-random grayscale
     * image shifted by a per-member global brightness offset (id mod
@@ -602,6 +682,32 @@ object MultimodalOps {
     hashed.join(fams, Seq("phash"))
       .select(col("phash"), col("n_docs"), col("doc_id"))
       .orderBy(col("phash"), col("doc_id"))
+  }
+
+  /** Perceptual AUDIO near-dup detection — [[phashNearDup]]'s WAV
+    * sibling: volume-changed re-encodes of the same take (every
+    * payload byte differs) collide on the gain-invariant
+    * energy-envelope fingerprint ([[WavCodec.envHash]]: exact-integer
+    * window energies quantized as ratios of their sum, so a uniform
+    * gain cancels exactly). Planted families ([[MmSynth.wavNearBytes]])
+    * are signed by the real header-walking kernel; fingerprints with
+    * ≥ 2 carriers surface as near-dup families. Same scale shape as
+    * the image face: row-local synth + hash, one fixed-width-key
+    * count, one AQE-sized equi-join. Closed-form synth + pure integer
+    * quantization ⇒ the whole pipeline is DuckDB-oracled. */
+  def audioFpNearDup(s: SparkSession, d: String, grp: Int = 5): DataFrame = {
+    import s.implicits._
+    val ids = Tables.spread(Tables.documents(s, d).select(col("doc_id")))
+      .as[Long]
+    val hashed = ids.flatMap { id =>
+      WavCodec.envHash(MmSynth.wavNearBytes(id, grp)).map(hv => (id, hv))
+    }.toDF("doc_id", "fp")
+    val fams = hashed.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    hashed.join(fams, Seq("fp"))
+      .select(col("fp"), col("n_docs"), col("doc_id"))
+      .orderBy(col("fp"), col("doc_id"))
   }
 
   /** Genuinely decode WAV payloads (stateless pure-JVM parser, so a

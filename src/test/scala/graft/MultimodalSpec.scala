@@ -378,6 +378,57 @@ class MultimodalSpec extends SparkSpec {
     assert(bases.distinct.size >= 18) // 20 families, few 16-bit collisions
   }
 
+  test("envHash: hand-computed profile, gain invariance, hostile drops") {
+    // 32 frames = 2 windows: silent window (s=0 → E=0) then constant
+    // s=10 (E = 16·100 = 1600): T=1600 → q = [0, 8] → fp =
+    // 2·10^8 + 0·9^0 + 8·9^1 = 200000072
+    def wav8(samples: Array[Int]): Array[Byte] = {
+      val n = samples.length
+      val bb = java.nio.ByteBuffer.allocate(44 + n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(8000)
+        .putShort(1).putShort(8)
+        .put("data".getBytes("US-ASCII")).putInt(n)
+      samples.foreach(v => bb.put(v.toByte))
+      bb.array()
+    }
+    val probe = wav8(Array.fill(16)(128) ++ Array.fill(16)(138))
+    assert(WavCodec.envHash(probe) === Some(200000072L))
+    // all-silent payload pins every q to 0, not NaN/division
+    assert(WavCodec.envHash(wav8(Array.fill(32)(128))) ===
+      Some(200000000L))
+    // hostile/foreign payloads drop: junk, 16-bit, sub-window audio
+    assert(WavCodec.envHash("junk".getBytes) === None)
+    assert(WavCodec.envHash(wavBytes(8000, 1, Array.fill(64)(5.toShort)))
+      === None) // 16-bit contract violation
+    assert(WavCodec.envHash(wav8(Array.fill(7)(128))) === None)
+    // gain invariance on the planted family: payload bytes differ,
+    // fingerprints identical (the c² cancellation)
+    val fam = (40L to 44L).map(id => MmSynth.wavNearBytes(id, 5))
+    assert(fam.sliding(2).forall(p => !p.head.sameElements(p.last)))
+    assert(fam.map(b => WavCodec.envHash(b).get).distinct.size === 1)
+    // distinct families spread over the profile space (collisions
+    // merge candidate buckets — the LSH-band posture, not an error)
+    val bases = (0L until 100L by 5).map(id =>
+      WavCodec.envHash(MmSynth.wavNearBytes(id, 5)).get)
+    assert(bases.distinct.size >= 8)
+  }
+
+  test("audioFpNearDup surfaces whole planted families, never singletons") {
+    val out = MultimodalOps.audioFpNearDup(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byFp = out.groupBy(_.getLong(0))
+    byFp.values.foreach { rows =>
+      assert(rows.length === rows.head.getLong(1) && rows.length >= 2)
+    }
+    // planted ids 40..44 land in one bucket together
+    val fam = out.filter(r => r.getLong(2) >= 40 && r.getLong(2) <= 44)
+    assert(fam.length === 5 && fam.map(_.getLong(0)).distinct.length === 1)
+  }
+
   test("phashNearDup surfaces whole planted families, never singletons") {
     val out = MultimodalOps.phashNearDup(spark, sf).collect()
     assert(out.nonEmpty)
