@@ -97,6 +97,10 @@ object SparkEntry {
     // fuse-and-rewrite, each a map-side-combinable pair count + 1-row
     // broadcast + row-local replace; fully oracled (unrolled rounds)
     "text_bpe_merges" -> ((s, d) => TextOps.bpeMerges(s, d)),
+    // the tokenizer's APPLY face: merges trained on the even half
+    // only, replayed on the held-out odd half — per-doc compression
+    // where it matters (text the trainer never saw)
+    "text_bpe_encode" -> ((s, d) => TextOps.bpeEncode(s, d)),
     // first-order user-journey transition matrix: one user-key window
     // pass, then cell-cardinality normalization over a broadcast
     "q_markov" -> (Analytics.markovTransitions _),
@@ -1359,6 +1363,85 @@ object SparkEntry {
         |         replace(pair, ' ', '_'), cnt FROM t3
         |  UNION ALL SELECT 'token', CAST(0 AS BIGINT), item, cnt FROM v)
         |ORDER BY kind, rnd, cnt DESC, item""".stripMargin,
+    // text_bpe_encode: the train CTEs unroll over the EVEN half only;
+    // the identical double-replace then rewrites the held-out odd
+    // half — per-doc token counts before/after prove the apply path
+    "text_bpe_encode" ->
+      """WITH s0 AS (
+        |  SELECT doc_id, chr(31) ||
+        |    array_to_string(string_split_regex(trim(text), '\s+'), chr(31))
+        |    || chr(31) AS s
+        |  FROM documents),
+        |tr0 AS (SELECT * FROM s0 WHERE doc_id % 2 = 0),
+        |ap0 AS (SELECT * FROM s0 WHERE doc_id % 2 = 1),
+        |p1 AS (
+        |  SELECT ws[i] || ' ' || ws[i+1] AS pair, count(*) AS cnt
+        |  FROM (SELECT list_filter(string_split(s, chr(31)), x -> x <> '')
+        |          AS ws FROM tr0),
+        |       LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+        |  GROUP BY 1),
+        |t1 AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+        |tr1 AS (
+        |  SELECT doc_id, replace(replace(s,
+        |    chr(31) || replace(pair, ' ', chr(31)) || chr(31),
+        |    chr(31) || replace(pair, ' ', '_') || chr(31)),
+        |    chr(31) || replace(pair, ' ', chr(31)) || chr(31),
+        |    chr(31) || replace(pair, ' ', '_') || chr(31)) AS s
+        |  FROM tr0, t1),
+        |ap1 AS (
+        |  SELECT doc_id, replace(replace(s,
+        |    chr(31) || replace(pair, ' ', chr(31)) || chr(31),
+        |    chr(31) || replace(pair, ' ', '_') || chr(31)),
+        |    chr(31) || replace(pair, ' ', chr(31)) || chr(31),
+        |    chr(31) || replace(pair, ' ', '_') || chr(31)) AS s
+        |  FROM ap0, t1),
+        |p2 AS (
+        |  SELECT ws[i] || ' ' || ws[i+1] AS pair, count(*) AS cnt
+        |  FROM (SELECT list_filter(string_split(s, chr(31)), x -> x <> '')
+        |          AS ws FROM tr1),
+        |       LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+        |  GROUP BY 1),
+        |t2 AS (SELECT pair FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+        |tr2 AS (
+        |  SELECT doc_id, replace(replace(s,
+        |    chr(31) || replace(pair, ' ', chr(31)) || chr(31),
+        |    chr(31) || replace(pair, ' ', '_') || chr(31)),
+        |    chr(31) || replace(pair, ' ', chr(31)) || chr(31),
+        |    chr(31) || replace(pair, ' ', '_') || chr(31)) AS s
+        |  FROM tr1, t2),
+        |ap2 AS (
+        |  SELECT doc_id, replace(replace(s,
+        |    chr(31) || replace(pair, ' ', chr(31)) || chr(31),
+        |    chr(31) || replace(pair, ' ', '_') || chr(31)),
+        |    chr(31) || replace(pair, ' ', chr(31)) || chr(31),
+        |    chr(31) || replace(pair, ' ', '_') || chr(31)) AS s
+        |  FROM ap1, t2),
+        |p3 AS (
+        |  SELECT ws[i] || ' ' || ws[i+1] AS pair, count(*) AS cnt
+        |  FROM (SELECT list_filter(string_split(s, chr(31)), x -> x <> '')
+        |          AS ws FROM tr2),
+        |       LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+        |  GROUP BY 1),
+        |t3 AS (SELECT pair FROM p3 ORDER BY cnt DESC, pair LIMIT 1),
+        |ap3 AS (
+        |  SELECT doc_id, replace(replace(s,
+        |    chr(31) || replace(pair, ' ', chr(31)) || chr(31),
+        |    chr(31) || replace(pair, ' ', '_') || chr(31)),
+        |    chr(31) || replace(pair, ' ', chr(31)) || chr(31),
+        |    chr(31) || replace(pair, ' ', '_') || chr(31)) AS s
+        |  FROM ap2, t3),
+        |cnts AS (
+        |  SELECT ap0.doc_id,
+        |    len(list_filter(string_split(ap0.s, chr(31)), x -> x <> ''))
+        |      AS n_before,
+        |    len(list_filter(string_split(ap3.s, chr(31)), x -> x <> ''))
+        |      AS n_after
+        |  FROM ap0 JOIN ap3 ON ap0.doc_id = ap3.doc_id)
+        |SELECT doc_id, n_before, n_after,
+        |  CASE WHEN n_before = 0 THEN NULL
+        |       ELSE round(CAST(n_after AS DOUBLE) / n_before, 4) END
+        |    AS compression
+        |FROM cnts ORDER BY doc_id""".stripMargin,
     // same µs-truncated ordering with the event_id tiebreak, so both
     // engines pair identical successors; totals recompute per source
     "q_markov" ->

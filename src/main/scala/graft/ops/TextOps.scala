@@ -886,41 +886,50 @@ object TextOps {
                 topTokens: Int = 10): DataFrame =
     bpeMergesOn(Tables.documents(s, d), rounds, topTokens)
 
+  private val bpeUs = "\u001f"
+  private def bpeTokens(sc: Column): Column =
+    filter(split(sc, bpeUs), t => t =!= "")
+  private def bpeStage(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(lit(bpeUs), array_join(toks(col("text")), bpeUs),
+        lit(bpeUs)).as("s"))
+  private def bpePairCounts(corpus: DataFrame): DataFrame = {
+    val t = col("__t")
+    corpus
+      .select(bpeTokens(col("s")).as("__t"))
+      .select(explode(zip_with(
+        slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+        slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+  }
+  /** Greedy left-to-right merge application (two `replace` passes —
+    * see [[bpeMerges]]); `top` is a broadcast 1-row (pair, cnt). */
+  private def bpeApply(df: DataFrame, top: DataFrame): DataFrame = {
+    val search = concat(lit(bpeUs),
+      regexp_replace(col("pair"), " ", bpeUs), lit(bpeUs))
+    val repl = concat(lit(bpeUs),
+      regexp_replace(col("pair"), " ", "_"), lit(bpeUs))
+    df.crossJoin(broadcast(top))
+      .select(col("doc_id"),
+        replace(replace(col("s"), search, repl), search, repl).as("s"))
+  }
+
   /** Same over any (doc_id, text) frame. */
   def bpeMergesOn(docs: DataFrame, rounds: Int, topTokens: Int): DataFrame = {
-    val us = ""
-    def tokensOf(sc: Column): Column = filter(split(sc, us), t => t =!= "")
-    def pairCounts(corpus: DataFrame): DataFrame = {
-      val t = col("__t")
-      corpus
-        .select(tokensOf(col("s")).as("__t"))
-        .select(explode(zip_with(
-          slice(t, lit(1), greatest(size(t) - 1, lit(0))),
-          slice(t, lit(2), greatest(size(t) - 1, lit(0))),
-          (a, b) => concat(a, lit(" "), b))).as("pair"))
-        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
-    }
-    var corpus = Tables.spread(docs)
-      .select(col("doc_id"),
-        concat(lit(us), array_join(toks(col("text")), us), lit(us)).as("s"))
-      .localCheckpoint(false)
+    var corpus = bpeStage(Tables.spread(docs)).localCheckpoint(false)
     var merges: DataFrame = null
     for (r <- 1 to rounds) {
-      val top = pairCounts(corpus)
+      val top = bpePairCounts(corpus)
         .orderBy(col("cnt").desc, col("pair").asc).limit(1)
         .select(col("pair"), col("cnt"))
       val row = top.select(lit(r).cast("long").as("rnd"),
         regexp_replace(col("pair"), " ", "_").as("item"), col("cnt"))
       merges = if (merges == null) row else merges.unionByName(row)
-      val search = concat(lit(us), regexp_replace(col("pair"), " ", us), lit(us))
-      val repl = concat(lit(us), regexp_replace(col("pair"), " ", "_"), lit(us))
-      corpus = corpus.crossJoin(broadcast(top))
-        .select(col("doc_id"),
-          replace(replace(col("s"), search, repl), search, repl).as("s"))
-        .localCheckpoint(false)
+      corpus = bpeApply(corpus, top).localCheckpoint(false)
     }
     val vocab = corpus
-      .select(explode(tokensOf(col("s"))).as("item"))
+      .select(explode(bpeTokens(col("s"))).as("item"))
       .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("item").asc).limit(topTokens)
       .select(lit("token").as("kind"), lit(0L).as("rnd"), col("item"),
@@ -928,5 +937,46 @@ object TextOps {
     merges.select(lit("merge").as("kind"), col("rnd"), col("item"), col("cnt"))
       .unionByName(vocab)
       .orderBy(col("kind"), col("rnd"), col("cnt").desc, col("item"))
+  }
+
+  /** The tokenizer's APPLY face — what makes the merge table a MODEL:
+    * merges are trained on the even-doc_id half only (the
+    * text_lm_bigram train/apply posture) and then applied, in
+    * training order, to the HELD-OUT odd half, reporting each
+    * held-out document's token count before and after and the
+    * per-doc compression — the metric BPE training exists to move,
+    * measured where it matters (text the trainer never saw).
+    *
+    * Each round is the training loop's own shapes (pair count over
+    * the train half, 1-row top-pair broadcast, row-local rewrite of
+    * BOTH halves); the apply side adds one row-local rewrite per
+    * round, so cost stays linear in corpus size. Oracle unrolls the
+    * train CTEs on the even half and replays the identical
+    * double-replace on the odd half. */
+  def bpeEncode(s: SparkSession, d: String, rounds: Int = 3): DataFrame =
+    bpeEncodeOn(Tables.documents(s, d), rounds)
+
+  /** Same over any (doc_id, text) frame. */
+  def bpeEncodeOn(docs: DataFrame, rounds: Int): DataFrame = {
+    val staged = bpeStage(Tables.spread(docs))
+    var train = staged.filter(col("doc_id") % 2 === 0).localCheckpoint(false)
+    var heldOut = staged.filter(col("doc_id") % 2 === 1)
+      .localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      val top = bpePairCounts(train)
+        .orderBy(col("cnt").desc, col("pair").asc).limit(1)
+        .select(col("pair"), col("cnt"))
+      train = bpeApply(train, top).localCheckpoint(false)
+      heldOut = bpeApply(heldOut, top).localCheckpoint(false)
+    }
+    staged.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), size(bpeTokens(col("s"))).as("n_before"))
+      .join(heldOut.select(col("doc_id"),
+        size(bpeTokens(col("s"))).as("n_after")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_before"), col("n_after"),
+        when(col("n_before") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_after").cast("double") / col("n_before"), 4))
+          .as("compression"))
+      .orderBy(col("doc_id"))
   }
 }

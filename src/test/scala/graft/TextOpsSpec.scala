@@ -477,4 +477,22 @@ class TextOpsSpec extends SparkSpec {
     // doc 3 keeps its un-fused tail: x_y + q survive as tokens
     assert(toks === Map("x_y_z" -> 2L, "x_y" -> 1L, "q" -> 1L))
   }
+
+  test("bpe encode: merges trained on evens compress the held-out odds") {
+    import spark.implicits._
+    // evens teach (x,y) then (x_y,z); odd docs measure the APPLY:
+    // doc 1 carries the full phrase twice (6 → 2 tokens), doc 3 has
+    // no trained pair at all (untouched), doc 5 is empty (null ratio)
+    val docs = Seq(
+      (0L, "x y z"), (2L, "x y z"), (4L, "x y z"),
+      (1L, "x y z x y z"), (3L, "p q r"), (5L, "")).toDF("doc_id", "text")
+    val out = TextOps.bpeEncodeOn(docs, rounds = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), Option(r.get(3)).map(_.toString))))
+      .toMap
+    assert(out(1L) === ((6, 2, Some("0.3333"))))
+    assert(out(3L) === ((3, 3, Some("1.0"))))
+    assert(out(5L) === ((0, 0, None)))
+    assert(out.size === 3) // only held-out docs are reported
+  }
 }
