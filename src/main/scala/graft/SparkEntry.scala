@@ -113,6 +113,9 @@ object SparkEntry {
     // privacy gate: QI-tuple group sizes vs k — group-cardinality
     // reduction after one map-side-combinable count
     "q_kanonymity" -> ((s, d) => Analytics.kAnonymity(s, d)),
+    // the k gate's second axis: class-size safety says nothing about
+    // the homogeneity attack — audit sensitive-value diversity too
+    "q_ldiversity" -> ((s, d) => Analytics.lDiversity(s, d)),
     // one-row class-balance diagnostic: entropy / normalized / Gini
     // with DECIMAL-quantized per-class terms
     "q_entropy" -> ((s, d) =>
@@ -1520,6 +1523,22 @@ object SparkEntry {
         |    AS rows_below_k,
         |  round(CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE) /
         |    sum(sz), 4) AS share_below_k
+        |FROM g""".stripMargin,
+    "q_ldiversity" ->
+      """WITH g AS (SELECT event_type,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP_US)) AS TIMESTAMP)
+        |      AS day,
+        |    user_id % 20 AS uid_bucket, count(*) AS sz,
+        |    count(DISTINCT CAST(floor(value) AS BIGINT)) AS l_cnt
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT count(*) AS n_groups, CAST(sum(sz) AS BIGINT) AS n_rows,
+        |  min(l_cnt) AS l_min,
+        |  CAST(sum(CASE WHEN l_cnt < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS groups_below_l,
+        |  CAST(sum(CASE WHEN l_cnt < 3 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS rows_below_l,
+        |  round(CAST(sum(CASE WHEN l_cnt < 3 THEN sz ELSE 0 END) AS DOUBLE) /
+        |    sum(sz), 4) AS share_below_l
         |FROM g""".stripMargin,
     // per-class terms quantize to the same DECIMAL(20,10) before the
     // sum — entropy parity does not depend on libm's last ulp

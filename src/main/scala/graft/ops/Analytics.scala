@@ -1087,6 +1087,42 @@ object Analytics {
         (col("user_id") % 20).as("uid_bucket"))
       .agg(count(lit(1)).as("sz")), k)
 
+  /** l-diversity privacy gate — [[kAnonymity]]'s second axis: a class
+    * can be k-large yet still leak (every member sharing ONE sensitive
+    * value identifies it for all of them — the homogeneity attack
+    * k-anonymity cannot see). Per quasi-identifier class (the SAME
+    * classes the k gate audits), the distinct count of a sensitive
+    * attribute (here the value column floored to integer buckets);
+    * the audit reports the worst class, classes/rows below `l`, and
+    * the exposed share. One map-side-combinable class aggregate (the
+    * distinct rides a (QI, sensitive) pre-aggregation, never a
+    * per-class set) + a class-cardinality scalar reduction — the gate
+    * costs what the k gate costs. */
+  def lDiversity(s: SparkSession, d: String, l: Int = 3): DataFrame =
+    lDiversityOn(Tables.events(s, d)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        (col("user_id") % 20).as("uid_bucket"),
+        floor(col("value")).cast("long").as("sens")),
+      Seq("event_type", "day", "uid_bucket"), "sens", l)
+
+  /** Same over any (QI..., sensitive) row frame. */
+  def lDiversityOn(df: DataFrame, qi: Seq[String], sens: String,
+                   l: Int): DataFrame = {
+    val classes = df.groupBy(qi.map(col): _*)
+      .agg(count(lit(1)).as("sz"),
+        count_distinct(col(sens)).as("l_cnt"))
+    classes.agg(
+      count(lit(1)).as("n_groups"),
+      sum(col("sz")).as("n_rows"),
+      min(col("l_cnt")).as("l_min"),
+      sum(when(col("l_cnt") < l, 1L).otherwise(0L)).as("groups_below_l"),
+      sum(when(col("l_cnt") < l, col("sz")).otherwise(0L)).as("rows_below_l"))
+      .select(col("n_groups"), col("n_rows"), col("l_min"),
+        col("groups_below_l"), col("rows_below_l"),
+        round(col("rows_below_l").cast("double") / col("n_rows"), 4)
+          .as("share_below_l"))
+  }
+
   /** Same over any pre-grouped (…, sz) QI-group-size frame. */
   def kAnonymityOn(groups: DataFrame, k: Int): DataFrame = {
     groups.agg(

@@ -516,6 +516,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getDouble(5) === 0.15)
   }
 
+  test("l-diversity: a k-large homogeneous class is caught, diverse " +
+       "classes pass") {
+    import spark.implicits._
+    // class A: 6 rows but ONE sensitive value (the homogeneity attack
+    // k=5 waves through); class B: 4 rows, 4 distinct values; class
+    // C: 3 rows, 2 distinct values (also below l=3)
+    val rows = Seq.fill(6)(("A", 7L)) ++
+      (1L to 4L).map(v => ("B", v)) ++ Seq(("C", 1L), ("C", 1L), ("C", 2L))
+    val df = rows.toDF("qi", "sens")
+    val r = Analytics.lDiversityOn(df, Seq("qi"), "sens", 3).first()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 13L) // groups, rows
+    assert(r.getLong(2) === 1L)                         // worst class
+    assert(r.getLong(3) === 2L && r.getLong(4) === 9L)  // A + C exposed
+    assert(r.getDouble(5) === math.rint(9.0 / 13 * 10000) / 10000)
+  }
+
   test("entropy: uniform labels hit ln(k) exactly; constant labels " +
        "give zero entropy and zero gini") {
     import spark.implicits._
