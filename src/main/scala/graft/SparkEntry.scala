@@ -140,6 +140,9 @@ object SparkEntry {
     // enumeration (oriented out-degree ≤ O(√m) caps hub work); edges =
     // part co-occurrence in orders, basket-capped
     "graph_triangles" -> ((s, d) => graft.ops.GraphOps.triangles(s, d)),
+    // the scale-free audit behind the degree-orientation/cap choices:
+    // log2-binned degree histogram via integer binary-string length
+    "graph_degree_dist" -> ((s, d) => graft.ops.GraphOps.degreeDist(s, d)),
     // the exact count's scale tier: DOULION edge sampling on a
     // deterministic md5 coin — sampling replays in the oracle, so
     // the estimate itself is value-checked cross-engine
@@ -154,6 +157,9 @@ object SparkEntry {
     // (θ = cov/var over per-user means), md5 arms, rounded-metric
     // adjustment, achieved variance reduction beside the means
     "q_cuped" -> ((s, d) => Analytics.cuped(s, d)),
+    // the integrity gate before any A/B readout is believed: χ² on
+    // the realized arm split under the same md5 assignment as cuped
+    "q_srm_check" -> ((s, d) => Analytics.srmCheck(s, d)),
     // order-independent XOR+SUM row-hash signature per table — the
     // "did anything change" audit at the cost of a count(*)
     "etl_table_checksum" -> ((s, d) => {
@@ -1729,6 +1735,28 @@ object SparkEntry {
         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
         |  round(3.0 * n_triangles / n_wedges, 4) AS clustering_coeff
         |FROM st, tri""".stripMargin,
+    // graph_degree_dist: the same edge CTEs; the log2 bin comes from
+    // the binary-string length (integer-exact — float log2 is one ulp
+    // from misbinning every power of two)
+    "graph_degree_dist" ->
+      """WITH m AS (SELECT DISTINCT l_orderkey AS basket,
+        |             l_partkey AS item FROM lineitem),
+        |sz AS (SELECT basket, count(*) AS bsz FROM m GROUP BY 1),
+        |mm AS (SELECT m.basket, m.item FROM m JOIN sz USING (basket)
+        |       WHERE sz.bsz <= 16),
+        |e AS (SELECT DISTINCT x.item AS a, y.item AS b
+        |      FROM mm x JOIN mm y USING (basket) WHERE x.item < y.item),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |          SELECT a AS node FROM e
+        |          UNION ALL SELECT b AS node FROM e) GROUP BY 1),
+        |t AS (SELECT count(*) AS n_total FROM deg),
+        |b AS (SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bin,
+        |        count(*) AS n_nodes, min(deg) AS min_deg,
+        |        max(deg) AS max_deg
+        |      FROM deg GROUP BY 1)
+        |SELECT bin, n_nodes, min_deg, max_deg,
+        |  round(CAST(n_nodes AS DOUBLE) / n_total, 4) AS share
+        |FROM b, t ORDER BY bin""".stripMargin,
     // the sampled tier replays the WHOLE pipeline — md5 coin, kept
     // edge set, degree orientation, wedge closure, and the integer
     // 1/p^3 scale-up — so the estimate value-matches cross-engine
@@ -1835,6 +1863,24 @@ object SparkEntry {
         |  round(CAST(sum(y_adj) AS DOUBLE) / count(*), 4) AS mean_adj,
         |  max(theta) AS theta, max(var_reduction) AS var_reduction
         |FROM adj, gl GROUP BY arm, var_reduction ORDER BY arm""".stripMargin,
+    "q_srm_check" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |arms AS (
+        |  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
+        |           THEN 'a' ELSE 'b' END AS arm
+        |  FROM u),
+        |c AS (
+        |  SELECT CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_a,
+        |         CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_b
+        |  FROM arms)
+        |SELECT n_a, n_b,
+        |  round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 4)
+        |    AS chi2,
+        |  round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 4)
+        |    > 3.8415 AS srm
+        |FROM c""".stripMargin,
     // row canon = null-sentineled '|' join → md5 → first 15 hex as a
     // 60-bit int (list-comprehension polynomial — exact, no doubles);
     // XOR + HUGEINT SUM signatures rendered as strings

@@ -928,6 +928,35 @@ object Analytics {
     * each y_adj re-quantizes to DECIMAL before the final sums (the
     * rounded-metric rule: identical doubles in, identical doubles
     * out, regardless of aggregation order). */
+  /** Sample-ratio-mismatch check — the integrity gate that runs
+    * BEFORE any A/B readout ([[cuped]], [[welchTTest]]) is believed:
+    * if the realized arm split deviates from the designed 50/50
+    * beyond chance, assignment or logging is broken and every
+    * downstream metric is invalid. Uses the SAME deterministic md5
+    * arm assignment as [[cuped]] (so the two entries audit one
+    * experiment), counts distinct users per arm, and tests the split
+    * with the 1-dof χ² = (n_a − n_b)² / (n_a + n_b) — exact integer
+    * operands, one double division, engine-identical. Flags when the
+    * 4dp-ROUNDED χ² clears 3.8415 (95%, both engines compare the
+    * same quantized value). One distinct-user aggregate + a scalar
+    * reduction — costs a count distinct. */
+  def srmCheck(s: SparkSession, d: String): DataFrame =
+    srmCheckOn(Tables.events(s, d))
+
+  /** Same over any (user_id, …) event frame. */
+  def srmCheckOn(events: DataFrame): DataFrame =
+    events.select(col("user_id")).distinct()
+      .select(when(
+        substring(md5(col("user_id").cast("string")), 1, 2) < "80",
+        lit("a")).otherwise(lit("b")).as("arm"))
+      .agg(
+        sum(when(col("arm") === "a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "b", 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        round(((col("n_a") - col("n_b")) * (col("n_a") - col("n_b")))
+          .cast("double") / (col("n_a") + col("n_b")), 4).as("chi2"))
+      .withColumn("srm", col("chi2") > 3.8415)
+
   def cuped(s: SparkSession, d: String): DataFrame =
     cupedOn(Tables.events(s, d))
 

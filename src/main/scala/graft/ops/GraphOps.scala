@@ -179,6 +179,37 @@ object GraphOps {
         .as("est_triangles"))
   }
 
+  /** Degree-distribution diagnostic — the scale-free audit run BEFORE
+    * choosing graph strategy (it is WHY the triangle faces orient by
+    * degree and why caps/salting exist: a heavy tail means hub work
+    * dominates): per log2 degree bin, node count, exact degree range,
+    * and share. The bin is the BINARY-STRING length − 1
+    * (`length(bin(deg)) − 1` = ⌊log2 deg⌋ in pure integers — float
+    * log2 is one ulp from misbinning every power of two). Cost: the
+    * edge derivation + one node-key count + a bin-cardinality
+    * aggregate; output is ~⌈log2 max-degree⌉ rows at any scale. */
+  def degreeDist(s: SparkSession, d: String, maxBasket: Int = 16): DataFrame =
+    degreeDistOn(Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")),
+      maxBasket)
+
+  /** Same over any (basket, item) membership list. */
+  def degreeDistOn(pairs: DataFrame, maxBasket: Int): DataFrame = {
+    val edges = basketEdges(pairs, maxBasket)
+    val deg = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val total = deg.agg(count(lit(1)).as("n_total"))
+    deg.withColumn("bin", (length(expr("bin(deg)")) - 1).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+      .crossJoin(broadcast(total))
+      .select(col("bin"), col("n_nodes"), col("min_deg"), col("max_deg"),
+        round(col("n_nodes").cast("double") / col("n_total"), 4).as("share"))
+      .orderBy(col("bin"))
+  }
+
   /** Canonical (a < b) undirected edge set from basket co-membership,
     * shared by the exact and sampled triangle faces. */
   private def basketEdges(pairs: DataFrame, maxBasket: Int): DataFrame = {

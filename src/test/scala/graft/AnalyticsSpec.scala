@@ -516,6 +516,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getDouble(5) === 0.15)
   }
 
+  test("srm check: chi2 matches an independent md5 replay; imbalance flags") {
+    import spark.implicits._
+    def arm(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (hex.substring(0, 2) < "80") "a" else "b"
+    }
+    // mixed population: the operator must agree with a driver-side
+    // md5 replay exactly (counts, chi2, flag)
+    val ids = (1L to 200L)
+    val df = ids.toDF("user_id")
+    val r = Analytics.srmCheckOn(df).first()
+    val na = ids.count(arm(_) == "a").toLong
+    val nb = ids.size - na
+    assert(r.getLong(0) === na && r.getLong(1) === nb)
+    val chi2 = math.rint((na - nb).toDouble * (na - nb) / (na + nb) * 10000) / 10000
+    assert(r.getDouble(2) === chi2)
+    assert(r.getBoolean(3) === (chi2 > 3.8415))
+    // planted broken assignment: only arm-a users reach the log —
+    // the gate MUST fire
+    val onlyA = ids.filter(arm(_) == "a").toDF("user_id")
+    val rb = Analytics.srmCheckOn(onlyA).first()
+    assert(rb.getLong(1) === 0L && rb.getBoolean(3))
+  }
+
   test("l-diversity: a k-large homogeneous class is caught, diverse " +
        "classes pass") {
     import spark.implicits._

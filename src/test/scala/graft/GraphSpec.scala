@@ -98,4 +98,22 @@ class GraphSpec extends SparkSpec {
     assert(r.getLong(3) === brute.toLong, s"got $r, brute $brute")
     assert(r.getLong(1) === edges.size.toLong)
   }
+
+  test("degree distribution: hand graph bins exactly by floor(log2 deg)") {
+    import spark.implicits._
+    // K4 basket {1,2,3,4}: four nodes of degree 3 (bin 1); pendant
+    // basket {5,6}: two nodes of degree 1 (bin 0); basket {1,2} adds
+    // no new edges (already in K4) so degrees stand
+    val baskets = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L),
+      (11L, 5L), (11L, 6L), (12L, 1L), (12L, 2L))
+      .toDF("basket", "item")
+    val rows = graft.ops.GraphOps.degreeDistOn(baskets, 16).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(rows === Map(
+      0L -> ((2L, 1L, 1L, 0.3333)), // degree-1 pendants
+      1L -> ((4L, 3L, 3L, 0.6667)))) // K4 members, deg 3 → bin 1
+  }
 }
