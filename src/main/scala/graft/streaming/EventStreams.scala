@@ -382,6 +382,64 @@ object EventStreams {
       }
   }
 
+  case class CpState(buf: List[(Long, Long)])
+  case class ChangepointRow(event_type: String, day: java.sql.Timestamp,
+                            cnt: Long, pre_mean: Double, post_mean: Double,
+                            score: Double, is_change: Boolean)
+
+  /** Streaming face of [[graft.ops.TimeSeriesOps.changepoints]]: the
+    * live regime-shift monitor over watermark-finalized daily counts.
+    * The batch statistic is FORWARD-looking (a candidate day is
+    * scored by its own w-day window against the w days before it), so
+    * the stream can only score day D once day D+w−1 has finalized —
+    * emission lags the newest closed day by w−1 days, the inherent
+    * latency of a two-sided statistic (the anomaly monitor's one-
+    * sided z has no such lag; that is the trade between them). State
+    * per series is a ring of the last 2w−1 (day, count) pairs —
+    * O(w), not history. Arithmetic matches the batch face's window
+    * aggregates (integer counts ⇒ exact double sums; sample sd;
+    * zero-variance pre-window scores by the raw shift), so a corpus
+    * replay reproduces the batch rows at 4dp exactly (spec'd).
+    * Within a micro-batch days fold in event-time order; finalized
+    * days arrive monotonically per series because the upstream
+    * watermark is. */
+  def changepointStream(daily: Dataset[DailyCount], w: Int = 7,
+                        minScore: Double = 3.0): Dataset[ChangepointRow] = {
+    require(w >= 2, s"window must be >= 2: $w")
+    import daily.sparkSession.implicits._
+    daily
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CpState, ChangepointRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (typ, it, state: GroupState[CpState]) =>
+          val sorted = it.toSeq.sortBy(_.day.getTime)
+          var buf = state.getOption.map(_.buf).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[ChangepointRow]
+          def r4(x: Double): Double =
+            BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          sorted.foreach { d =>
+            buf = buf :+ (d.day.getTime, d.cnt)
+            if (buf.length == 2 * w) {
+              val pre = buf.take(w)
+              val post = buf.slice(w, 2 * w)
+              val preMean = pre.map(_._2.toDouble).sum / w
+              val postMean = post.map(_._2.toDouble).sum / w
+              val m2 = pre.map(c => { val dd = c._2 - preMean; dd * dd }).sum
+              val sd = math.sqrt(m2 / (w - 1))
+              val shift = postMean - preMean
+              val score = if (sd == 0) shift else shift / sd
+              val (dayMs, cnt) = buf(w)
+              out += ChangepointRow(typ, new java.sql.Timestamp(dayMs), cnt,
+                r4(preMean), r4(postMean), r4(score),
+                math.abs(score) >= minScore)
+              buf = buf.drop(1)
+            }
+          }
+          state.update(CpState(buf))
+          out.iterator
+      }
+  }
+
   case class EwmaState(seen: Long, e: Double)
   case class EwmaRow(event_type: String, day: java.sql.Timestamp,
                      cnt: Long, ewma: Double)

@@ -325,6 +325,66 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming changepoint scores a regime shift across batches and " +
+       "matches the batch face on a corpus replay") {
+    import graft.streaming.EventStreams.{DailyCount, changepointStream}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def day(n: Int) = java.sql.Timestamp.valueOf(f"2024-01-$n%02d 00:00:00")
+    // planted regime: 7 days at 10, then 7 at 50 — split MID-shift so
+    // the pre-window state must survive the batch gap; day 8 (first
+    // day of the new regime) is the changepoint, and scoring it
+    // requires waiting for days 8..14 (the forward window)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DailyCount]
+    val q = changepointStream(mem.toDS(), w = 7, minScore = 3.0)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cp_mb").start()
+    try {
+      mem.addData((1 to 10).map(i =>
+        DailyCount("a", day(i), if (i <= 7) 10L else 50L)): _*)
+      q.processAllAvailable()
+      // only day 8 has a full forward window buffered? no — days
+      // 8,9,10 are buffered but scoring day 8 needs day 14: nothing
+      // emitted yet for the shift; day 8's turn comes in batch 2
+      val early = spark.table("cp_mb").collect()
+      assert(early.isEmpty) // first scoreable day is day 8 (needs 14)
+      mem.addData((11 to 14).map(i => DailyCount("a", day(i), 50L)): _*)
+      q.processAllAvailable()
+      val rows = spark.table("cp_mb").collect()
+        .map(r => r.getTimestamp(1) ->
+          ((r.getDouble(3), r.getDouble(4), r.getBoolean(6)))).toMap
+      // day 8: pre = 7×10, post = 7×50, sd(pre) = 0 → score = raw
+      // shift 40, flagged
+      assert(rows(day(8)) === ((10.0, 50.0, true)))
+    } finally q.stop()
+
+    // corpus replay (two batches) equals the batch face exactly
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[DailyCount].collect().sortBy(_.day.getTime)
+    val (b1, b2) = daily.partition(_.day.getTime <= day(7).getTime)
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DailyCount]
+    val q2 = changepointStream(mem2.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cp_corpus").start()
+    try {
+      mem2.addData(b1.toIndexedSeq: _*)
+      q2.processAllAvailable()
+      mem2.addData(b2.toIndexedSeq: _*)
+      q2.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5), r.getBoolean(6))
+      val streamed = spark.table("cp_corpus").collect().map(key).toSet
+      val batch = graft.ops.TimeSeriesOps.changepoints(spark, sf)
+        .collect().map(key).toSet
+      assert(streamed === batch)
+    } finally q2.stop()
+  }
+
   test("streaming EWMA carries one double of state and matches batch at 4dp") {
     import graft.streaming.EventStreams.{DailyCount, ewmaStream}
     import spark.implicits._
