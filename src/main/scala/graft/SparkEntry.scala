@@ -255,6 +255,9 @@ object SparkEntry {
     // Matryoshka truncation eval: recall@5 of 16/32-dim prefixes vs
     // the full 64-dim top-k — is the 4x storage cut free?
     "emb_mrl_recall" -> ((s, d) => SimilarityOps.mrlRecall(s, d)),
+    // the 32x extreme of the compression ladder: recall@5 of the
+    // sign-bit hamming ranking vs exact cosine (integer distances)
+    "emb_binary_recall" -> ((s, d) => SimilarityOps.binaryRecall(s, d)),
     // sentence segmentation stats (RE2-safe split, planted sentence
     // tails — the corpus itself carries no punctuation)
     "text_sentences" -> ((s, d) => TextOps.sentenceStats(s, d)),
@@ -1999,6 +2002,27 @@ object SparkEntry {
         |  ON t.q_id = f.q_id AND t.vec_id = f.vec_id
         |WHERE t.dims <> 64
         |GROUP BY t.dims, t.q_id ORDER BY t.dims, t.q_id""".stripMargin,
+    // emb_binary_recall: hamming distances are exact integer sign
+    // mismatches, so both rankings replay verbatim
+    "emb_binary_recall" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |           FROM embeddings WHERE vec_id < 10),
+        |sc AS (SELECT q.q_id, e.vec_id,
+        |    round(list_cosine_similarity(q.q_emb, e.embedding), 4) AS cos,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CASE WHEN (q.q_emb[i] > 0) <> (e.embedding[i] > 0)
+        |                THEN 1 ELSE 0 END)) AS BIGINT) AS ham
+        |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+        |ct AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+        |        FROM sc) WHERE rk <= 5),
+        |bt AS (SELECT q_id, vec_id FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY q_id ORDER BY ham ASC, vec_id) AS rk
+        |        FROM sc) WHERE rk <= 5)
+        |SELECT bt.q_id, CAST(count(ct.vec_id) AS DOUBLE) / 5 AS recall
+        |FROM bt LEFT JOIN ct
+        |  ON bt.q_id = ct.q_id AND bt.vec_id = ct.vec_id
+        |GROUP BY bt.q_id ORDER BY bt.q_id""".stripMargin,
     // identical planted tails, identical RE2-safe split-and-trim
     "text_sentences" ->
       """WITH t AS (SELECT doc_id,

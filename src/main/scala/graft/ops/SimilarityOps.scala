@@ -274,6 +274,52 @@ object SimilarityOps {
     * join, so a query with zero overlap still reports 0.0. Output is
     * (dims, q_id, recall) — the table that tells you whether the 4×
     * storage cut is free or costs retrieval quality. */
+  /** 1-bit SIGN quantization retrieval check — the 32× extreme of
+    * the scalar-compression ladder (int8 = 4×, JL-RP = 8× fewer
+    * dims, PQ = 32× codes, this = 32× in one bit per dim) and the
+    * representation behind binary-hamming pre-ranking in vector
+    * stores: recall@k of the hamming ranking over sign bits against
+    * the exact cosine ranking, on the same broadcast query set as
+    * [[mrlRecall]] (the corpus is never self-joined). Hamming
+    * distances are exact integers (sign compare per dim — no float
+    * accumulation to drift), rankings carry the repo's deterministic
+    * tiebreaks, and a zero-overlap query still reports 0.0 via the
+    * left join. Like the MRL entry, the NUMBER is the point: on this
+    * corpus's iid vectors sign bits keep real signal (planted-signal
+    * fixture recalls 1.0 in the spec); a production corpus reads
+    * this table before switching its pre-rank to hamming. */
+  def binaryRecall(s: SparkSession, d: String, k: Int = 5,
+                   nQueries: Int = 10): DataFrame =
+    binaryRecallOn(Tables.embeddings(s, d), k, nQueries)
+
+  /** Same over any (vec_id, embedding) frame; queries are the first
+    * `nQueries` vec_ids. */
+  def binaryRecallOn(corpus: DataFrame, k: Int, nQueries: Int): DataFrame = {
+    val qs = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val paired = corpus.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 4).as("cos"),
+        aggregate(zip_with(col("q_emb"), col("embedding"),
+          (a, b) => when((a > 0) =!= (b > 0), 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).as("ham"))
+      .localCheckpoint(false) // feeds both rankings
+    val wCos = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val wHam = Window.partitionBy(col("q_id"))
+      .orderBy(col("ham").asc, col("vec_id"))
+    val exactTop = paired.withColumn("rk", row_number().over(wCos))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("__hit"))
+    paired.withColumn("rk", row_number().over(wHam)).filter(col("rk") <= k)
+      .join(exactTop, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg((sum(coalesce(col("__hit"), lit(0L))).cast("double") / k)
+        .as("recall"))
+      .orderBy(col("q_id"))
+  }
+
   def mrlRecall(s: SparkSession, d: String, k: Int = 5,
                 nQueries: Int = 10,
                 tiers: Seq[Int] = Seq(16, 32)): DataFrame =

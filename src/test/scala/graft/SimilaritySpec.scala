@@ -237,6 +237,33 @@ class SimilaritySpec extends SparkSpec {
       val x = r.getDouble(2); x >= 0.0 && x <= 1.0 })
   }
 
+  test("binary recall: pure sign vectors make the hamming ranking exact " +
+       "and scale-invariant; sf recalls stay proper fractions") {
+    import spark.implicits._
+    // ±scale pattern vectors: cosine = (64 − 2·ham)/64, exactly
+    // monotone in hamming, and the per-vector scale cancels in both
+    // measures — recall@5 must be 1.0 for every query. Each of 32
+    // random signs is DUPLICATED so every pairwise hamming is even:
+    // odd hammings put the cosine on an exact .00005 rounding
+    // boundary ((odd)/32 ends in ...125/...375), where last-ulp
+    // float noise flips the 4dp rounding and manufactures ties the
+    // integer hamming doesn't have
+    val rng = new scala.util.Random(11)
+    val emb = (0L until 30L).map { i =>
+      val scale = 0.5f + rng.nextFloat()
+      val half = Array.fill(32)(if (rng.nextBoolean()) scale else -scale)
+      (i, half.flatMap(v => Array(v, v)))
+    }.toDF("vec_id", "embedding")
+    val rows = SimilarityOps.binaryRecallOn(emb, k = 5, nQueries = 5)
+      .collect()
+    assert(rows.length === 5)
+    rows.foreach(r => assert(r.getDouble(1) === 1.0, r.toString))
+    // sf data: whatever signal sign bits keep, recalls are fractions
+    val sf01 = SimilarityOps.binaryRecall(spark, sf).collect()
+    assert(sf01.length === 10)
+    assert(sf01.forall { r => val x = r.getDouble(1); x >= 0.0 && x <= 1.0 })
+  }
+
   test("pcaPower recovers a planted dominant direction, deterministically") {
     import spark.implicits._
     // variance concentrated on dim 0 (spread ±0.8), light noise on the
