@@ -283,6 +283,47 @@ object Forecast {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Backtest MODEL SELECTION — the question the single-model entries
+    * leave open: per series, which forecaster actually wins the
+    * holdout? Runs the three holdout-evaluated models
+    * ([[seasonalNaive]], [[arForecast]], [[thetaForecast]]) over the
+    * SAME holdout days, computes each (series, model) MAE, and flags
+    * the champion — the per-series routing table a production
+    * forecasting pipeline derives before committing to a model
+    * (different series genuinely prefer different structure:
+    * seasonality vs lag conditioning vs damped trend).
+    *
+    * Plan cost = the three entries' plans + one small union/agg: MAE
+    * terms are 4dp-exact by construction (preds round 4dp, actuals
+    * integer), so they sum as exact DECIMAL(20,4) — aggregation-order
+    * independent — and divide once in double (the q_ttest recipe);
+    * champion = rank-1 on (mae, model) per series, deterministic
+    * cross-engine. */
+  def compareModels(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sn = seasonalNaive(s, d)
+      .select(col("event_type"), col("actual"), col("pred"))
+      .withColumn("model", lit("snaive"))
+    val ar = arForecast(s, d)
+      .select(col("event_type"), col("actual"), col("pred"))
+      .withColumn("model", lit("ar2"))
+    val th = thetaForecast(s, d)
+      .select(col("event_type"), col("actual"), col("pred"))
+      .withColumn("model", lit("theta"))
+    val mae = sn.unionByName(ar).unionByName(th)
+      .groupBy(col("event_type"), col("model"))
+      .agg(
+        (sum(abs(col("actual") - col("pred")).cast("decimal(20,4)"))
+          .cast("double") / count(lit(1))).as("__m"),
+        count(lit(1)).as("n_days"))
+      .select(col("event_type"), col("model"),
+        round(col("__m"), 4).as("mae"), col("n_days"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("mae").asc, col("model").asc)
+    mae.withColumn("best", row_number().over(w) === 1)
+      .orderBy(col("event_type"), col("model"))
+  }
+
   /** Forecast evaluation: per-series MAE and interval coverage —
     * the capability of TestingForecastResults.ipynb's quantile
     * plots, as a metric table. */

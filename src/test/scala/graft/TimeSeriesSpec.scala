@@ -289,6 +289,39 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("forecast comparison crowns the structurally right model per fixture") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Timestamp.valueOf(s"2024-01-$s 00:00:00")
+    def write(events: org.apache.spark.sql.DataFrame): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-cmp").toString
+      events.withColumn("ts", unix_micros(col("ts")) * 1000)
+        .withColumn("event_id", monotonically_increasing_id())
+        .withColumn("user_id", lit(1L)).withColumn("value", lit(1.0))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    // the 3-cycle AR(2) represents exactly: ar2 must be champion at
+    // mae 0 while lag-7 snaive misreads the phase
+    val cyc = write((1 to 21).flatMap { i =>
+      Seq.fill(Seq(10, 20, 30)((i - 1) % 3))(("cyc", d(f"$i%02d")))
+    }.toDF("event_type", "ts"))
+    val c = Forecast.compareModels(spark, cyc).collect()
+    assert(c.length === 3)
+    val cBest = c.filter(_.getBoolean(4))
+    assert(cBest.length === 1 && cBest.head.getString(1) === "ar2")
+    assert(cBest.head.getDouble(2) === 0.0)
+    // a pure ramp makes snaive EXACT (lag-7 residual is constant 35,
+    // so pred = lag + median resid = truth) while theta damps the
+    // trend to b/2 — snaive must be champion at mae 0
+    val ramp = write((1 to 21).flatMap { i =>
+      Seq.fill(10 + 5 * (i - 1))(("ramp", d(f"$i%02d")))
+    }.toDF("event_type", "ts"))
+    val r = Forecast.compareModels(spark, ramp).collect()
+    val rBest = r.filter(_.getBoolean(4))
+    assert(rBest.length === 1 && rBest.head.getString(1) === "snaive")
+    assert(rBest.head.getDouble(2) === 0.0)
+  }
+
   test("anomaly z-scores: planted spike flags, flat series never does") {
     import spark.implicits._
     def d(s: String) = java.sql.Timestamp.valueOf(s"2024-01-$s 00:00:00")
