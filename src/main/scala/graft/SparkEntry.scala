@@ -469,6 +469,9 @@ object SparkEntry {
     // additive STL-lite: centered-window trend, integer-phase
     // seasonal means over DECIMAL-quantized detrended values, resid
     "ts_seasonal_decompose" -> ((s, d) => TimeSeriesOps.seasonalDecompose(s, d)),
+    // the STL feature pair that routes model choice: strengths from
+    // the decompose components' exact DECIMAL moments
+    "ts_seasonal_strength" -> ((s, d) => TimeSeriesOps.seasonalStrength(s, d)),
     // sustained level shifts (not spikes): two-window mean compare
     // normalized by the pre-window spread, full windows only
     "ts_changepoint" -> ((s, d) => TimeSeriesOps.changepoints(s, d)),
@@ -2756,6 +2759,64 @@ object SparkEntry {
         |FROM det JOIN seas
         |  ON det.event_type = seas.event_type AND det.pos = seas.pos
         |ORDER BY event_type, day""".stripMargin,
+    // ts_seasonal_strength: the decompose chain + exact DECIMAL
+    // moment sums of the 4dp components, variances derived once in
+    // double with the identical expression tree
+    "ts_seasonal_strength" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, day, cnt,
+        |    count(*) OVER w AS wn,
+        |    CAST(sum(cnt) OVER w AS DOUBLE) / 7 AS trend
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |det AS (
+        |  SELECT event_type, day, cnt, trend,
+        |    date_diff('day', DATE '1970-01-01', day) % 7 AS pos,
+        |    CAST(cnt - trend AS DECIMAL(20,10)) AS dv
+        |  FROM t WHERE wn = 7),
+        |seas AS (
+        |  SELECT event_type, pos,
+        |    CAST(sum(dv) AS DOUBLE) / count(*) AS seasonal
+        |  FROM det GROUP BY 1, 2),
+        |dc AS (
+        |  SELECT det.event_type AS event_type,
+        |    CAST(round(cnt - trend - seasonal, 4) AS DECIMAL(20,4)) AS r,
+        |    CAST(round(seasonal, 4) + round(cnt - trend - seasonal, 4)
+        |         AS DECIMAL(20,4)) AS sr,
+        |    CAST(round(trend, 4) + round(cnt - trend - seasonal, 4)
+        |         AS DECIMAL(20,4)) AS tr
+        |  FROM det JOIN seas
+        |    ON det.event_type = seas.event_type AND det.pos = seas.pos),
+        |m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(r) AS s_r, sum(r * r) AS ss_r,
+        |    sum(sr) AS s_sr, sum(sr * sr) AS ss_sr,
+        |    sum(tr) AS s_tr, sum(tr * tr) AS ss_tr
+        |  FROM dc GROUP BY 1),
+        |v AS (
+        |  SELECT event_type, n,
+        |    (CAST(ss_r AS DOUBLE) -
+        |      CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE) / n) / (n - 1) AS vr,
+        |    (CAST(ss_sr AS DOUBLE) -
+        |      CAST(s_sr AS DOUBLE) * CAST(s_sr AS DOUBLE) / n) / (n - 1)
+        |      AS vsr,
+        |    (CAST(ss_tr AS DOUBLE) -
+        |      CAST(s_tr AS DOUBLE) * CAST(s_tr AS DOUBLE) / n) / (n - 1)
+        |      AS vtr
+        |  FROM m WHERE n >= 2)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  round(greatest(0.0, CASE WHEN vsr = 0.0 THEN 0.0
+        |                           ELSE 1.0 - vr / vsr END), 4)
+        |    AS seasonal_strength,
+        |  round(greatest(0.0, CASE WHEN vtr = 0.0 THEN 0.0
+        |                           ELSE 1.0 - vr / vtr END), 4)
+        |    AS trend_strength
+        |FROM v ORDER BY event_type""".stripMargin,
     "ts_lag_features" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

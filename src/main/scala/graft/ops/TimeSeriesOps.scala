@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -329,6 +329,50 @@ object TimeSeriesOps {
         .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
         .agg(count(lit(1)).as("cnt")),
       period)
+
+  /** Per-series trend/seasonality STRENGTH (the STL feature pair of
+    * Wang-Smith-Hyndman / the tsfeatures literature): F_seasonal =
+    * max(0, 1 − var(resid)/var(seasonal+resid)) and F_trend likewise
+    * against (trend+resid) — the one-row-per-series summary that
+    * ROUTES model choice (strong seasonality → the lag-period family,
+    * strong trend → theta/AR; `forecast_compare` then confirms on the
+    * holdout). Computed from [[seasonalDecompose]]'s own 4dp
+    * components, so the feature is consistent with the decomposition
+    * it summarizes: each term re-quantizes to DECIMAL(20,4), moment
+    * sums are exact (aggregation-order independent), variances derive
+    * in double once (the q_ttest recipe), zero-variance denominators
+    * define strength 0. Cost = the decompose plan + one series-key
+    * aggregate. */
+  def seasonalStrength(s: SparkSession, d: String,
+                       period: Int = 7): DataFrame =
+    seasonalStrengthOn(seasonalDecompose(s, d, period))
+
+  /** Same over any (event_type, …, trend, seasonal, resid) frame. */
+  def seasonalStrengthOn(dec: DataFrame): DataFrame = {
+    val r = col("resid").cast("decimal(20,4)")
+    val sr = (col("seasonal") + col("resid")).cast("decimal(20,4)")
+    val tr = (col("trend") + col("resid")).cast("decimal(20,4)")
+    val agg = dec.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(r).as("s_r"), sum(r * r).as("ss_r"),
+      sum(sr).as("s_sr"), sum(sr * sr).as("ss_sr"),
+      sum(tr).as("s_tr"), sum(tr * tr).as("ss_tr"))
+    def variance(ss: Column, s0: Column): Column =
+      (ss.cast("double") -
+        s0.cast("double") * s0.cast("double") / col("n")) / (col("n") - 1)
+    val vr = variance(col("ss_r"), col("s_r"))
+    val vsr = variance(col("ss_sr"), col("s_sr"))
+    val vtr = variance(col("ss_tr"), col("s_tr"))
+    agg.filter(col("n") >= 2)
+      .select(col("event_type"), col("n").as("n_days"),
+        round(greatest(lit(0.0),
+          when(vsr === 0.0, lit(0.0)).otherwise(lit(1.0) - vr / vsr)), 4)
+          .as("seasonal_strength"),
+        round(greatest(lit(0.0),
+          when(vtr === 0.0, lit(0.0)).otherwise(lit(1.0) - vr / vtr)), 4)
+          .as("trend_strength"))
+      .orderBy(col("event_type"))
+  }
 
   /** Same decomposition over any (event_type, day, cnt) daily frame. */
   def seasonalDecomposeOn(daily: DataFrame, period: Int): DataFrame = {

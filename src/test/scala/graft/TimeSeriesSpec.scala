@@ -441,6 +441,38 @@ class TimeSeriesSpec extends SparkSpec {
     assert(!flagged.exists(_._1 == "spike"))
   }
 
+  test("seasonality strength: pure signal scores 1, flat series scores 0") {
+    import spark.implicits._
+    def mk(f: Int => Long): org.apache.spark.sql.DataFrame =
+      (0 until 28).map { i =>
+        val day = java.sql.Timestamp.valueOf(
+          java.time.LocalDate.of(2023, 1, 1).plusDays(i).atStartOfDay)
+        val phase = java.time.LocalDate.of(2023, 1, 1).plusDays(i)
+          .toEpochDay % 7
+        ("a", day, f(phase.toInt))
+      }.toDF("event_type", "day", "cnt")
+    // pure periodic signal: resid ≡ 0 ⇒ var(resid) = 0 ⇒ seasonal
+    // strength exactly 1 (and trend strength 1 by the same zero)
+    val pattern = Seq(7L, -3L, 0L, 14L, -7L, -11L, 0L)
+    val pure = TimeSeriesOps.seasonalStrengthOn(
+      TimeSeriesOps.seasonalDecomposeOn(mk(p => 100L + pattern(p)), 7))
+      .collect()
+    assert(pure.length === 1)
+    assert(pure.head.getDouble(2) === 1.0)
+    // flat series: every component variance is 0 — the zero-denominator
+    // guard must pin both strengths to 0, never NaN
+    val flat = TimeSeriesOps.seasonalStrengthOn(
+      TimeSeriesOps.seasonalDecomposeOn(mk(_ => 100L), 7)).collect()
+    assert(flat.head.getDouble(2) === 0.0 && flat.head.getDouble(3) === 0.0)
+    // sf corpus: strengths are proper fractions for every series
+    val sf01 = TimeSeriesOps.seasonalStrength(spark, sf).collect()
+    assert(sf01.nonEmpty)
+    sf01.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("seasonal decomposition recovers a planted periodic signal exactly") {
     import spark.implicits._
     // y(t) = 100 + pattern[t mod 7], zero noise: every centered
