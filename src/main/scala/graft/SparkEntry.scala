@@ -132,6 +132,10 @@ object SparkEntry {
     // fully-oracled multinomial NB language classifier — the model IS
     // three aggregations; scoring joins through the term key
     "ml_naive_bayes" -> ((s, d) => TextOps.naiveBayes(s, d)),
+    // reliability-by-confidence over the same scored frame: top-two
+    // margin as exact decimal, integer-unit value bands, accuracy per
+    // band — does the model's confidence mean anything?
+    "ml_calibration" -> ((s, d) => TextOps.nbCalibration(s, d)),
     // PageRank over the order↔supplier bipartite graph: fixed lazy
     // power iteration, one node-key shuffle per round, DECIMAL
     // contributions + 10dp re-rounding for engine-identical ranks
@@ -1671,6 +1675,64 @@ object SparkEntry {
         |        FROM sc JOIN prl ON sc.lang = prl.lang)
         |SELECT doc_id, true_lang, lang AS pred_lang, score
         |FROM fin WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    // ml_calibration: the SAME scored chain, then exact-decimal
+    // margins banded in integer 1e-4 units
+    "ml_calibration" ->
+      """WITH doc AS (SELECT doc_id, lang,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |tr AS (SELECT * FROM doc WHERE doc_id % 10 < 8),
+        |te AS (SELECT * FROM doc WHERE doc_id % 10 >= 8),
+        |ctk AS (SELECT lang, term, count(*) AS ctk
+        |        FROM (SELECT lang, unnest(ws) AS term FROM tr)
+        |        GROUP BY 1, 2),
+        |ctot AS (SELECT lang, CAST(sum(ctk) AS BIGINT) AS ct
+        |         FROM ctk GROUP BY 1),
+        |voc AS (SELECT DISTINCT term FROM ctk),
+        |vs AS (SELECT count(*) AS v FROM voc),
+        |pri AS (SELECT lang, count(*) AS nd FROM tr GROUP BY 1),
+        |prl AS (SELECT lang, round(ln(CAST(nd AS DOUBLE) /
+        |          (SELECT CAST(sum(nd) AS BIGINT) FROM pri)), 6)
+        |          AS prior_ln FROM pri),
+        |grid AS (SELECT voc.term, ctot.lang,
+        |    CAST(round(ln(CAST(coalesce(ctk.ctk, 0) + 1 AS DOUBLE) /
+        |      (ct + v)), 6) AS DECIMAL(12,6)) AS lp
+        |  FROM voc CROSS JOIN ctot
+        |  LEFT JOIN ctk ON ctk.term = voc.term AND ctk.lang = ctot.lang, vs),
+        |ttf AS (SELECT doc_id, lang AS true_lang, term, count(*) AS tf
+        |        FROM (SELECT doc_id, lang, unnest(ws) AS term FROM te)
+        |        GROUP BY 1, 2, 3),
+        |sc AS (SELECT ttf.doc_id, ttf.true_lang, grid.lang,
+        |         sum(ttf.tf * grid.lp) AS s
+        |       FROM ttf JOIN grid ON ttf.term = grid.term GROUP BY 1, 2, 3),
+        |fin AS (SELECT sc.doc_id, sc.true_lang, sc.lang,
+        |          round(CAST(s AS DOUBLE) + prior_ln, 4) AS score,
+        |          row_number() OVER (PARTITION BY sc.doc_id
+        |            ORDER BY round(CAST(s AS DOUBLE) + prior_ln, 4) DESC,
+        |              sc.lang) AS rk
+        |        FROM sc JOIN prl ON sc.lang = prl.lang),
+        |t1 AS (SELECT doc_id,
+        |         CASE WHEN lang = true_lang THEN 1 ELSE 0 END AS correct,
+        |         CAST(score AS DECIMAL(14,4)) AS s1
+        |       FROM fin WHERE rk = 1),
+        |t2 AS (SELECT doc_id, CAST(score AS DECIMAL(14,4)) AS s2
+        |       FROM fin WHERE rk = 2),
+        |mg AS (SELECT t1.doc_id, correct,
+        |        coalesce(CAST(t1.s1 - t2.s2 AS DECIMAL(14,4)),
+        |                 CAST(9999.9999 AS DECIMAL(14,4))) AS margin
+        |       FROM t1 LEFT JOIN t2 ON t1.doc_id = t2.doc_id),
+        |mi AS (SELECT doc_id, correct, margin,
+        |         CAST(margin * 10000 AS BIGINT) AS mi
+        |       FROM mg),
+        |rg AS (SELECT min(mi) AS lo, max(mi) AS hi FROM mi),
+        |bk AS (SELECT mi.*,
+        |         least(4, ((mi.mi - lo) * 5) // (hi - lo + 1)) AS bucket
+        |       FROM mi, rg)
+        |SELECT bucket, count(*) AS n_docs,
+        |  round(CAST(min(margin) AS DOUBLE), 4) AS min_margin,
+        |  round(CAST(max(margin) AS DOUBLE), 4) AS max_margin,
+        |  round(CAST(sum(correct) AS DOUBLE) / count(*), 4) AS accuracy
+        |FROM bk GROUP BY 1 ORDER BY bucket""".stripMargin,
     // unrolled power iteration: DECIMAL(20,10) per-edge contributions
     // and 10dp per-round re-rounding make every iterate bit-identical;
     // CAST(0.85 AS DOUBLE) mirrors Spark's double literal arithmetic

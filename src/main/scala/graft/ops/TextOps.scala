@@ -810,6 +810,19 @@ object TextOps {
   /** Same over any (doc_id, lang, text) frame. */
   def naiveBayesOn(corpus: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val scored = nbScoredOn(corpus)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("lang"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("doc_id"), col("true_lang"), col("lang").as("pred_lang"),
+        col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The classifier's full per-(doc, class) score frame — shared by
+    * the argmax entry and the calibration table so the two can never
+    * disagree about what the model said. */
+  private def nbScoredOn(corpus: DataFrame): DataFrame = {
     val docs = graft.Tables.spread(corpus)
       .select(col("doc_id"), col("lang"), toks(lower(col("text"))).as("ws"))
     val train = docs.filter(col("doc_id") % 10 < 8)
@@ -837,19 +850,64 @@ object TextOps {
         explode(col("ws")).as("term"))
       .groupBy(col("doc_id"), col("true_lang"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val scored = testTf.join(grid, "term")
+    testTf.join(grid, "term")
       .withColumn("__c", col("tf") * col("lp"))
       .groupBy(col("doc_id"), col("true_lang"), col("lang"))
       .agg(sum(col("__c")).as("__s"))
       .join(broadcast(priorLn), "lang")
       .select(col("doc_id"), col("true_lang"), col("lang"),
         round(col("__s").cast("double") + col("prior_ln"), 4).as("score"))
+  }
+
+  /** Reliability-by-confidence table over the in-plan classifier —
+    * the eval that tells you whether the model's CONFIDENCE means
+    * anything (a well-behaved classifier is more often right where
+    * its top-two margin is wide; a flat accuracy curve says the
+    * margin is noise and downstream routing should ignore it).
+    * Confidence = the top-1 − top-2 score margin as an EXACT
+    * DECIMAL(14,4) difference of the 4dp scores (no softmax — libm
+    * exp is engine-varying; the margin is the monotone sufficient
+    * statistic). Buckets are equal-WIDTH bands of the margin computed
+    * in pure integer 1e-4 units (((mi − min)·buckets) div (range+1) —
+    * value bands, not a global ntile rank: a partition-less quantile
+    * window over the test split is exactly the scale-killer the repo
+    * bans); per bucket: docs, exact margin range, accuracy. Single-
+    * class degenerate docs (no runner-up) take a sentinel wide margin
+    * and land in the top band, documented. */
+  def nbCalibration(s: SparkSession, d: String,
+                    buckets: Int = 5): DataFrame =
+    nbCalibrationOn(Tables.documents(s, d), buckets)
+
+  /** Same over any (doc_id, lang, text) frame. */
+  def nbCalibrationOn(corpus: DataFrame, buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("lang"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(col("doc_id"), col("true_lang"), col("lang").as("pred_lang"),
-        col("score"))
-      .orderBy(col("doc_id"))
+    val ranked = nbScoredOn(corpus)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
+    val top1 = ranked.filter(col("rk") === 1)
+      .select(col("doc_id"),
+        (col("lang") === col("true_lang")).cast("long").as("correct"),
+        col("score").cast("decimal(14,4)").as("s1"))
+    val top2 = ranked.filter(col("rk") === 2)
+      .select(col("doc_id"), col("score").cast("decimal(14,4)").as("s2"))
+    val m = top1.join(top2, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("correct"),
+        coalesce((col("s1") - col("s2")).cast("decimal(14,4)"),
+          lit(9999.9999).cast("decimal(14,4)")).as("margin"))
+      .withColumn("mi", (col("margin") * 10000).cast("long"))
+      .localCheckpoint(false) // feeds the range scalar AND the agg
+    val range = m.agg(min(col("mi")).as("lo"), max(col("mi")).as("hi"))
+    m.crossJoin(broadcast(range))
+      .withColumn("bucket",
+        expr(s"least($buckets - 1, ((mi - lo) * $buckets) div (hi - lo + 1))"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(min(col("margin")).cast("double"), 4).as("min_margin"),
+        round(max(col("margin")).cast("double"), 4).as("max_margin"),
+        round(sum(col("correct")).cast("double") / count(lit(1)), 4)
+          .as("accuracy"))
+      .orderBy(col("bucket"))
   }
 
   /** Distributed BPE-style merge training — the tokenizer-training

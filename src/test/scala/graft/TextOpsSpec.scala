@@ -478,6 +478,38 @@ class TextOpsSpec extends SparkSpec {
     assert(toks === Map("x_y_z" -> 2L, "x_y" -> 1L, "q" -> 1L))
   }
 
+  test("nb calibration: margin bands are ordered, disjoint-vocab docs " +
+       "land wide and correct, shared-vocab docs land narrow") {
+    import spark.implicits._
+    // train (doc_id % 10 < 8): en = {aa, bb}, fr = {cc, dd}, with the
+    // shared word zz in both classes; test: doc 8 is pure-en (huge
+    // margin), doc 18 is mostly-shared (margin near zero)
+    val docs = (
+      (0L to 7L).map(i => (i, "en", "aa bb aa bb zz")) ++
+      (10L to 17L).map(i => (i, "fr", "cc dd cc dd zz")) ++
+      Seq((8L, "en", "aa aa aa aa"), (18L, "fr", "zz zz zz cc"))
+    ).toDF("doc_id", "lang", "text")
+    val out = TextOps.nbCalibrationOn(docs, buckets = 5).collect()
+    // both test docs classify correctly, so every band's accuracy is 1
+    assert(out.map(_.getLong(1)).sum === 2)
+    out.foreach(r => assert(r.getDouble(4) === 1.0))
+    // equal-width value bands are monotone: ranges must not interleave
+    val sorted = out.sortBy(_.getLong(0))
+    sorted.sliding(2).foreach { p =>
+      if (p.length == 2) assert(p(0).getDouble(3) <= p(1).getDouble(2))
+    }
+    // the pure-vocab doc's band sits strictly above the shared one's
+    assert(sorted.length === 2 && sorted.head.getLong(0) === 0L)
+    assert(sorted.last.getDouble(2) > sorted.head.getDouble(3))
+    // sf corpus: bands partition the test split with sane stats
+    val sf01 = TextOps.nbCalibration(spark, sf).collect()
+    assert(sf01.map(_.getLong(1)).sum === 100) // 100 test docs at sf0.001
+    sf01.foreach { r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(2) <= r.getDouble(3))
+    }
+  }
+
   test("bpe encode: merges trained on evens compress the held-out odds") {
     import spark.implicits._
     // evens teach (x,y) then (x_y,z); odd docs measure the APPLY:
