@@ -136,6 +136,10 @@ object SparkEntry {
     // margin as exact decimal, integer-unit value bands, accuracy per
     // band — does the model's confidence mean anything?
     "ml_calibration" -> ((s, d) => TextOps.nbCalibration(s, d)),
+    // one-vs-rest ROC AUC per class over the same scored frame:
+    // Mann-Whitney rank form on the shared distributed prefix sum —
+    // threshold-free discrimination beside the calibration table
+    "ml_auc" -> ((s, d) => TextOps.nbAuc(s, d)),
     // PageRank over the order↔supplier bipartite graph: fixed lazy
     // power iteration, one node-key shuffle per round, DECIMAL
     // contributions + 10dp re-rounding for engine-identical ranks
@@ -268,6 +272,10 @@ object SparkEntry {
     // nonparametric A/B: rank sums over distinct 4dp VALUES ride the
     // shared PrefixSum — never a per-row global rank window
     "q_mann_whitney" -> ((s, d) => Analytics.mannWhitney(s, d)),
+    // Poisson-bootstrap CIs: md5-deterministic Poisson(1) weights
+    // (integer CDF thresholds), replicate explode collapsed by
+    // map-side partial agg — the distributed bootstrap, fully oracled
+    "q_bootstrap_ci" -> ((s, d) => Analytics.bootstrapCi(s, d)),
     // RAKE salient phrases: two explode+groupBy passes and one
     // phrase-key join; top-N is a TakeOrdered
     "text_rake" -> ((s, d) => TextOps.rake(s, d)),
@@ -655,6 +663,9 @@ object SparkEntry {
     "ann_pq_topk" -> ((s, d) => SimilarityOps.pqTopK(s, d)),
     "ann_lsh_topk"        -> ((s, d) => SimilarityOps.lshTopK(s, d)),
     "ann_ivf_topk"        -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
+    // IVF·PQ composed (the FAISS IVFPQ shape): cell-gated candidates
+    // scored by ADC over 8-byte codes, exact rescore of the shortlist
+    "ann_ivfpq_topk"      -> ((s, d) => SimilarityOps.ivfPqTopK(s, d)),
     // §2.6 text analysis
     "text_tokens"      -> (TextOps.tokenCounts _),
     "text_quality"     -> (TextOps.qualityScores _),
@@ -672,6 +683,10 @@ object SparkEntry {
     // verdicts (presence / undercount / N-over-capacity bound) — the
     // cross-engine hash gates the sketch through the flags
     "text_top_terms_sketch" -> ((s, d) => TextOps.topTermsSketchChecked(s, d)),
+    // Count-Min point queries: md5-hashed d x w counter grid built in
+    // ONE map-side-combinable aggregation — the whole sketch (build,
+    // probe, min, verdict) replays value-for-value in the oracle
+    "text_count_min" -> ((s, d) => TextOps.countMin(s, d)),
     // the synthetic corpus is PII-free, so a plain pass over it would
     // verify only a pass-through; the entry plants one deterministic
     // instance of every PII category, derived from doc_id identically
@@ -1733,6 +1748,77 @@ object SparkEntry {
         |  round(CAST(max(margin) AS DOUBLE), 4) AS max_margin,
         |  round(CAST(sum(correct) AS DOUBLE) / count(*), 4) AS accuracy
         |FROM bk GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // ml_auc: the SAME scored chain (argmax filter dropped), then the
+    // Mann-Whitney rank form — per-(class, distinct 4dp score) counts,
+    // exclusive within-class cumulative, half-rank-integer tie
+    // handling, DECIMAL(38,0) rank sums, double division only at the
+    // end in the identical op order as the Spark face
+    "ml_auc" ->
+      """WITH doc AS (SELECT doc_id, lang,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |tr AS (SELECT * FROM doc WHERE doc_id % 10 < 8),
+        |te AS (SELECT * FROM doc WHERE doc_id % 10 >= 8),
+        |ctk AS (SELECT lang, term, count(*) AS ctk
+        |        FROM (SELECT lang, unnest(ws) AS term FROM tr)
+        |        GROUP BY 1, 2),
+        |ctot AS (SELECT lang, CAST(sum(ctk) AS BIGINT) AS ct
+        |         FROM ctk GROUP BY 1),
+        |voc AS (SELECT DISTINCT term FROM ctk),
+        |vs AS (SELECT count(*) AS v FROM voc),
+        |pri AS (SELECT lang, count(*) AS nd FROM tr GROUP BY 1),
+        |prl AS (SELECT lang, round(ln(CAST(nd AS DOUBLE) /
+        |          (SELECT CAST(sum(nd) AS BIGINT) FROM pri)), 6)
+        |          AS prior_ln FROM pri),
+        |grid AS (SELECT voc.term, ctot.lang,
+        |    CAST(round(ln(CAST(coalesce(ctk.ctk, 0) + 1 AS DOUBLE) /
+        |      (ct + v)), 6) AS DECIMAL(12,6)) AS lp
+        |  FROM voc CROSS JOIN ctot
+        |  LEFT JOIN ctk ON ctk.term = voc.term AND ctk.lang = ctot.lang, vs),
+        |ttf AS (SELECT doc_id, lang AS true_lang, term, count(*) AS tf
+        |        FROM (SELECT doc_id, lang, unnest(ws) AS term FROM te)
+        |        GROUP BY 1, 2, 3),
+        |sc AS (SELECT ttf.doc_id, ttf.true_lang, grid.lang,
+        |         sum(ttf.tf * grid.lp) AS s
+        |       FROM ttf JOIN grid ON ttf.term = grid.term GROUP BY 1, 2, 3),
+        |fin AS (SELECT sc.doc_id, sc.true_lang, sc.lang,
+        |          round(CAST(s AS DOUBLE) + prior_ln, 4) AS score,
+        |          row_number() OVER (PARTITION BY sc.doc_id
+        |            ORDER BY round(CAST(s AS DOUBLE) + prior_ln, 4) DESC,
+        |              sc.lang) AS rk
+        |        FROM sc JOIN prl ON sc.lang = prl.lang),
+        |t1 AS (SELECT doc_id, lang AS lang1,
+        |         CAST(score AS DECIMAL(14,4)) AS s1 FROM fin WHERE rk = 1),
+        |t2 AS (SELECT doc_id, CAST(score AS DECIMAL(14,4)) AS s2
+        |       FROM fin WHERE rk = 2),
+        |mv AS (SELECT f.doc_id, f.true_lang, f.lang,
+        |         CAST(CASE WHEN f.lang = t1.lang1
+        |           THEN CAST(f.score AS DECIMAL(14,4)) - coalesce(t2.s2, t1.s1)
+        |           ELSE CAST(f.score AS DECIMAL(14,4)) - t1.s1
+        |         END AS DECIMAL(14,4)) AS v
+        |       FROM fin f JOIN t1 USING (doc_id)
+        |       LEFT JOIN t2 USING (doc_id)),
+        |g AS (SELECT lang, v,
+        |        CAST(sum(CASE WHEN true_lang = lang THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS np,
+        |        count(*) AS n
+        |      FROM mv GROUP BY 1, 2),
+        |c AS (SELECT *, coalesce(sum(n) OVER (PARTITION BY lang ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumw
+        |      FROM g),
+        |a AS (SELECT lang,
+        |        sum(CAST(np * (2 * cumw + n + 1) AS DECIMAL(38,0))) AS r12,
+        |        CAST(sum(np) AS BIGINT) AS na,
+        |        CAST(sum(n) - sum(np) AS BIGINT) AS nb
+        |      FROM c GROUP BY 1)
+        |SELECT lang, na AS n_pos, nb AS n_neg,
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |    round((CAST(r12 AS DOUBLE) - CAST(na AS DOUBLE) * (na + 1)) /
+        |          (2 * (CAST(na AS DOUBLE) * nb)), 4) END AS auc,
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |    round((CAST(r12 AS DOUBLE) - CAST(na AS DOUBLE) * (na + 1)) /
+        |          (CAST(na AS DOUBLE) * nb) - 1, 4) END AS gini
+        |FROM a ORDER BY lang""".stripMargin,
     // unrolled power iteration: DECIMAL(20,10) per-edge contributions
     // and 10dp per-round re-rounding make every iterate bit-identical;
     // CAST(0.85 AS DOUBLE) mirrors Spark's double literal arithmetic
@@ -2137,6 +2223,42 @@ object SparkEntry {
         |      ((nd + 1) - td / (nd * (nd - 1))))), 4) AS z,
         |  round(1 - u2 / (CAST(na AS DOUBLE) * nb), 4) AS r_rb
         |FROM d""".stripMargin,
+    // q_bootstrap_ci: the SAME md5-60-bit uniforms inverted through
+    // the SAME five integer CDF literals, replicate means 4dp, exact
+    // interpolated CI percentiles, DECIMAL-moment bootstrap SE
+    "q_bootstrap_ci" ->
+      """WITH base AS (SELECT event_type, event_id,
+        |    CAST(round(value, 4) AS DECIMAL(14,4)) AS v FROM events),
+        |pt AS (SELECT event_type, count(*) AS n,
+        |    round(CAST(sum(v) AS DOUBLE) / count(*), 4) AS mean
+        |  FROM base GROUP BY 1),
+        |r AS (SELECT base.*, rep FROM base
+        |      CROSS JOIN (SELECT unnest(range(0, 20)) AS rep)),
+        |wts AS (SELECT event_type, rep, v,
+        |    CASE WHEN u < 424136118829305344 THEN 0
+        |         WHEN u < 848272237658610688 THEN 1
+        |         WHEN u < 1060340297073263360 THEN 2
+        |         WHEN u < 1131029650211480960 THEN 3
+        |         WHEN u < 1148701988496035328 THEN 4
+        |         ELSE 5 END AS w
+        |  FROM (SELECT *, ('0x' || substr(md5(CAST(event_id AS VARCHAR)
+        |          || '_' || CAST(rep AS VARCHAR)), 1, 15))::UBIGINT AS u
+        |        FROM r)),
+        |rm AS (SELECT event_type, rep,
+        |    CAST(round(CAST(sum(CAST(w * v AS DECIMAL(20,4))) AS DOUBLE) /
+        |      sum(w), 4) AS DECIMAL(14,4)) AS mr
+        |  FROM wts GROUP BY 1, 2 HAVING sum(w) > 0),
+        |ci AS (SELECT event_type, count(*) AS r,
+        |    round(quantile_cont(CAST(mr AS DOUBLE), 0.025), 4) AS lo95,
+        |    round(quantile_cont(CAST(mr AS DOUBLE), 0.975), 4) AS hi95,
+        |    sum(mr) AS smr,
+        |    sum(CAST(mr * mr AS DECIMAL(30,8))) AS smr2
+        |  FROM rm GROUP BY 1)
+        |SELECT pt.event_type, pt.n, pt.mean, ci.lo95, ci.hi95,
+        |  round(sqrt((CAST(smr2 AS DOUBLE) -
+        |    CAST(smr AS DOUBLE) * CAST(smr AS DOUBLE) / r) / (r - 1)), 4)
+        |    AS se_boot
+        |FROM pt JOIN ci USING (event_type) ORDER BY event_type""".stripMargin,
     // identical RE2-safe split pattern shared verbatim with the
     // operator; word scores round to 6dp, phrase sums ride DECIMAL
     "text_rake" ->
@@ -3579,6 +3701,7 @@ object SparkEntry {
     "ann_ivf_topk" -> graft.ops.SimilarityOps.ivfOracleSql(),
     "emb_project_rp" -> graft.ops.SimilarityOps.rpOracleSql(),
     "ann_pq_topk" -> graft.ops.SimilarityOps.pqOracleSql(),
+    "ann_ivfpq_topk" -> graft.ops.SimilarityOps.ivfPqOracleSql(),
     // exact decimal sums make the partial-aggregation order (and the
     // engine) irrelevant; one double division + round at the end
     "emb_centroids" ->
@@ -3896,6 +4019,30 @@ object SparkEntry {
         |  TRUE AS est_within_bound
         |FROM tok
         |GROUP BY term ORDER BY n DESC, term LIMIT 10""".stripMargin,
+    // text_count_min: the SAME md5 bucket hashes rebuild the d x w
+    // grid, the same min-over-rows probe — est values replay exactly
+    "text_count_min" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |rows_ AS (SELECT term, i FROM tok
+        |          CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
+        |sk AS (SELECT i,
+        |    ('0x' || substr(md5(CAST(i AS VARCHAR) || '_' || term), 1, 15))
+        |      ::UBIGINT % 256 AS bucket,
+        |    count(*) AS cnt
+        |  FROM rows_ GROUP BY 1, 2),
+        |topk AS (SELECT term, count(*) AS true_n FROM tok
+        |         GROUP BY 1 ORDER BY true_n DESC, term LIMIT 10),
+        |probe AS (SELECT term, true_n, i,
+        |    ('0x' || substr(md5(CAST(i AS VARCHAR) || '_' || term), 1, 15))
+        |      ::UBIGINT % 256 AS bucket
+        |  FROM topk CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
+        |est AS (SELECT term, true_n, CAST(min(cnt) AS BIGINT) AS est_n
+        |        FROM probe JOIN sk USING (i, bucket) GROUP BY 1, 2)
+        |SELECT term, true_n, est_n,
+        |  est_n - true_n AS overcount, est_n >= true_n AS ge_true
+        |FROM est ORDER BY true_n DESC, term""".stripMargin,
     "text_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id,

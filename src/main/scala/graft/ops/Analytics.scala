@@ -1074,6 +1074,77 @@ object Analytics {
         .as("r_rb"))
   }
 
+  /** Poisson-bootstrap confidence intervals for per-type means — THE
+    * distributed bootstrap (classic resampling draws n rows WITH
+    * replacement, which requires a global coordinated sample;
+    * Poissonization replaces it with an independent Poisson(1) weight
+    * per (row, replicate) — row-LOCAL, embarrassingly parallel, and
+    * the standard way to bootstrap at 100 TB). Each row's weight for
+    * replicate r inverts the Poisson(1) CDF at a uniform drawn from
+    * md5(event_id, r)'s first 60 bits — a pure-integer threshold
+    * compare against five precomputed CDF literals (floor(cdf·2⁶⁰)),
+    * so the "randomness" replays bit-identically in any engine, runs
+    * and engines can't disagree on a single weight, and the whole
+    * resampling pipeline is DuckDB-oracled (the etl_sample_hash /
+    * DOULION determinism posture; weights ≥ 5 truncate to 5 —
+    * P ≈ 3.7e-4, a documented, engine-identical truncation).
+    *
+    * Plan shape: the `reps`× replicate expansion is a row-local
+    * explode feeding DIRECTLY into a map-side-combinable (type,
+    * replicate) aggregation — partial aggregation collapses it inside
+    * the scan stage, so the shuffle carries types × reps rows, never
+    * reps × corpus. Replicate means quantize to 4dp; the CI is the
+    * exact interpolated [p2.5, p97.5] percentile pair over the
+    * `reps` replicate means (a types × reps frame — tiny at any
+    * corpus scale), and the bootstrap SE derives from exact DECIMAL
+    * moments of the same 4dp means. `reps` is the accuracy dial; the
+    * per-replicate means are already exact over the full corpus, so
+    * modest reps (20) give usable intervals. */
+  def bootstrapCi(s: SparkSession, d: String, reps: Int = 20): DataFrame =
+    bootstrapCiOn(Tables.events(s, d), reps)
+
+  /** Same over any (event_id, event_type, value) frame. */
+  def bootstrapCiOn(events: DataFrame, reps: Int): DataFrame = {
+    // cumulative Poisson(1) CDF at k = 0..4, in floor(cdf * 2^60)
+    // integer units (u < t(k) ⇔ uniform < cdf(k)); both engines
+    // compare the same 60-bit md5 integer against the same literals
+    val t = Seq(424136118829305344L, 848272237658610688L,
+      1060340297073263360L, 1131029650211480960L, 1148701988496035328L)
+    val base = events.select(col("event_type"), col("event_id"),
+      round(col("value"), 4).cast("decimal(14,4)").as("v"))
+    val point = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("v")).cast("double") / count(lit(1)), 4).as("mean"))
+    val u = conv(substring(md5(concat(col("event_id").cast("string"),
+      lit("_"), col("rep").cast("string"))), 1, 15), 16, 10).cast("long")
+    val w = when(u < t(0), 0).when(u < t(1), 1).when(u < t(2), 2)
+      .when(u < t(3), 3).when(u < t(4), 4).otherwise(5)
+    val repMeans = base
+      .withColumn("rep", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("w", w)
+      .groupBy(col("event_type"), col("rep"))
+      .agg(sum(col("w")).as("nw"),
+        sum((col("w") * col("v")).cast("decimal(20,4)")).as("sv"))
+      .filter(col("nw") > 0)
+      .select(col("event_type"),
+        round(col("sv").cast("double") / col("nw"), 4)
+          .cast("decimal(14,4)").as("mr"))
+    val ci = repMeans.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("r"),
+        round(expr("percentile(CAST(mr AS DOUBLE), 0.025)"), 4).as("lo95"),
+        round(expr("percentile(CAST(mr AS DOUBLE), 0.975)"), 4).as("hi95"),
+        sum(col("mr")).as("smr"),
+        sum((col("mr") * col("mr")).cast("decimal(30,8)")).as("smr2"))
+      .select(col("event_type"), col("r"), col("lo95"), col("hi95"),
+        round(sqrt((col("smr2").cast("double") -
+          col("smr").cast("double") * col("smr").cast("double") / col("r")) /
+          (col("r") - 1)), 4).as("se_boot"))
+    point.join(ci, "event_type")
+      .select(col("event_type"), col("n"), col("mean"),
+        col("lo95"), col("hi95"), col("se_boot"))
+      .orderBy(col("event_type"))
+  }
+
   /** Benford first-significant-digit audit — the fraud/synthetic-data
     * smell test: natural multi-scale magnitudes follow
     * P(d) = log10(1+1/d), and a generator that doesn't is visible in

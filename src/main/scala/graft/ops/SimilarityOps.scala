@@ -588,6 +588,126 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** IVF·PQ — the two approximate tiers COMPOSED the way a production
+    * vector index ships them (the FAISS IVFPQ shape): IVF decides
+    * WHICH vectors are candidates (the query's nProbe nearest cells —
+    * per-query work O(nProbe·n/cells), never a corpus scan), PQ
+    * decides HOW candidates are scored without touching raw floats
+    * (ADC: m table lookups per candidate against the 8-byte code,
+    * 32× less memory traffic than raw vectors), and the exact cosine
+    * rescore of the top-`rerank` shortlist makes the output scores
+    * true cosines — the approximations only chose who got scored.
+    * At 100 TB this is the tier where BOTH memory (PQ codes instead
+    * of float arrays) and compute (cell-gated candidates instead of
+    * corpus) are sublinear in what brute force pays.
+    *
+    * Fit recipes are verbatim [[ivfTopK]] (seed cells → one
+    * FLOAT-cast mean refinement → 4dp assignment, lowest-cell
+    * tiebreak) and [[pqTopK]] (per-subspace seed codewords → one
+    * refinement → encode; global codebook on raw vectors — the
+    * residual-encoding variant is a documented non-goal, the oracle
+    * replays THIS recipe). Candidate gating is one equi-join of the
+    * cell assignment against the broadcast probe table; ADC rides the
+    * SAME DECIMAL-sum contract as pqTopK so candidate ranking is
+    * aggregation-order free, and the whole pipeline — both fits
+    * included — replays in the DuckDB oracle. */
+  def ivfPqTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 10,
+                nProbe: Int = 2, m: Int = 8, nCodes: Int = 16,
+                rerank: Int = 50): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    val emb = Tables.embeddings(s, d).cache()
+    val cellCount = math.max(8, math.sqrt(emb.count().toDouble).toInt)
+
+    // ---- IVF side: cells + per-query probe set (the ivfTopK fit) ----
+    val seeds = emb.filter(col("vec_id") < cellCount)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+    def assign1(cents: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(cents))
+        .withColumn("sim", round(cosine(col("embedding"), col("c_emb")), 4))
+        .groupBy(col("vec_id"))
+        .agg(first(col("embedding")).as("embedding"),
+          max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"))
+    val centroids = assign1(seeds)
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), transform(col("pm"), x => x.getField("m"))
+        .cast("array<float>").as("c_emb"))
+    val cells = assign1(centroids).select(col("vec_id"), col("cell"))
+    val w2 = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cell"))
+    val qCells = emb.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", round(cosine(col("embedding"), col("c_emb")), 4))
+      .withColumn("rnk", row_number().over(w2))
+      .filter(col("rnk") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("cell"))
+
+    // ---- PQ side: global codebook + codes (the pqTopK fit) ----
+    def subvecs(df: DataFrame, idOut: String): DataFrame =
+      df.select(col("vec_id").as(idOut),
+          explode(sequence(lit(0), lit(m - 1))).as("j"),
+          col("embedding"))
+        .withColumn("sv", expr(s"slice(embedding, j * $sub + 1, $sub)"))
+        .drop("embedding")
+    val corpusSub = subvecs(emb, "vec_id").cache()
+    def d2(a: Column, c: Column): Column =
+      round(graft.functions.VectorExprs.dotProduct(a, a) +
+        graft.functions.VectorExprs.dotProduct(c, c) -
+        lit(2) * graft.functions.VectorExprs.dotProduct(a, c), 4)
+    def assignPq(codebook: DataFrame): DataFrame =
+      corpusSub.join(broadcast(codebook), "j")
+        .withColumn("__d2", d2(col("sv"), col("cw")))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(first(col("sv")).as("sv"),
+          min_by(col("code"), struct(col("__d2"), col("code"))).as("code"))
+    val pqSeeds = corpusSub.filter(col("vec_id") < nCodes)
+      .select(col("j"), col("vec_id").cast("int").as("code"),
+        col("sv").as("cw"))
+    val refined = assignPq(pqSeeds)
+      .select(col("j"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy(col("j"), col("code"), col("pos")).agg(avg(col("v")).as("mv"))
+      .groupBy(col("j"), col("code"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+      .select(col("j"), col("code"),
+        transform(col("pm"), x => x.getField("mv")).cast("array<float>")
+          .as("cw"))
+    val codes = assignPq(refined).select(col("vec_id"), col("j"), col("code"))
+    val dtable = subvecs(emb.filter(col("vec_id") < nQueries), "q_id")
+      .join(broadcast(refined), "j")
+      .select(col("q_id"), col("j"), col("code"),
+        round(graft.functions.VectorExprs.dotProduct(col("sv"), col("cw")), 4)
+          .cast("decimal(14,4)").as("qdot"))
+
+    // ---- compose: cell-gated candidates → ADC → exact rescore ----
+    val cand = cells.join(broadcast(qCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+    val wA = Window.partitionBy(col("q_id"))
+      .orderBy(col("adot").desc, col("vec_id"))
+    val shortlist = cand.join(codes, "vec_id")
+      .join(broadcast(dtable), Seq("q_id", "j", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("qdot")).as("adot"))
+      .withColumn("__r", row_number().over(wA))
+      .filter(col("__r") <= rerank)
+      .select(col("q_id"), col("vec_id"))
+    val wK = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    shortlist
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))),
+        "q_id")
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 4).as("cosine"))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   // ---- SQL oracle generators ------------------------------------------
   //
   // The LSH/IVF paths are deterministic (fixed-seed planes, seed-vector
@@ -750,6 +870,83 @@ object SimilarityOps {
        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
        |        ORDER BY cosine DESC, vec_id) AS rank FROM scored)
        |SELECT q_id, vec_id, cosine, rank FROM r
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** DuckDB replica of [[ivfPqTopK]]: the ivfOracle cell CTEs and the
+    * pqOracle codebook CTEs (names prefixed i/p to compose under one
+    * WITH), then the cell-gated candidate join, the DECIMAL ADC sum,
+    * and the exact rescore — every stage of both fits replayed. */
+  private[graft] def ivfPqOracleSql(k: Int = 5, nQueries: Int = 10,
+                                    nProbe: Int = 2, m: Int = 8,
+                                    nCodes: Int = 16,
+                                    rerank: Int = 50): String = {
+    val sub = dim / m
+    val cavgs = (1 to dim).map(i => s"avg(emb[$i])").mkString(", ")
+    val pavgs = (1 to sub).map(i => s"avg(sv[$i])").mkString(", ")
+    s"""WITH nc AS (SELECT greatest(8, CAST(floor(sqrt(count(*))) AS BIGINT)) AS n
+       |            FROM embeddings),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |iseeds AS (SELECT e.vec_id AS cell, e.emb AS c_emb
+       |           FROM e, nc WHERE e.vec_id < nc.n),
+       |ia1 AS (SELECT vec_id, emb, cell,
+       |    round(list_cosine_similarity(emb, c_emb), 4) AS sim
+       |  FROM e CROSS JOIN iseeds),
+       |ia1r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY sim DESC, cell) AS rnk FROM ia1),
+       |iasg AS (SELECT vec_id, emb, cell FROM ia1r WHERE rnk = 1),
+       |icents AS (SELECT cell,
+       |    CAST(CAST([$cavgs] AS FLOAT[]) AS DOUBLE[]) AS c_emb
+       |  FROM iasg GROUP BY cell),
+       |ia2 AS (SELECT vec_id, emb, cell,
+       |    round(list_cosine_similarity(emb, c_emb), 4) AS sim
+       |  FROM e CROSS JOIN icents),
+       |ia2r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY sim DESC, cell) AS rnk FROM ia2),
+       |cells AS (SELECT vec_id, cell FROM ia2r WHERE rnk = 1),
+       |qc AS (SELECT vec_id AS q_id, cell
+       |       FROM ia2r WHERE rnk <= $nProbe AND vec_id < $nQueries),
+       |sv AS (SELECT vec_id, j, emb[j*$sub+1 : j*$sub+$sub] AS sv
+       |       FROM e, LATERAL (SELECT unnest(range(0, $m)) AS j)),
+       |pseeds AS (SELECT j, CAST(vec_id AS INT) AS code, sv AS cw
+       |           FROM sv WHERE vec_id < $nCodes),
+       |pa1 AS (SELECT s.vec_id, s.j, s.sv, c.code,
+       |    round(list_dot_product(s.sv, s.sv) + list_dot_product(c.cw, c.cw)
+       |          - 2 * list_dot_product(s.sv, c.cw), 4) AS d2
+       |  FROM sv s JOIN pseeds c ON s.j = c.j),
+       |pa1r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, j
+       |          ORDER BY d2, code) AS rnk FROM pa1),
+       |pm1 AS (SELECT vec_id, j, sv, code FROM pa1r WHERE rnk = 1),
+       |pcw AS (SELECT j, code,
+       |    CAST(CAST([$pavgs] AS FLOAT[]) AS DOUBLE[]) AS cw
+       |  FROM pm1 GROUP BY j, code),
+       |pa2 AS (SELECT s.vec_id, s.j, c.code,
+       |    round(list_dot_product(s.sv, s.sv) + list_dot_product(c.cw, c.cw)
+       |          - 2 * list_dot_product(s.sv, c.cw), 4) AS d2
+       |  FROM sv s JOIN pcw c ON s.j = c.j),
+       |pa2r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, j
+       |          ORDER BY d2, code) AS rnk FROM pa2),
+       |codes AS (SELECT vec_id, j, code FROM pa2r WHERE rnk = 1),
+       |dt AS (SELECT q.vec_id AS q_id, q.j, c.code,
+       |    CAST(round(list_dot_product(q.sv, c.cw), 4) AS DECIMAL(14,4)) AS qdot
+       |  FROM sv q JOIN pcw c ON q.j = c.j WHERE q.vec_id < $nQueries),
+       |cand AS (SELECT qc.q_id, c.vec_id FROM cells c JOIN qc USING (cell)
+       |         WHERE c.vec_id <> qc.q_id),
+       |ap AS (SELECT cand.q_id, cand.vec_id, sum(dt.qdot) AS adot
+       |  FROM cand JOIN codes ON codes.vec_id = cand.vec_id
+       |  JOIN dt ON dt.q_id = cand.q_id AND dt.j = codes.j
+       |         AND dt.code = codes.code
+       |  GROUP BY 1, 2),
+       |apr AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |          ORDER BY adot DESC, vec_id) AS r FROM ap),
+       |sl AS (SELECT q_id, vec_id FROM apr WHERE r <= $rerank),
+       |resc AS (SELECT s.q_id, s.vec_id,
+       |    round(list_cosine_similarity(qe.emb, ce.emb), 4) AS cosine
+       |  FROM sl s JOIN e ce ON ce.vec_id = s.vec_id
+       |            JOIN e qe ON qe.vec_id = s.q_id),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cosine DESC, vec_id) AS rank FROM resc)
+       |SELECT q_id, vec_id, cosine, rank FROM rk
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 

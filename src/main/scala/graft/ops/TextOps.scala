@@ -228,6 +228,60 @@ object TextOps {
       .orderBy(col("n").desc, col("term"))
   }
 
+  /** Count-Min sketch term-frequency estimates — the POINT-QUERY
+    * sketch beside [[topTermsSketch]]'s heavy-hitter list (MG answers
+    * "who is frequent"; CM answers "how often is THIS term" for any
+    * queried term, from a fixed d×w counter grid): counter(i, b) =
+    * tokens hashing to bucket b under row i's hash, est(term) =
+    * minᵢ counter(i, hᵢ(term)) — an OVERCOUNT (collisions only add),
+    * est ≥ true is the hard guarantee, E[over] ≤ n/w per row and the
+    * min across d independent rows drives it down (Cormode &
+    * Muthukrishnan '05).
+    *
+    * Spark-first twist: the hashes are md5-prefix integers (the
+    * repo's cross-engine hash), so the ENTIRE sketch is expressible
+    * as one map-side-combinable aggregation to a FIXED d·w-row grid —
+    * no custom Aggregator, no rows-only declaration: build, probe,
+    * and verdict all replay value-for-value in DuckDB. The d×
+    * row-local explode collapses inside the scan stage via partial
+    * aggregation (the shuffle carries ≤ d·w rows whatever the corpus
+    * size); probes are the exact top-k terms (one TakeOrdered pass —
+    * true counts ride along for the measured overcount), joined
+    * against the broadcast-sized grid. At 100 TB the sketch is STILL
+    * 1024 counters — the fixed-memory frequency table a streaming or
+    * multi-tenant profiler keeps when even the vocabulary doesn't
+    * fit. */
+  def countMin(s: SparkSession, d: String, depth: Int = 4,
+               width: Int = 256, k: Int = 10): DataFrame =
+    countMinOn(Tables.documents(s, d), depth, width, k)
+
+  /** Same over any (doc_id, text) frame. */
+  def countMinOn(corpus: DataFrame, depth: Int, width: Int,
+                 k: Int): DataFrame = {
+    def bucket(i: Column, term: Column): Column =
+      conv(substring(md5(concat(i.cast("string"), lit("_"), term)),
+        1, 15), 16, 10).cast("long") % width
+    val terms = graft.Tables.spread(corpus)
+      .select(explode(toks(lower(col("text")))).as("term"))
+    val sketch = terms
+      .withColumn("i", explode(sequence(lit(0), lit(depth - 1))))
+      .select(col("i"), bucket(col("i"), col("term")).as("bucket"))
+      .groupBy(col("i"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val topk = terms.groupBy(col("term")).agg(count(lit(1)).as("true_n"))
+      .orderBy(col("true_n").desc, col("term")).limit(k)
+    val probes = topk
+      .withColumn("i", explode(sequence(lit(0), lit(depth - 1))))
+      .select(col("term"), col("true_n"), col("i"),
+        bucket(col("i"), col("term")).as("bucket"))
+    probes.join(broadcast(sketch), Seq("i", "bucket"))
+      .groupBy(col("term"), col("true_n"))
+      .agg(min(col("cnt")).as("est_n"))
+      .select(col("term"), col("true_n"), col("est_n"),
+        (col("est_n") - col("true_n")).as("overcount"),
+        (col("est_n") >= col("true_n")).as("ge_true"))
+      .orderBy(col("true_n").desc, col("term"))
+  }
+
   /** Overlapping token-window chunking — the step that turns curated
     * documents into training-sized pieces: each document explodes
     * into windows of `chunkTokens` tokens advancing by
@@ -908,6 +962,93 @@ object TextOps {
         round(sum(col("correct")).cast("double") / count(lit(1)), 4)
           .as("accuracy"))
       .orderBy(col("bucket"))
+  }
+
+  /** One-vs-rest ROC AUC per class over the in-plan NB classifier —
+    * the THRESHOLD-FREE eval beside [[nbCalibration]]'s argmax
+    * accuracy (accuracy moves with class balance and the argmax
+    * cut; AUC asks only whether the class-c score RANKS true-c docs
+    * above the rest — the discrimination question a router or
+    * re-weighting consumer actually cares about). Shares
+    * [[nbScoredOn]], so the eval and the classifier cannot drift.
+    *
+    * The ranked statistic is the within-doc ONE-VS-REST MARGIN
+    * (score_c − best other class's score), not the raw class
+    * log-score: raw NB scores are length-confounded ACROSS documents
+    * (every class's log-likelihood grows more negative with doc
+    * length, so cross-doc ranking measures length, not class
+    * evidence — observed: raw-score AUC ≈ 0.5 on the sf corpus while
+    * argmax accuracy beats chance decisively). The margin cancels
+    * the shared length term within each doc — the same top-1−top-2
+    * statistic [[nbCalibration]] banks on, here generalized per
+    * class — and stays an EXACT DECIMAL(14,4) difference (no
+    * softmax; libm exp is engine-varying).
+    *
+    * AUC is computed as the Mann-Whitney statistic (AUC =
+    * U/(n⁺·n⁻)), and the rank machinery is exactly
+    * [[Analytics.mannWhitney]]'s: per (class, distinct 4dp margin)
+    * counts ride the shared distributed [[PrefixSum]] — NEVER a
+    * per-row rank window (partition-less sort = the banned
+    * scale-killer), and the ranked frame is the distinct-VALUE
+    * lattice (bounded by the 4dp margin range), not the corpus.
+    * Per-class rank offsets subtract in one #classes-row broadcast:
+    * cum-within-class = global cum − the class's min cum (the
+    * exclusive prefix at each class's first value is by construction
+    * the total count of earlier classes). Tie handling is the exact
+    * average-rank formula in HALF-RANK integers (2·rank̄ =
+    * 2·cum_below + n + 1); sums ride DECIMAL(38,0); only the final
+    * AUC/Gini divisions run in double, identically ordered in the
+    * oracle. Degenerate classes (no positives or no negatives in the
+    * test split) report null rather than a NaN that differs by
+    * engine. */
+  def nbAuc(s: SparkSession, d: String): DataFrame =
+    nbAucOn(Tables.documents(s, d))
+
+  /** Same over any (doc_id, lang, text) frame. */
+  def nbAucOn(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("lang"))
+    val ranked = nbScoredOn(corpus)
+      .withColumn("rk", row_number().over(w))
+      .localCheckpoint(false) // feeds top-1, top-2, and the margins
+    val top1 = ranked.filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang").as("lang1"),
+        col("score").cast("decimal(14,4)").as("s1"))
+    val top2 = ranked.filter(col("rk") === 2)
+      .select(col("doc_id"), col("score").cast("decimal(14,4)").as("s2"))
+    // margin of class c = s_c − best OTHER class (single-class
+    // degenerate docs fall back to 0 via the s1 coalesce)
+    val sc = ranked.join(top1, "doc_id")
+      .join(top2, Seq("doc_id"), "left")
+      .select(col("lang"),
+        when(col("lang") === col("lang1"),
+          col("score").cast("decimal(14,4)") - coalesce(col("s2"), col("s1")))
+          .otherwise(col("score").cast("decimal(14,4)") - col("s1"))
+          .cast("decimal(14,4)").as("v"),
+        (col("true_lang") === col("lang")).cast("long").as("ip"))
+    val g = sc.groupBy(col("lang"), col("v"))
+      .agg(sum(col("ip")).as("np"), count(lit(1)).as("n"))
+    val c = PrefixSum.exclusive(g, Seq(col("lang"), col("v")), col("n"))
+      .localCheckpoint(false) // feeds the offsets scalar AND the agg
+    val off = c.groupBy(col("lang")).agg(min(col("__cum")).as("__o"))
+    val agg = c.join(broadcast(off), "lang")
+      .groupBy(col("lang"))
+      .agg(sum((col("np") * (lit(2) * (col("__cum") - col("__o")) +
+          col("n") + 1)).cast("decimal(38,0)")).as("r12"),
+        sum(col("np")).as("na"),
+        (sum(col("n")) - sum(col("np"))).as("nb"))
+    // 2U = r12 − na(na+1); AUC = 2U / (2·na·nb); Gini = 2·AUC − 1 —
+    // written as the SAME double expression sequence as the oracle
+    val u2 = col("r12").cast("double") -
+      col("na").cast("double") * (col("na") + 1)
+    val dn = col("na").cast("double") * col("nb")
+    agg.select(col("lang"), col("na").as("n_pos"), col("nb").as("n_neg"),
+        when(col("na") > 0 && col("nb") > 0,
+          round(u2 / (lit(2) * dn), 4)).as("auc"),
+        when(col("na") > 0 && col("nb") > 0,
+          round(u2 / dn - 1, 4)).as("gini"))
+      .orderBy(col("lang"))
   }
 
   /** Distributed BPE-style merge training — the tokenizer-training

@@ -475,6 +475,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(r1.getDouble(4) === -1.0)
   }
 
+  test("bootstrap ci: constant values give a degenerate interval, " +
+       "reruns are bit-identical, sf intervals bracket the mean") {
+    import spark.implicits._
+    // every value 7 → every replicate mean is exactly 7 whatever the
+    // Poisson weights drew → lo = hi = mean = 7, zero bootstrap SE
+    val const = (1L to 200L).map(i => (i, "click", 7.0))
+      .toDF("event_id", "event_type", "value")
+    val c = Analytics.bootstrapCiOn(const, reps = 20).first()
+    assert(c.getLong(1) === 200L)
+    assert(c.getDouble(2) === 7.0)
+    assert(c.getDouble(3) === 7.0 && c.getDouble(4) === 7.0)
+    assert(c.getDouble(5) === 0.0)
+    // determinism: the md5-driven weights make the WHOLE resampling
+    // reproducible — two runs must agree to the bit
+    val mixed = (1L to 500L).map(i =>
+      (i, if (i % 2 == 0) "click" else "view", (i % 13).toDouble))
+      .toDF("event_id", "event_type", "value")
+    val a1 = Analytics.bootstrapCiOn(mixed, reps = 20).collect()
+    val a2 = Analytics.bootstrapCiOn(mixed, reps = 20).collect()
+    assert(a1.map(_.toString).toSeq === a2.map(_.toString).toSeq)
+    a1.foreach { r =>
+      assert(r.getDouble(3) <= r.getDouble(4))
+      assert(r.getDouble(5) >= 0.0)
+    }
+    // sf corpus: one row per type; the bootstrap distribution centers
+    // on the sample mean, so the 95% interval brackets it
+    val sfRows = Analytics.bootstrapCi(spark, sf).collect()
+    assert(sfRows.nonEmpty)
+    sfRows.foreach { r =>
+      assert(r.getDouble(3) <= r.getDouble(2) &&
+        r.getDouble(2) <= r.getDouble(4),
+        s"${r.getString(0)}: ${r.getDouble(3)} !<= ${r.getDouble(2)} " +
+          s"!<= ${r.getDouble(4)}")
+    }
+  }
+
   test("welch t: symmetric fixture gives t=0, dof=n-2; shifted fixture " +
        "is significant") {
     import spark.implicits._

@@ -59,6 +59,34 @@ class SimilaritySpec extends SparkSpec {
     assert((bf & hits).size.toDouble / bf.size >= 0.7)
   }
 
+  test("IVF-PQ composed tier: ranked true-cosine output, candidates " +
+       "confined to probed cells, recall measured vs brute force") {
+    val out = SimilarityOps.ivfPqTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.size === 10)
+    val exact = SimilarityOps.bruteForceTopK(spark, sf, k = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    byQ.values.foreach { rows =>
+      assert(rows.map(_._4).sorted.toSeq === (1 to rows.length))
+      assert(rows.sortBy(_._4).map(_._3).toSeq ===
+        rows.map(_._3).sorted.reverse.toSeq)
+      rows.foreach { r =>
+        assert(r._2 != r._1)
+        // rescored scores are TRUE cosines — approximation only chose
+        // WHO got scored, never what a score is
+        assert(exact((r._1, r._2)) === r._3)
+      }
+    }
+    // double gating (cells ∩ ADC shortlist) keeps useful recall: the
+    // top-5 of brute force found at this SF, asserted with margin
+    val bf5 = SimilarityOps.bruteForceTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = out.map(r => (r._1, r._2)).toSet
+    val recall = (bf5 & hits).size.toDouble / bf5.size
+    assert(recall >= 0.4, s"recall $recall")
+  }
+
   test("brute force top-k: k results per query, descending, no self-match") {
     val out = SimilarityOps.bruteForceTopK(spark, sf, k = 5, nQueries = 5).collect()
     val byQ = out.groupBy(_.getLong(0))

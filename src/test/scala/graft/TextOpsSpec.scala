@@ -510,6 +510,76 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("count-min: width-1 grid collapses to the stream total, standard " +
+       "grid is exact on a tiny corpus, sf probes never undercount") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    // width 1: every row's single counter holds the whole stream, so
+    // every estimate is exactly the 6-token total — the degenerate
+    // closed form that pins build + probe + min plumbing
+    val w1 = TextOps.countMinOn(docs, depth = 2, width = 1, k = 3).collect()
+    assert(w1.length === 3)
+    w1.foreach(r => assert(r.getLong(2) === 6L))
+    // standard grid: an overcount needs a collision in EVERY row
+    // (est = min over depth rows) — vanishing and md5-deterministic,
+    // so the tiny corpus reads back exact
+    val std = TextOps.countMinOn(docs, depth = 4, width = 256, k = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))).toMap
+    assert(std("a") === ((3L, 3L, 0L, true)))
+    assert(std("b") === ((2L, 2L, 0L, true)))
+    assert(std("c") === ((1L, 1L, 0L, true)))
+    // sf corpus: the hard CM guarantee (overcount-only) on every probe
+    val sfRows = TextOps.countMin(spark, sf).collect()
+    assert(sfRows.length === 10)
+    sfRows.foreach { r =>
+      assert(r.getBoolean(4), s"${r.getString(0)} undercounted")
+      assert(r.getLong(3) >= 0L)
+    }
+  }
+
+  test("nb auc: disjoint vocabularies separate perfectly (AUC 1), " +
+       "identical text ties to exactly 0.5, sf AUCs valid") {
+    import spark.implicits._
+    // same fixture as the naive-bayes spec: classes never share a
+    // word, so each class's score ranks its own test doc on top
+    val docs = ((0 to 7 by 2).map(i => (i.toLong, "aa", "x x x")) ++
+      (1 to 7 by 2).map(i => (i.toLong, "bb", "y y")) ++
+      Seq((8L, "aa", "x x"), (9L, "bb", "y")))
+      .toDF("doc_id", "lang", "text")
+    val out = TextOps.nbAucOn(docs).collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getLong(1) === 1L && r.getLong(2) === 1L)
+      assert(r.getDouble(3) === 1.0, s"auc ${r.getDouble(3)}")
+      assert(r.getDouble(4) === 1.0) // gini = 2*1 - 1
+    }
+    // every doc identical → every score per class identical → a pure
+    // tie, which the average-rank (half-rank integer) formula must
+    // score as exactly 0.5, not 0 or 1
+    val tied = ((0 to 7 by 2).map(i => (i.toLong, "aa", "z z")) ++
+      (1 to 7 by 2).map(i => (i.toLong, "bb", "z z")) ++
+      Seq((8L, "aa", "z z"), (9L, "bb", "z z")))
+      .toDF("doc_id", "lang", "text")
+    TextOps.nbAucOn(tied).collect().foreach { r =>
+      assert(r.getDouble(3) === 0.5, s"tie auc ${r.getDouble(3)}")
+      assert(r.getDouble(4) === 0.0)
+    }
+    // sf corpus: one row per lang, AUCs in [0,1], and the classifier
+    // that beats 5-class chance on accuracy must also average > 0.5
+    val sfOut = TextOps.nbAuc(spark, sf).collect()
+    assert(sfOut.nonEmpty)
+    sfOut.foreach { r =>
+      val a = r.getDouble(3)
+      assert(a >= 0.0 && a <= 1.0, s"${r.getString(0)} auc $a")
+      // auc and gini round to 4dp independently from the same raw
+      // statistic, so they may sit one 1e-4 step apart
+      assert(math.abs(r.getDouble(4) - (2 * a - 1)) < 2e-4)
+    }
+    val mean = sfOut.map(_.getDouble(3)).sum / sfOut.length
+    assert(mean > 0.5, s"mean auc $mean")
+  }
+
   test("bpe encode: merges trained on evens compress the held-out odds") {
     import spark.implicits._
     // evens teach (x,y) then (x_y,z); odd docs measure the APPLY:
