@@ -276,6 +276,9 @@ object SparkEntry {
     // (integer CDF thresholds), replicate explode collapsed by
     // map-side partial agg — the distributed bootstrap, fully oracled
     "q_bootstrap_ci" -> ((s, d) => Analytics.bootstrapCi(s, d)),
+    // last-touch attribution: the as-of lookup folded into ONE keyed
+    // window pass over a tagged union — no range join, tiny output
+    "q_attribution" -> ((s, d) => Analytics.attributionLastTouch(s, d)),
     // RAKE salient phrases: two explode+groupBy passes and one
     // phrase-key join; top-N is a TakeOrdered
     "text_rake" -> ((s, d) => TextOps.rake(s, d)),
@@ -2259,6 +2262,31 @@ object SparkEntry {
         |    CAST(smr AS DOUBLE) * CAST(smr AS DOUBLE) / r) / (r - 1)), 4)
         |    AS se_boot
         |FROM pt JOIN ci USING (event_type) ORDER BY event_type""".stripMargin,
+    // q_attribution: identical tagged union, identical (us, tag, id)
+    // window order with IGNORE NULLS carry-forward, integer lookback
+    "q_attribution" ->
+      """WITH tagged AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP_US)) AS tus, event_type,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS tag
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |att AS (SELECT *,
+        |    last_value(CASE WHEN tag = 0 THEN tus END IGNORE NULLS)
+        |      OVER w AS touch_ts,
+        |    last_value(CASE WHEN tag = 0 THEN event_type END IGNORE NULLS)
+        |      OVER w AS touch_type
+        |  FROM tagged
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, tag, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |conv AS (SELECT CASE WHEN touch_ts IS NOT NULL
+        |      AND tus - touch_ts <= 604800000000 THEN touch_type
+        |      ELSE 'none' END AS touch_type
+        |  FROM att WHERE tag = 1),
+        |c AS (SELECT touch_type, count(*) AS n_purchases FROM conv
+        |      GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_purchases) AS BIGINT) AS tot FROM c)
+        |SELECT touch_type, n_purchases,
+        |  round(CAST(n_purchases AS DOUBLE) / tot, 4) AS share
+        |FROM c, t ORDER BY touch_type""".stripMargin,
     // identical RE2-safe split pattern shared verbatim with the
     // operator; word scores round to 6dp, phrase sums ride DECIMAL
     "text_rake" ->

@@ -1074,6 +1074,57 @@ object Analytics {
         .as("r_rb"))
   }
 
+  /** Last-touch marketing attribution — which touch gets credit for
+    * each conversion (the question funnel counts and session paths
+    * circle but don't answer): every purchase attributes to the
+    * LATEST preceding view/click by the same user within the
+    * lookback window, else 'none'. The per-user as-of lookup is the
+    * [[TimeSeriesOps]] asof-join shape folded into ONE window pass:
+    * touches and conversions ride a single tagged frame, one
+    * user-key shuffle, and `last(..., ignoreNulls)` over the
+    * (µs, tag, event_id) order carries the latest touch forward —
+    * no range join, no per-conversion scan. Ordering is exact
+    * integer µs with tag+id tiebreaks (an equal-timestamp touch
+    * sorts BEFORE the conversion and so receives credit —
+    * documented contract, replayed identically in the oracle); the
+    * lookback test is pure integer µs arithmetic. Output is
+    * touch-type-cardinality tiny at any scale. */
+  def attributionLastTouch(s: SparkSession, d: String,
+                           touchTypes: Seq[String] = Seq("view", "click"),
+                           convType: String = "purchase",
+                           windowDays: Int = 7): DataFrame =
+    attributionOn(Tables.events(s, d), touchTypes, convType, windowDays)
+
+  /** Same over any (user_id, event_id, event_type, ts) frame. */
+  def attributionOn(events: DataFrame, touchTypes: Seq[String],
+                    convType: String, windowDays: Int): DataFrame = {
+    val tagged = events
+      .filter(col("event_type").isin(touchTypes :+ convType: _*))
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"), col("event_type"),
+        when(col("event_type") === convType, 1).otherwise(0).as("tag"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val conv = tagged
+      .withColumn("touch_ts",
+        last(when(col("tag") === 0, col("tus")), ignoreNulls = true).over(w))
+      .withColumn("touch_type",
+        last(when(col("tag") === 0, col("event_type")), ignoreNulls = true)
+          .over(w))
+      .filter(col("tag") === 1)
+      .select(when(col("touch_ts").isNotNull &&
+          col("tus") - col("touch_ts") <= lit(windowDays * 86400000000L),
+          col("touch_type")).otherwise(lit("none")).as("touch_type"))
+    val counts = conv.groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"))
+    val tot = counts.agg(sum(col("n_purchases")).as("tot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("touch_type"), col("n_purchases"),
+        round(col("n_purchases").cast("double") / col("tot"), 4).as("share"))
+      .orderBy(col("touch_type"))
+  }
+
   /** Poisson-bootstrap confidence intervals for per-type means — THE
     * distributed bootstrap (classic resampling draws n rows WITH
     * replacement, which requires a global coordinated sample;

@@ -89,4 +89,90 @@ object SketchStreams {
       }
       .start()
   }
+
+  /** Streaming Count-Min fold — the live face of `text_count_min`
+    * (the POINT-QUERY companion of [[topkStream]]'s heavy-hitter
+    * list): a d×w counter grid of everything the stream has carried,
+    * continuously published under the same versioned exactly-once
+    * contract. Unlike Misra-Gries, CM merges LOSSLESSLY — grids sum
+    * pointwise with no subtraction step, so the published grid after
+    * any prefix of batches equals the batch-face grid over the same
+    * rows EXACTLY, and the overcount-only guarantee (est ≥ true,
+    * E[over] ≤ n/w per row, min over d rows) composes with no
+    * merge penalty. Per micro-batch cost: one map-side-combinable
+    * aggregation to ≤ d·w cells + a ≤ d·w-row merge — state and
+    * publish size are FIXED whatever the stream age or batch size.
+    * Probe the live grid with [[countMinEstimate]]. */
+  def countMinStream(terms: DataFrame, sketchDir: String, checkpoint: String,
+                     depth: Int = 4, width: Int = 256,
+                     keepVersions: Int = 3): StreamingQuery = {
+    require(keepVersions >= 2,
+      "keepVersions must be >= 2 so concurrent readers always have headroom")
+    terms.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        val vs = ChangeStreams.versions(s, sketchDir)
+        require(vs.isEmpty || id >= vs.head,
+          s"batch id $id is behind newest sketch version ${vs.headOption}" +
+            s" — checkpoint and sketchDir lineages do not match")
+        require(vs.nonEmpty || id == 0,
+          s"first observed batch id is $id but $sketchDir has no versions" +
+            s" — the sketch store was deleted under a live checkpoint")
+        if (!vs.contains(id) && !batch.isEmpty) {
+          val part = batch
+            .withColumn("i", explode(sequence(lit(0), lit(depth - 1))))
+            .select(col("i"), cmBucket(col("i"), col("term"), width))
+            .groupBy(col("i"), col("bucket")).agg(count(lit(1)).as("cnt"))
+          val base = vs.headOption match {
+            case Some(v) => s.read.parquet(s"$sketchDir/batch=$v")
+            case None => part.limit(0)
+          }
+          // lossless pointwise merge: grids just add
+          val next = base.unionByName(part)
+            .groupBy(col("i"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+          next.write.mode("overwrite").parquet(s"$sketchDir/batch=$id")
+          val f = ChangeStreams.fs(s, sketchDir)
+          f.create(new org.apache.hadoop.fs.Path(
+            s"$sketchDir/${ChangeStreams.donePrefix}$id"), true).close()
+          ChangeStreams.versions(s, sketchDir).drop(keepVersions).foreach {
+            old =>
+              f.delete(new org.apache.hadoop.fs.Path(
+                s"$sketchDir/${ChangeStreams.donePrefix}$old"), false)
+              f.delete(new org.apache.hadoop.fs.Path(
+                s"$sketchDir/batch=$old"), true)
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** The probe face: est(term) = min over the grid's d rows at the
+    * term's md5 buckets — the same hash, so a term's estimate from
+    * the published stream grid equals the batch face's estimate over
+    * the same data. Terms absent from every batch estimate as the
+    * (collision-only) bucket minimum — overcount-only, like CM
+    * itself. Missing cells (bucket never hit) read as 0. */
+  def countMinEstimate(s: SparkSession, sketchDir: String,
+                       terms: Seq[String], depth: Int = 4,
+                       width: Int = 256): DataFrame = {
+    import s.implicits._
+    val grid = ChangeStreams.readSnapshot(s, sketchDir)
+    val probe = terms.toDF("term")
+      .withColumn("i", explode(sequence(lit(0), lit(depth - 1))))
+      .select(col("term"), col("i"), cmBucket(col("i"), col("term"), width))
+    probe.join(broadcast(grid), Seq("i", "bucket"), "left")
+      .groupBy(col("term"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+      .orderBy(col("term"))
+  }
+
+  /** The shared md5 bucket hash — identical to the batch face's
+    * (TextOps.countMin) so stream and batch grids are comparable. */
+  private def cmBucket(i: org.apache.spark.sql.Column,
+                       term: org.apache.spark.sql.Column,
+                       width: Int): org.apache.spark.sql.Column =
+    (conv(substring(md5(concat(i.cast("string"), lit("_"), term)),
+      1, 15), 16, 10).cast("long") % width).as("bucket")
 }

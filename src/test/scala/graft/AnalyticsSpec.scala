@@ -475,6 +475,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(r1.getDouble(4) === -1.0)
   }
 
+  test("attribution: latest in-window touch wins, equal timestamps " +
+       "credit the touch, stale or missing touches fall to none") {
+    import spark.implicits._
+    val df = Seq(
+      // user 1: view then click then purchase — click (latest) wins
+      (1L, 11L, "view", 100L), (1L, 12L, "click", 200L),
+      (1L, 13L, "purchase", 300L),
+      // user 2: touch 8 days before the purchase — outside the window
+      (2L, 21L, "click", 0L), (2L, 22L, "purchase", 691200L),
+      // user 3: touch at the SAME microsecond as the purchase — the
+      // (ts, tag) order sorts the touch first, so it gets credit
+      (3L, 31L, "view", 500L), (3L, 32L, "purchase", 500L),
+      // user 4: no touch at all
+      (4L, 41L, "purchase", 900L))
+      .toDF("user_id", "event_id", "event_type", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = Analytics.attributionOn(df, Seq("view", "click"),
+        "purchase", windowDays = 7).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out === Map(
+      "click" -> ((1L, 0.25)), "none" -> ((2L, 0.5)),
+      "view" -> ((1L, 0.25))))
+    // sf corpus: shares sum to 1 over a tiny touch-type-sized output
+    val sfRows = Analytics.attributionLastTouch(spark, sf).collect()
+    assert(sfRows.nonEmpty && sfRows.length <= 3)
+    val s = sfRows.map(_.getDouble(2)).sum
+    assert(math.abs(s - 1.0) < 0.001, s"shares sum $s")
+  }
+
   test("bootstrap ci: constant values give a degenerate interval, " +
        "reruns are bit-identical, sf intervals bracket the mean") {
     import spark.implicits._

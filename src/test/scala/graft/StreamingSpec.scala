@@ -762,6 +762,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CM sketch: lossless grid merge equals the whole-stream " +
+       "counts, probes never undercount, state stays d x w") {
+    import graft.streaming.{ChangeStreams, SketchStreams}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-cms").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val q = SketchStreams.countMinStream(
+      mem.toDF().toDF("term"), s"$root/sk", s"$root/ckpt",
+      depth = 4, width = 64, keepVersions = 2)
+    try {
+      val mk = (spec: Seq[(String, Int)]) =>
+        spec.flatMap { case (t, n) => Seq.fill(n)(t) }
+      val b0 = mk(Seq("hot" -> 30, "warm" -> 10, "a" -> 3, "b" -> 2))
+      val b1 = mk(Seq("hot" -> 20, "cold" -> 5, "c" -> 1))
+      val truth = (b0 ++ b1).groupBy(identity).view.mapValues(_.size.toLong)
+      mem.addData(b0); q.processAllAvailable()
+      mem.addData(b1); q.processAllAvailable()
+      // bounded state: the grid never exceeds d x w cells, and its
+      // total mass is exactly depth x arrivals (lossless merge)
+      val grid = ChangeStreams.readSnapshot(spark, s"$root/sk").collect()
+      assert(grid.length <= 4 * 64)
+      assert(grid.map(_.getLong(2)).sum === 4L * (b0.size + b1.size))
+      // probes: overcount-only for seen terms; an unseen term may
+      // only report collision mass (>= 0)
+      val est = SketchStreams.countMinEstimate(spark, s"$root/sk",
+        truth.keys.toSeq :+ "never", depth = 4, width = 64)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      truth.foreach { case (t, n) =>
+        assert(est(t) >= n, s"$t undercounts: ${est(t)} < $n")
+      }
+      assert(est("never") >= 0L)
+      // cross-face parity: the streamed grid's estimates match the
+      // batch face run over the SAME rows (merge is lossless)
+      val batchEst = graft.ops.TextOps.countMinOn(
+        (b0 ++ b1).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"),
+        depth = 4, width = 64, k = 10)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      batchEst.foreach { case (t, e) =>
+        assert(est(t) === e, s"$t stream ${est(t)} != batch $e")
+      }
+      val vs = ChangeStreams.versions(spark, s"$root/sk")
+      assert(vs.length === 2 && vs === vs.sorted.reverse)
+    } finally q.stop()
+  }
+
   test("stream_dedup batch face: one first-arrival row per key, min event time") {
     val out = graft.streaming.DedupStreams.dedupBatch(spark, sf)
     val ev = Tables.events(spark, sf)
