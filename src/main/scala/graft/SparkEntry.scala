@@ -151,6 +151,9 @@ object SparkEntry {
     // the scale-free audit behind the degree-orientation/cap choices:
     // log2-binned degree histogram via integer binary-string length
     "graph_degree_dist" -> ((s, d) => graft.ops.GraphOps.degreeDist(s, d)),
+    // k-core peeling: fixed-round degree filter + induced subgraph,
+    // one node-key count + two left-semi joins per round
+    "graph_kcore" -> ((s, d) => graft.ops.GraphOps.kCore(s, d)),
     // the exact count's scale tier: DOULION edge sampling on a
     // deterministic md5 coin — sampling replays in the oracle, so
     // the estimate itself is value-checked cross-engine
@@ -279,6 +282,9 @@ object SparkEntry {
     // last-touch attribution: the as-of lookup folded into ONE keyed
     // window pass over a tagged union — no range join, tiny output
     "q_attribution" -> ((s, d) => Analytics.attributionLastTouch(s, d)),
+    // difference-in-differences: balanced-panel per-user deltas across
+    // the calendar midpoint, md5 arms, one conditional-moment agg
+    "q_did" -> ((s, d) => Analytics.diffInDiff(s, d)),
     // RAKE salient phrases: two explode+groupBy passes and one
     // phrase-key join; top-N is a TakeOrdered
     "text_rake" -> ((s, d) => TextOps.rake(s, d)),
@@ -2262,6 +2268,59 @@ object SparkEntry {
         |    CAST(smr AS DOUBLE) * CAST(smr AS DOUBLE) / r) / (r - 1)), 4)
         |    AS se_boot
         |FROM pt JOIN ci USING (event_type) ORDER BY event_type""".stripMargin,
+    // q_did: identical midpoint/panel/rounding chain, identical
+    // conditional DECIMAL moments, zero-variance t pinned to 0
+    "q_did" ->
+      """WITH mid AS (SELECT
+        |    (min(epoch_us(CAST(ts AS TIMESTAMP_US)) // 86400000000) +
+        |     max(epoch_us(CAST(ts AS TIMESTAMP_US)) // 86400000000)) // 2
+        |    AS mid FROM events),
+        |per AS (SELECT user_id,
+        |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP_US)) // 86400000000
+        |         < mid THEN 0 ELSE 1 END AS period,
+        |    CAST(round(value, 4) AS DECIMAL(14,4)) AS v
+        |  FROM events, mid),
+        |pa AS (SELECT user_id, period, sum(v) AS sv, count(*) AS n
+        |       FROM per GROUP BY 1, 2),
+        |u AS (SELECT user_id,
+        |    sum(CASE WHEN period = 0 THEN sv END) AS sv0,
+        |    sum(CASE WHEN period = 0 THEN n END) AS n0,
+        |    sum(CASE WHEN period = 1 THEN sv END) AS sv1,
+        |    sum(CASE WHEN period = 1 THEN n END) AS n1
+        |  FROM pa GROUP BY 1),
+        |y AS (SELECT
+        |    CAST(CAST(round(CAST(sv1 AS DOUBLE) / n1, 4) AS DECIMAL(14,4)) -
+        |         CAST(round(CAST(sv0 AS DOUBLE) / n0, 4) AS DECIMAL(14,4))
+        |      AS DECIMAL(14,4)) AS y,
+        |    CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
+        |      THEN 'a' ELSE 'b' END AS arm
+        |  FROM u WHERE n0 IS NOT NULL AND n1 IS NOT NULL),
+        |agg AS (SELECT
+        |    CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    sum(CASE WHEN arm = 'a' THEN y END) AS sa,
+        |    sum(CASE WHEN arm = 'a' THEN CAST(y * y AS DECIMAL(30,8)) END)
+        |      AS saa,
+        |    sum(CASE WHEN arm = 'b' THEN y END) AS sb,
+        |    sum(CASE WHEN arm = 'b' THEN CAST(y * y AS DECIMAL(30,8)) END)
+        |      AS sbb
+        |  FROM y),
+        |d AS (SELECT na, nb,
+        |    round(CAST(sa AS DOUBLE) / na, 4) AS ma,
+        |    round(CAST(sb AS DOUBLE) / nb, 4) AS mb,
+        |    (CAST(saa AS DOUBLE) -
+        |     CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na) / (na - 1) AS va,
+        |    (CAST(sbb AS DOUBLE) -
+        |     CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb) / (nb - 1) AS vb
+        |  FROM agg)
+        |SELECT na AS n_treat, nb AS n_ctrl,
+        |  ma AS delta_treat, mb AS delta_ctrl,
+        |  round(ma - mb, 4) AS did,
+        |  round(sqrt(va / na + vb / nb), 4) AS se,
+        |  CASE WHEN sqrt(va / na + vb / nb) > 0
+        |    THEN round((ma - mb) / sqrt(va / na + vb / nb), 4)
+        |    ELSE 0.0 END AS t_stat
+        |FROM d""".stripMargin,
     // q_attribution: identical tagged union, identical (us, tag, id)
     // window order with IGNORE NULLS carry-forward, integer lookback
     "q_attribution" ->
@@ -3730,6 +3789,7 @@ object SparkEntry {
     "emb_project_rp" -> graft.ops.SimilarityOps.rpOracleSql(),
     "ann_pq_topk" -> graft.ops.SimilarityOps.pqOracleSql(),
     "ann_ivfpq_topk" -> graft.ops.SimilarityOps.ivfPqOracleSql(),
+    "graph_kcore" -> graft.ops.GraphOps.kCoreOracleSql(),
     // exact decimal sums make the partial-aggregation order (and the
     // engine) irrelevant; one double division + round at the end
     "emb_centroids" ->

@@ -1074,6 +1074,74 @@ object Analytics {
         .as("r_rb"))
   }
 
+  /** Difference-in-differences — the quasi-experimental readout that
+    * completes the A/B family (q_ttest/q_mann_whitney compare arms
+    * at one time; q_cuped adjusts with a pre-period covariate; DiD
+    * asks whether the TREATED arm's pre→post CHANGE exceeds the
+    * control's, cancelling both arm-level level differences and
+    * common time shocks). Per user: pre/post means across the
+    * calendar midpoint (q_cuped's integer epoch-day midpoint), both
+    * 4dp-rounded before the exact DECIMAL per-user delta (users
+    * missing either period drop — documented balanced-panel
+    * contract); arms from the SAME md5 assignment as
+    * q_cuped/q_srm_check. Then ONE conditional-moment aggregation
+    * (the q_ttest shape): per-arm n/Σy/Σy² as exact DECIMALs, DiD =
+    * difference of rounded arm means, SE from sample variances,
+    * zero-variance panels pin t = 0 (not ±Inf). Two user-keyed
+    * aggregations + a scalar reduce — costs what a groupBy costs. */
+  def diffInDiff(s: SparkSession, d: String): DataFrame =
+    diffInDiffOn(Tables.events(s, d))
+
+  /** Same over any (user_id, ts, value) frame. */
+  def diffInDiffOn(events: DataFrame): DataFrame = {
+    val ed = expr("unix_micros(ts) div 86400000000")
+    val mid = events.agg(
+      expr("(min(unix_micros(ts) div 86400000000) + " +
+        "max(unix_micros(ts) div 86400000000)) div 2").as("mid"))
+    val per = events.crossJoin(broadcast(mid))
+      .select(col("user_id"),
+        when(ed < col("mid"), lit(0)).otherwise(lit(1)).as("period"),
+        round(col("value"), 4).cast("decimal(14,4)").as("v"))
+      .groupBy(col("user_id"), col("period"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+    val y = per.groupBy(col("user_id"))
+      .agg(sum(when(col("period") === 0, col("sv"))).as("sv0"),
+        sum(when(col("period") === 0, col("n"))).as("n0"),
+        sum(when(col("period") === 1, col("sv"))).as("sv1"),
+        sum(when(col("period") === 1, col("n"))).as("n1"))
+      .filter(col("n0").isNotNull && col("n1").isNotNull)
+      .select(
+        (round(col("sv1").cast("double") / col("n1"), 4)
+          .cast("decimal(14,4)") -
+          round(col("sv0").cast("double") / col("n0"), 4)
+            .cast("decimal(14,4)")).cast("decimal(14,4)").as("y"),
+        when(substring(md5(col("user_id").cast("string")), 1, 2) < "80",
+          lit("a")).otherwise(lit("b")).as("arm"))
+    val a = y.agg(
+      sum(when(col("arm") === "a", 1L).otherwise(0L)).as("na"),
+      sum(when(col("arm") === "b", 1L).otherwise(0L)).as("nb"),
+      sum(when(col("arm") === "a", col("y"))).as("sa"),
+      sum(when(col("arm") === "a",
+        (col("y") * col("y")).cast("decimal(30,8)"))).as("saa"),
+      sum(when(col("arm") === "b", col("y"))).as("sb"),
+      sum(when(col("arm") === "b",
+        (col("y") * col("y")).cast("decimal(30,8)"))).as("sbb"))
+    val ma = round(col("sa").cast("double") / col("na"), 4)
+    val mb = round(col("sb").cast("double") / col("nb"), 4)
+    val va = (col("saa").cast("double") -
+      col("sa").cast("double") * col("sa").cast("double") / col("na")) /
+      (col("na") - 1)
+    val vb = (col("sbb").cast("double") -
+      col("sb").cast("double") * col("sb").cast("double") / col("nb")) /
+      (col("nb") - 1)
+    val se = sqrt(va / col("na") + vb / col("nb"))
+    a.select(col("na").as("n_treat"), col("nb").as("n_ctrl"),
+      ma.as("delta_treat"), mb.as("delta_ctrl"),
+      round(ma - mb, 4).as("did"),
+      round(se, 4).as("se"),
+      when(se > 0, round((ma - mb) / se, 4)).otherwise(lit(0.0)).as("t_stat"))
+  }
+
   /** Last-touch marketing attribution — which touch gets credit for
     * each conversion (the question funnel counts and session paths
     * circle but don't answer): every purchase attributes to the

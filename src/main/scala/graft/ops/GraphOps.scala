@@ -212,6 +212,137 @@ object GraphOps {
 
   /** Canonical (a < b) undirected edge set from basket co-membership,
     * shared by the exact and sampled triangle faces. */
+  /** k-core peeling — the graph-DENSITY audit beside the triangle
+    * faces (clustering) and PageRank (centrality): repeatedly remove
+    * nodes of degree < k; what survives round r is inside the k-core
+    * after r peels, and how fast mass disappears says whether the
+    * graph has a cohesive core or is all periphery (the spam-cluster
+    * / community-precursor signal). FIXED `rounds` peels (the
+    * q_pagerank fixed-iteration contract; after `rounds` peels the
+    * output is a deterministic upper bound on the true core,
+    * documented), executed as DELTA peels — work proportional to
+    * what dies each round, with a driver-side fixpoint short-circuit
+    * and a broadcast-anti fast path for small removed sets (see
+    * [[kCoreOn]] for the three regimes and why blind re-induction
+    * measured 4-5× slower on the sf1 graph, where nothing peels).
+    * Edge derivation shares [[basketEdges]]'s capped basket join;
+    * every materialized frame rides an EAGER localCheckpoint so each
+    * round is paid exactly once, in order. Output: per round,
+    * surviving node/edge counts — rounds+1 rows at any scale. */
+  def kCore(s: SparkSession, d: String, k: Int = 3, rounds: Int = 4,
+            maxBasket: Int = 16): DataFrame =
+    kCoreOn(basketEdges(Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")),
+      maxBasket), k, rounds)
+
+  /** Same over any canonical (a < b) undirected edge frame.
+    *
+    * DELTA peeling, not blind re-induction: a peel's work is
+    * proportional to what DIES, and on real co-occurrence graphs
+    * almost nothing does (the derived sf1 basket graph loses ZERO of
+    * its 200k nodes — every item's degree clears k=3 — yet a naive
+    * four-round induce re-shuffles and re-materializes the 12M-edge
+    * frame four times for nothing, measured 40-55s vs ~10s here).
+    * Per round the REMOVED set (deg < k) is counted driver-side — an
+    * O(1)-row action on the checkpointed degree frame, the same
+    * adaptivity the CC convergence loop uses (DedupOps.scala:554):
+    *   - removed = 0 → fixpoint; every remaining round repeats the
+    *     stats row with no cluster work at all;
+    *   - removed ≤ deltaMax → the induced subgraph is two broadcast
+    *     ANTI joins against the small removed set (a map-side scan of
+    *     the edge frame, zero shuffle; "endpoint not removed" ≡
+    *     "endpoint kept" since keep ⊎ removed covers every endpoint);
+    *   - removed > deltaMax (adversarial peels — a path graph halves
+    *     each round) → shuffle-regime left-semi joins against the
+    *     keep set, hash-hinted (the keep side is one row per node,
+    *     always the small side; SMJ would sort the edge frame twice).
+    * The degree frame doubles as the n_nodes stat (nodes present in
+    * e_r ≡ rows of deg_r) so no separate count_distinct shuffle
+    * exists. Output rows are assembled from the per-round count
+    * aggregates (rounds+1 of them, O(1) rows each — never edge data
+    * on the driver). */
+  def kCoreOn(edges0: DataFrame, k: Int, rounds: Int,
+              deltaMax: Long = 2000000L): DataFrame = {
+    val sp = edges0.sparkSession
+    import sp.implicits._
+    def degOf(f: DataFrame): DataFrame =
+      f.select(col("a").as("node")).union(f.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+    var e = edges0.localCheckpoint(true)
+    var deg = degOf(e)
+    var nNodes = deg.count()
+    var nEdges = e.count()
+    val stats = collection.mutable.ArrayBuffer((0, nNodes, nEdges))
+    var fixpoint = false
+    for (r <- 1 to rounds) {
+      if (!fixpoint) {
+        val removed = deg.filter(col("deg") < k).select(col("node"))
+        val nRemoved = removed.count()
+        if (nRemoved == 0L) fixpoint = true
+        else {
+          e = {
+            if (nRemoved <= deltaMax)
+              e.join(broadcast(removed).withColumnRenamed("node", "a"),
+                  Seq("a"), "left_anti")
+                .join(broadcast(removed).withColumnRenamed("node", "b"),
+                  Seq("b"), "left_anti")
+            else {
+              val keep = deg.filter(col("deg") >= k).select(col("node"))
+                .hint("shuffle_hash")
+              e.join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+                .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+            }
+          }.select(col("a"), col("b")).localCheckpoint(true)
+          deg = degOf(e)
+          nNodes = deg.count()
+          nEdges = e.count()
+        }
+      }
+      stats += ((r, nNodes, nEdges))
+    }
+    stats.toSeq.toDF("round", "n_nodes", "n_edges").orderBy(col("round"))
+  }
+
+  /** DuckDB replica of [[kCore]]: the shared capped edge derivation,
+    * then `rounds` unrolled peel CTEs (degree filter + induced
+    * subgraph), stats per round — generated beside the operator so
+    * parameter changes cannot drift. Every e_r is `AS MATERIALIZED`:
+    * round r+1 references e_r three times (degree count + both
+    * endpoint filters), so DuckDB's default CTE inlining would
+    * re-evaluate the whole chain ~3^rounds times — observed as a
+    * 15-minute oracle on the sf0.01 graph; materialization makes it
+    * the same linear peel the Spark side runs. */
+  private[graft] def kCoreOracleSql(k: Int = 3, rounds: Int = 4,
+                                    maxBasket: Int = 16): String = {
+    val peels = (1 to rounds).map { r =>
+      s"""d$r AS (SELECT node, count(*) AS deg FROM (
+         |  SELECT a AS node FROM e${r - 1}
+         |  UNION ALL SELECT b FROM e${r - 1}) GROUP BY 1),
+         |k$r AS MATERIALIZED (SELECT node FROM d$r WHERE deg >= $k),
+         |e$r AS MATERIALIZED (SELECT a, b FROM e${r - 1}
+         |  WHERE a IN (SELECT node FROM k$r)
+         |    AND b IN (SELECT node FROM k$r))""".stripMargin
+    }.mkString(",\n")
+    val stats = (0 to rounds).map { r =>
+      s"""SELECT $r AS round,
+         |  (SELECT count(DISTINCT node) FROM (
+         |     SELECT a AS node FROM e$r UNION ALL SELECT b FROM e$r))
+         |    AS n_nodes,
+         |  (SELECT count(*) FROM e$r) AS n_edges""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH m AS (SELECT DISTINCT l_orderkey AS basket,
+       |             l_partkey AS item FROM lineitem),
+       |sz AS (SELECT basket, count(*) AS bsz FROM m GROUP BY 1),
+       |mm AS (SELECT m.basket, m.item FROM m JOIN sz USING (basket)
+       |       WHERE sz.bsz <= $maxBasket),
+       |e0 AS MATERIALIZED (SELECT DISTINCT x.item AS a, y.item AS b
+       |       FROM mm x JOIN mm y USING (basket) WHERE x.item < y.item),
+       |$peels
+       |$stats
+       |ORDER BY round""".stripMargin
+  }
+
   private def basketEdges(pairs: DataFrame, maxBasket: Int): DataFrame = {
     val members = pairs.select(col("basket"), col("item")).distinct()
     val sized = members

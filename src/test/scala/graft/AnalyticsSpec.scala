@@ -475,6 +475,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(r1.getDouble(4) === -1.0)
   }
 
+  test("did: a planted treatment lift is recovered exactly, zero " +
+       "variance pins t to 0 instead of infinity") {
+    import spark.implicits._
+    // every user: pre (day 0) value 10, post (day 2) value 10, plus
+    // +5 post-lift for md5-arm-a users — delta_a = 5, delta_b = 0,
+    // did = 5 with ZERO within-arm variance (the t guard fixture)
+    def armA(u: Long): Boolean = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      f"${h(0) & 0xff}%02x" < "80"
+    }
+    val rows = (1L to 40L).flatMap { u =>
+      val lift = if (armA(u)) 5.0 else 0.0
+      Seq((u, 0L, 10.0), (u, 172800L, 10.0 + lift))
+    }.toDF("user_id", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val r = Analytics.diffInDiffOn(rows).first()
+    assert(r.getLong(0) + r.getLong(1) === 40L)
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+    assert(r.getDouble(2) === 5.0 && r.getDouble(3) === 0.0)
+    assert(r.getDouble(4) === 5.0)
+    assert(r.getDouble(5) === 0.0 && r.getDouble(6) === 0.0)
+    // sf corpus: one finite row, both arms populated
+    val s = Analytics.diffInDiff(spark, sf).first()
+    assert(s.getLong(0) > 0 && s.getLong(1) > 0)
+    assert(!s.getDouble(4).isNaN && !s.getDouble(6).isInfinite)
+  }
+
   test("attribution: latest in-window touch wins, equal timestamps " +
        "credit the touch, stale or missing touches fall to none") {
     import spark.implicits._

@@ -99,6 +99,39 @@ class GraphSpec extends SparkSpec {
     assert(r.getLong(1) === edges.size.toLong)
   }
 
+  test("k-core: K4 survives peeling, a pendant dies in round 1, " +
+       "a path dissolves completely under k=2") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (all degree 3) + pendant 5—1 (degree 1): k=3
+    // peels the pendant in round 1 and nothing else, ever
+    val k4p = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L)).toDF("a", "b")
+    val rows = GraphOps.kCoreOn(k4p, k = 3, rounds = 4).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows(0) === ((5L, 7L)))
+    (1 to 4).foreach(r => assert(rows(r) === ((4L, 6L)), s"round $r"))
+    // path 1-2-3-4 under k=2: endpoints peel, then the rest — the
+    // whole graph dissolves (no 2-core), and empties stay empty;
+    // run BOTH regimes (delta broadcast-anti, and deltaMax=0 forcing
+    // the shuffle semi-join path) — they must agree row for row
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    for (dm <- Seq(2000000L, 0L)) {
+      val p = GraphOps.kCoreOn(path, k = 2, rounds = 4, deltaMax = dm)
+        .collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(p(0) === ((4L, 3L)), s"deltaMax=$dm")
+      assert(p(1) === ((2L, 1L)), s"deltaMax=$dm")
+      (2 to 4).foreach(r => assert(p(r) === ((0L, 0L)), s"round $r dm=$dm"))
+    }
+    // sf graph: monotone non-increasing survivors
+    val sfRows = GraphOps.kCore(spark, sf).collect().sortBy(_.getInt(0))
+    assert(sfRows.length === 5)
+    sfRows.sliding(2).foreach { w =>
+      assert(w(0).getLong(1) >= w(1).getLong(1))
+      assert(w(0).getLong(2) >= w(1).getLong(2))
+    }
+  }
+
   test("degree distribution: hand graph bins exactly by floor(log2 deg)") {
     import spark.implicits._
     // K4 basket {1,2,3,4}: four nodes of degree 3 (bin 1); pendant
