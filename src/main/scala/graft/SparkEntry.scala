@@ -154,6 +154,9 @@ object SparkEntry {
     // k-core peeling: fixed-round degree filter + induced subgraph,
     // one node-key count + two left-semi joins per round
     "graph_kcore" -> ((s, d) => graft.ops.GraphOps.kCore(s, d)),
+    // label-propagation communities: sync fixed rounds, one edge-join
+    // + two map-side aggs per round, size-histogram output
+    "graph_lpa" -> ((s, d) => graft.ops.GraphOps.lpa(s, d)),
     // the exact count's scale tier: DOULION edge sampling on a
     // deterministic md5 coin — sampling replays in the oracle, so
     // the estimate itself is value-checked cross-engine
@@ -285,6 +288,11 @@ object SparkEntry {
     // difference-in-differences: balanced-panel per-user deltas across
     // the calendar midpoint, md5 arms, one conditional-moment agg
     "q_did" -> ((s, d) => Analytics.diffInDiff(s, d)),
+    // power/MDE: closed forms from one user-keyed agg + scalar reduce
+    "q_power_mde" -> ((s, d) => Analytics.powerMde(s, d)),
+    // Kaplan-Meier over user lifetimes; product-limit on the
+    // calendar-bounded lifetime distribution, censoring at corpus edge
+    "q_survival_km" -> ((s, d) => Analytics.survivalKm(s, d)),
     // RAKE salient phrases: two explode+groupBy passes and one
     // phrase-key join; top-N is a TakeOrdered
     "text_rake" -> ((s, d) => TextOps.rake(s, d)),
@@ -2321,6 +2329,65 @@ object SparkEntry {
         |    THEN round((ma - mb) / sqrt(va / na + vb / nb), 4)
         |    ELSE 0.0 END AS t_stat
         |FROM d""".stripMargin,
+    // q_power_mde: identical per-user metric, DECIMAL moments, pinned
+    // 4dp z constants, ceil over the 4dp-rounded operand
+    "q_power_mde" ->
+      """WITH u AS (SELECT
+        |    CAST(round(CAST(sum(CAST(round(value, 4) AS DECIMAL(14,4)))
+        |      AS DOUBLE) / count(*), 4) AS DECIMAL(14,4)) AS y
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_users, sum(y) AS sy,
+        |    sum(CAST(y * y AS DECIMAL(30,8))) AS syy FROM u),
+        |m AS (SELECT n_users,
+        |    round(CAST(sy AS DOUBLE) / n_users, 4) AS mean_y,
+        |    (CAST(syy AS DOUBLE) -
+        |     CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n_users) /
+        |    (n_users - 1) AS s2
+        |  FROM a)
+        |SELECT n_users, mean_y,
+        |  CASE WHEN s2 > 0 THEN round(sqrt(s2), 4) ELSE 0.0 END AS sd_y,
+        |  CASE WHEN s2 > 0
+        |    THEN round(2.8016 * sqrt(4 * s2 / n_users), 4)
+        |    ELSE 0.0 END AS mde_abs,
+        |  CASE WHEN abs(mean_y) > 0 THEN round(
+        |    (CASE WHEN s2 > 0
+        |       THEN round(2.8016 * sqrt(4 * s2 / n_users), 4)
+        |       ELSE 0.0 END) / abs(mean_y), 4)
+        |    ELSE 0.0 END AS mde_rel,
+        |  CASE WHEN s2 > 0 AND abs(mean_y) > 0
+        |    THEN CAST(ceil(round(2 * s2 * 2.8016 * 2.8016 /
+        |      (0.01 * abs(mean_y) * 0.01 * abs(mean_y)), 4)) AS BIGINT)
+        |    ELSE 0 END AS n_arm_1pct
+        |FROM m""".stripMargin,
+    // q_survival_km: identical lifetime/censoring derivation, BIGINT
+    // casts on every counting sum (HUGEINT→float64 pandas trap),
+    // identical zero-factor pin instead of ln(0)
+    "q_survival_km" ->
+      """WITH pe AS (SELECT user_id,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP_US)) // 86400000000) AS d0,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP_US)) // 86400000000) AS d1
+        |  FROM events GROUP BY 1),
+        |mx AS (SELECT max(d1) AS mx FROM pe),
+        |u AS (SELECT d1 - d0 AS t,
+        |    CASE WHEN d1 > mx - 7 THEN 0 ELSE 1 END AS death
+        |  FROM pe, mx),
+        |dist AS (SELECT t, CAST(sum(death) AS BIGINT) AS d,
+        |    CAST(sum(1 - death) AS BIGINT) AS c FROM u GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM u),
+        |w AS (SELECT t, d, c, n_total - coalesce(
+        |    CAST(sum(d + c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS n_risk
+        |  FROM dist, tot),
+        |f AS (SELECT t, n_risk, d, c,
+        |    1.0 - CAST(d AS DOUBLE) / n_risk AS f FROM w)
+        |SELECT t, n_risk, d, c,
+        |  CASE WHEN sum(CASE WHEN f <= 0 THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) > 0 THEN 0.0
+        |    ELSE round(exp(sum(CASE WHEN f > 0 THEN ln(f) END)
+        |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 4)
+        |  END AS survival
+        |FROM f ORDER BY t""".stripMargin,
     // q_attribution: identical tagged union, identical (us, tag, id)
     // window order with IGNORE NULLS carry-forward, integer lookback
     "q_attribution" ->
@@ -3790,6 +3857,7 @@ object SparkEntry {
     "ann_pq_topk" -> graft.ops.SimilarityOps.pqOracleSql(),
     "ann_ivfpq_topk" -> graft.ops.SimilarityOps.ivfPqOracleSql(),
     "graph_kcore" -> graft.ops.GraphOps.kCoreOracleSql(),
+    "graph_lpa" -> graft.ops.GraphOps.lpaOracleSql(),
     // exact decimal sums make the partial-aggregation order (and the
     // engine) irrelevant; one double division + round at the end
     "emb_centroids" ->

@@ -1142,6 +1142,102 @@ object Analytics {
       when(se > 0, round((ma - mb) / se, 4)).otherwise(lit(0.0)).as("t_stat"))
   }
 
+  /** Power / minimum-detectable-effect readout — the question asked
+    * BEFORE an experiment runs (the rest of the A/B family reads one
+    * out afterwards): given the observed user-metric variance, what
+    * lift could a 50/50 split on THIS population detect at α=0.05 /
+    * power 0.80, and how many users per arm would a 1%-relative lift
+    * need? Unit metric = per-user mean of 4dp-rounded values (the
+    * cuped recipe), moments as exact DECIMALs, then closed forms
+    * under the pinned 4dp z constants (z_{.025}=1.9600, z_{.20}=
+    * 0.8416, summed 2.8016 — pinned literals, not engine erf):
+    * MDE = 2.8016·√(4s²/n), n_arm(1%) = ⌈2s²·2.8016²/(0.01·|ȳ|)²⌉
+    * (ceil over the 4dp-rounded operand so both engines quantize
+    * before the integer boundary). Degenerate populations (zero
+    * variance / zero mean) pin their readouts to 0 rather than NaN.
+    * One user-keyed aggregation + a scalar reduce. */
+  def powerMde(s: SparkSession, d: String): DataFrame =
+    powerMdeOn(Tables.events(s, d))
+
+  /** Same over any (user_id, value) frame. */
+  def powerMdeOn(events: DataFrame): DataFrame = {
+    val v = round(col("value"), 4).cast("decimal(14,4)")
+    val u = events.groupBy(col("user_id"))
+      .agg(sum(v).as("sv"), count(lit(1)).as("n"))
+      .select(round(col("sv").cast("double") / col("n"), 4)
+        .cast("decimal(14,4)").as("y"))
+    val a = u.agg(count(lit(1)).as("n_users"), sum(col("y")).as("sy"),
+      sum((col("y") * col("y")).cast("decimal(30,8)")).as("syy"))
+    val mean = round(col("sy").cast("double") / col("n_users"), 4)
+    val s2 = (col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double") / col("n_users")) /
+      (col("n_users") - 1)
+    val zs = lit(2.8016)
+    val mde = when(s2 > 0,
+      round(zs * sqrt(lit(4.0) * s2 / col("n_users")), 4)).otherwise(0.0)
+    a.select(col("n_users"), mean.as("mean_y"),
+      when(s2 > 0, round(sqrt(s2), 4)).otherwise(0.0).as("sd_y"),
+      mde.as("mde_abs"),
+      when(abs(mean) > 0, round(mde / abs(mean), 4)).otherwise(0.0)
+        .as("mde_rel"),
+      when(s2 > 0 && abs(mean) > 0,
+        ceil(round(lit(2.0) * s2 * zs * zs /
+          (lit(0.01) * abs(mean) * lit(0.01) * abs(mean)), 4))
+          .cast("bigint")).otherwise(0L).as("n_arm_1pct"))
+  }
+
+  /** Kaplan-Meier survival over user lifetimes — the churn readout
+    * cohort retention approximates but doesn't estimate: retention
+    * counts who RETURNED in week w; KM estimates the probability a
+    * user's engagement SPAN exceeds t while handling the users the
+    * corpus cannot yet judge (still active near the corpus edge =
+    * right-censored, the thing a naive "avg lifetime" silently gets
+    * wrong). Lifetime = last−first active day; censored if the last
+    * day is within `graceDays` of the corpus max (one scalar
+    * broadcast). The product-limit estimate runs on the AGGREGATED
+    * lifetime distribution — one row per distinct lifetime, a
+    * calendar-span-bounded frame, so the ordered windows (at-risk
+    * prefix sums, cumulative log-survival) are single-partition over
+    * ~hundreds of rows at ANY corpus scale, never the user set; the
+    * per-user frame itself is one groupBy. exp/ln in double is 4dp-
+    * rounded at output only (both engines' libm agree far below
+    * 4dp); a level where everyone at risk dies pins survival to 0
+    * via a cumulative zero-factor count, not ln(0) (Spark nulls,
+    * DuckDB -inf — BOTH wrong cross-engine). */
+  def survivalKm(s: SparkSession, d: String): DataFrame =
+    survivalKmOn(Tables.events(s, d))
+
+  /** Same over any (user_id, ts) frame. */
+  def survivalKmOn(events: DataFrame, graceDays: Int = 7): DataFrame = {
+    val ed = expr("unix_micros(ts) div 86400000000")
+    val users0 = events.groupBy(col("user_id"))
+      .agg(min(ed).as("d0"), max(ed).as("d1"))
+    val mx = users0.agg(max(col("d1")).as("mx"))
+    val users = users0.crossJoin(broadcast(mx))
+      .select((col("d1") - col("d0")).as("t"),
+        when(col("d1") > col("mx") - graceDays, 0L).otherwise(1L)
+          .as("death"))
+    val dist = users.groupBy(col("t"))
+      .agg(sum(col("death")).as("d"),
+        sum(lit(1L) - col("death")).as("c"))
+    val total = users.agg(count(lit(1)).as("n_total"))
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wIncl = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dist.crossJoin(broadcast(total))
+      .withColumn("n_risk", col("n_total") -
+        coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      .withColumn("f", lit(1.0) - col("d").cast("double") / col("n_risk"))
+      .withColumn("survival",
+        when(sum(when(col("f") <= 0, 1L).otherwise(0L)).over(wIncl) > 0,
+          lit(0.0))
+          .otherwise(round(exp(
+            sum(when(col("f") > 0, log(col("f")))).over(wIncl)), 4)))
+      .select(col("t"), col("n_risk"), col("d"), col("c"), col("survival"))
+      .orderBy(col("t"))
+  }
+
   /** Last-touch marketing attribution — which touch gets credit for
     * each conversion (the question funnel counts and session paths
     * circle but don't answer): every purchase attributes to the

@@ -343,6 +343,92 @@ object GraphOps {
        |ORDER BY round""".stripMargin
   }
 
+  /** Label-propagation communities (Raghavan et al. 2007) — the
+    * partition question between [[DedupOps.clusters]] (connected
+    * components: who is REACHABLE) and [[kCore]] (how DENSE is the
+    * core): LPA splits a connected graph into label-coherent
+    * communities, the co-purchase "product families" signal.
+    * SYNCHRONOUS fixed-round propagation (the q_pagerank contract —
+    * no driver-side convergence unknowable, fully replayable): every
+    * node starts as its own label; each round every node adopts the
+    * most frequent label among its NEIGHBORS (self excluded), ties
+    * broken to the smallest label — computed as one max(struct(cnt,
+    * -label)) aggregation, so argmax-with-min-tiebreak is a single
+    * deterministic reduction in both engines (DuckDB replays it as
+    * max-count window + min FILTER — same total order). Per round:
+    * one equi-join of the label frame to the symmetrized edge list
+    * (the edge side is repartitioned on src ONCE and checkpointed,
+    * so every round's join reuses that exchange and only the
+    * node-sized label/count frames move) + two map-side-combinable
+    * aggregations. Output: the community SIZE HISTOGRAM (size →
+    * n_communities) — bounded by the distinct-size count at any
+    * scale, never a per-node dump. */
+  def lpa(s: SparkSession, d: String, rounds: Int = 3,
+          maxBasket: Int = 16): DataFrame =
+    lpaOn(basketEdges(Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")),
+      maxBasket), rounds)
+
+  /** Same over any canonical (a < b) undirected edge frame. */
+  def lpaOn(edges0: DataFrame, rounds: Int): DataFrame = {
+    val bidir = edges0.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges0.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    var labels = bidir.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      labels = bidir
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.groupBy(col("lbl")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_communities"))
+      .select(col("sz").as("community_size"), col("n_communities"))
+      .orderBy(col("community_size"))
+  }
+
+  /** DuckDB replica of [[lpa]]: shared capped edge derivation,
+    * symmetrized, then `rounds` unrolled propagation CTEs — argmax
+    * via max-count window + min-label FILTER (the same total order
+    * as the Spark struct-max), every label frame MATERIALIZED (each
+    * is referenced by the next round's join; default inlining would
+    * re-derive the whole chain). */
+  private[graft] def lpaOracleSql(rounds: Int = 3,
+                                  maxBasket: Int = 16): String = {
+    val props = (1 to rounds).map { r =>
+      s"""c$r AS (SELECT e.dst AS node, l.lbl AS lbl, count(*) AS cnt
+         |  FROM bidir e JOIN l${r - 1} l ON e.src = l.node
+         |  GROUP BY 1, 2),
+         |l$r AS MATERIALIZED (SELECT node, min(lbl) AS lbl FROM (
+         |    SELECT node, lbl, cnt, max(cnt) OVER (PARTITION BY node)
+         |      AS mx FROM c$r)
+         |  WHERE cnt = mx GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH m AS (SELECT DISTINCT l_orderkey AS basket,
+       |             l_partkey AS item FROM lineitem),
+       |sz AS (SELECT basket, count(*) AS bsz FROM m GROUP BY 1),
+       |mm AS (SELECT m.basket, m.item FROM m JOIN sz USING (basket)
+       |       WHERE sz.bsz <= $maxBasket),
+       |e0 AS MATERIALIZED (SELECT DISTINCT x.item AS a, y.item AS b
+       |       FROM mm x JOIN mm y USING (basket) WHERE x.item < y.item),
+       |bidir AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+       |       UNION ALL SELECT b, a FROM e0),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl
+       |       FROM bidir),
+       |$props,
+       |csz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS sz
+       |        FROM l$rounds GROUP BY 1)
+       |SELECT sz AS community_size,
+       |  CAST(count(*) AS BIGINT) AS n_communities
+       |FROM csz GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private def basketEdges(pairs: DataFrame, maxBasket: Int): DataFrame = {
     val members = pairs.select(col("basket"), col("item")).distinct()
     val sized = members

@@ -503,6 +503,68 @@ class AnalyticsSpec extends SparkSpec {
     assert(!s.getDouble(4).isNaN && !s.getDouble(6).isInfinite)
   }
 
+  test("power/MDE: hand moments exact, zero variance pins every " +
+       "readout to 0") {
+    import spark.implicits._
+    // one event per user, values 10/12/14/16: mean 13, s² = 20/3
+    val rows = Seq((1L, 10.0), (2L, 12.0), (3L, 14.0), (4L, 16.0))
+      .toDF("user_id", "value")
+    val r = Analytics.powerMdeOn(rows).first()
+    assert(r.getLong(0) === 4L)
+    assert(r.getDouble(1) === 13.0)
+    assert(r.getDouble(2) === 2.582)
+    assert(r.getDouble(3) === 7.2337)
+    assert(r.getDouble(4) === 0.5564)
+    val s2 = 20.0 / 3
+    val expN = math.ceil(BigDecimal(
+      2 * s2 * 2.8016 * 2.8016 / (0.01 * 13 * 0.01 * 13))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble).toLong
+    assert(r.getLong(5) === expN)
+    // degenerate: identical users → zero variance, all readouts 0
+    val z = Analytics.powerMdeOn(
+      Seq((1L, 5.0), (2L, 5.0), (3L, 5.0)).toDF("user_id", "value"))
+      .first()
+    assert(z.getDouble(2) === 0.0 && z.getDouble(3) === 0.0)
+    assert(z.getDouble(4) === 0.0 && z.getLong(5) === 0L)
+  }
+
+  test("survival KM: hand lifetimes produce the exact product-limit " +
+       "curve, censoring holds the curve flat, a full-death level " +
+       "pins survival to 0 without ln(0)") {
+    import spark.implicits._
+    def ev(u: Long, days: Seq[Long]) =
+      days.map(dd => (u, dd * 86400L))
+    // A 0..10 death, B 0..30 censored, C 5..15 death, D 0..25
+    // censored, E 2..4 death (max day 30, grace 7 → censor past 23)
+    val rows = (ev(1, Seq(0, 10)) ++ ev(2, Seq(0, 30)) ++
+      ev(3, Seq(5, 15)) ++ ev(4, Seq(0, 25)) ++ ev(5, Seq(2, 4)))
+      .toDF("user_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val r = Analytics.survivalKmOn(rows).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))))
+      .toMap
+    assert(r(2L) === ((5L, 1L, 0L, 0.8)))
+    assert(r(10L) === ((4L, 2L, 0L, 0.4)))
+    assert(r(25L) === ((2L, 0L, 1L, 0.4)))
+    assert(r(30L) === ((1L, 0L, 1L, 0.4)))
+    // X t=1 death, Y t=2 death, Z single day 20 (censored, M=20):
+    // at t=2 the lone at-risk user dies → survival exactly 0
+    val rows2 = (ev(1, Seq(0, 1)) ++ ev(2, Seq(3, 5)) ++
+      ev(3, Seq(20)))
+      .toDF("user_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val p = Analytics.survivalKmOn(rows2).collect()
+      .map(x => x.getLong(0) -> x.getDouble(4)).toMap
+    assert(p(0L) === 1.0 && p(1L) === 0.5 && p(2L) === 0.0)
+    // sf corpus: curve monotone non-increasing from n_risk = all users
+    val sfRows = Analytics.survivalKm(spark, sf).collect()
+    assert(sfRows.head.getLong(1) ===
+      Tables.events(spark, sf).select("user_id").distinct().count())
+    sfRows.map(_.getDouble(4)).sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0) >= w(1)) }
+  }
+
   test("attribution: latest in-window touch wins, equal timestamps " +
        "credit the touch, stale or missing touches fall to none") {
     import spark.implicits._

