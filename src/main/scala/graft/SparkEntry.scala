@@ -290,6 +290,8 @@ object SparkEntry {
     "q_did" -> ((s, d) => Analytics.diffInDiff(s, d)),
     // power/MDE: closed forms from one user-keyed agg + scalar reduce
     "q_power_mde" -> ((s, d) => Analytics.powerMde(s, d)),
+    // one-way ANOVA across weekday groups: two narrow aggs, k ≤ 7
+    "q_anova" -> ((s, d) => Analytics.anovaDow(s, d)),
     // Kaplan-Meier over user lifetimes; product-limit on the
     // calendar-bounded lifetime distribution, censoring at corpus edge
     "q_survival_km" -> ((s, d) => Analytics.survivalKm(s, d)),
@@ -492,6 +494,8 @@ object SparkEntry {
     // calendar features on the daily series (dow/weekend/month/...):
     // pure integer + engine-portable date arithmetic, row-local
     "ts_calendar_features" -> ((s, d) => TimeSeriesOps.calendarFeatures(s, d)),
+    // Fourier weekly basis: reduced-phase angles, row-local over daily
+    "ts_fourier_features" -> ((s, d) => TimeSeriesOps.fourierFeatures(s, d)),
     // per-series EWMA smoothing — sequential within a series, so a
     // sorted per-series fold; parallelism = series count
     "ts_ewma"           -> ((s, d) => TimeSeriesOps.ewma(s, d)),
@@ -575,6 +579,9 @@ object SparkEntry {
     // line averaged with an SES-flattened θ=2 line; fit + recursion
     // replayed node-for-node in the oracle (the forecast_hw contract)
     "forecast_theta"    -> ((s, d) => Forecast.thetaForecast(s, d)),
+    // Croston intermittent-demand: 0-filled calendar, two-state SES
+    // recursion per series in flatMapGroups, flat z/p rate forecast
+    "forecast_croston"  -> ((s, d) => Forecast.croston(s, d)),
     // backtest model selection: per series, which of the three
     // holdout forecasters wins — the routing table before committing
     "forecast_compare"  -> ((s, d) => Forecast.compareModels(s, d)),
@@ -683,9 +690,14 @@ object SparkEntry {
     // IVF·PQ composed (the FAISS IVFPQ shape): cell-gated candidates
     // scored by ADC over 8-byte codes, exact rescore of the shortlist
     "ann_ivfpq_topk"      -> ((s, d) => SimilarityOps.ivfPqTopK(s, d)),
+    // diversity sampling: IVF cells as semantic regions, per-cell
+    // closest-to-centroid exemplars with region mass beside them
+    "emb_diversity_sample" -> ((s, d) => SimilarityOps.diversitySample(s, d)),
     // §2.6 text analysis
     "text_tokens"      -> (TextOps.tokenCounts _),
     "text_quality"     -> (TextOps.qualityScores _),
+    // the Gopher gate battery: row-local regex/split primitives only
+    "text_gopher_gates" -> (TextOps.gopherGates _),
     "text_langid"      -> (TextOps.langId _),
     // checked face: winnowing over a 60-bit md5-prefix hash both
     // engines compute — the oracle replays every signature VALUE
@@ -2359,6 +2371,35 @@ object SparkEntry {
         |      (0.01 * abs(mean_y) * 0.01 * abs(mean_y)), 4)) AS BIGINT)
         |    ELSE 0 END AS n_arm_1pct
         |FROM m""".stripMargin,
+    // q_anova: identical epoch-day dow, DECIMAL group moments, each
+    // S²/n term 4dp-rounded BEFORE the cross-group sum, pinned F crit
+    "q_anova" ->
+      """WITH g AS (SELECT
+        |    (epoch_us(CAST(ts AS TIMESTAMP_US)) // 86400000000 + 3) % 7
+        |      AS dow,
+        |    CAST(round(value, 4) AS DECIMAL(14,4)) AS v FROM events),
+        |m AS (SELECT dow, CAST(count(*) AS BIGINT) AS n, sum(v) AS s,
+        |    sum(CAST(v * v AS DECIMAL(30,8))) AS ss FROM g GROUP BY 1),
+        |m2 AS (SELECT dow, n, s, ss,
+        |    CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 4)
+        |      AS DECIMAL(30,8)) AS term FROM m),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(n) AS BIGINT) AS n,
+        |    sum(s) AS st, sum(ss) AS sst, sum(term) AS terms FROM m2),
+        |d AS (SELECT k, n,
+        |    CAST(terms - CAST(round(CAST(st AS DOUBLE) *
+        |      CAST(st AS DOUBLE) / n, 4) AS DECIMAL(30,8)) AS DOUBLE)
+        |      AS ssb,
+        |    CAST(sst - terms AS DOUBLE) AS ssw FROM a)
+        |SELECT k, n, round(ssb, 4) AS ss_between,
+        |  round(ssw, 4) AS ss_within,
+        |  CASE WHEN k > 1 AND ssw > 0
+        |    THEN round((ssb / (k - 1)) / (ssw / (n - k)), 4)
+        |    ELSE 0.0 END AS f_stat,
+        |  k = 7 AND (CASE WHEN k > 1 AND ssw > 0
+        |    THEN round((ssb / (k - 1)) / (ssw / (n - k)), 4)
+        |    ELSE 0.0 END) > 2.0986 AS sig_05
+        |FROM d""".stripMargin,
     // q_survival_km: identical lifetime/censoring derivation, BIGINT
     // casts on every counting sum (HUGEINT→float64 pandas trap),
     // identical zero-factor pin instead of ln(0)
@@ -2646,6 +2687,25 @@ object SparkEntry {
     // dow from the epoch-day count ((ed + 3) mod 7, 0 = Monday) —
     // dayofweek()'s origin varies by engine, an integer mod doesn't;
     // the date functions used agree across engines by construction
+    // ts_fourier_features: identical day-index/phase integers,
+    // identical left-assoc angle arithmetic, 4dp-rounded sin/cos
+    "ts_fourier_features" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP_US))
+        |      AS TIMESTAMP) AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |mn AS (SELECT min(day) AS mn FROM daily),
+        |f AS (SELECT event_type, day, cnt,
+        |    CAST(date_diff('day', CAST(mn AS DATE), CAST(day AS DATE))
+        |      AS INTEGER) AS t
+        |  FROM daily, mn),
+        |p AS (SELECT event_type, day, cnt, t, t % 7 AS ph FROM f)
+        |SELECT event_type, day, cnt, t,
+        |  round(sin(2.0 * pi() * 1 * ph / 7), 4) AS sin7_1,
+        |  round(cos(2.0 * pi() * 1 * ph / 7), 4) AS cos7_1,
+        |  round(sin(2.0 * pi() * 2 * ph / 7), 4) AS sin7_2,
+        |  round(cos(2.0 * pi() * 2 * ph / 7), 4) AS cos7_2
+        |FROM p ORDER BY event_type, day""".stripMargin,
     "ts_calendar_features" ->
       """WITH daily AS (SELECT event_type,
         |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP_US))
@@ -3388,6 +3448,64 @@ object SparkEntry {
     // (expression trees repeated character for character), SES over
     // the θ=2 line as a recursive CTE with (1 - 0.3) kept as a
     // subtraction — bit-identical 4dp (the forecast_hw contract)
+    // forecast_croston: identical 0-filled calendar, identical
+    // two-state recursion (pre-reset interval in the p update,
+    // (1 - 0.3) kept as a subtraction), flat z/p rounded at output
+    "forecast_croston" ->
+      """WITH RECURSIVE evd AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         event_type, value FROM events),
+        |span AS (SELECT min(day) AS mn, max(day) AS mx FROM evd),
+        |types AS (SELECT DISTINCT event_type FROM evd),
+        |sparse AS (SELECT event_type, day, count(*) AS cnt FROM evd
+        |  WHERE value > 300 GROUP BY 1, 2),
+        |cal AS (SELECT ty.event_type,
+        |    unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+        |  FROM types ty, span),
+        |filled AS (SELECT c.event_type, c.day,
+        |    coalesce(s.cnt, 0) AS cnt
+        |  FROM cal c LEFT JOIN sparse s USING (event_type, day)),
+        |train AS (SELECT event_type, day, CAST(cnt AS DOUBLE) AS y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) - 1
+        |      AS t
+        |  FROM filled, span WHERE day <= mx - INTERVAL 7 DAY),
+        |nn AS (SELECT event_type, count(*) AS n, max(day) AS tday
+        |  FROM train GROUP BY 1),
+        |rec AS (
+        |  SELECT event_type, t,
+        |    CAST(CASE WHEN y > 0 THEN y ELSE 0.0 END AS DOUBLE) AS z,
+        |    CAST(1.0 AS DOUBLE) AS p,
+        |    CAST(CASE WHEN y > 0 THEN 1.0 ELSE 2.0 END AS DOUBLE) AS q,
+        |    CASE WHEN y > 0 THEN 0 ELSE 1 END AS first
+        |  FROM train WHERE t = 0
+        |  UNION ALL
+        |  SELECT tr.event_type, tr.t,
+        |    CASE WHEN tr.y > 0 THEN
+        |        CASE WHEN r.first = 1 THEN tr.y
+        |             ELSE 0.3 * tr.y + (1 - 0.3) * r.z END
+        |      ELSE r.z END,
+        |    CASE WHEN tr.y > 0 THEN
+        |        CASE WHEN r.first = 1 THEN r.q
+        |             ELSE 0.3 * r.q + (1 - 0.3) * r.p END
+        |      ELSE r.p END,
+        |    CASE WHEN tr.y > 0 THEN 1.0 ELSE r.q + 1.0 END,
+        |    CASE WHEN tr.y > 0 THEN 0 ELSE r.first END
+        |  FROM train tr JOIN rec r ON tr.event_type = r.event_type
+        |    AND tr.t = r.t + 1),
+        |fin AS (SELECT r.event_type,
+        |    CASE WHEN r.first = 1 THEN 0.0 ELSE r.z / r.p END AS f,
+        |    nn.tday
+        |  FROM rec r JOIN nn ON r.event_type = nn.event_type
+        |  WHERE r.t = nn.n - 1),
+        |fc AS (SELECT event_type,
+        |    tday + INTERVAL 1 DAY * unnest(range(1, 8)) AS day,
+        |    round(f, 4) AS pred
+        |  FROM fin)
+        |SELECT fc.event_type AS event_type, fc.day AS day,
+        |  CAST(fl.cnt AS BIGINT) AS actual, fc.pred AS pred
+        |FROM fc JOIN filled fl ON fl.event_type = fc.event_type
+        |  AND fl.day = fc.day
+        |ORDER BY event_type, day""".stripMargin,
     "forecast_theta" ->
       """WITH RECURSIVE daily AS (
         |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
@@ -3822,6 +3940,40 @@ object SparkEntry {
         | len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
         | len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9\s]')) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // text_gopher_gates: identical split/regex primitives; DuckDB
+    // regexp_replace needs the 'g' flag to match Spark's replace-all
+    "text_gopher_gates" ->
+      """SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+        |  bullet_ratio, ellipsis_ratio, alpha_ratio, stop_hits,
+        |  (n_words >= 50 AND n_words <= 100000 AND
+        |   mean_word_len >= 3 AND mean_word_len <= 10 AND
+        |   symbol_ratio <= 0.1 AND bullet_ratio <= 0.9 AND
+        |   ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8 AND
+        |   stop_hits >= 2) AS pass
+        |FROM (
+        |  SELECT doc_id,
+        |   len(string_split_regex(trim(text), '\s+')) AS n_words,
+        |   round(length(regexp_replace(trim(text), '\s+', '', 'g'))
+        |     * 1.0 / len(string_split_regex(trim(text), '\s+')), 4)
+        |     AS mean_word_len,
+        |   round(len(regexp_extract_all(text, '[#…]')) * 1.0 /
+        |     len(string_split_regex(trim(text), '\s+')), 4)
+        |     AS symbol_ratio,
+        |   round(len(list_filter(string_split(text, chr(10)),
+        |       x -> regexp_matches(x, '^\s*[-*•]'))) * 1.0 /
+        |     len(string_split(text, chr(10))), 4) AS bullet_ratio,
+        |   round(len(list_filter(string_split(text, chr(10)),
+        |       x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) * 1.0 /
+        |     len(string_split(text, chr(10))), 4) AS ellipsis_ratio,
+        |   round(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |       x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 /
+        |     len(string_split_regex(trim(text), '\s+')), 4)
+        |     AS alpha_ratio,
+        |   CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |       x -> list_contains(['the','be','to','of','and','that',
+        |         'have','with'], x))) AS BIGINT) AS stop_hits
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       """SELECT doc_id, len, n_tokens, stopword_ratio, punct_ratio,
         | CASE WHEN len >= 100 AND stopword_ratio >= 0.01
@@ -3856,6 +4008,7 @@ object SparkEntry {
     "emb_project_rp" -> graft.ops.SimilarityOps.rpOracleSql(),
     "ann_pq_topk" -> graft.ops.SimilarityOps.pqOracleSql(),
     "ann_ivfpq_topk" -> graft.ops.SimilarityOps.ivfPqOracleSql(),
+    "emb_diversity_sample" -> graft.ops.SimilarityOps.diversityOracleSql(),
     "graph_kcore" -> graft.ops.GraphOps.kCoreOracleSql(),
     "graph_lpa" -> graft.ops.GraphOps.lpaOracleSql(),
     // exact decimal sums make the partial-aggregation order (and the

@@ -1186,6 +1186,51 @@ object Analytics {
           .cast("bigint")).otherwise(0L).as("n_arm_1pct"))
   }
 
+  /** One-way ANOVA across day-of-week groups — the k-group
+    * generalization of [[welchTTest]] (two arms) asking the
+    * seasonality question as a TEST: does mean value differ by
+    * weekday at all? Group moments (n, Σv, Σv²) as exact DECIMALs on
+    * 4dp-rounded values; each group's correction term S²/n is
+    * rounded to 4dp BEFORE the cross-group sum (the rounded-metric
+    * rule — at most 7 terms, but their sum order is plan-dependent
+    * and doubles don't associate), so SSB/SSW are exact decimal
+    * differences and F divides once in double. dow from the integer
+    * epoch-day arithmetic the calendar features pinned ((ed+3) mod
+    * 7 — engine dayofweek() origins vary). The significance flag
+    * compares the 4dp F against the PINNED critical value 2.0986
+    * (α=0.05, df1=6, df2=∞ — documented large-sample approximation,
+    * never engine CDFs) and only fires when all 7 weekdays are
+    * populated. Two narrow aggregations, group count ≤ 7. */
+  def anovaDow(s: SparkSession, d: String): DataFrame =
+    anovaDowOn(Tables.events(s, d))
+
+  /** Same over any (ts, value) frame. */
+  def anovaDowOn(events: DataFrame): DataFrame = {
+    val ed = expr("unix_micros(ts) div 86400000000")
+    val v = round(col("value"), 4).cast("decimal(14,4)")
+    val g = events.select(((ed + 3) % 7).as("dow"), v.as("v"))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+        sum((col("v") * col("v")).cast("decimal(30,8)")).as("ss"))
+      .select(col("dow"), col("n"), col("s"), col("ss"),
+        round(col("s").cast("double") * col("s").cast("double") /
+          col("n"), 4).cast("decimal(30,8)").as("term"))
+    val a = g.agg(count(lit(1)).as("k"), sum(col("n")).as("n"),
+      sum(col("s")).as("st"), sum(col("ss")).as("sst"),
+      sum(col("term")).as("terms"))
+    val cf = round(col("st").cast("double") * col("st").cast("double") /
+      col("n"), 4).cast("decimal(30,8)")
+    val ssb = (col("terms") - cf).cast("double")
+    val ssw = (col("sst") - col("terms")).cast("double")
+    val f = when(col("k") > 1 && ssw > 0,
+      round((ssb / (col("k") - 1)) / (ssw / (col("n") - col("k"))), 4))
+      .otherwise(0.0)
+    a.select(col("k"), col("n"),
+      round(ssb, 4).as("ss_between"), round(ssw, 4).as("ss_within"),
+      f.as("f_stat"),
+      (col("k") === 7 && f > 2.0986).as("sig_05"))
+  }
+
   /** Kaplan-Meier survival over user lifetimes — the churn readout
     * cohort retention approximates but doesn't estimate: retention
     * counts who RETURNED in week w; KM estimates the probability a

@@ -283,6 +283,75 @@ object Forecast {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Croston's method (1972) — the INTERMITTENT-demand forecaster the
+    * rest of the family cannot handle: on a series that is mostly
+    * zeros (spike/incident counts — here, daily events with value
+    * above `threshold`, 2-6 of 30 days at the gate SF), SES smooths
+    * toward zero between demands and seasonal-naive copies noise.
+    * Croston maintains TWO exponential estimates — nonzero demand
+    * SIZE z and inter-demand INTERVAL p (smoothed only on demand
+    * days, from the pre-reset gap counter) — and forecasts the flat
+    * demand RATE z/p. The series is the 0-FILLED calendar per type
+    * (the zeros are the signal; a sparse frame would hide the
+    * intervals), anchored on the full corpus span so the holdout
+    * boundary matches the family convention.
+    *
+    * Distributed shape = the family's split: calendar fill and
+    * holdout actuals in-plan, the inherently sequential two-state
+    * recursion in `flatMapGroups` (one task per series, O(1) state).
+    * Cross-engine: the oracle replays the recursion node-for-node
+    * (incl. `(1 − α)` as a subtraction and the pre-reset interval in
+    * the p update); series with no train demand forecast 0. Output:
+    * (event_type, day, actual, pred) over the holdout days, actuals
+    * 0-filled. */
+  def croston(s: SparkSession, d: String, horizon: Int = 7,
+              alpha: Double = 0.3, threshold: Double = 300.0): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).as("day"), col("event_type"),
+        col("value"))
+    val span = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+    val types = ev.select(col("event_type")).distinct()
+    val sparse = ev.filter(col("value") > threshold)
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("cnt"))
+    val filled = types.crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
+      .join(sparse, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val train = filled.crossJoin(broadcast(span))
+      .filter(col("day") <= col("mx") - expr(s"interval $horizon day"))
+      .select(col("event_type"), col("day"), col("cnt"))
+      .as[(String, java.sql.Timestamp, Long)]
+    val fc = train.groupByKey(_._1).flatMapGroups {
+      (k: String, it: Iterator[(String, java.sql.Timestamp, Long)]) =>
+        val rows = it.toArray.sortBy(_._2.getTime)
+        var q = 1.0; var z = 0.0; var p = 1.0; var first = true
+        rows.foreach { r =>
+          val y = r._3.toDouble
+          if (y > 0) {
+            if (first) { z = y; p = q; first = false }
+            else {
+              z = alpha * y + (1.0 - alpha) * z
+              p = alpha * q + (1.0 - alpha) * p
+            }
+            q = 1.0
+          } else q += 1.0
+        }
+        val f = if (first) 0.0 else z / p
+        val tday = rows.last._2
+        (1 to horizon).iterator.map(h => (k, tday, h, f))
+    }.toDF("event_type", "tday", "h", "pred")
+    fc.select(col("event_type"),
+        expr("timestampadd(DAY, h, tday)").as("day"),
+        round(col("pred"), 4).as("pred"))
+      .join(filled.select(col("event_type"), col("day"),
+        col("cnt").as("actual")), Seq("event_type", "day"))
+      .select(col("event_type"), col("day"), col("actual"), col("pred"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Backtest MODEL SELECTION — the question the single-model entries
     * leave open: per series, which forecaster actually wins the
     * holdout? Runs the three holdout-evaluated models

@@ -490,6 +490,91 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Diversity sampling over embeddings — the curation question ANN
+    * retrieval doesn't answer: not "what is similar to this query"
+    * but "which subset COVERS the corpus" (the training-data
+    * deduplication complement: near-dup removal prunes redundancy,
+    * diversity sampling allocates a budget across semantic regions).
+    * Reuses the IVF fit verbatim ([[ivfTopK]]'s seed → one-refine →
+    * assign chain, identical rounding/tiebreaks) and takes, per
+    * cell, the `perCell` members CLOSEST to the cell centroid
+    * (sim desc, vec_id tiebreak) — per-region exemplars with cell
+    * sizes beside them, so downstream curation can weight regions by
+    * mass. Cost = the IVF fit's two corpus passes + one keyed
+    * window; output cells × perCell rows at any corpus size, and the
+    * per-cell window partitions on the cell key (never global). */
+  def diversitySample(s: SparkSession, d: String, perCell: Int = 3,
+                      nCells: Int = 0): DataFrame = {
+    val emb = Tables.embeddings(s, d).cache()
+    val cellCount =
+      if (nCells > 0) nCells
+      else math.max(8, math.sqrt(emb.count().toDouble).toInt)
+    val seeds = emb.filter(col("vec_id") < cellCount)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+    // ivfTopK's single-probe argmax, with the winning sim kept beside
+    // the cell (the exemplar ranking needs it)
+    def assignSim(cents: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(cents))
+        .withColumn("sim", round(cosine(col("embedding"), col("c_emb")), 4))
+        .groupBy(col("vec_id"))
+        .agg(first(col("embedding")).as("embedding"),
+          max_by(struct(col("cell"), col("sim")),
+            struct(col("sim"), -col("cell"))).as("cs"))
+        .select(col("vec_id"), col("embedding"),
+          col("cs.cell").as("cell"), col("cs.sim").as("sim"))
+    val centroids = assignSim(seeds)
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), transform(col("pm"), x => x.getField("m"))
+        .cast("array<float>").as("c_emb"))
+    val asg = assignSim(centroids)
+    val wCell = Window.partitionBy(col("cell"))
+    val wRank = wCell.orderBy(col("sim").desc, col("vec_id"))
+    asg
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("cell_size", count(lit(1)).over(wCell))
+      .filter(col("rank") <= perCell)
+      .select(col("cell"), col("cell_size"), col("rank"), col("vec_id"),
+        col("sim"))
+      .orderBy(col("cell"), col("rank"))
+  }
+
+  /** DuckDB replica of [[diversitySample]]: the ivfOracle fit CTEs
+    * with the winning sim carried through, then the per-cell
+    * exemplar window. */
+  private[graft] def diversityOracleSql(perCell: Int = 3): String = {
+    val avgs = (1 to dim).map(i => s"avg(emb[$i])").mkString(", ")
+    s"""WITH nc AS (SELECT greatest(8, CAST(floor(sqrt(count(*))) AS BIGINT)) AS n
+       |            FROM embeddings),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |seeds AS (SELECT e.vec_id AS cell, e.emb AS c_emb
+       |          FROM e, nc WHERE e.vec_id < nc.n),
+       |a1 AS (SELECT vec_id, emb, cell,
+       |    round(list_cosine_similarity(emb, c_emb), 4) AS sim
+       |  FROM e CROSS JOIN seeds),
+       |a1r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY sim DESC, cell) AS rnk FROM a1),
+       |assigned AS (SELECT vec_id, emb, cell FROM a1r WHERE rnk = 1),
+       |cents AS (SELECT cell,
+       |    CAST(CAST([$avgs] AS FLOAT[]) AS DOUBLE[]) AS c_emb
+       |  FROM assigned GROUP BY cell),
+       |a2 AS (SELECT vec_id, emb, cell,
+       |    round(list_cosine_similarity(emb, c_emb), 4) AS sim
+       |  FROM e CROSS JOIN cents),
+       |a2r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY sim DESC, cell) AS rnk FROM a2),
+       |cells AS (SELECT vec_id, cell, sim FROM a2r WHERE rnk = 1),
+       |r AS (SELECT cell, vec_id, sim,
+       |    row_number() OVER (PARTITION BY cell
+       |      ORDER BY sim DESC, vec_id) AS rank,
+       |    CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS cell_size
+       |  FROM cells)
+       |SELECT cell, cell_size, rank, vec_id, sim FROM r
+       |WHERE rank <= $perCell ORDER BY cell, rank""".stripMargin
+  }
+
   /** Product quantization (PQ) — the memory-compression tier of ANN:
     * each vector is stored as `m` small codes (here 8 × one-of-16 =
     * 8 bytes) instead of `dim` floats (256 bytes), and queries rank

@@ -372,6 +372,57 @@ object TextOps {
       .orderBy(col("ctx_id"), col("doc_id"))
   }
 
+  /** The Gopher document-quality GATES (Rae et al. 2021 §A1.1) — the
+    * boolean filter battery LLM pipelines run before any scoring:
+    * word-count bounds, mean word length bounds, symbol-to-word
+    * ratio, bullet-line and ellipsis-line fractions, alphabetic-word
+    * fraction, and a stopword floor. Everything is derived from
+    * engine-portable primitives: token count from the shared
+    * whitespace split; mean word length as non-whitespace chars over
+    * words (identical to the token-length sum, one regexp_replace
+    * instead of a per-token fold); line tests as regex filters over
+    * the newline split; the stopword floor counts OCCURRENCES of the
+    * 8 Gopher function words (≥ 2 — documented occurrence semantics,
+    * identical both engines). Ratios 4dp; `pass` = every gate.
+    * Row-local over one scan — zero shuffles at any corpus size. */
+  def gopherGates(s: SparkSession, d: String): DataFrame =
+    gopherGatesOn(Tables.documents(s, d))
+
+  private val gopherStop =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Same over any (doc_id, text) frame. */
+  def gopherGatesOn(docs: DataFrame): DataFrame = {
+    val t = col("__t")
+    val ls = col("__ls")
+    graft.Tables.spread(docs)
+      .select(col("doc_id"), col("text"), toks(col("text")).as("__t"),
+        split(col("text"), "\n").as("__ls"))
+      .select(col("doc_id"),
+        size(t).as("n_words"),
+        round(length(regexp_replace(trim(col("text")), "\\s+", ""))
+          .cast("double") / size(t), 4).as("mean_word_len"),
+        round(regexp_count(col("text"), lit("[#…]")).cast("double") /
+          size(t), 4).as("symbol_ratio"),
+        round(size(filter(ls, x => x.rlike("^\\s*[-*•]")))
+          .cast("double") / size(ls), 4).as("bullet_ratio"),
+        round(size(filter(ls, x => x.rlike("(\\.\\.\\.|…)\\s*$")))
+          .cast("double") / size(ls), 4).as("ellipsis_ratio"),
+        round(size(filter(t, x => x.rlike("[A-Za-z]")))
+          .cast("double") / size(t), 4).as("alpha_ratio"),
+        graft.functions.TextExprs.countInSet(t, gopherStop)
+          .cast("bigint").as("stop_hits"))
+      .withColumn("pass",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+        col("mean_word_len") >= 3 && col("mean_word_len") <= 10 &&
+        col("symbol_ratio") <= 0.1 &&
+        col("bullet_ratio") <= 0.9 &&
+        col("ellipsis_ratio") <= 0.3 &&
+        col("alpha_ratio") >= 0.8 &&
+        col("stop_hits") >= 2)
+      .orderBy(col("doc_id"))
+  }
+
   /** Repetition-based quality signals (the Gopher-rule family):
     * duplicate-bigram fraction (1 − distinct/total) and top-bigram
     * fraction (most frequent bigram's share) — the cheap detectors

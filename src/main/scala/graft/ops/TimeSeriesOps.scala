@@ -658,6 +658,37 @@ object TimeSeriesOps {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Fourier seasonal basis — the regression-ready encoding of
+    * weekly seasonality beside [[calendarFeatures]]' categorical dow
+    * (K sin/cos pairs give a CONTINUOUS, smoothly-extrapolating
+    * basis — the standard seasonal regressors for harmonic
+    * regression and the feature set tree/linear forecasters consume
+    * instead of 6 dow dummies). t = day index from the corpus start
+    * (one scalar broadcast); the angle is built from the REDUCED
+    * phase t mod period, so sin/cos arguments stay in [0, 2πK) —
+    * large-argument range reduction is where libm implementations
+    * drift, small arguments agree to ~1 ulp and round identically
+    * at 4dp. Row-local over the daily frame; zero extra shuffles. */
+  def fourierFeatures(s: SparkSession, d: String,
+                      period: Int = 7): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val mn = daily.agg(min(col("day")).as("mn"))
+    def term(k: Int): Column =
+      lit(2.0) * lit(math.Pi) * lit(k) * col("ph") / lit(period)
+    daily.crossJoin(broadcast(mn))
+      .withColumn("t",
+        datediff(col("day"), to_date(col("mn"))).cast("int"))
+      .withColumn("ph", col("t") % period)
+      .select(col("event_type"), col("day"), col("cnt"), col("t"),
+        round(sin(term(1)), 4).as("sin7_1"),
+        round(cos(term(1)), 4).as("cos7_1"),
+        round(sin(term(2)), 4).as("sin7_2"),
+        round(cos(term(2)), 4).as("cos7_2"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** DeepAR-style dataset export: one row per series with
     * {start, target[], json} — the reference's series_to_jsonline
     * (GluePySparkMLFeatureEngineering cell 45), built with an

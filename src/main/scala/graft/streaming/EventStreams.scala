@@ -327,6 +327,60 @@ object EventStreams {
       }
   }
 
+  // ---- streaming last-touch attribution ----------------------------------
+
+  case class TouchState(touchTsMicros: Long, touchType: String)
+  case class AttributionRow(user_id: Long, event_id: Long,
+                            touch_type: String)
+
+  /** Streaming face of [[graft.ops.Analytics.attributionLastTouch]]:
+    * credit each purchase to the user's LATEST preceding view/click
+    * within the lookback window, live. The batch face's keyed window
+    * (carry-forward last touch in (µs, tag, id) order) is exactly a
+    * greedy fold over per-user events in event-time order, so the
+    * state is ONE touch (timestamp + type) — no history. Within a
+    * micro-batch events sort by (µs, tag, id) with touches (tag 0)
+    * before conversions at the same instant — the equal-timestamp
+    * touch receives credit, the batch contract. Cross-batch state
+    * carries a batch-0 touch to a batch-N conversion; stale touches
+    * (beyond `windowDays`) and touchless users credit 'none'. Emits
+    * one row per conversion (append mode) — the batch face's share
+    * table is a groupBy away. Shares [[FunnelEvent]]'s shape; the
+    * funnelStream late-data caveat applies (delivery-order reorder
+    * across batches can mis-credit vs the batch replay). */
+  def attributionStream(events: Dataset[FunnelEvent],
+                        touchTypes: Seq[String] = Seq("view", "click"),
+                        convType: String = "purchase",
+                        windowDays: Int = 7): Dataset[AttributionRow] = {
+    import events.sparkSession.implicits._
+    val touches = touchTypes.toSet
+    events
+      .filter(e => touches.contains(e.event_type) || e.event_type == convType)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, AttributionRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId, it, state: GroupState[TouchState]) =>
+          def micros(e: FunnelEvent): Long =
+            Math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
+          val sorted = it.toSeq.sortBy(e =>
+            (micros(e), if (e.event_type == convType) 1 else 0, e.event_id))
+          var st = state.getOption.getOrElse(TouchState(Long.MinValue, null))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AttributionRow]
+          sorted.foreach { e =>
+            if (e.event_type == convType) {
+              val credit =
+                if (st.touchType != null &&
+                    micros(e) - st.touchTsMicros <= windowDays * 86400000000L)
+                  st.touchType
+                else "none"
+              out += AttributionRow(userId, e.event_id, credit)
+            } else st = TouchState(micros(e), e.event_type)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   // ---- streaming anomaly monitor ----------------------------------------
 
   case class DailyCount(event_type: String, day: java.sql.Timestamp, cnt: Long)

@@ -503,6 +503,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(!s.getDouble(4).isNaN && !s.getDouble(6).isInfinite)
   }
 
+  test("anova: hand two-group moments give F exactly, zero within-" +
+       "variance pins F to 0, sf covers all seven weekdays") {
+    import spark.implicits._
+    // day 0 (epoch) values 1,2,3 vs day 1 values 7,8,9:
+    // terms 12+192, CF 150 → SSB 54, SSW 4, F = 54/(4/4) = 54
+    val rows = Seq((0L, 1.0), (0L, 2.0), (0L, 3.0),
+      (86400L, 7.0), (86400L, 8.0), (86400L, 9.0))
+      .toDF("sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val r = Analytics.anovaDowOn(rows).first()
+    assert(r.getLong(0) === 2L && r.getLong(1) === 6L)
+    assert(r.getDouble(2) === 54.0 && r.getDouble(3) === 4.0)
+    assert(r.getDouble(4) === 54.0)
+    assert(!r.getBoolean(5)) // k != 7 never flags
+    // identical values in both groups: SSW = 0 → F pinned to 0
+    val z = Analytics.anovaDowOn(
+      Seq((0L, 5.0), (0L, 5.0), (86400L, 5.0), (86400L, 5.0))
+        .toDF("sec", "value")
+        .withColumn("ts", timestamp_seconds(col("sec")))).first()
+    assert(z.getDouble(4) === 0.0 && !z.getBoolean(5))
+    // sf: 30 consecutive days → all 7 weekdays populated
+    val s = Analytics.anovaDow(spark, sf).first()
+    assert(s.getLong(0) === 7L)
+    assert(!s.getDouble(4).isNaN && s.getDouble(4) >= 0.0)
+  }
+
   test("power/MDE: hand moments exact, zero variance pins every " +
        "readout to 0") {
     import spark.implicits._

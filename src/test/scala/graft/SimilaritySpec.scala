@@ -292,6 +292,39 @@ class SimilaritySpec extends SparkSpec {
     assert(sf01.forall { r => val x = r.getDouble(1); x >= 0.0 && x <= 1.0 })
   }
 
+  test("diversity sample: per-cell quotas hold, exemplars rank by " +
+       "centroid sim, region masses sum to the corpus") {
+    val out = SimilarityOps.diversitySample(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byCell = out.groupBy(_.getLong(0))
+    byCell.foreach { case (cell, rows) =>
+      // quota ≤ perCell, ranks dense from 1, sims non-increasing in
+      // rank with vec_id as the deterministic tiebreak
+      assert(rows.length <= 3, s"cell $cell")
+      assert(rows.map(_.getInt(2)).sorted.toSeq ===
+        (1 to rows.length).toSeq, s"cell $cell")
+      val sorted = rows.sortBy(_.getInt(2))
+      sorted.sliding(2).foreach { w =>
+        if (w.length == 2) {
+          val (a, b) = (w(0), w(1))
+          assert(a.getDouble(4) > b.getDouble(4) ||
+            (a.getDouble(4) == b.getDouble(4) &&
+              a.getLong(3) < b.getLong(3)))
+        }
+      }
+      // cell_size constant within the cell and ≥ the quota taken
+      assert(rows.map(_.getLong(1)).distinct.length === 1)
+      assert(rows.head.getLong(1) >= rows.length)
+    }
+    // region masses cover the whole corpus exactly once
+    val mass = byCell.map(_._2.head.getLong(1)).sum
+    assert(mass === Tables.embeddings(spark, sf).count())
+    // exemplar ids are distinct across cells (a vector lives in ONE
+    // region)
+    val ids = out.map(_.getLong(3))
+    assert(ids.distinct.length === ids.length)
+  }
+
   test("pcaPower recovers a planted dominant direction, deterministically") {
     import spark.implicits._
     // variance concentrated on dim 0 (spread ±0.8), light noise on the

@@ -219,6 +219,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming attribution credits the latest in-window touch " +
+      "across micro-batches and matches the batch share table") {
+    import graft.streaming.EventStreams.{FunnelEvent, attributionStream}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    def td(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[FunnelEvent]
+    val q = attributionStream(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_mb").start()
+    try {
+      // batch 0: u1 view then click (click is latest); u2 purchases
+      // with no touch → none
+      mem.addData(
+        FunnelEvent(1L, "view", t(1), 1L), FunnelEvent(1L, "click", t(2), 2L),
+        FunnelEvent(2L, "purchase", t(3), 3L))
+      q.processAllAvailable()
+      // batch 1: u1 purchase — the batch-0 click crossed the gap;
+      // u3 view+purchase at the SAME instant → the touch credits;
+      // u4 view on day 1, purchase on day 20 → stale → none
+      mem.addData(
+        FunnelEvent(1L, "purchase", t(5), 4L),
+        FunnelEvent(3L, "view", t(7), 5L),
+        FunnelEvent(3L, "purchase", t(7), 6L),
+        FunnelEvent(4L, "view", td(1), 7L))
+      q.processAllAvailable()
+      mem.addData(FunnelEvent(4L, "purchase", td(20), 8L))
+      q.processAllAvailable()
+      val rows = spark.table("attr_mb").collect()
+        .map(r => r.getLong(1) -> r.getString(2)).toMap
+      assert(rows === Map(3L -> "none", 4L -> "click", 6L -> "view",
+        8L -> "none"))
+    } finally q.stop()
+
+    // corpus-level: single-pass replay equals the oracled batch face
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .as[FunnelEvent]
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[FunnelEvent]
+    val q2 = attributionStream(mem2.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_corpus").start()
+    try {
+      mem2.addData(ev.collect().toIndexedSeq: _*)
+      q2.processAllAvailable()
+      val streamed = spark.table("attr_corpus").groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = graft.ops.Analytics.attributionLastTouch(spark, sf)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed === batch)
+    } finally q2.stop()
+  }
+
   test("streaming funnel advances per-user stages across micro-batches " +
       "and matches the batch conversion counts") {
     import graft.streaming.EventStreams.{FunnelEvent, funnelStream}

@@ -15,6 +15,44 @@ class TextOpsSpec extends SparkSpec {
     assert(row.getInt(1) === text.trim.split("\\s+").length)
   }
 
+  test("gopher gates: a clean doc passes, each planted violation " +
+       "trips its own gate with hand-exact ratios") {
+    import spark.implicits._
+    val clean = (("the quick brown fox jumps over the lazy dog and " +
+      "that have with more words here ") * 4).trim // 64 words, all alpha
+    val bullets = "- one two\n- three four" // every line bulleted
+    val dots = "wait...\nmore…"             // every line ellipsis-ended
+    val rows = Seq((1L, clean), (2L, "tiny doc"), (3L, bullets),
+      (4L, dots)).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.gopherGatesOn(rows).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val c = out(1L)
+    assert(c.getInt(1) === 64 && c.getBoolean(8), c.toString)
+    assert(c.getDouble(5) === 0.0 && c.getDouble(6) === 1.0)
+    assert(c.getLong(7) >= 2)
+    val tiny = out(2L)
+    assert(tiny.getInt(1) === 2 && !tiny.getBoolean(8))
+    val b = out(3L)
+    // tokens: -, one, two, -, three, four → 6 words, 4 alphabetic,
+    // 17 non-ws chars, both lines bulleted
+    assert(b.getInt(1) === 6)
+    assert(b.getDouble(2) === BigDecimal(17.0 / 6)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(b.getDouble(4) === 1.0)
+    assert(b.getDouble(6) === BigDecimal(4.0 / 6)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(!b.getBoolean(8))
+    val e = out(4L)
+    assert(e.getDouble(5) === 1.0 && !e.getBoolean(8))
+    // sf corpus: every ratio bounded, pass column total sane
+    val sfRows = graft.ops.TextOps.gopherGates(spark, sf).collect()
+    assert(sfRows.nonEmpty)
+    sfRows.foreach { r =>
+      Seq(3, 4, 5, 6).foreach(i =>
+        assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0))
+    }
+  }
+
   test("tfidf top terms: k rows per doc, ranks ordered, idf favors rare terms") {
     val out = TextOps.tfidfTopTerms(spark, sf, k = 3).collect()
     val byDoc = out.groupBy(_.getLong(0))

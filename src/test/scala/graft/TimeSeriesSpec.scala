@@ -242,6 +242,67 @@ class TimeSeriesSpec extends SparkSpec {
     assert(maeAr < maeSn && maeSn > 5.0, s"maeAr=$maeAr maeSn=$maeSn")
   }
 
+  test("croston: hand recursion exact on planted intermittent " +
+       "demand, no-demand series forecasts zero") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Timestamp.valueOf(s"2024-01-$s 00:00:00")
+    // 21 days; 'spiky' demands (value 400 > threshold 300) on days
+    // 1(×4), 4(×2), 10(×6) in train and 18(×3) in holdout; one
+    // background value-1.0 event per day per type anchors the span.
+    // Hand recursion (α=0.3): z=4,p=1 → z=3.4,p=1.6 (q=3) →
+    // z=4.18,p=2.92 (q=6) → f = 4.18/2.92 → 1.4315
+    val demands = Map(1 -> 4, 4 -> 2, 10 -> 6, 18 -> 3)
+    val events = (1 to 21).flatMap { i =>
+      val dd = d(f"$i%02d")
+      Seq(("spiky", dd, 1.0), ("flat", dd, 1.0)) ++
+        Seq.fill(demands.getOrElse(i, 0))(("spiky", dd, 400.0))
+    }.toDF("event_type", "ts", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cro").toString
+    events.withColumn("ts", unix_micros(col("ts")) * 1000)
+      .withColumn("event_id", monotonically_increasing_id())
+      .withColumn("user_id", lit(1L))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val fc = Forecast.croston(spark, dir).collect()
+    val spiky = fc.filter(_.getString(0) == "spiky")
+    assert(spiky.length === 7)
+    val want = BigDecimal(4.18 / 2.92)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    spiky.foreach(r => assert(r.getDouble(3) === want, r.toString))
+    assert(spiky.map(_.getLong(2)).sum === 3L) // the day-18 demand
+    val flat = fc.filter(_.getString(0) == "flat")
+    assert(flat.length === 7)
+    flat.foreach { r =>
+      assert(r.getDouble(3) === 0.0 && r.getLong(2) === 0L)
+    }
+    // sf corpus: 5 series × 7 holdout days, finite nonneg rates
+    val sfRows = Forecast.croston(spark, sf).collect()
+    assert(sfRows.length === 35)
+    sfRows.foreach(r => assert(r.getDouble(3) >= 0.0))
+  }
+
+  test("fourier features: phase-0 pins (0,1), hand angles exact, " +
+       "all terms bounded") {
+    import spark.implicits._
+    val rows = TimeSeriesOps.fourierFeatures(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq(4, 5, 6, 7).foreach(i => assert(math.abs(r.getDouble(i)) <= 1.0))
+      val t = r.getInt(3); val ph = t % 7
+      if (ph == 0) {
+        assert(r.getDouble(4) === 0.0 && r.getDouble(5) === 1.0)
+        assert(r.getDouble(6) === 0.0 && r.getDouble(7) === 1.0)
+      }
+      // replay the exact angle arithmetic for every row
+      def w(k: Int, f: Double => Double) = BigDecimal(
+        f(2.0 * math.Pi * k * ph / 7))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) === w(1, math.sin))
+      assert(r.getDouble(5) === w(1, math.cos))
+      assert(r.getDouble(6) === w(2, math.sin))
+      assert(r.getDouble(7) === w(2, math.cos))
+    }
+  }
+
   test("thetaForecast: exact fit on a ramp, b/2 damped drift, replay match") {
     import spark.implicits._
     def d(s: String) = java.sql.Timestamp.valueOf(s"2024-01-$s 00:00:00")
