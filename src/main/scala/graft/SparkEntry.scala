@@ -295,6 +295,21 @@ object SparkEntry {
     // Kaplan-Meier over user lifetimes; product-limit on the
     // calendar-bounded lifetime distribution, censoring at corpus edge
     "q_survival_km" -> ((s, d) => Analytics.survivalKm(s, d)),
+    // pairwise Pearson matrix: C(k,2) pair explode collapsed by
+    // map-side partials, DECIMAL moments, IEEE-exact closed form
+    "q_corr_matrix" -> ((s, d) => Analytics.corrMatrix(s, d)),
+    // RFM quintiles via the distributed prefix-rank — never a
+    // partition-less ntile; BIGINT floor-division scores
+    "q_rfm" -> ((s, d) => Analytics.rfm(s, d)),
+    // link prediction: capped-center wedge join + anti join on the
+    // canonical edge; jaccard over full degrees; TakeOrdered top-N
+    "graph_link_predict" -> ((s, d) => graft.ops.GraphOps.linkPredict(s, d)),
+    // multivariate OLS per group via normal equations: one 10-moment
+    // agg + in-plan 3×3 Cramer solve — no iteration at any scale
+    "ml_linreg_multi" -> ((s, d) => MlOps.linregMulti(s, d)),
+    // leakage-safe out-of-fold target encoding with md5 folds and
+    // prior shrinkage — output is the broadcastable encoding table
+    "ml_target_encoding" -> ((s, d) => MlOps.targetEncode(s, d)),
     // RAKE salient phrases: two explode+groupBy passes and one
     // phrase-key join; top-N is a TakeOrdered
     "text_rake" -> ((s, d) => TextOps.rake(s, d)),
@@ -2349,7 +2364,7 @@ object SparkEntry {
         |      AS DOUBLE) / count(*), 4) AS DECIMAL(14,4)) AS y
         |  FROM events GROUP BY user_id),
         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_users, sum(y) AS sy,
-        |    sum(CAST(y * y AS DECIMAL(30,8))) AS syy FROM u),
+        |    sum(CAST(CAST(y AS DECIMAL(19,4)) * y AS DECIMAL(30,8))) AS syy FROM u),
         |m AS (SELECT n_users,
         |    round(CAST(sy AS DOUBLE) / n_users, 4) AS mean_y,
         |    (CAST(syy AS DOUBLE) -
@@ -2429,6 +2444,168 @@ object SparkEntry {
         |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 4)
         |  END AS survival
         |FROM f ORDER BY t""".stripMargin,
+    // q_corr_matrix: identical 4dp DECIMAL quantization, identical
+    // pair set (UNION ALL = the explode), moments as exact DECIMALs,
+    // the same double expression tree (casts before every arithmetic
+    // step), zero-variance pinned 0.0
+    "q_corr_matrix" ->
+      """WITH q AS (SELECT
+        |    CAST(round(l_quantity, 4) AS DECIMAL(14,4)) AS c1,
+        |    CAST(round(l_extendedprice, 4) AS DECIMAL(14,4)) AS c2,
+        |    CAST(round(l_discount, 4) AS DECIMAL(14,4)) AS c3,
+        |    CAST(round(l_tax, 4) AS DECIMAL(14,4)) AS c4
+        |  FROM lineitem),
+        |p AS (
+        |  SELECT 'l_quantity' AS cx, 'l_extendedprice' AS cy,
+        |         c1 AS vx, c2 AS vy FROM q
+        |  UNION ALL SELECT 'l_quantity', 'l_discount', c1, c3 FROM q
+        |  UNION ALL SELECT 'l_quantity', 'l_tax', c1, c4 FROM q
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount', c2, c3 FROM q
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax', c2, c4 FROM q
+        |  UNION ALL SELECT 'l_discount', 'l_tax', c3, c4 FROM q),
+        |m AS (SELECT cx, cy, CAST(count(*) AS BIGINT) AS n,
+        |    sum(vx) AS sx, sum(vy) AS sy,
+        |    sum(CAST(CAST(vx AS DECIMAL(19,4)) * vy AS DECIMAL(30,8))) AS sxy,
+        |    sum(CAST(CAST(vx AS DECIMAL(19,4)) * vx AS DECIMAL(30,8))) AS sxx,
+        |    sum(CAST(CAST(vy AS DECIMAL(19,4)) * vy AS DECIMAL(30,8))) AS syy
+        |  FROM p GROUP BY 1, 2),
+        |e AS (SELECT cx, cy, n,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |    (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) AS den2
+        |  FROM m)
+        |SELECT cx, cy, n,
+        |  CASE WHEN den2 > 0 THEN round(num / sqrt(den2), 4)
+        |       ELSE 0.0 END AS corr
+        |FROM e ORDER BY cx, cy""".stripMargin,
+    // ml_linreg_multi: identical DECIMAL moments, identical Cramer
+    // cofactor expansion (left-associative a−b+c, casts first), CASE
+    // without ELSE = Spark's otherwise-less when (null on singular)
+    "ml_linreg_multi" ->
+      """WITH q AS (SELECT l_returnflag AS grp,
+        |    CAST(round(l_extendedprice, 4) AS DECIMAL(14,4)) AS y,
+        |    CAST(round(l_quantity, 4) AS DECIMAL(14,4)) AS x1,
+        |    CAST(round(l_discount, 4) AS DECIMAL(14,4)) AS x2
+        |  FROM lineitem),
+        |m AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |    sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+        |    sum(CAST(CAST(x1 AS DECIMAL(19,4)) * x1 AS DECIMAL(30,8))) AS s11,
+        |    sum(CAST(CAST(x2 AS DECIMAL(19,4)) * x2 AS DECIMAL(30,8))) AS s22,
+        |    sum(CAST(CAST(x1 AS DECIMAL(19,4)) * x2 AS DECIMAL(30,8))) AS s12,
+        |    sum(CAST(CAST(x1 AS DECIMAL(19,4)) * y AS DECIMAL(30,8))) AS s1y,
+        |    sum(CAST(CAST(x2 AS DECIMAL(19,4)) * y AS DECIMAL(30,8))) AS s2y,
+        |    sum(CAST(CAST(y AS DECIMAL(19,4)) * y AS DECIMAL(30,8))) AS syy
+        |  FROM q GROUP BY 1),
+        |dd AS (SELECT grp, n,
+        |    CAST(n AS DOUBLE) AS dn, CAST(s1 AS DOUBLE) AS d1,
+        |    CAST(s2 AS DOUBLE) AS d2, CAST(sy AS DOUBLE) AS dy,
+        |    CAST(s11 AS DOUBLE) AS d11, CAST(s22 AS DOUBLE) AS d22,
+        |    CAST(s12 AS DOUBLE) AS d12, CAST(s1y AS DOUBLE) AS d1y,
+        |    CAST(s2y AS DOUBLE) AS d2y, CAST(syy AS DOUBLE) AS dyy
+        |  FROM m),
+        |k AS (SELECT *,
+        |    dn * (d11 * d22 - d12 * d12) - d1 * (d1 * d22 - d12 * d2)
+        |      + d2 * (d1 * d12 - d11 * d2) AS det
+        |  FROM dd),
+        |b AS (SELECT *,
+        |    (dy * (d11 * d22 - d12 * d12) - d1 * (d1y * d22 - d12 * d2y)
+        |      + d2 * (d1y * d12 - d11 * d2y)) / det AS b0,
+        |    (dn * (d1y * d22 - d12 * d2y) - dy * (d1 * d22 - d12 * d2)
+        |      + d2 * (d1 * d2y - d1y * d2)) / det AS b1,
+        |    (dn * (d11 * d2y - d1y * d12) - d1 * (d1 * d2y - d1y * d2)
+        |      + dy * (d1 * d12 - d11 * d2)) / det AS b2
+        |  FROM k)
+        |SELECT grp, n,
+        |  CASE WHEN det <> 0 THEN round(b0, 4) END AS b0,
+        |  CASE WHEN det <> 0 THEN round(b1, 4) END AS b1,
+        |  CASE WHEN det <> 0 THEN round(b2, 4) END AS b2,
+        |  CASE WHEN det <> 0 AND dyy - dy * dy / dn > 0
+        |    THEN round(1.0 - (dyy - b0 * dy - b1 * d1y - b2 * d2y) /
+        |      (dyy - dy * dy / dn), 4) END AS r2
+        |FROM b ORDER BY grp""".stripMargin,
+    // q_rfm: identical epoch-day recency, DECIMAL monetary, ranks as
+    // row_number−1 over (metric, custkey), identical BIGINT floor-
+    // division score formulas
+    "q_rfm" ->
+      """WITH per0 AS (SELECT o_custkey AS c,
+        |    max(epoch_us(CAST(o_orderdate AS TIMESTAMP_US)) // 86400000000)
+        |      AS last_day,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    sum(CAST(round(o_totalprice, 4) AS DECIMAL(14,4))) AS monetary
+        |  FROM orders GROUP BY 1),
+        |mx AS (SELECT max(last_day) AS mx FROM per0),
+        |per AS (SELECT c, mx - last_day AS r_days, freq, monetary
+        |        FROM per0, mx),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
+        |rr AS (SELECT c, row_number() OVER (ORDER BY r_days, c) - 1 AS kr
+        |       FROM per),
+        |fr AS (SELECT c, row_number() OVER (ORDER BY freq, c) - 1 AS kf
+        |       FROM per),
+        |mr AS (SELECT c, row_number() OVER (ORDER BY monetary, c) - 1 AS km
+        |       FROM per)
+        |SELECT c AS custkey, r_days, freq, monetary,
+        |  CAST(5 - kr * 5 // n AS BIGINT) AS r,
+        |  CAST(kf * 5 // n + 1 AS BIGINT) AS f,
+        |  CAST(km * 5 // n + 1 AS BIGINT) AS m,
+        |  CAST((5 - kr * 5 // n) * 100 + (kf * 5 // n + 1) * 10 +
+        |       (km * 5 // n + 1) AS BIGINT) AS segment
+        |FROM per JOIN rr USING (c) JOIN fr USING (c) JOIN mr USING (c), nn
+        |ORDER BY custkey""".stripMargin,
+    // graph_link_predict: the shared edge CTEs, the same ≤64-degree
+    // center cut, NOT EXISTS = the anti join, full-degree jaccard,
+    // identical (jaccard, cn, a, b) top-N order
+    "graph_link_predict" ->
+      """WITH m AS (SELECT DISTINCT l_orderkey AS basket,
+        |             l_partkey AS item FROM lineitem),
+        |sz AS (SELECT basket, count(*) AS bsz FROM m GROUP BY 1),
+        |mm AS (SELECT m.basket, m.item FROM m JOIN sz USING (basket)
+        |       WHERE sz.bsz <= 16),
+        |e AS (SELECT DISTINCT x.item AS a, y.item AS b
+        |      FROM mm x JOIN mm y USING (basket) WHERE x.item < y.item),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |          SELECT a AS node FROM e
+        |          UNION ALL SELECT b AS node FROM e) GROUP BY 1),
+        |adj AS (SELECT n, v FROM (
+        |          SELECT a AS n, b AS v FROM e
+        |          UNION ALL SELECT b AS n, a AS v FROM e) z
+        |        WHERE EXISTS (SELECT 1 FROM deg
+        |                      WHERE deg.node = z.n AND deg.deg <= 64)),
+        |w AS (SELECT x.v AS a, y.v AS b, CAST(count(*) AS BIGINT) AS cn
+        |      FROM adj x JOIN adj y USING (n) WHERE x.v < y.v
+        |      GROUP BY 1, 2),
+        |cand AS (SELECT * FROM w
+        |         WHERE NOT EXISTS (SELECT 1 FROM e
+        |                           WHERE e.a = w.a AND e.b = w.b))
+        |SELECT cand.a, cand.b, cn, da.deg AS da, db.deg AS db,
+        |  round(CAST(cn AS DOUBLE) /
+        |        CAST(da.deg + db.deg - cn AS DOUBLE), 4) AS jaccard
+        |FROM cand JOIN deg da ON cand.a = da.node
+        |          JOIN deg db ON cand.b = db.node
+        |ORDER BY jaccard DESC, cn DESC, cand.a, cand.b
+        |LIMIT 50""".stripMargin,
+    // ml_target_encoding: identical md5 fold coin (8 hex chars →
+    // BIGINT % folds), identical leave-fold-out shrinkage formula,
+    // prior 4dp-rounded before use on both sides
+    "ml_target_encoding" ->
+      """WITH st AS (SELECT o_orderpriority AS category,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS t,
+        |    CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+        |      ::UBIGINT % 5 AS BIGINT) AS fold
+        |  FROM orders),
+        |cf AS (SELECT category, fold, CAST(count(*) AS BIGINT) AS n_cf,
+        |    CAST(sum(t) AS BIGINT) AS s_cf FROM st GROUP BY 1, 2),
+        |c AS (SELECT category, CAST(sum(n_cf) AS BIGINT) AS n_c,
+        |    CAST(sum(s_cf) AS BIGINT) AS s_c FROM cf GROUP BY 1),
+        |p AS (SELECT round(CAST(sum(s_cf) AS DOUBLE) /
+        |    CAST(sum(n_cf) AS DOUBLE), 4) AS prior FROM cf)
+        |SELECT category, fold, n_cf AS n_rows, prior,
+        |  round((CAST(s_c - s_cf AS DOUBLE) + 20.0 * prior) /
+        |        (CAST(n_c - n_cf AS DOUBLE) + 20.0), 4) AS encoding
+        |FROM cf JOIN c USING (category), p
+        |ORDER BY category, fold""".stripMargin,
     // q_attribution: identical tagged union, identical (us, tag, id)
     // window order with IGNORE NULLS carry-forward, integer lookback
     "q_attribution" ->

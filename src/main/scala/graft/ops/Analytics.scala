@@ -1705,4 +1705,108 @@ object Analytics {
       .orderBy(col("lift").desc, col("item_a"), col("item_b"))
       .limit(topN)
   }
+
+  /** Pairwise Pearson correlation matrix over a measure set in ONE
+    * aggregate pass — the feature-redundancy screen before model
+    * training (collinear features waste capacity and destabilize
+    * linear fits; this is the readout that says which to drop).
+    * Each row map-side explodes into its C(k,2) measure pairs —
+    * row-local, so the only exchange is the final ≤C(k,2)-group
+    * aggregate, and partial aggregation collapses the k²/2-fold
+    * expansion to one row per pair per task before it ever ships.
+    * Moments accumulate as EXACT DECIMAL sums of 4dp-quantized
+    * values (no float associativity drift under any partitioning),
+    * and the closed-form correlation evaluates in double with the
+    * same expression tree the oracle replays — +,−,×,÷,sqrt are all
+    * IEEE exactly-rounded, so both engines agree bit-for-bit before
+    * the final 4dp round. Zero-variance measures pin corr = 0 (Spark
+    * and DuckDB disagree on NaN/null propagation; a pinned sentinel
+    * cannot). At 100 TB this costs exactly one scan: the k² factor
+    * multiplies per-row work inside the scan stage, never rows
+    * shuffled. */
+  def corrMatrix(s: SparkSession, d: String): DataFrame =
+    corrMatrixOn(Tables.lineitem(s, d),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
+  /** Same over any frame and ≥2 numeric measure columns. */
+  def corrMatrixOn(df: DataFrame, measures: Seq[String]): DataFrame = {
+    require(measures.size >= 2, "need at least two measures")
+    def dbl(c: Column): Column = c.cast("double")
+    val staged = df.select(measures.map(c =>
+      round(col(c).cast("double"), 4).cast("decimal(14,4)").as(c)): _*)
+    val pairs = for {
+      i <- measures.indices; j <- (i + 1) until measures.size
+    } yield struct(lit(measures(i)).as("cx"), lit(measures(j)).as("cy"),
+      col(measures(i)).as("vx"), col(measures(j)).as("vy"))
+    val m = staged.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.cx").as("cx"), col("p.cy").as("cy"),
+        col("p.vx").as("vx"), col("p.vy").as("vy"))
+      .groupBy(col("cx"), col("cy"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("vx")).as("sx"), sum(col("vy")).as("sy"),
+        sum((col("vx") * col("vy")).cast("decimal(30,8)")).as("sxy"),
+        sum((col("vx") * col("vx")).cast("decimal(30,8)")).as("sxx"),
+        sum((col("vy") * col("vy")).cast("decimal(30,8)")).as("syy"))
+    val num = dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))
+    val den2 =
+      (dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))) *
+      (dbl(col("n")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")))
+    m.select(col("cx"), col("cy"), col("n"),
+      when(den2 > 0, round(num / sqrt(den2), 4)).otherwise(lit(0.0))
+        .as("corr"))
+      .orderBy(col("cx"), col("cy"))
+  }
+
+  /** RFM segmentation — the classic customer-value readout (recency /
+    * frequency / monetary quintile scores, 555 = best): per-customer
+    * metrics from ONE order-history aggregate, then each metric's
+    * quintile via the DISTRIBUTED prefix-rank ([[PrefixSum]]: range-
+    * partition, local rank, broadcast per-partition offsets) — NEVER
+    * a partition-less ntile window, which sorts every customer in
+    * one task (the etl_assign_ids lesson; ml_feature_ntile gets away
+    * with a keyed window because its partitions are event types — a
+    * global customer score has no such key). Score = rank·5 div n
+    * (pure BIGINT floor division, engine-portable), recency inverted
+    * so 5 = most recent; ties inside a metric break on customer key,
+    * so boundary customers land deterministically. Cost: one
+    * order-scan aggregate + three customer-sized rank passes + three
+    * customer-key joins — everything after the first aggregate is
+    * customer-grain, ~1/10 of the fact table, and scales linearly. */
+  def rfm(s: SparkSession, d: String): DataFrame =
+    rfmOn(Tables.orders(s, d))
+
+  /** Same over any (o_custkey, o_orderdate, o_totalprice) frame. */
+  def rfmOn(orders: DataFrame): DataFrame = {
+    // orders ships TIMESTAMP_NTZ; sessions run UTC, so the cast keeps
+    // wall-clock values (the Tables.events parity posture)
+    val ed = expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+    val per0 = orders.groupBy(col("o_custkey").as("c"))
+      .agg(max(ed).as("last_day"), count(lit(1)).as("freq"),
+        sum(round(col("o_totalprice"), 4).cast("decimal(14,4)"))
+          .as("monetary"))
+    val mx = per0.agg(max(col("last_day")).as("mx"))
+    // customer-grain frame; cached because three rank passes + the
+    // final join tree all consume it
+    val per = per0.crossJoin(broadcast(mx))
+      .select(col("c"), (col("mx") - col("last_day")).as("r_days"),
+        col("freq"), col("monetary"))
+      .cache()
+    val nCust = per.agg(count(lit(1)).as("n"))
+    def rankOf(metric: String, as: String): DataFrame =
+      PrefixSum.exclusive(per.select(col("c"), col(metric)),
+        Seq(col(metric), col("c")), lit(1L))
+        .select(col("c"), col("__cum").as(as))
+    per
+      .join(rankOf("r_days", "kr"), "c")
+      .join(rankOf("freq", "kf"), "c")
+      .join(rankOf("monetary", "km"), "c")
+      .crossJoin(broadcast(nCust))
+      .select(col("c").as("custkey"), col("r_days"), col("freq"),
+        col("monetary"),
+        expr("5 - kr * 5 div n").as("r"),
+        expr("kf * 5 div n + 1").as("f"),
+        expr("km * 5 div n + 1").as("m"))
+      .withColumn("segment", col("r") * 100 + col("f") * 10 + col("m"))
+      .orderBy(col("custkey"))
+  }
 }

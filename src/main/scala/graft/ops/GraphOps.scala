@@ -210,6 +210,65 @@ object GraphOps {
       .orderBy(col("bin"))
   }
 
+  /** Common-neighbor / Jaccard LINK PREDICTION over the part
+    * co-occurrence graph — "which items SHOULD co-occur but don't
+    * yet": the recommendation face of the edge-list family (clusters
+    * partition it, PageRank ranks it, triangles measure closure;
+    * this proposes the missing edges closure implies). Candidates =
+    * non-adjacent pairs at distance 2, generated per shared neighbor
+    * — the SAME wedge shape the triangle count enumerates, with the
+    * hub posture made explicit: a center of degree d contributes
+    * C(d,2) candidate pairs, so centers above `maxCenterDeg` are
+    * DROPPED (declared contract, mirrored in the oracle): a super-
+    * hub's endorsement carries no signal (every pair shares it —
+    * the stopword of graphs; Adamic-Adar downweights it toward 0,
+    * we cut it exactly), and without the cap one 10⁶-degree hub is
+    * 10¹² shuffle rows. Scores: common-neighbor count and Jaccard
+    * cn / (da + db − cn) with FULL degrees (capping only centers
+    * keeps the denominator honest while bounding work). Existing
+    * edges leave via one anti join on the canonical pair; top-N by
+    * (jaccard, cn, pair) is a TakeOrdered heap, never a global
+    * sort. Cost: capped wedge join + one anti join + two degree
+    * joins — O(Σ_{d≤cap} C(d,2)) shuffle rows, the same bound the
+    * triangle count's orientation buys, chosen here by cutoff
+    * because common-neighbor counting needs BOTH wedge arms. */
+  def linkPredict(s: SparkSession, d: String, maxBasket: Int = 16,
+                  maxCenterDeg: Int = 64, topN: Int = 50): DataFrame =
+    linkPredictOn(Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")),
+      maxBasket, maxCenterDeg, topN)
+
+  /** Same over any (basket, item) membership list. */
+  def linkPredictOn(pairs: DataFrame, maxBasket: Int, maxCenterDeg: Int,
+                    topN: Int): DataFrame = {
+    // edges feed degrees, the wedge join, AND the anti join —
+    // materialize once
+    val edges = basketEdges(pairs, maxBasket).localCheckpoint(false)
+    val deg = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val adj = edges.select(col("a").as("n"), col("b").as("v"))
+      .union(edges.select(col("b").as("n"), col("a").as("v")))
+      .join(deg.filter(col("deg") <= maxCenterDeg)
+        .select(col("node").as("n")), Seq("n"), "left_semi")
+    val cand = adj.as("x").join(adj.as("y"), "n")
+      .filter(col("x.v") < col("y.v"))
+      .groupBy(col("x.v").as("a"), col("y.v").as("b"))
+      .agg(count(lit(1)).as("cn"))
+      .join(edges, Seq("a", "b"), "left_anti")
+    cand
+      .join(deg.withColumnRenamed("node", "a")
+        .withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("node", "b")
+        .withColumnRenamed("deg", "db"), "b")
+      .select(col("a"), col("b"), col("cn"), col("da"), col("db"),
+        round(col("cn").cast("double") /
+          (col("da") + col("db") - col("cn")).cast("double"), 4)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("cn").desc, col("a"), col("b"))
+      .limit(topN)
+  }
+
   /** Canonical (a < b) undirected edge set from basket co-membership,
     * shared by the exact and sampled triangle faces. */
   /** k-core peeling — the graph-DENSITY audit beside the triangle

@@ -6,7 +6,7 @@ import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.StandardScaler
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** MLlib pipelines over the embeddings table — the distributed
@@ -253,5 +253,113 @@ object MlOps {
         round(when(prec + rec === 0, lit(0.0))
           .otherwise(lit(2.0) * prec * rec / (prec + rec)), 4).as("f1"))
       .orderBy(col("label"))
+  }
+
+  /** Per-group multivariate OLS (two regressors + intercept) fit by
+    * NORMAL EQUATIONS — the REGR_SLOPE family generalized one rank
+    * up, and the distributed closed-form fit: ONE map-side-combinable
+    * aggregate accumulates the 3×3 Gram matrix and X'y vector as
+    * EXACT DECIMAL moments of 4dp-quantized inputs (partitioning
+    * cannot reorder-drift an exact sum), then the coefficient solve
+    * is 3×3 Cramer's rule evaluated IN-PLAN in double — +,−,×,÷
+    * only, every step IEEE exactly-rounded, the identical expression
+    * tree replayed by the oracle. No iteration, no driver-side
+    * matrix library, no collect: the fit costs one aggregation of
+    * ten moments per group at ANY row count — the 100 TB shape.
+    * Singular systems (det = 0 exactly, e.g. a constant regressor)
+    * emit null coefficients rather than dividing noise; R² comes
+    * from the same moments via SSE = Σy² − b·X'y (unrounded b, tree
+    * mirrored cross-engine), pinned null when SST = 0. */
+  def linregMulti(s: SparkSession, d: String): DataFrame =
+    linregMultiOn(Tables.lineitem(s, d), col("l_returnflag"),
+      col("l_extendedprice"), col("l_quantity"), col("l_discount"))
+
+  /** Same over any frame: fit y ~ b0 + b1·x1 + b2·x2 per group. */
+  def linregMultiOn(df: DataFrame, group: Column, y: Column,
+                    x1: Column, x2: Column): DataFrame = {
+    def q(c: Column): Column =
+      round(c.cast("double"), 4).cast("decimal(14,4)")
+    def dbl(name: String): Column = col(name).cast("double")
+    def big(c: Column): Column = c.cast("decimal(30,8)")
+    val m = df
+      .select(group.as("grp"), q(y).as("y"), q(x1).as("x1"), q(x2).as("x2"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+        sum(col("y")).as("sy"),
+        sum(big(col("x1") * col("x1"))).as("s11"),
+        sum(big(col("x2") * col("x2"))).as("s22"),
+        sum(big(col("x1") * col("x2"))).as("s12"),
+        sum(big(col("x1") * col("y"))).as("s1y"),
+        sum(big(col("x2") * col("y"))).as("s2y"),
+        sum(big(col("y") * col("y"))).as("syy"))
+    // 3×3 determinant, first-row cofactor expansion — the exact
+    // parenthesization the oracle SQL mirrors
+    def det3(a: Column, b: Column, c: Column,
+             d: Column, e: Column, f: Column,
+             g: Column, h: Column, i: Column): Column =
+      a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    val (n, s1, s2, sy) = (dbl("n"), dbl("s1"), dbl("s2"), dbl("sy"))
+    val (s11, s22, s12) = (dbl("s11"), dbl("s22"), dbl("s12"))
+    val (s1y, s2y, syy) = (dbl("s1y"), dbl("s2y"), dbl("syy"))
+    val det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    val b0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22) / det
+    val b1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22) / det
+    val b2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y) / det
+    val sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+    val sst = syy - sy * sy / n
+    m.select(col("grp"), col("n"),
+      when(det =!= 0, round(b0, 4)).as("b0"),
+      when(det =!= 0, round(b1, 4)).as("b1"),
+      when(det =!= 0, round(b2, 4)).as("b2"),
+      when(det =!= 0 && sst > 0, round(lit(1.0) - sse / sst, 4)).as("r2"))
+      .orderBy(col("grp"))
+  }
+
+  /** Leakage-safe smoothed TARGET ENCODING of a categorical — the
+    * feature-engineering staple for high-cardinality categoricals
+    * (replace the category with the out-of-fold target rate, shrunk
+    * toward the global prior so rare categories don't memorize their
+    * own labels). Fold = md5(row key) % nFolds — deterministic and
+    * engine-portable, the repo's standard coin, so the entire
+    * encoding (fold assignment included) replays in the oracle.
+    * enc(cat, fold) = (S_cat − S_cat,fold + m·prior) /
+    * (N_cat − N_cat,fold + m): leave-FOLD-out, so no row's own label
+    * leaks into its feature, the property rand()-folded encoders
+    * can't prove run-to-run. Cost: one (cat, fold) aggregate + its
+    * tiny rollup + a broadcast scalar — the output is the encoding
+    * TABLE (categories × folds rows), applied downstream as a
+    * broadcast join; the corpus itself is never reshuffled. A
+    * category seen in only one fold degenerates to the prior
+    * (0 + m·prior over 0 + m) — the shrinkage working as designed. */
+  def targetEncode(s: SparkSession, d: String): DataFrame =
+    targetEncodeOn(Tables.orders(s, d), col("o_orderpriority"),
+      (col("o_orderstatus") === "F").cast("long"), col("o_orderkey"))
+
+  /** Same over any frame: binary `target`, unique row `key`. */
+  def targetEncodeOn(df: DataFrame, cat: Column, target: Column,
+                     key: Column, nFolds: Int = 5, m: Int = 20): DataFrame = {
+    val fold = conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long") % nFolds
+    // (category × fold) grain is tiny; cached because three consumers
+    // (per-category rollup, global prior, final projection) would
+    // otherwise re-scan the fact table three times
+    val cf = df.select(cat.as("category"), target.as("t"), fold.as("fold"))
+      .groupBy(col("category"), col("fold"))
+      .agg(count(lit(1)).as("n_cf"), sum(col("t")).as("s_cf"))
+      .cache()
+    val perCat = cf.groupBy(col("category"))
+      .agg(sum(col("n_cf")).as("n_c"), sum(col("s_cf")).as("s_c"))
+    val prior = cf.agg(
+      round(sum(col("s_cf")).cast("double") /
+        sum(col("n_cf")).cast("double"), 4).as("prior"))
+    cf.join(perCat, "category").crossJoin(broadcast(prior))
+      .select(col("category"), col("fold"), col("n_cf").as("n_rows"),
+        col("prior"),
+        round(((col("s_c") - col("s_cf")).cast("double") +
+          lit(m.toDouble) * col("prior")) /
+          ((col("n_c") - col("n_cf")).cast("double") + lit(m.toDouble)), 4)
+          .as("encoding"))
+      .orderBy(col("category"), col("fold"))
   }
 }

@@ -850,4 +850,54 @@ class AnalyticsSpec extends SparkSpec {
     // lift(A,C) = 9/25 = 0.36, support 1/9
     assert(r(2).getDouble(5) === 0.36 && r(2).getLong(2) === 1)
   }
+
+  test("corrMatrix: perfect +/− correlation exact, zero variance pins 0") {
+    import spark.implicits._
+    import graft.ops.Analytics
+    // a: 1..5; b = 2a (corr +1); c = −a (corr −1); k constant (corr 0)
+    val df = (1 to 5).map(i =>
+        (i.toDouble, 2.0 * i, -i.toDouble, 7.0))
+      .toDF("a", "b", "c", "k")
+    val out = Analytics.corrMatrixOn(df, Seq("a", "b", "c", "k"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size === 6)                       // C(4,2) pairs
+    assert(out.values.forall(_.getLong(2) === 5L))
+    assert(out(("a", "b")).getDouble(3) === 1.0)
+    assert(out(("a", "c")).getDouble(3) === -1.0)
+    assert(out(("b", "c")).getDouble(3) === -1.0)
+    // zero-variance column: pinned 0, never NaN/null
+    assert(out(("a", "k")).getDouble(3) === 0.0)
+    assert(out(("b", "k")).getDouble(3) === 0.0)
+    assert(out(("c", "k")).getDouble(3) === 0.0)
+  }
+
+  test("rfm: quintile scores partition customers evenly; " +
+       "most recent/frequent/valuable customer scores 555") {
+    import spark.implicits._
+    import graft.ops.Analytics
+    // 10 customers: customer i ordered (i+1) times, latest on day i,
+    // each order worth 100·(i+1) — every metric ranks identically.
+    // Recency is inverted: customer 9 (latest day) has r_days 0 →
+    // r = 5; customer 0 is stalest → r = 1. So 9 scores 555, 0: 111.
+    val orders = (0 until 10).flatMap { i =>
+      (0 to i).map { k =>
+        (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 00:00:00"),
+          100.0 * (i + 1))
+      }
+    }.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val out = Analytics.rfmOn(orders).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 10)
+    // 2 customers per quintile on each metric
+    for (s <- 1 to 5) {
+      assert(out.values.count(_.getLong(4) === s.toLong) === 2, s"r=$s")
+      assert(out.values.count(_.getLong(5) === s.toLong) === 2, s"f=$s")
+      assert(out.values.count(_.getLong(6) === s.toLong) === 2, s"m=$s")
+    }
+    // newest + heaviest customer: 555; oldest + lightest: r=5-? —
+    // customer 0: r_days largest → r 1, freq smallest → f 1, m 1
+    assert(out(9L).getLong(7) === 555L)
+    assert(out(0L).getLong(7) === 111L)
+    assert(out(9L).getLong(2) === 10L)   // freq = 10 orders
+  }
 }

@@ -166,4 +166,28 @@ class GraphSpec extends SparkSpec {
       0L -> ((2L, 1L, 1L, 0.3333)), // degree-1 pendants
       1L -> ((4L, 3L, 3L, 0.6667)))) // K4 members, deg 3 → bin 1
   }
+
+  test("linkPredict: path graph proposes the closing pair, " +
+       "existing edges excluded, hub centers cut") {
+    import spark.implicits._
+    // path 1—2—3 (baskets {1,2}, {2,3}): only candidate is (1,3)
+    // via center 2; cn=1, d1=d3=1 → jaccard 1/(1+1−1) = 1
+    val path = Seq((10L, 1L), (10L, 2L), (11L, 2L), (11L, 3L))
+      .toDF("basket", "item")
+    val r1 = graft.ops.GraphOps.linkPredictOn(path, 16, 64, 50).collect()
+    assert(r1.length === 1)
+    assert((r1(0).getLong(0), r1(0).getLong(1), r1(0).getLong(2),
+      r1(0).getDouble(5)) === ((1L, 3L, 1L, 1.0)))
+    // triangle {1,2,3}: every distance-2 pair is already an edge —
+    // the anti join must leave nothing
+    val tri = Seq((10L, 1L), (10L, 2L), (10L, 3L)).toDF("basket", "item")
+    assert(graft.ops.GraphOps.linkPredictOn(tri, 16, 64, 50).count() === 0)
+    // star center 9 with 5 leaves: center degree 5 > cap 4 → the cut
+    // drops every wedge; raising the cap to 5 restores C(5,2) pairs
+    val star = (1L to 5L).map(i => (20L + i, 9L)) ++
+      (1L to 5L).map(i => (20L + i, i))
+    val starDf = star.toDF("basket", "item")
+    assert(graft.ops.GraphOps.linkPredictOn(starDf, 16, 4, 50).count() === 0)
+    assert(graft.ops.GraphOps.linkPredictOn(starDf, 16, 5, 50).count() === 10)
+  }
 }
