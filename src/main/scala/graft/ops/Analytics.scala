@@ -1710,20 +1710,21 @@ object Analytics {
     * aggregate pass — the feature-redundancy screen before model
     * training (collinear features waste capacity and destabilize
     * linear fits; this is the readout that says which to drop).
-    * Each row map-side explodes into its C(k,2) measure pairs —
-    * row-local, so the only exchange is the final ≤C(k,2)-group
-    * aggregate, and partial aggregation collapses the k²/2-fold
-    * expansion to one row per pair per task before it ever ships.
-    * Moments accumulate as EXACT DECIMAL sums of 4dp-quantized
-    * values (no float associativity drift under any partitioning),
-    * and the closed-form correlation evaluates in double with the
-    * same expression tree the oracle replays — +,−,×,÷,sqrt are all
-    * IEEE exactly-rounded, so both engines agree bit-for-bit before
-    * the final 4dp round. Zero-variance measures pin corr = 0 (Spark
+    * ALL k + C(k,2) + k moment columns accumulate in ONE scalar
+    * aggregate over the un-expanded scan — no row explode (a first
+    * cut exploded each row into its 6 pairs: 6× row allocation and a
+    * 6-group exchange for identical sums, measured ~3× slower), so
+    * the k² factor multiplies aggregate-buffer width, never row
+    * count, and the exchange is one partial-agg row per task.
+    * Moments are EXACT DECIMAL sums of 4dp-quantized values (no
+    * float associativity drift under any partitioning); the long
+    * (cx, cy, corr) form assembles by exploding the ONE result row.
+    * The closed form evaluates in double with the same expression
+    * tree the oracle replays — +,−,×,÷,sqrt are all IEEE
+    * exactly-rounded, so both engines agree bit-for-bit before the
+    * final 4dp round. Zero-variance measures pin corr = 0 (Spark
     * and DuckDB disagree on NaN/null propagation; a pinned sentinel
-    * cannot). At 100 TB this costs exactly one scan: the k² factor
-    * multiplies per-row work inside the scan stage, never rows
-    * shuffled. */
+    * cannot). At 100 TB this is one scan + a scalar reduce. */
   def corrMatrix(s: SparkSession, d: String): DataFrame =
     corrMatrixOn(Tables.lineitem(s, d),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
@@ -1734,19 +1735,28 @@ object Analytics {
     def dbl(c: Column): Column = c.cast("double")
     val staged = df.select(measures.map(c =>
       round(col(c).cast("double"), 4).cast("decimal(14,4)").as(c)): _*)
-    val pairs = for {
+    val pairIdx = for {
       i <- measures.indices; j <- (i + 1) until measures.size
-    } yield struct(lit(measures(i)).as("cx"), lit(measures(j)).as("cy"),
-      col(measures(i)).as("vx"), col(measures(j)).as("vy"))
-    val m = staged.select(explode(array(pairs: _*)).as("p"))
-      .select(col("p.cx").as("cx"), col("p.cy").as("cy"),
-        col("p.vx").as("vx"), col("p.vy").as("vy"))
-      .groupBy(col("cx"), col("cy"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("vx")).as("sx"), sum(col("vy")).as("sy"),
-        sum((col("vx") * col("vy")).cast("decimal(30,8)")).as("sxy"),
-        sum((col("vx") * col("vx")).cast("decimal(30,8)")).as("sxx"),
-        sum((col("vy") * col("vy")).cast("decimal(30,8)")).as("syy"))
+    } yield (i, j)
+    // one wide scalar aggregate: k sums, k squares, C(k,2) products
+    val aggCols =
+      measures.zipWithIndex.map { case (c, i) => sum(col(c)).as(s"s$i") } ++
+      measures.zipWithIndex.map { case (c, i) =>
+        sum((col(c) * col(c)).cast("decimal(30,8)")).as(s"q$i") } ++
+      pairIdx.map { case (i, j) =>
+        sum((col(measures(i)) * col(measures(j))).cast("decimal(30,8)"))
+          .as(s"p${i}_$j") }
+    val one = staged.agg(count(lit(1)).as("n"), aggCols: _*)
+    // long form from the single result row — a 1-row explode
+    val pairs = pairIdx.map { case (i, j) =>
+      struct(lit(measures(i)).as("cx"), lit(measures(j)).as("cy"),
+        col(s"s$i").as("sx"), col(s"s$j").as("sy"),
+        col(s"p${i}_$j").as("sxy"),
+        col(s"q$i").as("sxx"), col(s"q$j").as("syy")) }
+    val m = one.select(col("n"), explode(array(pairs: _*)).as("p"))
+      .select(col("p.cx").as("cx"), col("p.cy").as("cy"), col("n"),
+        col("p.sx").as("sx"), col("p.sy").as("sy"), col("p.sxy").as("sxy"),
+        col("p.sxx").as("sxx"), col("p.syy").as("syy"))
     val num = dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))
     val den2 =
       (dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))) *
