@@ -301,6 +301,12 @@ object SparkEntry {
     // RFM quintiles via the distributed prefix-rank — never a
     // partition-less ntile; BIGINT floor-division scores
     "q_rfm" -> ((s, d) => Analytics.rfm(s, d)),
+    // log-log price elasticity per brand: libm logs 6dp-quantized
+    // BEFORE the exact DECIMAL moment sums (the rounded-metric rule)
+    "q_elasticity" -> ((s, d) => Analytics.elasticity(s, d)),
+    // damped-trend Holt: per-series 2-double recursion; phi-power sums
+    // by repeated multiplication (never pow) — replayed node-for-node
+    "forecast_holt_damped" -> ((s, d) => Forecast.holtDamped(s, d)),
     // link prediction: capped-center wedge join + anti join on the
     // canonical edge; jaccard over full degrees; TakeOrdered top-N
     "graph_link_predict" -> ((s, d) => graft.ops.GraphOps.linkPredict(s, d)),
@@ -2554,6 +2560,74 @@ object SparkEntry {
         |       (km * 5 // n + 1) AS BIGINT) AS segment
         |FROM per JOIN rr USING (c) JOIN fr USING (c) JOIN mr USING (c), nn
         |ORDER BY custkey""".stripMargin,
+    // q_elasticity: identical unit-price division, identical 6dp log
+    // quantization into DECIMAL before the moments, same closed form
+    "q_elasticity" ->
+      """WITH st AS (SELECT l_partkey,
+        |    CAST(round(ln(round(l_extendedprice / l_quantity, 4)), 6)
+        |      AS DECIMAL(18,6)) AS x,
+        |    CAST(round(ln(l_quantity), 6) AS DECIMAL(18,6)) AS y
+        |  FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0),
+        |j AS (SELECT p.p_brand, st.x, st.y
+        |      FROM st JOIN part p ON st.l_partkey = p.p_partkey),
+        |m AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(CAST(CAST(x AS DECIMAL(24,6)) * y AS DECIMAL(30,12))) AS sxy,
+        |    sum(CAST(CAST(x AS DECIMAL(24,6)) * x AS DECIMAL(30,12))) AS sxx,
+        |    sum(CAST(CAST(y AS DECIMAL(24,6)) * y AS DECIMAL(30,12))) AS syy
+        |  FROM j GROUP BY 1),
+        |e AS (SELECT p_brand, n,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+        |      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
+        |  FROM m)
+        |SELECT p_brand, n,
+        |  CASE WHEN denx > 0 THEN round(num / denx, 4) END AS elasticity,
+        |  CASE WHEN denx > 0 AND deny > 0
+        |    THEN round(num * num / (denx * deny), 4) END AS r2
+        |FROM e ORDER BY p_brand""".stripMargin,
+    // forecast_holt_damped: the fit recursion replays node-for-node
+    // (the forecast_hw contract); the phi-power sum is its own tiny
+    // h-recursion by repeated multiplication — never pow()
+    "forecast_holt_damped" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type,
+        |         date_trunc('day', CAST(ts AS TIMESTAMP_US)) AS day,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (
+        |  SELECT event_type, list(cnt ORDER BY day) AS ys, count(*) AS n
+        |  FROM daily GROUP BY 1),
+        |init AS (
+        |  SELECT event_type, ys, n,
+        |    CAST(ys[1] AS DOUBLE) AS level,
+        |    CAST(ys[2] AS DOUBLE) - CAST(ys[1] AS DOUBLE) AS trend,
+        |    1 AS t
+        |  FROM ser WHERE n >= 2),
+        |step AS (
+        |  SELECT event_type, ys, n, level, trend, t FROM init
+        |  UNION ALL
+        |  SELECT event_type, ys, n,
+        |    0.3*CAST(ys[t+1] AS DOUBLE) + (1 - 0.3)*(level + 0.9*trend),
+        |    0.1*((0.3*CAST(ys[t+1] AS DOUBLE)
+        |          + (1 - 0.3)*(level + 0.9*trend)) - level)
+        |      + (1 - 0.1)*(0.9*trend),
+        |    t + 1
+        |  FROM step WHERE t < n),
+        |fin AS (SELECT * FROM step WHERE t = n),
+        |hstep AS (
+        |  SELECT 1 AS h, CAST(0.9 AS DOUBLE) AS phipow,
+        |         CAST(0.9 AS DOUBLE) AS phisum
+        |  UNION ALL
+        |  SELECT h + 1, phipow * 0.9, phisum + phipow * 0.9
+        |  FROM hstep WHERE h < 7)
+        |SELECT event_type, h,
+        |  round(level + phisum * trend, 4) AS pred
+        |FROM fin, hstep
+        |ORDER BY event_type, h""".stripMargin,
     // graph_link_predict: the shared edge CTEs, the same ≤64-degree
     // center cut, NOT EXISTS = the anti join, full-degree jaccard,
     // identical (jaccard, cn, a, b) top-N order

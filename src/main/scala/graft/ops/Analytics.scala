@@ -1767,6 +1767,52 @@ object Analytics {
       .orderBy(col("cx"), col("cy"))
   }
 
+  /** Price ELASTICITY per product brand — the log-log regression
+    * economists read as "a 1% price increase moves quantity by
+    * elasticity %": slope of ln(quantity) on ln(unit price), fit per
+    * brand with the REGR_* moment recipe. Unit price = extended/qty
+    * (double division, IEEE exactly-rounded) 4dp-rounded; BOTH log
+    * transforms 6dp-round into DECIMAL BEFORE the moment sums — the
+    * rounded-metric rule: ln is libm (1-ulp, not correctly rounded,
+    * JVM and C runtimes may differ), so it must never feed an exact
+    * cross-engine sum unrounded; quantized, the moments are exact
+    * DECIMALs and partitioning can't drift them. The part join
+    * projects part to (key, brand) — dimension-sized, AQE broadcasts
+    * it at any realistic scale; the fit is one map-side-combinable
+    * aggregate per brand, no iteration. Degenerate brands (zero
+    * price variance) emit null elasticity, never a division. R² =
+    * squared correlation from the same moments. */
+  def elasticity(s: SparkSession, d: String): DataFrame =
+    elasticityOn(Tables.lineitem(s, d), Tables.part(s, d))
+
+  /** Same over any (l_partkey, l_quantity, l_extendedprice) fact and
+    * (p_partkey, p_brand) dimension. */
+  def elasticityOn(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val staged = lineitem
+      .filter(col("l_quantity") > 0 && col("l_extendedprice") > 0)
+      .select(col("l_partkey"),
+        round(log(round(col("l_extendedprice") / col("l_quantity"), 4)), 6)
+          .cast("decimal(18,6)").as("x"),
+        round(log(col("l_quantity")), 6).cast("decimal(18,6)").as("y"))
+      .join(part.select(col("p_partkey").as("l_partkey"), col("p_brand")),
+        "l_partkey")
+    val m = staged.groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(30,12)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(30,12)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(30,12)")).as("syy"))
+    val num = dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))
+    val denx = dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))
+    val deny = dbl(col("n")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy"))
+    m.select(col("p_brand"), col("n"),
+      when(denx > 0, round(num / denx, 4)).as("elasticity"),
+      when(denx > 0 && deny > 0, round(num * num / (denx * deny), 4))
+        .as("r2"))
+      .orderBy(col("p_brand"))
+  }
+
   /** RFM segmentation — the classic customer-value readout (recency /
     * frequency / monetary quintile scores, 555 = best): per-customer
     * metrics from ONE order-history aggregate, then each metric's

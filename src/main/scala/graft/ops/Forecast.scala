@@ -352,6 +352,72 @@ object Forecast {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Damped-trend Holt (Gardner & McKenzie) — the dial the
+    * [[holtWinters]] face lacks: an undamped linear trend
+    * extrapolates to ±∞ with the horizon, which is exactly how batch
+    * forecasts embarrass themselves at h ≫ 1; damping multiplies
+    * each further trend step by φ < 1, so the forecast asymptotes at
+    * level + φ/(1−φ)·trend — the robust long-horizon default in the
+    * M-competition literature. Same execution pattern as
+    * [[holtWinters]]: per-series `flatMapGroups` recursion over the
+    * day-ordered counts (state = 2 doubles; series fit in memory by
+    * the calendar bound), one shuffle on the series key.
+    *
+    * l_t = α·y_t + (1−α)(l_{t−1} + φ·b_{t−1});
+    * b_t = β·(l_t − l_{t−1}) + (1−β)·φ·b_{t−1};
+    * ŷ_{n+h} = l_n + (Σ_{i=1..h} φ^i)·b_n.
+    *
+    * Cross-engine determinism: the recursion replays node-for-node
+    * in a DuckDB recursive CTE (the forecast_hw contract), and the
+    * φ-power sum is built by REPEATED MULTIPLICATION in both engines
+    * (a second tiny h-recursion in the oracle) — never pow(), whose
+    * libm results are only 1-ulp-accurate and may differ between
+    * JVM and C runtimes. */
+  def holtDamped(s: SparkSession, d: String, horizon: Int = 7,
+                 alpha: Double = 0.3, beta: Double = 0.1,
+                 phi: Double = 0.9): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("day"), col("cnt"))
+      .as[(String, java.sql.Timestamp, Long)]
+    daily.groupByKey(_._1)
+      .flatMapGroups { (k: String, it: Iterator[(String, java.sql.Timestamp, Long)]) =>
+        val ys = it.toArray.sortBy(_._2.getTime).map(_._3.toDouble)
+        val n = ys.length
+        if (n < 2) Iterator.empty
+        else {
+          var level = ys(0)
+          var trend = ys(1) - ys(0)
+          var t = 1
+          while (t < n) {
+            val y = ys(t)
+            val newLevel = alpha * y + (1 - alpha) * (level + phi * trend)
+            trend = beta * (newLevel - level) + (1 - beta) * (phi * trend)
+            level = newLevel
+            t += 1
+          }
+          // Σφ^i by repeated multiplication — mirrored in the oracle's
+          // h-recursion (phipow·φ appears twice there: same value,
+          // same tree) — never pow()
+          val phisums = new Array[Double](horizon + 1)
+          var phipow = phi
+          phisums(1) = phi
+          var h = 2
+          while (h <= horizon) {
+            phipow = phipow * phi
+            phisums(h) = phisums(h - 1) + phipow
+            h += 1
+          }
+          (1 to horizon).iterator.map(i => (k, i, level + phisums(i) * trend))
+        }
+      }
+      .toDF("event_type", "h", "pred")
+      .select(col("event_type"), col("h"), round(col("pred"), 4).as("pred"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
   /** Backtest MODEL SELECTION — the question the single-model entries
     * leave open: per series, which forecaster actually wins the
     * holdout? Runs the three holdout-evaluated models

@@ -871,6 +871,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(("c", "k")).getDouble(3) === 0.0)
   }
 
+  test("elasticity: planted constant-elasticity demand recovers -2, " +
+       "price-degenerate brand nulls") {
+    import spark.implicits._
+    import graft.ops.Analytics
+    // brand 1 sits EXACTLY on ln q = 4·ln10 − 2·ln p (powers of ten:
+    // the 6dp-rounded logs are still exactly collinear because
+    // round(k·ln10, 6) = k·round(ln10, 6) for k ≤ 4)
+    val li = Seq(
+      (1L, 10000.0, 10000.0 * 1.0),   // unit price 1
+      (1L, 100.0, 100.0 * 10.0),      // unit price 10
+      (1L, 1.0, 1.0 * 100.0),         // unit price 100
+      // brand 2: one price point (two rows, same unit price) → no
+      // price variance → elasticity must be null, not a division
+      (2L, 5.0, 5.0 * 7.0), (2L, 9.0, 9.0 * 7.0)
+    ).toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val part = Seq((1L, "Brand#1"), (2L, "Brand#2")).toDF("p_partkey", "p_brand")
+    val out = Analytics.elasticityOn(li, part).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("Brand#1").getLong(1) === 3L)
+    assert(out("Brand#1").getDouble(2) === -2.0)
+    assert(out("Brand#1").getDouble(3) === 1.0)
+    assert(out("Brand#2").isNullAt(2) && out("Brand#2").isNullAt(3))
+  }
+
   test("rfm: quintile scores partition customers evenly; " +
        "most recent/frequent/valuable customer scores 555") {
     import spark.implicits._

@@ -448,6 +448,39 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("holtDamped matches a driver replay; damping asymptotes the trend") {
+    import org.apache.spark.sql.functions.{col, count, date_trunc, lit}
+    val out = Forecast.holtDamped(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val daily = Tables.events(spark, sf)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(1), r.getTimestamp(0).getTime, r.getLong(2)))
+    val types = daily.map(_._1).distinct.sorted
+    assert(out.keys.map(_._1).toSet === types.toSet)
+    assert(out.size === types.length * 7)
+    val t0 = types.head
+    val ys = daily.filter(_._1 == t0).sortBy(_._2).map(_._3.toDouble)
+    var level = ys(0)
+    var trend = ys(1) - ys(0)
+    for (t <- 1 until ys.length) {
+      val nl = 0.3 * ys(t) + (1 - 0.3) * (level + 0.9 * trend)
+      trend = 0.1 * (nl - level) + (1 - 0.1) * (0.9 * trend)
+      level = nl
+    }
+    var phipow = 0.9; var phisum = 0.9
+    (1 to 7).foreach { h =>
+      if (h > 1) { phipow = phipow * 0.9; phisum = phisum + phipow }
+      val want = BigDecimal(level + phisum * trend)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out((t0, h)) === want, s"h=$h")
+    }
+    // the damped step SHRINKS with h (|Δ_h| = φ^h·|trend| decreasing):
+    // successive forecast increments decay toward the asymptote
+    val diffs = (1 to 6).map(h => math.abs(out((t0, h + 1)) - out((t0, h))))
+    assert(diffs.zip(diffs.tail).forall { case (a, b) => b <= a + 1e-9 })
+  }
+
   test("acf peaks at the planted period and matches a driver replica") {
     import spark.implicits._
     def day(i: Int) = java.sql.Timestamp.valueOf(
