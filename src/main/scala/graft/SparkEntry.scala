@@ -316,6 +316,12 @@ object SparkEntry {
     // leakage-safe out-of-fold target encoding with md5 folds and
     // prior shrinkage — output is the broadcastable encoding table
     "ml_target_encoding" -> ((s, d) => MlOps.targetEncode(s, d)),
+    // depth-1 tree split search: 9 decile candidates as conditional
+    // sums in ONE wide aggregate pass; Gini winner over 9 rows
+    "ml_decision_stump" -> ((s, d) => MlOps.decisionStump(s, d)),
+    // k-fold CV without retraining: every fold's NB model from
+    // complement aggregates off ONE (lang, term, fold) count
+    "ml_cv_accuracy" -> ((s, d) => TextOps.cvNaiveBayes(s, d)),
     // RAKE salient phrases: two explode+groupBy passes and one
     // phrase-key join; top-N is a TakeOrdered
     "text_rake" -> ((s, d) => TextOps.rake(s, d)),
@@ -2680,6 +2686,124 @@ object SparkEntry {
         |        (CAST(n_c - n_cf AS DOUBLE) + 20.0), 4) AS encoding
         |FROM cf JOIN c USING (category), p
         |ORDER BY category, fold""".stripMargin,
+    // ml_cv_accuracy: the full complement-aggregate CV replayed —
+    // fold vocabularies, per-fold class totals/priors (absent classes
+    // drop), the fold-keyed grid, per-doc argmax, per-fold accuracy
+    "ml_cv_accuracy" ->
+      """WITH doc AS (SELECT doc_id, lang, doc_id % 5 AS fold,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents),
+        |ctkf AS (SELECT lang, term, fold, count(*) AS c
+        |  FROM (SELECT lang, fold, unnest(ws) AS term FROM doc)
+        |  GROUP BY 1, 2, 3),
+        |ctk AS (SELECT lang, term, CAST(sum(c) AS BIGINT) AS ctk
+        |        FROM ctkf GROUP BY 1, 2),
+        |tt AS (SELECT term, CAST(sum(c) AS BIGINT) AS tt
+        |       FROM ctkf GROUP BY 1),
+        |ttf AS (SELECT term, fold, CAST(sum(c) AS BIGINT) AS ttf
+        |        FROM ctkf GROUP BY 1, 2),
+        |fids AS (SELECT unnest(range(0, 5)) AS fold),
+        |vf AS (SELECT tt.term, fids.fold
+        |       FROM tt CROSS JOIN fids
+        |       LEFT JOIN ttf ON ttf.term = tt.term AND ttf.fold = fids.fold
+        |       WHERE tt.tt - coalesce(ttf.ttf, 0) > 0),
+        |vsz AS (SELECT fold, CAST(count(*) AS BIGINT) AS v
+        |        FROM vf GROUP BY 1),
+        |ctf AS (SELECT lang, fold, CAST(sum(c) AS BIGINT) AS ctf
+        |        FROM ctkf GROUP BY 1, 2),
+        |cf AS (SELECT ct.lang, fids.fold,
+        |         ct.ct - coalesce(ctf.ctf, 0) AS ctx
+        |       FROM (SELECT lang, CAST(sum(c) AS BIGINT) AS ct
+        |             FROM ctkf GROUP BY 1) ct
+        |       CROSS JOIN fids
+        |       LEFT JOIN ctf ON ctf.lang = ct.lang AND ctf.fold = fids.fold
+        |       WHERE ct.ct - coalesce(ctf.ctf, 0) > 0),
+        |grid AS (SELECT vf.term, cf.lang, vf.fold,
+        |    CAST(round(ln(CAST(coalesce(ctk.ctk, 0) - coalesce(c2.c, 0) + 1
+        |        AS DOUBLE) / (cf.ctx + vsz.v)), 6) AS DECIMAL(12,6)) AS lp
+        |  FROM vf JOIN cf ON cf.fold = vf.fold
+        |  LEFT JOIN ctk ON ctk.term = vf.term AND ctk.lang = cf.lang
+        |  LEFT JOIN ctkf c2 ON c2.lang = cf.lang AND c2.term = vf.term
+        |                    AND c2.fold = vf.fold
+        |  JOIN vsz ON vsz.fold = vf.fold),
+        |ndf AS (SELECT lang, fold, count(*) AS ndf FROM doc GROUP BY 1, 2),
+        |ndft AS (SELECT fold, count(*) AS ndft FROM doc GROUP BY 1),
+        |ndt AS (SELECT count(*) AS ndt FROM doc),
+        |pri AS (SELECT nd.lang, fids.fold,
+        |    round(ln(CAST(nd.nd - coalesce(ndf.ndf, 0) AS DOUBLE) /
+        |      (ndt.ndt - ndft.ndft)), 6) AS prior_ln
+        |  FROM (SELECT lang, count(*) AS nd FROM doc GROUP BY 1) nd
+        |  CROSS JOIN fids
+        |  LEFT JOIN ndf ON ndf.lang = nd.lang AND ndf.fold = fids.fold
+        |  JOIN ndft ON ndft.fold = fids.fold, ndt
+        |  WHERE nd.nd - coalesce(ndf.ndf, 0) > 0),
+        |tfq AS (SELECT doc_id, fold, lang AS true_lang, term,
+        |         count(*) AS tf
+        |  FROM (SELECT doc_id, fold, lang, unnest(ws) AS term FROM doc)
+        |  GROUP BY 1, 2, 3, 4),
+        |sc AS (SELECT t.doc_id, t.fold, t.true_lang, grid.lang,
+        |         sum(t.tf * grid.lp) AS s
+        |       FROM tfq t JOIN grid ON grid.term = t.term
+        |                           AND grid.fold = t.fold
+        |       GROUP BY 1, 2, 3, 4),
+        |fin AS (SELECT sc.doc_id, sc.fold, sc.true_lang, sc.lang,
+        |          round(CAST(s AS DOUBLE) + prior_ln, 4) AS score
+        |        FROM sc JOIN pri ON pri.lang = sc.lang
+        |                        AND pri.fold = sc.fold),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY score DESC, lang) AS rk FROM fin)
+        |SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN lang = true_lang THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_correct,
+        |  round(CAST(sum(CASE WHEN lang = true_lang THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 4) AS accuracy
+        |FROM rk WHERE rk = 1 GROUP BY 1 ORDER BY fold""".stripMargin,
+    // ml_decision_stump: quantile_cont deciles 4dp-rounded before the
+    // split comparisons (the interpolated value is engine-shared only
+    // to ~1 ulp), identical Gini tree, rank on unrounded gini
+    "ml_decision_stump" ->
+      """WITH st AS (SELECT CAST(round(o_totalprice, 4) AS DOUBLE) AS x,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+        |  FROM orders),
+        |dec AS (SELECT quantile_cont(x,
+        |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS ts FROM st),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(pos) AS BIGINT) AS pos FROM st),
+        |cand AS (SELECT CAST(i AS INT) AS idx, round(ts[i], 4) AS t0
+        |  FROM dec, (SELECT unnest(range(1, 10)) AS i)),
+        |agg AS (SELECT idx, t0,
+        |    CAST(sum(CASE WHEN x <= t0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_left,
+        |    CAST(sum(CASE WHEN x <= t0 THEN pos ELSE 0 END) AS BIGINT)
+        |      AS pos_left
+        |  FROM st, cand GROUP BY 1, 2),
+        |gg AS (SELECT idx, t0, n_left, pos_left,
+        |    n - n_left AS n_right, pos - pos_left AS pos_right,
+        |    (CASE WHEN n_left > 0
+        |      THEN (CAST(n_left AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |        (1.0 - (CAST(pos_left AS DOUBLE) / CAST(n_left AS DOUBLE)) *
+        |               (CAST(pos_left AS DOUBLE) / CAST(n_left AS DOUBLE)) -
+        |               (CAST(n_left - pos_left AS DOUBLE) /
+        |                CAST(n_left AS DOUBLE)) *
+        |               (CAST(n_left - pos_left AS DOUBLE) /
+        |                CAST(n_left AS DOUBLE)))
+        |      ELSE 0.0 END) +
+        |    (CASE WHEN n - n_left > 0
+        |      THEN (CAST(n - n_left AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |        (1.0 - (CAST(pos - pos_left AS DOUBLE) /
+        |                CAST(n - n_left AS DOUBLE)) *
+        |               (CAST(pos - pos_left AS DOUBLE) /
+        |                CAST(n - n_left AS DOUBLE)) -
+        |               (CAST((n - n_left) - (pos - pos_left) AS DOUBLE) /
+        |                CAST(n - n_left AS DOUBLE)) *
+        |               (CAST((n - n_left) - (pos - pos_left) AS DOUBLE) /
+        |                CAST(n - n_left AS DOUBLE)))
+        |      ELSE 0.0 END) AS g
+        |  FROM agg, tot)
+        |SELECT idx, t0 AS threshold, n_left, pos_left, n_right, pos_right,
+        |  round(g, 4) AS gini,
+        |  row_number() OVER (ORDER BY g, t0, idx) = 1 AS is_best
+        |FROM gg ORDER BY idx""".stripMargin,
     // q_attribution: identical tagged union, identical (us, tag, id)
     // window order with IGNORE NULLS carry-forward, integer lookback
     "q_attribution" ->

@@ -316,6 +316,79 @@ object MlOps {
       .orderBy(col("grp"))
   }
 
+  /** Decision STUMP trained entirely in the plan — the depth-1 tree
+    * that is the unit of every boosted/bagged ensemble, and the
+    * simplest supervised fit that needs a SPLIT SEARCH (the thing
+    * linear fits don't): candidate thresholds = the feature's nine
+    * exact deciles (one exact-percentile aggregate — replayable as
+    * quantile_cont), split quality = weighted Gini impurity. The
+    * search is ONE wide scalar aggregate: the 1-row decile frame
+    * broadcasts onto the scan and every candidate's (n_left,
+    * pos_left) accumulates as a conditional sum — 9 candidates cost
+    * 9 aggregate columns on one pass, never 9 scans and never a
+    * per-candidate shuffle (the q_corr_matrix shape). Gini evaluates
+    * in double from exact counts (identical trees cross-engine;
+    * empty sides contribute 0 by guard, not NaN), and the winner is
+    * rank-1 on (unrounded gini, threshold, idx) — a window over
+    * exactly 9 rows at ANY corpus scale. Output: the full candidate
+    * table with `is_best`, because the runner-up gap is the signal a
+    * boosting loop reads next. */
+  def decisionStump(s: SparkSession, d: String): DataFrame =
+    decisionStumpOn(Tables.orders(s, d),
+      round(col("o_totalprice"), 4).cast("double"),
+      (col("o_orderstatus") === "F").cast("long"))
+
+  /** Same over any frame: continuous `feature`, 0/1 `target`. */
+  def decisionStumpOn(df: DataFrame, feature: Column,
+                      target: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val staged = df.select(feature.as("x"), target.as("pos"))
+    // 4dp-round each decile BEFORE the split comparisons: the
+    // interpolated percentile is an engine-shared value only to ~1
+    // ulp (Spark (1−d)a+db vs DuckDB a+d(b−a)), and an unrounded
+    // threshold could land a boundary row differently; quantized
+    // against the 4dp feature, the comparison is exact in both
+    val dec = staged.agg(expr(
+      "percentile(x, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("ts"))
+      .select((1 to 9).map(i =>
+        round(element_at(col("ts"), i), 4).as(s"t$i")): _*)
+    val aggCols =
+      Seq(sum(col("pos")).as("pos")) ++
+      (1 to 9).flatMap(k => Seq(
+        sum(when(col("x") <= col(s"t$k"), 1L).otherwise(0L)).as(s"nl$k"),
+        sum(when(col("x") <= col(s"t$k"), col("pos")).otherwise(0L))
+          .as(s"pl$k"))) ++
+      (1 to 9).map(k => min(col(s"t$k")).as(s"tt$k")) // constant carry
+    val one = staged.crossJoin(broadcast(dec))
+      .agg(count(lit(1)).as("n"), aggCols: _*)
+    val cands = (1 to 9).map(k => struct(lit(k).as("idx"),
+      col(s"tt$k").as("threshold"), col(s"nl$k").as("nl"),
+      col(s"pl$k").as("pl")))
+    def dbl(c: Column): Column = c.cast("double")
+    def giniSide(ns: Column, ps: Column, n: Column): Column =
+      when(ns > 0, (dbl(ns) / dbl(n)) *
+        (lit(1.0) - (dbl(ps) / dbl(ns)) * (dbl(ps) / dbl(ns)) -
+          (dbl(ns - ps) / dbl(ns)) * (dbl(ns - ps) / dbl(ns))))
+        .otherwise(lit(0.0))
+    val m = one.select(col("n"), col("pos"),
+        explode(array(cands: _*)).as("p"))
+      .select(col("p.idx").as("idx"),
+        col("p.threshold").as("threshold"),
+        col("p.nl").as("n_left"), col("p.pl").as("pos_left"),
+        (col("n") - col("p.nl")).as("n_right"),
+        (col("pos") - col("p.pl")).as("pos_right"),
+        col("n"), col("pos"))
+      .withColumn("__g",
+        giniSide(col("n_left"), col("pos_left"), col("n")) +
+        giniSide(col("n_right"), col("pos_right"), col("n")))
+    val w = Window.orderBy(col("__g"), col("threshold"), col("idx"))
+    m.withColumn("is_best", row_number().over(w) === 1)
+      .select(col("idx"), col("threshold"), col("n_left"), col("pos_left"),
+        col("n_right"), col("pos_right"),
+        round(col("__g"), 4).as("gini"), col("is_best"))
+      .orderBy(col("idx"))
+  }
+
   /** Leakage-safe smoothed TARGET ENCODING of a categorical — the
     * feature-engineering staple for high-cardinality categoricals
     * (replace the category with the out-of-fold target rate, shrunk

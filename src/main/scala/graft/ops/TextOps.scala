@@ -1052,6 +1052,107 @@ object TextOps {
     * oracle. Degenerate classes (no positives or no negatives in the
     * test split) report null rather than a NaN that differs by
     * engine. */
+  /** K-fold CROSS-VALIDATION of the in-plan classifier WITHOUT
+    * retraining — the eval a single holdout can't give (is the
+    * accuracy stable, or did the split get lucky?), at a cost no
+    * naive CV pays: instead of training k models, every fold's model
+    * derives from COMPLEMENT AGGREGATES (train-on-all-but-f counts =
+    * totals − fold-f counts, the ml_target_encoding trick lifted to
+    * a full classifier). One (lang, term, fold) count underlies
+    * everything: fold vocabularies (a term is in vocab_f iff its
+    * complement total > 0 — OOV terms for THAT fold's model drop,
+    * the standard MNB contract per fold), per-fold class totals and
+    * smoothed log-probabilities (the grid gains a fold dimension:
+    * vocab × langs × folds rows, still vocabulary-linear), per-fold
+    * priors (classes absent from a complement drop from that fold's
+    * model). Every document scores against its OWN fold's model —
+    * train/test never overlap by construction, provably, because the
+    * fold key joins the grid. Per-fold accuracy lands in one small
+    * aggregate; docs whose every term is OOV for their fold model
+    * receive no prediction and are not counted (inner joins,
+    * mirrored in the oracle). */
+  def cvNaiveBayes(s: SparkSession, d: String): DataFrame =
+    cvNaiveBayesOn(Tables.documents(s, d), folds = 5)
+
+  /** Same over any (doc_id, lang, text) frame. */
+  def cvNaiveBayesOn(corpus: DataFrame, folds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sp = corpus.sparkSession
+    val docs = graft.Tables.spread(corpus)
+      .select(col("doc_id"), col("lang"),
+        (col("doc_id") % folds).as("fold"),
+        toks(lower(col("text"))).as("ws"))
+    val foldIds = sp.range(folds).select(col("id").as("fold"))
+    // the one expensive frame — four rollups and the grid read it
+    val ctkf = docs
+      .select(col("lang"), col("fold"), explode(col("ws")).as("term"))
+      .groupBy(col("lang"), col("term"), col("fold"))
+      .agg(count(lit(1)).as("c"))
+      .cache()
+    val ctk = ctkf.groupBy(col("lang"), col("term"))
+      .agg(sum(col("c")).as("ctk"))
+    val tt = ctkf.groupBy(col("term")).agg(sum(col("c")).as("tt"))
+    val ttf = ctkf.groupBy(col("term"), col("fold"))
+      .agg(sum(col("c")).as("ttf"))
+    val vocabFold = tt.crossJoin(broadcast(foldIds))
+      .join(ttf, Seq("term", "fold"), "left")
+      .filter(col("tt") - coalesce(col("ttf"), lit(0L)) > 0)
+      .select(col("term"), col("fold"))
+    val vFold = vocabFold.groupBy(col("fold")).agg(count(lit(1)).as("v"))
+    val ctf = ctkf.groupBy(col("lang"), col("fold"))
+      .agg(sum(col("c")).as("ctf"))
+    val classFold = ctkf.groupBy(col("lang")).agg(sum(col("c")).as("ct"))
+      .crossJoin(broadcast(foldIds))
+      .join(ctf, Seq("lang", "fold"), "left")
+      .select(col("lang"), col("fold"),
+        (col("ct") - coalesce(col("ctf"), lit(0L))).as("ctx"))
+      .filter(col("ctx") > 0)
+    val grid = vocabFold
+      .join(broadcast(classFold), "fold") // langs × folds rows: map-side
+      .join(ctk, Seq("term", "lang"), "left")
+      .join(ctkf.withColumnRenamed("c", "cf"),
+        Seq("lang", "term", "fold"), "left")
+      .join(broadcast(vFold), "fold")
+      .select(col("term"), col("lang"), col("fold"),
+        round(log((coalesce(col("ctk"), lit(0L)) -
+            coalesce(col("cf"), lit(0L)) + 1).cast("double") /
+          (col("ctx") + col("v"))), 6).cast("decimal(12,6)").as("lp"))
+    val ndf = docs.groupBy(col("lang"), col("fold"))
+      .agg(count(lit(1)).as("ndf"))
+    val ndfTot = docs.groupBy(col("fold")).agg(count(lit(1)).as("ndft"))
+    val priorFold = docs.groupBy(col("lang")).agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(foldIds))
+      .join(ndf, Seq("lang", "fold"), "left")
+      .join(broadcast(ndfTot), "fold")
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("ndt"))))
+      .filter(col("nd") - coalesce(col("ndf"), lit(0L)) > 0)
+      .select(col("lang"), col("fold"),
+        round(log((col("nd") - coalesce(col("ndf"), lit(0L)))
+          .cast("double") / (col("ndt") - col("ndft"))), 6).as("prior_ln"))
+    val testTf = docs.select(col("doc_id"), col("fold"),
+        col("lang").as("true_lang"), explode(col("ws")).as("term"))
+      .groupBy(col("doc_id"), col("fold"), col("true_lang"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = testTf.join(grid, Seq("term", "fold"))
+      .withColumn("__c", col("tf") * col("lp"))
+      .groupBy(col("doc_id"), col("fold"), col("true_lang"), col("lang"))
+      .agg(sum(col("__c")).as("__s"))
+      .join(broadcast(priorFold), Seq("lang", "fold"))
+      .select(col("doc_id"), col("fold"), col("true_lang"), col("lang"),
+        round(col("__s").cast("double") + col("prior_ln"), 4).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("lang"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang") === col("true_lang"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("fold"), col("n_docs"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_docs"), 4)
+          .as("accuracy"))
+      .orderBy(col("fold"))
+  }
+
   def nbAuc(s: SparkSession, d: String): DataFrame =
     nbAucOn(Tables.documents(s, d))
 

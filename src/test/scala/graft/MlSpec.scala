@@ -118,6 +118,28 @@ class MlSpec extends SparkSpec {
       out("b").isNullAt(4) && out("b").isNullAt(5))
   }
 
+  test("decisionStump: clean-split fixture finds the zero-Gini cut") {
+    import spark.implicits._
+    // x = 1..10, pos iff x ≥ 6: the median decile (5.5) separates the
+    // classes perfectly → gini 0 at idx 5, and only there
+    val df = (1 to 10).map(i => (i.toDouble, if (i >= 6) 1L else 0L))
+      .toDF("x", "pos")
+    val out = MlOps.decisionStumpOn(df, col("x"), col("pos")).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(out.size === 9)
+    val best = out(5)
+    assert(best.getDouble(1) === 5.5)
+    assert((best.getLong(2), best.getLong(3), best.getLong(4),
+      best.getLong(5)) === ((5L, 0L, 5L, 5L)))
+    assert(best.getDouble(6) === 0.0 && best.getBoolean(7))
+    assert(out.values.count(_.getBoolean(7)) === 1)
+    // a lopsided candidate: idx 1 (t = 1.9) → left pure but tiny,
+    // right 5/9 pos → weighted gini = 0.9·(1 − (5/9)² − (4/9)²)
+    val g1 = BigDecimal(0.9 * (1.0 - math.pow(5.0 / 9, 2) -
+      math.pow(4.0 / 9, 2))).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    assert(out(1).getDouble(6) === g1.toDouble)
+  }
+
   test("targetEncode: leave-fold-out excludes own fold; " +
        "single-fold category degenerates to the prior") {
     import spark.implicits._

@@ -465,6 +465,32 @@ class TextOpsSpec extends SparkSpec {
     assert(acc >= 0.3, s"accuracy $acc")
   }
 
+  test("cvNaiveBayes: clean folds score 1.0; a term living only in " +
+       "its own fold is provably excluded from that fold's model") {
+    import spark.implicits._
+    // docs 0..4 lang aa, 5..9 lang bb; fold = id % 5 pairs one of
+    // each per fold. Doc 0 carries 'uniqueword' (nowhere else) plus
+    // 'beta' (bb's marker): with leakage, uniqueword would be strong
+    // aa evidence; leave-fold-out drops it (complement count 0), so
+    // only 'beta' scores and doc 0 MISCLASSIFIES as bb — the
+    // misclassification is the proof of no leakage.
+    val docs = (Seq((0L, "aa", "uniqueword beta")) ++
+      (1L to 4L).map(i => (i, "aa", "alpha common")) ++
+      (5L to 9L).map(i => (i, "bb", "beta common")))
+      .toDF("doc_id", "lang", "text")
+    val out = TextOps.cvNaiveBayesOn(docs, folds = 5).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 5)
+    // fold 0: doc 0 misclassified, doc 5 correct → 1/2
+    assert((out(0L).getLong(1), out(0L).getLong(2)) === ((2L, 1L)))
+    assert(out(0L).getDouble(3) === 0.5)
+    // folds 1..4: both docs correct
+    (1L to 4L).foreach { f =>
+      assert((out(f).getLong(1), out(f).getLong(2)) === ((2L, 2L)), s"fold $f")
+      assert(out(f).getDouble(3) === 1.0, s"fold $f")
+    }
+  }
+
   test("sentence stats: hand fixture segments exactly") {
     import spark.implicits._
     val docs = Seq(
