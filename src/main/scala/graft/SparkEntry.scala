@@ -310,6 +310,9 @@ object SparkEntry {
     // link prediction: capped-center wedge join + anti join on the
     // canonical edge; jaccard over full degrees; TakeOrdered top-N
     "graph_link_predict" -> ((s, d) => graft.ops.GraphOps.linkPredict(s, d)),
+    // fixed-round BFS: frontier-proportional joins + empty-frontier
+    // short-circuit; hop-distance histogram output
+    "graph_bfs" -> ((s, d) => graft.ops.GraphOps.bfs(s, d)),
     // multivariate OLS per group via normal equations: one 10-moment
     // agg + in-plan 3×3 Cramer solve — no iteration at any scale
     "ml_linreg_multi" -> ((s, d) => MlOps.linregMulti(s, d)),
@@ -2666,6 +2669,44 @@ object SparkEntry {
         |          JOIN deg db ON cand.b = db.node
         |ORDER BY jaccard DESC, cn DESC, cand.a, cand.b
         |LIMIT 50""".stripMargin,
+    // graph_bfs: the shared edge CTEs + four unrolled frontier
+    // expansions (NOT EXISTS = the anti join); early-emptied
+    // frontiers leave later rounds empty on both sides
+    "graph_bfs" ->
+      """WITH m AS (SELECT DISTINCT l_orderkey AS basket,
+        |             l_partkey AS item FROM lineitem),
+        |sz AS (SELECT basket, count(*) AS bsz FROM m GROUP BY 1),
+        |mm AS (SELECT m.basket, m.item FROM m JOIN sz USING (basket)
+        |       WHERE sz.bsz <= 16),
+        |e AS MATERIALIZED (SELECT DISTINCT x.item AS a, y.item AS b
+        |      FROM mm x JOIN mm y USING (basket) WHERE x.item < y.item),
+        |adj AS MATERIALIZED (SELECT a AS n, b AS v FROM e
+        |        UNION ALL SELECT b AS n, a AS v FROM e),
+        |src AS (SELECT least(min(a), min(b)) AS node FROM e),
+        |v0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist FROM src),
+        |f1 AS MATERIALIZED (SELECT DISTINCT adj.v AS node FROM adj
+        |       JOIN v0 ON adj.n = v0.node
+        |       WHERE NOT EXISTS (SELECT 1 FROM v0 WHERE v0.node = adj.v)),
+        |v1 AS MATERIALIZED (SELECT * FROM v0
+        |       UNION ALL SELECT node, CAST(1 AS BIGINT) FROM f1),
+        |f2 AS MATERIALIZED (SELECT DISTINCT adj.v AS node FROM adj
+        |       JOIN f1 ON adj.n = f1.node
+        |       WHERE NOT EXISTS (SELECT 1 FROM v1 WHERE v1.node = adj.v)),
+        |v2 AS MATERIALIZED (SELECT * FROM v1
+        |       UNION ALL SELECT node, CAST(2 AS BIGINT) FROM f2),
+        |f3 AS MATERIALIZED (SELECT DISTINCT adj.v AS node FROM adj
+        |       JOIN f2 ON adj.n = f2.node
+        |       WHERE NOT EXISTS (SELECT 1 FROM v2 WHERE v2.node = adj.v)),
+        |v3 AS MATERIALIZED (SELECT * FROM v2
+        |       UNION ALL SELECT node, CAST(3 AS BIGINT) FROM f3),
+        |f4 AS MATERIALIZED (SELECT DISTINCT adj.v AS node FROM adj
+        |       JOIN f3 ON adj.n = f3.node
+        |       WHERE NOT EXISTS (SELECT 1 FROM v3 WHERE v3.node = adj.v)),
+        |v4 AS MATERIALIZED (SELECT * FROM v3
+        |       UNION ALL SELECT node, CAST(4 AS BIGINT) FROM f4)
+        |SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes,
+        |  min(node) AS min_node, max(node) AS max_node
+        |FROM v4 GROUP BY 1 ORDER BY dist""".stripMargin,
     // ml_target_encoding: identical md5 fold coin (8 hex chars →
     // BIGINT % folds), identical leave-fold-out shrinkage formula,
     // prior 4dp-rounded before use on both sides

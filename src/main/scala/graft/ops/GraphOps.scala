@@ -210,6 +210,58 @@ object GraphOps {
       .orderBy(col("bin"))
   }
 
+  /** Fixed-round BFS from the graph's smallest node — the
+    * REACHABILITY face of the edge-list family (how much of the
+    * graph is within r hops of a seed; the hop-distance histogram is
+    * the small-world diagnostic beside degreeDist's tail and the
+    * triangle faces' closure). FIXED `rounds` frontier expansions
+    * (the q_pagerank fixed-iteration contract): each round is one
+    * node-keyed equi-join of the adjacency against the CURRENT
+    * frontier (work ∝ frontier edges, never the whole graph) + one
+    * anti join against the visited set; a driver-side count
+    * short-circuits when the frontier empties (the kCore fixpoint
+    * posture — remaining rounds are free, and the oracle's unrolled
+    * rounds are empty too, so early exit cannot diverge). Every
+    * frame rides an eager localCheckpoint so each round is paid
+    * once. Output: per hop distance, node count + id range —
+    * rounds+1 rows at any scale. */
+  def bfs(s: SparkSession, d: String, rounds: Int = 4,
+          maxBasket: Int = 16): DataFrame =
+    bfsOn(Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")),
+      rounds, maxBasket)
+
+  /** Same over any (basket, item) membership list. */
+  def bfsOn(pairs: DataFrame, rounds: Int, maxBasket: Int): DataFrame = {
+    val edges = basketEdges(pairs, maxBasket).localCheckpoint(false)
+    val adj = edges.select(col("a").as("n"), col("b").as("v"))
+      .union(edges.select(col("b").as("n"), col("a").as("v")))
+    val src = edges.agg(least(min(col("a")), min(col("b"))).as("node"))
+    var visited = src.select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var frontier = visited.select(col("node"))
+    var r = 1
+    var live = true
+    while (r <= rounds && live) {
+      val next = adj.join(frontier.withColumnRenamed("node", "n"), "n")
+        .select(col("v").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .select(col("node"), lit(r.toLong).as("dist"))
+        .localCheckpoint(true)
+      // O(1)-row driver action (the kCore convergence precedent)
+      if (next.limit(1).count() == 0) live = false
+      else {
+        visited = visited.union(next).localCheckpoint(true)
+        frontier = next.select(col("node"))
+      }
+      r += 1
+    }
+    visited.groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+      .orderBy(col("dist"))
+  }
+
   /** Common-neighbor / Jaccard LINK PREDICTION over the part
     * co-occurrence graph — "which items SHOULD co-occur but don't
     * yet": the recommendation face of the edge-list family (clusters

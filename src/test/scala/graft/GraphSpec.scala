@@ -167,6 +167,29 @@ class GraphSpec extends SparkSpec {
       1L -> ((4L, 3L, 3L, 0.6667)))) // K4 members, deg 3 → bin 1
   }
 
+  test("bfs: path graph yields exact hop distances, horizon and " +
+       "disconnected nodes excluded, empty frontier short-circuits") {
+    import spark.implicits._
+    // path 1—2—3—4—5—6—7 (pair baskets) + isolated pair {98, 99}:
+    // from source 1, rounds=4 reaches hops 0..4 (nodes 1..5); nodes
+    // 6, 7 are beyond the horizon; 98/99 unreachable entirely
+    val baskets = (1L to 6L).map(i => (i * 10, i)) ++
+      (1L to 6L).map(i => (i * 10, i + 1)) ++ Seq((990L, 98L), (990L, 99L))
+    val out = graft.ops.GraphOps.bfsOn(
+        baskets.toDF("basket", "item"), rounds = 4, maxBasket = 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      0L -> ((1L, 1L, 1L)), 1L -> ((1L, 2L, 2L)), 2L -> ((1L, 3L, 3L)),
+      3L -> ((1L, 4L, 4L)), 4L -> ((1L, 5L, 5L))))
+    // triangle: everything lands in hops 0/1, round 2 frontier empty
+    // → short-circuit leaves exactly two rows
+    val tri = Seq((1L, 1L), (1L, 2L), (1L, 3L)).toDF("basket", "item")
+    val t = graft.ops.GraphOps.bfsOn(tri, rounds = 4, maxBasket = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t === Map(0L -> 1L, 1L -> 2L))
+  }
+
   test("linkPredict: path graph proposes the closing pair, " +
        "existing edges excluded, hub centers cut") {
     import spark.implicits._
