@@ -148,6 +148,73 @@ object SketchStreams {
       .start()
   }
 
+  /** Streaming DISTINCT-COUNT fold — the live face of
+    * `q_distinct_approx`: per event_type, a DataSketches HLL sketch
+    * of every user the stream has carried, continuously published
+    * under the same versioned exactly-once contract. HLL union is
+    * register-wise MAX over the dense representation —
+    * order-insensitive, so the fold is DETERMINISTIC for any batch
+    * split; it is NOT bit-identical to the one-shot sketch (small
+    * sketches live in coupon-list mode and promote differently
+    * through a union — the spec measured 451 vs 446 on 450 true),
+    * so cross-face parity is asserted within the sketch's rsd band,
+    * the same posture as q_distinct_approx vs exact. State:
+    * one fixed-size sketch per type (2^lgK registers) whatever the
+    * stream age; the distinct set itself is never stored — the
+    * reason this face exists at 100 TB (billions of distinct users,
+    * KB of state per type). Per micro-batch: one map-side-combinable
+    * sketch aggregate over the batch + a types-sized union merge. */
+  def hllStream(events: DataFrame, sketchDir: String, checkpoint: String,
+                lgK: Int = 12, keepVersions: Int = 3): StreamingQuery = {
+    require(keepVersions >= 2,
+      "keepVersions must be >= 2 so concurrent readers always have headroom")
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        val vs = ChangeStreams.versions(s, sketchDir)
+        require(vs.isEmpty || id >= vs.head,
+          s"batch id $id is behind newest sketch version ${vs.headOption}" +
+            s" — checkpoint and sketchDir lineages do not match")
+        require(vs.nonEmpty || id == 0,
+          s"first observed batch id is $id but $sketchDir has no versions" +
+            s" — the sketch store was deleted under a live checkpoint")
+        if (!vs.contains(id) && !batch.isEmpty) {
+          val part = batch.groupBy(col("event_type"))
+            .agg(hll_sketch_agg(col("user_id"), lgK).as("sk"))
+          val base = vs.headOption match {
+            case Some(v) => s.read.parquet(s"$sketchDir/batch=$v")
+              .select(col("event_type"), col("sk"))
+            case None => part.limit(0)
+          }
+          val next = base.unionByName(part)
+            .groupBy(col("event_type"))
+            .agg(hll_union_agg(col("sk")).as("sk"))
+            .select(col("event_type"), col("sk"),
+              hll_sketch_estimate(col("sk")).as("estimate"))
+          next.write.mode("overwrite").parquet(s"$sketchDir/batch=$id")
+          val f = ChangeStreams.fs(s, sketchDir)
+          f.create(new org.apache.hadoop.fs.Path(
+            s"$sketchDir/${ChangeStreams.donePrefix}$id"), true).close()
+          ChangeStreams.versions(s, sketchDir).drop(keepVersions).foreach {
+            old =>
+              f.delete(new org.apache.hadoop.fs.Path(
+                s"$sketchDir/${ChangeStreams.donePrefix}$old"), false)
+              f.delete(new org.apache.hadoop.fs.Path(
+                s"$sketchDir/batch=$old"), true)
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** The read face: the live per-type distinct-user estimates. */
+  def hllEstimate(s: SparkSession, sketchDir: String): DataFrame =
+    ChangeStreams.readSnapshot(s, sketchDir)
+      .select(col("event_type"), col("estimate"))
+      .orderBy(col("event_type"))
+
   /** The probe face: est(term) = min over the grid's d rows at the
     * term's md5 buckets — the same hash, so a term's estimate from
     * the published stream grid equals the batch face's estimate over

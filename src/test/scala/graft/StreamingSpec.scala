@@ -867,6 +867,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL fold: deterministic union tracks the one-shot " +
+       "sketch within rsd; state is sketches, never the distinct set") {
+    import graft.streaming.{ChangeStreams, SketchStreams}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-hll").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    val q = SketchStreams.hllStream(
+      mem.toDF().toDF("event_type", "user_id"), s"$root/sk", s"$root/ckpt",
+      lgK = 12, keepVersions = 2)
+    try {
+      // overlapping user sets across batches: union must dedupe
+      val b0 = (0L until 300L).map(u => ("view", u)) ++
+        (0L until 50L).map(u => ("click", u))
+      val b1 = (150L until 450L).map(u => ("view", u)) ++
+        (25L until 60L).map(u => ("click", u))
+      mem.addData(b0); q.processAllAvailable()
+      mem.addData(b1); q.processAllAvailable()
+      val est = SketchStreams.hllEstimate(spark, s"$root/sk").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // the union fold is deterministic but NOT bit-identical to the
+      // one-shot sketch (coupon-mode promotion differs through a
+      // union); both must sit within the lgK=12 rsd band of the batch
+      // face and of the exact counts (450 / 60)
+      val batchFace = (b0 ++ b1).toDF("event_type", "user_id")
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(
+          hll_sketch_agg(col("user_id"), 12)).as("e"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      est.foreach { case (t, e) =>
+        val b = batchFace(t)
+        assert(math.abs(e - b) <= math.max(3, b * 0.05),
+          s"$t stream $e vs batch $b")
+      }
+      assert(math.abs(est("view") - 450L) <= 450 * 0.05)
+      assert(math.abs(est("click") - 60L) <= math.max(3, 60 * 0.05))
+      // determinism of the fold itself: re-reading the snapshot gives
+      // the same published estimates
+      val est2 = SketchStreams.hllEstimate(spark, s"$root/sk").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(est2 === est)
+      val vs = ChangeStreams.versions(spark, s"$root/sk")
+      assert(vs.length === 2 && vs === vs.sorted.reverse)
+    } finally q.stop()
+  }
+
   test("stream_dedup batch face: one first-arrival row per key, min event time") {
     val out = graft.streaming.DedupStreams.dedupBatch(spark, sf)
     val ev = Tables.events(spark, sf)
