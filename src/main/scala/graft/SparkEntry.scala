@@ -307,6 +307,12 @@ object SparkEntry {
     // damped-trend Holt: per-series 2-double recursion; phi-power sums
     // by repeated multiplication (never pow) — replayed node-for-node
     "forecast_holt_damped" -> ((s, d) => Forecast.holtDamped(s, d)),
+    // rolling-origin snaive backtest: all origins in ONE plan via a
+    // broadcast origin frame + one shifted self-join; DECIMAL MAE
+    "ts_backtest_rolling" -> ((s, d) => Forecast.backtestRolling(s, d)),
+    // hashing-trick featurization: row-local md5 buckets + sign bit,
+    // one (doc, bucket) aggregate — no vocabulary pass, fixed width
+    "ml_feature_hashing" -> ((s, d) => TextOps.featureHash(s, d)),
     // link prediction: capped-center wedge join + anti join on the
     // canonical edge; jaccard over full degrees; TakeOrdered top-N
     "graph_link_predict" -> ((s, d) => graft.ops.GraphOps.linkPredict(s, d)),
@@ -2669,6 +2675,47 @@ object SparkEntry {
         |          JOIN deg db ON cand.b = db.node
         |ORDER BY jaccard DESC, cn DESC, cand.a, cand.b
         |LIMIT 50""".stripMargin,
+    // ts_backtest_rolling: identical epoch-day series, origin grid,
+    // shifted self-join, gap days predict 0, DECIMAL MAE terms
+    "ts_backtest_rolling" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP_US)))
+        |      // 86400000000 AS ed,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT max(ed) AS mx FROM daily),
+        |org AS (SELECT k, mx - k * 7 + 1 AS origin FROM mx,
+        |        (SELECT unnest(range(1, 4)) AS k)),
+        |te AS (SELECT d.event_type, o.k, o.origin, d.ed, d.cnt
+        |       FROM daily d, org o
+        |       WHERE d.ed >= o.origin AND d.ed < o.origin + 7),
+        |pr AS (SELECT event_type, ed + 7 AS ed, cnt AS pred FROM daily),
+        |j AS (SELECT te.event_type, te.k, te.origin, te.cnt,
+        |        coalesce(pr.pred, 0) AS pred
+        |      FROM te LEFT JOIN pr ON pr.event_type = te.event_type
+        |                          AND pr.ed = te.ed)
+        |SELECT event_type, CAST(k AS BIGINT) AS origin_k,
+        |  CAST(min(origin) AS BIGINT) AS origin_day,
+        |  CAST(count(*) AS BIGINT) AS n_days,
+        |  round(CAST(sum(CAST(abs(cnt - pred) AS DECIMAL(20,4)))
+        |    AS DOUBLE) / count(*), 4) AS mae
+        |FROM j GROUP BY 1, 2 ORDER BY event_type, origin_k""".stripMargin,
+    // ml_feature_hashing: identical md5 bucket + sign-bit coins over
+    // the same tokenization; zero-sum buckets drop on both sides
+    "ml_feature_hashing" ->
+      """WITH doc AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS ws
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |t AS (SELECT doc_id, unnest(ws) AS term FROM doc),
+        |h AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(term), 1, 8))::UBIGINT % 64
+        |      AS BIGINT) AS bucket,
+        |    CASE WHEN ('0x' || substr(md5(term), 9, 1))::UBIGINT % 2 = 0
+        |      THEN 1 ELSE -1 END AS sgn
+        |  FROM t)
+        |SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS value
+        |FROM h GROUP BY 1, 2 HAVING sum(sgn) <> 0
+        |ORDER BY doc_id, bucket""".stripMargin,
     // graph_bfs: the shared edge CTEs + four unrolled frontier
     // expansions (NOT EXISTS = the anti join); early-emptied
     // frontiers leave later rounds empty on both sides

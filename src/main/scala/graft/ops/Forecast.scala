@@ -352,6 +352,57 @@ object Forecast {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** ROLLING-ORIGIN backtest of the seasonal-naive forecaster — the
+    * forecasting counterpart of ml_cv_accuracy's k-fold: one holdout
+    * ([[evaluate]]) says how the model did ONCE; successive origins
+    * say whether that error is STABLE or drifting, which is what
+    * decides if the model can be trusted next week. Origin k
+    * forecasts the `period` days starting at max_day − k·period + 1;
+    * with horizon = period, snaive's prediction for test day d is
+    * y(d − period), which lies strictly BEFORE the origin for every
+    * test day — leakage-free by construction, no per-origin refit.
+    * All origins run in ONE plan: the ≤nOrigins-row origin frame
+    * broadcasts onto the calendar-bounded daily series, predictions
+    * come from one (type, day) self-join of the shifted series, and
+    * MAE terms sum as exact DECIMALs (integer counts — no float
+    * drift). Days whose lag-`period` source is absent predict 0
+    * (the gap-day posture, mirrored in the oracle). */
+  def backtestRolling(s: SparkSession, d: String, period: Int = 7,
+                      nOrigins: Int = 3): DataFrame =
+    backtestRollingOn(
+      Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("event_type"),
+          expr("unix_micros(day) div 86400000000").as("ed"), col("cnt")),
+      period, nOrigins)
+
+  /** Same over any (event_type, ed, cnt) daily series. */
+  def backtestRollingOn(daily: DataFrame, period: Int,
+                        nOrigins: Int): DataFrame = {
+    val s = daily.sparkSession
+    val mx = daily.agg(max(col("ed")).as("mx"))
+    val origins = s.range(1, nOrigins + 1).select(col("id").as("k"))
+      .crossJoin(broadcast(mx))
+      .select(col("k"), (col("mx") - col("k") * period + 1).as("origin"))
+    val test = daily.crossJoin(broadcast(origins))
+      .filter(col("ed") >= col("origin") &&
+        col("ed") < col("origin") + period)
+    val pred = daily.select(col("event_type"),
+      (col("ed") + period).as("ed"), col("cnt").as("pred"))
+    test.join(pred, Seq("event_type", "ed"), "left")
+      .select(col("event_type"), col("k"), col("origin"), col("cnt"),
+        coalesce(col("pred"), lit(0L)).as("pred"))
+      .groupBy(col("event_type"), col("k"))
+      .agg(min(col("origin")).as("origin_day"),
+        count(lit(1)).as("n_days"),
+        (sum(abs(col("cnt") - col("pred")).cast("decimal(20,4)"))
+          .cast("double") / count(lit(1))).as("__m"))
+      .select(col("event_type"), col("k").as("origin_k"),
+        col("origin_day"), col("n_days"), round(col("__m"), 4).as("mae"))
+      .orderBy(col("event_type"), col("origin_k"))
+  }
+
   /** Damped-trend Holt (Gardner & McKenzie) — the dial the
     * [[holtWinters]] face lacks: an undamped linear trend
     * extrapolates to ±∞ with the horizon, which is exactly how batch

@@ -1052,6 +1052,39 @@ object TextOps {
     * oracle. Degenerate classes (no positives or no negatives in the
     * test split) report null rather than a NaN that differs by
     * engine. */
+  /** HASHING-TRICK feature vectorization (Weinberger et al. 2009) —
+    * the fixed-width text featurizer that needs NO vocabulary pass:
+    * term → bucket md5 % V with a ± sign from an independent hash
+    * bit, features = signed counts per (doc, bucket). Collisions
+    * cancel in expectation (the signed construction's point), the
+    * output width is a constant V whatever the corpus vocabulary,
+    * and — the scale property a dictionary featurizer lacks — the
+    * transform is ROW-LOCAL: no vocab broadcast, no fit stage, new
+    * terms at serving time hash to the same buckets. Cost: the
+    * token explode + one (doc, bucket) aggregate, both map-side
+    * combinable; the md5 coin makes the whole feature matrix
+    * replayable cross-engine. The registry entry emits every 10th
+    * document's vector (the output is corpus × V — sampled for the
+    * compare gate, the transform itself runs full-corpus). */
+  def featureHash(s: SparkSession, d: String): DataFrame =
+    featureHashOn(Tables.documents(s, d).filter(col("doc_id") % 10 === 0),
+      width = 64)
+
+  /** Same over any (doc_id, text) frame. */
+  def featureHashOn(corpus: DataFrame, width: Int): DataFrame = {
+    val terms = graft.Tables.spread(corpus)
+      .select(col("doc_id"), explode(toks(lower(col("text")))).as("term"))
+    terms.select(col("doc_id"),
+        (conv(substring(md5(col("term")), 1, 8), 16, 10)
+          .cast("long") % width).as("bucket"),
+        when(conv(substring(md5(col("term")), 9, 1), 16, 10)
+          .cast("long") % 2 === 0, 1L).otherwise(-1L).as("sgn"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("sgn")).as("value"))
+      .filter(col("value") =!= 0)
+      .orderBy(col("doc_id"), col("bucket"))
+  }
+
   /** K-fold CROSS-VALIDATION of the in-plan classifier WITHOUT
     * retraining — the eval a single holdout can't give (is the
     * accuracy stable, or did the split get lucky?), at a cost no

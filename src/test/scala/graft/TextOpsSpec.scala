@@ -465,6 +465,30 @@ class TextOpsSpec extends SparkSpec {
     assert(acc >= 0.3, s"accuracy $acc")
   }
 
+  test("featureHash: signed bucket sums match a driver md5 replica; " +
+       "width bounds the feature space") {
+    import spark.implicits._
+    val docs = Seq((0L, "alpha alpha beta"), (10L, "gamma alpha"))
+      .toDF("doc_id", "text")
+    val out = TextOps.featureHashOn(docs, width = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(t: String): Long =
+      java.lang.Long.parseLong(md5hex(t).take(8), 16) % 64
+    def sgn(t: String): Long =
+      if (java.lang.Long.parseLong(md5hex(t).substring(8, 9), 16) % 2 == 0)
+        1L else -1L
+    val expect = Seq((0L, "alpha"), (0L, "alpha"), (0L, "beta"),
+        (10L, "gamma"), (10L, "alpha"))
+      .groupBy { case (id, t) => (id, bucket(t)) }
+      .view.mapValues(_.map(p => sgn(p._2)).sum).toMap
+      .filter(_._2 != 0L)
+    assert(out === expect)
+    assert(out.keys.forall { case (_, b) => b >= 0 && b < 64 })
+  }
+
   test("cvNaiveBayes: clean folds score 1.0; a term living only in " +
        "its own fold is provably excluded from that fold's model") {
     import spark.implicits._

@@ -448,6 +448,35 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("backtestRolling: periodic series scores 0 at every origin; " +
+       "a level shift surfaces only in the origins that cross it") {
+    import spark.implicits._
+    // series "p": exact weekly pattern over 35 days → snaive MAE 0
+    // at all 3 origins. series "s": weekly pattern with +10 level
+    // shift on the last 7 days → origin 1 (test = last week,
+    // trained on pre-shift) reads MAE 10; origins 2-3 pre-shift
+    // → 0.
+    val pat = Array(5L, 8L, 2L, 9L, 4L, 7L, 6L)
+    val rows =
+      (0 until 35).map(i => ("p", 1000L + i, pat(i % 7))) ++
+      (0 until 35).map(i => ("s", 1000L + i,
+        pat(i % 7) + (if (i >= 28) 10L else 0L)))
+    val out = graft.ops.Forecast.backtestRollingOn(
+        rows.toDF("event_type", "ed", "cnt"), period = 7, nOrigins = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.size === 6)
+    (1L to 3L).foreach { k =>
+      val (o, n, mae) = out(("p", k))
+      assert(n === 7L && mae === 0.0, s"p origin $k")
+      assert(o === 1034L - k * 7 + 1)
+    }
+    assert(out(("s", 1L))._3 === 10.0) // shift week vs pre-shift lag
+    assert(out(("s", 2L))._3 === 0.0)
+    assert(out(("s", 3L))._3 === 0.0)
+  }
+
   test("holtDamped matches a driver replay; damping asymptotes the trend") {
     import org.apache.spark.sql.functions.{col, count, date_trunc, lit}
     val out = Forecast.holtDamped(spark, sf).collect()
