@@ -304,6 +304,9 @@ object SparkEntry {
     // log-log price elasticity per brand: libm logs 6dp-quantized
     // BEFORE the exact DECIMAL moment sums (the rounded-metric rule)
     "q_elasticity" -> ((s, d) => Analytics.elasticity(s, d)),
+    // group-sequential OBF monitoring: K-look support explode, one
+    // pinned constant derives every boundary, first-crossing flag
+    "q_sequential_test" -> ((s, d) => Analytics.sequentialTest(s, d)),
     // damped-trend Holt: per-series 2-double recursion; phi-power sums
     // by repeated multiplication (never pow) — replayed node-for-node
     "forecast_holt_damped" -> ((s, d) => Forecast.holtDamped(s, d)),
@@ -2465,6 +2468,50 @@ object SparkEntry {
         |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 4)
         |  END AS survival
         |FROM f ORDER BY t""".stripMargin,
+    // q_sequential_test: identical look bounds (integer window math),
+    // md5 arms, FILTERed cumulative moments, q_ttest Welch tree,
+    // boundary from the one pinned constant, first-crossing window
+    "q_sequential_test" ->
+      """WITH base AS (SELECT
+        |    epoch_us(CAST(ts AS TIMESTAMP_US)) // 86400000000 AS ed,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
+        |      THEN 'a' ELSE 'b' END AS arm,
+        |    CAST(round(value, 4) AS DECIMAL(14,4)) AS v
+        |  FROM events),
+        |rng AS (SELECT min(ed) AS mn, max(ed) AS mx FROM base),
+        |lk AS (SELECT unnest(range(1, 6)) AS k),
+        |wl AS (SELECT b.arm, b.v, lk.k,
+        |         rng.mn + ((rng.mx - rng.mn + 1) * lk.k) // 5 - 1 AS bound
+        |       FROM base b, rng, lk
+        |       WHERE b.ed <= rng.mn + ((rng.mx - rng.mn + 1) * lk.k)
+        |         // 5 - 1),
+        |m AS (SELECT k, max(bound) AS bound_day,
+        |    CAST(count(*) FILTER (WHERE arm = 'a') AS BIGINT) AS n_a,
+        |    sum(v) FILTER (WHERE arm = 'a') AS sx_a,
+        |    sum(v * v) FILTER (WHERE arm = 'a') AS sxx_a,
+        |    CAST(count(*) FILTER (WHERE arm = 'b') AS BIGINT) AS n_b,
+        |    sum(v) FILTER (WHERE arm = 'b') AS sx_b,
+        |    sum(v * v) FILTER (WHERE arm = 'b') AS sxx_b
+        |  FROM wl GROUP BY 1),
+        |d AS (SELECT k, bound_day, n_a, n_b,
+        |    CAST(sx_a AS DOUBLE) / n_a AS ma,
+        |    CAST(sx_b AS DOUBLE) / n_b AS mb,
+        |    (CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) *
+        |      CAST(sx_a AS DOUBLE) / n_a) / (n_a - 1) / n_a AS sea,
+        |    (CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) *
+        |      CAST(sx_b AS DOUBLE) / n_b) / (n_b - 1) / n_b AS seb
+        |  FROM m),
+        |e AS (SELECT CAST(k AS BIGINT) AS k, bound_day, n_a, n_b,
+        |    round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+        |    round((ma - mb) / sqrt(sea + seb), 4) AS z,
+        |    round(2.04 * sqrt(CAST(5 AS DOUBLE) / k), 4) AS z_crit
+        |  FROM d),
+        |f AS (SELECT *, abs(z) >= z_crit AS crossed FROM e)
+        |SELECT k, bound_day, n_a, n_b, mean_a, mean_b, z, z_crit,
+        |  crossed,
+        |  crossed AND sum(CASE WHEN crossed THEN 1 ELSE 0 END)
+        |    OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) = 1 AS is_stop
+        |FROM f ORDER BY k""".stripMargin,
     // q_corr_matrix: identical 4dp DECIMAL quantization, identical
     // pair set (UNION ALL = the explode), moments as exact DECIMALs,
     // the same double expression tree (casts before every arithmetic

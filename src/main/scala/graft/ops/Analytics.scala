@@ -1767,6 +1767,74 @@ object Analytics {
       .orderBy(col("cx"), col("cy"))
   }
 
+  /** GROUP-SEQUENTIAL A/B monitoring with O'Brien-Fleming boundaries
+    * — the peeking problem solved correctly, completing the A/B
+    * family ([[welchTTest]] decides once; [[srmCheck]] gates
+    * validity; [[powerMde]] sizes; THIS is how you look early
+    * without lying): reading the t-test daily and stopping at the
+    * first |z| > 1.96 inflates false positives several-fold; the
+    * group-sequential boundary spends α across K scheduled looks —
+    * early looks need overwhelming evidence, the final look pays
+    * nearly nominal. Boundaries derive from ONE pinned constant:
+    * z_crit(k) = c_K·√(K/k) (the classical OBF shape; c_K = 2.04 ≈
+    * the two-sided α=0.05 value for K=5 — a table constant, never
+    * an engine CDF). Looks = K equal epoch-day windows (integer
+    * bounds from one min/max scalar); arms = the [[srmCheck]] md5
+    * coin; look k's z = Welch statistic over ALL data through
+    * bound_k. Cumulative moments come from ONE map-side K-fold
+    * support explode (each event votes for every look at or after
+    * its day — the q_dau_wau pattern: K× rows map-side, K
+    * aggregate rows shuffled); `is_stop` marks the FIRST crossing
+    * via a K-row cumulative window. */
+  def sequentialTest(s: SparkSession, d: String): DataFrame =
+    sequentialTestOn(Tables.events(s, d))
+
+  /** Same over any (user_id, ts, value) frame. */
+  def sequentialTestOn(events: DataFrame, looks: Int = 5,
+                       cK: Double = 2.04): DataFrame = {
+    val x = round(col("value"), 4).cast("decimal(14,4)")
+    val base = events.select(
+      expr("unix_micros(ts) div 86400000000").as("ed"),
+      when(substring(md5(col("user_id").cast("string")), 1, 2) < "80",
+        lit("a")).otherwise(lit("b")).as("arm"),
+      x.as("v"))
+    val rng = base.agg(min(col("ed")).as("mn"), max(col("ed")).as("mx"))
+    val bound = expr(s"mn + ((mx - mn + 1) * k) div $looks - 1")
+    val wl = base.crossJoin(broadcast(rng))
+      .withColumn("k", explode(array((1 to looks).map(i =>
+        lit(i.toLong)): _*)))
+      .filter(col("ed") <= bound)
+    def side(tag: String) = Seq(
+      sum(when(col("arm") === tag, lit(1L)).otherwise(lit(0L)))
+        .as(s"n_$tag"),
+      sum(when(col("arm") === tag, col("v")).otherwise(lit(null)))
+        .as(s"sx_$tag"),
+      sum(when(col("arm") === tag, col("v") * col("v"))
+        .otherwise(lit(null))).as(s"sxx_$tag"))
+    val m = wl.groupBy(col("k"))
+      .agg(max(bound).as("bound_day"),
+        (side("a") ++ side("b")): _*)
+    def meanv(tag: String) =
+      col(s"sx_$tag").cast("double") / col(s"n_$tag")
+    def sev(tag: String) =
+      (col(s"sxx_$tag").cast("double") -
+        col(s"sx_$tag").cast("double") * col(s"sx_$tag").cast("double") /
+          col(s"n_$tag")) / (col(s"n_$tag") - 1) / col(s"n_$tag")
+    val z = round((meanv("a") - meanv("b")) / sqrt(sev("a") + sev("b")), 4)
+    val zCrit = round(lit(cK) *
+      sqrt(lit(looks).cast("double") / col("k")), 4)
+    val crossed = abs(z) >= zCrit
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("k"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    m.select(col("k"), col("bound_day"), col("n_a"), col("n_b"),
+        round(meanv("a"), 4).as("mean_a"),
+        round(meanv("b"), 4).as("mean_b"),
+        z.as("z"), zCrit.as("z_crit"), crossed.as("crossed"))
+      .withColumn("is_stop", col("crossed") &&
+        sum(col("crossed").cast("long")).over(w) === 1)
+      .orderBy(col("k"))
+  }
+
   /** Price ELASTICITY per product brand — the log-log regression
     * economists read as "a 1% price increase moves quantity by
     * elasticity %": slope of ln(quantity) on ln(unit price), fit per

@@ -871,6 +871,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(("c", "k")).getDouble(3) === 0.0)
   }
 
+  test("sequentialTest: planted effect crosses with is_stop at the " +
+       "first look only; bounds split the calendar exactly") {
+    import spark.implicits._
+    import graft.ops.Analytics
+    def armOf(u: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .take(1).map("%02x".format(_)).mkString
+      if (h < "80") "a" else "b"
+    }
+    def ts(dd: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(dd).atStartOfDay)
+    // 60 users × 30 days; arm a carries a +10 effect over shared
+    // small noise → overwhelming z from the very first look
+    val rows = for (u <- 0L until 60L; dd <- 0 until 30) yield
+      (u, ts(dd), (if (armOf(u) == "a") 10.0 else 0.0) + (u + dd) % 3)
+    val out = Analytics.sequentialTestOn(
+        rows.toDF("user_id", "ts", "value")).collect()
+    assert(out.length === 5)
+    val ed0 = out.map(r => r.getLong(1)).min - 5 // bound_1 = mn + 6 - 1
+    out.zipWithIndex.foreach { case (r, i) =>
+      val k = i + 1
+      assert(r.getLong(0) === k.toLong)
+      assert(r.getLong(1) === ed0 + 6 * k - 1, s"bound at look $k")
+      // boundary: 2.04·sqrt(5/k) at 4dp
+      val crit = BigDecimal(2.04 * math.sqrt(5.0 / k))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(7) === crit, s"crit at look $k")
+      assert(r.getBoolean(8), s"must cross at look $k")
+      assert(r.getBoolean(9) === (k == 1), s"is_stop only at look 1")
+    }
+    // effect size sanity: means differ by ~10
+    assert(math.abs(out(4).getDouble(4) - out(4).getDouble(5) - 10.0) < 0.5)
+  }
+
   test("elasticity: planted constant-elasticity demand recovers -2, " +
        "price-degenerate brand nulls") {
     import spark.implicits._
