@@ -176,6 +176,10 @@ object SparkEntry {
     "q_srm_check" -> ((s, d) => Analytics.srmCheck(s, d)),
     // order-independent XOR+SUM row-hash signature per table — the
     // "did anything change" audit at the cost of a count(*)
+    // incremental aggregate maintenance: base+delta monoid merge; the
+    // oracle recomputes from scratch — hash equality proves merge ≡
+    // recompute
+    "etl_incremental_agg" -> ((s, d) => Mapping.incrementalAgg(s, d)),
     "etl_table_checksum" -> ((s, d) => {
       val o = Mapping.tableChecksum(Tables.orders(s, d), Seq(
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
@@ -2109,6 +2113,16 @@ object SparkEntry {
     // row canon = null-sentineled '|' join → md5 → first 15 hex as a
     // 60-bit int (list-comprehension polynomial — exact, no doubles);
     // XOR + HUGEINT SUM signatures rendered as strings
+    // etl_incremental_agg: the oracle recomputes the aggregate FROM
+    // SCRATCH and knows nothing about the base/delta split — hash
+    // equality IS the incremental-maintenance correctness proof
+    "etl_incremental_agg" ->
+      """SELECT event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP_US)) // 86400000000 AS ed,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(round(value, 4) AS DECIMAL(14,4))) AS sv
+        |FROM events GROUP BY 1, 2
+        |ORDER BY event_type, ed""".stripMargin,
     "etl_table_checksum" ->
       """WITH oh AS (SELECT CAST(list_sum([(strpos('0123456789abcdef', h[i]) - 1) *
         |      (CAST(1 AS BIGINT) << (4*(15 - i))) for i in range(1, 16)])

@@ -493,4 +493,48 @@ object Mapping {
       .select(lit(label).as("tbl"), col("n_rows"), col("xor_sig"),
         col("sum_sig").cast("string").as("sum_sig"))
   }
+
+  /** INCREMENTAL aggregate maintenance — the op that makes a daily
+    * 100 TB rollup affordable: merge yesterday's stored aggregate
+    * with today's delta instead of rescanning the whole fact table.
+    * The merge is one keyed full-outer join + coalesced monoid adds;
+    * it is correct ONLY for commutative-monoid stats (counts, sums —
+    * never raw distincts or percentiles: those need mergeable
+    * sketches, see SketchStreams.hllStream), which is exactly what
+    * this entry PROVES: the oracle recomputes the aggregate FROM
+    * SCRATCH over all rows and knows nothing about the split, so
+    * hash equality is a cross-engine proof that merged ≡ recomputed.
+    * The registry face derives base (days < cut) and delta in-plan
+    * from one scalar split; production swaps `base` for the stored
+    * table and the plan below it disappears — the merge itself never
+    * touches base's fact rows. */
+  def incrementalAgg(s: SparkSession, d: String): DataFrame = {
+    val staged = graft.Tables.events(s, d).select(col("event_type"),
+      expr("unix_micros(ts) div 86400000000").as("ed"),
+      round(col("value"), 4).cast("decimal(14,4)").as("v"))
+    val split = staged.agg((max(col("ed")) - 1).as("cut"))
+    val st = staged.crossJoin(broadcast(split))
+    incrementalAggMerge(
+      aggDaily(st.filter(col("ed") < col("cut"))),
+      aggDaily(st.filter(col("ed") >= col("cut"))))
+      .orderBy(col("event_type"), col("ed"))
+  }
+
+  /** The daily-grain monoid aggregate both sides share. */
+  private def aggDaily(df: DataFrame): DataFrame =
+    df.groupBy(col("event_type"), col("ed"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+
+  /** The merge: keyed full outer + coalesced adds — O(agg rows). */
+  def incrementalAggMerge(base: DataFrame, delta: DataFrame): DataFrame =
+    base.select(col("event_type"), col("ed"),
+        col("n").as("n_b"), col("sv").as("sv_b"))
+      .join(delta.select(col("event_type"), col("ed"),
+        col("n").as("n_d"), col("sv").as("sv_d")),
+        Seq("event_type", "ed"), "full_outer")
+      .select(col("event_type"), col("ed"),
+        (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+          .as("n"),
+        (coalesce(col("sv_b"), lit(0).cast("decimal(14,4)")) +
+         coalesce(col("sv_d"), lit(0).cast("decimal(14,4)"))).as("sv"))
 }

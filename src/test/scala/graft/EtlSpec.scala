@@ -347,4 +347,38 @@ class EtlSpec extends SparkSpec {
     assert(out2.map(_.getString(1)).distinct.toSeq === Seq("A"))
     assert(out2.forall(r => math.abs(r.getDouble(4) - 0.0323) < 1e-9))
   }
+
+  test("incrementalAggMerge: overlap adds, one-sided keys pass " +
+       "through, merged equals a from-scratch recompute") {
+    import spark.implicits._
+    def mk(rows: Seq[(String, Long, Long, String)]) =
+      rows.toDF("event_type", "ed", "n", "s")
+        .select(col("event_type"), col("ed"), col("n"),
+          col("s").cast("decimal(14,4)").as("sv"))
+    // base: (a,1), (a,2), (b,1); delta: (a,2) overlap, (c,9) new
+    val base = mk(Seq(("a", 1L, 3L, "30"), ("a", 2L, 2L, "5.5"),
+      ("b", 1L, 1L, "7")))
+    val delta = mk(Seq(("a", 2L, 4L, "4.5"), ("c", 9L, 2L, "1")))
+    val out = Mapping.incrementalAggMerge(base, delta).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDecimal(3).toPlainString))).toMap
+    assert(out.size === 4)
+    assert(out(("a", 2L))._1 === 6L)                  // 2 + 4
+    assert(BigDecimal(out(("a", 2L))._2) === BigDecimal(10))  // 5.5+4.5
+    assert(out(("a", 1L)) === ((3L, "30.0000")))      // base-only
+    assert(out(("c", 9L))._1 === 2L)                  // delta-only
+    // and the registry face equals a from-scratch recompute exactly
+    val merged = Mapping.incrementalAgg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), BigDecimal(r.getDecimal(3)))))
+    val scratch = Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("ed"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value"), 4).cast("decimal(14,4)")).as("sv"))
+      .orderBy(col("event_type"), col("ed")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), BigDecimal(r.getDecimal(3)))))
+    assert(merged.toSeq === scratch.toSeq)
+  }
 }
