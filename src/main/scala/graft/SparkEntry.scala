@@ -311,6 +311,12 @@ object SparkEntry {
     // group-sequential OBF monitoring: K-look support explode, one
     // pinned constant derives every boundary, first-crossing flag
     "q_sequential_test" -> ((s, d) => Analytics.sequentialTest(s, d)),
+    // PSI distribution drift: reference-decile bins, smoothed terms
+    // quantized to DECIMAL before the 10-row total, pinned 0.2 alert
+    "q_psi_drift" -> ((s, d) => Analytics.psiDrift(s, d)),
+    // hierarchical coherence audit: per-type + __total series through
+    // ONE damped-Holt pass; direct vs bottom-up gap per horizon
+    "ts_forecast_reconcile" -> ((s, d) => Forecast.reconcileForecast(s, d)),
     // damped-trend Holt: per-series 2-double recursion; phi-power sums
     // by repeated multiplication (never pow) — replayed node-for-node
     "forecast_holt_damped" -> ((s, d) => Forecast.holtDamped(s, d)),
@@ -2482,6 +2488,129 @@ object SparkEntry {
         |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 4)
         |  END AS survival
         |FROM f ORDER BY t""".stripMargin,
+    // q_psi_drift: identical midpoint split, reference quantile_cont
+    // deciles 4dp-rounded before binning, identical smoothing and
+    // 6dp DECIMAL terms, generated 0..9 bin axis on both sides
+    "q_psi_drift" ->
+      """WITH st AS (SELECT
+        |    epoch_us(CAST(ts AS TIMESTAMP_US)) // 86400000000 AS ed,
+        |    CAST(round(value, 4) AS DOUBLE) AS x
+        |  FROM events),
+        |md AS (SELECT (min(ed) + max(ed)) // 2 AS mid FROM st),
+        |pr AS (SELECT x, CASE WHEN ed < mid THEN 0 ELSE 1 END AS period
+        |       FROM st, md),
+        |dec AS (SELECT quantile_cont(x,
+        |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS ts
+        |  FROM pr WHERE period = 0),
+        |bn AS (SELECT period,
+        |    (CASE WHEN x > round(ts[1], 4) THEN 1 ELSE 0 END +
+        |     CASE WHEN x > round(ts[2], 4) THEN 1 ELSE 0 END +
+        |     CASE WHEN x > round(ts[3], 4) THEN 1 ELSE 0 END +
+        |     CASE WHEN x > round(ts[4], 4) THEN 1 ELSE 0 END +
+        |     CASE WHEN x > round(ts[5], 4) THEN 1 ELSE 0 END +
+        |     CASE WHEN x > round(ts[6], 4) THEN 1 ELSE 0 END +
+        |     CASE WHEN x > round(ts[7], 4) THEN 1 ELSE 0 END +
+        |     CASE WHEN x > round(ts[8], 4) THEN 1 ELSE 0 END +
+        |     CASE WHEN x > round(ts[9], 4) THEN 1 ELSE 0 END) AS bin
+        |  FROM pr, dec),
+        |cnt AS (SELECT bin,
+        |    CAST(sum(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_ref,
+        |    CAST(sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_cur
+        |  FROM bn GROUP BY 1),
+        |ax AS (SELECT unnest(range(0, 10)) AS bin),
+        |full0 AS (SELECT ax.bin, coalesce(cnt.n_ref, 0) AS n_ref,
+        |    coalesce(cnt.n_cur, 0) AS n_cur
+        |  FROM ax LEFT JOIN cnt ON cnt.bin = ax.bin),
+        |tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS nr,
+        |    CAST(sum(n_cur) AS BIGINT) AS nc FROM full0),
+        |tm AS (SELECT CAST(bin AS BIGINT) AS bin, n_ref, n_cur,
+        |    round((CAST(n_ref AS DOUBLE) + 0.5) /
+        |      (CAST(nr AS DOUBLE) + 5.0), 4) AS p_ref,
+        |    round((CAST(n_cur AS DOUBLE) + 0.5) /
+        |      (CAST(nc AS DOUBLE) + 5.0), 4) AS p_cur,
+        |    CAST(round(((CAST(n_ref AS DOUBLE) + 0.5) /
+        |        (CAST(nr AS DOUBLE) + 5.0) -
+        |        (CAST(n_cur AS DOUBLE) + 0.5) /
+        |        (CAST(nc AS DOUBLE) + 5.0)) *
+        |      ln(((CAST(n_ref AS DOUBLE) + 0.5) /
+        |        (CAST(nr AS DOUBLE) + 5.0)) /
+        |        ((CAST(n_cur AS DOUBLE) + 0.5) /
+        |        (CAST(nc AS DOUBLE) + 5.0))), 6) AS DECIMAL(12,6))
+        |      AS psi_term
+        |  FROM full0, tot)
+        |SELECT bin, n_ref, n_cur, p_ref, p_cur, psi_term,
+        |  round(CAST(sum(psi_term) OVER () AS DOUBLE), 4) AS psi,
+        |  round(CAST(sum(psi_term) OVER () AS DOUBLE), 4) > 0.2 AS drift
+        |FROM tm ORDER BY bin""".stripMargin,
+    // ts_forecast_reconcile: the forecast_ar CTE chain over the
+    // per-type series UNION the __total pseudo-series; direct vs
+    // bottom-up per holdout day, sums as exact DECIMALs of 4dp preds
+    "ts_forecast_reconcile" ->
+      """WITH RECURSIVE daily0 AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |daily AS (
+        |  SELECT * FROM daily0
+        |  UNION ALL
+        |  SELECT day, '__total', CAST(sum(cnt) AS BIGINT) FROM daily0
+        |  GROUP BY day),
+        |mx AS (SELECT max(day) AS mx FROM daily),
+        |l AS (SELECT daily.*,
+        |        lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+        |        lag(cnt, 2) OVER (PARTITION BY event_type ORDER BY day) AS l2
+        |      FROM daily),
+        |train AS (
+        |  SELECT event_type, day, CAST(cnt AS DOUBLE) AS y,
+        |         CAST(l1 AS DOUBLE) AS x1, CAST(l2 AS DOUBLE) AS x2
+        |  FROM l, mx WHERE day <= mx - INTERVAL 7 DAY AND l2 IS NOT NULL),
+        |sums AS (
+        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(y) AS sy, sum(x1) AS s1, sum(x2) AS s2,
+        |    sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
+        |    sum(x1 * y) AS s1y, sum(x2 * y) AS s2y,
+        |    arg_max(y, day) AS y0, arg_max(x1, day) AS ym1,
+        |    max(day) AS tday
+        |  FROM train GROUP BY 1),
+        |cf AS (
+        |  SELECT *,
+        |    n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)
+        |      AS det
+        |  FROM sums),
+        |c2 AS (
+        |  SELECT event_type, tday, y0, ym1,
+        |    (sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y)) / det AS c0,
+        |    (n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2)) / det AS a1,
+        |    (n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2)) / det AS a2
+        |  FROM cf WHERE n >= 4 AND det <> 0),
+        |f AS (
+        |  SELECT event_type, tday, c0, a1, a2, 0 AS h, y0 AS p1, ym1 AS p2
+        |  FROM c2
+        |  UNION ALL
+        |  SELECT event_type, tday, c0, a1, a2, h + 1,
+        |         c0 + a1 * p1 + a2 * p2, p1
+        |  FROM f WHERE h < 7),
+        |pj AS (
+        |  SELECT f.event_type, daily.day, daily.cnt AS actual,
+        |    CAST(round(p1, 4) AS DECIMAL(14,4)) AS pred
+        |  FROM f JOIN daily ON daily.event_type = f.event_type
+        |                AND daily.day = tday + INTERVAL 1 DAY * h
+        |  WHERE h >= 1)
+        |SELECT day,
+        |  max(CASE WHEN event_type = '__total' THEN actual END)
+        |    AS actual_total,
+        |  CAST(sum(CASE WHEN event_type <> '__total' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_series,
+        |  round(CAST(sum(CASE WHEN event_type = '__total' THEN pred END)
+        |    AS DOUBLE), 4) AS direct,
+        |  round(CAST(sum(CASE WHEN event_type <> '__total' THEN pred END)
+        |    AS DOUBLE), 4) AS bottom_up,
+        |  round(CAST(sum(CASE WHEN event_type = '__total' THEN pred END) -
+        |    sum(CASE WHEN event_type <> '__total' THEN pred END)
+        |    AS DOUBLE), 4) AS gap
+        |FROM pj GROUP BY 1 ORDER BY day""".stripMargin,
     // q_sequential_test: identical look bounds (integer window math),
     // md5 arms, FILTERed cumulative moments, q_ttest Welch tree,
     // boundary from the one pinned constant, first-crossing window

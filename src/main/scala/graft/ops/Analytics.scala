@@ -1767,6 +1767,71 @@ object Analytics {
       .orderBy(col("cx"), col("cy"))
   }
 
+  /** POPULATION-STABILITY drift monitor (PSI) — the ML-monitoring
+    * readout that says whether the metric's DISTRIBUTION moved
+    * between the reference and current windows (means can hold while
+    * the shape shifts — exactly what silently breaks trained
+    * models): bins = the REFERENCE period's nine 4dp-rounded deciles
+    * (the ml_decision_stump threshold posture — quantized before any
+    * comparison), both periods histogram into them, PSI =
+    * Σ (p−q)·ln(p/q) with additive smoothing (n+0.5)/(N+5) so an
+    * empty bin can't blow the log, and the standard >0.2 alert is a
+    * PINNED constant. Calendar split = the q_did integer midpoint.
+    * Terms quantize to DECIMAL(12,6) before the 10-row total (the
+    * rounded-metric rule — a windowed double sum's addition order is
+    * engine-internal); all ten bins materialize via a generated bin
+    * axis so both engines emit the same rows even when a bin is
+    * empty in both periods. Cost: one scalar, one reference decile
+    * aggregate, one 10-bin conditional count — two scans. */
+  def psiDrift(s: SparkSession, d: String): DataFrame =
+    psiDriftOn(Tables.events(s, d))
+
+  /** Same over any (ts, value) frame. */
+  def psiDriftOn(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val staged = events.select(
+      expr("unix_micros(ts) div 86400000000").as("ed"),
+      round(col("value"), 4).cast("double").as("x"))
+    val mid = staged.agg(expr("(min(ed) + max(ed)) div 2").as("mid"))
+    val st = staged.crossJoin(broadcast(mid))
+      .withColumn("period", when(col("ed") < col("mid"), 0).otherwise(1))
+    val dec = st.filter(col("period") === 0)
+      .agg(expr(
+        "percentile(x, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("ts"))
+      .select((1 to 9).map(i =>
+        round(element_at(col("ts"), i), 4).as(s"t$i")): _*)
+    val bin = (1 to 9).map(k =>
+      (col("x") > col(s"t$k")).cast("long")).reduce(_ + _)
+    val counts = st.crossJoin(broadcast(dec))
+      .withColumn("bin", bin)
+      .groupBy(col("bin"))
+      .agg(sum(when(col("period") === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("period") === 1, 1L).otherwise(0L)).as("n_cur"))
+    val bins = staged.sparkSession.range(10).select(col("id").as("bin"))
+    val full = bins.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = full.agg(sum(col("n_ref")).as("nr"),
+      sum(col("n_cur")).as("nc"))
+    val p = (col("n_ref").cast("double") + 0.5) /
+      (col("nr").cast("double") + 5.0)
+    val q = (col("n_cur").cast("double") + 0.5) /
+      (col("nc").cast("double") + 5.0)
+    val term = round((p - q) * log(p / q), 6).cast("decimal(12,6)")
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    full.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(p, 4).as("p_ref"), round(q, 4).as("p_cur"),
+        term.as("psi_term"))
+      .withColumn("psi",
+        round(sum(col("psi_term")).over(w).cast("double"), 4))
+      .withColumn("drift", col("psi") > 0.2)
+      .orderBy(col("bin"))
+  }
+
   /** GROUP-SEQUENTIAL A/B monitoring with O'Brien-Fleming boundaries
     * — the peeking problem solved correctly, completing the A/B
     * family ([[welchTTest]] decides once; [[srmCheck]] gates

@@ -145,10 +145,13 @@ object Forecast {
     * Output: (event_type, day, actual, pred) over the holdout days,
     * the [[seasonalNaive]] shape minus the quantile band (an AR point
     * model has no residual-quantile interval by construction). */
-  def arForecast(s: SparkSession, d: String, horizon: Int = 7): DataFrame = {
-    val daily = Tables.events(s, d)
+  def arForecast(s: SparkSession, d: String, horizon: Int = 7): DataFrame =
+    arForecastOn(Tables.events(s, d)
       .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")), horizon)
+
+  /** Same over any (day, event_type, cnt) daily frame. */
+  def arForecastOn(daily: DataFrame, horizon: Int): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
     val lagged = daily
       .withColumn("l1", lag(col("cnt"), 1).over(w))
@@ -352,6 +355,60 @@ object Forecast {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** HIERARCHICAL forecast RECONCILIATION audit — the coherence
+    * question aggregate dashboards hit immediately: forecast each
+    * series AND the total, and the bottom-up sum of per-series
+    * forecasts will NOT equal the directly-forecast total for any
+    * model whose fit is nonlinear in the series. The model choice is
+    * the analytic point: snaive, Holt(-damped), and theta are all
+    * LINEAR maps of the input values (sum of forecasts ≡ forecast of
+    * sums — a first cut on damped Holt measured the gap at rounding
+    * noise, exactly as the algebra predicts), so the audit runs
+    * [[arForecastOn]], whose fitted coefficients are RATIOS of
+    * moments — nonlinear, and genuinely incoherent across the
+    * hierarchy. The per-day gap is the number a reporting pipeline
+    * must reconcile away (bottom-up, top-down, or MinT) before
+    * publishing. ONE plan: the total appends as a `__total`
+    * pseudo-series (one extra groupBy), the shared AR fit runs over
+    * everything in a single pass, and the output pivots direct vs
+    * bottom-up per holdout day with the realized total beside them.
+    * `n_series` counts the types actually fit that day — a type
+    * dropped by the det/n guard would silently hollow the bottom-up
+    * sum, so the audit surfaces it. */
+  def reconcileForecast(s: SparkSession, d: String,
+                        horizon: Int = 7): DataFrame =
+    reconcileForecastOn(Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt")), horizon)
+
+  /** Same over any (day, event_type, cnt) daily frame. */
+  def reconcileForecastOn(daily: DataFrame, horizon: Int): DataFrame = {
+    val total = daily.groupBy(col("day"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .select(col("day"), lit("__total").as("event_type"), col("cnt"))
+    val preds = arForecastOn(
+      daily.select(col("day"), col("event_type"), col("cnt"))
+        .unionByName(total), horizon)
+    // preds are 4dp-rounded per series — sum as exact DECIMALs so the
+    // bottom-up total can't drift with aggregation order
+    preds.groupBy(col("day"))
+      .agg(
+        max(when(col("event_type") === "__total", col("actual")))
+          .as("actual_total"),
+        sum(when(col("event_type") === "__total",
+          col("pred").cast("decimal(14,4)"))).as("direct"),
+        sum(when(col("event_type") =!= "__total",
+          col("pred").cast("decimal(14,4)"))).as("bottom_up"),
+        sum(when(col("event_type") =!= "__total", 1L).otherwise(0L))
+          .as("n_series"))
+      .select(col("day"), col("actual_total"), col("n_series"),
+        round(col("direct").cast("double"), 4).as("direct"),
+        round(col("bottom_up").cast("double"), 4).as("bottom_up"),
+        round((col("direct") - col("bottom_up")).cast("double"), 4)
+          .as("gap"))
+      .orderBy(col("day"))
+  }
+
   /** ROLLING-ORIGIN backtest of the seasonal-naive forecaster — the
     * forecasting counterpart of ml_cv_accuracy's k-fold: one holdout
     * ([[evaluate]]) says how the model did ONCE; successive origins
@@ -426,11 +483,19 @@ object Forecast {
     * JVM and C runtimes. */
   def holtDamped(s: SparkSession, d: String, horizon: Int = 7,
                  alpha: Double = 0.3, beta: Double = 0.1,
-                 phi: Double = 0.9): DataFrame = {
-    import s.implicits._
-    val daily = Tables.events(s, d)
+                 phi: Double = 0.9): DataFrame =
+    holtDampedOn(Tables.events(s, d)
       .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("day"), col("cnt")),
+      horizon, alpha, beta, phi)
+
+  /** Same over any (event_type, day, cnt) daily frame. */
+  def holtDampedOn(dailyDf: DataFrame, horizon: Int,
+                   alpha: Double, beta: Double, phi: Double): DataFrame = {
+    val s = dailyDf.sparkSession
+    import s.implicits._
+    val daily = dailyDf
       .select(col("event_type"), col("day"), col("cnt"))
       .as[(String, java.sql.Timestamp, Long)]
     daily.groupByKey(_._1)

@@ -871,6 +871,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(("c", "k")).getDouble(3) === 0.0)
   }
 
+  test("psiDrift: identical periods read ~0; a full shift pushes " +
+       "every current row past the last bin and trips the alert") {
+    import spark.implicits._
+    import graft.ops.Analytics
+    def ts(dd: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 5, 1).plusDays(dd).atStartOfDay)
+    // days 0..19 → midpoint splits at day 9; identical value cycles
+    // in both halves → every bin's shares match → psi ≈ 0
+    val same = (for (dd <- 0 until 20; i <- 0 until 50)
+      yield (ts(dd), (i % 100).toDouble)).toDF("ts", "value")
+    val r1 = Analytics.psiDriftOn(same).collect()
+    assert(r1.length === 10)
+    assert(r1.forall(!_.getBoolean(7)))
+    assert(math.abs(r1.head.getDouble(6)) < 0.01)
+    // current period shifted +1000: every current row exceeds every
+    // reference decile → bin 9; psi blows past the pinned 0.2
+    val shifted = (for (dd <- 0 until 20; i <- 0 until 50)
+      yield (ts(dd),
+        (i % 100).toDouble + (if (dd >= 9) 1000.0 else 0.0)))
+      .toDF("ts", "value")
+    val r2 = Analytics.psiDriftOn(shifted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(r2(9L).getLong(2) > 0 &&
+      (0L to 8L).forall(b => r2(b).getLong(2) === 0L),
+      "all current mass must land in the top bin")
+    assert(r2(0L).getBoolean(7), "drift alert must fire")
+    assert(r2(0L).getDouble(6) > 0.2)
+  }
+
   test("sequentialTest: planted effect crosses with is_stop at the " +
        "first look only; bounds split the calendar exactly") {
     import spark.implicits._

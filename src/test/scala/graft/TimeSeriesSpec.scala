@@ -448,6 +448,43 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("reconcileForecast: single series is coherent (gap 0); " +
+       "multi-series nonlinear fits genuinely diverge from bottom-up") {
+    import spark.implicits._
+    def day(i: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 3, 1).plusDays(i).atStartOfDay)
+    // one series: the __total pseudo-series IS the series → the same
+    // AR fit on both → gap exactly 0 on every holdout day. The (i²%5)
+    // wobble keeps the lag design non-degenerate (a pure ramp or pure
+    // alternation makes x2 affine in x1 → det = 0 → series dropped)
+    val one = (0 until 25).map(i => ("a", day(i), 10L + i % 4 + (i * i) % 5))
+      .toDF("event_type", "day", "cnt")
+    val r1 = graft.ops.Forecast.reconcileForecastOn(one, 7).collect()
+    assert(r1.nonEmpty)
+    r1.foreach { r =>
+      assert(r.getLong(2) === 1L)
+      assert(r.getDouble(3) === r.getDouble(4))
+      assert(r.getDouble(5) === 0.0)
+    }
+    // two series with different dynamics: the AR coefficients are
+    // RATIOS of moments — nonlinear in the series — so direct ≠
+    // bottom-up somewhere; gap must always equal direct − bottom_up
+    val two = ((0 until 25).map(i =>
+        ("up", day(i), 10L + 3L * i + (i * i) % 5)) ++
+      (0 until 25).map(i => ("seesaw", day(i),
+        (if (i % 2 == 0) 40L else 2L) + i % 3)))
+      .toDF("event_type", "day", "cnt")
+    val r2 = graft.ops.Forecast.reconcileForecastOn(two, 7).collect()
+    assert(r2.nonEmpty)
+    r2.foreach { r =>
+      assert(r.getLong(2) === 2L, "both series must survive the fit")
+      val want = BigDecimal(r.getDouble(3)) - BigDecimal(r.getDouble(4))
+      assert(BigDecimal(r.getDouble(5)) === want)
+    }
+    assert(r2.exists(r => math.abs(r.getDouble(5)) > 0.01),
+      "nonlinear fits on divergent series must show a coherence gap")
+  }
+
   test("backtestRolling: periodic series scores 0 at every origin; " +
        "a level shift surfaces only in the origins that cross it") {
     import spark.implicits._
