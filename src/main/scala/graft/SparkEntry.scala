@@ -314,6 +314,9 @@ object SparkEntry {
     // PSI distribution drift: reference-decile bins, smoothed terms
     // quantized to DECIMAL before the 10-row total, pinned 0.2 alert
     "q_psi_drift" -> ((s, d) => Analytics.psiDrift(s, d)),
+    // MAU growth accounting: new/retained/resurrected/churned at
+    // user-month grain; the accounting identity is spec-asserted
+    "q_growth_accounting" -> ((s, d) => Analytics.growthAccounting(s, d)),
     // hierarchical coherence audit: per-type + __total series through
     // ONE damped-Holt pass; direct vs bottom-up gap per horizon
     "ts_forecast_reconcile" -> ((s, d) => Forecast.reconcileForecast(s, d)),
@@ -2488,6 +2491,46 @@ object SparkEntry {
         |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 4)
         |  END AS survival
         |FROM f ORDER BY t""".stripMargin,
+    // q_growth_accounting: identical month truncation and interval
+    // shift, marker left join + anti join, churn clamped to corpus
+    "q_growth_accounting" ->
+      """WITH um AS (SELECT DISTINCT user_id,
+        |    date_trunc('week', CAST(ts AS TIMESTAMP_US)) AS m
+        |  FROM events),
+        |fst AS (SELECT user_id, min(m) AS m0 FROM um GROUP BY 1),
+        |mk AS (SELECT user_id, m + INTERVAL 1 WEEK AS m,
+        |         1 AS was_prev FROM um),
+        |cur AS (SELECT um.m,
+        |    CASE WHEN um.m = fst.m0 THEN 'new'
+        |         WHEN mk.was_prev IS NOT NULL THEN 'retained'
+        |         ELSE 'resurrected' END AS status
+        |  FROM um JOIN fst ON fst.user_id = um.user_id
+        |  LEFT JOIN mk ON mk.user_id = um.user_id AND mk.m = um.m),
+        |mxm AS (SELECT max(m) AS mxm FROM um),
+        |chn AS (SELECT mk.m, 'churned' AS status
+        |  FROM mk, mxm
+        |  WHERE mk.m <= mxm
+        |    AND NOT EXISTS (SELECT 1 FROM um
+        |                    WHERE um.user_id = mk.user_id
+        |                      AND um.m = mk.m)),
+        |u AS (SELECT * FROM cur UNION ALL SELECT * FROM chn)
+        |SELECT m AS period,
+        |  CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_new,
+        |  CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_retained,
+        |  CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_resurrected,
+        |  CAST(sum(CASE WHEN status = 'churned' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_churned,
+        |  CAST(sum(CASE WHEN status IN ('new', 'retained', 'resurrected')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS mau,
+        |  CASE WHEN sum(CASE WHEN status = 'churned' THEN 1 ELSE 0 END) > 0
+        |    THEN round(CAST(sum(CASE WHEN status IN ('new', 'resurrected')
+        |        THEN 1 ELSE 0 END) AS DOUBLE) /
+        |      sum(CASE WHEN status = 'churned' THEN 1 ELSE 0 END), 4)
+        |  END AS quick_ratio
+        |FROM u GROUP BY 1 ORDER BY period""".stripMargin,
     // q_psi_drift: identical midpoint split, reference quantile_cont
     // deciles 4dp-rounded before binning, identical smoothing and
     // 6dp DECIMAL terms, generated 0..9 bin axis on both sides

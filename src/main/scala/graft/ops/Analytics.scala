@@ -1767,6 +1767,71 @@ object Analytics {
       .orderBy(col("cx"), col("cy"))
   }
 
+  /** MAU GROWTH ACCOUNTING — the decomposition product teams read
+    * before any topline (the Social-Capital framework): month-over-
+    * month, every active user is NEW (first month ever), RETAINED
+    * (active last month too) or RESURRECTED (active before, skipped
+    * last month); users active last month but silent now are
+    * CHURNED. MAU(m) ≡ new+retained+resurrected and
+    * MAU(m) − MAU(m−1) ≡ new+resurrected−churned — an accounting
+    * identity the spec asserts, and the quick ratio
+    * (new+resurrected)/churned says whether growth outruns leakage.
+    * Cost: one distinct user-month frame, a min-per-user first
+    * month, one (user, month)-keyed left join against the
+    * shifted-forward frame (retained), one anti join (churned) —
+    * everything user-month grain, ~1/30 of the event volume.
+    * Calendar months via date_trunc under the UTC session (the
+    * daily-aggregate parity posture); churn months clamp to the
+    * corpus range (one broadcast scalar). */
+  def growthAccounting(s: SparkSession, d: String): DataFrame =
+    growthAccountingOn(Tables.events(s, d))
+
+  /** Same over any (user_id, ts) frame. `unit` is the accounting
+    * period — the registry runs WEEKLY so the gate corpus (a ~30-day
+    * span) exercises every status including churn/resurrection;
+    * monthly is the same code with unit = "month". */
+  def growthAccountingOn(events: DataFrame,
+                         unit: String = "week"): DataFrame = {
+    val um = events
+      .select(col("user_id"), date_trunc(unit, col("ts")).as("m"))
+      .distinct()
+      .cache() // four consumers: first-month, marker, classify, churn
+    val first = um.groupBy(col("user_id")).agg(min(col("m")).as("m0"))
+    val marker = um.select(col("user_id"),
+      (col("m") + expr(s"interval 1 $unit")).as("m"),
+      lit(1L).as("was_prev"))
+    val cur = um.join(first, "user_id")
+      .join(marker, Seq("user_id", "m"), "left")
+      .select(col("m"),
+        when(col("m") === col("m0"), "new")
+          .when(col("was_prev").isNotNull, "retained")
+          .otherwise("resurrected").as("status"))
+    val mxm = um.agg(max(col("m")).as("mxm"))
+    val churn = marker.select(col("user_id"), col("m"))
+      .join(um, Seq("user_id", "m"), "left_anti")
+      .crossJoin(broadcast(mxm))
+      .filter(col("m") <= col("mxm"))
+      .select(col("m"), lit("churned").as("status"))
+    cur.unionByName(churn)
+      .groupBy(col("m"))
+      .agg(
+        sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("status") === "retained", 1L).otherwise(0L))
+          .as("n_retained"),
+        sum(when(col("status") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"),
+        sum(when(col("status") === "churned", 1L).otherwise(0L))
+          .as("n_churned"))
+      .select(col("m").as("period"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), col("n_churned"),
+        (col("n_new") + col("n_retained") + col("n_resurrected"))
+          .as("mau"),
+        when(col("n_churned") > 0,
+          round((col("n_new") + col("n_resurrected")).cast("double") /
+            col("n_churned"), 4)).as("quick_ratio"))
+      .orderBy(col("period"))
+  }
+
   /** POPULATION-STABILITY drift monitor (PSI) — the ML-monitoring
     * readout that says whether the metric's DISTRIBUTION moved
     * between the reference and current windows (means can hold while

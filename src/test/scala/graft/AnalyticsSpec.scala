@@ -871,6 +871,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(("c", "k")).getDouble(3) === 0.0)
   }
 
+  test("growthAccounting: all four statuses land exactly; the " +
+       "accounting identity holds") {
+    import spark.implicits._
+    import graft.ops.Analytics
+    def wk(w: Int, dow: Int = 2) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(7L * w + dow)
+        .atStartOfDay) // 2024-01-01 is a Monday → clean week starts
+    // u1: weeks 0,1,2 (new, retained, retained)
+    // u2: weeks 0,2 (new, churned@1, resurrected@2)
+    // u3: week 1 only (new@1, churned@2)
+    val ev = Seq((1L, wk(0)), (1L, wk(1)), (1L, wk(2)),
+      (2L, wk(0)), (2L, wk(2)), (3L, wk(1)))
+      .toDF("user_id", "ts")
+    val out = Analytics.growthAccountingOn(ev).collect()
+    assert(out.length === 3)
+    val rows = out.map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)))
+    assert(rows(0) === ((2L, 0L, 0L, 0L, 2L)))
+    assert(rows(1) === ((1L, 1L, 0L, 1L, 2L)))
+    assert(rows(2) === ((0L, 1L, 1L, 1L, 2L)))
+    // identity: MAU(m) − MAU(m−1) = new + resurrected − churned
+    (1 until 3).foreach { i =>
+      assert(rows(i)._5 - rows(i - 1)._5 ===
+        rows(i)._1 + rows(i)._3 - rows(i)._4, s"week $i")
+    }
+    // quick ratio: week 1 = (1+0)/1 = 1.0; week 2 = (0+1)/1 = 1.0;
+    // week 0 has no churn → null
+    assert(out(0).isNullAt(6))
+    assert(out(1).getDouble(6) === 1.0 && out(2).getDouble(6) === 1.0)
+  }
+
   test("psiDrift: identical periods read ~0; a full shift pushes " +
        "every current row past the last bin and trips the alert") {
     import spark.implicits._
