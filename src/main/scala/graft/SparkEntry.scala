@@ -317,6 +317,9 @@ object SparkEntry {
     // MAU growth accounting: new/retained/resurrected/churned at
     // user-month grain; the accounting identity is spec-asserted
     "q_growth_accounting" -> ((s, d) => Analytics.growthAccounting(s, d)),
+    // content-defined chunking (Rabin/FastCDC over tokens): row-local
+    // boundary derivation + one chunk-hash aggregate; planted footer
+    "dedup_cdc_chunks" -> ((s, d) => DedupOps.cdcChunkStats(s, d)),
     // hierarchical coherence audit: per-type + __total series through
     // ONE damped-Holt pass; direct vs bottom-up gap per horizon
     "ts_forecast_reconcile" -> ((s, d) => Forecast.reconcileForecast(s, d)),
@@ -2491,6 +2494,43 @@ object SparkEntry {
         |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 4)
         |  END AS survival
         |FROM f ORDER BY t""".stripMargin,
+    // dedup_cdc_chunks: identical planted footer, the fingerprint
+    // gram/md5 coin, list-comprehension cut derivation, inclusive
+    // slice chunking, identical summary arithmetic
+    "dedup_cdc_chunks" ->
+      """WITH doc0 AS (SELECT doc_id, text ||
+        |    ' end of document standard footer generated by the ' ||
+        |    'corpus export pipeline all rights reserved' AS text
+        |  FROM documents),
+        |tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |        FROM doc0),
+        |g AS (SELECT doc_id, t, len(t) AS n,
+        |  CASE WHEN len(t) >= 3 THEN
+        |    list_transform(range(1, len(t) - 1),
+        |      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+        |  ELSE [] END AS grams FROM tok),
+        |c AS (SELECT doc_id, t, n,
+        |  list_sort(list_distinct([0] ||
+        |    [CAST(i + 2 AS BIGINT) for i in range(1, n - 1)
+        |     if ('0x' || substr(md5(grams[i]), 1, 15))::UBIGINT % 16 = 0]
+        |    || [CAST(n AS BIGINT)])) AS bnds
+        |  FROM g),
+        |ex AS (SELECT doc_id, t, bnds,
+        |         unnest(range(1, len(bnds))) AS j FROM c),
+        |ck AS (SELECT
+        |    md5(array_to_string(t[bnds[j]+1 : bnds[j+1]], ' ')) AS ch,
+        |    CAST(bnds[j+1] - bnds[j] AS BIGINT) AS ln FROM ex),
+        |cnt AS (SELECT ch, CAST(count(*) AS BIGINT) AS cnt,
+        |        min(ln) AS ln FROM ck GROUP BY 1)
+        |SELECT CAST(sum(cnt) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_hashes,
+        |  CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+        |    AS dup_mass,
+        |  round(CAST(sum(ln * cnt) AS DOUBLE) / sum(cnt), 4) AS mean_len,
+        |  round(CAST(count(*) AS DOUBLE) / sum(cnt), 4) AS dedup_ratio
+        |FROM cnt""".stripMargin,
     // q_growth_accounting: identical month truncation and interval
     // shift, marker left join + anti join, churn clamped to corpus
     "q_growth_accounting" ->

@@ -1056,4 +1056,93 @@ object DedupOps {
         coalesce(col("text_trimmed"), lit("")).as("text_trimmed"))
       .orderBy(col("doc_id"))
   }
+
+  /** CONTENT-DEFINED CHUNKING dedup (the Rabin/FastCDC family, over
+    * tokens) — the STORAGE-dedup construction the span/shingle faces
+    * don't cover: fixed-size chunking breaks on a single inserted
+    * token (every later boundary shifts), so dedup systems cut where
+    * a rolling hash of LOCAL content crosses a mask — an insertion
+    * perturbs only the chunks it touches, boundaries re-synchronize,
+    * and the shared remainder dedups again (the spec proves exactly
+    * this with a prefix-shifted duplicate). Cut rule: after token i
+    * when md5 of the 3-token window ending at i ≡ 0 mod `mask+1`
+    * (avg chunk ≈ mask+1 tokens) — the [[TextOps]] winnow gram hash,
+    * so both engines share the coin. Entirely ROW-LOCAL per doc
+    * (boundary derivation, slicing, chunk hashing all ride the scan
+    * projection — zero shuffles until the corpus-wide chunk-hash
+    * count), then one map-side-combinable aggregate over chunk
+    * hashes. Output: one corpus summary row — chunks, distinct,
+    * duplicated hashes, dup mass, mean chunk length, dedup ratio. */
+  def cdcChunkStats(s: SparkSession, d: String): DataFrame = {
+    // the synthetic corpus has no natural cross-doc duplication, so
+    // a shared boilerplate tail is PLANTED (mirrored in the oracle)
+    // to make the dedup bite on real data; production runs the raw
+    // corpus
+    cdcChunkStatsOn(Tables.documents(s, d).withColumn("text",
+      concat(col("text"), lit(" end of document standard footer " +
+        "generated by the corpus export pipeline all rights reserved"))))
+  }
+
+  /** Same over any (doc_id, text) frame. */
+  def cdcChunkStatsOn(docs: DataFrame, mask: Int = 15): DataFrame =
+    cdcChunksOf(docs, mask)
+      .groupBy(col("ch"))
+      .agg(count(lit(1)).as("cnt"), min(col("ln")).as("ln"))
+      .agg(sum(col("cnt")).as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_hashes"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_mass"),
+        round(sum(col("ln") * col("cnt")).cast("double") /
+          sum(col("cnt")), 4).as("mean_len"))
+      .select(col("n_chunks"), col("n_distinct"), col("n_dup_hashes"),
+        col("dup_mass"), col("mean_len"),
+        round(col("n_distinct").cast("double") / col("n_chunks"), 4)
+          .as("dedup_ratio"))
+
+  /** The per-chunk frame (doc_id, ch, ln) — the stats' base and the
+    * spec's window into the shift-robustness property. */
+  private[graft] def cdcChunksOf(docs: DataFrame, mask: Int): DataFrame = {
+    val staged = Tables.spread(docs)
+      .select(col("doc_id"), TextOps.toks(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+    // 3-token windows (the fingerprint gram shape): gram i covers
+    // tokens i..i+2 (1-based), i = 1..n−2
+    val grams = when(col("n") >= 3,
+      transform(sequence(lit(1), col("n") - 2), i =>
+        concat_ws(" ", element_at(col("t"), i),
+          element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
+      .otherwise(array().cast("array<string>"))
+    // Cut derivation iterates the gram array WITH ITS INDEX — never
+    // element_at(grams, i) inside a position lambda, which
+    // re-evaluates the whole gram pipeline per index (the
+    // docShingleSets O(n²) CollapseProject trap; the first cut of
+    // this operator hung the verify gate exactly that way). A
+    // 0-based gram index i0 covers tokens i0+1..i0+3, so the cut
+    // lands after token i0+3.
+    val cuts = filter(transform(grams, (g, i0) =>
+      when(conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+        % (mask + 1) === 0, i0 + 3)), c => c.isNotNull)
+    staged
+      // array_sort on BOTH sides: DuckDB's list_distinct does not
+      // preserve order (measured: unsorted bounds → negative chunk
+      // lengths in the oracle)
+      .withColumn("bnds", array_sort(array_distinct(concat(
+        array(lit(0)), cuts, array(col("n"))))))
+      .select(col("doc_id"), col("t"), col("bnds"))
+      // barrier: bnds/t become STORED columns, so the chunk slicer's
+      // element_at(bnds, j) reads O(1) instead of re-deriving the
+      // boundary pipeline per access
+      .localCheckpoint(false)
+      .withColumn("chunks",
+        transform(sequence(lit(1), size(col("bnds")) - 1), j =>
+          struct(
+            md5(concat_ws(" ", slice(col("t"),
+              element_at(col("bnds"), j) + 1,
+              element_at(col("bnds"), j + 1) -
+                element_at(col("bnds"), j)))).as("ch"),
+            (element_at(col("bnds"), j + 1) -
+              element_at(col("bnds"), j)).cast("long").as("ln"))))
+      .select(col("doc_id"), explode(col("chunks")).as("c"))
+      .select(col("doc_id"), col("c.ch").as("ch"), col("c.ln").as("ln"))
+  }
 }

@@ -412,4 +412,33 @@ class DedupSpec extends SparkSpec {
     // 3-grams fully inside the span: (s1 s2 s3), (s2 s3 s4) → 2 per carrier
     assert(out(1L) === 2L && out(2L) === 2L && out(3L) === 0L)
   }
+
+  test("cdc chunking: lengths tile the doc; a prefix insertion " +
+       "re-synchronizes (shift robustness); fixed-size would not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val words = (0 until 400).map(i => s"w${i * 7 % 131}")
+    val base = words.mkString(" ")
+    val shifted = "xx yy zz " + base       // 3 tokens inserted at front
+    val docs = Seq((1L, base), (2L, shifted)).toDF("doc_id", "text")
+    val ch = DedupOps.cdcChunksOf(docs, mask = 15).collect()
+    val a = ch.filter(_.getLong(0) == 1L)
+    val b = ch.filter(_.getLong(0) == 2L)
+    // chunk lengths tile each document exactly
+    assert(a.map(_.getLong(2)).sum === 400L)
+    assert(b.map(_.getLong(2)).sum === 403L)
+    // content-defined boundaries re-synchronize after the insertion:
+    // all but the perturbed head chunks are SHARED. A fixed-size
+    // chunker shares zero chunks after a 3-token shift.
+    val sa = a.map(_.getString(1)).toSet
+    val sb = b.map(_.getString(1)).toSet
+    val shared = (sa & sb).size
+    assert(shared >= sa.size - 2,
+      s"only $shared of ${sa.size} chunks survived the shift")
+    assert(a.length >= 10, "mask 15 over 400 tokens must cut often")
+    // summary face agrees with the chunk frame
+    val st = DedupOps.cdcChunkStatsOn(docs, mask = 15).collect().head
+    assert(st.getLong(0) === (a.length + b.length).toLong)
+    assert(st.getLong(0) - st.getLong(1) > 0, "shared chunks must dedup")
+  }
 }
