@@ -748,6 +748,9 @@ object SparkEntry {
     // diversity sampling: IVF cells as semantic regions, per-cell
     // closest-to-centroid exemplars with region mass beside them
     "emb_diversity_sample" -> ((s, d) => SimilarityOps.diversitySample(s, d)),
+    // embedding drift: half-centroid cosine + mean-norm delta per
+    // label — direction AND scale regressions, two corpus scans
+    "emb_centroid_drift" -> ((s, d) => SimilarityOps.centroidDrift(s, d)),
     // §2.6 text analysis
     "text_tokens"      -> (TextOps.tokenCounts _),
     "text_quality"     -> (TextOps.qualityScores _),
@@ -2494,6 +2497,51 @@ object SparkEntry {
         |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 4)
         |  END AS survival
         |FROM f ORDER BY t""".stripMargin,
+    // emb_centroid_drift: identical parity split, DECIMAL dim sums
+    // 6dp-quantized before the cosine tree, per-vector norms via the
+    // same fold, widened-operand DECIMAL products
+    "emb_centroid_drift" ->
+      """WITH e AS (SELECT vec_id % 2 AS half, label, embedding
+        |  FROM embeddings),
+        |dx AS (SELECT label, half, i AS pos, embedding[i] AS v
+        |       FROM e, (SELECT unnest(range(1, 65)) AS i)),
+        |cd AS (SELECT label, half, pos,
+        |    CAST(round(CAST(sum(CAST(v AS DECIMAL(20,10))) AS DOUBLE) /
+        |      count(*), 6) AS DECIMAL(16,6)) AS c
+        |  FROM dx GROUP BY 1, 2, 3),
+        |c0 AS (SELECT label, pos, c AS c0 FROM cd WHERE half = 0),
+        |c1 AS (SELECT label, pos, c AS c1 FROM cd WHERE half = 1),
+        |mom AS (SELECT c0.label,
+        |    sum(CAST(CAST(c0.c0 AS DECIMAL(22,6)) * c1.c1
+        |      AS DECIMAL(38,12))) AS dot,
+        |    sum(CAST(CAST(c0.c0 AS DECIMAL(22,6)) * c0.c0
+        |      AS DECIMAL(38,12))) AS q0,
+        |    sum(CAST(CAST(c1.c1 AS DECIMAL(22,6)) * c1.c1
+        |      AS DECIMAL(38,12))) AS q1
+        |  FROM c0 JOIN c1 ON c1.label = c0.label AND c1.pos = c0.pos
+        |  GROUP BY 1),
+        |nm AS (SELECT label, half,
+        |    CAST(round(sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
+        |      AS DECIMAL(16,6)) AS vn
+        |  FROM e),
+        |na AS (SELECT label, CAST(count(*) AS BIGINT) AS n_a,
+        |    round(CAST(sum(vn) AS DOUBLE) / count(*), 4) AS norm_a
+        |  FROM nm WHERE half = 0 GROUP BY 1),
+        |nb AS (SELECT label, CAST(count(*) AS BIGINT) AS n_b,
+        |    round(CAST(sum(vn) AS DOUBLE) / count(*), 4) AS norm_b
+        |  FROM nm WHERE half = 1 GROUP BY 1),
+        |fin AS (SELECT mom.label, n_a, n_b,
+        |    CASE WHEN CAST(q0 AS DOUBLE) * CAST(q1 AS DOUBLE) > 0
+        |      THEN round(CAST(dot AS DOUBLE) /
+        |        sqrt(CAST(q0 AS DOUBLE) * CAST(q1 AS DOUBLE)), 4)
+        |    END AS centroid_cos,
+        |    norm_a, norm_b, round(norm_b - norm_a, 4) AS norm_shift
+        |  FROM mom JOIN na ON na.label = mom.label
+        |           JOIN nb ON nb.label = mom.label)
+        |SELECT label, n_a, n_b, centroid_cos, norm_a, norm_b,
+        |  norm_shift, centroid_cos < 0.98 AS drift
+        |FROM fin ORDER BY label""".stripMargin,
     // dedup_cdc_chunks: identical planted footer, the fingerprint
     // gram/md5 coin, list-comprehension cut derivation, inclusive
     // slice chunking, identical summary arithmetic

@@ -57,6 +57,68 @@ object SimilarityOps {
         round(col("__s").cast("double") / col("n"), 4).as("mean_v"), col("n"))
       .orderBy(col("label"), col("pos"))
 
+  /** EMBEDDING-space drift monitor — q_psi_drift's counterpart for
+    * vector columns, the check an embedding pipeline runs when the
+    * encoder, preprocching, or upstream corpus changes: per label,
+    * the centroid of one corpus half vs the other (vec_id parity —
+    * the deterministic stand-in for "last batch vs this batch").
+    * Drift reads TWO ways because embeddings break two ways: the
+    * COSINE between half-centroids catches a direction/topic shift,
+    * and the mean-NORM delta catches a scale or normalization
+    * regression — the bug cosine alone is blind to (a re-deployed
+    * encoder that stopped L2-normalizing has cosine 1.0 and broken
+    * retrieval). Centroid dims sum in exact DECIMAL and 6dp-quantize
+    * BEFORE the closed-form cosine in double (the corr-matrix tree);
+    * per-vector norms 6dp-quantize before their DECIMAL mean. Cost:
+    * one posexplode aggregate (label × half × dim rows) + one
+    * label-grain reduce — the corpus is scanned twice, never
+    * self-joined. Alert threshold pinned at cos < 0.98. */
+  def centroidDrift(s: SparkSession, d: String): DataFrame =
+    centroidDriftOn(Tables.embeddings(s, d))
+
+  /** Same over any (vec_id, embedding, label) frame. */
+  def centroidDriftOn(emb: DataFrame): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val withHalf = emb.select(col("label"), (col("vec_id") % 2).as("half"),
+      col("embedding"))
+    val dims = withHalf
+      .select(col("label"), col("half"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("half"), col("pos"))
+      .agg(sum(col("v").cast("decimal(20,10)")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("half"), col("pos"),
+        round(dbl(col("s")) / col("n"), 6).cast("decimal(16,6)").as("c"))
+    val c0 = dims.filter(col("half") === 0)
+      .select(col("label"), col("pos"), col("c").as("c0"))
+    val c1 = dims.filter(col("half") === 1)
+      .select(col("label"), col("pos"), col("c").as("c1"))
+    val mom = c0.join(c1, Seq("label", "pos"))
+      .groupBy(col("label"))
+      .agg(sum((col("c0") * col("c1")).cast("decimal(38,12)")).as("dot"),
+        sum((col("c0") * col("c0")).cast("decimal(38,12)")).as("q0"),
+        sum((col("c1") * col("c1")).cast("decimal(38,12)")).as("q1"))
+    val norms = withHalf.select(col("label"), col("half"),
+        round(sqrt(aggregate(col("embedding"), lit(0.0),
+          (a, x) => a + dbl(x) * dbl(x))), 6).cast("decimal(16,6)")
+          .as("vn"))
+      .groupBy(col("label"), col("half"))
+      .agg(count(lit(1)).as("n"), sum(col("vn")).as("sn"))
+    val n0 = norms.filter(col("half") === 0).select(col("label"),
+      col("n").as("n_a"), round(dbl(col("sn")) / col("n"), 4).as("norm_a"))
+    val n1 = norms.filter(col("half") === 1).select(col("label"),
+      col("n").as("n_b"), round(dbl(col("sn")) / col("n"), 4).as("norm_b"))
+    val cosC = when(dbl(col("q0")) * dbl(col("q1")) > 0,
+      round(dbl(col("dot")) / sqrt(dbl(col("q0")) * dbl(col("q1"))), 4))
+    mom.join(n0, "label").join(n1, "label")
+      .select(col("label"), col("n_a"), col("n_b"),
+        cosC.as("centroid_cos"),
+        col("norm_a"), col("norm_b"),
+        round(col("norm_b") - col("norm_a"), 4).as("norm_shift"),
+        (cosC < 0.98).as("drift"))
+      .orderBy(col("label"))
+  }
+
   /** k-nearest-neighbor CLASSIFICATION over the embedding space —
     * the non-parametric baseline every embedding-quality check runs:
     * hold out every 10th vector, predict its label by majority vote

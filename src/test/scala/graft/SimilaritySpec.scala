@@ -367,4 +367,35 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(corr) > 0.999, s"pc1 corr $corr")
     assert(math.abs(my) < 0.01, s"projection mean $my")
   }
+
+  test("centroidDrift: stable label reads cos 1; a flipped half " +
+       "alerts; a scale bug is cosine-blind but norm-visible") {
+    import spark.implicits._
+    def vec(seed: Int, scale: Double = 1.0): Array[Float] =
+      Array.tabulate(8)(i => (scale * ((seed + i) % 5 + 1) / 10.0).toFloat)
+    // label stable: both halves identical vectors → cos 1, no drift.
+    // label flipped: odd half negated → centroid cos −1 → drift.
+    // label scaled: odd half ×2 → cos 1 (direction identical) but
+    // norm_shift ≈ +norm — the regression cosine alone cannot see.
+    val rows =
+      (0L until 40L).map(id => (id, vec(3), "stable")) ++
+      (0L until 40L).map(id => (100L + id,
+        if (id % 2 == 1) vec(3).map(-_) else vec(3), "flipped")) ++
+      (0L until 40L).map(id => (200L + id,
+        vec(3, if (id % 2 == 1) 2.0 else 1.0), "scaled"))
+    val out = SimilarityOps.centroidDriftOn(
+        rows.toDF("vec_id", "embedding", "label")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.size === 3)
+    assert(out("stable").getDouble(3) === 1.0)
+    assert(!out("stable").getBoolean(7))
+    assert(out("stable").getDouble(6) === 0.0)
+    assert(out("flipped").getDouble(3) === -1.0)
+    assert(out("flipped").getBoolean(7))
+    assert(out("scaled").getDouble(3) === 1.0)
+    assert(!out("scaled").getBoolean(7), "cosine is blind to scale")
+    assert(out("scaled").getDouble(6) > 0.1,
+      "norm_shift must expose the scale regression")
+    assert(out.values.forall(r => r.getLong(1) === 20L && r.getLong(2) === 20L))
+  }
 }
