@@ -1878,6 +1878,14 @@ object Analytics {
       .select(col("bin"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    psiFromCounts(full)
+  }
+
+  /** The PSI arithmetic over a complete (bin, n_ref, n_cur) frame —
+    * shared by the batch face and [[graft.streaming.EventStreams]]'
+    * streaming monitor so the two cannot drift. */
+  private[graft] def psiFromCounts(full: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tot = full.agg(sum(col("n_ref")).as("nr"),
       sum(col("n_cur")).as("nc"))
     val p = (col("n_ref").cast("double") + 0.5) /

@@ -215,6 +215,84 @@ object SketchStreams {
       .select(col("event_type"), col("estimate"))
       .orderBy(col("event_type"))
 
+  /** Streaming PSI drift monitor — the live face of `q_psi_drift`
+    * (the batch face asks "did last period drift from the one
+    * before"; this asks it CONTINUOUSLY against a frozen reference):
+    * the reference window is fixed up front — nine 4dp decile
+    * thresholds plus per-bin counts from a static frame, a 10-row
+    * driver-held table (a one-time O(10) collect, the scale of a
+    * config) — and every micro-batch folds the CURRENT histogram
+    * cumulatively under the versioned exactly-once contract. Each
+    * published version carries the full 10-bin table + psi + drift
+    * computed by the SAME [[graft.ops.Analytics.psiFromCounts]] the
+    * batch entry runs, so the two faces cannot drift from each
+    * other. State = 10 bin counts, whatever the stream age. */
+  def psiStream(values: DataFrame, reference: DataFrame,
+                sketchDir: String, checkpoint: String,
+                keepVersions: Int = 3): StreamingQuery = {
+    require(keepVersions >= 2,
+      "keepVersions must be >= 2 so concurrent readers always have headroom")
+    val refStaged = reference.select(
+      round(col("x").cast("double"), 4).as("x"))
+    val ts = refStaged.agg(expr(
+      "percentile(x, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+      .as("ts"))
+      .select((1 to 9).map(i =>
+        round(element_at(col("ts"), i), 4).as(s"t$i")): _*)
+      .collect()(0)
+    val thresholds = (0 until 9).map(ts.getDouble)
+    def binOf(x: org.apache.spark.sql.Column) =
+      thresholds.map(t => (x > t).cast("long")).reduce(_ + _)
+    val refCounts = refStaged.select(binOf(col("x")).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    values.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        val vs = ChangeStreams.versions(s, sketchDir)
+        require(vs.isEmpty || id >= vs.head,
+          s"batch id $id is behind newest version ${vs.headOption}" +
+            s" — checkpoint and sketchDir lineages do not match")
+        require(vs.nonEmpty || id == 0,
+          s"first observed batch id is $id but $sketchDir has no versions" +
+            s" — the monitor store was deleted under a live checkpoint")
+        if (!vs.contains(id) && !batch.isEmpty) {
+          import s.implicits._
+          val part = batch
+            .select(binOf(round(col("x").cast("double"), 4)).as("bin"))
+            .groupBy(col("bin")).agg(count(lit(1)).as("n_cur"))
+          val base = vs.headOption match {
+            case Some(v) => s.read.parquet(s"$sketchDir/batch=$v")
+              .select(col("bin"), col("n_cur"))
+            case None => part.limit(0)
+          }
+          val folded = base.unionByName(part)
+            .groupBy(col("bin")).agg(sum(col("n_cur")).as("n_cur"))
+          val full = (0L until 10L)
+            .map(b => (b, refCounts.getOrElse(b, 0L)))
+            .toDF("bin", "n_ref")
+            .join(folded, Seq("bin"), "left")
+            .select(col("bin"), col("n_ref"),
+              coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+          val next = graft.ops.Analytics.psiFromCounts(full)
+          next.write.mode("overwrite").parquet(s"$sketchDir/batch=$id")
+          val f = ChangeStreams.fs(s, sketchDir)
+          f.create(new org.apache.hadoop.fs.Path(
+            s"$sketchDir/${ChangeStreams.donePrefix}$id"), true).close()
+          ChangeStreams.versions(s, sketchDir).drop(keepVersions).foreach {
+            old =>
+              f.delete(new org.apache.hadoop.fs.Path(
+                s"$sketchDir/${ChangeStreams.donePrefix}$old"), false)
+              f.delete(new org.apache.hadoop.fs.Path(
+                s"$sketchDir/batch=$old"), true)
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** The probe face: est(term) = min over the grid's d rows at the
     * term's md5 buckets — the same hash, so a term's estimate from
     * the published stream grid equals the batch face's estimate over

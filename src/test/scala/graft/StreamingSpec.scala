@@ -914,6 +914,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PSI monitor: in-distribution batches stay calm, a " +
+       "shifted batch trips the cumulative alert, faces share math") {
+    import graft.streaming.{ChangeStreams, SketchStreams}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-psi").toString
+    val ref = (0 until 1000).map(i => (i % 100).toDouble).toDF("x")
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Double]
+    val q = SketchStreams.psiStream(mem.toDF().toDF("x"), ref,
+      s"$root/sk", s"$root/ckpt", keepVersions = 2)
+    try {
+      // batch 0: the reference distribution → psi near 0
+      mem.addData((0 until 500).map(i => (i % 100).toDouble): _*)
+      q.processAllAvailable()
+      val calm = ChangeStreams.readSnapshot(spark, s"$root/sk").collect()
+      assert(calm.length === 10)
+      assert(calm.forall(!_.getBoolean(7)), "no drift on matching data")
+      assert(math.abs(calm.head.getDouble(6)) < 0.01)
+      // batch 1: everything shifted past the top decile → the
+      // CUMULATIVE histogram drifts and the alert latches
+      mem.addData((0 until 2000).map(_ => 1e6): _*)
+      q.processAllAvailable()
+      val hot = ChangeStreams.readSnapshot(spark, s"$root/sk").collect()
+        .sortBy(_.getLong(0))
+      assert(hot.forall(_.getBoolean(7)), "drift must fire")
+      assert(hot.head.getDouble(6) > 0.2)
+      // the shifted mass sits in bin 9 on top of batch 0's spread
+      assert(hot(9).getLong(2) >= 2000L)
+      // face parity: the published table IS psiFromCounts over the
+      // cumulative counts (shared code), so recomputing from the
+      // published (bin, n_ref, n_cur) reproduces psi exactly
+      val full = hot.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.toDF("bin", "n_ref", "n_cur")
+      val re = graft.ops.Analytics.psiFromCounts(full).collect()
+        .sortBy(_.getLong(0))
+      assert(re.map(_.getDouble(6)).toSeq === hot.map(_.getDouble(6)).toSeq)
+      val vs = ChangeStreams.versions(spark, s"$root/sk")
+      assert(vs.length === 2 && vs === vs.sorted.reverse)
+    } finally q.stop()
+  }
+
   test("stream_dedup batch face: one first-arrival row per key, min event time") {
     val out = graft.streaming.DedupStreams.dedupBatch(spark, sf)
     val ev = Tables.events(spark, sf)
