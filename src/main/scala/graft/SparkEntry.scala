@@ -329,6 +329,9 @@ object SparkEntry {
     // rolling-origin snaive backtest: all origins in ONE plan via a
     // broadcast origin frame + one shifted self-join; DECIMAL MAE
     "ts_backtest_rolling" -> ((s, d) => Forecast.backtestRolling(s, d)),
+    // Syntetos-Boylan quadrants over croston's own spine: ADI + CV2
+    // vs pinned 1.32/0.49 cutoffs — the model router
+    "ts_intermittency" -> ((s, d) => Forecast.intermittencyClassify(s, d)),
     // hashing-trick featurization: row-local md5 buckets + sign bit,
     // one (doc, bucket) aggregate — no vocabulary pass, fixed width
     "ml_feature_hashing" -> ((s, d) => TextOps.featureHash(s, d)),
@@ -2996,6 +2999,51 @@ object SparkEntry {
         |          JOIN deg db ON cand.b = db.node
         |ORDER BY jaccard DESC, cn DESC, cand.a, cand.b
         |LIMIT 50""".stripMargin,
+    // ts_intermittency: the croston spine (types × gap-filled days,
+    // value threshold), integer moments, pinned SB cutoffs
+    "ts_intermittency" ->
+      """WITH ev AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP_US))
+        |      AS day, event_type, value FROM events),
+        |span AS (SELECT min(day) AS mn, max(day) AS mx FROM ev),
+        |types AS (SELECT DISTINCT event_type FROM ev),
+        |sparse AS (SELECT event_type, day, count(*) AS cnt
+        |  FROM ev WHERE value > 300 GROUP BY 1, 2),
+        |cal AS (SELECT t.event_type, g.day
+        |  FROM types t, span,
+        |    LATERAL (SELECT unnest(generate_series(mn, mx,
+        |      INTERVAL 1 DAY)) AS day) g),
+        |filled AS (SELECT cal.event_type, cal.day,
+        |    coalesce(sparse.cnt, 0) AS cnt
+        |  FROM cal LEFT JOIN sparse ON sparse.event_type = cal.event_type
+        |                           AND sparse.day = cal.day),
+        |m AS (SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n_periods,
+        |    CAST(sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_demands,
+        |    CAST(sum(cnt) AS BIGINT) AS sd_sum,
+        |    CAST(sum(cnt * cnt) AS BIGINT) AS sd_sq
+        |  FROM filled GROUP BY 1),
+        |e AS (SELECT event_type, n_periods, n_demands,
+        |    round(CAST(n_periods AS DOUBLE) / n_demands, 4) AS adi,
+        |    round(((CAST(sd_sq AS DOUBLE) - CAST(sd_sum AS DOUBLE) *
+        |      CAST(sd_sum AS DOUBLE) / n_demands) / (n_demands - 1)) /
+        |      ((CAST(sd_sum AS DOUBLE) / n_demands) *
+        |       (CAST(sd_sum AS DOUBLE) / n_demands)), 4) AS cv2r
+        |  FROM m WHERE n_demands > 0),
+        |q AS (SELECT event_type, n_periods, n_demands, adi,
+        |    CASE WHEN n_demands >= 2 THEN cv2r END AS cv2,
+        |    CASE WHEN n_demands < 2 THEN 'insufficient'
+        |         WHEN adi < 1.32 AND cv2r < 0.49 THEN 'smooth'
+        |         WHEN adi >= 1.32 AND cv2r < 0.49 THEN 'intermittent'
+        |         WHEN adi < 1.32 AND cv2r >= 0.49 THEN 'erratic'
+        |         ELSE 'lumpy' END AS quadrant
+        |  FROM e)
+        |SELECT event_type, n_periods, n_demands, adi, cv2, quadrant,
+        |  CASE WHEN quadrant IN ('intermittent', 'lumpy') THEN 'croston'
+        |       WHEN quadrant = 'smooth' THEN 'snaive'
+        |       WHEN quadrant = 'erratic' THEN 'ewma'
+        |       ELSE 'naive' END AS recommended
+        |FROM q ORDER BY event_type""".stripMargin,
     // ts_backtest_rolling: identical epoch-day series, origin grid,
     // shifted self-join, gap days predict 0, DECIMAL MAE terms
     "ts_backtest_rolling" ->

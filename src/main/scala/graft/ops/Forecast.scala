@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -307,9 +307,12 @@ object Forecast {
     * the p update); series with no train demand forecast 0. Output:
     * (event_type, day, actual, pred) over the holdout days, actuals
     * 0-filled. */
-  def croston(s: SparkSession, d: String, horizon: Int = 7,
-              alpha: Double = 0.3, threshold: Double = 300.0): DataFrame = {
-    import s.implicits._
+  /** The 0-filled sparse daily spine (days with `value` above the
+    * threshold, gap days as explicit zeros) — shared by [[croston]]
+    * and [[intermittencyClassify]] so the forecaster and its router
+    * see the identical series. */
+  private def sparseSpine(s: SparkSession, d: String,
+                          threshold: Double): DataFrame = {
     val ev = Tables.events(s, d)
       .select(date_trunc("day", col("ts")).as("day"), col("event_type"),
         col("value"))
@@ -317,12 +320,19 @@ object Forecast {
     val types = ev.select(col("event_type")).distinct()
     val sparse = ev.filter(col("value") > threshold)
       .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("cnt"))
-    val filled = types.crossJoin(broadcast(span))
+    types.crossJoin(broadcast(span))
       .select(col("event_type"),
         explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
       .join(sparse, Seq("event_type", "day"), "left")
       .select(col("event_type"), col("day"),
         coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  def croston(s: SparkSession, d: String, horizon: Int = 7,
+              alpha: Double = 0.3, threshold: Double = 300.0): DataFrame = {
+    import s.implicits._
+    val filled = sparseSpine(s, d, threshold)
+    val span = filled.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
     val train = filled.crossJoin(broadcast(span))
       .filter(col("day") <= col("mx") - expr(s"interval $horizon day"))
       .select(col("event_type"), col("day"), col("cnt"))
@@ -532,6 +542,52 @@ object Forecast {
       .toDF("event_type", "h", "pred")
       .select(col("event_type"), col("h"), round(col("pred"), 4).as("pred"))
       .orderBy(col("event_type"), col("h"))
+  }
+
+  /** INTERMITTENCY CLASSIFICATION (Syntetos-Boylan quadrants) — the
+    * ROUTER in front of [[croston]]: Croston beats snaive only on
+    * series that are actually intermittent, and the standard test is
+    * two numbers per series over the SAME 0-filled spine the
+    * forecaster reads ([[sparseSpine]] — router and forecaster can't
+    * disagree about the series): ADI = periods per demand (how often
+    * anything happens) and CV² = squared coefficient of variation of
+    * the NONZERO demand sizes (how wild the sizes are), against the
+    * PINNED 1.32 / 0.49 cutoffs (Syntetos-Boylan 2005 — table
+    * constants, never fitted). smooth → seasonal models; erratic →
+    * level models; intermittent/lumpy → Croston. Moments are exact
+    * integer sums per series (one aggregate over the calendar-bounded
+    * spine); series with < 2 demands report null CV² and route to
+    * 'insufficient'. */
+  def intermittencyClassify(s: SparkSession, d: String,
+                            threshold: Double = 300.0): DataFrame = {
+    def dbl(c: Column): Column = c.cast("double")
+    val m = sparseSpine(s, d, threshold)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_periods"),
+        sum(when(col("cnt") > 0, 1L).otherwise(0L)).as("n_demands"),
+        sum(col("cnt")).as("sd_sum"),
+        sum(col("cnt") * col("cnt")).as("sd_sq"))
+    val adi = round(dbl(col("n_periods")) / col("n_demands"), 4)
+    val mean = dbl(col("sd_sum")) / col("n_demands")
+    val variance = (dbl(col("sd_sq")) -
+      dbl(col("sd_sum")) * dbl(col("sd_sum")) / col("n_demands")) /
+      (col("n_demands") - 1)
+    val cv2 = round(variance / (mean * mean), 4)
+    m.filter(col("n_demands") > 0)
+      .select(col("event_type"), col("n_periods"), col("n_demands"),
+        adi.as("adi"),
+        when(col("n_demands") >= 2, cv2).as("cv2"),
+        when(col("n_demands") < 2, "insufficient")
+          .when(adi < 1.32 && cv2 < 0.49, "smooth")
+          .when(adi >= 1.32 && cv2 < 0.49, "intermittent")
+          .when(adi < 1.32 && cv2 >= 0.49, "erratic")
+          .otherwise("lumpy").as("quadrant"))
+      .withColumn("recommended",
+        when(col("quadrant").isin("intermittent", "lumpy"), "croston")
+          .when(col("quadrant") === "smooth", "snaive")
+          .when(col("quadrant") === "erratic", "ewma")
+          .otherwise("naive"))
+      .orderBy(col("event_type"))
   }
 
   /** Backtest MODEL SELECTION — the question the single-model entries

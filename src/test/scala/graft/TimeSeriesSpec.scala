@@ -448,6 +448,37 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("intermittencyClassify: quadrant/recommended mapping is " +
+       "consistent; sparse spike series route to croston") {
+    val out = graft.ops.Forecast.intermittencyClassify(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (np, nd) = (r.getLong(1), r.getLong(2))
+      val adi = r.getDouble(3)
+      val quad = r.getString(5); val rec = r.getString(6)
+      assert(nd > 0 && nd <= np)
+      assert(adi >= 1.0)
+      assert(r.isNullAt(4) === (nd < 2), "cv2 null iff insufficient")
+      val want = quad match {
+        case "intermittent" | "lumpy" => "croston"
+        case "smooth" => "snaive"
+        case "erratic" => "ewma"
+        case _ => "naive"
+      }
+      assert(rec === want, s"${r.getString(0)}: $quad -> $rec")
+      if (nd >= 2) {
+        val cv2 = r.getDouble(4)
+        val wantQuad =
+          if (adi < 1.32 && cv2 < 0.49) "smooth"
+          else if (adi >= 1.32 && cv2 < 0.49) "intermittent"
+          else if (adi < 1.32) "erratic" else "lumpy"
+        assert(quad === wantQuad)
+      }
+    }
+    // (which quadrants appear depends on the SF — at sf0.1 two of
+    // five series route to croston; here we only pin the mapping)
+  }
+
   test("reconcileForecast: single series is coherent (gap 0); " +
        "multi-series nonlinear fits genuinely diverge from bottom-up") {
     import spark.implicits._
