@@ -56,6 +56,10 @@ object SparkEntry {
     // checked in-plan against the exact pair (q_distinct_approx
     // pattern — oracle asserts the tolerance verdicts are TRUE)
     "q_dau_wau_approx" -> ((s, d) => Analytics.dauWauChecked(s, d)),
+    // segment-overlap algebra on MERGEABLE DataSketches HLL: build
+    // once per segment, union per pair, inclusion-exclusion overlap —
+    // checked in-plan against the exact user-keyed self-join
+    "q_distinct_union" -> ((s, d) => Analytics.distinctUnionChecked(s, d)),
     "q_set_ops"          -> (Analytics.setOps _),
     "q_rollup"           -> (Analytics.rollupAgg _),
     "q_grouping_sets"    -> (Analytics.groupingSetsAgg _),
@@ -167,6 +171,13 @@ object SparkEntry {
     // brand-pair support/confidence/lift over order baskets: bounded
     // pair explode per basket, exact-integer lift, TakeOrdered top-k
     "q_market_basket" -> ((s, d) => Analytics.marketBasket(s, d)),
+    // item-item CF neighbor lists: exact binary cosine over capped
+    // baskets, ranked on the rounded value (total tiebreak)
+    "rec_item_cosine" -> ((s, d) => Recommend.itemCosine(s, d)),
+    // the DIMSUM sampling tier: per-instance md5 coin at
+    // p=min(1,γ/√(n_i·n_j)) — hot items sampled hardest, estimator
+    // unbiased, and the coin replays in the oracle (value-checked)
+    "rec_item_cosine_dimsum" -> ((s, d) => Recommend.itemCosineDimsum(s, d)),
     // CUPED variance-reduced A/B readout: pre-period covariate fit
     // (θ = cov/var over per-user means), md5 arms, rounded-metric
     // adjustment, achieved variance reduction beside the means
@@ -276,6 +287,10 @@ object SparkEntry {
     // the 32x extreme of the compression ladder: recall@5 of the
     // sign-bit hamming ranking vs exact cosine (integer distances)
     "emb_binary_recall" -> ((s, d) => SimilarityOps.binaryRecall(s, d)),
+    // retrieval scoreboard: MRR/DCG/NDCG@10/recall over the exact
+    // ranking, label-agreement relevance; per-hit gains quantize to
+    // integer micro-units BEFORE summing (order-independent)
+    "ml_eval_ranking" -> ((s, d) => SimilarityOps.rankingEval(s, d)),
     // sentence segmentation stats (RE2-safe split, planted sentence
     // tails — the corpus itself carries no punctuation)
     "text_sentences" -> ((s, d) => TextOps.sentenceStats(s, d)),
@@ -1085,6 +1100,29 @@ object SparkEntry {
         |  TRUE AS dau_within_tol, TRUE AS wau_within_tol
         |FROM dau d JOIN wau USING (day)
         |ORDER BY day""".stripMargin,
+    // sketch-union checked face: the oracle replays the exact
+    // per-type counts and user-keyed overlap join, with literal TRUE
+    // tolerance flags — HLL drift past 5·rsd flips a Spark-side
+    // verdict and the hash compare catches it
+    "q_distinct_union" ->
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM u GROUP BY 1),
+        |ov AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |         CAST(count(*) AS BIGINT) AS overlap_exact
+        |       FROM u x JOIN u y ON x.user_id = y.user_id
+        |         AND x.event_type < y.event_type
+        |       GROUP BY 1, 2),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |        a.n AS n_a, b.n AS n_b
+        |      FROM n a JOIN n b ON a.event_type < b.event_type)
+        |SELECT p.type_a, p.type_b, n_a, n_b,
+        |  CAST(n_a + n_b - COALESCE(overlap_exact, 0) AS BIGINT)
+        |    AS union_exact,
+        |  CAST(COALESCE(overlap_exact, 0) AS BIGINT) AS overlap_exact,
+        |  TRUE AS union_within_tol, TRUE AS overlap_within_tol
+        |FROM p LEFT JOIN ov USING (type_a, type_b)
+        |ORDER BY type_a, type_b""".stripMargin,
     "q_pivot_per_day" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
         | count(*) FILTER (WHERE event_type = 'click')    AS click,
@@ -2066,6 +2104,61 @@ object SparkEntry {
         |FROM pc JOIN ic a ON pc.item_a = a.item
         |        JOIN ic b ON pc.item_b = b.item, nb
         |ORDER BY lift DESC, item_a, item_b LIMIT 20""".stripMargin,
+    // binary cosine in the same capped-basket universe; rank on the
+    // ROUNDED cosine with a neighbor-id tiebreak (total order)
+    "rec_item_cosine" ->
+      """WITH m AS (SELECT DISTINCT l_orderkey AS basket,
+        |             l_partkey AS item FROM lineitem),
+        |sz AS (SELECT basket, count(*) AS bsz FROM m GROUP BY 1),
+        |mm AS (SELECT m.basket, m.item FROM m JOIN sz USING (basket)
+        |       WHERE sz.bsz <= 16),
+        |ic AS (SELECT item, count(*) AS n FROM mm GROUP BY 1),
+        |pc AS (SELECT x.item AS ia, y.item AS ib, count(*) AS n_ab
+        |       FROM mm x JOIN mm y USING (basket)
+        |       WHERE x.item < y.item GROUP BY 1, 2
+        |       HAVING count(*) >= 2),
+        |sc AS (SELECT ia, ib, n_ab,
+        |         round(CAST(n_ab AS DOUBLE) /
+        |           sqrt(CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)), 4)
+        |           AS cosine
+        |       FROM pc JOIN ic a ON pc.ia = a.item
+        |               JOIN ic b ON pc.ib = b.item),
+        |sym AS (SELECT ia AS item, ib AS neighbor, n_ab, cosine FROM sc
+        |        UNION ALL
+        |        SELECT ib AS item, ia AS neighbor, n_ab, cosine FROM sc),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY item
+        |        ORDER BY cosine DESC, neighbor) AS rank FROM sym)
+        |SELECT item, neighbor, n_ab, cosine, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY item, rank""".stripMargin,
+    // the DIMSUM coin replayed verbatim: md5 prefix of (basket,i,j)
+    // mod 1e6 under the ⌊1e6·γ/√(n_a·n_b)⌋ threshold, then the
+    // regime-split estimator — sampling and all, value-checked
+    "rec_item_cosine_dimsum" ->
+      """WITH m AS (SELECT DISTINCT l_orderkey AS basket,
+        |             l_partkey AS item FROM lineitem),
+        |sz AS (SELECT basket, count(*) AS bsz FROM m GROUP BY 1),
+        |mm AS (SELECT m.basket, m.item FROM m JOIN sz USING (basket)
+        |       WHERE sz.bsz <= 16),
+        |ic AS (SELECT item, count(*) AS n FROM mm GROUP BY 1),
+        |wn AS (SELECT basket, mm.item, n FROM mm JOIN ic USING (item)),
+        |j AS (SELECT x.basket, x.item AS ia, y.item AS ib,
+        |        x.n AS n_a, y.n AS n_b
+        |      FROM wn x JOIN wn y USING (basket)
+        |      WHERE x.item < y.item),
+        |k AS (SELECT ia, ib, n_a, n_b, count(*) AS cnt FROM j
+        |      WHERE ('0x' || substr(md5(basket || '_' || ia || '_' || ib),
+        |               1, 15))::UBIGINT % 1000000
+        |        < least(1000000, CAST(floor(16000000.0 /
+        |            sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+        |            AS BIGINT))
+        |      GROUP BY 1, 2, 3, 4)
+        |SELECT ia, ib, cnt,
+        |  round(CASE WHEN 16.0 >= sqrt(CAST(n_a AS DOUBLE) *
+        |                               CAST(n_b AS DOUBLE))
+        |    THEN CAST(cnt AS DOUBLE) /
+        |         sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |    ELSE CAST(cnt AS DOUBLE) / 16.0 END, 4) AS cos_est
+        |FROM k ORDER BY cos_est DESC, ia, ib LIMIT 50""".stripMargin,
     // per-user pre/post means → θ fit → row-local adjustment, every
     // mean/θ/x̄ rounded 4dp before reuse and every adjusted value
     // re-quantized before summing (the rounded-metric rule)
@@ -2256,6 +2349,46 @@ object SparkEntry {
         |  ON t.q_id = f.q_id AND t.vec_id = f.vec_id
         |WHERE t.dims <> 64
         |GROUP BY t.dims, t.q_id ORDER BY t.dims, t.q_id""".stripMargin,
+    // ranking metrics in integer micro-units: per-hit ⌊1e6/log2(r+1)⌋
+    // gains, integer divisions for MRR/NDCG/recall — no float is
+    // ever summed or compared; sums cast to BIGINT for pandas
+    "ml_eval_ranking" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+        |             label AS q_label
+        |           FROM embeddings WHERE vec_id < 20),
+        |sc AS (SELECT q.q_id, e.vec_id,
+        |         round(list_cosine_similarity(q.q_emb, e.embedding), 4)
+        |           AS cos,
+        |         CASE WHEN e.label = q.q_label THEN 1 ELSE 0 END AS rel
+        |       FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+        |rt AS (SELECT q_id, CAST(sum(rel) AS BIGINT) AS n_rel
+        |       FROM sc GROUP BY 1),
+        |top AS (SELECT * FROM (SELECT *, row_number() OVER
+        |          (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        |        FROM sc) WHERE rank <= 10),
+        |pq AS (SELECT q_id, CAST(sum(rel) AS BIGINT) AS hits,
+        |         CAST(sum(CASE WHEN rel = 1
+        |           THEN CAST(floor(1000000.0 / log2(rank + 1.0)) AS BIGINT)
+        |           ELSE 0 END) AS BIGINT) AS dcg_micro,
+        |         min(CASE WHEN rel = 1 THEN rank END) AS first_rel
+        |       FROM top GROUP BY 1),
+        |ic AS (SELECT q_id, CAST(sum(CAST(floor(1000000.0 / log2(r + 1.0))
+        |           AS BIGINT)) AS BIGINT) AS idcg_micro
+        |       FROM (SELECT q_id, unnest(range(1, least(n_rel, 10) + 1))
+        |               AS r FROM rt WHERE n_rel > 0) GROUP BY 1)
+        |SELECT pq.q_id, rt.n_rel, pq.hits,
+        |  CAST(CASE WHEN first_rel IS NULL THEN 0
+        |    ELSE 1000000 // first_rel END AS BIGINT) AS mrr_micro,
+        |  pq.dcg_micro,
+        |  CAST(COALESCE(ic.idcg_micro, 0) AS BIGINT) AS idcg_micro,
+        |  CAST(CASE WHEN COALESCE(ic.idcg_micro, 0) = 0 THEN 0
+        |    ELSE pq.dcg_micro * 1000000 // ic.idcg_micro END AS BIGINT)
+        |    AS ndcg_micro,
+        |  CAST(CASE WHEN rt.n_rel = 0 THEN 0
+        |    ELSE pq.hits * 1000000 // rt.n_rel END AS BIGINT)
+        |    AS recall_micro
+        |FROM pq JOIN rt USING (q_id) LEFT JOIN ic USING (q_id)
+        |ORDER BY q_id""".stripMargin,
     // emb_binary_recall: hamming distances are exact integer sign
     // mismatches, so both rankings replay verbatim
     "emb_binary_recall" ->

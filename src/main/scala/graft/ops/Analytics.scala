@@ -294,6 +294,65 @@ object Analytics {
       .orderBy(col("day"))
   }
 
+  /** Cross-segment audience overlap via MERGEABLE DataSketches HLL —
+    * the sketch algebra question exact distinct cannot answer at
+    * scale: "how many users do segments A and B share?" needs
+    * |A∪B|, and exact set union across every segment pair re-shuffles
+    * the user universe per pair, while HLL sketches build ONCE per
+    * segment (map-side combinable, fixed bytes) and union in O(2^lgK)
+    * per pair on the driver-sized pair frame. Inclusion–exclusion
+    * then gives the overlap: |A∩B| = n_A + n_B − |A∪B|.
+    *
+    * Checked face: the sketch estimate runs BESIDE the exact union
+    * (user-keyed self-join of the distinct support — ≤ C(T,2) rows
+    * per user, never a per-pair re-shuffle) and collapses to exact
+    * values + tolerance verdicts; the oracle replays the exact side
+    * with literal TRUE flags (the q_distinct_approx pattern), so
+    * sketch drift past tolerance breaks the cross-engine hash.
+    * lgK=14 ⇒ rsd ≈ 1.04/√2¹⁴ ≈ 0.8%; tol = 5·rsd·exact, floor 10. */
+  def distinctUnionChecked(s: SparkSession, d: String): DataFrame =
+    distinctUnionCheckedOn(Tables.events(s, d)
+      .select(col("event_type"), col("user_id")))
+
+  /** Same over any (event_type, user_id) membership frame. */
+  def distinctUnionCheckedOn(ev: DataFrame, lgK: Int = 14): DataFrame = {
+    val rsd = 1.04 / math.sqrt(math.pow(2.0, lgK.toDouble))
+    val u = ev.select(col("event_type"), col("user_id")).distinct()
+      .localCheckpoint(false) // feeds per-type agg + the overlap join
+    val perType = u.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        hll_sketch_agg(col("user_id"), lit(lgK)).as("sk"))
+    val pairs = perType.as("a").join(perType.as("b"),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk")))
+          .as("__est_union"))
+    val overlap = u.as("x").join(u.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"),
+        col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("__ov"))
+    val tol = (exact: Column) =>
+      greatest(lit(5.0 * rsd) * exact.cast("double"), lit(10.0))
+    pairs.join(overlap, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        (col("n_a") + col("n_b") - coalesce(col("__ov"), lit(0L)))
+          .as("union_exact"),
+        coalesce(col("__ov"), lit(0L)).as("overlap_exact"),
+        col("__est_union"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("union_exact"), col("overlap_exact"),
+        (abs(col("__est_union") - col("union_exact")).cast("double") <=
+          tol(col("union_exact"))).as("union_within_tol"),
+        (abs((col("n_a") + col("n_b") - col("__est_union")) -
+          col("overlap_exact")).cast("double") <=
+          tol(col("union_exact"))).as("overlap_within_tol"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** Out-of-range timestamp detection — the reference hunts rides
     * with pickup in 2088 (DataDiscoveryAndConversation cell 30). */
   def anomalyFilter(s: SparkSession, d: String): DataFrame =

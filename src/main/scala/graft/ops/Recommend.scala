@@ -1,0 +1,148 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Item-item collaborative filtering over co-occurrence baskets — the
+  * "users who bought X also bought Y" neighbor lists that power
+  * retrieval-free recommendation and related-item panels.
+  *
+  * Two faces, one arithmetic:
+  *
+  *  - [[itemCosineOn]] — EXACT binary cosine: for items i,j with
+  *    occurrence counts n_i, n_j and co-occurrence count n_ij,
+  *    cos(i,j) = n_ij / √(n_i·n_j). Pair generation is the bounded
+  *    per-basket explode every basket-shaped operator here uses
+  *    (cap ≤ maxBasket members, the q_market_basket /
+  *    graph_triangles contract against hostile power-law baskets),
+  *    so work is O(Σ min(|b|, cap)²) — linear in baskets, never
+  *    items². Exact all-pairs is still quadratic in the ITEM
+  *    vocabulary in the worst case, which is why the scale tier
+  *    exists.
+  *
+  *  - [[itemCosineDimsumOn]] — the DIMSUM sampling tier (Zadeh &
+  *    Goel, "Dimension Independent Similarity Computation", JMLR
+  *    2013; shipped in Spark as RowMatrix.columnSimilarities): each
+  *    co-occurrence instance survives with probability
+  *    p_ij = min(1, γ/√(n_i·n_j)), so hot items — exactly the pairs
+  *    whose exact counting explodes — are sampled hardest while the
+  *    estimator cnt/γ (or cnt/√(n_i·n_j) when p=1 keeps everything)
+  *    stays unbiased. Shuffle volume drops from Σ|b|² to ~γ·(#pairs
+  *    with cos>ε): DIMENSION-independent, the 100 TB face. The coin
+  *    is a DETERMINISTIC md5-prefix hash of (basket,i,j) — not
+  *    `rand()` — so the estimate is reproducible run to run AND the
+  *    entire computation (sampling included) replays in the DuckDB
+  *    oracle: fully value-oracled, no tolerance band needed (the
+  *    DOULION precedent, GraphOps.trianglesSampledOn).
+  *
+  * Cross-engine parity: norms multiply as DOUBLE before the sqrt
+  * (BIGINT n_i·n_j wraps at corpus scale where DuckDB raises — the
+  * q_market_basket lesson), cosine rounds to 4dp before ranking, and
+  * every ordering carries a total (value, id...) tiebreak.
+  */
+object Recommend {
+
+  /** Exact neighbor lists over order→part baskets (lineitem). */
+  def itemCosine(s: SparkSession, d: String, minCount: Long = 2,
+                 topK: Int = 5, maxBasket: Int = 16): DataFrame =
+    itemCosineOn(Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")),
+      minCount, topK, maxBasket)
+
+  /** Capped distinct membership — shared by both faces so exact and
+    * sampled read the identical basket universe. */
+  private def cappedMembers(pairs: DataFrame, maxBasket: Int): DataFrame =
+    pairs.select(col("basket"), col("item")).distinct()
+      .withColumn("__bsz",
+        count(lit(1)).over(Window.partitionBy(col("basket"))))
+      .filter(col("__bsz") <= maxBasket)
+      .drop("__bsz")
+
+  /** Exact face over any (basket, item) membership list: symmetric
+    * top-k cosine neighbors per item. */
+  def itemCosineOn(pairs: DataFrame, minCount: Long, topK: Int,
+                   maxBasket: Int): DataFrame = {
+    val members = cappedMembers(pairs, maxBasket)
+      .localCheckpoint(false) // feeds item counts + both sides of the pair join
+    val counts = members.groupBy(col("item")).agg(count(lit(1)).as("n"))
+    val pairCounts = members.as("x").join(members.as("y"), "basket")
+      .filter(col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("ia"), col("y.item").as("ib"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    // item-count joins left to AQE: the item vocabulary is the scale
+    // axis (2k parts here, millions for a generic caller)
+    val scored = pairCounts
+      .join(counts.select(col("item").as("ia"), col("n").as("n_a")), "ia")
+      .join(counts.select(col("item").as("ib"), col("n").as("n_b")), "ib")
+      .select(col("ia"), col("ib"), col("n_ab"),
+        // cast-BEFORE-multiply: Long n_a*n_b wraps at corpus scale
+        round(col("n_ab").cast("double") /
+          sqrt(col("n_a").cast("double") * col("n_b").cast("double")), 4)
+          .as("cosine"))
+    // symmetrize so "neighbors of i" sees both directions, then rank
+    // on the ROUNDED cosine (ranking an unrounded double invites
+    // last-ulp rank flips between engines) with an id tiebreak
+    val sym = scored.select(col("ia").as("item"), col("ib").as("neighbor"),
+        col("n_ab"), col("cosine"))
+      .unionAll(scored.select(col("ib").as("item"), col("ia").as("neighbor"),
+        col("n_ab"), col("cosine")))
+    sym.withColumn("rank", row_number().over(Window.partitionBy(col("item"))
+        .orderBy(col("cosine").desc, col("neighbor"))))
+      .filter(col("rank") <= topK)
+      .orderBy(col("item"), col("rank"))
+  }
+
+  /** DIMSUM tier over order→part baskets. */
+  def itemCosineDimsum(s: SparkSession, d: String, gamma: Int = 16,
+                       topN: Int = 50, maxBasket: Int = 16): DataFrame =
+    itemCosineDimsumOn(Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")),
+      gamma, topN, maxBasket)
+
+  /** DIMSUM-sampled top-N strongest estimated pairs. Norms join the
+    * membership BEFORE pair generation (DIMSUM needs ‖c_i‖ up
+    * front); the per-co-occurrence coin thresholds an md5 prefix at
+    * ⌊10⁶·γ/√(n_i·n_j)⌋, so the kept-pair stream shrinks exactly
+    * where the exact face blows up. */
+  def itemCosineDimsumOn(pairs: DataFrame, gamma: Int, topN: Int,
+                         maxBasket: Int): DataFrame = {
+    require(gamma >= 1, s"gamma must be positive: $gamma")
+    val members = cappedMembers(pairs, maxBasket)
+      .localCheckpoint(false)
+    val counts = members.groupBy(col("item")).agg(count(lit(1)).as("n"))
+    val withN = members
+      .join(counts, "item") // AQE picks broadcast when the vocab is small
+      .select(col("basket"), col("item"), col("n"))
+    val joined = withN.as("x").join(withN.as("y"), "basket")
+      .filter(col("x.item") < col("y.item"))
+      .select(col("basket"), col("x.item").as("ia"), col("y.item").as("ib"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"))
+    // deterministic per-instance coin (the DOULION idiom): md5 prefix
+    // of (basket,i,j) → uniform in [0,1e6); keep when below the
+    // DIMSUM threshold — identical expression replays in DuckDB
+    val thr = least(lit(1000000L),
+      floor(lit(gamma.toDouble * 1e6) /
+        sqrt(col("n_a").cast("double") * col("n_b").cast("double"))))
+    val coin = conv(substring(md5(concat(
+        col("basket").cast("string"), lit("_"),
+        col("ia").cast("string"), lit("_"),
+        col("ib").cast("string"))), 1, 15), 16, 10).cast("long") % 1000000L
+    val kept = joined.filter(coin < thr)
+      .groupBy(col("ia"), col("ib"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("cnt"))
+    // unbiased estimator: cnt/γ in the sampled regime, exact
+    // cnt/√(n_a·n_b) where p=1 kept everything
+    val est = kept.select(col("ia"), col("ib"), col("cnt"),
+      round(when(
+        lit(gamma.toDouble) >=
+          sqrt(col("n_a").cast("double") * col("n_b").cast("double")),
+        col("cnt").cast("double") /
+          sqrt(col("n_a").cast("double") * col("n_b").cast("double")))
+        .otherwise(col("cnt").cast("double") / gamma.toDouble), 4)
+        .as("cos_est"))
+    est.orderBy(col("cos_est").desc, col("ia"), col("ib")).limit(topN)
+  }
+}

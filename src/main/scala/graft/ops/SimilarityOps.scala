@@ -325,6 +325,77 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Ranking-metrics evaluation — the retrieval-quality readout
+    * (MRR, DCG/NDCG@k, hits/precision, recall@k) every search or RAG
+    * pipeline reports before shipping an index change. The retrieval
+    * run under evaluation is the exact-cosine ranking over a
+    * broadcast query set (the [[bruteForceTopK]] posture — the corpus
+    * is never self-joined); relevance is label agreement, so truth
+    * needs no side file and scales with the corpus.
+    *
+    * Every metric leaves float-land IMMEDIATELY: per-hit DCG gain is
+    * ⌊10⁶/log2(rank+1)⌋ — an integer the moment it is summed — so
+    * the sum is order-independent (a double DCG summed across
+    * partitions hashes differently run to run; the emb_centroids
+    * lesson), and MRR/NDCG/recall are integer micro-unit divisions.
+    * IDCG sums the same quantized gain over the ideal prefix
+    * (min(n_rel, k)) via a bounded sequence explode — closed-form
+    * cross-engine, no float ever compared. */
+  def rankingEval(s: SparkSession, d: String, k: Int = 10,
+                  nQueries: Int = 20): DataFrame =
+    rankingEvalOn(Tables.embeddings(s, d), k, nQueries)
+
+  /** Same over any (vec_id, embedding, label) corpus. */
+  def rankingEvalOn(emb: DataFrame, k: Int, nQueries: Int): DataFrame = {
+    val corpus = emb
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        round(cosine(col("q_emb"), col("embedding")), 4).as("cos"))
+      .withColumn("rel",
+        when(col("label") === col("q_label"), 1L).otherwise(0L))
+      .localCheckpoint(false) // feeds total-relevant + the ranked prefix
+    val relTotal = scored.groupBy(col("q_id"))
+      .agg(sum(col("rel")).as("n_rel"))
+    val ranked = scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+    val gain = floor(lit(1000000.0) / log2(col("rank").cast("double") + 1.0))
+    val perQ = ranked.groupBy(col("q_id")).agg(
+      sum(col("rel")).as("hits"),
+      sum(when(col("rel") === 1L, gain).otherwise(0L)).as("dcg_micro"),
+      min(when(col("rel") === 1L, col("rank"))).as("__first"))
+    // n_rel=0 must NOT reach the explode: Spark's sequence(1, 0)
+    // DESCENDS ([1,0]) rather than emptying, and r=0 divides by
+    // log2(1)=0 — the zero-relevant case is handled by the left join
+    val idcg = relTotal.filter(col("n_rel") > 0L)
+      .select(col("q_id"), col("n_rel"),
+        explode(sequence(lit(1L), least(col("n_rel"), lit(k.toLong))))
+          .as("r"))
+      .groupBy(col("q_id"), col("n_rel"))
+      .agg(sum(floor(lit(1000000.0) / log2(col("r").cast("double") + 1.0)))
+        .as("idcg_micro"))
+    // queries whose label never recurs have an empty ideal ranking:
+    // left join keeps them with idcg 0 → ndcg/recall defined as 0
+    perQ.join(relTotal, "q_id")
+      .join(idcg.drop("n_rel"), Seq("q_id"), "left")
+      .select(col("q_id"), col("n_rel"), col("hits"),
+        when(col("__first").isNull, 0L)
+          .otherwise(expr("1000000L div __first")).as("mrr_micro"),
+        col("dcg_micro"),
+        coalesce(col("idcg_micro"), lit(0L)).as("idcg_micro"),
+        when(coalesce(col("idcg_micro"), lit(0L)) === 0L, 0L)
+          .otherwise(expr("dcg_micro * 1000000L div idcg_micro"))
+          .as("ndcg_micro"),
+        when(col("n_rel") === 0L, 0L)
+          .otherwise(expr("hits * 1000000L div n_rel")).as("recall_micro"))
+      .orderBy(col("q_id"))
+  }
+
   /** Matryoshka-truncation recall — the evaluation behind shipping
     * shortened embeddings (MRL-style): how much of the full-dimension
     * top-k survives when vectors truncate to their first `t` dims

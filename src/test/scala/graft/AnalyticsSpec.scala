@@ -1019,4 +1019,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(0L).getLong(7) === 111L)
     assert(out(9L).getLong(2) === 10L)   // freq = 10 orders
   }
+
+  test("distinctUnionChecked: exact inclusion-exclusion per pair, HLL " +
+       "verdicts true, zero-overlap pairs kept by the left join") {
+    import spark.implicits._
+    val ev = Seq(
+      ("A", 1L), ("A", 2L), ("A", 3L), ("A", 2L), // dup collapses
+      ("B", 2L), ("B", 3L), ("B", 4L),
+      ("C", 9L)
+    ).toDF("event_type", "user_id")
+    val out = Analytics.distinctUnionCheckedOn(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size === 3)
+    val ab = out(("A", "B"))
+    assert((ab.getLong(2), ab.getLong(3), ab.getLong(4), ab.getLong(5))
+      === ((3L, 3L, 4L, 2L)))
+    val ac = out(("A", "C"))
+    assert((ac.getLong(4), ac.getLong(5)) === ((4L, 0L)))
+    val bc = out(("B", "C"))
+    assert((bc.getLong(4), bc.getLong(5)) === ((4L, 0L)))
+    // at these cardinalities the sketch is exact — both flags hold
+    assert(out.values.forall(r => r.getBoolean(6) && r.getBoolean(7)))
+  }
+
+  test("distinctUnionChecked: sf events — C(5,2) pairs, verdicts all " +
+       "true, overlap bounded by the smaller segment") {
+    val rows = Analytics.distinctUnionChecked(spark, sf).collect()
+    assert(rows.length === 10)
+    assert(rows.forall(r => r.getBoolean(6) && r.getBoolean(7)))
+    assert(rows.forall(r =>
+      r.getLong(5) <= math.min(r.getLong(2), r.getLong(3))))
+    assert(rows.forall(r =>
+      r.getLong(4) === r.getLong(2) + r.getLong(3) - r.getLong(5)))
+  }
 }

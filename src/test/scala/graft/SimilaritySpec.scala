@@ -398,4 +398,40 @@ class SimilaritySpec extends SparkSpec {
       "norm_shift must expose the scale regression")
     assert(out.values.forall(r => r.getLong(1) === 20L && r.getLong(2) === 20L))
   }
+
+  test("rankingEval: hand-computed MRR/DCG/NDCG/recall in micro-units, " +
+       "zero-relevant query well-defined") {
+    import spark.implicits._
+    // q0 [1,0] label 0; candidates rank 11 > 12 > 13 > {6,14 tie at
+    // cos 0, id tiebreak} > 15; relevant (label 0) at ranks 1 and 3.
+    // q6 [0,-1] label 9 is the only label-9 vector: n_rel = 0.
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0), (6L, Array(0f, -1f), 9),
+      (11L, Array(0.99f, 0.14f), 0), (12L, Array(0.9f, 0.44f), 1),
+      (13L, Array(0.8f, 0.6f), 0), (14L, Array(0f, 1f), 1),
+      (15L, Array(-1f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimilarityOps.rankingEvalOn(emb, k = 10, nQueries = 7)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+         r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(out.size === 2)
+    // dcg = ⌊1e6/log2(2)⌋ + ⌊1e6/log2(4)⌋ = 1500000;
+    // idcg (ideal ranks 1,2) = 1000000 + ⌊1e6/log2 3⌋ = 1630929;
+    // ndcg = 1.5e12 // 1630929 = 919721
+    assert(out(0L) === ((2L, 2L, 1000000L, 1500000L, 1630929L,
+      919721L, 1000000L)))
+    assert(out(6L) === ((0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("rankingEval: sf corpus yields one row per query with metrics " +
+       "inside the micro-unit domain") {
+    val rows = SimilarityOps.rankingEval(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val ndcg = r.getLong(6); val mrr = r.getLong(3)
+      ndcg >= 0L && ndcg <= 1000000L && mrr >= 0L && mrr <= 1000000L &&
+        r.getLong(2) <= r.getLong(1) // hits ≤ n_rel
+    })
+  }
 }
