@@ -120,6 +120,9 @@ object SparkEntry {
     // the k gate's second axis: class-size safety says nothing about
     // the homogeneity attack — audit sensitive-value diversity too
     "q_ldiversity" -> ((s, d) => Analytics.lDiversity(s, d)),
+    // the third privacy axis: per-class EMD vs the global sensitive
+    // distribution in integer micro-units (proximity/skew attack)
+    "q_tcloseness" -> ((s, d) => Analytics.tCloseness(s, d)),
     // one-row class-balance diagnostic: entropy / normalized / Gini
     // with DECIMAL-quantized per-class terms
     "q_entropy" -> ((s, d) =>
@@ -127,6 +130,9 @@ object SparkEntry {
     // session-path mining: gap-split sessions and their first-3-type
     // journeys — all three window passes ride one user-key shuffle
     "q_session_paths" -> ((s, d) => Analytics.sessionPaths(s, d)),
+    // sliding trigram mining over each user's FULL ordered stream —
+    // the sequential-pattern complement of the session-head paths
+    "q_event_ngrams" -> ((s, d) => Analytics.eventNgrams(s, d)),
     // per-series z-score with rounded (mu, sigma) — broadcast stats
     // join back, row-local standardization
     "ml_feature_scale" -> (Analytics.featureScale _),
@@ -458,6 +464,11 @@ object SparkEntry {
       .orderBy(col("event_id"))),
     "etl_profile"  -> ((s, d) => Analytics.profile(
       Tables.orders(s, d), Seq("o_custkey", "o_orderstatus", "o_totalprice"))),
+    // profile → SUGGEST: observed stats become candidate constraints
+    // (NOT_NULL/UNIQUE/IN_SET/RANGE) for etl_expectations to enforce
+    "etl_suggest_rules" -> ((s, d) => Analytics.suggestRules(
+      Tables.orders(s, d),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))),
     // publish-gate validation: named rules in one aggregate pass;
     // null predicate results count as violations on both engines.
     // Two rules intentionally bite on this corpus (ts window, value
@@ -1702,6 +1713,52 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN l_cnt < 3 THEN sz ELSE 0 END) AS DOUBLE) /
         |    sum(sz), 4) AS share_below_l
         |FROM g""".stripMargin,
+    // per-bucket shares quantize to integer micro-units BEFORE the
+    // cumulative sum — the EMD is exact integer arithmetic in both
+    // engines; all divisions are non-negative so div ≡ //
+    "q_tcloseness" ->
+      """WITH r0 AS (SELECT event_type,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP_US)) AS TIMESTAMP)
+        |      AS day,
+        |    user_id % 20 AS uid_bucket,
+        |    CAST(floor(value / 10.0) AS BIGINT) AS b
+        |  FROM events),
+        |g AS (SELECT b, CAST(count(*) AS BIGINT) AS gn FROM r0 GROUP BY 1),
+        |t AS (SELECT CAST(sum(gn) AS BIGINT) AS N,
+        |        CAST(count(*) AS BIGINT) AS m FROM g),
+        |c AS (SELECT event_type, day, uid_bucket, b,
+        |        CAST(count(*) AS BIGINT) AS cn FROM r0 GROUP BY 1, 2, 3, 4),
+        |sz AS (SELECT event_type, day, uid_bucket,
+        |         CAST(sum(cn) AS BIGINT) AS sz FROM c GROUP BY 1, 2, 3),
+        |grid AS (SELECT sz.event_type, sz.day, sz.uid_bucket, g.b,
+        |           sz.sz, COALESCE(c.cn, 0) AS cn, g.gn
+        |         FROM sz CROSS JOIN g
+        |         LEFT JOIN c ON c.event_type = sz.event_type
+        |           AND c.day = sz.day AND c.uid_bucket = sz.uid_bucket
+        |           AND c.b = g.b),
+        |d AS (SELECT grid.*, t.m,
+        |        cn * 1000000 // sz - gn * 1000000 // N AS d_micro
+        |      FROM grid, t),
+        |cum AS (SELECT event_type, day, uid_bucket, sz, m,
+        |          CAST(sum(d_micro) OVER (PARTITION BY event_type, day,
+        |            uid_bucket ORDER BY b ROWS UNBOUNDED PRECEDING)
+        |            AS BIGINT) AS cum_micro
+        |        FROM d),
+        |emd AS (SELECT event_type, day, uid_bucket, sz,
+        |          CAST(CASE WHEN m > 1
+        |            THEN sum(abs(cum_micro)) // (m - 1) ELSE 0 END
+        |            AS BIGINT) AS t_micro
+        |        FROM cum GROUP BY event_type, day, uid_bucket, sz, m)
+        |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(sz) AS BIGINT) AS n_rows,
+        |  max(t_micro) AS t_max_micro,
+        |  CAST(sum(CASE WHEN t_micro > 200000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS classes_above_t,
+        |  CAST(sum(CASE WHEN t_micro > 200000 THEN sz ELSE 0 END)
+        |    AS BIGINT) AS rows_above_t,
+        |  round(CAST(sum(CASE WHEN t_micro > 200000 THEN sz ELSE 0 END)
+        |    AS DOUBLE) / sum(sz), 4) AS share_above_t
+        |FROM emd""".stripMargin,
     // per-class terms quantize to the same DECIMAL(20,10) before the
     // sum — entropy parity does not depend on libm's last ulp
     "q_entropy" ->
@@ -1741,6 +1798,19 @@ object SparkEntry {
         |      FROM r WHERE rin <= 3 GROUP BY 1, 2)
         |SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
         |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    // the same total (ts, event_id) ordering drives both lead()s, so
+    // the gram stream replays verbatim
+    "q_event_ngrams" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP_US) AS ts,
+        |             event_id, event_type FROM events),
+        |g AS (SELECT event_type || '>' || lead(event_type, 1) OVER w
+        |        || '>' || lead(event_type, 2) OVER w AS gram,
+        |        lead(event_type, 2) OVER w AS t2
+        |      FROM e
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT gram, CAST(count(*) AS BIGINT) AS n FROM g
+        |WHERE t2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, gram LIMIT 20""".stripMargin,
     // identical DECIMAL moments, identical rounded (mu, sigma), then
     // the same row-local double standardization
     "ml_feature_scale" ->
@@ -3831,6 +3901,59 @@ object SparkEntry {
         | SELECT 'o_totalprice', count(*),
         |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |  count(DISTINCT o_totalprice) FROM orders)
+        |ORDER BY "column"""".stripMargin,
+    // suggestion flags derive from the SAME stats both engines
+    // compute exactly; string columns carry NULL range bounds
+    "etl_suggest_rules" ->
+      """SELECT * FROM (
+        | SELECT 'o_custkey' AS "column", count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_nulls,
+        |  count(DISTINCT o_custkey) AS n_distinct,
+        |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+        |    AS suggest_not_null,
+        |  count(DISTINCT o_custkey) = count(*) -
+        |    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |    AS suggest_unique,
+        |  count(DISTINCT o_custkey) <= 20 AS suggest_in_set,
+        |  round(CAST(min(o_custkey) AS DOUBLE), 4) AS range_lo,
+        |  round(CAST(max(o_custkey) AS DOUBLE), 4) AS range_hi
+        | FROM orders
+        | UNION ALL
+        | SELECT 'o_orderkey', count(*),
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  count(DISTINCT o_orderkey),
+        |  sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0,
+        |  count(DISTINCT o_orderkey) = count(*) -
+        |    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END),
+        |  count(DISTINCT o_orderkey) <= 20,
+        |  round(CAST(min(o_orderkey) AS DOUBLE), 4),
+        |  round(CAST(max(o_orderkey) AS DOUBLE), 4)
+        | FROM orders
+        | UNION ALL
+        | SELECT 'o_orderstatus', count(*),
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  count(DISTINCT o_orderstatus),
+        |  sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) = 0,
+        |  count(DISTINCT o_orderstatus) = count(*) -
+        |    sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+        |  count(DISTINCT o_orderstatus) <= 20,
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        | FROM orders
+        | UNION ALL
+        | SELECT 'o_totalprice', count(*),
+        |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  count(DISTINCT o_totalprice),
+        |  sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) = 0,
+        |  count(DISTINCT o_totalprice) = count(*) -
+        |    sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+        |  count(DISTINCT o_totalprice) <= 20,
+        |  round(CAST(min(o_totalprice) AS DOUBLE), 4),
+        |  round(CAST(max(o_totalprice) AS DOUBLE), 4)
+        | FROM orders)
         |ORDER BY "column"""".stripMargin,
     // checked HLL face: exact profile + TRUE verdicts per column; the
     // Spark side carries the live sketch's tolerance verdict beside it

@@ -570,6 +570,48 @@ object Analytics {
       .orderBy(col("column"))
   }
 
+  /** Constraint SUGGESTION from the profile (the Deequ
+    * ConstraintSuggestion posture): turn observed single-pass stats
+    * into the data-quality rules a pipeline should then ENFORCE with
+    * etl_expectations — the missing first step of the
+    * profile→suggest→check loop (profiling tells you numbers;
+    * suggestion turns numbers into commitments). Per column:
+    * NOT_NULL when no nulls observed, UNIQUE when distinct = rows,
+    * IN_SET when the vocabulary is small (≤ `inSetMax`), and for
+    * numeric columns the observed [min, max] RANGE (4dp, the
+    * candidate bounds check). One aggregate scan for every column —
+    * the [[profile]] plan with min/max riding the same pass; the
+    * stack to long format is row-cardinality m (columns), free at
+    * any scale. */
+  def suggestRules(df: DataFrame, cols: Seq[String],
+                   inSetMax: Long = 20L): DataFrame = {
+    import org.apache.spark.sql.types.NumericType
+    val numeric = df.schema.fields
+      .filter(f => f.dataType.isInstanceOf[NumericType]).map(_.name).toSet
+    val aggs = cols.flatMap { c => Seq(
+      count(lit(1)).as(s"__n_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+      countDistinct(col(c)).as(s"__dist_$c")) ++
+      (if (numeric(c))
+        Seq(round(min(col(c)).cast("double"), 4).as(s"__min_$c"),
+            round(max(col(c)).cast("double"), 4).as(s"__max_$c"))
+      else
+        Seq(lit(null).cast("double").as(s"__min_$c"),
+            lit(null).cast("double").as(s"__max_$c")))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      s"'$c', __n_$c, __null_$c, __dist_$c, " +
+        s"__null_$c = 0, __dist_$c = __n_$c - __null_$c, " +
+        s"__dist_$c <= ${inSetMax}L, __min_$c, __max_$c"
+    }.mkString(", ")
+    one.selectExpr(
+        s"stack(${cols.length}, $stacked) AS (column, n_rows, n_nulls, " +
+          "n_distinct, suggest_not_null, suggest_unique, suggest_in_set, " +
+          "range_lo, range_hi)")
+      .orderBy(col("column"))
+  }
+
   /** Driver-checkable face of the approx profiler: exact and HLL++
     * distincts side by side, stacked to long format with the exact
     * count plus an in-plan tolerance verdict (|sketch − exact| ≤
@@ -1542,6 +1584,78 @@ object Analytics {
           .as("share_below_l"))
   }
 
+  /** t-closeness privacy gate (Li-Li-Venkatasubramanian, ICDE'07) —
+    * the third axis after [[kAnonymity]] and [[lDiversity]]: a class
+    * can be k-large AND l-diverse yet still leak by SKEW (a class
+    * whose salary distribution sits far above the table's tells an
+    * attacker plenty — the proximity attack diversity cannot see).
+    * Per QI class (the SAME classes the k and l gates audit), Earth
+    * Mover's Distance between the class's sensitive-value
+    * distribution and the GLOBAL one; for an ordered attribute with
+    * unit ground distance, EMD = Σ|cumulative(p−q)| / (m−1).
+    *
+    * Arithmetic leaves float-land immediately: per-bucket shares
+    * quantize to integer micro-units (⌊cn·10⁶/sz⌋ vs ⌊gn·10⁶/N⌋)
+    * BEFORE the cumulative sum, so the running difference is an
+    * exact integer in both engines (a double cumsum is
+    * order-deterministic but invites ulp drift between engines) and
+    * the worst-class maximum is a total order. The full class×bucket
+    * grid materializes absent buckets (p_j = 0 rows the EMD needs)
+    * via a class × global-bucket cross join — classes × m rows,
+    * bounded by QI cardinality, never row-cardinality. */
+  def tCloseness(s: SparkSession, d: String,
+                 tMicro: Long = 200000L): DataFrame =
+    tClosenessOn(Tables.events(s, d)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        (col("user_id") % 20).as("uid_bucket"),
+        floor(col("value") / 10.0).cast("long").as("sens")),
+      Seq("event_type", "day", "uid_bucket"), "sens", tMicro)
+
+  /** Same over any (QI..., sensitive) row frame. */
+  def tClosenessOn(df: DataFrame, qi: Seq[String], sens: String,
+                   tMicro: Long): DataFrame = {
+    // non-empty separator: ("a","bc") and ("ab","c") must not
+    // alias into one class
+    val rows = df.select(
+      concat_ws("|", qi.map(c => col(c).cast("string")): _*).as("cls"),
+      col(sens).as("b"))
+    val global = rows.groupBy(col("b")).agg(count(lit(1)).as("gn"))
+    val tot = global.agg(sum(col("gn")).as("N"),
+      count(lit(1)).as("m")).localCheckpoint(false)
+    val classes = rows.groupBy(col("cls"), col("b"))
+      .agg(count(lit(1)).as("cn"))
+    val sizes = classes.groupBy(col("cls")).agg(sum(col("cn")).as("sz"))
+    // full grid: every class × every GLOBAL bucket (absent → cn 0)
+    val grid = sizes.crossJoin(global)
+      .join(classes, Seq("cls", "b"), "left")
+      .na.fill(0L, Seq("cn"))
+      .crossJoin(broadcast(tot))
+      .select(col("cls"), col("b"), col("sz"),
+        (expr("cn * 1000000L div sz") - expr("gn * 1000000L div N"))
+          .as("d_micro"), col("m"))
+    val cum = grid.withColumn("cum_micro",
+      sum(col("d_micro")).over(Window.partitionBy(col("cls"))
+        .orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val emd = cum.groupBy(col("cls"), col("sz"), col("m"))
+      .agg(sum(abs(col("cum_micro"))).as("__acc"))
+      .select(col("cls"), col("sz"),
+        when(col("m") > 1L, expr("__acc div (m - 1)")).otherwise(0L)
+          .as("t_micro"))
+    emd.agg(
+      count(lit(1)).as("n_classes"),
+      sum(col("sz")).as("n_rows"),
+      max(col("t_micro")).as("t_max_micro"),
+      sum(when(col("t_micro") > tMicro, 1L).otherwise(0L))
+        .as("classes_above_t"),
+      sum(when(col("t_micro") > tMicro, col("sz")).otherwise(0L))
+        .as("rows_above_t"))
+      .select(col("n_classes"), col("n_rows"), col("t_max_micro"),
+        col("classes_above_t"), col("rows_above_t"),
+        round(col("rows_above_t").cast("double") / col("n_rows"), 4)
+          .as("share_above_t"))
+  }
+
   /** Same over any pre-grouped (…, sz) QI-group-size frame. */
   def kAnonymityOn(groups: DataFrame, k: Int): DataFrame = {
     groups.agg(
@@ -1615,6 +1729,36 @@ object Analytics {
           x => x("event_type")), ">").as("path"))
       .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
       .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topN)
+  }
+
+  /** Sliding event-sequence n-gram mining — the sequential-pattern
+    * complement of [[sessionPaths]] (which keeps only each session's
+    * HEAD): every consecutive (e₁→e₂→e₃) window in each user's full
+    * ordered stream counts, so "view>click>purchase" surfaces no
+    * matter where in the visit it happens — the contiguous-sequence
+    * core of PrefixSpan-style mining, and the input statistic for
+    * the [[markovChains]] entry's higher-order cousin. One user-key
+    * window (two lead()s, no explode), one gram-key aggregate;
+    * shuffle rows = events once + distinct grams (≤ |types|³). The
+    * (ts, event_id) ordering is total, so the gram stream is
+    * deterministic cross-engine. */
+  def eventNgrams(s: SparkSession, d: String, topN: Int = 20): DataFrame =
+    eventNgramsOn(Tables.events(s, d), topN)
+
+  /** Same over any (user_id, ts, event_id, event_type) frame. */
+  def eventNgramsOn(events: DataFrame, topN: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("__t1", lead(col("event_type"), 1).over(w))
+      .withColumn("__t2", lead(col("event_type"), 2).over(w))
+      .filter(col("__t2").isNotNull) // complete trigrams only
+      .select(concat_ws(">", col("event_type"), col("__t1"), col("__t2"))
+        .as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
       .limit(topN)
   }
 

@@ -1042,6 +1042,71 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.values.forall(r => r.getBoolean(6) && r.getBoolean(7)))
   }
 
+  test("tCloseness: hand distributions give the exact micro-unit EMD; " +
+       "a global-matching class scores 0") {
+    import spark.implicits._
+    // global is 50/50 over buckets {0,1}; A and B are 90/10 mirrors
+    // (EMD 0.4 each), C matches the global exactly (EMD 0)
+    val rows =
+      (1 to 9).map(_ => ("A", 0L)) ++ Seq(("A", 1L)) ++
+      Seq(("B", 0L)) ++ (1 to 9).map(_ => ("B", 1L)) ++
+      (1 to 5).flatMap(_ => Seq(("C", 0L), ("C", 1L)))
+    val out = Analytics.tClosenessOn(rows.toDF("cls", "b"),
+      Seq("cls"), "b", tMicro = 200000L).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(0) === 3L)        // n_classes
+    assert(r.getLong(1) === 30L)       // n_rows
+    assert(r.getLong(2) === 400000L)   // t_max = 0.4
+    assert(r.getLong(3) === 2L)        // A and B above 0.2
+    assert(r.getLong(4) === 20L)
+    assert(r.getDouble(5) === 0.6667)
+  }
+
+  test("tCloseness: sf events — audit well-formed, t_max inside [0,1]") {
+    val r = Analytics.tCloseness(spark, sf).collect().head
+    assert(r.getLong(0) > 0L)
+    assert(r.getLong(2) >= 0L && r.getLong(2) <= 1000000L)
+    assert(r.getLong(4) <= r.getLong(1))
+  }
+
+  test("suggestRules: unique id, nullable low-card category, numeric " +
+       "range — each rule fires exactly where it should") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), 10.5), (2L, Some("b"), -1.25),
+      (3L, None, 3.0), (4L, Some("a"), 99.0)
+    ).toDF("id", "cat", "v")
+    val out = Analytics.suggestRules(df, Seq("id", "cat", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val id = out("id")
+    assert(id.getBoolean(4) && id.getBoolean(5) && id.getBoolean(6))
+    assert(id.getDouble(7) === 1.0 && id.getDouble(8) === 4.0)
+    val cat = out("cat")
+    assert(!cat.getBoolean(4))          // has a null
+    assert(!cat.getBoolean(5))          // 'a' repeats
+    assert(cat.getBoolean(6))           // tiny vocabulary
+    assert(cat.isNullAt(7) && cat.isNullAt(8)) // not numeric
+    val v = out("v")
+    assert(v.getBoolean(4) && v.getBoolean(5))
+    assert(v.getDouble(7) === -1.25 && v.getDouble(8) === 99.0)
+  }
+
+  test("eventNgrams: sliding trigrams count every window position, " +
+       "short streams contribute nothing") {
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, t(1), 1L, "A"), (1L, t(2), 2L, "B"),
+      (1L, t(3), 3L, "C"), (1L, t(4), 4L, "D"),
+      (2L, t(1), 5L, "A"), (2L, t(2), 6L, "B"), (2L, t(3), 7L, "C"),
+      (3L, t(1), 8L, "X"), (3L, t(2), 9L, "Y") // too short
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Analytics.eventNgramsOn(ev, topN = 20).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("A>B>C" -> 2L, "B>C>D" -> 1L))
+  }
+
   test("distinctUnionChecked: sf events — C(5,2) pairs, verdicts all " +
        "true, overlap bounded by the smaller segment") {
     val rows = Analytics.distinctUnionChecked(spark, sf).collect()
