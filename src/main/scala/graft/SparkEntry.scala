@@ -293,6 +293,10 @@ object SparkEntry {
     // the 32x extreme of the compression ladder: recall@5 of the
     // sign-bit hamming ranking vs exact cosine (integer distances)
     "emb_binary_recall" -> ((s, d) => SimilarityOps.binaryRecall(s, d)),
+    // transparent logistic regression: fixed-round batch GD as a lazy
+    // composed plan (one-row broadcast state, no driver loop), every
+    // term floor-quantized so the trained weights value-replay
+    "ml_logreg_gd" -> ((s, d) => MlOps.logregGd(s, d)),
     // retrieval scoreboard: MRR/DCG/NDCG@10/recall over the exact
     // ranking, label-agreement relevance; per-hit gains quantize to
     // integer micro-units BEFORE summing (order-independent)
@@ -2419,6 +2423,9 @@ object SparkEntry {
         |  ON t.q_id = f.q_id AND t.vec_id = f.vec_id
         |WHERE t.dims <> 64
         |GROUP BY t.dims, t.q_id ORDER BY t.dims, t.q_id""".stripMargin,
+    // the whole 8-round optimization unrolled programmatically —
+    // oracle and iteration count cannot drift apart
+    "ml_logreg_gd" -> MlOps.logregOracleSql(),
     // ranking metrics in integer micro-units: per-hit ⌊1e6/log2(r+1)⌋
     // gains, integer divisions for MRR/NDCG/recall — no float is
     // ever summed or compared; sums cast to BIGINT for pandas

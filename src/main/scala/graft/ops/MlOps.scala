@@ -435,4 +435,100 @@ object MlOps {
           .as("encoding"))
       .orderBy(col("category"), col("fold"))
   }
+
+  /** Transparent logistic regression by fixed-round gradient descent
+    * — the VALUE-ORACLED counterpart of [[classify]] (whose MLlib
+    * L-BFGS fit is implementation-specific and therefore only
+    * guarantee-checked): every number this face produces, including
+    * the trained weights, replays bit-for-bit in DuckDB because the
+    * whole optimization is deterministic relational algebra.
+    *
+    * Per round: one aggregate over the quantized base computes the
+    * batch gradient with (w, b) riding as one-row broadcast state —
+    * the iterate chain is a LAZY composed plan, never a driver loop
+    * (no collect between rounds; the q_pagerank posture). Cost =
+    * `iters` map-side-combinable scans of a 2-column frame; at 100 TB
+    * the gradient pass is embarrassingly parallel and the state is 2
+    * doubles.
+    *
+    * Parity engineering (the forecast_ewma lesson — recursions
+    * AMPLIFY rounding-boundary hits, so round() is not enough):
+    * every per-row term FLOOR-quantizes to 1e-6 and sums as
+    * DECIMAL(20,6) (order-independent, exact); the state update
+    * floor-quantizes before re-entering the next round, so both
+    * engines iterate over identical numbers and exp()'s possible
+    * last-ulp libm difference has ~1e-10 per-term odds of crossing a
+    * floor boundary. Accuracy uses the SIGN of w·x+b (exact double
+    * arithmetic — no exp near the 0.5 boundary), and logloss uses
+    * the overflow-free ln(1+exp((1−2y)·z)) form. */
+  def logregGd(s: SparkSession, d: String, iters: Int = 8,
+               lr: Double = 1.0): DataFrame =
+    logregGdOn(Tables.events(s, d)
+      .selectExpr("round(value / 100.0, 4) AS x",
+        "CAST(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y"),
+      iters, lr)
+
+  /** Same over any (x, y∈{0,1}) frame. */
+  def logregGdOn(base0: DataFrame, iters: Int, lr: Double): DataFrame = {
+    val base = base0.localCheckpoint(false) // feeds every GD round + eval
+    val n = base.agg(count(lit(1)).as("n"))
+    val spark = base.sparkSession
+    var st = spark.range(1)
+      .select(lit(0.0).as("w"), lit(0.0).as("b"))
+    val q6 = (e: String) => s"floor(($e) * 1e6) / 1e6"
+    for (_ <- 1 to iters) {
+      val g = base.crossJoin(broadcast(st)).crossJoin(broadcast(n))
+        .groupBy(col("w"), col("b"), col("n"))
+        .agg(
+          sum(expr("CAST(" + q6("(1.0/(1.0+exp(-(w*x+b))) - y) * x") +
+            " AS DECIMAL(20,6))")).as("gw"),
+          sum(expr("CAST(" + q6("1.0/(1.0+exp(-(w*x+b))) - y") +
+            " AS DECIMAL(20,6))")).as("gb"))
+      st = g.select(
+        expr(q6(s"w - $lr * CAST(gw AS DOUBLE) / n")).as("w"),
+        expr(q6(s"b - $lr * CAST(gb AS DOUBLE) / n")).as("b"))
+    }
+    base.crossJoin(broadcast(st)).crossJoin(broadcast(n))
+      .groupBy(col("w"), col("b"), col("n"))
+      .agg(
+        sum(when(expr("(w*x + b >= 0.0) = (y = 1.0)"), 1L).otherwise(0L))
+          .as("__hits"),
+        sum(expr("CAST(" + q6("ln(1.0 + exp((1.0 - 2.0*y) * (w*x+b)))") +
+          " AS DECIMAL(20,6))")).as("__ll"))
+      .select(col("w"), col("b"), col("n"),
+        round(col("__hits").cast("double") / col("n"), 4).as("accuracy"),
+        round(col("__ll").cast("double") / col("n"), 4).as("logloss"))
+  }
+
+  /** The unrolled-iteration DuckDB replay of [[logregGdOn]] over the
+    * events-backed face — built programmatically so the oracle and
+    * any future iteration-count change cannot drift apart. */
+  private[graft] def logregOracleSql(iters: Int = 8,
+                                     lr: Double = 1.0): String = {
+    val q6 = (e: String) => s"floor(($e) * 1e6) / 1e6"
+    val steps = (1 to iters).map { i =>
+      s"""s$i AS (SELECT
+         |  ${q6(s"w - $lr * CAST(gw AS DOUBLE) / n")} AS w,
+         |  ${q6(s"b - $lr * CAST(gb AS DOUBLE) / n")} AS b
+         |FROM (SELECT w, b, n,
+         |    sum(CAST(${q6("(1.0/(1.0+exp(-(w*x+b))) - y) * x")}
+         |      AS DECIMAL(20,6))) AS gw,
+         |    sum(CAST(${q6("1.0/(1.0+exp(-(w*x+b))) - y")}
+         |      AS DECIMAL(20,6))) AS gb
+         |  FROM base, s${i - 1}, nn GROUP BY w, b, n))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (SELECT round(value / 100.0, 4) AS x,
+       |    CAST(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END
+       |      AS DOUBLE) AS y
+       |  FROM events),
+       |nn AS (SELECT count(*) AS n FROM base),
+       |s0 AS (SELECT CAST(0.0 AS DOUBLE) AS w, CAST(0.0 AS DOUBLE) AS b),
+       |$steps
+       |SELECT w, b, CAST(n AS BIGINT) AS n,
+       |  round(CAST(sum(CASE WHEN (w*x + b >= 0.0) = (y = 1.0)
+       |    THEN 1 ELSE 0 END) AS DOUBLE) / n, 4) AS accuracy,
+       |  round(CAST(sum(CAST(${q6("ln(1.0 + exp((1.0 - 2.0*y) * (w*x+b)))")}
+       |    AS DECIMAL(20,6))) AS DOUBLE) / n, 4) AS logloss
+       |FROM base, s$iters, nn GROUP BY w, b, n""".stripMargin
+  }
 }

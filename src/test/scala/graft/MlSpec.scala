@@ -178,4 +178,24 @@ class MlSpec extends SparkSpec {
     // both categories × both folds present
     assert(out.map(r => (r.getString(0), r.getLong(1))).toSet.size === 4)
   }
+
+  test("logregGd: separable data trains to perfect accuracy with a " +
+       "positive slope; loss beats the uninformed baseline") {
+    import spark.implicits._
+    val data = (1 to 50).flatMap { _ => Seq((0.0, 0.0), (1.0, 1.0)) }
+      .toDF("x", "y")
+    val r = MlOps.logregGdOn(data, iters = 8, lr = 1.0).collect().head
+    assert(r.getDouble(0) > 0.0, "w must learn the positive direction")
+    assert(r.getDouble(3) === 1.0, "separable data classifies perfectly")
+    assert(r.getDouble(4) < 0.6931, "loss must beat ln 2")
+  }
+
+  test("logregGd: rerun is bit-identical (floor-quantized state) and " +
+       "the sf fit beats the uninformed baseline") {
+    val a = MlOps.logregGd(spark, sf).collect().head
+    val b = MlOps.logregGd(spark, sf).collect().head
+    assert(a === b)
+    assert(a.getDouble(4) < 0.6931, s"logloss ${a.getDouble(4)}")
+    assert(a.getDouble(3) >= 0.5)
+  }
 }
