@@ -370,4 +370,69 @@ object Sources {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** EXTERNAL per-file min/max stats manifest — the table-format
+    * data-skipping pattern (Iceberg manifests / Delta add-file
+    * stats) built on plain parquet: parquet footers already carry
+    * row-group min/max, but the ENGINE must still open every file's
+    * footer to use them, and at 100 TB "open every footer" is
+    * millions of S3 reads per query. A manifest is one tiny
+    * side-table read FIRST, so planning touches exactly one object
+    * and the scan's file list shrinks before Spark ever lists the
+    * data directory.
+    *
+    * [[writeStatsManifest]] derives the manifest FROM the written
+    * files (one distributed pass grouped by `input_file_name`, never
+    * a footer walk on the driver): per file, min/max of each tracked
+    * column + row count, written as `_manifest` parquet beside the
+    * data. Pairs with [[writeSorted]]/[[writeZOrdered]]: layout
+    * decides how TIGHT the per-file ranges are; the manifest is what
+    * makes them actionable without touching data files.
+    *
+    * [[readPruned]] plans a range predicate `lo ≤ col ≤ hi` against
+    * the manifest (a manifest-row filter — file-cardinality, reads
+    * on the driver in one small action), then reads ONLY the
+    * surviving files; the residual per-row filter still applies, so
+    * pruning is a pure I/O optimization, never a correctness change.
+    * An empty survivor set short-circuits to an empty frame with the
+    * data schema (read from the manifest's recorded sample file). */
+  def writeStatsManifest(s: SparkSession, dataPath: String,
+                         statsCols: Seq[String]): Unit = {
+    require(statsCols.nonEmpty, "need at least one stats column")
+    val df = s.read.parquet(dataPath)
+    val aggs = statsCols.flatMap { c => Seq(
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")) } :+
+      count(lit(1)).as("n_rows")
+    df.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dataPath/_manifest")
+  }
+
+  /** Range-pruned read via the manifest (see [[writeStatsManifest]]).
+    * Returns the filtered frame; only files whose [min,max] envelope
+    * intersects [lo,hi] are opened. */
+  def readPruned(s: SparkSession, dataPath: String, column: String,
+                 lo: Any, hi: Any): DataFrame = {
+    val manifest = s.read.parquet(s"$dataPath/_manifest")
+    // file-cardinality driver action: the manifest IS the plan input
+    // (the same role Iceberg's manifest list plays) — this is not a
+    // data-sized collect
+    val files = manifest
+      .filter(col(s"max_$column") >= lit(lo) &&
+        col(s"min_$column") <= lit(hi))
+      .select(col("file")).collect().map(_.getString(0))
+    val residual = (c: DataFrame) =>
+      c.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+    if (files.isEmpty) {
+      // preserve the data schema without scanning data rows
+      val sample = manifest.select(col("file")).limit(1)
+        .collect().headOption.map(_.getString(0))
+      sample match {
+        case Some(f) => residual(s.read.parquet(f)).limit(0)
+        case None => throw new IllegalStateException(
+          s"empty manifest at $dataPath/_manifest")
+      }
+    } else residual(s.read.parquet(files: _*))
+  }
 }

@@ -212,4 +212,38 @@ class SourcesSpec extends SparkSpec {
       assert(r.getInt(5) === 3)
     } finally { /* shared-JVM session: leave running for other suites */ }
   }
+
+  test("stats manifest: pruned read opens only intersecting files, " +
+       "returns exactly the full-scan answer, empty range keeps schema") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp() + "/data"
+    // range-partitioned on value => per-file envelopes are tight
+    Sources.writeSorted(Tables.events(spark, sf)
+      .select(col("event_id"), col("value")), dir,
+      Seq("value"), numFiles = 4)
+    Sources.writeStatsManifest(spark, dir, Seq("value"))
+    val manifest = spark.read.parquet(s"$dir/_manifest")
+    assert(manifest.count() === 4)
+    // a narrow slice: compare against the unpruned answer
+    val full = spark.read.parquet(dir)
+      .filter(col("value") >= 10.0 && col("value") <= 20.0)
+    val pruned = Sources.readPruned(spark, dir, "value", 10.0, 20.0)
+    assert(pruned.count() === full.count())
+    assert(full.count() > 0, "slice must be non-trivial")
+    // the pruned plan must read FEWER files than exist
+    val touched = pruned.select(input_file_name()).distinct().count()
+    assert(touched < 4, s"pruning must skip files, touched=$touched")
+    // manifest rows agree with per-file truth: global min/max recover
+    val g = manifest.agg(min(col("min_value")), max(col("max_value")))
+      .collect().head
+    val t = spark.read.parquet(dir).agg(min(col("value")), max(col("value")))
+      .collect().head
+    assert(g.getDouble(0) === t.getDouble(0) && g.getDouble(1) === t.getDouble(1))
+    // a range beyond the data: zero rows, schema intact, no data scan
+    val empty = Sources.readPruned(spark, dir, "value", 1e12, 2e12)
+    assert(empty.count() === 0)
+    assert(empty.columns.toSeq === Seq("event_id", "value"))
+    // hidden _manifest dir must stay invisible to plain data reads
+    assert(spark.read.parquet(dir).columns.toSeq === Seq("event_id", "value"))
+  }
 }
