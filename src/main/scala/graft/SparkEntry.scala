@@ -602,6 +602,10 @@ object SparkEntry {
     // lead-lag discovery between series: Pearson at lag 0, shifted
     // equi-join for lags 1..3 — the multi-series sibling of ts_acf
     "ts_cross_corr" -> ((s, d) => TimeSeriesOps.crossCorr(s, d)),
+    // shape-based series similarity: integer DTW over micro-quantized
+    // daily series — the Scala rolling DP and the oracle's recursive
+    // anti-diagonal wavefront provably compute the same table
+    "ts_dtw" -> ((s, d) => TimeSeriesOps.dtwPairs(s, d)),
     "ts_lag_features"   -> ((s, d) => TimeSeriesOps.lagFeatures(s, d)),
     // daily mean value per type with synthetic outage days planted
     // (every day-of-month divisible by 5 removed, identically in the
@@ -4168,6 +4172,49 @@ object SparkEntry {
         |ORDER BY event_type, lag""".stripMargin,
     // same mean/deviation/DECIMAL machinery as ts_acf, pair join on
     // the shifted day index
+    // the DP replayed as an anti-diagonal wavefront: diagonal d
+    // depends only on d-1/d-2, so a recursive CTE advances one whole
+    // diagonal per step via list_transform — every cell an exact
+    // integer, SENT=2.5e17 pads the band edges without overflow
+    "ts_dtw" ->
+      """WITH RECURSIVE
+        |daily AS (SELECT event_type,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP_US))
+        |      AS TIMESTAMP) AS day,
+        |    CAST(sum(CAST(round(value, 4) AS DECIMAL(14,4))) * 10000
+        |      AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (SELECT event_type, list(v ORDER BY day) AS vs,
+        |    CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1),
+        |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.vs AS va, b.vs AS vb, a.n AS n, b.n AS m
+        |  FROM ser a JOIN ser b ON a.event_type < b.event_type),
+        |dp AS (
+        |  SELECT type_a, type_b, va, vb, n, m, CAST(0 AS BIGINT) AS d,
+        |    list_transform(range(0, n), i -> CASE WHEN i = 0
+        |      THEN abs(va[1] - vb[1])
+        |      ELSE 250000000000000000 END) AS cur,
+        |    CAST(NULL AS BIGINT[]) AS prev
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT type_a, type_b, va, vb, n, m, d + 1,
+        |    list_transform(range(0, n), i -> CASE
+        |      WHEN d + 1 - i BETWEEN 0 AND m - 1 THEN
+        |        abs(va[i + 1] - vb[d + 2 - i]) + least(
+        |          CASE WHEN d - i >= 0 THEN cur[i + 1]
+        |            ELSE 250000000000000000 END,
+        |          CASE WHEN i >= 1 THEN cur[i]
+        |            ELSE 250000000000000000 END,
+        |          CASE WHEN i >= 1 AND d - i >= 0
+        |            THEN coalesce(prev[i], 250000000000000000)
+        |            ELSE 250000000000000000 END)
+        |      ELSE 250000000000000000 END) AS cur,
+        |    cur AS prev
+        |  FROM dp WHERE d < n + m - 2)
+        |SELECT type_a, type_b, n AS n_a, m AS n_b,
+        |  cur[n] AS dtw_micro, cur[n] // (n + m) AS dtw_per_step_micro
+        |FROM dp WHERE d = n + m - 2
+        |ORDER BY type_a, type_b""".stripMargin,
     "ts_cross_corr" ->
       """WITH daily AS (
         |  SELECT event_type,

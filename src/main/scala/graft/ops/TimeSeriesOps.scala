@@ -708,4 +708,73 @@ object TimeSeriesOps {
       // (array-typed result columns are also hostile to the oracle gate)
       .select(col("event_type"), col("start"), col("json"))
       .orderBy(col("event_type"))
+
+  /** Dynamic-time-warping distance between every pair of per-type
+    * daily series — the series-similarity measure behind shape-based
+    * clustering and "which metrics move together, allowing for lag
+    * and stretch" (Euclidean alignment reads a one-day phase shift
+    * as maximal distance; DTW warps it away — the spec proves a
+    * shifted spike scores 0). Sakoe-Chiba banding is the knob at
+    * long horizons; for calendar-bounded daily series the full DP is
+    * ≤ 365² integer cells per pair, and pairs parallelize — the cost
+    * axis at 100 TB is the pre-aggregation to daily points, which is
+    * one map-side-combinable pass.
+    *
+    * Cross-engine contract: daily values quantize to 1e-4 micro
+    * units as exact DECIMAL sums BEFORE the DP, so every DP cell is
+    * an INTEGER and the distance is formulation-independent — the
+    * Scala row-rolling DP here and the oracle's anti-diagonal
+    * RECURSIVE-CTE wavefront (cells on diagonal d depend only on
+    * d−1, d−2 — no intra-step dependency, so list_transform can
+    * evaluate a whole diagonal functionally) provably compute the
+    * same table. The per-pair recursion is the flatMap-recursion
+    * class the repo reserves mapPartitions for (Forecast posture). */
+  def dtwPairs(s: SparkSession, d: String): DataFrame =
+    dtwPairsOn(Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg((sum(round(col("value"), 4).cast("decimal(14,4)")) * 10000)
+        .cast("long").as("v_micro")))
+
+  /** Same over any (event_type, day, v_micro) daily frame. */
+  def dtwPairsOn(daily: DataFrame): DataFrame = {
+    val ss = daily.sparkSession
+    import ss.implicits._
+    val ser = daily.groupBy(col("event_type"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("day"), col("v_micro")))),
+        x => x.getField("v_micro")).as("vs"))
+    val pairs = ser.as("a").join(ser.as("b"),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        col("a.vs").as("va"), col("b.vs").as("vb"))
+      .as[(String, String, Seq[Long], Seq[Long])]
+    pairs.map { case (ta, tb, va, vb) =>
+        val dist = dtwMicro(va, vb)
+        (ta, tb, va.length.toLong, vb.length.toLong, dist,
+          dist / (va.length + vb.length))
+      }
+      .toDF("type_a", "type_b", "n_a", "n_b", "dtw_micro",
+        "dtw_per_step_micro")
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** Exact integer DTW (|·| cost, unit steps), two rolling rows. */
+  private[graft] def dtwMicro(a: Seq[Long], b: Seq[Long]): Long = {
+    require(a.nonEmpty && b.nonEmpty, "DTW needs two non-empty series")
+    val n = a.length; val m = b.length
+    var prev = new Array[Long](m)
+    prev(0) = math.abs(a(0) - b(0))
+    for (j <- 1 until m) prev(j) = prev(j - 1) + math.abs(a(0) - b(j))
+    for (i <- 1 until n) {
+      val cur = new Array[Long](m)
+      cur(0) = prev(0) + math.abs(a(i) - b(0))
+      for (j <- 1 until m)
+        cur(j) = math.abs(a(i) - b(j)) +
+          math.min(cur(j - 1), math.min(prev(j), prev(j - 1)))
+      prev = cur
+    }
+    prev(m - 1)
+  }
 }

@@ -826,4 +826,37 @@ class TimeSeriesSpec extends SparkSpec {
       assert(r.getBoolean(7) === (day.getDayOfMonth === day.lengthOfMonth))
     }
   }
+
+  test("dtwMicro: identical series 0, one-step shift warps to 0, " +
+       "hand DP values exact") {
+    import graft.ops.TimeSeriesOps.dtwMicro
+    assert(dtwMicro(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)) === 0L)
+    // a spike shifted by one position: warping absorbs it entirely
+    assert(dtwMicro(Seq(0L, 0L, 10000L, 0L), Seq(0L, 10000L, 0L, 0L)) === 0L)
+    // degenerate lengths: pure accumulation
+    assert(dtwMicro(Seq(0L), Seq(5L)) === 5L)
+    assert(dtwMicro(Seq(0L, 3L), Seq(0L)) === 3L)
+    // Euclidean would read the shifted spike as 2*10000
+    assert(dtwMicro(Seq(7L, 7L), Seq(9L, 9L)) === 4L)
+  }
+
+  test("dtwPairs: fixture pairs score hand values; sf pairs are " +
+       "complete, symmetric-free, and non-negative") {
+    import spark.implicits._
+    def t(dd: Int) = java.sql.Timestamp.valueOf(f"2024-01-${dd}%02d 00:00:00")
+    val daily = Seq(
+      ("A", t(1), 0L), ("A", t(2), 0L), ("A", t(3), 10000L), ("A", t(4), 0L),
+      ("B", t(1), 0L), ("B", t(2), 10000L), ("B", t(3), 0L), ("B", t(4), 0L),
+      ("C", t(1), 5L), ("C", t(2), 5L)
+    ).toDF("event_type", "day", "v_micro")
+    val out = graft.ops.TimeSeriesOps.dtwPairsOn(daily).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(out(("A", "B")) === 0L, "shifted spike must warp to zero")
+    // C=[5,5] vs A=[0,0,10000,0]: best path 5+5+9995+5 = 10010
+    assert(out(("A", "C")) === 10010L)
+    val sf1 = graft.ops.TimeSeriesOps.dtwPairs(spark, sf).collect()
+    assert(sf1.length === 10) // C(5,2) pairs
+    assert(sf1.forall(_.getLong(4) >= 0L))
+    assert(sf1.forall(r => r.getString(0) < r.getString(1)))
+  }
 }
