@@ -184,6 +184,10 @@ object SparkEntry {
     // p=min(1,γ/√(n_i·n_j)) — hot items sampled hardest, estimator
     // unbiased, and the coin replays in the oracle (value-checked)
     "rec_item_cosine_dimsum" -> ((s, d) => Recommend.itemCosineDimsum(s, d)),
+    // the composed "customers also bought": owned items pull their
+    // capped neighbor lists, evidence sums as exact DECIMAL, owned
+    // excluded by anti-join, top-3 per customer on a total order
+    "rec_user_items" -> ((s, d) => Recommend.userItems(s, d)),
     // CUPED variance-reduced A/B readout: pre-period covariate fit
     // (θ = cov/var over per-user means), md5 arms, rounded-metric
     // adjustment, achieved variance reduction beside the means
@@ -2208,6 +2212,46 @@ object SparkEntry {
         |        ORDER BY cosine DESC, neighbor) AS rank FROM sym)
         |SELECT item, neighbor, n_ab, cosine, CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 5 ORDER BY item, rank""".stripMargin,
+    // the whole compose replayed: cosine CTEs → owned ownership →
+    // DECIMAL evidence sums → anti-join → per-customer rank
+    "rec_user_items" ->
+      """WITH m AS (SELECT DISTINCT l_orderkey AS basket,
+        |             l_partkey AS item FROM lineitem),
+        |sz AS (SELECT basket, count(*) AS bsz FROM m GROUP BY 1),
+        |mm AS (SELECT m.basket, m.item FROM m JOIN sz USING (basket)
+        |       WHERE sz.bsz <= 16),
+        |ic AS (SELECT item, count(*) AS n FROM mm GROUP BY 1),
+        |pc AS (SELECT x.item AS ia, y.item AS ib, count(*) AS n_ab
+        |       FROM mm x JOIN mm y USING (basket)
+        |       WHERE x.item < y.item GROUP BY 1, 2
+        |       HAVING count(*) >= 2),
+        |sc AS (SELECT ia, ib,
+        |         round(CAST(n_ab AS DOUBLE) /
+        |           sqrt(CAST(a.n AS DOUBLE) * CAST(b.n AS DOUBLE)), 4)
+        |           AS cosine
+        |       FROM pc JOIN ic a ON pc.ia = a.item
+        |               JOIN ic b ON pc.ib = b.item),
+        |sym AS (SELECT ia AS item, ib AS neighbor, cosine FROM sc
+        |        UNION ALL
+        |        SELECT ib AS item, ia AS neighbor, cosine FROM sc),
+        |r AS (SELECT * FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY item ORDER BY cosine DESC, neighbor)
+        |        AS rank FROM sym) WHERE rank <= 5),
+        |owned AS (SELECT DISTINCT o_custkey AS cust, l_partkey AS item
+        |          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |cand AS (SELECT cust, r.neighbor AS rec_item,
+        |           sum(CAST(cosine AS DECIMAL(14,4))) AS score_d,
+        |           CAST(count(*) AS BIGINT) AS n_sources
+        |         FROM owned JOIN r ON owned.item = r.item
+        |         GROUP BY 1, 2),
+        |fresh AS (SELECT c.* FROM cand c LEFT JOIN owned o
+        |            ON c.cust = o.cust AND c.rec_item = o.item
+        |          WHERE o.item IS NULL),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY cust
+        |         ORDER BY score_d DESC, rec_item) AS rank FROM fresh)
+        |SELECT cust, rec_item, round(CAST(score_d AS DOUBLE), 4) AS score,
+        |  n_sources, CAST(rank AS BIGINT) AS rank
+        |FROM rk WHERE rank <= 3 ORDER BY cust, rank""".stripMargin,
     // the DIMSUM coin replayed verbatim: md5 prefix of (basket,i,j)
     // mod 1e6 under the ⌊1e6·γ/√(n_a·n_b)⌋ threshold, then the
     // regime-split estimator — sampling and all, value-checked

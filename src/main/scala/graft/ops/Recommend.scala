@@ -63,7 +63,14 @@ object Recommend {
   /** Exact face over any (basket, item) membership list: symmetric
     * top-k cosine neighbors per item. */
   def itemCosineOn(pairs: DataFrame, minCount: Long, topK: Int,
-                   maxBasket: Int): DataFrame = {
+                   maxBasket: Int): DataFrame =
+    symNeighbors(pairs, minCount, topK, maxBasket)
+      .orderBy(col("item"), col("rank"))
+
+  /** The ranked symmetric neighbor frame both recommendation faces
+    * read: (item, neighbor, n_ab, cosine, rank ≤ topK). */
+  private[ops] def symNeighbors(pairs: DataFrame, minCount: Long,
+                                topK: Int, maxBasket: Int): DataFrame = {
     val members = cappedMembers(pairs, maxBasket)
       .localCheckpoint(false) // feeds item counts + both sides of the pair join
     val counts = members.groupBy(col("item")).agg(count(lit(1)).as("n"))
@@ -92,7 +99,43 @@ object Recommend {
     sym.withColumn("rank", row_number().over(Window.partitionBy(col("item"))
         .orderBy(col("cosine").desc, col("neighbor"))))
       .filter(col("rank") <= topK)
-      .orderBy(col("item"), col("rank"))
+  }
+
+  /** Per-customer recommendations COMPOSED from the neighbor lists —
+    * the end-to-end "customers also bought" face: each customer's
+    * owned item set pulls its items' top-k neighbors, neighbor
+    * scores SUM across the owned evidence (as exact DECIMAL — a
+    * double sum across partitions is order-dependent), owned items
+    * are excluded by an anti-join, and the top `topN` per customer
+    * survive on a (score desc, item) total order. Work is bounded by
+    * |ownership| · topK candidate rows — the neighbor lists cap the
+    * fan-out, which is what makes the compose scale (an uncapped
+    * item-similarity join would be ownership × co-item). */
+  def userItems(s: SparkSession, d: String, minCount: Long = 2,
+                topK: Int = 5, maxBasket: Int = 16,
+                topN: Int = 3): DataFrame = {
+    val owned = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+      .distinct()
+    val neighbors = symNeighbors(Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")),
+      minCount, topK, maxBasket)
+    val cand = owned.join(neighbors, "item")
+      .groupBy(col("cust"), col("neighbor").as("rec_item"))
+      .agg(sum(col("cosine").cast("decimal(14,4)")).as("__score"),
+        count(lit(1)).as("n_sources"))
+    val fresh = cand.join(
+      owned.select(col("cust"), col("item").as("rec_item")),
+      Seq("cust", "rec_item"), "left_anti")
+    fresh.withColumn("rank",
+        row_number().over(Window.partitionBy(col("cust"))
+          .orderBy(col("__score").desc, col("rec_item"))))
+      .filter(col("rank") <= topN)
+      .select(col("cust"), col("rec_item"),
+        round(col("__score").cast("double"), 4).as("score"),
+        col("n_sources"), col("rank"))
+      .orderBy(col("cust"), col("rank"))
   }
 
   /** DIMSUM tier over order→part baskets. */

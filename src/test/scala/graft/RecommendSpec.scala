@@ -68,6 +68,30 @@ class RecommendSpec extends SparkSpec {
       s"cos_est ${ab.getDouble(3)} vs 0.8")
   }
 
+  test("userItems: recommendations exclude owned items, rank by summed " +
+       "evidence, and cap at 3 per customer") {
+    val rows = Recommend.userItems(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(4) <= 3))
+    // no recommendation may be an owned item
+    val owned = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      .select(org.apache.spark.sql.functions.col("o_custkey"),
+        org.apache.spark.sql.functions.col("l_partkey"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.forall(r => !owned((r.getLong(0), r.getLong(1)))))
+    // within a customer, scores are non-increasing with rank
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(4))
+      assert(sorted.sliding(2).forall { w =>
+        w.length < 2 || w(0).getDouble(2) >= w(1).getDouble(2)
+      })
+    }
+  }
+
   test("rec entries run on sf and agree in shape with their oracles") {
     val exact = Recommend.itemCosine(spark, sf).collect()
     assert(exact.nonEmpty)
