@@ -662,6 +662,10 @@ object SparkEntry {
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
     "forecast_snaive"   -> ((s, d) => Forecast.seasonalNaive(s, d)),
+    // split-conformal band around snaive: the ⌈(1-α)(n+1)⌉-th
+    // smallest |calibration residual| — finite-sample coverage by
+    // construction, every number an integer
+    "forecast_conformal" -> ((s, d) => Forecast.conformalForecast(s, d)),
     "forecast_eval"     -> (Forecast.evaluate _),
     // Holt-Winters: the per-series recursion replays EXACTLY in a
     // DuckDB recursive CTE (identical IEEE expression order), so even
@@ -4735,6 +4739,31 @@ object SparkEntry {
         |       d.cnt AS actual, p.pred AS pred
         |FROM p JOIN daily d ON d.event_type = p.event_type
         |                   AND d.day = p.day
+        |ORDER BY event_type, day""".stripMargin,
+    // pure-integer conformal band: counts, lag-7 preds, |resid|
+    // order statistic at rank ⌈keep(n+1)/100⌉ (integer ceil), ±q̂
+    "forecast_conformal" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |         event_type, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT max(day) AS mx FROM daily),
+        |l AS (SELECT daily.*, lag(cnt, 7) OVER (PARTITION BY event_type
+        |        ORDER BY day) AS lagp FROM daily),
+        |tr AS (SELECT l.event_type, abs(cnt - lagp) AS ar, day FROM l, mx
+        |       WHERE day <= mx - INTERVAL 7 DAY AND lagp IS NOT NULL),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |         ORDER BY ar, day) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n FROM tr),
+        |q AS (SELECT event_type, ar AS qhat,
+        |        (90 * (n + 1) + 99) // 100 > n AS clamped
+        |      FROM rk WHERE rn = least((90 * (n + 1) + 99) // 100, n))
+        |SELECT l.event_type AS event_type, day, cnt AS actual,
+        |  lagp AS pred, lagp - qhat AS lo, lagp + qhat AS hi,
+        |  cnt BETWEEN lagp - qhat AND lagp + qhat AS covered, clamped
+        |FROM l, mx, q
+        |WHERE day > mx - INTERVAL 7 DAY AND lagp IS NOT NULL
+        |  AND q.event_type = l.event_type
         |ORDER BY event_type, day""".stripMargin,
     "forecast_snaive" ->
       """WITH daily AS (

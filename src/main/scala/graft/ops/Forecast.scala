@@ -48,6 +48,65 @@ object Forecast {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Split-conformal prediction intervals around seasonal-naive —
+    * the DISTRIBUTION-FREE upgrade of [[seasonalNaive]]'s quantile
+    * bands: empirical residual percentiles promise nothing, while
+    * the conformal quantile (the ⌈(1−α)(n+1)⌉-th smallest absolute
+    * calibration residual — the (n+1) is the finite-sample
+    * correction) guarantees ≥ 1−α marginal coverage for exchangeable
+    * residuals (Vovk et al.; Lei et al. JASA'18). The band is what a
+    * capacity planner actually consumes: "the count will be within
+    * ±q̂ of the forecast, 90% of the time, by construction".
+    *
+    * Everything is INTEGER: counts, lag-7 point forecasts, absolute
+    * residuals, the order statistic (row_number over a (|resid|,
+    * day) total order — duplicates count, as the statistic requires),
+    * the rank k = ⌈keep·(n+1)/100⌉ computed as (keep·(n+1)+99) div 100
+    * (no float ceil), and the ±q̂ band. k > n clamps to the max residual
+    * (the finite-sample "infinite interval" case, surfaced by the
+    * clamped flag rather than silently). One series-key shuffle for
+    * the lag window, one calibration aggregate, one broadcast join
+    * back — the snaive plan plus an order statistic. */
+  def conformalForecast(s: SparkSession, d: String, period: Int = 7,
+                        horizon: Int = 7, alphaPct: Int = 10): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val lagged = daily.withColumn("lagp", lag(col("cnt"), period).over(w))
+    val mx = daily.agg(max(col("day")).as("mx"))
+    val t = lagged.crossJoin(broadcast(mx)).localCheckpoint(false)
+    val train = t
+      .filter(col("day") <= col("mx") - expr(s"interval $horizon day") &&
+        col("lagp").isNotNull)
+      .select(col("event_type"),
+        abs(col("cnt") - col("lagp")).as("ar"), col("day"))
+    val ranked = train.withColumn("rn",
+        row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("ar"), col("day"))))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))))
+    val keep = 100 - alphaPct
+    val qhat = ranked
+      .withColumn("k",
+        least(expr(s"($keep * (n + 1) + 99) div 100"), col("n")))
+      .filter(col("rn") === col("k"))
+      .select(col("event_type"), col("ar").as("qhat"),
+        (expr(s"($keep * (n + 1) + 99) div 100") > col("n"))
+          .as("clamped"))
+    t.filter(col("day") > col("mx") - expr(s"interval $horizon day") &&
+        col("lagp").isNotNull)
+      .join(broadcast(qhat), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("cnt").as("actual"),
+        col("lagp").as("pred"),
+        (col("lagp") - col("qhat")).as("lo"),
+        (col("lagp") + col("qhat")).as("hi"),
+        col("cnt").between(col("lagp") - col("qhat"),
+          col("lagp") + col("qhat")).as("covered"),
+        col("clamped"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Additive Holt-Winters (triple exponential smoothing) per series
     * — the classical-model step up from seasonal-naive: level, trend,
     * and a rotating seasonal vector updated by one recursion over the

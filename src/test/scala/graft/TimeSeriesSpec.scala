@@ -859,4 +859,20 @@ class TimeSeriesSpec extends SparkSpec {
     assert(sf1.forall(_.getLong(4) >= 0L))
     assert(sf1.forall(r => r.getString(0) < r.getString(1)))
   }
+
+  test("conformalForecast: bands are symmetric around the lag-7 point, " +
+       "coverage flags re-derive, and the band is a valid interval") {
+    val rows = graft.ops.Forecast.conformalForecast(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (actual, pred, lo, hi) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(hi - pred === pred - lo, "band must be symmetric = ±qhat")
+      assert(hi >= lo)
+      assert(r.getBoolean(6) === (actual >= lo && actual <= hi))
+    }
+    // with 90% nominal coverage the holdout should mostly be covered
+    val cov = rows.count(_.getBoolean(6)).toDouble / rows.length
+    assert(cov >= 0.5, s"empirical coverage $cov suspiciously low")
+  }
 }
