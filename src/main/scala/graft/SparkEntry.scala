@@ -23,6 +23,13 @@ object SparkEntry {
     "q1_pricing_summary" -> (Analytics.pricingSummary _),
     "q3_top_unshipped"   -> (Analytics.topUnshipped _),
     "q5_region_revenue"  -> (Analytics.regionRevenue _),
+    // Q10 churn outreach: quarter of returns per customer, DECIMAL
+    // revenue, nation broadcast, pushed returnflag+date filters
+    "q10_returned_items" -> ((s, d) => Analytics.returnedItemReport(s, d)),
+    // Q6 what-if scan: one pushed-filter pass, scalar DECIMAL agg
+    "q6_revenue_change"  -> (Analytics.revenueChange _),
+    // Q4-flavored: EXISTS semi-join so multi-late orders count once
+    "q4_priority_late"   -> (Analytics.latePriorityReport _),
     "q_count_by_type"    -> (Analytics.countByType _),
     "q_union_counts"     -> (Analytics.unionCounts _),
     "q_per_day_type"     -> (Analytics.perDayType _),
@@ -1058,6 +1065,37 @@ object SparkEntry {
         |  AND o_orderdate <  TIMESTAMP '1998-01-01'
         |GROUP BY n_name
         |ORDER BY rev DESC, n_name""".stripMargin,
+    // per-row DECIMAL quantization before the sum — exact in both
+    // engines regardless of partial-aggregate order
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name,
+        |  round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+        |    AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q6_revenue_change" ->
+      """SELECT round(CAST(sum(CAST(round(l_extendedprice * l_discount, 4)
+        |    AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q4_priority_late" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_count_by_type" ->
       """SELECT event_type, count(*) AS ride_count
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

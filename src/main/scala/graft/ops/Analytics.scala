@@ -353,6 +353,67 @@ object Analytics {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** TPC-H Q10 (returned-item reporting): which customers returned
+    * the most revenue in a quarter — the churn-risk outreach list.
+    * Customer/nation broadcast onto the orders∧lineitem join (AQE
+    * picks broadcast at verify SF; at 100 TB customer shuffles and
+    * lineitem still prunes on the pushed returnflag+quarter filters
+    * BEFORE the join). Revenue quantizes per-row to DECIMAL before
+    * summing — exact, order-independent (the rounded-metric rule;
+    * q5's raw double sum predates it and is pinned). */
+  def returnedItemReport(s: SparkSession, d: String,
+                         topN: Int = 20): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      .agg(sum(round(revenue, 4).cast("decimal(18,4)")).as("__rev"))
+      .select(col("c_custkey"), col("c_name"),
+        round(col("__rev").cast("double"), 4).as("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(topN)
+  }
+
+  /** TPC-H Q6 (forecasting revenue change): the what-if scan — how
+    * much revenue would vanish if discounts in a band were dropped
+    * for a year. ONE pushed-filter scan, one scalar DECIMAL
+    * aggregate: no join, no shuffle beyond the final single-row
+    * combine — the cheapest query in the benchmark and the classic
+    * pushdown litmus (PushedFilters must carry all three predicates). */
+  def revenueChange(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(round(col("l_extendedprice") * col("l_discount"), 4)
+        .cast("decimal(18,4)")).cast("double"), 4).as("revenue"))
+
+  /** TPC-H Q4-flavored late-shipment priority report (the schema
+    * here has no commit/receipt dates, so "late" = any lineitem
+    * shipped > 90 days after the order date): per priority, orders
+    * in the quarter with at least one late shipment — an EXISTS
+    * semi-join, never a row-multiplying inner join (an order with
+    * five late lines must count once). */
+  def latePriorityReport(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    o.join(Tables.lineitem(s, d),
+        col("l_orderkey") === col("o_orderkey") &&
+          expr("l_shipdate > o_orderdate + interval 90 day"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Out-of-range timestamp detection — the reference hunts rides
     * with pickup in 2088 (DataDiscoveryAndConversation cell 30). */
   def anomalyFilter(s: SparkSession, d: String): DataFrame =

@@ -1042,6 +1042,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.values.forall(r => r.getBoolean(6) && r.getBoolean(7)))
   }
 
+  test("TPC-H Q10/Q6/Q4 faces: descending revenue top-list, single " +
+       "what-if scalar, and once-per-order late counts") {
+    val q10 = Analytics.returnedItemReport(spark, sf).collect()
+    assert(q10.nonEmpty && q10.length <= 20)
+    val revs = q10.map(_.getDouble(2))
+    assert(revs.sameElements(revs.sortBy(-(_: Double))))
+    val q6 = Analytics.revenueChange(spark, sf).collect()
+    assert(q6.length === 1 && q6.head.getDouble(0) > 0.0)
+    val q4 = Analytics.latePriorityReport(spark, sf).collect()
+    assert(q4.nonEmpty)
+    // the semi-join counts ORDERS: totals can never exceed the
+    // quarter's order count
+    val inWindow = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp")).count()
+    assert(q4.map(_.getLong(1)).sum <= inWindow)
+    assert(q4.map(_.getString(0)).toSeq ===
+      q4.map(_.getString(0)).toSeq.sorted)
+  }
+
   test("tCloseness: hand distributions give the exact micro-unit EMD; " +
        "a global-matching class scores 0") {
     import spark.implicits._
