@@ -184,6 +184,10 @@ object SparkEntry {
     // brand-pair support/confidence/lift over order baskets: bounded
     // pair explode per basket, exact-integer lift, TakeOrdered top-k
     "q_market_basket" -> ((s, d) => Analytics.marketBasket(s, d)),
+    // DeepWalk sampling primitive: md5-coin neighbor choice over the
+    // ranked adjacency — walks reproducible AND oracle-replayable;
+    // one frontier join per step, dead ends park via coalesce
+    "graph_random_walk" -> ((s, d) => graft.ops.GraphOps.randomWalks(s, d)),
     // item-item CF neighbor lists: exact binary cosine over capped
     // baskets, ranked on the rounded value (total tiebreak)
     "rec_item_cosine" -> ((s, d) => Recommend.itemCosine(s, d)),
@@ -479,6 +483,13 @@ object SparkEntry {
       .orderBy(col("event_id"))),
     "etl_profile"  -> ((s, d) => Analytics.profile(
       Tables.orders(s, d), Seq("o_custkey", "o_orderstatus", "o_totalprice"))),
+    // format-preserving masking: digits→digits, letters→same-case
+    // letters via md5-derived per-char rotation — parsers and
+    // fixed-width schemas still accept the masked value
+    "etl_mask_format" -> ((s, d) =>
+      Mapping.maskFormat(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name")), Seq("c_name"), "pep")
+        .orderBy(col("c_custkey"))),
     // profile → SUGGEST: observed stats become candidate constraints
     // (NOT_NULL/UNIQUE/IN_SET/RANGE) for etl_expectations to enforce
     "etl_suggest_rules" -> ((s, d) => Analytics.suggestRules(
@@ -2169,6 +2180,47 @@ object SparkEntry {
     // the sampled tier replays the WHOLE pipeline — md5 coin, kept
     // edge set, degree orientation, wedge closure, and the integer
     // 1/p^3 scale-up — so the estimate value-matches cross-engine
+    // every step's coin replays verbatim; dead ends coalesce-park
+    "graph_random_walk" ->
+      """WITH m AS (SELECT DISTINCT l_orderkey AS basket,
+        |             l_partkey AS item FROM lineitem),
+        |sz AS (SELECT basket, count(*) AS bsz FROM m GROUP BY 1),
+        |mm AS (SELECT m.basket, m.item FROM m JOIN sz USING (basket)
+        |       WHERE sz.bsz <= 16),
+        |e0 AS (SELECT DISTINCT x.item AS a, y.item AS b
+        |       FROM mm x JOIN mm y USING (basket) WHERE x.item < y.item),
+        |adj AS (SELECT a AS node, b AS nbr FROM e0
+        |        UNION ALL SELECT b, a FROM e0),
+        |rkd AS (SELECT node, nbr,
+        |          row_number() OVER (PARTITION BY node ORDER BY nbr) - 1
+        |            AS rk
+        |        FROM adj),
+        |degs AS (SELECT node, count(*) AS deg FROM adj GROUP BY 1),
+        |w0 AS (SELECT node AS start, node AS cur FROM degs),
+        |i1 AS (SELECT start, cur,
+        |         CAST(('0x' || substr(md5(start || '_1_' || cur), 1, 15))
+        |           ::UBIGINT % deg AS BIGINT) AS idx
+        |       FROM w0 JOIN degs d ON d.node = w0.cur),
+        |w1 AS (SELECT start, COALESCE(r.nbr, i1.cur) AS p1
+        |       FROM i1 LEFT JOIN rkd r
+        |         ON r.node = i1.cur AND r.rk = i1.idx),
+        |i2 AS (SELECT start, p1,
+        |         CAST(('0x' || substr(md5(start || '_2_' || p1), 1, 15))
+        |           ::UBIGINT % deg AS BIGINT) AS idx
+        |       FROM w1 JOIN degs d ON d.node = w1.p1),
+        |w2 AS (SELECT start, p1, COALESCE(r.nbr, i2.p1) AS p2
+        |       FROM i2 LEFT JOIN rkd r
+        |         ON r.node = i2.p1 AND r.rk = i2.idx),
+        |i3 AS (SELECT start, p1, p2,
+        |         CAST(('0x' || substr(md5(start || '_3_' || p2), 1, 15))
+        |           ::UBIGINT % deg AS BIGINT) AS idx
+        |       FROM w2 JOIN degs d ON d.node = w2.p2),
+        |w3 AS (SELECT start, p1, p2, COALESCE(r.nbr, i3.p2) AS p3
+        |       FROM i3 LEFT JOIN rkd r
+        |         ON r.node = i3.p2 AND r.rk = i3.idx)
+        |SELECT start, p1 AS path1, p2 AS path2, p3 AS path3,
+        |  start || '>' || p1 || '>' || p2 || '>' || p3 AS path
+        |FROM w3 ORDER BY start""".stripMargin,
     "graph_triangles_sampled" ->
       """WITH m AS (SELECT DISTINCT l_orderkey AS basket,
         |             l_partkey AS item FROM lineitem),
@@ -3999,6 +4051,26 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |  count(DISTINCT o_totalprice) FROM orders)
         |ORDER BY "column"""".stripMargin,
+    // per-char rotation replayed verbatim: same md5 nibble, same
+    // modular arithmetic, same ASCII class guards
+    "etl_mask_format" ->
+      """SELECT c_custkey,
+        |  array_to_string(list_transform(range(1, length(c_name) + 1),
+        |    i -> CASE
+        |      WHEN substr(c_name, i, 1) BETWEEN '0' AND '9'
+        |        THEN chr(48 + (ascii(substr(c_name, i, 1)) - 48 +
+        |          CAST(('0x' || substr(md5('pep:' || c_name || ':' || i),
+        |            1, 1))::UBIGINT AS INTEGER) % 10) % 10)
+        |      WHEN substr(c_name, i, 1) BETWEEN 'a' AND 'z'
+        |        THEN chr(97 + (ascii(substr(c_name, i, 1)) - 97 +
+        |          CAST(('0x' || substr(md5('pep:' || c_name || ':' || i),
+        |            1, 1))::UBIGINT AS INTEGER) % 26) % 26)
+        |      WHEN substr(c_name, i, 1) BETWEEN 'A' AND 'Z'
+        |        THEN chr(65 + (ascii(substr(c_name, i, 1)) - 65 +
+        |          CAST(('0x' || substr(md5('pep:' || c_name || ':' || i),
+        |            1, 1))::UBIGINT AS INTEGER) % 26) % 26)
+        |      ELSE substr(c_name, i, 1) END), '') AS c_name
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     // suggestion flags derive from the SAME stats both engines
     // compute exactly; string columns carry NULL range bounds
     "etl_suggest_rules" ->

@@ -337,6 +337,42 @@ object Mapping {
         sha2(concat(lit(pepper + ":"), col(c).cast("string")), 256))
     }
 
+  /** FORMAT-PRESERVING masking — [[pseudonymize]]'s sibling for the
+    * test-data / display case: a sha2 token destroys the value's
+    * SHAPE (length, charset, delimiter positions), which breaks any
+    * downstream parser, fixed-width schema, or UI the masked data
+    * must still flow through. Here every digit rotates to a digit
+    * and every letter to a same-case letter (offset = an md5-derived
+    * nibble of pepper:key:position), punctuation and structure stay
+    * put — "Customer#000000001" masks to something a parser still
+    * accepts. Deterministic: same value+pepper masks identically
+    * everywhere, so referential joins survive like pseudonymize's;
+    * reversal requires the pepper. Row-local projection (a per-char
+    * transform() — no UDF, no shuffle; cost is len·md5 per row, the
+    * declared price of per-char keying). */
+  def maskFormat(df: DataFrame, cols: Seq[String],
+                 pepper: String): DataFrame = {
+    val digits = split(lit("0123456789"), "")
+    val lower = split(lit("abcdefghijklmnopqrstuvwxyz"), "")
+    val upper = split(lit("ABCDEFGHIJKLMNOPQRSTUVWXYZ"), "")
+    cols.foldLeft(df) { (acc, c) =>
+      val masked = transform(sequence(lit(1), length(col(c))), i => {
+        val ch = col(c).substr(i, lit(1))
+        val a = ascii(ch)
+        val off = conv(substring(md5(concat(lit(pepper + ":"), col(c),
+          lit(":"), i.cast("string"))), 1, 1), 16, 10).cast("int")
+        when(ch.between("0", "9"),
+            element_at(digits, (a - 48 + off % 10) % 10 + 1))
+          .when(ch.between("a", "z"),
+            element_at(lower, (a - 97 + off % 26) % 26 + 1))
+          .when(ch.between("A", "Z"),
+            element_at(upper, (a - 65 + off % 26) % 26 + 1))
+          .otherwise(ch)
+      })
+      acc.withColumn(c, array_join(masked, ""))
+    }
+  }
+
   /** Snapshot reconciliation — the table-diff behind every pipeline
     * regression test and backfill audit: classify each key of two
     * snapshot frames as added / removed / changed / unchanged, plus a

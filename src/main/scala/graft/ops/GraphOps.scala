@@ -596,4 +596,65 @@ object GraphOps {
         round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4)
           .as("clustering_coeff"))
   }
+
+  /** Deterministic random walks — the sampling primitive behind
+    * DeepWalk/node2vec graph embeddings and neighborhood-mixing
+    * estimates: from every connected node, an L-step walk whose
+    * step-t neighbor CHOICE is md5(start, t, cur) mod degree over
+    * the (neighbor asc)-ranked adjacency — a coin, not `rand()`
+    * (the DOULION idiom), so the walks are reproducible run to run
+    * AND replay verbatim in the oracle. Each step is one equi-join
+    * of the walk frontier against the ranked adjacency on the
+    * current-node key (the graph_bfs shuffle shape; L joins total,
+    * frontier stays node-cardinality). Dead ends self-absorb via
+    * the left join's coalesce — the walk parks rather than dropping
+    * the row, so output stays one row per start node at any L. */
+  def randomWalks(s: SparkSession, d: String, steps: Int = 3,
+                  maxBasket: Int = 16): DataFrame =
+    randomWalksOn(Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item")),
+      steps, maxBasket)
+
+  /** Same over any (basket, item) membership list. */
+  def randomWalksOn(pairs: DataFrame, steps: Int,
+                    maxBasket: Int): DataFrame = {
+    require(steps >= 1 && steps <= 8, s"steps out of range: $steps")
+    val edges = basketEdges(pairs, maxBasket)
+    val adj = edges.select(col("a").as("node"), col("b").as("nbr"))
+      .unionAll(edges.select(col("b").as("node"), col("a").as("nbr")))
+    // the coin must be WALKER-side: a join predicate mixing both
+    // sides (rk = md5(walker…) % deg) degrades to a residual filter
+    // over the full node-match product with the hash re-evaluated
+    // per candidate row — measured 65s/step in the oracle engine vs
+    // sub-second for the two clean equi-joins below (degree lookup →
+    // walker-side idx → (node, rk) two-key join)
+    val ranked = adj
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("node"))
+          .orderBy(col("nbr"))) - 1)
+      .localCheckpoint(false) // every step joins this frame
+    val degs = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false)
+    var walk = degs.select(col("node").as("start")).distinct()
+      .withColumn("cur", col("start"))
+    val pathCols = scala.collection.mutable.ArrayBuffer[String]()
+    for (t <- 1 to steps) {
+      val coin = conv(substring(md5(concat(
+          col("start").cast("string"), lit("_"), lit(t.toString), lit("_"),
+          col("cur").cast("string"))), 1, 15), 16, 10).cast("long")
+      val withIdx = walk
+        .join(degs, col("node") === col("cur"), "left").drop("node")
+        .withColumn("idx", coin % col("deg")).drop("deg")
+      val stepped = withIdx.join(ranked,
+        col("node") === col("cur") && col("rk") === col("idx"), "left")
+      val keep = (col("start") +: pathCols.toSeq.map(col)) :+
+        coalesce(col("nbr"), col("cur")).as(s"path$t")
+      walk = stepped.select(keep: _*).withColumn("cur", col(s"path$t"))
+      pathCols += s"path$t"
+    }
+    walk.select((col("start") +: pathCols.toSeq.map(col)) :+
+        concat_ws(">", (col("start") +: pathCols.toSeq.map(col))
+          .map(_.cast("string")): _*).as("path"): _*)
+      .orderBy(col("start"))
+  }
 }

@@ -381,4 +381,32 @@ class EtlSpec extends SparkSpec {
         ((r.getLong(2), BigDecimal(r.getDecimal(3)))))
     assert(merged.toSeq === scratch.toSeq)
   }
+
+  test("maskFormat: shape survives (length, classes, punctuation), " +
+       "masking is deterministic and actually rewrites") {
+    import spark.implicits._
+    import graft.etl.Mapping
+    val df = Seq((1L, "Customer#000000001"), (2L, "aA0-zZ9!"),
+      (3L, "")).toDF("id", "name")
+    val out = Mapping.maskFormat(df, Seq("name"), "pep")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val orig = Map(1L -> "Customer#000000001", 2L -> "aA0-zZ9!", 3L -> "")
+    out.foreach { case (id, masked) =>
+      val o = orig(id)
+      assert(masked.length === o.length)
+      masked.zip(o).foreach { case (m, c) =>
+        if (c.isDigit) assert(m.isDigit, s"$id: $c -> $m")
+        else if (c.isLower) assert(m.isLower)
+        else if (c.isUpper) assert(m.isUpper)
+        else assert(m === c, "punctuation must stay put")
+      }
+    }
+    assert(out(1L) !== orig(1L), "mask must rewrite something")
+    val again = Mapping.maskFormat(df, Seq("name"), "pep")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again === out)
+    val other = Mapping.maskFormat(df, Seq("name"), "qqq")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(other(1L) !== out(1L), "pepper must matter")
+  }
 }

@@ -26,6 +26,35 @@ class GraphSpec extends SparkSpec {
     assert(mass <= 4.0 + 1e-9 && mass > 3.99, s"mass $mass")
   }
 
+  test("randomWalks: every step follows an edge or parks at a dead " +
+       "end, components never leak, reruns are bit-identical") {
+    import spark.implicits._
+    // basket 1 forms triangle {10,11,12}; basket 2 the edge {20,21}
+    val pairs = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 21L)
+    ).toDF("basket", "item")
+    val out = GraphOps.randomWalksOn(pairs, steps = 3, maxBasket = 16)
+      .collect()
+    assert(out.length === 5)
+    val edges = Set((10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L))
+    def adjacent(x: Long, y: Long) =
+      x == y || edges((math.min(x, y), math.max(x, y)))
+    out.foreach { r =>
+      val p = Seq(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      p.sliding(2).foreach { w => assert(adjacent(w(0), w(1)), s"$p") }
+      // triangle nodes never reach the pair component and vice versa
+      assert(p.forall(_ < 20L) || p.forall(_ >= 20L), s"leak: $p")
+      assert(r.getString(4) === p.mkString(">"))
+    }
+    // in the triangle every node has degree 2 — walks actually move
+    assert(out.filter(_.getLong(0) < 20L)
+      .exists(r => r.getLong(1) !== r.getLong(0)))
+    val again = GraphOps.randomWalksOn(pairs, steps = 3, maxBasket = 16)
+      .collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("pagerank: sf graph ranks every supplier (the degree hubs) " +
        "above every order, descending") {
     val rows = GraphOps.pageRank(spark, sf).collect()
