@@ -182,37 +182,6 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.schemaDiff(before, before).isEmpty)
   }
 
-  test("GraftExtensions: SQL functions resolve in an extended session") {
-    // getOrCreate() would silently reuse the suite session and skip the
-    // extensions, so build a genuinely fresh session (this is the
-    // suite's final test; later suites lazily create their own).
-    SparkSession.getActiveSession.foreach(_.stop())
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val s2 = SparkSession.builder()
-      .master("local[2]")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
-    try {
-      val r = s2.sql(
-        """SELECT simhash64(array('a','b')) AS sh,
-          |  cosine_sim(array(cast(1.0 as float), cast(0.0 as float)),
-          |             array(cast(1.0 as float), cast(0.0 as float))) AS cs,
-          |  dot_product(array(cast(2.0 as float)), array(cast(3.0 as float))) AS dp,
-          |  count_in_set(array('a','b','a','c'), array('a','c')) AS cis,
-          |  winnow_fingerprint(array('a','b','c','d','e','f'), 3, 4) AS wf,
-          |  sorted_intersect_count(array(1L, 3L, 5L, 9L),
-          |                         array(2L, 3L, 5L, 8L, 9L)) AS sic
-          |""".stripMargin).first()
-      assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
-      assert(math.abs(r.getDouble(2) - 6.0) < 1e-9)
-      assert(r.getInt(3) === 3)
-      assert(r.getSeq[Long](4).nonEmpty)
-      assert(r.getInt(5) === 3)
-    } finally { /* shared-JVM session: leave running for other suites */ }
-  }
-
   test("stats manifest: pruned read opens only intersecting files, " +
        "returns exactly the full-scan answer, empty range keeps schema") {
     import org.apache.spark.sql.functions._
@@ -246,4 +215,36 @@ class SourcesSpec extends SparkSpec {
     // hidden _manifest dir must stay invisible to plain data reads
     assert(spark.read.parquet(dir).columns.toSeq === Seq("event_id", "value"))
   }
+
+  test("GraftExtensions: SQL functions resolve in an extended session") {
+    // getOrCreate() would silently reuse the suite session and skip the
+    // extensions, so build a genuinely fresh session (this is the
+    // suite's final test; later suites lazily create their own).
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = s2.sql(
+        """SELECT simhash64(array('a','b')) AS sh,
+          |  cosine_sim(array(cast(1.0 as float), cast(0.0 as float)),
+          |             array(cast(1.0 as float), cast(0.0 as float))) AS cs,
+          |  dot_product(array(cast(2.0 as float)), array(cast(3.0 as float))) AS dp,
+          |  count_in_set(array('a','b','a','c'), array('a','c')) AS cis,
+          |  winnow_fingerprint(array('a','b','c','d','e','f'), 3, 4) AS wf,
+          |  sorted_intersect_count(array(1L, 3L, 5L, 9L),
+          |                         array(2L, 3L, 5L, 8L, 9L)) AS sic
+          |""".stripMargin).first()
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
+      assert(math.abs(r.getDouble(2) - 6.0) < 1e-9)
+      assert(r.getInt(3) === 3)
+      assert(r.getSeq[Long](4).nonEmpty)
+      assert(r.getInt(5) === 3)
+    } finally { /* shared-JVM session: leave running for other suites */ }
+  }
+
 }
