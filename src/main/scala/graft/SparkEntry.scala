@@ -2079,8 +2079,9 @@ object SparkEntry {
         |    round((CAST(r12 AS DOUBLE) - CAST(na AS DOUBLE) * (na + 1)) /
         |          (2 * (CAST(na AS DOUBLE) * nb)), 4) END AS auc,
         |  CASE WHEN na > 0 AND nb > 0 THEN
-        |    round((CAST(r12 AS DOUBLE) - CAST(na AS DOUBLE) * (na + 1)) /
-        |          (CAST(na AS DOUBLE) * nb) - 1, 4) END AS gini
+        |    round(2 * round((CAST(r12 AS DOUBLE) - CAST(na AS DOUBLE) *
+        |      (na + 1)) / (2 * (CAST(na AS DOUBLE) * nb)), 4) - 1, 4)
+        |  END AS gini
         |FROM a ORDER BY lang""".stripMargin,
     // unrolled power iteration: DECIMAL(20,10) per-edge contributions
     // and 10dp per-round re-rounding make every iterate bit-identical;

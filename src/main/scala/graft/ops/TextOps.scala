@@ -1233,11 +1233,17 @@ object TextOps {
     val u2 = col("r12").cast("double") -
       col("na").cast("double") * (col("na") + 1)
     val dn = col("na").cast("double") * col("nb")
+    // gini derives from the ROUNDED auc, not the raw ratio: u2/dn−1
+    // lands on a 4dp HALF-boundary whenever auc does, and on exact
+    // halves Spark (shortest-decimal HALF_UP) and DuckDB (binary
+    // double) round apart — the ts_ewma round() lesson; caught live
+    // at sf0.1 ('fr' gini −0.0583 vs −0.0582). 2·auc₄dp−1 sits ~1e-17
+    // from the grid, never near a half.
+    val auc4 = round(u2 / (lit(2) * dn), 4)
     agg.select(col("lang"), col("na").as("n_pos"), col("nb").as("n_neg"),
+        when(col("na") > 0 && col("nb") > 0, auc4).as("auc"),
         when(col("na") > 0 && col("nb") > 0,
-          round(u2 / (lit(2) * dn), 4)).as("auc"),
-        when(col("na") > 0 && col("nb") > 0,
-          round(u2 / dn - 1, 4)).as("gini"))
+          round(lit(2) * auc4 - 1, 4)).as("gini"))
       .orderBy(col("lang"))
   }
 
