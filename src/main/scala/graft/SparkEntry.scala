@@ -624,6 +624,10 @@ object SparkEntry {
     // lead-lag discovery between series: Pearson at lag 0, shifted
     // equi-join for lags 1..3 — the multi-series sibling of ts_acf
     "ts_cross_corr" -> ((s, d) => TimeSeriesOps.crossCorr(s, d)),
+    // WHICH period: DFT power per candidate period over the demeaned
+    // daily series, reduced-phase trig, DECIMAL term sums, dominant
+    // flag on a total order — the detector behind every period=7 face
+    "ts_periodogram" -> ((s, d) => TimeSeriesOps.periodogram(s, d)),
     // shape-based series similarity: integer DTW over micro-quantized
     // daily series — the Scala rolling DP and the oracle's recursive
     // anti-diagonal wavefront provably compute the same table
@@ -4331,6 +4335,36 @@ object SparkEntry {
         |ORDER BY event_type, lag""".stripMargin,
     // same mean/deviation/DECIMAL machinery as ts_acf, pair join on
     // the shifted day index
+    // identical reduced-phase trig arguments, identical 6dp term
+    // quantization, identical left-assoc 2.0*pi()*ph/p arithmetic
+    "ts_periodogram" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP_US))
+        |      AS TIMESTAMP) AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |mn AS (SELECT min(day) AS mn FROM daily),
+        |mu AS (SELECT event_type, round(avg(cnt), 4) AS mu
+        |       FROM daily GROUP BY 1),
+        |terms AS (SELECT d.event_type, p,
+        |    CAST(round((CAST(cnt AS DOUBLE) - mu) *
+        |      cos(2.0 * pi() * ((date_diff('day', CAST(mn AS DATE),
+        |        CAST(day AS DATE))) % p) / p), 6) AS DECIMAL(20,6)) AS tc,
+        |    CAST(round((CAST(cnt AS DOUBLE) - mu) *
+        |      sin(2.0 * pi() * ((date_diff('day', CAST(mn AS DATE),
+        |        CAST(day AS DATE))) % p) / p), 6) AS DECIMAL(20,6)) AS ts
+        |  FROM daily d, mn, mu,
+        |    LATERAL (SELECT unnest(range(2, 15)) AS p)
+        |  WHERE mu.event_type = d.event_type),
+        |pw AS (SELECT event_type, CAST(p AS INTEGER) AS period,
+        |         round((CAST(sum(tc) AS DOUBLE) * CAST(sum(tc) AS DOUBLE)
+        |           + CAST(sum(ts) AS DOUBLE) * CAST(sum(ts) AS DOUBLE))
+        |           / count(*), 2) AS power
+        |       FROM terms GROUP BY event_type, p)
+        |SELECT event_type, period, power,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY power DESC, period) = 1 AS is_dominant
+        |FROM pw ORDER BY event_type, period""".stripMargin,
     // the DP replayed as an anti-diagonal wavefront: diagonal d
     // depends only on d-1/d-2, so a recursive CTE advances one whole
     // diagonal per step via list_transform — every cell an exact

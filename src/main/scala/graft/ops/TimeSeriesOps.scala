@@ -689,6 +689,56 @@ object TimeSeriesOps {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Periodogram — WHICH period? The seasonal faces (decompose,
+    * strength, fourier, snaive) all ASSUME period=7; this is the
+    * detector that earns that assumption: DFT power at every
+    * candidate period p ∈ [pMin, pMax] over the demeaned daily
+    * series, dominant period flagged per series. Power at p =
+    * (Σ x_t cos(2πt/p))² + (Σ x_t sin(2πt/p))², scaled by 1/n.
+    *
+    * Determinism: the trig argument uses the REDUCED phase t mod p
+    * (the ts_fourier_features lesson — large-argument libm range
+    * reduction is where engines drift; power is shift-invariant so
+    * the global-min epoch also cancels), per-term products round to
+    * 6dp and sum as DECIMAL(20,6) (order-independent), the mean is
+    * rounded before subtraction (rounded-metric rule), and dominance
+    * ranks on a (power desc, period) total order. Work: days ×
+    * candidate-periods rows per series — calendar-bounded, the
+    * pre-aggregation to daily counts is the only data-sized pass. */
+  def periodogram(s: SparkSession, d: String, pMin: Int = 2,
+                  pMax: Int = 14): DataFrame =
+    periodogramOn(Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt")), pMin, pMax)
+
+  /** Same over any (event_type, day, cnt) daily frame. */
+  def periodogramOn(daily: DataFrame, pMin: Int, pMax: Int): DataFrame = {
+    val mn = daily.agg(min(col("day")).as("mn"))
+    val mu = daily.groupBy(col("event_type"))
+      .agg(round(avg(col("cnt")), 4).as("mu"))
+    val ang = lit(2.0) * lit(math.Pi) * col("ph") / col("p")
+    val x = col("cnt").cast("double") - col("mu")
+    val terms = daily.crossJoin(broadcast(mn)).join(mu, "event_type")
+      .withColumn("t", datediff(col("day"), to_date(col("mn"))).cast("int"))
+      .withColumn("p",
+        explode(sequence(lit(pMin), lit(pMax))))
+      .withColumn("ph", col("t") % col("p"))
+      .select(col("event_type"), col("p"),
+        round(x * cos(ang), 6).cast("decimal(20,6)").as("tc"),
+        round(x * sin(ang), 6).cast("decimal(20,6)").as("ts"))
+    val pw = terms.groupBy(col("event_type"), col("p"))
+      .agg(sum(col("tc")).as("sc"), sum(col("ts")).as("ss"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("p").as("period"),
+        round((col("sc").cast("double") * col("sc").cast("double") +
+          col("ss").cast("double") * col("ss").cast("double")) /
+          col("n"), 2).as("power"))
+    pw.withColumn("is_dominant",
+        row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("power").desc, col("period"))) === 1)
+      .orderBy(col("event_type"), col("period"))
+  }
+
   /** DeepAR-style dataset export: one row per series with
     * {start, target[], json} — the reference's series_to_jsonline
     * (GluePySparkMLFeatureEngineering cell 45), built with an

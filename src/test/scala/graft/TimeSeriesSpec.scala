@@ -860,6 +860,31 @@ class TimeSeriesSpec extends SparkSpec {
     assert(sf1.forall(r => r.getString(0) < r.getString(1)))
   }
 
+  test("periodogram: a planted 7-day cycle dominates at period 7; a " +
+       "flat series has ~zero power everywhere") {
+    import spark.implicits._
+    def t(dd: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(dd.toLong).atStartOfDay())
+    val daily =
+      (0 until 56).map { dd =>
+        ("wave", t(dd), 100L + (if (dd % 7 == 0) 70L else 0L)) } ++
+      (0 until 56).map { dd => ("flat", t(dd), 50L) }
+    val out = graft.ops.TimeSeriesOps.periodogramOn(
+      daily.toDF("event_type", "day", "cnt"), 2, 14).collect()
+    val wave = out.filter(_.getString(0) == "wave")
+    assert(wave.length === 13)
+    val dom = wave.filter(_.getBoolean(3))
+    assert(dom.length === 1 && dom.head.getInt(1) === 7,
+      s"dominant ${dom.map(_.getInt(1)).toSeq}")
+    // the 7-cycle's power must tower over the non-harmonic periods
+    val p7 = wave.find(_.getInt(1) === 7).get.getDouble(2)
+    val p5 = wave.find(_.getInt(1) === 5).get.getDouble(2)
+    assert(p7 > 10 * math.max(p5, 1.0), s"p7=$p7 p5=$p5")
+    // flat series: demeaned to ~0 everywhere, no power anywhere
+    val flat = out.filter(_.getString(0) == "flat")
+    assert(flat.forall(_.getDouble(2) < 1.0))
+  }
+
   test("conformalForecast: bands are symmetric around the lag-7 point, " +
        "coverage flags re-derive, and the band is a valid interval") {
     val rows = graft.ops.Forecast.conformalForecast(spark, sf).collect()
