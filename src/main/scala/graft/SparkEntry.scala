@@ -624,6 +624,10 @@ object SparkEntry {
     // lead-lag discovery between series: Pearson at lag 0, shifted
     // equi-join for lags 1..3 — the multi-series sibling of ts_acf
     "ts_cross_corr" -> ((s, d) => TimeSeriesOps.crossCorr(s, d)),
+    // AR order selection: Durbin-Levinson over the rounded acf with
+    // floor-quantized state — the recursion replays in an unrolled
+    // oracle built by the same code (ml_logreg_gd posture)
+    "ts_pacf" -> ((s, d) => TimeSeriesOps.pacf(s, d)),
     // WHICH period: DFT power per candidate period over the demeaned
     // daily series, reduced-phase trig, DECIMAL term sums, dominant
     // flag on a total order — the detector behind every period=7 face
@@ -4335,6 +4339,7 @@ object SparkEntry {
         |ORDER BY event_type, lag""".stripMargin,
     // same mean/deviation/DECIMAL machinery as ts_acf, pair join on
     // the shifted day index
+    "ts_pacf" -> TimeSeriesOps.pacfOracleSql(),
     // identical reduced-phase trig arguments, identical 6dp term
     // quantization, identical left-assoc 2.0*pi()*ph/p arithmetic
     "ts_periodogram" ->

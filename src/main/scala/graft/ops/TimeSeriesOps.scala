@@ -492,6 +492,130 @@ object TimeSeriesOps {
       .orderBy(col("event_type"), col("lag"))
   }
 
+  /** Partial autocorrelation (Durbin-Levinson) — the Box-Jenkins AR
+    * order selector the toolkit was missing: ACF says "lag k
+    * correlates", PACF says "lag k correlates AFTER the shorter lags
+    * are accounted for" — the cutoff lag is the p an AR(p) forecaster
+    * (forecast_ar) should use. Inputs are [[acfOn]]'s ROUNDED 4dp
+    * autocorrelations (already cross-engine-deterministic), so the
+    * recursion runs on identical doubles in both engines; every
+    * intermediate (φ_kk, the updated φ_kj row, the variance v_k)
+    * FLOOR-quantizes to 1e-6 (the ml_logreg_gd contract — recursions
+    * amplify boundary hits; floor of identical doubles can never
+    * disagree), sums accumulate left-associatively in lag order, and
+    * the output rounds at the SAME 6dp the state is quantized to
+    * (grid-point recovery is exact in both engines; a coarser output
+    * rounding would re-introduce half-boundary risk). Work: the acf
+    * aggregate + a K²-step scalar recursion per series — series-count
+    * parallel, calendar-bounded. */
+  def pacf(s: SparkSession, d: String, maxLag: Int = 7): DataFrame =
+    pacfOn(Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt")), maxLag)
+
+  /** Same over any (event_type, day, cnt) daily frame. */
+  def pacfOn(daily: DataFrame, maxLag: Int): DataFrame = {
+    val ss = daily.sparkSession
+    import ss.implicits._
+    acfOn(daily, maxLag)
+      .groupBy(col("event_type"))
+      .agg(transform(array_sort(collect_list(struct(col("lag"), col("acf")))),
+        x => x.getField("acf")).as("rs"))
+      .as[(String, Seq[Double])]
+      .flatMap { case (tp, rs) =>
+        val ps = durbinLevinson(rs.toArray)
+        ps.indices.map(i => (tp, i + 1, ps(i)))
+      }
+      .toDF("event_type", "lag", "pacf")
+      .select(col("event_type"), col("lag"), round(col("pacf"), 6).as("pacf"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  /** Floor-quantized Durbin-Levinson; `r` holds acf(1..K). */
+  private[graft] def durbinLevinson(r: Array[Double]): Array[Double] = {
+    def q(x: Double) = math.floor(x * 1e6) / 1e6
+    val k0 = r.length
+    val out = new Array[Double](k0)
+    var prev = new Array[Double](k0 + 1) // φ_{k−1, j}
+    var v = 0.0
+    for (k <- 1 to k0) {
+      val akk =
+        if (k == 1) q(r(0))
+        else if (v == 0.0) 0.0
+        else {
+          var acc = 0.0
+          for (j <- 1 until k) acc = acc + prev(j) * r(k - j - 1)
+          q((r(k - 1) - acc) / v)
+        }
+      val cur = new Array[Double](k0 + 1)
+      cur(k) = akk
+      for (j <- 1 until k) cur(j) = q(prev(j) - akk * prev(k - j))
+      v = if (k == 1) q(1.0 - akk * akk) else q(v * (1.0 - akk * akk))
+      out(k - 1) = akk
+      prev = cur
+    }
+    out
+  }
+
+  /** The unrolled DuckDB replay of [[pacfOn]] over the events face —
+    * built programmatically (the ml_logreg_gd posture) so recursion
+    * depth and replay cannot drift apart. */
+  private[graft] def pacfOracleSql(maxLag: Int = 7): String = {
+    val q = (e: String) => s"floor(($e) * 1e6) / 1e6"
+    val sb = new StringBuilder
+    sb ++= s"""WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |         count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type, CAST(sum(cnt) AS DOUBLE) / count(*) AS mu
+      |      FROM daily GROUP BY 1),
+      |r0 AS (SELECT d.event_type, day, cnt, mu,
+      |        row_number() OVER (PARTITION BY d.event_type ORDER BY day) AS rn
+      |      FROM daily d JOIN m USING (event_type)),
+      |p AS (SELECT a.event_type, k.lg, a.cnt, a.mu, b.cnt AS ylag
+      |      FROM r0 a
+      |      CROSS JOIN (SELECT unnest(range(1, ${maxLag + 1})) AS lg) k
+      |      JOIN r0 b ON b.event_type = a.event_type AND b.rn = a.rn - k.lg),
+      |num AS (SELECT event_type, lg,
+      |          sum(CAST((cnt - mu) * (ylag - mu) AS DECIMAL(20,10))) AS nm
+      |        FROM p GROUP BY 1, 2),
+      |den AS (SELECT event_type,
+      |          sum(CAST((cnt - mu) * (cnt - mu) AS DECIMAL(20,10))) AS dn
+      |        FROM r0 GROUP BY 1),
+      |acf AS (SELECT num.event_type AS event_type, lg,
+      |          round(CAST(nm AS DOUBLE) / CAST(dn AS DOUBLE), 4) AS acf
+      |        FROM num JOIN den USING (event_type)),
+      |rp AS (SELECT event_type,
+      |""".stripMargin
+    sb ++= (1 to maxLag).map(k =>
+      s"  max(CASE WHEN lg = $k THEN acf END) AS r$k").mkString(",\n")
+    sb ++= "\n  FROM acf GROUP BY 1),\n"
+    // s1: φ11 and v1
+    sb ++= s"s1 AS (SELECT *, ${q("r1")} AS p1_1,\n"
+    sb ++= s"  ${q(s"1.0 - (${q("r1")}) * (${q("r1")})")} AS v1 FROM rp)"
+    for (k <- 2 to maxLag) {
+      val acc = (1 until k).map(j => s"p${k - 1}_$j * r${k - j}")
+        .mkString(" + ")
+      sb ++= s",\ns${k}a AS (SELECT *, CASE WHEN v${k - 1} = 0 THEN 0.0\n"
+      sb ++= s"  ELSE ${q(s"(r$k - ($acc)) / v${k - 1}")} END AS p${k}_$k\n"
+      sb ++= s"  FROM s${k - 1}),\n"
+      val cols = (1 until k).map(j =>
+        s"  ${q(s"p${k - 1}_$j - p${k}_$k * p${k - 1}_${k - j}")} AS p${k}_$j")
+      sb ++= s"s$k AS (SELECT *,\n"
+      sb ++= (cols :+
+        s"  ${q(s"v${k - 1} * (1.0 - p${k}_$k * p${k}_$k)")} AS v$k")
+        .mkString(",\n")
+      sb ++= s"\n  FROM s${k}a)"
+    }
+    sb ++= "\nSELECT event_type, CAST(lag AS INT) AS lag,\n"
+    sb ++= "  round(pk, 6) AS pacf FROM (\n"
+    sb ++= (1 to maxLag).map(k =>
+      s"  SELECT event_type, $k AS lag, p${k}_$k AS pk FROM s$maxLag")
+      .mkString("\n  UNION ALL\n")
+    sb ++= ")\nWHERE pk IS NOT NULL ORDER BY event_type, lag"
+    sb.toString
+  }
+
   /** Cross-correlation between series — lead-lag discovery (does one
     * event type's activity lead another's by l days?), the
     * multi-series sibling of [[acfOn]]: for each ordered type pair

@@ -885,6 +885,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(flat.forall(_.getDouble(2) < 1.0))
   }
 
+  test("pacf: an AR(1) chain's PACF cuts off after lag 1; white-ish " +
+       "noise stays small at every lag; sf runs end to end") {
+    import graft.ops.TimeSeriesOps.durbinLevinson
+    // pure AR(1) with rho=0.5 ⇒ acf(k)=0.5^k ⇒ pacf = (0.5, 0, 0, …)
+    val r = Array(0.5, 0.25, 0.125, 0.0625)
+    val p = durbinLevinson(r)
+    assert(p(0) === 0.5)
+    assert(p.drop(1).forall(x => math.abs(x) < 1e-4), p.toSeq.toString)
+    // degenerate unit-correlation guard: v hits 0, later lags emit 0
+    val unit = durbinLevinson(Array(1.0, 1.0))
+    assert(unit(0) === 1.0 && unit(1) === 0.0)
+    val sfRows = graft.ops.TimeSeriesOps.pacf(spark, sf).collect()
+    assert(sfRows.nonEmpty)
+    assert(sfRows.forall(r => math.abs(r.getDouble(2)) <= 1.000001))
+    // lag-1 pacf equals lag-1 acf (quantized) by construction
+    val acf1 = graft.ops.TimeSeriesOps.acf(spark, sf).collect()
+      .filter(_.getInt(1) == 1)
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    sfRows.filter(_.getInt(1) == 1).foreach { r =>
+      assert(math.abs(r.getDouble(2) - acf1(r.getString(0))) < 2e-6)
+    }
+  }
+
   test("conformalForecast: bands are symmetric around the lag-7 point, " +
        "coverage flags re-derive, and the band is a valid interval") {
     val rows = graft.ops.Forecast.conformalForecast(spark, sf).collect()
