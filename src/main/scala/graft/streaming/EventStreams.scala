@@ -533,6 +533,64 @@ object EventStreams {
       }
   }
 
+  case class ConformalState(lastP: List[Long], cal: List[Long])
+  case class ConformalRow(event_type: String, day: java.sql.Timestamp,
+                          cnt: Long, pred: Long, lo: Long, hi: Long,
+                          covered: Boolean, n_cal: Int)
+
+  /** Streaming face of [[graft.ops.Forecast.conformalForecast]]: the
+    * live finite-sample band monitor. Where the EWMA/z-score monitor
+    * promises nothing about its alert rate, the conformal band's
+    * miss rate is ≤ α by construction (for exchangeable residuals) —
+    * the difference between "this looks unusual" and "this is
+    * outside the 90% band".
+    *
+    * Per series the state is BOUNDED whatever the stream age: the
+    * trailing `period` counts (the seasonal-naive reference) and a
+    * FIFO calibration window of the last `calWindow` absolute
+    * residuals. q̂ recomputes per finalized day as the
+    * ⌈keep·(n+1)/100⌉-th smallest calibration residual — the SAME
+    * integer rank arithmetic as the batch face ((keep(n+1)+99) div
+    * 100, clamped to n), so a corpus replayed through this face
+    * reproduces the batch q̂ exactly once the calibration windows
+    * align. The rolling window also makes the band ADAPTIVE — a
+    * variance regime change ages out of q̂ in `calWindow` days,
+    * which the one-shot batch face cannot do. Emission starts after
+    * `minCal` residuals; earlier days only calibrate. */
+  def conformalStream(daily: Dataset[DailyCount], period: Int = 7,
+                      alphaPct: Int = 10, calWindow: Int = 50,
+                      minCal: Int = 10): Dataset[ConformalRow] = {
+    import daily.sparkSession.implicits._
+    val keep = 100 - alphaPct
+    daily
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[ConformalState, ConformalRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (typ, it, state: GroupState[ConformalState]) =>
+          val sorted = it.toSeq.sortBy(_.day.getTime)
+          var st = state.getOption.getOrElse(ConformalState(Nil, Nil))
+          val out = scala.collection.mutable.ArrayBuffer.empty[ConformalRow]
+          sorted.foreach { d =>
+            if (st.lastP.length >= period) {
+              val pred = st.lastP.head // the count `period` days back
+              val resid = math.abs(d.cnt - pred)
+              if (st.cal.length >= minCal) {
+                val n = st.cal.length
+                val k = math.min((keep * (n + 1) + 99) / 100, n)
+                val qhat = st.cal.sorted.apply(k - 1)
+                out += ConformalRow(typ, d.day, d.cnt, pred,
+                  pred - qhat, pred + qhat,
+                  d.cnt >= pred - qhat && d.cnt <= pred + qhat, n)
+              }
+              st = st.copy(cal = (st.cal :+ resid).takeRight(calWindow))
+            }
+            st = st.copy(lastP = (st.lastP :+ d.cnt).takeRight(period))
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   // ---- sessionization --------------------------------------------------
 
   val sessionGapSec: Long = 1800L

@@ -1005,4 +1005,73 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === want)
   }
+
+  test("conformalStream: a perfect weekly cycle collapses the band to " +
+       "a point and covers; an injected shift misses; qhat equals the " +
+       "batch rank formula on a planted residual set") {
+    import graft.streaming.EventStreams.{DailyCount, conformalStream}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d0 = java.time.LocalDate.of(2024, 1, 1)
+    def day(n: Int) = java.sql.Timestamp.valueOf(
+      d0.plusDays(n.toLong).atStartOfDay())
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DailyCount]
+    val q = conformalStream(mem.toDS(), period = 7, alphaPct = 10,
+      calWindow = 50, minCal = 10)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("conformal_mb").start()
+    try {
+      // 35 days of an exact weekly pattern: residuals are all 0 once
+      // the first period passes, so qhat = 0 and lo = pred = hi
+      val cycle = Array(10L, 20L, 30L, 40L, 50L, 60L, 70L)
+      mem.addData((0 until 35).map(i =>
+        DailyCount("a", day(i), cycle(i % 7))): _*)
+      q.processAllAvailable()
+      val rows = spark.table("conformal_mb").collect()
+      // first emission: period warm-up (7) + minCal residuals (10)
+      assert(rows.nonEmpty)
+      assert(rows.forall(_.getBoolean(6)), "pure cycle must stay covered")
+      assert(rows.forall(r => r.getLong(4) === r.getLong(3) &&
+        r.getLong(5) === r.getLong(3)), "zero residuals collapse the band")
+      // a level shift across the batch boundary: outside the 0-width band
+      mem.addData(DailyCount("a", day(35), cycle(0) + 25L))
+      q.processAllAvailable()
+      val shifted = spark.table("conformal_mb").collect()
+        .filter(_.getTimestamp(1) == day(35))
+      assert(shifted.length === 1 && !shifted.head.getBoolean(6))
+      assert(shifted.head.getLong(3) === cycle(0)) // pred = lag-7 count
+    } finally q.stop()
+
+    // planted residuals: flat preds at 100, counts = 100 ± residuals
+    // {1..12} in arrival order; at the 13th scored day n=12,
+    // k = min((90*13+99)/100, 12) = 12 ⇒ qhat = 12th smallest = 12...
+    // verify against the emitted band half-width directly
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DailyCount]
+    val q2 = conformalStream(mem2.toDS(), period = 1, alphaPct = 10,
+      calWindow = 50, minCal = 12)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("conformal_mb2").start()
+    try {
+      // period=1: pred = yesterday's count. Feed 100, then
+      // 100+1, 100-? ... construct residuals 1..12 then a probe day
+      var cur = 100L
+      val feed = scala.collection.mutable.ArrayBuffer(
+        DailyCount("b", day(0), cur))
+      for (r <- 1 to 12) { cur = cur + r; feed += DailyCount("b", day(r), cur) }
+      feed += DailyCount("b", day(13), cur) // probe: resid 0, n_cal=12
+      mem2.addData(feed.toSeq: _*)
+      q2.processAllAvailable()
+      val probe = spark.table("conformal_mb2").collect()
+        .filter(_.getTimestamp(1) == day(13))
+      assert(probe.length === 1)
+      val r = probe.head
+      assert(r.getInt(7) === 12) // n_cal
+      // k = min((90*13+99)/100, 12) = min(12, 12) = 12 ⇒ qhat = 12
+      assert(r.getLong(5) - r.getLong(3) === 12L,
+        s"qhat ${r.getLong(5) - r.getLong(3)}")
+      assert(r.getBoolean(6))
+    } finally q2.stop()
+  }
 }
