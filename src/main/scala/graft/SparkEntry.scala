@@ -2456,7 +2456,8 @@ object SparkEntry {
       """SELECT event_type,
         |  epoch_us(CAST(ts AS TIMESTAMP_US)) // 86400000000 AS ed,
         |  CAST(count(*) AS BIGINT) AS n,
-        |  sum(CAST(round(value, 4) AS DECIMAL(14,4))) AS sv
+        |  round(CAST(sum(CAST(round(value * 10000) AS BIGINT))
+        |    AS DOUBLE) / 10000.0, 4) AS sv
         |FROM events GROUP BY 1, 2
         |ORDER BY event_type, ed""".stripMargin,
     "etl_table_checksum" ->
@@ -3033,11 +3034,12 @@ object SparkEntry {
         |        (CAST(nr AS DOUBLE) + 5.0)) /
         |        ((CAST(n_cur AS DOUBLE) + 0.5) /
         |        (CAST(nc AS DOUBLE) + 5.0))), 6) AS DECIMAL(12,6))
-        |      AS psi_term
+        |      AS psi_term_dec
         |  FROM full0, tot)
-        |SELECT bin, n_ref, n_cur, p_ref, p_cur, psi_term,
-        |  round(CAST(sum(psi_term) OVER () AS DOUBLE), 4) AS psi,
-        |  round(CAST(sum(psi_term) OVER () AS DOUBLE), 4) > 0.2 AS drift
+        |SELECT bin, n_ref, n_cur, p_ref, p_cur,
+        |  CAST(psi_term_dec AS DOUBLE) AS psi_term,
+        |  round(CAST(sum(psi_term_dec) OVER () AS DOUBLE), 4) AS psi,
+        |  round(CAST(sum(psi_term_dec) OVER () AS DOUBLE), 4) > 0.2 AS drift
         |FROM tm ORDER BY bin""".stripMargin,
     // ts_forecast_reconcile: the forecast_ar CTE chain over the
     // per-type series UNION the __total pseudo-series; direct vs
@@ -3232,27 +3234,30 @@ object SparkEntry {
         |    THEN round(1.0 - (dyy - b0 * dy - b1 * d1y - b2 * d2y) /
         |      (dyy - dy * dy / dn), 4) END AS r2
         |FROM b ORDER BY grp""".stripMargin,
-    // q_rfm: identical epoch-day recency, DECIMAL monetary, ranks as
-    // row_number−1 over (metric, custkey), identical BIGINT floor-
-    // division score formulas
+    // q_rfm: identical epoch-day recency, monetary summed in exact
+    // BIGINT 1e-4 micro-units (4dp double only at the face), ranks
+    // as row_number−1 over (metric, custkey), identical BIGINT
+    // floor-division score formulas
     "q_rfm" ->
       """WITH per0 AS (SELECT o_custkey AS c,
         |    max(epoch_us(CAST(o_orderdate AS TIMESTAMP_US)) // 86400000000)
         |      AS last_day,
         |    CAST(count(*) AS BIGINT) AS freq,
-        |    sum(CAST(round(o_totalprice, 4) AS DECIMAL(14,4))) AS monetary
+        |    CAST(sum(CAST(round(o_totalprice * 10000) AS BIGINT))
+        |      AS BIGINT) AS m_micro
         |  FROM orders GROUP BY 1),
         |mx AS (SELECT max(last_day) AS mx FROM per0),
-        |per AS (SELECT c, mx - last_day AS r_days, freq, monetary
+        |per AS (SELECT c, mx - last_day AS r_days, freq, m_micro
         |        FROM per0, mx),
         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
         |rr AS (SELECT c, row_number() OVER (ORDER BY r_days, c) - 1 AS kr
         |       FROM per),
         |fr AS (SELECT c, row_number() OVER (ORDER BY freq, c) - 1 AS kf
         |       FROM per),
-        |mr AS (SELECT c, row_number() OVER (ORDER BY monetary, c) - 1 AS km
+        |mr AS (SELECT c, row_number() OVER (ORDER BY m_micro, c) - 1 AS km
         |       FROM per)
-        |SELECT c AS custkey, r_days, freq, monetary,
+        |SELECT c AS custkey, r_days, freq,
+        |  round(CAST(m_micro AS DOUBLE) / 10000.0, 4) AS monetary,
         |  CAST(5 - kr * 5 // n AS BIGINT) AS r,
         |  CAST(kf * 5 // n + 1 AS BIGINT) AS f,
         |  CAST(km * 5 // n + 1 AS BIGINT) AS m,

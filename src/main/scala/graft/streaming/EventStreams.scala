@@ -533,7 +533,8 @@ object EventStreams {
       }
   }
 
-  case class ConformalState(lastP: List[Long], cal: List[Long])
+  case class ConformalState(lastP: List[Long], cal: List[Long],
+                            lastDayMs: Long = Long.MinValue)
   case class ConformalRow(event_type: String, day: java.sql.Timestamp,
                           cnt: Long, pred: Long, lo: Long, hi: Long,
                           covered: Boolean, n_cal: Int)
@@ -556,7 +557,16 @@ object EventStreams {
     * align. The rolling window also makes the band ADAPTIVE — a
     * variance regime change ages out of q̂ in `calWindow` days,
     * which the one-shot batch face cannot do. Emission starts after
-    * `minCal` residuals; earlier days only calibrate. */
+    * `minCal` residuals; earlier days only calibrate.
+    *
+    * ORDERING GUARD: days sort within a micro-batch, but a day that
+    * arrives in a LATER batch than its successor would append to the
+    * seasonal reference and calibration window out of order,
+    * silently corrupting both. The state carries the last finalized
+    * day per key and DROPS such late arrivals (the same
+    * at-the-state's-frontier contract the other stateful faces
+    * document) — a dropped day is a visibly missing output row, not
+    * a silently wrong band. */
   def conformalStream(daily: Dataset[DailyCount], period: Int = 7,
                       alphaPct: Int = 10, calWindow: Int = 50,
                       minCal: Int = 10): Dataset[ConformalRow] = {
@@ -571,6 +581,11 @@ object EventStreams {
           var st = state.getOption.getOrElse(ConformalState(Nil, Nil))
           val out = scala.collection.mutable.ArrayBuffer.empty[ConformalRow]
           sorted.foreach { d =>
+            if (d.day.getTime <= st.lastDayMs) {
+              // cross-batch straggler behind the state frontier:
+              // folding it in would corrupt the reference/calibration
+            } else {
+            st = st.copy(lastDayMs = d.day.getTime)
             if (st.lastP.length >= period) {
               val pred = st.lastP.head // the count `period` days back
               val resid = math.abs(d.cnt - pred)
@@ -585,6 +600,7 @@ object EventStreams {
               st = st.copy(cal = (st.cal :+ resid).takeRight(calWindow))
             }
             st = st.copy(lastP = (st.lastP :+ d.cnt).takeRight(period))
+            }
           }
           state.update(st)
           out.iterator

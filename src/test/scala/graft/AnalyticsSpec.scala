@@ -1112,6 +1112,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(v.getDouble(7) === -1.25 && v.getDouble(8) === 99.0)
   }
 
+  test("suggestRules: awkward column names (spaces, dots, quotes, " +
+       "backticks) survive the generated stack expression") {
+    import spark.implicits._
+    val names = Seq("my col", "a.b", "it's", "tick`name")
+    val df = Seq((1L, "x", 2.5, 7L), (2L, "y", 3.5, 7L))
+      .toDF(names: _*)
+    val out = Analytics.suggestRules(df, names)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === names.toSet)
+    assert(out("my col").getBoolean(5))       // unique longs
+    assert(out("a.b").getBoolean(6))          // tiny vocabulary
+    assert(out("it's").getDouble(7) === 2.5)  // numeric range lo
+    assert(!out("tick`name").getBoolean(5))   // constant repeats
+    // and the plain profile over the same names parses too
+    val prof = Analytics.profile(df, names).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(prof("tick`name") === 1L && prof("my col") === 2L)
+  }
+
+  test("tCloseness: NULL-bearing QI tuples stay distinct classes " +
+       "(concat_ws null-skip must not alias them)") {
+    import spark.implicits._
+    // (a, NULL) vs (NULL, a): concat_ws without sentinels renders
+    // both as "a" — one aliased class instead of two
+    val rows: Seq[(Option[String], Option[String], Long)] = Seq(
+      (Some("a"), None, 0L), (Some("a"), None, 0L),
+      (None, Some("a"), 1L), (None, Some("a"), 1L))
+    val out = Analytics.tClosenessOn(rows.toDF("q1", "q2", "b"),
+      Seq("q1", "q2"), "b", tMicro = 200000L).collect().head
+    assert(out.getLong(0) === 2L, "two distinct QI classes")
+    assert(out.getLong(1) === 4L)
+  }
+
   test("eventNgrams: sliding trigrams count every window position, " +
        "short streams contribute nothing") {
     import spark.implicits._

@@ -368,17 +368,19 @@ class EtlSpec extends SparkSpec {
     assert(out(("a", 1L)) === ((3L, "30.0000")))      // base-only
     assert(out(("c", 9L))._1 === 2L)                  // delta-only
     // and the registry face equals a from-scratch recompute exactly
+    // (sv is the 4dp double face over the exact BIGINT micro sum)
     val merged = Mapping.incrementalAgg(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1)) ->
-        ((r.getLong(2), BigDecimal(r.getDecimal(3)))))
+        ((r.getLong(2), r.getDouble(3))))
     val scratch = Tables.events(spark, sf)
       .groupBy(col("event_type"),
         expr("unix_micros(ts) div 86400000000").as("ed"))
       .agg(count(lit(1)).as("n"),
-        sum(round(col("value"), 4).cast("decimal(14,4)")).as("sv"))
+        round(sum(round(col("value") * 10000).cast("long")) / 10000.0, 4)
+          .as("sv"))
       .orderBy(col("event_type"), col("ed")).collect()
       .map(r => (r.getString(0), r.getLong(1)) ->
-        ((r.getLong(2), BigDecimal(r.getDecimal(3)))))
+        ((r.getLong(2), r.getDouble(3))))
     assert(merged.toSeq === scratch.toSeq)
   }
 

@@ -1074,4 +1074,37 @@ class StreamingSpec extends SparkSpec {
       assert(r.getBoolean(6))
     } finally q2.stop()
   }
+
+  test("conformalStream: a cross-batch straggler behind the state " +
+       "frontier is dropped, not folded in out of order") {
+    import graft.streaming.EventStreams.{DailyCount, conformalStream}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d0 = java.time.LocalDate.of(2024, 3, 1)
+    def day(n: Int) = java.sql.Timestamp.valueOf(
+      d0.plusDays(n.toLong).atStartOfDay())
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DailyCount]
+    val q = conformalStream(mem.toDS(), period = 1, alphaPct = 10,
+      calWindow = 50, minCal = 1)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("conformal_ooo").start()
+    try {
+      mem.addData(DailyCount("c", day(0), 100L),
+        DailyCount("c", day(1), 110L), DailyCount("c", day(2), 120L))
+      q.processAllAvailable()
+      // batch 2: day(1) arrives AGAIN (behind the frontier) alongside
+      // day(3); the straggler must not shift the seasonal reference
+      mem.addData(DailyCount("c", day(1), 999L),
+        DailyCount("c", day(3), 130L))
+      q.processAllAvailable()
+      val rows = spark.table("conformal_ooo").collect()
+      // no emission may carry the straggler day twice or at all anew
+      assert(rows.count(_.getTimestamp(1) == day(1)) === 0)
+      val d3 = rows.filter(_.getTimestamp(1) == day(3))
+      assert(d3.length === 1)
+      // pred for day(3) = day(2)'s count — NOT the straggler's 999
+      assert(d3.head.getLong(3) === 120L)
+    } finally q.stop()
+  }
 }
