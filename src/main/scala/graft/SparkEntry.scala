@@ -1020,6 +1020,12 @@ object SparkEntry {
     // windowed data-quality drift: etl_expectations' rules on the
     // time axis, the live-ingest monitoring face (+ streaming spec)
     "stream_expectations"  -> (graft.streaming.EventStreams.qualityMonitorBatch _),
+    // versioned-snapshot audit: the CDC stream's retained batch=N
+    // versions re-derived through the SAME applyChanges fold, one
+    // audit row per retained version (StreamingSpec asserts the
+    // stream's directories reproduce these rows + marker invariants)
+    "cdc_snapshot_versions" -> ((s, d) =>
+      graft.streaming.ChangeStreams.snapshotVersionsBatch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5864,6 +5870,28 @@ object SparkEntry {
         | CAST(sum(CASE WHEN coalesce(value >= 0 AND value <= 250, false)
         |   THEN 0 ELSE 1 END) AS BIGINT) AS value_in_range
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // cdc_snapshot_versions: the sequential per-epoch latest-wins fold
+    // equals one global argmax by (epoch DESC, event_id DESC) per
+    // (version, key) — a key's state after folding epochs 0..k is
+    // decided by its newest change, and a final 'D' removes it; value
+    // totals in exact BIGINT micro-units, 4dp double only at the face
+    "cdc_snapshot_versions" ->
+      """WITH ch AS (SELECT user_id,
+        |    CAST(round(value * 10000) AS BIGINT) AS v_micro,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    event_id % 5 AS epoch, event_id
+        |  FROM events),
+        |vs AS (SELECT * FROM (VALUES (2),(3),(4)) AS t(version)),
+        |latest AS (SELECT vs.version, ch.user_id, ch.v_micro, ch.op,
+        |    row_number() OVER (PARTITION BY vs.version, ch.user_id
+        |      ORDER BY ch.epoch DESC, ch.event_id DESC) AS rn
+        |  FROM vs JOIN ch ON ch.epoch <= vs.version)
+        |SELECT CAST(version AS BIGINT) AS version,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(CAST(sum(v_micro) AS DOUBLE) / 10000.0, 4) AS sum_v,
+        |  max(user_id) AS max_key
+        |FROM latest WHERE rn = 1 AND op <> 'D'
+        |GROUP BY version ORDER BY version""".stripMargin,
     // events.ts truncated to µs in the CTE (see stream_sessionize note)
     "stream_dedup" ->
       """WITH ev AS (

@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Size-based routing between an operator's EXACT face and its
+  * declared SCALE tier — the dial that makes the tiering *the API*
+  * instead of a convention.
+  *
+  * The registry deliberately keeps exact faces registered beside
+  * their scale tiers (exact triangles beside DOULION sampling, exact
+  * trailing-window distincts beside the HLL face, all-pairs cosine
+  * beside DIMSUM, brute-force ANN beside IVF): the exact face is the
+  * correctness anchor the scale tier is oracled against. But nothing
+  * used to CHOOSE — a caller pointing the exact face at a 100 TB
+  * input would run the O(m^1.5) wedge join or the all-pairs explode
+  * by accident. These wrappers route on the INPUT SIZE CATALYST
+  * ALREADY ESTIMATES (`optimizedPlan.stats.sizeInBytes` — the same
+  * statistic the broadcast-join threshold reads; for a parquet scan
+  * it is file-size-derived, a pure planning lookup that launches no
+  * job), against an explicit bytes dial with a conservative default.
+  * Small input → the exact face, bit-identical to calling it
+  * directly; big input → the scale tier, same frame the registry
+  * oracles. The output schema is the CHOSEN face's schema — tiers
+  * are distinct declared contracts (an estimate column is not a
+  * count column), and hiding that behind a forced common schema
+  * would un-declare exactly the difference the caller must own.
+  *
+  * The thresholds are dials, not magic: plan-stats bytes are an
+  * UPPER-BOUND-ish raw-scan estimate (pre-filter, decompressed), so
+  * set them to the point where the exact face's measured scaling
+  * curve (SCALING.md) leaves the interactive budget — the defaults
+  * encode those measurements, erring toward the scale tier since
+  * every scale tier is itself value-oracled. */
+object Routing {
+
+  sealed trait Tier
+  case object Exact extends Tier
+  case object Scale extends Tier
+
+  /** Catalyst's size estimate for the frame — no job, no I/O beyond
+    * the listing Spark has already done to plan the scan. */
+  def planBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
+  def tierFor(input: DataFrame, exactMaxBytes: Long): Tier =
+    if (planBytes(input) <= BigInt(exactMaxBytes)) Exact else Scale
+
+  /** Default dial: 4 GiB of estimated input. Every exact face below
+    * is superlinear (wedge join m^1.5, 7× support explode into exact
+    * distinct, all-pairs per-basket explode, |corpus|×|queries|
+    * scoring); at ~4 GiB of scan their measured curves (SCALING.md)
+    * are still interactive on a single executor-equivalent, past it
+    * the scale tier is the only answer that survives 100×. */
+  val DefaultExactMaxBytes: Long = 4L << 30
+
+  /** [[GraphOps.trianglesOn]] (exact count) below the dial,
+    * [[GraphOps.trianglesSampledOn]] (DOULION estimate) above it. */
+  def trianglesAuto(s: SparkSession, d: String, maxBasket: Int = 16,
+                    permille: Int = 300,
+                    exactMaxBytes: Long = DefaultExactMaxBytes): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+    tierFor(pairs, exactMaxBytes) match {
+      case Exact => GraphOps.trianglesOn(pairs, maxBasket)
+      case Scale => GraphOps.trianglesSampledOn(pairs, maxBasket, permille)
+    }
+  }
+
+  /** [[Analytics.dauWau]] (exact trailing-window distinct) below the
+    * dial, [[Analytics.dauWauChecked]] (HLL beside exact with
+    * tolerance verdicts) above it. */
+  def dauWauAuto(s: SparkSession, d: String,
+                 exactMaxBytes: Long = DefaultExactMaxBytes): DataFrame =
+    tierFor(Tables.events(s, d), exactMaxBytes) match {
+      case Exact => Analytics.dauWau(s, d)
+      case Scale => Analytics.dauWauChecked(s, d)
+    }
+
+  /** [[Recommend.itemCosine]] (exact all-pairs cosine) below the
+    * dial, [[Recommend.itemCosineDimsum]] (sampled) above it. */
+  def itemCosineAuto(s: SparkSession, d: String, minCount: Long = 2,
+                     topK: Int = 5, gamma: Int = 16, topN: Int = 50,
+                     maxBasket: Int = 16,
+                     exactMaxBytes: Long = DefaultExactMaxBytes): DataFrame =
+    tierFor(Tables.lineitem(s, d), exactMaxBytes) match {
+      case Exact => Recommend.itemCosine(s, d, minCount, topK, maxBasket)
+      case Scale => Recommend.itemCosineDimsum(s, d, gamma, topN, maxBasket)
+    }
+
+  /** [[SimilarityOps.bruteForceTopK]] (exact scoring) below the dial,
+    * [[SimilarityOps.ivfTopK]] (two-stage cell probe) above it. */
+  def annTopKAuto(s: SparkSession, d: String, k: Int = 5,
+                  nQueries: Int = 10,
+                  exactMaxBytes: Long = DefaultExactMaxBytes): DataFrame =
+    tierFor(Tables.embeddings(s, d), exactMaxBytes) match {
+      case Exact => SimilarityOps.bruteForceTopK(s, d, k, nQueries)
+      case Scale => SimilarityOps.ivfTopK(s, d, k, nQueries)
+    }
+}

@@ -395,7 +395,16 @@ object Sources {
     * surviving files; the residual per-row filter still applies, so
     * pruning is a pure I/O optimization, never a correctness change.
     * An empty survivor set short-circuits to an empty frame with the
-    * data schema (read from the manifest's recorded sample file). */
+    * data schema (read from the manifest's recorded sample file).
+    *
+    * Staleness is a hard error, not a silent wrong answer: a data
+    * file written AFTER the manifest would be invisible to every
+    * pruned read (the manifest IS the file list), so [[readPruned]]
+    * first reconciles the directory listing against the manifest's
+    * file set and refuses to serve from a manifest that no longer
+    * covers the directory (the schemaDiff fail-loudly posture). The
+    * listing is the same single directory scan Spark's own planner
+    * would do — no extra I/O class. */
   def writeStatsManifest(s: SparkSession, dataPath: String,
                          statsCols: Seq[String]): Unit = {
     require(statsCols.nonEmpty, "need at least one stats column")
@@ -403,8 +412,36 @@ object Sources {
     val aggs = statsCols.flatMap { c => Seq(
       min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")) } :+
       count(lit(1)).as("n_rows")
-    df.groupBy(input_file_name().as("file"))
+    // eager file-cardinality checkpoint: the row-derived stats feed
+    // both union branches below — without it the data would scan twice
+    val stats = df.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint()
+    // a ZERO-ROW part file produces no input_file_name() group, so the
+    // row-derived pass alone under-covers the directory — and an
+    // uncovered file is exactly what readPruned's staleness check
+    // refuses to serve. Union in the listed-but-rowless files with
+    // n_rows=0 and NULL envelopes (a NULL envelope never intersects a
+    // range, which is correct: there are no rows to miss). Matching is
+    // by basename — input_file_name() URIs and listing paths can spell
+    // scheme/authority differently.
+    val dirPath = new org.apache.hadoop.fs.Path(dataPath)
+    val listed = dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .listStatus(dirPath).filter(_.isFile).map(_.getPath.toString)
+      .filter { p =>
+        val n = new org.apache.hadoop.fs.Path(p).getName
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+    val baseName = (c: Column) => element_at(split(c, "/"), -1)
+    val listedDf = s.createDataset(listed.toSeq)(
+      org.apache.spark.sql.Encoders.STRING).toDF("file")
+    val rowless = listedDf.join(
+        stats.select(baseName(col("file")).as("__b")),
+        baseName(listedDf("file")) === col("__b"), "left_anti")
+      .select(col("file") +: stats.schema.fields.filter(_.name != "file")
+        .map(f => (if (f.name == "n_rows") lit(0L) else lit(null))
+          .cast(f.dataType).as(f.name)).toSeq: _*)
+    stats.unionByName(rowless)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dataPath/_manifest")
   }
@@ -415,9 +452,28 @@ object Sources {
   def readPruned(s: SparkSession, dataPath: String, column: String,
                  lo: Any, hi: Any): DataFrame = {
     val manifest = s.read.parquet(s"$dataPath/_manifest")
-    // file-cardinality driver action: the manifest IS the plan input
+    // file-cardinality driver actions: the manifest IS the plan input
     // (the same role Iceberg's manifest list plays) — this is not a
     // data-sized collect
+    val manifestNames = manifest.select(col("file")).collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName).toSet
+    // staleness reconciliation: compare the directory's ACTUAL data
+    // files (by basename — input_file_name() records full URIs whose
+    // scheme/authority spelling can differ from the listing's) against
+    // the manifest's file set; any uncovered file means the manifest
+    // predates a write and pruning would silently drop its rows
+    val dirPath = new org.apache.hadoop.fs.Path(dataPath)
+    val fsys = dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val listed = fsys.listStatus(dirPath).filter(_.isFile)
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_") &&
+        !n.startsWith("."))
+    val uncovered = listed.filterNot(manifestNames.contains)
+    if (uncovered.nonEmpty) throw new IllegalStateException(
+      s"stats manifest at $dataPath/_manifest is STALE: " +
+        s"${uncovered.length} data file(s) not covered (e.g. " +
+        s"${uncovered.take(3).mkString(", ")}) — rewrite it with " +
+        "writeStatsManifest before pruned reads")
     val files = manifest
       .filter(col(s"max_$column") >= lit(lo) &&
         col(s"min_$column") <= lit(hi))

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Tables
 import graft.etl.Mapping
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -120,5 +121,67 @@ object ChangeStreams {
         ()
       }
       .start()
+  }
+
+  /** Deterministic change feed for the versioned-snapshot audit:
+    * events become CDC rows keyed on `user_id` — an `error` event is
+    * a DELETE of its user, anything else an upsert carrying the
+    * event's 1e-4 micro-unit value (exact BIGINT; a double survives
+    * no cross-engine sum) — split into `epochs` micro-batches by
+    * `event_id % epochs`, ordered within a batch by `event_id`. */
+  private[graft] def eventChanges(s: SparkSession, d: String,
+                                  epochs: Int): DataFrame =
+    Tables.events(s, d).select(
+      col("user_id"),
+      round(col("value") * 10000).cast("long").as("v_micro"),
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+        .as("op"),
+      (col("event_id") % epochs).as("epoch"),
+      col("event_id"))
+
+  /** The ORACLED batch face of the versioned-snapshot contract: fold
+    * the change epochs through the SAME [[Mapping.applyChanges]]
+    * merge [[applyChangesStream]] runs per micro-batch, and emit one
+    * audit row per RETAINED version (the newest `keepVersions`, the
+    * streaming face's retention) — version id, row count, 4dp value
+    * total (BIGINT micro-units until the face), max key. The fold is
+    * lazy plan composition end to end: each version's snapshot is the
+    * previous version's plan + one window over its (1/epochs-sized)
+    * change slice + one AQE-broadcast anti join, so nothing here
+    * collects or materializes driver-side, and the audit aggregates
+    * are single-row reductions. StreamingSpec replays the identical
+    * epochs through [[applyChangesStream]] and asserts each retained
+    * version directory reproduces these audit rows exactly, plus the
+    * marker-first publication invariant (every `batch=` directory has
+    * its `_done_` marker and vice versa) — which is what makes this
+    * entry the driver-checkable face of the time-travel read. */
+  def snapshotVersionsBatch(s: SparkSession, d: String,
+                            epochs: Int = 5,
+                            keepVersions: Int = 3): DataFrame =
+    snapshotVersionsOn(eventChanges(s, d, epochs), epochs, keepVersions)
+
+  /** Same over any (user_id, v_micro, op, epoch, event_id) change
+    * frame. */
+  def snapshotVersionsOn(changes: DataFrame, epochs: Int,
+                         keepVersions: Int): DataFrame = {
+    require(epochs >= 1 && keepVersions >= 1 && keepVersions <= epochs,
+      s"need 1 <= keepVersions <= epochs: $keepVersions/$epochs")
+    // each retained version's audit re-reads its whole fold prefix;
+    // cache the shared leaf so the epoch slices scan it once
+    val ch = changes.cache()
+    val base0 = ch.select(col("user_id"), col("v_micro")).limit(0)
+    // snaps(k) = snapshot AFTER folding epoch k (version id k)
+    val snaps = (0 until epochs).scanLeft(base0) { (base, k) =>
+      Mapping.applyChanges(base, ch.filter(col("epoch") === k),
+        keys = Seq("user_id"), opCol = "op", ord = Seq("event_id"))
+    }.drop(1)
+    (epochs - keepVersions until epochs).map { k =>
+      snaps(k).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("v_micro")).as("__sv"),
+          max(col("user_id")).as("max_key"))
+        .select(lit(k.toLong).as("version"), col("n_rows"),
+          round(col("__sv") / 10000.0, 4).as("sum_v"), col("max_key"))
+    }.reduce(_ unionAll _).orderBy(col("version"))
   }
 }

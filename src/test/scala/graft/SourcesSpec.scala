@@ -216,6 +216,31 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(dir).columns.toSeq === Seq("event_id", "value"))
   }
 
+  test("stats manifest: a file appended after the manifest write " +
+       "fails the pruned read loudly until the manifest is rewritten") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp() + "/stale"
+    Sources.writeSorted(Tables.events(spark, sf)
+      .select(col("event_id"), col("value")), dir,
+      Seq("value"), numFiles = 2)
+    Sources.writeStatsManifest(spark, dir, Seq("value"))
+    // sanity: fresh manifest serves the pruned read
+    assert(Sources.readPruned(spark, dir, "value", 0.0, 1e9).count() > 0)
+    // a writer appends a file the manifest has never seen — every
+    // pruned read would silently miss its rows, so it must THROW
+    spark.range(1).select(lit(999999L).as("event_id"),
+      lit(15.0).as("value")).write.mode("append").parquet(dir)
+    val e = intercept[IllegalStateException] {
+      Sources.readPruned(spark, dir, "value", 10.0, 20.0)
+    }
+    assert(e.getMessage.contains("STALE"))
+    // rewriting the manifest re-covers the directory and the read
+    // now includes the appended row
+    Sources.writeStatsManifest(spark, dir, Seq("value"))
+    val again = Sources.readPruned(spark, dir, "value", 10.0, 20.0)
+    assert(again.filter(col("event_id") === 999999L).count() === 1)
+  }
+
   test("GraftExtensions: SQL functions resolve in an extended session") {
     // getOrCreate() would silently reuse the suite session and skip the
     // extensions, so build a genuinely fresh session (this is the

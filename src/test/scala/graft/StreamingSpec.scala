@@ -770,6 +770,57 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("snapshot version audit: the stream's retained batch= dirs " +
+       "reproduce the batch fold's audit rows, markers stay paired") {
+    import graft.streaming.ChangeStreams
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // three epochs exercising update, delete, re-insert, and a
+    // same-batch double-upsert (latest event_id must win)
+    val epochRows: Seq[Seq[(Long, Long, String, Long)]] = Seq(
+      Seq((1L, 10L, "U", 1L), (2L, 20L, "U", 2L), (3L, 30L, "U", 3L)),
+      Seq((2L, 25L, "U", 4L), (1L, 0L, "D", 5L), (4L, 40L, "U", 6L),
+        (4L, 45L, "U", 7L)),
+      Seq((1L, 11L, "U", 8L), (3L, 0L, "D", 9L)))
+    val changes = epochRows.zipWithIndex.flatMap { case (rows, k) =>
+      rows.map { case (u, v, op, id) => (u, v, op, k.toLong, id) }
+    }.toDF("user_id", "v_micro", "op", "epoch", "event_id")
+    val audit = ChangeStreams.snapshotVersionsOn(changes,
+        epochs = 3, keepVersions = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3)))
+    assert(audit.toSeq === Seq((1L, 3L, 0.01, 4L), (2L, 3L, 0.0081, 4L)))
+    // replay the identical epochs through the STREAMING face
+    val root = java.nio.file.Files.createTempDirectory("graft-sva").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, Long)]
+    val q = ChangeStreams.applyChangesStream(
+      mem.toDF().toDF("user_id", "v_micro", "op", "event_id"),
+      s"$root/snap", s"$root/ckpt",
+      keys = Seq("user_id"), ord = Seq("event_id"), keepVersions = 2)
+    try {
+      epochRows.foreach { rows => mem.addData(rows); q.processAllAvailable() }
+      val vs = ChangeStreams.versions(spark, s"$root/snap")
+      assert(vs.sorted === Seq(1L, 2L)) // version 0 pruned
+      val streamAudit = vs.sorted.map { v =>
+        val r = ChangeStreams.readSnapshot(spark, s"$root/snap", v)
+          .agg(count(lit(1)), sum(col("v_micro")), max(col("user_id")))
+          .collect().head
+        (v, r.getLong(0),
+          math.rint(r.getLong(1) / 10000.0 * 1e4) / 1e4, r.getLong(2))
+      }
+      assert(streamAudit === audit.toSeq)
+      // marker-first publication: every batch= dir has its marker and
+      // every marker its dir — no orphan on either side
+      val names = new java.io.File(s"$root/snap").listFiles()
+        .map(_.getName).toSet
+      val dirs = names.filter(_.startsWith("batch=")).map(_.drop(6))
+      val marks = names.filter(_.startsWith("_done_")).map(_.drop(6))
+      assert(dirs === marks)
+    } finally q.stop()
+  }
+
   test("streaming MG sketch keeps heavy hitters with the merged bound") {
     import graft.streaming.{ChangeStreams, SketchStreams}
     import spark.implicits._
