@@ -34,6 +34,25 @@ object VectorKernels {
     while (i < n) { s += a.getFloat(i) * b.getFloat(i); i += 1 }
     s
   }
+
+  /** Quantized-exact dot: LEFT elements floor to 1e-6 integer units,
+    * RIGHT elements are expected PRE-quantized to integers (a plane
+    * literal) — every product (≤ ~1e13) and partial sum is an exact
+    * integer-valued double, so the result is identical under ANY
+    * accumulation order, the property that makes it replayable
+    * against an engine whose dot-product lane order differs. The
+    * plain [[dot]] kernel multiplies float×float and cannot promise
+    * that. */
+  def dotQ6(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += math.floor(a.getFloat(i) * 1000000.0) * b.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
 }
 
 abstract class FloatVecBinary extends BinaryExpression {
@@ -71,7 +90,20 @@ case class DotProduct(left: Expression, right: Expression) extends FloatVecBinar
   override def prettyName: String = "dot_product"
 }
 
+case class DotProductQ6(left: Expression, right: Expression) extends FloatVecBinary {
+  override protected def kernel: String = "dotQ6"
+  override protected def eval0(a: Any, b: Any): Double =
+    VectorKernels.dotQ6(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(l, r)
+  override def prettyName: String = "dot_product_q6"
+}
+
 object VectorExprs {
+  def dotProductQ6(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProductQ6(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(
       CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))

@@ -279,30 +279,59 @@ object SimilarityOps {
     * tiers: an 8× narrower vector is 8× less shuffle/IO for every
     * downstream join, centroid fit, and brute-force rescore, at a
     * measured (spec'd) geometry cost. Row-local transform, zero
-    * shuffle, planes baked into the plan as literals — the identical
-    * dot-product determinism contract as [[lshBucket]], so the whole
-    * projection is DuckDB-oracled from the same plane literals.
-    * Output is LONG format `(vec_id, pos, value)` — one row per
-    * projected coordinate — matching [[labelCentroids]]'s convention
-    * so the cross-engine compare never sees a nested array. */
+    * shuffle, planes baked into the plan as literals. Output is LONG
+    * format `(vec_id, pos, value)` — one row per projected
+    * coordinate — matching [[labelCentroids]]'s convention so the
+    * cross-engine compare never sees a nested array.
+    *
+    * Cross-engine EXACTNESS is by integer arithmetic, not rounding
+    * tolerance: vector elements and plane components both
+    * floor-quantize to 1e-6 integer units BEFORE the dot product, so
+    * every product (≤ ~1e13) and partial sum (≤ ~1e15) is an exact
+    * integer-valued double — associative, hence identical under ANY
+    * accumulation order. That is the property the previous contract
+    * (raw float dot + round-to-4dp) lacked: Spark's kernel multiplies
+    * float×float while DuckDB's list_dot_product multiplies doubles
+    * with its own lane order, and at sf1 volume (160k coordinates)
+    * ulp drift crossed a 4dp boundary — caught by the round-11 sf1
+    * sweep. The face then floor-quantizes the scaled projection to
+    * 4dp from one shared double expression (the ml_logreg_gd
+    * contract). The 1e-6 input quantization perturbs each coordinate
+    * by < 2⁻¹⁹ of a unit vector — far inside the JL distortion the
+    * spec bounds. */
   def randomProject(s: SparkSession, d: String,
                     outDim: Int = 8, seed: Long = 7L): DataFrame = {
     val scale = 1.0 / math.sqrt(outDim.toDouble)
-    val proj = array(lshPlanes(outDim, seed).map(p =>
-      round(graft.functions.VectorExprs.dotProduct(
-        col("embedding"), typedLit(p)) * lit(scale), 4)): _*)
+    val proj = array(lshPlanes(outDim, seed).map { p =>
+      // plane pre-quantized to 1e-6 integer units; the values
+      // (< ~2^23) are exact as floats, so the codegen'd kernel reads
+      // them losslessly. The vector side quantizes INSIDE the kernel.
+      val pq = p.map(v => math.floor(v.toDouble * 1000000.0).toFloat)
+      val dotq = graft.functions.VectorExprs.dotProductQ6(
+        col("embedding"), typedLit(pq))
+      // dotq carries the 1e-12 of the two quantizations; fold it into
+      // the 4dp publication divide (1e-12 · 1e4 = 1e-8)
+      floor(dotq * lit(scale) / lit(100000000.0)) / 10000.0
+    }: _*)
     Tables.embeddings(s, d)
       .select(col("vec_id"), posexplode(proj).as(Seq("pos", "value")))
       .orderBy(col("vec_id"), col("pos"))
   }
 
-  /** DuckDB replica of [[randomProject]] — same plane literals, same
-    * multiply order, same 4dp rounding, same long output shape. */
+  /** DuckDB replica of [[randomProject]] — same quantized-integer
+    * plane literals, same 1e-6 element quantization, same 4dp floor
+    * publication. list_dot_product's internal accumulation order is
+    * free to differ: every term is an exact integer-valued double.
+    * The BIGINT cast mirrors Spark's floor→LONG so a -0.0 floor
+    * result cannot render as "-0.0" on one side only. */
   private[graft] def rpOracleSql(outDim: Int = 8, seed: Long = 7L): String = {
     val scale = (1.0 / math.sqrt(outDim.toDouble)).toString
-    val elems = lshPlanes(outDim, seed).map(p =>
-      s"round(list_dot_product(CAST(embedding AS DOUBLE[]), ${sqlVec(p)}) * $scale, 4)")
-      .mkString("[", ",\n    ", "]")
+    val eq = "list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 1000000.0))"
+    val elems = lshPlanes(outDim, seed).map { p =>
+      val pq = p.map(v => math.floor(v.toDouble * 1000000.0).toString)
+        .mkString("CAST([", ", ", "] AS DOUBLE[])")
+      s"CAST(floor(list_dot_product($eq, $pq) * $scale / 100000000.0) AS BIGINT) / 10000.0"
+    }.mkString("[", ",\n    ", "]")
     s"""WITH p AS (SELECT vec_id, $elems AS proj FROM embeddings)
        |SELECT vec_id, i - 1 AS pos, proj[i] AS value
        |FROM p, LATERAL (SELECT unnest(range(1, ${outDim + 1})) AS i)

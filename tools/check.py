@@ -2,7 +2,14 @@
 """Local replica of the driver's correctness gate (dev tooling only —
 the shipped library is pure Scala).
 
-Usage: python3 tools/check.py <verify_out_dir> <sf_dir>
+Usage: python3 tools/check.py <verify_out_dir> <sf_dir> [only_csv]
+
+`only_csv` (optional, comma-separated entry names) restricts the
+sweep — the resume path for big-SF runs. Each oracle runs with a
+disk spill directory and an explicit memory limit, and any per-entry
+DuckDB error (OOM on a huge sf1 oracle, most likely) is caught,
+reported as `FAIL err`, and the connection rebuilt so one heavy
+oracle cannot abort the rest of the sweep.
 
 Reads each <name>/ parquet result dumped by graft.Verify, runs the
 matching oracle SQL from oracle_sql.json in DuckDB over the sf dir's
@@ -57,10 +64,15 @@ def canon(df):
     return list(df.columns), rows, kinds
 
 
-def main(outdir, sfdir):
+def connect(sfdir):
+    import os, tempfile
     con = duckdb.connect()
+    # spill instead of bad_alloc on the huge sf1 oracles; leave
+    # headroom for the pandas conversion of big results
+    con.execute(f"SET temp_directory='{tempfile.gettempdir()}/duck_spill'")
+    con.execute("SET memory_limit='%s'"
+                % os.environ.get("CHECK_MEMLIMIT", "48GB"))
     tables = "region nation customer supplier part orders lineitem events documents embeddings".split()
-    import os
     for t in tables:
         # driver testdata ships single files; ScaleUp-derived sf dirs
         # are Spark-written DIRECTORIES of part files — glob those
@@ -68,16 +80,34 @@ def main(outdir, sfdir):
         if os.path.isdir(p):
             p = f"{p}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def main(outdir, sfdir, only=None):
+    con = connect(sfdir)
+    only_set = set(only.split(",")) if only else None
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = n_rows_only = 0
     for d in sorted(glob.glob(f"{outdir}/*/")):
         name = d.rstrip("/").split("/")[-1]
+        if only_set is not None and name not in only_set:
+            continue
         got_df = con.execute(f"SELECT * FROM read_parquet('{d}/*.parquet')").df()
         if name not in oracle:
             print(f"  rows-only  {name:28s} rows={len(got_df)}")
             n_rows_only += 1
             continue
-        exp_df = con.execute(oracle[name]).df()
+        try:
+            exp_df = con.execute(oracle[name]).df()
+        except duckdb.Error as e:
+            print(f"  FAIL err   {name}: {type(e).__name__}: {str(e)[:120]}")
+            n_fail += 1
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = connect(sfdir)  # a dead/OOM'd connection is unusable
+            continue
         gc, gr, gt = canon(got_df)
         ec, er, et = canon(exp_df)
         if gc != ec:
@@ -99,4 +129,5 @@ def main(outdir, sfdir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
