@@ -639,11 +639,19 @@ object SparkEntry {
     "ts_lag_features"   -> ((s, d) => TimeSeriesOps.lagFeatures(s, d)),
     // daily mean value per type with synthetic outage days planted
     // (every day-of-month divisible by 5 removed, identically in the
-    // oracle) — the gap pattern the linear interpolation reconstructs
+    // oracle) — the gap pattern the linear interpolation reconstructs.
+    // The mean is a floor-divided micro BIGINT from an exact DECIMAL
+    // sum, NOT round(avg(double)): the r11 sf0.001 sweep caught avg's
+    // 4dp publication landing on a half-boundary where the two
+    // engines' rounding rules split
     "ts_interpolate"    -> ((s, d) => {
       val daily = Tables.events(s, d)
         .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-        .agg(round(avg(col("value")), 4).as("v"))
+        .agg(sum(round(col("value"), 4).cast("decimal(14,4)")).as("sv"),
+          count(col("value")).as("nv"))
+        .select(col("event_type"), col("day"),
+          (floor(expr("cast(sv * 10000 as bigint)").cast("double") /
+            col("nv")) / 10000.0).as("v"))
         .filter(dayofmonth(col("day")) % 5 =!= 0)
       TimeSeriesOps.interpolateOn(daily, "event_type", "day", "v")
     }),
@@ -2393,45 +2401,56 @@ object SparkEntry {
     // per-user pre/post means → θ fit → row-local adjustment, every
     // mean/θ/x̄ rounded 4dp before reuse and every adjusted value
     // re-quantized before summing (the rounded-metric rule)
+    // q_cuped: exact integer micro-units end to end (the r11
+    // contract) — floor-divided per-user micro means, DECIMAL(38,0)
+    // moment products, floor-quantized θ/means/variance reduction;
+    // floor is deterministic on identical doubles where round() is
+    // rule-dependent (HALF_UP-on-shortest-repr vs binary)
     "q_cuped" ->
       """WITH mid AS (SELECT (min(epoch_us(CAST(ts AS TIMESTAMP_US)) // 86400000000) +
         |    max(epoch_us(CAST(ts AS TIMESTAMP_US)) // 86400000000)) // 2 AS mid
         |  FROM events),
         |pu AS (SELECT user_id,
-        |    round(CAST(sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP_US)) // 86400000000
-        |        <= mid THEN CAST(round(value, 4) AS DECIMAL(14,4)) END) AS DOUBLE) /
-        |      sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP_US)) // 86400000000
-        |        <= mid THEN 1 ELSE 0 END), 4) AS x,
-        |    round(CAST(sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP_US)) // 86400000000
-        |        > mid THEN CAST(round(value, 4) AS DECIMAL(14,4)) END) AS DOUBLE) /
-        |      sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP_US)) // 86400000000
-        |        > mid THEN 1 ELSE 0 END), 4) AS y
+        |    sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP_US)) // 86400000000
+        |        <= mid THEN CAST(round(value, 4) AS DECIMAL(14,4)) END) AS sx,
+        |    sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP_US)) // 86400000000
+        |        <= mid THEN 1 ELSE 0 END) AS nx,
+        |    sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP_US)) // 86400000000
+        |        > mid THEN CAST(round(value, 4) AS DECIMAL(14,4)) END) AS sy,
+        |    sum(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP_US)) // 86400000000
+        |        > mid THEN 1 ELSE 0 END) AS ny
         |  FROM events, mid GROUP BY user_id, mid
-        |  HAVING x IS NOT NULL AND y IS NOT NULL),
-        |pud AS (SELECT user_id, CAST(x AS DECIMAL(14,4)) AS x,
-        |          CAST(y AS DECIMAL(14,4)) AS y FROM pu),
+        |  HAVING nx > 0 AND ny > 0 AND sx IS NOT NULL AND sy IS NOT NULL),
+        |pud AS (SELECT user_id,
+        |    CAST(floor(CAST(CAST(sx * 10000 AS BIGINT) AS DOUBLE) / nx)
+        |      AS BIGINT) AS xm,
+        |    CAST(floor(CAST(CAST(sy * 10000 AS BIGINT) AS DOUBLE) / ny)
+        |      AS BIGINT) AS ym FROM pu),
         |fit AS (SELECT
-        |    round((sum(x*y) - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE)
-        |        / count(*)) /
-        |      (sum(x*x) - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)
-        |        / count(*)), 4) AS theta,
-        |    round(CAST(sum(x) AS DOUBLE) / count(*), 4) AS xbar
+        |    CAST(floor(((CAST(sum(CAST(xm AS HUGEINT) * ym) AS DOUBLE) -
+        |        CAST(sum(xm) AS DOUBLE) * CAST(sum(ym) AS DOUBLE) / count(*)) /
+        |      (CAST(sum(CAST(xm AS HUGEINT) * xm) AS DOUBLE) -
+        |        CAST(sum(xm) AS DOUBLE) * CAST(sum(xm) AS DOUBLE) / count(*)))
+        |      * 10000.0) AS BIGINT) / 10000.0 AS theta,
+        |    CAST(floor(CAST(sum(xm) AS DOUBLE) / count(*)) AS BIGINT) AS xbarm
         |  FROM pud),
-        |adj AS (SELECT user_id, y, theta,
-        |    CAST(round(CAST(y AS DOUBLE) - theta *
-        |      (CAST(x AS DOUBLE) - xbar), 4) AS DECIMAL(14,4)) AS y_adj,
+        |adj AS (SELECT user_id, ym, theta,
+        |    CAST(floor(ym - theta * (xm - xbarm)) AS BIGINT) AS am,
         |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
         |      THEN 'a' ELSE 'b' END AS arm
         |  FROM pud, fit),
-        |gl AS (SELECT round(1.0 -
-        |    (sum(y_adj*y_adj) - CAST(sum(y_adj) AS DOUBLE) *
-        |      CAST(sum(y_adj) AS DOUBLE) / count(*)) /
-        |    (sum(y*y) - CAST(sum(y) AS DOUBLE) *
-        |      CAST(sum(y) AS DOUBLE) / count(*)), 4) AS var_reduction
+        |gl AS (SELECT CAST(floor((1.0 -
+        |    (CAST(sum(CAST(am AS HUGEINT) * am) AS DOUBLE) -
+        |      CAST(sum(am) AS DOUBLE) * CAST(sum(am) AS DOUBLE) / count(*)) /
+        |    (CAST(sum(CAST(ym AS HUGEINT) * ym) AS DOUBLE) -
+        |      CAST(sum(ym) AS DOUBLE) * CAST(sum(ym) AS DOUBLE) / count(*)))
+        |    * 10000.0) AS BIGINT) / 10000.0 AS var_reduction
         |  FROM adj)
         |SELECT arm, count(*) AS n_users,
-        |  round(CAST(sum(y) AS DOUBLE) / count(*), 4) AS mean_post,
-        |  round(CAST(sum(y_adj) AS DOUBLE) / count(*), 4) AS mean_adj,
+        |  CAST(floor(CAST(sum(ym) AS DOUBLE) / count(*)) AS BIGINT)
+        |    / 10000.0 AS mean_post,
+        |  CAST(floor(CAST(sum(am) AS DOUBLE) / count(*)) AS BIGINT)
+        |    / 10000.0 AS mean_adj,
         |  max(theta) AS theta, max(var_reduction) AS var_reduction
         |FROM adj, gl GROUP BY arm, var_reduction ORDER BY arm""".stripMargin,
     "q_srm_check" ->
@@ -4220,7 +4239,9 @@ object SparkEntry {
     "ts_interpolate" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-        |         round(avg(value), 4) AS v
+        |         CAST(floor(CAST(CAST(sum(CAST(round(value, 4)
+        |             AS DECIMAL(14,4))) * 10000 AS BIGINT) AS DOUBLE)
+        |           / count(value)) AS BIGINT) / 10000.0 AS v
         |  FROM events GROUP BY 1, 2),
         |gapped AS (SELECT * FROM daily WHERE date_part('day', day) % 5 <> 0),
         |b AS (SELECT event_type, min(day) AS lo, max(day) AS hi
@@ -4243,9 +4264,10 @@ object SparkEntry {
         |  w_a AS (PARTITION BY event_type ORDER BY day
         |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
         |SELECT event_type, day,
-        |  round(coalesce(v, pv + (nv - pv) *
+        |  coalesce(v, CAST(floor((pv + (nv - pv) *
         |    (CAST(datediff('day', pd, day) AS DOUBLE) /
-        |     CAST(datediff('day', pd, nd) AS DOUBLE))), 4) AS v,
+        |     CAST(datediff('day', pd, nd) AS DOUBLE))) * 10000.0)
+        |    AS BIGINT) / 10000.0) AS v,
         |  v IS NULL AS interpolated
         |FROM wnd ORDER BY event_type, day""".stripMargin,
     "ts_resample_daily" ->

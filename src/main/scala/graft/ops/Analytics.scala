@@ -1140,7 +1140,19 @@ object Analytics {
   def cuped(s: SparkSession, d: String): DataFrame =
     cupedOn(Tables.events(s, d))
 
-  /** Same over any (user_id, ts, value) frame. */
+  /** Same over any (user_id, ts, value) frame.
+    *
+    * Cross-engine determinism is by EXACT INTEGER MICRO-UNITS end to
+    * end (the r11 contract — an sf0.001 sweep caught the previous
+    * round(double,4) publication flipping a 4dp half-boundary:
+    * Spark rounds the shortest-decimal repr HALF_UP while DuckDB
+    * rounds the binary double, so even IDENTICAL doubles can publish
+    * differently under round(); floor() can not). Per-user pre/post
+    * means are floor-divided 1e-4 micro BIGINTs from exact DECIMAL
+    * sums; θ's moments are exact integer products (DECIMAL(38,0) —
+    * a LONG Σx·y would overflow near corpus scale); θ/x̄/adjusted
+    * values/arm means/variance reduction all publish through
+    * floor-quantization of identical-by-construction doubles. */
   def cupedOn(events: DataFrame): DataFrame = {
     val ed = expr("unix_micros(ts) div 86400000000")
     val v = round(col("value"), 4).cast("decimal(14,4)")
@@ -1156,49 +1168,61 @@ object Analytics {
         sum(when(ed > col("mid"), v)).as("sy"),
         sum(when(ed > col("mid"), lit(1L)).otherwise(lit(0L))).as("ny"))
       .filter(col("nx") > 0 && col("ny") > 0)
+      // floor-mean in micro units: numerator exact (DECIMAL·10⁴ is an
+      // integer), division floored over nonnegative operands
       .select(col("user_id"),
-        round(col("sx").cast("double") / col("nx"), 4)
-          .cast("decimal(14,4)").as("x"),
-        round(col("sy").cast("double") / col("ny"), 4)
-          .cast("decimal(14,4)").as("y"))
+        floor(expr("cast(sx * 10000 as bigint)").cast("double") /
+          col("nx")).as("xm"),
+        floor(expr("cast(sy * 10000 as bigint)").cast("double") /
+          col("ny")).as("ym"))
       .localCheckpoint(false) // feeds the θ fit AND the adjusted pass
+    val q4 = (c: Column) => floor(c * lit(10000.0)) / 10000.0
     val fit = perUser.agg(
       count(lit(1)).as("n"),
-      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-      sum(col("x") * col("y")).as("sxy"),
-      sum(col("x") * col("x")).as("sxx"))
+      sum(col("xm")).as("sx"), sum(col("ym")).as("sy"),
+      sum((col("xm").cast("decimal(19,0)") * col("ym"))
+        .cast("decimal(38,0)")).as("sxy"),
+      sum((col("xm").cast("decimal(19,0)") * col("xm"))
+        .cast("decimal(38,0)")).as("sxx"))
       .select(
-        round((col("sxy").cast("double") -
+        // θ is scale-invariant, so micro units cancel; floor-quantized
+        q4((col("sxy").cast("double") -
           col("sx").cast("double") * col("sy").cast("double") / col("n")) /
           (col("sxx").cast("double") -
-            col("sx").cast("double") * col("sx").cast("double") / col("n")),
-          4).as("theta"),
-        round(col("sx").cast("double") / col("n"), 4).as("xbar"))
+            col("sx").cast("double") * col("sx").cast("double") / col("n")))
+          .as("theta"),
+        floor(col("sx").cast("double") / col("n")).as("xbarm"))
     val adj = perUser.crossJoin(broadcast(fit))
-      .select(col("user_id"), col("y"), col("theta"),
-        round(col("y").cast("double") -
-          col("theta") * (col("x").cast("double") - col("xbar")), 4)
-          .cast("decimal(14,4)").as("y_adj"),
+      .select(col("user_id"), col("ym"), col("theta"),
+        // adjusted metric in micro units: long − double·long, floored
+        floor(col("ym") - col("theta") * (col("xm") - col("xbarm")))
+          .as("am"),
         when(substring(md5(col("user_id").cast("string")), 1, 2) < "80",
           lit("a")).otherwise(lit("b")).as("arm"))
     val global = adj.agg(
       count(lit(1)).as("n"),
-      sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"),
-      sum(col("y_adj")).as("sa"), sum(col("y_adj") * col("y_adj")).as("saa"))
-      .select(round(lit(1.0) -
+      sum(col("ym")).as("sy"),
+      sum((col("ym").cast("decimal(19,0)") * col("ym"))
+        .cast("decimal(38,0)")).as("syy"),
+      sum(col("am")).as("sa"),
+      sum((col("am").cast("decimal(19,0)") * col("am"))
+        .cast("decimal(38,0)")).as("saa"))
+      .select(q4(lit(1.0) -
         (col("saa").cast("double") -
           col("sa").cast("double") * col("sa").cast("double") / col("n")) /
         (col("syy").cast("double") -
-          col("sy").cast("double") * col("sy").cast("double") / col("n")),
-        4).as("var_reduction"))
+          col("sy").cast("double") * col("sy").cast("double") / col("n")))
+        .as("var_reduction"))
     adj.groupBy(col("arm"))
       .agg(count(lit(1)).as("n_users"),
-        sum(col("y")).as("sy"), sum(col("y_adj")).as("sa"),
+        sum(col("ym")).as("sy"), sum(col("am")).as("sa"),
         first(col("theta")).as("theta"))
       .crossJoin(broadcast(global))
       .select(col("arm"), col("n_users"),
-        round(col("sy").cast("double") / col("n_users"), 4).as("mean_post"),
-        round(col("sa").cast("double") / col("n_users"), 4).as("mean_adj"),
+        (floor(col("sy").cast("double") / col("n_users")) / 10000.0)
+          .as("mean_post"),
+        (floor(col("sa").cast("double") / col("n_users")) / 10000.0)
+          .as("mean_adj"),
         col("theta"), col("var_reduction"))
       .orderBy(col("arm"))
   }

@@ -80,8 +80,14 @@ object TimeSeriesOps {
     // result is bit-identical in the SQL oracle
     val frac = datediff(col(day), pd).cast("double") /
       datediff(nd, pd).cast("double")
+    // interpolated values publish FLOOR-quantized to 4dp: floor of an
+    // identical double is engine-identical, while round() splits on
+    // the rounding rule at a 4dp half-boundary (caught by the r11
+    // sf0.001 sweep). Observed values pass through UNTOUCHED — a
+    // floor re-quantization could step an already-4dp double down.
+    val interp = floor((pv + (nv - pv) * frac) * lit(10000.0)) / 10000.0
     joined.select(col(key), col(day),
-        round(coalesce(col(value), pv + (nv - pv) * frac), 4).as(value),
+        coalesce(col(value), interp).as(value),
         col(value).isNull.as("interpolated"))
       .orderBy(col(key), col(day))
   }
