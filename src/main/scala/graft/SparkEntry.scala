@@ -1317,21 +1317,24 @@ object SparkEntry {
     "q_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         | coalesce(l_linestatus, 'ALL') AS status,
-        | round(sum(l_extendedprice), 4) AS rev, count(*) AS n
+        | CAST(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(18,4)))
+        |   * 10000 AS BIGINT) / 10000.0 AS rev, count(*) AS n
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         | coalesce(l_linestatus, 'ALL') AS status,
-        | round(sum(l_extendedprice), 4) AS rev, count(*) AS n
+        | CAST(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(18,4)))
+        |   * 10000 AS BIGINT) / 10000.0 AS rev, count(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
     "q_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         | coalesce(l_linestatus, 'ALL') AS status,
-        | round(sum(l_extendedprice), 4) AS rev, count(*) AS n
+        | CAST(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(18,4)))
+        |   * 10000 AS BIGINT) / 10000.0 AS rev, count(*) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         |                        (l_linestatus), ())
@@ -1968,9 +1971,9 @@ object SparkEntry {
         |         sum(ttf.tf * grid.lp) AS s
         |       FROM ttf JOIN grid ON ttf.term = grid.term GROUP BY 1, 2, 3),
         |fin AS (SELECT sc.doc_id, sc.true_lang, sc.lang,
-        |          round(CAST(s AS DOUBLE) + prior_ln, 4) AS score,
+        |          CAST(floor((CAST(s AS DOUBLE) + prior_ln) * 10000.0) AS BIGINT) / 10000.0 AS score,
         |          row_number() OVER (PARTITION BY sc.doc_id
-        |            ORDER BY round(CAST(s AS DOUBLE) + prior_ln, 4) DESC,
+        |            ORDER BY CAST(floor((CAST(s AS DOUBLE) + prior_ln) * 10000.0) AS BIGINT) / 10000.0 DESC,
         |              sc.lang) AS rk
         |        FROM sc JOIN prl ON sc.lang = prl.lang)
         |SELECT doc_id, true_lang, lang AS pred_lang, score
@@ -2006,9 +2009,9 @@ object SparkEntry {
         |         sum(ttf.tf * grid.lp) AS s
         |       FROM ttf JOIN grid ON ttf.term = grid.term GROUP BY 1, 2, 3),
         |fin AS (SELECT sc.doc_id, sc.true_lang, sc.lang,
-        |          round(CAST(s AS DOUBLE) + prior_ln, 4) AS score,
+        |          CAST(floor((CAST(s AS DOUBLE) + prior_ln) * 10000.0) AS BIGINT) / 10000.0 AS score,
         |          row_number() OVER (PARTITION BY sc.doc_id
-        |            ORDER BY round(CAST(s AS DOUBLE) + prior_ln, 4) DESC,
+        |            ORDER BY CAST(floor((CAST(s AS DOUBLE) + prior_ln) * 10000.0) AS BIGINT) / 10000.0 DESC,
         |              sc.lang) AS rk
         |        FROM sc JOIN prl ON sc.lang = prl.lang),
         |t1 AS (SELECT doc_id,
@@ -2067,9 +2070,9 @@ object SparkEntry {
         |         sum(ttf.tf * grid.lp) AS s
         |       FROM ttf JOIN grid ON ttf.term = grid.term GROUP BY 1, 2, 3),
         |fin AS (SELECT sc.doc_id, sc.true_lang, sc.lang,
-        |          round(CAST(s AS DOUBLE) + prior_ln, 4) AS score,
+        |          CAST(floor((CAST(s AS DOUBLE) + prior_ln) * 10000.0) AS BIGINT) / 10000.0 AS score,
         |          row_number() OVER (PARTITION BY sc.doc_id
-        |            ORDER BY round(CAST(s AS DOUBLE) + prior_ln, 4) DESC,
+        |            ORDER BY CAST(floor((CAST(s AS DOUBLE) + prior_ln) * 10000.0) AS BIGINT) / 10000.0 DESC,
         |              sc.lang) AS rk
         |        FROM sc JOIN prl ON sc.lang = prl.lang),
         |t1 AS (SELECT doc_id, lang AS lang1,
@@ -3595,7 +3598,7 @@ object SparkEntry {
         |                           AND grid.fold = t.fold
         |       GROUP BY 1, 2, 3, 4),
         |fin AS (SELECT sc.doc_id, sc.fold, sc.true_lang, sc.lang,
-        |          round(CAST(s AS DOUBLE) + prior_ln, 4) AS score
+        |          CAST(floor((CAST(s AS DOUBLE) + prior_ln) * 10000.0) AS BIGINT) / 10000.0 AS score
         |        FROM sc JOIN pri ON pri.lang = sc.lang
         |                        AND pri.fold = sc.fold),
         |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
@@ -4313,7 +4316,8 @@ object SparkEntry {
         |  FROM ser
         |  UNION ALL
         |  SELECT event_type, ds, ys, n, t + 1,
-        |         list_append(es, 0.3 * ys[t+1] + (1 - 0.3) * es[t])
+        |         list_append(es, CAST(0.3 AS DOUBLE) * ys[t+1] +
+        |           (1.0 - CAST(0.3 AS DOUBLE)) * es[t])
         |  FROM step WHERE t < n),
         |fin AS (SELECT * FROM step WHERE t = n)
         |SELECT event_type, ds[i] AS day, ys[i] AS cnt,

@@ -475,11 +475,17 @@ object Analytics {
     * family: revenue + count per group, null grouping slots coalesced
     * to the 'ALL' sentinel, totally ordered. One definition — a
     * rounding or sentinel change cannot silently diverge the three
-    * entries (each still carries its own oracle string). */
+    * entries (each still carries its own oracle string). Revenue sums
+    * as EXACT DECIMAL and publishes as micro-BIGINT/1e4 (the r11
+    * contract): sum(double) is accumulation-order-dependent, and at
+    * the grand-total magnitude (~1e10, where a double ulp is ~2e-3)
+    * the ulp drift is VISIBLE at 4dp — caught by the derived-scale
+    * sweep on all three entries' total rows. */
   private def flagStatusAgg(
       grouped: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
     grouped
-      .agg(round(sum(col("l_extendedprice")), 4).as("rev"),
+      .agg((expr("cast(sum(cast(round(l_extendedprice, 4) as " +
+        "decimal(18,4))) * 10000 as bigint)") / 10000.0).as("rev"),
         count(lit(1)).as("n"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("flag"),

@@ -960,8 +960,13 @@ object TextOps {
       .groupBy(col("doc_id"), col("true_lang"), col("lang"))
       .agg(sum(col("__c")).as("__s"))
       .join(broadcast(priorLn), "lang")
+      // the DECIMAL sum + 6dp prior is an identical double in both
+      // engines; publish through floor (engine-identical) rather than
+      // round (rule-dependent at a 4dp half — caught by the r11
+      // derived-scale sweep on one document's log-likelihood)
       .select(col("doc_id"), col("true_lang"), col("lang"),
-        round(col("__s").cast("double") + col("prior_ln"), 4).as("score"))
+        (floor((col("__s").cast("double") + col("prior_ln")) *
+          lit(10000.0)) / 10000.0).as("score"))
   }
 
   /** Reliability-by-confidence table over the in-plan classifier —

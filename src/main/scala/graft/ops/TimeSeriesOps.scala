@@ -596,18 +596,23 @@ object TimeSeriesOps {
     sb ++= (1 to maxLag).map(k =>
       s"  max(CASE WHEN lg = $k THEN acf END) AS r$k").mkString(",\n")
     sb ++= "\n  FROM acf GROUP BY 1),\n"
-    // s1: φ11 and v1
-    sb ++= s"s1 AS (SELECT *, ${q("r1")} AS p1_1,\n"
+    // s1: φ11 and v1. Every recursion CTE is MATERIALIZED: left to
+    // its default, DuckDB INLINES the single-reference chain and the
+    // nested φ expressions expand combinatorially in the PLANNER —
+    // measured as an out-of-memory at ~100 GB on a 35-row result,
+    // at every SF (it is planner memory, not data). Materialization
+    // pins each step to its computed columns; values are identical.
+    sb ++= s"s1 AS MATERIALIZED (SELECT *, ${q("r1")} AS p1_1,\n"
     sb ++= s"  ${q(s"1.0 - (${q("r1")}) * (${q("r1")})")} AS v1 FROM rp)"
     for (k <- 2 to maxLag) {
       val acc = (1 until k).map(j => s"p${k - 1}_$j * r${k - j}")
         .mkString(" + ")
-      sb ++= s",\ns${k}a AS (SELECT *, CASE WHEN v${k - 1} = 0 THEN 0.0\n"
+      sb ++= s",\ns${k}a AS MATERIALIZED (SELECT *, CASE WHEN v${k - 1} = 0 THEN 0.0\n"
       sb ++= s"  ELSE ${q(s"(r$k - ($acc)) / v${k - 1}")} END AS p${k}_$k\n"
       sb ++= s"  FROM s${k - 1}),\n"
       val cols = (1 until k).map(j =>
         s"  ${q(s"p${k - 1}_$j - p${k}_$k * p${k - 1}_${k - j}")} AS p${k}_$j")
-      sb ++= s"s$k AS (SELECT *,\n"
+      sb ++= s"s$k AS MATERIALIZED (SELECT *,\n"
       sb ++= (cols :+
         s"  ${q(s"v${k - 1} * (1.0 - p${k}_$k * p${k}_$k)")} AS v$k")
         .mkString(",\n")
