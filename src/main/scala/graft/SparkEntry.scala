@@ -30,6 +30,20 @@ object SparkEntry {
     "q6_revenue_change"  -> (Analytics.revenueChange _),
     // Q4-flavored: EXISTS semi-join so multi-late orders count once
     "q4_priority_late"   -> (Analytics.latePriorityReport _),
+    // TPC-H completion block (r11): the remaining classic shapes this
+    // schema can express — bilateral volume, market-share and promo
+    // ppm ratios (exact integer floor division of micro sums), the
+    // scalar-max top supplier, the exact-integer small-qty gate, and
+    // the shrink-then-join large-orders HAVING
+    "q7_nation_volume"   -> ((s, d) => Analytics.nationVolume(s, d)),
+    "q8_market_share"    -> ((s, d) => Analytics.marketShare(s, d)),
+    "q14_promo_revenue"  -> (Analytics.promoRevenue _),
+    "q15_top_supplier"   -> (Analytics.topSupplier _),
+    "q17_small_qty_revenue" -> ((s, d) => Analytics.smallQtyRevenue(s, d)),
+    "q18_large_orders"   -> ((s, d) => Analytics.largeOrders(s, d)),
+    "q13_order_counts"   -> (Analytics.orderCountDist _),
+    "q19_discount_bands" -> (Analytics.discountBands _),
+    "q22_global_sales"   -> (Analytics.globalSales _),
     "q_count_by_type"    -> (Analytics.countByType _),
     "q_union_counts"     -> (Analytics.unionCounts _),
     "q_per_day_type"     -> (Analytics.perDayType _),
@@ -1129,6 +1143,149 @@ object SparkEntry {
         |              WHERE l_orderkey = o_orderkey
         |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // TPC-H completion block (r11). Shared arithmetic contract with
+    // the Spark faces: per-row revenue micro units are
+    // CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)
+    // (price/discount are exact 2dp, so the product is an exact 4dp
+    // grid value both engines snap to identically); group sums are
+    // BIGINT-exact; ratios are integer floor divisions widened to
+    // HUGEINT (the BIGINT·1e6 product overflows at per-year sf1
+    // magnitudes) and cast back to BIGINT so pandas renders int64.
+    "q7_nation_volume" ->
+      """WITH rev AS (
+        |  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        |    EXTRACT(year FROM l_shipdate) AS l_year,
+        |    CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |      AS BIGINT) AS rm
+        |  FROM lineitem, orders, customer, supplier, nation ns, nation nc
+        |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |    AND l_suppkey = s_suppkey
+        |    AND s_nationkey = ns.n_nationkey
+        |    AND c_nationkey = nc.n_nationkey
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |    AND ((ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_8') OR
+        |         (ns.n_name = 'NATION_8' AND nc.n_name = 'NATION_3')))
+        |SELECT supp_nation, cust_nation, l_year,
+        |  sum(rm) / 10000.0 AS rev
+        |FROM rev GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q8_market_share" ->
+      """WITH rev AS (
+        |  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+        |    CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |      AS BIGINT) AS rm,
+        |    (SELECT n_nationkey FROM nation
+        |     WHERE n_name = 'NATION_3') = s_nationkey AS is_share
+        |  FROM lineitem, part, orders, customer, supplier,
+        |       nation n, region
+        |  WHERE l_partkey = p_partkey AND l_orderkey = o_orderkey
+        |    AND o_custkey = c_custkey AND l_suppkey = s_suppkey
+        |    AND c_nationkey = n.n_nationkey
+        |    AND n.n_regionkey = r_regionkey
+        |    AND r_name = 'ASIA' AND p_type = 'PROMO')
+        |SELECT o_year,
+        |  CAST(CAST(sum(CASE WHEN is_share THEN rm ELSE 0 END)
+        |         AS HUGEINT) * 1000000 // sum(rm) AS BIGINT)
+        |    AS share_ppm,
+        |  sum(CASE WHEN is_share THEN rm ELSE 0 END) / 10000.0
+        |    AS nation_rev,
+        |  sum(rm) / 10000.0 AS total_rev
+        |FROM rev GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q14_promo_revenue" ->
+      """WITH rev AS (
+        |  SELECT EXTRACT(year FROM l_shipdate) AS l_year,
+        |    CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |      AS BIGINT) AS rm,
+        |    p_type = 'PROMO' AS is_promo
+        |  FROM lineitem, part WHERE l_partkey = p_partkey)
+        |SELECT l_year,
+        |  CAST(CAST(sum(CASE WHEN is_promo THEN rm ELSE 0 END)
+        |         AS HUGEINT) * 1000000 // sum(rm) AS BIGINT)
+        |    AS promo_ppm,
+        |  sum(CASE WHEN is_promo THEN rm ELSE 0 END) / 10000.0
+        |    AS promo_rev,
+        |  sum(rm) / 10000.0 AS total_rev
+        |FROM rev GROUP BY l_year ORDER BY l_year""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH per AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |      AS BIGINT)) AS rm
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, rm / 10000.0 AS total_rev
+        |FROM per, supplier
+        |WHERE l_suppkey = s_suppkey AND rm = (SELECT max(rm) FROM per)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH li AS (
+        |  SELECT l_partkey AS pk, CAST(l_quantity AS BIGINT) AS qc,
+        |    CAST(round(l_extendedprice * 10000) AS BIGINT) AS ep_micro
+        |  FROM lineitem, part
+        |  WHERE l_partkey = p_partkey AND p_brand = 'Brand#1'),
+        |stats AS (
+        |  SELECT pk, sum(qc) AS sumq, count(*) AS nq
+        |  FROM li GROUP BY pk)
+        |SELECT count(*) AS n_lines,
+        |  (sum(ep_micro) // 7) / 10000.0 AS avg_yearly
+        |FROM li, stats
+        |WHERE li.pk = stats.pk AND qc * 5 * nq < sumq""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        |  sum_qty
+        |FROM big, orders, customer
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q13_order_counts" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q19_discount_bands" ->
+      """SELECT count(*) AS n_lines,
+        |  sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |    AS BIGINT)) / 10000.0 AS revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey AND (
+        |  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        |    AND l_quantity BETWEEN 1 AND 11) OR
+        |  (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 10 AND 20) OR
+        |  (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
+    "q22_global_sales" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey % 5 AS cntrycode,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |pos AS (
+        |  SELECT CAST(sum(bal_cents) AS BIGINT) AS pos_sum,
+        |    count(*) AS pos_n
+        |  FROM cust WHERE bal_cents > 0),
+        |per AS (
+        |  SELECT c.c_custkey, c.cntrycode, c.bal_cents,
+        |    count(o_orderkey) AS n_ord
+        |  FROM cust c LEFT OUTER JOIN orders ON c.c_custkey = o_custkey
+        |  GROUP BY 1, 2, 3),
+        |oa AS (
+        |  SELECT CAST(sum(n_ord) AS BIGINT) AS ord_sum,
+        |    count(*) AS cust_n
+        |  FROM per)
+        |SELECT cntrycode, count(*) AS numcust,
+        |  sum(bal_cents) / 100.0 AS totacctbal
+        |FROM per, pos, oa
+        |WHERE bal_cents * pos_n > pos_sum AND n_ord * cust_n < ord_sum
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
     "q_count_by_type" ->
       """SELECT event_type, count(*) AS ride_count
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -1317,24 +1474,24 @@ object SparkEntry {
     "q_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         | coalesce(l_linestatus, 'ALL') AS status,
-        | CAST(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(18,4)))
-        |   * 10000 AS BIGINT) / 10000.0 AS rev, count(*) AS n
+        | sum(CAST(round(l_extendedprice * 10000) AS BIGINT)) / 10000.0
+        |   AS rev, count(*) AS n
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         | coalesce(l_linestatus, 'ALL') AS status,
-        | CAST(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(18,4)))
-        |   * 10000 AS BIGINT) / 10000.0 AS rev, count(*) AS n
+        | sum(CAST(round(l_extendedprice * 10000) AS BIGINT)) / 10000.0
+        |   AS rev, count(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
     "q_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         | coalesce(l_linestatus, 'ALL') AS status,
-        | CAST(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(18,4)))
-        |   * 10000 AS BIGINT) / 10000.0 AS rev, count(*) AS n
+        | sum(CAST(round(l_extendedprice * 10000) AS BIGINT)) / 10000.0
+        |   AS rev, count(*) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         |                        (l_linestatus), ())

@@ -476,16 +476,19 @@ object Analytics {
     * to the 'ALL' sentinel, totally ordered. One definition — a
     * rounding or sentinel change cannot silently diverge the three
     * entries (each still carries its own oracle string). Revenue sums
-    * as EXACT DECIMAL and publishes as micro-BIGINT/1e4 (the r11
-    * contract): sum(double) is accumulation-order-dependent, and at
-    * the grand-total magnitude (~1e10, where a double ulp is ~2e-3)
-    * the ulp drift is VISIBLE at 4dp — caught by the derived-scale
-    * sweep on all three entries' total rows. */
+    * per-row EXACT 1e-4 micro units (LONG) and publishes /1e4 (the
+    * r11 contract): sum(double) is accumulation-order-dependent, and
+    * at the grand-total magnitude (~1e10, where a double ulp is
+    * ~2e-3) the ulp drift is VISIBLE at 4dp — caught by the
+    * derived-scale sweep on all three entries' total rows. The first
+    * exact fix summed DECIMAL(18,4), equally correct but ~3× slower
+    * than this LONG sum (decimal128 aggregation falls out of the
+    * vectorized path; integer sums stay whole-stage-codegen'd). */
   private def flagStatusAgg(
       grouped: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
     grouped
-      .agg((expr("cast(sum(cast(round(l_extendedprice, 4) as " +
-        "decimal(18,4))) * 10000 as bigint)") / 10000.0).as("rev"),
+      .agg((sum(round(col("l_extendedprice") * 10000).cast("long")) / 10000.0)
+        .as("rev"),
         count(lit(1)).as("n"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
@@ -2398,5 +2401,257 @@ object Analytics {
         expr("km * 5 div n + 1").as("m"))
       .withColumn("segment", col("r") * 100 + col("f") * 10 + col("m"))
       .orderBy(col("custkey"))
+  }
+
+  // ------------------------------------------------------------------
+  // TPC-H completion block (round 11): the remaining classic decision-
+  // support shapes expressible on this schema (no partsupp table, no
+  // commit/receipt dates or ship modes — Q2/Q9/Q11/Q12/Q16/Q19/Q20/Q21
+  // are not expressible and are documented out in SURVEY §2). All
+  // revenue follows the r11 exact-arithmetic contract: per-row
+  // round(·,4) → DECIMAL(18,4) → exact sum → publish as micro-BIGINT
+  // / 1e4 (engine-portable, accumulation-order-independent); every
+  // ratio is an integer floor division of exact integer micro sums
+  // (ppm), never a double division that could split on rendering.
+  // ------------------------------------------------------------------
+
+  /** Per-row revenue in EXACT 1e-4 micro units (BIGINT). price and
+    * discount are exact 2dp in this data, so the true revenue is an
+    * exact 4dp decimal; the double product sits within ulps of that
+    * grid point and round() snaps both engines to it identically. */
+  private def revMicro: Column =
+    round(revenue * 10000).cast("long")
+
+  /** micro-BIGINT → the published 4dp double face (identical integer
+    * division in both engines; the quotient is a 4dp grid value). */
+  private def microFace(c: Column): Column = c / 10000.0
+
+  /** TPC-H Q7 (volume shipping): bilateral trade volume between two
+    * nations by (supplier nation, customer nation, ship year). The
+    * fact spine is lineitem⋈orders⋈customer with supplier on the
+    * line's suppkey; both nation legs broadcast (25 rows), and the
+    * nation-pair predicate prunes BEFORE the group-by, so the shuffle
+    * carries only the two nations' lines. customer/supplier join
+    * strategy is left to AQE (broadcast while they fit the
+    * threshold, shuffle past it — the q5 posture). */
+  def nationVolume(s: SparkSession, d: String,
+                   nationA: String = "NATION_3",
+                   nationB: String = "NATION_8"): DataFrame = {
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sk"))
+      .join(broadcast(n2), col("c_nationkey") === col("ck"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+              (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(microFace(sum(revMicro)).as("rev"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8 (national market share): of all PROMO-type part sales
+    * to customers in one region, what fraction (ppm) came from one
+    * supplier nation, per order year? The share is an integer floor
+    * division of two exact micro sums — sums can reach ~1e14 micro
+    * units at sf1 and ×1e6 overflows a LONG, so the numerator widens
+    * to DECIMAL(38,0) before the integral divide (the q_cuped moment-
+    * product precedent). part is filtered BEFORE the join and the
+    * share nation resolves through the broadcast nation dim. */
+  def marketShare(s: SparkSession, d: String,
+                  regionName: String = "ASIA",
+                  partType: String = "PROMO",
+                  shareNation: String = "NATION_3"): DataFrame = {
+    val r = Tables.region(s, d).filter(col("r_name") === regionName)
+    val n = Tables.nation(s, d)
+    val p = Tables.part(s, d).filter(col("p_type") === partType)
+    val sn = Tables.nation(s, d).filter(col("n_name") === shareNation)
+      .select(col("n_nationkey").as("share_nk"))
+    Tables.lineitem(s, d)
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("share_nk"), "left")
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("share_nk").isNotNull, revMicro).otherwise(lit(0L)))
+          .as("__nat"),
+        sum(revMicro).as("__tot"))
+      .select(col("o_year"),
+        expr("cast(cast(__nat as decimal(38,0)) * 1000000 div __tot as bigint)")
+          .as("share_ppm"),
+        microFace(col("__nat")).as("nation_rev"),
+        microFace(col("__tot")).as("total_rev"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q14 (promotion effect): revenue share (ppm) of PROMO-type
+    * parts per ship year. The p_type flag rides the broadcast-or-AQE
+    * part join; one shuffle to the year grain; the ppm ratio is the
+    * same exact integer floor division as marketShare. */
+  def promoRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("l_shipdate")).as("l_year"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", revMicro).otherwise(lit(0L)))
+          .as("__promo"),
+        sum(revMicro).as("__tot"))
+      .select(col("l_year"),
+        expr("cast(cast(__promo as decimal(38,0)) * 1000000 div __tot " +
+          "as bigint)").as("promo_ppm"),
+        microFace(col("__promo")).as("promo_rev"),
+        microFace(col("__tot")).as("total_rev"))
+      .orderBy(col("l_year"))
+
+  /** TPC-H Q15 (top supplier): supplier(s) with the maximum quarterly
+    * revenue. The max is a 1-row scalar aggregate broadcast back onto
+    * the per-supplier frame and compared as an INTEGER (micro units)
+    * — exact equality, no double-rendering tie ambiguity (the
+    * q_scalar_subquery posture). Ties all surface, ordered by key. */
+  def topSupplier(s: SparkSession, d: String): DataFrame = {
+    val perSupp = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revMicro).as("__rev"))
+    val mx = perSupp.agg(max(col("__rev")).as("__mx"))
+    perSupp.crossJoin(broadcast(mx))
+      .filter(col("__rev") === col("__mx"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        microFace(col("__rev")).as("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q17 (small-quantity-order revenue): average yearly revenue
+    * lost if small-quantity orders for one brand's parts stopped.
+    * The "below 20% of the part's average quantity" gate is the
+    * boundary trap: 0.2·avg(double) can land exactly on an integer
+    * quantity and the partial-agg ulp decides the comparison — so the
+    * gate is EXACT INTEGER algebra instead: qty < 0.2·(Σq/n) ⇔
+    * 5·q·n < Σq with q integral (quantities are integer-valued in
+    * this data; Σ 5·q·n stays far under LONG range). Per-part stats
+    * come from a self-aggregate of the brand's lines joined back on
+    * partkey — the scan prunes on the broadcast part-filter FIRST,
+    * so the self-join is brand-cardinality, never full lineitem². */
+  def smallQtyRevenue(s: SparkSession, d: String,
+                      brand: String = "Brand#1"): DataFrame = {
+    val p = Tables.part(s, d).filter(col("p_brand") === brand)
+      .select(col("p_partkey"))
+    val li = Tables.lineitem(s, d)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey").as("pk"),
+        col("l_quantity").cast("long").as("qc"),
+        round(col("l_extendedprice") * 10000).cast("long").as("ep_micro"))
+    val stats = li.groupBy(col("pk"))
+      .agg(sum(col("qc")).as("sumq"), count(lit(1)).as("nq"))
+    li.join(stats, "pk")
+      .filter(col("qc") * 5 * col("nq") < col("sumq"))
+      .agg(count(lit(1)).as("n_lines"),
+        (expr("sum(ep_micro) div 7") / 10000.0).as("avg_yearly"))
+  }
+
+  /** TPC-H Q13 (customer order-count distribution): how many
+    * customers placed k orders, for every k. The LEFT OUTER join
+    * keeps zero-order customers (count(o_orderkey) counts only
+    * matches, so they land in the k=0 bucket — this data has none,
+    * but the shape must not assume that), then a second, tiny
+    * aggregate over the customer-grain counts. Pure counting — no
+    * doubles anywhere. */
+  def orderCountDist(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+        "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q19 (discounted revenue): revenue from three disjunctive
+    * brand/size/quantity bands — the OR-of-ANDs predicate-pushdown
+    * exercise (the disjunction reaches the part and lineitem scans
+    * as per-leg bounds; the brand/size legs ride the part join).
+    * One scalar row, micro-BIGINT revenue. */
+  def discountBands(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+    val band1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+      col("l_quantity").between(1, 11)
+    val band2 = col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+      col("l_quantity").between(10, 20)
+    val band3 = col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+      col("l_quantity").between(20, 30)
+    Tables.lineitem(s, d)
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .filter(band1 || band2 || band3)
+      .agg(count(lit(1)).as("n_lines"),
+        microFace(sum(revMicro)).as("revenue"))
+  }
+
+  /** TPC-H Q22-flavored (global sales opportunity): high-balance,
+    * below-average-engagement customers per country code (this data
+    * has no c_phone, so cntrycode = nationkey mod 5 = the region
+    * axis; and every customer has orders, so "no orders in 7 years"
+    * adapts to "order count below the customer average"). BOTH gates
+    * are the Q17 boundary-trap class (x > avg(double) flips on
+    * partial-agg ulp order when x sits exactly on the mean) and both
+    * run as EXACT INTEGER cross-multiplications instead:
+    * bal_cents·n⁺ > Σ⁺_cents (positive-balance mean) and
+    * cnt·n_cust < Σ_orders. The two scalar thresholds broadcast as
+    * 1-row frames (the q15 posture). */
+  def globalSales(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(col("c_custkey"),
+      (col("c_nationkey") % 5).as("cntrycode"),
+      round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    val posAvg = cust.filter(col("bal_cents") > 0)
+      .agg(sum(col("bal_cents")).as("pos_sum"),
+        count(lit(1)).as("pos_n"))
+    val perCust = cust
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+        "left_outer")
+      .groupBy(col("c_custkey"), col("cntrycode"), col("bal_cents"))
+      .agg(count(col("o_orderkey")).as("n_ord"))
+    val ordAvg = perCust.agg(sum(col("n_ord")).as("ord_sum"),
+      count(lit(1)).as("cust_n"))
+    perCust.crossJoin(broadcast(posAvg)).crossJoin(broadcast(ordAvg))
+      .filter(col("bal_cents") * col("pos_n") > col("pos_sum") &&
+        col("n_ord") * col("cust_n") < col("ord_sum"))
+      .groupBy(col("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        (sum(col("bal_cents")) / 100.0).as("totacctbal"))
+      .orderBy(col("cntrycode"))
+  }
+
+  /** TPC-H Q18 (large-volume customers): orders whose total quantity
+    * exceeds a threshold, with their customer. The HAVING gate runs
+    * on the order-grain aggregate BEFORE the customer join (the
+    * shrink-then-join posture: only qualifying orders shuffle to the
+    * dim side); quantities are integral so the sum and gate are exact
+    * LONG arithmetic. Output ordered (o_totalprice DESC, orderkey)
+    * with a top-N cap — o_totalprice is a raw 2dp column, not an
+    * aggregate, so publishing it raw is rendering-safe. */
+  def largeOrders(s: SparkSession, d: String, minQty: Long = 250,
+                  topN: Int = 100): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    big.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(topN)
   }
 }
