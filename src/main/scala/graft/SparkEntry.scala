@@ -824,6 +824,10 @@ object SparkEntry {
     // derives the same width from count(*) over prefix-stable planes
     "dedup_embedding_lsh" -> ((s, d) =>
       DedupOps.embeddingPairsLsh(s, d, threshold = 0.45, nTables = 4)),
+    // SemDeDup: k-means cells confine the cosine quadratic to
+    // fixed-size clusters (candidate pairs LINEAR in the corpus);
+    // assignment + gate are pure integer arithmetic, fully oracled
+    "dedup_semantic" -> ((s, d) => DedupOps.semanticDedup(s, d)),
     // §2.5 similarity search
     "ann_bruteforce_topk" -> ((s, d) => SimilarityOps.bruteForceTopK(s, d)),
     // per-label centroids: float sums are order-dependent, so both
@@ -887,6 +891,9 @@ object SparkEntry {
     // bigram LM with stupid backoff, trained on the even-doc_id half:
     // shuffled-word spam scores high on unigrams but backs off here
     "text_lm_bigram"   -> (TextOps.lmScoreBigram _),
+    // CCNet head/middle/tail terciles per language over the lm score;
+    // rank via the distributed PrefixSum, never a hot-language window
+    "text_ccnet_buckets" -> (TextOps.ccnetBuckets _),
     // intra-doc line dedup: the corpus has no newlines, so the entry
     // PLANTS a boilerplate line (the doc's first 40 chars) twice after
     // the body — mirrored in the oracle — making the dedup bite on
@@ -957,6 +964,9 @@ object SparkEntry {
       CurateOps.curateWeb(Tables.documents(s, d)
         .select(col("doc_id"), col("text"), messy.as("url")))
     }),
+    // DSIR importance resampling toward the English slice: hashed
+    // unigram log-ratios → exact micro-unit weights → Gumbel top-1/4
+    "curate_dsir" -> ((s, d) => CurateOps.dsirSample(s, d)),
     // §2.7 multimodal — REAL codec work: synthesize byte-level
     // WAV/BMP payloads deterministically from doc_id, parse them with
     // the header-walking decoders; features have closed forms so the
@@ -968,6 +978,9 @@ object SparkEntry {
     // spec-tested to cross-engine oracled (probed samples have
     // closed forms)
     "mm_gate" -> ((s, d) => MultimodalOps.mediaGate(s, d)),
+    // video frame sampling: header walk → every-3rd-frame decode →
+    // exact-integer luma + shot-cut flags; closed-form oracled
+    "mm_video_sample" -> ((s, d) => MultimodalOps.videoSample(s, d)),
     // perceptual image near-dup: brightness-shifted re-encodes (bytes
     // differ, exact dedup blind) collide on the integer-threshold
     // aHash; row-local synth+hash, one hash-key count + equi-join
@@ -5562,6 +5575,11 @@ object SparkEntry {
     // SQL by the generators in SimilarityOps (see the precision
     // contract documented there).
     "dedup_embedding_lsh" -> graft.ops.SimilarityOps.embeddingLshOracleSql(),
+    // SemDeDup: the Lloyd's loop unrolled on shifted integer
+    // coordinates, then the in-cluster HUGEINT cosine gate
+    "dedup_semantic" -> graft.ops.DedupOps.semanticDedupOracleSql(),
+    "curate_dsir" -> graft.ops.CurateOps.dsirOracleSql(),
+    "text_ccnet_buckets" -> graft.ops.TextOps.ccnetBucketsOracleSql(),
     "ann_lsh_topk" -> graft.ops.SimilarityOps.lshOracleSql(),
     "ann_ivf_topk" -> graft.ops.SimilarityOps.ivfOracleSql(),
     "emb_project_rp" -> graft.ops.SimilarityOps.rpOracleSql(),
@@ -6118,6 +6136,9 @@ object SparkEntry {
     // are order-independent and the 4dp-rounded features match
     // bit-for-bit across engines.
     // the clip probes frames [16, 48) (2ms·8kHz .. 6ms·8kHz) of the
+    // frame sampling: every pixel of every SAMPLED frame recomputed
+    // from the synth formula over ranges — integer means, lag window
+    "mm_video_sample" -> graft.ops.MultimodalOps.videoSampleOracleSql(),
     // synth sequence; the 2×2 thumbnail samples file rows {0, h//2} ×
     // cols {0, w//2} of the synth pixel formula — nearest-neighbor's
     // exact picks. Gates compare the 4dp-rounded metric on BOTH sides.

@@ -53,6 +53,34 @@ object VectorKernels {
     }
     s
   }
+
+  /** Exact BIGINT dot of two pre-quantized long arrays — the integer
+    * counterpart of [[dotQ6]] for operators whose whole pipeline is
+    * already on the 1e-6 fixed-point lattice (semantic dedup): every
+    * product of 1e-6-unit coordinates is ≤ ~1e12 and the 64-dim sum
+    * ≤ ~1e14, far inside Long. */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    s
+  }
+
+  /** Exact BIGINT squared distance of two pre-quantized long arrays
+    * (k-means assignment): per-dim deltas of shifted 1e-6-unit
+    * coordinates are ≤ 2e6, squares ≤ 4e12, the 64-dim sum ≤ ~3e14. */
+  def sqDistLong(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
 }
 
 abstract class FloatVecBinary extends BinaryExpression {
@@ -70,6 +98,45 @@ abstract class FloatVecBinary extends BinaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
       s"graft.functions.VectorKernels.$kernel($a, $b)")
+}
+
+/** Long-array sibling of [[FloatVecBinary]]: (array<long>,
+  * array<long>) → long, evaluated by one static call inside
+  * whole-stage codegen. */
+abstract class LongVecBinary extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.LongType, _),
+            ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<bigint>), got $other")
+    }
+  protected def kernel: String
+  override protected def nullSafeEval(a: Any, b: Any): Any = eval0(a, b)
+  protected def eval0(a: Any, b: Any): Long
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.$kernel($a, $b)")
+}
+
+case class DotLong(left: Expression, right: Expression) extends LongVecBinary {
+  override protected def kernel: String = "dotLong"
+  override protected def eval0(a: Any, b: Any): Long =
+    VectorKernels.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(l, r)
+  override def prettyName: String = "dot_long"
+}
+
+case class SqDistLong(left: Expression, right: Expression) extends LongVecBinary {
+  override protected def kernel: String = "sqDistLong"
+  override protected def eval0(a: Any, b: Any): Long =
+    VectorKernels.sqDistLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(l, r)
+  override def prettyName: String = "sq_dist_long"
 }
 
 case class CosineSim(left: Expression, right: Expression) extends FloatVecBinary {
@@ -110,4 +177,10 @@ object VectorExprs {
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def dotLong(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def sqDistLong(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SqDistLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation — the composed filter chain a training
@@ -133,4 +134,120 @@ object CurateOps {
       // IS the quality ranking, with a unique sort key
       .orderBy(col("cum_tokens"))
   }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.
+    * 2023, arXiv:2302.03169): re-weight a raw corpus toward a TARGET
+    * distribution using hashed n-gram features, then Gumbel-top-k
+    * sample by importance. The registered face targets the English
+    * slice (`lang = 'en'`) — the canonical "make the web crawl look
+    * like the curated set" move — keeping the top quarter.
+    *
+    * Shape: terms hash to `buckets` features by the 60-bit md5-prefix
+    * integer (the hashing-trick contract, TextOps.featureHashing);
+    * bucket counts under target/raw fit two map-side-combinable
+    * aggregates over ONE cached token scan; per-bucket log-ratios
+    * λ_b = ln(p̂_target(b)/p̂_raw(b)) (add-one smoothed) ride a
+    * bucket-sized broadcast; a document's importance weight is the
+    * count-weighted λ sum over its own buckets. Sampling ∝ exp(w) is
+    * the Gumbel trick — add g = −ln(−ln(u)) per doc and take the top
+    * k — with u an md5 coin, so the draw is deterministic and
+    * replayable. Selection rank comes from the distributed
+    * [[PrefixSum]], never a global window.
+    *
+    * Parity engineering: λ and g floor-quantize to 1e-6 micro-units
+    * (the ml_logreg_gd transcendental contract — ln of identical
+    * rationals, a boundary hit needs a ~1e-10 coincidence) and
+    * weights/scores are then exact BIGINT micro-unit sums, published
+    * as-is (`w6`, `score6` — no double forms after the quantize). */
+  def dsirSample(s: SparkSession, d: String, buckets: Int = 64,
+                 keepDenom: Long = 4L): DataFrame =
+    dsirOn(Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text")),
+      col("lang") === "en", buckets, keepDenom)
+
+  /** Same over any (doc_id, lang, text) frame; `target` is the
+    * boolean membership predicate of the target distribution,
+    * `keepDenom` the inverse keep fraction (4 = keep the top 1/4,
+    * ceil). */
+  def dsirOn(docs: DataFrame, target: Column, buckets: Int,
+             keepDenom: Long): DataFrame = {
+    // cached: the token scan feeds the bucket-count aggregate AND the
+    // per-doc feature counts (the lmScoreOn contract)
+    val tok = Tables.spread(docs)
+      .select(col("doc_id"), target.as("__t"),
+        explode(TextOps.toks(col("text"))).as("term"))
+      .select(col("doc_id"), col("__t"),
+        (conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long")
+          % buckets).as("bkt"))
+      .cache()
+    val counts = tok.groupBy(col("bkt")).agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("tb"),
+      count(lit(1)).as("rb"))
+    val totals = counts.agg(sum(col("tb")).as("tt"), sum(col("rb")).as("rt"))
+    // buckets no term ever hashed to need no λ row: no document can
+    // carry a count there, so they contribute 0 to every weight
+    val lam = counts.crossJoin(broadcast(totals))
+      .select(col("bkt"),
+        floor(lit(1000000.0) * log(
+          ((col("tb") + 1).cast("double") / (col("tt") + buckets)) /
+          ((col("rb") + 1).cast("double") / (col("rt") + buckets))))
+          .cast("long").as("l6"))
+    val w = tok.groupBy(col("doc_id"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(lam), "bkt")
+      .groupBy(col("doc_id")).agg(sum(col("c") * col("l6")).as("w6"))
+    // md5 coin in (0,1) strictly (the +0.5 centering keeps both
+    // endpoints out, so −ln(−ln u) never hits an infinity)
+    val scored = w.withColumn("score6",
+      col("w6") + floor(lit(-1000000.0) * log(negate(log(
+        (conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit("_dsir"))), 1, 15), 16, 10).cast("double") + 0.5) /
+          lit(1152921504606846976.0))))).cast("long"))
+    val nDocs = docs.count()
+    val keepN = (nDocs + keepDenom - 1) / keepDenom
+    PrefixSum.exclusive(scored,
+        Seq(col("score6").desc, col("doc_id").asc), lit(1))
+      .filter(col("__cum") < keepN)
+      .select(col("doc_id"), (col("__cum") + 1).as("rank"),
+        col("w6"), col("score6"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("rank"),
+        col("w6"), col("score6"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replica of [[dsirSample]]: same md5 hashing, smoothing,
+    * 1e-6 floor quantization, Gumbel coin, and ceil cutoff; sums cast
+    * to BIGINT so pandas never sees a HUGEINT (the rendering class
+    * the gate's dtype check exists for). */
+  private[graft] def dsirOracleSql(buckets: Int = 64,
+                                   keepDenom: Long = 4L): String =
+    s"""WITH tok AS (SELECT doc_id, lang = 'en' AS t,
+       |    CAST(('0x' || substr(md5(term), 1, 15))::UBIGINT % $buckets
+       |      AS BIGINT) AS bkt
+       |  FROM (SELECT doc_id, lang,
+       |      unnest(string_split_regex(trim(text), '\\s+')) AS term
+       |    FROM documents)),
+       |c AS (SELECT bkt, sum(CASE WHEN t THEN 1 ELSE 0 END) AS tb,
+       |    count(*) AS rb FROM tok GROUP BY 1),
+       |tt AS (SELECT CAST(sum(tb) AS BIGINT) AS tt,
+       |    CAST(sum(rb) AS BIGINT) AS rt FROM c),
+       |lam AS (SELECT bkt, CAST(floor(1000000.0 * ln(
+       |    ((tb + 1) * 1.0 / (tt.tt + $buckets)) /
+       |    ((rb + 1) * 1.0 / (tt.rt + $buckets)))) AS BIGINT) AS l6
+       |  FROM c, tt),
+       |w AS (SELECT doc_id, CAST(sum(c * l6) AS BIGINT) AS w6
+       |  FROM (SELECT doc_id, bkt, count(*) AS c FROM tok GROUP BY 1, 2)
+       |  JOIN lam USING (bkt) GROUP BY 1),
+       |sc AS (SELECT doc_id, w6, w6 + CAST(floor(-1000000.0 * ln(-ln(
+       |    (CAST(('0x' || substr(md5(doc_id::VARCHAR || '_dsir'), 1, 15))
+       |      ::UBIGINT AS DOUBLE) + 0.5) / 1152921504606846976.0)))
+       |    AS BIGINT) AS score6 FROM w),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |r AS (SELECT doc_id, w6, score6, row_number()
+       |    OVER (ORDER BY score6 DESC, doc_id) AS rank FROM sc)
+       |SELECT r.doc_id, d.lang, r.rank, r.w6, r.score6
+       |FROM r JOIN documents d USING (doc_id), n
+       |WHERE r.rank <= (n.n + ${keepDenom - 1}) // $keepDenom
+       |ORDER BY r.doc_id""".stripMargin
 }

@@ -906,6 +906,150 @@ object DedupOps {
       .orderBy(col("id1"), col("id2"))
   }
 
+  // ---- Semantic dedup (SemDeDup) ---------------------------------------
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    * embedding space, then prune semantic duplicates WITHIN each
+    * cluster — pairs whose cosine clears `tau` are redundant
+    * paraphrases/templates even when no shingle overlaps, and the
+    * clustering confines the quadratic comparison to cluster-sized
+    * buckets (the LSH-band role, played by k-means cells). Per doc:
+    * its cluster, how many LOWER-id in-cluster docs shadow it, and
+    * the kept verdict (kept ⟺ unshadowed — the deterministic
+    * stand-in for the paper's keep-one-per-group; min-id wins, the
+    * house convention every dedup face uses).
+    *
+    * Scale: k derives from the corpus count as ceil(n/`cell`) —
+    * FIXED expected cluster size, so candidate pairs are
+    * k·(n/k)²/2 = n·cell/2, LINEAR in the corpus (vs the all-pairs
+    * n²/2 of dedup_embedding, which exists as the exact baseline).
+    * The count behind k is one metadata-cheap job (the adaptiveBits
+    * posture). Assignment reuses [[MlOps.kmeansAssign]] — narrow
+    * dim-keyed joins, no array rebuilds; the pair stage self-joins on
+    * the cluster key only.
+    *
+    * Parity engineering: coordinates quantize ONCE to 1e-6 BIGINTs;
+    * the assignment is the kmeansPlan fixed-point integer contract,
+    * and the cosine gate runs as an exact integer cross-
+    * multiplication (the q22 posture): cos ≥ τ ⟺ dot > 0 ∧
+    * dot²·1e8 ≥ τm²·‖a‖²·‖b‖², with dot² and the norm product
+    * widened to DECIMAL(38,0) (dot ≤ d·1e12 overflows BIGINT when
+    * squared — the q8 widening precedent). No double ever forms, so
+    * no rounding boundary exists for the engines to disagree on.
+    * Per-pair dots and norms run through the codegen'd exact-integer
+    * [[graft.functions.VectorKernels.dotLong]] kernel (the CosineSim
+    * posture — interpreted zip_with lambdas measured ~3× slower over
+    * the sf1 candidate volume), and the many-cluster assignment is
+    * [[MlOps.kmeansAssignArr]]'s broadcast-centroid row-local argmin
+    * rather than the exploded dim join (whose n·d·k rows per round
+    * measured 77s vs 8s at derived sf1). */
+  def semanticDedup(s: SparkSession, d: String, tauMicro4: Long = 2000L,
+                    iters: Int = 2, cell: Long = 256L): DataFrame =
+    semanticDedupOn(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      tauMicro4, iters, cell)
+
+  /** Same over any (vec_id, embedding) frame. `tauMicro4` is the
+    * cosine threshold in 1e-4 units (2000 = 0.20). */
+  def semanticDedupOn(emb: DataFrame, tauMicro4: Long, iters: Int,
+                      cell: Long): DataFrame = {
+    val n = emb.count()
+    val k = math.max(4L, math.ceil(n.toDouble / cell).toLong)
+    // one materialization feeds the assignment AND both pair sides
+    // (the PrefixSum ownership contract)
+    val q = Tables.spread(emb)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000000, 0).cast("long")).as("q6"))
+      .localCheckpoint(false)
+    val asg = MlOps.kmeansAssignArr(
+        q.select(col("vec_id"),
+          transform(col("q6"), x => x + 1000000L).as("a6")),
+        k, iters)
+      .select("vec_id", "cluster")
+    val withC = q.join(asg, "vec_id")
+      .withColumn("nn",
+        graft.functions.VectorExprs.dotLong(col("q6"), col("q6")))
+    val lhs = withC.select(col("cluster"), col("vec_id").as("i"),
+      col("q6").as("qa"), col("nn").as("na"))
+    val rhs = withC.select(col("cluster"), col("vec_id").as("j"),
+      col("q6").as("qb"), col("nn").as("nb"))
+    val dec = "decimal(38,0)"
+    val shadows = lhs.join(rhs,
+        lhs("cluster") === rhs("cluster") && col("j") < col("i"))
+      .withColumn("dot",
+        graft.functions.VectorExprs.dotLong(col("qa"), col("qb")))
+      .filter(col("dot") > 0 &&
+        col("dot").cast(dec) * col("dot").cast(dec) * lit(100000000L).cast(dec)
+          >= lit(tauMicro4 * tauMicro4).cast(dec) *
+             col("na").cast(dec) * col("nb").cast(dec))
+      .groupBy(col("i").as("vec_id"))
+      .agg(count(lit(1)).as("n_dups"))
+    withC.select(col("vec_id"), col("cluster"))
+      .join(shadows, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("n_dups").isNull.as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB replica of [[semanticDedupOn]]: k from count(*) in SQL,
+    * the Lloyd's loop unrolled (`iters` assignment/update rounds on
+    * shifted 1e-6 integer coordinates, exactly kmeansAssign), then
+    * in-cluster pairs gated by the same HUGEINT cross-multiplication.
+    */
+  private[graft] def semanticDedupOracleSql(tauMicro4: Long = 2000L,
+                                            iters: Int = 2,
+                                            cell: Long = 256L,
+                                            dims: Int = 64): String = {
+    val rounds = (1 to iters).map { r =>
+      s"""s$r AS (SELECT v.vec_id, c.cluster,
+         |    sum((v.v6 - c.c6) * (v.v6 - c.c6)) AS d2
+         |  FROM v JOIN c${r - 1} c ON v.dim = c.dim GROUP BY 1, 2),
+         |a$r AS (SELECT vec_id, cluster FROM (SELECT *, row_number()
+         |    OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+         |    FROM s$r) WHERE rk = 1),
+         |c$r AS (SELECT a.cluster, v.dim, sum(v.v6) // count(*) AS c6
+         |  FROM v JOIN a$r a ON v.vec_id = a.vec_id GROUP BY 1, 2),""".stripMargin
+    }.mkString("\n")
+    val f = iters + 1
+    s"""WITH p AS (SELECT greatest(4, CAST(ceil(count(*) / $cell.0)
+       |    AS BIGINT)) AS k FROM embeddings),
+       |dims AS (SELECT unnest(range(1, ${dims + 1})) AS dim),
+       |v AS (SELECT vec_id, dim,
+       |    CAST(round(CAST(embedding[dim] AS DOUBLE) * 1000000, 0)
+       |      AS BIGINT) + 1000000 AS v6
+       |  FROM embeddings, dims),
+       |c0 AS (SELECT vec_id AS cluster, dim, v6 AS c6 FROM v, p
+       |       WHERE vec_id < p.k),
+       |$rounds
+       |s$f AS (SELECT v.vec_id, c.cluster,
+       |    sum((v.v6 - c.c6) * (v.v6 - c.c6)) AS d2
+       |  FROM v JOIN c$iters c ON v.dim = c.dim GROUP BY 1, 2),
+       |asg AS (SELECT vec_id, cluster FROM (SELECT *, row_number()
+       |    OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rk
+       |    FROM s$f) WHERE rk = 1),
+       |u AS (SELECT vec_id, dim, v6 - 1000000 AS u6 FROM v),
+       |nrm AS (SELECT vec_id, sum(u6 * u6) AS nn FROM u GROUP BY 1),
+       |pr AS (SELECT x.vec_id AS i, y.vec_id AS j,
+       |    sum(xu.u6 * yu.u6) AS dot
+       |  FROM asg x JOIN asg y ON x.cluster = y.cluster
+       |    AND y.vec_id < x.vec_id
+       |  JOIN u xu ON xu.vec_id = x.vec_id
+       |  JOIN u yu ON yu.vec_id = y.vec_id AND yu.dim = xu.dim
+       |  GROUP BY 1, 2),
+       |sh AS (SELECT i, count(*) AS n_dups FROM pr
+       |  JOIN nrm ni ON ni.vec_id = pr.i
+       |  JOIN nrm nj ON nj.vec_id = pr.j
+       |  WHERE dot > 0 AND CAST(dot AS HUGEINT) * dot * 100000000
+       |    >= CAST(${tauMicro4 * tauMicro4} AS HUGEINT) * ni.nn * nj.nn
+       |  GROUP BY 1)
+       |SELECT a.vec_id, a.cluster,
+       |  coalesce(sh.n_dups, 0) AS n_dups, sh.i IS NULL AS kept
+       |FROM asg a LEFT JOIN sh ON sh.i = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   // ---- Blocked fuzzy matching (entity resolution) ----------------------
 
   /** Fuzzy-duplicate pairs over short strings — the ENTITY-RESOLUTION

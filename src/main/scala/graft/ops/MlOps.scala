@@ -160,16 +160,20 @@ object MlOps {
                  iters: Int = 3): DataFrame =
     kmeansPlanOn(Tables.embeddings(s, d), k, iters)
 
-  /** Same over any (vec_id, label, embedding) frame. */
-  def kmeansPlanOn(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+  /** The Lloyd's loop itself, shared by [[kmeansPlanOn]] and
+    * [[graft.ops.DedupOps.semanticDedupOn]] (SemDeDup's clustering
+    * stage): over a pre-quantized exploded frame `v` with columns
+    * (vec_id, dim, v6) — 1e-6-unit POSITIVE-SHIFTED BIGINT
+    * coordinates, the fixed-point contract documented on
+    * [[kmeansPlan]] — seed centroids from the first `k` vec_ids, run
+    * `iters` fixed assignment/update rounds, and return the final
+    * assignment (vec_id, cluster, d2). Every iterate is pure integer
+    * arithmetic, bit-identical in any engine; extra columns riding on
+    * `v` (kmeansPlanOn's label) pass through the joins untouched and
+    * drop at the aggregates. */
+  private[graft] def kmeansAssign(v: DataFrame, k: Long,
+                                  iters: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val v = graft.Tables.spread(emb)
-      .select(col("vec_id"), col("label"),
-        posexplode(col("embedding")).as(Seq("dim", "fval")))
-      .select(col("vec_id"), col("label"), col("dim"),
-        (round(col("fval").cast("double") * 1000000, 0).cast("long") +
-          1000000L).as("v6"))
-      .localCheckpoint(false)
     val c0 = v.filter(col("vec_id") < k)
       .select(col("vec_id").as("cluster"), col("dim"), col("v6").as("c6"))
     def assign(cent: DataFrame): DataFrame = {
@@ -187,7 +191,59 @@ object MlOps {
         .groupBy(col("cluster"), col("dim"))
         .agg(expr("sum(v6) div count(1)").as("c6"))
     }
-    val af = assign(cFinal)
+    assign(cFinal)
+  }
+
+  /** [[kmeansAssign]] in ARRAY form for the many-cluster regime
+    * (semantic dedup runs k ∝ n/cell clusters, where the exploded
+    * dim-join's n·d·k rows per round become the whole operator's
+    * cost — measured 77s vs 8s at derived sf1). Identical integer
+    * arithmetic — same distances, same (d2, cluster) argmin, same
+    * truncating per-dim centroid means — through a different plan:
+    * centroids stay arrays and BROADCAST (k·d longs), distance is
+    * the codegen'd [[graft.functions.VectorKernels.sqDistLong]]
+    * kernel evaluated row-locally, and the argmin is a min(struct)
+    * aggregate (lexicographic struct order = the (d2, cluster)
+    * tiebreak), so per round the only exchange is the n-row partial
+    * aggregate. Input: (vec_id, a6) with a6 the SHIFTED 1e-6-unit
+    * BIGINT coordinate array. Returns (vec_id, cluster, d2). */
+  private[graft] def kmeansAssignArr(q: DataFrame, k: Long,
+                                     iters: Int): DataFrame = {
+    val c0 = q.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cluster"), col("a6").as("c6"))
+    def assign(cent: DataFrame): DataFrame =
+      q.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cluster"),
+          graft.functions.VectorExprs.sqDistLong(col("a6"), col("c6"))
+            .as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cluster"))).as("__m"))
+        .select(col("vec_id"), col("__m.cluster").as("cluster"),
+          col("__m.d2").as("d2"))
+    val cFinal = (1 to iters).foldLeft(c0) { (cent, _) =>
+      q.join(assign(cent).select("vec_id", "cluster"), "vec_id")
+        .select(col("cluster"), posexplode(col("a6")).as(Seq("dim0", "v6")))
+        .groupBy(col("cluster"), col("dim0"))
+        .agg(expr("sum(v6) div count(1)").as("c6d"))
+        .groupBy(col("cluster"))
+        .agg(collect_list(struct(col("dim0"), col("c6d"))).as("__l"))
+        .select(col("cluster"),
+          transform(array_sort(col("__l")), x => x.getField("c6d")).as("c6"))
+    }
+    assign(cFinal)
+  }
+
+  /** Same over any (vec_id, label, embedding) frame. */
+  def kmeansPlanOn(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = graft.Tables.spread(emb)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "fval")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        (round(col("fval").cast("double") * 1000000, 0).cast("long") +
+          1000000L).as("v6"))
+      .localCheckpoint(false)
+    val af = kmeansAssign(v, k, iters)
     val sizes = af.groupBy(col("cluster")).agg(count(lit(1)).as("n"),
       expr("sum(d2 div 1000000) div count(1)").as("__md6"))
     val lab = af.select(col("vec_id"), col("cluster"))

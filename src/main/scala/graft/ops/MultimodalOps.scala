@@ -378,6 +378,40 @@ object BmpCodec {
   }
 }
 
+/** The third header-walking decoder: a minimal uncompressed video
+  * container ("GV01": magic + LE u16 width/height/fps/n_frames, then
+  * n_frames raw 8-bit grayscale planes) — the video column's face of
+  * the decode → FRAME-SAMPLE → feature chain. Real pipelines never
+  * decode every frame of every clip; they sample every k-th frame
+  * and score those (shot detection, thumbnailing, dedup keyframes).
+  * Malformed payloads return None; size fields are adversarial
+  * (length is cross-checked in Long arithmetic before any walk, so a
+  * forged header cannot overflow an allocation or index). */
+object VideoCodec {
+  /** (frame_idx, mean_luma_milli) for every `every`-th frame plus the
+    * total frame count: mean luma is an EXACT integer —
+    * sum(pixels)·1000 div (w·h) — so engines cannot disagree. */
+  def sampleFrames(b: Array[Byte],
+                   every: Int): Option[(Int, Seq[(Int, Long)])] = {
+    if (every <= 0 || b.length < 12) return None
+    if (!(b(0) == 'G' && b(1) == 'V' && b(2) == '0' && b(3) == '1'))
+      return None
+    def le16(o: Int): Int = (b(o) & 0xFF) | (b(o + 1) & 0xFF) << 8
+    val w = le16(4); val h = le16(6); val nf = le16(10)
+    if (w <= 0 || h <= 0 || nf <= 0) return None
+    if (12L + w.toLong * h * nf != b.length) return None
+    val px = w * h
+    val frames = (0 until nf by every).map { f =>
+      val base = 12 + f * px
+      var s = 0L
+      var i = 0
+      while (i < px) { s += (b(base + i) & 0xFF); i += 1 }
+      (f, s * 1000L / px)
+    }
+    Some((nf, frames))
+  }
+}
+
 /** Deterministic media synthesis: build REAL byte-level WAV and BMP
   * payloads whose content is a pure function of `doc_id`, so the
   * decoded features have a closed form an external engine can compute
@@ -515,6 +549,34 @@ object MmSynth {
     }
     buf.array()
   }
+
+  /** "GV01" grayscale video, 8×6 px, 4 fps, 8 + (id % 8) frames;
+    * pixel (frame f, col x, row y) = (id·7 + f·13 + x·3 + y·5)
+    * mod 251 — every sampled frame's mean luma has a closed integer
+    * form the oracle recomputes from ranges. */
+  def videoBytes(id: Long): Array[Byte] = {
+    val w = 8; val h = 6
+    val nf = 8 + (id % 8).toInt
+    val buf = ByteBuffer.allocate(12 + w * h * nf)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("GV01".getBytes("US-ASCII"))
+    buf.putShort(w.toShort).putShort(h.toShort)
+    buf.putShort(4.toShort).putShort(nf.toShort)
+    var f = 0
+    while (f < nf) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          buf.put(((id * 7 + f * 13 + x * 3 + y * 5) % 251).toByte)
+          x += 1
+        }
+        y += 1
+      }
+      f += 1
+    }
+    buf.array()
+  }
 }
 
 /** Multimodal-column plumbing: carry media as opaque `binary` with
@@ -648,6 +710,66 @@ object MultimodalOps {
         .otherwise(col("metric") >= minMeanG))
       .orderBy(col("doc_id"))
   }
+
+  /** Video FRAME SAMPLING — the decode → sample-every-k → per-frame
+    * feature chain a video-curation pipeline runs (keyframe
+    * extraction, shot detection, thumbnail scoring): each document
+    * materializes a real [[VideoCodec]] container, the header walk
+    * yields the frame count, and only every `every`-th frame is
+    * decoded and scored (a production clip column never decodes every
+    * frame — the sample IS the point). Per sampled frame: exact
+    * integer mean luma (sum·1000 div px) and a shot-cut flag — the
+    * luma jumped more than `cutTauMilli` vs the PREVIOUS SAMPLED
+    * frame (lag over a per-clip window; clips are a uniform key with
+    * ≤ nf/every rows each, so the window never concentrates).
+    * Synthesis is deterministic in doc_id, so every mean has a
+    * closed integer form and the entry is fully DuckDB-oracled —
+    * including the codec's length-validation walk. Row-local
+    * flatMap + one bounded per-key window; no corpus-wide shuffle. */
+  def videoSample(s: SparkSession, d: String, every: Int = 3,
+                  cutTauMilli: Long = 20000L): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ids = Tables.spread(Tables.documents(s, d).select(col("doc_id")))
+      .as[Long]
+    val frames = ids.flatMap { id =>
+      VideoCodec.sampleFrames(MmSynth.videoBytes(id), every).toSeq
+        .flatMap { case (nf, fs) =>
+          fs.map { case (f, m) => (id, nf, f, m) } }
+    }.toDF("doc_id", "n_frames", "frame_idx", "mean_luma_milli")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames.withColumn("__prev", lag(col("mean_luma_milli"), 1).over(w))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        col("mean_luma_milli"),
+        (col("__prev").isNotNull &&
+          abs(col("mean_luma_milli") - col("__prev")) > cutTauMilli)
+          .as("is_cut"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** DuckDB replica of [[videoSample]]: frame count and every pixel
+    * recomputed from the synthesis formula over ranges — pure integer
+    * arithmetic end to end, same truncating mean and lag window. */
+  private[graft] def videoSampleOracleSql(every: Int = 3,
+                                          cutTauMilli: Long = 20000L): String =
+    s"""WITH p AS (SELECT doc_id, 8 + (doc_id % 8) AS nf FROM documents),
+       |f AS (SELECT doc_id, nf, fi FROM p,
+       |  LATERAL (SELECT unnest(range(0, nf)) AS fi)
+       |  WHERE fi % $every = 0),
+       |px AS (SELECT doc_id, nf, fi,
+       |    (doc_id * 7 + fi * 13 + x * 3 + y * 5) % 251 AS v
+       |  FROM f, LATERAL (SELECT unnest(range(0, 8)) AS x),
+       |    LATERAL (SELECT unnest(range(0, 6)) AS y)),
+       |m AS (SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+       |    CAST(fi AS BIGINT) AS frame_idx,
+       |    CAST(sum(v) * 1000 // 48 AS BIGINT) AS mean_luma_milli
+       |  FROM px GROUP BY 1, 2, 3),
+       |lg AS (SELECT *, lag(mean_luma_milli) OVER
+       |    (PARTITION BY doc_id ORDER BY frame_idx) AS prev FROM m)
+       |SELECT doc_id, n_frames, frame_idx, mean_luma_milli,
+       |  CASE WHEN prev IS NULL THEN FALSE
+       |    ELSE abs(mean_luma_milli - prev) > $cutTauMilli END AS is_cut
+       |FROM lg ORDER BY doc_id, frame_idx""".stripMargin
 
   /** Perceptual image near-dup detection — the multimodal face of the
     * dedup family: re-encoded images whose BYTES differ (here, a

@@ -622,6 +622,73 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): split
+    * each LANGUAGE's documents into head/middle/tail terciles by
+    * their [[lmScoreOn]] language-model score — the curation dial
+    * CCNet ships (train on head, sample middle, drop tail). Buckets
+    * are PER LANGUAGE because LM scores aren't comparable across
+    * languages (a fluent zh doc and a fluent en doc sit at different
+    * absolute log-probs; one global cut would just re-derive langid).
+    *
+    * The per-language rank comes from the distributed [[PrefixSum]]
+    * over (lang, score DESC, doc_id) minus a broadcast per-language
+    * offset — never a corpus-wide window partitioned by a hot
+    * language key (at 100 TB one language IS most of the corpus, so
+    * `Window.partitionBy(lang)` would sort half the data in one
+    * task). The offset frame is language-cardinality-sized; its
+    * partition-less window runs over ~tens of rows (the
+    * psiFromCounts posture). Tercile id = (3·rank) div n_lang on
+    * exact integers; the sort key is the ALREADY-4dp-rounded score
+    * (identical in both engines — the lmScore contract), so bucket
+    * boundaries cannot drift. */
+  def ccnetBuckets(s: SparkSession, d: String): DataFrame =
+    ccnetBucketsOn(Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text")))
+
+  /** Same over any (doc_id, lang, text) frame. */
+  def ccnetBucketsOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val j = lmScoreOn(docs.select(col("doc_id"), col("text")))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val offs = j.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+      .withColumn("off", coalesce(sum(col("nl")).over(
+        Window.orderBy(col("lang"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    PrefixSum.exclusive(j,
+        Seq(col("lang").asc, col("avg_logp").desc, col("doc_id").asc),
+        lit(1))
+      .join(broadcast(offs), "lang")
+      .withColumn("__b", expr("((__cum - off) * 3) div nl"))
+      .select(col("doc_id"), col("lang"), col("n_toks"), col("avg_logp"),
+        when(col("__b") === 0, "head").when(col("__b") === 1, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replica of [[ccnetBuckets]]: the lmScore pipeline, a
+    * per-language dense position, and the same integer tercile. */
+  private[graft] def ccnetBucketsOracleSql(): String =
+    """WITH tok AS (SELECT doc_id,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |c AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+      |t AS (SELECT sum(c) AS n, count(*) AS v FROM c),
+      |lp AS (SELECT doc_id,
+      |    CAST(round(ln((c.c + 1) * 1.0 / (t.n + t.v)), 10)
+      |      AS DECIMAL(20,10)) AS lp
+      |  FROM tok JOIN c USING (tok), t),
+      |lm AS (SELECT doc_id, count(*) AS n_toks,
+      |    round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_logp
+      |  FROM lp GROUP BY 1),
+      |j AS (SELECT lm.*, d.lang FROM lm JOIN documents d USING (doc_id)),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+      |      ORDER BY avg_logp DESC, doc_id) - 1 AS rk,
+      |    count(*) OVER (PARTITION BY lang) AS nl FROM j)
+      |SELECT doc_id, lang, n_toks, avg_logp,
+      |  CASE (3 * rk) // nl WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+      |    ELSE 'tail' END AS bucket
+      |FROM r ORDER BY doc_id""".stripMargin
+
   /** URL canonicalization — the normalize-before-dedup step of web
     * curation: the same page arrives as `HTTP://Example.COM:80/a/`,
     * `http://example.com/a?utm_source=x`, and `http://example.com/a#top`,

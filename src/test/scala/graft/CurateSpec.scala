@@ -107,4 +107,48 @@ class CurateSpec extends SparkSpec {
     }
     assert(specs.exists(_.startsWith("__pid")), specs.mkString(", "))
   }
+
+  test("dsir: keeps exactly ceil(n/denom) docs, ranks dense, and the " +
+       "selection IS the top prefix of the full scored ranking") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val n = docs.count()
+    val keepN = (n + 3) / 4
+    val sel = CurateOps.dsirOn(docs, col("lang") === "en", 64, 4L)
+      .collect()
+    assert(sel.length === keepN)
+    // ranks are exactly 1..keepN (dense, unique)
+    assert(sel.map(_.getLong(2)).sorted.toSeq === (1L to keepN))
+    // keepDenom=1 keeps everything — its top-keepN prefix must be the
+    // same doc set with the same scores (the cutoff only truncates)
+    val all = CurateOps.dsirOn(docs, col("lang") === "en", 64, 1L)
+      .collect()
+    assert(all.length === n)
+    val topIds = all.filter(_.getLong(2) <= keepN).map(_.getLong(0)).toSet
+    assert(sel.map(_.getLong(0)).toSet === topIds)
+    // rank order is score6 desc with doc_id tiebreak
+    val byRank = all.sortBy(_.getLong(2))
+    byRank.sliding(2).foreach { case Array(a, b) =>
+      val (sa, sb) = (a.getLong(4), b.getLong(4))
+      assert(sa > sb || (sa == sb && a.getLong(0) < b.getLong(0)))
+    }
+  }
+
+  test("dsir weights: importance mass shifts toward the target slice " +
+       "(mean en weight above mean non-en weight)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val all = CurateOps.dsirOn(docs, col("lang") === "en", 64, 1L)
+      .select(col("lang"), col("w6")).collect()
+    val (en, other) = all.partition(_.getString(0) == "en")
+    assert(en.nonEmpty && other.nonEmpty)
+    val enMean = en.map(_.getLong(1)).sum.toDouble / en.length
+    val otherMean = other.map(_.getLong(1)).sum.toDouble / other.length
+    // E_target[ln p_t/p_r] = KL(p_t || p_r) >= 0 while the off-target
+    // mix pays the reversed ratio — the gap is the operator working
+    assert(enMean > otherMean,
+      s"enMean=$enMean otherMean=$otherMean")
+  }
 }

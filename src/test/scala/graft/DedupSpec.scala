@@ -441,4 +441,65 @@ class DedupSpec extends SparkSpec {
     assert(st.getLong(0) === (a.length + b.length).toLong)
     assert(st.getLong(0) - st.getLong(1) > 0, "shared chunks must dedup")
   }
+
+  test("semantic dedup: planted paraphrase clones are dropped in favor " +
+       "of their min-id original, distant vectors all survive") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val base = (0 until 30).map(i =>
+      (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat)))
+    // ids 100+i are near-identical clones of ids i<8 (cosine ≈ 1)
+    val dups = (0 until 8).map { i =>
+      ((100 + i).toLong,
+        base(i)._2.map(x => x + 0.001f * rng.nextGaussian().toFloat))
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val out = DedupOps.semanticDedupOn(emb, tauMicro4 = 9500L,
+        iters = 2, cell = 256L).collect()
+    assert(out.length === 38)
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // every clone lands in its original's cluster (they are the same
+    // point up to 1e-3), is shadowed by it, and is dropped
+    (0 until 8).foreach { i =>
+      val (cOrig, _, keptOrig) = byId(i.toLong)
+      val (cDup, nDups, keptDup) = byId((100 + i).toLong)
+      assert(cDup === cOrig, s"clone ${100 + i} left cluster $cOrig")
+      assert(!keptDup && nDups >= 1, s"clone ${100 + i} not shadowed")
+      assert(keptOrig, s"original $i wrongly dropped")
+    }
+    // random gaussians are near-orthogonal: no base pair clears 0.95
+    assert(out.count(_.getBoolean(3)) === 30)
+  }
+
+  test("semantic dedup invariants on the corpus table: kept ⟺ no " +
+       "lower-id in-cluster partner above tau (double cross-check)") {
+    val out = DedupOps.semanticDedup(spark, sf, tauMicro4 = 2000L)
+      .collect()
+    val emb = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(out.length === emb.size)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      d / math.sqrt(na * nb)
+    }
+    val cluster = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      val (id, c, nDups, kept) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))
+      assert(kept === (nDups === 0L))
+      val partners = cluster.keys.filter(j => j < id && cluster(j) == c)
+        .count(j => cos(emb(j), emb(id)) >= 0.2 - 1e-4)
+      // the integer gate and the double recompute may disagree only
+      // inside a ±1e-4 quantization band around tau
+      if (nDups > 0) assert(partners >= 1, s"doc $id shadowed with no partner")
+      val strict = cluster.keys.filter(j => j < id && cluster(j) == c)
+        .count(j => cos(emb(j), emb(id)) >= 0.2 + 1e-4)
+      if (nDups == 0) assert(strict === 0, s"doc $id kept despite partner")
+    }
+  }
 }

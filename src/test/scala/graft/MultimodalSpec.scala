@@ -441,4 +441,52 @@ class MultimodalSpec extends SparkSpec {
     val fam = out.filter(r => r.getLong(2) >= 40 && r.getLong(2) <= 44)
     assert(fam.length === 5 && fam.map(_.getLong(0)).distinct.length === 1)
   }
+
+  test("video codec: hand-built container decodes exactly, malformed " +
+       "payloads (magic, truncation, forged frame count) all drop") {
+    import graft.ops.VideoCodec
+    // 2×2, 3 frames: frame f has pixels {f, f+1, f+2, f+3}
+    val b = new Array[Byte](12 + 4 * 3)
+    b(0) = 'G'; b(1) = 'V'; b(2) = '0'; b(3) = '1'
+    b(4) = 2; b(6) = 2; b(8) = 4; b(10) = 3
+    for (f <- 0 until 3; i <- 0 until 4) b(12 + f * 4 + i) = (f + i).toByte
+    val Some((nf, frames)) = VideoCodec.sampleFrames(b, 2)
+    assert(nf === 3)
+    // sampled frames 0 and 2; mean·1000 = (0+1+2+3)*1000/4 = 1500
+    assert(frames === Seq((0, 1500L), (2, 3500L)))
+    // every-1 sampling returns all frames
+    assert(VideoCodec.sampleFrames(b, 1).get._2.length === 3)
+    assert(VideoCodec.sampleFrames("XXXX".getBytes ++ b.drop(4), 2).isEmpty)
+    assert(VideoCodec.sampleFrames(b.dropRight(1), 2).isEmpty)
+    val forged = b.clone(); forged(10) = 99 // claims 99 frames
+    assert(VideoCodec.sampleFrames(forged, 2).isEmpty)
+    assert(VideoCodec.sampleFrames(b, 0).isEmpty)
+  }
+
+  test("videoSample: synth payloads round-trip the codec — frame counts " +
+       "8+(id%8), sampled idx every 3rd, means match the formula, cut " +
+       "flags match a direct recompute") {
+    val out = MultimodalOps.videoSample(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).count()
+    val byDoc = out.groupBy(_.getLong(0))
+    assert(byDoc.size === docs)
+    byDoc.foreach { case (id, rows) =>
+      val nf = 8 + (id % 8).toInt
+      val idx = rows.map(_.getInt(2)).sorted
+      assert(rows.forall(_.getInt(1) === nf))
+      assert(idx === (0 until nf by 3).toArray)
+      rows.foreach { r =>
+        val f = r.getInt(2)
+        val want = (for (x <- 0 until 8; y <- 0 until 6)
+          yield (id * 7 + f * 13 + x * 3 + y * 5) % 251).sum * 1000L / 48
+        assert(r.getLong(3) === want, s"doc $id frame $f")
+      }
+      val sortedRows = rows.sortBy(_.getInt(2))
+      sortedRows.zipWithIndex.foreach { case (r, i) =>
+        val expectCut = i > 0 &&
+          math.abs(r.getLong(3) - sortedRows(i - 1).getLong(3)) > 20000L
+        assert(r.getBoolean(4) === expectCut)
+      }
+    }
+  }
 }

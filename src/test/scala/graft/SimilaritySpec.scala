@@ -434,4 +434,23 @@ class SimilaritySpec extends SparkSpec {
         r.getLong(2) <= r.getLong(1) // hits ≤ n_rel
     })
   }
+
+  test("long-array kernels: dotLong/sqDistLong are exact integers " +
+       "through the codegen path, mismatched lengths clamp") {
+    import graft.functions.VectorExprs
+    val df = Seq(
+      (1L, Seq(3L, -2L, 1000000L), Seq(4L, 5L, 1000000L)),
+      (2L, Seq(7L, 7L), Seq(7L, 7L, 999L)), // extra element ignored
+      (3L, Seq.empty[Long], Seq.empty[Long])
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        VectorExprs.dotLong(col("a"), col("b")).as("d"),
+        VectorExprs.sqDistLong(col("a"), col("b")).as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got(1L) === ((3L * 4 - 2 * 5 + 1000000L * 1000000L,
+      1L + 49L + 0L)))
+    assert(got(2L) === ((98L, 0L)))
+    assert(got(3L) === ((0L, 0L)))
+  }
 }

@@ -685,4 +685,22 @@ class TextOpsSpec extends SparkSpec {
     assert(out(5L) === ((0, 0, None)))
     assert(out.size === 3) // only held-out docs are reported
   }
+
+  test("ccnet buckets: every doc bucketed, terciles balanced within 1 " +
+       "per language, and score bands are ordered head ≥ middle ≥ tail") {
+    val docs = Tables.documents(spark, sf)
+    val out = TextOps.ccnetBuckets(spark, sf).collect()
+    assert(out.length === docs.count())
+    val byLang = out.groupBy(_.getString(1))
+    byLang.foreach { case (lang, rows) =>
+      val sizes = rows.groupBy(_.getString(4)).map(_._2.length)
+      assert(sizes.max - sizes.min <= 1,
+        s"$lang tercile sizes $sizes")
+      def scores(b: String) =
+        rows.filter(_.getString(4) == b).map(_.getDouble(3))
+      val (h, m, t) = (scores("head"), scores("middle"), scores("tail"))
+      if (h.nonEmpty && m.nonEmpty) assert(h.min >= m.max)
+      if (m.nonEmpty && t.nonEmpty) assert(m.min >= t.max)
+    }
+  }
 }
