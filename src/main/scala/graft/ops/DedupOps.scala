@@ -962,11 +962,16 @@ object DedupOps {
         transform(col("embedding"),
           x => round(x.cast("double") * 1000000, 0).cast("long")).as("q6"))
       .localCheckpoint(false)
+    // checkpoint the (vec_id, cluster) frame — 2 longs per row: the
+    // pair join reads it on BOTH sides, and without the barrier each
+    // side re-derives the whole iterate chain (the kmeansPlan
+    // 104-scan pathology, here doubled)
     val asg = MlOps.kmeansAssignArr(
         q.select(col("vec_id"),
           transform(col("q6"), x => x + 1000000L).as("a6")),
         k, iters)
       .select("vec_id", "cluster")
+      .localCheckpoint(false)
     val withC = q.join(asg, "vec_id")
       .withColumn("nn",
         graft.functions.VectorExprs.dotLong(col("q6"), col("q6")))

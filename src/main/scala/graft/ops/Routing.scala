@@ -98,4 +98,19 @@ object Routing {
       case Exact => SimilarityOps.bruteForceTopK(s, d, k, nQueries)
       case Scale => SimilarityOps.ivfTopK(s, d, k, nQueries)
     }
+
+  /** [[DedupOps.embeddingPairs]] (exact all-pairs cosine, n²/2)
+    * below the dial, [[DedupOps.embeddingPairsLsh]] (multi-table
+    * hyperplane LSH candidates) above it — the two faces share the
+    * (id1, id2, cosine) contract, so this is the one route where the
+    * tiers are schema-identical. ([[DedupOps.semanticDedup]] is NOT
+    * a tier of this pair frame: it emits per-doc keep verdicts under
+    * a clustering contract — a different declared output.) */
+  def embeddingPairsAuto(s: SparkSession, d: String,
+                         threshold: Double = 0.45, nTables: Int = 4,
+                         exactMaxBytes: Long = DefaultExactMaxBytes): DataFrame =
+    tierFor(Tables.embeddings(s, d), exactMaxBytes) match {
+      case Exact => DedupOps.embeddingPairs(s, d, threshold)
+      case Scale => DedupOps.embeddingPairsLsh(s, d, threshold, nTables = nTables)
+    }
 }

@@ -648,8 +648,12 @@ object TextOps {
   /** Same over any (doc_id, lang, text) frame. */
   def ccnetBucketsOn(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // checkpoint the scored frame (4 narrow columns per doc): the
+    // language-offset branch AND the PrefixSum ranking both read it,
+    // and each would otherwise re-run the lmScore join chain
     val j = lmScoreOn(docs.select(col("doc_id"), col("text")))
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .localCheckpoint(false)
     val offs = j.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
       .withColumn("off", coalesce(sum(col("nl")).over(
         Window.orderBy(col("lang"))

@@ -55,4 +55,15 @@ class RoutingSpec extends SparkSpec {
     assert(rows(Routing.annTopKAuto(spark, sf, exactMaxBytes = 0L))
       === rows(SimilarityOps.ivfTopK(spark, sf)))
   }
+
+  test("embedding-pairs route: exact all-pairs under the dial, " +
+       "hyperplane LSH over it") {
+    import graft.ops.DedupOps
+    assert(rows(Routing.embeddingPairsAuto(spark, sf,
+        exactMaxBytes = Long.MaxValue))
+      === rows(DedupOps.embeddingPairs(spark, sf)))
+    assert(rows(Routing.embeddingPairsAuto(spark, sf, exactMaxBytes = 0L))
+      === rows(DedupOps.embeddingPairsLsh(spark, sf, threshold = 0.45,
+        nTables = 4)))
+  }
 }
