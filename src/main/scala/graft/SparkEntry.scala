@@ -6135,10 +6135,10 @@ object SparkEntry {
     // ((s-128)/128)^2 are exact k/16384 binary rationals, so the sums
     // are order-independent and the 4dp-rounded features match
     // bit-for-bit across engines.
-    // the clip probes frames [16, 48) (2ms·8kHz .. 6ms·8kHz) of the
     // frame sampling: every pixel of every SAMPLED frame recomputed
     // from the synth formula over ranges — integer means, lag window
     "mm_video_sample" -> graft.ops.MultimodalOps.videoSampleOracleSql(),
+    // the clip probes frames [16, 48) (2ms·8kHz .. 6ms·8kHz) of the
     // synth sequence; the 2×2 thumbnail samples file rows {0, h//2} ×
     // cols {0, w//2} of the synth pixel formula — nearest-neighbor's
     // exact picks. Gates compare the 4dp-rounded metric on BOTH sides.

@@ -196,13 +196,16 @@ object CurateOps {
       .agg(count(lit(1)).as("c"))
       .join(broadcast(lam), "bkt")
       .groupBy(col("doc_id")).agg(sum(col("c") * col("l6")).as("w6"))
-    // md5 coin in (0,1) strictly (the +0.5 centering keeps both
-    // endpoints out, so −ln(−ln u) never hits an infinity)
+    // md5 coin in (0,1) STRICTLY by construction: a 52-bit (13-hex)
+    // prefix makes h + 0.5 need at most 53 significant bits, so the
+    // double is EXACT on both engines — a 60-bit prefix would round
+    // at the cast and u could collapse to 1.0 for h within an ulp of
+    // 2^60, sending −ln(−ln u) to an engine-dependent infinity
     val scored = w.withColumn("score6",
       col("w6") + floor(lit(-1000000.0) * log(negate(log(
         (conv(substring(md5(concat(col("doc_id").cast("string"),
-          lit("_dsir"))), 1, 15), 16, 10).cast("double") + 0.5) /
-          lit(1152921504606846976.0))))).cast("long"))
+          lit("_dsir"))), 1, 13), 16, 10).cast("double") + 0.5) /
+          lit(4503599627370496.0))))).cast("long"))
     val nDocs = docs.count()
     val keepN = (nDocs + keepDenom - 1) / keepDenom
     PrefixSum.exclusive(scored,
@@ -240,8 +243,8 @@ object CurateOps {
        |  FROM (SELECT doc_id, bkt, count(*) AS c FROM tok GROUP BY 1, 2)
        |  JOIN lam USING (bkt) GROUP BY 1),
        |sc AS (SELECT doc_id, w6, w6 + CAST(floor(-1000000.0 * ln(-ln(
-       |    (CAST(('0x' || substr(md5(doc_id::VARCHAR || '_dsir'), 1, 15))
-       |      ::UBIGINT AS DOUBLE) + 0.5) / 1152921504606846976.0)))
+       |    (CAST(('0x' || substr(md5(doc_id::VARCHAR || '_dsir'), 1, 13))
+       |      ::UBIGINT AS DOUBLE) + 0.5) / 4503599627370496.0)))
        |    AS BIGINT) AS score6 FROM w),
        |n AS (SELECT count(*) AS n FROM documents),
        |r AS (SELECT doc_id, w6, score6, row_number()
