@@ -135,6 +135,13 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("dsir on an empty corpus returns an empty frame") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "lang", "text")
+    assert(CurateOps.dsirOn(docs, col("lang") === "en", 64, 4L).count() === 0)
+  }
+
   test("dsir weights: importance mass shifts toward the target slice " +
        "(mean en weight above mean non-en weight)") {
     import org.apache.spark.sql.functions._

@@ -472,6 +472,12 @@ class DedupSpec extends SparkSpec {
     assert(out.count(_.getBoolean(3)) === 30)
   }
 
+  test("semantic dedup on an empty corpus returns an empty frame") {
+    import spark.implicits._
+    val emb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(DedupOps.semanticDedupOn(emb, 2000L, 2, 256L).count() === 0)
+  }
+
   test("semantic dedup invariants on the corpus table: kept ⟺ no " +
        "lower-id in-cluster partner above tau (double cross-check)") {
     val out = DedupOps.semanticDedup(spark, sf, tauMicro4 = 2000L)

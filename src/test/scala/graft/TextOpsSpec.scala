@@ -686,6 +686,12 @@ class TextOpsSpec extends SparkSpec {
     assert(out.size === 3) // only held-out docs are reported
   }
 
+  test("ccnet buckets on an empty corpus returns an empty frame") {
+    val docs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "lang", "text")
+    assert(TextOps.ccnetBucketsOn(docs).count() === 0)
+  }
+
   test("ccnet buckets: every doc bucketed, terciles balanced within 1 " +
        "per language, and score bands are ordered head ≥ middle ≥ tail") {
     val docs = Tables.documents(spark, sf)
