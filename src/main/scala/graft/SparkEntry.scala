@@ -4117,14 +4117,19 @@ object SparkEntry {
         |  CAST(day(CAST(day AS DATE)) AS INTEGER) AS dom,
         |  CAST(day AS DATE) = last_day(CAST(day AS DATE)) AS is_month_end
         |FROM f ORDER BY event_type, day""".stripMargin,
-    // Shares the operator's exact arithmetic: integer products stay
-    // exact in doubles, so one rounding each for share and skew.
+    // Shares the operator's exact arithmetic: share/skew are integer
+    // half-up divisions of the rational ((x·2e4 + n) // 2n, HUGEINT
+    // like the Spark side's DECIMAL(38,0)) — round(identical_double)
+    // split the engines on a true half-boundary (71/4000, sf0.004).
     "q_skew_profile" ->
       """WITH c AS (SELECT user_id AS key, count(*) AS cnt
         |           FROM events GROUP BY 1),
         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, count(*) AS d FROM c)
-        |SELECT key, cnt, round(cnt * 1.0 / n, 4) AS share,
-        |  round(cnt * 1.0 * d / n, 4) AS skew
+        |SELECT key, cnt,
+        |  CAST((CAST(cnt AS HUGEINT) * 20000 + n) // (2 * n) AS BIGINT)
+        |    / 10000.0 AS share,
+        |  CAST((CAST(cnt AS HUGEINT) * d * 20000 + n) // (2 * n) AS BIGINT)
+        |    / 10000.0 AS skew
         |FROM c, t ORDER BY cnt DESC, key LIMIT 20""".stripMargin,
     // Both engines implement the ANSI REGR_* family over the same
     // (x, y) pairs; inputs are exact integer-valued doubles.

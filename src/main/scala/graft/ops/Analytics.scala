@@ -992,11 +992,19 @@ object Analytics {
   def skewProfile(df: DataFrame, key: Column, topN: Int = 20): DataFrame = {
     val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
     val totals = counts.agg(sum(col("cnt")).as("n"), count(lit(1)).as("d"))
+    // share/skew publish as EXACT integer half-up division of the
+    // rational (x·1e4 rounded = (x·2e4 + n) div 2n) — the off-grid
+    // sf0.004 sweep caught round(cnt/n, 4) on a true half-boundary
+    // (71/4000 = .01775) where Spark (shortest-decimal HALF_UP) and
+    // DuckDB (binary-double round) publish differently; widened to
+    // DECIMAL(38,0) because cnt·d·2e4 outgrows BIGINT at corpus scale
     counts.orderBy(col("cnt").desc, col("key")).limit(topN)
       .crossJoin(broadcast(totals))
       .select(col("key"), col("cnt"),
-        round(col("cnt").cast("double") / col("n"), 4).as("share"),
-        round(col("cnt").cast("double") * col("d") / col("n"), 4).as("skew"))
+        (expr("(CAST(cnt AS DECIMAL(38,0)) * 20000 + n) div (2 * n)")
+          .cast("double") / 10000.0).as("share"),
+        (expr("(CAST(cnt AS DECIMAL(38,0)) * d * 20000 + n) div (2 * n)")
+          .cast("double") / 10000.0).as("skew"))
       .orderBy(col("cnt").desc, col("key"))
   }
 
