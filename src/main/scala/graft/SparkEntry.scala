@@ -1892,7 +1892,8 @@ object SparkEntry {
         |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
         |      FROM c GROUP BY 1)
         |SELECT from_type, to_type, n,
-        |  round(CAST(n AS DOUBLE) / tot, 4) AS p
+        |  CAST((CAST(n AS HUGEINT) * 20000 + tot) // (2 * tot)
+        |    AS BIGINT) / 10000.0 AS p
         |FROM c JOIN t USING (from_type)
         |ORDER BY from_type, to_type""".stripMargin,
     // identical exact DECIMAL moment sums over 4dp-quantized values;
@@ -1935,9 +1936,12 @@ object SparkEntry {
         |dg AS (SELECT CAST(t[1] AS INT) AS digit FROM d0 WHERE len(t) > 0),
         |c AS (SELECT digit, count(*) AS n FROM dg GROUP BY 1),
         |tt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
-        |SELECT digit, n, round(CAST(n AS DOUBLE) / tot, 4) AS share,
+        |SELECT digit, n,
+        |  CAST((CAST(n AS HUGEINT) * 20000 + tot) // (2 * tot)
+        |    AS BIGINT) / 10000.0 AS share,
         |  round(log10(1 + 1.0 / digit), 4) AS benford_p,
-        |  round(round(CAST(n AS DOUBLE) / tot, 4) -
+        |  round(CAST((CAST(n AS HUGEINT) * 20000 + tot) // (2 * tot)
+        |          AS BIGINT) / 10000.0 -
         |        round(log10(1 + 1.0 / digit), 4), 4) AS dev
         |FROM c, tt ORDER BY digit""".stripMargin,
     // group sizes over the identical QI tuple; day only partitions
@@ -1954,8 +1958,9 @@ object SparkEntry {
         |    AS groups_below_k,
         |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
         |    AS rows_below_k,
-        |  round(CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE) /
-        |    sum(sz), 4) AS share_below_k
+        |  CAST((CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS HUGEINT)
+        |      * 20000 + sum(sz)) // (2 * sum(sz)) AS BIGINT) / 10000.0
+        |    AS share_below_k
         |FROM g""".stripMargin,
     "q_ldiversity" ->
       """WITH g AS (SELECT event_type,
@@ -1970,8 +1975,9 @@ object SparkEntry {
         |    AS groups_below_l,
         |  CAST(sum(CASE WHEN l_cnt < 3 THEN sz ELSE 0 END) AS BIGINT)
         |    AS rows_below_l,
-        |  round(CAST(sum(CASE WHEN l_cnt < 3 THEN sz ELSE 0 END) AS DOUBLE) /
-        |    sum(sz), 4) AS share_below_l
+        |  CAST((CAST(sum(CASE WHEN l_cnt < 3 THEN sz ELSE 0 END) AS HUGEINT)
+        |      * 20000 + sum(sz)) // (2 * sum(sz)) AS BIGINT) / 10000.0
+        |    AS share_below_l
         |FROM g""".stripMargin,
     // per-bucket shares quantize to integer micro-units BEFORE the
     // cumulative sum — the EMD is exact integer arithmetic in both
@@ -2016,8 +2022,9 @@ object SparkEntry {
         |    AS BIGINT) AS classes_above_t,
         |  CAST(sum(CASE WHEN t_micro > 200000 THEN sz ELSE 0 END)
         |    AS BIGINT) AS rows_above_t,
-        |  round(CAST(sum(CASE WHEN t_micro > 200000 THEN sz ELSE 0 END)
-        |    AS DOUBLE) / sum(sz), 4) AS share_above_t
+        |  CAST((CAST(sum(CASE WHEN t_micro > 200000 THEN sz ELSE 0 END)
+        |      AS HUGEINT) * 20000 + sum(sz)) // (2 * sum(sz)) AS BIGINT)
+        |    / 10000.0 AS share_above_t
         |FROM emd""".stripMargin,
     // per-class terms quantize to the same DECIMAL(20,10) before the
     // sum — entropy parity does not depend on libm's last ulp
@@ -2469,10 +2476,14 @@ object SparkEntry {
         |       WHERE x.item < y.item GROUP BY 1, 2
         |       HAVING count(*) >= 50)
         |SELECT item_a, item_b, n_ab,
-        |  round(CAST(n_ab AS DOUBLE) / n_baskets, 4) AS support,
-        |  round(CAST(n_ab AS DOUBLE) / a.n_item, 4) AS confidence,
-        |  round(CAST(n_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE) /
-        |    (CAST(a.n_item AS DOUBLE) * CAST(b.n_item AS DOUBLE)), 4) AS lift
+        |  CAST((CAST(n_ab AS HUGEINT) * 20000 + n_baskets)
+        |    // (2 * n_baskets) AS BIGINT) / 10000.0 AS support,
+        |  CAST((CAST(n_ab AS HUGEINT) * 20000 + a.n_item)
+        |    // (2 * a.n_item) AS BIGINT) / 10000.0 AS confidence,
+        |  CAST((CAST(n_ab AS HUGEINT) * n_baskets * 20000
+        |      + CAST(a.n_item AS HUGEINT) * b.n_item)
+        |    // (2 * CAST(a.n_item AS HUGEINT) * b.n_item) AS BIGINT)
+        |    / 10000.0 AS lift
         |FROM pc JOIN ic a ON pc.item_a = a.item
         |        JOIN ic b ON pc.item_b = b.item, nb
         |ORDER BY lift DESC, item_a, item_b LIMIT 20""".stripMargin,
@@ -3848,7 +3859,8 @@ object SparkEntry {
         |      GROUP BY 1),
         |t AS (SELECT CAST(sum(n_purchases) AS BIGINT) AS tot FROM c)
         |SELECT touch_type, n_purchases,
-        |  round(CAST(n_purchases AS DOUBLE) / tot, 4) AS share
+        |  CAST((CAST(n_purchases AS HUGEINT) * 20000 + tot) // (2 * tot)
+        |    AS BIGINT) / 10000.0 AS share
         |FROM c, t ORDER BY touch_type""".stripMargin,
     // identical RE2-safe split pattern shared verbatim with the
     // operator; word scores round to 6dp, phrase sums ride DECIMAL
@@ -5720,8 +5732,10 @@ object SparkEntry {
         |        max(c) AS top
         |      FROM c GROUP BY 1)
         |SELECT doc_id,
-        | round(1 - n_distinct * 1.0 / total, 4) AS dup_2gram_frac,
-        | round(top * 1.0 / total, 4) AS top_2gram_frac
+        | CAST((CAST(total - n_distinct AS HUGEINT) * 20000 + total)
+        |   // (2 * total) AS BIGINT) / 10000.0 AS dup_2gram_frac,
+        | CAST((CAST(top AS HUGEINT) * 20000 + total) // (2 * total)
+        |   AS BIGINT) / 10000.0 AS top_2gram_frac
         |FROM a ORDER BY doc_id""".stripMargin,
     // add-one unigram log-probs: (c+1)/(n+v) through the same IEEE
     // division+ln on both engines, 10dp-rounded DECIMAL terms so the

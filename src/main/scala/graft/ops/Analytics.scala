@@ -1059,7 +1059,7 @@ object Analytics {
     val totals = cells.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
     cells.join(broadcast(totals), "from_type")
       .select(col("from_type"), col("to_type"), col("n"),
-        round(col("n").cast("double") / col("tot"), 4).as("p"))
+        ExactRatio.r4(col("n"), col("tot")).as("p"))
       .orderBy(col("from_type"), col("to_type"))
   }
 
@@ -1551,7 +1551,7 @@ object Analytics {
     val tot = counts.agg(sum(col("n_purchases")).as("tot"))
     counts.crossJoin(broadcast(tot))
       .select(col("touch_type"), col("n_purchases"),
-        round(col("n_purchases").cast("double") / col("tot"), 4).as("share"))
+        ExactRatio.r4(col("n_purchases"), col("tot")).as("share"))
       .orderBy(col("touch_type"))
   }
 
@@ -1648,7 +1648,7 @@ object Analytics {
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
     val tot = counts.agg(sum(col("n")).as("tot"))
     counts.crossJoin(broadcast(tot))
-      .withColumn("share", round(col("n").cast("double") / col("tot"), 4))
+      .withColumn("share", ExactRatio.r4(col("n"), col("tot")))
       .withColumn("benford_p",
         round(log10(lit(1) + lit(1.0) / col("digit")), 4))
       .select(col("digit"), col("n"), col("share"), col("benford_p"),
@@ -1700,7 +1700,7 @@ object Analytics {
       sum(when(col("l_cnt") < l, col("sz")).otherwise(0L)).as("rows_below_l"))
       .select(col("n_groups"), col("n_rows"), col("l_min"),
         col("groups_below_l"), col("rows_below_l"),
-        round(col("rows_below_l").cast("double") / col("n_rows"), 4)
+        ExactRatio.r4(col("rows_below_l"), col("n_rows"))
           .as("share_below_l"))
   }
 
@@ -1777,7 +1777,7 @@ object Analytics {
         .as("rows_above_t"))
       .select(col("n_classes"), col("n_rows"), col("t_max_micro"),
         col("classes_above_t"), col("rows_above_t"),
-        round(col("rows_above_t").cast("double") / col("n_rows"), 4)
+        ExactRatio.r4(col("rows_above_t"), col("n_rows"))
           .as("share_above_t"))
   }
 
@@ -1791,7 +1791,7 @@ object Analytics {
       sum(when(col("sz") < k, col("sz")).otherwise(0L)).as("rows_below_k"))
       .select(col("n_groups"), col("n_rows"), col("k_min"),
         col("groups_below_k"), col("rows_below_k"),
-        round(col("rows_below_k").cast("double") / col("n_rows"), 4)
+        ExactRatio.r4(col("rows_below_k"), col("n_rows"))
           .as("share_below_k"))
   }
 
@@ -2022,13 +2022,14 @@ object Analytics {
         .withColumnRenamed("n_item", "n_b"), "item_b")
       .crossJoin(broadcast(nBaskets))
       .select(col("item_a"), col("item_b"), col("n_ab"),
-        round(col("n_ab").cast("double") / col("n_baskets"), 4).as("support"),
-        round(col("n_ab").cast("double") / col("n_a"), 4).as("confidence"),
-        // cast-BEFORE-multiply: at 100 TB both factors can pass
-        // 2^31.5 and a Long product overflows silently (DuckDB's
-        // BIGINT multiply raises) — double multiply diverges never
-        round(col("n_ab").cast("double") * col("n_baskets").cast("double") /
-          (col("n_a").cast("double") * col("n_b").cast("double")), 4)
+        ExactRatio.r4(col("n_ab"), col("n_baskets")).as("support"),
+        ExactRatio.r4(col("n_ab"), col("n_a")).as("confidence"),
+        // widen BEFORE the products: at 100 TB both factors can pass
+        // 2^31.5 and a Long product overflows silently; DECIMAL(38,0)
+        // holds count-product·2e4 with room to spare
+        ExactRatio.r4(
+          col("n_ab").cast("decimal(38,0)") * col("n_baskets"),
+          col("n_a").cast("decimal(38,0)") * col("n_b"))
           .as("lift"))
       .orderBy(col("lift").desc, col("item_a"), col("item_b"))
       .limit(topN)

@@ -446,9 +446,11 @@ object TextOps {
       .agg(sum(col("c")).as("total"), count(lit(1)).as("n_distinct"),
         max(col("c")).as("top"))
       .select(col("doc_id"),
-        round(lit(1) - col("n_distinct").cast("double") / col("total"), 4)
+        // 1 − d/t published as the equivalent ratio (t−d)/t so the
+        // ExactRatio contract (num ≥ 0) applies directly
+        ExactRatio.r4(col("total") - col("n_distinct"), col("total"))
           .as("dup_2gram_frac"),
-        round(col("top").cast("double") / col("total"), 4)
+        ExactRatio.r4(col("top"), col("total"))
           .as("top_2gram_frac"))
       .orderBy(col("doc_id"))
   }
