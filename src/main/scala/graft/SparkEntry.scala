@@ -1875,7 +1875,8 @@ object SparkEntry {
         |  FROM ap0 JOIN ap3 ON ap0.doc_id = ap3.doc_id)
         |SELECT doc_id, n_before, n_after,
         |  CASE WHEN n_before = 0 THEN NULL
-        |       ELSE round(CAST(n_after AS DOUBLE) / n_before, 4) END
+        |       ELSE CAST((CAST(n_after AS HUGEINT) * 20000 + n_before)
+        |         // (2 * n_before) AS BIGINT) / 10000.0 END
         |    AS compression
         |FROM cnts ORDER BY doc_id""".stripMargin,
     // same µs-truncated ordering with the event_id tiebreak, so both
@@ -2378,7 +2379,8 @@ object SparkEntry {
         |        max(deg) AS max_deg
         |      FROM deg GROUP BY 1)
         |SELECT bin, n_nodes, min_deg, max_deg,
-        |  round(CAST(n_nodes AS DOUBLE) / n_total, 4) AS share
+        |  CAST((CAST(n_nodes AS HUGEINT) * 20000 + n_total)
+        |    // (2 * n_total) AS BIGINT) / 10000.0 AS share
         |FROM b, t ORDER BY bin""".stripMargin,
     // the sampled tier replays the WHOLE pipeline — md5 coin, kept
     // edge set, degree orientation, wedge closure, and the integer
@@ -3150,8 +3152,10 @@ object SparkEntry {
         |    AS n_dup_hashes,
         |  CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
         |    AS dup_mass,
-        |  round(CAST(sum(ln * cnt) AS DOUBLE) / sum(cnt), 4) AS mean_len,
-        |  round(CAST(count(*) AS DOUBLE) / sum(cnt), 4) AS dedup_ratio
+        |  CAST((CAST(sum(ln * cnt) AS HUGEINT) * 20000 + sum(cnt))
+        |    // (2 * sum(cnt)) AS BIGINT) / 10000.0 AS mean_len,
+        |  CAST((CAST(count(*) AS HUGEINT) * 20000 + sum(cnt))
+        |    // (2 * sum(cnt)) AS BIGINT) / 10000.0 AS dedup_ratio
         |FROM cnt""".stripMargin,
     // q_growth_accounting: identical month truncation and interval
     // shift, marker left join + anti join, churn clamped to corpus
@@ -3787,8 +3791,9 @@ object SparkEntry {
         |SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(CASE WHEN lang = true_lang THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_correct,
-        |  round(CAST(sum(CASE WHEN lang = true_lang THEN 1 ELSE 0 END)
-        |    AS DOUBLE) / count(*), 4) AS accuracy
+        |  CAST((CAST(sum(CASE WHEN lang = true_lang THEN 1 ELSE 0 END)
+        |      AS HUGEINT) * 20000 + count(*)) // (2 * count(*))
+        |    AS BIGINT) / 10000.0 AS accuracy
         |FROM rk WHERE rk = 1 GROUP BY 1 ORDER BY fold""".stripMargin,
     // ml_decision_stump: quantile_cont deciles 4dp-rounded before the
     // split comparisons (the interpolated value is engine-shared only
@@ -3904,7 +3909,8 @@ object SparkEntry {
         |  FROM lineitem)
         |SELECT table_name, rows_total, rows_erased,
         |  rows_total - rows_erased AS rows_kept,
-        |  round(CAST(rows_erased AS DOUBLE) / rows_total, 4) AS erased_share
+        |  CAST((CAST(rows_erased AS HUGEINT) * 20000 + rows_total)
+        |    // (2 * rows_total) AS BIGINT) / 10000.0 AS erased_share
         |FROM u ORDER BY table_name""".stripMargin,
     // same planted drift, same null-safe IS DISTINCT FROM compares,
     // same single conditional-sum aggregation stacked long
@@ -4013,7 +4019,8 @@ object SparkEntry {
         |  FROM classes GROUP BY 1),
         |ch AS (SELECT min(level) AS chosen FROM ls
         |       WHERE CAST(sup AS DOUBLE) / tot <= 0.2),
-        |cs AS (SELECT round(CAST(l.sup AS DOUBLE) / l.tot, 4)
+        |cs AS (SELECT CAST((CAST(l.sup AS HUGEINT) * 20000 + l.tot)
+        |         // (2 * l.tot) AS BIGINT) / 10000.0
         |         AS suppressed_share, ch.chosen
         |       FROM ls l, ch WHERE l.level = ch.chosen)
         |SELECT c.level, c.cat, c.bucket, c.class_size, cs.suppressed_share
@@ -4039,11 +4046,15 @@ object SparkEntry {
         |          AS BIGINT) AS top10
         |      FROM r, n)
         |SELECT n_users, total,
-        |  round((2.0 * CAST(rc AS DOUBLE) -
-        |    CAST(n_users + 1 AS DOUBLE) * total) /
-        |    (CAST(n_users AS DOUBLE) * total), 4) AS gini,
-        |  round(CAST(top1 AS DOUBLE) / total, 4) AS top1_share,
-        |  round(CAST(top10 AS DOUBLE) / total, 4) AS top10_share
+        |  CAST(((CAST(rc AS HUGEINT) * 2 -
+        |      CAST(n_users + 1 AS HUGEINT) * total) * 20000 +
+        |      CAST(n_users AS HUGEINT) * total)
+        |    // (2 * CAST(n_users AS HUGEINT) * total) AS BIGINT)
+        |    / 10000.0 AS gini,
+        |  CAST((CAST(top1 AS HUGEINT) * 20000 + total) // (2 * total)
+        |    AS BIGINT) / 10000.0 AS top1_share,
+        |  CAST((CAST(top10 AS HUGEINT) * 20000 + total) // (2 * total)
+        |    AS BIGINT) / 10000.0 AS top10_share
         |FROM a""".stripMargin,
     // sha256 hex (lowercase) ≡ Spark sha2(…, 256); joining and
     // min-sampling ON TOKENS proves both the preserved referential
@@ -5257,8 +5268,9 @@ object SparkEntry {
         |  CAST(greatest(len(ws) - 9, 0) AS BIGINT) AS n_ngrams,
         |  CAST(coalesce(dup, 0) AS BIGINT) AS dup_ngrams,
         |  CASE WHEN len(ws) >= 10
-        |       THEN round(CAST(coalesce(dup, 0) AS DOUBLE)
-        |                  / (len(ws) - 9), 4)
+        |       THEN CAST((CAST(coalesce(dup, 0) AS HUGEINT) * 20000 +
+        |             (len(ws) - 9)) // (2 * (len(ws) - 9)) AS BIGINT)
+        |         / 10000.0
         |       ELSE 0.0 END AS dup_frac
         |FROM w LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin,
     // dedup_minhash shares the exact-Jaccard oracle: LSH banding at
@@ -5782,7 +5794,8 @@ object SparkEntry {
         |          LEFT JOIN uni ON bg.w2 = uni.w, tot)
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(CAST(sum(lp) AS DOUBLE) / count(*), 4) AS avg_logp,
-        |  round(CAST(sum(bo) AS DOUBLE) / count(*), 4) AS backoff_share
+        |  CAST((CAST(sum(bo) AS HUGEINT) * 20000 + count(*))
+        |    // (2 * count(*)) AS BIGINT) / 10000.0 AS backoff_share
         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_url_canonical" ->
       """WITH planted AS (

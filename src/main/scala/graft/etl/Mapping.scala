@@ -310,7 +310,7 @@ object Mapping {
         .select(lit(name).as("table_name"), col("rows_total"),
           col("rows_erased"),
           (col("rows_total") - col("rows_erased")).as("rows_kept"),
-          round(col("rows_erased").cast("double") / col("rows_total"), 4)
+          graft.ops.ExactRatio.r4(col("rows_erased"), col("rows_total"))
             .as("erased_share"))
     stat("customer", subjects, erasedSub)
       .union(stat("orders", orders, erasedOrd))
@@ -473,7 +473,7 @@ object Mapping {
     val chosenStats = levStats.join(broadcast(chosen),
         levStats("level") === col("chosen"))
       .select(col("chosen"),
-        round(col("sup").cast("double") / col("tot"), 4)
+        graft.ops.ExactRatio.r4(col("sup"), col("tot"))
           .as("suppressed_share"))
     classes.join(broadcast(chosenStats),
         classes("level") === col("chosen"))

@@ -1956,12 +1956,15 @@ object Analytics {
       sum(when(col("r") > col("n_users") -
         greatest(expr("n_users div 10"), lit(1L)), col("cnt"))
         .otherwise(0L)).as("top10"))
+    // the gini numerator 2*rc - (n+1)*total is >= 0 for an ascending
+    // rank order (the standard identity), so the r4 contract holds
     agg.select(col("n_users"), col("total"),
-      round((lit(2.0) * col("rc").cast("double") -
-        (col("n_users") + 1).cast("double") * col("total")) /
-        (col("n_users").cast("double") * col("total")), 4).as("gini"),
-      round(col("top1").cast("double") / col("total"), 4).as("top1_share"),
-      round(col("top10").cast("double") / col("total"), 4).as("top10_share"))
+      ExactRatio.r4(
+        col("rc").cast("decimal(38,0)") * 2 -
+          (col("n_users") + 1).cast("decimal(38,0)") * col("total"),
+        col("n_users").cast("decimal(38,0)") * col("total")).as("gini"),
+      ExactRatio.r4(col("top1"), col("total")).as("top1_share"),
+      ExactRatio.r4(col("top10"), col("total")).as("top10_share"))
   }
 
   /** Market-basket affinity mining: which brand PAIRS co-occur in the

@@ -1134,7 +1134,7 @@ object DedupOps {
       .select(col("doc_id"), col("n_ngrams"),
         coalesce(col("dup"), lit(0L)).as("dup_ngrams"))
       .withColumn("dup_frac", when(col("n_ngrams") > 0,
-        round(col("dup_ngrams").cast("double") / col("n_ngrams"), 4))
+        ExactRatio.r4(col("dup_ngrams"), col("n_ngrams")))
         .otherwise(lit(0.0)))
       .orderBy(col("doc_id"))
   }
@@ -1241,11 +1241,11 @@ object DedupOps {
         count(lit(1)).as("n_distinct"),
         sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_hashes"),
         sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_mass"),
-        round(sum(col("ln") * col("cnt")).cast("double") /
-          sum(col("cnt")), 4).as("mean_len"))
+        ExactRatio.r4(sum(col("ln") * col("cnt")),
+          sum(col("cnt"))).as("mean_len"))
       .select(col("n_chunks"), col("n_distinct"), col("n_dup_hashes"),
         col("dup_mass"), col("mean_len"),
-        round(col("n_distinct").cast("double") / col("n_chunks"), 4)
+        ExactRatio.r4(col("n_distinct"), col("n_chunks"))
           .as("dedup_ratio"))
 
   /** The per-chunk frame (doc_id, ch, ln) — the stats' base and the

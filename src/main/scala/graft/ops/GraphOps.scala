@@ -206,7 +206,7 @@ object GraphOps {
         min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
       .crossJoin(broadcast(total))
       .select(col("bin"), col("n_nodes"), col("min_deg"), col("max_deg"),
-        round(col("n_nodes").cast("double") / col("n_total"), 4).as("share"))
+        ExactRatio.r4(col("n_nodes"), col("n_total")).as("share"))
       .orderBy(col("bin"))
   }
 

@@ -552,8 +552,11 @@ object MlOps {
         sum(expr("CAST(" + q6("ln(1.0 + exp((1.0 - 2.0*y) * (w*x+b)))") +
           " AS DECIMAL(20,6))")).as("__ll"))
       .select(col("w"), col("b"), col("n"),
-        round(col("__hits").cast("double") / col("n"), 4).as("accuracy"),
-        round(col("__ll").cast("double") / col("n"), 4).as("logloss"))
+        ExactRatio.r4(col("__hits"), col("n")).as("accuracy"),
+        // logloss is a 6dp-DECIMAL sum over n: the rational is
+        // (__ll*1e6)/(n*1e6) — same r4 idiom, scaled operands
+        ExactRatio.r4(col("__ll") * 1000000, col("n") * 1000000L)
+          .as("logloss"))
   }
 
   /** The unrolled-iteration DuckDB replay of [[logregGdOn]] over the
@@ -581,10 +584,13 @@ object MlOps {
        |s0 AS (SELECT CAST(0.0 AS DOUBLE) AS w, CAST(0.0 AS DOUBLE) AS b),
        |$steps
        |SELECT w, b, CAST(n AS BIGINT) AS n,
-       |  round(CAST(sum(CASE WHEN (w*x + b >= 0.0) = (y = 1.0)
-       |    THEN 1 ELSE 0 END) AS DOUBLE) / n, 4) AS accuracy,
-       |  round(CAST(sum(CAST(${q6("ln(1.0 + exp((1.0 - 2.0*y) * (w*x+b)))")}
-       |    AS DECIMAL(20,6))) AS DOUBLE) / n, 4) AS logloss
+       |  CAST((CAST(sum(CASE WHEN (w*x + b >= 0.0) = (y = 1.0)
+       |      THEN 1 ELSE 0 END) AS HUGEINT) * 20000 + n) // (2 * n)
+       |    AS BIGINT) / 10000.0 AS accuracy,
+       |  CAST((CAST(sum(CAST(${q6("ln(1.0 + exp((1.0 - 2.0*y) * (w*x+b)))")}
+       |    AS DECIMAL(20,6))) * 1000000 AS HUGEINT) * 20000
+       |    + CAST(n AS HUGEINT) * 1000000) // (2 * CAST(n AS HUGEINT)
+       |    * 1000000) AS BIGINT) / 10000.0 AS logloss
        |FROM base, s$iters, nn GROUP BY w, b, n""".stripMargin
   }
 }

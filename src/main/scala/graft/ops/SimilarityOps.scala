@@ -1342,7 +1342,7 @@ object SimilarityOps {
       .select(col("dim"),
         (col("v6").cast("double") / 1000000.0).as("loading"),
         (col("lam8").cast("double") / 100000000.0).as("eigval"),
-        round(col("lam8").cast("double") / col("tr8"), 4).as("ev_share"))
+        ExactRatio.r4(col("lam8"), col("tr8")).as("ev_share"))
       .orderBy(col("dim"))
   }
 
@@ -1419,7 +1419,8 @@ object SimilarityOps {
          |tr AS (SELECT sum(CAST(c8 AS HUGEINT)) AS tr8 FROM c WHERE i = j)
          |SELECT v.dim, CAST(v.v6 AS DOUBLE) / 1000000.0 AS loading,
          |  CAST(lam8 AS DOUBLE) / 100000000.0 AS eigval,
-         |  round(CAST(lam8 AS DOUBLE) / CAST(tr8 AS DOUBLE), 4) AS ev_share
+         |  CAST((CAST(lam8 AS HUGEINT) * 20000 + tr8) // (2 * tr8)
+         |    AS BIGINT) / 10000.0 AS ev_share
          |FROM $last v, st, tr ORDER BY v.dim""".stripMargin
   }
 

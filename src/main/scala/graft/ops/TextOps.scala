@@ -620,7 +620,7 @@ object TextOps {
         sum(col("lp")).as("__s"), sum(col("bo")).as("__b"))
       .select(col("doc_id"), col("n_bigrams"),
         round(col("__s").cast("double") / col("n_bigrams"), 4).as("avg_logp"),
-        round(col("__b").cast("double") / col("n_bigrams"), 4).as("backoff_share"))
+        ExactRatio.r4(col("__b"), col("n_bigrams")).as("backoff_share"))
       .orderBy(col("doc_id"))
   }
 
@@ -1259,7 +1259,7 @@ object TextOps {
         sum(when(col("lang") === col("true_lang"), 1L).otherwise(0L))
           .as("n_correct"))
       .select(col("fold"), col("n_docs"), col("n_correct"),
-        round(col("n_correct").cast("double") / col("n_docs"), 4)
+        ExactRatio.r4(col("n_correct"), col("n_docs"))
           .as("accuracy"))
       .orderBy(col("fold"))
   }
@@ -1448,7 +1448,7 @@ object TextOps {
         size(bpeTokens(col("s"))).as("n_after")), Seq("doc_id"))
       .select(col("doc_id"), col("n_before"), col("n_after"),
         when(col("n_before") === 0, lit(null).cast("double"))
-          .otherwise(round(col("n_after").cast("double") / col("n_before"), 4))
+          .otherwise(ExactRatio.r4(col("n_after"), col("n_before")))
           .as("compression"))
       .orderBy(col("doc_id"))
   }
