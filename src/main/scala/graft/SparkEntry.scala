@@ -967,6 +967,9 @@ object SparkEntry {
     // DSIR importance resampling toward the English slice: hashed
     // unigram log-ratios → exact micro-unit weights → Gumbel top-1/4
     "curate_dsir" -> ((s, d) => CurateOps.dsirSample(s, d)),
+    // temperature (T=2) source mixing: sqrt-flattened quotas, md5
+    // coin order per source, PrefixSum ranks — the recipe sampler
+    "curate_mix_temperature" -> ((s, d) => CurateOps.mixTemperature(s, d)),
     // §2.7 multimodal — REAL codec work: synthesize byte-level
     // WAV/BMP payloads deterministically from doc_id, parse them with
     // the header-walking decoders; features have closed forms so the
@@ -5608,6 +5611,8 @@ object SparkEntry {
     // coordinates, then the in-cluster HUGEINT cosine gate
     "dedup_semantic" -> graft.ops.DedupOps.semanticDedupOracleSql(),
     "curate_dsir" -> graft.ops.CurateOps.dsirOracleSql(),
+    "curate_mix_temperature" ->
+      graft.ops.CurateOps.mixTemperatureOracleSql(),
     "text_ccnet_buckets" -> graft.ops.TextOps.ccnetBucketsOracleSql(),
     "ann_lsh_topk" -> graft.ops.SimilarityOps.lshOracleSql(),
     "ann_ivf_topk" -> graft.ops.SimilarityOps.ivfOracleSql(),

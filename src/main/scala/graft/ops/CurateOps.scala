@@ -219,6 +219,88 @@ object CurateOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Temperature-scaled source mixing — the data-recipe sampler
+    * (GPT-3/LLaMA style): raw source sizes n_s are flattened to
+    * weights n_s^(1/T) so small high-quality sources punch above
+    * their byte count, then each source contributes
+    * quota_s = floor(target · w_s / ΣW) documents (capped at n_s),
+    * chosen by a deterministic md5 coin order. This face pins
+    * T = 2 — the sqrt point — because sqrt is the ONE power IEEE
+    * requires correctly rounded, so both engines flatten to the
+    * bit-identical weight (a generic n^(1/T) via pow() carries no
+    * such guarantee and would need the floor-quantize contract
+    * plus a slack analysis; T=2 needs neither).
+    *
+    * Exactness: w6 = floor(1e6·√n_s) is integer on both engines;
+    * ΣW and every quota are integer arithmetic (target·w6 widened
+    * to DECIMAL(38,0) — HUGEINT in the oracle); the per-source
+    * rank comes from the distributed [[PrefixSum]] over
+    * (source, coin, doc_id) minus a broadcast per-source offset
+    * (the ccnetBuckets pattern — never a hot-source window).
+    * Selection within a source is coin order with a doc_id
+    * tiebreak: a total order, replayable verbatim. */
+  def mixTemperature(s: SparkSession, d: String,
+                     keepDenom: Long = 2L): DataFrame =
+    mixTemperatureOn(
+      Tables.documents(s, d).select(col("doc_id"), col("source")),
+      keepDenom)
+
+  /** Same over any (doc_id, source) frame; target = ceil(n/keepDenom)
+    * docs overall, apportioned ∝ √n_s. */
+  def mixTemperatureOn(docs: DataFrame, keepDenom: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val w = counts.withColumn("w6",
+      floor(lit(1000000.0) * sqrt(col("n_s").cast("double"))).cast("long"))
+    val tot = w.agg(sum(col("w6")).as("tw"), sum(col("n_s")).as("total"))
+    val quota = w.crossJoin(broadcast(tot))
+      .withColumn("__t",
+        expr(s"(total + ${keepDenom - 1}) div $keepDenom"))
+      .withColumn("quota", least(
+        expr("(CAST(__t AS DECIMAL(38,0)) * w6) div tw").cast("long"),
+        col("n_s")))
+      .select(col("source"), col("quota"))
+    val offs = counts.withColumn("off", coalesce(sum(col("n_s")).over(
+        Window.orderBy(col("source"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("off"))
+    val coined = Tables.spread(docs).withColumn("u",
+      conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("_mix"))), 1, 13), 16, 10).cast("long"))
+    PrefixSum.exclusive(coined,
+        Seq(col("source").asc, col("u").asc, col("doc_id").asc), lit(1))
+      .join(broadcast(offs), "source")
+      .withColumn("rank_in_source", col("__cum") - col("off") + 1)
+      .join(broadcast(quota), "source")
+      .filter(col("rank_in_source") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("rank_in_source"),
+        col("quota"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replica of [[mixTemperature]]: same floor(1e6·√n)
+    * weights, HUGEINT quota arithmetic, md5 coin order. */
+  private[graft] def mixTemperatureOracleSql(keepDenom: Long = 2L): String =
+    s"""WITH c AS (SELECT source, count(*) AS n_s FROM documents
+       |           GROUP BY 1),
+       |w AS (SELECT source, n_s,
+       |    CAST(floor(1000000.0 * sqrt(n_s)) AS BIGINT) AS w6 FROM c),
+       |t AS (SELECT CAST(sum(w6) AS BIGINT) AS tw,
+       |    CAST(sum(n_s) AS BIGINT) AS total FROM w),
+       |q AS (SELECT source, n_s,
+       |    least(CAST(CAST((total + ${keepDenom - 1}) // $keepDenom
+       |        AS HUGEINT) * w6 // tw AS BIGINT), n_s) AS quota
+       |  FROM w, t),
+       |u AS (SELECT doc_id, source,
+       |    CAST(('0x' || substr(md5(doc_id::VARCHAR || '_mix'), 1, 13))
+       |      ::UBIGINT AS BIGINT) AS u FROM documents),
+       |r AS (SELECT doc_id, source, row_number() OVER
+       |    (PARTITION BY source ORDER BY u, doc_id) AS rank_in_source
+       |  FROM u)
+       |SELECT r.doc_id, r.source, r.rank_in_source, q.quota
+       |FROM r JOIN q USING (source) WHERE r.rank_in_source <= q.quota
+       |ORDER BY r.doc_id""".stripMargin
+
   /** DuckDB replica of [[dsirSample]]: same md5 hashing, smoothing,
     * 1e-6 floor quantization, Gumbel coin, and ceil cutoff; sums cast
     * to BIGINT so pandas never sees a HUGEINT (the rendering class

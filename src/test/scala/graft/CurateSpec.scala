@@ -135,6 +135,33 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("temperature mixing: sqrt-flattened quotas are exact, small " +
+       "sources keep a LARGER share than big ones, caps hold") {
+    // sources of size 400 / 100 / 25: sqrt weights 20:10:5
+    val docs = ((1L to 400L).map((_, "big")) ++
+      (1001L to 1100L).map((_, "mid")) ++
+      (2001L to 2025L).map((_, "small"))).toDF("doc_id", "source")
+    val out = CurateOps.mixTemperatureOn(docs, keepDenom = 2L).collect()
+    val kept = out.groupBy(_.getString(1)).map { case (s, rows) =>
+      s -> rows.length
+    }
+    // target = ceil(525/2) = 263; w6 = 20e6/10e6/5e6, W6 = 35e6
+    // quotas: floor(263*20/35)=150, floor(263*10/35)=75,
+    // floor(263*5/35)=37 capped at 25
+    assert(kept === Map("big" -> 150, "mid" -> 75, "small" -> 25))
+    // flattening: kept share increases as source size decreases
+    assert(150.0 / 400 < 75.0 / 100 && 75.0 / 100 < 25.0 / 25.0)
+    // ranks are dense 1..quota within each source
+    out.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq ===
+        (1L to rows.length.toLong))
+    }
+    // deterministic: a second run selects the identical doc set
+    val again = CurateOps.mixTemperatureOn(docs, keepDenom = 2L)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === out.map(_.getLong(0)).toSet)
+  }
+
   test("dsir on an empty corpus returns an empty frame") {
     import org.apache.spark.sql.functions.col
     val docs = Seq.empty[(Long, String, String)]
