@@ -1001,10 +1001,9 @@ object Analytics {
     counts.orderBy(col("cnt").desc, col("key")).limit(topN)
       .crossJoin(broadcast(totals))
       .select(col("key"), col("cnt"),
-        (expr("(CAST(cnt AS DECIMAL(38,0)) * 20000 + n) div (2 * n)")
-          .cast("double") / 10000.0).as("share"),
-        (expr("(CAST(cnt AS DECIMAL(38,0)) * d * 20000 + n) div (2 * n)")
-          .cast("double") / 10000.0).as("skew"))
+        ExactRatio.r4(col("cnt"), col("n")).as("share"),
+        ExactRatio.r4(col("cnt").cast("decimal(38,0)") * col("d"),
+          col("n")).as("skew"))
       .orderBy(col("cnt").desc, col("key"))
   }
 

@@ -249,7 +249,11 @@ object CurateOps {
     * docs overall, apportioned ∝ √n_s. */
   def mixTemperatureOn(docs: DataFrame, keepDenom: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // checkpoint the source-cardinality frame: the quota branch and
+    // the offset branch both read it, and without the barrier each
+    // would re-run the full-corpus aggregation
     val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      .localCheckpoint(false)
     val w = counts.withColumn("w6",
       floor(lit(1000000.0) * sqrt(col("n_s").cast("double"))).cast("long"))
     val tot = w.agg(sum(col("w6")).as("tw"), sum(col("n_s")).as("total"))

@@ -162,6 +162,11 @@ class CurateSpec extends SparkSpec {
     assert(again === out.map(_.getLong(0)).toSet)
   }
 
+  test("temperature mixing on an empty corpus returns an empty frame") {
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "source")
+    assert(CurateOps.mixTemperatureOn(docs, keepDenom = 2L).count() === 0)
+  }
+
   test("dsir on an empty corpus returns an empty frame") {
     import org.apache.spark.sql.functions.col
     val docs = Seq.empty[(Long, String, String)]
