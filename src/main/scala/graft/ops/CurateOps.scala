@@ -206,6 +206,13 @@ object CurateOps {
         (conv(substring(md5(concat(col("doc_id").cast("string"),
           lit("_dsir"))), 1, 13), 16, 10).cast("double") + 0.5) /
           lit(4503599627370496.0))))).cast("long"))
+      // eager: materializes the doc-count-sized scored frame (forcing
+      // both cached-tok consumers), so the corpus-token-scale cache
+      // can be released before returning — a long-lived session
+      // calling dsirSample repeatedly must not accumulate token
+      // blocks until LRU eviction
+      .localCheckpoint(true)
+    tok.unpersist()
     val nDocs = docs.count()
     val keepN = (nDocs + keepDenom - 1) / keepDenom
     PrefixSum.exclusive(scored,
@@ -245,8 +252,13 @@ object CurateOps {
       Tables.documents(s, d).select(col("doc_id"), col("source")),
       keepDenom)
 
-  /** Same over any (doc_id, source) frame; target = ceil(n/keepDenom)
-    * docs overall, apportioned ∝ √n_s. */
+  /** Same over any (doc_id, source) frame. The overall target is
+    * ceil(n/keepDenom); each source's quota is FLOOR-apportioned
+    * (⌊target·w_s/ΣW⌋, capped at n_s) with no remainder
+    * redistribution, so the kept total is AT MOST the target and can
+    * undershoot it by up to (#sources − 1) plus whatever the caps
+    * bite — deliberately, because redistribution would make every
+    * quota depend on every cap and break the one-pass closed form. */
   def mixTemperatureOn(docs: DataFrame, keepDenom: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // checkpoint the source-cardinality frame: the quota branch and

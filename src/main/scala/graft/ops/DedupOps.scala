@@ -950,7 +950,10 @@ object DedupOps {
       tauMicro4, iters, cell)
 
   /** Same over any (vec_id, embedding) frame. `tauMicro4` is the
-    * cosine threshold in 1e-4 units (2000 = 0.20). */
+    * cosine threshold in 1e-4 units (2000 = 0.20). Seeding contract
+    * (via [[MlOps.kmeansAssignArr]]): the k = ⌈n/cell⌉ centroids are
+    * the rows with the k smallest vec_ids — rank-selected, so ids
+    * need not be dense from 0; cluster labels are those seed ids. */
   def semanticDedupOn(emb: DataFrame, tauMicro4: Long, iters: Int,
                       cell: Long): DataFrame = {
     val n = emb.count()

@@ -206,10 +206,20 @@ object MlOps {
     * aggregate (lexicographic struct order = the (d2, cluster)
     * tiebreak), so per round the only exchange is the n-row partial
     * aggregate. Input: (vec_id, a6) with a6 the SHIFTED 1e-6-unit
-    * BIGINT coordinate array. Returns (vec_id, cluster, d2). */
+    * BIGINT coordinate array. Returns (vec_id, cluster, d2).
+    *
+    * Seeding contract: centroids are the rows with the min(k, n)
+    * SMALLEST vec_ids, labeled by those ids — by RANK, not by the
+    * raw `vec_id < k` cut, so a frame whose ids are not dense from 0
+    * (any caller-supplied (vec_id, a6)) still gets its full seed set
+    * instead of a silently empty assignment. Dense-id frames get the
+    * identical {0..k−1} seeds either way (the oracle convention). */
   private[graft] def kmeansAssignArr(q: DataFrame, k: Long,
                                      iters: Int): DataFrame = {
-    val c0 = q.filter(col("vec_id") < k)
+    val seeds = PrefixSum.exclusive(q.select(col("vec_id")),
+        Seq(col("vec_id").asc), lit(1))
+      .filter(col("__cum") < k).select(col("vec_id"))
+    val c0 = q.join(seeds, "vec_id")
       .select(col("vec_id").as("cluster"), col("a6").as("c6"))
     def assign(cent: DataFrame): DataFrame =
       q.crossJoin(broadcast(cent))
@@ -554,8 +564,11 @@ object MlOps {
       .select(col("w"), col("b"), col("n"),
         ExactRatio.r4(col("__hits"), col("n")).as("accuracy"),
         // logloss is a 6dp-DECIMAL sum over n: the rational is
-        // (__ll*1e6)/(n*1e6) — same r4 idiom, scaled operands
-        ExactRatio.r4(col("__ll") * 1000000, col("n") * 1000000L)
+        // (__ll*1e6)/(n*1e6) — same r4 idiom, scaled operands; n
+        // widens to DECIMAL(38,0) BEFORE the 1e6 product (a Long
+        // product would overflow past ~9.2e12 rows)
+        ExactRatio.r4(col("__ll") * 1000000,
+          col("n").cast("decimal(38,0)") * 1000000)
           .as("logloss"))
   }
 
