@@ -44,6 +44,14 @@ object SparkEntry {
     "q13_order_counts"   -> (Analytics.orderCountDist _),
     "q19_discount_bands" -> (Analytics.discountBands _),
     "q22_global_sales"   -> (Analytics.globalSales _),
+    // TPC-H supply block (r12): Q2/Q9/Q11/Q16/Q20 over the DERIVED
+    // partsupp dim (graft.ops.Supply) — closed-form columns of the
+    // key pair, identical on both engines, so the oracle gate applies
+    "q2_min_cost_supplier"   -> ((s, d) => Supply.minCostSupplier(s, d)),
+    "q9_product_profit"      -> ((s, d) => Supply.productTypeProfit(s, d)),
+    "q11_value_concentration" -> ((s, d) => Supply.valueConcentration(s, d)),
+    "q16_supplier_counts"    -> ((s, d) => Supply.supplierCounts(s, d)),
+    "q20_qty_threshold"      -> ((s, d) => Supply.qtyThresholdSuppliers(s, d)),
     "q_count_by_type"    -> (Analytics.countByType _),
     "q_union_counts"     -> (Analytics.unionCounts _),
     "q_per_day_type"     -> (Analytics.perDayType _),
@@ -1302,6 +1310,83 @@ object SparkEntry {
         |FROM per, pos, oa
         |WHERE bal_cents * pos_n > pos_sum AND n_ord * cust_n < ord_sum
         |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
+    "q2_min_cost_supplier" ->
+      s"""WITH ${Supply.psCte}
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+        |  ps_cost_cents / 100.0 AS ps_supplycost
+        |FROM ps, part, supplier, nation, region
+        |WHERE ps_partkey = p_partkey AND ps_suppkey = s_suppkey
+        |  AND p_size BETWEEN 10 AND 30 AND p_type = 'LARGE'
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND ps_cost_cents = (
+        |    SELECT min(ps2.ps_cost_cents)
+        |    FROM ps ps2, supplier s2, nation n2, region r2
+        |    WHERE ps2.ps_partkey = p_partkey
+        |      AND ps2.ps_suppkey = s2.s_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey
+        |      AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "q9_product_profit" ->
+      s"""WITH ${Supply.psCte}
+        |SELECT n_name, EXTRACT(year FROM o_orderdate) AS o_year,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+        |        AS BIGINT)
+        |      - ps_cost_cents * 100 * CAST(l_quantity AS BIGINT))
+        |    AS BIGINT) / 10000.0 AS sum_profit
+        |FROM lineitem, ps, part, supplier, nation, orders
+        |WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |  AND p_partkey = l_partkey AND p_name LIKE '%red%'
+        |  AND s_suppkey = l_suppkey AND n_nationkey = s_nationkey
+        |  AND o_orderkey = l_orderkey
+        |GROUP BY 1, 2 ORDER BY n_name, o_year DESC""".stripMargin,
+    "q11_value_concentration" ->
+      s"""WITH ${Supply.psCte},
+        |nps AS (
+        |  SELECT ps_partkey,
+        |    sum(ps_cost_cents * CAST(ps_availqty AS BIGINT)) AS v
+        |  FROM ps, supplier, nation
+        |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_name = 'NATION_8'
+        |  GROUP BY 1)
+        |SELECT ps_partkey, CAST(v AS BIGINT) / 100.0 AS value
+        |FROM nps
+        |WHERE v * 10000 > (SELECT sum(v) FROM nps)
+        |ORDER BY value DESC, ps_partkey""".stripMargin,
+    "q16_supplier_counts" ->
+      s"""WITH ${Supply.psCte}
+        |SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM ps, part
+        |WHERE p_partkey = ps_partkey AND p_brand <> 'Brand#1'
+        |  AND p_type <> 'PROMO'
+        |  AND p_size IN (49, 14, 23, 45, 19, 3, 36, 9)
+        |  AND ps_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q20_qty_threshold" ->
+      s"""WITH ${Supply.psCte},
+        |shipped AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    sum(CAST(l_quantity AS BIGINT)) AS sq
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1, 2),
+        |qual AS (
+        |  SELECT DISTINCT ps_suppkey
+        |  FROM ps, part, shipped
+        |  WHERE ps_partkey = p_partkey AND p_name LIKE 'red%'
+        |    AND ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        |    AND ps_availqty * 2 > sq)
+        |SELECT s_suppkey, s_name
+        |FROM supplier, nation, qual
+        |WHERE s_nationkey = n_nationkey AND n_name = 'NATION_8'
+        |  AND s_suppkey = ps_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
     "q_count_by_type" ->
       """SELECT event_type, count(*) AS ride_count
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

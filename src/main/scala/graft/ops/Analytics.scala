@@ -2430,12 +2430,12 @@ object Analytics {
     * discount are exact 2dp in this data, so the true revenue is an
     * exact 4dp decimal; the double product sits within ulps of that
     * grid point and round() snaps both engines to it identically. */
-  private def revMicro: Column =
+  private[ops] def revMicro: Column =
     round(revenue * 10000).cast("long")
 
   /** micro-BIGINT → the published 4dp double face (identical integer
     * division in both engines; the quotient is a 4dp grid value). */
-  private def microFace(c: Column): Column = c / 10000.0
+  private[ops] def microFace(c: Column): Column = c / 10000.0
 
   /** TPC-H Q7 (volume shipping): bilateral trade volume between two
     * nations by (supplier nation, customer nation, ship year). The
