@@ -113,4 +113,64 @@ object Routing {
       case Exact => DedupOps.embeddingPairs(s, d, threshold)
       case Scale => DedupOps.embeddingPairsLsh(s, d, threshold, nTables = nTables)
     }
+
+  /** [[Analytics.percentiles]] (exact interpolated — value→count
+    * buffers that grow with group distinct-cardinality) below the
+    * dial, [[Analytics.percentilesApprox]] (GK sketch: fixed-size
+    * mergeable buffers, spec-bounded rank error) above it. The scale
+    * tier is the PURE sketch, not the checked face the registry
+    * oracles (`q_percentiles_approx` → percentilesChecked): checked
+    * runs the exact aggregate BESIDE the sketch to gate it
+    * cross-engine, which re-imports exactly the buffer growth this
+    * route exists to shed. */
+  def percentilesAuto(s: SparkSession, d: String, accuracy: Int = 10000,
+                      exactMaxBytes: Long = DefaultExactMaxBytes): DataFrame =
+    tierFor(Tables.events(s, d), exactMaxBytes) match {
+      case Exact => Analytics.percentiles(s, d)
+      case Scale => Analytics.percentilesApprox(s, d, accuracy)
+    }
+
+  /** [[Analytics.profile]] exact (countDistinct expands into one
+    * replicated pass per distinct column) below the dial, HLL++
+    * sketch profile above it — same (column, n_rows, n_nulls,
+    * n_distinct) schema either way; only the distinct's exactness
+    * changes, which is the declared difference. Frame-based (profile
+    * is a generic-frame operator, not a table face). */
+  def profileAuto(df: DataFrame, cols: Seq[String], rsd: Double = 0.02,
+                  exactMaxBytes: Long = DefaultExactMaxBytes): DataFrame =
+    tierFor(df, exactMaxBytes) match {
+      case Exact => Analytics.profile(df, cols, approx = false)
+      case Scale => Analytics.profile(df, cols, approx = true, rsd = rsd)
+    }
+
+  /** The decontamination ladder keyed on REFERENCE size — the dial
+    * input is the reference, not the corpus, because all three tiers
+    * scale the same way in the corpus (linear scans) and differ only
+    * in what they do with the reference:
+    *  - reference fits a broadcast (≤ `bcastMaxBytes`, default
+    *    64 MiB — the eval-benchmark shape): [[DedupOps
+    *    .decontaminateBroadcast]], fully map-side, zero corpus
+    *    shuffles;
+    *  - reference too big to broadcast whole but its band keys fit a
+    *    Bloom filter (≤ `bloomMaxBytes`): [[DedupOps
+    *    .decontaminateBloom]], codegen'd might_contain in the corpus
+    *    scan, only candidates shuffle;
+    *  - otherwise the symmetric shuffled [[DedupOps.decontaminate]].
+    * All three emit the same verified (doc_id, ref_id, jaccard)
+    * contract and are oracled against the same entry. */
+  def decontaminateAuto(corpus: DataFrame, reference: DataFrame,
+                        threshold: Double = 0.8,
+                        numPerm: Int = 64, bands: Int = 16,
+                        bcastMaxBytes: Long = 64L << 20,
+                        bloomMaxBytes: Long = DefaultExactMaxBytes): DataFrame = {
+    val refBytes = planBytes(reference)
+    if (refBytes <= BigInt(bcastMaxBytes))
+      DedupOps.decontaminateBroadcast(corpus, reference, threshold,
+        numPerm, bands)
+    else if (refBytes <= BigInt(bloomMaxBytes))
+      DedupOps.decontaminateBloom(corpus, reference, threshold,
+        numPerm, bands)
+    else
+      DedupOps.decontaminate(corpus, reference, threshold, numPerm, bands)
+  }
 }

@@ -66,4 +66,47 @@ class RoutingSpec extends SparkSpec {
       === rows(DedupOps.embeddingPairsLsh(spark, sf, threshold = 0.45,
         nTables = 4)))
   }
+
+  test("percentiles route: exact interpolation under the dial, GK sketch over it") {
+    assert(rows(Routing.percentilesAuto(spark, sf,
+        exactMaxBytes = Long.MaxValue))
+      === rows(Analytics.percentiles(spark, sf)))
+    assert(rows(Routing.percentilesAuto(spark, sf, exactMaxBytes = 0L))
+      === rows(Analytics.percentilesApprox(spark, sf)))
+  }
+
+  test("profile route: exact multi-distinct under the dial, HLL++ over it") {
+    val df = Tables.orders(spark, sf)
+    val cols = Seq("o_custkey", "o_orderstatus", "o_totalprice")
+    assert(rows(Routing.profileAuto(df, cols,
+        exactMaxBytes = Long.MaxValue))
+      === rows(Analytics.profile(df, cols, approx = false)))
+    assert(rows(Routing.profileAuto(df, cols, exactMaxBytes = 0L))
+      === rows(Analytics.profile(df, cols, approx = true)))
+    // the two tiers share the schema — the declared contract of this
+    // route (only the distinct's exactness differs)
+    assert(Routing.profileAuto(df, cols, exactMaxBytes = 0L)
+      .schema === Analytics.profile(df, cols).schema)
+  }
+
+  test("decontaminate ladder: broadcast / bloom / shuffled by reference size") {
+    import graft.ops.DedupOps
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(
+      org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+    val ref = docs.filter(
+      org.apache.spark.sql.functions.col("doc_id") % 2 =!= 0)
+    // tiny reference → the map-side broadcast face
+    assert(rows(Routing.decontaminateAuto(corpus, ref,
+        bcastMaxBytes = Long.MaxValue, bloomMaxBytes = Long.MaxValue))
+      === rows(DedupOps.decontaminateBroadcast(corpus, ref)))
+    // middle regime → the Bloom-probe face
+    assert(rows(Routing.decontaminateAuto(corpus, ref,
+        bcastMaxBytes = 0L, bloomMaxBytes = Long.MaxValue))
+      === rows(DedupOps.decontaminateBloom(corpus, ref)))
+    // big reference → the symmetric shuffled face
+    assert(rows(Routing.decontaminateAuto(corpus, ref,
+        bcastMaxBytes = 0L, bloomMaxBytes = 0L))
+      === rows(DedupOps.decontaminate(corpus, ref)))
+  }
 }
