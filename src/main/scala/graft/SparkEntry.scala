@@ -1072,6 +1072,16 @@ object SparkEntry {
     // stream's directories reproduce these rows + marker invariants)
     "cdc_snapshot_versions" -> ((s, d) =>
       graft.streaming.ChangeStreams.snapshotVersionsBatch(s, d)),
+    // sketch-stream versioned-snapshot audits (the cdc pattern): each
+    // retained version re-derived through the stream's own merge code
+    // — MG guarantee verdicts, the exactly-replayable CM grid+probes,
+    // HLL union-fold tolerance verdicts
+    "sketch_topk_versions" -> ((s, d) =>
+      graft.streaming.SketchStreams.topkVersionsBatch(s, d)),
+    "sketch_cm_versions" -> ((s, d) =>
+      graft.streaming.SketchStreams.countMinVersionsBatch(s, d)),
+    "sketch_hll_versions" -> ((s, d) =>
+      graft.streaming.SketchStreams.hllVersionsBatch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6215,6 +6225,77 @@ object SparkEntry {
         |  max(user_id) AS max_key
         |FROM latest WHERE rn = 1 AND op <> 'D'
         |GROUP BY version ORDER BY version""".stripMargin,
+    // sketch_topk_versions: the oracle replays the exact top-k per
+    // version prefix; the MG verdicts pin to literal TRUE (a violated
+    // mergeable-summaries guarantee breaks the cross-engine hash)
+    "sketch_topk_versions" ->
+      """WITH tok AS (SELECT doc_id % 5 AS epoch,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |vs AS (SELECT * FROM (VALUES (2),(3),(4)) t(version)),
+        |cnt AS (SELECT version, term, CAST(count(*) AS BIGINT) AS true_n
+        |        FROM vs JOIN tok ON tok.epoch <= vs.version
+        |        GROUP BY 1, 2),
+        |top AS (SELECT version, term, true_n,
+        |    row_number() OVER (PARTITION BY version
+        |      ORDER BY true_n DESC, term) AS r
+        |  FROM cnt)
+        |SELECT CAST(version AS BIGINT) AS version, term, true_n,
+        |  TRUE AS in_sketch_ok, TRUE AS est_lower_ok,
+        |  TRUE AS est_within_bound
+        |FROM top WHERE r <= 3
+        |ORDER BY version, true_n DESC, term""".stripMargin,
+    // sketch_cm_versions: CM merges losslessly, so the whole audit —
+    // grid census and probe estimates — replays value-for-value under
+    // the shared md5 bucket hashes
+    "sketch_cm_versions" ->
+      """WITH tok AS (SELECT doc_id % 5 AS epoch,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |vs AS (SELECT * FROM (VALUES (2),(3),(4)) t(version)),
+        |rows_ AS (SELECT version, term, i
+        |  FROM vs JOIN tok ON tok.epoch <= vs.version
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
+        |sk AS (SELECT version, i,
+        |    ('0x' || substr(md5(CAST(i AS VARCHAR) || '_' || term), 1, 15))
+        |      ::UBIGINT % 256 AS bucket,
+        |    count(*) AS cnt
+        |  FROM rows_ GROUP BY 1, 2, 3),
+        |census AS (SELECT version, CAST(count(*) AS BIGINT) AS n_cells,
+        |    CAST(sum(cnt) AS BIGINT) AS grid_total
+        |  FROM sk GROUP BY 1),
+        |cnts AS (SELECT version, term, CAST(count(*) AS BIGINT) AS true_n
+        |  FROM vs JOIN tok ON tok.epoch <= vs.version GROUP BY 1, 2),
+        |top AS (SELECT version, term, true_n,
+        |    row_number() OVER (PARTITION BY version
+        |      ORDER BY true_n DESC, term) AS r
+        |  FROM cnts),
+        |probe AS (SELECT version, term, true_n, i,
+        |    ('0x' || substr(md5(CAST(i AS VARCHAR) || '_' || term), 1, 15))
+        |      ::UBIGINT % 256 AS bucket
+        |  FROM top CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
+        |  WHERE r <= 3),
+        |est AS (SELECT p.version, term, true_n,
+        |    CAST(min(cnt) AS BIGINT) AS est_n
+        |  FROM probe p JOIN sk
+        |    ON sk.version = p.version AND sk.i = p.i
+        |   AND sk.bucket = p.bucket
+        |  GROUP BY 1, 2, 3)
+        |SELECT CAST(e.version AS BIGINT) AS version, term, true_n,
+        |  est_n, n_cells, grid_total
+        |FROM est e JOIN census c ON c.version = e.version
+        |ORDER BY version, true_n DESC, term""".stripMargin,
+    // sketch_hll_versions: exact distincts per version prefix replay;
+    // the union-fold estimate surfaces only through the 5·rsd verdict
+    "sketch_hll_versions" ->
+      """WITH ev AS (SELECT event_id % 5 AS epoch, event_type, user_id
+        |  FROM events),
+        |vs AS (SELECT * FROM (VALUES (2),(3),(4)) t(version))
+        |SELECT CAST(version AS BIGINT) AS version, event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS within_tol
+        |FROM vs JOIN ev ON ev.epoch <= vs.version
+        |GROUP BY 1, 2 ORDER BY version, event_type""".stripMargin,
     // events.ts truncated to µs in the CTE (see stream_sessionize note)
     "stream_dedup" ->
       """WITH ev AS (

@@ -1158,4 +1158,156 @@ class StreamingSpec extends SparkSpec {
       assert(d3.head.getLong(3) === 120L)
     } finally q.stop()
   }
+
+  // ------------------------------------------------------------------
+  // Versioned-snapshot AUDIT parity (the cdc_snapshot_versions
+  // pattern): replay the oracled audit entries' epoch slices through
+  // the LIVE sketch streams and assert the retained published
+  // versions line up with the batch audit's rows — version ids,
+  // exactly-replayable values (CM), and guarantee verdicts (MG, HLL).
+  // ------------------------------------------------------------------
+
+  /** The audit entries' replay input: terms of the sf docs corpus in
+    * epoch order (epoch = doc_id % 5 — the same slicing the oracled
+    * batch faces use). */
+  private def epochTermSlices(epochs: Int): Seq[Seq[String]] = {
+    val tok = Tables.spread(Tables.documents(spark, sf))
+      .select((org.apache.spark.sql.functions.col("doc_id") % epochs)
+          .as("epoch"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.trim(
+              org.apache.spark.sql.functions.lower(
+                org.apache.spark.sql.functions.col("text"))), "\\s+"))
+          .as("term"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    (0 until epochs).map(e => tok.filter(_._1 == e).map(_._2).toSeq)
+  }
+
+  test("sketch_cm_versions: the stream's retained grids REPLAY the audit " +
+       "rows exactly (lossless merge at version grain)") {
+    import graft.streaming.{ChangeStreams, SketchStreams}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-cmv").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val q = SketchStreams.countMinStream(
+      mem.toDF().toDF("term"), s"$root/sk", s"$root/ckpt",
+      depth = 4, width = 256, keepVersions = 3)
+    try {
+      epochTermSlices(5).foreach { slice =>
+        mem.addData(slice); q.processAllAvailable()
+      }
+      val vs = ChangeStreams.versions(spark, s"$root/sk")
+      assert(vs.sorted === Seq(2L, 3L, 4L))
+      val audit = graft.streaming.SketchStreams
+        .countMinVersionsBatch(spark, sf).collect()
+      assert(audit.map(_.getLong(0)).distinct.sorted.toSeq
+        === Seq(2L, 3L, 4L))
+      audit.groupBy(_.getLong(0)).foreach { case (v, rows) =>
+        val grid = spark.read.parquet(s"$root/sk/batch=$v")
+        // census parity: the live version's grid is the audit's
+        val Seq(nCells, gridTotal) = grid
+          .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)),
+            org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.col("cnt")))
+          .collect().head.toSeq.map(_.asInstanceOf[Long]).toSeq
+        assert(rows.forall(r => r.getAs[Long]("n_cells") === nCells &&
+          r.getAs[Long]("grid_total") === gridTotal), s"census v$v")
+        // probe parity: the stream grid estimates the audit's terms
+        // at exactly the audit's est_n
+        val est = SketchStreams.countMinEstimate(spark, s"$root/sk/",
+            rows.map(_.getString(1)).toSeq, depth = 4, width = 256)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // countMinEstimate reads the NEWEST version; only check v=4
+        if (v == 4L)
+          rows.foreach(r =>
+            assert(est(r.getString(1)) === r.getAs[Long]("est_n"),
+              s"probe ${r.getString(1)} v$v"))
+      }
+    } finally q.stop()
+  }
+
+  test("sketch_topk_versions: stream summaries satisfy the audit verdicts " +
+       "at every retained version") {
+    import graft.streaming.{ChangeStreams, SketchStreams}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-mgv").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[String]
+    val q = SketchStreams.topkStream(
+      mem.toDF().toDF("term"), s"$root/sk", s"$root/ckpt",
+      capacity = 64, keepVersions = 3)
+    try {
+      val slices = epochTermSlices(5)
+      slices.foreach { slice => mem.addData(slice); q.processAllAvailable() }
+      assert(ChangeStreams.versions(spark, s"$root/sk").sorted
+        === Seq(2L, 3L, 4L))
+      val audit = graft.streaming.SketchStreams
+        .topkVersionsBatch(spark, sf).collect()
+      // the batch audit's verdicts all hold (what the oracle pins)
+      assert(audit.forall(r => r.getBoolean(3) && r.getBoolean(4) &&
+        r.getBoolean(5)))
+      // and the LIVE summaries satisfy the same MG contract per
+      // retained version against the exact prefix counts
+      (2 to 4).foreach { v =>
+        val sk = spark.read.parquet(s"$root/sk/batch=$v").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val prefix = slices.take(v + 1).flatten
+        val truth = prefix.groupBy(identity).view.mapValues(_.size.toLong)
+        val bound = prefix.size / 64
+        sk.foreach { case (t, est) =>
+          assert(est <= truth(t), s"v$v $t overcounts")
+          assert(truth(t) - est <= bound, s"v$v $t beyond bound")
+        }
+        truth.filter(_._2 > bound).foreach { case (t, _) =>
+          assert(sk.contains(t), s"v$v heavy $t missing")
+        }
+      }
+    } finally q.stop()
+  }
+
+  test("sketch_hll_versions: stream estimates at every retained version " +
+       "sit inside the audit's tolerance of the exact prefix distincts") {
+    import graft.streaming.{ChangeStreams, SketchStreams}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-hlv").toString
+    val ev = Tables.events(spark, sf)
+      .select((org.apache.spark.sql.functions.col("event_id") % 5)
+          .as("epoch"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    val q = SketchStreams.hllStream(
+      mem.toDF().toDF("event_type", "user_id"), s"$root/sk",
+      s"$root/ckpt", lgK = 12, keepVersions = 3)
+    try {
+      (0 until 5).foreach { e =>
+        mem.addData(ev.filter(_._1 == e).map(t => (t._2, t._3)).toSeq: _*)
+        q.processAllAvailable()
+      }
+      assert(ChangeStreams.versions(spark, s"$root/sk").sorted
+        === Seq(2L, 3L, 4L))
+      val audit = graft.streaming.SketchStreams
+        .hllVersionsBatch(spark, sf).collect()
+      assert(audit.nonEmpty && audit.forall(_.getBoolean(3)))
+      (2 to 4).foreach { v =>
+        val est = spark.read.parquet(s"$root/sk/batch=$v")
+          .select("event_type", "estimate").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val exact = ev.filter(_._1 <= v).map(t => (t._2, t._3)).distinct
+          .groupBy(_._1).view.mapValues(_.size.toLong)
+        exact.foreach { case (t, n) =>
+          assert(math.abs(est(t) - n) <= math.max(5.0, 5 * 0.01625 * n),
+            s"v$v $t: ${est(t)} vs $n")
+        }
+      }
+    } finally q.stop()
+  }
 }
