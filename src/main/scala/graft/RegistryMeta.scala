@@ -772,6 +772,10 @@ object RegistryMeta {
     "dedup_audio_fp" ->
       EntryMeta("2.7", "sql",
         "perceptual AUDIO near-dup"),
+    "dedup_video_fp" ->
+      EntryMeta("2.7", "sql",
+        "perceptual VIDEO near-dup: brightness-shift-invariant " +
+          "frame-luma-delta fingerprint over sampled keyframes"),
     "MultimodalOps.decodeWav" ->
       EntryMeta("2.7", "spec",
         "REAL RIFF/WAVE PCM decoder (header walk + RMS energy, no codec lib needed)"),

@@ -1000,6 +1000,9 @@ object SparkEntry {
     // collide on the gain-invariant energy-envelope fingerprint
     // (integer energy-ratio quantization — c² cancels exactly)
     "dedup_audio_fp" -> ((s, d) => MultimodalOps.audioFpNearDup(s, d)),
+    // brightness-shifted clip re-encodes collide on the luma-delta
+    // sequence fingerprint — the GV01 member of the perceptual trio
+    "dedup_video_fp" -> ((s, d) => MultimodalOps.videoFpNearDup(s, d)),
     // §2.10 MLlib pipelines
     // checked faces: MLlib fits aren't replayable cross-engine, so
     // the entries re-derive the scoring contract in-plan (argmin over
@@ -6428,6 +6431,39 @@ object SparkEntry {
         |SELECT f.fp, f.n_docs, h.doc_id
         |FROM f JOIN h ON f.fp = h.fp
         |ORDER BY f.fp, h.doc_id""".stripMargin,
+    // dedup_video_fp: full value replay of the brightness-invariant
+    // fingerprint — per-pixel synthesis (jitter INCLUDED, so the
+    // invariance itself is cross-engine tested), exact truncating
+    // frame means, lag deltas, and the same md5-prefix 60-bit key
+    "dedup_video_fp" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id - doc_id % 5 AS base, doc_id % 5 AS j
+        |  FROM documents),
+        |p AS (SELECT doc_id, base, j, 8 + (base % 8) AS nf FROM d),
+        |f AS (SELECT doc_id, base, j, nf, fi
+        |  FROM p, LATERAL (SELECT unnest(range(0, nf)) AS fi)
+        |  WHERE fi % 3 = 0),
+        |px AS (SELECT doc_id, nf, fi,
+        |    ((base % 1048573) * 2654435761 + fi * 40503
+        |      + x * 9973 + y * 7919) % 251 + j AS v
+        |  FROM f, LATERAL (SELECT unnest(range(0, 8)) AS x),
+        |    LATERAL (SELECT unnest(range(0, 6)) AS y)),
+        |m AS (SELECT doc_id, nf, fi, sum(v) * 1000 // 48 AS luma
+        |  FROM px GROUP BY 1, 2, 3),
+        |dl AS (SELECT doc_id, nf, fi, luma - lag(luma) OVER
+        |    (PARTITION BY doc_id ORDER BY fi) AS delta FROM m),
+        |st AS (SELECT doc_id, CAST(max(nf) AS VARCHAR) || ':' ||
+        |    coalesce(string_agg(CAST(delta AS VARCHAR), ','
+        |      ORDER BY fi) FILTER (delta IS NOT NULL), '') AS s
+        |  FROM dl GROUP BY 1),
+        |h AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(s), 1, 15))::UBIGINT AS BIGINT) AS fp
+        |  FROM st),
+        |fam AS (SELECT fp, count(*) AS n_docs FROM h
+        |  GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT fam.fp, fam.n_docs, h.doc_id
+        |FROM fam JOIN h ON fam.fp = h.fp
+        |ORDER BY fam.fp, h.doc_id""".stripMargin,
     "mm_extract" ->
       """WITH wav_t AS (
         |  SELECT doc_id, 64 + doc_id % 64 AS n,

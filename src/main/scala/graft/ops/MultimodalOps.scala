@@ -410,6 +410,33 @@ object VideoCodec {
     }
     Some((nf, frames))
   }
+
+  /** Brightness-invariant frame-sequence fingerprint — the GV01
+    * sibling of [[BmpCodec.ahash]] / [[WavCodec.envHash]] completing
+    * the perceptual trio: md5 (first 15 hex digits as a 60-bit Long)
+    * of "nf:" + the comma-joined DELTAS between consecutive sampled
+    * frames' exact integer mean lumas. A global brightness shift of
+    * +j moves every sampled mean by exactly j·1000 (the shift adds
+    * j·px to the pixel sum, and truncating division distributes over
+    * exact multiples: (s·1000 + j·px·1000) div px = s·1000 div px +
+    * j·1000), so the deltas — and the fingerprint — are provably
+    * identical across re-encodes that differ by uniform brightness,
+    * which byte-level exact dedup is structurally blind to. Pure
+    * integer arithmetic + standard md5 of the UTF-8 string ⇒ an
+    * external engine replays the fingerprint value-for-value.
+    * Malformed payloads (delegated to [[sampleFrames]]'s adversarial
+    * header walk) return None. */
+  def lumaSeqFp(b: Array[Byte], every: Int = 3): Option[Long] =
+    sampleFrames(b, every).map { case (nf, frames) =>
+      val deltas = frames.sliding(2).collect {
+        case Seq((_, a), (_, c)) => c - a
+      }.toSeq
+      val s = s"$nf:" + deltas.mkString(",")
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(x => f"${x & 0xFF}%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
 }
 
 /** Deterministic media synthesis: build REAL byte-level WAV and BMP
@@ -569,6 +596,46 @@ object MmSynth {
         var x = 0
         while (x < w) {
           buf.put(((id * 7 + f * 13 + x * 3 + y * 5) % 251).toByte)
+          x += 1
+        }
+        y += 1
+      }
+      f += 1
+    }
+    buf.array()
+  }
+
+  /** Planted NEAR-dup video family — [[bmpNearBytes]]'s GV01 sibling:
+    * ids in the same group of `grp` render the SAME pseudo-random
+    * clip shifted by a per-member global brightness offset
+    * (id mod grp), so payload bytes differ member to member while
+    * [[VideoCodec.lumaSeqFp]]'s luma-delta sequence cancels the shift
+    * exactly (each sampled mean moves by exactly jitter·1000). Pixel
+    * (frame f, col x, row y) = `((base mod 1048573)·2654435761 +
+    * f·40503 + x·9973 + y·7919) mod 251` + jitter (bounded BIGINT
+    * operands — engine-replayable; mod-251 caps raw values at 250 so
+    * jitter ≤ grp−1 ≤ 5 never wraps a byte). Frame count
+    * 8 + base mod 8 is keyed on the BASE so family members stay
+    * frame-aligned; dimensions fixed 8×6 like [[videoBytes]]. */
+  def videoNearBytes(id: Long, grp: Int = 5): Array[Byte] = {
+    val base = id - id % grp
+    val jitter = (id % grp).toInt
+    val w = 8; val h = 6
+    val nf = 8 + (base % 8).toInt
+    val buf = ByteBuffer.allocate(12 + w * h * nf)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("GV01".getBytes("US-ASCII"))
+    buf.putShort(w.toShort).putShort(h.toShort)
+    buf.putShort(4.toShort).putShort(nf.toShort)
+    var f = 0
+    while (f < nf) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = (((base % 1048573L) * 2654435761L + f * 40503L +
+            x * 9973L + y * 7919L) % 251L).toInt + jitter
+          buf.put(v.toByte)
           x += 1
         }
         y += 1
@@ -823,6 +890,39 @@ object MultimodalOps {
       .as[Long]
     val hashed = ids.flatMap { id =>
       WavCodec.envHash(MmSynth.wavNearBytes(id, grp)).map(hv => (id, hv))
+    }.toDF("doc_id", "fp")
+    val fams = hashed.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    hashed.join(fams, Seq("fp"))
+      .select(col("fp"), col("n_docs"), col("doc_id"))
+      .orderBy(col("fp"), col("doc_id"))
+  }
+
+  /** Perceptual VIDEO near-dup detection — the GV01 member completing
+    * the multimodal dedup trio ([[phashNearDup]] images,
+    * [[audioFpNearDup]] audio): brightness-shifted re-encodes of the
+    * same clip (every payload byte differs) collide on the
+    * shift-invariant frame-luma-delta fingerprint
+    * ([[VideoCodec.lumaSeqFp]] over [[VideoCodec.sampleFrames]]'s
+    * every-k keyframes — a real pipeline fingerprints the SAMPLED
+    * sequence, never every frame). Planted families
+    * ([[MmSynth.videoNearBytes]]) are signed by the real
+    * header-walking codec; fingerprints with ≥ 2 carriers surface as
+    * near-dup families. Same scale shape as the siblings: row-local
+    * synth + sample + hash in a flatMap (zero shuffle), ONE
+    * map-side-combinable count on the 64-bit key, one AQE-sized
+    * equi-join back — the dedup_exact posture at any corpus size.
+    * Closed-form synth + integer luma deltas + standard md5 ⇒ the
+    * whole pipeline, codec included, is DuckDB-oracled. */
+  def videoFpNearDup(s: SparkSession, d: String, grp: Int = 5,
+                     every: Int = 3): DataFrame = {
+    import s.implicits._
+    val ids = Tables.spread(Tables.documents(s, d).select(col("doc_id")))
+      .as[Long]
+    val hashed = ids.flatMap { id =>
+      VideoCodec.lumaSeqFp(MmSynth.videoNearBytes(id, grp), every)
+        .map(hv => (id, hv))
     }.toDF("doc_id", "fp")
     val fams = hashed.groupBy(col("fp"))
       .agg(count(lit(1)).as("n_docs"))

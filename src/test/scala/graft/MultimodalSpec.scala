@@ -489,4 +489,49 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("lumaSeqFp: hand-computed value, brightness invariance on the " +
+       "planted family, hostile drops") {
+    import graft.ops.VideoCodec
+    // the codec test's 2×2 3-frame container: sampled means at
+    // every=2 are (0,1500),(2,3500) → deltas "2000" → md5("3:2000")
+    // first 15 hex = 356149126413763045 (independently precomputed)
+    val b = new Array[Byte](12 + 4 * 3)
+    b(0) = 'G'; b(1) = 'V'; b(2) = '0'; b(3) = '1'
+    b(4) = 2; b(6) = 2; b(8) = 4; b(10) = 3
+    for (f <- 0 until 3; i <- 0 until 4) b(12 + f * 4 + i) = (f + i).toByte
+    assert(VideoCodec.lumaSeqFp(b, 2) === Some(356149126413763045L))
+    // every=4 samples only frame 0 → no deltas → md5("3:")
+    assert(VideoCodec.lumaSeqFp(b, 4) === Some(927435580917182677L))
+    // malformed payloads drop through the codec's adversarial walk
+    assert(VideoCodec.lumaSeqFp("XXXX".getBytes ++ b.drop(4), 2).isEmpty)
+    assert(VideoCodec.lumaSeqFp(b.dropRight(1), 2).isEmpty)
+    // brightness invariance on the planted family: payload bytes
+    // differ member to member, fingerprints identical (the exact
+    // jitter·1000 cancellation in the deltas)
+    val fam = (40L to 44L).map(id => MmSynth.videoNearBytes(id, 5))
+    assert(fam.sliding(2).forall(p => !p.head.sameElements(p.last)))
+    assert(fam.map(v => VideoCodec.lumaSeqFp(v).get).distinct.size === 1)
+    // a NON-uniform edit (one pixel of one sampled frame) changes it
+    val edited = fam.head.clone()
+    edited(12) = (edited(12) + 97).toByte
+    assert(VideoCodec.lumaSeqFp(edited) !==
+      VideoCodec.lumaSeqFp(fam.head))
+    // distinct families spread over the key space
+    val bases = (0L until 100L by 5).map(id =>
+      VideoCodec.lumaSeqFp(MmSynth.videoNearBytes(id, 5)).get)
+    assert(bases.distinct.size >= 15)
+  }
+
+  test("videoFpNearDup surfaces whole planted families, never singletons") {
+    val out = MultimodalOps.videoFpNearDup(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byFp = out.groupBy(_.getLong(0))
+    byFp.values.foreach { rows =>
+      assert(rows.length === rows.head.getLong(1) && rows.length >= 2)
+    }
+    // planted ids 40..44 land in ONE bucket together
+    val fam = out.filter(r => r.getLong(2) >= 40 && r.getLong(2) <= 44)
+    assert(fam.length === 5 && fam.map(_.getLong(0)).distinct.length === 1)
+  }
 }
