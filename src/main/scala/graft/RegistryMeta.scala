@@ -855,6 +855,69 @@ object RegistryMeta {
     "EventStreams.conformalStream" ->
       EntryMeta("2.8", "spec",
         "streaming face of forecast_conformal"),
+    // §2.9 Sources & sinks + session surface (API rows; compound
+    // SURVEY rows are keyed by their first member)
+    "Sources.readCsv" ->
+      EntryMeta("2.9", "spec",
+        "headered CSV with declared schema (the ETL jobs' input path)"),
+    "Sources.readCsvInferred" ->
+      EntryMeta("2.9", "spec",
+        "header + schema inference (the \"crawler\" path)"),
+    "Sources.writePartitioned" ->
+      EntryMeta("2.9", "spec",
+        "partitioned parquet sink (+maxRecordsPerFile), pruning verified"),
+    "Sources.readPartitioned" ->
+      EntryMeta("2.9", "spec", "partition-pruned read-back"),
+    "Sources.readJsonl" ->
+      EntryMeta("2.9", "spec",
+        "JSON-Lines in/out (readJsonl / readJsonlInferred / writeJsonl)"),
+    "Sources.writeOrc" ->
+      EntryMeta("2.9", "spec",
+        "ORC faces of the partitioned sink/source pair, same pruning " +
+          "contract (writeOrc / readOrc)"),
+    "Sources.readBinaryFiles" ->
+      EntryMeta("2.9", "spec", "raw-blob ingestion (binaryFile source)"),
+    "Sources.readEvolved" ->
+      EntryMeta("2.9", "spec",
+        "mergeSchema read over a column-accreting dataset"),
+    "Sources.schemaDiff" ->
+      EntryMeta("2.9", "spec",
+        "schema drift audit run BEFORE trusting readEvolved's silent union"),
+    "Sources.writeBucketed" ->
+      EntryMeta("2.9", "spec", "bucketed+sorted table write on the join key"),
+    "Sources.compact" ->
+      EntryMeta("2.9", "spec",
+        "small-file compaction: byte-sized targets, swap-on-success rewrite"),
+    "Sources.writeSorted" ->
+      EntryMeta("2.9", "spec",
+        "sorted data layout (repartitionByRange + sortWithinPartitions)"),
+    "Sources.writeZOrdered" ->
+      EntryMeta("2.9", "spec",
+        "multi-column skipping: bit-interleaved z-values, range-partition " +
+          "+ sort so row groups become compact multi-dim cells"),
+    "Sources.writeStatsManifest" ->
+      EntryMeta("2.9", "spec",
+        "external per-file min/max stats manifest + pruned read " +
+          "(writeStatsManifest / readPruned, staleness-guarded)"),
+    "Sources.registerTable" ->
+      EntryMeta("2.9", "spec", "crawler-to-catalog persistence"),
+    "Routing" ->
+      EntryMeta("2.9", "spec",
+        "the scale-tier dial: routes exact face vs scale tier on " +
+          "Catalyst plan-stats bytes for all declared pairs; " +
+          "adaptivePermille scales DOULION's keep rate past the dial"),
+    "GraftExtensions" ->
+      EntryMeta("2.9", "spec",
+        "SparkSessionExtensions: simhash64 / cosine_sim / dot_product " +
+          "as SQL functions"),
+    "RegistryMeta" ->
+      EntryMeta("2.9", "spec",
+        "this index: section tag + oracle mode + contract + scale " +
+          "partner per registry key, sync-pinned by RegistryMetaSpec"),
+    "IncrementalIngest.ingestOnce" ->
+      EntryMeta("2.9", "spec",
+        "scheduled-job bookmarks: checkpointed AvailableNow file-stream " +
+          "to a partitioned sink, idempotent re-run"),
     // §2.10 MLlib pipelines
     "ml_cluster" ->
       EntryMeta("2.10", "sql",

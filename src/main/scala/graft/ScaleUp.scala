@@ -29,14 +29,35 @@ import org.apache.spark.sql.functions._
   *    carries — nanos-long or TIMESTAMP_NTZ — so Tables.events'
   *    adaptive handling applies to the output unchanged).
   *
-  * Usage: runMain graft.ScaleUp [srcSfDir] [outDir] [factor]
+  * Usage: runMain graft.ScaleUp [srcSfDir] [outDir] [factor] [offMult]
+  *
+  * SECOND-LEVEL derivation (sf1 → sf10, round 12): pass
+  * `offMult` = the source's own derivation factor (10 for sf1) so
+  * every per-copy key offset scales past the source's key SPAN
+  * instead of colliding with its first-level offsets. Two transform
+  * caveats at the second level, documented rather than silent:
+  *  - embeddings additionally get a per-copy ±1 SIGN MASK (md5-seeded
+  *    diagonal orthogonal transform) on top of the rotation — pure
+  *    rotations cap at dim=64 mutually-dissimilar copies, and a
+  *    factor×factor composition would recreate identical vectors
+  *    across copies (inflating every pair-based embedding workload);
+  *    the mask keeps within-copy inner products EXACT (d_i² = 1)
+  *    while cross-copy cosines stay ≈ 0 against every other copy of
+  *    either level.
+  *  - documents keep the alphabet rotation, which caps disjoint
+  *    vocabularies at 26: a second-level corpus has cross-copy
+  *    REPEATED texts (rotation classes recur). Per-row/per-token doc
+  *    ops (pack/ccnet/lm/dsir) are unaffected; PAIR-based doc dedup
+  *    must not be benchmarked on a second-level corpus.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "target/sfwork/sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    val offMult = if (args.length > 3) args(3).toLong else 1L
     require(factor >= 1 && factor <= 26, s"factor must be 1..26: $factor")
+    require(offMult >= 1, s"offMult must be >= 1: $offMult")
     val s = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     val dim = 64
@@ -45,7 +66,7 @@ object ScaleUp {
     (0 until factor).map { k =>
       val rot = alpha.drop(k % 26) + alpha.take(k % 26)
       docs.select(
-        (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        (col("doc_id") + lit(k * offMult * 10000000L)).as("doc_id"),
         translate(col("text"), alpha, rot).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ union _)
@@ -58,9 +79,22 @@ object ScaleUp {
         if (r == 0) col("embedding")
         else concat(expr(s"slice(embedding, ${r + 1}, ${dim - r})"),
           expr(s"slice(embedding, 1, $r)"))
+      // second level only: md5-seeded per-copy ±1 sign mask (copy 0
+      // stays the identity so the source corpus embeds unchanged)
+      val masked =
+        if (offMult == 1L || k == 0) rotated
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val h = md.digest(s"scaleup_sign_${k}".getBytes("UTF-8"))
+          val mask = Array.tabulate(dim)(i =>
+            if (((h(i % 16) >> (i / 16)) & 1) == 1) -1.0f else 1.0f)
+          zip_with(rotated,
+            array(mask.map(m => lit(m)).toIndexedSeq: _*),
+            (a, b) => a * b)
+        }
       emb.select(
-        (col("vec_id") + lit(k * 1000000L)).as("vec_id"),
-        rotated.cast("array<float>").as("embedding"),
+        (col("vec_id") + lit(k * offMult * 1000000L)).as("vec_id"),
+        masked.cast("array<float>").as("embedding"),
         col("label"))
     }.reduce(_ union _)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
@@ -71,9 +105,9 @@ object ScaleUp {
     val ev = s.read.parquet(s"$src/events.parquet")
     (0 until factor).map { k =>
       ev.select(
-        (col("event_id") + lit(k * 10000000000L)).as("event_id"),
+        (col("event_id") + lit(k * offMult * 10000000000L)).as("event_id"),
         col("ts"),
-        (col("user_id") + lit(k * 1000000L)).as("user_id"),
+        (col("user_id") + lit(k * offMult * 1000000L)).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }.reduce(_ union _)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
@@ -88,8 +122,8 @@ object ScaleUp {
     // subjects, `% 10` holdouts) keep selecting the same fraction of
     // every copy. With all ten tables present the output dir is a
     // complete sf dir: Bench/BenchOne run against it directly.
-    val okOff = 1000000L; val pkOff = 100000L
-    val skOff = 10000L; val ckOff = 100000L
+    val okOff = 1000000L * offMult; val pkOff = 100000L * offMult
+    val skOff = 10000L * offMult; val ckOff = 100000L * offMult
     def copies(table: String)(f: Int => org.apache.spark.sql.DataFrame): Unit =
       (0 until factor).map(f).reduce(_ union _)
         .write.mode("overwrite").parquet(s"$out/$table.parquet")

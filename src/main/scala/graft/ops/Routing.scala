@@ -55,16 +55,44 @@ object Routing {
     * the scale tier is the only answer that survives 100×. */
   val DefaultExactMaxBytes: Long = 4L << 30
 
+  /** DOULION's edge-keep rate for an input of `bytes` estimated scan
+    * size: the fixed-rate tier's sampled wedge work grows as
+    * (p·m)^1.5 — measured ≈11× per 10× at the sf1→sf10 decade
+    * (SCALING.md round 12) while the estimator's relative error
+    * shrinks (triangle count grows with the graph), so the rate is
+    * statistical headroom the fixed tier never spends. Scaling
+    * p ∝ m^(−1/3) makes sampled wedge work LINEAR in m while
+    * p³·T — the error denominator — stays roughly constant when
+    * triangles grow ∝ m (disjoint-community growth, the ScaleUp
+    * shape and the web-graph norm). Anchored at `permille` for
+    * `exactMaxBytes`-sized input (the dial boundary, where the
+    * sampled tier takes over from exact), floored at 30‰ so a
+    * sparse-triangle graph can't starve the estimator. */
+  def adaptivePermille(bytes: BigInt, permille: Int = 300,
+                       exactMaxBytes: Long = DefaultExactMaxBytes): Int = {
+    val ratio = bytes.toDouble / math.max(1L, exactMaxBytes).toDouble
+    if (ratio <= 1.0) permille
+    else math.max(30, (permille / math.cbrt(ratio)).toInt)
+  }
+
   /** [[GraphOps.trianglesOn]] (exact count) below the dial,
-    * [[GraphOps.trianglesSampledOn]] (DOULION estimate) above it. */
+    * [[GraphOps.trianglesSampledOn]] (DOULION estimate) above it —
+    * with the keep rate itself adapted to the input size
+    * ([[adaptivePermille]]): pass `permille` > 0 to pin a fixed rate
+    * (the oracled registry entry's posture), 0 (default) to let the
+    * dial scale it. */
   def trianglesAuto(s: SparkSession, d: String, maxBasket: Int = 16,
-                    permille: Int = 300,
+                    permille: Int = 0,
                     exactMaxBytes: Long = DefaultExactMaxBytes): DataFrame = {
     val pairs = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
     tierFor(pairs, exactMaxBytes) match {
       case Exact => GraphOps.trianglesOn(pairs, maxBasket)
-      case Scale => GraphOps.trianglesSampledOn(pairs, maxBasket, permille)
+      case Scale =>
+        val p = if (permille > 0) permille
+                else adaptivePermille(planBytes(pairs),
+                  exactMaxBytes = exactMaxBytes)
+        GraphOps.trianglesSampledOn(pairs, maxBasket, p)
     }
   }
 

@@ -25,12 +25,37 @@ class RoutingSpec extends SparkSpec {
     assert(rows(Routing.trianglesAuto(spark, sf,
         exactMaxBytes = Long.MaxValue))
       === rows(GraphOps.triangles(spark, sf)))
+    val pairs = Tables.lineitem(spark, sf).select(
+      org.apache.spark.sql.functions.col("l_orderkey").as("basket"),
+      org.apache.spark.sql.functions.col("l_partkey").as("item"))
+    // pinned-rate posture: permille passed explicitly
+    assert(rows(Routing.trianglesAuto(spark, sf, permille = 300,
+        exactMaxBytes = 0L))
+      === rows(graft.ops.GraphOps.trianglesSampledOn(pairs, 16, 300)))
+    // adaptive posture (default): the dial derives the keep rate
+    // from the same plan-bytes estimate the tier choice reads
     assert(rows(Routing.trianglesAuto(spark, sf, exactMaxBytes = 0L))
-      === rows(graft.ops.GraphOps.trianglesSampledOn(
-        Tables.lineitem(spark, sf).select(
-          org.apache.spark.sql.functions.col("l_orderkey").as("basket"),
-          org.apache.spark.sql.functions.col("l_partkey").as("item")),
-        16, 300)))
+      === rows(graft.ops.GraphOps.trianglesSampledOn(pairs, 16,
+        Routing.adaptivePermille(Routing.planBytes(pairs),
+          exactMaxBytes = 0L))))
+  }
+
+  test("adaptivePermille: anchored at the dial boundary, m^(-1/3) " +
+       "above it, floored, zero-dial safe") {
+    // at or below the boundary: the anchor rate, untouched
+    assert(Routing.adaptivePermille(BigInt(4L << 30)) === 300)
+    assert(Routing.adaptivePermille(BigInt(1)) === 300)
+    // one decade over: 300/cbrt(10) = 139 — sampled wedge work back
+    // to linear in m
+    assert(Routing.adaptivePermille(BigInt((4L << 30) * 10)) === 139)
+    // three decades over: 300/10 = 30, exactly at the floor
+    assert(Routing.adaptivePermille(BigInt((4L << 30) * 1000)) === 30)
+    // six decades over: floored, never starves the estimator
+    assert(Routing.adaptivePermille(BigInt(4L << 30) * 1000000) === 30)
+    // a zero dial must not divide by zero (the tier-forcing test
+    // input): the guard anchors it at 1 byte, so 100 bytes is two
+    // "decades" over → 300/cbrt(100) = 64
+    assert(Routing.adaptivePermille(BigInt(100), exactMaxBytes = 0L) === 64)
   }
 
   test("dau/wau route: exact distinct under the dial, HLL face over it") {
