@@ -175,6 +175,14 @@ object RegistryMeta {
     "q20_qty_threshold" ->
       EntryMeta("2.2", "sql",
         "TPC-H Q20 excess-stock suppliers"),
+    "q12_shipmode_priority" ->
+      EntryMeta("2.2", "sql",
+        "TPC-H Q12 shipping modes vs priority over derived " +
+          "commit/receipt offsets + ship modes"),
+    "q21_suppliers_waiting" ->
+      EntryMeta("2.2", "sql",
+        "TPC-H Q21 solo-late suppliers as ONE per-order aggregate " +
+          "(no lineitem self-joins)"),
     "q_count_by_type" ->
       EntryMeta("2.2", "sql",
         "group counts (events.event_type)"),

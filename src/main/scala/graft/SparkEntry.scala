@@ -52,6 +52,11 @@ object SparkEntry {
     "q11_value_concentration" -> ((s, d) => Supply.valueConcentration(s, d)),
     "q16_supplier_counts"    -> ((s, d) => Supply.supplierCounts(s, d)),
     "q20_qty_threshold"      -> ((s, d) => Supply.qtyThresholdSuppliers(s, d)),
+    // round 12: Q12/Q21 over DERIVED commit/receipt offsets + ship
+    // modes (ops/Shipping.scala — the Supply posture on the shipping
+    // axis), closing the TPC-H family this schema can express
+    "q12_shipmode_priority"  -> ((s, d) => Shipping.shipmodePriority(s, d)),
+    "q21_suppliers_waiting"  -> ((s, d) => Shipping.suppliersWaiting(s, d)),
     "q_count_by_type"    -> (Analytics.countByType _),
     "q_union_counts"     -> (Analytics.unionCounts _),
     "q_per_day_type"     -> (Analytics.perDayType _),
@@ -1400,6 +1405,45 @@ object SparkEntry {
         |WHERE s_nationkey = n_nationkey AND n_name = 'NATION_8'
         |  AND s_suppkey = ps_suppkey
         |ORDER BY s_suppkey""".stripMargin,
+    // q12/q21: the derived-shipping CTE (Shipping.shipCte) mirrors the
+    // integer offset/mode hashes; date comparisons between derived
+    // dates stay in offset space, and the one calendar value (q12's
+    // receipt year) adds whole days to the shared timestamp on both
+    // engines
+    "q12_shipmode_priority" ->
+      s"""WITH ${Shipping.shipCte}
+        |SELECT l_shipmode,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM ls JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipmode IN ('SHIP', 'RAIL')
+        |  AND commit_off < receipt_off AND commit_off > 0
+        |  AND date_part('year',
+        |    l_shipdate + receipt_off * INTERVAL '1 day') = 1997
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q21_suppliers_waiting" ->
+      s"""WITH ${Shipping.shipCte},
+        |po AS (
+        |  SELECT l_orderkey,
+        |    count(DISTINCT l_suppkey) AS n_supps,
+        |    count(DISTINCT CASE WHEN receipt_off > commit_off
+        |      THEN l_suppkey END) AS n_late,
+        |    max(CASE WHEN receipt_off > commit_off
+        |      THEN l_suppkey END) AS late_supp
+        |  FROM ls JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY 1),
+        |culprit AS (
+        |  SELECT late_supp, CAST(count(*) AS BIGINT) AS numwait
+        |  FROM po WHERE n_supps >= 2 AND n_late = 1
+        |  GROUP BY 1)
+        |SELECT s_name, numwait
+        |FROM culprit, supplier, nation
+        |WHERE late_supp = s_suppkey AND s_nationkey = n_nationkey
+        |  AND n_name = 'NATION_7'
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
     "q_count_by_type" ->
       """SELECT event_type, count(*) AS ride_count
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
