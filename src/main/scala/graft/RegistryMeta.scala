@@ -328,6 +328,12 @@ object RegistryMeta {
     "q_mann_whitney" ->
       EntryMeta("2.2", "sql",
         "Mann-Whitney U"),
+    "q_ks_test" ->
+      EntryMeta("2.2", "sql",
+        "two-sample Kolmogorov-Smirnov distribution-drift test: exact integer D over the shared PrefixSum two-sample CDF pass, fully integer α=0.05 verdict"),
+    "q_mutual_info" ->
+      EntryMeta("2.2", "sql",
+        "mutual information + NMI between two categorical columns — χ²'s how-much face, DECIMAL-quantized p·ln terms over observed cells"),
     "q_benford" ->
       EntryMeta("2.2", "sql",
         "Benford first-digit audit (fraud / synthetic-data smell test): leading digit from the value's fixed 4dp decimal rendering"),
@@ -505,6 +511,9 @@ object RegistryMeta {
     "ts_outlier_mad" ->
       EntryMeta("2.3", "sql",
         "robust per-series outliers via median/MAD"),
+    "ts_theil_sen" ->
+      EntryMeta("2.3", "sql",
+        "Theil-Sen robust trend per series: median-of-pairwise-slopes line, medians selected and combined as exact integer rationals, published via signed exact half-up division"),
     "ts_forecast_reconcile" ->
       EntryMeta("2.3", "sql",
         "HIERARCHICAL forecast coherence audit"),
@@ -860,6 +869,9 @@ object RegistryMeta {
     "sketch_hll_versions" ->
       EntryMeta("2.8", "sql",
         "versioned audit of the streaming HLL distinct fold: exact per-(version, type) distincts replay in SQL"),
+    "sketch_psi_versions" ->
+      EntryMeta("2.8", "sql",
+        "versioned audit of the streaming PSI drift monitor: the histogram fold is lossless, so the whole per-version PSI table replays value-for-value"),
     "EventStreams.conformalStream" ->
       EntryMeta("2.8", "spec",
         "streaming face of forecast_conformal"),

@@ -113,6 +113,11 @@ object SparkEntry {
     // over the contingency cells (cell-cardinality work, one scan)
     "q_chi2" -> ((s, d) => Analytics.chi2Independence(
       Tables.documents(s, d), "lang", "source")),
+    // χ²'s information-theoretic face: HOW MUCH does source tell you
+    // about language — observed-cell p·ln terms DECIMAL-quantized
+    // before the sum, √(H_a·H_b)-normalized NMI
+    "q_mutual_info" -> ((s, d) => Analytics.mutualInfo(
+      Tables.documents(s, d), "lang", "source")),
     // per-type adoption curve: first-seen fold + calendar-sized
     // running sum (never a per-day cumulative count-distinct)
     "q_user_growth" -> (Analytics.userGrowth _),
@@ -349,6 +354,9 @@ object SparkEntry {
     // nonparametric A/B: rank sums over distinct 4dp VALUES ride the
     // shared PrefixSum — never a per-row global rank window
     "q_mann_whitney" -> ((s, d) => Analytics.mannWhitney(s, d)),
+    // distribution drift: two-sample KS over the shared
+    // PrefixSum-multi CDF pass — exact integer D and α=0.05 verdict
+    "q_ks_test" -> ((s, d) => Analytics.ksTest(s, d)),
     // Poisson-bootstrap CIs: md5-deterministic Poisson(1) weights
     // (integer CDF thresholds), replicate explode collapsed by
     // map-side partial agg — the distributed bootstrap, fully oracled
@@ -628,6 +636,10 @@ object SparkEntry {
     // z-score monitor (mean/stddev are dragged by the outliers they
     // hunt; the median isn't); thresholds rounded before the score
     "ts_outlier_mad" -> ((s, d) => TimeSeriesOps.outlierMad(s, d)),
+    // Theil-Sen robust trend: median-of-pairwise-slopes line with
+    // the medians selected and combined as exact integer rationals,
+    // published through signed exact half-up division (r4s)
+    "ts_theil_sen" -> ((s, d) => TimeSeriesOps.theilSen(s, d)),
     // calendar features on the daily series (dow/weekend/month/...):
     // pure integer + engine-portable date arithmetic, row-local
     "ts_calendar_features" -> ((s, d) => TimeSeriesOps.calendarFeatures(s, d)),
@@ -1090,6 +1102,12 @@ object SparkEntry {
       graft.streaming.SketchStreams.countMinVersionsBatch(s, d)),
     "sketch_hll_versions" -> ((s, d) =>
       graft.streaming.SketchStreams.hllVersionsBatch(s, d)),
+    // the FOURTH sketch stream's versioned contract: the PSI
+    // histogram fold is lossless, so every published value (bin
+    // counts, smoothed shares, terms, PSI, drift verdict) replays
+    // value-for-value per retained version
+    "sketch_psi_versions" -> ((s, d) =>
+      graft.streaming.SketchStreams.psiVersionsBatch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1801,6 +1819,39 @@ object SparkEntry {
         |  round(sqrt(CAST(chi2s AS DOUBLE) / n / least(r - 1, c - 1)), 4)
         |    AS cramers_v
         |FROM agg""".stripMargin,
+    // same observed-cell tree: (o/n)·ln(o·n/(ra·cb)) quantized to
+    // DECIMAL(20,10) before the sum — parity never rests on
+    // aggregation order or libm's last ulp (the q_entropy posture)
+    "q_mutual_info" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS o
+        |               FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS ra
+        |       FROM cells GROUP BY 1),
+        |ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS cb
+        |       FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |mi AS (SELECT sum(CAST((CAST(o AS DOUBLE) / n) *
+        |           ln(CAST(o AS DOUBLE) * n / (CAST(ra AS DOUBLE) * cb))
+        |           AS DECIMAL(20,10))) AS mis
+        |       FROM cells JOIN rt USING (lang) JOIN ct USING (source),
+        |            tot),
+        |ha AS (SELECT sum(CAST(-(CAST(ra AS DOUBLE) / n) *
+        |           ln(CAST(ra AS DOUBLE) / n) AS DECIMAL(20,10))) AS has,
+        |         CAST(count(*) AS BIGINT) AS n_a
+        |       FROM rt, tot),
+        |hb AS (SELECT sum(CAST(-(CAST(cb AS DOUBLE) / n) *
+        |           ln(CAST(cb AS DOUBLE) / n) AS DECIMAL(20,10))) AS hbs,
+        |         CAST(count(*) AS BIGINT) AS n_b
+        |       FROM ct, tot)
+        |SELECT n AS n_rows, n_a AS n_classes_a, n_b AS n_classes_b,
+        |  round(CAST(mis AS DOUBLE), 4) AS mi,
+        |  round(CAST(has AS DOUBLE), 4) AS h_a,
+        |  round(CAST(hbs AS DOUBLE), 4) AS h_b,
+        |  CASE WHEN has > 0 AND hbs > 0
+        |    THEN round(CAST(mis AS DOUBLE) /
+        |           sqrt(CAST(has AS DOUBLE) * CAST(hbs AS DOUBLE)), 4)
+        |    ELSE 0.0 END AS nmi
+        |FROM mi, ha, hb, tot""".stripMargin,
     // FULL JOIN ... USING coalesces the key in both engines; count
     // and max are aggregation-order independent, so no float drift
     // can cross the outer join
@@ -3041,6 +3092,37 @@ object SparkEntry {
         |      ((nd + 1) - td / (nd * (nd - 1))))), 4) AS z,
         |  round(1 - u2 / (CAST(na AS DOUBLE) * nb), 4) AS r_rb
         |FROM d""".stripMargin,
+    // exact integer cross-multiply D over the inclusive two-sample
+    // CDF steps; the α=0.05 verdict is fully integer on both engines
+    // (c = 679/500), only ks_z derives in fixed-tree doubles
+    "q_ks_test" ->
+      """WITH f AS (SELECT round(value, 4) AS v,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |g AS (SELECT v, CAST(sum(ia) AS BIGINT) AS ca,
+        |    CAST(count(*) - sum(ia) AS BIGINT) AS cb
+        |  FROM f GROUP BY 1),
+        |c AS (SELECT
+        |    CAST(sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |      AS HUGEINT) AS fa,
+        |    CAST(sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |      AS HUGEINT) AS fb
+        |  FROM g),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |        CAST(sum(cb) AS BIGINT) AS nb FROM g),
+        |m AS (SELECT na, nb,
+        |        max(abs(fa * nb - fb * na)) AS dnum
+        |      FROM c, t GROUP BY na, nb)
+        |SELECT na AS n_a, nb AS n_b,
+        |  CAST((dnum * 20000 + CAST(na AS HUGEINT) * nb) //
+        |    (2 * CAST(na AS HUGEINT) * nb) AS BIGINT) / 10000.0 AS d,
+        |  round(CAST(dnum AS DOUBLE) /
+        |      (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) *
+        |    sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) /
+        |      (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))), 4) AS ks_z,
+        |  (dnum * dnum * 250000 >
+        |    CAST(461041 AS HUGEINT) * (na + nb) * na * nb) AS reject_05
+        |FROM m""".stripMargin,
     // q_bootstrap_ci: the SAME md5-60-bit uniforms inverted through
     // the SAME five integer CDF literals, replicate means 4dp, exact
     // interpolated CI percentiles, DECIMAL-moment bootstrap SE
@@ -4229,6 +4311,57 @@ object SparkEntry {
     // Shares quantile_cont ≡ Spark percentile interpolation; med and
     // MAD round to 4dp BEFORE the score (rounded-metric rule), so the
     // ratio divides identical doubles on both engines.
+    // ts_theil_sen: the pair/residual medians replay as the SAME
+    // exact-rational selection (double `sl` is only the order key;
+    // distinct calendar-denominator rationals are far beyond an ulp
+    // apart), publication through the r4s signed half-up mirror
+    "ts_theil_sen" ->
+      """WITH daily AS (SELECT event_type,
+        |    date_diff('day', DATE '2024-01-01',
+        |      date_trunc('day', CAST(ts AS TIMESTAMP_US))) AS dd,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |pairs AS (SELECT a.event_type, a.dd AS di, b.dd AS dj,
+        |    b.cnt - a.cnt AS num, b.dd - a.dd AS den,
+        |    CAST(b.cnt - a.cnt AS DOUBLE) / (b.dd - a.dd) AS sl
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND b.dd > a.dd),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY sl, di, dj) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS m FROM pairs),
+        |sel AS (SELECT * FROM rk
+        |        WHERE rk = (m + 1) // 2 OR rk = m // 2 + 1),
+        |sl AS (SELECT event_type, m, count(*) AS k,
+        |    min_by(num, rk) AS n1, min_by(den, rk) AS d1,
+        |    max_by(num, rk) AS n2, max_by(den, rk) AS d2
+        |  FROM sel GROUP BY 1, 2),
+        |slope AS (SELECT event_type, m AS n_pairs,
+        |    CASE WHEN k = 1 THEN n1 ELSE n1 * d2 + n2 * d1 END AS snum,
+        |    CASE WHEN k = 1 THEN d1 ELSE 2 * d1 * d2 END AS sden
+        |  FROM sl),
+        |res AS (SELECT d.event_type, d.dd, s.n_pairs, s.snum, s.sden,
+        |    d.cnt * s.sden - s.snum * d.dd AS rnum
+        |  FROM daily d JOIN slope s USING (event_type)),
+        |rr AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY rnum, dd) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS nd FROM res),
+        |isel AS (SELECT * FROM rr
+        |         WHERE rk = (nd + 1) // 2 OR rk = nd // 2 + 1),
+        |ii AS (SELECT event_type, any_value(nd) AS n_days,
+        |    any_value(n_pairs) AS n_pairs, any_value(snum) AS snum,
+        |    any_value(sden) AS sden,
+        |    count(*) AS k2, min(rnum) AS r1, max(rnum) AS r2
+        |  FROM isel GROUP BY 1)
+        |SELECT event_type, n_days, n_pairs,
+        |  CAST(((CAST(snum AS HUGEINT) + 1000000 * sden) * 20000 + sden)
+        |    // (2 * sden) - 10000000000 AS BIGINT) / 10000.0 AS slope,
+        |  CAST(((CAST(CASE WHEN k2 = 1 THEN r1 ELSE r1 + r2 END
+        |        AS HUGEINT) +
+        |      1000000 * (CASE WHEN k2 = 1 THEN sden ELSE 2 * sden END)) *
+        |      20000 + (CASE WHEN k2 = 1 THEN sden ELSE 2 * sden END))
+        |    // (2 * (CASE WHEN k2 = 1 THEN sden ELSE 2 * sden END))
+        |    - 10000000000 AS BIGINT) / 10000.0 AS intercept
+        |FROM ii ORDER BY event_type""".stripMargin,
     "ts_outlier_mad" ->
       """WITH daily AS (SELECT event_type,
         |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP_US))
@@ -6343,6 +6476,62 @@ object SparkEntry {
         |  TRUE AS within_tol
         |FROM vs JOIN ev ON ev.epoch <= vs.version
         |GROUP BY 1, 2 ORDER BY version, event_type""".stripMargin,
+    // sketch_psi_versions: the histogram fold is lossless, so the
+    // WHOLE per-version PSI table (smoothed shares, 6dp DECIMAL
+    // terms, PSI, drift verdict) replays — the q_psi_drift tree per
+    // retained version, reference = the frozen epoch-0 slice
+    "sketch_psi_versions" ->
+      """WITH st AS (SELECT event_id % 5 AS epoch,
+        |    CAST(round(value, 4) AS DOUBLE) AS x FROM events),
+        |dec AS (SELECT quantile_cont(x,
+        |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS ts
+        |  FROM st WHERE epoch = 0),
+        |bn AS (SELECT epoch,
+        |    (CASE WHEN x > round(ts[1], 4) THEN 1 ELSE 0 END +
+        |     CASE WHEN x > round(ts[2], 4) THEN 1 ELSE 0 END +
+        |     CASE WHEN x > round(ts[3], 4) THEN 1 ELSE 0 END +
+        |     CASE WHEN x > round(ts[4], 4) THEN 1 ELSE 0 END +
+        |     CASE WHEN x > round(ts[5], 4) THEN 1 ELSE 0 END +
+        |     CASE WHEN x > round(ts[6], 4) THEN 1 ELSE 0 END +
+        |     CASE WHEN x > round(ts[7], 4) THEN 1 ELSE 0 END +
+        |     CASE WHEN x > round(ts[8], 4) THEN 1 ELSE 0 END +
+        |     CASE WHEN x > round(ts[9], 4) THEN 1 ELSE 0 END) AS bin
+        |  FROM st, dec),
+        |cnt AS (SELECT epoch, bin, count(*) AS n FROM bn GROUP BY 1, 2),
+        |vs AS (SELECT unnest(range(2, 5)) AS version),
+        |ax AS (SELECT unnest(range(0, 10)) AS bin),
+        |pv AS (SELECT vs.version, ax.bin,
+        |    CAST(coalesce(sum(CASE WHEN c.epoch = 0 THEN c.n
+        |      ELSE 0 END), 0) AS BIGINT) AS n_ref,
+        |    CAST(coalesce(sum(CASE WHEN c.epoch > 0 THEN c.n
+        |      ELSE 0 END), 0) AS BIGINT) AS n_cur
+        |  FROM vs CROSS JOIN ax
+        |  LEFT JOIN cnt c ON c.bin = ax.bin AND c.epoch <= vs.version
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT version, CAST(sum(n_ref) AS BIGINT) AS nr,
+        |    CAST(sum(n_cur) AS BIGINT) AS nc FROM pv GROUP BY 1),
+        |tm AS (SELECT pv.version, pv.bin, n_ref, n_cur,
+        |    round((CAST(n_ref AS DOUBLE) + 0.5) /
+        |      (CAST(nr AS DOUBLE) + 5.0), 4) AS p_ref,
+        |    round((CAST(n_cur AS DOUBLE) + 0.5) /
+        |      (CAST(nc AS DOUBLE) + 5.0), 4) AS p_cur,
+        |    CAST(round(((CAST(n_ref AS DOUBLE) + 0.5) /
+        |        (CAST(nr AS DOUBLE) + 5.0) -
+        |        (CAST(n_cur AS DOUBLE) + 0.5) /
+        |        (CAST(nc AS DOUBLE) + 5.0)) *
+        |      ln(((CAST(n_ref AS DOUBLE) + 0.5) /
+        |        (CAST(nr AS DOUBLE) + 5.0)) /
+        |        ((CAST(n_cur AS DOUBLE) + 0.5) /
+        |        (CAST(nc AS DOUBLE) + 5.0))), 6) AS DECIMAL(12,6))
+        |      AS psi_term_dec
+        |  FROM pv JOIN tot USING (version))
+        |SELECT version, bin, n_ref, n_cur, p_ref, p_cur,
+        |  CAST(psi_term_dec AS DOUBLE) AS psi_term,
+        |  round(CAST(sum(psi_term_dec) OVER (PARTITION BY version)
+        |    AS DOUBLE), 4) AS psi,
+        |  (round(CAST(sum(psi_term_dec) OVER (PARTITION BY version)
+        |    AS DOUBLE), 4) > 0.2) AS drift
+        |FROM tm ORDER BY version, bin""".stripMargin,
     // events.ts truncated to µs in the CTE (see stream_sessionize note)
     "stream_dedup" ->
       """WITH ev AS (

@@ -1294,6 +1294,128 @@ object Analytics {
         .as("r_rb"))
   }
 
+  /** Two-sample Kolmogorov-Smirnov — the DISTRIBUTION-drift test
+    * beside [[mannWhitney]] (which only sees location): D = sup
+    * |F̂_A − F̂_B| over the pooled support, sensitive to shape and
+    * scale changes a rank or mean test misses — the check a scoring
+    * pipeline runs between yesterday's and today's score columns.
+    *
+    * Exactness: both empirical CDFs step only at distinct 4dp values,
+    * so the sup is a max over the distinct-value frame — cumulative
+    * counts of BOTH samples ride ONE shared
+    * [[PrefixSum.exclusiveMulti]] pass (one range exchange; caching
+    * contract applies), never a per-row global rank. D publishes as
+    * the exact integer cross-multiply max|F_A·n_b − F_B·n_a| over
+    * n_a·n_b through [[ExactRatio.r4]]; the α=0.05 verdict is the
+    * fully integer comparison 250000·D_num² > 461041·(n_a+n_b)·n_a·n_b
+    * (c(0.05) = 1.358 = 679/500 exactly, both sides DECIMAL(38,0) /
+    * HUGEINT — headroom to n_a·n_b ≈ 2e16, ~10⁸ rows per arm; past
+    * that ANSI overflow fails loud and the z column, astronomically
+    * large for any real drift at that scale, is the operative
+    * readout). Only `ks_z` derives in doubles — a fixed expression
+    * tree of +,·,/,√ over exact integers, bit-reproducible on both
+    * engines (no libm transcendentals). Contract: both arms
+    * non-empty. */
+  def ksTest(s: SparkSession, d: String,
+             typeA: String = "click",
+             typeB: String = "purchase"): DataFrame =
+    ksTestOn(Tables.events(s, d), typeA, typeB)
+
+  /** Same over any (event_type, value) frame. */
+  def ksTestOn(events: DataFrame, typeA: String,
+               typeB: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val g = events.filter(col("event_type").isin(typeA, typeB))
+      .select(round(col("value"), 4).as("v"),
+        when(col("event_type") === typeA, 1L).otherwise(0L).as("ia"))
+      .groupBy(col("v"))
+      .agg(sum(col("ia")).as("ca"),
+        (count(lit(1)) - sum(col("ia"))).as("cb"))
+    val c = PrefixSum.exclusiveMulti(g, Seq(col("v")), Seq(col("ca"), col("cb")))
+      // inclusive CDF counts at each distinct value (KS's sup is
+      // attained just after a jump, i.e. at an inclusive step)
+      .select((col("__cum0") + col("ca")).as("fa"),
+        (col("__cum1") + col("cb")).as("fb"))
+    val tot = g.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val m = c.crossJoin(broadcast(tot))
+      .groupBy(col("na"), col("nb"))
+      .agg(max(abs(col("fa").cast(dec) * col("nb") -
+        col("fb").cast(dec) * col("na"))).as("dnum"))
+    val nad = col("na").cast("double")
+    val nbd = col("nb").cast("double")
+    m.select(
+      col("na").as("n_a"), col("nb").as("n_b"),
+      ExactRatio.r4(col("dnum"), col("na").cast(dec) * col("nb")).as("d"),
+      round(col("dnum").cast("double") / (nad * nbd) *
+        sqrt(nad * nbd / (nad + nbd)), 4).as("ks_z"),
+      (col("dnum") * col("dnum") * 250000L >
+        lit(461041L).cast(dec) * (col("na") + col("nb")) *
+          col("na") * col("nb")).as("reject_05"))
+  }
+
+  /** Mutual information between two categorical columns — the
+    * information-theoretic face of [[chi2Independence]]: how many
+    * nats does knowing one label tell you about the other (χ² asks
+    * "is there dependence?", MI asks "how much?"), plus the
+    * √(H_a·H_b)-normalized NMI so the strength is comparable across
+    * label cardinalities — the corpus-audit readout for "does source
+    * determine language" before a training mix is trusted.
+    *
+    * Exactness: the [[typeEntropy]] posture — observed cells only
+    * (a zero cell contributes 0 to MI, unlike χ²'s e term), each
+    * cell's p·ln term quantized to DECIMAL(20,10) BEFORE the sum so
+    * parity never rests on aggregation order or libm's last ulp;
+    * margins join back broadcast (the margin frames are
+    * label-cardinality-sized). Work after the one count aggregation
+    * is R×C-cell-sized, not row-sized. */
+  def mutualInfo(df: DataFrame, a: String, b: String): DataFrame = {
+    // cells feeds SEVEN downstream branches (joint, rt/ct margins and
+    // their entropies, totals); uncached, each replans the full scan +
+    // aggregation — measured 3.1 s vs 1.0 s at sf0.1. The frame is
+    // R×C-cell-sized, so the cache is label-cardinality bytes
+    // (PrefixSum's caching contract applies: one cached intermediate
+    // per call, session-owned)
+    val cells = df.groupBy(col(a), col(b)).agg(count(lit(1)).as("o"))
+      .cache()
+    val rt = cells.groupBy(col(a)).agg(sum(col("o")).as("ra"))
+    val ct = cells.groupBy(col(b)).agg(sum(col("o")).as("cb"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    val q = "decimal(20,10)"
+    val joint = cells.join(broadcast(rt), a).join(broadcast(ct), b)
+      .crossJoin(broadcast(tot))
+      .select(
+        ((col("o").cast("double") / col("n")) *
+          log(col("o").cast("double") * col("n") /
+            (col("ra").cast("double") * col("cb")))).cast(q).as("__mi"))
+      .agg(sum(col("__mi")).as("__mis"))
+    val ha = rt.crossJoin(broadcast(tot))
+      .select((-(col("ra").cast("double") / col("n")) *
+        log(col("ra").cast("double") / col("n"))).cast(q).as("__h"),
+        lit(1L).as("__k"))
+      .groupBy(col("__k")).agg(sum(col("__h")).as("__ha"),
+        count(lit(1)).as("n_a"))
+    val hb = ct.crossJoin(broadcast(tot))
+      .select((-(col("cb").cast("double") / col("n")) *
+        log(col("cb").cast("double") / col("n"))).cast(q).as("__h"),
+        lit(1L).as("__k"))
+      .groupBy(col("__k")).agg(sum(col("__h")).as("__hb"),
+        count(lit(1)).as("n_b"))
+    joint.crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("n").as("n_rows"),
+        col("n_a").as("n_classes_a"), col("n_b").as("n_classes_b"),
+        round(col("__mis").cast("double"), 4).as("mi"),
+        round(col("__ha").cast("double"), 4).as("h_a"),
+        round(col("__hb").cast("double"), 4).as("h_b"),
+        // a one-class margin has H = 0 and carries no information:
+        // define NMI = 0 there instead of 0/0
+        when(col("__ha") > 0 && col("__hb") > 0,
+          round(col("__mis").cast("double") /
+            sqrt(col("__ha").cast("double") * col("__hb").cast("double")),
+            4)).otherwise(lit(0.0)).as("nmi"))
+  }
+
   /** Difference-in-differences — the quasi-experimental readout that
     * completes the A/B family (q_ttest/q_mann_whitney compare arms
     * at one time; q_cuped adjusts with a pre-period covariate; DiD

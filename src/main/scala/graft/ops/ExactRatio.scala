@@ -33,4 +33,27 @@ private[graft] object ExactRatio {
       num.cast(dec) * 20000 + den.cast(dec),
       den.cast(dec) * 2)
       .cast("double") / 10000.0)
+
+  /** SIGNED variant of [[r4]] (den > 0, |num/den| < 10⁶): integral
+    * division of a negative numerator truncates on one engine and
+    * floors on the other, so the rational shifts by +10⁶ FIRST
+    * (num + 10⁶·den ≥ 0 under the bound), rounds half-up exactly as
+    * [[r4]], and unshifts by subtracting 10¹⁰ from the ≤1e4-scaled
+    * INTEGER — never from the divided double, where the ulp at 10⁶
+    * magnitude (~2e-10) would leak into the published value (the
+    * first cut published .006300000008 for 1/160). The remaining
+    * small integer divides by 1e4 once, rendering identically on
+    * both engines. Note the published value is the half-up rounding
+    * OF THE SHIFTED rational; for a negative true half-boundary
+    * (e.g. −0.00005) that lands at −0.0000 → 0.0 rather than
+    * HALF-AWAY's −0.0001 — a deterministic, documented convention,
+    * not drift.
+    *
+    * DuckDB mirror: `CAST(((CAST(num AS HUGEINT) + 1000000 * den) *
+    * 20000 + den) // (2 * den) - 10000000000 AS BIGINT) / 10000.0`. */
+  def r4s(num: Column, den: Column): Column =
+    ((call_function("div",
+      (num.cast(dec) + den.cast(dec) * 1000000L) * 20000 + den.cast(dec),
+      den.cast(dec) * 2) - lit(10000000000L))
+      .cast("double") / 10000.0)
 }

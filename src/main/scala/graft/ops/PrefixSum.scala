@@ -48,22 +48,43 @@ private[graft] object PrefixSum {
     * value 1. Ties on `keys` each book their own slot (explicit rows
     * frame) in an arbitrary but valid order — pass unique keys for
     * cross-run determinism. */
-  def exclusive(df: DataFrame, keys: Seq[Column], value: Column): DataFrame = {
+  def exclusive(df: DataFrame, keys: Seq[Column], value: Column): DataFrame =
+    exclusiveMulti(df, keys, Seq(value))
+      .withColumnRenamed("__cum0", "__cum")
+
+  /** [[exclusive]] over SEVERAL value columns at once, appending
+    * `__cum0..__cumN` — ONE range exchange, one cached ranged frame,
+    * and one broadcast offset row per partition shared by every
+    * column, where N separate [[exclusive]] calls would pay N
+    * exchanges and N caches (and, worse, could range-sample different
+    * partition boundaries per call). A caller needing the running
+    * totals of two interleaved samples in the same global order — the
+    * two-sample CDF comparison behind the KS test — is the motivating
+    * shape. Same caching contract as [[exclusive]]. */
+  def exclusiveMulti(df: DataFrame, keys: Seq[Column],
+                     values: Seq[Column]): DataFrame = {
     val parts = df.repartitionByRange(keys: _*)
       .withColumn("__pid", spark_partition_id())
       .cache()
     val wLocal = Window.partitionBy(col("__pid")).orderBy(keys: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val local = parts.withColumn("__lcum",
-      coalesce(sum(value.cast("long")).over(wLocal), lit(0L)))
+    val local = values.zipWithIndex.foldLeft(parts) { case (acc, (v, i)) =>
+      acc.withColumn(s"__lcum$i",
+        coalesce(sum(v.cast("long")).over(wLocal), lit(0L)))
+    }
     val wOff = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    val ptots = values.zipWithIndex.map { case (v, i) =>
+      sum(v.cast("long")).as(s"__ptot$i")
+    }
     val offsets = parts.groupBy(col("__pid"))
-      .agg(sum(value.cast("long")).as("__ptot"))
-      .withColumn("__off", coalesce(sum(col("__ptot")).over(wOff), lit(0L)))
-      .select(col("__pid"), col("__off"))
-    local.join(broadcast(offsets), "__pid")
-      .withColumn("__cum", col("__lcum") + col("__off"))
-      .drop("__lcum", "__off")
+      .agg(ptots.head, ptots.tail: _*)
+      .select(col("__pid") +: values.indices.map(i =>
+        coalesce(sum(col(s"__ptot$i")).over(wOff), lit(0L)).as(s"__off$i")): _*)
+    values.indices.foldLeft(local.join(broadcast(offsets), "__pid")) {
+      (acc, i) =>
+        acc.withColumn(s"__cum$i", col(s"__lcum$i") + col(s"__off$i"))
+          .drop(s"__lcum$i", s"__off$i")
+    }
   }
 }

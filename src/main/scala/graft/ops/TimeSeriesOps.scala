@@ -767,6 +767,98 @@ object TimeSeriesOps {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Theil-Sen robust trend per series — the median-of-pairwise-
+    * slopes line beside the least-squares trend (`ml_linreg_trend`):
+    * one anomalous day (a backfill spike, an outage zero) drags an
+    * OLS slope arbitrarily far; the Theil-Sen estimator tolerates up
+    * to ~29% corrupted points. Slope = median over day pairs of
+    * Δcnt/Δday; intercept = median over days of the residual
+    * cnt − slope·day (the full Theil-Sen line).
+    *
+    * Scale shape: pairs = days² PER SERIES — bounded by CALENDAR,
+    * not data (the ts_dtw/ts_cross_corr class); both rank windows
+    * partition by series over calendar- or calendar²-sized frames,
+    * never data-sized ones. Contract: ≥ 2 days per series (a 1-day
+    * series has no pair and drops, matching the oracle's inner
+    * join).
+    *
+    * Exactness: the medians are selected and COMBINED as exact
+    * integer RATIONALS — slope = (num, den) with num = Δcnt,
+    * den = Δday; an even pair count averages as (n₁d₂ + n₂d₁,
+    * 2d₁d₂); every residual in a series shares the slope's
+    * denominator, so the intercept median is a median of INTEGER
+    * numerators. The double `sl` column exists only as the ordering
+    * key (nearest-double is monotonic, and distinct slope rationals
+    * with calendar-bounded denominators sit far beyond a double ulp
+    * apart, so the double order IS the rational order); publication
+    * goes through [[ExactRatio.r4s]] — signed exact half-up — never
+    * `round()` on a computed double, because an averaged slope like
+    * 1/160 = .00625 is a true 4dp half-boundary where engine
+    * rounding styles split. */
+  def theilSen(s: SparkSession, d: String): DataFrame =
+    theilSenOn(Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"),
+        datediff(col("day"), to_date(lit("2024-01-01"))).as("dd"),
+        col("cnt")))
+
+  /** Same over any (event_type, dd, cnt) day-indexed frame. */
+  def theilSenOn(daily: DataFrame): DataFrame = {
+    val a = daily.select(col("event_type"),
+      col("dd").as("di"), col("cnt").as("yi"))
+    val b = daily.select(col("event_type"),
+      col("dd").as("dj"), col("cnt").as("yj"))
+    val pairs = a.join(b, Seq("event_type")).filter(col("dj") > col("di"))
+      .select(col("event_type"), col("di"), col("dj"),
+        (col("yj") - col("yi")).cast("long").as("num"),
+        (col("dj") - col("di")).cast("long").as("den"))
+      .withColumn("sl", col("num").cast("double") / col("den"))
+    val wp = Window.partitionBy(col("event_type"))
+      .orderBy(col("sl"), col("di"), col("dj"))
+    val ranked = pairs.withColumn("rk", row_number().over(wp))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    // median rank(s): odd m selects one row twice ((m+1) div 2 =
+    // m div 2 + 1), even m selects the two middle rows to average
+    val slope = ranked
+      .filter(col("rk") === expr("(m + 1) div 2") ||
+        col("rk") === expr("m div 2 + 1"))
+      .groupBy(col("event_type"), col("m"))
+      .agg(count(lit(1)).as("k"),
+        min(struct(col("rk"), col("num"), col("den"))).as("lo"),
+        max(struct(col("rk"), col("num"), col("den"))).as("hi"))
+      .select(col("event_type"), col("m").as("n_pairs"),
+        when(col("k") === 1, col("lo.num"))
+          .otherwise(col("lo.num") * col("hi.den") +
+            col("hi.num") * col("lo.den")).as("snum"),
+        when(col("k") === 1, col("lo.den"))
+          .otherwise(lit(2L) * col("lo.den") * col("hi.den")).as("sden"))
+    // every residual shares the series' slope denominator: the
+    // intercept median works on integer numerators alone
+    val res = daily.join(slope, "event_type")
+      .select(col("event_type"), col("dd"), col("n_pairs"),
+        col("snum"), col("sden"),
+        (col("cnt") * col("sden") - col("snum") * col("dd")).as("rnum"))
+    val wr = Window.partitionBy(col("event_type"))
+      .orderBy(col("rnum"), col("dd"))
+    val rranked = res.withColumn("rk", row_number().over(wr))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    rranked
+      .filter(col("rk") === expr("(nd + 1) div 2") ||
+        col("rk") === expr("nd div 2 + 1"))
+      .groupBy(col("event_type"), col("nd"), col("n_pairs"),
+        col("snum"), col("sden"))
+      .agg(count(lit(1)).as("k2"),
+        min(col("rnum")).as("r1"), max(col("rnum")).as("r2"))
+      .select(col("event_type"), col("nd").as("n_days"), col("n_pairs"),
+        ExactRatio.r4s(col("snum"), col("sden")).as("slope"),
+        ExactRatio.r4s(
+          when(col("k2") === 1, col("r1")).otherwise(col("r1") + col("r2")),
+          when(col("k2") === 1, col("sden"))
+            .otherwise(lit(2L) * col("sden"))).as("intercept"))
+      .orderBy(col("event_type"))
+  }
+
   /** Calendar feature derivation on the gap-filled daily series — the
     * classic enrichment before a demand forecaster (the reference's
     * taxi pipeline forecasts daily rides; day-of-week and month are

@@ -453,6 +453,64 @@ object SketchStreams {
       .orderBy(col("version"), col("true_n").desc, col("term"))
   }
 
+  /** The oracled audit of [[psiStream]]'s retained versions —
+    * completing the promotion of all FOUR sketch streams' versioned
+    * exactly-once contracts from spec-only to cross-engine-oracled
+    * (the cdc_snapshot_versions pattern). The histogram fold is
+    * LOSSLESS (like CM, unlike MG/HLL), so every published value —
+    * bin counts, smoothed shares, per-bin PSI terms, the PSI and the
+    * drift verdict — replays value-for-value in the oracle.
+    *
+    * Replay layout: reference = the frozen epoch-0 slice of an
+    * `event_id % epochs` split (the stream's fixed-up-front
+    * reference window); version v = the cumulative current histogram
+    * over epochs 1..v, re-derived through the SAME
+    * [[graft.ops.Analytics.psiFromCounts]] the stream publishes.
+    * ONE corpus-scale pass builds the (epoch, bin) count frame
+    * (≤ epochs·10 rows); each version is a filter+sum over it, and
+    * psiFromCounts' unpartitioned window runs over 10 bins per
+    * version — bounded by construction. */
+  def psiVersionsBatch(s: SparkSession, d: String, epochs: Int = 5,
+                       keepVersions: Int = 3): DataFrame = {
+    require(epochs >= 2 && keepVersions >= 1 && keepVersions < epochs,
+      s"need 1 <= keepVersions < epochs (epoch 0 is the reference): " +
+        s"$keepVersions/$epochs")
+    val staged = graft.Tables.events(s, d).select(
+      (col("event_id") % epochs).as("epoch"),
+      round(col("value"), 4).cast("double").as("x"))
+    val dec = staged.filter(col("epoch") === 0)
+      .agg(expr(
+        "percentile(x, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("ts"))
+      .select((1 to 9).map(i =>
+        round(element_at(col("ts"), i), 4).as(s"t$i")): _*)
+    val bin = (1 to 9).map(k =>
+      (col("x") > col(s"t$k")).cast("long")).reduce(_ + _)
+    val counts = staged.crossJoin(broadcast(dec))
+      .withColumn("bin", bin)
+      .groupBy(col("epoch"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val bins = s.range(10).select(col("id").as("bin"))
+    (epochs - keepVersions until epochs).map { v =>
+      val cnt = counts.filter(col("epoch") <= v)
+        .groupBy(col("bin"))
+        .agg(sum(when(col("epoch") === 0, col("n")).otherwise(0L))
+          .as("n_ref"),
+          sum(when(col("epoch") > 0, col("n")).otherwise(0L))
+            .as("n_cur"))
+      val full = bins.join(cnt, Seq("bin"), "left")
+        .select(col("bin"),
+          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      graft.ops.Analytics.psiFromCounts(full)
+        .select(lit(v.toLong).as("version") +:
+          Seq("bin", "n_ref", "n_cur", "p_ref", "p_cur",
+            "psi_term", "psi", "drift").map(col): _*)
+    }.reduce(_ unionAll _)
+      .orderBy(col("version"), col("bin"))
+  }
+
   /** The oracled audit of [[hllStream]]'s retained versions: per
     * (version, event_type), the exact distinct-user count over
     * epochs 0..k (oracle-replayable) beside a within-tolerance

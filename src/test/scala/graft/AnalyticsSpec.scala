@@ -475,6 +475,59 @@ class AnalyticsSpec extends SparkSpec {
     assert(r1.getDouble(4) === -1.0)
   }
 
+  test("ks: hand-computed fixture matches the exact integer D; " +
+       "identical samples give D=0; separation gives D=1 and rejects") {
+    import spark.implicits._
+    // A={1,2,3}, B={3,4,5}: CDF steps (fa,fb) = (1,0)(2,0)(3,1)(3,2)
+    // (3,3) → D_num = max|fa·3 − fb·3| = 6 → D = 2/3
+    val small = (Seq(1.0, 2.0, 3.0).map(("click", _)) ++
+      Seq(3.0, 4.0, 5.0).map(("purchase", _)))
+      .toDF("event_type", "value")
+    val r = Analytics.ksTestOn(small, "click", "purchase").first()
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 3L)))
+    assert(r.getDouble(2) === 0.6667)             // (6·2e4+9) div 18 → 4dp
+    assert(r.getDouble(3) === 0.8165)             // (2/3)·√(3/2)
+    assert(!r.getBoolean(4))                      // 9e6 < 461041·54
+    val same = (1 to 10).flatMap(i =>
+      Seq(("click", i.toDouble), ("purchase", i.toDouble)))
+      .toDF("event_type", "value")
+    val r0 = Analytics.ksTestOn(same, "click", "purchase").first()
+    assert(r0.getDouble(2) === 0.0)
+    assert(r0.getDouble(3) === 0.0)
+    assert(!r0.getBoolean(4))
+    val sep = ((1 to 20).map(i => ("click", i.toDouble)) ++
+      (1 to 20).map(i => ("purchase", i + 100.0)))
+      .toDF("event_type", "value")
+    val r1 = Analytics.ksTestOn(sep, "click", "purchase").first()
+    assert(r1.getDouble(2) === 1.0)               // complete separation
+    assert(r1.getDouble(3) === 3.1623)            // √10
+    assert(r1.getBoolean(4))                      // 4e10 > 461041·16000
+  }
+
+  test("mutual info: perfect dependence gives MI=H=ln2 and NMI=1, " +
+       "independence gives MI=0, a one-class margin pins NMI to 0") {
+    import spark.implicits._
+    val dep = (Seq.fill(10)(("a1", "b1")) ++ Seq.fill(10)(("a2", "b2")))
+      .toDF("lang", "source")
+    val r = Analytics.mutualInfo(dep, "lang", "source").first()
+    assert(r.getLong(0) === 20L)
+    assert((r.getLong(1), r.getLong(2)) === ((2L, 2L)))
+    assert(r.getDouble(3) === 0.6931)             // ln 2
+    assert(r.getDouble(4) === 0.6931)
+    assert(r.getDouble(6) === 1.0)                // MI = √(H_a·H_b)
+    val ind = (for { a <- Seq("a1", "a2"); b <- Seq("b1", "b2");
+                     _ <- 1 to 5 } yield (a, b))
+      .toDF("lang", "source")
+    val r0 = Analytics.mutualInfo(ind, "lang", "source").first()
+    assert(r0.getDouble(3) === 0.0)               // every cell ln 1
+    assert(r0.getDouble(6) === 0.0)
+    val onec = (Seq.fill(5)(("x", "b1")) ++ Seq.fill(5)(("x", "b2")))
+      .toDF("lang", "source")
+    val r1 = Analytics.mutualInfo(onec, "lang", "source").first()
+    assert(r1.getDouble(4) === 0.0)               // H_a = 0
+    assert(r1.getDouble(6) === 0.0)               // NMI guard, not 0/0
+  }
+
   test("did: a planted treatment lift is recovered exactly, zero " +
        "variance pins t to 0 instead of infinity") {
     import spark.implicits._

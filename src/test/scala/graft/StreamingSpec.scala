@@ -1007,6 +1007,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sketch_psi_versions: the live psi stream over the same epoch " +
+       "slices reproduces every retained audit version verbatim") {
+    import graft.streaming.{ChangeStreams, SketchStreams}
+    import org.apache.spark.sql.functions.{col, round}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-psiv").toString
+    val staged = Tables.events(spark, sf).select(
+      (col("event_id") % 5).as("epoch"),
+      round(col("value"), 4).cast("double").as("x"))
+    val ref = staged.filter(col("epoch") === 0).select("x")
+    val slices = (1 to 4).map(e =>
+      staged.filter(col("epoch") === e).select("x").as[Double].collect().toSeq)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Double]
+    val q = SketchStreams.psiStream(mem.toDF().toDF("x"), ref,
+      s"$root/sk", s"$root/ckpt", keepVersions = 3)
+    try {
+      slices.foreach { sl => mem.addData(sl: _*); q.processAllAvailable() }
+      assert(ChangeStreams.versions(spark, s"$root/sk").sorted
+        === Seq(1L, 2L, 3L))
+      val audit = SketchStreams.psiVersionsBatch(spark, sf).collect()
+      assert(audit.map(_.getLong(0)).distinct.sorted.toSeq
+        === Seq(2L, 3L, 4L))
+      // audit version v folds current epochs 1..v = stream batch v−1
+      (2 to 4).foreach { v =>
+        val live = spark.read.parquet(s"$root/sk/batch=${v - 1}")
+          .select("bin", "n_ref", "n_cur", "p_ref", "p_cur",
+            "psi_term", "psi", "drift")
+          .collect().map(_.toSeq).toSet
+        val aud = audit.filter(_.getLong(0) == v)
+          .map(_.toSeq.drop(1)).toSet
+        assert(live === aud, s"version $v")
+      }
+    } finally q.stop()
+  }
+
   test("stream_dedup batch face: one first-arrival row per key, min event time") {
     val out = graft.streaming.DedupStreams.dedupBatch(spark, sf)
     val ev = Tables.events(spark, sf)

@@ -923,4 +923,40 @@ class TimeSeriesSpec extends SparkSpec {
     val cov = rows.count(_.getBoolean(6)).toDouble / rows.length
     assert(cov >= 0.5, s"empirical coverage $cov suspiciously low")
   }
+
+  test("theil-sen: hand-computed 3-day fixture; a planted outlier day " +
+       "is fully rejected; the 1/160 half-boundary publishes half-up") {
+    import spark.implicits._
+    import graft.ops.TimeSeriesOps
+    // dd 0,1,2 / cnt 1,3,4 → pair slopes {2, 3/2, 1} → median 3/2;
+    // residuals ×2: {2, 3, 2} → median 2 → intercept 1
+    val tiny = Seq(("a", 0, 1L), ("a", 1, 3L), ("a", 2, 4L))
+      .toDF("event_type", "dd", "cnt")
+    val r = TimeSeriesOps.theilSenOn(tiny).first()
+    assert(r.getLong(1) === 3L && r.getLong(2) === 3L) // n_days, n_pairs
+    assert(r.getDouble(3) === 1.5)
+    assert(r.getDouble(4) === 1.0)
+    // 4 clean days on y = 2x + 10 plus one wild outlier: 6 of 10
+    // pair slopes are clean → slope 2, intercept 10, outlier ignored
+    val out = Seq(("a", 0, 10L), ("a", 1, 12L), ("a", 2, 14L),
+      ("a", 3, 16L), ("a", 4, 1000L))
+      .toDF("event_type", "dd", "cnt")
+    val r1 = TimeSeriesOps.theilSenOn(out).first()
+    assert(r1.getDouble(3) === 2.0)
+    assert(r1.getDouble(4) === 10.0)
+    // slope 1/160 = .00625 — a TRUE 4dp half-boundary (and not
+    // exactly representable): r4s publishes the half-up .0063 where
+    // plain round() on the double splits engines
+    val hb = Seq(("a", 0, 10L), ("a", 160, 11L))
+      .toDF("event_type", "dd", "cnt")
+    val r2 = TimeSeriesOps.theilSenOn(hb).first()
+    assert(r2.getDouble(3) === 0.0063)
+    assert(r2.getDouble(4) === 10.0)
+    // a falling series: the signed path (negative numerators) is exact
+    val neg = Seq(("a", 0, 5L), ("a", 1, 3L))
+      .toDF("event_type", "dd", "cnt")
+    val r3 = TimeSeriesOps.theilSenOn(neg).first()
+    assert(r3.getDouble(3) === -2.0)
+    assert(r3.getDouble(4) === 5.0)
+  }
 }
