@@ -963,6 +963,9 @@ object RegistryMeta {
     "ml_decision_stump" ->
       EntryMeta("2.10", "sql",
         "depth-1 decision tree trained entirely in the plan"),
+    "ml_adaboost_stumps" ->
+      EntryMeta("2.10", "sql",
+        "AdaBoost over the stump's fixed decile grid: per-round best reweighted stump, weighted error, vote alpha, cumulative ensemble accuracy — the training curve as the table"),
     "ml_cv_accuracy" ->
       EntryMeta("2.10", "sql",
         "k-fold CROSS-VALIDATION of the in-plan NB classifier WITHOUT retraining"),

@@ -344,6 +344,10 @@ object SparkEntry {
     // composed plan (one-row broadcast state, no driver loop), every
     // term floor-quantized so the trained weights value-replay
     "ml_logreg_gd" -> ((s, d) => MlOps.logregGd(s, d)),
+    // AdaBoost over the stump's fixed decile grid: per-round best
+    // reweighted stump, q6'd alpha/multipliers, ensemble margin as
+    // plain double sums — the per-round table IS the training curve
+    "ml_adaboost_stumps" -> ((s, d) => MlOps.adaboostStumps(s, d)),
     // retrieval scoreboard: MRR/DCG/NDCG@10/recall over the exact
     // ranking, label-agreement relevance; per-hit gains quantize to
     // integer micro-units BEFORE summing (order-independent)
@@ -2985,6 +2989,9 @@ object SparkEntry {
     // the whole 8-round optimization unrolled programmatically —
     // oracle and iteration count cannot drift apart
     "ml_logreg_gd" -> MlOps.logregOracleSql(),
+    // ml_adaboost_stumps: programmatically unrolled round replay —
+    // the logreg discipline, so a round-count change cannot drift
+    "ml_adaboost_stumps" -> MlOps.adaboostOracleSql(),
     // ranking metrics in integer micro-units: per-hit ⌊1e6/log2(r+1)⌋
     // gains, integer divisions for MRR/NDCG/recall — no float is
     // ever summed or compared; sums cast to BIGINT for pandas

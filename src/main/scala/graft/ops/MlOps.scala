@@ -606,4 +606,201 @@ object MlOps {
        |    * 1000000) AS BIGINT) / 10000.0 AS logloss
        |FROM base, s$iters, nn GROUP BY w, b, n""".stripMargin
   }
+
+  /** AdaBoost over decision stumps — the BOOSTED face of
+    * [[decisionStump]] (one stump is a diagnostic; three reweighted
+    * rounds are a real classifier, and the per-round table IS the
+    * training curve): each round fits the best of 18 candidate
+    * stumps (the stump's 9 global-decile thresholds × both
+    * polarities) under the CURRENT row weights, publishes its
+    * weighted error ε, vote weight α = ½·ln((1−ε)/ε), and the
+    * ENSEMBLE's cumulative training accuracy, then reweights
+    * (correct rows ×e^{−α}, wrong ×e^{+α}).
+    *
+    * Plan shape: TWO aggregates per round over the weighted frame
+    * (candidate sums + ensemble accuracy) — 2T data passes total;
+    * the per-round state is a ONE-ROW frame crossJoin-broadcast back
+    * (the logreg-GD posture — no driver collect), eager-checkpointed
+    * so later rounds don't replan earlier choice branches; the
+    * decile frame is computed once and shared by every round (fixed
+    * candidate grid — histogram-boosting style, and what keeps the
+    * oracle replayable).
+    *
+    * Parity engineering (the [[logregGdOn]] recursion rules): row
+    * weights floor-quantize to 1e-6 after each update and enter the
+    * candidate sums as DECIMAL(20,6) (order-independent); α and the
+    * two weight multipliers e^{∓α} are q6'd scalars, so libm's
+    * possible last-ulp exp/ln difference has ~1e-10 per-round odds
+    * of crossing a floor boundary; the ensemble margin f carries as
+    * plain double sums of q6'd α's (identical expression tree on
+    * both engines — no quantization needed to be deterministic);
+    * ε and accuracy publish through [[ExactRatio]]. */
+  def adaboostStumps(s: SparkSession, d: String): DataFrame =
+    adaboostStumpsOn(Tables.orders(s, d),
+      round(col("o_totalprice"), 4).cast("double"),
+      (col("o_orderstatus") === "F").cast("long"))
+
+  /** Same over any frame: continuous `feature`, 0/1 `target`.
+    * Contract: every round's best weighted error must satisfy
+    * 0 < ε (a perfect stump would send α to ∞ — boosting is the
+    * wrong tool for a separable single feature; ε ≥ ½ is impossible
+    * by construction, the polarity mirror guarantees min(ε, 1−ε)). */
+  def adaboostStumpsOn(df: DataFrame, feature: Column, target: Column,
+                       rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(feature.as("x"),
+        when(target === 1L, 1.0).otherwise(-1.0).as("y"))
+      .localCheckpoint(false) // feeds every round twice
+    val dec = base.agg(expr(
+      "percentile(x, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("ts"))
+      .select((1 to 9).map(i =>
+        round(element_at(col("ts"), i), 4).as(s"t$i")): _*)
+      .localCheckpoint(true) // 1 row, shared by all rounds
+    val n = base.agg(count(lit(1)).as("n")).localCheckpoint(true)
+    val d6 = "decimal(20,6)"
+    val zero6 = lit(0).cast(d6)
+    var cur = base.crossJoin(broadcast(dec))
+      .withColumn("w", lit(1.0)).withColumn("f", lit(0.0))
+    val outs = (1 to rounds).map { t =>
+      val wd = col("w").cast(d6)
+      val aggCols =
+        Seq(sum(when(col("y") > 0, wd).otherwise(zero6)).as("pw"),
+          sum(wd).as("tw")) ++
+        (1 to 9).flatMap(k => Seq(
+          sum(when(col("x") <= col(s"t$k") && col("y") > 0, wd)
+            .otherwise(zero6)).as(s"a$k"),
+          sum(when(col("x") <= col(s"t$k") && col("y") < 0, wd)
+            .otherwise(zero6)).as(s"b$k"))) ++
+        (1 to 9).map(k => min(col(s"t$k")).as(s"tt$k"))
+      val one = cur.agg(aggCols.head, aggCols.tail: _*)
+      // 18 candidates: predict-left-positive (pol=+1) misclassifies
+      // left negatives + right positives; pol=−1 mirrors
+      val cands = (1 to 9).flatMap { k =>
+        Seq(
+          struct(lit(k).as("idx"), lit(1L).as("pol"),
+            col(s"tt$k").as("threshold"),
+            (col(s"b$k") + (col("pw") - col(s"a$k"))).as("err")),
+          struct(lit(k).as("idx"), lit(-1L).as("pol"),
+            col(s"tt$k").as("threshold"),
+            (col(s"a$k") + ((col("tw") - col("pw")) - col(s"b$k")))
+              .as("err")))
+      }
+      val wBest = Window.orderBy(col("err"), col("idx"), col("pol"))
+      val q6 = (e: String) => s"floor(($e) * 1e6) / 1e6"
+      val pick = one
+        .select(col("tw"), explode(array(cands: _*)).as("c"))
+        .select(col("tw"), col("c.idx").as("idx"), col("c.pol").as("pol"),
+          col("c.threshold").as("threshold"), col("c.err").as("err"))
+        .withColumn("__rk", row_number().over(wBest))
+        .filter(col("__rk") === 1)
+        .select(col("idx"), col("pol"), col("threshold"),
+          col("err"), col("tw"),
+          expr(q6("0.5 * ln((CAST(tw AS DOUBLE) - CAST(err AS DOUBLE)) /" +
+            " CAST(err AS DOUBLE))")).as("alpha"))
+        .select(col("*"),
+          expr(q6("exp(-alpha)")).as("mc"), expr(q6("exp(alpha)")).as("mw"))
+        .localCheckpoint(true) // 1 row: later rounds reuse, never replan
+      val h = when(col("x") <= col("threshold"),
+        col("pol").cast("double")).otherwise(-col("pol").cast("double"))
+      cur = cur.crossJoin(broadcast(pick))
+        .withColumn("__w2", expr(q6("w * (CASE WHEN " +
+          "(CASE WHEN x <= threshold THEN CAST(pol AS DOUBLE) " +
+          "ELSE -CAST(pol AS DOUBLE) END) = y THEN mc ELSE mw END)")))
+        .withColumn("__f2", col("f") + col("alpha") * h)
+        .select(Seq(col("x"), col("y")) ++
+          (1 to 9).map(k => col(s"t$k")) ++
+          Seq(col("__w2").as("w"), col("__f2").as("f")): _*)
+      val acc = cur
+        .agg(sum(when((col("f") >= 0.0) === (col("y") > 0), 1L)
+          .otherwise(0L)).as("hits"))
+        .localCheckpoint(true)
+      pick.crossJoin(broadcast(acc)).crossJoin(broadcast(n))
+        .select(lit(t.toLong).as("round"), col("idx"), col("pol"),
+          col("threshold"),
+          ExactRatio.r4((col("err") * 1000000).cast("decimal(38,0)"),
+            (col("tw") * 1000000).cast("decimal(38,0)")).as("eps"),
+          col("alpha"),
+          ExactRatio.r4(col("hits"), col("n")).as("accuracy"))
+    }
+    outs.reduce(_ unionAll _).orderBy(col("round"))
+  }
+
+  /** The unrolled-round DuckDB replay of [[adaboostStumpsOn]] over
+    * the orders-backed face — built programmatically (the
+    * [[logregOracleSql]] discipline) so the oracle and any round
+    * count change cannot drift apart. Every CTE is MATERIALIZED:
+    * base_t references base_(t-1) through two paths (the candidate
+    * aggregate and the reweight) and the accuracy subquery adds a
+    * third, so DuckDB's default inlining re-evaluates the chain
+    * exponentially — the graph_bfs lesson; the first cut exhausted
+    * the process fd limit opening orders.parquet hundreds of
+    * times. */
+  private[graft] def adaboostOracleSql(rounds: Int = 3): String = {
+    val q6 = (e: String) => s"floor(($e) * 1e6) / 1e6"
+    def wd(e: String) = s"CAST($e AS DECIMAL(20,6))"
+    val steps = (1 to rounds).map { t =>
+      val p = t - 1
+      val cands = (1 to 9).flatMap { k =>
+        Seq(
+          s"SELECT $k AS idx, 1 AS pol, tt$k AS threshold, " +
+            s"b$k + (pw - a$k) AS err, tw FROM agg$t",
+          s"SELECT $k AS idx, -1 AS pol, tt$k AS threshold, " +
+            s"a$k + ((tw - pw) - b$k) AS err, tw FROM agg$t")
+      }.mkString("\nUNION ALL ")
+      val sums = (1 to 9).map { k =>
+        s"sum(CASE WHEN x <= t$k AND y > 0 " +
+          s"THEN ${wd("w")} ELSE ${wd("0")} END) AS a$k,\n" +
+        s"    sum(CASE WHEN x <= t$k AND y < 0 " +
+          s"THEN ${wd("w")} ELSE ${wd("0")} END) AS b$k,\n" +
+        s"    min(t$k) AS tt$k"
+      }.mkString(",\n    ")
+      s"""agg$t AS MATERIALIZED (SELECT
+         |    sum(CASE WHEN y > 0 THEN ${wd("w")} ELSE ${wd("0")} END)
+         |      AS pw,
+         |    sum(${wd("w")}) AS tw,
+         |    $sums
+         |  FROM base$p, dec),
+         |pick$t AS MATERIALIZED (SELECT idx, pol, threshold, err, tw,
+         |    ${q6("0.5 * ln((CAST(tw AS DOUBLE) - CAST(err AS DOUBLE))" +
+               " / CAST(err AS DOUBLE))")} AS alpha
+         |  FROM ($cands)
+         |  ORDER BY err, idx, pol LIMIT 1),
+         |mult$t AS MATERIALIZED (SELECT *, ${q6("exp(-alpha)")} AS mc,
+         |    ${q6("exp(alpha)")} AS mw FROM pick$t),
+         |base$t AS MATERIALIZED (SELECT x, y,
+         |    ${q6("w * (CASE WHEN (CASE WHEN x <= threshold THEN " +
+               "CAST(pol AS DOUBLE) ELSE -CAST(pol AS DOUBLE) END) = y " +
+               "THEN mc ELSE mw END)")} AS w,
+         |    f + alpha * (CASE WHEN x <= threshold THEN
+         |      CAST(pol AS DOUBLE) ELSE -CAST(pol AS DOUBLE) END) AS f
+         |  FROM base$p, mult$t),
+         |out$t AS MATERIALIZED (SELECT CAST($t AS BIGINT) AS round,
+         |    CAST(idx AS INT) AS idx, CAST(pol AS BIGINT) AS pol,
+         |    threshold,
+         |    CAST((CAST(err * 1000000 AS HUGEINT) * 20000 +
+         |        CAST(tw * 1000000 AS HUGEINT)) //
+         |      (2 * CAST(tw * 1000000 AS HUGEINT)) AS BIGINT) / 10000.0
+         |      AS eps,
+         |    alpha,
+         |    (SELECT CAST((CAST(sum(CASE WHEN (f >= 0.0) = (y > 0)
+         |          THEN 1 ELSE 0 END) AS HUGEINT) * 20000 +
+         |          count(*)) // (2 * count(*)) AS BIGINT) / 10000.0
+         |     FROM base$t) AS accuracy
+         |  FROM mult$t)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to rounds).map(t => s"SELECT * FROM out$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH base0 AS MATERIALIZED (SELECT
+       |    CAST(round(o_totalprice, 4) AS DOUBLE) AS x,
+       |    CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE -1.0 END AS y,
+       |    1.0 AS w, 0.0 AS f
+       |  FROM orders),
+       |dec0 AS MATERIALIZED (SELECT quantile_cont(x,
+       |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS ts FROM base0),
+       |dec AS MATERIALIZED (SELECT ${(1 to 9).map(i =>
+            s"round(ts[$i], 4) AS t$i").mkString(", ")} FROM dec0),
+       |$steps
+       |$unions
+       |ORDER BY round""".stripMargin
+  }
 }

@@ -198,4 +198,33 @@ class MlSpec extends SparkSpec {
     assert(a.getDouble(4) < 0.6931, s"logloss ${a.getDouble(4)}")
     assert(a.getDouble(3) >= 0.5)
   }
+
+  test("adaboost: round-1 picks the hand-computed best stump with " +
+       "eps=0.1 and alpha=q6(ln 9 / 2); later rounds stay in bounds " +
+       "and a rerun is bit-identical") {
+    import spark.implicits._
+    // x = 1..10; y = +1 on {1, 6..10}, −1 on {2..5}: the best round-1
+    // stump is the median split (t5 = 5.5) with pol = −1, which only
+    // misclassifies x = 1 → weighted error 1/10
+    val data = (1 to 10).map(i =>
+      (i.toDouble, if (i >= 6 || i == 1) 1L else 0L)).toDF("x", "t")
+    val rows = MlOps.adaboostStumpsOn(data, col("x"), col("t"))
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    val r1 = rows(0)
+    assert(r1.getInt(1) === 5 && r1.getLong(2) === -1L)
+    assert(r1.getDouble(3) === 5.5)
+    assert(r1.getDouble(4) === 0.1)                // eps
+    assert(r1.getDouble(5) === 1.098612)           // q6(0.5·ln 9)
+    assert(r1.getDouble(6) === 0.9)                // only x=1 missed
+    rows.foreach { r =>
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 0.5,
+        s"round ${r.getLong(0)} eps ${r.getDouble(4)}")
+      assert(r.getDouble(5) >= 0.0)
+      assert(r.getDouble(6) >= 0.5 && r.getDouble(6) <= 1.0)
+    }
+    val again = MlOps.adaboostStumpsOn(data, col("x"), col("t"))
+      .collect()
+    assert(rows.toSeq === again.toSeq)
+  }
 }
