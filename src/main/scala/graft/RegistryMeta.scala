@@ -639,6 +639,9 @@ object RegistryMeta {
       EntryMeta("2.5", "sql",
         "exact cosine top-k per query vector",
       Some("ann_ivf_topk")),
+    "ann_mmr_rerank" ->
+      EntryMeta("2.5", "sql",
+        "MMR diversified re-ranking over the retrieval shortlist: greedy argmax lambda*rel − (1−lambda)*max-sim on exact 1e-4 integer similarities; the shortlist stage swaps to the IVF tier at scale"),
     "emb_centroids" ->
       EntryMeta("2.5", "sql",
         "per-label embedding centroids (class prototypes / mean pooling / IVF coarse-quantizer seed)"),

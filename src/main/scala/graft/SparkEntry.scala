@@ -859,6 +859,10 @@ object SparkEntry {
     "dedup_semantic" -> ((s, d) => DedupOps.semanticDedup(s, d)),
     // §2.5 similarity search
     "ann_bruteforce_topk" -> ((s, d) => SimilarityOps.bruteForceTopK(s, d)),
+    // MMR diversified re-rank: shortlist via the broadcast-query
+    // scan, then config-bounded greedy rounds on exact 1e-4 integer
+    // similarities (score = 7·rel − 3·maxsim in 1e-5 units)
+    "ann_mmr_rerank" -> ((s, d) => SimilarityOps.mmrRerank(s, d)),
     // per-label centroids: float sums are order-dependent, so both
     // engines sum in exact DECIMAL then divide/round in double once
     "emb_centroids" -> ((s, d) => SimilarityOps.labelCentroids(s, d)),
@@ -5934,6 +5938,9 @@ object SparkEntry {
         |SELECT vec_id, round(scale, 4) AS scale,
         |  round(list_cosine_similarity(emb, dq), 4) AS cosine_kept
         |FROM q ORDER BY vec_id""".stripMargin,
+    // ann_mmr_rerank: greedy rounds unrolled with MATERIALIZED CTEs,
+    // all selection arithmetic BIGINT over the shared cos·1e4 grid
+    "ann_mmr_rerank" -> SimilarityOps.mmrOracleSql(),
     "ann_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
         |           FROM embeddings WHERE vec_id < 10),

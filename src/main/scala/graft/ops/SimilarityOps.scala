@@ -354,6 +354,160 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** MMR diversified re-ranking — the step between retrieval and the
+    * context window: a plain top-k hands a RAG prompt five
+    * near-copies of the same passage; Maximal Marginal Relevance
+    * (Carbonell & Goldstein, SIGIR'98) greedily picks
+    * argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s), trading relevance
+    * against redundancy with what is already selected.
+    *
+    * Plan shape: ONE corpus-scale pass builds the per-query shortlist
+    * (the [[bruteForceTopK]] posture — broadcast queries, corpus
+    * never self-joined; a 100 TB caller swaps the shortlist stage to
+    * the IVF tier via `Routing.annTopKAuto`, the declared partner);
+    * everything after is CONFIG-bounded — candidate-pair sims are
+    * shortlist² per query, the k greedy rounds join ≤(queries ×
+    * shortlist)-row frames, each round's pick eager-checkpointed so
+    * round j cannot replan rounds < j (the selected set feeds the
+    * anti-join AND the max-sim lookup — two paths, the adaboost
+    * chain-blowup class).
+    *
+    * Exactness: similarities enter as 1e-4 INTEGERS the moment they
+    * are rounded (round(cos·10⁴) — the price-micro idiom), so with
+    * λ = 0.7 the MMR score is the exact integer 7·rel − 3·maxsim in
+    * 1e-5 units and every greedy argmax (score desc, vec_id) is an
+    * integer comparison — no float ordering anywhere after the
+    * rounding; a double score like 0.7·0.1235 = 0.08645 is a true
+    * 4dp half-boundary an engine-side round() would split on. */
+  def mmrRerank(s: SparkSession, d: String, k: Int = 5,
+                shortlist: Int = 20, nQueries: Int = 10,
+                lam10: Int = 7): DataFrame =
+    mmrRerankOn(Tables.embeddings(s, d), k, shortlist, nQueries, lam10)
+
+  /** Same over any (vec_id, embedding) frame; queries = the
+    * `vec_id < nQueries` rows (the shared ANN-face convention). */
+  def mmrRerankOn(emb: DataFrame, k: Int, shortlist: Int,
+                  nQueries: Int, lam10: Int): DataFrame = {
+    require(k >= 1 && shortlist >= k && lam10 >= 0 && lam10 <= 10,
+      s"need 1 <= k <= shortlist and lambda tenths in 0..10: " +
+        s"$k/$shortlist/$lam10")
+    val corpus = emb
+    val scored = corpus.crossJoin(broadcast(
+      emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("embedding"),
+        round(cosine(col("q_emb"), col("embedding")) * 10000.0)
+          .cast("long").as("rel_i"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("rel_i").desc, col("vec_id"))
+    // queries×shortlist rows: eager-checkpoint ends the corpus scan
+    val short = scored.withColumn("__rk", row_number().over(wTop))
+      .filter(col("__rk") <= shortlist)
+      .select(col("q_id"), col("vec_id"), col("embedding"), col("rel_i"))
+      .localCheckpoint(true)
+    // all ordered candidate pairs per query (shortlist² bounded)
+    val pairs = short.select(col("q_id"), col("vec_id").as("ca"),
+        col("embedding").as("ea"))
+      .join(short.select(col("q_id"), col("vec_id").as("cb"),
+        col("embedding").as("eb")), Seq("q_id"))
+      .filter(col("ca") =!= col("cb"))
+      .select(col("q_id"), col("ca"), col("cb"),
+        round(cosine(col("ea"), col("eb")) * 10000.0)
+          .cast("long").as("sim_i"))
+      .localCheckpoint(true)
+    val wPick = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_i").desc, col("vec_id"))
+    def pick(cands: DataFrame, pos: Int): DataFrame =
+      cands.withColumn("__rk", row_number().over(wPick))
+        .filter(col("__rk") === 1)
+        .select(col("q_id"), lit(pos).as("pos"), col("vec_id"),
+          col("rel_i"), col("ms_i"), col("score_i"))
+        .localCheckpoint(true)
+    val slim = short.select(col("q_id"), col("vec_id"), col("rel_i"))
+    var selected = pick(slim
+      .withColumn("ms_i", lit(0L))
+      .withColumn("score_i", lit(lam10.toLong) * col("rel_i")), 1)
+    for (j <- 2 to k) {
+      val cands = slim.join(selected.select(col("q_id"),
+          col("vec_id")), Seq("q_id", "vec_id"), "left_anti")
+        .join(pairs.select(col("q_id"), col("ca").as("vec_id"),
+          col("cb"), col("sim_i")), Seq("q_id", "vec_id"))
+        .join(selected.select(col("q_id"), col("vec_id").as("cb")),
+          Seq("q_id", "cb"))
+        .groupBy(col("q_id"), col("vec_id"), col("rel_i"))
+        .agg(max(col("sim_i")).as("ms_i"))
+        .withColumn("score_i", lit(lam10.toLong) * col("rel_i") -
+          lit((10 - lam10).toLong) * col("ms_i"))
+      selected = selected.unionAll(pick(cands, j))
+    }
+    selected.select(col("q_id"), col("pos"), col("vec_id"),
+      (col("rel_i").cast("double") / 10000.0).as("rel"),
+      (col("ms_i").cast("double") / 10000.0).as("max_sim"),
+      (col("score_i").cast("double") / 100000.0).as("mmr_score"))
+      .orderBy(col("q_id"), col("pos"))
+  }
+
+  /** DuckDB replay of [[mmrRerank]] — the greedy rounds unrolled
+    * programmatically (the adaboost/logreg oracle discipline), every
+    * CTE MATERIALIZED (each round references the selected set through
+    * two paths — anti-membership and max-sim — the inlining-blowup
+    * class). All selection arithmetic is BIGINT, so the replay is
+    * exact given the shared round(cos·10⁴) integerization. */
+  private[graft] def mmrOracleSql(k: Int = 5, shortlist: Int = 20,
+                                  nQueries: Int = 10,
+                                  lam10: Int = 7): String = {
+    val l = lam10; val m = 10 - lam10
+    val steps = (2 to k).map { j =>
+      val p = j - 1
+      s"""cand$j AS MATERIALIZED (SELECT s.q_id, s.vec_id, s.rel_i,
+         |    max(p.sim_i) AS ms_i
+         |  FROM slim s
+         |  JOIN pairs p ON p.q_id = s.q_id AND p.ca = s.vec_id
+         |  JOIN selall$p x ON x.q_id = p.q_id AND x.vec_id = p.cb
+         |  WHERE NOT EXISTS (SELECT 1 FROM selall$p y
+         |    WHERE y.q_id = s.q_id AND y.vec_id = s.vec_id)
+         |  GROUP BY 1, 2, 3),
+         |sel$j AS MATERIALIZED (SELECT q_id, $j AS pos, vec_id, rel_i,
+         |    ms_i, $l * rel_i - $m * ms_i AS score_i
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY $l * rel_i - $m * ms_i DESC, vec_id) AS rk
+         |    FROM cand$j) WHERE rk = 1),
+         |selall$j AS MATERIALIZED (SELECT * FROM selall$p
+         |  UNION ALL SELECT * FROM sel$j)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS MATERIALIZED (SELECT vec_id AS q_id,
+       |    embedding AS q_emb
+       |  FROM embeddings WHERE vec_id < $nQueries),
+       |sc AS MATERIALIZED (SELECT q_id, e.vec_id AS vec_id,
+       |    e.embedding AS emb,
+       |    CAST(round(list_cosine_similarity(q_emb, e.embedding)
+       |      * 10000) AS BIGINT) AS rel_i
+       |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+       |short AS MATERIALIZED (SELECT q_id, vec_id, emb, rel_i
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY rel_i DESC, vec_id) AS rk FROM sc)
+       |  WHERE rk <= $shortlist),
+       |pairs AS MATERIALIZED (SELECT a.q_id, a.vec_id AS ca,
+       |    b.vec_id AS cb,
+       |    CAST(round(list_cosine_similarity(a.emb, b.emb) * 10000)
+       |      AS BIGINT) AS sim_i
+       |  FROM short a JOIN short b
+       |    ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+       |slim AS MATERIALIZED (SELECT q_id, vec_id, rel_i FROM short),
+       |selall1 AS MATERIALIZED (SELECT q_id, 1 AS pos, vec_id, rel_i,
+       |    CAST(0 AS BIGINT) AS ms_i, $l * rel_i AS score_i
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY $l * rel_i DESC, vec_id) AS rk FROM slim)
+       |  WHERE rk = 1),
+       |$steps
+       |SELECT q_id, CAST(pos AS INT) AS pos, vec_id,
+       |  CAST(rel_i AS DOUBLE) / 10000.0 AS rel,
+       |  CAST(ms_i AS DOUBLE) / 10000.0 AS max_sim,
+       |  CAST(score_i AS DOUBLE) / 100000.0 AS mmr_score
+       |FROM selall$k ORDER BY q_id, pos""".stripMargin
+  }
+
   /** Ranking-metrics evaluation — the retrieval-quality readout
     * (MRR, DCG/NDCG@k, hits/precision, recall@k) every search or RAG
     * pipeline reports before shipping an index change. The retrieval

@@ -453,4 +453,39 @@ class SimilaritySpec extends SparkSpec {
     assert(got(2L) === ((98L, 0L)))
     assert(got(3L) === ((0L, 0L)))
   }
+
+  test("mmr: a planted near-duplicate is demoted below the diverse " +
+       "candidate; lambda=1 degenerates to plain top-k order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // query 0 sits BETWEEN cluster X (vecs 1, 2 — identical) and
+    // cluster Y (vec 3): all three have equal relevance ~0.7071, so
+    // pos1 = vec 1 (id tiebreak), pos2 must be the DIVERSE vec 3
+    // (sim to vec 1 = 0), and the duplicate vec 2 (sim 1.0) drops
+    // to pos3 — the redundancy demotion that is MMR's whole point
+    val emb = Seq(
+      (0L, Array(0.7071f, 0.7071f, 0f)),
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(1f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val rows = SimilarityOps
+      .mmrRerankOn(emb, k = 3, shortlist = 3, nQueries = 1, lam10 = 7)
+      .collect()
+    assert(rows.map(r => (r.getInt(1), r.getLong(2))).toSeq
+      === Seq((1, 1L), (2, 3L), (3, 2L)))
+    assert(rows(0).getDouble(4) === 0.0)   // pos1 max_sim convention
+    assert(rows(1).getDouble(4) === 0.0)   // vec 3 ⊥ vec 1
+    assert(rows(2).getDouble(4) === 1.0)   // the duplicate's sim
+    // lambda = 1.0: scores reduce to 10·rel — MMR IS the top-k order
+    val sf3 = SimilarityOps.mmrRerank(spark, sf, k = 5, shortlist = 20,
+      nQueries = 3, lam10 = 10).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq).toMap
+    val bf = SimilarityOps.bruteForceTopK(spark, sf, k = 5, nQueries = 3)
+      .collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq).toMap
+    assert(sf3 === bf)
+  }
 }
