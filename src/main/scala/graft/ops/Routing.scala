@@ -127,6 +127,21 @@ object Routing {
       case Scale => SimilarityOps.ivfTopK(s, d, k, nQueries)
     }
 
+  /** [[SimilarityOps.mmrRerank]] (exact-scored shortlist) below the
+    * dial, [[SimilarityOps.mmrRerankIvf]] (IVF shortlist) above it —
+    * the greedy diversification stage is SHARED (config-bounded
+    * either way); only the retrieval that feeds it tiers, which is
+    * exactly the declared difference (an IVF shortlist can miss a
+    * candidate the exact scan finds). */
+  def mmrRerankAuto(s: SparkSession, d: String, k: Int = 5,
+                    shortlist: Int = 20, nQueries: Int = 10,
+                    lam10: Int = 7,
+                    exactMaxBytes: Long = DefaultExactMaxBytes): DataFrame =
+    tierFor(Tables.embeddings(s, d), exactMaxBytes) match {
+      case Exact => SimilarityOps.mmrRerank(s, d, k, shortlist, nQueries, lam10)
+      case Scale => SimilarityOps.mmrRerankIvf(s, d, k, shortlist, nQueries, lam10)
+    }
+
   /** [[DedupOps.embeddingPairs]] (exact all-pairs cosine, n²/2)
     * below the dial, [[DedupOps.embeddingPairsLsh]] (multi-table
     * hyperplane LSH candidates) above it — the two faces share the

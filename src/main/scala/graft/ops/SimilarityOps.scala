@@ -401,11 +401,40 @@ object SimilarityOps {
           .cast("long").as("rel_i"))
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("rel_i").desc, col("vec_id"))
-    // queries×shortlist rows: eager-checkpoint ends the corpus scan
     val short = scored.withColumn("__rk", row_number().over(wTop))
       .filter(col("__rk") <= shortlist)
       .select(col("q_id"), col("vec_id"), col("embedding"), col("rel_i"))
-      .localCheckpoint(true)
+    mmrGreedy(short, k, lam10)
+  }
+
+  /** The SCALE-tier face: same greedy re-rank over an IVF shortlist
+    * ([[ivfTopK]] with k = the shortlist width) instead of the exact
+    * scored corpus — the two-stage retrieval a 100 TB index actually
+    * runs. Member embeddings rejoin from the corpus (a
+    * queries×shortlist-row broadcast join); rel re-integerizes from
+    * the IVF face's own 4dp cosine, so the rel grid is identical to
+    * the exact face's wherever both retrieve the same candidate. */
+  def mmrRerankIvf(s: SparkSession, d: String, k: Int = 5,
+                   shortlist: Int = 20, nQueries: Int = 10,
+                   lam10: Int = 7): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val short = ivfTopK(s, d, k = shortlist, nQueries = nQueries)
+      .select(col("q_id"), col("vec_id"),
+        round(col("cosine") * 10000.0).cast("long").as("rel_i"))
+      .join(broadcast(emb.select(col("vec_id"), col("embedding"))),
+        Seq("vec_id"))
+    mmrGreedy(short, k, lam10)
+  }
+
+  /** The config-bounded greedy stage shared by the exact and IVF
+    * faces: `short` = (q_id, vec_id, embedding, rel_i). Every frame
+    * past the input is ≤ queries×shortlist(²) rows; each round's
+    * pick eager-checkpoints (the selected set feeds the anti-join
+    * AND the max-sim lookup — two replan paths). */
+  private def mmrGreedy(short0: DataFrame, k: Int,
+                        lam10: Int): DataFrame = {
+    // queries×shortlist rows: eager-checkpoint ends the corpus scan
+    val short = short0.localCheckpoint(true)
     // all ordered candidate pairs per query (shortlist² bounded)
     val pairs = short.select(col("q_id"), col("vec_id").as("ca"),
         col("embedding").as("ea"))

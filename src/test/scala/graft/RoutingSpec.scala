@@ -81,6 +81,15 @@ class RoutingSpec extends SparkSpec {
       === rows(SimilarityOps.ivfTopK(spark, sf)))
   }
 
+  test("mmr route: exact-scored shortlist under the dial, IVF " +
+       "shortlist over it — the greedy stage shared") {
+    assert(rows(Routing.mmrRerankAuto(spark, sf,
+        exactMaxBytes = Long.MaxValue))
+      === rows(SimilarityOps.mmrRerank(spark, sf)))
+    assert(rows(Routing.mmrRerankAuto(spark, sf, exactMaxBytes = 0L))
+      === rows(SimilarityOps.mmrRerankIvf(spark, sf)))
+  }
+
   test("embedding-pairs route: exact all-pairs under the dial, " +
        "hyperplane LSH over it") {
     import graft.ops.DedupOps
