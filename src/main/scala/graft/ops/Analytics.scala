@@ -1336,7 +1336,9 @@ object Analytics {
       // attained just after a jump, i.e. at an inclusive step)
       .select((col("__cum0") + col("ca")).as("fa"),
         (col("__cum1") + col("cb")).as("fb"))
-    val tot = g.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    // totals = the CDF's final step — an aggregate over the CACHED
+    // ranged frame, not a second events scan
+    val tot = c.agg(max(col("fa")).as("na"), max(col("fb")).as("nb"))
     val m = c.crossJoin(broadcast(tot))
       .groupBy(col("na"), col("nb"))
       .agg(max(abs(col("fa").cast(dec) * col("nb") -

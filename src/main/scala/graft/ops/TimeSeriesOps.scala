@@ -804,7 +804,11 @@ object TimeSeriesOps {
         col("cnt")))
 
   /** Same over any (event_type, dd, cnt) day-indexed frame. */
-  def theilSenOn(daily: DataFrame): DataFrame = {
+  def theilSenOn(daily0: DataFrame): DataFrame = {
+    // the daily frame is calendar-sized but feeds FOUR branches (both
+    // self-join sides, the residual join, and the slope chain) — an
+    // eager checkpoint makes the corpus aggregation run once
+    val daily = daily0.localCheckpoint(true)
     val a = daily.select(col("event_type"),
       col("dd").as("di"), col("cnt").as("yi"))
     val b = daily.select(col("event_type"),
