@@ -603,6 +603,9 @@ object RegistryMeta {
     "curate_token_budget" ->
       EntryMeta("2.4", "sql",
         "data-constrained training selection: keep the highest-quality documents until a global token budget is exhausted"),
+    "curate_funnel" ->
+      EntryMeta("2.4", "sql",
+        "the curation FUNNEL report: the curate_corpus chain + the token budget, published as per-stage (docs, tokens) survivors — hash equality proves every stage's survivor set"),
     "curate_web" ->
       EntryMeta("2.4", "sql",
         "the CommonCrawl-shaped FRONT half of curation, composed lazily"),

@@ -980,6 +980,10 @@ object SparkEntry {
     // text_pack's distributed prefix sum over the quality ranking
     "curate_token_budget" -> ((s, d) =>
       CurateOps.tokenBudget(Tables.documents(s, d), budgetTokens = 20000L)),
+    // the curation FUNNEL: the curate_corpus chain + a token budget,
+    // published as per-stage (docs, tokens) survivors — hash equality
+    // proves every stage's survivor SET, not just the final ids
+    "curate_funnel" -> ((s, d) => CurateOps.curateFunnel(s, d)),
     // web curation: canonicalize → first-doc-per-page → quality →
     // exact dedup, over planted URLs where every 3 consecutive docs
     // are the same page dressed in different tracking params / ports /
@@ -5696,6 +5700,59 @@ object SparkEntry {
         |SELECT doc_id FROM keep
         |WHERE doc_id NOT IN (SELECT doc_id FROM cont)
         |ORDER BY doc_id""".stripMargin,
+    // curate_funnel: the curate_corpus stage CTEs + the token-budget
+    // running sum, each stage surfaced as a (docs, tokens) row
+    "curate_funnel" ->
+      """WITH c0 AS (SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |nt AS (SELECT doc_id, text, CAST(len(tk) AS BIGINT) AS nt,
+        |    round(len(list_filter(tk,
+        |      x -> list_contains(['the','a','and','of','to','in','is'],
+        |        x))) * 1.0 / len(tk), 4) AS score
+        |  FROM c0),
+        |good AS (SELECT doc_id, text, nt, score FROM nt
+        |  WHERE length(text) >= 100 AND score >= 0.01),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY text),
+        |s2 AS (SELECT g.doc_id, g.nt, g.score FROM good g
+        |       JOIN keep USING (doc_id)),
+        |tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+        |        FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+        |  FROM tok WHERE len(t) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |cnt AS (
+        |  SELECT a.doc_id AS doc_id, b.doc_id AS ref_id,
+        |    count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |  WHERE a.doc_id IN (SELECT doc_id FROM s2) AND b.doc_id % 2 = 1
+        |  GROUP BY 1, 2),
+        |cont AS (
+        |  SELECT DISTINCT cnt.doc_id
+        |  FROM cnt JOIN sz x ON x.doc_id = cnt.doc_id
+        |           JOIN sz y ON y.doc_id = ref_id
+        |  WHERE round(common * 1.0 / (x.n + y.n - common), 4) >= 0.8),
+        |s3 AS (SELECT * FROM s2
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+        |bud AS (SELECT doc_id, nt FROM (
+        |    SELECT doc_id, nt, CAST(sum(nt) OVER (ORDER BY score DESC,
+        |      doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |    FROM s3) WHERE cum <= 20000)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+        |    CAST(count(*) AS BIGINT) AS docs,
+        |    CAST(coalesce(sum(nt), 0) AS BIGINT) AS tokens FROM nt
+        |  UNION ALL SELECT 1, 'quality_gate', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(nt), 0) AS BIGINT) FROM good
+        |  UNION ALL SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(nt), 0) AS BIGINT) FROM s2
+        |  UNION ALL SELECT 3, 'decontaminated', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(nt), 0) AS BIGINT) FROM s3
+        |  UNION ALL SELECT 4, 'token_budget', CAST(count(*) AS BIGINT),
+        |    CAST(coalesce(sum(nt), 0) AS BIGINT) FROM bud)
+        |ORDER BY stage""".stripMargin,
     // The quality ranking is text_quality's stopword_ratio (4dp,
     // hash-proven identical across engines) with a doc_id tiebreak;
     // the running total casts back to BIGINT so DuckDB's HUGEINT

@@ -39,6 +39,66 @@ object CurateOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The curation FUNNEL report — the same composed pipeline as
+    * [[curate]] (quality gate → exact dedup → decontamination) plus
+    * the token-budget cut, published as the stage-by-stage survivor
+    * table (stage, stage_name, docs, tokens) instead of a final id
+    * list: the readout a data team actually reviews before a
+    * training run, because WHERE the corpus shrinks names the
+    * dominant quality problem (a 90% quality-gate drop means crawl
+    * filth; a 90% dedup drop means a crawler loop; a decontamination
+    * spike means eval leakage).
+    *
+    * Cost shape: per-doc token counts and quality flags come from
+    * ONE corpus pass (lazily checkpointed — every stage sum reads
+    * it); each stage is the same narrow filter / keyed shuffle the
+    * id-list face runs, plus one doc-id-sized count aggregate. The
+    * decontamination stage (the heavy shingle join) runs once.
+    * Hash equality of the funnel against the oracle proves every
+    * stage's survivor SET cross-engine, not just the final one. */
+  def curateFunnel(s: SparkSession, d: String,
+                   budgetTokens: Long = 20000L,
+                   threshold: Double = 0.8): DataFrame = {
+    val docs = Tables.documents(s, d)
+    curateFunnelOn(docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0), budgetTokens, threshold)
+  }
+
+  /** Same over any (doc_id, text) corpus/reference pair. */
+  def curateFunnelOn(corpus: DataFrame, reference: DataFrame,
+                     budgetTokens: Long, threshold: Double): DataFrame = {
+    val stats = TextOps.qualityScoresOn(
+      corpus.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("quality_flag"),
+        col("n_tokens").cast("long").as("nt"))
+      .localCheckpoint(false) // doc-id-sized; every stage sum reads it
+    val s1 = corpus.join(
+      stats.filter(col("quality_flag") === "good").select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val s2 = s1.join(
+      s1.groupBy(sha2(col("text"), 256).as("__h"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val s3 = s2.join(
+      DedupOps.decontaminate(s2, reference, threshold)
+        .select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    val s4 = tokenBudget(s3, budgetTokens).select(col("doc_id"))
+    def stage(no: Int, name: String, ids: DataFrame): DataFrame =
+      ids.select(col("doc_id")).join(stats, "doc_id")
+        .agg(count(lit(1)).as("docs"),
+          coalesce(sum(col("nt")), lit(0L)).as("tokens"))
+        .select(lit(no.toLong).as("stage"), lit(name).as("stage_name"),
+          col("docs"), col("tokens"))
+    Seq(stage(0, "raw", stats),
+      stage(1, "quality_gate", s1),
+      stage(2, "exact_dedup", s2),
+      stage(3, "decontaminated", s3),
+      stage(4, "token_budget", s4))
+      .reduce(_ unionAll _)
+      .orderBy(col("stage"))
+  }
+
   /** Cluster-aware CANONICAL selection — the keep-best step after
     * near-dup clustering: [[DedupOps.connectedComponents]] tells you
     * which documents are the same content; this picks WHICH copy

@@ -190,4 +190,36 @@ class CurateSpec extends SparkSpec {
     assert(enMean > otherMean,
       s"enMean=$enMean otherMean=$otherMean")
   }
+
+  test("curate funnel: each planted defect falls at exactly its own " +
+       "stage — short doc at quality, copy at dedup, leaked doc at " +
+       "decontamination, low-score doc at the budget") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val a = "the cat and the dog of the house went to the market in " +
+      "the morning and it is a fine day for walking around the old " +
+      "town square"                                  // 28 toks, hi score
+    val e = "zebra quagga unicorn dragon phoenix griffin kraken hydra " +
+      "chimera basilisk wyvern sphinx the mighty creatures assembled " +
+      "quietly today"                                // 17 toks, lo score
+    val dLeak = "every benchmark question and answer pair in the " +
+      "holdout suite is listed here to keep the evaluation honest " +
+      "and the training corpus must never contain it"
+    val corpus = Seq((1L, a), (2L, a), (3L, "too short"),
+      (4L, dLeak), (5L, e)).toDF("doc_id", "text")
+    val ref = Seq((100L, dLeak)).toDF("doc_id", "text")
+    val rows = CurateOps
+      .curateFunnelOn(corpus, ref, budgetTokens = 30L, threshold = 0.8)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(t => (t._1, t._2, t._3)).toSeq === Seq(
+      (0L, "raw", 5L),             // everything
+      (1L, "quality_gate", 4L),    // drops doc 3 (len < 100)
+      (2L, "exact_dedup", 3L),     // drops doc 2 (copy of 1, min-id)
+      (3L, "decontaminated", 2L),  // drops doc 4 (identical to ref)
+      (4L, "token_budget", 1L)))   // A (28 toks) fits 30; +E would not
+    assert(rows(4)._4 === 28L)     // the kept tokens are exactly A's
+    assert(rows(0)._4 > rows(1)._4 && rows(1)._4 > rows(2)._4 &&
+      rows(2)._4 > rows(3)._4 && rows(3)._4 > rows(4)._4)
+  }
 }
