@@ -493,6 +493,9 @@ object RegistryMeta {
     "forecast_compare" ->
       EntryMeta("2.3", "sql",
         "backtest MODEL SELECTION — the per-series routing table before committing to a forecaster"),
+    "forecast_ensemble" ->
+      EntryMeta("2.3", "sql",
+        "equal-weight mean of the three holdout forecasters scored beside its members on the COMMON holdout day set — the Bates-Granger combination as an oracled table"),
     "ts_seasonal_decompose" ->
       EntryMeta("2.3", "sql",
         "additive seasonal decomposition (STL-lite): centered `period`-row moving-average trend"),

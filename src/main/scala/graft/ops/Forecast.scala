@@ -690,6 +690,61 @@ object Forecast {
       .orderBy(col("event_type"), col("model"))
   }
 
+  /** Forecast ENSEMBLE — the classic free lunch beside
+    * [[compareModels]]' champion pick: the equal-weight mean of
+    * diverse models usually beats most members (Bates & Granger
+    * 1969; every M-competition since), because member errors are
+    * imperfectly correlated and averaging cancels them. Per series
+    * and common holdout day, p_ens = (snaive + ar2 + theta)/3; the
+    * published table scores all FOUR models on the SAME
+    * intersection-of-holdouts day set (members can differ in which
+    * days they can forecast — lag warm-ups — and comparing on
+    * different day sets would be a category error), with the same
+    * exact-DECIMAL MAE recipe and rank-1 best flag.
+    *
+    * Exactness: member preds are 4dp by their own contracts; the
+    * mean-of-three rounds at 4dp SAFELY — a third of the 1e-4 grid
+    * can never land on a 5e-5 half-boundary (k/3e4 = (2j+1)/2e4
+    * forces k = 1.5(2j+1), not an integer), so round() agrees
+    * cross-engine wherever the double tree does, and the tree is
+    * written identically. Plan = the three members' plans + one
+    * day-keyed join + one lazily-checkpointed frame feeding the four
+    * scoring legs + one aggregate. */
+  def ensembleForecast(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sn = seasonalNaive(s, d)
+      .select(col("event_type"), col("day"), col("actual"),
+        col("pred").as("p_sn"))
+    val ar = arForecast(s, d)
+      .select(col("event_type"), col("day"), col("pred").as("p_ar"))
+    val th = thetaForecast(s, d)
+      .select(col("event_type"), col("day"), col("pred").as("p_th"))
+    val j = sn.join(ar, Seq("event_type", "day"))
+      .join(th, Seq("event_type", "day"))
+      .withColumn("p_ens",
+        round((col("p_sn") + col("p_ar") + col("p_th")) / 3, 4))
+      .localCheckpoint(false) // holdout-sized; four scoring legs read it
+    def leg(name: String, p: Column): DataFrame =
+      j.select(col("event_type"), col("actual"), p.as("pred"),
+        lit(name).as("model"))
+    val allp = leg("snaive", col("p_sn"))
+      .unionByName(leg("ar2", col("p_ar")))
+      .unionByName(leg("theta", col("p_th")))
+      .unionByName(leg("ensemble", col("p_ens")))
+    val mae = allp
+      .groupBy(col("event_type"), col("model"))
+      .agg(
+        (sum(abs(col("actual") - col("pred")).cast("decimal(20,4)"))
+          .cast("double") / count(lit(1))).as("__m"),
+        count(lit(1)).as("n_days"))
+      .select(col("event_type"), col("model"),
+        round(col("__m"), 4).as("mae"), col("n_days"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("mae").asc, col("model").asc)
+    mae.withColumn("best", row_number().over(w) === 1)
+      .orderBy(col("event_type"), col("model"))
+  }
+
   /** Forecast evaluation: per-series MAE and interval coverage —
     * the capability of TestingForecastResults.ipynb's quantile
     * plots, as a metric table. */

@@ -328,4 +328,43 @@ class PlanSpec extends SparkSpec {
     assert(!weighted.replaceAll("TakeOrderedAndProject[^\\n]*", "")
       .contains("Sort "), weighted)
   }
+
+  test("mmr shortlist stage: the query set is broadcast onto the " +
+       "corpus scan, never a cartesian or shuffled scoring join") {
+    // the re-rank's own shortlist stage is checkpoint-hidden from its
+    // final plan, but it shares bruteForceTopK's scoring shape — and
+    // the greedy stage's plan must stay cartesian-free end to end
+    val shortlist = executedPlan(SimilarityOps.bruteForceTopK(spark, sf,
+      k = 20, nQueries = 10))
+    assert(shortlist.contains("BroadcastNestedLoopJoin") ||
+      shortlist.contains("BroadcastHashJoin"), shortlist)
+    assert(!shortlist.contains("CartesianProduct"), shortlist)
+    val greedy = executedPlan(SimilarityOps.mmrRerank(spark, sf))
+    assert(!greedy.contains("CartesianProduct"), greedy)
+  }
+
+  test("adaboost base scan reads only its two feature columns") {
+    // the localCheckpointed base hides the scan from the FINAL plan,
+    // so audit the base frame's own execution: pruning to
+    // (o_totalprice, o_orderstatus) is what halves the scan bytes
+    val base = Tables.orders(spark, sf).select(
+      round(col("o_totalprice"), 4).cast("double").as("x"),
+      when(col("o_orderstatus") === "F", 1.0).otherwise(-1.0).as("y"))
+    val plan = executedPlan(base)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema:"))
+      .getOrElse(fail(s"no ReadSchema in plan:\n$plan"))
+    assert(readSchema.contains("o_totalprice") &&
+      readSchema.contains("o_orderstatus"), plan)
+    assert(!readSchema.contains("o_orderdate") &&
+      !readSchema.contains("o_orderpriority"), plan)
+    // and the boosted rounds themselves never cartesian-join their
+    // one-row state frames
+    val fit = executedPlan(graft.ops.MlOps.adaboostStumps(spark, sf))
+    assert(!fit.contains("CartesianProduct"), fit)
+  }
+
+  test("curation funnel plans zero cartesian products") {
+    val plan = executedPlan(graft.ops.CurateOps.curateFunnel(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

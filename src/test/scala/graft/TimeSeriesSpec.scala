@@ -383,6 +383,36 @@ class TimeSeriesSpec extends SparkSpec {
     assert(rBest.head.getDouble(2) === 0.0)
   }
 
+  test("forecast ensemble: scored on the common holdout with the " +
+       "Jensen bound holding, one best per series, deterministic") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Timestamp.valueOf(s"2024-01-$s 00:00:00")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ens").toString
+    // a ramp + weekly wobble: no member is exact, so the ensemble has
+    // real errors to average
+    (1 to 21).flatMap { i =>
+      Seq.fill(10 + 3 * (i - 1) + Seq(0, 2, 1, 0, 3, 1, 2)((i - 1) % 7))(
+        ("mix", d(f"$i%02d")))
+    }.toDF("event_type", "ts")
+      .withColumn("ts", unix_micros(col("ts")) * 1000)
+      .withColumn("event_id", monotonically_increasing_id())
+      .withColumn("user_id", lit(1L)).withColumn("value", lit(1.0))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = Forecast.ensembleForecast(spark, dir).collect()
+    // four models on the SAME day count
+    assert(rows.length === 4)
+    assert(rows.map(_.getLong(3)).distinct.length === 1)
+    assert(rows.count(_.getBoolean(4)) === 1)
+    val mae = rows.map(r => r.getString(1) -> r.getDouble(2)).toMap
+    // Jensen: MAE(mean of preds) <= mean of member MAEs (+ 4dp slack
+    // for the ensemble's own rounding)
+    val memberMean = (mae("snaive") + mae("ar2") + mae("theta")) / 3
+    assert(mae("ensemble") <= memberMean + 0.0002,
+      s"ens ${mae("ensemble")} vs member mean $memberMean")
+    val again = Forecast.ensembleForecast(spark, dir).collect()
+    assert(rows.toSeq === again.toSeq)
+  }
+
   test("anomaly z-scores: planted spike flags, flat series never does") {
     import spark.implicits._
     def d(s: String) = java.sql.Timestamp.valueOf(s"2024-01-$s 00:00:00")
