@@ -647,7 +647,11 @@ object RegistryMeta {
       Some("ann_ivf_topk")),
     "ann_mmr_rerank" ->
       EntryMeta("2.5", "sql",
-        "MMR diversified re-ranking over the retrieval shortlist: greedy argmax lambda*rel − (1−lambda)*max-sim on exact 1e-4 integer similarities; the shortlist stage swaps to the IVF tier at scale"),
+        "MMR diversified re-ranking over the retrieval shortlist: greedy argmax lambda*rel − (1−lambda)*max-sim on exact 1e-4 integer similarities",
+        Some("ann_mmr_rerank_ivf")),
+    "ann_mmr_rerank_ivf" ->
+      EntryMeta("2.5", "sql",
+        "the MMR dial's Scale face: IVF-probe shortlist (the ann_ivf_topk chain) into the same exact-integer greedy rounds"),
     "emb_centroids" ->
       EntryMeta("2.5", "sql",
         "per-label embedding centroids (class prototypes / mean pooling / IVF coarse-quantizer seed)"),

@@ -867,6 +867,9 @@ object SparkEntry {
     // scan, then config-bounded greedy rounds on exact 1e-4 integer
     // similarities (score = 7·rel − 3·maxsim in 1e-5 units)
     "ann_mmr_rerank" -> ((s, d) => SimilarityOps.mmrRerank(s, d)),
+    // the dial's Scale face as its own oracled entry (the registry
+    // norm: both tier faces verified): IVF shortlist, same greedy
+    "ann_mmr_rerank_ivf" -> ((s, d) => SimilarityOps.mmrRerankIvf(s, d)),
     // per-label centroids: float sums are order-dependent, so both
     // engines sum in exact DECIMAL then divide/round in double once
     "emb_centroids" -> ((s, d) => SimilarityOps.labelCentroids(s, d)),
@@ -6125,6 +6128,9 @@ object SparkEntry {
     // ann_mmr_rerank: greedy rounds unrolled with MATERIALIZED CTEs,
     // all selection arithmetic BIGINT over the shared cos·1e4 grid
     "ann_mmr_rerank" -> SimilarityOps.mmrOracleSql(),
+    // the IVF-shortlist face: the ann_ivf_topk assignment chain
+    // verbatim, rel re-integerized from its 4dp cosine, same greedy
+    "ann_mmr_rerank_ivf" -> SimilarityOps.mmrIvfOracleSql(),
     "ann_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
         |           FROM embeddings WHERE vec_id < 10),

@@ -486,6 +486,76 @@ object SimilarityOps {
   private[graft] def mmrOracleSql(k: Int = 5, shortlist: Int = 20,
                                   nQueries: Int = 10,
                                   lam10: Int = 7): String = {
+    val prefix =
+      s"""q AS MATERIALIZED (SELECT vec_id AS q_id,
+         |    embedding AS q_emb
+         |  FROM embeddings WHERE vec_id < $nQueries),
+         |sc AS MATERIALIZED (SELECT q_id, e.vec_id AS vec_id,
+         |    e.embedding AS emb,
+         |    CAST(round(list_cosine_similarity(q_emb, e.embedding)
+         |      * 10000) AS BIGINT) AS rel_i
+         |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+         |short AS MATERIALIZED (SELECT q_id, vec_id, emb, rel_i
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY rel_i DESC, vec_id) AS rk FROM sc)
+         |  WHERE rk <= $shortlist)""".stripMargin
+    mmrGreedyOracle(prefix, k, lam10)
+  }
+
+  /** DuckDB replay of [[mmrRerankIvf]]: the ann_ivf_topk assignment
+    * chain (verbatim — same seeds, one-refine, nProbe cell gating,
+    * tiebreaks) widened to the shortlist, rel re-integerized from
+    * the IVF face's own 4dp cosine exactly as the Spark side does
+    * (round(round(cos,4)·10⁴)), then the SAME greedy CTEs. */
+  private[graft] def mmrIvfOracleSql(k: Int = 5, shortlist: Int = 20,
+                                     nQueries: Int = 10, nProbe: Int = 2,
+                                     lam10: Int = 7): String = {
+    val avgs = (1 to dim).map(i => s"avg(emb[$i])").mkString(", ")
+    val prefix =
+      s"""nc AS (SELECT greatest(8, CAST(floor(sqrt(count(*))) AS BIGINT)) AS n
+         |       FROM embeddings),
+         |e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |     FROM embeddings),
+         |seeds AS (SELECT e.vec_id AS cell, e.emb AS c_emb
+         |          FROM e, nc WHERE e.vec_id < nc.n),
+         |a1 AS (SELECT vec_id, emb, cell,
+         |    round(list_cosine_similarity(emb, c_emb), 4) AS sim
+         |  FROM e CROSS JOIN seeds),
+         |a1r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY sim DESC, cell) AS rnk FROM a1),
+         |assigned AS (SELECT vec_id, emb, cell FROM a1r WHERE rnk = 1),
+         |cents AS (SELECT cell,
+         |    CAST(CAST([$avgs] AS FLOAT[]) AS DOUBLE[]) AS c_emb
+         |  FROM assigned GROUP BY cell),
+         |a2 AS (SELECT vec_id, emb, cell,
+         |    round(list_cosine_similarity(emb, c_emb), 4) AS sim
+         |  FROM e CROSS JOIN cents),
+         |a2r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY sim DESC, cell) AS rnk FROM a2),
+         |cells AS (SELECT vec_id, emb, cell FROM a2r WHERE rnk = 1),
+         |qc AS (SELECT vec_id AS q_id, emb AS q_emb, cell
+         |       FROM a2r WHERE rnk <= $nProbe AND vec_id < $nQueries),
+         |scored AS (
+         |  SELECT q_id, c.vec_id AS vec_id,
+         |    round(list_cosine_similarity(q_emb, c.emb), 4) AS cosine
+         |  FROM cells c JOIN qc USING (cell) WHERE c.vec_id <> qc.q_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |        ORDER BY cosine DESC, vec_id) AS rank FROM scored),
+         |short AS MATERIALIZED (SELECT r.q_id, r.vec_id, e.emb,
+         |    CAST(round(r.cosine * 10000) AS BIGINT) AS rel_i
+         |  FROM r JOIN e ON e.vec_id = r.vec_id
+         |  WHERE rank <= $shortlist)""".stripMargin
+    mmrGreedyOracle(prefix, k, lam10)
+  }
+
+  /** The shared greedy-round CTEs over a preceding
+    * `short(q_id, vec_id, emb, rel_i)` CTE — every CTE MATERIALIZED
+    * (each round references the selected set through two paths —
+    * anti-membership and max-sim — the inlining-blowup class). All
+    * selection arithmetic is BIGINT, so the replay is exact given
+    * the shared round(cos·10⁴) integerization. */
+  private def mmrGreedyOracle(shortPrefix: String, k: Int,
+                              lam10: Int): String = {
     val l = lam10; val m = 10 - lam10
     val steps = (2 to k).map { j =>
       val p = j - 1
@@ -505,18 +575,7 @@ object SimilarityOps {
          |selall$j AS MATERIALIZED (SELECT * FROM selall$p
          |  UNION ALL SELECT * FROM sel$j)""".stripMargin
     }.mkString(",\n")
-    s"""WITH q AS MATERIALIZED (SELECT vec_id AS q_id,
-       |    embedding AS q_emb
-       |  FROM embeddings WHERE vec_id < $nQueries),
-       |sc AS MATERIALIZED (SELECT q_id, e.vec_id AS vec_id,
-       |    e.embedding AS emb,
-       |    CAST(round(list_cosine_similarity(q_emb, e.embedding)
-       |      * 10000) AS BIGINT) AS rel_i
-       |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
-       |short AS MATERIALIZED (SELECT q_id, vec_id, emb, rel_i
-       |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
-       |      ORDER BY rel_i DESC, vec_id) AS rk FROM sc)
-       |  WHERE rk <= $shortlist),
+    s"""WITH $shortPrefix,
        |pairs AS MATERIALIZED (SELECT a.q_id, a.vec_id AS ca,
        |    b.vec_id AS cb,
        |    CAST(round(list_cosine_similarity(a.emb, b.emb) * 10000)
