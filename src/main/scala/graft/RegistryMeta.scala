@@ -713,6 +713,9 @@ object RegistryMeta {
     "text_fingerprint" ->
       EntryMeta("2.6", "sql",
         "winnowing document fingerprint; the registry runs the CHECKED face"),
+    "text_novelty" ->
+      EntryMeta("2.6", "sql",
+        "per-doc k-gram novelty vs a reference corpus — the synthetic-data QA metric: one gram equi-join on uniform keys, exact half-up share"),
     "text_tfidf" ->
       EntryMeta("2.6", "sql",
         "per-doc top-k TF-IDF terms (map-side tf/df, broadcast corpus size, ranked window)"),

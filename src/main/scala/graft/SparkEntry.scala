@@ -897,6 +897,10 @@ object SparkEntry {
     // checked face: winnowing over a 60-bit md5-prefix hash both
     // engines compute — the oracle replays every signature VALUE
     "text_fingerprint" -> ((s, d) => TextOps.fingerprintsChecked(s, d)),
+    // per-doc k-gram novelty vs the odd-parity reference: the
+    // synthetic-data QA metric (novelty≈0 = paraphrased seed corpus);
+    // one gram equi-join on uniform keys, never a doc×doc product
+    "text_novelty" -> ((s, d) => TextOps.novelty(s, d)),
     "text_tfidf"       -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     "text_top_terms"   -> ((s, d) => TextOps.topTerms(s, d)),
     "text_chunk"       -> ((s, d) => TextOps.chunk(s, d)),
@@ -6392,6 +6396,25 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY n DESC, term LIMIT 20""".stripMargin,
     // full value replay of the md5-60bit winnow: shingle → hash →
     // sliding-window min → distinct+sort, element for element
+    // text_novelty: the dedup oracle's string-trigram derivation on
+    // both sides, reference grams distinct, exact half-up ratio
+    "text_novelty" ->
+      """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+        |             FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+        |  FROM tok WHERE len(t) >= 3),
+        |cand AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
+        |refg AS (SELECT DISTINCT s FROM sh WHERE doc_id % 2 = 1),
+        |j AS (SELECT cand.doc_id,
+        |    CASE WHEN refg.s IS NULL THEN 0 ELSE 1 END AS seen
+        |  FROM cand LEFT JOIN refg ON refg.s = cand.s)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(seen) AS BIGINT) AS n_seen,
+        |  CAST((CAST(count(*) - sum(seen) AS HUGEINT) * 20000 +
+        |    count(*)) // (2 * count(*)) AS BIGINT) / 10000.0 AS novelty
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
         |             FROM documents),

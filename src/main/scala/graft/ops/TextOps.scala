@@ -24,6 +24,61 @@ object TextOps {
       regexp_count(col("text"), lit("[a-z]+|[0-9]|[^a-z0-9\\s]")).as("bpe_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Per-document n-gram NOVELTY against a reference corpus — the
+    * synthetic-data QA metric (and memorization audit's inverse):
+    * what fraction of a candidate document's distinct k-grams appear
+    * NOWHERE in the reference set? Generated training data with
+    * novelty ≈ 0 is a paraphrase of its seed corpus (no new signal,
+    * memorization risk); novelty ≈ 1 on purportedly-grounded data
+    * means the generator unmoored from its sources. The registered
+    * face splits the corpus by doc parity (even = candidates, odd =
+    * reference — the decontamination convention).
+    *
+    * Shape: distinct string k-grams per side (row-local explode —
+    * the dedup shingle derivation, kept as STRINGS so the oracle
+    * replays verbatim), one distinct on the reference grams, one
+    * equi-join on the uniform gram key (the inverted-index posture —
+    * never a doc×doc product), one per-doc count aggregate. At a
+    * 100 TB reference the gram set tiers exactly like
+    * decontamination's ladder (broadcast / Bloom-probe / shuffled —
+    * `Routing.decontaminateAuto`'s regimes apply verbatim since the
+    * reference side is the only thing that changes). Novelty
+    * publishes through [[ExactRatio.r4]]. Contract: candidates with
+    * fewer than k tokens carry no grams and drop (matching the
+    * oracle's derivation). */
+  def novelty(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, d)
+    noveltyOn(docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 =!= 0), k)
+  }
+
+  /** Same over any (doc_id, text) candidate/reference pair. */
+  def noveltyOn(candidates: DataFrame, reference: DataFrame,
+                k: Int): DataFrame = {
+    def grams(docs: DataFrame): DataFrame = {
+      // stage the token array first (lambda bodies re-evaluate their
+      // subtrees per element — the docShingleSets lesson)
+      val tokenized = Tables.spread(docs)
+        .select(col("doc_id"), toks(col("text")).as("t"))
+      val n = size(col("t"))
+      val starts = when(n >= k, sequence(lit(1), n - (k - 1)))
+        .otherwise(array().cast("array<int>"))
+      tokenized.select(col("doc_id"),
+        explode(array_distinct(transform(starts,
+          i => concat_ws(" ", slice(col("t"), i, lit(k)))))).as("s"))
+    }
+    val cand = grams(candidates)
+    val refg = grams(reference).select(col("s")).distinct()
+    cand.join(refg.withColumn("__seen", lit(1L)), Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__seen"), lit(0L))).as("n_seen"))
+      .select(col("doc_id"), col("n_grams"), col("n_seen"),
+        ExactRatio.r4(col("n_grams") - col("n_seen"), col("n_grams"))
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is")
 
   /** Quality scores: length, token count, stopword ratio, punctuation

@@ -709,4 +709,25 @@ class TextOpsSpec extends SparkSpec {
       if (m.nonEmpty && t.nonEmpty) assert(m.min >= t.max)
     }
   }
+
+  test("novelty: a verbatim copy scores 0, half-shared grams score " +
+       "exactly 0.5, alien vocabulary scores 1, sub-k docs drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ref = Seq((100L, "a b c x y z")).toDF("doc_id", "text")
+    // grams(ref) = {a b c, b c x, c x y, x y z}
+    val cands = Seq(
+      (1L, "a b c x y z"),  // copy: every gram seen      → 0.0
+      (2L, "a b c d"),      // {a b c ✓, b c d ✗}          → 1/2
+      (3L, "p q r s"),      // {p q r, q r s} all novel    → 1.0
+      (4L, "u v"))          // < 3 tokens: no grams, drops
+      .toDF("doc_id", "text")
+    val out = TextOps.noveltyOn(cands, ref, k = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L) === ((4L, 4L, 0.0)))
+    assert(out(2L) === ((2L, 1L, 0.5)))
+    assert(out(3L) === ((2L, 0L, 1.0)))
+  }
 }
