@@ -366,7 +366,11 @@ object RegistryMeta {
         "GDPR right-to-be-forgotten dry run"),
     "ts_percentiles_daily" ->
       EntryMeta("2.2", "sql",
-        "per-day latency bands"),
+        "per-day latency bands",
+        scalePartner = Some("ts_percentiles_daily_approx")),
+    "ts_percentiles_daily_approx" ->
+      EntryMeta("2.2", "sql",
+        "the daily latency bands' 100 TB tier as a CHECKED entry: GK sketch beside exact with in-plan rank-error verdicts, oracle = exact + literal TRUE"),
     "graph_triangles" ->
       EntryMeta("2.2", "sql",
         "triangle count + global clustering coefficient over the part-co-occurrence graph",
@@ -513,7 +517,11 @@ object RegistryMeta {
         "per-series online anomaly detection: z-score vs the TRAILING window (no future peeking), warm-up days emit nothing, zero-variance windows pin z = 0 (not NaN)"),
     "ts_outlier_mad" ->
       EntryMeta("2.3", "sql",
-        "robust per-series outliers via median/MAD"),
+        "robust per-series outliers via median/MAD",
+        scalePartner = Some("ts_outlier_mad_approx")),
+    "ts_outlier_mad_approx" ->
+      EntryMeta("2.3", "sql",
+        "the MAD thresholds' 100 TB tier as a CHECKED entry: both median stages sketched beside exact (stage-2 bracket from the sketched-deviation distribution), oracle = exact med/MAD + literal TRUE"),
     "ts_theil_sen" ->
       EntryMeta("2.3", "sql",
         "Theil-Sen robust trend per series: median-of-pairwise-slopes line, medians selected and combined as exact integer rationals, published via signed exact half-up division"),
@@ -963,7 +971,8 @@ object RegistryMeta {
         "Lloyd's k-means trained and scored ENTIRELY in the plan"),
     "ml_knn_classify" ->
       EntryMeta("2.10", "sql",
-        "k-NN classification over the embedding space (the non-parametric embedding-quality baseline)"),
+        "k-NN classification over the embedding space (the non-parametric embedding-quality baseline)",
+        scalePartner = Some("ml_knn_classify_ivf")),
     "ml_knn_classify_ivf" ->
       EntryMeta("2.10", "sql",
         "the classifier's 100 TB tier as RUNNABLE code"),

@@ -265,6 +265,8 @@ object SparkEntry {
         .select(col("c_custkey")))),
     // per-day p50/p90/p99/max latency bands — the SLO dashboard series
     "ts_percentiles_daily" -> ((s, d) => TimeSeriesOps.dailyPercentiles(s, d)),
+    "ts_percentiles_daily_approx" ->
+      ((s, d) => TimeSeriesOps.dailyPercentilesChecked(s, d)),
     // snapshot reconciliation with PLANTED drift: old = orders minus
     // the %41 keys (→ added) plus negative-key ghosts (→ removed);
     // new bumps %37 totalprice and flips %29 status (→ changed, with
@@ -640,6 +642,8 @@ object SparkEntry {
     // z-score monitor (mean/stddev are dragged by the outliers they
     // hunt; the median isn't); thresholds rounded before the score
     "ts_outlier_mad" -> ((s, d) => TimeSeriesOps.outlierMad(s, d)),
+    "ts_outlier_mad_approx" ->
+      ((s, d) => TimeSeriesOps.outlierMadChecked(s, d)),
     // Theil-Sen robust trend: median-of-pairwise-slopes line with
     // the medians selected and combined as exact integer rationals,
     // published through signed exact half-up division (r4s)
@@ -4334,6 +4338,20 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.99), 4) AS p99,
         |  round(max(value), 4) AS max_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the q_percentiles_approx contract on the day key: exact side
+    // replayed, rank-error verdicts literal TRUE — a drifting sketch
+    // breaks the hash, never the oracle
+    "ts_percentiles_daily_approx" ->
+      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP_US))
+        |    AS TIMESTAMP) AS day,
+        |  count(*) AS n,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90,
+        |  round(quantile_cont(value, 0.99), 4) AS p99,
+        |  round(max(value), 4) AS max_value,
+        |  TRUE AS p50_within_tol, TRUE AS p90_within_tol,
+        |  TRUE AS p99_within_tol
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // Shares quantile_cont ≡ Spark percentile interpolation; med and
     // MAD round to 4dp BEFORE the score (rounded-metric rule), so the
     // ratio divides identical doubles on both engines.
@@ -4407,6 +4425,24 @@ object SparkEntry {
         |SELECT event_type, day, cnt, med, mad, robust_z,
         |  abs(robust_z) >= 3.5 AS is_outlier
         |FROM z ORDER BY event_type, day""".stripMargin,
+    // the exact med/MAD stages replayed per series, sketch verdicts
+    // literal TRUE (the checked-face contract)
+    "ts_outlier_mad_approx" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP_US))
+        |      AS TIMESTAMP) AS day, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type, count(*) AS n_days,
+        |          round(quantile_cont(cnt, 0.5), 4) AS med
+        |        FROM daily GROUP BY 1),
+        |dev AS (SELECT d.event_type, abs(d.cnt - m.med) AS adev
+        |        FROM daily d JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, round(quantile_cont(adev, 0.5), 4) AS mad
+        |        FROM dev GROUP BY 1)
+        |SELECT m.event_type, m.n_days, m.med, a.mad,
+        |  TRUE AS med_within_tol, TRUE AS mad_within_tol
+        |FROM med m JOIN mad a USING (event_type)
+        |ORDER BY m.event_type""".stripMargin,
     // dow from the epoch-day count ((ed + 3) mod 7, 0 = Monday) —
     // dayofweek()'s origin varies by engine, an integer mod doesn't;
     // the date functions used agree across engines by construction
@@ -5211,241 +5247,13 @@ object SparkEntry {
         |              AND daily.day = tday + INTERVAL 1 DAY * h
         |WHERE h >= 1
         |ORDER BY event_type, day""".stripMargin,
-    // forecast_compare: the three holdout models' oracle chains
-    // assembled under one WITH RECURSIVE (CTEs renamed apart), MAE
-    // terms as exact DECIMAL(20,4) sums divided once in double
-    // forecast_ensemble: the compare chain with day carried through
-    // each member's final CTE, the members day-joined, and the
-    // mean-of-three scored beside them on the common holdout
-    "forecast_ensemble" ->
-      """WITH RECURSIVE daily AS (
-        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
-        |         count(*) AS cnt
-        |  FROM events GROUP BY 1, 2),
-        |mx AS (SELECT max(day) AS mx FROM daily),
-        |ls AS (SELECT daily.*, lag(cnt, 7) OVER
-        |        (PARTITION BY event_type ORDER BY day) AS lagp
-        |      FROM daily),
-        |train_s AS (
-        |  SELECT ls.event_type, cnt - lagp AS resid FROM ls, mx
-        |  WHERE day <= mx - INTERVAL 7 DAY AND lagp IS NOT NULL),
-        |qs AS (
-        |  SELECT event_type, quantile_cont(resid, 0.5) AS q50
-        |  FROM train_s GROUP BY event_type),
-        |sn AS (
-        |  SELECT ls.event_type, ls.day, cnt AS actual,
-        |         round(lagp + q50, 4) AS pred
-        |  FROM ls, mx, qs
-        |  WHERE day > mx - INTERVAL 7 DAY AND qs.event_type = ls.event_type),
-        |la AS (SELECT daily.*,
-        |        lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
-        |        lag(cnt, 2) OVER (PARTITION BY event_type ORDER BY day) AS l2
-        |      FROM daily),
-        |train_a AS (
-        |  SELECT event_type, day, CAST(cnt AS DOUBLE) AS y,
-        |         CAST(l1 AS DOUBLE) AS x1, CAST(l2 AS DOUBLE) AS x2
-        |  FROM la, mx WHERE day <= mx - INTERVAL 7 DAY AND l2 IS NOT NULL),
-        |sums_a AS (
-        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
-        |    sum(y) AS sy, sum(x1) AS s1, sum(x2) AS s2,
-        |    sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
-        |    sum(x1 * y) AS s1y, sum(x2 * y) AS s2y,
-        |    arg_max(y, day) AS y0, arg_max(x1, day) AS ym1,
-        |    max(day) AS tday
-        |  FROM train_a GROUP BY 1),
-        |cf_a AS (
-        |  SELECT *,
-        |    n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)
-        |      AS det
-        |  FROM sums_a),
-        |c2_a AS (
-        |  SELECT event_type, tday, y0, ym1,
-        |    (sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y)) / det AS c0,
-        |    (n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2)) / det AS a1,
-        |    (n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2)) / det AS a2
-        |  FROM cf_a WHERE n >= 4 AND det <> 0),
-        |f_a AS (
-        |  SELECT event_type, tday, c0, a1, a2, 0 AS h, y0 AS p1, ym1 AS p2
-        |  FROM c2_a
-        |  UNION ALL
-        |  SELECT event_type, tday, c0, a1, a2, h + 1,
-        |         c0 + a1 * p1 + a2 * p2, p1
-        |  FROM f_a WHERE h < 7),
-        |arx AS (
-        |  SELECT f_a.event_type, daily.day, round(p1, 4) AS pred
-        |  FROM f_a JOIN daily ON daily.event_type = f_a.event_type
-        |                AND daily.day = tday + INTERVAL 1 DAY * h
-        |  WHERE h >= 1),
-        |train_t AS (
-        |  SELECT event_type, day, CAST(cnt AS DOUBLE) AS y,
-        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) - 1
-        |         AS DOUBLE) AS t
-        |  FROM daily, mx WHERE day <= mx - INTERVAL 7 DAY),
-        |sums_t AS (
-        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
-        |    sum(t) AS st, sum(y) AS sy, sum(t * t) AS stt, sum(t * y) AS sty,
-        |    max(day) AS tday
-        |  FROM train_t GROUP BY 1),
-        |bb_t AS (
-        |  SELECT event_type, n, tday, st, sy,
-        |    (n * sty - st * sy) / (n * stt - st * st) AS b
-        |  FROM sums_t WHERE n >= 2 AND (n * stt - st * st) <> 0),
-        |ab_t AS (SELECT event_type, n, tday, b, (sy - b * st) / n AS a
-        |         FROM bb_t),
-        |z_t AS (
-        |  SELECT tr.event_type, tr.t, 2 * tr.y - (ab_t.a + ab_t.b * tr.t) AS z,
-        |         ab_t.a, ab_t.b, ab_t.n, ab_t.tday
-        |  FROM train_t tr JOIN ab_t ON tr.event_type = ab_t.event_type),
-        |ses_t AS (
-        |  SELECT event_type, t, z AS e, a, b, n, tday FROM z_t WHERE t = 0
-        |  UNION ALL
-        |  SELECT z_t.event_type, z_t.t, 0.3 * z_t.z + (1 - 0.3) * ses_t.e,
-        |         z_t.a, z_t.b, z_t.n, z_t.tday
-        |  FROM z_t JOIN ses_t ON z_t.event_type = ses_t.event_type
-        |                     AND z_t.t = ses_t.t + 1),
-        |fin_t AS (SELECT * FROM ses_t WHERE t = n - 1),
-        |f_t AS (SELECT event_type, tday, a, b, n, e,
-        |               unnest(range(1, 8)) AS h
-        |        FROM fin_t),
-        |thx AS (
-        |  SELECT p.event_type, p.day, p.pred
-        |  FROM (SELECT event_type, tday + INTERVAL 1 DAY * h AS day,
-        |          round(0.5 * (a + b * (n - 1 + h)) + 0.5 * e, 4) AS pred
-        |        FROM f_t) p
-        |  JOIN daily d ON d.event_type = p.event_type AND d.day = p.day),
-        |joined AS (
-        |  SELECT sn.event_type, sn.day, sn.actual,
-        |    sn.pred AS p_sn, arx.pred AS p_ar, thx.pred AS p_th,
-        |    round((sn.pred + arx.pred + thx.pred) / 3, 4) AS p_ens
-        |  FROM sn
-        |  JOIN arx ON arx.event_type = sn.event_type AND arx.day = sn.day
-        |  JOIN thx ON thx.event_type = sn.event_type AND thx.day = sn.day),
-        |allp AS (
-        |  SELECT event_type, actual, p_sn AS pred, 'snaive' AS model
-        |    FROM joined
-        |  UNION ALL SELECT event_type, actual, p_ar, 'ar2' FROM joined
-        |  UNION ALL SELECT event_type, actual, p_th, 'theta' FROM joined
-        |  UNION ALL SELECT event_type, actual, p_ens, 'ensemble'
-        |    FROM joined),
-        |mae AS (
-        |  SELECT event_type, model,
-        |    round(CAST(sum(CAST(abs(actual - pred) AS DECIMAL(20,4)))
-        |          AS DOUBLE) / count(*), 4) AS mae,
-        |    count(*) AS n_days
-        |  FROM allp GROUP BY 1, 2)
-        |SELECT event_type, model, mae, n_days,
-        |  row_number() OVER (PARTITION BY event_type ORDER BY mae, model) = 1
-        |    AS best
-        |FROM mae ORDER BY event_type, model""".stripMargin,
-    "forecast_compare" ->
-      """WITH RECURSIVE daily AS (
-        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
-        |         count(*) AS cnt
-        |  FROM events GROUP BY 1, 2),
-        |mx AS (SELECT max(day) AS mx FROM daily),
-        |ls AS (SELECT daily.*, lag(cnt, 7) OVER
-        |        (PARTITION BY event_type ORDER BY day) AS lagp
-        |      FROM daily),
-        |train_s AS (
-        |  SELECT ls.event_type, cnt - lagp AS resid FROM ls, mx
-        |  WHERE day <= mx - INTERVAL 7 DAY AND lagp IS NOT NULL),
-        |qs AS (
-        |  SELECT event_type, quantile_cont(resid, 0.5) AS q50
-        |  FROM train_s GROUP BY event_type),
-        |sn AS (
-        |  SELECT ls.event_type, cnt AS actual, round(lagp + q50, 4) AS pred
-        |  FROM ls, mx, qs
-        |  WHERE day > mx - INTERVAL 7 DAY AND qs.event_type = ls.event_type),
-        |la AS (SELECT daily.*,
-        |        lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
-        |        lag(cnt, 2) OVER (PARTITION BY event_type ORDER BY day) AS l2
-        |      FROM daily),
-        |train_a AS (
-        |  SELECT event_type, day, CAST(cnt AS DOUBLE) AS y,
-        |         CAST(l1 AS DOUBLE) AS x1, CAST(l2 AS DOUBLE) AS x2
-        |  FROM la, mx WHERE day <= mx - INTERVAL 7 DAY AND l2 IS NOT NULL),
-        |sums_a AS (
-        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
-        |    sum(y) AS sy, sum(x1) AS s1, sum(x2) AS s2,
-        |    sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
-        |    sum(x1 * y) AS s1y, sum(x2 * y) AS s2y,
-        |    arg_max(y, day) AS y0, arg_max(x1, day) AS ym1,
-        |    max(day) AS tday
-        |  FROM train_a GROUP BY 1),
-        |cf_a AS (
-        |  SELECT *,
-        |    n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)
-        |      AS det
-        |  FROM sums_a),
-        |c2_a AS (
-        |  SELECT event_type, tday, y0, ym1,
-        |    (sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y)) / det AS c0,
-        |    (n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2)) / det AS a1,
-        |    (n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2)) / det AS a2
-        |  FROM cf_a WHERE n >= 4 AND det <> 0),
-        |f_a AS (
-        |  SELECT event_type, tday, c0, a1, a2, 0 AS h, y0 AS p1, ym1 AS p2
-        |  FROM c2_a
-        |  UNION ALL
-        |  SELECT event_type, tday, c0, a1, a2, h + 1,
-        |         c0 + a1 * p1 + a2 * p2, p1
-        |  FROM f_a WHERE h < 7),
-        |arx AS (
-        |  SELECT f_a.event_type, cnt AS actual, round(p1, 4) AS pred
-        |  FROM f_a JOIN daily ON daily.event_type = f_a.event_type
-        |                AND daily.day = tday + INTERVAL 1 DAY * h
-        |  WHERE h >= 1),
-        |train_t AS (
-        |  SELECT event_type, day, CAST(cnt AS DOUBLE) AS y,
-        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) - 1
-        |         AS DOUBLE) AS t
-        |  FROM daily, mx WHERE day <= mx - INTERVAL 7 DAY),
-        |sums_t AS (
-        |  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
-        |    sum(t) AS st, sum(y) AS sy, sum(t * t) AS stt, sum(t * y) AS sty,
-        |    max(day) AS tday
-        |  FROM train_t GROUP BY 1),
-        |bb_t AS (
-        |  SELECT event_type, n, tday, st, sy,
-        |    (n * sty - st * sy) / (n * stt - st * st) AS b
-        |  FROM sums_t WHERE n >= 2 AND (n * stt - st * st) <> 0),
-        |ab_t AS (SELECT event_type, n, tday, b, (sy - b * st) / n AS a
-        |         FROM bb_t),
-        |z_t AS (
-        |  SELECT tr.event_type, tr.t, 2 * tr.y - (ab_t.a + ab_t.b * tr.t) AS z,
-        |         ab_t.a, ab_t.b, ab_t.n, ab_t.tday
-        |  FROM train_t tr JOIN ab_t ON tr.event_type = ab_t.event_type),
-        |ses_t AS (
-        |  SELECT event_type, t, z AS e, a, b, n, tday FROM z_t WHERE t = 0
-        |  UNION ALL
-        |  SELECT z_t.event_type, z_t.t, 0.3 * z_t.z + (1 - 0.3) * ses_t.e,
-        |         z_t.a, z_t.b, z_t.n, z_t.tday
-        |  FROM z_t JOIN ses_t ON z_t.event_type = ses_t.event_type
-        |                     AND z_t.t = ses_t.t + 1),
-        |fin_t AS (SELECT * FROM ses_t WHERE t = n - 1),
-        |f_t AS (SELECT event_type, tday, a, b, n, e,
-        |               unnest(range(1, 8)) AS h
-        |        FROM fin_t),
-        |thx AS (
-        |  SELECT p.event_type, d.cnt AS actual, p.pred
-        |  FROM (SELECT event_type, tday + INTERVAL 1 DAY * h AS day,
-        |          round(0.5 * (a + b * (n - 1 + h)) + 0.5 * e, 4) AS pred
-        |        FROM f_t) p
-        |  JOIN daily d ON d.event_type = p.event_type AND d.day = p.day),
-        |allp AS (
-        |  SELECT event_type, actual, pred, 'snaive' AS model FROM sn
-        |  UNION ALL SELECT event_type, actual, pred, 'ar2' FROM arx
-        |  UNION ALL SELECT event_type, actual, pred, 'theta' FROM thx),
-        |mae AS (
-        |  SELECT event_type, model,
-        |    round(CAST(sum(CAST(abs(actual - pred) AS DECIMAL(20,4)))
-        |          AS DOUBLE) / count(*), 4) AS mae,
-        |    count(*) AS n_days
-        |  FROM allp GROUP BY 1, 2)
-        |SELECT event_type, model, mae, n_days,
-        |  row_number() OVER (PARTITION BY event_type ORDER BY mae, model) = 1
-        |    AS best
-        |FROM mae ORDER BY event_type, model""".stripMargin,
+    // forecast_compare / forecast_ensemble: the three holdout
+    // members' chains are ONE shared programmatic builder in
+    // Forecast (compareOracleSql/ensembleOracleSql — the
+    // adaboostOracleSql discipline), so a member-fit edit lands in
+    // both oracles atomically
+    "forecast_ensemble" -> graft.ops.Forecast.ensembleOracleSql(),
+    "forecast_compare" -> graft.ops.Forecast.compareOracleSql(),
     // theta-lite: linear fit from exact integer-valued moment sums
     // (expression trees repeated character for character), SES over
     // the θ=2 line as a recursive CTE with (1 - 0.3) kept as a
@@ -6399,7 +6207,7 @@ object SparkEntry {
     // text_novelty: the dedup oracle's string-trigram derivation on
     // both sides, reference grams distinct, exact half-up ratio
     "text_novelty" ->
-      """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+      """WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
         |             FROM documents),
         |sh AS (SELECT DISTINCT doc_id,
         |  unnest(list_transform(range(1, greatest(len(t) - 1, 1)),

@@ -1402,7 +1402,7 @@ object Analytics {
         lit(1L).as("__k"))
       .groupBy(col("__k")).agg(sum(col("__h")).as("__hb"),
         count(lit(1)).as("n_b"))
-    joint.crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
+    val out = joint.crossJoin(broadcast(ha)).crossJoin(broadcast(hb))
       .crossJoin(broadcast(tot))
       .select(
         col("n").as("n_rows"),
@@ -1416,6 +1416,13 @@ object Analytics {
           round(col("__mis").cast("double") /
             sqrt(col("__ha").cast("double") * col("__hb").cast("double")),
             4)).otherwise(lit(0.0)).as("nmi"))
+      // the result is ONE row: eager-checkpoint it so the cached
+      // cells frame has no remaining lazy reader and can unpersist
+      // here — repeated calls in a long session no longer accumulate
+      // cached intermediates
+      .localCheckpoint(true)
+    cells.unpersist()
+    out
   }
 
   /** Difference-in-differences — the quasi-experimental readout that

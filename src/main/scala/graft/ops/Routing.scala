@@ -142,6 +142,21 @@ object Routing {
       case Scale => SimilarityOps.mmrRerankIvf(s, d, k, shortlist, nQueries, lam10)
     }
 
+  /** [[SimilarityOps.knnClassify]] (brute-force scored holdout)
+    * below the dial, [[SimilarityOps.knnClassifyIvf]] (IVF-shortlist
+    * scored) above it — the majority VOTE stage is the shared
+    * `knnVote` either way (any scorer feeds it), so the dial swaps
+    * only the scorer: O(n) per query exact vs O(nProbe·√n) IVF, the
+    * declared SURVEY tier relationship. Both faces emit the same
+    * (q_id, true_label, pred_label, votes) contract. */
+  def knnClassifyAuto(s: SparkSession, d: String, k: Int = 5,
+                      nProbe: Int = 2,
+                      exactMaxBytes: Long = DefaultExactMaxBytes): DataFrame =
+    tierFor(Tables.embeddings(s, d), exactMaxBytes) match {
+      case Exact => SimilarityOps.knnClassify(s, d, k)
+      case Scale => SimilarityOps.knnClassifyIvf(s, d, k, nProbe)
+    }
+
   /** [[DedupOps.embeddingPairs]] (exact all-pairs cosine, n²/2)
     * below the dial, [[DedupOps.embeddingPairsLsh]] (multi-table
     * hyperplane LSH candidates) above it — the two faces share the

@@ -418,10 +418,13 @@ object SimilarityOps {
                    shortlist: Int = 20, nQueries: Int = 10,
                    lam10: Int = 7): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val short = ivfTopK(s, d, k = shortlist, nQueries = nQueries)
-      .select(col("q_id"), col("vec_id"),
-        round(col("cosine") * 10000.0).cast("long").as("rel_i"))
-      .join(broadcast(emb.select(col("vec_id"), col("embedding"))),
+    // broadcast the SMALL side: the shortlist is queries×shortlist
+    // rows, the corpus is the 100 TB operand — corpus-side broadcast
+    // would OOM at exactly the scale this IVF face exists for
+    val short = emb.select(col("vec_id"), col("embedding"))
+      .join(broadcast(ivfTopK(s, d, k = shortlist, nQueries = nQueries)
+        .select(col("q_id"), col("vec_id"),
+          round(col("cosine") * 10000.0).cast("long").as("rel_i"))),
         Seq("vec_id"))
     mmrGreedy(short, k, lam10)
   }

@@ -48,6 +48,74 @@ object TimeSeriesOps {
         round(max(col("value")), 4).as("max_value"))
       .orderBy(col("day"))
 
+  /** The sketch-vs-exact verdict both checked faces below share: GK
+    * guarantees RANK error (|rank(sketch) − p·n| ≤ n/accuracy), and
+    * the sketch returns a data ELEMENT while the exact quantile
+    * interpolates — so a VALUE bracket (exact quantiles at p ± δ)
+    * breaks whenever one inter-element gap exceeds the δ rank window
+    * (daily groups are ~33 values at sf0.001; the MAD face's series
+    * are CALENDAR-bounded at ~30 days at EVERY scale, caught by the
+    * small-SF sweep). The rank-count verdict is the guarantee
+    * itself, discreteness- and tie-safe at any n: the sketch
+    * element's true rank interval is [count(< a)+1, count(≤ a)], and
+    * it must intersect [p·n − (δ·n + 1), p·n + (δ·n + 1)] — the +1
+    * is the element discreteness, δ = 0.005 ≫ the 1e-4 GK bound. */
+  private def rankVerdict(lt: Column, le: Column, n: Column, p: Double,
+                          delta: Double): Column = {
+    val slack = lit(delta) * n + lit(1.0)
+    (lt.cast("double") <= lit(p) * n + slack) &&
+      (le.cast("double") >= lit(p) * n - slack)
+  }
+
+  /** Driver-checkable SCALE face of [[dailyPercentiles]] (the
+    * declared q_percentiles_approx trade, applied to the daily SLO
+    * family): the GK sketch (percentile_approx — fixed-size mergeable
+    * buffers, the 100 TB aggregate) computed BESIDE the exact
+    * interpolated percentiles, collapsed to the exact values plus
+    * IN-PLAN [[rankVerdict]]s. Two passes: the day-keyed aggregate
+    * fixes each sketch value, then the events rejoin the
+    * day-cardinality result (broadcast) so ONE conditional-count
+    * aggregate establishes each sketch's true rank interval. The
+    * oracle replays the exact side with literal TRUE flags — a
+    * sketch outside its rank guarantee breaks the cross-engine hash,
+    * promoting the approx tier from rows-only to a real correctness
+    * gate ([[Analytics.percentilesChecked]]'s contract, rank-form). */
+  def dailyPercentilesChecked(s: SparkSession, d: String,
+                              accuracy: Int = 10000,
+                              delta: Double = 0.005): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).as("day"), col("value"))
+    val agg = ev.groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"),
+        round(max(col("value")), 4).as("max_value"),
+        expr(s"percentile_approx(value, 0.5, $accuracy)").as("__a50"),
+        expr(s"percentile_approx(value, 0.9, $accuracy)").as("__a90"),
+        expr(s"percentile_approx(value, 0.99, $accuracy)").as("__a99"))
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    ev.join(broadcast(agg), "day")
+      .groupBy(col("day"), col("n"), col("p50"), col("p90"), col("p99"),
+        col("max_value"), col("__a50"), col("__a90"), col("__a99"))
+      .agg(
+        cnt(col("value") < col("__a50")).as("__lt50"),
+        cnt(col("value") <= col("__a50")).as("__le50"),
+        cnt(col("value") < col("__a90")).as("__lt90"),
+        cnt(col("value") <= col("__a90")).as("__le90"),
+        cnt(col("value") < col("__a99")).as("__lt99"),
+        cnt(col("value") <= col("__a99")).as("__le99"))
+      .select(col("day"), col("n"), col("p50"), col("p90"), col("p99"),
+        col("max_value"),
+        rankVerdict(col("__lt50"), col("__le50"), col("n"), 0.5, delta)
+          .as("p50_within_tol"),
+        rankVerdict(col("__lt90"), col("__le90"), col("n"), 0.9, delta)
+          .as("p90_within_tol"),
+        rankVerdict(col("__lt99"), col("__le99"), col("n"), 0.99, delta)
+          .as("p99_within_tol"))
+      .orderBy(col("day"))
+  }
+
   /** Linear gap-fill interpolation over a daily per-series frame —
     * the resample's missing-data companion (zero-fill is right for
     * counts; a sensor/price level wants the line between its
@@ -765,6 +833,68 @@ object TimeSeriesOps {
         round(z, 4).as("robust_z"),
         (abs(round(z, 4)) >= k).as("is_outlier"))
       .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Driver-checkable SCALE face of [[outlierMad]] (the declared
+    * percentile_approx trade for the MAD thresholds): per series,
+    * both stages' medians run as GK sketches BESIDE the exact
+    * percentiles, published as the exact med/MAD plus IN-PLAN
+    * rank-error verdicts. Stage 1 brackets the sketched count-median
+    * between the exact 0.5 ± δ quantiles of cnt; stage 2 is subtler —
+    * the approx tier's deviations are |cnt − med_sketch| (NOT
+    * |cnt − med_exact|), so its bracket is the exact 0.5 ± δ
+    * quantiles OF THAT SAME sketched-deviation distribution, computed
+    * in the second aggregation pass. The oracle replays the exact
+    * med/MAD ([[outlierMad]]'s own first two stages) with literal
+    * TRUE flags: either sketch drifting past its rank-error bracket
+    * breaks the cross-engine hash. Day-level outlier flags stay the
+    * exact entry's contract — flag agreement is NOT rank-bounded (a
+    * boundary day can flip within tolerance), so this face verifies
+    * the THRESHOLDS a 100 TB run would actually compute. */
+  def outlierMadChecked(s: SparkSession, d: String,
+                        accuracy: Int = 10000,
+                        delta: Double = 0.005): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      // three passes read the day frame (median fix, deviation build,
+      // rank counts) — calendar×series sized, eager-checkpoint ends
+      // the events scan once
+      .localCheckpoint(true)
+    val med = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        round(expr("percentile(cnt, 0.5)"), 4).as("med"),
+        expr(s"percentile_approx(cnt, 0.5, $accuracy)").as("__amed"))
+    // deviations from BOTH medians in one frame: adev feeds the exact
+    // MAD, adev_a is the sketched tier's own deviation distribution
+    // (its rank verdict must come from the distribution the sketch
+    // saw); the rank counts for the stage-1 sketch ride along
+    val dev = daily.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("cnt") - col("med")))
+      .withColumn("adev_a", abs(col("cnt") - col("__amed")))
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val st2 = dev.groupBy(col("event_type"), col("n_days"), col("med"),
+        col("__amed"))
+      .agg(
+        round(expr("percentile(adev, 0.5)"), 4).as("mad"),
+        expr(s"percentile_approx(adev_a, 0.5, $accuracy)").as("__amad"),
+        cnt(col("cnt") < col("__amed")).as("__ltm"),
+        cnt(col("cnt") <= col("__amed")).as("__lem"))
+    // the stage-2 sketch's rank interval needs one more pass over the
+    // deviation distribution it came from
+    dev.select(col("event_type"), col("adev_a"))
+      .join(broadcast(st2), "event_type")
+      .groupBy(col("event_type"), col("n_days"), col("med"), col("mad"),
+        col("__amad"), col("__ltm"), col("__lem"))
+      .agg(
+        cnt(col("adev_a") < col("__amad")).as("__lta"),
+        cnt(col("adev_a") <= col("__amad")).as("__lea"))
+      .select(col("event_type"), col("n_days"), col("med"), col("mad"),
+        rankVerdict(col("__ltm"), col("__lem"), col("n_days"), 0.5, delta)
+          .as("med_within_tol"),
+        rankVerdict(col("__lta"), col("__lea"), col("n_days"), 0.5, delta)
+          .as("mad_within_tol"))
+      .orderBy(col("event_type"))
   }
 
   /** Theil-Sen robust trend per series — the median-of-pairwise-

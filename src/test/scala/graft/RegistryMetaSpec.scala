@@ -63,7 +63,8 @@ class RegistryMetaSpec extends AnyFunSuite {
       "dedup_embedding"     -> "dedup_embedding_lsh",
       "q_percentiles"       -> "q_percentiles_approx",
       "etl_profile"         -> "etl_profile_approx",
-      "dedup_decontaminate" -> "dedup_decontaminate_bloom")
+      "dedup_decontaminate" -> "dedup_decontaminate_bloom",
+      "ml_knn_classify"     -> "ml_knn_classify_ivf")
     routed.foreach { case (k, p) =>
       assert(declared.get(k).contains(p), s"Routing pair $k -> $p missing")
     }

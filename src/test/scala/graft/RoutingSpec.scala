@@ -101,6 +101,18 @@ class RoutingSpec extends SparkSpec {
         nTables = 4)))
   }
 
+  test("knn-classify route: brute-force scorer under the dial, IVF " +
+       "shortlist over it — the vote stage shared") {
+    assert(rows(Routing.knnClassifyAuto(spark, sf,
+        exactMaxBytes = Long.MaxValue))
+      === rows(SimilarityOps.knnClassify(spark, sf)))
+    assert(rows(Routing.knnClassifyAuto(spark, sf, exactMaxBytes = 0L))
+      === rows(SimilarityOps.knnClassifyIvf(spark, sf)))
+    // both tiers emit the same classifier contract
+    assert(Routing.knnClassifyAuto(spark, sf, exactMaxBytes = 0L)
+      .schema === SimilarityOps.knnClassify(spark, sf).schema)
+  }
+
   test("percentiles route: exact interpolation under the dial, GK sketch over it") {
     assert(rows(Routing.percentilesAuto(spark, sf,
         exactMaxBytes = Long.MaxValue))

@@ -818,6 +818,35 @@ class TimeSeriesSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum === Tables.events(spark, sf).count())
   }
 
+  test("dailyPercentilesChecked: exact columns equal dailyPercentiles, " +
+       "every sketch verdict true") {
+    val exact = TimeSeriesOps.dailyPercentiles(spark, sf).collect()
+      .map(r => r.getTimestamp(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    val checked = TimeSeriesOps.dailyPercentilesChecked(spark, sf).collect()
+    assert(checked.length === exact.size)
+    checked.foreach { r =>
+      assert((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5)) === exact(r.getTimestamp(0)), r.toString)
+      assert(r.getBoolean(6) && r.getBoolean(7) && r.getBoolean(8),
+        r.toString)
+    }
+  }
+
+  test("outlierMadChecked: exact med/MAD equal outlierMad's thresholds, " +
+       "both sketch verdicts true") {
+    val exact = TimeSeriesOps.outlierMad(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    val checked = TimeSeriesOps.outlierMadChecked(spark, sf).collect()
+    assert(checked.length === exact.size)
+    checked.foreach { r =>
+      assert((r.getDouble(2), r.getDouble(3)) === exact(r.getString(0)),
+        r.toString)
+      assert(r.getBoolean(4) && r.getBoolean(5), r.toString)
+    }
+  }
+
   test("outlierMad flags a planted spike and a flat series scores zero") {
     import spark.implicits._
     import java.sql.Timestamp
