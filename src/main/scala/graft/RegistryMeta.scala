@@ -571,6 +571,9 @@ object RegistryMeta {
     "dedup_minhash" ->
       EntryMeta("2.4", "sql",
         "shingle→MinHash→LSH bands→bucket join→verify"),
+    "dedup_incremental_index" ->
+      EntryMeta("2.4", "sql",
+        "incremental near-dup index maintenance: persisted band-signature table + daily delta fold (delta-vs-history via the index, delta-vs-delta self-join, candidate history docs fetched by id) — history never rescanned; oracle = full recompute, split-agnostic"),
     "dedup_simhash" ->
       EntryMeta("2.4", "sql",
         "SimHash + multi-index (1-bit probe) candidate pairs; the registry runs the CHECKED face"),

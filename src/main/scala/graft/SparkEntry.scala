@@ -807,6 +807,10 @@ object SparkEntry {
     "text_trim_dup_spans" -> ((s, d) =>
       DedupOps.trimDupSpans(Tables.documents(s, d))),
     "dedup_minhash"       -> ((s, d) => DedupOps.minhashLsh(s, d)),
+    // incremental index fold: every 4th doc is "today's crawl"; the
+    // oracle recomputes from the FULL corpus, knowing nothing of the
+    // split (the etl_incremental_agg merged≡recomputed proof)
+    "dedup_incremental_index" -> ((s, d) => DedupOps.incrementalIndex(s, d)),
     // checked face: 60-bit md5-prefix SimHash — the oracle re-derives
     // the complete pair list (sigs, hamming, jaccard) cross-engine
     "dedup_simhash"       -> ((s, d) =>
@@ -5512,6 +5516,28 @@ object SparkEntry {
     // 16x4 has ~6e-4 miss probability per J≥0.8 pair and candidates
     // are exact-verified, so its output equals the exact algorithm's
     // on this corpus (asserted in DedupSpec and at sf0.01).
+    // the incremental fold's oracle is the FULL recompute over the
+    // undivided corpus — it knows nothing of the history/delta split,
+    // so fold(state, delta) must equal recompute(history ∪ delta)
+    // pair for pair (the etl_incremental_agg proof shape); text is
+    // the dedup_minhash oracle verbatim
+    "dedup_incremental_index" ->
+      """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+        |             FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+        |  FROM tok WHERE len(t) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2,
+        |  round(common * 1.0 / (x.n + y.n - common), 4) AS jaccard
+        |FROM pairs JOIN sz x ON x.doc_id = id1 JOIN sz y ON y.doc_id = id2
+        |WHERE round(common * 1.0 / (x.n + y.n - common), 4) >= 0.8
+        |ORDER BY id1, id2""".stripMargin,
     "dedup_minhash" ->
       """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t
         |             FROM documents),

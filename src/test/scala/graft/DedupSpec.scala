@@ -22,6 +22,32 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty)  // the corpus has planted near-dups
   }
 
+  test("incremental index fold equals the full recompute and finds a " +
+       "planted cross-batch near-dup pair") {
+    import spark.implicits._
+    // fold over the real corpus ≡ one-shot LSH over the same corpus:
+    // the pair table must not know the history/delta split happened
+    val folded = DedupOps.incrementalIndex(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = DedupOps.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(folded === full)
+    // planted: history doc 1 and TODAY's doc 4 differ by one token —
+    // the cross-batch near-dup only the delta-vs-history join can see
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val hist = Seq((1L, base), (2L, "an unrelated short text body"),
+      (3L, (1 to 40).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val delta = Seq((4L, base + " extra"),
+      (8L, "totally different content again")).toDF("doc_id", "text")
+    val out = DedupOps.incrementalFold(
+      DedupOps.bandIndexOn(hist),
+      DedupOps.minhashLshOn(hist),
+      hist, delta, threshold = 0.8, numPerm = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((1L, 4L)))
+  }
+
   test("simhash pairs: verified near-dups, schema (id1,id2,hamming,jaccard)") {
     val rows = DedupOps.simhashPairs(spark, sf, threshold = 0.8).collect()
     val sim = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
