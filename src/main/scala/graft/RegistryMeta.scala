@@ -593,6 +593,9 @@ object RegistryMeta {
       EntryMeta("2.4", "sql",
         "train/eval cross-corpus contamination check",
       Some("dedup_decontaminate_bloom")),
+    "dedup_decontaminate_spans" ->
+      EntryMeta("2.4", "sql",
+        "span-level decontamination LOCATOR: maximal covered word intervals + the leaked slice per (corpus doc, reference doc) — the face a cleanup job consumes"),
     "dedup_decontaminate_bcast" ->
       EntryMeta("2.4", "sql",
         "the tiny-reference production shape: row-local corpus signatures + broadcast reference index/sets"),

@@ -829,6 +829,15 @@ object SparkEntry {
     // metric — catches short eval items pasted inside long training
     // docs that symmetric Jaccard structurally misses
     "dedup_containment" -> ((s, d) => DedupOps.containment(s, d)),
+    // the span LOCATOR a cleanup job consumes: for each corpus doc
+    // sharing a 10-gram with a reference doc, WHERE the leak sits —
+    // maximal covered word intervals + the leaked slice itself
+    "dedup_decontaminate_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.decontaminateSpans(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0))
+    }),
     // the tiny-reference production shape: broadcast index, corpus
     // never shuffled — same verified-pair contract, same oracle
     "dedup_decontaminate_bcast" -> ((s, d) => {
@@ -5850,6 +5859,37 @@ object SparkEntry {
         |FROM pairs JOIN sz y ON y.doc_id = ref_id
         |WHERE common * 1.0 / y.n >= 0.6
         |ORDER BY doc_id, ref_id""".stripMargin,
+    // the span locator replays the full cross-corpus 10-gram index
+    // over gram STRINGS, then the same lag-window island merge: two
+    // matched grams share a span when their covered ranges touch or
+    // overlap (pos ≤ prev + 10)
+    "dedup_decontaminate_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |g AS (SELECT doc_id, i AS pos, array_to_string(ws[i:i+9], ' ') AS gram
+        |      FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 8)) AS i)
+        |      WHERE len(ws) >= 10),
+        |m AS (SELECT DISTINCT c.doc_id, r.doc_id AS ref_id, c.pos
+        |      FROM g c JOIN g r USING (gram)
+        |      WHERE c.doc_id % 2 = 0 AND r.doc_id % 2 = 1),
+        |s AS (SELECT doc_id, ref_id, pos,
+        |        CASE WHEN lag(pos) OVER pw IS NULL
+        |             OR pos > lag(pos) OVER pw + 10 THEN 1 ELSE 0 END AS brk
+        |      FROM m WINDOW pw AS (PARTITION BY doc_id, ref_id ORDER BY pos)),
+        |isl AS (SELECT doc_id, ref_id, pos,
+        |          sum(brk) OVER (PARTITION BY doc_id, ref_id
+        |                         ORDER BY pos) AS grp
+        |        FROM s),
+        |sp AS (SELECT doc_id, ref_id,
+        |         min(pos) AS span_start, max(pos) + 9 AS span_end
+        |       FROM isl GROUP BY doc_id, ref_id, grp)
+        |SELECT sp.doc_id AS doc_id, ref_id,
+        |  CAST(span_start AS BIGINT) AS span_start,
+        |  CAST(span_end AS BIGINT) AS span_end,
+        |  CAST(span_end - span_start + 1 AS BIGINT) AS span_words,
+        |  array_to_string(ws[span_start:span_end], ' ') AS span_text
+        |FROM sp JOIN w ON sp.doc_id = w.doc_id
+        |ORDER BY sp.doc_id, ref_id, span_start""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         | len(string_split_regex(trim(text), '\s+')) AS ws_tokens,

@@ -1333,6 +1333,72 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Span-level decontamination LOCATOR — the face a cleanup job
+    * actually consumes (VERDICT r12 ask #7): `dedup_decontaminate`
+    * and `dedup_containment` flag WHICH training documents carry a
+    * leaked eval item; this reports WHERE. For every corpus document
+    * sharing a word `n`-gram with a reference document, emit the
+    * maximal contiguous word intervals of the corpus document covered
+    * by grams shared with THAT reference document — one row per
+    * (doc_id, ref_id, span), with 1-based inclusive word positions
+    * and the leaked slice itself, ready to cut.
+    *
+    * Scale shape on the [[trimDupSpans]] gram-index pattern, cross
+    * corpus: both sides gram row-locally in the scan projection
+    * (64-bit hashed keys, like `gramIndex`); the candidate join is an
+    * equality join on the gram key whose fan-out equals the reported
+    * location set (every output row is a genuine leak site — no
+    * quadratic face to cap away); island merging is a lag window per
+    * (doc_id, ref_id) pair — pair-sized partitions, never per-corpus;
+    * the final text slice rejoins the corpus word arrays by doc_id.
+    * Two matched grams merge into one span when their covered ranges
+    * touch or overlap (next.pos ≤ prev.pos + n). */
+  def decontaminateSpans(corpus: DataFrame, reference: DataFrame,
+                         n: Int = 10): DataFrame = {
+    def withWords(docs: DataFrame, idAs: String): DataFrame =
+      Tables.spread(docs).select(col("doc_id").as(idAs),
+        split(col("text"), " ").as("ws"))
+    // positioned 1-based corpus grams; reference grams keep only the
+    // key, distinct per (ref_id, gram) so a gram repeated inside one
+    // reference doc can't multiply match rows
+    val base = withWords(corpus, "doc_id").cache()
+    val cg = base.filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - (n - 1)),
+        i => struct(i.as("pos"),
+          xxhash64(concat_ws(" ", slice(col("ws"), i, lit(n)))).as("g"))))
+        .as("pg"))
+      .select(col("doc_id"), col("pg.pos").cast("long").as("pos"),
+        col("pg.g").as("g"))
+    val rg = withWords(reference, "ref_id")
+      .filter(size(col("ws")) >= n)
+      .select(col("ref_id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - (n - 1)),
+        i => xxhash64(concat_ws(" ", slice(col("ws"), i, lit(n)))))).as("g"))
+      .distinct()
+    val hits = cg.join(rg, Seq("g"))
+      .select(col("doc_id"), col("ref_id"), col("pos")).distinct()
+    val wp = Window.partitionBy(col("doc_id"), col("ref_id"))
+      .orderBy(col("pos"))
+    val spans = hits
+      .withColumn("__brk", when(col("pos") >
+        lag(col("pos"), 1).over(wp) + n, 1L)
+        .when(lag(col("pos"), 1).over(wp).isNull, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__brk")).over(
+        wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("ref_id"), col("__isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (n - 1)).as("span_end"))
+      .withColumn("span_words", col("span_end") - col("span_start") + 1)
+    spans.join(base, Seq("doc_id"))
+      .select(col("doc_id"), col("ref_id"), col("span_start"),
+        col("span_end"), col("span_words"),
+        concat_ws(" ", slice(col("ws"),
+          col("span_start").cast("int"),
+          col("span_words").cast("int"))).as("span_text"))
+      .orderBy(col("doc_id"), col("ref_id"), col("span_start"))
+  }
+
   /** CONTENT-DEFINED CHUNKING dedup (the Rabin/FastCDC family, over
     * tokens) — the STORAGE-dedup construction the span/shingle faces
     * don't cover: fixed-size chunking breaks on a single inserted

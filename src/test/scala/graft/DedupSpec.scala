@@ -181,6 +181,43 @@ class DedupSpec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("decontaminate spans locate a planted eval item at its exact interval") {
+    import spark.implicits._
+    // a 12-word eval item pasted into the middle of a 50-word training
+    // doc: words 1..20 filler, 21..32 the leak, 33..50 filler — the
+    // locator must report exactly [21, 32] against exactly ref doc 1
+    val evalWords = (1 to 12).map(i => s"leak$i")
+    val corpus = Seq(
+      (2L, ((1 to 20).map(i => s"w$i") ++ evalWords ++
+        (33 to 50).map(i => s"w$i")).mkString(" ")),
+      (4L, (1 to 30).map(i => s"clean$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val reference = Seq(
+      (1L, evalWords.mkString(" ")),
+      (3L, "an unrelated benchmark question entirely with enough words here")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.decontaminateSpans(corpus, reference).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(out.toSeq === Seq(
+      (2L, 1L, 21L, 32L, 12L, evalWords.mkString(" "))))
+  }
+
+  test("decontaminate spans merge touching grams and split on a gap") {
+    import spark.implicits._
+    // ref doc 1 leaks TWICE into corpus doc 2 with a 5-word gap —
+    // within each leak the 10-gram matches chain into ONE span;
+    // across the gap they must stay two rows
+    val leak = (1 to 11).map(i => s"x$i")
+    val corpus = Seq((2L,
+      (leak ++ (1 to 5).map(i => s"gap$i") ++ leak).mkString(" ")
+    )).toDF("doc_id", "text")
+    val reference = Seq((1L, leak.mkString(" "))).toDF("doc_id", "text")
+    val out = DedupOps.decontaminateSpans(corpus, reference).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq((1L, 11L, 11L), (17L, 27L, 11L)))
+  }
+
   test("containment catches a short eval item inside a long doc; Jaccard can't") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
