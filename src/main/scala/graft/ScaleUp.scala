@@ -13,11 +13,20 @@ import org.apache.spark.sql.functions._
   * artificial cross-copy near-duplicates (which would grow candidate
   * pairs quadratically in the copy factor and measure a different
   * workload):
-  *  - documents: copy k rotates the lowercase alphabet by k
-  *    (`translate`), so token/char counts, within-copy shingle
-  *    structure, and near-dup pairs are IDENTICAL per copy, while
-  *    vocabularies across copies are disjoint — no cross-copy
-  *    candidates. doc_id offsets by 10M per copy.
+  *  - documents: copy k substitutes the lowercase alphabet through a
+  *    SEEDED PER-COPY PERMUTATION (`translate` with an md5-seeded
+  *    Fisher-Yates shuffle of a–z; copy 0 is the identity so the
+  *    source corpus embeds unchanged). A letter bijection preserves
+  *    token/char counts, within-copy shingle structure, and near-dup
+  *    pairs EXACTLY per copy, while vocabularies across copies stay
+  *    distinct — and unlike the earlier alphabet ROTATION (26
+  *    classes, so second-level corpora repeated texts across copies
+  *    and pair-based doc dedup could not be benchmarked past sf1 —
+  *    the round-12 documented cap), the 26! permutation space keeps
+  *    composed transforms distinct at every level: the seed carries
+  *    (offMult, k), so a second-level copy's permutation composed
+  *    with each first-level permutation yields a fresh substitution
+  *    class for all factor² copies. doc_id offsets by 10M per copy.
   *  - embeddings: copy k rotates each vector by k positions (norms
   *    preserved, within-copy cosines identical; cross-copy cosines of
   *    rotated random vectors ≈ 0). vec_id offsets by 1M per copy —
@@ -44,11 +53,11 @@ import org.apache.spark.sql.functions._
   *    the mask keeps within-copy inner products EXACT (d_i² = 1)
   *    while cross-copy cosines stay ≈ 0 against every other copy of
   *    either level.
-  *  - documents keep the alphabet rotation, which caps disjoint
-  *    vocabularies at 26: a second-level corpus has cross-copy
-  *    REPEATED texts (rotation classes recur). Per-row/per-token doc
-  *    ops (pack/ccnet/lm/dsir) are unaffected; PAIR-based doc dedup
-  *    must not be benchmarked on a second-level corpus.
+  *  - documents: resolved (round 13) — the seeded permutations above
+  *    replace the rotation, so second-level corpora keep distinct
+  *    vocabularies across all factor² copies and PAIR-based doc
+  *    dedup benchmarks at sf10 measure real growth, not artificial
+  *    cross-copy duplicates.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
@@ -62,12 +71,29 @@ object ScaleUp {
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     val dim = 64
 
+    // seeded per-copy letter permutation: Fisher-Yates driven by a
+    // PRNG seeded from md5 of (offMult, k) — deterministic across
+    // runs/platforms, distinct per copy AND per derivation level, so
+    // composed substitutions never recreate a vocabulary class
+    def vocabPerm(k: Int): String =
+      if (k == 0) alpha
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val h = md.digest(s"scaleup_vocab_${offMult}_$k".getBytes("UTF-8"))
+        val seed = h.take(8).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+        val rnd = new java.util.Random(seed)
+        val arr = alpha.toCharArray
+        for (i <- arr.length - 1 to 1 by -1) {
+          val j = rnd.nextInt(i + 1)
+          val t = arr(i); arr(i) = arr(j); arr(j) = t
+        }
+        new String(arr)
+      }
     val docs = Tables.documents(s, src)
     (0 until factor).map { k =>
-      val rot = alpha.drop(k % 26) + alpha.take(k % 26)
       docs.select(
         (col("doc_id") + lit(k * offMult * 10000000L)).as("doc_id"),
-        translate(col("text"), alpha, rot).as("text"),
+        translate(col("text"), alpha, vocabPerm(k)).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ union _)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
