@@ -576,7 +576,11 @@ object RegistryMeta {
         "incremental near-dup index maintenance: persisted band-signature table + daily delta fold (delta-vs-history via the index, delta-vs-delta self-join, candidate history docs fetched by id) — history never rescanned; oracle = full recompute, split-agnostic"),
     "dedup_simhash" ->
       EntryMeta("2.4", "sql",
-        "SimHash + multi-index (1-bit probe) candidate pairs; the registry runs the CHECKED face"),
+        "SimHash + multi-index (1-bit probe) candidate pairs; the registry runs the CHECKED face",
+      Some("dedup_simhash_wide")),
+    "dedup_simhash_wide" ->
+      EntryMeta("2.4", "sql",
+        "the corpus-scale SimHash band width: 3×20-bit bands (hamming ≤ 5) — 32× fewer random band collisions than 4×15; routed by Routing.simhashAuto"),
     "dedup_ngram_jaccard" ->
       EntryMeta("2.4", "sql",
         "n-gram Jaccard pairs, prefix-filtered exact join"),

@@ -815,6 +815,12 @@ object SparkEntry {
     // the complete pair list (sigs, hamming, jaccard) cross-engine
     "dedup_simhash"       -> ((s, d) =>
       DedupOps.simhashPairsCheckedOn(Tables.documents(s, d))),
+    // the corpus-scale band width: 3 bands of 20 bits (hamming ≤ 5)
+    // — 32× fewer random band collisions than 4×15, the measured
+    // n²/2^15 term's dial (SCALING round 13); routed by simhashAuto
+    "dedup_simhash_wide"  -> ((s, d) =>
+      DedupOps.simhashPairsCheckedOn(Tables.documents(s, d),
+        maxHamming = 5, bands = 3)),
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccard(s, d)),
     // train/eval decontamination: even doc_ids play the training
     // corpus, odd ones the held-out benchmark — a SQL-expressible
@@ -5568,40 +5574,12 @@ object SparkEntry {
     // per-token bit votes → sign-thresholded signature → all-pairs
     // hamming ≤ 7 (the oracle's shape for Spark's exact banded
     // index) → exact string-shingle Jaccard ≥ 0.8
-    "dedup_simhash" ->
-      """WITH tok AS (SELECT doc_id,
-        |    unnest(string_split_regex(trim(text), '\s+')) AS w
-        |  FROM documents),
-        |th AS (SELECT doc_id,
-        |    (('0x' || substr(md5(w), 1, 15))::UBIGINT)::BIGINT AS h
-        |  FROM tok),
-        |bc AS (SELECT doc_id, b,
-        |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS c
-        |  FROM th CROSS JOIN range(60) r(b) GROUP BY 1, 2),
-        |sig AS (SELECT doc_id,
-        |    sum(CASE WHEN c > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sig
-        |  FROM bc GROUP BY 1),
-        |toks2 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-        |  FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |    unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
-        |      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
-        |  FROM toks2 WHERE len(t) >= 3),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
-        |    CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
-        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.sig, b.sig)) <= 7),
-        |com AS (SELECT c.id1, c.id2, c.hamming, count(*) AS common
-        |  FROM cand c JOIN sh x ON x.doc_id = c.id1
-        |  JOIN sh y ON y.doc_id = c.id2 AND y.s = x.s
-        |  GROUP BY 1, 2, 3)
-        |SELECT c.id1, c.id2, c.hamming,
-        |  round(common * 1.0 / (sx.n + sy.n - common), 4) AS jaccard
-        |FROM com c JOIN sz sx ON sx.doc_id = c.id1
-        |JOIN sz sy ON sy.doc_id = c.id2
-        |WHERE round(common * 1.0 / (sx.n + sy.n - common), 4) >= 0.8
-        |ORDER BY id1, id2""".stripMargin,
+    // both simhash band widths share one builder-generated member
+    // chain (DedupOps.simhashOracleSql) — only the hamming bound
+    // differs, so an edit to the signature/shingle chain cannot
+    // silently diverge between the two faces
+    "dedup_simhash" -> DedupOps.simhashOracleSql(maxHamming = 7),
+    "dedup_simhash_wide" -> DedupOps.simhashOracleSql(maxHamming = 5),
     "dedup_ngram_jaccard" ->
       """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t
         |             FROM documents),

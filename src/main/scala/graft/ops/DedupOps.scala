@@ -826,6 +826,46 @@ object DedupOps {
     * verification over a staged (doc_id, sig, hs, n) frame — shared
     * by the xxhash64 production face and the md5 checked face so the
     * banding mechanics cannot drift between them. */
+  /** The checked faces' DuckDB oracle, parameterized by the hamming
+    * bound so the 4×15 (≤7) and 3×20 (≤5) band widths share one
+    * member chain (the compareOracleSql/ensembleOracleSql
+    * discipline): all-pairs bit_count(xor) over the same 60-bit
+    * md5-prefix signatures, then exact 3-shingle Jaccard. */
+  def simhashOracleSql(maxHamming: Int = 7): String =
+    s"""WITH tok AS (SELECT doc_id,
+       |    unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |  FROM documents),
+       |th AS (SELECT doc_id,
+       |    (('0x' || substr(md5(w), 1, 15))::UBIGINT)::BIGINT AS h
+       |  FROM tok),
+       |bc AS (SELECT doc_id, b,
+       |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+       |  FROM th CROSS JOIN range(60) r(b) GROUP BY 1, 2),
+       |sig AS (SELECT doc_id,
+       |    sum(CASE WHEN c > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sig
+       |  FROM bc GROUP BY 1),
+       |toks2 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |  FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |    unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+       |      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+       |  FROM toks2 WHERE len(t) >= 3),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |    CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= $maxHamming),
+       |com AS (SELECT c.id1, c.id2, c.hamming, count(*) AS common
+       |  FROM cand c JOIN sh x ON x.doc_id = c.id1
+       |  JOIN sh y ON y.doc_id = c.id2 AND y.s = x.s
+       |  GROUP BY 1, 2, 3)
+       |SELECT c.id1, c.id2, c.hamming,
+       |  round(common * 1.0 / (sx.n + sy.n - common), 4) AS jaccard
+       |FROM com c JOIN sz sx ON sx.doc_id = c.id1
+       |JOIN sz sy ON sy.doc_id = c.id2
+       |WHERE round(common * 1.0 / (sx.n + sy.n - common), 4) >= 0.8
+       |ORDER BY id1, id2""".stripMargin
+
   private def simhashCore(staged: DataFrame, sigBits: Int, maxHamming: Int,
                           bands: Int, maxBucket: Int,
                           threshold: Double): DataFrame = {

@@ -157,6 +157,26 @@ object Routing {
       case Scale => SimilarityOps.knnClassifyIvf(s, d, k, nProbe)
     }
 
+  /** [[DedupOps.simhashPairsCheckedOn]] at 4×15-bit bands
+    * (hamming ≤ 7) below the dial, 3×20-bit bands (hamming ≤ 5)
+    * above it — the width term measured at the sf10 decade (SCALING
+    * round 13: random band collisions grow n²/2^chunkBits, 38.5×/
+    * decade at 15 bits vs the 5.3× control) routed instead of
+    * asserted. Both faces are registry-oracled checked constructions
+    * with the same (id1, id2, hamming, jaccard) schema; the declared
+    * difference is the recall window (pigeonhole exactness to
+    * hamming 7 vs 5), which is exactly the trade the caller must
+    * own past ~2^15 documents. */
+  def simhashAuto(s: SparkSession, d: String, threshold: Double = 0.8,
+                  exactMaxBytes: Long = DefaultExactMaxBytes): DataFrame = {
+    val docs = Tables.documents(s, d)
+    tierFor(docs, exactMaxBytes) match {
+      case Exact => DedupOps.simhashPairsCheckedOn(docs, threshold = threshold)
+      case Scale => DedupOps.simhashPairsCheckedOn(docs, maxHamming = 5,
+        bands = 3, threshold = threshold)
+    }
+  }
+
   /** [[DedupOps.embeddingPairs]] (exact all-pairs cosine, n²/2)
     * below the dial, [[DedupOps.embeddingPairsLsh]] (multi-table
     * hyperplane LSH candidates) above it — the two faces share the

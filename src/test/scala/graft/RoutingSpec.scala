@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Analytics, GraphOps, Recommend, Routing, SimilarityOps}
+import graft.ops.{Analytics, DedupOps, GraphOps, Recommend, Routing, SimilarityOps}
 import org.apache.spark.sql.DataFrame
 
 /** The scale-tier dial: below the bytes threshold the router must be
@@ -111,6 +111,19 @@ class RoutingSpec extends SparkSpec {
     // both tiers emit the same classifier contract
     assert(Routing.knnClassifyAuto(spark, sf, exactMaxBytes = 0L)
       .schema === SimilarityOps.knnClassify(spark, sf).schema)
+  }
+
+  test("simhash route: 4x15 bands under the dial, 3x20 bands over it") {
+    val docs = Tables.documents(spark, sf)
+    assert(rows(Routing.simhashAuto(spark, sf,
+        exactMaxBytes = Long.MaxValue))
+      === rows(DedupOps.simhashPairsCheckedOn(docs)))
+    assert(rows(Routing.simhashAuto(spark, sf, exactMaxBytes = 0L))
+      === rows(DedupOps.simhashPairsCheckedOn(docs,
+        maxHamming = 5, bands = 3)))
+    // both widths emit the same (id1, id2, hamming, jaccard) contract
+    assert(Routing.simhashAuto(spark, sf, exactMaxBytes = 0L)
+      .schema === DedupOps.simhashPairsCheckedOn(docs).schema)
   }
 
   test("percentiles route: exact interpolation under the dial, GK sketch over it") {
