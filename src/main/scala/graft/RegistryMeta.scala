@@ -600,6 +600,9 @@ object RegistryMeta {
     "dedup_decontaminate_spans" ->
       EntryMeta("2.4", "sql",
         "span-level decontamination LOCATOR: maximal covered word intervals + the leaked slice per (corpus doc, reference doc) — the face a cleanup job consumes"),
+    "dedup_decontaminate_cut" ->
+      EntryMeta("2.4", "sql",
+        "the CUT face the locator drives: rebuild every corpus doc without words covered by any reference-shared 10-gram — the cross-corpus analog of text_trim_dup_spans, shared rebuild stage"),
     "dedup_decontaminate_bcast" ->
       EntryMeta("2.4", "sql",
         "the tiny-reference production shape: row-local corpus signatures + broadcast reference index/sets"),

@@ -844,6 +844,15 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 =!= 0))
     }),
+    // the CUT face the locator's report drives: rebuild every corpus
+    // doc without words covered by a 10-gram any reference doc
+    // carries — the cross-corpus analog of text_trim_dup_spans
+    "dedup_decontaminate_cut" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.decontaminateCut(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0))
+    }),
     // the tiny-reference production shape: broadcast index, corpus
     // never shuffled — same verified-pair contract, same oracle
     "dedup_decontaminate_bcast" -> ((s, d) => {
@@ -5868,6 +5877,33 @@ object SparkEntry {
         |  array_to_string(ws[span_start:span_end], ' ') AS span_text
         |FROM sp JOIN w ON sp.doc_id = w.doc_id
         |ORDER BY sp.doc_id, ref_id, span_start""".stripMargin,
+    // the cut face extends the text_trim_dup_spans replay cross
+    // corpus: covered = corpus gram positions whose gram appears in
+    // ANY odd-parity doc; kept words rebuild in position order
+    "dedup_decontaminate_cut" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |g AS (SELECT doc_id, i, array_to_string(ws[i:i+9], ' ') AS gram
+        |      FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 8)) AS i)
+        |      WHERE len(ws) >= 10),
+        |ref AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 1),
+        |cov AS (SELECT DISTINCT doc_id, i + o AS wpos
+        |        FROM g JOIN ref USING (gram),
+        |             LATERAL (SELECT unnest(range(0, 10)) AS o)
+        |        WHERE doc_id % 2 = 0),
+        |words AS (SELECT doc_id, wpos, ws[wpos] AS word
+        |          FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1))
+        |                           AS wpos)
+        |          WHERE doc_id % 2 = 0),
+        |kept AS (SELECT doc_id, count(*) AS n_kept,
+        |                string_agg(word, ' ' ORDER BY wpos) AS text_trimmed
+        |         FROM words ANTI JOIN cov USING (doc_id, wpos)
+        |         GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(text_trimmed, '') AS text_trimmed
+        |FROM w LEFT JOIN kept USING (doc_id)
+        |WHERE w.doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         | len(string_split_regex(trim(text), '\s+')) AS ws_tokens,

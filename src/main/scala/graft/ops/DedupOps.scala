@@ -1356,6 +1356,17 @@ object DedupOps {
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("wpos"))
       .distinct()
+    rebuildWithout(base, covered)
+  }
+
+  /** The shared rebuild stage of the two span-cut operators
+    * ([[trimDupSpans]] and [[decontaminateCut]]): drop the covered
+    * 0-based word positions, reconstruct each document in position
+    * order (array_sort(collect_list(struct)) — the order-independent
+    * emb_centroids pattern), pass uncovered documents through
+    * verbatim. `base` = (doc_id, ws, …); `covered` = (doc_id, wpos). */
+  private def rebuildWithout(base: DataFrame,
+                             covered: DataFrame): DataFrame = {
     val words = base.select(col("doc_id"),
       posexplode(col("ws")).as(Seq("wpos", "word")))
     val kept = words.join(covered, Seq("doc_id", "wpos"), "left_anti")
@@ -1371,6 +1382,47 @@ object DedupOps {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_trimmed"), lit("")).as("text_trimmed"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The CUT face of cross-corpus decontamination — the action
+    * [[decontaminateSpans]]'s report drives, and the cross-corpus
+    * analog of [[trimDupSpans]]: rebuild each corpus document WITHOUT
+    * the words covered by any `n`-gram that also appears in ANY
+    * reference document (the leaked eval item is excised, the
+    * surrounding original prose survives; a clean document passes
+    * through verbatim). Same schema as [[trimDupSpans]] —
+    * (doc_id, n_words, n_kept, text_trimmed) — via the shared
+    * rebuild, so the within-corpus and cross-corpus cut faces cannot
+    * drift.
+    *
+    * Scale shape: both sides gram row-locally; the reference set
+    * collapses to DISTINCT gram keys (no positions, no ref ids —
+    * strictly smaller than the locator's state); one left-semi join
+    * marks covered corpus positions; the rebuild is one doc-keyed
+    * fold. At a tiny reference the semi join's right side broadcasts
+    * (the decontaminateBroadcast regime falls out of AQE for free —
+    * the gram-key frame is reference-sized). */
+  def decontaminateCut(corpus: DataFrame, reference: DataFrame,
+                       n: Int = 10): DataFrame = {
+    def words(docs: DataFrame): DataFrame =
+      Tables.spread(docs).select(col("doc_id"),
+        split(col("text"), " ").as("ws"))
+    val base = words(corpus).cache()
+    val cg = base.filter(size(col("ws")) >= n)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("ws")) - n),
+        i => xxhash64(concat_ws(" ", slice(col("ws"), i + 1, lit(n))))))
+        .as(Seq("pos", "g")))
+    val rg = words(reference).filter(size(col("ws")) >= n)
+      .select(explode(transform(
+        sequence(lit(0), size(col("ws")) - n),
+        i => xxhash64(concat_ws(" ", slice(col("ws"), i + 1, lit(n)))))).as("g"))
+      .distinct()
+    val covered = cg.join(rg, Seq("g"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("wpos"))
+      .distinct()
+    rebuildWithout(base, covered)
   }
 
   /** Span-level decontamination LOCATOR — the face a cleanup job

@@ -218,6 +218,29 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 11L, 11L), (17L, 27L, 11L)))
   }
 
+  test("decontaminate cut excises the planted leak and keeps clean docs verbatim") {
+    import spark.implicits._
+    val evalWords = (1 to 12).map(i => s"leak$i")
+    val filler1 = (1 to 20).map(i => s"w$i")
+    val filler2 = (33 to 50).map(i => s"w$i")
+    val cleanText = (1 to 30).map(i => s"clean$i").mkString(" ")
+    val corpus = Seq(
+      (2L, (filler1 ++ evalWords ++ filler2).mkString(" ")),
+      (4L, cleanText)).toDF("doc_id", "text")
+    val reference = Seq(
+      (1L, evalWords.mkString(" ")),
+      (3L, "an unrelated benchmark question entirely with enough words here")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.decontaminateCut(corpus, reference).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    // doc 2: exactly the 12 leaked words cut, surrounding prose intact
+    assert(out(0) === ((2L, 50L, 38L,
+      (filler1 ++ filler2).mkString(" "))))
+    // doc 4: untouched
+    assert(out(1) === ((4L, 30L, 30L, cleanText)))
+  }
+
   test("containment catches a short eval item inside a long doc; Jaccard can't") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
