@@ -600,6 +600,9 @@ object RegistryMeta {
     "dedup_decontaminate_spans" ->
       EntryMeta("2.4", "sql",
         "span-level decontamination LOCATOR: maximal covered word intervals + the leaked slice per (corpus doc, reference doc) — the face a cleanup job consumes"),
+    "dedup_decontaminate_report" ->
+      EntryMeta("2.4", "sql",
+        "per-reference contamination report: leaked gram fraction + carrier count per eval doc — the 'which benchmark items are burned' view"),
     "dedup_decontaminate_cut" ->
       EntryMeta("2.4", "sql",
         "the CUT face the locator drives: rebuild every corpus doc without words covered by any reference-shared 10-gram — the cross-corpus analog of text_trim_dup_spans, shared rebuild stage"),

@@ -844,6 +844,15 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 =!= 0))
     }),
+    // the eval-set owner's view: per reference doc, how much of it
+    // leaked (gram fraction) and how widely (carrier count) — the
+    // "which benchmark items are burned" report
+    "dedup_decontaminate_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.decontaminateReport(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0))
+    }),
     // the CUT face the locator's report drives: rebuild every corpus
     // doc without words covered by a 10-gram any reference doc
     // carries — the cross-corpus analog of text_trim_dup_spans
@@ -5877,6 +5886,31 @@ object SparkEntry {
         |  array_to_string(ws[span_start:span_end], ' ') AS span_text
         |FROM sp JOIN w ON sp.doc_id = w.doc_id
         |ORDER BY sp.doc_id, ref_id, span_start""".stripMargin,
+    // the report replays the distinct-gram-set join per reference
+    // doc; leak_frac uses the shared half-up 4dp integer rounding
+    "dedup_decontaminate_report" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+9], ' ') AS gram
+        |      FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 8)) AS i)
+        |      WHERE len(ws) >= 10),
+        |refg AS (SELECT doc_id AS ref_id, gram FROM g WHERE doc_id % 2 = 1),
+        |corp AS (SELECT doc_id, gram FROM g WHERE doc_id % 2 = 0),
+        |tot AS (SELECT ref_id, count(*) AS n_grams FROM refg GROUP BY 1),
+        |lk AS (SELECT ref_id, count(DISTINCT gram) AS n_leaked,
+        |              count(DISTINCT corp.doc_id) AS n_carriers
+        |       FROM refg JOIN corp USING (gram) GROUP BY 1)
+        |SELECT w.doc_id AS ref_id,
+        |  CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(n_leaked, 0) AS BIGINT) AS n_leaked,
+        |  CASE WHEN coalesce(n_grams, 0) > 0
+        |       THEN CAST((CAST(coalesce(n_leaked, 0) AS HUGEINT) * 20000
+        |              + n_grams) // (2 * n_grams) AS BIGINT) / 10000.0
+        |       ELSE 0.0 END AS leak_frac,
+        |  CAST(coalesce(n_carriers, 0) AS BIGINT) AS n_carriers
+        |FROM w LEFT JOIN tot ON tot.ref_id = w.doc_id
+        |       LEFT JOIN lk ON lk.ref_id = w.doc_id
+        |WHERE w.doc_id % 2 = 1 ORDER BY ref_id""".stripMargin,
     // the cut face extends the text_trim_dup_spans replay cross
     // corpus: covered = corpus gram positions whose gram appears in
     // ANY odd-parity doc; kept words rebuild in position order

@@ -1491,6 +1491,60 @@ object DedupOps {
       .orderBy(col("doc_id"), col("ref_id"), col("span_start"))
   }
 
+  /** Per-REFERENCE contamination report — "which benchmark items are
+    * burned": for every reference (eval) document, how much of it has
+    * leaked into the training corpus and how widely. One row per
+    * reference doc: its distinct word `n`-gram count, how many of
+    * those grams appear anywhere in the corpus, the leaked fraction
+    * (4dp), and the number of distinct corpus documents carrying at
+    * least one of its grams. The doc-level flags
+    * ([[decontaminate]]/[[containment]]) say which TRAINING docs are
+    * dirty; this is the eval-set owner's view — leak_frac ≈ 1 means
+    * the item is fully memorizable and must be dropped from the
+    * benchmark, n_carriers says how expensive the cleanup is.
+    *
+    * Scale shape: both sides reduce to DISTINCT (doc, gram-key) sets
+    * row-locally; the gram equi-join carries reference-gram-sized
+    * output per colliding corpus doc (the genuine report mass);
+    * aggregates are reference-keyed. Sub-n-word references report
+    * n_grams = 0 (stated contract, oracle-matched). */
+  def decontaminateReport(corpus: DataFrame, reference: DataFrame,
+                          n: Int = 10): DataFrame = {
+    def gramSet(docs: DataFrame, idAs: String): DataFrame =
+      Tables.spread(docs)
+        .select(col("doc_id").as(idAs), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= n)
+        .select(col(idAs), explode(transform(
+          sequence(lit(0), size(col("ws")) - n),
+          i => xxhash64(concat_ws(" ", slice(col("ws"), i + 1, lit(n))))))
+          .as("g"))
+        .distinct()
+    val rg = gramSet(reference, "ref_id").cache()
+    val cg = gramSet(corpus, "doc_id")
+    val totals = rg.groupBy(col("ref_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val hits = rg.join(cg, Seq("g"))
+    // two distincts in one aggregate Expand the exchanged frame ×2 —
+    // acceptable HERE because `hits` is leak-mass-sized (the report's
+    // own output scale), unlike the corpus-sized frames the registry
+    // de-Expands (the Q21 rework); the alternative is two corpus
+    // gram scans
+    val leaked = hits.groupBy(col("ref_id"))
+      .agg(countDistinct(col("g")).as("n_leaked"),
+        countDistinct(col("doc_id")).as("n_carriers"))
+    Tables.spread(reference).select(col("doc_id").as("ref_id"))
+      .join(totals, Seq("ref_id"), "left")
+      .join(leaked, Seq("ref_id"), "left")
+      .select(col("ref_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          ExactRatio.r4(coalesce(col("n_leaked"), lit(0L)), col("n_grams")))
+          .otherwise(lit(0.0)).as("leak_frac"),
+        coalesce(col("n_carriers"), lit(0L)).as("n_carriers"))
+      .orderBy(col("ref_id"))
+  }
+
   /** CONTENT-DEFINED CHUNKING dedup (the Rabin/FastCDC family, over
     * tokens) — the STORAGE-dedup construction the span/shingle faces
     * don't cover: fixed-size chunking breaks on a single inserted

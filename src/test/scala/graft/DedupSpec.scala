@@ -241,6 +241,32 @@ class DedupSpec extends SparkSpec {
     assert(out(1) === ((4L, 30L, 30L, cleanText)))
   }
 
+  test("decontaminate report prices a half-leaked reference exactly") {
+    import spark.implicits._
+    // ref doc 1 = 29 words -> 20 distinct 10-grams; its FIRST 19
+    // words (10 grams, positions 1..10) are pasted into two corpus
+    // docs -> n_leaked = 10/20 = 0.5, n_carriers = 2; ref doc 3 is
+    // clean; ref doc 5 is sub-10-words -> all zeros
+    val refWords = (1 to 29).map(i => s"r$i")
+    val leakedPart = refWords.take(19)
+    val corpus = Seq(
+      (2L, ((1 to 15).map(i => s"a$i") ++ leakedPart).mkString(" ")),
+      (4L, (leakedPart ++ (1 to 15).map(i => s"b$i")).mkString(" ")),
+      (6L, (1 to 40).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val reference = Seq(
+      (1L, refWords.mkString(" ")),
+      (3L, (1 to 25).map(i => s"z$i").mkString(" ")),
+      (5L, "too short to gram")).toDF("doc_id", "text")
+    val out = DedupOps.decontaminateReport(corpus, reference).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (1L, 20L, 10L, 0.5, 2L),
+      (3L, 16L, 0L, 0.0, 0L),
+      (5L, 0L, 0L, 0.0, 0L)))
+  }
+
   test("containment catches a short eval item inside a long doc; Jaccard can't") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
