@@ -571,6 +571,9 @@ object RegistryMeta {
     "dedup_minhash" ->
       EntryMeta("2.4", "sql",
         "shingle→MinHash→LSH bands→bucket join→verify"),
+    "dedup_minhash_est" ->
+      EntryMeta("2.4", "sql",
+        "verify-by-signature: banded candidates scored by MinHash component agreement (E[est]=J) — no second corpus pass; checked md5 construction replays bit for bit"),
     "dedup_incremental_index" ->
       EntryMeta("2.4", "sql",
         "incremental near-dup index maintenance: persisted band-signature table + daily delta fold (delta-vs-history via the index, delta-vs-delta self-join, candidate history docs fetched by id) — history never rescanned; oracle = full recompute, split-agnostic"),

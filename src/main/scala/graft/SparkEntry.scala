@@ -807,6 +807,11 @@ object SparkEntry {
     "text_trim_dup_spans" -> ((s, d) =>
       DedupOps.trimDupSpans(Tables.documents(s, d))),
     "dedup_minhash"       -> ((s, d) => DedupOps.minhashLsh(s, d)),
+    // verify-by-signature: banded candidates scored by component
+    // agreement (E[est]=J) — the shingle sets are never re-read, so
+    // the exact verifier's second corpus pass is gone
+    "dedup_minhash_est"   -> ((s, d) =>
+      DedupOps.minhashEstPairs(Tables.documents(s, d))),
     // incremental index fold: every 4th doc is "today's crawl"; the
     // oracle recomputes from the FULL corpus, knowing nothing of the
     // split (the etl_incremental_agg merged≡recomputed proof)
@@ -5886,6 +5891,38 @@ object SparkEntry {
         |  array_to_string(ws[span_start:span_end], ' ') AS span_text
         |FROM sp JOIN w ON sp.doc_id = w.doc_id
         |ORDER BY sp.doc_id, ref_id, span_start""".stripMargin,
+    // full replay of the checked signature construction: per-doc
+    // md5("i:shingle") component minima, 16×4 banding on the
+    // component lists, candidate equi-join, agreement fraction —
+    // every number integer-deterministic in both engines
+    "dedup_minhash_est" ->
+      """WITH tok AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |      i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+        |  FROM tok WHERE len(t) >= 3),
+        |comp AS (SELECT doc_id, i,
+        |    min((('0x' || substr(md5(i::VARCHAR || ':' || s), 1, 15))
+        |      ::UBIGINT)::BIGINT) AS m
+        |  FROM sh CROSS JOIN range(64) r(i) GROUP BY 1, 2),
+        |band AS (SELECT doc_id, i // 4 AS b, list(m ORDER BY i) AS sig
+        |  FROM comp GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM band a JOIN band b
+        |    ON a.b = b.b AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        |agr AS (SELECT id1, id2,
+        |    count(*) FILTER (WHERE x.m = y.m) AS agree
+        |  FROM cand JOIN comp x ON x.doc_id = id1
+        |       JOIN comp y ON y.doc_id = id2 AND y.i = x.i
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2,
+        |  CAST((CAST(agree AS HUGEINT) * 20000 + 64) // 128 AS BIGINT)
+        |    / 10000.0 AS est_jaccard
+        |FROM agr
+        |WHERE CAST((CAST(agree AS HUGEINT) * 20000 + 64) // 128 AS BIGINT)
+        |    / 10000.0 >= 0.5
+        |ORDER BY id1, id2""".stripMargin,
     // the report replays the distinct-gram-set join per reference
     // doc; leak_frac uses the shared half-up 4dp integer rounding
     "dedup_decontaminate_report" ->

@@ -1491,6 +1491,74 @@ object DedupOps {
       .orderBy(col("doc_id"), col("ref_id"), col("span_start"))
   }
 
+  /** VERIFY-BY-SIGNATURE near-dup pairs — the estimator face of
+    * [[minhashLsh]] and the technique that makes dedup affordable at
+    * 100 TB when even the candidate-only exact-Jaccard verify is too
+    * expensive: after banding produces candidates, the Jaccard is
+    * ESTIMATED as the fraction of agreeing MinHash components
+    * (E[est] = J exactly — the MinHash identity), so verification
+    * reads the numPerm-long signature vectors already in hand and the
+    * shingle sets are never touched again — the second corpus pass
+    * the exact verifier pays is gone. The trade is variance
+    * (σ = √(J(1−J)/numPerm) ≈ 0.05 at J=0.8, numPerm=64), declared
+    * in the output name: `est_jaccard`, half-up 4dp.
+    *
+    * CHECKED construction (the simhashPairsCheckedOn discipline):
+    * component i's hash of shingle s is the 60-bit prefix of
+    * md5("i:s") — both engines compute it — and the signature is a
+    * row-local array fold (per-doc transform + array_min: zero
+    * shuffles to sign the corpus). Banding, candidates, component
+    * agreement, and the threshold all replay bit for bit in the
+    * oracle, so the contract "banded candidates with est ≥ threshold"
+    * is cross-engine EXACT even though the estimate itself is
+    * probabilistic relative to true Jaccard. The banding recall curve
+    * (P[candidate] = 1−(1−est^rows)^bands) is the declared recall
+    * contract, as in every LSH face. */
+  def minhashEstPairs(docs: DataFrame, numPerm: Int = 64,
+                      bands: Int = 16, threshold: Double = 0.5): DataFrame = {
+    require(numPerm % bands == 0, s"bands must divide numPerm")
+    val rows = numPerm / bands
+    // stage the token array, then the distinct shingle STRINGS, then
+    // the signature — three projections so no lambda re-evaluates an
+    // expensive subtree per element (the docShingleSets O(tokens²)
+    // CollapseProject trap)
+    val toks = Tables.spread(docs)
+      .select(col("doc_id"), TextOps.toks(col("text")).as("t"))
+    val n = size(col("t"))
+    val sh = toks.select(col("doc_id"),
+      array_distinct(transform(
+        when(n >= 3, sequence(lit(1), n - 2))
+          .otherwise(array().cast("array<int>")),
+        i => concat_ws(" ", slice(col("t"), i, lit(3))))).as("sh"))
+      .filter(size(col("sh")) >= 1)
+    val comp = (s: Column, i: Column) =>
+      conv(substring(md5(concat_ws(":", i, s)), 1, 15), 16, 10).cast("long")
+    val sigs = sh.select(col("doc_id"),
+      transform(sequence(lit(0), lit(numPerm - 1)),
+        i => array_min(transform(col("sh"), s => comp(s, i)))).as("sig"))
+      .cache()
+    // the band key is the rows-long component slice itself (each
+    // engine needs only an injective per-band encoding for ITS OWN
+    // equi-join — arrays join by value in Spark, lists in DuckDB)
+    val bnd = sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col("sig"), b * rows + 1, lit(rows))))
+        .as(Seq("band", "bsig")))
+    val cand = bnd.as("a").join(bnd.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("id1"), col("sig").as("s1")), "id1")
+      .join(sigs.select(col("doc_id").as("id2"), col("sig").as("s2")), "id2")
+      .select(col("id1"), col("id2"),
+        ExactRatio.r4(size(filter(zip_with(col("s1"), col("s2"),
+          (a, b) => a === b), x => x)), lit(numPerm)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** Per-REFERENCE contamination report — "which benchmark items are
     * burned": for every reference (eval) document, how much of it has
     * leaked into the training corpus and how widely. One row per

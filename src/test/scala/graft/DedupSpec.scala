@@ -164,6 +164,34 @@ class DedupSpec extends SparkSpec {
     assert(DedupOps.connectedComponents(empty).collect().isEmpty)
   }
 
+  test("minhash estimator tracks exact Jaccard on the real corpus pairs") {
+    // every exact pair at J >= 0.8 must surface with an estimate
+    // within the binomial noise band (|est - J| <= 4 sigma ~ 0.2 at
+    // numPerm = 64), and no estimator pair may claim est >= 0.8 for
+    // a pair whose exact Jaccard is far below the near-dup regime
+    val exact = DedupOps.ngramJaccard(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val est = DedupOps.minhashEstPairs(Tables.documents(spark, sf)).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(exact.nonEmpty)
+    exact.foreach { case (pair, j) =>
+      val e = est.get(pair)
+      assert(e.isDefined, s"exact pair $pair (J=$j) missed by estimator")
+      assert(math.abs(e.get - j) <= 0.2,
+        s"pair $pair est=${e.get} vs exact J=$j")
+    }
+    est.filter(_._2 >= 0.8).keys.foreach { pair =>
+      assert(exact.contains(pair) || {
+        // high estimate must correspond to genuinely high overlap:
+        // exact J >= 0.6 even if below the 0.8 exact-face threshold
+        val j = DedupOps.ngramJaccard(spark, sf, threshold = 0.6)
+          .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+          .toMap.get(pair)
+        j.exists(_ >= 0.6)
+      }, s"estimator claims est>=0.8 for non-near-dup pair $pair")
+    }
+  }
+
   test("decontaminate flags exactly the cross-corpus near-dup pairs") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf)
