@@ -570,7 +570,8 @@ object RegistryMeta {
         "exact text dedup via sha2 hash groupBy"),
     "dedup_minhash" ->
       EntryMeta("2.4", "sql",
-        "shingle→MinHash→LSH bands→bucket join→verify"),
+        "shingle→MinHash→LSH bands→bucket join→verify",
+      Some("dedup_minhash_est")),
     "dedup_minhash_est" ->
       EntryMeta("2.4", "sql",
         "verify-by-signature: banded candidates scored by MinHash component agreement (E[est]=J) — no second corpus pass; checked md5 construction replays bit for bit"),

@@ -157,6 +157,26 @@ object Routing {
       case Scale => SimilarityOps.knnClassifyIvf(s, d, k, nProbe)
     }
 
+  /** [[DedupOps.minhashLsh]] (banded candidates + EXACT shingle-set
+    * Jaccard verify — a second pass over the candidate docs' sets)
+    * below the dial, [[DedupOps.minhashEstPairs]] (verify-by-
+    * signature: the same banding, Jaccard estimated from the
+    * component agreement of signatures already in hand — no second
+    * pass) above it. The declared difference is in the output name:
+    * `jaccard` is exact, `est_jaccard` is the unbiased estimator
+    * with σ = √(J(1−J)/numPerm) — at the scale where the exact
+    * verify's set join is the dominant cost, the estimator is the
+    * only verification that survives 100×. */
+  def minhashVerifyAuto(s: SparkSession, d: String,
+                        threshold: Double = 0.8,
+                        exactMaxBytes: Long = DefaultExactMaxBytes): DataFrame = {
+    val docs = Tables.documents(s, d)
+    tierFor(docs, exactMaxBytes) match {
+      case Exact => DedupOps.minhashLsh(s, d)
+      case Scale => DedupOps.minhashEstPairs(docs, threshold = threshold)
+    }
+  }
+
   /** [[DedupOps.simhashPairsCheckedOn]] at 4×15-bit bands
     * (hamming ≤ 7) below the dial, 3×20-bit bands (hamming ≤ 5)
     * above it — the width term measured at the sf10 decade (SCALING

@@ -113,6 +113,20 @@ class RoutingSpec extends SparkSpec {
       .schema === SimilarityOps.knnClassify(spark, sf).schema)
   }
 
+  test("minhash verify route: exact set verify under the dial, " +
+       "signature estimate over it") {
+    val docs = Tables.documents(spark, sf)
+    assert(rows(Routing.minhashVerifyAuto(spark, sf,
+        exactMaxBytes = Long.MaxValue))
+      === rows(DedupOps.minhashLsh(spark, sf)))
+    assert(rows(Routing.minhashVerifyAuto(spark, sf, exactMaxBytes = 0L))
+      === rows(DedupOps.minhashEstPairs(docs, threshold = 0.8)))
+    // the declared difference is the verification: exact `jaccard`
+    // below the dial, `est_jaccard` above it
+    assert(Routing.minhashVerifyAuto(spark, sf, exactMaxBytes = 0L)
+      .columns.toSeq === Seq("id1", "id2", "est_jaccard"))
+  }
+
   test("simhash route: 4x15 bands under the dial, 3x20 bands over it") {
     val docs = Tables.documents(spark, sf)
     assert(rows(Routing.simhashAuto(spark, sf,
