@@ -35,6 +35,30 @@ object VectorKernels {
     s
   }
 
+  /** Quantized-exact cosine: BOTH sides floor to 1e-6 integer units,
+    * so the dot and both squared norms are sums of exact
+    * integer-valued doubles (≤ ~1e12 per term — exact under any
+    * accumulation order below 2^53), and the final
+    * dot/(√na·√nb) is one correctly-rounded sqrt+multiply+divide
+    * chain: BIT-DETERMINISTIC across engines that replay the same
+    * formula shape, unlike [[cos]]'s float accumulation whose last
+    * ulp differs per engine and splits a round(cos·10⁴) landing
+    * within an ulp of a .5 boundary (found by the sf0.007 off-grid
+    * sweep, round 13: ann_mmr_rerank 0.2473 vs 0.2474). */
+  def cosineQ6(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dp = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val va = math.floor(a.getFloat(i) * 1000000.0)
+      val vb = math.floor(b.getFloat(i) * 1000000.0)
+      dp += va * vb; na += va * va; nb += vb * vb
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dp / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Quantized-exact dot: LEFT elements floor to 1e-6 integer units,
     * RIGHT elements are expected PRE-quantized to integers (a plane
     * literal) — every product (≤ ~1e13) and partial sum is an exact
@@ -157,6 +181,15 @@ case class DotProduct(left: Expression, right: Expression) extends FloatVecBinar
   override def prettyName: String = "dot_product"
 }
 
+case class CosineSimQ6(left: Expression, right: Expression) extends FloatVecBinary {
+  override protected def kernel: String = "cosineQ6"
+  override protected def eval0(a: Any, b: Any): Double =
+    VectorKernels.cosineQ6(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(l, r)
+  override def prettyName: String = "cosine_sim_q6"
+}
+
 case class DotProductQ6(left: Expression, right: Expression) extends FloatVecBinary {
   override protected def kernel: String = "dotQ6"
   override protected def eval0(a: Any, b: Any): Double =
@@ -174,6 +207,9 @@ object VectorExprs {
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(
       CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def cosineSimQ6(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      CosineSimQ6(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def dotProduct(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))

@@ -28,6 +28,14 @@ object SimilarityOps {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorExprs.cosineSim(a, b)
 
+  /** Bit-deterministic cross-engine cosine: both sides quantized to
+    * 1e-6 integer units inside the kernel, exact sums, one
+    * correctly-rounded sqrt/multiply/divide chain (see
+    * VectorKernels.cosineQ6). Use wherever a rounded publication of
+    * the cosine must match a foreign engine bit for bit. */
+  def cosineQ6(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.cosineSimQ6(a, b)
+
   private def queries(s: SparkSession, d: String, nQueries: Int): DataFrame =
     Tables.embeddings(s, d)
       .filter(col("vec_id") < nQueries)
@@ -397,7 +405,11 @@ object SimilarityOps {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("embedding"),
-        round(cosine(col("q_emb"), col("embedding")) * 10000.0)
+        // quantized-exact cosine (cosineQ6): a raw float cosine's
+        // last ulp differs per engine, and round(cos·10⁴) splits
+        // when the product lands within an ulp of a .5 boundary —
+        // the sf0.007 off-grid sweep caught exactly that (round 13)
+        round(cosineQ6(col("q_emb"), col("embedding")) * 10000.0)
           .cast("long").as("rel_i"))
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("rel_i").desc, col("vec_id"))
@@ -445,7 +457,8 @@ object SimilarityOps {
         col("embedding").as("eb")), Seq("q_id"))
       .filter(col("ca") =!= col("cb"))
       .select(col("q_id"), col("ca"), col("cb"),
-        round(cosine(col("ea"), col("eb")) * 10000.0)
+        // cosineQ6 for the same .5-boundary determinism as rel_i
+        round(cosineQ6(col("ea"), col("eb")) * 10000.0)
           .cast("long").as("sim_i"))
       .localCheckpoint(true)
     val wPick = Window.partitionBy(col("q_id"))
@@ -490,14 +503,19 @@ object SimilarityOps {
                                   nQueries: Int = 10,
                                   lam10: Int = 7): String = {
     val prefix =
-      s"""q AS MATERIALIZED (SELECT vec_id AS q_id,
-         |    embedding AS q_emb
-         |  FROM embeddings WHERE vec_id < $nQueries),
+      s"""eq AS MATERIALIZED (SELECT vec_id, embedding,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> floor(x * 1000000.0)) AS qv
+         |  FROM embeddings),
+         |q AS MATERIALIZED (SELECT vec_id AS q_id, qv AS q_qv
+         |  FROM eq WHERE vec_id < $nQueries),
          |sc AS MATERIALIZED (SELECT q_id, e.vec_id AS vec_id,
          |    e.embedding AS emb,
-         |    CAST(round(list_cosine_similarity(q_emb, e.embedding)
+         |    CAST(round(list_dot_product(q_qv, e.qv)
+         |      / (sqrt(list_dot_product(q_qv, q_qv))
+         |         * sqrt(list_dot_product(e.qv, e.qv)))
          |      * 10000) AS BIGINT) AS rel_i
-         |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+         |  FROM eq e, q WHERE e.vec_id <> q.q_id),
          |short AS MATERIALIZED (SELECT q_id, vec_id, emb, rel_i
          |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
          |      ORDER BY rel_i DESC, vec_id) AS rk FROM sc)
@@ -579,11 +597,17 @@ object SimilarityOps {
          |  UNION ALL SELECT * FROM sel$j)""".stripMargin
     }.mkString(",\n")
     s"""WITH $shortPrefix,
+       |shortq AS MATERIALIZED (SELECT q_id, vec_id, rel_i,
+       |    list_transform(CAST(emb AS DOUBLE[]),
+       |      x -> floor(x * 1000000.0)) AS qv
+       |  FROM short),
        |pairs AS MATERIALIZED (SELECT a.q_id, a.vec_id AS ca,
        |    b.vec_id AS cb,
-       |    CAST(round(list_cosine_similarity(a.emb, b.emb) * 10000)
-       |      AS BIGINT) AS sim_i
-       |  FROM short a JOIN short b
+       |    CAST(round(list_dot_product(a.qv, b.qv)
+       |      / (sqrt(list_dot_product(a.qv, a.qv))
+       |         * sqrt(list_dot_product(b.qv, b.qv)))
+       |      * 10000) AS BIGINT) AS sim_i
+       |  FROM shortq a JOIN shortq b
        |    ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
        |slim AS MATERIALIZED (SELECT q_id, vec_id, rel_i FROM short),
        |selall1 AS MATERIALIZED (SELECT q_id, 1 AS pos, vec_id, rel_i,
