@@ -1192,7 +1192,7 @@ object SparkEntry {
       |           FROM embeddings WHERE vec_id % 10 = 0),
       |scored AS (
       |  SELECT q_id, true_label, e.vec_id AS vec_id, e.label AS label,
-      |    round(list_cosine_similarity(q_emb, e.embedding), 4) AS cosine
+      |    round((list_dot_product(list_transform(CAST(q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(e.embedding AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(e.embedding AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(e.embedding AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS cosine
       |  FROM embeddings e, q WHERE e.vec_id % 10 <> 0),
       |top AS (SELECT *, row_number() OVER (PARTITION BY q_id
       |          ORDER BY cosine DESC, vec_id) AS r FROM scored),
@@ -3036,8 +3036,7 @@ object SparkEntry {
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
         |           FROM embeddings WHERE vec_id < 10),
         |sc AS (SELECT d.dims, q.q_id, e.vec_id,
-        |    round(list_cosine_similarity(q.q_emb[1:d.dims],
-        |      e.embedding[1:d.dims]), 4) AS cos
+        |    round((list_dot_product(list_transform(CAST(q.q_emb[1:d.dims] AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(e.embedding[1:d.dims] AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(q.q_emb[1:d.dims] AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(q.q_emb[1:d.dims] AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(e.embedding[1:d.dims] AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(e.embedding[1:d.dims] AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS cos
         |  FROM embeddings e, q,
         |    (SELECT unnest([16, 32, 64]) AS dims) d
         |  WHERE e.vec_id <> q.q_id),
@@ -3065,7 +3064,7 @@ object SparkEntry {
         |             label AS q_label
         |           FROM embeddings WHERE vec_id < 20),
         |sc AS (SELECT q.q_id, e.vec_id,
-        |         round(list_cosine_similarity(q.q_emb, e.embedding), 4)
+        |         round((list_dot_product(list_transform(CAST(q.q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(e.embedding AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(q.q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(q.q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(e.embedding AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(e.embedding AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4)
         |           AS cos,
         |         CASE WHEN e.label = q.q_label THEN 1 ELSE 0 END AS rel
         |       FROM embeddings e, q WHERE e.vec_id <> q.q_id),
@@ -3103,7 +3102,7 @@ object SparkEntry {
       """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
         |           FROM embeddings WHERE vec_id < 10),
         |sc AS (SELECT q.q_id, e.vec_id,
-        |    round(list_cosine_similarity(q.q_emb, e.embedding), 4) AS cos,
+        |    round((list_dot_product(list_transform(CAST(q.q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(e.embedding AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(q.q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(q.q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(e.embedding AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(e.embedding AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS cos,
         |    CAST(list_sum(list_transform(range(1, 65),
         |      i -> CASE WHEN (q.q_emb[i] > 0) <> (e.embedding[i] > 0)
         |                THEN 1 ELSE 0 END)) AS BIGINT) AS ham
@@ -6033,11 +6032,9 @@ object SparkEntry {
     // is spec-verified on planted near-identical vectors instead.
     "dedup_embedding" ->
       """SELECT a.vec_id AS id1, b.vec_id AS id2,
-        | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |   CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+        | round((list_dot_product(list_transform(CAST(CAST(a.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(CAST(b.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(CAST(a.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(CAST(a.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(CAST(b.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(CAST(b.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS cosine
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |   CAST(b.embedding AS DOUBLE[])), 4) >= 0.45
+        |WHERE round((list_dot_product(list_transform(CAST(CAST(a.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(CAST(b.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(CAST(a.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(CAST(a.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(CAST(b.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(CAST(b.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) >= 0.45
         |ORDER BY id1, id2""".stripMargin,
     // Deterministic fixed-seed LSH/IVF — replicated plane-for-plane in
     // SQL by the generators in SimilarityOps (see the precision
@@ -6086,7 +6083,7 @@ object SparkEntry {
         |          AS FLOAT[]) AS DOUBLE[]) AS dq
         |      FROM s WHERE scale > 0)
         |SELECT vec_id, round(scale, 4) AS scale,
-        |  round(list_cosine_similarity(emb, dq), 4) AS cosine_kept
+        |  round((list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(dq AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(dq AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(dq AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS cosine_kept
         |FROM q ORDER BY vec_id""".stripMargin,
     // ann_mmr_rerank: greedy rounds unrolled with MATERIALIZED CTEs,
     // all selection arithmetic BIGINT over the shared cos·1e4 grid
@@ -6099,7 +6096,7 @@ object SparkEntry {
         |           FROM embeddings WHERE vec_id < 10),
         |scored AS (
         |  SELECT q_id, e.vec_id AS vec_id,
-        |    round(list_cosine_similarity(q_emb, e.embedding), 4) AS cosine
+        |    round((list_dot_product(list_transform(CAST(q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(e.embedding AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(e.embedding AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(e.embedding AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS cosine
         |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
         |        ORDER BY cosine DESC, vec_id) AS rank FROM scored)

@@ -25,16 +25,36 @@ object SimilarityOps {
     * codegen'd Catalyst expression (graft.functions.CosineSim); the
     * equivalent zip_with/aggregate composition evaluates its lambdas
     * interpreted and is ~5× slower in the ANN hot loop. */
-  def cosine(a: Column, b: Column): Column =
-    graft.functions.VectorExprs.cosineSim(a, b)
-
   /** Bit-deterministic cross-engine cosine: both sides quantized to
-    * 1e-6 integer units inside the kernel, exact sums, one
+    * 1e-6 integer units inside the kernel, exact order-free sums, one
     * correctly-rounded sqrt/multiply/divide chain (see
-    * VectorKernels.cosineQ6). Use wherever a rounded publication of
-    * the cosine must match a foreign engine bit for bit. */
-  def cosineQ6(a: Column, b: Column): Column =
+    * VectorKernels.cosineQ6). EVERY published/rounded cosine in the
+    * registry routes through this since round 13 — a raw float
+    * cosine's last ulp differs per engine and a round(·) landing
+    * within an ulp of a .5 boundary splits the engines (caught live
+    * by the sf0.007 sweep); the oracles replay the same quantized
+    * chain via [[qcosSql]]. The plain float kernel remains available
+    * as `graft.functions.VectorExprs.cosineSim` (and the cosine_sim
+    * SQL function) for callers that rank without publishing. */
+  def cosine(a: Column, b: Column): Column =
     graft.functions.VectorExprs.cosineSimQ6(a, b)
+
+  /** Alias kept for call sites that want the determinism contract in
+    * their name. */
+  def cosineQ6(a: Column, b: Column): Column = cosine(a, b)
+
+  /** DuckDB text of [[cosine]]'s quantized chain — the replacement
+    * for DuckDB's own float cosine builtin everywhere an oracle
+    * replays a published cosine, so both engines run the same
+    * exact-integer dot and correctly-rounded sqrt/multiply/divide.
+    * (All existing oracle sites carry the expansion inline — written
+    * by this generator at migration time, round 13; use the helper
+    * for NEW oracles.) */
+  private[graft] def qcosSql(a: String, b: String): String = {
+    def q(x: String) =
+      s"list_transform(CAST($x AS DOUBLE[]), qx -> floor(qx * 1000000.0))"
+    s"(list_dot_product(${q(a)}, ${q(b)}) / (sqrt(list_dot_product(${q(a)}, ${q(a)})) * sqrt(list_dot_product(${q(b)}, ${q(b)}))))"
+  }
 
   private def queries(s: SparkSession, d: String, nQueries: Int): DataFrame =
     Tables.embeddings(s, d)
@@ -540,7 +560,7 @@ object SimilarityOps {
          |seeds AS (SELECT e.vec_id AS cell, e.emb AS c_emb
          |          FROM e, nc WHERE e.vec_id < nc.n),
          |a1 AS (SELECT vec_id, emb, cell,
-         |    round(list_cosine_similarity(emb, c_emb), 4) AS sim
+         |    round((list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS sim
          |  FROM e CROSS JOIN seeds),
          |a1r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
          |          ORDER BY sim DESC, cell) AS rnk FROM a1),
@@ -549,7 +569,7 @@ object SimilarityOps {
          |    CAST(CAST([$avgs] AS FLOAT[]) AS DOUBLE[]) AS c_emb
          |  FROM assigned GROUP BY cell),
          |a2 AS (SELECT vec_id, emb, cell,
-         |    round(list_cosine_similarity(emb, c_emb), 4) AS sim
+         |    round((list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS sim
          |  FROM e CROSS JOIN cents),
          |a2r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
          |          ORDER BY sim DESC, cell) AS rnk FROM a2),
@@ -558,7 +578,7 @@ object SimilarityOps {
          |       FROM a2r WHERE rnk <= $nProbe AND vec_id < $nQueries),
          |scored AS (
          |  SELECT q_id, c.vec_id AS vec_id,
-         |    round(list_cosine_similarity(q_emb, c.emb), 4) AS cosine
+         |    round((list_dot_product(list_transform(CAST(q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(c.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS cosine
          |  FROM cells c JOIN qc USING (cell) WHERE c.vec_id <> qc.q_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
          |        ORDER BY cosine DESC, vec_id) AS rank FROM scored),
@@ -983,7 +1003,7 @@ object SimilarityOps {
        |seeds AS (SELECT e.vec_id AS cell, e.emb AS c_emb
        |          FROM e, nc WHERE e.vec_id < nc.n),
        |a1 AS (SELECT vec_id, emb, cell,
-       |    round(list_cosine_similarity(emb, c_emb), 4) AS sim
+       |    round((list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS sim
        |  FROM e CROSS JOIN seeds),
        |a1r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
        |          ORDER BY sim DESC, cell) AS rnk FROM a1),
@@ -992,7 +1012,7 @@ object SimilarityOps {
        |    CAST(CAST([$avgs] AS FLOAT[]) AS DOUBLE[]) AS c_emb
        |  FROM assigned GROUP BY cell),
        |a2 AS (SELECT vec_id, emb, cell,
-       |    round(list_cosine_similarity(emb, c_emb), 4) AS sim
+       |    round((list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS sim
        |  FROM e CROSS JOIN cents),
        |a2r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
        |          ORDER BY sim DESC, cell) AS rnk FROM a2),
@@ -1255,8 +1275,7 @@ object SimilarityOps {
        |      FROM b WHERE vec_id < $nQueries),
        |scored AS (
        |  SELECT q_id, c.vec_id AS vec_id,
-       |    round(list_cosine_similarity(CAST(q_emb AS DOUBLE[]),
-       |      CAST(c.embedding AS DOUBLE[])), 4) AS cosine
+       |    round((list_dot_product(list_transform(CAST(CAST(q_emb AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(CAST(c.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(CAST(q_emb AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(CAST(q_emb AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(CAST(c.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(CAST(c.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS cosine
        |  FROM b c JOIN q USING (bucket) WHERE c.vec_id <> q.q_id),
        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
        |        ORDER BY cosine DESC, vec_id) AS rank FROM scored)
@@ -1293,13 +1312,11 @@ object SimilarityOps {
        |  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket
        |   AND a.vec_id < c.vec_id)
        |SELECT id1, id2,
-       |  round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
-       |    CAST(y.embedding AS DOUBLE[])), 4) AS cosine
+       |  round((list_dot_product(list_transform(CAST(CAST(x.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(CAST(y.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(CAST(x.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(CAST(x.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(CAST(y.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(CAST(y.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS cosine
        |FROM cand
        |JOIN embeddings x ON x.vec_id = id1
        |JOIN embeddings y ON y.vec_id = id2
-       |WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
-       |    CAST(y.embedding AS DOUBLE[])), 4) >= $threshold
+       |WHERE round((list_dot_product(list_transform(CAST(CAST(x.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(CAST(y.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(CAST(x.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(CAST(x.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(CAST(y.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(CAST(y.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) >= $threshold
        |ORDER BY id1, id2""".stripMargin
   }
 
@@ -1343,7 +1360,7 @@ object SimilarityOps {
        |          ORDER BY adot DESC, vec_id) AS r FROM ap),
        |cand AS (SELECT q_id, vec_id FROM apr WHERE r <= $rerank),
        |resc AS (SELECT s.q_id, s.vec_id,
-       |    round(list_cosine_similarity(qe.emb, ce.emb), 4) AS cosine
+       |    round((list_dot_product(list_transform(CAST(qe.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(ce.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(qe.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(qe.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(ce.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(ce.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS cosine
        |  FROM cand s JOIN e ce ON ce.vec_id = s.vec_id
        |              JOIN e qe ON qe.vec_id = s.q_id),
        |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
@@ -1363,7 +1380,7 @@ object SimilarityOps {
        |seeds AS (SELECT e.vec_id AS cell, e.emb AS c_emb
        |          FROM e, nc WHERE e.vec_id < nc.n),
        |a1 AS (SELECT vec_id, emb, cell,
-       |    round(list_cosine_similarity(emb, c_emb), 4) AS sim
+       |    round((list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS sim
        |  FROM e CROSS JOIN seeds),
        |a1r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
        |          ORDER BY sim DESC, cell) AS rnk FROM a1),
@@ -1372,7 +1389,7 @@ object SimilarityOps {
        |    CAST(CAST([$avgs] AS FLOAT[]) AS DOUBLE[]) AS c_emb
        |  FROM assigned GROUP BY cell),
        |a2 AS (SELECT vec_id, emb, cell,
-       |    round(list_cosine_similarity(emb, c_emb), 4) AS sim
+       |    round((list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS sim
        |  FROM e CROSS JOIN cents),
        |a2r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
        |          ORDER BY sim DESC, cell) AS rnk FROM a2),
@@ -1381,7 +1398,7 @@ object SimilarityOps {
        |       FROM a2r WHERE rnk <= $nProbe AND vec_id < $nQueries),
        |scored AS (
        |  SELECT q_id, c.vec_id AS vec_id,
-       |    round(list_cosine_similarity(q_emb, c.emb), 4) AS cosine
+       |    round((list_dot_product(list_transform(CAST(q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(c.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS cosine
        |  FROM cells c JOIN qc USING (cell) WHERE c.vec_id <> qc.q_id),
        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
        |        ORDER BY cosine DESC, vec_id) AS rank FROM scored)
@@ -1406,7 +1423,7 @@ object SimilarityOps {
        |iseeds AS (SELECT e.vec_id AS cell, e.emb AS c_emb
        |           FROM e, nc WHERE e.vec_id < nc.n),
        |ia1 AS (SELECT vec_id, emb, cell,
-       |    round(list_cosine_similarity(emb, c_emb), 4) AS sim
+       |    round((list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS sim
        |  FROM e CROSS JOIN iseeds),
        |ia1r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
        |          ORDER BY sim DESC, cell) AS rnk FROM ia1),
@@ -1415,7 +1432,7 @@ object SimilarityOps {
        |    CAST(CAST([$cavgs] AS FLOAT[]) AS DOUBLE[]) AS c_emb
        |  FROM iasg GROUP BY cell),
        |ia2 AS (SELECT vec_id, emb, cell,
-       |    round(list_cosine_similarity(emb, c_emb), 4) AS sim
+       |    round((list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS sim
        |  FROM e CROSS JOIN icents),
        |ia2r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
        |          ORDER BY sim DESC, cell) AS rnk FROM ia2),
@@ -1457,7 +1474,7 @@ object SimilarityOps {
        |          ORDER BY adot DESC, vec_id) AS r FROM ap),
        |sl AS (SELECT q_id, vec_id FROM apr WHERE r <= $rerank),
        |resc AS (SELECT s.q_id, s.vec_id,
-       |    round(list_cosine_similarity(qe.emb, ce.emb), 4) AS cosine
+       |    round((list_dot_product(list_transform(CAST(qe.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(ce.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(qe.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(qe.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(ce.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(ce.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS cosine
        |  FROM sl s JOIN e ce ON ce.vec_id = s.vec_id
        |            JOIN e qe ON qe.vec_id = s.q_id),
        |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
@@ -1483,7 +1500,7 @@ object SimilarityOps {
        |cr AS (SELECT *, row_number() OVER (ORDER BY vec_id) AS rn FROM c),
        |seeds AS (SELECT vec_id AS cell, emb AS c_emb FROM cr, nc WHERE rn <= n),
        |a1 AS (SELECT c.vec_id, c.label, c.emb, s.cell,
-       |    round(list_cosine_similarity(c.emb, s.c_emb), 4) AS sim
+       |    round((list_dot_product(list_transform(CAST(c.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(s.c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(c.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(s.c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(s.c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS sim
        |  FROM c CROSS JOIN seeds s),
        |a1r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
        |          ORDER BY sim DESC, cell) AS rnk FROM a1),
@@ -1492,19 +1509,19 @@ object SimilarityOps {
        |    CAST(CAST([$avgs] AS FLOAT[]) AS DOUBLE[]) AS c_emb
        |  FROM asg GROUP BY cell),
        |a2 AS (SELECT c.vec_id, c.label, c.emb, ct.cell,
-       |    round(list_cosine_similarity(c.emb, ct.c_emb), 4) AS sim
+       |    round((list_dot_product(list_transform(CAST(c.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(ct.c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(c.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(ct.c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(ct.c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS sim
        |  FROM c CROSS JOIN cents ct),
        |a2r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
        |          ORDER BY sim DESC, cell) AS rnk FROM a2),
        |cells AS (SELECT vec_id, label, emb, cell FROM a2r WHERE rnk = 1),
        |qa AS (SELECT q.q_id, q.true_label, q.q_emb, ct.cell,
-       |    round(list_cosine_similarity(q.q_emb, ct.c_emb), 4) AS sim
+       |    round((list_dot_product(list_transform(CAST(q.q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(ct.c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(q.q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(q.q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(ct.c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(ct.c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS sim
        |  FROM q CROSS JOIN cents ct),
        |qar AS (SELECT *, row_number() OVER (PARTITION BY q_id
        |          ORDER BY sim DESC, cell) AS rnk FROM qa),
        |qc AS (SELECT q_id, true_label, q_emb, cell FROM qar WHERE rnk <= $nProbe),
        |scored AS (SELECT qc.q_id, qc.true_label, cl.vec_id, cl.label,
-       |    round(list_cosine_similarity(qc.q_emb, cl.emb), 4) AS cosine
+       |    round((list_dot_product(list_transform(CAST(qc.q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(cl.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(qc.q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(qc.q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(cl.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(cl.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS cosine
        |  FROM cells cl JOIN qc USING (cell)),
        |top AS (SELECT *, row_number() OVER (PARTITION BY q_id
        |          ORDER BY cosine DESC, vec_id) AS r FROM scored),
