@@ -719,6 +719,9 @@ object RegistryMeta {
     "ann_ivf_topk" ->
       EntryMeta("2.5", "sql",
         "IVF (centroid-partitioned, ~√n cells) approximate top-k"),
+    "ann_ivf_recall" ->
+      EntryMeta("2.5", "sql",
+        "recall@k of the IVF tier MEASURED against the exact brute-force face — the ANN dial's retrieval quality as a checked number"),
     "emb_diversity_sample" ->
       EntryMeta("2.5", "sql",
         "diversity sampling over embeddings"),

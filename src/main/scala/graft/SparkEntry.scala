@@ -925,6 +925,9 @@ object SparkEntry {
     "ann_pq_topk" -> ((s, d) => SimilarityOps.pqTopK(s, d)),
     "ann_lsh_topk"        -> ((s, d) => SimilarityOps.lshTopK(s, d)),
     "ann_ivf_topk"        -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
+    // the routed ANN tier's recall@k MEASURED against the exact face
+    // (both on the quantized cosine grid) — audit operator
+    "ann_ivf_recall"      -> ((s, d) => SimilarityOps.ivfRecall(s, d)),
     // IVF·PQ composed (the FAISS IVFPQ shape): cell-gated candidates
     // scored by ADC over 8-byte codes, exact rescore of the shortlist
     "ann_ivfpq_topk"      -> ((s, d) => SimilarityOps.ivfPqTopK(s, d)),
@@ -6049,6 +6052,7 @@ object SparkEntry {
     "text_ccnet_buckets" -> graft.ops.TextOps.ccnetBucketsOracleSql(),
     "ann_lsh_topk" -> graft.ops.SimilarityOps.lshOracleSql(),
     "ann_ivf_topk" -> graft.ops.SimilarityOps.ivfOracleSql(),
+    "ann_ivf_recall" -> graft.ops.SimilarityOps.ivfRecallOracleSql(),
     "emb_project_rp" -> graft.ops.SimilarityOps.rpOracleSql(),
     "ann_pq_topk" -> graft.ops.SimilarityOps.pqOracleSql(),
     "ann_ivfpq_topk" -> graft.ops.SimilarityOps.ivfPqOracleSql(),

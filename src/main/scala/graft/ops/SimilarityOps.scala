@@ -551,37 +551,8 @@ object SimilarityOps {
   private[graft] def mmrIvfOracleSql(k: Int = 5, shortlist: Int = 20,
                                      nQueries: Int = 10, nProbe: Int = 2,
                                      lam10: Int = 7): String = {
-    val avgs = (1 to dim).map(i => s"avg(emb[$i])").mkString(", ")
     val prefix =
-      s"""nc AS (SELECT greatest(8, CAST(floor(sqrt(count(*))) AS BIGINT)) AS n
-         |       FROM embeddings),
-         |e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-         |     FROM embeddings),
-         |seeds AS (SELECT e.vec_id AS cell, e.emb AS c_emb
-         |          FROM e, nc WHERE e.vec_id < nc.n),
-         |a1 AS (SELECT vec_id, emb, cell,
-         |    round((list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS sim
-         |  FROM e CROSS JOIN seeds),
-         |a1r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-         |          ORDER BY sim DESC, cell) AS rnk FROM a1),
-         |assigned AS (SELECT vec_id, emb, cell FROM a1r WHERE rnk = 1),
-         |cents AS (SELECT cell,
-         |    CAST(CAST([$avgs] AS FLOAT[]) AS DOUBLE[]) AS c_emb
-         |  FROM assigned GROUP BY cell),
-         |a2 AS (SELECT vec_id, emb, cell,
-         |    round((list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS sim
-         |  FROM e CROSS JOIN cents),
-         |a2r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
-         |          ORDER BY sim DESC, cell) AS rnk FROM a2),
-         |cells AS (SELECT vec_id, emb, cell FROM a2r WHERE rnk = 1),
-         |qc AS (SELECT vec_id AS q_id, emb AS q_emb, cell
-         |       FROM a2r WHERE rnk <= $nProbe AND vec_id < $nQueries),
-         |scored AS (
-         |  SELECT q_id, c.vec_id AS vec_id,
-         |    round((list_dot_product(list_transform(CAST(q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(c.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS cosine
-         |  FROM cells c JOIN qc USING (cell) WHERE c.vec_id <> qc.q_id),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
-         |        ORDER BY cosine DESC, vec_id) AS rank FROM scored),
+      s"""${ivfChainCtes(nQueries, nProbe)},
          |short AS MATERIALIZED (SELECT r.q_id, r.vec_id, e.emb,
          |    CAST(round(r.cosine * 10000) AS BIGINT) AS rel_i
          |  FROM r JOIN e ON e.vec_id = r.vec_id
@@ -1371,16 +1342,21 @@ object SimilarityOps {
 
   /** DuckDB replica of ivfTopK: same seed cells, one rounded-similarity
     * assignment pass, float-cast centroid means, multi-probe search. */
-  private[graft] def ivfOracleSql(k: Int = 5, nQueries: Int = 10,
-                                  nProbe: Int = 2): String = {
+  /** The shared IVF assignment+probe+rank CTE chain (nc → … → r),
+    * consumed by [[ivfOracleSql]], [[mmrIvfOracleSql]], and
+    * [[ivfRecallOracleSql]] — one builder so the fit/probe replay
+    * cannot drift between the three faces (the forecast
+    * compare/ensemble oracle discipline). */
+  private def ivfChainCtes(nQueries: Int, nProbe: Int): String = {
     val avgs = (1 to dim).map(i => s"avg(emb[$i])").mkString(", ")
-    s"""WITH nc AS (SELECT greatest(8, CAST(floor(sqrt(count(*))) AS BIGINT)) AS n
+    s"""nc AS (SELECT greatest(8, CAST(floor(sqrt(count(*))) AS BIGINT)) AS n
        |            FROM embeddings),
-       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |     FROM embeddings),
        |seeds AS (SELECT e.vec_id AS cell, e.emb AS c_emb
        |          FROM e, nc WHERE e.vec_id < nc.n),
        |a1 AS (SELECT vec_id, emb, cell,
-       |    round((list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS sim
+       |    round(${qcosSql("emb", "c_emb")}, 4) AS sim
        |  FROM e CROSS JOIN seeds),
        |a1r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
        |          ORDER BY sim DESC, cell) AS rnk FROM a1),
@@ -1389,7 +1365,7 @@ object SimilarityOps {
        |    CAST(CAST([$avgs] AS FLOAT[]) AS DOUBLE[]) AS c_emb
        |  FROM assigned GROUP BY cell),
        |a2 AS (SELECT vec_id, emb, cell,
-       |    round((list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS sim
+       |    round(${qcosSql("emb", "c_emb")}, 4) AS sim
        |  FROM e CROSS JOIN cents),
        |a2r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
        |          ORDER BY sim DESC, cell) AS rnk FROM a2),
@@ -1398,13 +1374,73 @@ object SimilarityOps {
        |       FROM a2r WHERE rnk <= $nProbe AND vec_id < $nQueries),
        |scored AS (
        |  SELECT q_id, c.vec_id AS vec_id,
-       |    round((list_dot_product(list_transform(CAST(q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(c.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS cosine
+       |    round(${qcosSql("q_emb", "c.emb")}, 4) AS cosine
        |  FROM cells c JOIN qc USING (cell) WHERE c.vec_id <> qc.q_id),
        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
-       |        ORDER BY cosine DESC, vec_id) AS rank FROM scored)
+       |        ORDER BY cosine DESC, vec_id) AS rank FROM scored)""".stripMargin
+  }
+
+  private[graft] def ivfOracleSql(k: Int = 5, nQueries: Int = 10,
+                                  nProbe: Int = 2): String =
+    s"""WITH ${ivfChainCtes(nQueries, nProbe)}
        |SELECT q_id, vec_id, cosine, rank FROM r
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+
+  /** Measured recall@k of the IVF scale tier against the exact
+    * brute-force face — the routed tier's retrieval quality as a
+    * CHECKED number instead of an asserted one (every other property
+    * of the Routing pairs is oracled; this closes the recall gap for
+    * the ANN dial). One row per query: how many of the exact top-k
+    * the probe-limited IVF retrieval found, and the half-up 4dp
+    * recall. Both retrievals share the quantized cosine grid and the
+    * (cosine DESC, vec_id) tiebreak, so the comparison is
+    * deterministic — a recall of 1.0 means identical sets, not
+    * tie-luck. Cost: the IVF fit + one queries×corpus broadcast
+    * scoring pass (the exact face is the evaluation's ground truth
+    * by definition — this is an audit operator, not a serving
+    * path). */
+  def ivfRecall(s: SparkSession, d: String, k: Int = 5,
+                nQueries: Int = 10, nProbe: Int = 2): DataFrame = {
+    val ivf = ivfTopK(s, d, k, nQueries, nProbe = nProbe)
+      .select(col("q_id"), col("vec_id"))
+    val exact = bruteForceTopK(s, d, k, nQueries)
+      .select(col("q_id"), col("vec_id"))
+    val hits = exact.join(ivf, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    Tables.embeddings(s, d).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        ExactRatio.r4(coalesce(col("hits"), lit(0L)), lit(k)).as("recall"))
+      .orderBy(col("q_id"))
   }
+
+  /** DuckDB replay of [[ivfRecall]]: the shared IVF chain's top-k
+    * beside the exact brute-force top-k (same quantized cosine, same
+    * tiebreak), hits counted per query, recall published on the
+    * half-up 4dp integer grid. */
+  private[graft] def ivfRecallOracleSql(k: Int = 5, nQueries: Int = 10,
+                                        nProbe: Int = 2): String =
+    s"""WITH ${ivfChainCtes(nQueries, nProbe)},
+       |ivfk AS (SELECT q_id, vec_id FROM r WHERE rank <= $k),
+       |bq AS (SELECT vec_id AS q_id, emb AS q_emb FROM e
+       |       WHERE vec_id < $nQueries),
+       |bscored AS (SELECT q_id, e.vec_id AS vec_id,
+       |    round(${qcosSql("q_emb", "e.emb")}, 4) AS cosine
+       |  FROM e CROSS JOIN bq WHERE e.vec_id <> bq.q_id),
+       |br AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cosine DESC, vec_id) AS rank FROM bscored),
+       |bfk AS (SELECT q_id, vec_id FROM br WHERE rank <= $k),
+       |hits AS (SELECT q_id, count(*) AS hits
+       |         FROM bfk SEMI JOIN ivfk USING (q_id, vec_id)
+       |         GROUP BY q_id)
+       |SELECT bq.q_id AS q_id,
+       |  CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+       |  CAST((CAST(coalesce(hits, 0) AS HUGEINT) * 20000 + $k)
+       |    // (2 * $k) AS BIGINT) / 10000.0 AS recall
+       |FROM bq LEFT JOIN hits USING (q_id)
+       |ORDER BY q_id""".stripMargin
 
   /** DuckDB replica of [[ivfPqTopK]]: the ivfOracle cell CTEs and the
     * pqOracle codebook CTEs (names prefixed i/p to compose under one

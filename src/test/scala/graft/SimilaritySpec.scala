@@ -130,6 +130,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.0) // approximate by design; exactness is per-score
   }
 
+  test("IVF recall audit: 1.0 at full probe width, monotone in nProbe") {
+    // probing every cell makes the candidate set the whole corpus, so
+    // the IVF ranking equals the exact one and recall must be 1.0
+    val full = SimilarityOps.ivfRecall(spark, sf, k = 5, nQueries = 5,
+      nProbe = 1000000).collect()
+    assert(full.length === 5)
+    full.foreach { r =>
+      assert(r.getLong(1) === 5L, s"hits ${r.getLong(1)} at full probe")
+      assert(r.getDouble(2) === 1.0)
+    }
+    // widening the probe can only add candidates: per-query recall is
+    // monotone non-decreasing in nProbe
+    val p1 = SimilarityOps.ivfRecall(spark, sf, k = 5, nQueries = 5,
+      nProbe = 1).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val p3 = SimilarityOps.ivfRecall(spark, sf, k = 5, nQueries = 5,
+      nProbe = 3).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    p1.foreach { case (q, h1) => assert(p3(q) >= h1, s"query $q") }
+  }
+
   test("knn classifier: planted clusters classify their held-out queries") {
     import spark.implicits._
     val emb = Seq(
