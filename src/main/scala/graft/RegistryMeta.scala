@@ -646,6 +646,9 @@ object RegistryMeta {
     "curate_mix_temperature" ->
       EntryMeta("2.4", "sql",
         "temperature-scaled source mixing (the GPT-3/LLaMA data-recipe sampler), pinned at T=2: source quotas ∝ √n_s"),
+    "curate_shard_export" ->
+      EntryMeta("2.4", "sql",
+        "shard export: balanced md5-keyed shards + deterministic within-shard pseudo-random order — the reproducible global shuffle a training run reads"),
     "dedup_embedding" ->
       EntryMeta("2.4", "sql",
         "embedding-cosine pairs: exact all-pairs face (the oracle baseline)",

@@ -1067,6 +1067,10 @@ object SparkEntry {
     // temperature (T=2) source mixing: sqrt-flattened quotas, md5
     // coin order per source, PrefixSum ranks — the recipe sampler
     "curate_mix_temperature" -> ((s, d) => CurateOps.mixTemperature(s, d)),
+    // the export step: balanced shards + deterministic pseudo-random
+    // within-shard order (md5 coin) — the reproducible global shuffle
+    "curate_shard_export" -> ((s, d) =>
+      CurateOps.shardExport(Tables.documents(s, d))),
     // §2.7 multimodal — REAL codec work: synthesize byte-level
     // WAV/BMP payloads deterministically from doc_id, parse them with
     // the header-walking decoders; features have closed forms so the
@@ -6049,6 +6053,8 @@ object SparkEntry {
     "curate_dsir" -> graft.ops.CurateOps.dsirOracleSql(),
     "curate_mix_temperature" ->
       graft.ops.CurateOps.mixTemperatureOracleSql(),
+    "curate_shard_export" ->
+      graft.ops.CurateOps.shardExportOracleSql(),
     "text_ccnet_buckets" -> graft.ops.TextOps.ccnetBucketsOracleSql(),
     "ann_lsh_topk" -> graft.ops.SimilarityOps.lshOracleSql(),
     "ann_ivf_topk" -> graft.ops.SimilarityOps.ivfOracleSql(),

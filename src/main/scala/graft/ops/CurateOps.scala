@@ -354,6 +354,50 @@ object CurateOps {
       .orderBy(col("doc_id"))
   }
 
+  /** SHARD EXPORT — the last step of every training-data pipeline:
+    * assign each document to one of `nShards` balanced-in-expectation
+    * shards and give it a position inside its shard under a
+    * DETERMINISTIC pseudo-random order (the "global shuffle" a
+    * training run needs so examples arrive decorrelated from crawl
+    * order, reproducible run to run and engine to engine — an
+    * md5-keyed order, the registry's standard coin, never rand()).
+    *
+    * Scale shape: shard = 60-bit md5 % nShards is row-local in the
+    * scan; the ONLY shuffle is the shard-keyed exchange + per-shard
+    * sort (row_number over the shard partition) — which is exactly
+    * the exchange+sort a sharded ordered write performs anyway, so
+    * the operator adds zero work beyond the export itself. Shard
+    * partitions are corpus/nShards sized; pick nShards to the
+    * cluster (thousands at 100 TB) and the window never sees a
+    * skewed key (md5 is uniform). */
+  def shardExport(docs: DataFrame, nShards: Int = 8,
+                  pepper: String = "shard"): DataFrame = {
+    val key = md5(concat(col("doc_id").cast("string"), lit("_" + pepper)))
+    val coined = Tables.spread(docs)
+      .select(col("doc_id"), key.as("k"))
+      .withColumn("shard",
+        conv(substring(col("k"), 1, 15), 16, 10).cast("long") % nShards)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+    coined.withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  /** DuckDB replica of [[shardExport]]: same md5 coin, same 60-bit
+    * modulus, same (key, doc_id) order. */
+  private[graft] def shardExportOracleSql(nShards: Int = 8,
+                                          pepper: String = "shard"): String =
+    s"""WITH k AS (SELECT doc_id,
+       |    md5(doc_id::VARCHAR || '_$pepper') AS k FROM documents),
+       |s AS (SELECT doc_id, k,
+       |    CAST(('0x' || substr(k, 1, 15))::UBIGINT % $nShards
+       |      AS BIGINT) AS shard FROM k)
+       |SELECT doc_id, shard,
+       |  CAST(row_number() OVER (PARTITION BY shard
+       |    ORDER BY k, doc_id) AS BIGINT) AS pos
+       |FROM s ORDER BY shard, pos""".stripMargin
+
   /** DuckDB replica of [[mixTemperature]]: same floor(1e6·√n)
     * weights, HUGEINT quota arithmetic, md5 coin order. */
   private[graft] def mixTemperatureOracleSql(keepDenom: Long = 2L): String =

@@ -5,6 +5,37 @@ import graft.ops.CurateOps
 class CurateSpec extends SparkSpec {
   import spark.implicits._
 
+  test("shard export: contiguous positions, md5-replicated shards, balance") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val out = CurateOps.shardExport(docs, nShards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length.toLong === n)
+    // positions are contiguous 1..size within every shard
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq,
+        s"shard $shard positions not contiguous")
+    }
+    // the shard assignment is the documented md5 coin — replicate it
+    // driver-side for every doc
+    val md = java.security.MessageDigest.getInstance("MD5")
+    out.foreach { case (id, shard, _) =>
+      val hex = md.digest(s"${id}_shard".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      assert(shard === java.lang.Long.parseLong(hex, 16) % 8,
+        s"doc $id shard mismatch")
+    }
+    // md5 is uniform: no shard may be empty or hold over half the
+    // corpus (a LOOSE band — balance is in expectation, not exact)
+    val sizes = out.groupBy(_._2).map(_._2.length)
+    assert(sizes.size === 8)
+    assert(sizes.max <= n / 2)
+    // deterministic: a second run is identical
+    val again = CurateOps.shardExport(docs, nShards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq === out.toSeq)
+  }
+
   test("curate: quality gate, exact dedup, and decontamination compose") {
     // good, long, stopword-bearing base text (> 100 chars)
     val a = "the quick brown fox jumps over the lazy dog and runs to the " +
