@@ -725,6 +725,12 @@ object RegistryMeta {
     "ann_ivf_recall" ->
       EntryMeta("2.5", "sql",
         "recall@k of the IVF tier MEASURED against the exact brute-force face — the ANN dial's retrieval quality as a checked number"),
+    "ann_lsh_recall" ->
+      EntryMeta("2.5", "sql",
+        "recall@k of the bucket-gated LSH tier measured against the exact face (same audit shape as ann_ivf_recall)"),
+    "ann_pq_recall" ->
+      EntryMeta("2.5", "sql",
+        "recall@k of the PQ/ADC tier measured against the exact face (same audit shape as ann_ivf_recall)"),
     "emb_diversity_sample" ->
       EntryMeta("2.5", "sql",
         "diversity sampling over embeddings"),

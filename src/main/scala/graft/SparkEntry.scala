@@ -928,6 +928,8 @@ object SparkEntry {
     // the routed ANN tier's recall@k MEASURED against the exact face
     // (both on the quantized cosine grid) — audit operator
     "ann_ivf_recall"      -> ((s, d) => SimilarityOps.ivfRecall(s, d)),
+    "ann_lsh_recall"      -> ((s, d) => SimilarityOps.lshRecall(s, d)),
+    "ann_pq_recall"       -> ((s, d) => SimilarityOps.pqRecall(s, d)),
     // IVF·PQ composed (the FAISS IVFPQ shape): cell-gated candidates
     // scored by ADC over 8-byte codes, exact rescore of the shortlist
     "ann_ivfpq_topk"      -> ((s, d) => SimilarityOps.ivfPqTopK(s, d)),
@@ -6059,6 +6061,8 @@ object SparkEntry {
     "ann_lsh_topk" -> graft.ops.SimilarityOps.lshOracleSql(),
     "ann_ivf_topk" -> graft.ops.SimilarityOps.ivfOracleSql(),
     "ann_ivf_recall" -> graft.ops.SimilarityOps.ivfRecallOracleSql(),
+    "ann_lsh_recall" -> graft.ops.SimilarityOps.lshRecallOracleSql(),
+    "ann_pq_recall" -> graft.ops.SimilarityOps.pqRecallOracleSql(),
     "emb_project_rp" -> graft.ops.SimilarityOps.rpOracleSql(),
     "ann_pq_topk" -> graft.ops.SimilarityOps.pqOracleSql(),
     "ann_ivfpq_topk" -> graft.ops.SimilarityOps.ivfPqOracleSql(),

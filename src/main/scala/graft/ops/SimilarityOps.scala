@@ -1386,26 +1386,25 @@ object SimilarityOps {
        |SELECT q_id, vec_id, cosine, rank FROM r
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
 
-  /** Measured recall@k of the IVF scale tier against the exact
-    * brute-force face — the routed tier's retrieval quality as a
-    * CHECKED number instead of an asserted one (every other property
-    * of the Routing pairs is oracled; this closes the recall gap for
-    * the ANN dial). One row per query: how many of the exact top-k
-    * the probe-limited IVF retrieval found, and the half-up 4dp
-    * recall. Both retrievals share the quantized cosine grid and the
-    * (cosine DESC, vec_id) tiebreak, so the comparison is
-    * deterministic — a recall of 1.0 means identical sets, not
-    * tie-luck. Cost: the IVF fit + one queries×corpus broadcast
-    * scoring pass (the exact face is the evaluation's ground truth
-    * by definition — this is an audit operator, not a serving
-    * path). */
-  def ivfRecall(s: SparkSession, d: String, k: Int = 5,
-                nQueries: Int = 10, nProbe: Int = 2): DataFrame = {
-    val ivf = ivfTopK(s, d, k, nQueries, nProbe = nProbe)
-      .select(col("q_id"), col("vec_id"))
+  /** Measured recall@k of an ANN tier against the exact brute-force
+    * face — the routed tiers' retrieval quality as CHECKED numbers
+    * instead of asserted ones (every other property of the Routing
+    * pairs is oracled; these close the recall gap for the ANN dial).
+    * One row per query: how many of the exact top-k the approximate
+    * retrieval found, and the half-up 4dp recall. Both retrievals
+    * share the quantized cosine grid and the (cosine DESC, vec_id)
+    * tiebreak, so the comparison is deterministic — a recall of 1.0
+    * means identical sets, not tie-luck. Cost: the tier's own run +
+    * one queries×corpus broadcast scoring pass (the exact face is
+    * the evaluation's ground truth by definition — audit operators,
+    * not serving paths). */
+  private def recallVsExact(s: SparkSession, d: String,
+                            approx: DataFrame, k: Int,
+                            nQueries: Int): DataFrame = {
     val exact = bruteForceTopK(s, d, k, nQueries)
       .select(col("q_id"), col("vec_id"))
-    val hits = exact.join(ivf, Seq("q_id", "vec_id"), "left_semi")
+    val hits = exact.join(approx.select(col("q_id"), col("vec_id")),
+        Seq("q_id", "vec_id"), "left_semi")
       .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
     Tables.embeddings(s, d).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"))
@@ -1416,24 +1415,46 @@ object SimilarityOps {
       .orderBy(col("q_id"))
   }
 
-  /** DuckDB replay of [[ivfRecall]]: the shared IVF chain's top-k
-    * beside the exact brute-force top-k (same quantized cosine, same
-    * tiebreak), hits counted per query, recall published on the
-    * half-up 4dp integer grid. */
-  private[graft] def ivfRecallOracleSql(k: Int = 5, nQueries: Int = 10,
-                                        nProbe: Int = 2): String =
-    s"""WITH ${ivfChainCtes(nQueries, nProbe)},
-       |ivfk AS (SELECT q_id, vec_id FROM r WHERE rank <= $k),
-       |bq AS (SELECT vec_id AS q_id, emb AS q_emb FROM e
-       |       WHERE vec_id < $nQueries),
-       |bscored AS (SELECT q_id, e.vec_id AS vec_id,
-       |    round(${qcosSql("q_emb", "e.emb")}, 4) AS cosine
-       |  FROM e CROSS JOIN bq WHERE e.vec_id <> bq.q_id),
+  /** Recall@k of the probe-limited IVF tier (see [[recallVsExact]]). */
+  def ivfRecall(s: SparkSession, d: String, k: Int = 5,
+                nQueries: Int = 10, nProbe: Int = 2): DataFrame =
+    recallVsExact(s, d, ivfTopK(s, d, k, nQueries, nProbe = nProbe),
+      k, nQueries)
+
+  /** Recall@k of the bucket-gated LSH tier (see [[recallVsExact]]). */
+  def lshRecall(s: SparkSession, d: String, k: Int = 5,
+                nQueries: Int = 10, nBits: Int = 4): DataFrame =
+    recallVsExact(s, d, lshTopK(s, d, k, nQueries, nBits), k, nQueries)
+
+  /** Recall@k of the PQ/ADC tier (see [[recallVsExact]]). */
+  def pqRecall(s: SparkSession, d: String, k: Int = 5,
+               nQueries: Int = 10, m: Int = 8, nCodes: Int = 16,
+               rerank: Int = 50): DataFrame =
+    recallVsExact(s, d, pqTopK(s, d, k, nQueries, m, nCodes, rerank),
+      k, nQueries)
+
+  /** DuckDB replay of the ANN recall audits: the tier's OWN
+    * registered oracle text embedded verbatim as the `apx` subquery
+    * (the strongest no-drift property — the audited retrieval IS the
+    * registered entry's SQL), beside the exact brute-force replay on
+    * the same quantized cosine grid; hits counted per query, recall
+    * published on the half-up 4dp integer grid. */
+  private def annRecallOracleSql(apxSql: String, k: Int,
+                                 nQueries: Int): String =
+    s"""WITH apx AS MATERIALIZED (
+       |  SELECT q_id, vec_id FROM ($apxSql) __apx),
+       |bq AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_emb
+       |       FROM embeddings WHERE vec_id < $nQueries),
+       |be AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |       FROM embeddings),
+       |bscored AS (SELECT q_id, be.vec_id AS vec_id,
+       |    round(${qcosSql("q_emb", "be.emb")}, 4) AS cosine
+       |  FROM be CROSS JOIN bq WHERE be.vec_id <> bq.q_id),
        |br AS (SELECT *, row_number() OVER (PARTITION BY q_id
        |        ORDER BY cosine DESC, vec_id) AS rank FROM bscored),
        |bfk AS (SELECT q_id, vec_id FROM br WHERE rank <= $k),
        |hits AS (SELECT q_id, count(*) AS hits
-       |         FROM bfk SEMI JOIN ivfk USING (q_id, vec_id)
+       |         FROM bfk SEMI JOIN apx USING (q_id, vec_id)
        |         GROUP BY q_id)
        |SELECT bq.q_id AS q_id,
        |  CAST(coalesce(hits, 0) AS BIGINT) AS hits,
@@ -1441,6 +1462,20 @@ object SimilarityOps {
        |    // (2 * $k) AS BIGINT) / 10000.0 AS recall
        |FROM bq LEFT JOIN hits USING (q_id)
        |ORDER BY q_id""".stripMargin
+
+  private[graft] def ivfRecallOracleSql(k: Int = 5, nQueries: Int = 10,
+                                        nProbe: Int = 2): String =
+    annRecallOracleSql(ivfOracleSql(k, nQueries, nProbe), k, nQueries)
+
+  private[graft] def lshRecallOracleSql(k: Int = 5, nQueries: Int = 10,
+                                        nBits: Int = 4): String =
+    annRecallOracleSql(lshOracleSql(k, nQueries, nBits), k, nQueries)
+
+  private[graft] def pqRecallOracleSql(k: Int = 5, nQueries: Int = 10,
+                                       m: Int = 8, nCodes: Int = 16,
+                                       rerank: Int = 50): String =
+    annRecallOracleSql(pqOracleSql(k, nQueries, m, nCodes, rerank),
+      k, nQueries)
 
   /** DuckDB replica of [[ivfPqTopK]]: the ivfOracle cell CTEs and the
     * pqOracle codebook CTEs (names prefixed i/p to compose under one

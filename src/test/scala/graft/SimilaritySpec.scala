@@ -149,6 +149,24 @@ class SimilaritySpec extends SparkSpec {
     p1.foreach { case (q, h1) => assert(p3(q) >= h1, s"query $q") }
   }
 
+  test("LSH recall is per-query monotone non-increasing in nBits; " +
+       "PQ recall hits 1.0 at corpus-wide rerank") {
+    // prefix-stable planes: a 4-bit bucket match implies the 2-bit
+    // match, so widening nBits can only shrink the candidate set
+    val b2 = SimilarityOps.lshRecall(spark, sf, k = 5, nQueries = 5,
+      nBits = 2).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b4 = SimilarityOps.lshRecall(spark, sf, k = 5, nQueries = 5,
+      nBits = 4).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    b4.foreach { case (q, h4) => assert(b2(q) >= h4, s"query $q") }
+    // a rerank shortlist covering the whole corpus makes PQ's exact
+    // rescore the full exact ranking
+    val full = SimilarityOps.pqRecall(spark, sf, k = 5, nQueries = 5,
+      rerank = 1000000).collect()
+    assert(full.length === 5)
+    full.foreach(r => assert(r.getDouble(2) === 1.0,
+      s"query ${r.getLong(0)} recall ${r.getDouble(2)}"))
+  }
+
   test("knn classifier: planted clusters classify their held-out queries") {
     import spark.implicits._
     val emb = Seq(
