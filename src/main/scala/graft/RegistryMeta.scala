@@ -731,6 +731,9 @@ object RegistryMeta {
     "ann_pq_recall" ->
       EntryMeta("2.5", "sql",
         "recall@k of the PQ/ADC tier measured against the exact face (same audit shape as ann_ivf_recall)"),
+    "ann_ivfpq_recall" ->
+      EntryMeta("2.5", "sql",
+        "recall@k of the composed IVF·PQ tier — probe gating and ADC quantization losses measured composed"),
     "emb_diversity_sample" ->
       EntryMeta("2.5", "sql",
         "diversity sampling over embeddings"),

@@ -930,6 +930,7 @@ object SparkEntry {
     "ann_ivf_recall"      -> ((s, d) => SimilarityOps.ivfRecall(s, d)),
     "ann_lsh_recall"      -> ((s, d) => SimilarityOps.lshRecall(s, d)),
     "ann_pq_recall"       -> ((s, d) => SimilarityOps.pqRecall(s, d)),
+    "ann_ivfpq_recall"    -> ((s, d) => SimilarityOps.ivfPqRecall(s, d)),
     // IVF·PQ composed (the FAISS IVFPQ shape): cell-gated candidates
     // scored by ADC over 8-byte codes, exact rescore of the shortlist
     "ann_ivfpq_topk"      -> ((s, d) => SimilarityOps.ivfPqTopK(s, d)),
@@ -6063,6 +6064,7 @@ object SparkEntry {
     "ann_ivf_recall" -> graft.ops.SimilarityOps.ivfRecallOracleSql(),
     "ann_lsh_recall" -> graft.ops.SimilarityOps.lshRecallOracleSql(),
     "ann_pq_recall" -> graft.ops.SimilarityOps.pqRecallOracleSql(),
+    "ann_ivfpq_recall" -> graft.ops.SimilarityOps.ivfPqRecallOracleSql(),
     "emb_project_rp" -> graft.ops.SimilarityOps.rpOracleSql(),
     "ann_pq_topk" -> graft.ops.SimilarityOps.pqOracleSql(),
     "ann_ivfpq_topk" -> graft.ops.SimilarityOps.ivfPqOracleSql(),

@@ -1433,6 +1433,17 @@ object SimilarityOps {
     recallVsExact(s, d, pqTopK(s, d, k, nQueries, m, nCodes, rerank),
       k, nQueries)
 
+  /** Recall@k of the composed IVF·PQ tier (see [[recallVsExact]]) —
+    * the audit now covers all four approximate tiers, so the two
+    * recall losses (probe gating and ADC quantization) are measured
+    * composed as well as separately. */
+  def ivfPqRecall(s: SparkSession, d: String, k: Int = 5,
+                  nQueries: Int = 10, nProbe: Int = 2, m: Int = 8,
+                  nCodes: Int = 16, rerank: Int = 50): DataFrame =
+    recallVsExact(s, d,
+      ivfPqTopK(s, d, k, nQueries, nProbe, m, nCodes, rerank),
+      k, nQueries)
+
   /** DuckDB replay of the ANN recall audits: the tier's OWN
     * registered oracle text embedded verbatim as the `apx` subquery
     * (the strongest no-drift property — the audited retrieval IS the
@@ -1476,6 +1487,13 @@ object SimilarityOps {
                                        rerank: Int = 50): String =
     annRecallOracleSql(pqOracleSql(k, nQueries, m, nCodes, rerank),
       k, nQueries)
+
+  private[graft] def ivfPqRecallOracleSql(k: Int = 5, nQueries: Int = 10,
+                                          nProbe: Int = 2, m: Int = 8,
+                                          nCodes: Int = 16,
+                                          rerank: Int = 50): String =
+    annRecallOracleSql(
+      ivfPqOracleSql(k, nQueries, nProbe, m, nCodes, rerank), k, nQueries)
 
   /** DuckDB replica of [[ivfPqTopK]]: the ivfOracle cell CTEs and the
     * pqOracle codebook CTEs (names prefixed i/p to compose under one

@@ -167,6 +167,18 @@ class SimilaritySpec extends SparkSpec {
       s"query ${r.getLong(0)} recall ${r.getDouble(2)}"))
   }
 
+  test("composed IVF-PQ recall never exceeds IVF-only recall per query") {
+    // an exact-top-k member inside the gated cells is always an IVF
+    // hit (its global rank bounds its within-cell rank); the composed
+    // tier additionally requires surviving the ADC shortlist, so its
+    // hit set is a subset at matched k/nProbe
+    val ivf = SimilarityOps.ivfRecall(spark, sf, k = 5, nQueries = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val comp = SimilarityOps.ivfPqRecall(spark, sf, k = 5, nQueries = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    comp.foreach { case (q, h) => assert(h <= ivf(q), s"query $q") }
+  }
+
   test("knn classifier: planted clusters classify their held-out queries") {
     import spark.implicits._
     val emb = Seq(
