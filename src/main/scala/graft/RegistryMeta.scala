@@ -716,6 +716,9 @@ object RegistryMeta {
     "emb_pca_project" ->
       EntryMeta("2.5", "sql",
         "the probe's ACTION: project every embedding onto the fitted top component"),
+    "emb_pca_remove_top" ->
+      EntryMeta("2.5", "sql",
+        "all-but-the-top common-component removal: centered vectors minus their top-PC projection on the exact integer lattice — the isotropy post-processing the ev_share probe earns"),
     "emb_centroid_drift" ->
       EntryMeta("2.5", "sql",
         "EMBEDDING-space drift monitor"),

@@ -1133,6 +1133,9 @@ object SparkEntry {
     // the probe's ACTION: project every embedding onto the fitted top
     // component — fit is grid-sized, apply is one narrow map
     "emb_pca_project" -> ((s, d) => SimilarityOps.pcaProject(s, d)),
+    // all-but-the-top: subtract the fat axis, keep the isotropic
+    // residual — the retrieval post-processing the ev_share probe earns
+    "emb_pca_remove_top" -> ((s, d) => SimilarityOps.pcaRemoveTop(s, d)),
     // §2.8 streaming (batch faces; streaming faces spec-tested)
     "stream_window_counts" -> (graft.streaming.EventStreams.windowCountsBatch _),
     "stream_sliding_counts" -> (graft.streaming.EventStreams.slidingCountsBatch _),
@@ -6172,6 +6175,7 @@ object SparkEntry {
     // for DECIMAL(38,0); both engines' integer division truncates)
     "emb_pca_power" -> SimilarityOps.pcaOracleSql(),
     "emb_pca_project" -> SimilarityOps.pcaProjectOracleSql(),
+    "emb_pca_remove_top" -> SimilarityOps.pcaRemoveTopOracleSql(),
     // Generated from the same pattern table the operator folds over
     // (Java regex and RE2 agree on this subset); counts on the
     // original text, replacements applied in the same fixed order.

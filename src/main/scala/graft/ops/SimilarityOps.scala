@@ -1749,6 +1749,65 @@ object SimilarityOps {
       .orderBy(col("vec_id"))
   }
 
+  /** ALL-BUT-THE-TOP common-component removal (the Arora/Mu
+    * post-processing every sentence-embedding pipeline runs when its
+    * space has a fat axis): subtract each centered vector's
+    * projection onto the fitted top component, leaving the isotropic
+    * residual that retrieves better under cosine. The third ACTION of
+    * the [[pcaPower]] probe (beside [[pcaProject]]'s 1-D feature):
+    * `ev_share` says whether the space needs it; this applies it.
+    *
+    * Same fixed-point contract as the fit: dx and the component are
+    * integer 1e-6 units; the projection coefficient is the exact
+    * integer rational (dx·v)/(v·v) applied per dimension as
+    * dx_i − (dx·v · v_i) div (v·v) in DECIMAL(38,0) (the product
+    * dx·v × v_i overflows a long, so the lattice arithmetic widens —
+    * both engines truncate the division toward zero identically, the
+    * pcaFit-verified property). Apply is one narrow map over the
+    * corpus against the broadcast 64-long component — fit cost is
+    * grid-sized, apply is corpus-linear. Output long format
+    * (vec_id, pos, value), 1e-6-exact. */
+  def pcaRemoveTop(s: SparkSession, d: String, iters: Int = 6): DataFrame =
+    pcaRemoveTopOn(Tables.embeddings(s, d), iters)
+
+  /** Same over any (vec_id, embedding) frame. */
+  def pcaRemoveTopOn(emb: DataFrame, iters: Int): DataFrame = {
+    val (cx, _, vf) = pcaFit(emb, iters)
+    val vArr = vf
+      .agg(array_sort(collect_list(struct(col("dim"), col("v6")))).as("pv"))
+      .select(transform(col("pv"), p => p.getField("v6")).as("vs"))
+      .withColumn("vv", aggregate(
+        transform(col("vs"), v => v * v), lit(0L), (a, x) => a + x))
+    cx.crossJoin(broadcast(vArr))
+      .withColumn("dxv", aggregate(
+        zip_with(col("dx"), col("vs"), (a, b) => a * b),
+        lit(0L), (a, x) => a + x))
+      .select(col("vec_id"), posexplode(
+        zip_with(col("dx"), col("vs"), (dxi, vi) =>
+          (dxi.cast("decimal(38,0)") -
+            call_function("div",
+              col("dxv").cast("decimal(38,0)") * vi,
+              col("vv").cast("decimal(38,0)")))
+            .cast("double") / 1000000.0)).as(Seq("pos", "value")))
+      .orderBy(col("vec_id"), col("pos"))
+  }
+
+  /** DuckDB replay of [[pcaRemoveTopOn]] — the shared core CTEs plus
+    * the per-vector coefficient and the per-dimension lattice
+    * subtraction (HUGEINT stands in for DECIMAL(38,0)). */
+  private[graft] def pcaRemoveTopOracleSql(iters: Int = 6): String =
+    pcaCoreCtes(iters) + ",\n" +
+      s"""dv AS (SELECT cx.vec_id,
+         |    CAST(sum(cx.dx * v.v6) AS HUGEINT) AS dxv
+         |  FROM cx JOIN v$iters v ON cx.dim = v.dim GROUP BY 1),
+         |vv AS (SELECT sum(v6 * v6) AS vv FROM v$iters)
+         |SELECT cx.vec_id AS vec_id, cx.dim AS pos,
+         |  CAST(CAST(cx.dx AS HUGEINT)
+         |    - (dv.dxv * v.v6) // vv.vv AS DOUBLE) / 1000000.0 AS value
+         |FROM cx JOIN v$iters v ON cx.dim = v.dim
+         |     JOIN dv ON dv.vec_id = cx.vec_id, vv
+         |ORDER BY cx.vec_id, pos""".stripMargin
+
   /** DuckDB replay of [[pcaPowerOn]], generated beside the operator
     * so the round count and every unit constant can't drift: the same
     * quantization, the same integer covariance codes, the same

@@ -179,6 +179,38 @@ class SimilaritySpec extends SparkSpec {
     comp.foreach { case (q, h) => assert(h <= ivf(q), s"query $q") }
   }
 
+  test("remove-top: a planted fat axis collapses to exact zeros") {
+    import spark.implicits._
+    // every vector is a multiple of e0 with exactly-quantizable
+    // coordinates: the top PC is e0 and the lattice subtraction
+    // removes the whole vector — residuals are exactly 0
+    val emb = Seq(
+      (0L, Array(0.1f, 0f, 0f, 0f)), (1L, Array(0.2f, 0f, 0f, 0f)),
+      (2L, Array(0.3f, 0f, 0f, 0f)), (3L, Array(0.4f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.pcaRemoveTopOn(emb, iters = 6).collect()
+    assert(out.length === 16)
+    out.foreach(r => assert(r.getDouble(2) === 0.0,
+      s"vec ${r.getLong(0)} pos ${r.getInt(1)} = ${r.getDouble(2)}"))
+  }
+
+  test("remove-top residuals are lattice-orthogonal to the component") {
+    // the per-dimension truncation leaves |residual . v| bounded by
+    // the sum of |v_i| (one lost unit per dimension at most)
+    val v6 = SimilarityOps.pcaPower(spark, sf).collect()
+      .map(r => (r.getInt(0), math.round(r.getDouble(1) * 1e6)))
+      .sortBy(_._1).map(_._2)
+    val bound = v6.map(math.abs).sum
+    val res = SimilarityOps.pcaRemoveTop(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), math.round(r.getDouble(2) * 1e6)))
+      .groupBy(_._1)
+    res.foreach { case (vec, rows) =>
+      val dot = rows.sortBy(_._2).map(_._3).zip(v6)
+        .map { case (c, v) => c * v }.sum
+      assert(math.abs(dot) <= bound, s"vec $vec residual dot $dot")
+    }
+  }
+
   test("knn classifier: planted clusters classify their held-out queries") {
     import spark.implicits._
     val emb = Seq(
