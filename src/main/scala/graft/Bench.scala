@@ -37,6 +37,24 @@ object Bench {
   private[graft] def contaminated(series: Seq[Double], pin: Double): Boolean =
     medianRatio(series, pin) > 1.5
 
+  /** Cold storage state for a timed entry: drop the SQL cache AND
+    * every persistent RDD block left behind by earlier entries.
+    * Operators `localCheckpoint`/`persist` intermediates and the
+    * returned plan cannot unpersist the blocks that back it;
+    * `clearCache()` alone only drops catalog-tracked Dataset caches,
+    * so checkpoint RDD blocks accumulated across a ~280-entry run and
+    * later heavy entries paid earlier entries' eviction/GC churn —
+    * r13's in-run graph_triangles read 2.9–5.0× its pin while
+    * isolated BenchOne read AT pin. Non-blocking unpersist: removal
+    * proceeds async, the next entry's allocation no longer competes
+    * with a full storage region. */
+  private[graft] def clearStorage(
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
   /** Local control level for the entry at index `i`: mean of the
     * bracketing control readings (controls = (position, seconds),
     * position = index of the entry the control ran before; the final
@@ -97,7 +115,7 @@ object Bench {
     val controlFn = SparkEntry.queries(controlName)
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Double = {
-      spark.catalog.clearCache()
+      clearStorage(spark)
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
@@ -108,11 +126,11 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val results = ordered.zipWithIndex.map { case ((name, fn), i) =>
       if (i % controlEvery == 0) controls += ((i, timeOnce(controlFn)))
-      // Operators cache() intermediates and a returned plan can't
-      // unpersist them; without clearing, storage accumulates across
-      // all queries and later queries pay earlier queries'
-      // evictions — each query must be timed from a cold cache.
-      spark.catalog.clearCache()
+      // Each query is timed from a cold storage state: SQL cache AND
+      // accumulated checkpoint/persisted RDD blocks (see clearStorage)
+      // — without the RDD sweep, later queries pay earlier queries'
+      // evictions.
+      clearStorage(spark)
       val t0 = System.nanoTime()
       // noop-write runs the FULL plan (final sorts/limits included —
       // count() would let Catalyst prune them) without collect()'s

@@ -17,7 +17,7 @@ object BenchOne {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     val spark = GraftSession.build(cpus)
     for (r <- 1 to reps; name <- args) {
-      spark.catalog.clearCache()
+      Bench.clearStorage(spark)
       val t0 = System.nanoTime()
       val ok =
         try { SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save(); true }

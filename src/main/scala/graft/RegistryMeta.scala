@@ -557,7 +557,11 @@ object RegistryMeta {
         "WHICH period? — the detector every period=7 face (decompose, strength, fourier, snaive) implicitly assumes"),
     "ts_dtw" ->
       EntryMeta("2.3", "sql",
-        "dynamic-time-warping distance between every per-type daily series pair"),
+        "dynamic-time-warping distance between every per-type daily series pair",
+        Some("ts_dtw_banded")),
+    "ts_dtw_banded" ->
+      EntryMeta("2.3", "sql",
+        "the DTW long-horizon knob: Sakoe-Chiba band (r = max(7, |n-m|)) masks |i-j|>r cells to the shared sentinel — O(r*(n+m)) cells per pair instead of n*m, same integer DP and wavefront oracle via the shared dtwOracleSql builder"),
     "ts_pit_join" ->
       EntryMeta("2.3", "sql",
         "POINT-IN-TIME join — the feature-store correctness primitive"),
@@ -724,7 +728,8 @@ object RegistryMeta {
         "EMBEDDING-space drift monitor"),
     "ann_ivf_topk" ->
       EntryMeta("2.5", "sql",
-        "IVF (centroid-partitioned, ~√n cells) approximate top-k"),
+        "IVF (centroid-partitioned, ~√n cells) approximate top-k — the ANN ladder's middle rung (Routing.annTopKAuto routes past DefaultIvfMaxBytes to the memory-bounded IVF*PQ tier)",
+        Some("ann_ivfpq_topk")),
     "ann_ivf_recall" ->
       EntryMeta("2.5", "sql",
         "recall@k of the IVF tier MEASURED against the exact brute-force face — the ANN dial's retrieval quality as a checked number"),

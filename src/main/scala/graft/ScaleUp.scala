@@ -19,7 +19,15 @@ import org.apache.spark.sql.functions._
   *    source corpus embeds unchanged). A letter bijection preserves
   *    token/char counts, within-copy shingle structure, and near-dup
   *    pairs EXACTLY per copy, while vocabularies across copies stay
-  *    distinct — and unlike the earlier alphabet ROTATION (26
+  *    distinct IN EXPECTATION — two independent sampled permutations
+  *    map a given letter identically with probability 1/26 (expected
+  *    ~1 coincident letter per copy pair; >26 pairwise
+  *    everywhere-different permutations cannot exist — that set is a
+  *    Latin square's rows, max 26), so an occasional short token can
+  *    coincide across copies; SHINGLE-level collisions, the unit
+  *    every pair-based dedup benchmark here keys on, need every
+  *    letter of a k≥5-shingle to coincide (≈26^-k per pair) and are
+  *    negligible — and unlike the earlier alphabet ROTATION (26
   *    classes, so second-level corpora repeated texts across copies
   *    and pair-based doc dedup could not be benchmarked past sf1 —
   *    the round-12 documented cap), the 26! permutation space keeps
@@ -55,8 +63,9 @@ import org.apache.spark.sql.functions._
   *    either level.
   *  - documents: resolved (round 13) — the seeded permutations above
   *    replace the rotation, so second-level corpora keep distinct
-  *    vocabularies across all factor² copies and PAIR-based doc
-  *    dedup benchmarks at sf10 measure real growth, not artificial
+  *    vocabularies across all factor² copies (in expectation; see the
+  *    per-letter coincidence note above) and PAIR-based doc dedup
+  *    benchmarks at sf10 measure real growth, not artificial
   *    cross-copy duplicates.
   */
 object ScaleUp {

@@ -683,6 +683,10 @@ object SparkEntry {
     // daily series — the Scala rolling DP and the oracle's recursive
     // anti-diagonal wavefront provably compute the same table
     "ts_dtw" -> ((s, d) => TimeSeriesOps.dtwPairs(s, d)),
+    // the declared long-horizon knob on the same DP: Sakoe-Chiba band
+    // (±7 days of warp on daily series) masks |i−j|>r cells to the
+    // shared sentinel — O(r·(n+m)) cells per pair instead of n·m
+    "ts_dtw_banded" -> ((s, d) => TimeSeriesOps.dtwPairs(s, d, band = 7)),
     "ts_lag_features"   -> ((s, d) => TimeSeriesOps.lagFeatures(s, d)),
     // daily mean value per type with synthetic outage days planted
     // (every day-of-month divisible by 5 removed, identically in the
@@ -1200,12 +1204,12 @@ object SparkEntry {
     * the eval metrics are checked over exactly the prediction set the
     * classifier entry checks. */
   private val knnVoteOracleCore: String =
-    """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb,
       |             label AS true_label
       |           FROM embeddings WHERE vec_id % 10 = 0),
       |scored AS (
       |  SELECT q_id, true_label, e.vec_id AS vec_id, e.label AS label,
-      |    round((list_dot_product(list_transform(CAST(q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(e.embedding AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(e.embedding AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(e.embedding AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS cosine
+      |    round(${graft.ops.SimilarityOps.qcosSql("q_emb", "e.embedding")}, 4) AS cosine
       |  FROM embeddings e, q WHERE e.vec_id % 10 <> 0),
       |top AS (SELECT *, row_number() OVER (PARTITION BY q_id
       |          ORDER BY cosine DESC, vec_id) AS r FROM scored),
@@ -3046,10 +3050,10 @@ object SparkEntry {
     // same per-tier ranking with the (cosine 4dp, vec_id) tiebreak;
     // list slicing replicates the prefix truncation
     "emb_mrl_recall" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
         |           FROM embeddings WHERE vec_id < 10),
         |sc AS (SELECT d.dims, q.q_id, e.vec_id,
-        |    round((list_dot_product(list_transform(CAST(q.q_emb[1:d.dims] AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(e.embedding[1:d.dims] AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(q.q_emb[1:d.dims] AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(q.q_emb[1:d.dims] AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(e.embedding[1:d.dims] AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(e.embedding[1:d.dims] AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS cos
+        |    round(${graft.ops.SimilarityOps.qcosSql("q.q_emb[1:d.dims]", "e.embedding[1:d.dims]")}, 4) AS cos
         |  FROM embeddings e, q,
         |    (SELECT unnest([16, 32, 64]) AS dims) d
         |  WHERE e.vec_id <> q.q_id),
@@ -3073,11 +3077,11 @@ object SparkEntry {
     // gains, integer divisions for MRR/NDCG/recall — no float is
     // ever summed or compared; sums cast to BIGINT for pandas
     "ml_eval_ranking" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb,
         |             label AS q_label
         |           FROM embeddings WHERE vec_id < 20),
         |sc AS (SELECT q.q_id, e.vec_id,
-        |         round((list_dot_product(list_transform(CAST(q.q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(e.embedding AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(q.q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(q.q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(e.embedding AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(e.embedding AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4)
+        |         round(${graft.ops.SimilarityOps.qcosSql("q.q_emb", "e.embedding")}, 4)
         |           AS cos,
         |         CASE WHEN e.label = q.q_label THEN 1 ELSE 0 END AS rel
         |       FROM embeddings e, q WHERE e.vec_id <> q.q_id),
@@ -3112,10 +3116,10 @@ object SparkEntry {
     // emb_binary_recall: hamming distances are exact integer sign
     // mismatches, so both rankings replay verbatim
     "emb_binary_recall" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
         |           FROM embeddings WHERE vec_id < 10),
         |sc AS (SELECT q.q_id, e.vec_id,
-        |    round((list_dot_product(list_transform(CAST(q.q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(e.embedding AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(q.q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(q.q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(e.embedding AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(e.embedding AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS cos,
+        |    round(${graft.ops.SimilarityOps.qcosSql("q.q_emb", "e.embedding")}, 4) AS cos,
         |    CAST(list_sum(list_transform(range(1, 65),
         |      i -> CASE WHEN (q.q_emb[i] > 0) <> (e.embedding[i] > 0)
         |                THEN 1 ELSE 0 END)) AS BIGINT) AS ham
@@ -5003,45 +5007,8 @@ object SparkEntry {
     // depends only on d-1/d-2, so a recursive CTE advances one whole
     // diagonal per step via list_transform — every cell an exact
     // integer, SENT=2.5e17 pads the band edges without overflow
-    "ts_dtw" ->
-      """WITH RECURSIVE
-        |daily AS (SELECT event_type,
-        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP_US))
-        |      AS TIMESTAMP) AS day,
-        |    CAST(sum(CAST(round(value, 4) AS DECIMAL(14,4))) * 10000
-        |      AS BIGINT) AS v
-        |  FROM events GROUP BY 1, 2),
-        |ser AS (SELECT event_type, list(v ORDER BY day) AS vs,
-        |    CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1),
-        |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
-        |    a.vs AS va, b.vs AS vb, a.n AS n, b.n AS m
-        |  FROM ser a JOIN ser b ON a.event_type < b.event_type),
-        |dp AS (
-        |  SELECT type_a, type_b, va, vb, n, m, CAST(0 AS BIGINT) AS d,
-        |    list_transform(range(0, n), i -> CASE WHEN i = 0
-        |      THEN abs(va[1] - vb[1])
-        |      ELSE 250000000000000000 END) AS cur,
-        |    CAST(NULL AS BIGINT[]) AS prev
-        |  FROM pairs
-        |  UNION ALL
-        |  SELECT type_a, type_b, va, vb, n, m, d + 1,
-        |    list_transform(range(0, n), i -> CASE
-        |      WHEN d + 1 - i BETWEEN 0 AND m - 1 THEN
-        |        abs(va[i + 1] - vb[d + 2 - i]) + least(
-        |          CASE WHEN d - i >= 0 THEN cur[i + 1]
-        |            ELSE 250000000000000000 END,
-        |          CASE WHEN i >= 1 THEN cur[i]
-        |            ELSE 250000000000000000 END,
-        |          CASE WHEN i >= 1 AND d - i >= 0
-        |            THEN coalesce(prev[i], 250000000000000000)
-        |            ELSE 250000000000000000 END)
-        |      ELSE 250000000000000000 END) AS cur,
-        |    cur AS prev
-        |  FROM dp WHERE d < n + m - 2)
-        |SELECT type_a, type_b, n AS n_a, m AS n_b,
-        |  cur[n] AS dtw_micro, cur[n] // (n + m) AS dtw_per_step_micro
-        |FROM dp WHERE d = n + m - 2
-        |ORDER BY type_a, type_b""".stripMargin,
+    "ts_dtw" -> graft.ops.TimeSeriesOps.dtwOracleSql(),
+    "ts_dtw_banded" -> graft.ops.TimeSeriesOps.dtwOracleSql(band = 7),
     "ts_cross_corr" ->
       """WITH daily AS (
         |  SELECT event_type,
@@ -6044,10 +6011,10 @@ object SparkEntry {
     // Exact all-pairs cosine baseline; the LSH face (embeddingPairsLsh)
     // is spec-verified on planted near-identical vectors instead.
     "dedup_embedding" ->
-      """SELECT a.vec_id AS id1, b.vec_id AS id2,
-        | round((list_dot_product(list_transform(CAST(CAST(a.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(CAST(b.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(CAST(a.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(CAST(a.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(CAST(b.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(CAST(b.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS cosine
+      s"""SELECT a.vec_id AS id1, b.vec_id AS id2,
+        | round(${graft.ops.SimilarityOps.qcosSql("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")}, 4) AS cosine
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE round((list_dot_product(list_transform(CAST(CAST(a.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(CAST(b.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(CAST(a.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(CAST(a.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(CAST(b.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(CAST(b.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) >= 0.45
+        |WHERE round(${graft.ops.SimilarityOps.qcosSql("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])")}, 4) >= 0.45
         |ORDER BY id1, id2""".stripMargin,
     // Deterministic fixed-seed LSH/IVF — replicated plane-for-plane in
     // SQL by the generators in SimilarityOps (see the precision
@@ -6091,7 +6058,7 @@ object SparkEntry {
     // operator, and the dequant pins through a FLOAT cast on both
     // engines before the double cosine
     "emb_quantize_int8" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |           FROM embeddings),
         |s AS (SELECT vec_id, emb,
         |        list_max(list_transform(emb, x -> abs(x))) AS scale
@@ -6102,7 +6069,7 @@ object SparkEntry {
         |          AS FLOAT[]) AS DOUBLE[]) AS dq
         |      FROM s WHERE scale > 0)
         |SELECT vec_id, round(scale, 4) AS scale,
-        |  round((list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(dq AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(dq AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(dq AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS cosine_kept
+        |  round(${graft.ops.SimilarityOps.qcosSql("emb", "dq")}, 4) AS cosine_kept
         |FROM q ORDER BY vec_id""".stripMargin,
     // ann_mmr_rerank: greedy rounds unrolled with MATERIALIZED CTEs,
     // all selection arithmetic BIGINT over the shared cos·1e4 grid
@@ -6111,11 +6078,11 @@ object SparkEntry {
     // verbatim, rel re-integerized from its 4dp cosine, same greedy
     "ann_mmr_rerank_ivf" -> SimilarityOps.mmrIvfOracleSql(),
     "ann_bruteforce_topk" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
         |           FROM embeddings WHERE vec_id < 10),
         |scored AS (
         |  SELECT q_id, e.vec_id AS vec_id,
-        |    round((list_dot_product(list_transform(CAST(q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(e.embedding AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(e.embedding AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(e.embedding AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS cosine
+        |    round(${graft.ops.SimilarityOps.qcosSql("q_emb", "e.embedding")}, 4) AS cosine
         |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
         |        ORDER BY cosine DESC, vec_id) AS rank FROM scored)

@@ -22,10 +22,13 @@ import org.apache.spark.sql.functions._
   * job), against an explicit bytes dial with a conservative default.
   * Small input → the exact face, bit-identical to calling it
   * directly; big input → the scale tier, same frame the registry
-  * oracles. The output schema is the CHOSEN face's schema — tiers
-  * are distinct declared contracts (an estimate column is not a
-  * count column), and hiding that behind a forced common schema
-  * would un-declare exactly the difference the caller must own.
+  * oracles. The output schema is STABLE across the dial: a consumer
+  * binds columns by name and must not break at the corpus size where
+  * the tier silently flips. Where the faces' value-column names
+  * differ ([[minhashVerifyAuto]]'s exact `jaccard` vs estimated
+  * `est_jaccard`), the router emits one shared name plus an
+  * `is_estimate` marker — the estimate-vs-exact difference stays
+  * declared per row instead of per schema.
   *
   * The thresholds are dials, not magic: plan-stats bytes are an
   * UPPER-BOUND-ish raw-scan estimate (pre-filter, decompressed), so
@@ -117,15 +120,39 @@ object Routing {
       case Scale => Recommend.itemCosineDimsum(s, d, gamma, topN, maxBasket)
     }
 
-  /** [[SimilarityOps.bruteForceTopK]] (exact scoring) below the dial,
-    * [[SimilarityOps.ivfTopK]] (two-stage cell probe) above it. */
+  /** Second dial for the ANN ladder: past it the IVF tier's
+    * full-precision candidate scoring is no longer the bottleneck-
+    * free answer — IVF still reads the probed cells' RAW float
+    * vectors (256 B/vec at dim 64), so the serving index is the full
+    * corpus; PQ codes at m=8 are 32× smaller, the index that still
+    * fits an executor fleet's memory at 100 TB. 256 GiB of estimated
+    * scan ≈ the aggregate page-cache budget of a realistic serving
+    * tier at full precision; past it IVF·PQ (gate with cells, rank
+    * with ADC codes, exact-rescore only the shortlist) is the
+    * declared composed tier (SURVEY §2.5 `ann_ivfpq_topk`). */
+  val DefaultIvfMaxBytes: Long = 256L << 30
+
+  /** Three-rung ANN ladder (the [[decontaminateAuto]] shape):
+    * [[SimilarityOps.bruteForceTopK]] (exact scoring) below the first
+    * dial, [[SimilarityOps.ivfTopK]] (cell-gated, full-precision
+    * scoring) between the dials, [[SimilarityOps.ivfPqTopK]]
+    * (cell-gated + ADC-coded candidates, exact rescore of the
+    * shortlist — the memory-bounded tier that actually ships at
+    * 100 TB) past the second. All three rungs emit the same
+    * (q_id, vec_id, cosine, rank) contract with true-cosine scores —
+    * the rungs trade recall, never schema. */
   def annTopKAuto(s: SparkSession, d: String, k: Int = 5,
                   nQueries: Int = 10,
-                  exactMaxBytes: Long = DefaultExactMaxBytes): DataFrame =
-    tierFor(Tables.embeddings(s, d), exactMaxBytes) match {
-      case Exact => SimilarityOps.bruteForceTopK(s, d, k, nQueries)
-      case Scale => SimilarityOps.ivfTopK(s, d, k, nQueries)
-    }
+                  exactMaxBytes: Long = DefaultExactMaxBytes,
+                  ivfMaxBytes: Long = DefaultIvfMaxBytes): DataFrame = {
+    val bytes = planBytes(Tables.embeddings(s, d))
+    if (bytes <= BigInt(exactMaxBytes))
+      SimilarityOps.bruteForceTopK(s, d, k, nQueries)
+    else if (bytes <= BigInt(ivfMaxBytes))
+      SimilarityOps.ivfTopK(s, d, k, nQueries)
+    else
+      SimilarityOps.ivfPqTopK(s, d, k, nQueries)
+  }
 
   /** [[SimilarityOps.mmrRerank]] (exact-scored shortlist) below the
     * dial, [[SimilarityOps.mmrRerankIvf]] (IVF shortlist) above it —
@@ -162,18 +189,29 @@ object Routing {
     * below the dial, [[DedupOps.minhashEstPairs]] (verify-by-
     * signature: the same banding, Jaccard estimated from the
     * component agreement of signatures already in hand — no second
-    * pass) above it. The declared difference is in the output name:
-    * `jaccard` is exact, `est_jaccard` is the unbiased estimator
-    * with σ = √(J(1−J)/numPerm) — at the scale where the exact
-    * verify's set join is the dominant cost, the estimator is the
-    * only verification that survives 100×. */
+    * pass) above it. At the scale where the exact verify's set join
+    * is the dominant cost, the estimator (unbiased, σ =
+    * √(J(1−J)/numPerm)) is the only verification that survives 100×.
+    *
+    * STABLE SCHEMA across the dial (ADVICE r13): every Auto router
+    * asserts schema stability, and this one routes faces whose value
+    * column names differ (`jaccard` exact vs `est_jaccard`) — a
+    * consumer selecting by name would break at the corpus size where
+    * the tier silently flips. The router therefore emits the shared
+    * contract (id1, id2, jaccard, is_estimate): the value column
+    * binds by one name, and `is_estimate` carries the verification
+    * method so the variance contract stays declared per row. The
+    * underlying faces keep their distinct names for direct callers. */
   def minhashVerifyAuto(s: SparkSession, d: String,
                         threshold: Double = 0.8,
                         exactMaxBytes: Long = DefaultExactMaxBytes): DataFrame = {
     val docs = Tables.documents(s, d)
     tierFor(docs, exactMaxBytes) match {
-      case Exact => DedupOps.minhashLsh(s, d)
+      case Exact => DedupOps.minhashLsh(s, d, threshold = threshold)
+        .withColumn("is_estimate", lit(false))
       case Scale => DedupOps.minhashEstPairs(docs, threshold = threshold)
+        .withColumnRenamed("est_jaccard", "jaccard")
+        .withColumn("is_estimate", lit(true))
     }
   }
 

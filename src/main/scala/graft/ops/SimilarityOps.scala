@@ -47,13 +47,20 @@ object SimilarityOps {
     * for DuckDB's own float cosine builtin everywhere an oracle
     * replays a published cosine, so both engines run the same
     * exact-integer dot and correctly-rounded sqrt/multiply/divide.
-    * (All existing oracle sites carry the expansion inline — written
-    * by this generator at migration time, round 13; use the helper
-    * for NEW oracles.) */
+    * Every oracle cosine site interpolates this helper (round 14 —
+    * the round-13 migration left generator-written copies inline;
+    * an edit to the chain now touches exactly this builder).
+    *
+    * Zero-norm convention mirrors VectorKernels.cosineQ6: a vector
+    * whose components all floor to 0 at 1e-6 units has similarity
+    * 0.0 to everything — without the CASE guard DuckDB evaluates
+    * 0.0/0.0 to NULL for doubles and the engines split (ADVICE r13). */
   private[graft] def qcosSql(a: String, b: String): String = {
     def q(x: String) =
       s"list_transform(CAST($x AS DOUBLE[]), qx -> floor(qx * 1000000.0))"
-    s"(list_dot_product(${q(a)}, ${q(b)}) / (sqrt(list_dot_product(${q(a)}, ${q(a)})) * sqrt(list_dot_product(${q(b)}, ${q(b)}))))"
+    val na = s"list_dot_product(${q(a)}, ${q(a)})"
+    val nb = s"list_dot_product(${q(b)}, ${q(b)})"
+    s"(CASE WHEN $na = 0 OR $nb = 0 THEN 0.0 ELSE list_dot_product(${q(a)}, ${q(b)}) / (sqrt($na) * sqrt($nb)) END)"
   }
 
   private def queries(s: SparkSession, d: String, nQueries: Int): DataFrame =
@@ -531,9 +538,11 @@ object SimilarityOps {
          |  FROM eq WHERE vec_id < $nQueries),
          |sc AS MATERIALIZED (SELECT q_id, e.vec_id AS vec_id,
          |    e.embedding AS emb,
-         |    CAST(round(list_dot_product(q_qv, e.qv)
-         |      / (sqrt(list_dot_product(q_qv, q_qv))
-         |         * sqrt(list_dot_product(e.qv, e.qv)))
+         |    CAST(round((CASE WHEN list_dot_product(q_qv, q_qv) = 0
+         |        OR list_dot_product(e.qv, e.qv) = 0 THEN 0.0
+         |      ELSE list_dot_product(q_qv, e.qv)
+         |        / (sqrt(list_dot_product(q_qv, q_qv))
+         |           * sqrt(list_dot_product(e.qv, e.qv))) END)
          |      * 10000) AS BIGINT) AS rel_i
          |  FROM eq e, q WHERE e.vec_id <> q.q_id),
          |short AS MATERIALIZED (SELECT q_id, vec_id, emb, rel_i
@@ -594,9 +603,11 @@ object SimilarityOps {
        |  FROM short),
        |pairs AS MATERIALIZED (SELECT a.q_id, a.vec_id AS ca,
        |    b.vec_id AS cb,
-       |    CAST(round(list_dot_product(a.qv, b.qv)
-       |      / (sqrt(list_dot_product(a.qv, a.qv))
-       |         * sqrt(list_dot_product(b.qv, b.qv)))
+       |    CAST(round((CASE WHEN list_dot_product(a.qv, a.qv) = 0
+       |        OR list_dot_product(b.qv, b.qv) = 0 THEN 0.0
+       |      ELSE list_dot_product(a.qv, b.qv)
+       |        / (sqrt(list_dot_product(a.qv, a.qv))
+       |           * sqrt(list_dot_product(b.qv, b.qv))) END)
        |      * 10000) AS BIGINT) AS sim_i
        |  FROM shortq a JOIN shortq b
        |    ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
@@ -974,7 +985,7 @@ object SimilarityOps {
        |seeds AS (SELECT e.vec_id AS cell, e.emb AS c_emb
        |          FROM e, nc WHERE e.vec_id < nc.n),
        |a1 AS (SELECT vec_id, emb, cell,
-       |    round((list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS sim
+       |    round(${qcosSql("emb", "c_emb")}, 4) AS sim
        |  FROM e CROSS JOIN seeds),
        |a1r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
        |          ORDER BY sim DESC, cell) AS rnk FROM a1),
@@ -983,7 +994,7 @@ object SimilarityOps {
        |    CAST(CAST([$avgs] AS FLOAT[]) AS DOUBLE[]) AS c_emb
        |  FROM assigned GROUP BY cell),
        |a2 AS (SELECT vec_id, emb, cell,
-       |    round((list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS sim
+       |    round(${qcosSql("emb", "c_emb")}, 4) AS sim
        |  FROM e CROSS JOIN cents),
        |a2r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
        |          ORDER BY sim DESC, cell) AS rnk FROM a2),
@@ -1246,7 +1257,7 @@ object SimilarityOps {
        |      FROM b WHERE vec_id < $nQueries),
        |scored AS (
        |  SELECT q_id, c.vec_id AS vec_id,
-       |    round((list_dot_product(list_transform(CAST(CAST(q_emb AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(CAST(c.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(CAST(q_emb AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(CAST(q_emb AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(CAST(c.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(CAST(c.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS cosine
+       |    round(${qcosSql("CAST(q_emb AS DOUBLE[])", "CAST(c.embedding AS DOUBLE[])")}, 4) AS cosine
        |  FROM b c JOIN q USING (bucket) WHERE c.vec_id <> q.q_id),
        |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
        |        ORDER BY cosine DESC, vec_id) AS rank FROM scored)
@@ -1283,11 +1294,11 @@ object SimilarityOps {
        |  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket
        |   AND a.vec_id < c.vec_id)
        |SELECT id1, id2,
-       |  round((list_dot_product(list_transform(CAST(CAST(x.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(CAST(y.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(CAST(x.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(CAST(x.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(CAST(y.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(CAST(y.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS cosine
+       |  round(${qcosSql("CAST(x.embedding AS DOUBLE[])", "CAST(y.embedding AS DOUBLE[])")}, 4) AS cosine
        |FROM cand
        |JOIN embeddings x ON x.vec_id = id1
        |JOIN embeddings y ON y.vec_id = id2
-       |WHERE round((list_dot_product(list_transform(CAST(CAST(x.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(CAST(y.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(CAST(x.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(CAST(x.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(CAST(y.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(CAST(y.embedding AS DOUBLE[]) AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) >= $threshold
+       |WHERE round(${qcosSql("CAST(x.embedding AS DOUBLE[])", "CAST(y.embedding AS DOUBLE[])")}, 4) >= $threshold
        |ORDER BY id1, id2""".stripMargin
   }
 
@@ -1331,7 +1342,7 @@ object SimilarityOps {
        |          ORDER BY adot DESC, vec_id) AS r FROM ap),
        |cand AS (SELECT q_id, vec_id FROM apr WHERE r <= $rerank),
        |resc AS (SELECT s.q_id, s.vec_id,
-       |    round((list_dot_product(list_transform(CAST(qe.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(ce.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(qe.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(qe.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(ce.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(ce.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS cosine
+       |    round(${qcosSql("qe.emb", "ce.emb")}, 4) AS cosine
        |  FROM cand s JOIN e ce ON ce.vec_id = s.vec_id
        |              JOIN e qe ON qe.vec_id = s.q_id),
        |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
@@ -1512,7 +1523,7 @@ object SimilarityOps {
        |iseeds AS (SELECT e.vec_id AS cell, e.emb AS c_emb
        |           FROM e, nc WHERE e.vec_id < nc.n),
        |ia1 AS (SELECT vec_id, emb, cell,
-       |    round((list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS sim
+       |    round(${qcosSql("emb", "c_emb")}, 4) AS sim
        |  FROM e CROSS JOIN iseeds),
        |ia1r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
        |          ORDER BY sim DESC, cell) AS rnk FROM ia1),
@@ -1521,7 +1532,7 @@ object SimilarityOps {
        |    CAST(CAST([$cavgs] AS FLOAT[]) AS DOUBLE[]) AS c_emb
        |  FROM iasg GROUP BY cell),
        |ia2 AS (SELECT vec_id, emb, cell,
-       |    round((list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS sim
+       |    round(${qcosSql("emb", "c_emb")}, 4) AS sim
        |  FROM e CROSS JOIN icents),
        |ia2r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
        |          ORDER BY sim DESC, cell) AS rnk FROM ia2),
@@ -1563,7 +1574,7 @@ object SimilarityOps {
        |          ORDER BY adot DESC, vec_id) AS r FROM ap),
        |sl AS (SELECT q_id, vec_id FROM apr WHERE r <= $rerank),
        |resc AS (SELECT s.q_id, s.vec_id,
-       |    round((list_dot_product(list_transform(CAST(qe.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(ce.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(qe.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(qe.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(ce.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(ce.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS cosine
+       |    round(${qcosSql("qe.emb", "ce.emb")}, 4) AS cosine
        |  FROM sl s JOIN e ce ON ce.vec_id = s.vec_id
        |            JOIN e qe ON qe.vec_id = s.q_id),
        |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
@@ -1589,7 +1600,7 @@ object SimilarityOps {
        |cr AS (SELECT *, row_number() OVER (ORDER BY vec_id) AS rn FROM c),
        |seeds AS (SELECT vec_id AS cell, emb AS c_emb FROM cr, nc WHERE rn <= n),
        |a1 AS (SELECT c.vec_id, c.label, c.emb, s.cell,
-       |    round((list_dot_product(list_transform(CAST(c.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(s.c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(c.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(s.c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(s.c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS sim
+       |    round(${qcosSql("c.emb", "s.c_emb")}, 4) AS sim
        |  FROM c CROSS JOIN seeds s),
        |a1r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
        |          ORDER BY sim DESC, cell) AS rnk FROM a1),
@@ -1598,19 +1609,19 @@ object SimilarityOps {
        |    CAST(CAST([$avgs] AS FLOAT[]) AS DOUBLE[]) AS c_emb
        |  FROM asg GROUP BY cell),
        |a2 AS (SELECT c.vec_id, c.label, c.emb, ct.cell,
-       |    round((list_dot_product(list_transform(CAST(c.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(ct.c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(c.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(c.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(ct.c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(ct.c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS sim
+       |    round(${qcosSql("c.emb", "ct.c_emb")}, 4) AS sim
        |  FROM c CROSS JOIN cents ct),
        |a2r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
        |          ORDER BY sim DESC, cell) AS rnk FROM a2),
        |cells AS (SELECT vec_id, label, emb, cell FROM a2r WHERE rnk = 1),
        |qa AS (SELECT q.q_id, q.true_label, q.q_emb, ct.cell,
-       |    round((list_dot_product(list_transform(CAST(q.q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(ct.c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(q.q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(q.q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(ct.c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(ct.c_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS sim
+       |    round(${qcosSql("q.q_emb", "ct.c_emb")}, 4) AS sim
        |  FROM q CROSS JOIN cents ct),
        |qar AS (SELECT *, row_number() OVER (PARTITION BY q_id
        |          ORDER BY sim DESC, cell) AS rnk FROM qa),
        |qc AS (SELECT q_id, true_label, q_emb, cell FROM qar WHERE rnk <= $nProbe),
        |scored AS (SELECT qc.q_id, qc.true_label, cl.vec_id, cl.label,
-       |    round((list_dot_product(list_transform(CAST(qc.q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(cl.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0))) / (sqrt(list_dot_product(list_transform(CAST(qc.q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(qc.q_emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))) * sqrt(list_dot_product(list_transform(CAST(cl.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)), list_transform(CAST(cl.emb AS DOUBLE[]), qx -> floor(qx * 1000000.0)))))), 4) AS cosine
+       |    round(${qcosSql("qc.q_emb", "cl.emb")}, 4) AS cosine
        |  FROM cells cl JOIN qc USING (cell)),
        |top AS (SELECT *, row_number() OVER (PARTITION BY q_id
        |          ORDER BY cosine DESC, vec_id) AS r FROM scored),

@@ -1140,15 +1140,16 @@ object TimeSeriesOps {
     * evaluate a whole diagonal functionally) provably compute the
     * same table. The per-pair recursion is the flatMap-recursion
     * class the repo reserves mapPartitions for (Forecast posture). */
-  def dtwPairs(s: SparkSession, d: String): DataFrame =
+  def dtwPairs(s: SparkSession, d: String, band: Int = -1): DataFrame =
     dtwPairsOn(Tables.events(s, d)
       .groupBy(col("event_type"),
         date_trunc("day", col("ts")).as("day"))
       .agg((sum(round(col("value"), 4).cast("decimal(14,4)")) * 10000)
-        .cast("long").as("v_micro")))
+        .cast("long").as("v_micro")), band)
 
-  /** Same over any (event_type, day, v_micro) daily frame. */
-  def dtwPairsOn(daily: DataFrame): DataFrame = {
+  /** Same over any (event_type, day, v_micro) daily frame.
+    * `band` < 0 ⇒ full (unbanded) DP. */
+  def dtwPairsOn(daily: DataFrame, band: Int = -1): DataFrame = {
     val ss = daily.sparkSession
     import ss.implicits._
     val ser = daily.groupBy(col("event_type"))
@@ -1162,7 +1163,7 @@ object TimeSeriesOps {
         col("a.vs").as("va"), col("b.vs").as("vb"))
       .as[(String, String, Seq[Long], Seq[Long])]
     pairs.map { case (ta, tb, va, vb) =>
-        val dist = dtwMicro(va, vb)
+        val dist = dtwMicro(va, vb, band)
         (ta, tb, va.length.toLong, vb.length.toLong, dist,
           dist / (va.length + vb.length))
       }
@@ -1171,21 +1172,109 @@ object TimeSeriesOps {
       .orderBy(col("type_a"), col("type_b"))
   }
 
-  /** Exact integer DTW (|·| cost, unit steps), two rolling rows. */
-  private[graft] def dtwMicro(a: Seq[Long], b: Seq[Long]): Long = {
+  /** Out-of-band / padding cell value — the SAME sentinel the oracle
+    * wavefront uses (2.5e17): any SENT-contaminated path stays ≥
+    * 2.5e17 while a real path over a calendar-bounded pair is ≤
+    * ~(n+m)·max|Δ| ≈ 7e14, so the published (feasible) cell is never
+    * sentinel-tainted and no chain of sentinel+cost additions (≤
+    * SENT + (n+m)·max|Δ|) approaches Long overflow. */
+  private[graft] val DtwSent = 250000000000000000L
+
+  /** Exact integer DTW (|·| cost, unit steps), two rolling rows,
+    * optionally Sakoe-Chiba banded (Sakoe & Chiba 1978): cells with
+    * |i−j| > r are excluded (value [[DtwSent]]), where r =
+    * max(band, |n−m|) so the band always admits a monotone feasible
+    * path and the published distance is a real-path value. band < 0
+    * ⇒ unbanded (r = ∞), bit-identical to the pre-band face. The
+    * banded DP is the declared long-horizon knob: per-pair work
+    * drops from n·m cells to O(r·(n+m)) — on multi-year or
+    * sub-daily series the O(n²) full table is the term that breaks
+    * first, and a calendar-meaningful band (±7 days) is also the
+    * MODELING choice that stops DTW from "explaining away" a
+    * quarter-long regime shift as warp. Cell-for-cell equal to the
+    * oracle's banded anti-diagonal wavefront: out-of-band cells are
+    * exactly SENT in both engines, in-band cells read the same three
+    * neighbors (SENT included, uncapped), so even sentinel-region
+    * arithmetic agrees. */
+  private[graft] def dtwMicro(a: Seq[Long], b: Seq[Long],
+                              band: Int = -1): Long = {
     require(a.nonEmpty && b.nonEmpty, "DTW needs two non-empty series")
     val n = a.length; val m = b.length
+    val r: Long =
+      if (band < 0) Long.MaxValue
+      else math.max(band.toLong, math.abs(n - m).toLong)
+    @inline def in(i: Int, j: Int): Boolean = math.abs(i - j).toLong <= r
     var prev = new Array[Long](m)
     prev(0) = math.abs(a(0) - b(0))
-    for (j <- 1 until m) prev(j) = prev(j - 1) + math.abs(a(0) - b(j))
+    for (j <- 1 until m)
+      prev(j) =
+        if (in(0, j)) prev(j - 1) + math.abs(a(0) - b(j)) else DtwSent
     for (i <- 1 until n) {
       val cur = new Array[Long](m)
-      cur(0) = prev(0) + math.abs(a(i) - b(0))
+      cur(0) =
+        if (in(i, 0)) prev(0) + math.abs(a(i) - b(0)) else DtwSent
       for (j <- 1 until m)
-        cur(j) = math.abs(a(i) - b(j)) +
-          math.min(cur(j - 1), math.min(prev(j), prev(j - 1)))
+        cur(j) =
+          if (in(i, j))
+            math.abs(a(i) - b(j)) +
+              math.min(cur(j - 1), math.min(prev(j), prev(j - 1)))
+          else DtwSent
       prev = cur
     }
     prev(m - 1)
+  }
+
+  /** DuckDB replay of [[dtwPairs]] — the anti-diagonal RECURSIVE-CTE
+    * wavefront (diagonal d depends only on d−1/d−2, so
+    * list_transform evaluates a whole diagonal functionally), shared
+    * builder for the unbanded (`band` < 0) and Sakoe-Chiba-banded
+    * faces: the band masks cells by |i−j| = |2i−(d+1)| > r to the
+    * same sentinel the padding uses, with r = greatest(band, |n−m|)
+    * carried on the pair row — exactly [[dtwMicro]]'s grid. */
+  private[graft] def dtwOracleSql(band: Int = -1): String = {
+    val sent = DtwSent.toString
+    val rCol =
+      if (band < 0) ""
+      else s",\n    greatest(CAST($band AS BIGINT), abs(a.n - b.n)) AS r"
+    val rCarry = if (band < 0) "" else " r,"
+    val mask = if (band < 0) "" else " AND abs(2 * i - (d + 1)) <= r"
+    s"""WITH RECURSIVE
+       |daily AS (SELECT event_type,
+       |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP_US))
+       |      AS TIMESTAMP) AS day,
+       |    CAST(sum(CAST(round(value, 4) AS DECIMAL(14,4))) * 10000
+       |      AS BIGINT) AS v
+       |  FROM events GROUP BY 1, 2),
+       |ser AS (SELECT event_type, list(v ORDER BY day) AS vs,
+       |    CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1),
+       |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |    a.vs AS va, b.vs AS vb, a.n AS n, b.n AS m$rCol
+       |  FROM ser a JOIN ser b ON a.event_type < b.event_type),
+       |dp AS (
+       |  SELECT type_a, type_b, va, vb, n, m,$rCarry CAST(0 AS BIGINT) AS d,
+       |    list_transform(range(0, n), i -> CASE WHEN i = 0
+       |      THEN abs(va[1] - vb[1])
+       |      ELSE $sent END) AS cur,
+       |    CAST(NULL AS BIGINT[]) AS prev
+       |  FROM pairs
+       |  UNION ALL
+       |  SELECT type_a, type_b, va, vb, n, m,$rCarry d + 1,
+       |    list_transform(range(0, n), i -> CASE
+       |      WHEN d + 1 - i BETWEEN 0 AND m - 1$mask THEN
+       |        abs(va[i + 1] - vb[d + 2 - i]) + least(
+       |          CASE WHEN d - i >= 0 THEN cur[i + 1]
+       |            ELSE $sent END,
+       |          CASE WHEN i >= 1 THEN cur[i]
+       |            ELSE $sent END,
+       |          CASE WHEN i >= 1 AND d - i >= 0
+       |            THEN coalesce(prev[i], $sent)
+       |            ELSE $sent END)
+       |      ELSE $sent END) AS cur,
+       |    cur AS prev
+       |  FROM dp WHERE d < n + m - 2)
+       |SELECT type_a, type_b, n AS n_a, m AS n_b,
+       |  cur[n] AS dtw_micro, cur[n] // (n + m) AS dtw_per_step_micro
+       |FROM dp WHERE d = n + m - 2
+       |ORDER BY type_a, type_b""".stripMargin
   }
 }

@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * level — pinned here against the pure adjudication functions the
   * main interleaves, so the contract holds without running a loaded
   * bench. */
-class BenchControlSpec extends AnyFunSuite {
+class BenchControlSpec extends AnyFunSuite with SparkSpec {
 
   private val pin = 0.79
 
@@ -54,6 +54,23 @@ class BenchControlSpec extends AnyFunSuite {
     val raw = 4.0
     val norm = raw / Bench.localRatio(5, controls, pin)
     assert(math.abs(norm - 2.0) < 1e-9)
+  }
+
+  test("clearStorage drops checkpoint RDD blocks clearCache leaves") {
+    // The storage-clean contract (VERDICT r13 ask #1): operators
+    // localCheckpoint intermediates that the returned plan cannot
+    // unpersist; clearCache() only drops catalog-tracked Dataset
+    // caches, so checkpoint blocks accumulate across a bench run.
+    // clearStorage must sweep BOTH.
+    val ds = spark.range(100).localCheckpoint(true)
+    ds.count() // materialize the checkpoint blocks
+    spark.range(10).cache().count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    spark.catalog.clearCache()
+    // the catalog sweep alone does NOT remove the checkpoint RDD
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    Bench.clearStorage(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
   test("control cadence covers a registry-sized run") {

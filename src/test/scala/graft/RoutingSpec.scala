@@ -73,12 +73,24 @@ class RoutingSpec extends SparkSpec {
       === rows(Recommend.itemCosineDimsum(spark, sf)))
   }
 
-  test("ANN route: brute force under the dial, IVF over it") {
+  test("ANN route: three rungs — brute force, IVF, IVF*PQ") {
+    // rung 1: both dials above the input → exact face
     assert(rows(Routing.annTopKAuto(spark, sf,
         exactMaxBytes = Long.MaxValue))
       === rows(SimilarityOps.bruteForceTopK(spark, sf)))
-    assert(rows(Routing.annTopKAuto(spark, sf, exactMaxBytes = 0L))
+    // rung 2: first dial forced under, second above → IVF
+    assert(rows(Routing.annTopKAuto(spark, sf, exactMaxBytes = 0L,
+        ivfMaxBytes = Long.MaxValue))
       === rows(SimilarityOps.ivfTopK(spark, sf)))
+    // rung 3: both dials forced under → the composed IVF*PQ tier
+    // (the memory-bounded index that actually ships at 100 TB)
+    assert(rows(Routing.annTopKAuto(spark, sf, exactMaxBytes = 0L,
+        ivfMaxBytes = 0L))
+      === rows(SimilarityOps.ivfPqTopK(spark, sf)))
+    // all three rungs share the (q_id, vec_id, cosine, rank) contract
+    assert(Routing.annTopKAuto(spark, sf, exactMaxBytes = 0L,
+        ivfMaxBytes = 0L).schema
+      === SimilarityOps.bruteForceTopK(spark, sf).schema)
   }
 
   test("mmr route: exact-scored shortlist under the dial, IVF " +
@@ -114,17 +126,26 @@ class RoutingSpec extends SparkSpec {
   }
 
   test("minhash verify route: exact set verify under the dial, " +
-       "signature estimate over it") {
+       "signature estimate over it — one stable schema") {
     val docs = Tables.documents(spark, sf)
-    assert(rows(Routing.minhashVerifyAuto(spark, sf,
-        exactMaxBytes = Long.MaxValue))
+    val exact = Routing.minhashVerifyAuto(spark, sf,
+      exactMaxBytes = Long.MaxValue)
+    val est = Routing.minhashVerifyAuto(spark, sf, exactMaxBytes = 0L)
+    // STABLE SCHEMA across the dial (ADVICE r13): a consumer binding
+    // `jaccard` by name must survive the tier flip; the verification
+    // method rides the is_estimate marker instead of the column name
+    assert(exact.columns.toSeq === Seq("id1", "id2", "jaccard",
+      "is_estimate"))
+    assert(exact.schema === est.schema)
+    assert(rows(exact.drop("is_estimate"))
       === rows(DedupOps.minhashLsh(spark, sf)))
-    assert(rows(Routing.minhashVerifyAuto(spark, sf, exactMaxBytes = 0L))
-      === rows(DedupOps.minhashEstPairs(docs, threshold = 0.8)))
-    // the declared difference is the verification: exact `jaccard`
-    // below the dial, `est_jaccard` above it
-    assert(Routing.minhashVerifyAuto(spark, sf, exactMaxBytes = 0L)
-      .columns.toSeq === Seq("id1", "id2", "est_jaccard"))
+    assert(rows(est.drop("is_estimate"))
+      === rows(DedupOps.minhashEstPairs(docs, threshold = 0.8)
+        .withColumnRenamed("est_jaccard", "jaccard")))
+    assert(exact.select("is_estimate").distinct().collect()
+      .map(_.getBoolean(0)).toSeq === Seq(false))
+    assert(est.select("is_estimate").distinct().collect()
+      .map(_.getBoolean(0)).toSeq === Seq(true))
   }
 
   test("simhash route: 4x15 bands under the dial, 3x20 bands over it") {

@@ -919,6 +919,35 @@ class TimeSeriesSpec extends SparkSpec {
     assert(sf1.forall(r => r.getString(0) < r.getString(1)))
   }
 
+  test("dtw Sakoe-Chiba band: band=inf equals the unbanded face; a " +
+       "shifted spike's distance survives a tight band") {
+    import graft.ops.TimeSeriesOps.dtwMicro
+    val a = Seq(0L, 0L, 10000L, 0L, 0L)
+    val b = Seq(0L, 10000L, 0L, 0L, 0L)
+    // band wide enough to cover the whole grid ≡ unbanded (band < 0)
+    assert(dtwMicro(a, b, band = 100) === dtwMicro(a, b))
+    assert(dtwMicro(Seq(7L, 7L, 1L), Seq(9L, 9L, 2L), band = 100)
+      === dtwMicro(Seq(7L, 7L, 1L), Seq(9L, 9L, 2L)))
+    // the one-step-shifted spike warps to 0 with band >= 1 ...
+    assert(dtwMicro(a, b) === 0L)
+    assert(dtwMicro(a, b, band = 1) === 0L)
+    // ... but band=0 forbids the off-diagonal alignment: the spike
+    // meets a zero at (1,1) and (2,2) — distance 2*10000 survives
+    assert(dtwMicro(a, b, band = 0) === 20000L)
+    // unequal lengths: r = max(band, |n−m|) keeps a feasible path
+    assert(dtwMicro(Seq(0L, 3L), Seq(0L), band = 0) === 3L)
+    // registered banded face: same pair/shape contract as ts_dtw,
+    // and banded distance >= unbanded (the band can only remove paths)
+    val full = graft.ops.TimeSeriesOps.dtwPairs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    val banded = graft.ops.TimeSeriesOps.dtwPairs(spark, sf, band = 7)
+      .collect()
+    assert(banded.length === full.size)
+    banded.foreach { r =>
+      assert(r.getLong(4) >= full((r.getString(0), r.getString(1))))
+    }
+  }
+
   test("periodogram: a planted 7-day cycle dominates at period 7; a " +
        "flat series has ~zero power everywhere") {
     import spark.implicits._
