@@ -581,7 +581,10 @@ object RegistryMeta {
         "verify-by-signature: banded candidates scored by MinHash component agreement (E[est]=J) — no second corpus pass; checked md5 construction replays bit for bit"),
     "dedup_incremental_index" ->
       EntryMeta("2.4", "sql",
-        "incremental near-dup index maintenance: persisted band-signature table + daily delta fold (delta-vs-history via the index, delta-vs-delta self-join, candidate history docs fetched by id) — history never rescanned; oracle = full recompute, split-agnostic"),
+        "incremental near-dup index maintenance: persisted band-signature table + daily delta fold (delta-vs-history via the index, delta-vs-delta self-join, candidate history docs fetched by id) — history never rescanned; hot-bucket caps with two-way representative overflow keep any one band signature O(cap^2+size), never quadratic; oracle = full recompute, split-agnostic"),
+    "dedup_incremental_index_persisted" ->
+      EntryMeta("2.4", "sql",
+        "the fold with its state crossing a REAL parquet boundary (round 14): band index written partitioned by band + pair table written, both READ BACK, today's delta folded from the read-back state — the 2am re-run's actual load path; same split-agnostic full-recompute oracle via the shared minhashRecomputeOracleSql builder"),
     "dedup_simhash" ->
       EntryMeta("2.4", "sql",
         "SimHash + multi-index (1-bit probe) candidate pairs; the registry runs the CHECKED face",

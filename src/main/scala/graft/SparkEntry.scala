@@ -820,6 +820,11 @@ object SparkEntry {
     // oracle recomputes from the FULL corpus, knowing nothing of the
     // split (the etl_incremental_agg merged≡recomputed proof)
     "dedup_incremental_index" -> ((s, d) => DedupOps.incrementalIndex(s, d)),
+    // the same fold with the state crossing a REAL parquet boundary:
+    // band index + pair table written, read back, folded — the 2am
+    // re-run's actual load path, same split-agnostic oracle
+    "dedup_incremental_index_persisted" -> ((s, d) =>
+      DedupOps.incrementalIndexPersisted(s, d)),
     // checked face: 60-bit md5-prefix SimHash — the oracle re-derives
     // the complete pair list (sigs, hamming, jaccard) cross-engine
     "dedup_simhash"       -> ((s, d) =>
@@ -5539,39 +5544,12 @@ object SparkEntry {
     // pair for pair (the etl_incremental_agg proof shape); text is
     // the dedup_minhash oracle verbatim
     "dedup_incremental_index" ->
-      """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t
-        |             FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |  unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
-        |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
-        |  FROM tok WHERE len(t) >= 3),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |pairs AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT id1, id2,
-        |  round(common * 1.0 / (x.n + y.n - common), 4) AS jaccard
-        |FROM pairs JOIN sz x ON x.doc_id = id1 JOIN sz y ON y.doc_id = id2
-        |WHERE round(common * 1.0 / (x.n + y.n - common), 4) >= 0.8
-        |ORDER BY id1, id2""".stripMargin,
+      graft.ops.DedupOps.minhashRecomputeOracleSql(),
+    // the persisted round-trip face answers to the SAME recompute
+    "dedup_incremental_index_persisted" ->
+      graft.ops.DedupOps.minhashRecomputeOracleSql(),
     "dedup_minhash" ->
-      """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t
-        |             FROM documents),
-        |sh AS (SELECT DISTINCT doc_id,
-        |  unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
-        |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
-        |  FROM tok WHERE len(t) >= 3),
-        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |pairs AS (
-        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT id1, id2,
-        |  round(common * 1.0 / (x.n + y.n - common), 4) AS jaccard
-        |FROM pairs JOIN sz x ON x.doc_id = id1 JOIN sz y ON y.doc_id = id2
-        |WHERE round(common * 1.0 / (x.n + y.n - common), 4) >= 0.8
-        |ORDER BY id1, id2""".stripMargin,
+      graft.ops.DedupOps.minhashRecomputeOracleSql(),
     // complete cross-engine replay of the md5-60bit SimHash face:
     // per-token bit votes → sign-thresholded signature → all-pairs
     // hamming ≤ 7 (the oracle's shape for Spark's exact banded

@@ -316,12 +316,95 @@ object DedupOps {
       history, delta, threshold, numPerm, bands)
   }
 
+  /** [[incrementalIndex]] with the persisted state crossing a REAL
+    * parquet boundary — the production claim made checkable: the
+    * band index (partitioned by band, the layout [[bandIndexOn]]
+    * declares) and the verified pair table are WRITTEN to parquet,
+    * and today's fold reads them BACK — so the state that serves the
+    * fold is exactly what a 2am re-run would load (reference:
+    * etl-cfn-2am-trigger.json), including every type/encoding change
+    * a parquet round-trip can introduce (partition-column recovery,
+    * dictionary/plain encoding, xxhash64-signature longs). The
+    * oracle is the SAME split-agnostic full-corpus recompute
+    * ([[minhashRecomputeOracleSql]]): any pair the round-tripped fold
+    * misses or invents breaks the cross-engine hash. Parquet-reading
+    * the index also un-pins its band-key partitioning, so the fold's
+    * (band, bsig) joins re-shuffle from real files — the honest cost
+    * an index owner pays daily. State lands under `stateDir`
+    * (defaults to the JVM temp dir, keyed by the corpus path). */
+  def incrementalIndexPersisted(s: SparkSession, d: String,
+                                threshold: Double = 0.8,
+                                numPerm: Int = 64, bands: Int = 16,
+                                stateDir: String = ""): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val history = docs.filter(col("doc_id") % 4 =!= 0)
+    val delta = docs.filter(col("doc_id") % 4 === 0)
+    val dir =
+      if (stateDir.nonEmpty) stateDir
+      else s"${sys.props("java.io.tmpdir")}/graft_inc_state_" +
+        java.lang.Integer.toHexString(d.hashCode)
+    val hSets = docShingleSets(history).cache()
+    val hIndex = bandIndexOnSets(hSets, numPerm, bands).cache()
+    hIndex.write.mode("overwrite").partitionBy("band")
+      .parquet(s"$dir/band_index.parquet")
+    lshPairsFromIndex(hIndex, hSets, threshold, 1000)
+      .write.mode("overwrite").parquet(s"$dir/pairs.parquet")
+    // the fold sees ONLY the read-back state
+    val rIndex = s.read.parquet(s"$dir/band_index.parquet")
+      .select(col("doc_id"), col("band"), col("bsig"))
+    val rPairs = s.read.parquet(s"$dir/pairs.parquet")
+      .select(col("id1"), col("id2"), col("jaccard"))
+    incrementalFold(rIndex, rPairs, history, delta, threshold,
+      numPerm, bands)
+  }
+
+  /** The split-agnostic full-corpus near-dup recompute in DuckDB —
+    * the shared oracle of `dedup_minhash`, `dedup_incremental_index`,
+    * and `dedup_incremental_index_persisted`: exact 3-token-shingle
+    * Jaccard over ALL qualifying pairs at `threshold`, knowing
+    * nothing of any history/delta split or persisted state, so every
+    * fold face must reproduce it pair for pair. */
+  private[graft] def minhashRecomputeOracleSql(
+      threshold: Double = 0.8): String =
+    s"""WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+       |             FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |  unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+       |    i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+       |  FROM tok WHERE len(t) >= 3),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id1, id2,
+       |  round(common * 1.0 / (x.n + y.n - common), 4) AS jaccard
+       |FROM pairs JOIN sz x ON x.doc_id = id1 JOIN sz y ON y.doc_id = id2
+       |WHERE round(common * 1.0 / (x.n + y.n - common), 4) >= $threshold
+       |ORDER BY id1, id2""".stripMargin
+
   /** The fold itself — see [[incrementalIndex]]. `histDocs` is used
-    * ONLY through a left-semi fetch of candidate ids. */
+    * ONLY through a left-semi fetch of candidate ids.
+    *
+    * Hot-bucket protection (round 14, the [[capBucketsRep]] /
+    * [[decontaminate]] posture applied to the fold's candidate
+    * joins): without a cap, one hot band signature — a boilerplate
+    * band shared by b history docs and a delta docs — contributes
+    * O(a·b) delta-history candidates and O(a²) delta-delta
+    * candidates per fold. With `maxBucket`, each side keeps its
+    * lowest-id `maxBucket` rows per (band, bsig); capped-out rows
+    * still emit ONE representative candidate against the OTHER
+    * side's bucket minimum (and, delta-vs-delta, against their own
+    * bucket minimum), so cluster membership is preserved at linear
+    * cost — a hot bucket costs O(cap²) join pairs + O(size)
+    * representative pairs, never O(size²). On benign data (no bucket
+    * over the cap) the output is IDENTICAL to the uncapped fold
+    * (DedupSpec pins both contracts). `maxBucket = Int.MaxValue`
+    * skips the ranking windows entirely. */
   def incrementalFold(histIndex: DataFrame, histPairs: DataFrame,
                       histDocs: DataFrame, delta: DataFrame,
                       threshold: Double, numPerm: Int,
-                      bands: Int): DataFrame = {
+                      bands: Int, maxBucket: Int = 1000): DataFrame = {
     // today's shingle sets feed signatures AND verification — one
     // materialization (the minhashLshOn posture)
     val dSets = docShingleSets(delta).cache()
@@ -333,21 +416,70 @@ object DedupOps {
     val dIndex = dSig.select(col("doc_id"),
         posexplode(array(bandSigs: _*)).as(Seq("band", "bsig")))
       .cache()
-    // delta vs HISTORY: equi-join on the persisted index — at scale
-    // the delta side is day-sized and broadcasts; ids interleave
-    // across the split, so the pair normalizes by least/greatest
-    val candDH = dIndex.as("a")
-      .join(histIndex.as("b"),
-        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig"))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("id1"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("id2"))
-    // delta vs DELTA: the self-join shape on the day's index rows
-    val candDD = dIndex.as("a")
-      .join(dIndex.as("b"),
-        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-    val cand = candDH.union(candDD).distinct()
+    val cand = (if (maxBucket == Int.MaxValue) {
+      // delta vs HISTORY: equi-join on the persisted index — at scale
+      // the delta side is day-sized and broadcasts; ids interleave
+      // across the split, so the pair normalizes by least/greatest
+      val candDH = dIndex.as("a")
+        .join(histIndex.as("b"),
+          col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("id1"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("id2"))
+      // delta vs DELTA: the self-join shape on the day's index rows
+      val candDD = dIndex.as("a")
+        .join(dIndex.as("b"),
+          col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      candDH.union(candDD)
+    } else {
+      // the ranking window shuffles on the same (band, bsig) keys the
+      // candidate joins use, so the exchange is reused, not added;
+      // both ranked frames serve three consumers each (kept rows,
+      // bucket minimum, overflow) — cache once
+      val w = Window.partitionBy(col("band"), col("bsig"))
+        .orderBy(col("doc_id"))
+      val rankedD = dIndex.withColumn("__rn", row_number().over(w)).cache()
+      val rankedH = histIndex
+        .withColumn("__rn", row_number().over(w)).cache()
+      val dKept = rankedD.filter(col("__rn") <= maxBucket)
+      val hKept = rankedH.filter(col("__rn") <= maxBucket)
+      val dMin = rankedD.filter(col("__rn") === 1)
+        .select(col("band"), col("bsig"), col("doc_id").as("dmin"))
+      val hMin = rankedH.filter(col("__rn") === 1)
+        .select(col("band"), col("bsig"), col("doc_id").as("hmin"))
+      // ids interleave across the split: normalize by least/greatest
+      val dhJoin = dKept.as("a")
+        .join(hKept.as("b"),
+          col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig"))
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("id1"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("id2"))
+      // representative pairs for BOTH overflow directions (the
+      // decontaminate contract): a capped-out delta row still
+      // candidates against the history bucket's minimum, and vice
+      // versa — without the second direction, a history doc whose
+      // only near-dup arrives in a hot delta bucket would silently
+      // never pair
+      val dhOverD = rankedD.filter(col("__rn") > maxBucket)
+        .join(hMin, Seq("band", "bsig"))
+        .select(least(col("doc_id"), col("hmin")).as("id1"),
+          greatest(col("doc_id"), col("hmin")).as("id2"))
+      val dhOverH = rankedH.filter(col("__rn") > maxBucket)
+        .join(dMin, Seq("band", "bsig"))
+        .select(least(col("doc_id"), col("dmin")).as("id1"),
+          greatest(col("doc_id"), col("dmin")).as("id2"))
+      // delta vs DELTA: capped self-join + within-side representative
+      // pairs ((bucket min, capped id) — min ranks first, so min < id)
+      val ddJoin = dKept.as("a")
+        .join(dKept.as("b"),
+          col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      val ddOver = rankedD.filter(col("__rn") > maxBucket)
+        .join(dMin, Seq("band", "bsig"))
+        .select(col("dmin").as("id1"), col("doc_id").as("id2"))
+      dhJoin.union(dhOverD).union(dhOverH).union(ddJoin).union(ddOver)
+    }).distinct()
     // verification sets: today's are in hand; history contributes
     // ONLY the candidate members, fetched by id
     val candIds = cand.select(col("id1").as("doc_id"))

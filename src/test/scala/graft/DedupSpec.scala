@@ -48,6 +48,66 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 4L)))
   }
 
+  test("persisted-index round trip: folding from parquet-read state " +
+       "equals the in-memory fold row for row") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_inc_spec").toString
+    val rt = DedupOps.incrementalIndexPersisted(spark, sf, stateDir = dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val mem = DedupOps.incrementalIndex(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rt.toSeq === mem.toSeq)
+    assert(rt.nonEmpty) // the corpus has planted near-dups
+    // the state really crossed the boundary: both tables on disk,
+    // the index partitioned by band
+    assert(new java.io.File(s"$dir/pairs.parquet").exists())
+    assert(new java.io.File(s"$dir/band_index.parquet/band=0").exists())
+  }
+
+  test("capped fold: benign data identical to uncapped; a hot bucket " +
+       "stays linked through representative pairs, never quadratic") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val hist = Seq((1L, base), (2L, "an unrelated short text body"),
+      (3L, (1 to 40).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val delta = Seq((4L, base + " extra"),
+      (8L, "totally different content again")).toDF("doc_id", "text")
+    def fold(h: org.apache.spark.sql.DataFrame,
+             d: org.apache.spark.sql.DataFrame, cap: Int) =
+      DedupOps.incrementalFold(DedupOps.bandIndexOn(h),
+        DedupOps.minhashLshOn(h), h, d,
+        threshold = 0.8, numPerm = 64, bands = 16, maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // benign: no bucket over the cap ⇒ capped ≡ uncapped ≡ default
+    assert(fold(hist, delta, 2) === fold(hist, delta, Int.MaxValue))
+    assert(fold(hist, delta, 2) === Seq((1L, 4L)))
+    // adversarial: ten identical delta docs + two identical history
+    // docs all share every band bucket; cap=2 keeps two rows per
+    // bucket per side, yet every member still reaches the bucket
+    // minimum through a representative pair and survives the exact
+    // verify — cluster membership is preserved at linear cost
+    val hotHist = Seq(100L, 101L).map(i => (i, base)).toDF("doc_id", "text")
+    val hotDelta = (200L to 209L).map(i => (i, base)).toDF("doc_id", "text")
+    val capped = fold(hotHist, hotDelta, 2).toSet
+    // delta members all link to the history minimum (100) or delta
+    // minimum (200) — the two representatives
+    (200L to 209L).foreach { i =>
+      assert(capped.contains((100L, i)) || capped.contains((200L, i)) ||
+        i == 200L,
+        s"capped fold lost hot-bucket member $i")
+    }
+    // the uncapped fold on the same data finds the full clique; the
+    // capped output is a subset of it (caps can only remove pairs)
+    val unc = fold(hotHist, hotDelta, Int.MaxValue).toSet
+    assert(capped.subsetOf(unc))
+    // and the clique is genuinely quadratic uncapped (all C(12,2)
+    // pairs: 1 history pair + 20 cross + 45 delta-delta) vs linear
+    // capped (4 kept-join + 8+8 representative + 1 dd-join + 1 hist)
+    assert(unc.size === (12 * 11) / 2)
+    assert(capped.size === 22)
+  }
+
   test("simhash pairs: verified near-dups, schema (id1,id2,hamming,jaccard)") {
     val rows = DedupOps.simhashPairs(spark, sf, threshold = 0.8).collect()
     val sim = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
