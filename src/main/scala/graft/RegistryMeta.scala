@@ -917,7 +917,10 @@ object RegistryMeta {
         "streaming DISTINCT-COUNT fold"),
     "EventStreams.attributionStream" ->
       EntryMeta("2.8", "spec",
-        "streaming face of q_attribution: the batch keyed-window carry-forward is exactly a greedy fold per user, so state = ONE touch (timestamp + type)"),
+        "streaming face of q_attribution: the batch keyed-window carry-forward is exactly a greedy fold per user, so state = ONE touch (timestamp + type); versioned audit oracled as attribution_versions"),
+    "attribution_versions" ->
+      EntryMeta("2.8", "sql",
+        "ORACLED versioned audit of the attribution stream (the cdc_snapshot_versions pattern): per retained epoch-prefix version, the published credit table re-derived through the stream's own epoch-major fold order — one keyed window with epoch prepended; StreamingSpec replays the same epochs live and pins cumulative-output equality"),
     "EventStreams.anomalyStream" ->
       EntryMeta("2.8", "spec",
         "streaming face of ts_anomaly"),

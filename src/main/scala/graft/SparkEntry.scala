@@ -1183,6 +1183,11 @@ object SparkEntry {
     // stream's directories reproduce these rows + marker invariants)
     "cdc_snapshot_versions" -> ((s, d) =>
       graft.streaming.ChangeStreams.snapshotVersionsBatch(s, d)),
+    // the attribution stream's versioned audit (the cdc pattern):
+    // per retained version, the published credit table re-derived
+    // through the stream's own epoch-major fold order
+    "attribution_versions" -> ((s, d) =>
+      graft.streaming.EventStreams.attributionVersionsBatch(s, d)),
     // sketch-stream versioned-snapshot audits (the cdc pattern): each
     // retained version re-derived through the stream's own merge code
     // — MG guarantee verdicts, the exactly-replayable CM grid+probes,
@@ -6553,6 +6558,40 @@ object SparkEntry {
         |  max(user_id) AS max_key
         |FROM latest WHERE rn = 1 AND op <> 'D'
         |GROUP BY version ORDER BY version""".stripMargin,
+    // attribution_versions: q_attribution's window with epoch
+    // prepended to the order (the stream's arrival order), one
+    // summary per retained version prefix; share = ExactRatio half-up
+    "attribution_versions" ->
+      """WITH tagged AS (SELECT user_id, event_id,
+        |    event_id % 5 AS epoch,
+        |    epoch_us(CAST(ts AS TIMESTAMP_US)) AS tus, event_type,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS tag
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |att AS (SELECT *,
+        |    last_value(CASE WHEN tag = 0 THEN tus END IGNORE NULLS)
+        |      OVER w AS touch_ts,
+        |    last_value(CASE WHEN tag = 0 THEN event_type END IGNORE NULLS)
+        |      OVER w AS touch_type
+        |  FROM tagged
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY epoch, tus, tag, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |conv AS (SELECT epoch, CASE WHEN touch_ts IS NOT NULL
+        |      AND tus - touch_ts <= 604800000000 THEN touch_type
+        |      ELSE 'none' END AS touch_type
+        |  FROM att WHERE tag = 1),
+        |vs AS (SELECT * FROM (VALUES (2),(3),(4)) t(version)),
+        |c AS (SELECT version, touch_type,
+        |    CAST(count(*) AS BIGINT) AS n_purchases
+        |  FROM vs JOIN conv ON conv.epoch <= vs.version GROUP BY 1, 2),
+        |t AS (SELECT version, CAST(sum(n_purchases) AS BIGINT) AS tot
+        |      FROM c GROUP BY 1)
+        |SELECT CAST(c.version AS BIGINT) AS version, touch_type,
+        |  n_purchases,
+        |  CAST((CAST(n_purchases AS HUGEINT) * 20000 + tot) // (2 * tot)
+        |    AS BIGINT) / 10000.0 AS share
+        |FROM c JOIN t ON t.version = c.version
+        |ORDER BY version, touch_type""".stripMargin,
     // sketch_topk_versions: the oracle replays the exact top-k per
     // version prefix; the MG verdicts pin to literal TRUE (a violated
     // mergeable-summaries guarantee breaks the cross-engine hash)

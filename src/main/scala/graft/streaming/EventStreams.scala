@@ -381,6 +381,69 @@ object EventStreams {
       }
   }
 
+  /** The ORACLED batch face of [[attributionStream]]'s versioned
+    * contract — the `cdc_snapshot_versions` pattern applied to the
+    * live attribution fold: events split into `epochs` micro-batches
+    * by `event_id % epochs`, and for each RETAINED version k (the
+    * newest `keepVersions`) the PUBLISHED credit table — the batch
+    * twin `q_attribution`'s (touch_type, n_purchases, share) summary
+    * over every conversion the stream has emitted through epoch k —
+    * is re-derived through the stream's OWN fold semantics.
+    *
+    * Those semantics are epoch-major: the stream's arrival order IS
+    * epoch order, with the batch contract's (µs, tag, id) sort
+    * inside each micro-batch — so the greedy one-touch state is
+    * exactly a carry-forward last over the (epoch, µs, tag, id)
+    * lexicographic order, ONE keyed window (q_attribution's window
+    * with epoch prepended). Where event time interleaves across
+    * epochs, the fold credits by arrival, not by global time — the
+    * documented late-data caveat, here made an oracled value instead
+    * of a disclaimer. One windowed pass is shared by all versions
+    * (cached conversion frame); each version adds one filtered
+    * aggregate over it. StreamingSpec replays the identical epochs
+    * through [[attributionStream]] and asserts each version's
+    * cumulative emitted rows aggregate to exactly these audit rows. */
+  def attributionVersionsBatch(s: SparkSession, d: String,
+                               epochs: Int = 5, keepVersions: Int = 3,
+                               touchTypes: Seq[String] = Seq("view", "click"),
+                               convType: String = "purchase",
+                               windowDays: Int = 7): DataFrame = {
+    require(epochs >= 1 && keepVersions >= 1 && keepVersions <= epochs,
+      s"need 1 <= keepVersions <= epochs: $keepVersions/$epochs")
+    val tagged = Tables.events(s, d)
+      .filter(col("event_type").isin(touchTypes :+ convType: _*))
+      .select(col("user_id"), col("event_id"),
+        (col("event_id") % epochs).as("epoch"),
+        unix_micros(col("ts")).as("tus"), col("event_type"),
+        when(col("event_type") === convType, 1).otherwise(0).as("tag"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("epoch"), col("tus"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val conv = tagged
+      .withColumn("touch_ts",
+        last(when(col("tag") === 0, col("tus")), ignoreNulls = true).over(w))
+      .withColumn("touch_type",
+        last(when(col("tag") === 0, col("event_type")), ignoreNulls = true)
+          .over(w))
+      .filter(col("tag") === 1)
+      .select(col("epoch"),
+        when(col("touch_ts").isNotNull &&
+            col("tus") - col("touch_ts") <=
+              lit(windowDays * 86400000000L),
+          col("touch_type")).otherwise(lit("none")).as("touch_type"))
+      .cache() // every retained version aggregates this one pass
+    (epochs - keepVersions until epochs).map { k =>
+      val cnt = conv.filter(col("epoch") <= k)
+        .groupBy(col("touch_type")).agg(count(lit(1)).as("n_purchases"))
+      val tot = cnt.agg(sum(col("n_purchases")).as("tot"))
+      cnt.crossJoin(broadcast(tot))
+        .select(lit(k.toLong).as("version"), col("touch_type"),
+          col("n_purchases"),
+          graft.ops.ExactRatio.r4(col("n_purchases"), col("tot"))
+            .as("share"))
+    }.reduce(_ unionAll _).orderBy(col("version"), col("touch_type"))
+  }
+
   // ---- streaming anomaly monitor ----------------------------------------
 
   case class DailyCount(event_type: String, day: java.sql.Timestamp, cnt: Long)

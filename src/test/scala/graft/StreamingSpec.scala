@@ -276,6 +276,49 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("attribution versioned audit: the live fold's cumulative " +
+      "output per retained epoch equals the oracled batch audit") {
+    import graft.streaming.EventStreams.{FunnelEvent, attributionStream}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val audit = graft.streaming.EventStreams
+      .attributionVersionsBatch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .as[FunnelEvent].collect()
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[FunnelEvent]
+    val q = attributionStream(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_versions").start()
+    try {
+      (0 until 5).foreach { k =>
+        // one micro-batch per epoch — the audit's fold order
+        val batch = ev.filter(_.event_id % 5 == k)
+        if (batch.nonEmpty) mem.addData(batch.toIndexedSeq: _*)
+        q.processAllAvailable()
+        if (k >= 2) { // the retained versions
+          val counts = spark.table("attr_versions")
+            .groupBy(col("touch_type")).agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          val expected = audit.collect {
+            case ((v, tt), (n, _)) if v == k => tt -> n
+          }.toMap
+          assert(counts === expected, s"version $k diverged")
+        }
+      }
+      // shares re-derive from the counts (half-up 4dp) per version
+      audit.foreach { case ((v, _), (n, share)) =>
+        val tot = audit.collect {
+          case ((v2, _), (n2, _)) if v2 == v => n2
+        }.sum
+        assert(share === ((n * 20000L + tot) / (2 * tot)) / 10000.0)
+      }
+    } finally q.stop()
+  }
+
   test("streaming funnel advances per-user stages across micro-batches " +
       "and matches the batch conversion counts") {
     import graft.streaming.EventStreams.{FunnelEvent, funnelStream}
