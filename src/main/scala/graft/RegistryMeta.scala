@@ -656,6 +656,12 @@ object RegistryMeta {
     "curate_shard_export" ->
       EntryMeta("2.4", "sql",
         "shard export: balanced md5-keyed shards + deterministic within-shard pseudo-random order — the reproducible global shuffle a training run reads"),
+    "curate_pack_sequences" ->
+      EntryMeta("2.4", "sql",
+        "sequence packing (GPT-style padding-free layout): docs concatenated in doc_id order, chunked at a fixed token budget — per-doc token interval, first/last sequence, boundary-crossing flag; engine-side prefix sum is the distributed two-level form (bucketed local cumsums + broadcast bucket offsets), provably equal to the oracle's single global window on exact integers"),
+    "curate_pack_stats" ->
+      EntryMeta("2.4", "sql",
+        "the pack map at sequence grain: per budget-token sequence, docs touched, fill tokens (budget everywhere but the final partial), fullness — interval clipping over the exploded per-doc sequence ranges, tiles the corpus token count exactly"),
     "dedup_embedding" ->
       EntryMeta("2.4", "sql",
         "embedding-cosine pairs: exact all-pairs face (the oracle baseline)",
@@ -726,6 +732,9 @@ object RegistryMeta {
     "emb_pca_remove_top" ->
       EntryMeta("2.5", "sql",
         "all-but-the-top common-component removal: centered vectors minus their top-PC projection on the exact integer lattice — the isotropy post-processing the ev_share probe earns"),
+    "emb_standardize" ->
+      EntryMeta("2.5", "sql",
+        "per-dimension z-scoring (diagonal whitening) on the pcaFit lattice restricted to the diagonal: integer mean/var8, z = dx/(100*sqrt(var8)) through one correctly-rounded chain per engine, zero-variance dims publish 0 — the feature-scaling step distance-based downstreams assume; no d^2 grid, two narrow corpus passes"),
     "emb_centroid_drift" ->
       EntryMeta("2.5", "sql",
         "EMBEDDING-space drift monitor"),

@@ -1083,6 +1083,12 @@ object SparkEntry {
     // within-shard order (md5 coin) — the reproducible global shuffle
     "curate_shard_export" -> ((s, d) =>
       CurateOps.shardExport(Tables.documents(s, d))),
+    // sequence packing (the GPT-style packed-pretraining layout):
+    // per-doc token interval + first/last sequence + boundary flag;
+    // the engine-side prefix sum is the distributed two-level form
+    "curate_pack_sequences" -> ((s, d) => CurateOps.packSequences(s, d)),
+    // the pack map at sequence grain: docs touched, fill, fullness
+    "curate_pack_stats" -> ((s, d) => CurateOps.packStats(s, d)),
     // §2.7 multimodal — REAL codec work: synthesize byte-level
     // WAV/BMP payloads deterministically from doc_id, parse them with
     // the header-walking decoders; features have closed forms so the
@@ -1145,6 +1151,9 @@ object SparkEntry {
     // all-but-the-top: subtract the fat axis, keep the isotropic
     // residual — the retrieval post-processing the ev_share probe earns
     "emb_pca_remove_top" -> ((s, d) => SimilarityOps.pcaRemoveTop(s, d)),
+    // per-dimension z-scoring (diagonal whitening) on the same
+    // integer lattice, diagonal-only — no d² grid
+    "emb_standardize" -> ((s, d) => SimilarityOps.standardize(s, d)),
     // §2.8 streaming (batch faces; streaming faces spec-tested)
     "stream_window_counts" -> (graft.streaming.EventStreams.windowCountsBatch _),
     "stream_sliding_counts" -> (graft.streaming.EventStreams.slidingCountsBatch _),
@@ -6011,6 +6020,10 @@ object SparkEntry {
       graft.ops.CurateOps.mixTemperatureOracleSql(),
     "curate_shard_export" ->
       graft.ops.CurateOps.shardExportOracleSql(),
+    "curate_pack_sequences" ->
+      graft.ops.CurateOps.packSequencesOracleSql(),
+    "curate_pack_stats" ->
+      graft.ops.CurateOps.packStatsOracleSql(),
     "text_ccnet_buckets" -> graft.ops.TextOps.ccnetBucketsOracleSql(),
     "ann_lsh_topk" -> graft.ops.SimilarityOps.lshOracleSql(),
     "ann_ivf_topk" -> graft.ops.SimilarityOps.ivfOracleSql(),
@@ -6126,6 +6139,7 @@ object SparkEntry {
     "emb_pca_power" -> SimilarityOps.pcaOracleSql(),
     "emb_pca_project" -> SimilarityOps.pcaProjectOracleSql(),
     "emb_pca_remove_top" -> SimilarityOps.pcaRemoveTopOracleSql(),
+    "emb_standardize" -> SimilarityOps.standardizeOracleSql(),
     // Generated from the same pattern table the operator folds over
     // (Java regex and RE2 agree on this subset); counts on the
     // original text, replacements applied in the same fixed order.

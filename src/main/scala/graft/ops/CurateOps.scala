@@ -398,6 +398,133 @@ object CurateOps {
        |    ORDER BY k, doc_id) AS BIGINT) AS pos
        |FROM s ORDER BY shard, pos""".stripMargin
 
+  /** SEQUENCE PACKING — the last step before an LLM training run
+    * tokenizes its corpus (the GPT-style packed-pretraining layout):
+    * documents are concatenated in a fixed, deterministic order
+    * (doc_id) and the token stream is chunked into `budget`-token
+    * training sequences, documents spanning chunk boundaries (the
+    * standard layout — padding-free, every sequence exactly full
+    * except the last). This face emits the PACK MAP: per document,
+    * its global token interval [start_tok, start_tok + n_tokens) and
+    * the first/last sequence it lands in, plus the boundary-crossing
+    * flag an attention-mask builder reads.
+    *
+    * Scale shape: the global prefix sum is NOT one window over the
+    * corpus (single-partition at any width) — it is the distributed
+    * two-level form: doc_id-bucketed local cumsums (window keyed by
+    * `doc_id div bucketSpan`, thousands of parallel partitions) plus
+    * a bucket-offset table (one tiny window over corpus/bucketSpan
+    * rows) broadcast back. Every value is an exact integer (token
+    * counts sum associatively), so the two-level form provably equals
+    * the oracle's single global window. Token counts use the
+    * whitespace tokenizer ([[TextOps.toks]] ↔
+    * string_split_regex(trim, '\\s+') — the registry pairing). */
+  def packSequences(s: SparkSession, d: String, budget: Int = 512,
+                    bucketSpan: Long = 4096L): DataFrame =
+    packSequencesOn(Tables.documents(s, d), budget, bucketSpan)
+
+  /** Same over any (doc_id, text) frame. */
+  def packSequencesOn(docs: DataFrame, budget: Int,
+                      bucketSpan: Long = 4096L): DataFrame = {
+    require(budget >= 1 && bucketSpan >= 1, "budget/bucketSpan >= 1")
+    val t = Tables.spread(docs).select(col("doc_id"),
+      size(TextOps.toks(col("text"))).cast("long").as("n_tokens"),
+      expr(s"doc_id div $bucketSpan").as("__b"))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val local = t.withColumn("__cumIn", sum(col("n_tokens")).over(wLocal))
+    // bucket offsets: corpus/bucketSpan rows — tiny; exclusive prefix
+    val wB = org.apache.spark.sql.expressions.Window.orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val offsets = t.groupBy(col("__b"))
+      .agg(sum(col("n_tokens")).as("__bt"))
+      .withColumn("__off", coalesce(sum(col("__bt")).over(wB), lit(0L)))
+      .select(col("__b"), col("__off"))
+    local.join(broadcast(offsets), Seq("__b"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("__off") + col("__cumIn") - col("n_tokens")).as("start_tok"))
+      .withColumn("seq_first", expr(s"start_tok div $budget"))
+      .withColumn("seq_last",
+        expr(s"(start_tok + n_tokens - 1) div $budget"))
+      .withColumn("crosses_boundary", col("seq_last") > col("seq_first"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The pack map aggregated to SEQUENCE grain — the table a training
+    * job reads to size shards and audit fill: per `budget`-token
+    * sequence, how many documents contribute, how many tokens it
+    * holds (budget everywhere except the final partial sequence), and
+    * whether it is full. Derived by exploding each document's
+    * [seq_first, seq_last] range (bounded: a doc touches
+    * ⌈n/budget⌉+1 sequences) and clipping its token interval to each
+    * sequence window — pure integer arithmetic on [[packSequencesOn]]
+    * values, so the sequence totals provably tile the corpus token
+    * count. */
+  def packStats(s: SparkSession, d: String, budget: Int = 512,
+                bucketSpan: Long = 4096L): DataFrame = {
+    val m = packSequencesOn(Tables.documents(s, d), budget, bucketSpan)
+    m.select(col("doc_id"), col("n_tokens"), col("start_tok"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq_id"))
+      .select(col("seq_id"),
+        (least((col("seq_id") + 1) * budget,
+            col("start_tok") + col("n_tokens")) -
+          greatest(col("seq_id") * budget, col("start_tok")))
+          .as("__contrib"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__contrib")).as("fill_tokens"))
+      .withColumn("is_full", col("fill_tokens") === budget)
+      .orderBy(col("seq_id"))
+  }
+
+  /** DuckDB replica of [[packSequencesOn]] — ONE global cumsum window
+    * (the oracle may afford what the engine must not): identical
+    * integer chain, floor division on non-negative operands. */
+  private[graft] def packSequencesOracleSql(budget: Int = 512): String =
+    s"""WITH t AS (SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+       |      AS BIGINT) AS start_tok
+       |  FROM t)
+       |SELECT doc_id, n_tokens, start_tok,
+       |  start_tok // $budget AS seq_first,
+       |  (start_tok + n_tokens - 1) // $budget AS seq_last,
+       |  (start_tok + n_tokens - 1) // $budget > start_tok // $budget
+       |    AS crosses_boundary
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** DuckDB replica of [[packStats]]: the pack-map CTE + per-doc
+    * sequence-range unnest + interval clipping. */
+  private[graft] def packStatsOracleSql(budget: Int = 512): String =
+    s"""WITH t AS (SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+       |      AS BIGINT) AS start_tok
+       |  FROM t),
+       |ex AS (SELECT start_tok, n_tokens,
+       |    unnest(range(start_tok // $budget,
+       |      (start_tok + n_tokens - 1) // $budget + 1)) AS seq_id
+       |  FROM c)
+       |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(least((seq_id + 1) * $budget, start_tok + n_tokens)
+       |    - greatest(seq_id * $budget, start_tok)) AS BIGINT)
+       |    AS fill_tokens,
+       |  CAST(sum(least((seq_id + 1) * $budget, start_tok + n_tokens)
+       |    - greatest(seq_id * $budget, start_tok)) AS BIGINT) = $budget
+       |    AS is_full
+       |FROM ex GROUP BY 1 ORDER BY seq_id""".stripMargin
+
   /** DuckDB replica of [[mixTemperature]]: same floor(1e6·√n)
     * weights, HUGEINT quota arithmetic, md5 coin order. */
   private[graft] def mixTemperatureOracleSql(keepDenom: Long = 2L): String =

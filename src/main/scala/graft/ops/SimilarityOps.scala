@@ -1878,4 +1878,85 @@ object SimilarityOps {
          |    AS pc1_score
          |FROM cx JOIN v$iters v ON cx.dim = v.dim
          |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Per-dimension STANDARDIZATION (z-scoring / diagonal whitening)
+    * of the embedding space — the feature-scaling step every
+    * distance-based downstream (k-means cells, kNN, GMM scoring)
+    * assumes and raw encoder outputs rarely satisfy: a dimension
+    * with 10× the variance owns the metric until it is divided out.
+    * Diagonal whitening is the production form at scale (full ZCA
+    * needs the d×d eigendecomposition; the diagonal needs one
+    * per-dimension pass) and composes with [[pcaRemoveTop]] —
+    * remove the fat common axis, then equalize the rest.
+    *
+    * Determinism: the pcaFit lattice restricted to the diagonal —
+    * vectors quantize to shifted 1e-6 longs, per-dim mean is the
+    * integer floor Σx6 div n, centered dx is exact, and var8 =
+    * Σdx² div (n·10⁴) (identical to the pcaFit grid's i=j cell).
+    * The published z = dx / (100·√var8) divides identical integers
+    * through one correctly-rounded sqrt/multiply/divide chain in
+    * each engine — the cosineQ6 argument — and rounds 6dp; a
+    * zero-variance dimension (all values equal after quantization)
+    * publishes z = 0 by convention in BOTH engines. Cost: two
+    * narrow corpus passes (quantize+explode for the stats, one
+    * broadcast-join map to apply) — no grid, no shuffle wider than
+    * d rows. Output long format (vec_id, pos, z). */
+  def standardize(s: SparkSession, d: String): DataFrame =
+    standardizeOn(Tables.embeddings(s, d))
+
+  /** Same over any (vec_id, embedding) frame. */
+  def standardizeOn(emb: DataFrame): DataFrame = {
+    val x = Tables.spread(emb).select(col("vec_id"),
+      transform(col("embedding"),
+        v => round(v.cast("double") * 1000000, 0).cast("long") + 1000000L)
+        .as("x6"))
+    val mu = x.select(posexplode(col("x6")).as(Seq("dim", "v6")))
+      .groupBy(col("dim")).agg(expr("sum(v6) div count(1)").as("mu6"))
+    val muArr = mu
+      .agg(array_sort(collect_list(struct(col("dim"), col("mu6")))).as("pm"))
+      .select(transform(col("pm"), p => p.getField("mu6")).as("mu6s"))
+    val cx = x.crossJoin(broadcast(muArr))
+      .select(col("vec_id"),
+        zip_with(col("x6"), col("mu6s"), (a, b) => a - b).as("dx"))
+    val vars = cx.select(posexplode(col("dx")).as(Seq("dim", "dxi")))
+      .groupBy(col("dim"))
+      .agg(sum((col("dxi") * col("dxi")).cast("decimal(38,0)")).as("ss"),
+        count(lit(1)).as("n"))
+      .select(col("dim"), expr("ss div (n * 10000)").as("var8"))
+    val varArr = vars
+      .agg(array_sort(collect_list(struct(col("dim"), col("var8")))).as("pv"))
+      .select(transform(col("pv"), p => p.getField("var8")).as("v8s"))
+    cx.crossJoin(broadcast(varArr))
+      .select(col("vec_id"), posexplode(
+        zip_with(col("dx"), col("v8s"), (dx, v8) =>
+          when(v8 <= 0L, lit(0.0)).otherwise(
+            round(dx.cast("double") / (lit(100.0) * sqrt(v8.cast("double"))),
+              6)))).as(Seq("pos", "z")))
+      .orderBy(col("vec_id"), col("pos"))
+  }
+
+  /** DuckDB replay of [[standardizeOn]] — the pcaCoreCtes quantize/
+    * center chain with a diagonal-only variance (no grid), the same
+    * integer divisions, the same z formula shape and zero-variance
+    * convention. */
+  private[graft] def standardizeOracleSql(): String =
+    s"""WITH dims AS (SELECT unnest(range(1, 65)) AS dim),
+       |x AS (SELECT vec_id, dim - 1 AS dim,
+       |    CAST(round(CAST(embedding[dim] AS DOUBLE) * 1000000, 0)
+       |      AS BIGINT) + 1000000 AS x6
+       |  FROM embeddings, dims),
+       |mu AS (SELECT dim, CAST(sum(x6) AS BIGINT) // count(*) AS mu6
+       |       FROM x GROUP BY 1),
+       |cx AS (SELECT vec_id, x.dim, x.x6 - mu.mu6 AS dx
+       |       FROM x JOIN mu ON x.dim = mu.dim),
+       |vr AS (SELECT dim,
+       |    CAST(sum(CAST(dx * dx AS HUGEINT)) // (count(*) * 10000)
+       |      AS BIGINT) AS var8
+       |  FROM cx GROUP BY 1)
+       |SELECT cx.vec_id, cx.dim AS pos,
+       |  CASE WHEN vr.var8 <= 0 THEN 0.0
+       |    ELSE round(CAST(cx.dx AS DOUBLE)
+       |      / (100.0 * sqrt(CAST(vr.var8 AS DOUBLE))), 6) END AS z
+       |FROM cx JOIN vr ON vr.dim = cx.dim
+       |ORDER BY cx.vec_id, pos""".stripMargin
 }

@@ -253,4 +253,54 @@ class CurateSpec extends SparkSpec {
     assert(rows(0)._4 > rows(1)._4 && rows(1)._4 > rows(2)._4 &&
       rows(2)._4 > rows(3)._4 && rows(3)._4 > rows(4)._4)
   }
+
+  test("sequence packing: hand intervals, boundary flags, the " +
+       "two-level prefix equals the single-bucket form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, "f"),
+      (4L, "g h i j")).toDF("doc_id", "text")
+    // budget 4: cum = 3,5,6,10; starts 0,3,5,6
+    val m = CurateOps.packSequencesOn(docs, budget = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(m.toSeq === Seq(
+      (1L, 3L, 0L, 0L, 0L, false),
+      (2L, 2L, 3L, 0L, 1L, true),   // spans the 4-token boundary
+      (3L, 1L, 5L, 1L, 1L, false),
+      (4L, 4L, 6L, 1L, 2L, true)))
+    // the distributed two-level prefix (bucketSpan forces 3 buckets)
+    // is value-identical to the single-bucket global form
+    val two = CurateOps.packSequencesOn(docs, budget = 4, bucketSpan = 2L)
+      .collect().toSeq
+    val one = CurateOps.packSequencesOn(docs, budget = 4,
+      bucketSpan = 1000000L).collect().toSeq
+    assert(two === one)
+    // corpus level: intervals tile the token stream (starts are the
+    // exclusive prefix sums, in doc_id order)
+    val sf1 = CurateOps.packSequences(spark, sf).collect()
+    val byId = sf1.sortBy(_.getLong(0))
+    var cum = 0L
+    byId.foreach { r =>
+      assert(r.getLong(2) === cum, s"doc ${r.getLong(0)} start")
+      cum += r.getLong(1)
+    }
+  }
+
+  test("pack stats: fills tile the corpus token count, every sequence " +
+       "but the last is full") {
+    val st = CurateOps.packStats(spark, sf, budget = 512).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val total = CurateOps.packSequences(spark, sf).collect()
+      .map(_.getLong(1)).sum
+    assert(st.map(_._3).sum === total, "fills must tile the corpus")
+    val last = st.map(_._1).max
+    st.foreach { case (seq, nDocs, fill, full) =>
+      assert(nDocs >= 1)
+      if (seq < last) assert(full && fill === 512L, s"seq $seq not full")
+      else assert(fill <= 512L)
+    }
+    // sequence ids are contiguous from 0
+    assert(st.map(_._1).sorted.toSeq === (0L to last).toSeq)
+  }
 }

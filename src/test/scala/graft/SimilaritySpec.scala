@@ -569,4 +569,31 @@ class SimilaritySpec extends SparkSpec {
       .mapValues(_.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq).toMap
     assert(sf3 === bf)
   }
+
+  test("standardize: hand z-scores exact, zero-variance dims pin 0, " +
+       "corpus dims come out mean~0 var~1") {
+    import spark.implicits._
+    // dim 0: values {0, 2} → mean 1, sd 1 → z = ∓1 exactly on the
+    // lattice; dim 1: constant → zero variance → z = 0 by convention
+    val emb = Seq(
+      (1L, Array(0.0f, 7.5f)),
+      (2L, Array(2.0f, 7.5f))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.standardizeOn(emb).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 0)) === -1.0)
+    assert(out((2L, 0)) === 1.0)
+    assert(out((1L, 1)) === 0.0 && out((2L, 1)) === 0.0)
+    // corpus: every dimension standardizes to mean ≈ 0, var ≈ 1
+    // (integer flooring of mean/var costs at most ~1e-4 here)
+    val z = SimilarityOps.standardize(spark, sf).collect()
+      .map(r => (r.getInt(1), r.getDouble(2)))
+    val byDim = z.groupBy(_._1)
+    byDim.foreach { case (dim, vs) =>
+      val xs = vs.map(_._2)
+      val m = xs.sum / xs.length
+      val v = xs.map(x => (x - m) * (x - m)).sum / xs.length
+      assert(math.abs(m) < 0.01, s"dim $dim mean $m")
+      assert(math.abs(v - 1.0) < 0.05, s"dim $dim var $v")
+    }
+  }
 }
