@@ -658,7 +658,7 @@ object RegistryMeta {
         "shard export: balanced md5-keyed shards + deterministic within-shard pseudo-random order — the reproducible global shuffle a training run reads"),
     "curate_pack_sequences" ->
       EntryMeta("2.4", "sql",
-        "sequence packing (GPT-style padding-free layout): docs concatenated in doc_id order, chunked at a fixed token budget — per-doc token interval, first/last sequence, boundary-crossing flag; engine-side prefix sum is the distributed two-level form (bucketed local cumsums + broadcast bucket offsets), provably equal to the oracle's single global window on exact integers"),
+        "sequence packing at DOCUMENT grain — the same packing text_pack publishes at context grain, from the same token stream through the same shared PrefixSum: per doc the global token interval, first/last sequence, boundary-crossing flag; spec pins the two grains equal (doc's sequence range == its text_pack ctx_ids)"),
     "curate_pack_stats" ->
       EntryMeta("2.4", "sql",
         "the pack map at sequence grain: per budget-token sequence, docs touched, fill tokens (budget everywhere but the final partial), fullness — interval clipping over the exploded per-doc sequence ranges, tiles the corpus token count exactly"),

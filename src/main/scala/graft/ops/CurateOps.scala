@@ -398,54 +398,44 @@ object CurateOps {
        |    ORDER BY k, doc_id) AS BIGINT) AS pos
        |FROM s ORDER BY shard, pos""".stripMargin
 
-  /** SEQUENCE PACKING — the last step before an LLM training run
-    * tokenizes its corpus (the GPT-style packed-pretraining layout):
-    * documents are concatenated in a fixed, deterministic order
-    * (doc_id) and the token stream is chunked into `budget`-token
-    * training sequences, documents spanning chunk boundaries (the
-    * standard layout — padding-free, every sequence exactly full
-    * except the last). This face emits the PACK MAP: per document,
-    * its global token interval [start_tok, start_tok + n_tokens) and
-    * the first/last sequence it lands in, plus the boundary-crossing
-    * flag an attention-mask builder reads.
+  /** SEQUENCE PACKING, document grain — the last step before an LLM
+    * training run tokenizes its corpus (the GPT-style
+    * packed-pretraining layout): documents are concatenated in a
+    * fixed, deterministic order (doc_id) and the token stream is
+    * chunked into `budget`-token training sequences, documents
+    * spanning chunk boundaries (the standard layout — padding-free,
+    * every sequence exactly full except the last).
     *
-    * Scale shape: the global prefix sum is NOT one window over the
-    * corpus (single-partition at any width) — it is the distributed
-    * two-level form: doc_id-bucketed local cumsums (window keyed by
-    * `doc_id div bucketSpan`, thousands of parallel partitions) plus
-    * a bucket-offset table (one tiny window over corpus/bucketSpan
-    * rows) broadcast back. Every value is an exact integer (token
-    * counts sum associatively), so the two-level form provably equals
-    * the oracle's single global window. Token counts use the
-    * whitespace tokenizer ([[TextOps.toks]] ↔
-    * string_split_regex(trim, '\\s+') — the registry pairing). */
-  def packSequences(s: SparkSession, d: String, budget: Int = 512,
-                    bucketSpan: Long = 4096L): DataFrame =
-    packSequencesOn(Tables.documents(s, d), budget, bucketSpan)
+    * This is the DOCUMENT-GRAIN view of the SAME packing
+    * [[TextOps.packOn]] publishes at context grain: `text_pack`
+    * answers "which document spans fill context c"; this face
+    * answers "where did document d land" — its global token interval
+    * [start_tok, start_tok + n_tokens), the first/last sequence it
+    * touches, and the boundary-crossing flag an attention-mask
+    * builder reads. Both derive from the identical token stream
+    * ([[TextOps.toks]] counts in doc_id order) through the SAME
+    * shared distributed prefix sum ([[PrefixSum.exclusive]] —
+    * range-partitioned local cumsums + broadcast partition offsets;
+    * never one global window), so the two grains cannot drift
+    * (spec-pinned: this map's sequence range per doc equals exactly
+    * the set of ctx_ids text_pack emits for it at the same budget).
+    * [[packStats]] is the third grain (per-sequence audit). */
+  def packSequences(s: SparkSession, d: String,
+                    budget: Int = 512): DataFrame =
+    packSequencesOn(Tables.documents(s, d), budget)
 
   /** Same over any (doc_id, text) frame. */
-  def packSequencesOn(docs: DataFrame, budget: Int,
-                      bucketSpan: Long = 4096L): DataFrame = {
-    require(budget >= 1 && bucketSpan >= 1, "budget/bucketSpan >= 1")
-    val t = Tables.spread(docs).select(col("doc_id"),
-      size(TextOps.toks(col("text"))).cast("long").as("n_tokens"),
-      expr(s"doc_id div $bucketSpan").as("__b"))
-    val wLocal = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__b")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val local = t.withColumn("__cumIn", sum(col("n_tokens")).over(wLocal))
-    // bucket offsets: corpus/bucketSpan rows — tiny; exclusive prefix
-    val wB = org.apache.spark.sql.expressions.Window.orderBy(col("__b"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        -1)
-    val offsets = t.groupBy(col("__b"))
-      .agg(sum(col("n_tokens")).as("__bt"))
-      .withColumn("__off", coalesce(sum(col("__bt")).over(wB), lit(0L)))
-      .select(col("__b"), col("__off"))
-    local.join(broadcast(offsets), Seq("__b"))
-      .select(col("doc_id"), col("n_tokens"),
-        (col("__off") + col("__cumIn") - col("n_tokens")).as("start_tok"))
+  def packSequencesOn(docs: DataFrame, budget: Int): DataFrame = {
+    require(budget >= 1, "budget >= 1")
+    // identical staging to TextOps.packOn (null-safe token count,
+    // n > 0 guard) — the two grains must read ONE stream definition
+    val sized = Tables.spread(docs)
+      .select(col("doc_id"),
+        size(TextOps.toks(coalesce(col("text"), lit(""))))
+          .cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    PrefixSum.exclusive(sized, Seq(col("doc_id")), col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("__cum").as("start_tok"))
       .withColumn("seq_first", expr(s"start_tok div $budget"))
       .withColumn("seq_last",
         expr(s"(start_tok + n_tokens - 1) div $budget"))
@@ -463,9 +453,8 @@ object CurateOps {
     * sequence window — pure integer arithmetic on [[packSequencesOn]]
     * values, so the sequence totals provably tile the corpus token
     * count. */
-  def packStats(s: SparkSession, d: String, budget: Int = 512,
-                bucketSpan: Long = 4096L): DataFrame = {
-    val m = packSequencesOn(Tables.documents(s, d), budget, bucketSpan)
+  def packStats(s: SparkSession, d: String, budget: Int = 512): DataFrame = {
+    val m = packSequencesOn(Tables.documents(s, d), budget)
     m.select(col("doc_id"), col("n_tokens"), col("start_tok"),
         explode(sequence(col("seq_first"), col("seq_last"))).as("seq_id"))
       .select(col("seq_id"),

@@ -254,8 +254,8 @@ class CurateSpec extends SparkSpec {
       rows(2)._4 > rows(3)._4 && rows(3)._4 > rows(4)._4)
   }
 
-  test("sequence packing: hand intervals, boundary flags, the " +
-       "two-level prefix equals the single-bucket form") {
+  test("sequence packing: hand intervals, boundary flags, and the " +
+       "doc-grain map agrees with text_pack's context-grain spans") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, "f"),
@@ -269,13 +269,15 @@ class CurateSpec extends SparkSpec {
       (2L, 2L, 3L, 0L, 1L, true),   // spans the 4-token boundary
       (3L, 1L, 5L, 1L, 1L, false),
       (4L, 4L, 6L, 1L, 2L, true)))
-    // the distributed two-level prefix (bucketSpan forces 3 buckets)
-    // is value-identical to the single-bucket global form
-    val two = CurateOps.packSequencesOn(docs, budget = 4, bucketSpan = 2L)
-      .collect().toSeq
-    val one = CurateOps.packSequencesOn(docs, budget = 4,
-      bucketSpan = 1000000L).collect().toSeq
-    assert(two === one)
+    // CROSS-GRAIN: the doc-grain sequence range equals exactly the
+    // ctx_ids text_pack emits for the doc at the same budget — one
+    // packing, two published grains that cannot drift
+    val ctxByDoc = graft.ops.TextOps.packOn(docs, ctxLen = 4).collect()
+      .groupBy(_.getLong(1)).view
+      .mapValues(_.map(_.getLong(0)).sorted.toSeq).toMap
+    m.foreach { case (id, _, _, sf0, sl0, _) =>
+      assert(ctxByDoc(id) === (sf0 to sl0).toSeq, s"doc $id grains split")
+    }
     // corpus level: intervals tile the token stream (starts are the
     // exclusive prefix sums, in doc_id order)
     val sf1 = CurateOps.packSequences(spark, sf).collect()
