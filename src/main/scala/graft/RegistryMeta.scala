@@ -610,7 +610,11 @@ object RegistryMeta {
       Some("dedup_decontaminate_bloom")),
     "dedup_decontaminate_spans" ->
       EntryMeta("2.4", "sql",
-        "span-level decontamination LOCATOR: maximal covered word intervals + the leaked slice per (corpus doc, reference doc) — the face a cleanup job consumes"),
+        "span-level decontamination LOCATOR: maximal covered word intervals + the leaked slice per (corpus doc, reference doc) — the face a cleanup job consumes",
+        Some("dedup_decontaminate_spans_bcast")),
+    "dedup_decontaminate_spans_bcast" ->
+      EntryMeta("2.4", "sql",
+        "the locator in the tiny-reference production regime: broadcast distinct reference gram keys (map-side candidate probe) + broadcast leak-sized span table into the corpus scan for the slice — the corpus is never exchanged; identical values from the shared island-merge core, one oracle; Routing.decontaminateSpansAuto arbitrates"),
     "dedup_decontaminate_report" ->
       EntryMeta("2.4", "sql",
         "per-reference contamination report: leaked gram fraction + carrier count per eval doc — the 'which benchmark items are burned' view"),

@@ -884,6 +884,15 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 =!= 0))
     }),
+    // the span LOCATOR in the same tiny-reference regime: map-side
+    // gram probe + broadcast span slice, the corpus never exchanged —
+    // identical values, same oracle (Routing.decontaminateSpansAuto)
+    "dedup_decontaminate_spans_bcast" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.decontaminateSpansBroadcast(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0))
+    }),
     // the middle regime: reference band keys folded into a broadcast
     // Bloom filter, probed by a codegen'd might_contain inside the
     // corpus scan — non-candidates never reach the shuffle; exact
@@ -6962,6 +6971,10 @@ object SparkEntry {
     m + ("dedup_decontaminate_bcast" -> m("dedup_decontaminate")) +
       // ...and so does the Bloom-prefiltered variant: FPs are
       // exact-verified away, so all three plans share one contract
-      ("dedup_decontaminate_bloom" -> m("dedup_decontaminate"))
+      ("dedup_decontaminate_bloom" -> m("dedup_decontaminate")) +
+      // the span locator's broadcast tier: one island-merge core,
+      // two plan shapes — one oracle
+      ("dedup_decontaminate_spans_bcast" ->
+        m("dedup_decontaminate_spans"))
   }
 }

@@ -1602,6 +1602,58 @@ object DedupOps {
       .distinct()
     val hits = cg.join(rg, Seq("g"))
       .select(col("doc_id"), col("ref_id"), col("pos")).distinct()
+    spansFromHits(hits, base, n, broadcastSpans = false)
+  }
+
+  /** [[decontaminateSpans]] for the reference regime production
+    * actually runs (the [[decontaminateBroadcast]] posture applied to
+    * the LOCATOR): the eval reference is megabytes, so its distinct
+    * (ref_id, gram-key) set BROADCASTS and candidate generation is
+    * entirely map-side — the corpus is never exchanged to find its
+    * leak sites: grams stay in the scan projection, the gram join is
+    * a broadcast hash join, and the final text slice joins the
+    * (leak-sized, broadcast) span table back INTO the corpus scan
+    * instead of shuffling corpus word arrays toward the spans. The
+    * only exchange anywhere is hits-sized (the per-(doc, ref) island
+    * window — genuine output mass). Output contract and values are
+    * identical to [[decontaminateSpans]] — the faces share one
+    * oracle; only the plan shape tiers.
+    * [[graft.ops.Routing.decontaminateSpansAuto]] arbitrates. */
+  def decontaminateSpansBroadcast(corpus: DataFrame, reference: DataFrame,
+                                  n: Int = 10): DataFrame = {
+    def withWords(docs: DataFrame, idAs: String): DataFrame =
+      Tables.spread(docs).select(col("doc_id").as(idAs),
+        split(col("text"), " ").as("ws"))
+    val base = withWords(corpus, "doc_id").cache()
+    val cg = base.filter(size(col("ws")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - (n - 1)),
+        i => struct(i.as("pos"),
+          xxhash64(concat_ws(" ", slice(col("ws"), i, lit(n)))).as("g"))))
+        .as("pg"))
+      .select(col("doc_id"), col("pg.pos").cast("long").as("pos"),
+        col("pg.g").as("g"))
+    val rg = withWords(reference, "ref_id")
+      .filter(size(col("ws")) >= n)
+      .select(col("ref_id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - (n - 1)),
+        i => xxhash64(concat_ws(" ", slice(col("ws"), i, lit(n)))))).as("g"))
+      .distinct()
+    val hits = cg.join(broadcast(rg), Seq("g"))
+      .select(col("doc_id"), col("ref_id"), col("pos")).distinct()
+    spansFromHits(hits, base, n, broadcastSpans = true)
+  }
+
+  /** The shared back half of both span locators: merge positioned
+    * gram hits into maximal islands per (doc, ref) pair, then slice
+    * the leaked text back out of the corpus word arrays. Two matched
+    * grams merge into one span when their covered ranges touch or
+    * overlap (next.pos ≤ prev.pos + n). `broadcastSpans` picks which
+    * side of the slice join moves: the symmetric face lets AQE
+    * decide; the broadcast face pins the (leak-sized) span table as
+    * the build side so the corpus never shuffles. */
+  private def spansFromHits(hits: DataFrame, base: DataFrame, n: Int,
+                            broadcastSpans: Boolean): DataFrame = {
     val wp = Window.partitionBy(col("doc_id"), col("ref_id"))
       .orderBy(col("pos"))
     val spans = hits
@@ -1614,7 +1666,10 @@ object DedupOps {
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) + (n - 1)).as("span_end"))
       .withColumn("span_words", col("span_end") - col("span_start") + 1)
-    spans.join(base, Seq("doc_id"))
+    val sliced =
+      if (broadcastSpans) base.join(broadcast(spans), Seq("doc_id"))
+      else spans.join(base, Seq("doc_id"))
+    sliced
       .select(col("doc_id"), col("ref_id"), col("span_start"),
         col("span_end"), col("span_words"),
         concat_ws(" ", slice(col("ws"),

@@ -294,6 +294,21 @@ object Routing {
     *  - otherwise the symmetric shuffled [[DedupOps.decontaminate]].
     * All three emit the same verified (doc_id, ref_id, jaccard)
     * contract and are oracled against the same entry. */
+  /** The span LOCATOR's dial — [[DedupOps.decontaminateSpansBroadcast]]
+    * (map-side gram probe + broadcast span slice; the corpus is never
+    * exchanged) while the reference's estimated bytes fit the
+    * broadcast budget, [[DedupOps.decontaminateSpans]] (symmetric
+    * gram-key equi-join) past it. Both faces emit identical values
+    * from one shared island-merge core — the dial trades only plan
+    * shape, which is exactly why it can be automatic. */
+  def decontaminateSpansAuto(corpus: DataFrame, reference: DataFrame,
+                             n: Int = 10,
+                             bcastMaxBytes: Long = 64L << 20): DataFrame =
+    if (planBytes(reference) <= BigInt(bcastMaxBytes))
+      DedupOps.decontaminateSpansBroadcast(corpus, reference, n)
+    else
+      DedupOps.decontaminateSpans(corpus, reference, n)
+
   def decontaminateAuto(corpus: DataFrame, reference: DataFrame,
                         threshold: Double = 0.8,
                         numPerm: Int = 64, bands: Int = 16,

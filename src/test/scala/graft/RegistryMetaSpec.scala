@@ -67,6 +67,9 @@ class RegistryMetaSpec extends AnyFunSuite {
       "q_percentiles"       -> "q_percentiles_approx",
       "etl_profile"         -> "etl_profile_approx",
       "dedup_decontaminate" -> "dedup_decontaminate_bloom",
+      // the span locator's dial: broadcast probe under the reference
+      // budget, symmetric gram join past it
+      "dedup_decontaminate_spans" -> "dedup_decontaminate_spans_bcast",
       "ml_knn_classify"     -> "ml_knn_classify_ivf")
     routed.foreach { case (k, p) =>
       assert(declared.get(k).contains(p), s"Routing pair $k -> $p missing")

@@ -203,4 +203,21 @@ class RoutingSpec extends SparkSpec {
         bcastMaxBytes = 0L, bloomMaxBytes = 0L))
       === rows(DedupOps.decontaminate(corpus, ref)))
   }
+
+  test("span-locator route: broadcast probe under the reference " +
+       "budget, symmetric gram join past it — identical values") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(
+      org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+    val ref = docs.filter(
+      org.apache.spark.sql.functions.col("doc_id") % 2 =!= 0)
+    val bcast = rows(Routing.decontaminateSpansAuto(corpus, ref,
+      bcastMaxBytes = Long.MaxValue))
+    val sym = rows(Routing.decontaminateSpansAuto(corpus, ref,
+      bcastMaxBytes = 0L))
+    assert(bcast === rows(DedupOps.decontaminateSpansBroadcast(corpus, ref)))
+    assert(sym === rows(DedupOps.decontaminateSpans(corpus, ref)))
+    // the two tiers trade plan shape only — values are identical
+    assert(bcast === sym)
+  }
 }
