@@ -1053,6 +1053,9 @@ object RegistryMeta {
     "ml_adaboost_stumps" ->
       EntryMeta("2.10", "sql",
         "AdaBoost over the stump's fixed decile grid: per-round best reweighted stump, weighted error, vote alpha, cumulative ensemble accuracy — the training curve as the table"),
+    "ml_gbt_stumps" ->
+      EntryMeta("2.10", "sql",
+        "L2 gradient boosting (Friedman 2001, squared loss: gradient = residual) with regression stumps on the same decile grid, leaf means = the exact L2 argmin picked by the variance-reduction identity, shrinkage 1/2; per-round split + leaves + post-round MSE (monotone non-increasing, spec-pinned); residuals on the 1e-6 grid with exact DECIMAL sums, MSE via exact integer squares — the adaboost determinism contract"),
     "ml_cv_accuracy" ->
       EntryMeta("2.10", "sql",
         "k-fold CROSS-VALIDATION of the in-plan NB classifier WITHOUT retraining"),

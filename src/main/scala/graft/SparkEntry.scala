@@ -350,6 +350,10 @@ object SparkEntry {
     // reweighted stump, q6'd alpha/multipliers, ensemble margin as
     // plain double sums — the per-round table IS the training curve
     "ml_adaboost_stumps" -> ((s, d) => MlOps.adaboostStumps(s, d)),
+    // L2 gradient boosting (Friedman): per-round best residual stump
+    // on the same decile grid, shrunk leaf steps, post-round MSE —
+    // the regression training curve as the table
+    "ml_gbt_stumps" -> ((s, d) => MlOps.gbtStumps(s, d)),
     // retrieval scoreboard: MRR/DCG/NDCG@10/recall over the exact
     // ranking, label-agreement relevance; per-hit gains quantize to
     // integer micro-units BEFORE summing (order-independent)
@@ -3101,6 +3105,7 @@ object SparkEntry {
     // ml_adaboost_stumps: programmatically unrolled round replay —
     // the logreg discipline, so a round-count change cannot drift
     "ml_adaboost_stumps" -> MlOps.adaboostOracleSql(),
+    "ml_gbt_stumps" -> MlOps.gbtOracleSql(),
     // ranking metrics in integer micro-units: per-hit ⌊1e6/log2(r+1)⌋
     // gains, integer divisions for MRR/NDCG/recall — no float is
     // ever summed or compared; sums cast to BIGINT for pandas

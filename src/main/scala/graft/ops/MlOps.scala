@@ -740,6 +740,186 @@ object MlOps {
     outs.reduce(_ unionAll _).orderBy(col("round"))
   }
 
+  /** GRADIENT BOOSTING with regression stumps (L2Boost — Friedman
+    * 2001 with squared loss, where the gradient IS the residual):
+    * the regression sibling of [[adaboostStumpsOn]] and the missing
+    * member of the boosting family. F₀ = mean(y); each round fits
+    * the best decile-threshold stump to the CURRENT residuals
+    * (leaf values = mean residual per side — the exact L2 argmin,
+    * so the best split maximizes SL²/nL + SR²/nR, the variance-
+    * reduction identity) and steps F by ν·stump with shrinkage
+    * ν = ½. Published per round: the chosen split, both leaf
+    * values, and the post-round training MSE (monotone
+    * non-increasing — spec-pinned).
+    *
+    * Cross-engine determinism (the adaboost contract): residuals
+    * live on the 1e-6 floor-quantized grid, so their DECIMAL(20,6)
+    * sums are exact and aggregation-order-free; split scores and
+    * leaf means are one identical double expression over those
+    * exact decimals (identical doubles ⇒ identical argmax, idx
+    * tiebreak); MSE sums r² as exact integer products of the 1e-6
+    * codes (HUGEINT/DECIMAL(38,0) — a double Σr² would be
+    * order-dependent). Plan shape: per round ONE corpus aggregate
+    * (1-row result, eagerly checkpointed) + one narrow residual
+    * update against the broadcast 1-row pick + one MSE aggregate —
+    * no shuffle wider than the map-side partials at any corpus
+    * size. */
+  def gbtStumps(s: SparkSession, d: String): DataFrame =
+    gbtStumpsOn(Tables.orders(s, d),
+      datediff(col("o_orderdate"), to_date(lit("1992-01-01")))
+        .cast("double"),
+      round(col("o_totalprice"), 4).cast("double"))
+
+  /** Same over any frame: continuous `feature`, continuous
+    * `target`. */
+  def gbtStumpsOn(df: DataFrame, feature: Column, target: Column,
+                  rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(feature.as("x"), target.as("y"))
+      .localCheckpoint(false) // feeds the decile fit + every round
+    val dec = base.agg(expr(
+      "percentile(x, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("ts"))
+      .select((1 to 9).map(i =>
+        round(element_at(col("ts"), i), 4).as(s"t$i")): _*)
+      .localCheckpoint(true) // 1 row, shared by all rounds
+    val d6 = "decimal(20,6)"
+    val zero6 = lit(0).cast(d6)
+    val q6 = (e: String) => s"floor(($e) * 1e6) / 1e6"
+    // F0 = q6(mean(y)): exact DECIMAL(20,4) sum, ONE double division
+    val f0 = base.agg(sum(col("y").cast("decimal(20,4)")).as("sy"),
+        count(lit(1)).as("cnt"))
+      .select(expr(q6("CAST(sy AS DOUBLE) / cnt")).as("f0"))
+      .localCheckpoint(true)
+    var cur = base.crossJoin(broadcast(dec)).crossJoin(broadcast(f0))
+      .withColumn("r", expr(q6("y - f0")))
+      .select(Seq(col("x")) ++ (1 to 9).map(k => col(s"t$k")) ++
+        Seq(col("r")): _*)
+    val outs = (1 to rounds).map { t =>
+      val rd = col("r").cast(d6)
+      val aggCols = Seq(sum(rd).as("st"), count(lit(1)).as("nt")) ++
+        (1 to 9).flatMap(k => Seq(
+          sum(when(col("x") <= col(s"t$k"), rd).otherwise(zero6))
+            .as(s"sl$k"),
+          sum(when(col("x") <= col(s"t$k"), 1L).otherwise(0L))
+            .as(s"nl$k"))) ++
+        (1 to 9).map(k => min(col(s"t$k")).as(s"tt$k"))
+      val one = cur.agg(aggCols.head, aggCols.tail: _*)
+        .localCheckpoint(true) // 1 row, eager — cuts the round chain
+      val cands = (1 to 9).map { k =>
+        struct(lit(k).as("idx"), col(s"tt$k").as("threshold"),
+          col(s"sl$k").as("sl"), col(s"nl$k").as("nl"),
+          (col("st") - col(s"sl$k")).as("sr"),
+          (col("nt") - col(s"nl$k")).as("nr"))
+      }
+      // variance-reduction score in ONE double expression over exact
+      // decimals; empty-side candidates are ineligible (their leaf
+      // mean is undefined — deciles make this rare, never silent)
+      val wBest = Window.orderBy(col("score").desc, col("idx"))
+      val pick = one.select(explode(array(cands: _*)).as("c"))
+        .select(col("c.idx").as("idx"), col("c.threshold").as("threshold"),
+          col("c.sl").as("sl"), col("c.nl").as("nl"),
+          col("c.sr").as("sr"), col("c.nr").as("nr"))
+        .filter(col("nl") > 0 && col("nr") > 0)
+        .withColumn("score",
+          col("sl").cast("double") * col("sl").cast("double") /
+            col("nl").cast("double") +
+          col("sr").cast("double") * col("sr").cast("double") /
+            col("nr").cast("double"))
+        .withColumn("__rk", row_number().over(wBest))
+        .filter(col("__rk") === 1)
+        .select(col("idx"), col("threshold"),
+          expr(q6("CAST(sl AS DOUBLE) / nl")).as("gamma_l"),
+          expr(q6("CAST(sr AS DOUBLE) / nr")).as("gamma_r"))
+      cur = cur.crossJoin(broadcast(pick))
+        .withColumn("__r2", expr(q6(
+          "r - 0.5 * (CASE WHEN x <= threshold THEN gamma_l " +
+            "ELSE gamma_r END)")))
+        .select(Seq(col("x")) ++ (1 to 9).map(k => col(s"t$k")) ++
+          Seq(col("__r2").as("r")): _*)
+      // Σr² as exact integer products of the 1e-6 codes — a double
+      // sum of squares would be accumulation-order-dependent
+      val mse = cur.agg(
+          sum((col("r") * 1000000.0).cast("decimal(38,0)") *
+            (col("r") * 1000000.0).cast("decimal(38,0)")).as("ssq"),
+          count(lit(1)).as("cnt"))
+        .select(round(col("ssq").cast("double") / 1e12 / col("cnt"), 4)
+          .as("train_mse"))
+        .localCheckpoint(true)
+      pick.crossJoin(broadcast(mse))
+        .select(lit(t.toLong).as("round"), col("idx"), col("threshold"),
+          col("gamma_l"), col("gamma_r"), col("train_mse"))
+    }
+    outs.reduce(_ unionAll _).orderBy(col("round"))
+  }
+
+  /** The unrolled-round DuckDB replay of [[gbtStumpsOn]] over the
+    * orders-backed face — the [[adaboostOracleSql]] discipline:
+    * built programmatically, every CTE MATERIALIZED (each round's
+    * base is referenced by the next aggregate, the residual update,
+    * and the MSE — the inlining-blowup class). */
+  private[graft] def gbtOracleSql(rounds: Int = 3): String = {
+    val q6 = (e: String) => s"floor(($e) * 1e6) / 1e6"
+    def rd(e: String) = s"CAST($e AS DECIMAL(20,6))"
+    val steps = (1 to rounds).map { t =>
+      val p = t - 1
+      val cands = (1 to 9).map { k =>
+        s"SELECT $k AS idx, tt$k AS threshold, sl$k AS sl, nl$k AS nl, " +
+          s"st - sl$k AS sr, nt - nl$k AS nr FROM agg$t"
+      }.mkString("\nUNION ALL ")
+      val sums = (1 to 9).map { k =>
+        s"sum(CASE WHEN x <= t$k THEN ${rd("r")} ELSE ${rd("0")} END) " +
+          s"AS sl$k,\n" +
+        s"    sum(CASE WHEN x <= t$k THEN 1 ELSE 0 END) AS nl$k,\n" +
+        s"    min(t$k) AS tt$k"
+      }.mkString(",\n    ")
+      s"""agg$t AS MATERIALIZED (SELECT sum(${rd("r")}) AS st,
+         |    count(*) AS nt,
+         |    $sums
+         |  FROM base$p, dec),
+         |pick$t AS MATERIALIZED (SELECT idx, threshold,
+         |    ${q6("CAST(sl AS DOUBLE) / nl")} AS gamma_l,
+         |    ${q6("CAST(sr AS DOUBLE) / nr")} AS gamma_r
+         |  FROM ($cands)
+         |  WHERE nl > 0 AND nr > 0
+         |  ORDER BY (CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)
+         |      / CAST(nl AS DOUBLE)
+         |    + CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)
+         |      / CAST(nr AS DOUBLE)) DESC, idx LIMIT 1),
+         |base$t AS MATERIALIZED (SELECT x,
+         |    ${q6("r - 0.5 * (CASE WHEN x <= threshold THEN gamma_l " +
+               "ELSE gamma_r END)")} AS r
+         |  FROM base$p, pick$t),
+         |mse$t AS MATERIALIZED (SELECT
+         |    round(CAST(sum(CAST(r * 1000000.0 AS HUGEINT)
+         |        * CAST(r * 1000000.0 AS HUGEINT)) AS DOUBLE)
+         |      / 1e12 / count(*), 4) AS train_mse
+         |  FROM base$t),
+         |out$t AS MATERIALIZED (SELECT CAST($t AS BIGINT) AS round,
+         |    CAST(idx AS INT) AS idx, threshold, gamma_l, gamma_r,
+         |    (SELECT train_mse FROM mse$t) AS train_mse
+         |  FROM pick$t)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to rounds).map(t => s"SELECT * FROM out$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH base00 AS MATERIALIZED (SELECT
+       |    CAST(date_diff('day', DATE '1992-01-01', o_orderdate)
+       |      AS DOUBLE) AS x,
+       |    CAST(round(o_totalprice, 4) AS DOUBLE) AS y
+       |  FROM orders),
+       |dec0 AS MATERIALIZED (SELECT quantile_cont(x,
+       |    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS ts FROM base00),
+       |dec AS MATERIALIZED (SELECT ${(1 to 9).map(i =>
+            s"round(ts[$i], 4) AS t$i").mkString(", ")} FROM dec0),
+       |f0 AS MATERIALIZED (SELECT ${q6(
+            "CAST(sum(CAST(y AS DECIMAL(20,4))) AS DOUBLE) / count(*)")}
+       |    AS f0 FROM base00),
+       |base0 AS MATERIALIZED (SELECT x, ${q6("y - f0")} AS r
+       |  FROM base00, f0),
+       |$steps
+       |$unions
+       |ORDER BY round""".stripMargin
+  }
+
   /** The unrolled-round DuckDB replay of [[adaboostStumpsOn]] over
     * the orders-backed face — built programmatically (the
     * [[logregOracleSql]] discipline) so the oracle and any round

@@ -227,4 +227,32 @@ class MlSpec extends SparkSpec {
       .collect()
     assert(rows.toSeq === again.toSeq)
   }
+
+  test("gbt stumps: a planted step function is found exactly, leaves " +
+       "are residual means, MSE decays 4x per round under nu=1/2") {
+    import spark.implicits._
+    // y = 100 for x <= 5, 200 past it; deciles of 1..10 put t5 = 5.5
+    // exactly on the step. F0 = 150, residuals ∓50 — every value in
+    // the chain lands on the 1e-6 grid, so the assertions are EXACT:
+    // each round re-picks the step and halves the residual (nu = 1/2),
+    // so MSE = 2500 * 4^-t.
+    val data = (1 to 10).map(i =>
+      (i.toDouble, if (i <= 5) 100.0 else 200.0)).toDF("x", "y")
+    val rows = MlOps.gbtStumpsOn(data, col("x"), col("y")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.length === 3)
+    assert(rows(0) === ((1L, 5, 5.5, -50.0, 50.0, 625.0)))
+    assert(rows(1) === ((2L, 5, 5.5, -25.0, 25.0, 156.25)))
+    assert(rows(2) === ((3L, 5, 5.5, -12.5, 12.5, 39.0625)))
+    // corpus face: one row per round, training MSE never increases
+    // (L2Boost with optimal leaves and nu in (0,2) — quantization
+    // slack 1e-6)
+    val sfRows = MlOps.gbtStumps(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(5)))
+    assert(sfRows.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    sfRows.sliding(2).foreach { case Array((_, a), (_, b)) =>
+      assert(b <= a + 1e-6, s"MSE rose: $a -> $b")
+    }
+  }
 }
