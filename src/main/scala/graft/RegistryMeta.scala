@@ -559,6 +559,9 @@ object RegistryMeta {
       EntryMeta("2.3", "sql",
         "dynamic-time-warping distance between every per-type daily series pair",
         Some("ts_dtw_banded")),
+    "ts_matrix_profile" ->
+      EntryMeta("2.3", "sql",
+        "matrix profile per per-type daily series: for every length-7 window the min integer-ED distance to a non-overlapping window (global integer z-codes, exact lattice distances, two-pass min/argmin), motif + discord flags — the all-pairs subsequence index behind motif discovery; series shorter than 3m-1 emit nothing"),
     "ts_dtw_banded" ->
       EntryMeta("2.3", "sql",
         "the DTW long-horizon knob: Sakoe-Chiba band (r = max(7, |n-m|)) masks |i-j|>r cells to the shared sentinel — O(r*(n+m)) cells per pair instead of n*m, same integer DP and wavefront oracle via the shared dtwOracleSql builder"),

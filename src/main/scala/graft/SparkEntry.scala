@@ -691,6 +691,9 @@ object SparkEntry {
     // (±7 days of warp on daily series) masks |i−j|>r cells to the
     // shared sentinel — O(r·(n+m)) cells per pair instead of n·m
     "ts_dtw_banded" -> ((s, d) => TimeSeriesOps.dtwPairs(s, d, band = 7)),
+    // matrix profile: per length-7 window, the nearest non-overlapping
+    // window of the same series — motif + discord flags off one column
+    "ts_matrix_profile" -> ((s, d) => TimeSeriesOps.matrixProfile(s, d)),
     "ts_lag_features"   -> ((s, d) => TimeSeriesOps.lagFeatures(s, d)),
     // daily mean value per type with synthetic outage days planted
     // (every day-of-month divisible by 5 removed, identically in the
@@ -5041,6 +5044,8 @@ object SparkEntry {
     // diagonal per step via list_transform — every cell an exact
     // integer, SENT=2.5e17 pads the band edges without overflow
     "ts_dtw" -> graft.ops.TimeSeriesOps.dtwOracleSql(),
+    "ts_matrix_profile" ->
+      graft.ops.TimeSeriesOps.matrixProfileOracleSql(),
     "ts_dtw_banded" -> graft.ops.TimeSeriesOps.dtwOracleSql(band = 7),
     "ts_cross_corr" ->
       """WITH daily AS (

@@ -1172,6 +1172,179 @@ object TimeSeriesOps {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** MATRIX PROFILE (Yeh et al., ICDM 2016) over each per-type daily
+    * series — the all-pairs subsequence-similarity index behind motif
+    * discovery ("which week-shaped pattern repeats?") and discord
+    * detection ("which week is unlike every other?"): for every
+    * length-`m` window of a series, the minimum distance to any
+    * non-overlapping window of the SAME series, with its position.
+    * `is_motif` marks the series' best-matched window, `is_discord`
+    * its least-matched — the two questions the profile exists to
+    * answer, read off the same column.
+    *
+    * Determinism (the emb_standardize argument, applied per series):
+    * the series is globally z-normalized on an integer lattice —
+    * exact integer mean (Σv div n) and variance (Σdx² div n, HUGEINT
+    * sums), z-codes floor((dx·1e6)/√varQ) through one identical
+    * multiply/sqrt/divide/floor chain per engine (identical integers
+    * in ⇒ identical codes out; a zero-variance series pins z = 0) —
+    * then window distances are EXACT integer sums of squared code
+    * differences, order-free and bit-identical, and the published
+    * distance is one sqrt + division + 4dp round of an identical
+    * integer. (Per-window z-normalization — the MASS inner loop —
+    * would put a float μ/σ inside every pair; the global-z + integer
+    * ED profile keeps the whole O(P²·m) core on the lattice.)
+    *
+    * Scale shape: series are calendar-bounded (≤366 daily points),
+    * so each series' profile is ONE row-local nested-lambda
+    * evaluation over its collected array (P²·m integer ops, ~2M for
+    * a year at m=7) and series parallelize — the dtwPairs posture.
+    * Trivial matches are excluded by |i−j| ≥ m (overlapping windows
+    * of a smooth series always match); series shorter than 3m−1 emit
+    * nothing — that is the shortest length at which EVERY window has
+    * at least one admissible partner (a middle window of anything
+    * shorter has no j with |i−j| ≥ m, and a NULL profile cell is
+    * worse than an absent series). Stated contract, oracle-matched. */
+  def matrixProfile(s: SparkSession, d: String, m: Int = 7): DataFrame =
+    matrixProfileOn(Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg((sum(round(col("value"), 4).cast("decimal(14,4)")) * 10000)
+        .cast("long").as("v_micro")), m)
+
+  /** Same over any (event_type, day, v_micro) daily frame. */
+  def matrixProfileOn(daily: DataFrame, m: Int = 7): DataFrame = {
+    require(m >= 2, "window m >= 2")
+    val d38 = "decimal(38,0)"
+    val ser = daily.groupBy(col("event_type"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("day"), col("v_micro")))),
+        x => x.getField("v_micro")).as("vs"))
+      .withColumn("n", size(col("vs")))
+      .filter(col("n") >= 3 * m - 1)
+    // integer global z-codes: mean/var by floor division, HUGEINT-
+    // exact sums, one identical double chain per code
+    val zed = ser
+      .withColumn("mu", expr("aggregate(vs, CAST(0 AS BIGINT), " +
+        "(a, v) -> a + v) div n"))
+      .withColumn("varq", expr(
+        s"CAST(aggregate(vs, CAST(0 AS $d38), (a, v) -> " +
+          s"a + CAST(v - mu AS $d38) * CAST(v - mu AS $d38)) " +
+          "div n AS BIGINT)"))
+      .withColumn("z", expr(
+        "transform(vs, v -> CASE WHEN varq = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE CAST(floor(CAST(v - mu AS DOUBLE) * 1000000.0 " +
+          "/ sqrt(CAST(varq AS DOUBLE))) AS BIGINT) END)"))
+      .select(col("event_type"), col("n"), col("z"))
+    // the O(P²·m) exact-integer core runs as a row-local Scala fold
+    // (the dtwPairs per-pair-recursion posture — the class the repo
+    // reserves typed maps for): interpreted Catalyst lambdas evaluate
+    // the same arithmetic ~1000× slower (measured 32 s vs sub-second
+    // at sf0.1), and pure integer ops are engine-agnostic anyway —
+    // the oracle replays the identical sums relationally
+    val ss = daily.sparkSession
+    import ss.implicits._
+    val prof = zed.select(col("event_type"), col("z"))
+      .as[(String, Seq[Long])]
+      .flatMap { case (t, z) =>
+        mpCore(z.toIndexedSeq, m).map { case (p, nn, md) => (t, p, nn, md) }
+      }
+      .toDF("event_type", "pos", "nn_pos", "md")
+      .select(col("event_type"), col("pos"), col("nn_pos"),
+        round(sqrt(col("md").cast("double")) / 1000000.0, 4)
+          .as("nn_dist"))
+    val wMin = Window.partitionBy(col("event_type"))
+      .orderBy(col("nn_dist"), col("pos"))
+    val wMax = Window.partitionBy(col("event_type"))
+      .orderBy(col("nn_dist").desc, col("pos"))
+    prof
+      .withColumn("is_motif", row_number().over(wMin) === 1)
+      .withColumn("is_discord", row_number().over(wMax) === 1)
+      .orderBy(col("event_type"), col("pos"))
+  }
+
+  /** The exact-integer profile core: per window i (1-based), the
+    * minimum ED² over admissible j (|i−j| ≥ m) and the SMALLEST j
+    * attaining it (strict `<` keeps the first candidate — the
+    * oracle's min(j)-at-the-min contract). Pure long arithmetic:
+    * value-identical to any engine's integer replay. */
+  private[graft] def mpCore(z: IndexedSeq[Long], m: Int)
+      : Seq[(Long, Long, Long)] = {
+    val p = z.length - m + 1
+    (1 to p).map { i =>
+      var best = Long.MaxValue
+      var bj = -1
+      var j = 1
+      while (j <= p) {
+        if (math.abs(j - i) >= m) {
+          var d = 0L
+          var k = 0
+          while (k < m) {
+            val df = z(i - 1 + k) - z(j - 1 + k)
+            d += df * df
+            k += 1
+          }
+          if (d < best) { best = d; bj = j }
+        }
+        j += 1
+      }
+      (i.toLong, bj.toLong, best)
+    }
+  }
+
+  /** DuckDB replay of [[matrixProfileOn]] — the identical lattice:
+    * integer mean/variance, the same z-code chain, the same integer
+    * pair distances computed relationally (hits → min → smallest-j
+    * argmin). */
+  private[graft] def matrixProfileOracleSql(m: Int = 7): String = {
+    val d2 = (i: String, j: String) =>
+      s"list_sum(list_transform(range(0, $m), k -> " +
+        s"(z[$i + k] - z[$j + k]) * (z[$i + k] - z[$j + k])))"
+    s"""WITH daily AS (SELECT event_type,
+       |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP_US))
+       |      AS TIMESTAMP) AS day,
+       |    CAST(sum(CAST(round(value, 4) AS DECIMAL(14,4))) * 10000
+       |      AS BIGINT) AS v
+       |  FROM events GROUP BY 1, 2),
+       |ser AS (SELECT event_type, list(v ORDER BY day) AS vs,
+       |    CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1),
+       |big AS (SELECT * FROM ser WHERE n >= ${3 * m - 1}),
+       |st AS (SELECT event_type, n, vs,
+       |    CAST(list_sum(vs) AS BIGINT) // n AS mu FROM big),
+       |vq AS (SELECT event_type, n, vs, mu,
+       |    CAST(list_sum(list_transform(vs, v ->
+       |        CAST(v - mu AS HUGEINT) * CAST(v - mu AS HUGEINT)))
+       |      // n AS BIGINT) AS varq
+       |  FROM st),
+       |zc AS (SELECT event_type, n,
+       |    list_transform(vs, v -> CASE WHEN varq = 0
+       |      THEN CAST(0 AS BIGINT)
+       |      ELSE CAST(floor(CAST(v - mu AS DOUBLE) * 1000000.0
+       |        / sqrt(CAST(varq AS DOUBLE))) AS BIGINT) END) AS z
+       |  FROM vq),
+       |pos AS (SELECT event_type, n, z,
+       |    unnest(range(1, n - ${m - 2})) AS i FROM zc),
+       |hits AS (SELECT event_type, i, j, ${d2("i", "j")} AS d2
+       |  FROM (SELECT event_type, z, i,
+       |          unnest(range(1, n - ${m - 2})) AS j FROM pos)
+       |  WHERE abs(j - i) >= $m),
+       |mins AS (SELECT event_type, i, min(d2) AS md
+       |         FROM hits GROUP BY 1, 2),
+       |rows_ AS (SELECT h.event_type, CAST(h.i AS BIGINT) AS pos,
+       |    CAST(min(h.j) AS BIGINT) AS nn_pos,
+       |    round(sqrt(CAST(mn.md AS DOUBLE)) / 1000000.0, 4) AS nn_dist
+       |  FROM hits h JOIN mins mn
+       |    ON mn.event_type = h.event_type AND mn.i = h.i
+       |   AND h.d2 = mn.md
+       |  GROUP BY 1, 2, mn.md)
+       |SELECT event_type, pos, nn_pos, nn_dist,
+       |  row_number() OVER (PARTITION BY event_type
+       |    ORDER BY nn_dist, pos) = 1 AS is_motif,
+       |  row_number() OVER (PARTITION BY event_type
+       |    ORDER BY nn_dist DESC, pos) = 1 AS is_discord
+       |FROM rows_ ORDER BY event_type, pos""".stripMargin
+  }
+
   /** Out-of-band / padding cell value — the SAME sentinel the oracle
     * wavefront uses (2.5e17): any SENT-contaminated path stays ≥
     * 2.5e17 while a real path over a calendar-bounded pair is ≤

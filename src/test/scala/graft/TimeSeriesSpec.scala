@@ -948,6 +948,50 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("matrix profile: a planted repeated week scores distance 0 at " +
+       "both copies; invariants hold; short series emit nothing") {
+    import spark.implicits._
+    def t(dd: Int) = java.sql.Timestamp.valueOf(f"2024-01-$dd%02d 00:00:00")
+    val week = Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L).map(_ * 10000)
+    // days 1-7 = week A, 8-14 flat, 15-21 week A again, 22-28 flat
+    val vals = week ++ Seq.fill(7)(50000L) ++ week ++ Seq.fill(7)(50000L)
+    val daily = vals.zipWithIndex.map { case (v, i) =>
+      ("A", t(i + 1), v)
+    }.toDF("event_type", "day", "v_micro")
+    val out = graft.ops.TimeSeriesOps.matrixProfileOn(daily, m = 7)
+      .collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3),
+        r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(out.size === 22) // P = n - m + 1
+    // the repeated week: pos 1 matches pos 15 exactly (and vice versa)
+    assert(out(1L)._1 === 15L && out(1L)._2 === 0.0)
+    assert(out(15L)._1 === 1L && out(15L)._2 === 0.0)
+    // motif flag lands on the smallest zero-distance position
+    assert(out(1L)._3 === true)
+    assert(out.count(_._2._3) === 1 && out.count(_._2._4) === 1)
+    // invariants: exclusion zone respected, nn in range, dist >= 0
+    out.foreach { case (pos, (nn, dist, _, _)) =>
+      assert(math.abs(nn - pos) >= 7 && nn >= 1 && nn <= 22)
+      assert(dist >= 0.0)
+    }
+    // the discord is a genuine outlier week: its distance is the max
+    val discordDist = out.values.collect { case (_, d, _, true) => d }.head
+    assert(discordDist === out.values.map(_._2).max)
+    // a series shorter than 3m-1 emits nothing (no NULL profile cells)
+    val short = (1 to 19).map(i => ("B", t(i), i.toLong * 10000))
+      .toDF("event_type", "day", "v_micro")
+    assert(graft.ops.TimeSeriesOps.matrixProfileOn(short, m = 7)
+      .count() === 0L)
+    // sf face: one row per admissible window, flags one motif and one
+    // discord per series
+    val sf1 = graft.ops.TimeSeriesOps.matrixProfile(spark, sf).collect()
+    val byType = sf1.groupBy(_.getString(0))
+    byType.foreach { case (_, rows) =>
+      assert(rows.count(_.getBoolean(4)) === 1)
+      assert(rows.count(_.getBoolean(5)) === 1)
+    }
+  }
+
   test("periodogram: a planted 7-day cycle dominates at period 7; a " +
        "flat series has ~zero power everywhere") {
     import spark.implicits._
