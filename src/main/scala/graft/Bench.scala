@@ -45,14 +45,16 @@ object Bench {
     * so checkpoint RDD blocks accumulated across a ~280-entry run and
     * later heavy entries paid earlier entries' eviction/GC churn —
     * r13's in-run graph_triangles read 2.9–5.0× its pin while
-    * isolated BenchOne read AT pin. Non-blocking unpersist: removal
-    * proceeds async, the next entry's allocation no longer competes
-    * with a full storage region. */
+    * isolated BenchOne read AT pin. BLOCKING unpersist: the wait
+    * lands here, BEFORE the caller starts its timer, so block
+    * removal and its GC churn never run concurrently with the timed
+    * query — an async removal would reintroduce exactly the
+    * nondeterministic noise this sweep exists to remove. */
   private[graft] def clearStorage(
       spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+      .foreach(_.unpersist(blocking = true))
   }
 
   /** Local control level for the entry at index `i`: mean of the

@@ -111,6 +111,9 @@ object RegistryMeta {
     "etl_incremental_agg" ->
       EntryMeta("2.1", "sql",
         "INCREMENTAL aggregate maintenance"),
+    "etl_daily_e2e" ->
+      EntryMeta("2.1", "sql",
+        "the 2am chain END-TO-END: bookmarked AvailableNow file-stream ingest (ticked twice — the second must drain nothing) -> incremental aggregate merge over the INGESTED read-back -> the persisted incremental dedup fold; one tableChecksum row per stage, each recomputed by the oracle from the RAW tables — hash equality proves the chain lossless across the bookmark and state boundaries"),
     "etl_table_checksum" ->
       EntryMeta("2.1", "sql",
         "order-independent table signature (the \"did anything change\" audit before a 100 TB diff)"),
@@ -561,7 +564,11 @@ object RegistryMeta {
         Some("ts_dtw_banded")),
     "ts_matrix_profile" ->
       EntryMeta("2.3", "sql",
-        "matrix profile per per-type daily series: for every length-7 window the min integer-ED distance to a non-overlapping window (global integer z-codes, exact lattice distances, two-pass min/argmin), motif + discord flags — the all-pairs subsequence index behind motif discovery; series shorter than 3m-1 emit nothing"),
+        "matrix profile per per-type daily series: for every length-7 window the min integer-ED distance to a non-overlapping window (global integer z-codes, exact lattice distances, two-pass min/argmin), motif + discord flags — the all-pairs subsequence index behind motif discovery; series shorter than 3m-1 emit nothing; DECLARED bound: the core is O(P^2*m) per series, fine for calendar-bounded daily input (<=366 points/year ~ 2M integer ops), the banded partner-horizon tier is what a sub-daily series ships on",
+      Some("ts_matrix_profile_banded")),
+    "ts_matrix_profile_banded" ->
+      EntryMeta("2.3", "sql",
+        "the matrix profile's long-series knob (the ts_dtw_banded shape): partner search bounded to m <= |i-j| <= band (band = 2m = 14) — O(P*band*m) per series, LINEAR in series length; same integer lattice, same hits->min->argmin oracle via the shared matrixProfileOracleSql(band) builder; band >= P-1 reproduces the unbanded profile cell for cell (spec-pinned)"),
     "ts_dtw_banded" ->
       EntryMeta("2.3", "sql",
         "the DTW long-horizon knob: Sakoe-Chiba band (r = max(7, |n-m|)) masks |i-j|>r cells to the shared sentinel — O(r*(n+m)) cells per pair instead of n*m, same integer DP and wavefront oracle via the shared dtwOracleSql builder"),
@@ -584,7 +591,11 @@ object RegistryMeta {
         "verify-by-signature: banded candidates scored by MinHash component agreement (E[est]=J) — no second corpus pass; checked md5 construction replays bit for bit"),
     "dedup_incremental_index" ->
       EntryMeta("2.4", "sql",
-        "incremental near-dup index maintenance: persisted band-signature table + daily delta fold (delta-vs-history via the index, delta-vs-delta self-join, candidate history docs fetched by id) — history never rescanned; hot-bucket caps with two-way representative overflow keep any one band signature O(cap^2+size), never quadratic; oracle = full recompute, split-agnostic"),
+        "incremental near-dup index maintenance: persisted band-signature table + daily delta fold (delta-vs-history via the index, delta-vs-delta self-join, candidate history docs fetched by id) — history never rescanned; UNCAPPED (oracle = full recompute, split-agnostic, unconditionally); the hot-bucket cap is the separately-registered _capped face",
+      Some("dedup_incremental_index_capped")),
+    "dedup_incremental_index_capped" ->
+      EntryMeta("2.4", "sql",
+        "the fold with hot-bucket caps (maxBucket=1000, two-way representative overflow): one band signature costs O(cap^2+size), never quadratic; DECLARED contract = equal to the recompute oracle when no bucket exceeds the cap (true of this corpus — checked), strict subset with preserved cluster membership on a hot bucket (DedupSpec-pinned)"),
     "dedup_incremental_index_persisted" ->
       EntryMeta("2.4", "sql",
         "the fold with its state crossing a REAL parquet boundary (round 14): band index written partitioned by band + pair table written, both READ BACK, today's delta folded from the read-back state — the 2am re-run's actual load path; same split-agnostic full-recompute oracle via the shared minhashRecomputeOracleSql builder"),
@@ -669,6 +680,12 @@ object RegistryMeta {
     "curate_pack_stats" ->
       EntryMeta("2.4", "sql",
         "the pack map at sequence grain: per budget-token sequence, docs touched, fill tokens (budget everywhere but the final partial), fullness — interval clipping over the exploded per-doc sequence ranges, tiles the corpus token count exactly"),
+    "curate_pack_bpe" ->
+      EntryMeta("2.4", "sql",
+        "sequence packing at the TOKENIZER grain: the held-out half's post-BPE token counts (text_bpe_encode n_after) through the SAME shared packing core (n>0 guard, PrefixSum, budget intervals) — the token stream a training job actually reads; oracle nests the full BPE train-and-apply chain under the cumsum; spec pins rounds=0 == the whitespace map on the same half"),
+    "curate_pack_bpe_stats" ->
+      EntryMeta("2.4", "sql",
+        "the tokenizer-grain pack map at sequence grain: same explode-and-clip integer arithmetic — sequence fills provably tile the held-out half's post-BPE token count"),
     "dedup_embedding" ->
       EntryMeta("2.4", "sql",
         "embedding-cosine pairs: exact all-pairs face (the oracle baseline)",
@@ -939,10 +956,16 @@ object RegistryMeta {
         "ORACLED versioned audit of the attribution stream (the cdc_snapshot_versions pattern): per retained epoch-prefix version, the published credit table re-derived through the stream's own epoch-major fold order — one keyed window with epoch prepended; StreamingSpec replays the same epochs live and pins cumulative-output equality"),
     "EventStreams.anomalyStream" ->
       EntryMeta("2.8", "spec",
-        "streaming face of ts_anomaly"),
+        "streaming face of ts_anomaly; versioned audit oracled as anomaly_versions"),
+    "anomaly_versions" ->
+      EntryMeta("2.8", "sql",
+        "ORACLED versioned audit of the anomaly monitor (the cdc pattern): the day timeline splits into contiguous epochs (arrival order IS day order under the watermark) and per retained version k the cumulative published z-rows re-derive through the batch twin's window chain — the trailing window scores a day on arrival, so version k = rows with day in epochs <= k; StreamingSpec replays the epochs live and pins cumulative-output equality"),
     "EventStreams.changepointStream" ->
       EntryMeta("2.8", "spec",
-        "streaming face of ts_changepoint: live regime-shift monitor over watermark-finalized daily counts"),
+        "streaming face of ts_changepoint: live regime-shift monitor over watermark-finalized daily counts; versioned audit oracled as changepoint_versions"),
+    "changepoint_versions" ->
+      EntryMeta("2.8", "sql",
+        "ORACLED versioned audit of the changepoint monitor: the forward-looking statistic emits day D only once its TRIGGER day (per-series rank(D)+w-1) finalizes, so version k = batch rows whose trigger day sits in epochs <= k — the w-1-day emission lag promoted from a scaladoc disclaimer to an oracled value; same shared day-epoch timeline as anomaly_versions, StreamingSpec replay-pinned"),
     "EventStreams.ewmaStream" ->
       EntryMeta("2.8", "spec",
         "streaming face of ts_ewma: the entire history folds into ONE double per series"),

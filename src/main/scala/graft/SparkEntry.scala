@@ -244,6 +244,14 @@ object SparkEntry {
     // oracle recomputes from scratch — hash equality proves merge ≡
     // recompute
     "etl_incremental_agg" -> ((s, d) => Mapping.incrementalAgg(s, d)),
+    // the 2am chain END-TO-END (round 15, VERDICT r14 ask #2):
+    // bookmarked file-stream ingest (run twice — the second tick
+    // must drain nothing) -> incremental aggregate merge over the
+    // INGESTED read-back -> the persisted incremental dedup fold;
+    // one checksum row per stage, each recomputed by the oracle
+    // from the RAW tables — chain losslessness across the bookmark
+    // and state boundaries IS the hash equality
+    "etl_daily_e2e" -> (graft.etl.DailyPipeline.dailyE2e _),
     "etl_table_checksum" -> ((s, d) => {
       val o = Mapping.tableChecksum(Tables.orders(s, d), Seq(
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
@@ -694,6 +702,11 @@ object SparkEntry {
     // matrix profile: per length-7 window, the nearest non-overlapping
     // window of the same series — motif + discord flags off one column
     "ts_matrix_profile" -> ((s, d) => TimeSeriesOps.matrixProfile(s, d)),
+    // the partner-horizon tier (round 15, the ts_dtw_banded shape):
+    // |i-j| <= 2m bounds the scan to O(P*band*m) — linear in series
+    // length, the tier a sub-daily (long-P) series ships on
+    "ts_matrix_profile_banded" -> ((s, d) =>
+      TimeSeriesOps.matrixProfile(s, d, band = 14)),
     "ts_lag_features"   -> ((s, d) => TimeSeriesOps.lagFeatures(s, d)),
     // daily mean value per type with synthetic outage days planted
     // (every day-of-month divisible by 5 removed, identically in the
@@ -832,6 +845,14 @@ object SparkEntry {
     // re-run's actual load path, same split-agnostic oracle
     "dedup_incremental_index_persisted" -> ((s, d) =>
       DedupOps.incrementalIndexPersisted(s, d)),
+    // the hot-bucket-capped face, REGISTERED SEPARATELY with the
+    // weaker declared contract: equal to the recompute oracle when
+    // no (band, bsig) bucket exceeds the cap (true of this corpus —
+    // the oracle checks it); on a hot bucket, capped-out docs pair
+    // only against bucket minima (linear, DedupSpec pins the strict-
+    // subset behavior). The uncapped entries above never cap.
+    "dedup_incremental_index_capped" -> ((s, d) =>
+      DedupOps.incrementalIndex(s, d, maxBucket = 1000)),
     // checked face: 60-bit md5-prefix SimHash — the oracle re-derives
     // the complete pair list (sigs, hamming, jaccard) cross-engine
     "dedup_simhash"       -> ((s, d) =>
@@ -1105,6 +1126,12 @@ object SparkEntry {
     "curate_pack_sequences" -> ((s, d) => CurateOps.packSequences(s, d)),
     // the pack map at sequence grain: docs touched, fill, fullness
     "curate_pack_stats" -> ((s, d) => CurateOps.packStats(s, d)),
+    // packing at the TOKENIZER grain (round 15): the held-out half's
+    // post-BPE token stream (text_bpe_encode's n_after) through the
+    // SAME shared packing core — the intervals a training job reads
+    "curate_pack_bpe" -> ((s, d) => CurateOps.packSequencesBpe(s, d)),
+    // its per-sequence audit: fills tile the post-BPE token count
+    "curate_pack_bpe_stats" -> ((s, d) => CurateOps.packStatsBpe(s, d)),
     // §2.7 multimodal — REAL codec work: synthesize byte-level
     // WAV/BMP payloads deterministically from doc_id, parse them with
     // the header-walking decoders; features have closed forms so the
@@ -1213,6 +1240,19 @@ object SparkEntry {
     // through the stream's own epoch-major fold order
     "attribution_versions" -> ((s, d) =>
       graft.streaming.EventStreams.attributionVersionsBatch(s, d)),
+    // the anomaly monitor's versioned audit (the cdc pattern, round
+    // 15): per retained day-epoch version, the cumulative published
+    // z-rows re-derived through the batch twin's window chain — the
+    // trailing window scores a day the moment it finalizes, so
+    // version k = rows with day in epochs <= k
+    "anomaly_versions" -> ((s, d) =>
+      graft.streaming.EventStreams.anomalyVersionsBatch(s, d)),
+    // the changepoint monitor's versioned audit: the forward-looking
+    // statistic emits day D only once its TRIGGER day (per-series
+    // rank(D)+w-1) finalizes — version k = rows whose trigger day
+    // sits in epochs <= k, the emission lag made an oracled value
+    "changepoint_versions" -> ((s, d) =>
+      graft.streaming.EventStreams.changepointVersionsBatch(s, d)),
     // sketch-stream versioned-snapshot audits (the cdc pattern): each
     // retained version re-derived through the stream's own merge code
     // — MG guarantee verdicts, the exactly-replayable CM grid+probes,
@@ -2119,83 +2159,7 @@ object SparkEntry {
     // text_bpe_encode: the train CTEs unroll over the EVEN half only;
     // the identical double-replace then rewrites the held-out odd
     // half — per-doc token counts before/after prove the apply path
-    "text_bpe_encode" ->
-      """WITH s0 AS (
-        |  SELECT doc_id, chr(31) ||
-        |    array_to_string(string_split_regex(trim(text), '\s+'), chr(31))
-        |    || chr(31) AS s
-        |  FROM documents),
-        |tr0 AS (SELECT * FROM s0 WHERE doc_id % 2 = 0),
-        |ap0 AS (SELECT * FROM s0 WHERE doc_id % 2 = 1),
-        |p1 AS (
-        |  SELECT ws[i] || ' ' || ws[i+1] AS pair, count(*) AS cnt
-        |  FROM (SELECT list_filter(string_split(s, chr(31)), x -> x <> '')
-        |          AS ws FROM tr0),
-        |       LATERAL (SELECT unnest(range(1, len(ws))) AS i)
-        |  GROUP BY 1),
-        |t1 AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
-        |tr1 AS (
-        |  SELECT doc_id, replace(replace(s,
-        |    chr(31) || replace(pair, ' ', chr(31)) || chr(31),
-        |    chr(31) || replace(pair, ' ', '_') || chr(31)),
-        |    chr(31) || replace(pair, ' ', chr(31)) || chr(31),
-        |    chr(31) || replace(pair, ' ', '_') || chr(31)) AS s
-        |  FROM tr0, t1),
-        |ap1 AS (
-        |  SELECT doc_id, replace(replace(s,
-        |    chr(31) || replace(pair, ' ', chr(31)) || chr(31),
-        |    chr(31) || replace(pair, ' ', '_') || chr(31)),
-        |    chr(31) || replace(pair, ' ', chr(31)) || chr(31),
-        |    chr(31) || replace(pair, ' ', '_') || chr(31)) AS s
-        |  FROM ap0, t1),
-        |p2 AS (
-        |  SELECT ws[i] || ' ' || ws[i+1] AS pair, count(*) AS cnt
-        |  FROM (SELECT list_filter(string_split(s, chr(31)), x -> x <> '')
-        |          AS ws FROM tr1),
-        |       LATERAL (SELECT unnest(range(1, len(ws))) AS i)
-        |  GROUP BY 1),
-        |t2 AS (SELECT pair FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
-        |tr2 AS (
-        |  SELECT doc_id, replace(replace(s,
-        |    chr(31) || replace(pair, ' ', chr(31)) || chr(31),
-        |    chr(31) || replace(pair, ' ', '_') || chr(31)),
-        |    chr(31) || replace(pair, ' ', chr(31)) || chr(31),
-        |    chr(31) || replace(pair, ' ', '_') || chr(31)) AS s
-        |  FROM tr1, t2),
-        |ap2 AS (
-        |  SELECT doc_id, replace(replace(s,
-        |    chr(31) || replace(pair, ' ', chr(31)) || chr(31),
-        |    chr(31) || replace(pair, ' ', '_') || chr(31)),
-        |    chr(31) || replace(pair, ' ', chr(31)) || chr(31),
-        |    chr(31) || replace(pair, ' ', '_') || chr(31)) AS s
-        |  FROM ap1, t2),
-        |p3 AS (
-        |  SELECT ws[i] || ' ' || ws[i+1] AS pair, count(*) AS cnt
-        |  FROM (SELECT list_filter(string_split(s, chr(31)), x -> x <> '')
-        |          AS ws FROM tr2),
-        |       LATERAL (SELECT unnest(range(1, len(ws))) AS i)
-        |  GROUP BY 1),
-        |t3 AS (SELECT pair FROM p3 ORDER BY cnt DESC, pair LIMIT 1),
-        |ap3 AS (
-        |  SELECT doc_id, replace(replace(s,
-        |    chr(31) || replace(pair, ' ', chr(31)) || chr(31),
-        |    chr(31) || replace(pair, ' ', '_') || chr(31)),
-        |    chr(31) || replace(pair, ' ', chr(31)) || chr(31),
-        |    chr(31) || replace(pair, ' ', '_') || chr(31)) AS s
-        |  FROM ap2, t3),
-        |cnts AS (
-        |  SELECT ap0.doc_id,
-        |    len(list_filter(string_split(ap0.s, chr(31)), x -> x <> ''))
-        |      AS n_before,
-        |    len(list_filter(string_split(ap3.s, chr(31)), x -> x <> ''))
-        |      AS n_after
-        |  FROM ap0 JOIN ap3 ON ap0.doc_id = ap3.doc_id)
-        |SELECT doc_id, n_before, n_after,
-        |  CASE WHEN n_before = 0 THEN NULL
-        |       ELSE CAST((CAST(n_after AS HUGEINT) * 20000 + n_before)
-        |         // (2 * n_before) AS BIGINT) / 10000.0 END
-        |    AS compression
-        |FROM cnts ORDER BY doc_id""".stripMargin,
+    "text_bpe_encode" -> graft.ops.TextOps.bpeEncodeOracleSql(),
     // same µs-truncated ordering with the event_id tiebreak, so both
     // engines pair identical successors; totals recompute per source
     "q_markov" ->
@@ -2974,6 +2938,11 @@ object SparkEntry {
         |  round(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE) / (n_a + n_b), 4)
         |    > 3.8415 AS srm
         |FROM c""".stripMargin,
+    // the 2am chain's three-stage audit: every checksum recomputed
+    // from the RAW tables — the oracle knows nothing of the
+    // bookmark, the parquet boundaries, or the splits
+    "etl_daily_e2e" ->
+      graft.etl.DailyPipeline.dailyE2eOracleSql(),
     // row canon = null-sentineled '|' join → md5 → first 15 hex as a
     // 60-bit int (list-comprehension polynomial — exact, no doubles);
     // XOR + HUGEINT SUM signatures rendered as strings
@@ -4959,26 +4928,13 @@ object SparkEntry {
     // trailing-window z-score; both engines share the stddev_samp
     // parity ts_rolling already relies on, the zero-variance window
     // pins z = 0, and warm-up days (partial window) emit nothing
-    "ts_anomaly" ->
-      """WITH daily AS (
-        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-        |         count(*) AS cnt
-        |  FROM events GROUP BY 1, 2),
-        |f AS (
-        |  SELECT event_type, day, cnt,
-        |    row_number() OVER wn AS n,
-        |    avg(cnt) OVER w AS mean,
-        |    coalesce(stddev_samp(cnt) OVER w, 0.0) AS sd
-        |  FROM daily
-        |  WINDOW wn AS (PARTITION BY event_type ORDER BY day),
-        |         w AS (PARTITION BY event_type ORDER BY day
-        |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
-        |SELECT event_type, day, cnt,
-        |  round(CASE WHEN sd = 0 THEN 0.0 ELSE (cnt - mean) / sd END, 4) AS z,
-        |  (abs(CASE WHEN sd = 0 THEN 0.0 ELSE (cnt - mean) / sd END) >= 2.0)
-        |    AS is_anomaly
-        |FROM f WHERE n >= 7
-        |ORDER BY event_type, day""".stripMargin,
+    "ts_anomaly" -> graft.ops.TimeSeriesOps.anomalyOracleSql(),
+    // the monitor audits share the batch chains via the builders —
+    // one text per statistic, plain + versioned faces cannot drift
+    "anomaly_versions" ->
+      graft.ops.TimeSeriesOps.anomalyVersionsOracleSql(),
+    "changepoint_versions" ->
+      graft.ops.TimeSeriesOps.changepointVersionsOracleSql(),
     // Spark's lag(l) over the day order == the row at rn−l: the
     // oracle replays it as a row-number self-join (DuckDB's lag
     // offset must be constant, the lags come from an unnested range).
@@ -5046,6 +5002,8 @@ object SparkEntry {
     "ts_dtw" -> graft.ops.TimeSeriesOps.dtwOracleSql(),
     "ts_matrix_profile" ->
       graft.ops.TimeSeriesOps.matrixProfileOracleSql(),
+    "ts_matrix_profile_banded" ->
+      graft.ops.TimeSeriesOps.matrixProfileOracleSql(band = 14),
     "ts_dtw_banded" -> graft.ops.TimeSeriesOps.dtwOracleSql(band = 7),
     "ts_cross_corr" ->
       """WITH daily AS (
@@ -5076,30 +5034,7 @@ object SparkEntry {
         |JOIN den da2 ON da2.event_type = num.ta
         |JOIN den db2 ON db2.event_type = num.tb
         |ORDER BY ta, tb, lag""".stripMargin,
-    "ts_changepoint" ->
-      """WITH daily AS (
-        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-        |         count(*) AS cnt
-        |  FROM events GROUP BY 1, 2),
-        |f AS (
-        |  SELECT event_type, day, cnt,
-        |    count(*) OVER pre AS npre, count(*) OVER post AS npost,
-        |    avg(cnt) OVER pre AS pre_mean, avg(cnt) OVER post AS post_mean,
-        |    coalesce(stddev_samp(cnt) OVER pre, 0.0) AS sd
-        |  FROM daily
-        |  WINDOW pre AS (PARTITION BY event_type ORDER BY day
-        |                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING),
-        |         post AS (PARTITION BY event_type ORDER BY day
-        |                  ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)),
-        |g AS (
-        |  SELECT event_type, day, cnt, pre_mean, post_mean,
-        |    CASE WHEN sd = 0 THEN post_mean - pre_mean
-        |         ELSE (post_mean - pre_mean) / sd END AS score
-        |  FROM f WHERE npre = 7 AND npost = 7)
-        |SELECT event_type, day, cnt,
-        |  round(pre_mean, 4) AS pre_mean, round(post_mean, 4) AS post_mean,
-        |  round(score, 4) AS score, (abs(score) >= 3.0) AS is_change
-        |FROM g ORDER BY event_type, day""".stripMargin,
+    "ts_changepoint" -> graft.ops.TimeSeriesOps.changepointOracleSql(),
     // Phase = epoch-day mod 7 (dow functions differ in origin across
     // engines); the seasonal mean divides an exact DECIMAL(20,10) sum
     // once, so partial-aggregation order can't move the 4th decimal.
@@ -5581,6 +5516,13 @@ object SparkEntry {
     // the persisted round-trip face answers to the SAME recompute
     "dedup_incremental_index_persisted" ->
       graft.ops.DedupOps.minhashRecomputeOracleSql(),
+    // the capped face's DECLARED contract is weaker — "equal to the
+    // recompute when no bucket exceeds the cap" — and this corpus
+    // satisfies the premise (largest (band,bsig) bucket << 1000), so
+    // the same recompute oracle checks the equality branch; the
+    // hot-bucket branch is DedupSpec-pinned (strict subset, linear)
+    "dedup_incremental_index_capped" ->
+      graft.ops.DedupOps.minhashRecomputeOracleSql(),
     "dedup_minhash" ->
       graft.ops.DedupOps.minhashRecomputeOracleSql(),
     // complete cross-engine replay of the md5-60bit SimHash face:
@@ -6043,6 +5985,10 @@ object SparkEntry {
       graft.ops.CurateOps.packSequencesOracleSql(),
     "curate_pack_stats" ->
       graft.ops.CurateOps.packStatsOracleSql(),
+    "curate_pack_bpe" ->
+      graft.ops.CurateOps.packSequencesBpeOracleSql(),
+    "curate_pack_bpe_stats" ->
+      graft.ops.CurateOps.packStatsBpeOracleSql(),
     "text_ccnet_buckets" -> graft.ops.TextOps.ccnetBucketsOracleSql(),
     "ann_lsh_topk" -> graft.ops.SimilarityOps.lshOracleSql(),
     "ann_ivf_topk" -> graft.ops.SimilarityOps.ivfOracleSql(),

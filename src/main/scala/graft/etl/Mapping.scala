@@ -568,8 +568,10 @@ object Mapping {
       .orderBy(col("event_type"), col("ed"))
   }
 
-  /** The daily-grain monoid aggregate both sides share. */
-  private def aggDaily(df: DataFrame): DataFrame =
+  /** The daily-grain monoid aggregate both sides share (also the
+    * merge grain of the daily-pipeline E2E composition,
+    * [[graft.etl.DailyPipeline.dailyE2e]]). */
+  private[graft] def aggDaily(df: DataFrame): DataFrame =
     df.groupBy(col("event_type"), col("ed"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
 

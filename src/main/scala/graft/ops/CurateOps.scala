@@ -426,15 +426,24 @@ object CurateOps {
 
   /** Same over any (doc_id, text) frame. */
   def packSequencesOn(docs: DataFrame, budget: Int): DataFrame = {
-    require(budget >= 1, "budget >= 1")
     // identical staging to TextOps.packOn (null-safe token count,
     // n > 0 guard) — the two grains must read ONE stream definition
     val sized = Tables.spread(docs)
       .select(col("doc_id"),
         size(TextOps.toks(coalesce(col("text"), lit(""))))
           .cast("long").as("n_tokens"))
-      .filter(col("n_tokens") > 0)
-    PrefixSum.exclusive(sized, Seq(col("doc_id")), col("n_tokens"))
+    packMapOf(sized, budget)
+  }
+
+  /** The packing map over ANY (doc_id, n_tokens) sizing — the one
+    * core every packing grain and every tokenizer shares: n > 0
+    * guard, the distributed prefix sum, the budget interval
+    * arithmetic. The whitespace faces and the BPE-token faces differ
+    * ONLY in the sizing frame they feed here. */
+  private def packMapOf(sized: DataFrame, budget: Int): DataFrame = {
+    require(budget >= 1, "budget >= 1")
+    PrefixSum.exclusive(sized.filter(col("n_tokens") > 0),
+        Seq(col("doc_id")), col("n_tokens"))
       .select(col("doc_id"), col("n_tokens"), col("__cum").as("start_tok"))
       .withColumn("seq_first", expr(s"start_tok div $budget"))
       .withColumn("seq_last",
@@ -442,6 +451,37 @@ object CurateOps {
       .withColumn("crosses_boundary", col("seq_last") > col("seq_first"))
       .orderBy(col("doc_id"))
   }
+
+  /** SEQUENCE PACKING AT THE TOKENIZER GRAIN — the token stream a
+    * training job actually reads: the held-out half's post-BPE token
+    * counts ([[TextOps.bpeEncodeOn]]: merges trained on the even
+    * half, applied in training order to the odd half) fed through
+    * the SAME shared packing core as the whitespace faces. Closes
+    * the gap between "packing works" and "packing works on the
+    * tokens the run trains on" — intervals, boundary flags, and
+    * sequence ids all move when the tokenizer changes, which is
+    * exactly what this face makes checkable (spec pins rounds = 0 ≡
+    * the whitespace map on the same half; the oracle replays the
+    * full train-and-apply chain under the cumsum). */
+  def packSequencesBpe(s: SparkSession, d: String, budget: Int = 512,
+                       rounds: Int = 3): DataFrame =
+    packSequencesBpeOn(Tables.documents(s, d), budget, rounds)
+
+  /** Same over any (doc_id, text) frame. */
+  def packSequencesBpeOn(docs: DataFrame, budget: Int,
+                         rounds: Int): DataFrame =
+    packMapOf(
+      TextOps.bpeEncodeOn(docs, rounds)
+        .select(col("doc_id"), col("n_after").cast("long").as("n_tokens")),
+      budget)
+
+  /** [[packStats]] at the tokenizer grain — the per-sequence audit
+    * over [[packSequencesBpe]]'s map: same explode-and-clip integer
+    * arithmetic, so the sequence fills provably tile the held-out
+    * half's post-BPE token count. */
+  def packStatsBpe(s: SparkSession, d: String, budget: Int = 512,
+                   rounds: Int = 3): DataFrame =
+    packStatsFrom(packSequencesBpe(s, d, budget, rounds), budget)
 
   /** The pack map aggregated to SEQUENCE grain — the table a training
     * job reads to size shards and audit fill: per `budget`-token
@@ -453,8 +493,12 @@ object CurateOps {
     * sequence window — pure integer arithmetic on [[packSequencesOn]]
     * values, so the sequence totals provably tile the corpus token
     * count. */
-  def packStats(s: SparkSession, d: String, budget: Int = 512): DataFrame = {
-    val m = packSequencesOn(Tables.documents(s, d), budget)
+  def packStats(s: SparkSession, d: String, budget: Int = 512): DataFrame =
+    packStatsFrom(packSequencesOn(Tables.documents(s, d), budget), budget)
+
+  /** The sequence-grain aggregation over ANY packing map (whitespace
+    * or tokenizer grain) — see [[packStats]]. */
+  private def packStatsFrom(m: DataFrame, budget: Int): DataFrame = {
     m.select(col("doc_id"), col("n_tokens"), col("start_tok"),
         explode(sequence(col("seq_first"), col("seq_last"))).as("seq_id"))
       .select(col("seq_id"),
@@ -469,19 +513,45 @@ object CurateOps {
       .orderBy(col("seq_id"))
   }
 
-  /** DuckDB replica of [[packSequencesOn]] — ONE global cumsum window
+  /** The whitespace sizing CTE (`t` = (doc_id, n_tokens)) every
+    * whitespace-grain pack oracle opens with. The staging mirrors
+    * the engine DEFINITIONALLY, not coincidentally: the same
+    * COALESCE(text,'') null guard and the same n_tokens > 0 filter,
+    * so a NULL-text document counts as one empty token on BOTH
+    * sides instead of publishing a NULL row here while Spark
+    * counts 1. */
+  private def wsSizingCte: String =
+    """WITH t AS (SELECT doc_id, n_tokens FROM (
+      |    SELECT doc_id,
+      |      CAST(len(string_split_regex(trim(coalesce(text, '')),
+      |        '\\s+')) AS BIGINT) AS n_tokens
+      |    FROM documents) WHERE n_tokens > 0)""".stripMargin
+
+  /** The TOKENIZER sizing CTE: the full BPE train-and-apply chain
+    * ([[TextOps.bpeEncodeOracleSql]]) nested as `enc`, its held-out
+    * n_after counts staged under the same n > 0 guard. */
+  private def bpeSizingCte(rounds: Int): String =
+    // plain concatenation, NOT stripMargin interpolation: the nested
+    // chain is full of `||` concats at line starts, and stripMargin
+    // would eat one pipe from each (`||` -> `|`)
+    "WITH enc AS (\n" + TextOps.bpeEncodeOracleSql(rounds) + "),\n" +
+      "t AS (SELECT doc_id, CAST(n_after AS BIGINT) AS n_tokens\n" +
+      "      FROM enc WHERE n_after > 0)"
+
+  /** The global-cumsum CTE shared by every pack oracle — ONE window
     * (the oracle may afford what the engine must not): identical
     * integer chain, floor division on non-negative operands. */
-  private[graft] def packSequencesOracleSql(budget: Int = 512): String =
-    s"""WITH t AS (SELECT doc_id,
-       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
-       |      AS n_tokens
-       |  FROM documents),
-       |c AS (SELECT doc_id, n_tokens,
-       |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
-       |      AS BIGINT) AS start_tok
-       |  FROM t)
+  private def packCumsumCte: String =
+    """,
+      |c AS (SELECT doc_id, n_tokens,
+      |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+      |      AS BIGINT) AS start_tok
+      |  FROM t)""".stripMargin
+
+  /** Doc-grain tail: the per-doc interval/boundary projection. */
+  private def packMapTail(budget: Int): String =
+    s"""
        |SELECT doc_id, n_tokens, start_tok,
        |  start_tok // $budget AS seq_first,
        |  (start_tok + n_tokens - 1) // $budget AS seq_last,
@@ -489,18 +559,10 @@ object CurateOps {
        |    AS crosses_boundary
        |FROM c ORDER BY doc_id""".stripMargin
 
-  /** DuckDB replica of [[packStats]]: the pack-map CTE + per-doc
-    * sequence-range unnest + interval clipping. */
-  private[graft] def packStatsOracleSql(budget: Int = 512): String =
-    s"""WITH t AS (SELECT doc_id,
-       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
-       |      AS n_tokens
-       |  FROM documents),
-       |c AS (SELECT doc_id, n_tokens,
-       |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
-       |      AS BIGINT) AS start_tok
-       |  FROM t),
+  /** Sequence-grain tail: per-doc sequence-range unnest + interval
+    * clipping, aggregated per sequence. */
+  private def packStatsTail(budget: Int): String =
+    s""",
        |ex AS (SELECT start_tok, n_tokens,
        |    unnest(range(start_tok // $budget,
        |      (start_tok + n_tokens - 1) // $budget + 1)) AS seq_id
@@ -513,6 +575,27 @@ object CurateOps {
        |    - greatest(seq_id * $budget, start_tok)) AS BIGINT) = $budget
        |    AS is_full
        |FROM ex GROUP BY 1 ORDER BY seq_id""".stripMargin
+
+  /** DuckDB replica of [[packSequencesOn]]: whitespace sizing +
+    * cumsum + doc-grain tail (all shared builders — the four pack
+    * oracles differ ONLY in which sizing/tail pair they compose). */
+  private[graft] def packSequencesOracleSql(budget: Int = 512): String =
+    wsSizingCte + packCumsumCte + packMapTail(budget)
+
+  /** DuckDB replica of [[packStats]]. */
+  private[graft] def packStatsOracleSql(budget: Int = 512): String =
+    wsSizingCte + packCumsumCte + packStatsTail(budget)
+
+  /** DuckDB replica of [[packSequencesBpe]]: tokenizer sizing +
+    * the same shared cumsum and doc-grain tail. */
+  private[graft] def packSequencesBpeOracleSql(
+      budget: Int = 512, rounds: Int = 3): String =
+    bpeSizingCte(rounds) + packCumsumCte + packMapTail(budget)
+
+  /** DuckDB replica of [[packStatsBpe]]. */
+  private[graft] def packStatsBpeOracleSql(
+      budget: Int = 512, rounds: Int = 3): String =
+    bpeSizingCte(rounds) + packCumsumCte + packStatsTail(budget)
 
   /** DuckDB replica of [[mixTemperature]]: same floor(1e6·√n)
     * weights, HUGEINT quota arithmetic, md5 coin order. */

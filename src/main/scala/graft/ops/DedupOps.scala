@@ -300,7 +300,8 @@ object DedupOps {
     * invents) breaks the cross-engine hash. */
   def incrementalIndex(s: SparkSession, d: String,
                        threshold: Double = 0.8,
-                       numPerm: Int = 64, bands: Int = 16): DataFrame = {
+                       numPerm: Int = 64, bands: Int = 16,
+                       maxBucket: Int = Int.MaxValue): DataFrame = {
     val docs = Tables.documents(s, d)
     // the daily split: every 4th doc is "today's crawl"
     val history = docs.filter(col("doc_id") % 4 =!= 0)
@@ -312,8 +313,8 @@ object DedupOps {
     val hSets = docShingleSets(history).cache()
     val hIndex = bandIndexOnSets(hSets, numPerm, bands).cache()
     incrementalFold(hIndex,
-      lshPairsFromIndex(hIndex, hSets, threshold, 1000),
-      history, delta, threshold, numPerm, bands)
+      lshPairsFromIndex(hIndex, hSets, threshold, maxBucket),
+      history, delta, threshold, numPerm, bands, maxBucket)
   }
 
   /** [[incrementalIndex]] with the persisted state crossing a REAL
@@ -330,24 +331,36 @@ object DedupOps {
     * misses or invents breaks the cross-engine hash. Parquet-reading
     * the index also un-pins its band-key partitioning, so the fold's
     * (band, bsig) joins re-shuffle from real files — the honest cost
-    * an index owner pays daily. State lands under `stateDir`
-    * (defaults to the JVM temp dir, keyed by the corpus path). */
+    * an index owner pays daily. State lands under `stateDir`; when
+    * none is given, a fresh per-invocation temp directory (deleted
+    * on JVM exit) — a FIXED default path would let two concurrent
+    * runs on the same corpus overwrite each other's state mid-read.
+    * A production owner passes the durable state path explicitly. */
   def incrementalIndexPersisted(s: SparkSession, d: String,
                                 threshold: Double = 0.8,
                                 numPerm: Int = 64, bands: Int = 16,
-                                stateDir: String = ""): DataFrame = {
+                                stateDir: String = "",
+                                maxBucket: Int = Int.MaxValue): DataFrame = {
     val docs = Tables.documents(s, d)
     val history = docs.filter(col("doc_id") % 4 =!= 0)
     val delta = docs.filter(col("doc_id") % 4 === 0)
     val dir =
       if (stateDir.nonEmpty) stateDir
-      else s"${sys.props("java.io.tmpdir")}/graft_inc_state_" +
-        java.lang.Integer.toHexString(d.hashCode)
+      else {
+        val p = java.nio.file.Files.createTempDirectory("graft_inc_state_")
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(p.toFile)
+        }))
+        p.toString
+      }
     val hSets = docShingleSets(history).cache()
     val hIndex = bandIndexOnSets(hSets, numPerm, bands).cache()
     hIndex.write.mode("overwrite").partitionBy("band")
       .parquet(s"$dir/band_index.parquet")
-    lshPairsFromIndex(hIndex, hSets, threshold, 1000)
+    lshPairsFromIndex(hIndex, hSets, threshold, maxBucket)
       .write.mode("overwrite").parquet(s"$dir/pairs.parquet")
     // the fold sees ONLY the read-back state
     val rIndex = s.read.parquet(s"$dir/band_index.parquet")
@@ -355,7 +368,7 @@ object DedupOps {
     val rPairs = s.read.parquet(s"$dir/pairs.parquet")
       .select(col("id1"), col("id2"), col("jaccard"))
     incrementalFold(rIndex, rPairs, history, delta, threshold,
-      numPerm, bands)
+      numPerm, bands, maxBucket)
   }
 
   /** The split-agnostic full-corpus near-dup recompute in DuckDB —
@@ -399,12 +412,17 @@ object DedupOps {
     * cost — a hot bucket costs O(cap²) join pairs + O(size)
     * representative pairs, never O(size²). On benign data (no bucket
     * over the cap) the output is IDENTICAL to the uncapped fold
-    * (DedupSpec pins both contracts). `maxBucket = Int.MaxValue`
-    * skips the ranking windows entirely. */
+    * (DedupSpec pins both contracts). The DEFAULT is uncapped
+    * (`Int.MaxValue`, which skips the ranking windows entirely):
+    * capping weakens the "fold ≡ full recompute" contract to "equal
+    * when no bucket exceeds the cap" (on a hot bucket, capped-out
+    * docs pair only against bucket minima — a strict subset), so the
+    * cap is an explicit opt-in, the contract the caller registered
+    * for never changes under it silently. */
   def incrementalFold(histIndex: DataFrame, histPairs: DataFrame,
                       histDocs: DataFrame, delta: DataFrame,
                       threshold: Double, numPerm: Int,
-                      bands: Int, maxBucket: Int = 1000): DataFrame = {
+                      bands: Int, maxBucket: Int = Int.MaxValue): DataFrame = {
     // today's shingle sets feed signatures AND verification — one
     // materialization (the minhashLshOn posture)
     val dSets = docShingleSets(delta).cache()

@@ -1507,4 +1507,64 @@ object TextOps {
           .as("compression"))
       .orderBy(col("doc_id"))
   }
+
+  /** DuckDB replica of [[bpeEncodeOn]] — the train CTEs unrolled
+    * over the EVEN half, the identical greedy double-replace applied
+    * per round to the held-out ODD half, per-doc before/after counts
+    * plus the exact-integer 4dp compression. ONE generator for any
+    * round count: the text_bpe_encode entry reads it at rounds = 3
+    * (the text previously inlined there verbatim) and the BPE
+    * packing faces nest it as their token-stream CTE — one chain,
+    * every consumer, no drift. */
+  private[graft] def bpeEncodeOracleSql(rounds: Int = 3): String = {
+    def rewrite(src: String, top: String): String =
+      s"""  SELECT doc_id, replace(replace(s,
+         |    chr(31) || replace(pair, ' ', chr(31)) || chr(31),
+         |    chr(31) || replace(pair, ' ', '_') || chr(31)),
+         |    chr(31) || replace(pair, ' ', chr(31)) || chr(31),
+         |    chr(31) || replace(pair, ' ', '_') || chr(31)) AS s
+         |  FROM $src, $top""".stripMargin
+    def pairCounts(src: String): String =
+      s"""  SELECT ws[i] || ' ' || ws[i+1] AS pair, count(*) AS cnt
+         |  FROM (SELECT list_filter(string_split(s, chr(31)), x -> x <> '')
+         |          AS ws FROM $src),
+         |       LATERAL (SELECT unnest(range(1, len(ws))) AS i)
+         |  GROUP BY 1""".stripMargin
+    val head =
+      s"""WITH s0 AS (
+         |  SELECT doc_id, chr(31) ||
+         |    array_to_string(string_split_regex(trim(text), '\\s+'), chr(31))
+         |    || chr(31) AS s
+         |  FROM documents),
+         |tr0 AS (SELECT * FROM s0 WHERE doc_id % 2 = 0),
+         |ap0 AS (SELECT * FROM s0 WHERE doc_id % 2 = 1)""".stripMargin
+    val loop = (1 to rounds).map { r =>
+      // the train side needs a rewrite only while another pair
+      // selection follows it — the last round rewrites apply-only
+      val trainRewrite =
+        if (r < rounds) s",\ntr$r AS (\n${rewrite(s"tr${r - 1}", s"t$r")})"
+        else ""
+      s""",
+         |p$r AS (
+         |${pairCounts(s"tr${r - 1}")}),
+         |t$r AS (SELECT pair FROM p$r ORDER BY cnt DESC, pair LIMIT 1)$trainRewrite,
+         |ap$r AS (
+         |${rewrite(s"ap${r - 1}", s"t$r")})""".stripMargin
+    }.mkString
+    head + loop +
+      s""",
+         |cnts AS (
+         |  SELECT ap0.doc_id,
+         |    len(list_filter(string_split(ap0.s, chr(31)), x -> x <> ''))
+         |      AS n_before,
+         |    len(list_filter(string_split(ap$rounds.s, chr(31)), x -> x <> ''))
+         |      AS n_after
+         |  FROM ap0 JOIN ap$rounds ON ap0.doc_id = ap$rounds.doc_id)
+         |SELECT doc_id, n_before, n_after,
+         |  CASE WHEN n_before = 0 THEN NULL
+         |       ELSE CAST((CAST(n_after AS HUGEINT) * 20000 + n_before)
+         |         // (2 * n_before) AS BIGINT) / 10000.0 END
+         |    AS compression
+         |FROM cnts ORDER BY doc_id""".stripMargin
+  }
 }

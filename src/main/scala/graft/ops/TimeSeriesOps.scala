@@ -519,6 +519,135 @@ object TimeSeriesOps {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** The daily-count + trailing-window CTE chain both anomaly faces
+    * share — ONE text for the plain entry and the versioned audit,
+    * so the two oracles cannot drift (the dtwOracleSql convention). */
+  private def anomalyCoreSql(windowDays: Int): String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       |         count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |f AS (
+       |  SELECT event_type, day, cnt,
+       |    row_number() OVER wn AS n,
+       |    avg(cnt) OVER w AS mean,
+       |    coalesce(stddev_samp(cnt) OVER w, 0.0) AS sd
+       |  FROM daily
+       |  WINDOW wn AS (PARTITION BY event_type ORDER BY day),
+       |         w AS (PARTITION BY event_type ORDER BY day
+       |               ROWS BETWEEN ${windowDays - 1} PRECEDING
+       |                 AND CURRENT ROW))""".stripMargin
+
+  /** DuckDB replica of [[anomalyZScore]] (the ts_anomaly oracle):
+    * trailing-window z-score, shared stddev_samp parity, the
+    * zero-variance window pins z = 0, warm-up days emit nothing. */
+  private[graft] def anomalyOracleSql(windowDays: Int = 7,
+                                      threshold: Double = 2.0): String =
+    anomalyCoreSql(windowDays) +
+      s"""
+         |SELECT event_type, day, cnt,
+         |  round(CASE WHEN sd = 0 THEN 0.0 ELSE (cnt - mean) / sd END, 4)
+         |    AS z,
+         |  (abs(CASE WHEN sd = 0 THEN 0.0 ELSE (cnt - mean) / sd END)
+         |    >= $threshold) AS is_anomaly
+         |FROM f WHERE n >= $windowDays
+         |ORDER BY event_type, day""".stripMargin
+
+  /** The versioned audit of the LIVE anomaly monitor
+    * ([[graft.streaming.EventStreams.anomalyStream]]) — the
+    * cdc_snapshot_versions pattern: the day timeline splits into
+    * `epochs` contiguous chunks (the stream's arrival order IS day
+    * order — finalized days arrive monotonically), and version k
+    * holds every row the stream has emitted once all days of epochs
+    * ≤ k are in: the trailing window scores a day the moment it
+    * arrives, so version k = the batch rows whose day sits in epochs
+    * ≤ k — re-derived here through the SAME window chain. */
+  private[graft] def anomalyVersionsOracleSql(
+      epochs: Int = 5, keepVersions: Int = 3, windowDays: Int = 7,
+      threshold: Double = 2.0): String =
+    anomalyCoreSql(windowDays) +
+      s""",
+         |ep AS (SELECT day,
+         |    ((row_number() OVER (ORDER BY day) - 1) * $epochs)
+         |      // (count(*) OVER ()) AS epoch
+         |  FROM (SELECT DISTINCT day FROM daily)),
+         |v AS (SELECT unnest(range(${epochs - keepVersions}, $epochs))
+         |        AS version)
+         |SELECT CAST(version AS BIGINT) AS version, event_type, day, cnt,
+         |  round(CASE WHEN sd = 0 THEN 0.0 ELSE (cnt - mean) / sd END, 4)
+         |    AS z,
+         |  (abs(CASE WHEN sd = 0 THEN 0.0 ELSE (cnt - mean) / sd END)
+         |    >= $threshold) AS is_anomaly
+         |FROM f JOIN ep USING (day) CROSS JOIN v
+         |WHERE n >= $windowDays AND epoch <= version
+         |ORDER BY version, event_type, day""".stripMargin
+
+  /** The shared changepoint CTE chain (through the filtered `g`) —
+    * one text for ts_changepoint and the versioned audit. */
+  private def changepointCoreSql(w: Int): String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       |         count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |f AS (
+       |  SELECT event_type, day, cnt,
+       |    count(*) OVER pre AS npre, count(*) OVER post AS npost,
+       |    avg(cnt) OVER pre AS pre_mean, avg(cnt) OVER post AS post_mean,
+       |    coalesce(stddev_samp(cnt) OVER pre, 0.0) AS sd
+       |  FROM daily
+       |  WINDOW pre AS (PARTITION BY event_type ORDER BY day
+       |                 ROWS BETWEEN $w PRECEDING AND 1 PRECEDING),
+       |         post AS (PARTITION BY event_type ORDER BY day
+       |                  ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING)),
+       |g AS (
+       |  SELECT event_type, day, cnt, pre_mean, post_mean,
+       |    CASE WHEN sd = 0 THEN post_mean - pre_mean
+       |         ELSE (post_mean - pre_mean) / sd END AS score
+       |  FROM f WHERE npre = $w AND npost = $w)""".stripMargin
+
+  /** DuckDB replica of [[changepoints]] (the ts_changepoint oracle). */
+  private[graft] def changepointOracleSql(w: Int = 7,
+                                          minScore: Double = 3.0): String =
+    changepointCoreSql(w) +
+      s"""
+         |SELECT event_type, day, cnt,
+         |  round(pre_mean, 4) AS pre_mean, round(post_mean, 4) AS post_mean,
+         |  round(score, 4) AS score, (abs(score) >= $minScore) AS is_change
+         |FROM g ORDER BY event_type, day""".stripMargin
+
+  /** The versioned audit of the LIVE changepoint monitor
+    * ([[graft.streaming.EventStreams.changepointStream]]): the
+    * statistic is FORWARD-looking, so day D's row is emitted only
+    * when day at per-series rank rank(D)+w−1 — its TRIGGER day —
+    * has finalized; version k therefore holds the batch rows whose
+    * trigger day sits in epochs ≤ k, the inherent w−1-day emission
+    * lag made an oracled value instead of a disclaimer. */
+  private[graft] def changepointVersionsOracleSql(
+      epochs: Int = 5, keepVersions: Int = 3, w: Int = 7,
+      minScore: Double = 3.0): String =
+    changepointCoreSql(w) +
+      s""",
+         |trig AS (SELECT event_type, day,
+         |    lead(day, ${w - 1}) OVER (PARTITION BY event_type
+         |      ORDER BY day) AS trigger_day
+         |  FROM daily),
+         |ep AS (SELECT day AS eday,
+         |    ((row_number() OVER (ORDER BY day) - 1) * $epochs)
+         |      // (count(*) OVER ()) AS epoch
+         |  FROM (SELECT DISTINCT day FROM daily)),
+         |v AS (SELECT unnest(range(${epochs - keepVersions}, $epochs))
+         |        AS version)
+         |SELECT CAST(version AS BIGINT) AS version, g.event_type, g.day,
+         |  cnt, round(pre_mean, 4) AS pre_mean,
+         |  round(post_mean, 4) AS post_mean,
+         |  round(score, 4) AS score, (abs(score) >= $minScore) AS is_change
+         |FROM g
+         |JOIN trig ON trig.event_type = g.event_type AND trig.day = g.day
+         |JOIN ep ON ep.eday = trig.trigger_day
+         |CROSS JOIN v
+         |WHERE epoch <= version
+         |ORDER BY version, g.event_type, g.day""".stripMargin
+
   /** Per-series AUTOCORRELATION function at lags 1..`maxLag` — the
     * seasonality detector: a weekly series shows acf(7) ≫ acf(1..6),
     * which is how a pipeline CHOOSES the period it hands to
@@ -1205,16 +1334,27 @@ object TimeSeriesOps {
     * at least one admissible partner (a middle window of anything
     * shorter has no j with |i−j| ≥ m, and a NULL profile cell is
     * worse than an absent series). Stated contract, oracle-matched. */
-  def matrixProfile(s: SparkSession, d: String, m: Int = 7): DataFrame =
+  def matrixProfile(s: SparkSession, d: String, m: Int = 7,
+                    band: Int = -1): DataFrame =
     matrixProfileOn(Tables.events(s, d)
       .groupBy(col("event_type"),
         date_trunc("day", col("ts")).as("day"))
       .agg((sum(round(col("value"), 4).cast("decimal(14,4)")) * 10000)
-        .cast("long").as("v_micro")), m)
+        .cast("long").as("v_micro")), m, band)
 
-  /** Same over any (event_type, day, v_micro) daily frame. */
-  def matrixProfileOn(daily: DataFrame, m: Int = 7): DataFrame = {
+  /** Same over any (event_type, day, v_micro) daily frame.
+    * `band` > 0 bounds the partner search to |i−j| ≤ band — the
+    * horizon tier for long (sub-daily) series: the full core is
+    * O(P²·m) per series, which is fine calendar-bounded (~2M integer
+    * ops for a year at m=7) but quadratic the moment a caller feeds
+    * minute-grain data; the band makes it O(P·band·m), linear in P,
+    * and band ≥ P−1 reproduces the unbanded profile cell for cell
+    * (spec-pinned — the ts_dtw_banded contract shape). */
+  def matrixProfileOn(daily: DataFrame, m: Int = 7,
+                      band: Int = -1): DataFrame = {
     require(m >= 2, "window m >= 2")
+    require(band <= 0 || band >= m,
+      s"a band below m admits no partner at all: band=$band m=$m")
     val d38 = "decimal(38,0)"
     val ser = daily.groupBy(col("event_type"))
       .agg(transform(
@@ -1247,7 +1387,8 @@ object TimeSeriesOps {
     val prof = zed.select(col("event_type"), col("z"))
       .as[(String, Seq[Long])]
       .flatMap { case (t, z) =>
-        mpCore(z.toIndexedSeq, m).map { case (p, nn, md) => (t, p, nn, md) }
+        mpCore(z.toIndexedSeq, m, band)
+          .map { case (p, nn, md) => (t, p, nn, md) }
       }
       .toDF("event_type", "pos", "nn_pos", "md")
       .select(col("event_type"), col("pos"), col("nn_pos"),
@@ -1264,18 +1405,27 @@ object TimeSeriesOps {
   }
 
   /** The exact-integer profile core: per window i (1-based), the
-    * minimum ED² over admissible j (|i−j| ≥ m) and the SMALLEST j
-    * attaining it (strict `<` keeps the first candidate — the
-    * oracle's min(j)-at-the-min contract). Pure long arithmetic:
-    * value-identical to any engine's integer replay. */
-  private[graft] def mpCore(z: IndexedSeq[Long], m: Int)
-      : Seq[(Long, Long, Long)] = {
+    * minimum ED² over admissible j (m ≤ |i−j|, and |i−j| ≤ `band`
+    * when `band` > 0 — the partner-window horizon of the banded
+    * tier) and the SMALLEST j attaining it (strict `<` keeps the
+    * first candidate — the oracle's min(j)-at-the-min contract).
+    * Pure long arithmetic: value-identical to any engine's integer
+    * replay. `band` ≤ 0 ⇒ unbounded (the dtw band convention); a
+    * band bounds the scan to O(P·band·m) — the tier that keeps a
+    * sub-daily (long-P) series affordable. */
+  private[graft] def mpCore(z: IndexedSeq[Long], m: Int,
+                            band: Int = -1): Seq[(Long, Long, Long)] = {
     val p = z.length - m + 1
     (1 to p).map { i =>
       var best = Long.MaxValue
       var bj = -1
-      var j = 1
-      while (j <= p) {
+      // banded: only j within the horizon are ever visited — the
+      // loop bounds ARE the band, not a filter inside a full scan
+      val (lo, hi) =
+        if (band > 0) (math.max(1, i - band), math.min(p, i + band))
+        else (1, p)
+      var j = lo
+      while (j <= hi) {
         if (math.abs(j - i) >= m) {
           var d = 0L
           var k = 0
@@ -1289,14 +1439,17 @@ object TimeSeriesOps {
         j += 1
       }
       (i.toLong, bj.toLong, best)
-    }
+    }.filter(_._2 > 0)
   }
 
   /** DuckDB replay of [[matrixProfileOn]] — the identical lattice:
     * integer mean/variance, the same z-code chain, the same integer
     * pair distances computed relationally (hits → min → smallest-j
-    * argmin). */
-  private[graft] def matrixProfileOracleSql(m: Int = 7): String = {
+    * argmin). `band` > 0 adds the horizon predicate to the hits CTE
+    * — ONE shared chain for the full and banded faces, the
+    * dtwOracleSql convention. */
+  private[graft] def matrixProfileOracleSql(m: Int = 7,
+                                            band: Int = -1): String = {
     val d2 = (i: String, j: String) =>
       s"list_sum(list_transform(range(0, $m), k -> " +
         s"(z[$i + k] - z[$j + k]) * (z[$i + k] - z[$j + k])))"
@@ -1327,7 +1480,8 @@ object TimeSeriesOps {
        |hits AS (SELECT event_type, i, j, ${d2("i", "j")} AS d2
        |  FROM (SELECT event_type, z, i,
        |          unnest(range(1, n - ${m - 2})) AS j FROM pos)
-       |  WHERE abs(j - i) >= $m),
+       |  WHERE abs(j - i) >= $m${
+        if (band > 0) s" AND abs(j - i) <= $band" else ""}),
        |mins AS (SELECT event_type, i, min(d2) AS md
        |         FROM hits GROUP BY 1, 2),
        |rows_ AS (SELECT h.event_type, CAST(h.i AS BIGINT) AS pos,

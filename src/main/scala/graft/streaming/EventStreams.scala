@@ -499,6 +499,56 @@ object EventStreams {
       }
   }
 
+  /** The day-timeline epoch map both versioned monitor audits share:
+    * the global distinct-day timeline splits into `epochs` contiguous
+    * chunks (epoch of the day at global rank r, 1-based, is
+    * ((r−1)·epochs) div n) — day order IS the stream's arrival order
+    * (finalized days arrive monotonically), so "epochs ≤ k have
+    * arrived" is exactly a day-prefix. The partition-less window runs
+    * on the DISTINCT-DAY frame — calendar-bounded (≤366 rows/year),
+    * the PSI-bins class of documented bounded global windows. */
+  private def dayEpochs(days: DataFrame, epochs: Int): DataFrame = {
+    val n = days.agg(count(lit(1)).as("__n"))
+    days.withColumn("__rn",
+        row_number().over(Window.orderBy(col("day"))))
+      .crossJoin(broadcast(n))
+      .select(col("day"),
+        expr(s"((CAST(__rn AS BIGINT) - 1) * $epochs) div __n")
+          .as("epoch"))
+  }
+
+  /** The ORACLED batch face of [[anomalyStream]]'s versioned
+    * contract — the cdc_snapshot_versions pattern applied to the
+    * live z-score monitor: the day timeline splits into `epochs`
+    * contiguous chunks and, for each RETAINED version k (the newest
+    * `keepVersions`), the monitor's cumulative published rows are
+    * re-derived through the batch twin's own window chain
+    * ([[graft.ops.TimeSeriesOps.anomalyZScore]]). The trailing
+    * window scores a day the moment it finalizes, so version k =
+    * the batch rows whose day sits in epochs ≤ k — one batch pass
+    * cached, one filtered projection per version. StreamingSpec
+    * replays the identical epochs through [[anomalyStream]] and
+    * asserts each version's cumulative emitted rows equal exactly
+    * these audit rows. */
+  def anomalyVersionsBatch(s: SparkSession, d: String, epochs: Int = 5,
+                           keepVersions: Int = 3, windowDays: Int = 7,
+                           threshold: Double = 2.0): DataFrame = {
+    require(epochs >= 1 && keepVersions >= 1 && keepVersions <= epochs,
+      s"need 1 <= keepVersions <= epochs: $keepVersions/$epochs")
+    val days = graft.Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).as("day")).distinct()
+    val scored = graft.ops.TimeSeriesOps
+      .anomalyZScore(s, d, windowDays, threshold)
+      .join(broadcast(dayEpochs(days, epochs)), Seq("day"))
+      .cache() // every retained version filters this one pass
+    (epochs - keepVersions until epochs).map { k =>
+      scored.filter(col("epoch") <= k)
+        .select(lit(k.toLong).as("version"), col("event_type"),
+          col("day"), col("cnt"), col("z"), col("is_anomaly"))
+    }.reduce(_ unionAll _)
+      .orderBy(col("version"), col("event_type"), col("day"))
+  }
+
   case class CpState(buf: List[(Long, Long)])
   case class ChangepointRow(event_type: String, day: java.sql.Timestamp,
                             cnt: Long, pre_mean: Double, post_mean: Double,
@@ -555,6 +605,44 @@ object EventStreams {
           state.update(CpState(buf))
           out.iterator
       }
+  }
+
+  /** The ORACLED batch face of [[changepointStream]]'s versioned
+    * contract: the forward-looking statistic can only score day D
+    * once day D+w−1 — D's TRIGGER day, the (w−1)-lead on the
+    * per-series day order — has finalized, so version k holds the
+    * batch rows ([[graft.ops.TimeSeriesOps.changepointsOn]]) whose
+    * trigger day sits in epochs ≤ k: the monitor's inherent
+    * emission lag promoted from a scaladoc disclaimer to an oracled
+    * value. Same shared [[dayEpochs]] timeline, one cached scored
+    * pass, one filtered projection per retained version;
+    * StreamingSpec replays the epochs through the live stream and
+    * asserts cumulative-emitted ≡ audit per version. */
+  def changepointVersionsBatch(s: SparkSession, d: String,
+                               epochs: Int = 5, keepVersions: Int = 3,
+                               w: Int = 7,
+                               minScore: Double = 3.0): DataFrame = {
+    require(epochs >= 1 && keepVersions >= 1 && keepVersions <= epochs,
+      s"need 1 <= keepVersions <= epochs: $keepVersions/$epochs")
+    val daily = graft.Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val trig = daily.select(col("event_type"), col("day"),
+      lead(col("day"), w - 1).over(Window.partitionBy(col("event_type"))
+        .orderBy(col("day"))).as("__trigger"))
+    val ep = dayEpochs(daily.select(col("day")).distinct(), epochs)
+      .withColumnRenamed("day", "__trigger")
+    val scored = graft.ops.TimeSeriesOps.changepointsOn(daily, w, minScore)
+      .join(trig, Seq("event_type", "day"))
+      .join(broadcast(ep), Seq("__trigger"))
+      .cache() // every retained version filters this one pass
+    (epochs - keepVersions until epochs).map { k =>
+      scored.filter(col("epoch") <= k)
+        .select(lit(k.toLong).as("version"), col("event_type"),
+          col("day"), col("cnt"), col("pre_mean"), col("post_mean"),
+          col("score"), col("is_change"))
+    }.reduce(_ unionAll _)
+      .orderBy(col("version"), col("event_type"), col("day"))
   }
 
   case class EwmaState(seen: Long, e: Double)

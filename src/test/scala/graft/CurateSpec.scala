@@ -305,4 +305,44 @@ class CurateSpec extends SparkSpec {
     // sequence ids are contiguous from 0
     assert(st.map(_._1).sorted.toSeq === (0L to last).toSeq)
   }
+
+  test("tokenizer-grain packing: rounds=0 degenerates to the " +
+       "whitespace map on the held-out half; fills tile the post-BPE " +
+       "token count and merges only shrink the stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq((1L, "a b c"), (2L, "d e f g"), (3L, "f g h"),
+      (4L, "x y"), (5L, "i j")).toDF("doc_id", "text")
+    // rounds = 0: no merges, so the held-out (odd) half's post-BPE
+    // counts ARE its whitespace counts — the tokenizer-grain map must
+    // equal the whitespace-grain map on that half, row for row
+    def canon(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toSeq
+    val bpe0 = canon(
+      CurateOps.packSequencesBpeOn(docs, budget = 4, rounds = 0).collect())
+    val ws = canon(CurateOps.packSequencesOn(
+      docs.filter(col("doc_id") % 2 === 1), budget = 4).collect())
+    assert(bpe0 === ws, "rounds=0 must be the whitespace map")
+    // registered faces at sf: the map's token stream is exactly the
+    // bpe-encode n_after stream, and merges can only SHRINK it
+    val enc = graft.ops.TextOps.bpeEncode(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val m = CurateOps.packSequencesBpe(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    m.foreach { case (id, n, _) =>
+      assert(n === enc(id)._2.toLong, s"doc $id n_tokens != n_after")
+      assert(n <= enc(id)._1.toLong, s"doc $id grew under BPE")
+    }
+    // starts are the exclusive prefix sums in doc_id order
+    var cum = 0L
+    m.sortBy(_._1).foreach { case (id, n, start) =>
+      assert(start === cum, s"doc $id start"); cum += n
+    }
+    // stats face tiles the post-BPE total
+    val stB = CurateOps.packStatsBpe(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(stB.map(_._2).sum === m.map(_._2).sum,
+      "fills must tile the post-BPE token count")
+  }
 }

@@ -411,4 +411,32 @@ class EtlSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(other(1L) !== out(1L), "pepper must matter")
   }
+
+  test("daily-pipeline e2e: the ingested stage holds EXACTLY the raw " +
+       "delta (double-ingest would double it), the merged aggregate " +
+       "covers every (type, day), and the audit schema is stable") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.etl.DailyPipeline.dailyE2e(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.get(2), r.getString(3))).toMap
+    assert(rows.keySet === Set("ingested_delta", "daily_agg", "dedup_pairs"))
+    // the bookmark proof in rows: the ingested checksum's row count
+    // equals the raw last-two-days count — the second AvailableNow
+    // tick drained nothing, and nothing was lost in the file hop
+    val staged = Tables.events(spark, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("ed"))
+    val cut = staged.agg(max(col("ed")) - 1).collect()(0).getLong(0)
+    val rawDelta = staged.filter(col("ed") >= cut).count()
+    assert(rows("ingested_delta")._1 === rawDelta)
+    // the merged rollup has one row per observed (event_type, day)
+    val aggKeys = Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("ed"))
+      .distinct().count()
+    assert(rows("daily_agg")._1 === aggKeys)
+    // signatures are present and rendered (sum_sig is a decimal string)
+    rows.values.foreach { case (n, xor, sum) =>
+      assert(n > 0L && xor != null && sum.matches("-?[0-9]+"))
+    }
+  }
 }

@@ -319,6 +319,82 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomaly versioned audit: the live monitor's cumulative output " +
+      "per retained day-epoch equals the oracled batch audit") {
+    import graft.streaming.EventStreams.{DailyCount, anomalyStream}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val audit = graft.streaming.EventStreams
+      .anomalyVersionsBatch(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(r =>
+        (r.getString(1), r.getTimestamp(2), r.getLong(3),
+          r.getDouble(4), r.getBoolean(5))).toSet).toMap
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt")).as[DailyCount].collect()
+    // the audit's epoch rule on the global distinct-day timeline
+    val days = daily.map(_.day).distinct.sortBy(_.getTime)
+    def epoch(d: java.sql.Timestamp): Long =
+      days.indexWhere(_ == d).toLong * 5 / days.length
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DailyCount]
+    val q = anomalyStream(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("anomaly_versions").start()
+    try {
+      (0 until 5).foreach { k =>
+        // one micro-batch per day-epoch — the audit's arrival order
+        val batch = daily.filter(e => epoch(e.day) == k)
+        if (batch.nonEmpty) mem.addData(batch.toIndexedSeq: _*)
+        q.processAllAvailable()
+        if (k >= 2) { // the retained versions
+          val got = spark.table("anomaly_versions").collect()
+            .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+              r.getDouble(3), r.getBoolean(4))).toSet
+          assert(got === audit(k.toLong), s"version $k diverged")
+        }
+      }
+    } finally q.stop()
+  }
+
+  test("changepoint versioned audit: cumulative output per retained " +
+      "epoch equals the batch audit — emission lags by the trigger day") {
+    import graft.streaming.EventStreams.{DailyCount, changepointStream}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val audit = graft.streaming.EventStreams
+      .changepointVersionsBatch(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(r =>
+        (r.getString(1), r.getTimestamp(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6),
+          r.getBoolean(7))).toSet).toMap
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt")).as[DailyCount].collect()
+    val days = daily.map(_.day).distinct.sortBy(_.getTime)
+    def epoch(d: java.sql.Timestamp): Long =
+      days.indexWhere(_ == d).toLong * 5 / days.length
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DailyCount]
+    val q = changepointStream(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cp_versions").start()
+    try {
+      (0 until 5).foreach { k =>
+        val batch = daily.filter(e => epoch(e.day) == k)
+        if (batch.nonEmpty) mem.addData(batch.toIndexedSeq: _*)
+        q.processAllAvailable()
+        if (k >= 2) {
+          val got = spark.table("cp_versions").collect()
+            .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+              r.getDouble(3), r.getDouble(4), r.getDouble(5),
+              r.getBoolean(6))).toSet
+          assert(got === audit(k.toLong), s"version $k diverged")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("streaming funnel advances per-user stages across micro-batches " +
       "and matches the batch conversion counts") {
     import graft.streaming.EventStreams.{FunnelEvent, funnelStream}

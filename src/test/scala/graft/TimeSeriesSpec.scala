@@ -992,6 +992,51 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("banded matrix profile: band >= P-1 reproduces the unbanded " +
+       "profile cell for cell; a tight horizon re-picks the partner") {
+    import spark.implicits._
+    def t(dd: Int) = java.sql.Timestamp.valueOf(f"2024-01-$dd%02d 00:00:00")
+    val week = Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L).map(_ * 10000)
+    val vals = week ++ Seq.fill(7)(50000L) ++ week ++ Seq.fill(7)(50000L)
+    val daily = vals.zipWithIndex.map { case (v, i) =>
+      ("A", t(i + 1), v)
+    }.toDF("event_type", "day", "v_micro")
+    def rows(band: Int) =
+      graft.ops.TimeSeriesOps.matrixProfileOn(daily, m = 7, band = band)
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getBoolean(4), r.getBoolean(5))).toSeq
+    // the ts_dtw_banded contract shape: a band wide enough to admit
+    // every partner IS the unbanded profile, cell for cell
+    val full = rows(-1)
+    assert(rows(100) === full)
+    assert(rows(21) === full) // P - 1 exactly (P = 22)
+    // tight horizon: window 1's global partner is the repeated week
+    // at 15 (|1-15| = 14) — band 10 excludes it, so the banded face
+    // re-picks a nearer-in-time partner at a REAL positive distance
+    val banded = rows(10).map(r => r._1 -> r).toMap
+    val fullBy = full.map(r => r._1 -> r).toMap
+    assert(fullBy(1L)._2 === 15L && fullBy(1L)._3 === 0.0)
+    assert(banded(1L)._2 !== 15L)
+    assert(math.abs(banded(1L)._2 - 1L) <= 10)
+    assert(banded(1L)._3 > 0.0)
+    // the band can only REMOVE partners: banded distance dominates
+    banded.values.foreach { case (pos, _, d, _, _) =>
+      assert(d >= fullBy(pos)._3, s"pos $pos banded < unbanded")
+    }
+    // registered face at sf: same shape contract as the full profile
+    val sfBanded = graft.ops.TimeSeriesOps
+      .matrixProfile(spark, sf, band = 14).collect()
+    val sfFull = graft.ops.TimeSeriesOps.matrixProfile(spark, sf).collect()
+    assert(sfBanded.length === sfFull.length)
+    sfBanded.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.count(_.getBoolean(4)) === 1)
+      assert(rs.count(_.getBoolean(5)) === 1)
+      rs.foreach(r =>
+        assert(math.abs(r.getLong(2) - r.getLong(1)) <= 14))
+    }
+  }
+
   test("periodogram: a planted 7-day cycle dominates at period 7; a " +
        "flat series has ~zero power everywhere") {
     import spark.implicits._
