@@ -963,12 +963,15 @@ object RegistryMeta {
     "EventStreams.changepointStream" ->
       EntryMeta("2.8", "spec",
         "streaming face of ts_changepoint: live regime-shift monitor over watermark-finalized daily counts; versioned audit oracled as changepoint_versions"),
+    "ewma_versions" ->
+      EntryMeta("2.8", "sql",
+        "ORACLED versioned audit of the EWMA smoother: e_t folds only days <= t and published values never revise, so version k = the batch twin's rows with day in epochs <= k — the anomaly audit's emission rule on the O(1)-state monitor; shared day-epoch timeline, shared recursive-CTE oracle core with ts_ewma; StreamingSpec replay-pinned"),
     "changepoint_versions" ->
       EntryMeta("2.8", "sql",
         "ORACLED versioned audit of the changepoint monitor: the forward-looking statistic emits day D only once its TRIGGER day (per-series rank(D)+w-1) finalizes, so version k = batch rows whose trigger day sits in epochs <= k — the w-1-day emission lag promoted from a scaladoc disclaimer to an oracled value; same shared day-epoch timeline as anomaly_versions, StreamingSpec replay-pinned"),
     "EventStreams.ewmaStream" ->
       EntryMeta("2.8", "spec",
-        "streaming face of ts_ewma: the entire history folds into ONE double per series"),
+        "streaming face of ts_ewma: the entire history folds into ONE double per series; versioned audit oracled as ewma_versions"),
     "cdc_snapshot_versions" ->
       EntryMeta("2.8", "sql",
         "ORACLED audit face of the versioned-snapshot contract"),

@@ -1253,6 +1253,11 @@ object SparkEntry {
     // sits in epochs <= k, the emission lag made an oracled value
     "changepoint_versions" -> ((s, d) =>
       graft.streaming.EventStreams.changepointVersionsBatch(s, d)),
+    // the EWMA smoother's versioned audit: values fold only days <= t
+    // and never revise, so version k = batch rows with day in epochs
+    // <= k — the anomaly rule on the O(1)-state monitor
+    "ewma_versions" -> ((s, d) =>
+      graft.streaming.EventStreams.ewmaVersionsBatch(s, d)),
     // sketch-stream versioned-snapshot audits (the cdc pattern): each
     // retained version re-derived through the stream's own merge code
     // — MG guarantee verdicts, the exactly-replayable CM grid+probes,
@@ -4902,29 +4907,9 @@ object SparkEntry {
     // replays the identical EWMA recursion in a recursive CTE —
     // arithmetic written term-for-term as the Scala fold, so the 4dp
     // values match bit-for-bit (the forecast_hw contract)
-    "ts_ewma" ->
-      """WITH RECURSIVE daily AS (
-        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-        |         count(*) AS cnt
-        |  FROM events GROUP BY 1, 2),
-        |ser AS (
-        |  SELECT event_type, list(day ORDER BY day) AS ds,
-        |         list(cnt ORDER BY day) AS ys, count(*) AS n
-        |  FROM daily GROUP BY 1),
-        |step AS (
-        |  SELECT event_type, ds, ys, n, 1 AS t,
-        |         [CAST(ys[1] AS DOUBLE)] AS es
-        |  FROM ser
-        |  UNION ALL
-        |  SELECT event_type, ds, ys, n, t + 1,
-        |         list_append(es, CAST(0.3 AS DOUBLE) * ys[t+1] +
-        |           (1.0 - CAST(0.3 AS DOUBLE)) * es[t])
-        |  FROM step WHERE t < n),
-        |fin AS (SELECT * FROM step WHERE t = n)
-        |SELECT event_type, ds[i] AS day, ys[i] AS cnt,
-        |  floor(es[i] * 10000.0 + 0.5) / 10000.0 AS ewma
-        |FROM fin, LATERAL (SELECT unnest(range(1, n + 1)) AS i)
-        |ORDER BY event_type, day""".stripMargin,
+    "ts_ewma" -> graft.ops.TimeSeriesOps.ewmaOracleSql(),
+    "ewma_versions" ->
+      graft.ops.TimeSeriesOps.ewmaVersionsOracleSql(),
     // trailing-window z-score; both engines share the stddev_samp
     // parity ts_rolling already relies on, the zero-variance window
     // pins z = 0, and warm-up days (partial window) emit nothing

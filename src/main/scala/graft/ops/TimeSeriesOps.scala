@@ -648,6 +648,63 @@ object TimeSeriesOps {
          |WHERE epoch <= version
          |ORDER BY version, g.event_type, g.day""".stripMargin
 
+  /** The EWMA recursion chain through per-day rows — shared by the
+    * plain ts_ewma oracle and the versioned audit (one recursive-CTE
+    * text, two tails). */
+  private def ewmaCoreSql(alpha: Double): String =
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       |         count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |ser AS (
+       |  SELECT event_type, list(day ORDER BY day) AS ds,
+       |         list(cnt ORDER BY day) AS ys, count(*) AS n
+       |  FROM daily GROUP BY 1),
+       |step AS (
+       |  SELECT event_type, ds, ys, n, 1 AS t,
+       |         [CAST(ys[1] AS DOUBLE)] AS es
+       |  FROM ser
+       |  UNION ALL
+       |  SELECT event_type, ds, ys, n, t + 1,
+       |         list_append(es, CAST($alpha AS DOUBLE) * ys[t+1] +
+       |           (1.0 - CAST($alpha AS DOUBLE)) * es[t])
+       |  FROM step WHERE t < n),
+       |fin AS (SELECT * FROM step WHERE t = n),
+       |rows_ AS (SELECT event_type, ds[i] AS day, ys[i] AS cnt,
+       |    floor(es[i] * 10000.0 + 0.5) / 10000.0 AS ewma
+       |  FROM fin, LATERAL (SELECT unnest(range(1, n + 1)) AS i))""".stripMargin
+
+  /** DuckDB replica of [[ewma]] (the ts_ewma oracle): the identical
+    * recursion in a recursive CTE, the shared explicit 4dp floor
+    * quantization. */
+  private[graft] def ewmaOracleSql(alpha: Double = 0.3): String =
+    ewmaCoreSql(alpha) +
+      """
+        |SELECT event_type, day, cnt, ewma
+        |FROM rows_ ORDER BY event_type, day""".stripMargin
+
+  /** The versioned audit of the LIVE EWMA smoother
+    * ([[graft.streaming.EventStreams.ewmaStream]]): eₜ depends only
+    * on days ≤ t and published values never revise, so version k =
+    * the batch rows whose day sits in epochs ≤ k — the anomaly
+    * audit's emission rule with the O(1)-state fold's values. */
+  private[graft] def ewmaVersionsOracleSql(
+      epochs: Int = 5, keepVersions: Int = 3,
+      alpha: Double = 0.3): String =
+    ewmaCoreSql(alpha) +
+      s""",
+         |ep AS (SELECT day AS eday,
+         |    ((row_number() OVER (ORDER BY day) - 1) * $epochs)
+         |      // (count(*) OVER ()) AS epoch
+         |  FROM (SELECT DISTINCT day FROM daily)),
+         |v AS (SELECT unnest(range(${epochs - keepVersions}, $epochs))
+         |        AS version)
+         |SELECT CAST(version AS BIGINT) AS version, event_type, r.day,
+         |  cnt, ewma
+         |FROM rows_ r JOIN ep ON ep.eday = r.day CROSS JOIN v
+         |WHERE epoch <= version
+         |ORDER BY version, event_type, r.day""".stripMargin
+
   /** Per-series AUTOCORRELATION function at lags 1..`maxLag` — the
     * seasonality detector: a weekly series shows acf(7) ≫ acf(1..6),
     * which is how a pipeline CHOOSES the period it hands to

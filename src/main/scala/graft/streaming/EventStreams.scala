@@ -684,6 +684,33 @@ object EventStreams {
       }
   }
 
+  /** The ORACLED batch face of [[ewmaStream]]'s versioned contract:
+    * eₜ folds only days ≤ t and a published value never revises, so
+    * version k = the batch twin's rows
+    * ([[graft.ops.TimeSeriesOps.ewma]]) whose day sits in epochs
+    * ≤ k — the [[anomalyVersionsBatch]] emission rule carried onto
+    * the O(1)-state smoother. Shared [[dayEpochs]] timeline, one
+    * cached batch pass, one filtered projection per retained
+    * version; StreamingSpec replays the epochs live and pins
+    * cumulative-output equality. */
+  def ewmaVersionsBatch(s: SparkSession, d: String, epochs: Int = 5,
+                        keepVersions: Int = 3,
+                        alpha: Double = 0.3): DataFrame = {
+    require(epochs >= 1 && keepVersions >= 1 && keepVersions <= epochs,
+      s"need 1 <= keepVersions <= epochs: $keepVersions/$epochs")
+    val days = graft.Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).as("day")).distinct()
+    val scored = graft.ops.TimeSeriesOps.ewma(s, d, alpha)
+      .join(broadcast(dayEpochs(days, epochs)), Seq("day"))
+      .cache() // every retained version filters this one pass
+    (epochs - keepVersions until epochs).map { k =>
+      scored.filter(col("epoch") <= k)
+        .select(lit(k.toLong).as("version"), col("event_type"),
+          col("day"), col("cnt"), col("ewma"))
+    }.reduce(_ unionAll _)
+      .orderBy(col("version"), col("event_type"), col("day"))
+  }
+
   case class ConformalState(lastP: List[Long], cal: List[Long],
                             lastDayMs: Long = Long.MinValue)
   case class ConformalRow(event_type: String, day: java.sql.Timestamp,

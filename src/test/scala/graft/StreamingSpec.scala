@@ -395,6 +395,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ewma versioned audit: cumulative output per retained day-epoch " +
+      "equals the batch audit — values never revise") {
+    import graft.streaming.EventStreams.{DailyCount, ewmaStream}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val audit = graft.streaming.EventStreams
+      .ewmaVersionsBatch(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(r =>
+        (r.getString(1), r.getTimestamp(2), r.getLong(3),
+          r.getDouble(4))).toSet).toMap
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt")).as[DailyCount].collect()
+    val days = daily.map(_.day).distinct.sortBy(_.getTime)
+    def epoch(d: java.sql.Timestamp): Long =
+      days.indexWhere(_ == d).toLong * 5 / days.length
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DailyCount]
+    val q = ewmaStream(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ewma_versions").start()
+    try {
+      (0 until 5).foreach { k =>
+        val batch = daily.filter(e => epoch(e.day) == k)
+        if (batch.nonEmpty) mem.addData(batch.toIndexedSeq: _*)
+        q.processAllAvailable()
+        if (k >= 2) {
+          val got = spark.table("ewma_versions").collect()
+            .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+              r.getDouble(3))).toSet
+          assert(got === audit(k.toLong), s"version $k diverged")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("streaming funnel advances per-user stages across micro-batches " +
       "and matches the batch conversion counts") {
     import graft.streaming.EventStreams.{FunnelEvent, funnelStream}
