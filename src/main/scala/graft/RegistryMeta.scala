@@ -941,7 +941,7 @@ object RegistryMeta {
         "streaming heavy-hitter profile"),
     "EventStreams.funnelStream" ->
       EntryMeta("2.8", "spec",
-        "streaming face of q_funnel: per-user stage state"),
+        "streaming face of q_funnel: per-user stage state; versioned audit oracled as funnel_versions"),
     "SketchStreams.psiStream" ->
       EntryMeta("2.8", "spec",
         "streaming PSI drift monitor"),
@@ -963,6 +963,9 @@ object RegistryMeta {
     "EventStreams.changepointStream" ->
       EntryMeta("2.8", "spec",
         "streaming face of ts_changepoint: live regime-shift monitor over watermark-finalized daily counts; versioned audit oracled as changepoint_versions"),
+    "funnel_versions" ->
+      EntryMeta("2.8", "sql",
+        "ORACLED versioned audit of the funnel stream (the attribution posture): the greedy stage machine folded in epoch-major arrival order = chained min-tuple selections over (epoch, us, stageIdx, id) with BOTH gates explicit (processed-after tuple > prev advance, event-time us >= prev advance) — an early-epoch event can never advance a stage reached later, the late-data caveat oracled; version k = q_funnel's per-stage counts over advances emitted through epoch k; StreamingSpec replay-pinned"),
     "ewma_versions" ->
       EntryMeta("2.8", "sql",
         "ORACLED versioned audit of the EWMA smoother: e_t folds only days <= t and published values never revise, so version k = the batch twin's rows with day in epochs <= k — the anomaly audit's emission rule on the O(1)-state monitor; shared day-epoch timeline, shared recursive-CTE oracle core with ts_ewma; StreamingSpec replay-pinned"),

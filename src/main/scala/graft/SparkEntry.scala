@@ -1258,6 +1258,13 @@ object SparkEntry {
     // <= k — the anomaly rule on the O(1)-state monitor
     "ewma_versions" -> ((s, d) =>
       graft.streaming.EventStreams.ewmaVersionsBatch(s, d)),
+    // the funnel stream's versioned audit (the attribution posture):
+    // the greedy stage machine folded in epoch-major arrival order —
+    // chained min-tuple selections with the two explicit gates
+    // (processed-after + event-time >=); version k counts advances
+    // emitted through epoch k
+    "funnel_versions" -> ((s, d) =>
+      graft.streaming.EventStreams.funnelVersionsBatch(s, d)),
     // sketch-stream versioned-snapshot audits (the cdc pattern): each
     // retained version re-derived through the stream's own merge code
     // — MG guarantee verdicts, the exactly-replayable CM grid+probes,
@@ -6525,6 +6532,54 @@ object SparkEntry {
     // attribution_versions: q_attribution's window with epoch
     // prepended to the order (the stream's arrival order), one
     // summary per retained version prefix; share = ExactRatio half-up
+    // the funnel audit's fold tuple is (epoch, us, stageIdx, id) —
+    // the stream's arrival order; stage k = min tuple among stage-k
+    // events processed after the stage-(k-1) advance whose event
+    // time also passes the us >= gate (with epochs prepended,
+    // later-in-fold no longer implies later-in-time, so both gates
+    // are explicit); structs never cross engines, only counts do
+    "funnel_versions" ->
+      """WITH ev AS (SELECT user_id, event_type, event_id % 5 AS epoch,
+        |    epoch_us(CAST(ts AS TIMESTAMP_US)) AS tus, event_id
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |s1 AS (SELECT user_id,
+        |    min({'epoch': epoch, 'tus': tus, 'sidx': 0,
+        |         'event_id': event_id}) AS t
+        |  FROM ev WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id,
+        |    min({'epoch': epoch, 'tus': tus, 'sidx': 1,
+        |         'event_id': event_id}) AS t
+        |  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click'
+        |    AND {'epoch': epoch, 'tus': tus, 'sidx': 1,
+        |         'event_id': event_id} > s1.t
+        |    AND tus >= (s1.t).tus
+        |  GROUP BY 1),
+        |s3 AS (SELECT e.user_id,
+        |    min({'epoch': epoch, 'tus': tus, 'sidx': 2,
+        |         'event_id': event_id}) AS t
+        |  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND {'epoch': epoch, 'tus': tus, 'sidx': 2,
+        |         'event_id': event_id} > s2.t
+        |    AND tus >= (s2.t).tus
+        |  GROUP BY 1),
+        |v AS (SELECT unnest(range(2, 5)) AS version)
+        |SELECT CAST(version AS BIGINT) AS version, stage, event_type,
+        |  n_users
+        |FROM (
+        |  SELECT version, 1 AS stage, 'view' AS event_type,
+        |    count(*) FILTER (WHERE (t).epoch <= version) AS n_users
+        |  FROM s1 CROSS JOIN v GROUP BY version
+        |  UNION ALL
+        |  SELECT version, 2, 'click',
+        |    count(*) FILTER (WHERE (t).epoch <= version)
+        |  FROM s2 CROSS JOIN v GROUP BY version
+        |  UNION ALL
+        |  SELECT version, 3, 'purchase',
+        |    count(*) FILTER (WHERE (t).epoch <= version)
+        |  FROM s3 CROSS JOIN v GROUP BY version)
+        |ORDER BY version, stage""".stripMargin,
     "attribution_versions" ->
       """WITH tagged AS (SELECT user_id, event_id,
         |    event_id % 5 AS epoch,

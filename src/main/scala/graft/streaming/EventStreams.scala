@@ -327,6 +327,67 @@ object EventStreams {
       }
   }
 
+  /** The ORACLED batch face of [[funnelStream]]'s versioned
+    * contract — the attribution audit's epoch-major fold applied to
+    * the greedy stage machine: events split into `epochs`
+    * micro-batches by `event_id % epochs`, and the stream's arrival
+    * order is the lexicographic tuple (epoch, µs, stageIdx,
+    * event_id) — the batch sort with epoch prepended. The greedy
+    * fold then IS a chain of min-tuple selections: the user's
+    * stage-k advance happens at the FIRST stage-k event (in fold
+    * order) processed after the stage-(k−1) advance whose EVENT time
+    * also satisfies the µs ≥ gate — both conditions explicit,
+    * because with epochs prepended, later-in-fold no longer implies
+    * later-in-time (an early-time event in a late epoch can advance
+    * the stage; an early-epoch event can never advance a stage
+    * reached later — the funnelStream late-data caveat made an
+    * oracled value, the attribution posture). Version k publishes
+    * q_funnel's per-stage user counts over every advance EMITTED
+    * through epoch k, i.e. advances whose fold tuple sits in epochs
+    * ≤ k. Each stage's advance frame computes once (cached) and
+    * every retained version adds one filtered count.
+    * StreamingSpec replays the identical epochs through
+    * [[funnelStream]] and asserts the per-stage cumulative emitted
+    * rows match these counts exactly. */
+  def funnelVersionsBatch(s: SparkSession, d: String, epochs: Int = 5,
+                          keepVersions: Int = 3,
+                          stages: Seq[String] =
+                            Seq("view", "click", "purchase")): DataFrame = {
+    require(epochs >= 1 && keepVersions >= 1 && keepVersions <= epochs,
+      s"need 1 <= keepVersions <= epochs: $keepVersions/$epochs")
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin(stages: _*))
+      .select(col("user_id"), col("event_type"),
+        (col("event_id") % epochs).as("epoch"),
+        unix_micros(col("ts")).as("tus"), col("event_id"))
+    def tup(stageIdx: Int) = struct(col("epoch"), col("tus"),
+      lit(stageIdx).as("sidx"), col("event_id"))
+    // stage 1: the first qualifying event in FOLD order
+    val first = ev.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(tup(0)).as("__t"))
+    val reached = stages.tail.zipWithIndex.scanLeft(first) {
+      case (prev, (stage, i)) =>
+        ev.filter(col("event_type") === stage)
+          .join(prev.select(col("user_id"), col("__t").as("__pt")),
+            "user_id")
+          // processed after the previous advance AND event time at or
+          // past it — the stream's two gates, both explicit
+          .filter(tup(i + 1) > col("__pt") &&
+            col("tus") >= col("__pt.tus"))
+          .groupBy(col("user_id")).agg(min(tup(i + 1)).as("__t"))
+    }.map(_.cache()) // every retained version counts each frame
+    (epochs - keepVersions until epochs).flatMap { k =>
+      stages.zip(reached).zipWithIndex.map { case ((stage, users), i) =>
+        users.filter(col("__t.epoch") <= k)
+          .agg(count(lit(1)).as("n_users"))
+          .select(lit(k.toLong).as("version"),
+            lit(i + 1).as("stage"), lit(stage).as("event_type"),
+            col("n_users"))
+      }
+    }.reduce(_ unionAll _).orderBy(col("version"), col("stage"))
+  }
+
   // ---- streaming last-touch attribution ----------------------------------
 
   case class TouchState(touchTsMicros: Long, touchType: String)

@@ -431,6 +431,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel versioned audit: per-stage cumulative emitted rows per " +
+      "retained epoch equal the oracled batch audit") {
+    import graft.streaming.EventStreams.{FunnelEvent, funnelStream}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val audit = graft.streaming.EventStreams
+      .funnelVersionsBatch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .as[FunnelEvent].collect()
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[FunnelEvent]
+    val q = funnelStream(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_versions").start()
+    try {
+      (0 until 5).foreach { k =>
+        // one micro-batch per epoch — the audit's fold order
+        val batch = ev.filter(_.event_id % 5 == k)
+        if (batch.nonEmpty) mem.addData(batch.toIndexedSeq: _*)
+        q.processAllAvailable()
+        if (k >= 2) { // the retained versions
+          val counts = spark.table("funnel_versions")
+            .groupBy(col("stage")).agg(count(lit(1)).as("n"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          (1 to 3).foreach { stage =>
+            val (_, expected) = audit((k.toLong, stage))
+            assert(counts.getOrElse(stage, 0L) === expected,
+              s"version $k stage $stage diverged")
+          }
+        }
+      }
+    } finally q.stop()
+  }
+
   test("streaming funnel advances per-user stages across micro-batches " +
       "and matches the batch conversion counts") {
     import graft.streaming.EventStreams.{FunnelEvent, funnelStream}
