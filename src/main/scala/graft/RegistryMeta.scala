@@ -963,6 +963,12 @@ object RegistryMeta {
     "EventStreams.changepointStream" ->
       EntryMeta("2.8", "spec",
         "streaming face of ts_changepoint: live regime-shift monitor over watermark-finalized daily counts; versioned audit oracled as changepoint_versions"),
+    "stream_conformal" ->
+      EntryMeta("2.8", "sql",
+        "ORACLED batch face of the conformal monitor's ROLLING band (the stream's own adaptive fold, not forecast_conformal's one-shot split): seasonal-naive lag reference, FIFO calWindow residual frame, q-hat = the ceil(keep(n+1)/100)-th smallest calibration residual by the stream's exact integer rank — pred/lo/hi/covered/n_cal all exact integers, bit-for-bit cross-engine; two bounded per-series windows on one series-key shuffle"),
+    "conformal_versions" ->
+      EntryMeta("2.8", "sql",
+        "ORACLED versioned audit of the conformal monitor — the LAST live face in the promotion series (cdc -> sketches -> attribution -> anomaly/changepoint -> ewma/funnel -> this): bands publish on day arrival and q-hat reads only PRIOR residuals, so version k = the rolling-band rows with day in epochs <= k; shared day-epoch timeline, shared rolling-band oracle core; StreamingSpec replay-pinned"),
     "funnel_versions" ->
       EntryMeta("2.8", "sql",
         "ORACLED versioned audit of the funnel stream (the attribution posture): the greedy stage machine folded in epoch-major arrival order = chained min-tuple selections over (epoch, us, stageIdx, id) with BOTH gates explicit (processed-after tuple > prev advance, event-time us >= prev advance) — an early-epoch event can never advance a stage reached later, the late-data caveat oracled; version k = q_funnel's per-stage counts over advances emitted through epoch k; StreamingSpec replay-pinned"),
@@ -992,7 +998,7 @@ object RegistryMeta {
         "versioned audit of the streaming PSI drift monitor: the histogram fold is lossless, so the whole per-version PSI table replays value-for-value"),
     "EventStreams.conformalStream" ->
       EntryMeta("2.8", "spec",
-        "streaming face of forecast_conformal"),
+        "streaming face of forecast_conformal; its ROLLING band is oracled as stream_conformal, versioned audit as conformal_versions"),
     // §2.9 Sources & sinks + session surface (API rows; compound
     // SURVEY rows are keyed by their first member)
     "Sources.readCsv" ->

@@ -1265,6 +1265,17 @@ object SparkEntry {
     // emitted through epoch k
     "funnel_versions" -> ((s, d) =>
       graft.streaming.EventStreams.funnelVersionsBatch(s, d)),
+    // the conformal monitor's ORACLED rolling-band face: the
+    // stream's own adaptive fold (seasonal-naive lag + FIFO
+    // calibration + the exact integer rank), not forecast_conformal's
+    // one-shot split — every published value an exact integer
+    "stream_conformal" -> ((s, d) =>
+      graft.streaming.EventStreams.conformalMonitorBatch(s, d)),
+    // and its versioned audit — the LAST live face in the promotion
+    // series: bands publish on arrival and never revise, so version
+    // k = rows with day in epochs <= k
+    "conformal_versions" -> ((s, d) =>
+      graft.streaming.EventStreams.conformalVersionsBatch(s, d)),
     // sketch-stream versioned-snapshot audits (the cdc pattern): each
     // retained version re-derived through the stream's own merge code
     // — MG guarantee verdicts, the exactly-replayable CM grid+probes,
@@ -6538,6 +6549,10 @@ object SparkEntry {
     // time also passes the us >= gate (with epochs prepended,
     // later-in-fold no longer implies later-in-time, so both gates
     // are explicit); structs never cross engines, only counts do
+    "stream_conformal" ->
+      graft.streaming.EventStreams.conformalMonitorOracleSql(),
+    "conformal_versions" ->
+      graft.streaming.EventStreams.conformalVersionsOracleSql(),
     "funnel_versions" ->
       """WITH ev AS (SELECT user_id, event_type, event_id % 5 AS epoch,
         |    epoch_us(CAST(ts AS TIMESTAMP_US)) AS tus, event_id

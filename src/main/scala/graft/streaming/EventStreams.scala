@@ -846,6 +846,138 @@ object EventStreams {
       }
   }
 
+  /** The ORACLED batch face of [[conformalStream]]'s ROLLING band —
+    * the stream's own adaptive fold (seasonal-naive reference +
+    * FIFO calibration window), not the one-shot split of
+    * `forecast_conformal`: per series day t (rank order), pred =
+    * the count `period` days back (row lag), residuals enter a
+    * FIFO window of the last `calWindow`, and the day emits once
+    * `minCal` residuals have accumulated, with q̂ = the
+    * ⌈keep·(n+1)/100⌉-th smallest calibration residual — the SAME
+    * integer rank arithmetic as the stream, on INTEGER residuals,
+    * so every published value (pred, lo, hi, covered, n_cal) is
+    * exact cross-engine. Shape: two per-series windows (the lag and
+    * the bounded preceding-frame residual list) on ONE series-key
+    * shuffle — the calibration list is ≤ `calWindow` longs per row,
+    * a bounded frame, never history. */
+  def conformalMonitorBatch(s: SparkSession, d: String, period: Int = 7,
+                            alphaPct: Int = 10, calWindow: Int = 50,
+                            minCal: Int = 10): DataFrame = {
+    val keep = 100 - alphaPct
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val withPred = daily
+      .withColumn("pred", lag(col("cnt"), period).over(w))
+      .filter(col("pred").isNotNull) // t > period: the residual rows
+      .withColumn("resid", abs(col("cnt") - col("pred")))
+    // every residual row carries one, so the bounded preceding frame
+    // over THIS subframe is exactly the stream's FIFO window
+    val wCal = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-calWindow, -1)
+    val n = col("__ncal")
+    // the stream's exact rank arithmetic: k = min(⌈keep(n+1)/100⌉, n)
+    val k = expr(s"least(((__ncal + 1) * $keep + 99) div 100, __ncal)")
+    withPred
+      .withColumn("__cal", collect_list(col("resid")).over(wCal))
+      .withColumn("__ncal", size(col("__cal")).cast("long"))
+      .filter(n >= minCal)
+      .withColumn("__qhat",
+        element_at(sort_array(col("__cal")), k.cast("int")))
+      .select(col("event_type"), col("day"), col("cnt"), col("pred"),
+        (col("pred") - col("__qhat")).as("lo"),
+        (col("pred") + col("__qhat")).as("hi"),
+        (col("cnt") >= col("pred") - col("__qhat") &&
+          col("cnt") <= col("pred") + col("__qhat")).as("covered"),
+        n.as("n_cal"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** The versioned audit of the conformal monitor — the LAST live
+    * face in the promotion series: bands publish on day arrival and
+    * never revise (q̂ reads only PRIOR residuals), so version k =
+    * [[conformalMonitorBatch]]'s rows whose day sits in epochs ≤ k —
+    * the anomaly/ewma emission rule on the bounded-state band. */
+  def conformalVersionsBatch(s: SparkSession, d: String, epochs: Int = 5,
+                             keepVersions: Int = 3, period: Int = 7,
+                             alphaPct: Int = 10, calWindow: Int = 50,
+                             minCal: Int = 10): DataFrame = {
+    require(epochs >= 1 && keepVersions >= 1 && keepVersions <= epochs,
+      s"need 1 <= keepVersions <= epochs: $keepVersions/$epochs")
+    val days = graft.Tables.events(s, d)
+      .select(date_trunc("day", col("ts")).as("day")).distinct()
+    val scored = conformalMonitorBatch(s, d, period, alphaPct,
+        calWindow, minCal)
+      .join(broadcast(dayEpochs(days, epochs)), Seq("day"))
+      .cache() // every retained version filters this one pass
+    (epochs - keepVersions until epochs).map { k =>
+      scored.filter(col("epoch") <= k)
+        .select(lit(k.toLong).as("version"), col("event_type"),
+          col("day"), col("cnt"), col("pred"), col("lo"), col("hi"),
+          col("covered"), col("n_cal"))
+    }.reduce(_ unionAll _)
+      .orderBy(col("version"), col("event_type"), col("day"))
+  }
+
+  /** The rolling-band CTE chain both conformal oracles share:
+    * seasonal-naive lag, residual subframe, the FIFO preceding-frame
+    * calibration list, the stream's integer rank — every value an
+    * exact integer, so the band replays bit for bit. */
+  private def conformalCoreSql(period: Int, keep: Int, calWindow: Int,
+                               minCal: Int): String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       |         count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |p AS (SELECT event_type, day, cnt,
+       |    lag(cnt, $period) OVER (PARTITION BY event_type ORDER BY day)
+       |      AS pred
+       |  FROM daily),
+       |r AS (SELECT event_type, day, cnt, pred, abs(cnt - pred) AS resid
+       |  FROM p WHERE pred IS NOT NULL),
+       |c AS (SELECT event_type, day, cnt, pred,
+       |    list(resid) OVER (PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN $calWindow PRECEDING AND 1 PRECEDING) AS cal
+       |  FROM r),
+       |e AS (SELECT event_type, day, cnt, pred,
+       |    CAST(len(cal) AS BIGINT) AS n_cal,
+       |    list_sort(cal)[CAST(least(((len(cal) + 1) * $keep + 99) // 100,
+       |      len(cal)) AS BIGINT)] AS qhat
+       |  FROM c WHERE len(cal) >= $minCal)""".stripMargin
+
+  /** DuckDB replica of [[conformalMonitorBatch]]. */
+  private[graft] def conformalMonitorOracleSql(
+      period: Int = 7, alphaPct: Int = 10, calWindow: Int = 50,
+      minCal: Int = 10): String =
+    conformalCoreSql(period, 100 - alphaPct, calWindow, minCal) +
+      """
+        |SELECT event_type, day, cnt, pred, pred - qhat AS lo,
+        |  pred + qhat AS hi,
+        |  (cnt >= pred - qhat AND cnt <= pred + qhat) AS covered, n_cal
+        |FROM e ORDER BY event_type, day""".stripMargin
+
+  /** DuckDB replica of [[conformalVersionsBatch]]: the same chain
+    * under the shared day-epoch timeline. */
+  private[graft] def conformalVersionsOracleSql(
+      epochs: Int = 5, keepVersions: Int = 3, period: Int = 7,
+      alphaPct: Int = 10, calWindow: Int = 50,
+      minCal: Int = 10): String =
+    conformalCoreSql(period, 100 - alphaPct, calWindow, minCal) +
+      s""",
+         |ep AS (SELECT day AS eday,
+         |    ((row_number() OVER (ORDER BY day) - 1) * $epochs)
+         |      // (count(*) OVER ()) AS epoch
+         |  FROM (SELECT DISTINCT day FROM daily)),
+         |v AS (SELECT unnest(range(${epochs - keepVersions}, $epochs))
+         |        AS version)
+         |SELECT CAST(version AS BIGINT) AS version, event_type, e.day,
+         |  cnt, pred, pred - qhat AS lo, pred + qhat AS hi,
+         |  (cnt >= pred - qhat AND cnt <= pred + qhat) AS covered, n_cal
+         |FROM e JOIN ep ON ep.eday = e.day CROSS JOIN v
+         |WHERE epoch <= version
+         |ORDER BY version, event_type, e.day""".stripMargin
+
   // ---- sessionization --------------------------------------------------
 
   val sessionGapSec: Long = 1800L

@@ -468,6 +468,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("conformal rolling band: corpus replay through the stream equals " +
+      "the oracled batch face; versioned audit matches per epoch") {
+    import graft.streaming.EventStreams.{DailyCount, conformalStream}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6), r.getLong(7))
+    val batch = graft.streaming.EventStreams
+      .conformalMonitorBatch(spark, sf).collect().map(key).toSet
+    val audit = graft.streaming.EventStreams
+      .conformalVersionsBatch(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(r =>
+        (r.getString(1), r.getTimestamp(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getBoolean(7),
+          r.getLong(8))).toSet).toMap
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt")).as[DailyCount].collect()
+    val days = daily.map(_.day).distinct.sortBy(_.getTime)
+    def epoch(d: java.sql.Timestamp): Long =
+      days.indexWhere(_ == d).toLong * 5 / days.length
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[DailyCount]
+    val q = conformalStream(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("conformal_versions_mb").start()
+    try {
+      (0 until 5).foreach { k =>
+        val b = daily.filter(e => epoch(e.day) == k)
+        if (b.nonEmpty) mem.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+        if (k >= 2) {
+          val got = spark.table("conformal_versions_mb").collect()
+            .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+              r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6),
+              r.getInt(7).toLong)).toSet
+          assert(got === audit(k.toLong), s"version $k diverged")
+        }
+      }
+      // the full replay equals the oracled batch face row for row
+      val streamed = spark.table("conformal_versions_mb").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6),
+          r.getInt(7).toLong)).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming funnel advances per-user stages across micro-batches " +
       "and matches the batch conversion counts") {
     import graft.streaming.EventStreams.{FunnelEvent, funnelStream}
