@@ -521,11 +521,15 @@ object CurateOps {
     * sides instead of publishing a NULL row here while Spark
     * counts 1. */
   private def wsSizingCte: String =
-    """WITH t AS (SELECT doc_id, n_tokens FROM (
-      |    SELECT doc_id,
-      |      CAST(len(string_split_regex(trim(coalesce(text, '')),
-      |        '\\s+')) AS BIGINT) AS n_tokens
-      |    FROM documents) WHERE n_tokens > 0)""".stripMargin
+    // s-interpolated ON PURPOSE: the interpolator processes \\ -> \
+    // so the SQL carries \s+; a plain """ string would ship the
+    // double backslash verbatim and the regex would never split
+    // (caught by the sf0.017 off-grid sweep, round 15)
+    s"""WITH t AS (SELECT doc_id, n_tokens FROM (
+       |    SELECT doc_id,
+       |      CAST(len(string_split_regex(trim(coalesce(text, '')),
+       |        '\\s+')) AS BIGINT) AS n_tokens
+       |    FROM documents) WHERE n_tokens > 0)""".stripMargin
 
   /** The TOKENIZER sizing CTE: the full BPE train-and-apply chain
     * ([[TextOps.bpeEncodeOracleSql]]) nested as `enc`, its held-out

@@ -1826,7 +1826,13 @@ object SimilarityOps {
     * HUGEINT stands in for DECIMAL(38,0); both engines' integer
     * division truncates toward zero. */
   /** Shared CTE chain (quantize → center → grid → power rounds) for
-    * both generated PCA oracles. */
+    * both generated PCA oracles. `cx` and `c` are MATERIALIZED (the
+    * ml_gbt_stumps posture): without the hint DuckDB re-inlines the
+    * centered frame and the covariance grid into EVERY consumer —
+    * six power rounds plus the tails — so the n·d self-join behind
+    * `g` evaluated ~12× concurrently and the remove-top face OOM'd a
+    * 45 GiB budget at 8.5k vectors (caught by the sf0.017 off-grid
+    * sweep, round 15); materialized, each computes once. */
   private def pcaCoreCtes(iters: Int): String = {
     val rounds = (1 to iters).map { r =>
       val prev = if (r == 1) "v0" else s"v${r - 1}"
@@ -1843,12 +1849,13 @@ object SimilarityOps {
        |  FROM embeddings, dims),
        |mu AS (SELECT dim, CAST(sum(x6) AS BIGINT) // count(*) AS mu6
        |       FROM x GROUP BY 1),
-       |cx AS (SELECT vec_id, x.dim, x.x6 - mu.mu6 AS dx
+       |cx AS MATERIALIZED (SELECT vec_id, x.dim, x.x6 - mu.mu6 AS dx
        |       FROM x JOIN mu ON x.dim = mu.dim),
        |g AS (SELECT a.dim AS i, b.dim AS j,
        |        sum(CAST(a.dx * b.dx AS HUGEINT)) AS ss, count(*) AS n
        |      FROM cx a JOIN cx b ON a.vec_id = b.vec_id GROUP BY 1, 2),
-       |c AS (SELECT i, j, CAST(ss // (n * 10000) AS BIGINT) AS c8 FROM g),
+       |c AS MATERIALIZED (
+       |      SELECT i, j, CAST(ss // (n * 10000) AS BIGINT) AS c8 FROM g),
        |v0 AS (SELECT DISTINCT i AS dim, CAST(1000000 AS HUGEINT) AS v6
        |       FROM c),
        |$rounds""".stripMargin
