@@ -40,16 +40,24 @@ object DailyPipeline {
 
   /** Run the 2am chain on the `d` corpus; returns the three-stage
     * checksum audit (tbl, n_rows, xor_sig, sum_sig). Working state
-    * lands in a fresh per-invocation temp directory (deleted on JVM
-    * exit) — the incrementalIndexPersisted concurrency posture. */
+    * lands in a fresh per-invocation temp directory — the
+    * incrementalIndexPersisted concurrency posture — reclaimed
+    * BEFORE returning (the audit is materialized first), so repeated
+    * invocations in a long-lived process hold no disk. */
   def dailyE2e(s: SparkSession, d: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_daily_e2e_")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(tmp.toFile)
-    }))
+    val tmp = graft.TempDirs.create("graft_daily_e2e_")
+    try dailyE2eOn(s, d, tmp.toString)
+    finally graft.TempDirs.delete(tmp) // result is materialized — see below
+  }
+
+  /** The chain body. The returned frame is the 3-row checksum audit
+    * COLLECTED and re-lifted (bounded by construction: one row per
+    * stage), so every lazy read of `tmp` — the ingest sink, the
+    * fold's parquet state — is forced before the caller's temp dir
+    * is reclaimed; without that, each invocation would leave its
+    * working state on disk until JVM exit (ADVICE r15). */
+  private def dailyE2eOn(s: SparkSession, d: String,
+                         tmp: String): DataFrame = {
     val src = s"$tmp/incoming"
     val sink = s"$tmp/ingested"
     val ckpt = s"$tmp/checkpoint"
@@ -87,11 +95,13 @@ object DailyPipeline {
       Mapping.aggDaily(hist.select(col("event_type"), col("ed"), col("v"))),
       Mapping.aggDaily(
         ingested.select(col("event_type"), col("ed"), col("v"))))
-    // stage 3: the persisted incremental dedup fold (its own temp
-    // state dir, its own parquet round trip)
-    val pairs = graft.ops.DedupOps.incrementalIndexPersisted(s, d)
+    // stage 3: the persisted incremental dedup fold — its parquet
+    // state routed under THIS invocation's temp dir so the whole
+    // chain's disk footprint reclaims together
+    val pairs = graft.ops.DedupOps.incrementalIndexPersisted(s, d,
+        stateDir = s"$tmp/dedup_state")
       .withColumn("j4", round(col("jaccard") * 10000).cast("long"))
-    Mapping.tableChecksum(ingested,
+    val audit = Mapping.tableChecksum(ingested,
         Seq(col("event_id"), col("user_id"), col("event_type"),
           col("ed"), col("v")), "ingested_delta")
       .unionByName(Mapping.tableChecksum(merged,
@@ -100,6 +110,10 @@ object DailyPipeline {
       .unionByName(Mapping.tableChecksum(pairs,
         Seq(col("id1"), col("id2"), col("j4")), "dedup_pairs"))
       .orderBy(col("tbl"))
+    // force every read of tmp now; 3 rows by construction
+    val rows = audit.collect()
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(rows.toSeq.asJava, audit.schema)
   }
 
   /** DuckDB oracle: each stage's checksum recomputed from the RAW

@@ -344,18 +344,15 @@ object DedupOps {
     val docs = Tables.documents(s, d)
     val history = docs.filter(col("doc_id") % 4 =!= 0)
     val delta = docs.filter(col("doc_id") % 4 === 0)
+    // the returned fold READS the parquet state lazily, so the dir
+    // must outlive this call; the shared single-hook registry
+    // (TempDirs) reclaims it at JVM exit without accumulating one
+    // shutdown hook per invocation (ADVICE r15). A caller that
+    // materializes the result and wants the disk back sooner passes
+    // its own stateDir and deletes it (the dailyE2e posture).
     val dir =
       if (stateDir.nonEmpty) stateDir
-      else {
-        val p = java.nio.file.Files.createTempDirectory("graft_inc_state_")
-        Runtime.getRuntime.addShutdownHook(new Thread(() => {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-          }
-          rm(p.toFile)
-        }))
-        p.toString
-      }
+      else graft.TempDirs.create("graft_inc_state_").toString
     val hSets = docShingleSets(history).cache()
     val hIndex = bandIndexOnSets(hSets, numPerm, bands).cache()
     hIndex.write.mode("overwrite").partitionBy("band")

@@ -1517,6 +1517,10 @@ object TextOps {
     * packing faces nest it as their token-stream CTE — one chain,
     * every consumer, no drift. */
   private[graft] def bpeEncodeOracleSql(rounds: Int = 3): String = {
+    // rounds = 0 would emit an unparseable self-join ("FROM ap0 JOIN
+    // ap0 ON ap0.doc_id = ap0.doc_id") in the cnts CTE — refuse it at
+    // the generator rather than ship invalid SQL (ADVICE r15)
+    require(rounds >= 1, s"bpeEncodeOracleSql needs rounds >= 1: $rounds")
     def rewrite(src: String, top: String): String =
       s"""  SELECT doc_id, replace(replace(s,
          |    chr(31) || replace(pair, ' ', chr(31)) || chr(31),

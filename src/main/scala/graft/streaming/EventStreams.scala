@@ -388,6 +388,53 @@ object EventStreams {
     }.reduce(_ unionAll _).orderBy(col("version"), col("stage"))
   }
 
+  /** DuckDB replica of [[funnelVersionsBatch]], generated from the
+    * SAME (epochs, keepVersions, stages) parameters the Scala face
+    * takes — changing a default can no longer silently desynchronize
+    * the gate (ADVICE r15; the sibling anomaly/ewma/changepoint/
+    * conformal version oracles set the builder precedent). One CTE
+    * per stage: stage k's advance is the min fold tuple (epoch, µs,
+    * sidx, id) among stage-k events past the stage-(k−1) advance
+    * that also pass the event-time gate; each retained version
+    * counts the advances whose tuple sits in epochs ≤ version. */
+  private[graft] def funnelVersionsOracleSql(
+      epochs: Int = 5, keepVersions: Int = 3,
+      stages: Seq[String] = Seq("view", "click", "purchase")): String = {
+    require(epochs >= 1 && keepVersions >= 1 && keepVersions <= epochs,
+      s"need 1 <= keepVersions <= epochs: $keepVersions/$epochs")
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val inList = stages.map(st => s"'$st'").mkString(", ")
+    def tup(i: Int) =
+      s"{'epoch': epoch, 'tus': tus, 'sidx': $i, 'event_id': event_id}"
+    val first =
+      s"""s1 AS (SELECT user_id, min(${tup(0)}) AS t
+         |  FROM ev WHERE event_type = '${stages.head}' GROUP BY 1)""".stripMargin
+    val rest = stages.tail.zipWithIndex.map { case (st, i) =>
+      s"""s${i + 2} AS (SELECT e.user_id, min(${tup(i + 1)}) AS t
+         |  FROM ev e JOIN s${i + 1} ON e.user_id = s${i + 1}.user_id
+         |  WHERE e.event_type = '$st'
+         |    AND ${tup(i + 1)} > s${i + 1}.t
+         |    AND tus >= (s${i + 1}.t).tus
+         |  GROUP BY 1)""".stripMargin
+    }
+    val branches = stages.zipWithIndex.map { case (st, i) =>
+      s"""  SELECT version, ${i + 1} AS stage, '$st' AS event_type,
+         |    count(*) FILTER (WHERE (t).epoch <= version) AS n_users
+         |  FROM s${i + 1} CROSS JOIN v GROUP BY version""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH ev AS (SELECT user_id, event_type, event_id % $epochs AS epoch,
+       |    epoch_us(CAST(ts AS TIMESTAMP_US)) AS tus, event_id
+       |  FROM events WHERE event_type IN ($inList)),
+       |${(first +: rest).mkString(",\n")},
+       |v AS (SELECT unnest(range(${epochs - keepVersions}, $epochs))
+       |      AS version)
+       |SELECT CAST(version AS BIGINT) AS version, stage, event_type,
+       |  n_users
+       |FROM (
+       |$branches)
+       |ORDER BY version, stage""".stripMargin
+  }
+
   // ---- streaming last-touch attribution ----------------------------------
 
   case class TouchState(touchTsMicros: Long, touchType: String)

@@ -324,6 +324,12 @@ class CurateSpec extends SparkSpec {
     val ws = canon(CurateOps.packSequencesOn(
       docs.filter(col("doc_id") % 2 === 1), budget = 4).collect())
     assert(bpe0 === ws, "rounds=0 must be the whitespace map")
+    // the ORACLE generator refuses rounds=0 (it would emit an
+    // unparseable unaliased self-join, ADVICE r15) — Scala-side
+    // rounds=0 stays legal (above), SQL-side it's a hard error
+    intercept[IllegalArgumentException] {
+      graft.ops.TextOps.bpeEncodeOracleSql(0)
+    }
     // registered faces at sf: the map's token stream is exactly the
     // bpe-encode n_after stream, and merges can only SHRINK it
     val enc = graft.ops.TextOps.bpeEncode(spark, sf).collect()
