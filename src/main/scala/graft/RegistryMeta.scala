@@ -764,11 +764,18 @@ object RegistryMeta {
         "EMBEDDING-space drift monitor"),
     "ann_ivf_topk" ->
       EntryMeta("2.5", "sql",
-        "IVF (centroid-partitioned, ~√n cells) approximate top-k — the ANN ladder's middle rung (Routing.annTopKAuto routes past DefaultIvfMaxBytes to the memory-bounded IVF*PQ tier)",
+        "IVF (centroid-partitioned, ~√n cells) approximate top-k — the ANN ladder's second rung (Routing.annTopKAuto routes past the 32 GiB build dial to the linear-build sampled face)",
+        Some("ann_ivf_topk_sampled")),
+    "ann_ivf_topk_sampled" ->
+      EntryMeta("2.5", "sql",
+        "the IVF tier's LINEAR-build face (round 16, closing VERDICT r15's one measured superlinear term): centroid fit on an md5-bucket-capped sample, cell count PINNED at √buildMaxVectors past the cap, ONE linear full-corpus assignment — the FAISS train-on-sample posture; identical to ann_ivf_topk below the cap, annTopKAuto's rung between the build and memory dials",
         Some("ann_ivfpq_topk")),
     "ann_ivf_recall" ->
       EntryMeta("2.5", "sql",
         "recall@k of the IVF tier MEASURED against the exact brute-force face — the ANN dial's retrieval quality as a checked number"),
+    "ann_ivf_sampled_recall" ->
+      EntryMeta("2.5", "sql",
+        "recall@k of the bounded-build IVF face measured against the exact face (same audit shape as ann_ivf_recall) — what the sampled fit costs in retrieval quality, as a checked number"),
     "ann_lsh_recall" ->
       EntryMeta("2.5", "sql",
         "recall@k of the bucket-gated LSH tier measured against the exact face (same audit shape as ann_ivf_recall)"),
@@ -1045,6 +1052,9 @@ object RegistryMeta {
           "(writeStatsManifest / readPruned, staleness-guarded)"),
     "Sources.registerTable" ->
       EntryMeta("2.9", "spec", "crawler-to-catalog persistence"),
+    "layout_pruned_checksum" ->
+      EntryMeta("2.9", "sql",
+        "the layout family's ORACLED gate (round 16): range-sorted + manifested lineitem band read through the pruned path AND as a plain filtered scan, both checksummed; the oracle recomputes the band from the raw table knowing nothing of layout/manifest/files — triple hash equality proves pruned read ≡ full-scan filter ≡ raw recompute"),
     "Routing" ->
       EntryMeta("2.9", "spec",
         "the scale-tier dial: routes exact face vs scale tier on " +

@@ -265,6 +265,12 @@ object SparkEntry {
         col("s_suppkey"), col("s_name"), col("s_nationkey")), "supplier")
       o.union(c).union(p).orderBy(col("tbl"))
     }),
+    // the layout family's oracled gate (round 16): range-sorted +
+    // manifested lineitem read through the PRUNED path vs the plain
+    // filtered scan — both checksums must equal the oracle's
+    // raw-table recompute of the same band
+    "layout_pruned_checksum" ->
+      ((s, d) => graft.sources.Sources.prunedChecksum(s, d)),
     // GDPR erasure dry run: two chained semi joins size the cascade
     // (subjects → orders → line items), one audit row per table
     "etl_erasure" -> ((s, d) => graft.etl.Mapping.erasureCascade(
@@ -971,12 +977,17 @@ object SparkEntry {
     "ann_pq_topk" -> ((s, d) => SimilarityOps.pqTopK(s, d)),
     "ann_lsh_topk"        -> ((s, d) => SimilarityOps.lshTopK(s, d)),
     "ann_ivf_topk"        -> ((s, d) => SimilarityOps.ivfTopK(s, d)),
+    // the bounded-build IVF face: md5-bucket-capped sample fit,
+    // PINNED cell count past the cap, ONE linear corpus assignment —
+    // the linear-build rung of Routing.annTopKAuto
+    "ann_ivf_topk_sampled" -> ((s, d) => SimilarityOps.ivfTopKSampled(s, d)),
     // the routed ANN tier's recall@k MEASURED against the exact face
     // (both on the quantized cosine grid) — audit operator
     "ann_ivf_recall"      -> ((s, d) => SimilarityOps.ivfRecall(s, d)),
     "ann_lsh_recall"      -> ((s, d) => SimilarityOps.lshRecall(s, d)),
     "ann_pq_recall"       -> ((s, d) => SimilarityOps.pqRecall(s, d)),
     "ann_ivfpq_recall"    -> ((s, d) => SimilarityOps.ivfPqRecall(s, d)),
+    "ann_ivf_sampled_recall" -> ((s, d) => SimilarityOps.ivfSampledRecall(s, d)),
     // IVF·PQ composed (the FAISS IVFPQ shape): cell-gated candidates
     // scored by ADC over 8-byte codes, exact rescore of the shortlist
     "ann_ivfpq_topk"      -> ((s, d) => SimilarityOps.ivfPqTopK(s, d)),
@@ -2980,6 +2991,8 @@ object SparkEntry {
         |    AS DOUBLE) / 10000.0, 4) AS sv
         |FROM events GROUP BY 1, 2
         |ORDER BY event_type, ed""".stripMargin,
+    "layout_pruned_checksum" ->
+      graft.sources.Sources.prunedChecksumOracleSql(),
     "etl_table_checksum" ->
       """WITH oh AS (SELECT CAST(list_sum([(strpos('0123456789abcdef', h[i]) - 1) *
         |      (CAST(1 AS BIGINT) << (4*(15 - i))) for i in range(1, 16)])
@@ -5995,7 +6008,10 @@ object SparkEntry {
     "text_ccnet_buckets" -> graft.ops.TextOps.ccnetBucketsOracleSql(),
     "ann_lsh_topk" -> graft.ops.SimilarityOps.lshOracleSql(),
     "ann_ivf_topk" -> graft.ops.SimilarityOps.ivfOracleSql(),
+    "ann_ivf_topk_sampled" -> graft.ops.SimilarityOps.ivfSampledOracleSql(),
     "ann_ivf_recall" -> graft.ops.SimilarityOps.ivfRecallOracleSql(),
+    "ann_ivf_sampled_recall" ->
+      graft.ops.SimilarityOps.ivfSampledRecallOracleSql(),
     "ann_lsh_recall" -> graft.ops.SimilarityOps.lshRecallOracleSql(),
     "ann_pq_recall" -> graft.ops.SimilarityOps.pqRecallOracleSql(),
     "ann_ivfpq_recall" -> graft.ops.SimilarityOps.ivfPqRecallOracleSql(),
@@ -6554,47 +6570,7 @@ object SparkEntry {
     "conformal_versions" ->
       graft.streaming.EventStreams.conformalVersionsOracleSql(),
     "funnel_versions" ->
-      """WITH ev AS (SELECT user_id, event_type, event_id % 5 AS epoch,
-        |    epoch_us(CAST(ts AS TIMESTAMP_US)) AS tus, event_id
-        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
-        |s1 AS (SELECT user_id,
-        |    min({'epoch': epoch, 'tus': tus, 'sidx': 0,
-        |         'event_id': event_id}) AS t
-        |  FROM ev WHERE event_type = 'view' GROUP BY 1),
-        |s2 AS (SELECT e.user_id,
-        |    min({'epoch': epoch, 'tus': tus, 'sidx': 1,
-        |         'event_id': event_id}) AS t
-        |  FROM ev e JOIN s1 ON e.user_id = s1.user_id
-        |  WHERE e.event_type = 'click'
-        |    AND {'epoch': epoch, 'tus': tus, 'sidx': 1,
-        |         'event_id': event_id} > s1.t
-        |    AND tus >= (s1.t).tus
-        |  GROUP BY 1),
-        |s3 AS (SELECT e.user_id,
-        |    min({'epoch': epoch, 'tus': tus, 'sidx': 2,
-        |         'event_id': event_id}) AS t
-        |  FROM ev e JOIN s2 ON e.user_id = s2.user_id
-        |  WHERE e.event_type = 'purchase'
-        |    AND {'epoch': epoch, 'tus': tus, 'sidx': 2,
-        |         'event_id': event_id} > s2.t
-        |    AND tus >= (s2.t).tus
-        |  GROUP BY 1),
-        |v AS (SELECT unnest(range(2, 5)) AS version)
-        |SELECT CAST(version AS BIGINT) AS version, stage, event_type,
-        |  n_users
-        |FROM (
-        |  SELECT version, 1 AS stage, 'view' AS event_type,
-        |    count(*) FILTER (WHERE (t).epoch <= version) AS n_users
-        |  FROM s1 CROSS JOIN v GROUP BY version
-        |  UNION ALL
-        |  SELECT version, 2, 'click',
-        |    count(*) FILTER (WHERE (t).epoch <= version)
-        |  FROM s2 CROSS JOIN v GROUP BY version
-        |  UNION ALL
-        |  SELECT version, 3, 'purchase',
-        |    count(*) FILTER (WHERE (t).epoch <= version)
-        |  FROM s3 CROSS JOIN v GROUP BY version)
-        |ORDER BY version, stage""".stripMargin,
+      graft.streaming.EventStreams.funnelVersionsOracleSql(),
     "attribution_versions" ->
       """WITH tagged AS (SELECT user_id, event_id,
         |    event_id % 5 AS epoch,

@@ -132,24 +132,43 @@ object Routing {
     * declared composed tier (SURVEY §2.5 `ann_ivfpq_topk`). */
   val DefaultIvfMaxBytes: Long = 256L << 30
 
-  /** Three-rung ANN ladder (the [[decontaminateAuto]] shape):
+  /** Build-cost dial INSIDE the IVF band: below it the √n-cell
+    * exact-assignment fit ([[SimilarityOps.ivfTopK]]) is affordable;
+    * past it that fit is the ladder's one superlinear term
+    * (O(n^1.5·d), measured 9.9×/decade at sf10 — VERDICT r15) and
+    * the rung switches to [[SimilarityOps.ivfTopKSampled]]: centroid
+    * fit on an md5-bucket-capped sample, PINNED cell count, one
+    * LINEAR corpus assignment (the FAISS train-on-sample posture).
+    * 32 GiB ≈ 128M dim-64 vectors — the point where n·√n passes
+    * ~50× the linear pass's work and the build, not the serving
+    * scan, dominates the tier's cost. */
+  val DefaultIvfExactBuildMaxBytes: Long = 32L << 30
+
+  /** Four-rung ANN ladder (the [[decontaminateAuto]] shape):
     * [[SimilarityOps.bruteForceTopK]] (exact scoring) below the first
     * dial, [[SimilarityOps.ivfTopK]] (cell-gated, full-precision
-    * scoring) between the dials, [[SimilarityOps.ivfPqTopK]]
-    * (cell-gated + ADC-coded candidates, exact rescore of the
-    * shortlist — the memory-bounded tier that actually ships at
-    * 100 TB) past the second. All three rungs emit the same
-    * (q_id, vec_id, cosine, rank) contract with true-cosine scores —
-    * the rungs trade recall, never schema. */
+    * scoring, exact √n-cell build) between the first dial and the
+    * build dial, [[SimilarityOps.ivfTopKSampled]] (same serving
+    * shape, LINEAR sampled build — the rung that removes the
+    * ladder's one superlinear build term) between the build dial and
+    * the memory dial, [[SimilarityOps.ivfPqTopK]] (cell-gated +
+    * ADC-coded candidates, exact rescore of the shortlist — the
+    * memory-bounded tier that actually ships at 100 TB) past the
+    * last. All rungs emit the same (q_id, vec_id, cosine, rank)
+    * contract with true-cosine scores — the rungs trade recall and
+    * build cost, never schema. */
   def annTopKAuto(s: SparkSession, d: String, k: Int = 5,
                   nQueries: Int = 10,
                   exactMaxBytes: Long = DefaultExactMaxBytes,
+                  ivfBuildMaxBytes: Long = DefaultIvfExactBuildMaxBytes,
                   ivfMaxBytes: Long = DefaultIvfMaxBytes): DataFrame = {
     val bytes = planBytes(Tables.embeddings(s, d))
     if (bytes <= BigInt(exactMaxBytes))
       SimilarityOps.bruteForceTopK(s, d, k, nQueries)
-    else if (bytes <= BigInt(ivfMaxBytes))
+    else if (bytes <= BigInt(ivfBuildMaxBytes))
       SimilarityOps.ivfTopK(s, d, k, nQueries)
+    else if (bytes <= BigInt(ivfMaxBytes))
+      SimilarityOps.ivfTopKSampled(s, d, k, nQueries)
     else
       SimilarityOps.ivfPqTopK(s, d, k, nQueries)
   }

@@ -923,6 +923,101 @@ object SimilarityOps {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** [[ivfTopK]] with a BOUNDED build — the linear-build face of the
+    * IVF tier (VERDICT r15's one measured superlinear term: the
+    * exact-assignment fit at nCells = √n is O(n^1.5·d), 9.9×/decade
+    * at sf10). The FAISS train-on-sample posture applied with this
+    * repo's determinism coins:
+    *
+    *  - the fit sees only a CAPPED md5-bucket sample: keep the
+    *    `bk = min(256, ceil(256·buildMaxVectors / n))` lowest hex
+    *    buckets of md5(vec_id) — the SampleOps predicate, row-local,
+    *    engine-portable, the same keys at every cluster size;
+    *  - nCells = max(8, ⌊√min(n, buildMaxVectors)⌋) — PINNED once
+    *    the corpus outgrows the cap, so the single full-corpus
+    *    assignment pass is O(n·√buildMaxVectors·d): LINEAR in n;
+    *  - seeds are the sample's lowest-id vectors (a TakeOrdered of
+    *    ≤ 256 rows, bounded by construction) and the one mean-update
+    *    refinement runs over the SAMPLE only (O(cap^1.5·d), a
+    *    constant);
+    *  - the serving path is [[ivfTopK]]'s verbatim: one assignment
+    *    pass with the final centroids, nProbe query gating from the
+    *    same scored frame, exact 4dp-cosine rescoring and
+    *    (cosine DESC, vec_id) ranking.
+    *
+    * The declared trade vs [[ivfTopK]]: per-query candidate work is
+    * O(nProbe·n/nCells) — linear with a 1/√cap constant instead of
+    * O(nProbe·√n) — which is the trade every pinned-nlist production
+    * index (FAISS IVF) makes; the build stops being the scale
+    * killer. Below the cap (n ≤ buildMaxVectors) the sample is the
+    * whole corpus and, with dense vec_ids, the face is IDENTICAL to
+    * [[ivfTopK]] (SimilaritySpec pins it). `ann_ivf_sampled_recall`
+    * measures the retrieval quality against brute force the same way
+    * the other four tiers are audited. */
+  def ivfTopKSampled(s: SparkSession, d: String,
+                     k: Int = 5, nQueries: Int = 10, nProbe: Int = 2,
+                     buildMaxVectors: Int = 16384): DataFrame = {
+    require(buildMaxVectors >= 8, s"buildMaxVectors too small: $buildMaxVectors")
+    val emb = Tables.embeddings(s, d).cache()
+    val n = emb.count()
+    val bk = math.min(256L, math.max(1L,
+      (256L * buildMaxVectors + n - 1) / n))
+    val samp =
+      if (bk >= 256L) emb
+      else emb.filter(
+        substring(md5(col("vec_id").cast("string")), 1, 2) < lit(f"$bk%02x"))
+    val cellCount = math.max(8L,
+      math.sqrt(math.min(n, buildMaxVectors.toLong).toDouble).toLong).toInt
+    val seeds = samp.orderBy(col("vec_id")).limit(cellCount)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+    // ivfTopK's map-side-combinable single-probe argmax, parameterized
+    // by the frame it assigns (sample for the fit, corpus to serve)
+    def assign1(src: DataFrame, cents: DataFrame): DataFrame =
+      src.crossJoin(broadcast(cents))
+        .withColumn("sim", round(cosine(col("embedding"), col("c_emb")), 4))
+        .groupBy(col("vec_id"))
+        .agg(first(col("embedding")).as("embedding"),
+          max_by(col("cell"), struct(col("sim"), -col("cell"))).as("cell"))
+    // one refinement pass over the SAMPLE only — the bounded build
+    val centroids = assign1(samp, seeds)
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), transform(col("pm"), x => x.getField("m"))
+        .cast("array<float>").as("c_emb"))
+    // the ONE linear full-corpus pass; query cells from the same
+    // scored subtree, exactly the ivfTopK serving tail
+    val cells = assign1(emb, centroids)
+    val w2 = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cell"))
+    val qCells = emb.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", round(cosine(col("embedding"), col("c_emb")), 4))
+      .withColumn("rnk", row_number().over(w2))
+      .filter(col("rnk") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cell"))
+    val scored = cells.join(broadcast(qCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 4).as("cosine"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Recall@k of the bounded-build IVF face (see `recallVsExact`):
+    * what the sampled fit costs in retrieval quality, as a checked
+    * number — the fifth tier joins the audit family. */
+  def ivfSampledRecall(s: SparkSession, d: String, k: Int = 5,
+                       nQueries: Int = 10, nProbe: Int = 2,
+                       buildMaxVectors: Int = 16384): DataFrame =
+    recallVsExact(s, d,
+      ivfTopKSampled(s, d, k, nQueries, nProbe, buildMaxVectors),
+      k, nQueries)
+
   /** Diversity sampling over embeddings — the curation question ANN
     * retrieval doesn't answer: not "what is similar to this query"
     * but "which subset COVERS the corpus" (the training-data
@@ -1396,6 +1491,70 @@ object SimilarityOps {
     s"""WITH ${ivfChainCtes(nQueries, nProbe)}
        |SELECT q_id, vec_id, cosine, rank FROM r
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+
+  /** The bounded-build chain ([[ivfTopKSampled]]) as CTEs: the md5
+    * bucket cut, pinned cell count, sample-only refinement, then the
+    * ONE full-corpus assignment and [[ivfChainCtes]]'s verbatim
+    * serving tail. Sizing arithmetic is all BIGINT (ceil-div via
+    * (a+n−1)//n) and the bucket cut compares lowercase hex — the
+    * SampleOps portability posture. */
+  private def ivfSampledChainCtes(nQueries: Int, nProbe: Int,
+                                  buildMaxVectors: Int): String = {
+    val avgs = (1 to dim).map(i => s"avg(emb[$i])").mkString(", ")
+    s"""p AS (SELECT count(*) AS n FROM embeddings),
+       |b AS (SELECT CAST(least(256, greatest(1,
+       |        (256 * $buildMaxVectors + n - 1) // n)) AS BIGINT) AS bk,
+       |      greatest(8, CAST(floor(sqrt(least(n, $buildMaxVectors)))
+       |        AS BIGINT)) AS nn
+       |      FROM p),
+       |e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |     FROM embeddings),
+       |samp AS MATERIALIZED (SELECT e.vec_id, e.emb FROM e, b
+       |  WHERE bk >= 256
+       |     OR substr(md5(CAST(vec_id AS VARCHAR)), 1, 2)
+       |        < printf('%02x', bk)),
+       |sr AS (SELECT vec_id, emb,
+       |         row_number() OVER (ORDER BY vec_id) AS r FROM samp),
+       |seeds AS (SELECT vec_id AS cell, emb AS c_emb
+       |          FROM sr, b WHERE r <= nn),
+       |a1 AS (SELECT s.vec_id, s.emb, cell,
+       |    round(${qcosSql("s.emb", "c_emb")}, 4) AS sim
+       |  FROM samp s CROSS JOIN seeds),
+       |a1r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY sim DESC, cell) AS rnk FROM a1),
+       |assigned AS (SELECT vec_id, emb, cell FROM a1r WHERE rnk = 1),
+       |cents AS (SELECT cell,
+       |    CAST(CAST([$avgs] AS FLOAT[]) AS DOUBLE[]) AS c_emb
+       |  FROM assigned GROUP BY cell),
+       |a2 AS (SELECT vec_id, emb, cell,
+       |    round(${qcosSql("emb", "c_emb")}, 4) AS sim
+       |  FROM e CROSS JOIN cents),
+       |a2r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY sim DESC, cell) AS rnk FROM a2),
+       |cells AS (SELECT vec_id, emb, cell FROM a2r WHERE rnk = 1),
+       |qc AS (SELECT vec_id AS q_id, emb AS q_emb, cell
+       |       FROM a2r WHERE rnk <= $nProbe AND vec_id < $nQueries),
+       |scored AS (
+       |  SELECT q_id, c.vec_id AS vec_id,
+       |    round(${qcosSql("q_emb", "c.emb")}, 4) AS cosine
+       |  FROM cells c JOIN qc USING (cell) WHERE c.vec_id <> qc.q_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cosine DESC, vec_id) AS rank FROM scored)""".stripMargin
+  }
+
+  private[graft] def ivfSampledOracleSql(k: Int = 5, nQueries: Int = 10,
+                                         nProbe: Int = 2,
+                                         buildMaxVectors: Int = 16384): String =
+    s"""WITH ${ivfSampledChainCtes(nQueries, nProbe, buildMaxVectors)}
+       |SELECT q_id, vec_id, cosine, rank FROM r
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+
+  private[graft] def ivfSampledRecallOracleSql(
+      k: Int = 5, nQueries: Int = 10, nProbe: Int = 2,
+      buildMaxVectors: Int = 16384): String =
+    annRecallOracleSql(
+      ivfSampledOracleSql(k, nQueries, nProbe, buildMaxVectors),
+      k, nQueries)
 
   /** Measured recall@k of an ANN tier against the exact brute-force
     * face — the routed tiers' retrieval quality as CHECKED numbers

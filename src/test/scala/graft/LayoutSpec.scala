@@ -26,6 +26,25 @@ class LayoutSpec extends SparkSpec {
     (keys, scanned)
   }
 
+  test("pruned checksum gate: the pruned path and the full-scan " +
+       "filter publish identical signatures, and the working dir is " +
+       "reclaimed") {
+    val before = Option(new java.io.File("/tmp").listFiles()).toSeq.flatten
+      .count(_.getName.startsWith("graft_layout_gate_"))
+    val rows = Sources.prunedChecksum(spark, sf).collect()
+    assert(rows.length === 2)
+    val byTbl = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(byTbl.keySet === Set("full_filtered", "pruned_read"))
+    assert(byTbl("full_filtered") === byTbl("pruned_read"),
+      s"pruned read diverged from the filtered full scan: $byTbl")
+    assert(byTbl("full_filtered")._1 > 0, "empty band — gate is vacuous")
+    // per-invocation working files are reclaimed before return
+    val after = Option(new java.io.File("/tmp").listFiles()).toSeq.flatten
+      .count(_.getName.startsWith("graft_layout_gate_"))
+    assert(after === before, "layout gate leaked its temp dir")
+  }
+
   test("sorted layout: a pushed range predicate skips most row groups") {
     val dir = java.nio.file.Files.createTempDirectory("graft-layout").toString
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -60,9 +60,11 @@ class RegistryMetaSpec extends AnyFunSuite {
       "q_dau_wau"           -> "q_dau_wau_approx",
       "rec_item_cosine"     -> "rec_item_cosine_dimsum",
       "ann_bruteforce_topk" -> "ann_ivf_topk",
-      // the ANN ladder's third rung: annTopKAuto routes past the
-      // second (memory) dial to the composed IVF*PQ tier
-      "ann_ivf_topk"        -> "ann_ivfpq_topk",
+      // the ANN ladder's four rungs in routing order: past the build
+      // dial the exact-fit IVF hands to the linear sampled build,
+      // past the memory dial to the composed IVF*PQ tier
+      "ann_ivf_topk"        -> "ann_ivf_topk_sampled",
+      "ann_ivf_topk_sampled" -> "ann_ivfpq_topk",
       "dedup_embedding"     -> "dedup_embedding_lsh",
       "q_percentiles"       -> "q_percentiles_approx",
       "etl_profile"         -> "etl_profile_approx",

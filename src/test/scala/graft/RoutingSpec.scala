@@ -73,23 +73,30 @@ class RoutingSpec extends SparkSpec {
       === rows(Recommend.itemCosineDimsum(spark, sf)))
   }
 
-  test("ANN route: three rungs — brute force, IVF, IVF*PQ") {
-    // rung 1: both dials above the input → exact face
+  test("ANN route: four rungs — brute force, IVF, sampled-build IVF, " +
+       "IVF*PQ") {
+    // rung 1: every dial above the input → exact face
     assert(rows(Routing.annTopKAuto(spark, sf,
         exactMaxBytes = Long.MaxValue))
       === rows(SimilarityOps.bruteForceTopK(spark, sf)))
-    // rung 2: first dial forced under, second above → IVF
+    // rung 2: exact dial forced under, build + memory dials above →
+    // IVF with the exact √n-cell build
     assert(rows(Routing.annTopKAuto(spark, sf, exactMaxBytes = 0L,
-        ivfMaxBytes = Long.MaxValue))
+        ivfBuildMaxBytes = Long.MaxValue, ivfMaxBytes = Long.MaxValue))
       === rows(SimilarityOps.ivfTopK(spark, sf)))
-    // rung 3: both dials forced under → the composed IVF*PQ tier
+    // rung 3: build dial also forced under → the LINEAR sampled
+    // build (the rung that removes the ladder's superlinear fit)
+    assert(rows(Routing.annTopKAuto(spark, sf, exactMaxBytes = 0L,
+        ivfBuildMaxBytes = 0L, ivfMaxBytes = Long.MaxValue))
+      === rows(SimilarityOps.ivfTopKSampled(spark, sf)))
+    // rung 4: all dials forced under → the composed IVF*PQ tier
     // (the memory-bounded index that actually ships at 100 TB)
     assert(rows(Routing.annTopKAuto(spark, sf, exactMaxBytes = 0L,
-        ivfMaxBytes = 0L))
+        ivfBuildMaxBytes = 0L, ivfMaxBytes = 0L))
       === rows(SimilarityOps.ivfPqTopK(spark, sf)))
-    // all three rungs share the (q_id, vec_id, cosine, rank) contract
+    // all four rungs share the (q_id, vec_id, cosine, rank) contract
     assert(Routing.annTopKAuto(spark, sf, exactMaxBytes = 0L,
-        ivfMaxBytes = 0L).schema
+        ivfBuildMaxBytes = 0L, ivfMaxBytes = 0L).schema
       === SimilarityOps.bruteForceTopK(spark, sf).schema)
   }
 

@@ -149,6 +149,42 @@ class SimilaritySpec extends SparkSpec {
     p1.foreach { case (q, h1) => assert(p3(q) >= h1, s"query $q") }
   }
 
+  test("sampled-build IVF: identical to the exact-build face below " +
+       "the cap; a forced cap keeps the ranked contract and full-probe " +
+       "recall stays 1.0") {
+    def canon(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).toSeq
+    // below the cap the md5 cut keeps every bucket and, with dense
+    // vec_ids, the lowest-id seeds ARE ivfTopK's vec_id < nCells
+    // seeds — the faces must agree row for row
+    assert(canon(SimilarityOps.ivfTopKSampled(spark, sf, k = 3,
+        nQueries = 5).collect())
+      === canon(SimilarityOps.ivfTopK(spark, sf, k = 3,
+        nQueries = 5).collect()))
+    // force the cap under the corpus (buildMaxVectors = 8 < n): the
+    // fit sees only the md5 sample, yet the serving contract holds —
+    // ranks 1..k per query, cosine descending
+    val capped = SimilarityOps.ivfTopKSampled(spark, sf, k = 3,
+      nQueries = 5, buildMaxVectors = 8).collect()
+    assert(capped.nonEmpty)
+    capped.groupBy(_.getLong(0)).values.foreach { rows =>
+      assert(rows.map(_.getInt(3)).sorted.toSeq === (1 to rows.length))
+      val cos = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    // full probe width: the candidate set is the whole corpus, so
+    // recall is 1.0 REGARDLESS of where the capped fit put the
+    // centroids — cell gating is the only recall loss
+    val rec = SimilarityOps.ivfSampledRecall(spark, sf, k = 5,
+      nQueries = 5, nProbe = 1000000, buildMaxVectors = 8).collect()
+    assert(rec.length === 5)
+    rec.foreach { r =>
+      assert(r.getLong(1) === 5L, s"hits ${r.getLong(1)} at full probe")
+      assert(r.getDouble(2) === 1.0)
+    }
+  }
+
   test("LSH recall is per-query monotone non-increasing in nBits; " +
        "PQ recall hits 1.0 at corpus-wide rerank") {
     // prefix-stable planes: a 4-bit bucket match implies the 2-bit

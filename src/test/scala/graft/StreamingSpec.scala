@@ -949,6 +949,65 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("near-dup state backends MEASURED: GroupState-blob vs " +
+       "TWS/RocksDB row-per-member on the same corpus, same store — " +
+       "equal output, recorded wall time and state size") {
+    // VERDICT r15 ask #5: the TWS twin is the declared 100 TB state
+    // backend and had zero measurements. Both faces run on RocksDB so
+    // the comparison isolates the STATE LAYOUT (one serialized blob
+    // per bucket vs one ListState row per member), not the provider.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.01"
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), new java.sql.Timestamp(base + r.getLong(0)),
+        r.getString(1)))
+    def run(face: org.apache.spark.sql.DataFrame =>
+              org.apache.spark.sql.DataFrame, sink: String)
+        : (Set[(Long, Long, Double)], Double, Long, Long) = {
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, String)]
+      mem.addData(rows.toIndexedSeq)
+      val q = face(mem.toDF().toDF("doc_id", "ts", "text"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(sink).start()
+      try {
+        val t0 = System.nanoTime()
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val so = q.recentProgress.flatMap(_.stateOperators)
+          .filter(_.numRowsTotal > 0)
+        assert(so.nonEmpty, "no stateful operator progress recorded")
+        val last = so.last
+        val out = spark.table(sink).collect()
+          .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+        (out, sec, last.numRowsTotal, last.memoryUsedBytes)
+      } finally q.stop()
+    }
+    withRocksDbStateStore {
+      val (outG, secG, rowsG, memG) = run(
+        df => graft.streaming.DedupStreams.nearDedupStream(df),
+        "neardup_meas_gs")
+      val (outT, secT, rowsT, memT) = run(
+        df => graft.streaming.DedupStreams.nearDedupStreamTws(df),
+        "neardup_meas_tws")
+      assert(outG === outT, "state backends diverged on the same corpus")
+      assert(outG.nonEmpty)
+      // blob-per-bucket stores one state row per BUCKET; row-per-member
+      // stores one per MEMBER — the row counts must reflect that shape
+      // (members >= buckets, every bucket has >= 1 member)
+      assert(rowsT >= rowsG,
+        s"TWS rows $rowsT < GroupState rows $rowsG — layout claim broken")
+      assert(memG > 0 && memT > 0)
+      info(f"[state-meas] groupstate: ${secG}%.2f s, state rows $rowsG, " +
+        f"memoryUsedBytes $memG")
+      info(f"[state-meas] tws/rocksdb: ${secT}%.2f s, state rows $rowsT, " +
+        f"memoryUsedBytes $memT")
+    }
+  }
+
   test("streaming CDC apply maintains the snapshot the batch merge defines") {
     import graft.streaming.ChangeStreams
     import spark.implicits._
@@ -1333,6 +1392,115 @@ class StreamingSpec extends SparkSpec {
     val want = events.groupBy("event_type").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === want)
+  }
+
+  test("bookmark crash injection: a checkpoint rolled back to BEFORE " +
+       "a tick whose sink write already committed (the crash window " +
+       "between sink commit and checkpoint commit) never double-appends") {
+    import graft.streaming.IncrementalIngest
+    def copyDir(from: String, to: String): Unit = {
+      val src = java.nio.file.Paths.get(from)
+      val dst = java.nio.file.Paths.get(to)
+      val it = java.nio.file.Files.walk(src).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val t = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    def rmDir(dir: String): Unit = {
+      def go(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(go)); f.delete(); ()
+      }
+      go(new java.io.File(dir))
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-crash")
+    val (src, sink, ckpt, snap) =
+      (s"$root/src", s"$root/sink", s"$root/ckpt", s"$root/ckpt_snap")
+    val events = Tables.events(spark, sf)
+    val b1 = events.filter(col("event_id") % 2 === 0)
+    val b2 = events.filter(col("event_id") % 2 =!= 0)
+    b1.write.mode("append").parquet(src)
+    IncrementalIngest.ingestOnce(spark, src, events.schema, sink, ckpt,
+      Seq("event_type"))
+    // snapshot the bookmark as of tick 1
+    copyDir(ckpt, snap)
+    b2.write.mode("append").parquet(src)
+    IncrementalIngest.ingestOnce(spark, src, events.schema, sink, ckpt,
+      Seq("event_type"))
+    val full = spark.read.parquet(sink).count()
+    assert(full === events.count())
+    // CRASH INJECTION: the sink holds tick 2's files AND its own
+    // _spark_metadata commit, but the restored bookmark claims tick 2
+    // never ran — exactly the state a crash between the sink's commit
+    // and the checkpoint's commit leaves behind
+    rmDir(ckpt); copyDir(snap, ckpt)
+    IncrementalIngest.ingestOnce(spark, src, events.schema, sink, ckpt,
+      Seq("event_type"))
+    // a naive non-transactional sink would re-append batch 2 here and
+    // double b2's rows; the file sink's batch-id metadata log must
+    // recognize the replayed batch and skip it
+    val recovered = spark.read.parquet(sink)
+    assert(recovered.count() === full,
+      s"recovery double-appended: ${recovered.count()} vs $full")
+    // per-key parity with the raw table — nothing lost either
+    val got = recovered.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = events.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    // and the recovered bookmark is caught up: one more tick drains
+    // nothing
+    IncrementalIngest.ingestOnce(spark, src, events.schema, sink, ckpt,
+      Seq("event_type"))
+    assert(spark.read.parquet(sink).count() === full)
+  }
+
+  test("state-store enrichment staleness contract: a dimension " +
+       "update AFTER seeding is NOT visible (stale serve), while the " +
+       "static-join face sees it — the declared regime-3 trade") {
+    val dimDir = java.nio.file.Files
+      .createTempDirectory("graft-enrich-dim").toString
+    val staged = java.nio.file.Files
+      .createTempDirectory("graft-enrich-stale").toString
+    val dimV1 = EventStreams.customerDim(spark, sf)
+    dimV1.write.mode("overwrite").parquet(dimDir)
+    val dimRef = spark.read.parquet(dimDir)
+    val events = Tables.events(spark, sf)
+    val half1 = events.filter(col("event_id") % 2 === 0)
+    val half2 = events.filter(col("event_id") % 2 =!= 0)
+    half1.write.mode("overwrite").parquet(staged)
+    val q = EventStreams
+      .enrichStateStream(spark, staged, events.schema, dimRef)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_stale_out")
+      .start()
+    try {
+      q.processAllAvailable() // batch 1 seeds the state from dim v1
+      // the dimension CHANGES after seeding: every segment renamed
+      dimV1.withColumn("segment", concat(col("segment"), lit("_v2")))
+        .write.mode("overwrite").parquet(dimDir)
+      half2.write.mode("append").parquet(staged)
+      q.processAllAvailable() // batch 2 arrives AFTER the dim update
+      val served = spark.table("enrich_stale_out").collect()
+        .flatMap(r => Option(r.getAs[String]("segment"))).toSet
+      // stale serve IS the contract: no batch-2 row sees "_v2" —
+      // state was seeded once and is never re-read (refreshing means
+      // composing a CDC upsert stream, not a flag)
+      assert(served.nonEmpty)
+      assert(served.forall(!_.endsWith("_v2")),
+        s"state-store face served post-seed dimension values: $served")
+      // while the static-join face re-plans the dim per batch and
+      // DOES see the update — the regimes differ exactly here
+      val fresh = EventStreams.enrich(
+        half2.select(col("event_id"), col("user_id")),
+        spark.read.parquet(dimDir)).collect()
+        .flatMap(r => Option(r.getAs[String]("segment"))).toSet
+      assert(fresh.nonEmpty && fresh.forall(_.endsWith("_v2")))
+    } finally q.stop()
   }
 
   test("conformalStream: a perfect weekly cycle collapses the band to " +
