@@ -2130,19 +2130,17 @@ object Analytics {
   /** Same over any (basket, item) membership list. */
   def marketBasketOn(pairs: DataFrame, minCount: Long, topN: Int,
                      maxBasket: Int): DataFrame = {
-    val members = pairs.select(col("basket"), col("item")).distinct()
-    val sized = members
-      .withColumn("__bsz", count(lit(1)).over(
-        Window.partitionBy(col("basket"))))
-      .filter(col("__bsz") <= maxBasket)
-      .drop("__bsz")
-      .localCheckpoint(false) // feeds the pair join twice + item counts
-    val nBaskets = sized.select(col("basket")).distinct()
-      .agg(count(lit(1)).as("n_baskets"))
-    val itemCounts = sized.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
-    val pairCounts = sized.as("x").join(sized.as("y"), "basket")
-      .filter(col("x.item") < col("y.item"))
-      .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+    // capped member-set staging (one aggregate) + row-local pair
+    // expansion replace the previous distinct → count-window →
+    // self-join shape (guide §2.4; see Baskets). The staged frame
+    // feeds the basket count, item counts, and pair counts.
+    val sized = Baskets.sets(pairs, maxBasket)
+      .localCheckpoint(false)
+    val nBaskets = sized.agg(count(lit(1)).as("n_baskets"))
+    val itemCounts = Baskets.members(sized)
+      .groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val pairCounts = Baskets.pairsOf(sized)
+      .groupBy(col("a").as("item_a"), col("b").as("item_b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minCount)
     // item-count joins are left to AQE: the item vocabulary is a

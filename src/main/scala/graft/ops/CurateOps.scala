@@ -26,15 +26,20 @@ object CurateOps {
         .filter(col("quality_flag") === "good").select(col("doc_id")),
       "doc_id")
     // exact dedup: one shuffle on the content digest, then a
-    // broadcast-friendly semi join back on the kept ids
+    // broadcast-friendly semi join back on the kept ids. The kept-id
+    // set is checkpointed: `deduped` feeds BOTH the decontamination
+    // shingle join and the final anti join, and without the barrier
+    // the whole quality+dedup chain re-derived per consumer (53
+    // parquet scans / 126 exchanges in the r16 before-plan).
     val keep = good
       .groupBy(sha2(col("text"), 256).as("__h"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
-    val deduped = good.join(keep, Seq("doc_id"), "left_semi")
+      .localCheckpoint(false)
+    val deduped = corpus.join(keep, Seq("doc_id"), "left_semi")
     val contaminated = DedupOps.decontaminate(deduped, reference, threshold)
       .select(col("doc_id")).distinct()
-    deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    keep.join(contaminated, Seq("doc_id"), "left_anti")
       .select(col("doc_id"))
       .orderBy(col("doc_id"))
   }
@@ -72,17 +77,26 @@ object CurateOps {
       .select(col("doc_id"), col("quality_flag"),
         col("n_tokens").cast("long").as("nt"))
       .localCheckpoint(false) // doc-id-sized; every stage sum reads it
-    val s1 = corpus.join(
-      stats.filter(col("quality_flag") === "good").select(col("doc_id")),
-      Seq("doc_id"), "left_semi")
-    val s2 = s1.join(
-      s1.groupBy(sha2(col("text"), 256).as("__h"))
-        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id")),
-      Seq("doc_id"), "left_semi")
-    val s3 = s2.join(
+    // Each stage's SURVIVOR ID SET is checkpointed once and the next
+    // stage's text frame re-attaches by semi join: without the
+    // barriers the five stage aggregates re-derived the whole chain
+    // up to their stage (quality gate ×5, dedup ×4, the heavy
+    // decontamination shingle join ×2 — 91 parquet scans / 270
+    // exchanges in the r16 before-plan). The sets are doc-id-sized;
+    // localCheckpoint frees with the RDD reference.
+    val s1ids = stats.filter(col("quality_flag") === "good")
+      .select(col("doc_id"))
+    val s1 = corpus.join(s1ids, Seq("doc_id"), "left_semi")
+    val s2ids = s1.groupBy(sha2(col("text"), 256).as("__h"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      .localCheckpoint(false)
+    val s2 = corpus.join(s2ids, Seq("doc_id"), "left_semi")
+    val s3ids = s2ids.join(
       DedupOps.decontaminate(s2, reference, threshold)
         .select(col("doc_id")).distinct(),
       Seq("doc_id"), "left_anti")
+      .localCheckpoint(false)
+    val s3 = corpus.join(s3ids, Seq("doc_id"), "left_semi")
     val s4 = tokenBudget(s3, budgetTokens).select(col("doc_id"))
     def stage(no: Int, name: String, ids: DataFrame): DataFrame =
       ids.select(col("doc_id")).join(stats, "doc_id")
@@ -91,9 +105,9 @@ object CurateOps {
         .select(lit(no.toLong).as("stage"), lit(name).as("stage_name"),
           col("docs"), col("tokens"))
     Seq(stage(0, "raw", stats),
-      stage(1, "quality_gate", s1),
-      stage(2, "exact_dedup", s2),
-      stage(3, "decontaminated", s3),
+      stage(1, "quality_gate", s1ids),
+      stage(2, "exact_dedup", s2ids),
+      stage(3, "decontaminated", s3ids),
       stage(4, "token_budget", s4))
       .reduce(_ unionAll _)
       .orderBy(col("stage"))

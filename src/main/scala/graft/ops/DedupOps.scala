@@ -495,12 +495,18 @@ object DedupOps {
         .select(col("dmin").as("id1"), col("doc_id").as("id2"))
       dhJoin.union(dhOverD).union(dhOverH).union(ddJoin).union(ddOver)
     }).distinct()
+      // three consumers (both candIds arms + the verify join input):
+      // without the barrier the banded candidate joins re-ran per
+      // consumer. Candidate-pair-sized.
+      .localCheckpoint(false)
     // verification sets: today's are in hand; history contributes
     // ONLY the candidate members, fetched by id
     val candIds = cand.select(col("id1").as("doc_id"))
       .union(cand.select(col("id2").as("doc_id"))).distinct()
+    // verifyJaccard reads the set frame twice (id1/id2 sides) — cache
+    // the candidate-bounded history shingling so it runs once
     val hSets = docShingleSets(
-      histDocs.join(candIds, Seq("doc_id"), "left_semi"))
+      histDocs.join(candIds, Seq("doc_id"), "left_semi")).cache()
     val newPairs = verifyJaccard(cand, dSets.unionByName(hSets))
       .filter(col("jaccard") >= threshold)
     // the updated pair table: yesterday's verified pairs are
@@ -1735,9 +1741,28 @@ object DedupOps {
       .filter(size(col("sh")) >= 1)
     val comp = (s: Column, i: Column) =>
       conv(substring(md5(concat_ws(":", i, s)), 1, 15), 16, 10).cast("long")
-    val sigs = sh.select(col("doc_id"),
-      transform(sequence(lit(0), lit(numPerm - 1)),
-        i => array_min(transform(col("sh"), s => comp(s, i)))).as("sig"))
+    // Hash each DISTINCT corpus shingle once, not once per document
+    // carrying it: near-dup corpora repeat shingles heavily (sf0.1:
+    // 260k doc-shingle pairs over 27k distinct shingles — a 9.6×
+    // md5-work cut; Zipfian text at 100 TB repeats far more), so the
+    // numPerm md5 components move to a distinct-shingle table and
+    // per-doc signatures become numPerm min-aggregates over an
+    // equi-join — the minhashSignatures shape. The mins range over
+    // exactly the same component values as the previous per-doc
+    // array fold, so signatures (and everything downstream) are
+    // bit-identical; the md5("i:s") contract the oracle replays is
+    // untouched.
+    val shEx = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val uniq = shEx.select(col("s")).distinct()
+      .select(col("s"), transform(sequence(lit(0), lit(numPerm - 1)),
+        i => comp(col("s"), i)).as("v"))
+    val mins = (0 until numPerm).map(j =>
+      min(element_at(col("v"), j + 1)).as(s"mh$j"))
+    val sigs = shEx.join(uniq, "s")
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numPerm).map(j => col(s"mh$j")): _*).as("sig"))
       .cache()
     // the band key is the rows-long component slice itself (each
     // engine needs only an injective per-band encoding for ITS OWN

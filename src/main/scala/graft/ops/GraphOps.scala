@@ -66,8 +66,11 @@ object GraphOps {
     require(dampingPct > 0 && dampingPct < 100,
       s"dampingPct must be in (0, 100), got $dampingPct")
     val teleport = (100L - dampingPct) * 100000000L // (1-d)·10^10
+    // edges feed the degree aggregate AND the join side; without the
+    // barrier the pairs distinct re-evaluates for each
     val edges = pairs.select(col("src"), col("dst"))
       .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(false)
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // each of the five rounds references the edge/degree frame and
     // Catalyst would otherwise inline its whole derivation per round
@@ -195,10 +198,15 @@ object GraphOps {
 
   /** Same over any (basket, item) membership list. */
   def degreeDistOn(pairs: DataFrame, maxBasket: Int): DataFrame = {
-    val edges = basketEdges(pairs, maxBasket)
+    // materialize once: edges feed both union arms of the degree
+    // count, and deg feeds both the bin aggregate and the total —
+    // un-checkpointed, the edge derivation re-ran 4× (16 parquet
+    // scans in the r16 before-plan; 2 after)
+    val edges = basketEdges(pairs, maxBasket).localCheckpoint(false)
     val deg = edges.select(col("a").as("node"))
       .union(edges.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false)
     val total = deg.agg(count(lit(1)).as("n_total"))
     deg.withColumn("bin", (length(expr("bin(deg)")) - 1).cast("long"))
       .groupBy(col("bin"))
@@ -296,13 +304,17 @@ object GraphOps {
     // edges feed degrees, the wedge join, AND the anti join —
     // materialize once
     val edges = basketEdges(pairs, maxBasket).localCheckpoint(false)
+    // deg serves three consumers (center filter + both endpoint
+    // degree joins); adj is self-joined — checkpoint each once
     val deg = edges.select(col("a").as("node"))
       .union(edges.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false)
     val adj = edges.select(col("a").as("n"), col("b").as("v"))
       .union(edges.select(col("b").as("n"), col("a").as("v")))
       .join(deg.filter(col("deg") <= maxCenterDeg)
         .select(col("node").as("n")), Seq("n"), "left_semi")
+      .localCheckpoint(false)
     val cand = adj.as("x").join(adj.as("y"), "n")
       .filter(col("x.v") < col("y.v"))
       .groupBy(col("x.v").as("a"), col("y.v").as("b"))
@@ -541,14 +553,22 @@ object GraphOps {
   }
 
   private def basketEdges(pairs: DataFrame, maxBasket: Int): DataFrame = {
+    // Kept as distinct → count-window → self-join DELIBERATELY: the
+    // r16 optimization pass A/B-tested the [[Baskets]] collect_set +
+    // row-local pair expansion here and measured it consistently
+    // SLOWER on the lineitem basket load (graph_lpa 6.3 → 10.4 s,
+    // graph_triangles_sampled 8.1 → 13.0 s): the win of one fewer
+    // exchange is outweighed by the ObjectHashAggregate set-building
+    // and per-row array/struct generator churn, while the window and
+    // self-join are whole-stage-codegen native and share one
+    // exchange. Guide §1.2: per-task work matters once the shuffle
+    // count is right.
     val members = pairs.select(col("basket"), col("item")).distinct()
     val sized = members
       .withColumn("__bsz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("basket"))))
       .filter(col("__bsz") <= maxBasket)
       .drop("__bsz")
-    // undirected edge set, canonical a < b; one equi-join on the
-    // basket key with per-key fanout ≤ C(maxBasket, 2)
     sized.as("x").join(sized.as("y"), "basket")
       .filter(col("x.item") < col("y.item"))
       .select(col("x.item").as("a"), col("y.item").as("b"))
@@ -558,9 +578,12 @@ object GraphOps {
   /** Degree-oriented wedge count over a materialized canonical edge
     * set — the counting core shared by both triangle faces. */
   private def triangleCore(edges: DataFrame): DataFrame = {
+    // deg feeds the two orientation joins AND the stats row —
+    // checkpoint so the degree aggregate runs once, not three times
     val deg = edges.select(col("a").as("node"))
       .union(edges.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false)
     // orient each edge low→high by (deg, node); struct comparison is
     // lexicographic in both engines (DuckDB: row comparison)
     val oriented = edges
@@ -619,7 +642,9 @@ object GraphOps {
   def randomWalksOn(pairs: DataFrame, steps: Int,
                     maxBasket: Int): DataFrame = {
     require(steps >= 1 && steps <= 8, s"steps out of range: $steps")
-    val edges = basketEdges(pairs, maxBasket)
+    // adj materializes twice (ranked + degs): checkpoint the edge
+    // derivation so each materialization reads it, not re-derives it
+    val edges = basketEdges(pairs, maxBasket).localCheckpoint(false)
     val adj = edges.select(col("a").as("node"), col("b").as("nbr"))
       .unionAll(edges.select(col("b").as("node"), col("a").as("nbr")))
     // the coin must be WALKER-side: a join predicate mixing both

@@ -187,9 +187,13 @@ object MlOps {
         .select(col("vec_id"), col("cluster"), col("d2"))
     }
     val cFinal = (1 to iters).foldLeft(c0) { (cent, _) =>
+      // k·d rows: checkpoint each round's centroids so round r+1's
+      // plan reads a materialized copy instead of inlining every
+      // prior round's assignment chain (quadratic plan growth)
       v.join(assign(cent).select("vec_id", "cluster"), "vec_id")
         .groupBy(col("cluster"), col("dim"))
         .agg(expr("sum(v6) div count(1)").as("c6"))
+        .localCheckpoint(false)
     }
     assign(cFinal)
   }
@@ -231,6 +235,7 @@ object MlOps {
         .select(col("vec_id"), col("__m.cluster").as("cluster"),
           col("__m.d2").as("d2"))
     val cFinal = (1 to iters).foldLeft(c0) { (cent, _) =>
+      // k rows: checkpoint per round (same rationale as kmeansAssign)
       q.join(assign(cent).select("vec_id", "cluster"), "vec_id")
         .select(col("cluster"), posexplode(col("a6")).as(Seq("dim0", "v6")))
         .groupBy(col("cluster"), col("dim0"))
@@ -239,6 +244,7 @@ object MlOps {
         .agg(collect_list(struct(col("dim0"), col("c6d"))).as("__l"))
         .select(col("cluster"),
           transform(array_sort(col("__l")), x => x.getField("c6d")).as("c6"))
+        .localCheckpoint(false)
     }
     assign(cFinal)
   }
@@ -253,7 +259,8 @@ object MlOps {
         (round(col("fval").cast("double") * 1000000, 0).cast("long") +
           1000000L).as("v6"))
       .localCheckpoint(false)
-    val af = kmeansAssign(v, k, iters)
+    // af feeds sizes AND the label majority — materialize once
+    val af = kmeansAssign(v, k, iters).localCheckpoint(false)
     val sizes = af.groupBy(col("cluster")).agg(count(lit(1)).as("n"),
       expr("sum(d2 div 1000000) div count(1)").as("__md6"))
     val lab = af.select(col("vec_id"), col("cluster"))
@@ -537,7 +544,10 @@ object MlOps {
   /** Same over any (x, y∈{0,1}) frame. */
   def logregGdOn(base0: DataFrame, iters: Int, lr: Double): DataFrame = {
     val base = base0.localCheckpoint(false) // feeds every GD round + eval
-    val n = base.agg(count(lit(1)).as("n"))
+    // 1 row, eager: every round AND the eval crossJoin it — without
+    // the barrier the count subtree rode into each round's broadcast
+    // (one extra base pass per round)
+    val n = base.agg(count(lit(1)).as("n")).localCheckpoint(true)
     val spark = base.sparkSession
     var st = spark.range(1)
       .select(lit(0.0).as("w"), lit(0.0).as("b"))
@@ -550,9 +560,15 @@ object MlOps {
             " AS DECIMAL(20,6))")).as("gw"),
           sum(expr("CAST(" + q6("1.0/(1.0+exp(-(w*x+b))) - y") +
             " AS DECIMAL(20,6))")).as("gb"))
+      // each round's 1-row state rides an EAGER checkpoint (the
+      // adaboost posture): round k+1's plan then broadcasts a
+      // materialized row instead of nesting round k's whole aggregate
+      // subtree — the lazy chain re-planned every prior round inside
+      // each broadcast build
       st = g.select(
         expr(q6(s"w - $lr * CAST(gw AS DOUBLE) / n")).as("w"),
         expr(q6(s"b - $lr * CAST(gb AS DOUBLE) / n")).as("b"))
+        .localCheckpoint(true)
     }
     base.crossJoin(broadcast(st)).crossJoin(broadcast(n))
       .groupBy(col("w"), col("b"), col("n"))

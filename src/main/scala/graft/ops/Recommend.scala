@@ -52,7 +52,12 @@ object Recommend {
       minCount, topK, maxBasket)
 
   /** Capped distinct membership — shared by both faces so exact and
-    * sampled read the identical basket universe. */
+    * sampled read the identical basket universe. Kept as distinct →
+    * count-window DELIBERATELY: the r16 pass A/B-tested the
+    * collect_set + row-local pair expansion ([[Baskets]]) here and
+    * measured it consistently slower (rec_item_cosine_dimsum
+    * 2.6 → 4.0 s, rec_user_items 3.8 → 5.6 s) — object-aggregate and
+    * generator churn outweigh the saved exchange (guide §1.2). */
   private def cappedMembers(pairs: DataFrame, maxBasket: Int): DataFrame =
     pairs.select(col("basket"), col("item")).distinct()
       .withColumn("__bsz",

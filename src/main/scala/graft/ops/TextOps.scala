@@ -1244,10 +1244,14 @@ object TextOps {
   def cvNaiveBayesOn(corpus: DataFrame, folds: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sp = corpus.sparkSession
+    // tokenized-corpus frame: FIVE consumers (ctkf, ndf, ndfTot,
+    // priorFold's two aggregates, testTf) — checkpoint so the
+    // repartition+tokenize chain runs once, not per consumer
     val docs = graft.Tables.spread(corpus)
       .select(col("doc_id"), col("lang"),
         (col("doc_id") % folds).as("fold"),
         toks(lower(col("text"))).as("ws"))
+      .localCheckpoint(false)
     val foldIds = sp.range(folds).select(col("id").as("fold"))
     // the one expensive frame — four rollups and the grid read it
     val ctkf = docs
@@ -1260,10 +1264,12 @@ object TextOps {
     val tt = ctkf.groupBy(col("term")).agg(sum(col("c")).as("tt"))
     val ttf = ctkf.groupBy(col("term"), col("fold"))
       .agg(sum(col("c")).as("ttf"))
+    // vocabFold feeds vFold AND the grid — materialize once
     val vocabFold = tt.crossJoin(broadcast(foldIds))
       .join(ttf, Seq("term", "fold"), "left")
       .filter(col("tt") - coalesce(col("ttf"), lit(0L)) > 0)
       .select(col("term"), col("fold"))
+      .localCheckpoint(false)
     val vFold = vocabFold.groupBy(col("fold")).agg(count(lit(1)).as("v"))
     val ctf = ctkf.groupBy(col("lang"), col("fold"))
       .agg(sum(col("c")).as("ctf"))

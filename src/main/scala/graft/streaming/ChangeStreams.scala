@@ -170,10 +170,16 @@ object ChangeStreams {
     // cache the shared leaf so the epoch slices scan it once
     val ch = changes.cache()
     val base0 = ch.select(col("user_id"), col("v_micro")).limit(0)
-    // snaps(k) = snapshot AFTER folding epoch k (version id k)
+    // snaps(k) = snapshot AFTER folding epoch k (version id k).
+    // Each snapshot rides a LAZY localCheckpoint: version k+1's fold
+    // and version k's audit then read ONE materialized copy — the
+    // un-checkpointed chain re-evaluated the whole fold prefix per
+    // retained version (12 applyChanges windows for 5 epochs × 3
+    // versions instead of 5). Still zero driver-side collection.
     val snaps = (0 until epochs).scanLeft(base0) { (base, k) =>
       Mapping.applyChanges(base, ch.filter(col("epoch") === k),
         keys = Seq("user_id"), opCol = "op", ord = Seq("event_id"))
+        .localCheckpoint(false)
     }.drop(1)
     (epochs - keepVersions until epochs).map { k =>
       snaps(k).agg(
