@@ -160,7 +160,12 @@ object Analytics {
   private def funnelStages(events: DataFrame,
                            stages: Seq[String]): Seq[DataFrame] = {
     val ev = events.select(col("user_id"), col("event_type"), col("ts"))
-    // stage 1: first qualifying event per user
+    // NOT checkpointed, deliberately (r16 A/B): materializing each
+    // stage frame measured SLOWER (q_funnel 0.85 → 0.93 s,
+    // q_funnel_latency 0.93 → 0.99 s) — the per-stage subtrees are
+    // cheap scan+agg chains whose identical exchanges AQE already
+    // reuses at runtime, so the barrier jobs cost more than the
+    // saved recompute.
     val first = ev.filter(col("event_type") === stages.head)
       .groupBy(col("user_id")).agg(min(col("ts")).as("__t"))
     stages.tail.scanLeft(first) { (prev, stage) =>

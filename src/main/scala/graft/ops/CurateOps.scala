@@ -154,12 +154,18 @@ object CurateOps {
     * projection or one keyed map-side-combinable shuffle — no windows,
     * no products; [[curate]] is the back half (decontamination). */
   def curateWeb(withUrls: DataFrame): DataFrame = {
+    // canon feeds the URL-dedup aggregate AND the survivor semi join;
+    // pages feeds the quality gate AND the text dedup — checkpoint
+    // both stage boundaries so the canonicalize/quality chains run
+    // once (the curateFunnel posture; 8 source scans before)
     val canon = withUrls.withColumn("canonical",
       TextOps.canonicalUrl(col("url")))
+      .localCheckpoint(false)
     val firstPerPage = canon
       .groupBy(col("canonical")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val pages = canon.join(firstPerPage, Seq("doc_id"), "left_semi")
+      .localCheckpoint(false)
     val good = pages.join(
       TextOps.qualityScoresOn(pages.select(col("doc_id"), col("text")))
         .filter(col("quality_flag") === "good").select(col("doc_id")),

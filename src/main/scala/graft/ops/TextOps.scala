@@ -1056,13 +1056,18 @@ object TextOps {
     * the argmax entry and the calibration table so the two can never
     * disagree about what the model said. */
   private def nbScoredOn(corpus: DataFrame): DataFrame = {
+    // tokenized corpus feeds train (terms + priors) and test —
+    // checkpoint so the repartition+tokenize chain runs once; ctk
+    // (vocabulary-sized) feeds class totals, the vocab, and the grid
     val docs = graft.Tables.spread(corpus)
       .select(col("doc_id"), col("lang"), toks(lower(col("text"))).as("ws"))
+      .localCheckpoint(false)
     val train = docs.filter(col("doc_id") % 10 < 8)
     val test  = docs.filter(col("doc_id") % 10 >= 8)
     val trainTerms = train.select(col("lang"), explode(col("ws")).as("term"))
     val ctk = trainTerms.groupBy(col("lang"), col("term"))
       .agg(count(lit(1)).as("ctk"))
+      .localCheckpoint(false)
     val classTotals = ctk.groupBy(col("lang")).agg(sum(col("ctk")).as("ct"))
     val vocab = ctk.select(col("term")).distinct()
     val vocabSize = vocab.agg(count(lit(1)).as("v"))
