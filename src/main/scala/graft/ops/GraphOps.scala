@@ -586,6 +586,9 @@ object GraphOps {
       .localCheckpoint(false)
     // orient each edge low→high by (deg, node); struct comparison is
     // lexicographic in both engines (DuckDB: row comparison)
+    // dlo is dead after orientation (the wedge canonicalization and
+    // the closing probe read only lo/hi/dhi) — keeping it out narrows
+    // the checkpointed frame and both wedge-join sides by a column
     val oriented = edges
       .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
       .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
@@ -594,8 +597,6 @@ object GraphOps {
           col("a")).otherwise(col("b")).as("lo"),
         when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
           col("b")).otherwise(col("a")).as("hi"),
-        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
-          col("da")).otherwise(col("db")).as("dlo"),
         when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
           col("db")).otherwise(col("da")).as("dhi"))
       .localCheckpoint(false)
