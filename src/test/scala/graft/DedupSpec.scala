@@ -178,17 +178,25 @@ class DedupSpec extends SparkSpec {
     // needs 3 hop rounds + 1 confirming round on the chain
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
       .toDF("id1", "id2")
+    // suites share one SparkContext and run concurrently: count ONLY
+    // this test's jobs, recognized by a unique job group set on this
+    // thread (the CC loop's driver actions all run on it; Spark
+    // propagates the thread-local group to their jobs)
+    val group = s"cc-jobcount-${java.util.UUID.randomUUID()}"
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
+        if (js.properties != null &&
+            group == js.properties.getProperty("spark.jobGroup.id"))
+          jobs.incrementAndGet()
     }
     // AQE materializes every shuffle stage as its own job (~4 per
     // action), which would bury the one-action-per-round structure
     // this test pins; without it one action = one job exactly
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(group, "cc job-count pin")
     try {
       val got = DedupOps.connectedComponents(pairs).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -213,6 +221,7 @@ class DedupSpec extends SparkSpec {
         s"connectedComponents ran $last jobs for a $rounds-round graph — " +
           "expected ~2 per round (+ init and collect)")
     } finally {
+      spark.sparkContext.clearJobGroup()
       spark.sparkContext.removeSparkListener(listener)
       spark.conf.set("spark.sql.adaptive.enabled", "true")
     }

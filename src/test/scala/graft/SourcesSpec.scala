@@ -242,17 +242,12 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("GraftExtensions: SQL functions resolve in an extended session") {
-    // getOrCreate() would silently reuse the suite session and skip the
-    // extensions, so build a genuinely fresh session (this is the
-    // suite's final test; later suites lazily create their own).
-    SparkSession.getActiveSession.foreach(_.stop())
-    SparkSession.clearActiveSession()
-    SparkSession.clearDefaultSession()
-    val s2 = SparkSession.builder()
-      .master("local[2]")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
+    // The shared test context is built withExtensions(GraftExtensions)
+    // (SparkSpec.shared) and newSession() re-derives its session state
+    // from those extensions — so a fresh session view proves the
+    // injection works without stopping the shared context (the old
+    // stop-and-rebuild here was fatal once suites ran concurrently).
+    val s2 = SparkSpec.shared.newSession()
     try {
       val r = s2.sql(
         """SELECT simhash64(array('a','b')) AS sh,
