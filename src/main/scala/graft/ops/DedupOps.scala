@@ -825,9 +825,17 @@ object DedupOps {
     // symmetric edge list, hash-partitioned on the join key ONCE and
     // cached: every round's propagation join then reads co-located
     // edge partitions instead of re-shuffling the (potentially huge)
-    // edge set per iteration
-    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+    // edge set per iteration.
+    // Symmetrization is a row-local explode of both directions, NOT
+    // union(pairs.select(fwd), pairs.select(rev)): `pairs` is the full
+    // LSH-verify join and a two-arm union physically evaluates that
+    // subtree twice (its internal caches hide the re-run from a
+    // parquet-scan plan sweep) — one generator pass emits the same
+    // row bag from one evaluation (guide §1.2.1).
+    val edges = pairs.select(explode(array(
+        struct(col("id1").as("src"), col("id2").as("dst")),
+        struct(col("id2").as("src"), col("id1").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("dst"))
       .cache()
     // convergence via the label-sum invariant: propagation only ever

@@ -17,13 +17,24 @@ import org.apache.spark.sql.functions._
   */
 object Forecast {
 
+  /** The per-(day, event_type) count series every member model fits —
+    * derived once per single-model entry; [[compareModels]] and
+    * [[ensembleForecast]] stage it through one checkpoint so their
+    * member fits share a single corpus pass. */
+  private def dailyOf(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Forecast the last `horizon` days of each event_type series.
     * Output: event_type, day, actual, pred, lo, hi. */
   def seasonalNaive(s: SparkSession, d: String,
-                    period: Int = 7, horizon: Int = 7): DataFrame = {
-    val daily = Tables.events(s, d)
-      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"))
+                    period: Int = 7, horizon: Int = 7): DataFrame =
+    seasonalNaiveOn(dailyOf(s, d), period, horizon)
+
+  /** Same over any (day, event_type, cnt) daily frame. */
+  def seasonalNaiveOn(daily: DataFrame,
+                      period: Int, horizon: Int): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
     val lagged = daily.withColumn("lagp", lag(col("cnt"), period).over(w))
     val mx = daily.agg(max(col("day")).as("mx"))
@@ -205,9 +216,7 @@ object Forecast {
     * the [[seasonalNaive]] shape minus the quantile band (an AR point
     * model has no residual-quantile interval by construction). */
   def arForecast(s: SparkSession, d: String, horizon: Int = 7): DataFrame =
-    arForecastOn(Tables.events(s, d)
-      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
-      .agg(count(lit(1)).as("cnt")), horizon)
+    arForecastOn(dailyOf(s, d), horizon)
 
   /** Same over any (day, event_type, cnt) daily frame. */
   def arForecastOn(daily: DataFrame, horizon: Int): DataFrame = {
@@ -286,11 +295,14 @@ object Forecast {
     * Output: (event_type, day, actual, pred) over the holdout days —
     * the [[arForecast]] shape. */
   def thetaForecast(s: SparkSession, d: String, horizon: Int = 7,
-                    alpha: Double = 0.3): DataFrame = {
+                    alpha: Double = 0.3): DataFrame =
+    thetaForecastOn(dailyOf(s, d), horizon, alpha)
+
+  /** Same over any (day, event_type, cnt) daily frame. */
+  def thetaForecastOn(daily: DataFrame, horizon: Int,
+                      alpha: Double): DataFrame = {
+    val s = daily.sparkSession
     import s.implicits._
-    val daily = Tables.events(s, d)
-      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"))
     val mx = daily.agg(max(col("day")).as("mx"))
     val train = daily.crossJoin(broadcast(mx))
       .filter(col("day") <= col("mx") - expr(s"interval $horizon day"))
@@ -670,13 +682,20 @@ object Forecast {
     * cross-engine. */
   def compareModels(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sn = seasonalNaive(s, d)
+    // ONE daily aggregate feeds all three member fits (r16 backlog
+    // item #1): the members previously each re-derived it from
+    // events — 3 corpus scans+aggregates per entry for a frame of
+    // days × event_types rows. The checkpoint is that small frame;
+    // member fits are unchanged functions of it, so outputs are
+    // identical.
+    val daily = dailyOf(s, d).localCheckpoint(false)
+    val sn = seasonalNaiveOn(daily, 7, 7)
       .select(col("event_type"), col("actual"), col("pred"))
       .withColumn("model", lit("snaive"))
-    val ar = arForecast(s, d)
+    val ar = arForecastOn(daily, 7)
       .select(col("event_type"), col("actual"), col("pred"))
       .withColumn("model", lit("ar2"))
-    val th = thetaForecast(s, d)
+    val th = thetaForecastOn(daily, 7, 0.3)
       .select(col("event_type"), col("actual"), col("pred"))
       .withColumn("model", lit("theta"))
     val mae = sn.unionByName(ar).unionByName(th)
@@ -715,12 +734,14 @@ object Forecast {
     * scoring legs + one aggregate. */
   def ensembleForecast(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sn = seasonalNaive(s, d)
+    // shared checkpointed daily frame — see compareModels
+    val daily = dailyOf(s, d).localCheckpoint(false)
+    val sn = seasonalNaiveOn(daily, 7, 7)
       .select(col("event_type"), col("day"), col("actual"),
         col("pred").as("p_sn"))
-    val ar = arForecast(s, d)
+    val ar = arForecastOn(daily, 7)
       .select(col("event_type"), col("day"), col("pred").as("p_ar"))
-    val th = thetaForecast(s, d)
+    val th = thetaForecastOn(daily, 7, 0.3)
       .select(col("event_type"), col("day"), col("pred").as("p_th"))
     val j = sn.join(ar, Seq("event_type", "day"))
       .join(th, Seq("event_type", "day"))

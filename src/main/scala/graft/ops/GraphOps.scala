@@ -67,9 +67,16 @@ object GraphOps {
       s"dampingPct must be in (0, 100), got $dampingPct")
     val teleport = (100L - dampingPct) * 100000000L // (1-d)·10^10
     // edges feed the degree aggregate AND the join side; without the
-    // barrier the pairs distinct re-evaluates for each
-    val edges = pairs.select(col("src"), col("dst"))
-      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    // barrier the pairs distinct re-evaluates for each.
+    // Symmetrize with a row-local explode rather than a two-arm
+    // union: the union form evaluated the `pairs` subtree (a full
+    // lineitem project + distinct) once PER ARM before the
+    // checkpoint — one generator pass emits the identical row bag
+    // from a single evaluation (guide §1.2.1).
+    val edges = pairs.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(false)
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // each of the five rounds references the edge/degree frame and
@@ -494,8 +501,14 @@ object GraphOps {
 
   /** Same over any canonical (a < b) undirected edge frame. */
   def lpaOn(edges0: DataFrame, rounds: Int): DataFrame = {
-    val bidir = edges0.select(col("a").as("src"), col("b").as("dst"))
-      .union(edges0.select(col("b").as("src"), col("a").as("dst")))
+    // row-local explode, not union-of-two-selects: edges0 is the
+    // basketEdges chain (distinct → count-window → self-join →
+    // distinct) and the union form evaluated it once per arm —
+    // one generator pass emits the same row bag from one evaluation
+    val bidir = edges0.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("src"))
       .localCheckpoint(true)
     var labels = bidir.select(col("src").as("node")).distinct()

@@ -96,11 +96,19 @@ object Recommend {
           .as("cosine"))
     // symmetrize so "neighbors of i" sees both directions, then rank
     // on the ROUNDED cosine (ranking an unrounded double invites
-    // last-ulp rank flips between engines) with an id tiebreak
-    val sym = scored.select(col("ia").as("item"), col("ib").as("neighbor"),
-        col("n_ab"), col("cosine"))
-      .unionAll(scored.select(col("ib").as("item"), col("ia").as("neighbor"),
-        col("n_ab"), col("cosine")))
+    // last-ulp rank flips between engines) with an id tiebreak.
+    // Row-local explode, not unionAll-of-two-selects: `scored` is the
+    // basket self-join + pair-count + two count joins, and the union
+    // form evaluated that whole chain once per arm (the checkpointed
+    // `members` hides the re-run from a parquet-scan sweep) — one
+    // generator pass emits the same row bag from one evaluation.
+    val sym = scored.select(explode(array(
+        struct(col("ia").as("item"), col("ib").as("neighbor"),
+          col("n_ab"), col("cosine")),
+        struct(col("ib").as("item"), col("ia").as("neighbor"),
+          col("n_ab"), col("cosine")))).as("e"))
+      .select(col("e.item").as("item"), col("e.neighbor").as("neighbor"),
+        col("e.n_ab").as("n_ab"), col("e.cosine").as("cosine"))
     sym.withColumn("rank", row_number().over(Window.partitionBy(col("item"))
         .orderBy(col("cosine").desc, col("neighbor"))))
       .filter(col("rank") <= topK)

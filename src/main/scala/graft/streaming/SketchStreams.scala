@@ -536,15 +536,31 @@ object SketchStreams {
     val ev = graft.Tables.events(s, d)
       .select((col("event_id") % epochs).as("epoch"),
         col("event_type"), col("user_id"))
-      .cache()
+    // TWO corpus passes TOTAL (was two per retained version): the
+    // per-(event_type, epoch) sketches are version-independent — each
+    // version's union-folded estimate reads the SAME per-epoch sketch
+    // bytes it previously recomputed over its prefix — and the exact
+    // prefix distinct decomposes by FIRST-SEEN epoch: distinct users
+    // in epochs 0..v ≡ users whose min(epoch) ≤ v, so one
+    // (event_type, user_id) pass + a (event_type, first_epoch) rollup
+    // replaces a full countDistinct shuffle per version. Both
+    // summaries are event_types × epochs sized; the checkpoints make
+    // the per-version legs read them instead of re-deriving.
+    val skPerEpoch = ev.groupBy(col("event_type"), col("epoch"))
+      .agg(hll_sketch_agg(col("user_id"), lgK).as("sk"))
+      .localCheckpoint(false)
+    val firstSeen = ev.groupBy(col("event_type"), col("user_id"))
+      .agg(min(col("epoch")).as("fe"))
+      .groupBy(col("event_type"), col("fe"))
+      .agg(count(lit(1)).as("nu"))
+      .localCheckpoint(false)
     (epochs - keepVersions until epochs).map { v =>
-      val prefix = ev.filter(col("epoch") <= v)
-      val folded = prefix.groupBy(col("event_type"), col("epoch"))
-        .agg(hll_sketch_agg(col("user_id"), lgK).as("sk"))
+      val folded = skPerEpoch.filter(col("epoch") <= v)
         .groupBy(col("event_type"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("__est"))
-      prefix.groupBy(col("event_type"))
-        .agg(countDistinct(col("user_id")).as("exact_users"))
+      firstSeen.filter(col("fe") <= v)
+        .groupBy(col("event_type"))
+        .agg(sum(col("nu")).as("exact_users"))
         .join(folded, "event_type")
         .select(lit(v.toLong).as("version"), col("event_type"),
           col("exact_users"),
